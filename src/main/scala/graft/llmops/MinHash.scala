@@ -1,0 +1,124 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection: MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story): candidate generation is always a
+  * *bucketed equi-join* on (band, bandHash) — never an all-pairs cross join.
+  * Cost is O(docs × perms) for signatures (one shuffle, map-side combined)
+  * plus a join whose width is the bucket size distribution; giant buckets
+  * (degenerate shingles) can be dropped with `maxBucket` to bound skew.
+  */
+object MinHash {
+
+  /** 3-token shingles (distinct, lowercased). Documents shorter than 3
+    * tokens fall back to the whole text as a single shingle. */
+  def withShingles(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol))
+      .withColumn("toks", split(lower(col(textCol)), " "))
+      .withColumn("shingles", array_distinct(
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+          .otherwise(array(concat_ws(" ", col("toks"))))))
+      .drop("toks", textCol)
+
+  /** MinHash signatures: numPerms seeded xxhash64 mins over the shingle set.
+    * explode → groupBy(doc_id) is a single shuffle; the min() aggregates are
+    * partially computed map-side so shuffle volume is docs × perms longs. */
+  def signatures(shingled: DataFrame, numPerms: Int): DataFrame = {
+    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until numPerms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: numBands bands of (numPerms / numBands) rows; a band's
+    * bucket key is the hash of its signature slice. Emits (doc_id, band, bh). */
+  def bands(sigs: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
+    val rows = numPerms / numBands
+    val bandStructs = (0 until numBands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Candidate pairs: self-join per bucket (doc_a < doc_b), deduped across
+    * bands. Buckets larger than maxBucket are dropped (skew guard). */
+  def candidates(bandDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val sized = bandDf
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucket)
+    val a = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val b = sized.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard over given pairs: join shingle sets back and
+    * compute |A∩B| / |A∪B|. */
+  def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
+    * → exact-Jaccard verify ≥ threshold. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   numPerms: Int = 32, numBands: Int = 8,
+                   threshold: Double = 0.6): DataFrame = {
+    val shingled = withShingles(df, idCol, textCol).cache()
+    val cand = candidates(bands(signatures(shingled, numPerms), numPerms, numBands))
+    jaccard(cand, shingled)
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 weighted by token
+    * occurrences; the sign vector is the fingerprint. explode → groupBy is
+    * one shuffle with map-side partial sums (64 long columns per doc). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"b$i")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup: band the 64-bit signature into four 16-bit chunks;
+    * candidates share ≥1 chunk (catches all pairs with hamming ≤ 3 by
+    * pigeonhole, most up to the threshold); verify by exact hamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(65535L)).as("bh"))
+    }
+    val chunked = sigs
+      .select(col("doc_id"), col("sig"), explode(array(chunkStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = chunked.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

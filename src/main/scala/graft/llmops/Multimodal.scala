@@ -1,0 +1,71 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
+  * is real; the codec itself is STUBBED with a deterministic fake because this
+  * container has no image/audio libraries. A production deployment swaps
+  * [[decodeStub]] for a real decoder without touching the pipeline shape.
+  */
+object Multimodal {
+
+  /** One media record: payload + metadata travelling together. */
+  case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features: fixed-width vector + provenance. */
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+                           features: Array[Double])
+
+  /** STUB decoder: a real implementation would decode the image/audio payload
+    * and extract model features. This deterministic fake derives `dim`
+    * pseudo-features by hashing the payload, preserving the exact signature
+    * and batch shape a real codec would have. */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Double] = {
+    var h = 0x9E3779B97F4A7C15L
+    payload.foreach { b => h = (h ^ (b & 0xffL)) * 0x100000001B3L }
+    Array.tabulate(dim) { i =>
+      val mixed = {
+        var z = h + i * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z ^ (z >>> 27)
+      }
+      (mixed.toDouble / Long.MaxValue.toDouble)
+    }
+  }
+
+  /** Per-partition featurization: the decoder runs once per record inside a
+    * partition iterator (a real codec would amortize per-batch model setup
+    * here — that is exactly what this shape gives it). Narrow, no shuffle. */
+  def featurize(ds: Dataset[MediaRecord], dim: Int): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    ds.mapPartitions { it =>
+      // per-partition "codec init" would go here
+      it.map { r =>
+        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
+          decodeStub(r.payload, dim))
+      }
+    }
+  }
+
+  /** Column-level metadata extraction over a binary column — fully
+    * oracle-checkable (length + content hash), no stub involved. */
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      octet_length(col(binCol)).cast("long").as("bin_len"),
+      sha2(col(binCol), 256).as("sha"),
+      md5(col(binCol)).as("content_md5"))
+
+  /** Deterministic frame-sampling plan for a (stubbed) video payload: emit
+    * every strideBytes-th offset as a "frame" pointer — demonstrates the
+    * explode/offset bookkeeping a real frame sampler needs. */
+  def frameSample(df: DataFrame, idCol: String, binCol: String, strideBytes: Int): DataFrame =
+    df.select(col(idCol), octet_length(col(binCol)).cast("long").as("len"))
+      .withColumn("frame_off", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), greatest(len - 1, CAST(0 AS BIGINT)), CAST($strideBytes AS BIGINT))")))
+      .select(col(idCol), col("frame_off"))
+}

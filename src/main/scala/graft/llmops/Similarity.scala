@@ -1,0 +1,99 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k with the (small) query side broadcast —
+  * one pass over the corpus, no corpus shuffle, per-partition partial top-k
+  * via the ranking window. Scale path: hyperplane-LSH bucketing so each query
+  * only scores its bucket's candidates (corpus shuffled once by bucket id,
+  * reusable across query batches).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated in double
+    * (codegen'd array expressions — no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Brute-force cosine top-k: broadcast the query set against the corpus,
+    * score every (query, candidate) pair, keep k per query. Ties broken by
+    * candidate id after 4-dp rounding so results are engine-portable. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val scored = c.join(q, col("q_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("embedding")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "sim", "rnk")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (hash-derived, no RNG state):
+    * component j of plane p is a value in [-1, 1). */
+  private def planeComponent(p: Int, j: Int): Double = {
+    // splitmix64-style integer mix — public-domain bit mixer.
+    var z = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-of-dot-product LSH bucket id from numPlanes hyperplanes. */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val planeArr = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      val d = aggregate(zip_with(vec, planeArr, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: corpus and queries bucketed by hyperplane
+    * signs; candidates are same-bucket only (plus optional 1-bit probes).
+    * Approximate — recall depends on numPlanes; rows-only checked. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              numPlanes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
+    val qBase = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      lshBucket(col("embedding"), dim, numPlanes).as("b0"))
+    // Multi-probe: also search the numPlanes buckets at hamming distance 1.
+    val qb = if (multiProbe)
+      qBase.select(col("q_id"), col("q_vec"), explode(expr(
+        s"array_union(array(b0), transform(sequence(0, ${numPlanes - 1}), " +
+          "i -> CAST(b0 AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), i)))")).as("bucket"))
+    else qBase.select(col("q_id"), col("q_vec"), col("b0").as("bucket"))
+    val scored = broadcast(qb).join(cb, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("embedding")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "sim", "rnk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucketed join (same LSH bucket),
+    * verify by exact cosine ≥ threshold. Never all-pairs. */
+  def cosineNearDupPairs(df: DataFrame, dim: Int, threshold: Double,
+                         numPlanes: Int = 6): DataFrame = {
+    val b = df.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim").distinct()
+  }
+}

@@ -1,0 +1,478 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Declared relational query surface Q1–Q25 (SURVEY.md §2.6).
+  *
+  * The reference (novalabsxyz/huckli) exposes its ingested tables to a SQL
+  * engine for downstream analysis; its only embedded relational read is the
+  * checkpoint lookup `SELECT .. ORDER BY file_timestamp DESC LIMIT 1`
+  * (huckli-db/src/lib.rs:43-56, ≡ q03 here). The rest of this surface is the
+  * standard relational capability set a user of the reference runs downstream,
+  * re-expressed Spark-first: declarative DataFrame plans that Catalyst
+  * optimizes (pushdown, pruning, broadcast, whole-stage codegen).
+  *
+  * Every query has a DuckDB oracle in [[oracleSql]] with IDENTICAL column
+  * names and types (computed columns aliased on both sides; int-width
+  * differences reconciled by explicit casts; float aggregates rounded on both
+  * sides). The driver hash-compares results at sf0.01.
+  */
+object Declared {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
+    * and truncate to microseconds — identical to DuckDB `CAST(ts AS
+    * TIMESTAMP)` (both floor positive values), so oracles cast the same way.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1: parquet scan + projection — column pruning reaches the scan.
+    "q01_scan_project" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_orderkey", "l_quantity")),
+
+    // Q2: conjunctive filter (timestamp + numeric) — both predicates push down.
+    "q02_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate")),
+
+    // Q3: sort desc + limit 1 (≡ the reference's checkpoint max-ts lookup,
+    // huckli-db/src/lib.rs:43-56). Secondary key makes the row deterministic.
+    "q03_sort_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+        .limit(1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
+
+    // Q4: hash aggregate + group-by (TPC-H Q1 shape). Partial (map-side)
+    // aggregation is automatic; floats rounded identically on both sides.
+    "q04_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))),
+
+    // Q5: broadcast equi join — dimension side explicitly broadcast.
+    "q05_join_broadcast" -> ((s, d) =>
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")),
+
+    // Q6: shuffle/sort-merge equi join — merge hint keeps it SMJ even when
+    // the small SF would otherwise auto-broadcast (the 100TB-scale plan).
+    "q06_join_shuffle" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem").hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "l_linenumber", "o_totalprice", "l_quantity")),
+
+    // Q7: multi-way join (TPC-H Q5 shape): fact-fact joins shuffle on their
+    // keys; nation/region dims broadcast.
+    "q07_join_multi" -> ((s, d) => {
+      val customer = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val lineitem = t(s, d, "lineitem")
+      val supplier = t(s, d, "supplier")
+      val nation = broadcast(t(s, d, "nation"))
+      val region = broadcast(t(s, d, "region"))
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // Q8: left outer join + null counts.
+    "q08_left_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_matched"))),
+
+    // Q9: semi / anti joins.
+    "q09_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+    "q09_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // Q10: range self-join on events — equi key (user_id) carries the
+    // shuffle, the ts-range predicate is evaluated post-match, so this stays
+    // a hash/merge join (never a cartesian) at any scale.
+    "q10_range_join" -> ((s, d) => {
+      val e = events(s, d)
+      val a = e.select(col("user_id"), col("ts").as("ts_a"))
+      val b = e.select(col("user_id").as("user_b"), col("ts").as("ts_b"))
+      a.join(b, col("user_id") === col("user_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("interval 1 hour"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("pair_cnt"))
+    }),
+
+    // Q11: distinct + count distinct (+ approx variant, tolerance-checked
+    // only — no hash oracle).
+    "q11_distinct" -> ((s, d) =>
+      t(s, d, "orders").select("o_custkey").distinct()),
+    "q11_count_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))),
+    "q11_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg(approx_count_distinct("o_custkey").as("approx_cust"))),
+
+    // Q12: rollup / cube.
+    "q12_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))),
+    "q12_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Q13: ranking window — top-3 orders per customer (deterministic tiebreak).
+    "q13_rank_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+    }),
+
+    // Q14: analytic window with a rows frame.
+    "q14_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      events(s, d)
+        .withColumn("win_sum", round(sum("value").over(w), 2))
+        .select("event_id", "user_id", "win_sum")
+    }),
+
+    // Q15: lag/lead — inter-event gap per user.
+    "q15_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("gap_ms", unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w)))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .select("event_id", "user_id", "gap_ms", "next_type")
+    }),
+
+    // Q16: multi-key sort + limit (top-k). Spark plans this as TakeOrdered —
+    // per-partition top-k then a k-row merge, no full sort at scale.
+    "q16_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // Q17: union all / intersect / except over overlapping slices of part.
+    "q17_union" -> ((s, d) => {
+      val p = t(s, d, "part").select("p_partkey")
+      p.filter(col("p_partkey") % 2 === 0).union(p.filter(col("p_partkey") % 3 === 0))
+    }),
+    "q17_intersect" -> ((s, d) => {
+      val p = t(s, d, "part").select("p_partkey")
+      p.filter(col("p_partkey") % 2 === 0).intersect(p.filter(col("p_partkey") % 3 === 0))
+    }),
+    "q17_except" -> ((s, d) => {
+      val p = t(s, d, "part").select("p_partkey")
+      p.filter(col("p_partkey") % 2 === 0).except(p.filter(col("p_partkey") % 3 === 0))
+    }),
+
+    // Q18: string functions; file_ts reuses the reference's S2 filename regex
+    // `([a-z,\d,_]+)\.(\d+)(\.gz)?` (huckli-s3/src/lib.rs:16) on a synthesized
+    // filename.
+    "q18_string" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("_", col("p_type"), col("p_brand")).as("type_brand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(
+          concat(lower(col("p_type")), lit("."), col("p_partkey").cast("string"), lit(".gz")),
+          "([a-z,\\d,_]+)\\.(\\d+)(\\.gz)?", 2).as("file_ts"))),
+
+    // Q19: date/time functions incl. the reference's sec/ms heuristic (T4,
+    // huckli-import/src/lib.rs:158-175 — values > 1e12 are millis, else secs).
+    "q19_datetime" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        date_trunc("day", col("ts")).as("day_ts"),
+        hour(col("ts")).cast("long").as("hr"),
+        unix_millis(col("ts")).as("ms"),
+        when(unix_millis(col("ts")) > 1000000000000L,
+          timestamp_millis(unix_millis(col("ts"))))
+          .otherwise(timestamp_seconds(unix_millis(col("ts")))).as("ts_norm"))),
+
+    // Q20: math funcs + cast-with-default (T5 semantics: unparseable → 0.0,
+    // huckli-import/src/lib.rs:307-313). disc_price uses floor(x*100+0.5)/100
+    // instead of round(x,2): products of 2-dp doubles land on exact half-cent
+    // boundaries where Spark (shortest-decimal HALF_UP) and DuckDB (binary
+    // round) disagree; floor+offset is bit-identical across engines.
+    "q20_math" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) / 100.0)
+          .as("disc_price"),
+        round(col("l_discount") * 100).as("disc_pct"),
+        coalesce(expr("try_cast(l_returnflag AS DOUBLE)"), lit(0.0)).as("flag_num"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        floor(col("l_quantity")).cast("long").as("qty_floor"),
+        abs(col("l_discount") - 0.05).as("disc_dev"))),
+
+    // Q21: array funcs (explode ≡ D3/D5 unnest, element_at ≡ T8) and JSON
+    // funcs (≡ T9 repeated→JSON scalar).
+    "q21_array" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("arr", split(col("p_name"), " "))
+        .select(
+          col("p_partkey"),
+          explode(col("arr")).as("tok"),
+          element_at(col("arr"), 1).as("first_tok"),
+          size(col("arr")).cast("long").as("n_tok"))),
+    "q21_json" -> ((s, d) => {
+      val kInt = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k").cast("long")
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        kInt.as("k_int"),
+        to_json(struct(kInt.as("k_int"))).as("rebuilt"))
+    }),
+
+    // Q22: conditional / coalesce (≡ T7 key-type coalesce).
+    "q22_conditional" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(substring(col("o_orderpriority"), 1, 1) === "1", "urgent")
+          .when(substring(col("o_orderpriority"), 1, 1) === "2", "high")
+          .otherwise("normal").as("prio_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_c"))),
+
+    // Q23: tumbling window aggregation (batch over the stream table).
+    "q23_window_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
+    // Q24: sliding window (1h every 15min — each event lands in 4 windows)
+    // and session window (30min gap) per user.
+    "q24_window_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("cnt"))),
+    "q24_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("sess_start"), col("cnt"))),
+
+    // Q25: dedup — duplicate the table then key-dedup. Deterministic because
+    // duplicate rows are identical per key.
+    "q25_dedup" -> ((s, d) => {
+      val e4 = events(s, d).select("event_id", "user_id", "event_type", "value")
+      e4.union(e4).dropDuplicates("event_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem",
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        | CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05""".stripMargin,
+    "q03_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 1""".stripMargin,
+    "q04_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_join_broadcast" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "q06_join_shuffle" ->
+      """SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+    "q07_join_multi" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+    "q08_left_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(o_orderkey) AS BIGINT) AS n_matched
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q10_range_join" ->
+      """SELECT e1.user_id, CAST(count(*) AS BIGINT) AS pair_cnt
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND CAST(e2.ts AS TIMESTAMP) >= CAST(e1.ts AS TIMESTAMP)
+        | AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |GROUP BY e1.user_id""".stripMargin,
+    "q11_distinct" ->
+      "SELECT DISTINCT o_custkey FROM orders",
+    "q11_count_distinct" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        | CAST(count(*) AS BIGINT) AS n_orders FROM orders""".stripMargin,
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q12_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q13_rank_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3""".stripMargin,
+    "q14_window_frame" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS win_sum
+        |FROM events""".stripMargin,
+    "q15_lag_lead" ->
+      """SELECT event_id, user_id,
+        | epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_ms,
+        | lead(event_type) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q16_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q17_union" ->
+      """SELECT p_partkey FROM part WHERE p_partkey % 2 = 0
+        |UNION ALL
+        |SELECT p_partkey FROM part WHERE p_partkey % 3 = 0""".stripMargin,
+    "q17_intersect" ->
+      """SELECT p_partkey FROM part WHERE p_partkey % 2 = 0
+        |INTERSECT
+        |SELECT p_partkey FROM part WHERE p_partkey % 3 = 0""".stripMargin,
+    "q17_except" ->
+      """SELECT p_partkey FROM part WHERE p_partkey % 2 = 0
+        |EXCEPT
+        |SELECT p_partkey FROM part WHERE p_partkey % 3 = 0""".stripMargin,
+    "q18_string" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        | upper(p_brand) AS brand_u,
+        | substring(p_name, 1, 5) AS name5,
+        | concat_ws('_', p_type, p_brand) AS type_brand,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | regexp_extract(concat(lower(p_type), '.', CAST(p_partkey AS VARCHAR), '.gz'),
+        |   '([a-z,\d,_]+)\.(\d+)(\.gz)?', 2) AS file_ts
+        |FROM part""".stripMargin,
+    "q19_datetime" ->
+      """SELECT event_id,
+        | CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_ts,
+        | CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        | epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+        | CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) > 1000000000000
+        |   THEN make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000)
+        |   ELSE make_timestamp(epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000) END AS ts_norm
+        |FROM events""".stripMargin,
+    "q20_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100.0 AS disc_price,
+        | round(l_discount * 100) AS disc_pct,
+        | coalesce(TRY_CAST(l_returnflag AS DOUBLE), 0.0) AS flag_num,
+        | CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        | abs(l_discount - 0.05) AS disc_dev
+        |FROM lineitem""".stripMargin,
+    "q21_array" ->
+      """SELECT p_partkey,
+        | unnest(string_split(p_name, ' ')) AS tok,
+        | list_extract(string_split(p_name, ' '), 1) AS first_tok,
+        | CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tok
+        |FROM part""".stripMargin,
+    "q21_json" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(props->>'$.k' AS BIGINT) AS k_int,
+        | to_json(struct_pack(k_int := CAST(props->>'$.k' AS BIGINT))) AS rebuilt
+        |FROM events""".stripMargin,
+    "q22_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN substring(o_orderpriority, 1, 1) = '1' THEN 'urgent'
+        |      WHEN substring(o_orderpriority, 1, 1) = '2' THEN 'high'
+        |      ELSE 'normal' END AS prio_class,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_c
+        |FROM orders""".stripMargin,
+    "q23_window_tumbling" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
+        | event_type, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q24_window_sliding" ->
+      """SELECT make_timestamp((ms - ms % 900000 - k.k * 900000) * 1000) AS win_start,
+        | event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events) e
+        |CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+        |GROUP BY 1, 2""".stripMargin,
+    "q24_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS sess_start, CAST(count(*) AS BIGINT) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q25_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin
+  )
+}

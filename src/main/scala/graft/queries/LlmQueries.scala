@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.llmops.{MinHash, Multimodal, Similarity, TextOps}
+
+/** LLM-training-data pipeline queries over the `documents` and `embeddings`
+  * tables: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH ANN), multimodal
+  * binary-column handling, and text analysis.
+  *
+  * Near-dup queries inject deterministic mutated copies (doc_id + 1000000,
+  * text + " zz") so the expected pair set is non-empty and exactly computable
+  * by the DuckDB oracle (ground-truth all-pairs Jaccard/cosine); the Spark
+  * side must *find* those pairs via its bucketed LSH pipelines — an oracle
+  * mismatch means lost recall or false positives, not just a formatting bug.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** documents ∪ mutated near-dup copies (every 10th doc, one token added). */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select("doc_id", "text")
+    base.union(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+  }
+
+  /** embeddings ∪ exact duplicate vectors (every 10th, new id). */
+  private def embsWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = embs(s, d).select("vec_id", "embedding")
+    base.union(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_stats" -> ((s, d) => TextOps.stats(docs(s, d), "doc_id", "text")),
+    "llm_lang_id" -> ((s, d) => TextOps.langId(docs(s, d), "doc_id", "text")),
+    "llm_token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d), "doc_id", "text")),
+    "llm_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
+    "llm_dedup_exact" -> ((s, d) => TextOps.exactDedup(docs(s, d), "doc_id", "text")),
+
+    // MinHash+LSH near-dup: 32 perms × 8 bands, verify exact Jaccard ≥ 0.6.
+    "llm_dedup_minhash" -> ((s, d) =>
+      MinHash.nearDupPairs(docsWithDups(s, d), "doc_id", "text")),
+
+    // Exact 3-gram Jaccard on the injected (original, mutated) pairs.
+    "llm_ngram_jaccard" -> ((s, d) => {
+      val shingled = MinHash.withShingles(docsWithDups(s, d), "doc_id", "text")
+      val pairs = docs(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000).as("doc_b"))
+      MinHash.jaccard(pairs, shingled).withColumn("jaccard", round(col("jaccard"), 4))
+    }),
+
+    // SimHash near-dup (banded 16-bit chunks; hash-specific → rows-only).
+    "llm_dedup_simhash" -> ((s, d) =>
+      MinHash.simhashPairs(docsWithDups(s, d), "doc_id", "text")),
+
+    // Brute-force cosine top-10 for query vectors vec_id < 5.
+    "llm_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d), 10)),
+
+    // LSH-bucketed ANN (approximate → rows-only).
+    "llm_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d),
+        dim = 64, k = 10)),
+
+    // Embedding-cosine near-dup pairs ≥ 0.95 via LSH buckets.
+    "llm_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(embsWithDups(s, d), dim = 64, threshold = 0.95)),
+
+    // Multimodal: binary payload metadata (oracle-checkable part).
+    "llm_multimodal_meta" -> ((s, d) =>
+      Multimodal.binaryMeta(
+        docs(s, d).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")),
+
+    // Multimodal: stubbed decode via mapPartitions (rows-only).
+    "llm_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      val ds = docs(s, d)
+        .select(col("doc_id"), lit("text").as("kind"),
+          col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.featurize(ds, dim = 8).toDF()
+    }),
+
+    // Multimodal: deterministic frame sampling over the payload.
+    "llm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        docs(s, d).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", strideBytes = 64))
+  )
+
+  private val enArr = TextOps.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val deArr = TextOps.DeStop.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val esArr = TextOps.EsStop.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val frArr = TextOps.FrStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val dupDocsCte =
+    """all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  // 3-token shingle set of `text` (mirrors MinHash.withShingles).
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3
+      |      THEN list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+      |        i -> string_split(lower(text), ' ')[i] || ' ' ||
+      |             string_split(lower(text), ' ')[i+1] || ' ' ||
+      |             string_split(lower(text), ' ')[i+2])
+      |      ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS s
+      |  FROM all_docs)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS n_chars_m,
+         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         | round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4) AS avg_tok_len,
+         | round(len(list_filter(string_split(lower(text), ' '),
+         |   x -> list_contains($enArr, x))) / len(string_split(text, ' ')), 4) AS stop_ratio
+         |FROM documents""".stripMargin,
+    "llm_lang_id" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($enArr, x))) AS en,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($deArr, x))) AS de,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($esArr, x))) AS es,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($frArr, x))) AS fr
+         | FROM documents)
+         |SELECT doc_id, CAST(en AS BIGINT) AS en_hits, CAST(de AS BIGINT) AS de_hits,
+         | CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |      WHEN de >= es AND de >= fr THEN 'de'
+         |      WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM h""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        | md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bow_hash
+        |FROM documents""".stripMargin,
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    // Ground truth for the MinHash pipeline: ALL pairs with Jaccard ≥ 0.6.
+    "llm_dedup_minhash" ->
+      s"""WITH $dupDocsCte,
+         |$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6""".stripMargin,
+    "llm_ngram_jaccard" ->
+      s"""WITH $dupDocsCte,
+         |$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+         |WHERE a.doc_id % 10 = 0""".stripMargin,
+    "llm_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_dot_product(q.q_vec, c.v) /
+        |      sqrt(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)), 4) AS sim
+        |  FROM q JOIN c ON c.vec_id != q.q_id)
+        |SELECT q_id, vec_id, sim, rnk FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+    // Ground truth for the cosine-LSH pipeline: ALL pairs with sim ≥ 0.95.
+    "llm_cosine_neardup" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS sim
+        |  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.95""".stripMargin,
+    "llm_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS bin_len,
+        | sha256(text) AS sha,
+        | md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "llm_frame_sample" ->
+      """SELECT doc_id,
+        | unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS frame_off
+        |FROM documents""".stripMargin
+  )
+}
