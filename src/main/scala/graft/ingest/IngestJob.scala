@@ -1,0 +1,184 @@
+package graft.ingest
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{FileCatalog, FrameSource}
+import Tables._
+
+/** Checkpointing (K4/K5): a `files_processed` parquet table in the
+  * warehouse, appended after each successful ingest batch; resume reads
+  * max(file_timestamp) per prefix — the reference's only relational query
+  * (huckli-db/src/lib.rs:32-56).
+  */
+object Checkpoint {
+  val TableName = "files_processed"
+
+  def append(spark: SparkSession, warehouse: String, files: Seq[FileCatalog.FileInfo]): Unit = {
+    implicit val enc = Encoders.product[FileProcessed]
+    val now = new Timestamp(System.currentTimeMillis())
+    spark.createDataset(files.map(f =>
+        FileProcessed(f.key, f.prefix, new Timestamp(f.timestamp_ms), now)))
+      .write.mode(SaveMode.Append).parquet(s"$warehouse/$TableName")
+  }
+
+  /** K5: latest processed file timestamp for a prefix (epoch ms), as a
+    * max() aggregate — the scalable plan for `ORDER BY ts DESC LIMIT 1`. */
+  def latestMs(spark: SparkSession, warehouse: String, prefix: String): Option[Long] = {
+    val path = s"$warehouse/$TableName"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return None
+    spark.read.parquet(path)
+      .filter(col("prefix") === prefix)
+      .agg(max(unix_millis(col("file_timestamp"))))
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+  }
+}
+
+/** O1: the type-dispatch registry — fileType → (prefix, table builder).
+  * Each spec turns the raw frame stream into its output tables; demux specs
+  * decode once, cache, and project per table (D1/D2/D3/D5).
+  */
+sealed trait IngestSpec {
+  def prefix: String
+  def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame]
+}
+
+object IngestSpecs {
+
+  case object VerifiedSpeedtestSpec extends IngestSpec {
+    val prefix = "verified_speedtest"
+    def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
+      implicit val enc = Encoders.product[VerifiedSpeedtestReport]
+      Map("verified_speedtest_report" ->
+        FrameSource.decoded(frames, Flatten.speedtest).toDF())
+    }
+  }
+
+  case object MobileRewardsSpec extends IngestSpec {
+    val prefix = "mobile_network_reward_shares_v1"
+    def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
+      implicit val enc = Encoders.product[MobileShareFlat]
+      // Decode ONCE, cache, then 9 filtered projections (D1+D3). At cluster
+      // scale the cache bounds re-decode cost; each projection is a narrow
+      // scan of the cached partitions.
+      val shares = FrameSource.decoded(frames, Flatten.mobileShare).cache()
+      val epoch = Seq(col("start_period"), col("end_period"))
+      def arm(name: String, inner: String) =
+        shares.filter(col("arm") === name)
+          .select(epoch ++ Seq(col(s"$inner.*"), col("file_source")): _*)
+      val radio = shares.filter(col("arm") === "radio")
+      val radioParent = radio.select(
+        col("radio.id").as("id"), col("start_period"), col("end_period"),
+        col("radio.hotspot_key"), col("radio.base_coverage_points_sum"),
+        col("radio.boosted_coverage_points_sum"), col("radio.base_reward_shares"),
+        col("radio.boosted_reward_shares"), col("radio.base_poc_reward"),
+        col("radio.boosted_poc_reward"), col("radio.seniority_timestamp"),
+        col("radio.coverage_object"), col("radio.location_trust_score_multiplier"),
+        col("radio.speedtest_multiplier"), col("radio.sp_boosted_hex_status"),
+        col("radio.oracle_boosted_hex_status"), col("radio.speedtest_avg_upload"),
+        col("radio.speedtest_avg_download"), col("radio.speedtest_avg_latency_ms"),
+        col("radio.speedtest_avg_timestamp"), col("file_source"))
+      def child(childCol: String) =
+        radio.select(col("radio.id").as("id"),
+            explode(col(s"radio.$childCol")).as("c"), col("file_source"))
+          .select(col("id"), col("c.*"), col("file_source"))
+      Map(
+        "mobile_gateway_rewards" -> arm("gateway", "gateway"),
+        "mobile_subscriber_rewards" -> arm("subscriber", "subscriber"),
+        "mobile_service_provider_rewards" -> arm("service_provider", "service_provider"),
+        "mobile_unallocated_rewards" -> arm("unallocated", "unallocated"),
+        "mobile_promotion_rewards" -> arm("promotion", "promotion"),
+        "mobile_radio_rewards" -> radioParent,
+        "mobile_reward_trust_scores" -> child("location_trust_scores"),
+        "mobile_reward_speedtests" -> child("speedtests"),
+        "mobile_reward_covered_hexes" -> child("covered_hexes"))
+    }
+  }
+
+  case object IotRewardsSpec extends IngestSpec {
+    val prefix = "iot_network_reward_shares_v1"
+    def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
+      implicit val enc = Encoders.product[IotShareFlat]
+      val shares = FrameSource.decoded(frames, Flatten.iotShare).cache()
+      def arm(name: String, inner: String) =
+        shares.filter(col("arm") === name)
+          .select(col("start_period"), col("end_period"), col(s"$inner.*"), col("file_source"))
+      Map(
+        "iot_gateway_rewards" -> arm("gateway", "gateway"),
+        "iot_operational_rewards" -> arm("operational", "operational"),
+        "iot_unallocated_rewards" -> arm("unallocated", "unallocated"))
+    }
+  }
+
+  case object CoverageSpec extends IngestSpec {
+    val prefix = "coverage_object"
+    def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
+      implicit val enc = Encoders.product[CoverageObjectFlat]
+      val objs = FrameSource.decoded(frames, Flatten.coverage).cache()
+      Map(
+        "coverage_object" -> objs.select(col("radio_key"), col("radio_type"),
+          col("uuid"), col("coverage_claim_time"), col("indoor"), col("file_source")),
+        "coverage_location" -> objs
+          .select(col("uuid"), explode(col("locations")).as("l"), col("file_source"))
+          .select(col("uuid"), col("l.*"), col("file_source")))
+    }
+  }
+
+  /** The dispatch registry (O1, huckli-import/src/lib.rs:39-137). */
+  val registry: Map[String, IngestSpec] = Map(
+    "verified-speedtest" -> VerifiedSpeedtestSpec,
+    "mobile-rewards" -> MobileRewardsSpec,
+    "iot-rewards" -> IotRewardsSpec,
+    "coverage-objects" -> CoverageSpec)
+}
+
+/** File-selection arguments (O4/O5, huckli-import/src/lib.rs:240-300). */
+case class FileSelection(afterMs: Option[Long] = None, beforeMs: Option[Long] = None,
+                         continue: Boolean = false, file: Option[String] = None) {
+  /** O4 (lib.rs:253-263). */
+  def validate(): Unit = {
+    require(!(continue && afterMs.isDefined),
+      "Invalid options, cannot specify both 'continue' and 'after'")
+    require(!(file.isDefined && beforeMs.isDefined),
+      "Invalid options, cannot specify 'before' with 'file'")
+  }
+}
+
+object IngestJob {
+
+  case class Result(files: Seq[FileCatalog.FileInfo], rowCounts: Map[String, Long])
+
+  /** Run one ingest: list+prune (S1–S5, O5 resume) → frames (S6–S8) →
+    * decode+flatten (S9/S10, T1–T10) → demux/unnest (D1–D5) → parquet
+    * appends (K2) → checkpoint (K4).
+    *
+    * Like the reference, data-append and checkpoint-append are two separate
+    * writes — at-least-once on crash between them (SURVEY §3.1); unlike the
+    * reference the data append itself is a single atomic-per-table batch job.
+    */
+  def run(spark: SparkSession, inputDir: String, warehouse: String,
+          fileType: String, selection: FileSelection = FileSelection()): Result = {
+    selection.validate()
+    val spec = IngestSpecs.registry.getOrElse(fileType,
+      throw new IllegalArgumentException(s"unknown file type: $fileType"))
+    val after = if (selection.continue) {
+      Some(Checkpoint.latestMs(spark, warehouse, spec.prefix).getOrElse(
+        throw new IllegalStateException("Cannot continue, no previously processed files")))
+    } else selection.afterMs
+    val files = selection.file match {
+      case Some(f) => FileCatalog.single(f)
+      case None => FileCatalog.list(spark, inputDir, spec.prefix, after, selection.beforeMs)
+    }
+    if (files.isEmpty) return Result(Seq.empty, Map.empty)
+    val frames = FrameSource.frames(spark, files)
+    val tables = spec.tables(frames)
+    val counts = tables.map { case (name, df) =>
+      df.write.mode(SaveMode.Append).parquet(s"$warehouse/$name")
+      name -> spark.read.parquet(s"$warehouse/$name").count()
+    }
+    Checkpoint.append(spark, warehouse, files)
+    Result(files, counts)
+  }
+}

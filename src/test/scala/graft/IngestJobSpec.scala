@@ -1,0 +1,206 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.Framing
+import graft.ingest.{FileSelection, IngestJob}
+import graft.proto.Messages
+import graft.proto.Messages._
+import graft.sources.FileCatalog
+
+/** End-to-end ingest conformance: fabricate reference-format `.gz` fixtures
+  * (FIXTURES.md §B) → run IngestJob → assert routing counts, explode
+  * cardinalities, checkpoint behavior, resume, and corrupt-record drops. */
+class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: Path = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ingest-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("graft-ingest")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def writeFixture(name: String, frames: Seq[Array[Byte]]): Unit = {
+    val out = new FileOutputStream(dir.resolve(name).toFile)
+    try Framing.writeGzipFrames(out, frames) finally out.close()
+  }
+
+  private def wh(name: String): String = dir.resolve(name).toString
+
+  test("filename parse + pruning (S2/S3/S4)") {
+    val fi = FileCatalog.parse("verified_speedtest.1700000000123.gz")
+    assert(fi.contains(FileCatalog.FileInfo(
+      "verified_speedtest.1700000000123.gz", "verified_speedtest", 1700000000123L)))
+    assert(FileCatalog.parse("no-timestamp-here").isEmpty)
+  }
+
+  test("verified speedtest: flat ingest end-to-end (t1 smoke)") {
+    def st(i: Int) = Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+      Some(SpeedtestIngest(Some(SpeedtestReq(
+        pubKey = Array.tabulate[Byte](33)(b => (b + i).toByte), serial = s"serial-$i",
+        timestamp = 1700000000L + i,            // seconds regime
+        uploadSpeed = 1000L * i, downloadSpeed = 2000L * i, latency = 10 + i)),
+        receivedTimestamp = 1700000100000L + i)), // millis regime (mixed on purpose)
+      timestamp = 1700000200L + i, result = i % 3))
+    writeFixture("verified_speedtest.1700000001000.gz", (0 until 5).map(st))
+    writeFixture("verified_speedtest.1700000002000.gz", (5 until 8).map(st))
+
+    val res = IngestJob.run(spark, dir.toString, wh("wh1"), "verified-speedtest")
+    assert(res.files.size == 2)
+    assert(res.rowCounts("verified_speedtest_report") == 8)
+
+    val df = spark.read.parquet(s"${wh("wh1")}/verified_speedtest_report")
+    assert(df.count() == 8)
+    val row = df.filter(df("serial") === "serial-1").collect().head
+    assert(row.getAs[java.sql.Timestamp]("timestamp").getTime == (1700000000L + 1) * 1000)
+    assert(row.getAs[java.sql.Timestamp]("received_timestamp").getTime == 1700000100000L + 1)
+    assert(row.getAs[String]("result") == "SPEEDTEST_RESULT_TOO_SLOW")
+    assert(row.getAs[String]("hotspot_key").nonEmpty)
+    assert(row.getAs[String]("file_source").endsWith("verified_speedtest.1700000001000.gz"))
+
+    // checkpoint written (K4) + readable (K5)
+    val cp = spark.read.parquet(s"${wh("wh1")}/files_processed")
+    assert(cp.count() == 2)
+    assert(graft.ingest.Checkpoint.latestMs(spark, wh("wh1"), "verified_speedtest")
+      .contains(1700000002000L))
+  }
+
+  test("incremental resume (O5): --continue ingests only newer files") {
+    def st(i: Int) = Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+      Some(SpeedtestIngest(Some(SpeedtestReq(Array[Byte](1), s"r$i", 1700000000L,
+        1, 2, 3)), 1700000000L)), 1700000000L, 0))
+    writeFixture("verified_speedtest.1700000003000.gz", Seq(st(100)))
+    val res2 = IngestJob.run(spark, dir.toString, wh("wh1"), "verified-speedtest",
+      FileSelection(continue = true))
+    assert(res2.files.map(_.timestamp_ms) == Seq(1700000003000L))
+    assert(spark.read.parquet(s"${wh("wh1")}/verified_speedtest_report").count() == 9)
+    // continue ∧ after is invalid (O4)
+    intercept[IllegalArgumentException] {
+      FileSelection(continue = true, afterMs = Some(1L)).validate()
+    }
+    intercept[IllegalArgumentException] {
+      FileSelection(file = Some("x.1.gz"), beforeMs = Some(1L)).validate()
+    }
+  }
+
+  test("mobile rewards: 6-way demux routing + child explode cardinalities (D1/D3/D4)") {
+    val shares = Seq(
+      MobileRewardShare(1700000000L, 1700003600L, GatewayArm(Array[Byte](1), 10, 20, 30)),
+      MobileRewardShare(1700000000L, 1700003600L, GatewayArm(Array[Byte](2), 11, 21, 31)),
+      MobileRewardShare(1700000000L, 1700003600L,
+        SubscriberArm(Array.tabulate[Byte](16)(_.toByte), 5, 6, "override-key")),
+      MobileRewardShare(1700000000L, 1700003600L, ServiceProviderArm(1, 99, "sp-key")),
+      MobileRewardShare(1700000000L, 1700003600L, UnallocatedArm(2, 7)),
+      MobileRewardShare(1700000000L, 1700003600L, PromotionArm("promo", 1, 2)),
+      MobileRewardShare(1700000000L, 1700003600L, DeprecatedArm),
+      MobileRewardShare(1700000000L, 1700003600L, RadioArm(
+        hotspotKey = Array[Byte](3, 4), baseCoveragePointsSum = Some("100.5"),
+        boostedCoveragePointsSum = Some("200.25"), baseRewardShares = None,
+        boostedRewardShares = Some("garbage-not-a-decimal"), basePocReward = 1000,
+        boostedPocReward = 2000, seniorityTimestamp = 1700000000L,
+        coverageObject = Array.tabulate[Byte](16)(i => (15 - i).toByte),
+        locationTrustScoreMultiplier = Some("0.9"), speedtestMultiplier = Some("1.0"),
+        spBoostedHexStatus = 0, oracleBoostedHexStatus = 1,
+        speedtestAverage = Some(SpeedtestAvgMsg(111, 222, 33, 1700000500L)),
+        locationTrustScores = Seq(TrustScoreMsg(10, Some("0.8")), TrustScoreMsg(20, None)),
+        speedtests = Seq(RadioSpeedtestMsg(1, 2, 3, 1700000000L)),
+        coveredHexes = Seq.tabulate(3)(i => CoveredHexMsg(100L + i, Some("1.5"), None,
+          0, 1, 2, Some("1.0"), i, Some("0.5"), 2, i % 2 == 0)))))
+    writeFixture("mobile_network_reward_shares_v1.1700000001000.gz",
+      shares.map(Messages.MobileRewardShare.encode))
+
+    val res = IngestJob.run(spark, dir.toString, wh("wh2"), "mobile-rewards")
+    assert(res.rowCounts("mobile_gateway_rewards") == 2)
+    assert(res.rowCounts("mobile_subscriber_rewards") == 1)
+    assert(res.rowCounts("mobile_service_provider_rewards") == 1)
+    assert(res.rowCounts("mobile_unallocated_rewards") == 1)
+    assert(res.rowCounts("mobile_promotion_rewards") == 1)
+    assert(res.rowCounts("mobile_radio_rewards") == 1) // Deprecated arm dropped
+    assert(res.rowCounts("mobile_reward_trust_scores") == 2)
+    assert(res.rowCounts("mobile_reward_speedtests") == 1)
+    assert(res.rowCounts("mobile_reward_covered_hexes") == 3)
+
+    val radio = spark.read.parquet(s"${wh("wh2")}/mobile_radio_rewards").collect().head
+    assert(radio.getAs[Double]("base_coverage_points_sum") == 100.5)
+    assert(radio.getAs[Double]("boosted_reward_shares") == 0.0) // T5 default
+    assert(radio.getAs[String]("coverage_object") == "0f0e0d0c-0b0a-0908-0706-050403020100")
+    val id = radio.getAs[String]("id")
+    val hexes = spark.read.parquet(s"${wh("wh2")}/mobile_reward_covered_hexes")
+    assert(hexes.filter(hexes("id") === id).count() == 3) // FK propagated (D4)
+    val sub = spark.read.parquet(s"${wh("wh2")}/mobile_subscriber_rewards").collect().head
+    assert(sub.getAs[String]("subscriber_id") == "00010203-0405-0607-0809-0a0b0c0d0e0f")
+  }
+
+  test("iot rewards: 3-way demux (D2)") {
+    val shares = Seq(
+      IotRewardShare(1700000000L, 1700003600L, IotGatewayArm(Array[Byte](1), 1, 2, 3)),
+      IotRewardShare(1700000000L, 1700003600L, IotOperationalArm(42)),
+      IotRewardShare(1700000000L, 1700003600L, IotOperationalArm(43)),
+      IotRewardShare(1700000000L, 1700003600L, IotUnallocatedArm(0, 9)),
+      IotRewardShare(1700000000L, 1700003600L, IotDeprecatedArm))
+    writeFixture("iot_network_reward_shares_v1.1700000001000.gz",
+      shares.map(Messages.IotRewardShare.encode))
+    val res = IngestJob.run(spark, dir.toString, wh("wh3"), "iot-rewards")
+    assert(res.rowCounts("iot_gateway_rewards") == 1)
+    assert(res.rowCounts("iot_operational_rewards") == 2)
+    assert(res.rowCounts("iot_unallocated_rewards") == 1)
+  }
+
+  test("coverage: key coalesce + location unnest (D5/T7)") {
+    val objs = Seq(
+      CoverageObjectV1(HotspotKey(Array[Byte](1, 2, 3)), Array.tabulate[Byte](16)(_.toByte),
+        1700000000L, indoor = true,
+        Seq(CoverageLocationMsg("hexA", 2, -80), CoverageLocationMsg("hexB", 3, -70))),
+      CoverageObjectV1(CbsdId("cbsd-7"), Array.tabulate[Byte](16)(i => (i + 1).toByte),
+        1700000001L, indoor = false, Seq(CoverageLocationMsg("hexC", 1, -95))))
+    writeFixture("coverage_object.1700000001000.gz",
+      objs.map(Messages.CoverageObjectV1.encode))
+    val res = IngestJob.run(spark, dir.toString, wh("wh4"), "coverage-objects")
+    assert(res.rowCounts("coverage_object") == 2)
+    assert(res.rowCounts("coverage_location") == 3)
+    val co = spark.read.parquet(s"${wh("wh4")}/coverage_object")
+    assert(co.filter(co("radio_type") === "wifi").count() == 1)
+    assert(co.filter(co("radio_type") === "cbrs").collect().head
+      .getAs[String]("radio_key") == "cbsd-7")
+  }
+
+  test("corrupt record is dropped, valid records survive (S10)") {
+    def st(i: Int) = Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+      Some(SpeedtestIngest(Some(SpeedtestReq(Array[Byte](1), s"ok$i", 1700000000L,
+        1, 2, 3)), 1700000000L)), 1700000000L, 0))
+    // middle frame is valid framing but garbage proto → decode drop;
+    // a speedtest with no inner report → flatten drop
+    val noReport = Messages.VerifiedSpeedtest.encode(
+      VerifiedSpeedtest(None, 1700000000L, 0))
+    writeFixture("verified_speedtest.1700000004000.gz",
+      Seq(st(1), Array[Byte](-1, -1, -1, -1, -1, -1, -1), noReport, st(2)))
+    val res = IngestJob.run(spark, dir.toString, wh("wh5"), "verified-speedtest",
+      FileSelection(afterMs = Some(1700000003000L)))
+    assert(res.rowCounts("verified_speedtest_report") == 2)
+  }
+
+  test("DDL generation (K1) covers the catalog with reference-style types") {
+    val ddl = graft.types.Schemas.ddl("verified_speedtest_report")
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS verified_speedtest_report"))
+    assert(ddl.contains("hotspot_key TEXT NOT NULL"))
+    assert(ddl.contains("timestamp timestamptz NOT NULL"))
+    assert(ddl.contains("upload_speed bigint NOT NULL"))
+    assert(ddl.contains("latency int32 NOT NULL"))
+    assert(graft.types.Schemas.catalog.size >= 16)
+    assert(graft.types.Schemas.ddl("mobile_reward_covered_hexes")
+      .contains("service_provider_override bool NOT NULL"))
+  }
+}
