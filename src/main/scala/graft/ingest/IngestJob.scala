@@ -46,6 +46,17 @@ sealed trait IngestSpec {
 }
 
 object IngestSpecs {
+  import scala.reflect.runtime.universe.TypeTag
+
+  /** Generic single-table spec for flat record types (17 of 20 reference
+    * types follow this shape — SURVEY §3.1). */
+  final case class FlatSpec[T <: Product : TypeTag](
+      prefix: String, table: String, decodeFn: FrameSource.RawFrame => T) extends IngestSpec {
+    def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
+      implicit val enc = Encoders.product[T]
+      Map(table -> FrameSource.decoded(frames, decodeFn).toDF())
+    }
+  }
 
   case object VerifiedSpeedtestSpec extends IngestSpec {
     val prefix = "verified_speedtest"
@@ -126,12 +137,48 @@ object IngestSpecs {
     }
   }
 
-  /** The dispatch registry (O1, huckli-import/src/lib.rs:39-137). */
+  /** The dispatch registry (O1, huckli-import/src/lib.rs:39-137) — all 20
+    * reference file types. Bucket names are deployment config, not code;
+    * the prefix is the behavioral binding. */
   val registry: Map[String, IngestSpec] = Map(
     "verified-speedtest" -> VerifiedSpeedtestSpec,
     "mobile-rewards" -> MobileRewardsSpec,
     "iot-rewards" -> IotRewardsSpec,
-    "coverage-objects" -> CoverageSpec)
+    "coverage-objects" -> CoverageSpec,
+    "data-transfer" -> FlatSpec("data_transfer_session_ingest_report",
+      "data_transfer_ingest_report", MoreFlatten.dataTransferIngest),
+    "verified-data-transfer" -> FlatSpec("verified_data_transfer_session",
+      "verified_data_transfer_ingest_report", MoreFlatten.verifiedDataTransfer),
+    "data-transfer-burn" -> FlatSpec("valid_data_transfer_session",
+      "data_transfer_burn", MoreFlatten.dataTransferBurn),
+    "verified-wifi-heartbeat" -> FlatSpec("validated_heartbeat",
+      "verified_wifi_heartbeat", MoreFlatten.verifiedWifiHeartbeat),
+    "wifi-heartbeat-ingest" -> FlatSpec("wifi_heartbeat_report",
+      "wifi_heartbeat_ingest_report", MoreFlatten.wifiHeartbeatIngest),
+    "boosted-hex-update" -> FlatSpec("boosted_hex_update",
+      "boosted_hex_update", MoreFlatten.boostedHexUpdate),
+    "subscriber-activity-ingest" -> FlatSpec("subscriber_mapping_activity_ingest_report",
+      "subscriber_mapping_activity_ingest", MoreFlatten.subscriberActivityIngest),
+    "verified-subscriber-activity" -> FlatSpec("verified_subscriber_mapping_activity_report",
+      "verified_subscriber_mapping_activity", MoreFlatten.verifiedSubscriberActivity),
+    "verified-radio-threshold" -> FlatSpec("verified_radio_threshold_report",
+      "verified_radio_threshold", MoreFlatten.verifiedRadioThreshold),
+    "verified-invalidated-radio-threshold" ->
+      FlatSpec("verified_invalidated_radio_threshold_report",
+        "verified_invalidated_radio_threshold", MoreFlatten.verifiedInvalidatedThreshold),
+    "verified-cdr-verification" ->
+      FlatSpec("verified_service_provider_boosted_rewards_banned_radio",
+        "verified_cdr_verification", MoreFlatten.verifiedCdrVerification),
+    "verified-unique-connections" -> FlatSpec("verified_unique_connections_report",
+      "verified_unique_connections", MoreFlatten.verifiedUniqueConnections),
+    "enabled-carriers-info" -> FlatSpec("enabled_carriers_report",
+      "enabled_carriers_info", MoreFlatten.enabledCarriersInfo),
+    "radio-usage-stats" -> FlatSpec("radio_usage_stats_ingest_report",
+      "radio_usage_stats", MoreFlatten.radioUsageStats),
+    "radio-usage-stats-v2" -> FlatSpec("radio_usage_stats_ingest_report_v2",
+      "radio_usage_stats_v2", MoreFlatten.radioUsageStatsV2),
+    "mobile-reward-manifest" -> FlatSpec("network_reward_manifest_v1",
+      "mobile_reward_manifest", MoreFlatten.rewardManifest))
 }
 
 /** File-selection arguments (O4/O5, huckli-import/src/lib.rs:240-300). */

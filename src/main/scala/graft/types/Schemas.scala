@@ -2,6 +2,7 @@ package graft.types
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types._
+import graft.ingest.MoreTables
 import graft.ingest.Tables._
 
 /** Schema registry + DDL generation (K1).
@@ -100,7 +101,23 @@ object Schemas {
     "iot_operational_rewards" -> iotOperationalRewards,
     "iot_unallocated_rewards" -> iotUnallocatedRewards,
     "coverage_object" -> coverageObject,
-    "coverage_location" -> coverageLocation)
+    "coverage_location" -> coverageLocation,
+    "data_transfer_ingest_report" -> schemaOf[MoreTables.DataTransferIngestReport],
+    "verified_data_transfer_ingest_report" -> schemaOf[MoreTables.VerifiedDataTransferIngestReport],
+    "data_transfer_burn" -> schemaOf[MoreTables.DataTransferBurn],
+    "verified_wifi_heartbeat" -> schemaOf[MoreTables.VerifiedWifiHeartbeat],
+    "wifi_heartbeat_ingest_report" -> schemaOf[MoreTables.WifiHeartbeatIngestReport],
+    "boosted_hex_update" -> schemaOf[MoreTables.BoostedHexUpdate],
+    "subscriber_mapping_activity_ingest" -> schemaOf[MoreTables.SubscriberMappingActivityIngest],
+    "verified_subscriber_mapping_activity" -> schemaOf[MoreTables.VerifiedSubscriberMappingActivity],
+    "verified_radio_threshold" -> schemaOf[MoreTables.VerifiedRadioThreshold],
+    "verified_invalidated_radio_threshold" -> schemaOf[MoreTables.VerifiedInvalidatedRadioThreshold],
+    "verified_cdr_verification" -> schemaOf[MoreTables.VerifiedCdrVerification],
+    "verified_unique_connections" -> schemaOf[MoreTables.VerifiedUniqueConnections],
+    "enabled_carriers_info" -> schemaOf[MoreTables.EnabledCarriersInfo],
+    "radio_usage_stats" -> schemaOf[MoreTables.RadioUsageStats],
+    "radio_usage_stats_v2" -> schemaOf[MoreTables.RadioUsageStatsV2],
+    "mobile_reward_manifest" -> schemaOf[MoreTables.MobileRewardManifest])
 
   private def sqlType(dt: DataType): String = dt match {
     case StringType => "TEXT"

@@ -42,6 +42,13 @@ object IngestDemo {
     val r2 = IngestJob.run(spark, dir.toString, wh, "mobile-rewards", FileSelection(continue = true))
     println(s"INGEST2 resume files=${r2.files.map(_.key).map(_.split('/').last)} gateway=${r2.rowCounts("mobile_gateway_rewards")}")
     println("DDL: " + graft.types.Schemas.ddl("mobile_reward_covered_hexes"))
+    // drive a generic flat-spec type end-to-end too
+    import graft.proto.DynMessage.b
+    fixture("boosted_hex_update.1700000005000.gz", Seq(
+      b.i64(1, 1700000000L).msg(2, b.i64(1, 631210968L).i64(2, 1700000000L)
+        .i64(3, 1700003600L).i32(4, 720).i64(5, 4L).i32(6, 2)).toBytes))
+    val r3 = IngestJob.run(spark, dir.toString, wh, "boosted-hex-update")
+    println(s"INGEST3 boosted_hex counts=${r3.rowCounts.toSeq.sorted} registry=${graft.ingest.IngestSpecs.registry.size}")
     spark.stop()
   }
 }

@@ -203,4 +203,69 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.types.Schemas.ddl("mobile_reward_covered_hexes")
       .contains("service_provider_override bool NOT NULL"))
   }
+
+  test("flat types: boosted hex (T8 first-element), threshold coalesce (T7), carrier arrays (T9)") {
+    import graft.proto.DynMessage.b
+    // boosted_hex_update: update msg with 2 multipliers and with none
+    val bh1 = b.i64(1, 1700000000L).msg(2, b.i64(1, 631210968L).i64(2, 1700000000L)
+      .i64(3, 1700003600L).i32(4, 720).i64(5, 3L).i64(5, 9L).i32(6, 2)).toBytes
+    val bh2 = b.i64(1, 1700000001L).msg(2, b.i64(1, 631210969L).i64(2, 1700000000L)
+      .i64(3, 1700003600L).i32(4, 720).i32(6, 2)).toBytes
+    writeFixture("boosted_hex_update.1700000001000.gz", Seq(bh1, bh2))
+    val res = IngestJob.run(spark, dir.toString, wh("wh6"), "boosted-hex-update")
+    assert(res.rowCounts("boosted_hex_update") == 2)
+    val rows = spark.read.parquet(s"${wh("wh6")}/boosted_hex_update")
+      .orderBy("location").collect()
+    assert(rows(0).getAs[Int]("multiplier") == 3)  // first element wins
+    assert(rows(1).getAs[Int]("multiplier") == 0)  // missing -> default 0
+
+    // verified_radio_threshold: pubkey present vs empty (cbsd fallback)
+    def thr(pk: Array[Byte], cbsd: String) = b.msg(1, b.msg(1,
+        b.bytes(1, pk).str(2, cbsd).i64(3, 1000L).i32(4, 5).i64(5, 1700000000L))
+      .i64(2, 1700000100L)).i64(2, 1700000200L).i32(3, 0).toBytes
+    writeFixture("verified_radio_threshold_report.1700000001000.gz",
+      Seq(thr(Array[Byte](1, 2), "cbsd-x"), thr(Array.emptyByteArray, "cbsd-y")))
+    val res2 = IngestJob.run(spark, dir.toString, wh("wh6"), "verified-radio-threshold")
+    assert(res2.rowCounts("verified_radio_threshold") == 2)
+    val keys = spark.read.parquet(s"${wh("wh6")}/verified_radio_threshold")
+      .select("radio_key").collect().map(_.getString(0)).toSet
+    assert(keys.contains("cbsd-y"))
+    assert(keys.exists(_ != "cbsd-y")) // base58 of the pubkey
+
+    // enabled_carriers_info: repeated enums -> string arrays
+    val eci = b.msg(1, b.bytes(1, Array[Byte](7)).i64(2, 0L).i64(2, 1L).i64(3, 1L)
+      .str(4, "fw-1.2").i64(5, 1700000000123L)).i64(2, 1700000000200L).toBytes
+    writeFixture("enabled_carriers_report.1700000001000.gz", Seq(eci))
+    val res3 = IngestJob.run(spark, dir.toString, wh("wh6"), "enabled-carriers-info")
+    assert(res3.rowCounts("enabled_carriers_info") == 1)
+    val e = spark.read.parquet(s"${wh("wh6")}/enabled_carriers_info").collect().head
+    assert(e.getAs[scala.collection.Seq[String]]("enabled_carriers").toSeq ==
+      Seq("CARRIER_ID_UNKNOWN", "CARRIER_ID_HELIUM_MOBILE"))
+    assert(e.getAs[java.sql.Timestamp]("timestamp_ms").getTime == 1700000000123L)
+
+    // radio_usage_stats: repeated message -> typed array
+    val us = b.msg(1, b.bytes(1, Array[Byte](8)).i64(2, 1700000000L).i64(3, 1700003600L)
+        .i64(4, 10L).i64(5, 11L).i64(6, 12L).i64(7, 100L).i64(8, 200L).i64(9, 1700000000L)
+        .msg(10, b.i32(1, 1).i64(2, 555L).i64(3, 3L))
+        .msg(10, b.i32(1, 0).i64(2, 777L).i64(3, 4L)))
+      .i64(2, 1700000100L).toBytes
+    writeFixture("radio_usage_stats_ingest_report.1700000001000.gz", Seq(us))
+    val res4 = IngestJob.run(spark, dir.toString, wh("wh6"), "radio-usage-stats")
+    assert(res4.rowCounts("radio_usage_stats") == 1)
+    val u = spark.read.parquet(s"${wh("wh6")}/radio_usage_stats").collect().head
+    val xfers = u.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("carrier_transfer")
+    assert(xfers.size == 2)
+    assert(xfers.map(_.getAs[Long]("transfer_bytes")).toSet == Set(555L, 777L))
+  }
+
+  test("registry covers all 20 reference file types (O1)") {
+    assert(graft.ingest.IngestSpecs.registry.size == 20)
+    assert(graft.types.Schemas.catalog.size >= 30)
+    // every flat spec's table has a schema in the catalog
+    graft.ingest.IngestSpecs.registry.values.foreach {
+      case graft.ingest.IngestSpecs.FlatSpec(_, table, _) =>
+        assert(graft.types.Schemas.catalog.contains(table), table)
+      case _ => ()
+    }
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.Framing
+import graft.proto.Messages
+import graft.proto.Messages._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("watermarked tumbling window aggregates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(input.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0),
+        Event(3, ts(11), 2, "view", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(2), 2, "click", 4.0)) // same first window
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getAs[Timestamp]("win_start").getTime, r.getAs[String]("event_type"),
+          r.getAs[Long]("cnt"))).toSet
+      // latest update per (window, type): first window clicks reached 3
+      assert(rows.contains((1700000000000L - 1700000000000L % 600000, "click", 3L)) ||
+        rows.exists(t => t._2 == "click" && t._3 == 3L))
+      assert(rows.exists(t => t._2 == "view" && t._3 == 1L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("userstats").outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.5), Event(2, ts(1), 7, "view", 2.5))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 7, "click", 6.0))
+      q.processAllAvailable()
+      val latest = spark.table("userstats").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      // state accumulated: second batch emits (7, 3, 10.0)
+      assert(latest.contains((7L, 3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("streaming file ingest discovers new reference-format files incrementally") {
+    val dir = Files.createTempDirectory("graft-stream")
+    def fixture(name: String, n: Int, off: Int): Unit = {
+      val frames = (0 until n).map(i => Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+        Some(SpeedtestIngest(Some(SpeedtestReq(Array[Byte](1), s"s${off + i}",
+          1700000000L, 1, 2, 3)), 1700000000L)), 1700000000L, 0)))
+      val out = new FileOutputStream(dir.resolve(name).toFile)
+      try Framing.writeGzipFrames(out, frames) finally out.close()
+    }
+    fixture("verified_speedtest.1700000001000.gz", 3, 0)
+    val q = StreamingOps.speedtestStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("stream_ingest")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_ingest").count() == 3)
+      fixture("verified_speedtest.1700000002000.gz", 2, 100)
+      q.processAllAvailable()
+      assert(spark.table("stream_ingest").count() == 5) // only the new file added
+      val sources = spark.table("stream_ingest").select("file_source")
+        .distinct().collect().map(_.getString(0))
+      assert(sources.length == 2)
+    } finally q.stop()
+  }
+}
