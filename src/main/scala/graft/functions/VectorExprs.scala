@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native array kernels for the similarity/dedup operators. Each replaces a
+  * tree of higher-order-function expressions (zip_with/aggregate/filter)
+  * whose per-row interpretation dominated the profile; the kernels are one
+  * virtual call inside whole-stage codegen, single pass, no allocation
+  * beyond the result.
+  */
+object VectorExprs {
+
+  /** Cosine similarity of two float vectors, accumulated in double in index
+    * order — bit-identical to the dot/sqrt(dot*dot) column formula (and the
+    * DuckDB oracle formula) but one pass for all three dot products. */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VectorExprs.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorExprs.cosine($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** MinHash signature: for each of numPerms seeds, the minimum xxhash64 of
+    * the shingle strings — all perms in one pass over the array (replaces an
+    * explode + numPerms aggregate columns + shuffle). */
+  case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      VectorExprs.minhashSig(input.asInstanceOf[ArrayData], numPerms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.minhashSig($c, $numPerms);")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  def minhashSig(shingles: ArrayData, numPerms: Int): ArrayData = {
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var p = 0
+      while (p < numPerms) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), p)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhashSigCol(shingles: Column, numPerms: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numPerms))
+
+  /** Sign-of-dot-product LSH bucket id over fixed hyperplanes (one pass,
+    * planes flattened row-major). */
+  case class LshBucket(child: Expression, planes: Seq[Double], dim: Int)
+    extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val planeArr = planes.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      VectorExprs.lshBucket(input.asInstanceOf[ArrayData], planeArr, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planeArr, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.lshBucket($c, $ref, $dim);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): LshBucket =
+      copy(child = newChild)
+  }
+
+  def lshBucket(vec: ArrayData, planes: Array[Double], dim: Int): Long = {
+    val numPlanes = planes.length / dim
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var d = 0.0
+      val off = p * dim
+      val n = math.min(dim, vec.numElements())
+      var j = 0
+      while (j < n) { d += vec.getFloat(j).toDouble * planes(off + j); j += 1 }
+      if (d >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def lshBucketCol(vec: Column, planes: Seq[Double], dim: Int): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(vec), planes, dim))
+}

@@ -25,21 +25,20 @@ object MinHash {
           .otherwise(array(concat_ws(" ", col("toks"))))))
       .drop("toks", textCol)
 
-  /** MinHash signatures: numPerms seeded xxhash64 mins over the shingle set.
-    * explode → groupBy(doc_id) is a single shuffle; the min() aggregates are
-    * partially computed map-side so shuffle volume is docs × perms longs. */
-  def signatures(shingled: DataFrame, numPerms: Int): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val mins = (0 until numPerms).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+  /** MinHash signatures: numPerms seeded-xxhash64 mins over the shingle set,
+    * computed per-row in one pass by a native expression
+    * ([[graft.functions.VectorExprs.MinHashSig]]) — no explode, no shuffle;
+    * signature cost is O(shingles × perms) inside whole-stage codegen. */
+  def signatures(shingled: DataFrame, numPerms: Int): DataFrame =
+    shingled.select(col("doc_id"),
+      graft.functions.VectorExprs.minhashSigCol(col("shingles"), numPerms).as("sig"))
 
   /** LSH banding: numBands bands of (numPerms / numBands) rows; a band's
     * bucket key is the hash of its signature slice. Emits (doc_id, band, bh). */
   def bands(sigs: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
     val rows = numPerms / numBands
     val bandStructs = (0 until numBands).map { b =>
-      val slice = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      val slice = (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slice: _*).as("bh"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -84,21 +83,13 @@ object MinHash {
   }
 
   /** 64-bit SimHash over token hashes: per bit, sum +1/-1 weighted by token
-    * occurrences; the sign vector is the fingerprint. explode → groupBy is
-    * one shuffle with map-side partial sums (64 long columns per doc). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"b$i")
-    }
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("sig"))
-  }
+    * occurrences; the sign vector is the fingerprint. Computed per-row by a
+    * native single-pass expression ([[graft.functions.SimHash64Expr]]) — no
+    * explode, no shuffle, stays inside whole-stage codegen. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64Expr.simhash64(
+        expr(s"transform(split(lower($textCol), ' '), t -> xxhash64(t))")).as("sig"))
 
   /** SimHash near-dup: band the 64-bit signature into four 16-bit chunks;
     * candidates share ≥1 chunk (catches all pairs with hamming ≤ 3 by

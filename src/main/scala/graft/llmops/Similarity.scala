@@ -14,14 +14,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double
-    * (codegen'd array expressions — no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** Cosine similarity of two float-array columns, accumulated in double in
+    * index order — a native one-pass expression
+    * ([[graft.functions.VectorExprs.CosineSim]]); bit-identical to the
+    * dot/sqrt(dot·dot) formula the DuckDB oracle uses. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** Brute-force cosine top-k: broadcast the query set against the corpus,
     * score every (query, candidate) pair, keep k per query. Ties broken by
@@ -48,15 +46,12 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Sign-of-dot-product LSH bucket id from numPlanes hyperplanes. */
+  /** Sign-of-dot-product LSH bucket id from numPlanes hyperplanes (native
+    * one-pass kernel; planes flattened row-major). */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val planeArr = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
-      val d = aggregate(zip_with(vec, planeArr, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planes = for (p <- 0 until numPlanes; j <- 0 until dim)
+      yield planeComponent(p, j)
+    graft.functions.VectorExprs.lshBucketCol(vec, planes, dim)
   }
 
   /** LSH-bucketed ANN top-k: corpus and queries bucketed by hyperplane
