@@ -1,0 +1,73 @@
+package graft
+
+import java.time.{LocalDateTime, ZoneOffset}
+import org.apache.spark.sql.SparkSession
+import graft.ingest.{FileSelection, IngestJob, IngestSpecs}
+
+/** CLI entry — the reference's `huckli-import` surface (main.rs:5-31)
+  * re-expressed over Spark:
+  *
+  * {{{
+  * graft.Main --input <dirOrBucketUri> --warehouse <dir> --file-type <type>
+  *            [--after yyyy-MM-ddTHH:mm:ss] [--before ...] [--continue]
+  *            [--file <key>] [--cpus N]
+  * }}}
+  *
+  * `--continue` ∧ `--after` and `--file` ∧ `--before` are rejected (O4,
+  * huckli-import/src/lib.rs:253-263). Timestamps are UTC.
+  */
+object Main {
+
+  private def parseTs(s: String): Long =
+    LocalDateTime.parse(s).toInstant(ZoneOffset.UTC).toEpochMilli
+
+  def main(args: Array[String]): Unit = {
+    val opts = scala.collection.mutable.Map[String, String]()
+    var continueFlag = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--continue" => continueFlag = true; i += 1
+        case flag if flag.startsWith("--") && i + 1 < args.length =>
+          opts(flag.drop(2)) = args(i + 1); i += 2
+        case other =>
+          System.err.println(s"unexpected argument: $other"); sys.exit(2)
+      }
+    }
+    val input = opts.getOrElse("input", { System.err.println("--input required"); sys.exit(2) })
+    val warehouse = opts.getOrElse("warehouse", { System.err.println("--warehouse required"); sys.exit(2) })
+    val fileType = opts.getOrElse("file-type", { System.err.println("--file-type required"); sys.exit(2) })
+    if (!IngestSpecs.registry.contains(fileType)) {
+      System.err.println(s"unknown --file-type '$fileType'. Known: " +
+        IngestSpecs.registry.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
+    val selection = FileSelection(
+      afterMs = opts.get("after").map(parseTs),
+      beforeMs = opts.get("before").map(parseTs),
+      continue = continueFlag,
+      file = opts.get("file"))
+    try selection.validate()
+    catch { case e: IllegalArgumentException =>
+      System.err.println(e.getMessage); sys.exit(2)
+    }
+
+    val cpus = opts.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-ingest-$fileType")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    try {
+      val res = IngestJob.run(spark, input, warehouse, fileType, selection)
+      println(s"processed ${res.files.size} files")
+      res.rowCounts.toSeq.sorted.foreach { case (t, n) => println(f"  $t%-42s $n%d rows") }
+    } catch {
+      case e: IllegalStateException => System.err.println(e.getMessage); sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.Framing
+import graft.proto.Messages
+import graft.proto.Messages._
+
+class FrameSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("huckli-frames DSv2: reads frames, prunes by prefix and after/before") {
+    val dir = Files.createTempDirectory("graft-dsv2")
+    def fixture(name: String, n: Int): Unit = {
+      val frames = (0 until n).map(i => Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+        Some(SpeedtestIngest(Some(SpeedtestReq(Array[Byte](1), s"s$i", 1700000000L,
+          1, 2, 3)), 1700000000L)), 1700000000L, 0)))
+      val out = new FileOutputStream(dir.resolve(name).toFile)
+      try Framing.writeGzipFrames(out, frames) finally out.close()
+    }
+    fixture("verified_speedtest.1700000001000.gz", 3)
+    fixture("verified_speedtest.1700000002000.gz", 2)
+    fixture("other_prefix.1700000001500.gz", 4)
+
+    val all = spark.read.format("huckli-frames")
+      .option("path", dir.toString).option("prefix", "verified_speedtest").load()
+    assert(all.count() == 5)
+    assert(all.schema.fieldNames.toSeq ==
+      Seq("file_source", "prefix", "file_timestamp_ms", "frame_index", "bytes"))
+    // per-file frame indices restart at 0 (deterministic surrogate-key input)
+    val idx = all.groupBy("file_source").max("frame_index").collect()
+      .map(_.getLong(1)).sorted.toSeq
+    assert(idx == Seq(1L, 2L))
+
+    val pruned = spark.read.format("huckli-frames")
+      .option("path", dir.toString).option("prefix", "verified_speedtest")
+      .option("afterMs", "1700000001000").load()
+    assert(pruned.count() == 2) // after is exclusive: only the second file
+
+    // frames decode through the normal flatten path
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.STRING
+    val serials = all.select("bytes").collect()
+      .map(r => Messages.VerifiedSpeedtest.decode(r.getAs[Array[Byte]]("bytes")))
+      .flatMap(_.report.flatMap(_.report).map(_.serial))
+    assert(serials.toSet == Set("s0", "s1", "s2"))
+  }
+}
