@@ -22,6 +22,19 @@ object Checkpoint {
       .write.mode(SaveMode.Append).parquet(s"$warehouse/$TableName")
   }
 
+  /** Keys already recorded for a prefix (idempotent-replay guard). The
+    * checkpoint table is small (one row per ingested file) so a driver-side
+    * collect is the right plan. */
+  def processedKeys(spark: SparkSession, warehouse: String, prefix: String): Set[String] = {
+    val path = s"$warehouse/$TableName"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return Set.empty
+    spark.read.parquet(path)
+      .filter(col("prefix") === prefix)
+      .select("file_name").collect().map(_.getString(0)).toSet
+  }
+
   /** K5: latest processed file timestamp for a prefix (epoch ms), as a
     * max() aggregate — the scalable plan for `ORDER BY ts DESC LIMIT 1`. */
   def latestMs(spark: SparkSession, warehouse: String, prefix: String): Option[Long] = {
@@ -214,10 +227,16 @@ object IngestJob {
       Some(Checkpoint.latestMs(spark, warehouse, spec.prefix).getOrElse(
         throw new IllegalStateException("Cannot continue, no previously processed files")))
     } else selection.afterMs
-    val files = selection.file match {
+    val listed = selection.file match {
       case Some(f) => FileCatalog.single(f)
       case None => FileCatalog.list(spark, inputDir, spec.prefix, after, selection.beforeMs)
     }
+    // Idempotent replay: a crash between data-append and checkpoint-append
+    // leaves the file unrecorded; re-running would duplicate its rows (the
+    // reference is at-least-once here, SURVEY §3.1). Skipping files already
+    // checkpointed makes re-runs exactly-once at file granularity.
+    val done = Checkpoint.processedKeys(spark, warehouse, spec.prefix)
+    val files = listed.filterNot(f => done.contains(f.key))
     if (files.isEmpty) return Result(Seq.empty, Map.empty)
     val frames = FrameSource.frames(spark, files)
     val tables = spec.tables(frames)

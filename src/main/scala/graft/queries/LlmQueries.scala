@@ -71,6 +71,15 @@ object LlmQueries {
       Similarity.lshTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d),
         dim = 64, k = 10)),
 
+    // IVF ANN: deterministic k-means cells + nprobe search (approximate →
+    // rows-only).
+    "llm_ann_ivf" -> ((s, d) => {
+      val corpus = embs(s, d)
+      val model = graft.llmops.Ivf.train(corpus, dim = 64, k = 8, iters = 2)
+      graft.llmops.Ivf.topK(corpus.filter(col("vec_id") < 5),
+        graft.llmops.Ivf.index(corpus, model), model, k = 10, nprobe = 3)
+    }),
+
     // Embedding-cosine near-dup pairs ≥ 0.95 via LSH buckets.
     "llm_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(embsWithDups(s, d), dim = 64, threshold = 0.95)),

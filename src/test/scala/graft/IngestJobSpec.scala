@@ -268,4 +268,40 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _ => ()
     }
   }
+
+  test("idempotent replay: re-running the same ingest adds no duplicate rows") {
+    def st(i: Int) = Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+      Some(SpeedtestIngest(Some(SpeedtestReq(Array[Byte](1), s"rep$i", 1700000000L,
+        1, 2, 3)), 1700000000L)), 1700000000L, 0))
+    writeFixture("verified_speedtest.1700000009000.gz", Seq(st(1), st(2)))
+    val first = IngestJob.run(spark, dir.toString, wh("wh7"), "verified-speedtest",
+      FileSelection(afterMs = Some(1700000008000L)))
+    assert(first.rowCounts("verified_speedtest_report") == 2)
+    val again = IngestJob.run(spark, dir.toString, wh("wh7"), "verified-speedtest",
+      FileSelection(afterMs = Some(1700000008000L)))
+    assert(again.files.isEmpty) // already checkpointed -> skipped
+    assert(spark.read.parquet(s"${wh("wh7")}/verified_speedtest_report").count() == 2)
+  }
+
+  test("salted join and salted aggregation match their unsalted results") {
+    import org.apache.spark.sql.functions._
+    val s0 = spark
+    import s0.implicits._
+    // one pathologically hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, i.toLong, i * 1.5))
+      .toDF("k", "id", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val salted = graft.operators.Salting.saltedJoin(big, small, "k", "id")
+      .groupBy("name").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = big.join(small, "k")
+      .groupBy("name").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    val agg = graft.operators.Salting.saltedCountSum(big, "k", "id", "v")
+    val want = big.groupBy("k").agg(count(lit(1)).cast("long").as("cnt"),
+      sum("v").as("sum_value"))
+    assert(agg.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sameElements(want.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))))
+  }
 }
