@@ -37,10 +37,15 @@ object FrameSource {
     spark.createDataset(files)
       .repartition(n)
       .mapPartitions { it =>
+        val open = new scala.collection.mutable.ArrayBuffer[java.io.Closeable]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            open.foreach(s => scala.util.Try(s.close()))))
         it.flatMap { fi =>
           val path = new Path(fi.key)
           val fs = path.getFileSystem(hadoopConf.value)
           val raw = fs.open(path)
+          open += raw
           val frameIt =
             if (fi.key.endsWith(".gz")) Framing.gzipFrames(raw, _ => corrupt.add(1))
             else Framing.frames(raw, _ => corrupt.add(1))
@@ -48,7 +53,7 @@ object FrameSource {
           frameIt.map { b =>
             idx += 1
             RawFrame(fi.key, fi.prefix, fi.timestamp_ms, idx, b)
-          } // stream closes with task completion; frames are pulled lazily
+          } // frames are pulled lazily; streams closed by the task listener
         }
       }
   }
