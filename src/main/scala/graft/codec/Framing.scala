@@ -25,8 +25,8 @@ object Framing {
       private var nextFrame: Array[Byte] = null
       private var done = false
 
-      private def readFully(buf: Array[Byte]): Boolean = {
-        var off = 0
+      private def readFully(buf: Array[Byte], from: Int = 0): Boolean = {
+        var off = from
         while (off < buf.length) {
           val n = in.read(buf, off, buf.length - off)
           if (n < 0) return false
@@ -35,7 +35,9 @@ object Framing {
         true
       }
 
-      private def advance(): Unit = {
+      // Any IO failure mid-stream (incl. ZipException from a truncated gzip
+      // member) is corruption of THIS file, not a job failure: report + stop.
+      private def advance(): Unit = try {
         if (done) return
         val hdr = new Array[Byte](4)
         val first = in.read()
@@ -50,16 +52,9 @@ object Framing {
         val body = new Array[Byte](len)
         if (!readFully(body)) { onCorrupt("truncated frame body"); done = true; return }
         nextFrame = body
-      }
-
-      private def readFully(buf: Array[Byte], from: Int): Boolean = {
-        var off = from
-        while (off < buf.length) {
-          val n = in.read(buf, off, buf.length - off)
-          if (n < 0) return false
-          off += n
-        }
-        true
+      } catch {
+        case e: java.io.IOException =>
+          onCorrupt(s"io error mid-stream: ${e.getMessage}"); done = true
       }
 
       override def hasNext: Boolean = {
@@ -73,9 +68,19 @@ object Framing {
       }
     }
 
-  /** Iterate frames from a gzip-compressed stream (the on-bucket format). */
-  def gzipFrames(raw: InputStream, onCorrupt: String => Unit = _ => ()): Iterator[Array[Byte]] =
-    frames(new GZIPInputStream(raw), onCorrupt)
+  /** Iterate frames from a gzip-compressed stream (the on-bucket format).
+    * A file that is not even a gzip stream (empty, truncated header) yields
+    * zero frames + one corruption report — files fail, jobs don't. */
+  def gzipFrames(raw: InputStream, onCorrupt: String => Unit = _ => ()): Iterator[Array[Byte]] = {
+    val gz =
+      try new GZIPInputStream(raw)
+      catch {
+        case e: java.io.IOException =>
+          onCorrupt(s"bad gzip stream: ${e.getMessage}")
+          return Iterator.empty
+      }
+    frames(gz, onCorrupt)
+  }
 
   /** Write frames in the same format (fixture/sink side). */
   def writeFrames(out: OutputStream, frames: IterableOnce[Array[Byte]]): Unit = {

@@ -56,6 +56,8 @@ object Checkpoint {
 sealed trait IngestSpec {
   def prefix: String
   def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame]
+  /** Release any Dataset cached by tables() (demux specs decode-once). */
+  def cleanup(): Unit = ()
 }
 
 object IngestSpecs {
@@ -82,12 +84,15 @@ object IngestSpecs {
 
   case object MobileRewardsSpec extends IngestSpec {
     val prefix = "mobile_network_reward_shares_v1"
+    private var cached: Option[DataFrame] = None
+    override def cleanup(): Unit = { cached.foreach(_.unpersist()); cached = None }
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
       implicit val enc = Encoders.product[MobileShareFlat]
       // Decode ONCE, cache, then 9 filtered projections (D1+D3). At cluster
       // scale the cache bounds re-decode cost; each projection is a narrow
       // scan of the cached partitions.
       val shares = FrameSource.decoded(frames, Flatten.mobileShare).cache()
+      cached = Some(shares.toDF())
       val epoch = Seq(col("start_period"), col("end_period"))
       def arm(name: String, inner: String) =
         shares.filter(col("arm") === name)
@@ -123,9 +128,12 @@ object IngestSpecs {
 
   case object IotRewardsSpec extends IngestSpec {
     val prefix = "iot_network_reward_shares_v1"
+    private var cached: Option[DataFrame] = None
+    override def cleanup(): Unit = { cached.foreach(_.unpersist()); cached = None }
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
       implicit val enc = Encoders.product[IotShareFlat]
       val shares = FrameSource.decoded(frames, Flatten.iotShare).cache()
+      cached = Some(shares.toDF())
       def arm(name: String, inner: String) =
         shares.filter(col("arm") === name)
           .select(col("start_period"), col("end_period"), col(s"$inner.*"), col("file_source"))
@@ -138,9 +146,12 @@ object IngestSpecs {
 
   case object CoverageSpec extends IngestSpec {
     val prefix = "coverage_object"
+    private var cached: Option[DataFrame] = None
+    override def cleanup(): Unit = { cached.foreach(_.unpersist()); cached = None }
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
       implicit val enc = Encoders.product[CoverageObjectFlat]
       val objs = FrameSource.decoded(frames, Flatten.coverage).cache()
+      cached = Some(objs.toDF())
       Map(
         "coverage_object" -> objs.select(col("radio_key"), col("radio_type"),
           col("uuid"), col("coverage_claim_time"), col("indoor"), col("file_source")),
@@ -228,7 +239,7 @@ object IngestJob {
         throw new IllegalStateException("Cannot continue, no previously processed files")))
     } else selection.afterMs
     val listed = selection.file match {
-      case Some(f) => FileCatalog.single(f)
+      case Some(f) => FileCatalog.single(spark, f)
       case None => FileCatalog.list(spark, inputDir, spec.prefix, after, selection.beforeMs)
     }
     // Idempotent replay: a crash between data-append and checkpoint-append
@@ -240,10 +251,16 @@ object IngestJob {
     if (files.isEmpty) return Result(Seq.empty, Map.empty)
     val frames = FrameSource.frames(spark, files)
     val tables = spec.tables(frames)
+    // Counts are THIS run's ingested rows (cache once, count, write), not a
+    // cumulative re-scan of the warehouse table.
     val counts = tables.map { case (name, df) =>
-      df.write.mode(SaveMode.Append).parquet(s"$warehouse/$name")
-      name -> spark.read.parquet(s"$warehouse/$name").count()
+      val cached = df.cache()
+      val n = cached.count()
+      cached.write.mode(SaveMode.Append).parquet(s"$warehouse/$name")
+      cached.unpersist()
+      name -> n
     }
+    spec.cleanup()
     Checkpoint.append(spark, warehouse, files)
     Result(files, counts)
   }

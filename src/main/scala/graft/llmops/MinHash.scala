@@ -73,7 +73,7 @@ object MinHash {
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
     * → exact-Jaccard verify ≥ threshold. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   numPerms: Int = 32, numBands: Int = 8,
+                   numPerms: Int = 64, numBands: Int = 16,
                    threshold: Double = 0.6): DataFrame = {
     val shingled = withShingles(df, idCol, textCol).cache()
     val cand = candidates(bands(signatures(shingled, numPerms), numPerms, numBands))

@@ -65,7 +65,9 @@ object Multimodal {
     * explode/offset bookkeeping a real frame sampler needs. */
   def frameSample(df: DataFrame, idCol: String, binCol: String, strideBytes: Int): DataFrame =
     df.select(col(idCol), octet_length(col(binCol)).cast("long").as("len"))
-      .withColumn("frame_off", explode(expr(
-        s"sequence(CAST(0 AS BIGINT), greatest(len - 1, CAST(0 AS BIGINT)), CAST($strideBytes AS BIGINT))")))
+      // empty payload → no frames (matches range(0, 0, stride) semantics)
+      .withColumn("frame_off", explode(when(col("len") > 0, expr(
+        s"sequence(CAST(0 AS BIGINT), len - 1, CAST($strideBytes AS BIGINT))"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
       .select(col(idCol), col("frame_off"))
 }

@@ -49,7 +49,14 @@ object FileCatalog {
       .sortBy(_.timestamp_ms)
   }
 
-  /** Explicit single-file selection (S5, huckli-import/src/lib.rs:272-275). */
-  def single(key: String): Seq[FileInfo] =
-    parse(new Path(key).getName).map(_.copy(key = key)).toSeq
+  /** Explicit single-file selection (S5, huckli-import/src/lib.rs:272-275).
+    * The key is fully qualified through the filesystem so it matches the
+    * form `list()` records in the checkpoint — otherwise the idempotent-
+    * replay guard would miss `--file` re-runs of processed files. */
+  def single(spark: SparkSession, key: String): Seq[FileInfo] = {
+    val path = new Path(key)
+    val qualified = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(path).toString
+    parse(path.getName).map(_.copy(key = qualified)).toSeq
+  }
 }

@@ -123,4 +123,26 @@ class CodecSpec extends AnyFunSuite with GenChecks {
     assert(Scalars.protoDecimal(Some("not-a-number")) == 0.0)
     assert(Scalars.protoDecimal(Some("")) == 0.0)
   }
+
+  test("gzip tolerance: empty, garbage, and truncated gzip yield drops, not exceptions") {
+    // empty file
+    var drops = 0
+    assert(Framing.gzipFrames(new ByteArrayInputStream(Array.emptyByteArray),
+      _ => drops += 1).isEmpty)
+    assert(drops == 1)
+    // not gzip at all
+    drops = 0
+    assert(Framing.gzipFrames(new ByteArrayInputStream("not gzip".getBytes),
+      _ => drops += 1).isEmpty)
+    assert(drops == 1)
+    // valid gzip header but truncated body: frames already decodable are
+    // kept, the cut reports corruption
+    val out = new ByteArrayOutputStream()
+    Framing.writeGzipFrames(out, Seq.fill(50)(Array.fill[Byte](100)(3)))
+    val full = out.toByteArray
+    drops = 0
+    val got = Framing.gzipFrames(
+      new ByteArrayInputStream(full.take(full.length / 2)), _ => drops += 1).size
+    assert(got < 50 && drops == 1)
+  }
 }
