@@ -303,7 +303,41 @@ object Declared {
     "q25_dedup" -> ((s, d) => {
       val e4 = events(s, d).select("event_id", "user_id", "event_type", "value")
       e4.union(e4).dropDuplicates("event_id")
-    })
+    }),
+
+    // Beyond the declared set: pivot, subqueries, statistical aggregates,
+    // and ordered array aggregation — rounding out the relational surface.
+    "q26_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))),
+
+    // Scalar subquery: orders above the global average price.
+    "q27_subquery" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val avgPrice = orders.agg(avg("o_totalprice").as("ap"))
+      orders.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // Statistical aggregates (sample stddev/variance, correlation).
+    "q28_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))),
+
+    // Ordered array aggregation: per-customer order keys, sorted.
+    "q29_collect" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("o_orderkey")))).as("order_keys"),
+          count(lit(1)).as("n_orders")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -473,6 +507,25 @@ object Declared {
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q25_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
-        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)""".stripMargin,
+    "q26_pivot" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+        | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q27_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q28_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_discount), 6) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q29_collect" ->
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin
   )
 }
