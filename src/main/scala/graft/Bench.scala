@@ -1,12 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
+  /** Materialize every output column: checksum-aggregate instead of count()
+    * so Catalyst cannot prune the projection work out of projection-shaped
+    * queries (count() lets it drop every column expression). */
+  private def materialize(df: DataFrame): Unit =
+    df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(sum("__h")).collect()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // xxhash64 over map-typed output columns (q21_json) needs the legacy
+      // allowance; ordering inside the hash is irrelevant for a checksum.
+      .config("spark.sql.legacy.allowHashOnMapType", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -15,16 +26,18 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
-    // A failed query records -1.0 (visible in the JSON) instead of a
-    // plausible-looking elapsed time.
+    // Median of 3 runs per query (co-tenant load can inflate a single run
+    // up to 3×); a failed query records -1.0 (visible in the JSON) instead
+    // of a plausible-looking elapsed time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      name -> elapsed
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(1))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -10,7 +10,7 @@ import graft.ingest.{FileSelection, IngestJob, IngestSpecs}
   * {{{
   * graft.Main --input <dirOrBucketUri> --warehouse <dir> --file-type <type>
   *            [--after yyyy-MM-ddTHH:mm:ss] [--before ...] [--continue]
-  *            [--file <key>] [--cpus N]
+  *            [--file <key>] [--force] [--cpus N]
   * }}}
   *
   * `--continue` ∧ `--after` and `--file` ∧ `--before` are rejected (O4,
@@ -24,12 +24,16 @@ object Main {
   def main(args: Array[String]): Unit = {
     val opts = scala.collection.mutable.Map[String, String]()
     var continueFlag = false
+    var forceFlag = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--continue" => continueFlag = true; i += 1
+        case "--force" => forceFlag = true; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           opts(flag.drop(2)) = args(i + 1); i += 2
+        case flag if flag.startsWith("--") =>
+          System.err.println(s"missing value for $flag"); sys.exit(2)
         case other =>
           System.err.println(s"unexpected argument: $other"); sys.exit(2)
       }
@@ -46,15 +50,23 @@ object Main {
       afterMs = opts.get("after").map(parseTs),
       beforeMs = opts.get("before").map(parseTs),
       continue = continueFlag,
-      file = opts.get("file"))
+      file = opts.get("file"),
+      force = forceFlag)
     try selection.validate()
     catch { case e: IllegalArgumentException =>
       System.err.println(e.getMessage); sys.exit(2)
     }
 
     val cpus = opts.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Honor a cluster master from spark-submit (`--master yarn|k8s://…`);
+    // only default to local[] when none was configured — otherwise this CLI
+    // could never run on the 1000-executor cluster it is designed for.
+    val builder0 = SparkSession.builder()
+    val builder =
+      if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
+        builder0
+      else builder0.master(s"local[$cpus]")
+    val spark = builder
       .appName(s"graft-ingest-$fileType")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

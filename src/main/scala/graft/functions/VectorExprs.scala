@@ -118,4 +118,69 @@ object VectorExprs {
 
   def lshBucketCol(vec: Column, planes: Seq[Double], dim: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(vec), planes, dim))
+
+  /** The `n` nearest centroid ids for a vector, by cosine desc / id asc —
+    * the IVF coarse-quantizer kernel. One pass over a flattened (row-major)
+    * broadcast centroid matrix, so cell assignment stays O(k·dim) machine
+    * ops per row instead of a k-element struct-expression tree evaluated
+    * interpretively (which collapses at the k≈4096 a 100 TB corpus needs). */
+  case class NearestCells(child: Expression, centroids: Array[Float],
+                          dim: Int, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      VectorExprs.nearestCells(input.asInstanceOf[ArrayData], centroids, dim, n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "float[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.nearestCells($c, $ref, $dim, $n);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): NearestCells =
+      copy(child = newChild)
+  }
+
+  def nearestCells(vec: ArrayData, centroids: Array[Float], dim: Int, n: Int): ArrayData = {
+    val k = centroids.length / dim
+    val nn = math.min(n, k)
+    val ids = new Array[Int](nn)
+    val sc = new Array[Double](nn)
+    var filled = 0
+    val vn = math.min(dim, vec.numElements())
+    var nv = 0.0
+    var j = 0
+    while (j < vn) { val x = vec.getFloat(j).toDouble; nv += x * x; j += 1 }
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0; var nc = 0.0
+      var i = 0
+      while (i < vn) {
+        val x = vec.getFloat(i).toDouble
+        val y = centroids(off + i).toDouble
+        dot += x * y; nc += y * y
+        i += 1
+      }
+      var s = dot / math.sqrt(nv * nc)
+      // NaN (zero vector / zero centroid) ranks last; ties keep the earlier id.
+      if (java.lang.Double.isNaN(s)) s = Double.NegativeInfinity
+      if (filled < nn) {
+        var pos = filled
+        while (pos > 0 && sc(pos - 1) < s) {
+          sc(pos) = sc(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        sc(pos) = s; ids(pos) = c; filled += 1
+      } else if (s > sc(nn - 1)) {
+        var pos = nn - 1
+        while (pos > 0 && sc(pos - 1) < s) {
+          sc(pos) = sc(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        sc(pos) = s; ids(pos) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(ids)
+  }
+
+  def nearestCellsCol(vec: Column, centroids: Array[Float], dim: Int, n: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, dim, n))
 }

@@ -205,9 +205,13 @@ object IngestSpecs {
       "mobile_reward_manifest", MoreFlatten.rewardManifest))
 }
 
-/** File-selection arguments (O4/O5, huckli-import/src/lib.rs:240-300). */
+/** File-selection arguments (O4/O5, huckli-import/src/lib.rs:240-300).
+  * `force` bypasses the idempotent-replay guard (the reference always
+  * re-ingests an explicit --file target; we default to skipping processed
+  * files and let --force opt into the at-least-once re-ingest). */
 case class FileSelection(afterMs: Option[Long] = None, beforeMs: Option[Long] = None,
-                         continue: Boolean = false, file: Option[String] = None) {
+                         continue: Boolean = false, file: Option[String] = None,
+                         force: Boolean = false) {
   /** O4 (lib.rs:253-263). */
   def validate(): Unit = {
     require(!(continue && afterMs.isDefined),
@@ -246,8 +250,15 @@ object IngestJob {
     // leaves the file unrecorded; re-running would duplicate its rows (the
     // reference is at-least-once here, SURVEY §3.1). Skipping files already
     // checkpointed makes re-runs exactly-once at file granularity.
-    val done = Checkpoint.processedKeys(spark, warehouse, spec.prefix)
+    val done =
+      if (selection.force) Set.empty[String]
+      else Checkpoint.processedKeys(spark, warehouse, spec.prefix)
     val files = listed.filterNot(f => done.contains(f.key))
+    // An explicit --file that the guard filtered out is surprising ("processed
+    // 0 files") — say why, and how to override.
+    if (selection.file.isDefined && listed.nonEmpty && files.isEmpty)
+      System.err.println(
+        s"skipping already-processed file ${listed.head.key} (use --force to re-ingest)")
     if (files.isEmpty) return Result(Seq.empty, Map.empty)
     val frames = FrameSource.frames(spark, files)
     val tables = spec.tables(frames)

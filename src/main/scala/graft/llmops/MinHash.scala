@@ -36,6 +36,9 @@ object MinHash {
   /** LSH banding: numBands bands of (numPerms / numBands) rows; a band's
     * bucket key is the hash of its signature slice. Emits (doc_id, band, bh). */
   def bands(sigs: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
+    require(numPerms % numBands == 0,
+      s"numPerms ($numPerms) must be divisible by numBands ($numBands) — " +
+        "trailing permutations would be silently ignored, degrading recall")
     val rows = numPerms / numBands
     val bandStructs = (0 until numBands).map { b =>
       val slice = (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1))
@@ -48,10 +51,7 @@ object MinHash {
   /** Candidate pairs: self-join per bucket (doc_a < doc_b), deduped across
     * bands. Buckets larger than maxBucket are dropped (skew guard). */
   def candidates(bandDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val sized = bandDf
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= maxBucket)
+    val sized = Similarity.dropLargeBuckets(bandDf, Seq("band", "bh"), maxBucket)
     val a = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = sized.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
@@ -95,15 +95,17 @@ object MinHash {
     * candidates share ≥1 chunk (catches all pairs with hamming ≤ 3 by
     * pigeonhole, most up to the threshold); verify by exact hamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
     val sigs = simhash(df, idCol, textCol)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("sig"), c * 16).bitwiseAND(lit(65535L)).as("bh"))
     }
-    val chunked = sigs
-      .select(col("doc_id"), col("sig"), explode(array(chunkStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val chunked = Similarity.dropLargeBuckets(
+      sigs
+        .select(col("doc_id"), col("sig"), explode(array(chunkStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      Seq("band", "bh"), maxBucket)
     val a = chunked.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))

@@ -21,6 +21,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
+  /** Skew guard shared by every bucketed candidate join: drop buckets larger
+    * than maxBucket before the per-bucket join goes quadratic. Sizes come
+    * from a map-side-combinable groupBy (cheaper than a count window over the
+    * same key — no per-partition sort) joined back on the bucket key, which
+    * co-partitions with the downstream bucket join so the exchange is reused. */
+  private[llmops] def dropLargeBuckets(df: DataFrame, keys: Seq[String],
+                                       maxBucket: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    df.join(small, keys)
+  }
+
+  /** Corpus-size-aware plane count: enough hyperplanes that the *expected*
+    * bucket holds ~targetBucket vectors (2^planes buckets), clamped to
+    * [4, 24]. At 10^11 rows and targetBucket=1024 this yields 24 planes —
+    * combine with `numTables` (banded-OR) to buy the recall back. */
+  def autoPlanes(corpusRows: Long, targetBucket: Int = 1024): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, needed))
+  }
+
   /** Brute-force cosine top-k: broadcast the query set against the corpus,
     * score every (query, candidate) pair, keep k per query. Ties broken by
     * candidate id after 4-dp rounding so results are engine-portable. */
@@ -47,9 +69,12 @@ object Similarity {
   }
 
   /** Sign-of-dot-product LSH bucket id from numPlanes hyperplanes (native
-    * one-pass kernel; planes flattened row-major). */
-  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
-    val planes = for (p <- 0 until numPlanes; j <- 0 until dim)
+    * one-pass kernel; planes flattened row-major). `planeOffset` selects a
+    * disjoint plane family so multiple independent hash tables (banded-OR)
+    * can be built from the same deterministic stream; offset 0 reproduces
+    * the original single-table buckets. */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column = {
+    val planes = for (p <- planeOffset until planeOffset + numPlanes; j <- 0 until dim)
       yield planeComponent(p, j)
     graft.functions.VectorExprs.lshBucketCol(vec, planes, dim)
   }
@@ -58,9 +83,14 @@ object Similarity {
     * signs; candidates are same-bucket only (plus optional 1-bit probes).
     * Approximate — recall depends on numPlanes; rows-only checked. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
-              numPlanes: Int = 8, multiProbe: Boolean = true): DataFrame = {
-    val cb = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
+              numPlanes: Int = 8, multiProbe: Boolean = true,
+              maxBucket: Int = 100000): DataFrame = {
+    // Skew guard: a degenerate corpus bucket (e.g. all-zero embeddings) would
+    // otherwise make the query×bucket join O(|Q|·bucket) on one task.
+    val cb = dropLargeBuckets(
+      corpus.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), dim, numPlanes).as("bucket")),
+      Seq("bucket"), maxBucket)
     val qBase = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
       lshBucket(col("embedding"), dim, numPlanes).as("b0"))
     // Multi-probe: also search the numPlanes buckets at hamming distance 1.
@@ -78,15 +108,25 @@ object Similarity {
       .select("q_id", "vec_id", "sim", "rnk")
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucketed join (same LSH bucket),
-    * verify by exact cosine ≥ threshold. Never all-pairs. */
+  /** Embedding-cosine near-duplicate pairs: bucketed join (same LSH bucket in
+    * any of `numTables` independent hash tables — banded-OR, so more planes
+    * per table can be bought back with more tables), verified by exact cosine
+    * ≥ threshold. Never all-pairs; buckets larger than maxBucket are dropped
+    * (skew guard — the per-bucket self-join is O(bucket²)). Size numPlanes
+    * with [[autoPlanes]] for the corpus at hand. */
   def cosineNearDupPairs(df: DataFrame, dim: Int, threshold: Double,
-                         numPlanes: Int = 6): DataFrame = {
+                         numPlanes: Int = 6, numTables: Int = 2,
+                         maxBucket: Int = 1000): DataFrame = {
+    val tableBuckets = array((0 until numTables).map(t =>
+      lshBucket(col("embedding"), dim, numPlanes, planeOffset = t * numPlanes)): _*)
     val b = df.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        posexplode(tableBuckets).as(Seq("tbl", "bucket")))
+    val guarded = dropLargeBuckets(b, Seq("tbl", "bucket"), maxBucket)
+    val l = guarded.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = guarded.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()

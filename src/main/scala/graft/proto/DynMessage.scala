@@ -24,6 +24,9 @@ object DynMessage {
       case Some(VDouble(d)) => d.toLong
       case _ => 0L
     }
+    // VDouble survives only for values injected by tests; parse() stores
+    // fixed64 as raw bits (VInt) so i64 on a (s)fixed64 integer field is
+    // exact and dbl() reinterprets lazily — prost-style forward-compat.
     def i32(n: Int): Int = i64(n).toInt
     def bool(n: Int): Boolean = i64(n) != 0
     def dbl(n: Int): Double = first(n) match {
@@ -56,7 +59,7 @@ object DynMessage {
       val (n, wt) = r.readTag()
       val v: V = wt match {
         case ProtoWire.WireVarint => VInt(r.readVarint())
-        case ProtoWire.WireFixed64 => VDouble(r.readDouble())
+        case ProtoWire.WireFixed64 => VInt(r.readFixed64())
         case ProtoWire.WireLenDelim => VBytes(r.readBytes())
         case ProtoWire.WireFixed32 => VInt(r.readFixed32().toLong)
         case w => throw new ProtoWire.Malformed(s"unknown wire type $w")

@@ -46,7 +46,7 @@ object LlmQueries {
     "llm_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
     "llm_dedup_exact" -> ((s, d) => TextOps.exactDedup(docs(s, d), "doc_id", "text")),
 
-    // MinHash+LSH near-dup: 32 perms × 8 bands, verify exact Jaccard ≥ 0.6.
+    // MinHash+LSH near-dup: 64 perms × 16 bands, verify exact Jaccard ≥ 0.6.
     "llm_dedup_minhash" -> ((s, d) =>
       MinHash.nearDupPairs(docsWithDups(s, d), "doc_id", "text")),
 
@@ -72,12 +72,23 @@ object LlmQueries {
         dim = 64, k = 10)),
 
     // IVF ANN: deterministic k-means cells + nprobe search (approximate →
-    // rows-only).
+    // rows-only). The model is trained once per data dir and reused.
     "llm_ann_ivf" -> ((s, d) => {
       val corpus = embs(s, d)
-      val model = graft.llmops.Ivf.train(corpus, dim = 64, k = 8, iters = 2)
+      val model = graft.llmops.Ivf.trainCached(corpus, d, dim = 64, k = 8)
       graft.llmops.Ivf.topK(corpus.filter(col("vec_id") < 5),
         graft.llmops.Ivf.index(corpus, model), model, k = 10, nprobe = 3)
+    }),
+
+    // IVF with nprobe = k scans every cell → exact top-k; hash-matches the
+    // same brute-force oracle as llm_cosine_topk, proving the whole IVF
+    // train/index/probe/join machinery end-to-end (recall regression here
+    // means lost candidates, not formatting).
+    "llm_ann_ivf_exact" -> ((s, d) => {
+      val corpus = embs(s, d)
+      val model = graft.llmops.Ivf.trainCached(corpus, d, dim = 64, k = 8)
+      graft.llmops.Ivf.topK(corpus.filter(col("vec_id") < 5),
+        graft.llmops.Ivf.index(corpus, model), model, k = 10, nprobe = 8)
     }),
 
     // Embedding-cosine near-dup pairs ≥ 0.95 via LSH buckets.
@@ -90,7 +101,10 @@ object LlmQueries {
         docs(s, d).withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload")),
 
-    // Multimodal: stubbed decode via mapPartitions (rows-only).
+    // Multimodal: stubbed decode via mapPartitions (rows-only). Emitted as
+    // scalar rows — (doc_id, kind, n_bytes, feature_idx, feature_value) via
+    // posexplode — the joinable shape, and one every checker can canonicalize
+    // (an array<double> column breaks pandas-style sort/compare tooling).
     "llm_multimodal_features" -> ((s, d) => {
       import s.implicits._
       val ds = docs(s, d)
@@ -98,6 +112,9 @@ object LlmQueries {
           col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
       Multimodal.featurize(ds, dim = 8).toDF()
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("feature_idx", "feature_value")))
+        .withColumn("feature_idx", col("feature_idx").cast("long"))
     }),
 
     // Multimodal: deterministic frame sampling over the payload.
@@ -180,6 +197,21 @@ object LlmQueries {
          |  round(len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)), 4) AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
          |WHERE a.doc_id % 10 = 0""".stripMargin,
+    // Same ground truth as llm_cosine_topk: IVF with nprobe=k must find the
+    // exact top-k, so a hash mismatch here is a recall bug in the IVF path.
+    "llm_ann_ivf_exact" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_dot_product(q.q_vec, c.v) /
+        |      sqrt(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)), 4) AS sim
+        |  FROM q JOIN c ON c.vec_id != q.q_id)
+        |SELECT q_id, vec_id, sim, rnk FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
     "llm_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
         |           FROM embeddings WHERE vec_id < 5),

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llmops.Similarity
+
+/** Skew-guard and recall behavior of the bucketed similarity joins. */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** N copies of the same unit vector — every row lands in the same LSH
+    * bucket in every table: the worst-case skew input. */
+  private def degenerate(n: Int) = {
+    val s0 = spark
+    import s0.implicits._
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    (0 until n).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+  }
+
+  test("cosineNearDupPairs: maxBucket drops the degenerate bucket (bounded work)") {
+    val df = degenerate(500)
+    // guard triggers: the single 500-row bucket exceeds maxBucket=100, so the
+    // O(bucket²)=125k-pair self-join never runs — 0 candidates, fast finish.
+    val guarded = Similarity.cosineNearDupPairs(df, dim = 8, threshold = 0.9,
+      numPlanes = 4, numTables = 2, maxBucket = 100)
+    assert(guarded.count() == 0)
+    // guard not triggered: same corpus under the limit yields all C(50,2) pairs
+    val small = Similarity.cosineNearDupPairs(degenerate(50), dim = 8,
+      threshold = 0.9, numPlanes = 4, numTables = 2, maxBucket = 100)
+    assert(small.count() == 50L * 49 / 2)
+  }
+
+  test("lshTopK: oversized corpus buckets are dropped, query still completes") {
+    val df = degenerate(300)
+    val res = Similarity.lshTopK(df.filter(col("vec_id") < 2), df,
+      dim = 8, k = 5, numPlanes = 4, maxBucket = 100)
+    assert(res.count() == 0) // bucket of 300 > 100 → no candidates, no blowup
+    val ok = Similarity.lshTopK(df.filter(col("vec_id") < 2), df,
+      dim = 8, k = 5, numPlanes = 4, maxBucket = 1000)
+    assert(ok.count() == 10) // 2 queries × k
+  }
+
+  test("multi-table banded-OR only adds recall; table 0 reproduces legacy buckets") {
+    val s0 = spark
+    import s0.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val one = Similarity.cosineNearDupPairs(
+      corpus, dim = 64, threshold = 0.9, numPlanes = 6, numTables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Similarity.cosineNearDupPairs(
+      corpus, dim = 64, threshold = 0.9, numPlanes = 6, numTables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(two)) // OR-construction: extra table can only add pairs
+  }
+
+  test("autoPlanes scales with corpus size and clamps") {
+    assert(Similarity.autoPlanes(100) == 4)
+    assert(Similarity.autoPlanes(1024L * 1024, targetBucket = 1024) == 10)
+    assert(Similarity.autoPlanes(Long.MaxValue / 4) == 24)
+  }
+}
