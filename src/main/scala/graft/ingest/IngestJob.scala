@@ -14,13 +14,17 @@ import Tables._
 object Checkpoint {
   val TableName = "files_processed"
 
-  def append(spark: SparkSession, warehouse: String, files: Seq[FileCatalog.FileInfo]): Unit = {
+  /** This run's checkpoint rows as a dataset (staged through [[TxnCommit]]
+    * so data and checkpoint become visible atomically). */
+  def batch(spark: SparkSession, files: Seq[FileCatalog.FileInfo]): Dataset[FileProcessed] = {
     implicit val enc = Encoders.product[FileProcessed]
     val now = new Timestamp(System.currentTimeMillis())
     spark.createDataset(files.map(f =>
-        FileProcessed(f.key, f.prefix, new Timestamp(f.timestamp_ms), now)))
-      .write.mode(SaveMode.Append).parquet(s"$warehouse/$TableName")
+      FileProcessed(f.key, f.prefix, new Timestamp(f.timestamp_ms), now)))
   }
+
+  def append(spark: SparkSession, warehouse: String, files: Seq[FileCatalog.FileInfo]): Unit =
+    batch(spark, files).write.mode(SaveMode.Append).parquet(s"$warehouse/$TableName")
 
   /** Keys already recorded for a prefix (idempotent-replay guard). The
     * checkpoint table is small (one row per ingested file) so a driver-side
@@ -226,18 +230,27 @@ object IngestJob {
   case class Result(files: Seq[FileCatalog.FileInfo], rowCounts: Map[String, Long])
 
   /** Run one ingest: list+prune (S1–S5, O5 resume) → frames (S6–S8) →
-    * decode+flatten (S9/S10, T1–T10) → demux/unnest (D1–D5) → parquet
-    * appends (K2) → checkpoint (K4).
+    * decode+flatten (S9/S10, T1–T10) → demux/unnest (D1–D5) → staged parquet
+    * batches (K2) + checkpoint batch (K4), published atomically via
+    * [[TxnCommit]].
     *
-    * Like the reference, data-append and checkpoint-append are two separate
-    * writes — at-least-once on crash between them (SURVEY §3.1); unlike the
-    * reference the data append itself is a single atomic-per-table batch job.
+    * The reference appends data then checkpoint non-atomically — at-least-
+    * once on crash between them (SURVEY §3.1). Here every table batch AND
+    * the checkpoint are staged first and land together behind one manifest
+    * commit: a crash at any point either publishes nothing (re-run
+    * re-processes) or is completed by recovery before the next run reads the
+    * checkpoint — exactly-once row counts either way.
     */
   def run(spark: SparkSession, inputDir: String, warehouse: String,
           fileType: String, selection: FileSelection = FileSelection()): Result = {
     selection.validate()
     val spec = IngestSpecs.registry.getOrElse(fileType,
       throw new IllegalArgumentException(s"unknown file type: $fileType"))
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Finish any crashed publish BEFORE reading the checkpoint, so "file
+    // recorded as processed" always implies "its rows are visible".
+    TxnCommit.recover(fs, warehouse)
     val after = if (selection.continue) {
       Some(Checkpoint.latestMs(spark, warehouse, spec.prefix).getOrElse(
         throw new IllegalStateException("Cannot continue, no previously processed files")))
@@ -262,17 +275,24 @@ object IngestJob {
     if (files.isEmpty) return Result(Seq.empty, Map.empty)
     val frames = FrameSource.frames(spark, files)
     val tables = spec.tables(frames)
+    val commitId = java.util.UUID.randomUUID().toString
+    val staging = TxnCommit.stagingDir(warehouse, commitId)
     // Counts are THIS run's ingested rows (cache once, count, write), not a
-    // cumulative re-scan of the warehouse table.
+    // cumulative re-scan of the warehouse table. Writes go to staging only.
     val counts = tables.map { case (name, df) =>
       val cached = df.cache()
       val n = cached.count()
-      cached.write.mode(SaveMode.Append).parquet(s"$warehouse/$name")
+      cached.write.mode(SaveMode.Overwrite).parquet(s"$staging/$name")
       cached.unpersist()
       name -> n
     }
     spec.cleanup()
-    Checkpoint.append(spark, warehouse, files)
+    Checkpoint.batch(spark, files)
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/${Checkpoint.TableName}")
+    val moves = (tables.keys.toSeq :+ Checkpoint.TableName)
+      .flatMap(t => TxnCommit.movesFor(fs, warehouse, commitId, t))
+    TxnCommit.commit(fs, warehouse, commitId, moves) // ← the atomic commit point
+    TxnCommit.publish(fs, warehouse, commitId, moves)
     Result(files, counts)
   }
 }

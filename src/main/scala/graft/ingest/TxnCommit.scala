@@ -1,0 +1,133 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Manifest-based transactional commit spanning the multi-table demux data
+  * appends AND the checkpoint append (closing the reference's at-least-once
+  * window, huckli-import/src/lib.rs:202-210 / huckli-db/src/lib.rs:32-41:
+  * data then checkpoint, non-atomic).
+  *
+  * Protocol (minimal Delta-style, no extra jars):
+  *  1. STAGE   — every output (each demux table batch + the files_processed
+  *               batch) is written to `warehouse/_staging/<commitId>/…`;
+  *               nothing under the live tables changes.
+  *  2. COMMIT  — a manifest listing every staged-file → live-file move is
+  *               written to `_commits/<commitId>.manifest.tmp` and renamed to
+  *               `.manifest`. The rename is the commit point.
+  *  3. PUBLISH — each staged part file is renamed into its live table
+  *               directory (per-file rename is atomic on HDFS/local; on S3A
+  *               rename is copy+delete, so pair this with a single-writer
+  *               job or a real table format there). The manifest and staging
+  *               dir are deleted only after every move has landed.
+  *
+  * Recovery (run before any read of the checkpoint):
+  *  - a `.manifest` present ⇒ the job crashed mid-publish: re-apply the
+  *    remaining moves (idempotent — a move whose source is gone already
+  *    landed), then clean up. Data and checkpoint become visible together.
+  *  - a staging dir without a manifest ⇒ crash before the commit point: no
+  *    live state changed; delete the orphan. The re-run re-processes the
+  *    files from scratch — exactly-once either way.
+  */
+object TxnCommit {
+
+  private def commitsDir(warehouse: String) = new Path(s"$warehouse/_commits")
+  private def stagingRoot(warehouse: String) = new Path(s"$warehouse/_staging")
+  def stagingDir(warehouse: String, commitId: String): String =
+    s"$warehouse/_staging/$commitId"
+
+  /** One staged-file move: src (staging) → dest (live table dir). */
+  case class Move(src: String, dest: String)
+
+  /** Data files Spark wrote under a staged output dir (part files only —
+    * `_SUCCESS` markers stay behind and are removed with the staging dir). */
+  def stagedParts(fs: FileSystem, stagedDir: String): Seq[Path] = {
+    val p = new Path(stagedDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+  }
+
+  /** Moves publishing a staged table batch: destination names are prefixed
+    * with the commitId so publishes are collision-free and idempotent. */
+  def movesFor(fs: FileSystem, warehouse: String, commitId: String,
+               table: String): Seq[Move] =
+    stagedParts(fs, s"${stagingDir(warehouse, commitId)}/$table").map { src =>
+      Move(src.toString, s"$warehouse/$table/$commitId-${src.getName}")
+    }
+
+  /** COMMIT point: persist the manifest (tmp + atomic rename). */
+  def commit(fs: FileSystem, warehouse: String, commitId: String,
+             moves: Seq[Move]): Unit = {
+    fs.mkdirs(commitsDir(warehouse))
+    val tmp = new Path(commitsDir(warehouse), s"$commitId.manifest.tmp")
+    val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
+    val out = fs.create(tmp, true)
+    try out.write(moves.map(m => s"${m.src}\t${m.dest}").mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"commit rename failed for $commitId")
+  }
+
+  /** PUBLISH: apply every move, then drop staging + manifest (in that order —
+    * the manifest must outlive any state it still needs to repair).
+    * `graft.test.failAfterMoves` is a crash-injection point for tests. */
+  def publish(fs: FileSystem, warehouse: String, commitId: String,
+              moves: Seq[Move]): Unit = {
+    val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
+    var applied = 0
+    moves.foreach { m =>
+      if (failAfter.contains(applied))
+        throw new IllegalStateException(s"injected crash after $applied moves")
+      val src = new Path(m.src)
+      val dest = new Path(m.dest)
+      if (fs.exists(src)) { // already-landed moves (recovery re-run) are skipped
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new IllegalStateException(s"publish rename failed: ${m.src} -> ${m.dest}")
+      }
+      applied += 1
+    }
+    fs.delete(new Path(stagingDir(warehouse, commitId)), true)
+    fs.delete(new Path(commitsDir(warehouse), s"$commitId.manifest"), false)
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[Move] = {
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(src, dest) = line.split("\t", 2)
+        Move(src, dest)
+      }
+  }
+
+  /** Repair on startup: finish committed-but-unpublished manifests, remove
+    * orphaned (uncommitted) staging dirs. Call before reading the checkpoint. */
+  def recover(fs: FileSystem, warehouse: String): Unit = {
+    val cd = commitsDir(warehouse)
+    if (fs.exists(cd)) {
+      fs.listStatus(cd).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".manifest"))
+        .foreach { mf =>
+          val commitId = mf.getName.stripSuffix(".manifest")
+          publish(fs, warehouse, commitId, readManifest(fs, mf))
+        }
+      // stray .tmp manifests never reached the commit point: drop them
+      fs.listStatus(cd).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".manifest.tmp"))
+        .foreach(fs.delete(_, false))
+    }
+    val sr = stagingRoot(warehouse)
+    if (fs.exists(sr))
+      fs.listStatus(sr).toSeq.map(_.getPath).foreach(fs.delete(_, true))
+  }
+}

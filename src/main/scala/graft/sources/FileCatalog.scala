@@ -33,20 +33,90 @@ object FileCatalog {
         .map(ts => FileInfo(key, m.group(1), ts))
     }
 
+  /** Directory-name date for date-partitioned layouts (`dt=2024-01-31`,
+    * `date=2024-01-31`, or bare `2024-01-31`): the UTC day's millis range. */
+  private val DirDateRe = raw"(?:dt=|date=)?(\d{4})-(\d{2})-(\d{2})".r
+  private[graft] def dirDayRange(name: String): Option[(Long, Long)] = name match {
+    case DirDateRe(y, m, d) =>
+      scala.util.Try {
+        val start = java.time.LocalDate.of(y.toInt, m.toInt, d.toInt)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        (start, start + 86400000L - 1)
+      }.toOption
+    case _ => None
+  }
+
   /** List + prune: prefix match, `after` exclusive (S3 — StartAfter skips
-    * the last processed file itself), `before` inclusive (S4). */
+    * the last processed file itself), `before` inclusive (S4).
+    *
+    * Scale shape for million-key prefixes (the StartAfter analog,
+    * huckli-s3/src/lib.rs:90-100):
+    *  - the listing is streamed via `listStatusIterator` (S3A pages lazily
+    *    through it) instead of materializing the whole directory on the
+    *    driver;
+    *  - date-partitioned subdirectories (`dt=yyyy-MM-dd` and friends) are
+    *    pruned at the *directory* level — days wholly outside
+    *    (after, before] are never listed at all;
+    *  - when the store returns keys in lexicographic order (S3, HDFS) we
+    *    stop as soon as the listing moves past the `{prefix}.` block, and —
+    *    when the bound and the observed keys carry equal-width epoch-millis
+    *    — as soon as the key exceeds `{prefix}.{before}` (skipped keys are
+    *    never even returned). An unordered FS (e.g. local) silently falls
+    *    back to the full scan, still streamed.
+    */
   def list(spark: SparkSession, dirUri: String, prefix: String,
            afterMs: Option[Long] = None, beforeMs: Option[Long] = None): Seq[FileInfo] = {
-    val path = new Path(dirUri)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return Seq.empty
-    fs.listStatus(path).toSeq
-      .filter(_.isFile)
-      .flatMap(st => parse(st.getPath.getName).map(_.copy(key = st.getPath.toString)))
-      .filter(_.prefix == prefix)
-      .filter(f => afterMs.forall(f.timestamp_ms > _))
-      .filter(f => beforeMs.forall(f.timestamp_ms <= _))
-      .sortBy(_.timestamp_ms)
+    val root = new Path(dirUri)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[FileInfo]
+    val beforeStr = beforeMs.map(_.toString)
+    // Early exit is only sound when the store contractually lists keys in
+    // lexicographic order; a local directory merely *happening* to look
+    // sorted so far must not be trusted (the next entry can sort earlier).
+    val assumeOrdered =
+      Set("s3a", "s3", "s3n", "hdfs", "abfs", "abfss", "gs", "wasb", "wasbs")
+        .contains(fs.getScheme)
+
+    def scanDir(dir: Path): Unit = {
+      val it = fs.listStatusIterator(dir)
+      var sortedSoFar = assumeOrdered
+      var prevName: String = null
+      var pastPrefixBlock = false
+      while (it.hasNext && !(sortedSoFar && pastPrefixBlock)) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (prevName != null && name.compareTo(prevName) < 0) sortedSoFar = false
+        prevName = name
+        if (st.isDirectory) {
+          // Only date-named subdirectories are entered (predictable layout);
+          // a day disjoint with (after, before] is pruned without listing.
+          dirDayRange(name).foreach { case (dayLo, dayHi) =>
+            val live = afterMs.forall(_ < dayHi) && beforeMs.forall(_ >= dayLo)
+            if (live) scanDir(st.getPath)
+          }
+        } else {
+          parse(name).filter(_.prefix == prefix) match {
+            case Some(f) =>
+              if (afterMs.forall(f.timestamp_ms > _) && beforeMs.forall(f.timestamp_ms <= _))
+                out += f.copy(key = st.getPath.toString)
+              // Upper-bound early stop: valid only while the listing is
+              // ordered and the widths match (lexicographic == numeric).
+              beforeStr.foreach { b =>
+                if (f.timestamp_ms.toString.length == b.length && f.timestamp_ms > beforeMs.get)
+                  pastPrefixBlock = true
+              }
+            case None =>
+              // Ordered listings put the whole `{prefix}.` block contiguously:
+              // once past it, no later key can match.
+              if (name.compareTo(prefix + ".") > 0 && !name.startsWith(prefix + "."))
+                pastPrefixBlock = true
+          }
+        }
+      }
+    }
+    scanDir(root)
+    out.sortBy(_.timestamp_ms).toSeq
   }
 
   /** Explicit single-file selection (S5, huckli-import/src/lib.rs:272-275).

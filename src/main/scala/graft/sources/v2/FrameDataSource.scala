@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +55,7 @@ class FrameTable(properties: util.Map[String, String]) extends Table with Suppor
   override def name(): String = s"huckli-frames(${properties.get("path")})"
   override def schema(): StructType = FrameDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FrameScanBuilder(options)
 }
@@ -82,6 +83,58 @@ class FrameScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder wi
       SparkSession.active.sessionState.newHadoopConf())
     FrameReaderFactory(conf)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FrameMicroBatchStream(options)
+}
+
+/** Offset = high-water file timestamp (epoch millis): the same monotone key
+  * the reference's StartAfter checkpoint uses (huckli-s3/src/lib.rs:90-100).
+  * A micro-batch is exactly the files with timestamp in (start, end]. */
+case class FrameOffset(ts: Long) extends Offset {
+  override def json(): String = s"""{"ts":$ts}"""
+}
+
+/** Streaming half of the `huckli-frames` source: each trigger lists only
+  * keys past the committed high-water mark (FileCatalog prunes listing
+  * server-side where the store supports it) and plans one partition per new
+  * file — no whole-object materialization, same streaming frame readers as
+  * the batch path. Spark's own checkpointLocation persists the offset, so
+  * restarts resume exactly-once without a files_processed table. */
+class FrameMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
+  private val spark = SparkSession.active
+  private val path = Option(options.get("path"))
+    .getOrElse(throw new IllegalArgumentException("option 'path' is required"))
+  private val prefix = Option(options.get("prefix"))
+    .getOrElse(throw new IllegalArgumentException("option 'prefix' is required"))
+  private val startAfter = Option(options.get("afterMs")).map(_.toLong).getOrElse(-1L)
+
+  override def initialOffset(): Offset = FrameOffset(startAfter)
+
+  override def latestOffset(): Offset = {
+    val files = FileCatalog.list(spark, path, prefix,
+      afterMs = Some(startAfter).filter(_ >= 0))
+    FrameOffset(files.lastOption.map(_.timestamp_ms).getOrElse(startAfter))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FrameOffset].ts
+    val e = end.asInstanceOf[FrameOffset].ts
+    FileCatalog.list(spark, path, prefix,
+        afterMs = Some(s).filter(_ >= 0), beforeMs = Some(e))
+      .map(f => FrameInputPartition(f.key, f.prefix, f.timestamp_ms): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FrameReaderFactory(new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
+  override def deserializeOffset(json: String): Offset =
+    FrameOffset(json.filter(c => c.isDigit || c == '-').toLong)
+
+  override def commit(end: Offset): Unit = () // offset log lives in the checkpoint
+
+  override def stop(): Unit = ()
 }
 
 case class FrameInputPartition(key: String, prefix: String, timestampMs: Long)

@@ -4,7 +4,6 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.codec.Framing
 import graft.ingest.Flatten
 import graft.ingest.Tables.VerifiedSpeedtestReport
 import graft.sources.FrameSource.RawFrame
@@ -67,37 +66,27 @@ object StreamingOps {
       }
   }
 
-  /** Streaming ingest of reference-format files: the file stream discovers
-    * new `{prefix}.{millis}.gz` objects as they land, each micro-batch
-    * decodes frames and appends — checkpointLocation replaces the
-    * files_processed table with exactly-once semantics.
-    *
-    * Uses the binaryFile stream source (whole-object materialization is
-    * acceptable here: reference bucket objects are MB-scale; the batch path
-    * in FrameSource streams instead). */
-  def speedtestStream(spark: SparkSession, dirGlob: String): Dataset[VerifiedSpeedtestReport] = {
+  /** Streaming ingest of reference-format files through the `huckli-frames`
+    * DSv2 source (MICRO_BATCH_READ): each trigger lists only keys past the
+    * committed high-water file timestamp (the StartAfter analog), plans one
+    * partition per new file, and the readers stream gunzip→frame — no
+    * whole-object materialization, identical to the batch path. The stream's
+    * checkpointLocation replaces the files_processed table with exactly-once
+    * semantics. */
+  def speedtestStream(spark: SparkSession, dir: String,
+                      prefix: String = "verified_speedtest"): Dataset[VerifiedSpeedtestReport] = {
     implicit val enc = Encoders.product[VerifiedSpeedtestReport]
-    implicit val rawEnc = Encoders.tuple(Encoders.STRING, Encoders.BINARY)
+    implicit val rawEnc = Encoders.product[RawFrame]
     spark.readStream
-      .format("binaryFile")
-      .option("pathGlobFilter", "*.gz")
-      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-      .load(dirGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+      .format("huckli-frames")
+      .option("path", dir)
+      .option("prefix", prefix)
+      .load()
+      .as[RawFrame]
       .mapPartitions { it =>
-        it.flatMap { case (path, content) =>
-          val frames = Framing.gzipFrames(new java.io.ByteArrayInputStream(content))
-          val info = graft.sources.FileCatalog.parse(
-            new org.apache.hadoop.fs.Path(path).getName)
-          var idx = -1L
-          frames.flatMap { bytes =>
-            idx += 1
-            val raw = RawFrame(path, info.map(_.prefix).getOrElse(""),
-              info.map(_.timestamp_ms).getOrElse(0L), idx, bytes)
-            try Some(Flatten.speedtest(raw))
-            catch { case _: Exception => None } // S10: drop record, continue
-          }
+        it.flatMap { raw =>
+          try Some(Flatten.speedtest(raw))
+          catch { case _: Exception => None } // S10: drop record, continue
         }
       }
   }

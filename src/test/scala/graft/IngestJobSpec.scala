@@ -47,6 +47,34 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FileCatalog.parse("no-timestamp-here").isEmpty)
   }
 
+  test("nested date-partitioned listing: directory-level pruning + after/before") {
+    val base = Files.createTempDirectory("graft-list")
+    def touch(rel: String): Unit = {
+      val p = base.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array.emptyByteArray)
+    }
+    touch("dt=2023-11-14/verified_speedtest.1699930000000.gz") // == after → excluded
+    touch("dt=2023-11-15/verified_speedtest.1700010000000.gz")
+    touch("2023-11-16/verified_speedtest.1700100000000.gz")    // bare-date dir form
+    touch("dt=2023-11-15/other_prefix.1700010000001.gz")       // wrong prefix
+    // dir date far out of range but the file ts inside IS in range: partition
+    // pruning must never list this day, so the file cannot appear
+    touch("dt=2020-01-01/verified_speedtest.1700020000000.gz")
+    touch("misc/verified_speedtest.1700030000000.gz")          // non-date dir: not entered
+    touch("verified_speedtest.1700050000000.gz")               // flat root file still works
+
+    val got = FileCatalog.list(spark, base.toString, "verified_speedtest",
+      afterMs = Some(1699930000000L), beforeMs = Some(1700101000000L))
+    assert(got.map(_.timestamp_ms) ==
+      Seq(1700010000000L, 1700050000000L, 1700100000000L))
+    // day-range maths: dt= and bare forms parse; garbage does not
+    assert(FileCatalog.dirDayRange("dt=2023-11-14").contains(
+      (1699920000000L, 1700006399999L)))
+    assert(FileCatalog.dirDayRange("2023-11-14").isDefined)
+    assert(FileCatalog.dirDayRange("part-0001").isEmpty)
+  }
+
   test("verified speedtest: flat ingest end-to-end (t1 smoke)") {
     def st(i: Int) = Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
       Some(SpeedtestIngest(Some(SpeedtestReq(
@@ -267,6 +295,57 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(graft.types.Schemas.catalog.contains(table), table)
       case _ => ()
     }
+  }
+
+  test("atomic commit: crash mid-publish is repaired on re-run — exactly-once counts") {
+    val objs = Seq(
+      CoverageObjectV1(HotspotKey(Array[Byte](9)), Array.tabulate[Byte](16)(_.toByte),
+        1700000000L, indoor = true,
+        Seq(CoverageLocationMsg("hexX", 2, -80), CoverageLocationMsg("hexY", 3, -70))),
+      CoverageObjectV1(CbsdId("cbsd-9"), Array.tabulate[Byte](16)(i => (i + 2).toByte),
+        1700000001L, indoor = false, Seq(CoverageLocationMsg("hexZ", 1, -95))))
+    val in = Files.createTempDirectory("graft-txn-in")
+    def fixture(name: String): Unit = {
+      val out = new FileOutputStream(in.resolve(name).toFile)
+      try Framing.writeGzipFrames(out, objs.map(Messages.CoverageObjectV1.encode))
+      finally out.close()
+    }
+    fixture("coverage_object.1700000005000.gz")
+
+    // Crash after ONE published move: one table's files land, the other
+    // table's and the checkpoint's do not — the exact window the reference
+    // leaves open (data without checkpoint).
+    sys.props("graft.test.failAfterMoves") = "1"
+    try intercept[IllegalStateException] {
+      IngestJob.run(spark, in.toString, wh("whTxn"), "coverage-objects")
+    } finally sys.props.remove("graft.test.failAfterMoves")
+    // the manifest committed, so recovery must finish the publish; the
+    // re-run then sees the file checkpointed and ingests nothing new
+    val res2 = IngestJob.run(spark, in.toString, wh("whTxn"), "coverage-objects")
+    assert(res2.files.isEmpty)
+    assert(spark.read.parquet(s"${wh("whTxn")}/coverage_object").count() == 2)
+    assert(spark.read.parquet(s"${wh("whTxn")}/coverage_location").count() == 3)
+    assert(spark.read.parquet(s"${wh("whTxn")}/files_processed").count() == 1)
+
+    // Crash BEFORE the commit point (zero moves published): nothing live, no
+    // checkpoint — recovery drops the orphan staging and the re-run ingests
+    // the file exactly once.
+    fixture("coverage_object.1700000006000.gz")
+    sys.props("graft.test.failAfterMoves") = "0"
+    try intercept[IllegalStateException] {
+      IngestJob.run(spark, in.toString, wh("whTxn"), "coverage-objects")
+    } finally sys.props.remove("graft.test.failAfterMoves")
+    // pre-commit-point crash simulation: also drop the manifest, as if the
+    // job died between staging and the commit rename
+    val fsys = new org.apache.hadoop.fs.Path(wh("whTxn"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.listStatus(new org.apache.hadoop.fs.Path(s"${wh("whTxn")}/_commits"))
+      .foreach(st => fsys.delete(st.getPath, false))
+    val res3 = IngestJob.run(spark, in.toString, wh("whTxn"), "coverage-objects")
+    assert(res3.files.map(_.timestamp_ms) == Seq(1700000006000L))
+    assert(spark.read.parquet(s"${wh("whTxn")}/coverage_object").count() == 4)
+    assert(spark.read.parquet(s"${wh("whTxn")}/coverage_location").count() == 6)
+    assert(spark.read.parquet(s"${wh("whTxn")}/files_processed").count() == 2)
   }
 
   test("idempotent replay: re-running the same ingest adds no duplicate rows") {
