@@ -1,13 +1,14 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 object Bench {
   /** Materialize every output column: checksum-aggregate instead of count()
     * so Catalyst cannot prune the projection work out of projection-shaped
-    * queries (count() lets it drop every column expression). */
+    * queries (count() lets it drop every column expression). XOR-folded —
+    * ANSI mode makes sum() throw on long overflow. */
   private def materialize(df: DataFrame): Unit =
     df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(sum("__h")).collect()
+      .agg(expr("bit_xor(__h)")).collect()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,6 +78,8 @@ object Main {
       val res = IngestJob.run(spark, input, warehouse, fileType, selection)
       println(s"processed ${res.files.size} files")
       res.rowCounts.toSeq.sorted.foreach { case (t, n) => println(f"  $t%-42s $n%d rows") }
+      // single-artifact interop: refresh the DuckDB view catalog (--db analog)
+      graft.types.Schemas.writeDuckDbCatalog(spark, warehouse)
     } catch {
       case e: IllegalStateException => System.err.println(e.getMessage); sys.exit(1)
     } finally spark.stop()

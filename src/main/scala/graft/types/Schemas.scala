@@ -138,4 +138,32 @@ object Schemas {
     }
     s"CREATE TABLE IF NOT EXISTS $table (${cols.mkString(",")})"
   }
+
+  /** Single-artifact interop — the reference's `--db` DuckDB output
+    * (huckli-import writes tables into one .db file) re-expressed for a
+    * warehouse that must scale: data stays in parquet, and a generated
+    * catalog script exposes every table as a DuckDB view. `duckdb my.db <
+    * catalog.sql` yields the same queryable single artifact without
+    * funnelling 100 TB through a single-node database file. */
+  def duckDbCatalog(warehouse: String, tables: Iterable[String]): String =
+    tables.toSeq.sorted.map { t =>
+      s"CREATE OR REPLACE VIEW $t AS SELECT * FROM read_parquet('$warehouse/$t/*.parquet');"
+    }.mkString("", "\n", "\n")
+
+  /** Write `catalog.sql` next to the warehouse tables (every non-internal
+    * directory becomes a view). Returns the rendered script. */
+  def writeDuckDbCatalog(spark: org.apache.spark.sql.SparkSession,
+                         warehouse: String): String = {
+    val p = new org.apache.hadoop.fs.Path(warehouse)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(_.startsWith("_"))
+    val sql = duckDbCatalog(warehouse, tables)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, "catalog.sql"), true)
+    try out.write(sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    sql
+  }
 }

@@ -297,6 +297,15 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DuckDB view catalog (--db interop): one view per live warehouse table") {
+    val sql = graft.types.Schemas.writeDuckDbCatalog(spark, wh("wh1"))
+    assert(sql.contains("CREATE OR REPLACE VIEW verified_speedtest_report AS"))
+    assert(sql.contains("CREATE OR REPLACE VIEW files_processed AS"))
+    assert(sql.contains("read_parquet"))
+    assert(!sql.contains("_staging") && !sql.contains("_commits"))
+    assert(Files.exists(dir.resolve("wh1").resolve("catalog.sql")))
+  }
+
   test("atomic commit: crash mid-publish is repaired on re-run — exactly-once counts") {
     val objs = Seq(
       CoverageObjectV1(HotspotKey(Array[Byte](9)), Array.tabulate[Byte](16)(_.toByte),
