@@ -78,4 +78,65 @@ object TextOps {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // RE2-compatible patterns (portable to the DuckDB oracle verbatim).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** PII scrubbing: mask email and phone-shaped spans, emit redaction counts
+    * for audit. Two regex passes per row, narrow projection, no shuffle —
+    * the shape a 100 TB pre-training scrub needs. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        .as("clean_text"))
+  }
+
+  /** Token-window chunking: fixed windows of `chunkTokens` whitespace tokens
+    * advancing by `chunkTokens - overlap`, the unit a training pipeline
+    * feeds downstream. Emits (chunk ordinal, start token, token count, chunk
+    * content hash) per window — posexplode of window starts, so output rows
+    * scale with chunks, never tokens². */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 50, overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap ($overlap) must be in [0, chunkTokens=$chunkTokens)")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride)))
+          .as(Seq("__i", "__start")))
+      .select(
+        col(idCol),
+        col("__i").cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("start_tok"),
+        size(slice(col("__toks"), col("__start"), lit(chunkTokens)))
+          .cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__start"), lit(chunkTokens)))
+          .cast("binary")).as("chunk_hash"))
+  }
+
+  /** Composite quality score: penalize punctuation- and digit-heavy text
+    * (2× resp. 3× the character ratio), floor at 0; `keep` additionally
+    * requires a sane token count. One projection, deterministic arithmetic
+    * the oracle reproduces bit-for-bit. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 5, maxTokens: Int = 10000): DataFrame = {
+    val t = col(textCol)
+    val nTok = size(split(t, " ")).cast("long")
+    val nChars = length(t).cast("double")
+    val punctRatio = regexp_count(t, lit("[^A-Za-z0-9 ]")).cast("double") / nChars
+    val digitRatio = regexp_count(t, lit("[0-9]")).cast("double") / nChars
+    val score = round(greatest(lit(0.0),
+      lit(1.0) - lit(2.0) * punctRatio - lit(3.0) * digitRatio), 4)
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      score.as("quality_score"),
+      (score >= 0.5 && nTok >= minTokens && nTok <= maxTokens).as("keep"))
+  }
 }

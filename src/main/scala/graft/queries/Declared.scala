@@ -337,7 +337,23 @@ object Declared {
       t(s, d, "orders")
         .groupBy("o_custkey")
         .agg(concat_ws(",", array_sort(collect_list(col("o_orderkey")))).as("order_keys"),
-          count(lit(1)).as("n_orders")))
+          count(lit(1)).as("n_orders"))),
+
+    // Q30: backward as-of join — each click enriched with the latest
+    // purchase at-or-before it per user, via the union+running-window
+    // operator (one shuffle, no range-join pair blowup). The right side is
+    // pre-aggregated per (user, ts) so "latest" is unambiguous; the oracle
+    // is DuckDB's native ASOF LEFT JOIN.
+    "q30_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      graft.operators.AsOfJoin.backward(clicks, purchases, "user_id",
+        leftTs = "ts", rightTs = "ts", payloads = Seq("purchase_value"))
+        .select("event_id", "user_id", "asof_ts", "purchase_value")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -526,6 +542,13 @@ object Declared {
     "q29_collect" ->
       """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
         | CAST(count(*) AS BIGINT) AS n_orders
-        |FROM orders GROUP BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q30_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.ts AS asof_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
   )
 }

@@ -46,6 +46,26 @@ object LlmQueries {
     "llm_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d), "doc_id", "text")),
     "llm_dedup_exact" -> ((s, d) => TextOps.exactDedup(docs(s, d), "doc_id", "text")),
 
+    // PII scrub over documents with deterministic synthetic PII injected
+    // into every 7th doc (the fixtures carry none) — the oracle injects the
+    // same spans, so a hash mismatch means regex-semantics drift.
+    "llm_pii_scrub" -> ((s, d) =>
+      TextOps.piiScrub(
+        docs(s, d).withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-123-4567")))
+            .otherwise(col("text"))),
+        "doc_id", "text")),
+
+    // 50-token windows with 10-token overlap.
+    "llm_chunking" -> ((s, d) =>
+      TextOps.chunk(docs(s, d), "doc_id", "text", chunkTokens = 50, overlap = 10)),
+
+    // Composite punctuation/digit-density quality gate.
+    "llm_quality_score" -> ((s, d) =>
+      TextOps.qualityScore(docs(s, d), "doc_id", "text")),
+
     // MinHash+LSH near-dup: 64 perms × 16 bands, verify exact Jaccard ≥ 0.6.
     "llm_dedup_minhash" -> ((s, d) =>
       MinHash.nearDupPairs(docsWithDups(s, d), "doc_id", "text")),
@@ -182,6 +202,40 @@ object LlmQueries {
       """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "llm_pii_scrub" ->
+      raw"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 7 = 0
+           |    THEN text || ' contact user' || doc_id || '@example.com or 555-123-4567'
+           |    ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           | CAST(len(regexp_extract_all(text, '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS BIGINT) AS n_phones,
+           | regexp_replace(regexp_replace(text,
+           |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |   '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS clean_text
+           |FROM d""".stripMargin,
+    "llm_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(range(1, greatest(len(toks), 1) + 1, 40)) AS start_tok FROM t)
+        |SELECT doc_id,
+        | CAST((start_tok - 1) // 40 AS BIGINT) AS chunk_idx,
+        | CAST(start_tok AS BIGINT) AS start_tok,
+        | CAST(len(list_slice(toks, start_tok, start_tok + 49)) AS BIGINT) AS n_tokens,
+        | md5(array_to_string(list_slice(toks, start_tok, start_tok + 49), ' ')) AS chunk_hash
+        |FROM s""".stripMargin,
+    "llm_quality_score" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | round(greatest(0.0,
+        |   1.0 - 2.0 * (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text))
+        |       - 3.0 * (len(regexp_extract_all(text, '[0-9]')) / length(text))), 4) AS quality_score,
+        | (round(greatest(0.0,
+        |   1.0 - 2.0 * (len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / length(text))
+        |       - 3.0 * (len(regexp_extract_all(text, '[0-9]')) / length(text))), 4) >= 0.5
+        |  AND len(string_split(text, ' ')) BETWEEN 5 AND 10000) AS keep
+        |FROM documents""".stripMargin,
     // Ground truth for the MinHash pipeline: ALL pairs with Jaccard ≥ 0.6.
     "llm_dedup_minhash" ->
       s"""WITH $dupDocsCte,
