@@ -21,15 +21,47 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
+  // One accumulator pair per session, shared by every guard: shows up in the
+  // Spark UI as graft.skew_guard.* and is queryable via [[skewGuardDropped]].
+  // (A CollectMetrics observation was tried first, but AQE's empty-relation
+  // propagation prunes the observed subtree from the final plan exactly when
+  // every bucket is dropped — the case the signal exists for.)
+  private val guardAcc = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession,
+    (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)]
+  private def guards(s: org.apache.spark.sql.SparkSession) =
+    guardAcc.computeIfAbsent(s, s => (
+      s.sparkContext.longAccumulator("graft.skew_guard.dropped_buckets"),
+      s.sparkContext.longAccumulator("graft.skew_guard.dropped_rows")))
+
+  /** Session-cumulative (bucket, row) counts the skew guards discarded —
+    * monotone across actions (and, like any accumulator in a transformation,
+    * can over-count under task retries: a diagnostic, not an exact ledger).
+    * Non-zero growth means recall was traded for bounded work. */
+  def skewGuardDropped(s: org.apache.spark.sql.SparkSession): (Long, Long) = {
+    val g = guards(s)
+    (g._1.value, g._2.value)
+  }
+
   /** Skew guard shared by every bucketed candidate join: drop buckets larger
     * than maxBucket before the per-bucket join goes quadratic. Sizes come
     * from a map-side-combinable groupBy (cheaper than a count window over the
     * same key — no per-partition sort) joined back on the bucket key, which
-    * co-partitions with the downstream bucket join so the exchange is reused. */
+    * co-partitions with the downstream bucket join so the exchange is reused.
+    *
+    * The drop is never silent: the filter on the (tiny — one row per bucket)
+    * size aggregate routes through a counting predicate that feeds the
+    * session's `graft.skew_guard.*` accumulators. */
   private[llmops] def dropLargeBuckets(df: DataFrame, keys: Seq[String],
                                        maxBucket: Int): DataFrame = {
+    val (dropB, dropR) = guards(df.sparkSession)
+    val keep = udf { bsz: Long =>
+      val ok = bsz <= maxBucket
+      if (!ok) { dropB.add(1L); dropR.add(bsz) }
+      ok
+    }
     val small = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+      .filter(keep(col("__bsz"))).drop("__bsz")
     df.join(small, keys)
   }
 
@@ -81,20 +113,28 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: corpus and queries bucketed by hyperplane
     * signs; candidates are same-bucket only (plus optional 1-bit probes).
-    * Approximate — recall depends on numPlanes; rows-only checked. */
+    * Approximate — recall depends on numPlanes; rows-only checked.
+    *
+    * `probeAll` exhaustively probes every one of the 2^numPlanes buckets
+    * (and disables the skew guard, since no candidate may be lost): the
+    * probe-everything configuration is ≡ brute force — the CORRECTNESS
+    * anchor for this path, exactly as nprobe=k is for IVF. Only sane with
+    * small numPlanes (broadcast side is |Q|·2^numPlanes rows). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
               numPlanes: Int = 8, multiProbe: Boolean = true,
-              maxBucket: Int = 100000): DataFrame = {
+              maxBucket: Int = 100000, probeAll: Boolean = false): DataFrame = {
     // Skew guard: a degenerate corpus bucket (e.g. all-zero embeddings) would
     // otherwise make the query×bucket join O(|Q|·bucket) on one task.
-    val cb = dropLargeBuckets(
-      corpus.select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), dim, numPlanes).as("bucket")),
-      Seq("bucket"), maxBucket)
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
+    val cb = if (probeAll) bucketed else dropLargeBuckets(bucketed, Seq("bucket"), maxBucket)
     val qBase = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
       lshBucket(col("embedding"), dim, numPlanes).as("b0"))
     // Multi-probe: also search the numPlanes buckets at hamming distance 1.
-    val qb = if (multiProbe)
+    val qb = if (probeAll)
+      qBase.select(col("q_id"), col("q_vec"),
+        explode(sequence(lit(0L), lit((1L << numPlanes) - 1L))).as("bucket"))
+    else if (multiProbe)
       qBase.select(col("q_id"), col("q_vec"), explode(expr(
         s"array_union(array(b0), transform(sequence(0, ${numPlanes - 1}), " +
           "i -> CAST(b0 AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), i)))")).as("bucket"))

@@ -91,6 +91,14 @@ object LlmQueries {
       Similarity.lshTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d),
         dim = 64, k = 10)),
 
+    // LSH with probeAll scans every 2^numPlanes bucket → exact top-k;
+    // hash-matches the same brute-force oracle as llm_cosine_topk, proving
+    // the bucket/probe/score/rank machinery end-to-end (the LSH analog of
+    // llm_ann_ivf_exact — a mismatch means lost candidates, not formatting).
+    "llm_ann_lsh_exact" -> ((s, d) =>
+      Similarity.lshTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d),
+        dim = 64, k = 10, numPlanes = 4, probeAll = true)),
+
     // IVF ANN: deterministic k-means cells + nprobe search (approximate →
     // rows-only). The model is trained once per data dir and reused.
     "llm_ann_ivf" -> ((s, d) => {
@@ -167,6 +175,23 @@ object LlmQueries {
       |             string_split(lower(text), ' ')[i+2])
       |      ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS s
       |  FROM all_docs)""".stripMargin
+
+  // Exact cosine top-10 for query vectors vec_id < 5 — the brute-force
+  // ground truth shared by llm_cosine_topk, llm_ann_ivf_exact (nprobe=k)
+  // and llm_ann_lsh_exact (probeAll).
+  private val bruteForceTopkSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    round(list_dot_product(q.q_vec, c.v) /
+      |      sqrt(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)), 4) AS sim
+      |  FROM q JOIN c ON c.vec_id != q.q_id)
+      |SELECT q_id, vec_id, sim, rnk FROM (
+      |  SELECT q_id, vec_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM scored) WHERE rnk <= 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "llm_text_stats" ->
@@ -251,34 +276,12 @@ object LlmQueries {
          |  round(len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)), 4) AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
          |WHERE a.doc_id % 10 = 0""".stripMargin,
-    // Same ground truth as llm_cosine_topk: IVF with nprobe=k must find the
-    // exact top-k, so a hash mismatch here is a recall bug in the IVF path.
-    "llm_ann_ivf_exact" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
-        |           FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |scored AS (
-        |  SELECT q.q_id, c.vec_id,
-        |    round(list_dot_product(q.q_vec, c.v) /
-        |      sqrt(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)), 4) AS sim
-        |  FROM q JOIN c ON c.vec_id != q.q_id)
-        |SELECT q_id, vec_id, sim, rnk FROM (
-        |  SELECT q_id, vec_id, sim,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
-        |  FROM scored) WHERE rnk <= 10""".stripMargin,
-    "llm_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
-        |           FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |scored AS (
-        |  SELECT q.q_id, c.vec_id,
-        |    round(list_dot_product(q.q_vec, c.v) /
-        |      sqrt(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)), 4) AS sim
-        |  FROM q JOIN c ON c.vec_id != q.q_id)
-        |SELECT q_id, vec_id, sim, rnk FROM (
-        |  SELECT q_id, vec_id, sim,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
-        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+    // Shared ground truth for llm_cosine_topk AND both exact ANN entries:
+    // IVF with nprobe=k and LSH with probeAll must each find the exact
+    // top-k, so a hash mismatch there is a recall bug in that ANN path.
+    "llm_ann_ivf_exact" -> bruteForceTopkSql,
+    "llm_ann_lsh_exact" -> bruteForceTopkSql,
+    "llm_cosine_topk" -> bruteForceTopkSql,
     // Ground truth for the cosine-LSH pipeline: ALL pairs with sim ≥ 0.95.
     "llm_cosine_neardup" ->
       """WITH all_vecs AS (

@@ -68,6 +68,61 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.subsetOf(two)) // OR-construction: extra table can only add pairs
   }
 
+  test("lshTopK probeAll scans every bucket — result identical to brute force") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(queries, corpus, 10))
+    val probed = asSet(Similarity.lshTopK(queries, corpus, dim = 64, k = 10,
+      numPlanes = 4, probeAll = true))
+    assert(probed == exact)
+  }
+
+  test("lshTopK approximate recall@10 >= 0.9 on a near-neighbor corpus") {
+    val s0 = spark
+    import s0.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = base.filter(col("vec_id") < 5)
+    // Plant 10 deterministic jittered copies of each query in the corpus:
+    // their cosine to the query is ~0.9999, so the true top-10 per query is
+    // exactly its plants — the realistic ANN regime (neighbors genuinely
+    // close, not arbitrary mid-similarity corpus rows).
+    def jitter(q: Long, j: Int, i: Int): Float = {
+      var z = q * 1469598103934665603L + j * 40503L + i * 31L + 17L
+      z = (z ^ (z >>> 33)) * 0xFF51AFD7ED558CCDL
+      ((z ^ (z >>> 33)).toDouble / Long.MaxValue.toDouble * 0.005).toFloat
+    }
+    val planted = queries.collect().flatMap { r =>
+      val q = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      (0 until 10).map { j =>
+        (2000000L + q * 100 + j, v.indices.map(i => v(i) + jitter(q, j, i)).toArray)
+      }
+    }.toSeq.toDF("vec_id", "embedding")
+    val corpus = base.union(planted)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, corpus, 10))
+    val approx = pairs(Similarity.lshTopK(queries, corpus, dim = 64, k = 10,
+      numPlanes = 8, multiProbe = true))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 was $recall")
+  }
+
+  test("skew guard drops are observable, not silent") {
+    val (b0, r0) = Similarity.skewGuardDropped(spark)
+    val df = degenerate(300)
+    val res = Similarity.lshTopK(df.filter(col("vec_id") < 2), df,
+      dim = 8, k = 5, numPlanes = 4, maxBucket = 100)
+    res.collect()
+    val (b1, r1) = Similarity.skewGuardDropped(spark)
+    assert(b1 - b0 >= 1L, s"dropped_buckets delta was ${b1 - b0}")
+    assert(r1 - r0 >= 300L, s"dropped_rows delta was ${r1 - r0}")
+  }
+
   test("autoPlanes scales with corpus size and clamps") {
     assert(Similarity.autoPlanes(100) == 4)
     assert(Similarity.autoPlanes(1024L * 1024, targetBucket = 1024) == 10)
