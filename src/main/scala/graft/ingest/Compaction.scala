@@ -1,0 +1,71 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Bin-pack compaction for TxnCommit tables.
+  *
+  * Every incremental ingest publishes commitId-prefixed part files; thousands
+  * of runs → small-file proliferation, the classic listing/scan killer at
+  * scale (each file costs a listing entry, a footer read, and a task). This
+  * rewrites a table's committed files into ~targetBytes outputs behind the
+  * same stage/commit/publish protocol as ingest, so the swap is crash-safe
+  * and — through the [[Snapshots]] log entry — atomic for snapshot readers:
+  * they see the old file set or the new one, never half of each. (A live
+  * *directory* reader can transiently double-count between the adds landing
+  * and the deletes finishing — exactly the race `Snapshots.read` exists to
+  * close; `asOf` readers of pre-compaction versions lose those files, the
+  * standard vacuum trade-off.)
+  *
+  * The rewrite reads only the input file list (no directory scan), and
+  * `coalesce` packs partitions without a shuffle — compaction moves bytes
+  * once, through narrow tasks.
+  */
+object Compaction {
+
+  case class Result(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Committed part files of `table`: the latest snapshot's file set when a
+    * log exists (never touches uncommitted or mid-publish files), else the
+    * live directory listing (pre-snapshot-era warehouses). */
+  private def liveFiles(spark: SparkSession, warehouse: String,
+                        table: String): Seq[(String, Long)] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.fileSet(fs, warehouse, table) match {
+      case Some(files) =>
+        files.filter(f => fs.exists(new Path(f)))
+          .map(f => f -> fs.getFileStatus(new Path(f)).getLen)
+      case None =>
+        val dir = new Path(s"$warehouse/$table")
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq.filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .map(st => st.getPath.toString -> st.getLen)
+    }
+  }
+
+  /** Compact `table` into files of ~`targetBytes`. No-op (None) when the
+    * table already has ≤1 file or fewer than `minInputFiles` inputs. */
+  def compact(spark: SparkSession, warehouse: String, table: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              minInputFiles: Int = 2): Option[Result] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputs = liveFiles(spark, warehouse, table)
+    if (inputs.size < minInputFiles) return None
+    val totalBytes = inputs.map(_._2).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (nOut >= inputs.size) return None // already at or under target granularity
+
+    val commitId = java.util.UUID.randomUUID().toString
+    val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
+    spark.read.parquet(inputs.map(_._1): _*)
+      .coalesce(nOut)
+      .write.parquet(staging)
+    val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+    TxnCommit.commit(fs, warehouse, commitId, moves, deletes = inputs.map(_._1))
+    TxnCommit.publish(fs, warehouse, commitId, moves, deletes = inputs.map(_._1))
+    Some(Result(inputs.size, moves.size, totalBytes))
+  }
+}

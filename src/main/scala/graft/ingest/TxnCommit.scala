@@ -56,25 +56,31 @@ object TxnCommit {
       Move(src.toString, s"$warehouse/$table/$commitId-${src.getName}")
     }
 
-  /** COMMIT point: persist the manifest (tmp + atomic rename). */
+  /** COMMIT point: persist the manifest (tmp + atomic rename). `deletes`
+    * (live files to remove once the moves have landed — compaction's swap-out
+    * half) are recorded as `DEL\t<path>` lines so recovery finishes them. */
   def commit(fs: FileSystem, warehouse: String, commitId: String,
-             moves: Seq[Move]): Unit = {
+             moves: Seq[Move], deletes: Seq[String] = Nil): Unit = {
     fs.mkdirs(commitsDir(warehouse))
     val tmp = new Path(commitsDir(warehouse), s"$commitId.manifest.tmp")
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
     val out = fs.create(tmp, true)
-    try out.write(moves.map(m => s"${m.src}\t${m.dest}").mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(
+      (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d"))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, fin))
       throw new IllegalStateException(s"commit rename failed for $commitId")
   }
 
-  /** PUBLISH: apply every move, then drop staging + manifest (in that order —
-    * the manifest must outlive any state it still needs to repair).
+  /** PUBLISH: apply every move, flip the [[Snapshots]] log entry (snapshot
+    * readers switch to the new version atomically here), apply deletes, then
+    * drop staging + manifest (in that order — the manifest must outlive any
+    * state it still needs to repair). Every step is idempotent, so a
+    * recovery re-run after a crash at any point converges.
     * `graft.test.failAfterMoves` is a crash-injection point for tests. */
   def publish(fs: FileSystem, warehouse: String, commitId: String,
-              moves: Seq[Move]): Unit = {
+              moves: Seq[Move], deletes: Seq[String] = Nil): Unit = {
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
     moves.foreach { m =>
@@ -84,16 +90,25 @@ object TxnCommit {
       val dest = new Path(m.dest)
       if (fs.exists(src)) { // already-landed moves (recovery re-run) are skipped
         fs.mkdirs(dest.getParent)
-        if (!fs.rename(src, dest))
+        // A lost rename race against a concurrent recovery of the same
+        // manifest is fine as long as the destination landed.
+        if (!fs.rename(src, dest) && !fs.exists(dest))
           throw new IllegalStateException(s"publish rename failed: ${m.src} -> ${m.dest}")
       }
       applied += 1
     }
+    // Destinations are always `<warehouse>/<table>/<file>`, so the table is
+    // the parent directory name.
+    def tableOf(p: String) = new Path(p).getParent.getName
+    Snapshots.append(fs, warehouse, commitId,
+      adds = moves.map(m => tableOf(m.dest) -> m.dest),
+      removes = deletes.map(d => tableOf(d) -> d))
+    deletes.foreach(d => fs.delete(new Path(d), false))
     fs.delete(new Path(stagingDir(warehouse, commitId)), true)
     fs.delete(new Path(commitsDir(warehouse), s"$commitId.manifest"), false)
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Seq[Move] = {
+  private def readManifest(fs: FileSystem, p: Path): (Seq[Move], Seq[String]) = {
     val in = fs.open(p)
     val bytes =
       try {
@@ -103,23 +118,39 @@ object TxnCommit {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         buf.toByteArray
       } finally in.close()
-    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-      .filter(_.nonEmpty).map { line =>
-        val Array(src, dest) = line.split("\t", 2)
-        Move(src, dest)
-      }
+    val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty).map(_.split("\t", 2))
+    val (dels, mvs) = lines.partition(_.head == "DEL")
+    (mvs.map { case Array(src, dest) => Move(src, dest) }, dels.map(_.apply(1)))
   }
 
+  /** Grace period before an uncommitted staging dir is considered orphaned.
+    * Publishing a manifest is safe concurrently (idempotent renames), but
+    * deleting staging is NOT: a second live job's in-progress staging looks
+    * identical to a crashed job's leftovers. Age is the discriminator — a
+    * live job touches its staging well within this window. */
+  val OrphanStagingTtlMs: Long = 60L * 60 * 1000
+
   /** Repair on startup: finish committed-but-unpublished manifests, remove
-    * orphaned (uncommitted) staging dirs. Call before reading the checkpoint. */
-  def recover(fs: FileSystem, warehouse: String): Unit = {
+    * orphaned (uncommitted) staging dirs older than `orphanTtlMs`. Call
+    * before reading the checkpoint.
+    *
+    * Concurrency: manifest replay races a live publisher safely (every step
+    * idempotent, lost renames tolerated). The TTL keeps recovery from wiping
+    * a concurrent ingest's in-flight staging — without it, the victim's
+    * publish would silently move nothing (missing src ⇒ "already landed")
+    * while still reporting its row counts. S3A note stands: rename there is
+    * copy+delete, so pair multi-writer warehouses with a real table format. */
+  def recover(fs: FileSystem, warehouse: String,
+              orphanTtlMs: Long = OrphanStagingTtlMs): Unit = {
     val cd = commitsDir(warehouse)
     if (fs.exists(cd)) {
       fs.listStatus(cd).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".manifest"))
         .foreach { mf =>
           val commitId = mf.getName.stripSuffix(".manifest")
-          publish(fs, warehouse, commitId, readManifest(fs, mf))
+          val (moves, deletes) = readManifest(fs, mf)
+          publish(fs, warehouse, commitId, moves, deletes)
         }
       // stray .tmp manifests never reached the commit point: drop them
       fs.listStatus(cd).toSeq.map(_.getPath)
@@ -127,7 +158,11 @@ object TxnCommit {
         .foreach(fs.delete(_, false))
     }
     val sr = stagingRoot(warehouse)
-    if (fs.exists(sr))
-      fs.listStatus(sr).toSeq.map(_.getPath).foreach(fs.delete(_, true))
+    if (fs.exists(sr)) {
+      val cutoff = System.currentTimeMillis() - orphanTtlMs
+      fs.listStatus(sr).toSeq
+        .filter(_.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Compaction, Snapshots, TxnCommit}
+
+/** Snapshot-isolated reads + compaction over the TxnCommit log. */
+class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-tablefmt")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Stage + commit + publish one single-file batch of `ids` into `table`. */
+  private def publishBatch(warehouse: String, table: String, ids: Range): String = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
+    val s0 = spark
+    import s0.implicits._
+    ids.map(_.toLong).toDF("id").coalesce(1).write.parquet(staging)
+    val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+    TxnCommit.commit(fs, warehouse, commitId, moves)
+    TxnCommit.publish(fs, warehouse, commitId, moves)
+    commitId
+  }
+
+  private def partFiles(warehouse: String, table: String): Seq[String] = {
+    val d = new Path(s"$warehouse/$table")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+  }
+
+  test("snapshot isolation: a reader pinned at version N is immune to later commits") {
+    val w = wh("whSnap")
+    publishBatch(w, "t", 1 to 10)
+    assert(Snapshots.latestVersion(fs, w).contains(0L))
+    // Reader resolves (and pins) version 0's file list now.
+    val pinned = Snapshots.read(spark, w, "t")
+    assert(pinned.count() == 10)
+    // A concurrent publish lands version 1 …
+    publishBatch(w, "t", 11 to 20)
+    assert(Snapshots.latestVersion(fs, w).contains(1L))
+    // … the pinned reader still sees exactly version 0,
+    assert(pinned.count() == 10)
+    assert(pinned.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 55L)
+    // a fresh read sees both, and as-of time-travels back to 0.
+    assert(Snapshots.read(spark, w, "t").count() == 20)
+    assert(Snapshots.read(spark, w, "t", asOf = Some(0L)).count() == 10)
+  }
+
+  test("snapshot append is idempotent by commitId (recovery replays)") {
+    val w = wh("whIdem")
+    val cid = publishBatch(w, "t", 1 to 5)
+    val before = Snapshots.entries(fs, w)
+    Snapshots.append(fs, w, cid, adds = Seq("t" -> "bogus"), removes = Nil)
+    assert(Snapshots.entries(fs, w) == before) // replay ignored
+    assert(Snapshots.read(spark, w, "t").count() == 5)
+  }
+
+  test("compaction: fewer files, identical rows and aggregates, snapshot-atomic swap") {
+    val w = wh("whComp")
+    (0 until 4).foreach(i => publishBatch(w, "t", (i * 100) until (i * 100 + 25)))
+    assert(partFiles(w, "t").size == 4)
+    val sumBefore = Snapshots.read(spark, w, "t")
+      .agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+    val vBefore = Snapshots.latestVersion(fs, w).get
+
+    val res = Compaction.compact(spark, w, "t").get
+    assert(res.filesBefore == 4 && res.filesAfter == 1)
+    assert(partFiles(w, "t").size == 1) // old files vacuumed
+    val after = Snapshots.read(spark, w, "t")
+    assert(after.count() == 100)
+    assert(after.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == sumBefore)
+    assert(Snapshots.latestVersion(fs, w).get == vBefore + 1)
+    // a second compact is a no-op (already one file)
+    assert(Compaction.compact(spark, w, "t").isEmpty)
+  }
+
+  test("crash mid-compaction loses nothing: recovery completes the swap") {
+    val w = wh("whCompCrash")
+    (0 until 3).foreach(i => publishBatch(w, "t", (i * 10) until (i * 10 + 10)))
+    sys.props("graft.test.failAfterMoves") = "0" // die before any move lands
+    try intercept[IllegalStateException] { Compaction.compact(spark, w, "t") }
+    finally sys.props.remove("graft.test.failAfterMoves")
+    // Committed manifest + untouched inputs: snapshot readers still see v2.
+    assert(Snapshots.read(spark, w, "t").count() == 30)
+    TxnCommit.recover(fs, w)
+    assert(partFiles(w, "t").size == 1)
+    val df = Snapshots.read(spark, w, "t")
+    assert(df.count() == 30)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == (0 until 30).sum)
+  }
+
+  test("recover() leaves fresh (possibly live) staging alone; reaps aged orphans") {
+    val w = wh("whTtl")
+    publishBatch(w, "t", 1 to 3)
+    val orphan = new Path(TxnCommit.stagingDir(w, "live-job"))
+    fs.mkdirs(orphan)
+    TxnCommit.recover(fs, w) // default TTL: the fresh dir survives
+    assert(fs.exists(orphan))
+    TxnCommit.recover(fs, w, orphanTtlMs = -1000L) // everything is "aged"
+    assert(!fs.exists(orphan))
+  }
+}
