@@ -8,9 +8,11 @@ object SparkEntry {
     queries("q07_join_multi")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Declared.queries ++ graft.queries.LlmQueries.queries
+    graft.queries.Declared.queries ++ graft.queries.LlmQueries.queries ++
+      graft.queries.StreamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Declared.oracleSql ++ graft.queries.LlmQueries.oracleSql
+    graft.queries.Declared.oracleSql ++ graft.queries.LlmQueries.oracleSql ++
+      graft.queries.StreamQueries.oracleSql
 }

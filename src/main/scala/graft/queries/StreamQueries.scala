@@ -1,0 +1,69 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+/** CORRECTNESS bridge for the Structured Streaming operators: run the REAL
+  * streaming execution path (file-stream source → watermarked stateful agg →
+  * sink) to completion with `Trigger.AvailableNow`, and hand the final sink
+  * contents back as a static DataFrame the driver hash-compares against the
+  * same DuckDB oracles as the batch q23/q24 queries.
+  *
+  * Batch equivalents being oracle-green says nothing about the streaming
+  * runtime (state store, watermarking, session merge) — these entries make a
+  * regression there visible in CORRECTNESS, not just in StreamingSpec.
+  *
+  * The memory sink + complete mode is deliberate: append mode can only emit
+  * windows the watermark has passed, so the tail windows of a bounded fixture
+  * would be withheld and never match the batch oracle. Complete mode keeps
+  * every window in the state store — exactly what the oracle describes. The
+  * driver-sized sink is fine for a correctness gate; the production sink for
+  * these pipelines is `writeStream.format("parquet")`/`foreachBatch` (see
+  * StreamingOps), which this bridge does not replace.
+  */
+object StreamQueries {
+
+  /** Run `xform` over a file-stream of the events fixture to completion and
+    * return the sink table. Unique query names keep repeated runs (bench
+    * does 3) independent. */
+  private def runToCompletion(s: SparkSession, dir: String)
+                             (xform: DataFrame => DataFrame): DataFrame = {
+    // Same NANOS-timestamp handling as Declared.events: nanos as long, then
+    // truncate to micros (identical to DuckDB CAST(ts AS TIMESTAMP)).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The fixture is a single file; the file-stream source wants a directory
+    // or glob (its basePath must be a dir) — the trailing * keeps the
+    // non-glob prefix at $dir while matching exactly the events file/dir.
+    val stream = s.readStream.schema(schema).parquet(path + "*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = xform(stream).writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q23 through the streaming runtime: watermark + tumbling window state.
+    "stream_tumbling" -> ((s, d) =>
+      runToCompletion(s, d)(StreamingOps.tumblingCounts(_))),
+    // q24_session through the streaming runtime: session-merge state store.
+    "stream_session" -> ((s, d) =>
+      runToCompletion(s, d)(StreamingOps.sessionCounts(_))))
+
+  /** Same ground truth as the batch entries — the streaming runtime must
+    * produce byte-identical results on a bounded input. */
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" -> Declared.oracleSql("q23_window_tumbling"),
+    "stream_session" -> Declared.oracleSql("q24_session_window"))
+}
