@@ -19,8 +19,11 @@ import org.apache.spark.sql.SparkSession
   */
 object FileCatalog {
 
-  /** key + parsed metadata; timestamp is epoch millis (S2). */
-  case class FileInfo(key: String, prefix: String, timestamp_ms: Long)
+  /** key + parsed metadata; timestamp is epoch millis (S2). `size_bytes`
+    * rides along from the listing (free — the FileStatus is in hand) and
+    * feeds size-aware task packing; -1 when unknown (bare parse). */
+  case class FileInfo(key: String, prefix: String, timestamp_ms: Long,
+                      size_bytes: Long = -1L)
 
   // Same character-class quirk as the reference: commas are literal members.
   private val FileNameRe = raw"([a-z,\d,_]+)\.(\d+)(\.gz)?".r
@@ -74,16 +77,29 @@ object FileCatalog {
     // Early exit is only sound when the store contractually lists keys in
     // lexicographic order; a local directory merely *happening* to look
     // sorted so far must not be trusted (the next entry can sort earlier).
-    val assumeOrdered =
-      Set("s3a", "s3", "s3n", "hdfs", "abfs", "abfss", "gs", "wasb", "wasbs")
-        .contains(fs.getScheme)
+    // graft.test.assumeOrdered lets tests exercise the ordered paths on a
+    // local FS (where the scheme whitelist would otherwise mask them).
+    val assumeOrdered = sys.props.get("graft.test.assumeOrdered").map(_.toBoolean)
+      .getOrElse(
+        Set("s3a", "s3", "s3n", "hdfs", "abfs", "abfss", "gs", "wasb", "wasbs")
+          .contains(fs.getScheme))
+    // No entry sorting after this key can be interesting: neither a
+    // `{prefix}.…` file (the \uffff bound caps the block) nor a date-named
+    // subdirectory (`dt=`/`date=`/bare `yyyy-MM-dd`). Only past THIS key may
+    // an ordered scan stop entirely — a file-block early exit alone must
+    // keep the scan alive, because in a mixed flat+partitioned layout `dt=…`
+    // dirs can sort after the prefix block (e.g. prefix `coverage_object`)
+    // and their in-range files would otherwise be silently dropped.
+    val scanStopKey = Seq(prefix + ".\uffff", "date=9999-99-99",
+      "dt=9999-99-99", "9999-99-99").max
 
     def scanDir(dir: Path): Unit = {
       val it = fs.listStatusIterator(dir)
       var sortedSoFar = assumeOrdered
       var prevName: String = null
-      var pastPrefixBlock = false
-      while (it.hasNext && !(sortedSoFar && pastPrefixBlock)) {
+      var pastFileBlock = false // no more *files* here can match the prefix
+      var done = false
+      while (it.hasNext && !done) {
         val st = it.next()
         val name = st.getPath.getName
         if (prevName != null && name.compareTo(prevName) < 0) sortedSoFar = false
@@ -95,24 +111,25 @@ object FileCatalog {
             val live = afterMs.forall(_ < dayHi) && beforeMs.forall(_ >= dayLo)
             if (live) scanDir(st.getPath)
           }
-        } else {
+        } else if (!(sortedSoFar && pastFileBlock)) {
           parse(name).filter(_.prefix == prefix) match {
             case Some(f) =>
               if (afterMs.forall(f.timestamp_ms > _) && beforeMs.forall(f.timestamp_ms <= _))
-                out += f.copy(key = st.getPath.toString)
-              // Upper-bound early stop: valid only while the listing is
-              // ordered and the widths match (lexicographic == numeric).
+                out += f.copy(key = st.getPath.toString, size_bytes = st.getLen)
+              // Upper-bound early stop (files only): valid while the listing
+              // is ordered and the widths match (lexicographic == numeric).
               beforeStr.foreach { b =>
                 if (f.timestamp_ms.toString.length == b.length && f.timestamp_ms > beforeMs.get)
-                  pastPrefixBlock = true
+                  pastFileBlock = true
               }
             case None =>
               // Ordered listings put the whole `{prefix}.` block contiguously:
-              // once past it, no later key can match.
+              // once past it, no later *file* can match.
               if (name.compareTo(prefix + ".") > 0 && !name.startsWith(prefix + "."))
-                pastPrefixBlock = true
+                pastFileBlock = true
           }
         }
+        if (sortedSoFar && name.compareTo(scanStopKey) > 0) done = true
       }
     }
     scanDir(root)
@@ -125,8 +142,9 @@ object FileCatalog {
     * replay guard would miss `--file` re-runs of processed files. */
   def single(spark: SparkSession, key: String): Seq[FileInfo] = {
     val path = new Path(key)
-    val qualified = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(path).toString
-    parse(path.getName).map(_.copy(key = qualified)).toSeq
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(path).toString
+    val size = scala.util.Try(fs.getFileStatus(path).getLen).getOrElse(-1L)
+    parse(path.getName).map(_.copy(key = qualified, size_bytes = size)).toSeq
   }
 }

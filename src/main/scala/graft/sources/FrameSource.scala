@@ -26,6 +26,24 @@ object FrameSource {
   case class RawFrame(file_source: String, prefix: String, file_timestamp_ms: Long,
                       frame_index: Long, bytes: Array[Byte])
 
+  /** LPT (longest-processing-time) bin-packing: files sorted by size desc,
+    * each assigned to the currently lightest of `n` buckets. Gzip objects
+    * are unsplittable, so without this a couple of giant files land in one
+    * task and straggle the whole stage; LPT bounds the heaviest task at
+    * ≤ (ideal + largest single file). Unknown sizes (-1) count as 1 byte —
+    * they degrade to round-robin-ish spread, never to one bucket. */
+  private[graft] def packLpt(files: Seq[FileCatalog.FileInfo],
+                             n: Int): Seq[(Int, FileCatalog.FileInfo)] = {
+    val load = Array.fill(n)(0L)
+    files.sortBy(f => -math.max(f.size_bytes, 1L)).map { f =>
+      var best = 0
+      var i = 1
+      while (i < n) { if (load(i) < load(best)) best = i; i += 1 }
+      load(best) += math.max(f.size_bytes, 1L)
+      (best, f)
+    }
+  }
+
   def frames(spark: SparkSession, files: Seq[FileCatalog.FileInfo],
              parallelism: Int = 0): Dataset[RawFrame] = {
     implicit val enc = Encoders.product[RawFrame]
@@ -34,8 +52,16 @@ object FrameSource {
     val hadoopConf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val n = if (parallelism > 0) parallelism
       else math.min(math.max(files.size, 1), spark.sparkContext.defaultParallelism)
-    spark.createDataset(files)
-      .repartition(n)
+    // Exact bucket placement needs a real partitioner (a hash repartition on
+    // the bucket id would collide buckets back together).
+    val packed = spark.sparkContext
+      .parallelize(packLpt(files, n), math.max(1, math.min(files.size, n)))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = n
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    spark.createDataset(packed)
       .mapPartitions { it =>
         val open = new scala.collection.mutable.ArrayBuffer[java.io.Closeable]()
         Option(org.apache.spark.TaskContext.get()).foreach(

@@ -60,9 +60,23 @@ class FrameTable(properties: util.Map[String, String]) extends Table with Suppor
     new FrameScanBuilder(options)
 }
 
-class FrameScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder with Scan with Batch {
+class FrameScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder
+  with Scan with Batch with SupportsPushDownRequiredColumns {
+
+  // Column pruning: a metadata-only query (e.g. frames-per-file counts) must
+  // not materialize `bytes` into rows — the readers still stream the frame
+  // boundaries (the row cardinality needs them) but ship only the projected
+  // columns. Spark calls pruneColumns before build().
+  private var requiredSchema: StructType = FrameDataSource.Schema
+  override def pruneColumns(required: StructType): Unit = {
+    // Preserve source field order; tolerate an empty projection (count(*)).
+    val keep = required.fieldNames.toSet
+    val pruned = StructType(FrameDataSource.Schema.fields.filter(f => keep(f.name)))
+    requiredSchema = pruned
+  }
+
   override def build(): Scan = this
-  override def readSchema(): StructType = FrameDataSource.Schema
+  override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -81,11 +95,11 @@ class FrameScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder wi
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    FrameReaderFactory(conf)
+    FrameReaderFactory(conf, requiredSchema)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new FrameMicroBatchStream(options)
+    new FrameMicroBatchStream(options, requiredSchema)
 }
 
 /** Offset = high-water file timestamp (epoch millis): the same monotone key
@@ -96,25 +110,38 @@ case class FrameOffset(ts: Long) extends Offset {
 }
 
 /** Streaming half of the `huckli-frames` source: each trigger lists only
-  * keys past the committed high-water mark (FileCatalog prunes listing
+  * keys past the stream's high-water mark (FileCatalog prunes listing
   * server-side where the store supports it) and plans one partition per new
   * file — no whole-object materialization, same streaming frame readers as
   * the batch path. Spark's own checkpointLocation persists the offset, so
-  * restarts resume exactly-once without a files_processed table. */
-class FrameMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatchStream {
+  * restarts resume exactly-once without a files_processed table.
+  *
+  * The mark advances in-memory with every latestOffset/commit/restore, so
+  * per-trigger listing cost is O(new files), not O(file history) — the first
+  * trigger after a cold start (before any offset is restored) is the only
+  * full listing. Caveat inherent to timestamp offsets: a file that lands
+  * with a timestamp ≤ the committed mark is never picked up (the reference's
+  * StartAfter checkpoint has the identical blind spot — late writers must
+  * carry fresh timestamps). */
+class FrameMicroBatchStream(options: CaseInsensitiveStringMap,
+                            schema: StructType) extends MicroBatchStream {
   private val spark = SparkSession.active
   private val path = Option(options.get("path"))
     .getOrElse(throw new IllegalArgumentException("option 'path' is required"))
   private val prefix = Option(options.get("prefix"))
     .getOrElse(throw new IllegalArgumentException("option 'prefix' is required"))
   private val startAfter = Option(options.get("afterMs")).map(_.toLong).getOrElse(-1L)
+  // High-water mark of everything already returned/committed/restored; only
+  // keys past it are listed on the next trigger.
+  @volatile private var lastSeenMs: Long = startAfter
 
   override def initialOffset(): Offset = FrameOffset(startAfter)
 
   override def latestOffset(): Offset = {
     val files = FileCatalog.list(spark, path, prefix,
-      afterMs = Some(startAfter).filter(_ >= 0))
-    FrameOffset(files.lastOption.map(_.timestamp_ms).getOrElse(startAfter))
+      afterMs = Some(lastSeenMs).filter(_ >= 0))
+    files.lastOption.foreach(f => lastSeenMs = math.max(lastSeenMs, f.timestamp_ms))
+    FrameOffset(lastSeenMs)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -127,12 +154,19 @@ class FrameMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatc
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    FrameReaderFactory(new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    FrameReaderFactory(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()), schema)
 
-  override def deserializeOffset(json: String): Offset =
-    FrameOffset(json.filter(c => c.isDigit || c == '-').toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val o = FrameOffset(json.filter(c => c.isDigit || c == '-').toLong)
+    // Restart: seed the mark from the restored offset so the first trigger
+    // doesn't relist from startAfter.
+    lastSeenMs = math.max(lastSeenMs, o.ts)
+    o
+  }
 
-  override def commit(end: Offset): Unit = () // offset log lives in the checkpoint
+  override def commit(end: Offset): Unit =
+    lastSeenMs = math.max(lastSeenMs, end.asInstanceOf[FrameOffset].ts)
 
   override def stop(): Unit = ()
 }
@@ -140,12 +174,18 @@ class FrameMicroBatchStream(options: CaseInsensitiveStringMap) extends MicroBatc
 case class FrameInputPartition(key: String, prefix: String, timestampMs: Long)
   extends InputPartition
 
-case class FrameReaderFactory(conf: SerializableConfiguration) extends PartitionReaderFactory {
+case class FrameReaderFactory(conf: SerializableConfiguration,
+                              schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FramePartitionReader(partition.asInstanceOf[FrameInputPartition], conf)
+    new FramePartitionReader(partition.asInstanceOf[FrameInputPartition], conf, schema)
 }
 
-class FramePartitionReader(p: FrameInputPartition, conf: SerializableConfiguration)
+/** Emits one row per frame in the pruned column order. Frame boundaries are
+  * always streamed (the row cardinality needs them) but `bytes` is only
+  * referenced when projected — a pruned scan ships a few scalars per frame,
+  * not the payload. */
+class FramePartitionReader(p: FrameInputPartition, conf: SerializableConfiguration,
+                           schema: StructType)
   extends PartitionReader[InternalRow] {
 
   private val stream = {
@@ -157,13 +197,21 @@ class FramePartitionReader(p: FrameInputPartition, conf: SerializableConfigurati
   private var idx = -1L
   private var current: Array[Byte] = _
 
+  // Per-column getters resolved once (not per row / per field name).
+  private val getters: Array[() => Any] = schema.fieldNames.map {
+    case "file_source" => () => UTF8String.fromString(p.key)
+    case "prefix" => () => UTF8String.fromString(p.prefix)
+    case "file_timestamp_ms" => () => p.timestampMs
+    case "frame_index" => () => idx
+    case "bytes" => () => current
+    case other => throw new IllegalArgumentException(s"unknown column: $other")
+  }
+
   override def next(): Boolean =
     if (frames.hasNext) { current = frames.next(); idx += 1; true } else false
 
   override def get(): InternalRow =
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(p.key), UTF8String.fromString(p.prefix),
-      p.timestampMs, idx, current))
+    new GenericInternalRow(getters.map(_.apply()))
 
   override def close(): Unit = stream.close()
 }

@@ -59,5 +59,35 @@ class FrameSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => Messages.VerifiedSpeedtest.decode(r.getAs[Array[Byte]]("bytes")))
       .flatMap(_.report.flatMap(_.report).map(_.serial))
     assert(serials.toSet == Set("s0", "s1", "s2"))
+
+    // Column pruning reaches the scan: a metadata-only projection must not
+    // read `bytes` into rows (SupportsPushDownRequiredColumns).
+    val meta = all.select("file_source", "frame_index")
+    val scanSchema = meta.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema()
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scanSchema.fieldNames.toSeq == Seq("file_source", "frame_index"))
+    assert(meta.groupBy("file_source").count().collect().map(_.getLong(1)).sorted.toSeq
+      == Seq(2L, 3L))
+  }
+
+  test("LPT packing balances skewed file sizes across tasks") {
+    import graft.sources.{FileCatalog, FrameSource}
+    def f(i: Int, size: Long) =
+      FileCatalog.FileInfo(s"p.$i.gz", "p", i.toLong, size)
+    // one giant + many small: the giant must sit alone-ish, not stack
+    val files = f(0, 10000L) +: (1 to 12).map(i => f(i, 1000L))
+    val packed = FrameSource.packLpt(files, 4)
+    assert(packed.map(_._2).toSet == files.toSet) // nothing lost
+    val loads = packed.groupBy(_._1).view.mapValues(_.map(_._2.size_bytes).sum).toMap
+    assert(loads.keys.forall(b => b >= 0 && b < 4))
+    // ideal = 22000/4 = 5500; LPT guarantees max ≤ ideal + largest ⇒ the
+    // giant's bucket holds only the giant, small files spread over the rest
+    assert(loads.values.max == 10000L)
+    assert(loads.filter(_._2 < 10000L).values.forall(_ == 4000L))
+    // unknown sizes spread, never collapse into one bucket
+    val unknown = (1 to 8).map(i => f(i, -1L))
+    assert(FrameSource.packLpt(unknown, 4).map(_._1).distinct.size == 4)
   }
 }

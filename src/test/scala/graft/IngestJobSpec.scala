@@ -75,6 +75,41 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FileCatalog.dirDayRange("part-0001").isEmpty)
   }
 
+  test("ordered-store mixed layout: dt= dirs sorting after the prefix block still scanned") {
+    val base = Files.createTempDirectory("graft-list-ordered")
+    def touch(rel: String): Unit = {
+      val p = base.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array.emptyByteArray)
+    }
+    // Lexicographic root order: coverage_object.* < cz_marker.* < dt=2023-11-15.
+    // The cz_marker file ends the `coverage_object.` block, so an ordered scan
+    // goes past-file-block BEFORE reaching the dt= dir — the regression was
+    // stopping the WHOLE scan there and silently dropping the partitioned
+    // day's in-range files. (Created in sorted order for listing determinism.)
+    touch("coverage_object.1700000001000.gz")
+    touch("coverage_object.1700000002000.gz")
+    touch("cz_marker.1700000003000.gz")
+    touch("dt=2023-11-15/coverage_object.1700010000000.gz")
+    sys.props("graft.test.assumeOrdered") = "true"
+    try {
+      val got = FileCatalog.list(spark, base.toString, "coverage_object",
+        afterMs = Some(1700000000000L), beforeMs = Some(1700020000000L))
+      assert(got.map(_.timestamp_ms) ==
+        Seq(1700000001000L, 1700000002000L, 1700010000000L))
+      // upper-bound early stop (before < both root files) must also keep
+      // scanning directories
+      val bounded = FileCatalog.list(spark, base.toString, "coverage_object",
+        afterMs = None, beforeMs = Some(1700000001000L))
+      assert(bounded.map(_.timestamp_ms) == Seq(1700000001000L))
+    } finally sys.props.remove("graft.test.assumeOrdered")
+    // unordered fallback finds the same set
+    val unordered = FileCatalog.list(spark, base.toString, "coverage_object",
+      afterMs = Some(1700000000000L), beforeMs = Some(1700020000000L))
+    assert(unordered.map(_.timestamp_ms) ==
+      Seq(1700000001000L, 1700000002000L, 1700010000000L))
+  }
+
   test("verified speedtest: flat ingest end-to-end (t1 smoke)") {
     def st(i: Int) = Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
       Some(SpeedtestIngest(Some(SpeedtestReq(
