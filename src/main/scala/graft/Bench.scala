@@ -12,7 +12,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The bench contract is local[32]; 4 cores quietly octuples CPU-bound
+    // queries (minhash measured 64s at 4 cores vs 2.4s at 32).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,9 +29,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     catch { case _: Throwable => () }
-    // Median of 3 runs per query (co-tenant load can inflate a single run
-    // up to 3×); a failed query records -1.0 (visible in the JSON) instead
-    // of a plausible-looking elapsed time.
+    // Median AND min of 3 runs per query: the median absorbs one bad run,
+    // the min is the standard noise-robust estimator when co-tenant load
+    // (observed up to 3× in past rounds) inflates even two of three. A
+    // failed query records -1.0 (visible in the JSON) instead of a
+    // plausible-looking elapsed time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -38,12 +42,20 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(1))
+      if (times.contains(-1.0)) (name, -1.0, -1.0)
+      else (name, times.sorted.apply(1), times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","value_min":$totalMin,"queries":${obj(_._2)}""" +
+      s""","queries_min":${obj(_._3)},"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line drowns in sbt [info] noise (BENCH_r5/r6 both landed
+    // "parsed": null) — a plain file is the parseable artifact.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
     spark.stop()
   }
 }

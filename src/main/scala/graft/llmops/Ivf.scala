@@ -37,8 +37,12 @@ object Ivf {
     element_at(VectorExprs.nearestCellsCol(vec, model.flat, model.dim, 1), 1)
 
   /** Deterministic k-means: seeds are the k corpus vectors with the
-    * smallest xxhash64(id) (reproducible, no RNG), refined by `iters`
-    * Lloyd steps (assign → per-dimension mean via posexplode). */
+    * smallest xxhash64(id) (reproducible, no RNG), refined by `iters` Lloyd
+    * steps. Each step is ONE shuffle-free treeAggregate over the corpus
+    * (assignment via the native kernel, per-cell (sum, count) folded
+    * map-side, merged in a tree) — the earlier per-dimension posexplode
+    * mean shuffled corpus×dim rows per iteration; only the k×dim model
+    * statistics ever reach the driver. */
   def train(corpus: DataFrame, dim: Int, k: Int, iters: Int = 2): Model = {
     val seeds = corpus
       .withColumn("__h", xxhash64(col("vec_id")))
@@ -47,15 +51,37 @@ object Ivf {
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
     var model = Model(seeds)
     for (_ <- 0 until iters) {
-      val assigned = corpus.withColumn("__cell", cellCol(col("embedding"), model))
-      val means = assigned
-        .select(col("__cell"), posexplode(col("embedding")).as(Seq("__pos", "__v")))
-        .groupBy("__cell", "__pos").agg(avg("__v").as("__m"))
-        .collect()
-      val next = model.centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__pos")) =
-          r.getAs[Double]("__m").toFloat
+      val assigned = corpus
+        .select(cellCol(col("embedding"), model).as("__cell"), col("embedding"))
+      val (sums, counts) = assigned.rdd
+        .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Float]](1)))
+        .treeAggregate((Array.ofDim[Double](k, dim), new Array[Long](k)))(
+          { case ((s, c), (cell, vec)) =>
+            val row = s(cell)
+            val n = math.min(dim, vec.length)
+            var j = 0
+            while (j < n) { row(j) += vec(j); j += 1 }
+            c(cell) += 1
+            (s, c)
+          },
+          { case ((s1, c1), (s2, c2)) =>
+            var i = 0
+            while (i < k) {
+              val a = s1(i); val b = s2(i)
+              var j = 0
+              while (j < dim) { a(j) += b(j); j += 1 }
+              c1(i) += c2(i); i += 1
+            }
+            (s1, c1)
+          })
+      val next = model.centroids.zipWithIndex.map { case (old, i) =>
+        if (counts(i) == 0) old.clone() // empty cell keeps its centroid
+        else {
+          val m = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { m(j) = (sums(i)(j) / counts(i)).toFloat; j += 1 }
+          m
+        }
       }
       model = Model(next)
     }

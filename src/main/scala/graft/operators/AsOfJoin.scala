@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   * (left, right) candidate pair inside the window before keeping one —
   * quadratic per key as history grows. Instead both sides are tagged and
   * unioned, and ONE running `last(…, ignoreNulls)` window ordered by
-  * (ts, side) per key carries the latest right payload forward: a single
+  * (ts, side) per key carries the latest right row forward: a single
   * shuffle on the key, a single per-partition sort, linear in rows, zero
   * pair blowup. Right rows order before left rows at equal ts, which makes
-  * the match inclusive. All carried payloads share the same Window frame, so
-  * Catalyst plans them in one Window node.
+  * the match inclusive.
+  *
+  * The timestamp AND every payload travel in ONE struct carried by ONE
+  * `last(ignoreNulls)` — per-column carries would mix columns from different
+  * right rows whenever the latest match holds a null payload (a chimera row
+  * no real as-of join can produce). A right row's struct is non-null even
+  * when all its payload fields are null, so nulls from the matched row are
+  * carried faithfully rather than back-filled from older rows.
   *
   * Determinism: callers must ensure the right side is unique per (key, ts)
   * (e.g. pre-aggregate) — otherwise "the" latest right row is ambiguous.
@@ -26,28 +32,29 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, payloads: Seq[String],
                asOfTsName: String = "asof_ts"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val lCols = left.columns.toSeq
-    val rTsType = right.schema(rightTs).dataType
+    val packType = StructType(
+      StructField("__r_ts", right.schema(rightTs).dataType) +:
+        payloads.map(p => StructField(p, right.schema(p).dataType)))
     val lSide = left.select(
       lCols.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__side"),
-        lit(null).cast(rTsType).as("__r_ts")) ++
-        payloads.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")): _*)
+        lit(null).cast(packType).as("__pack")): _*)
     val rSide = right.select(
       lCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__side"),
-        col(rightTs).as("__r_ts")) ++
-        payloads.map(p => col(p).as(s"__p_$p")): _*)
+        struct(col(rightTs).as("__r_ts") +: payloads.map(col): _*)
+          .cast(packType).as("__pack")): _*)
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloads.foldLeft(
-      lSide.unionByName(rSide)
-        .withColumn(asOfTsName, last(col("__r_ts"), ignoreNulls = true).over(w))) {
-      (df, p) => df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
+    val carried = lSide.unionByName(rSide)
+      .withColumn("__pack", last(col("__pack"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(lCols.map(col) ++ (asOfTsName +: payloads).map(col): _*)
+      .select(lCols.map(col) ++
+        (col("__pack.__r_ts").as(asOfTsName) +:
+          payloads.map(p => col(s"__pack.$p").as(p))): _*)
   }
 }
