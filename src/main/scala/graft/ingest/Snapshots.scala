@@ -21,31 +21,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The reference sidesteps all of this with a single-writer DuckDB file
   * (huckli-db/src/lib.rs:8-30); at 100 TB the log is the standard answer.
   *
-  * Scale notes: one tiny log file per commit (no O(files) rewrite), state
-  * reconstruction is a driver-side fold over log entries (bounded by commit
-  * count, compactable the Delta-checkpoint way if ever needed), and the read
-  * plans from an explicit file list — no directory listing at all.
+  * Scale notes: one tiny log file per commit (no O(files) rewrite); state
+  * reconstruction folds from the latest `.ckpt` checkpoint (a full
+  * table→files state written every [[CheckpointInterval]] commits, the
+  * Delta-checkpoint pattern) plus the few entries after it — O(interval),
+  * not O(commit history); the read plans from an explicit file list — no
+  * directory listing at all. [[vacuum]] bounds the log's file count.
   */
 object Snapshots {
 
-  case class Entry(version: Long, commitId: String, path: Path)
+  case class Entry(version: Long, commitId: String, path: Path, isCheckpoint: Boolean)
   case class Action(add: Boolean, table: String, file: String)
 
   private def snapDir(warehouse: String) = new Path(s"$warehouse/_snapshots")
 
-  private val SnapRe = raw"(\d{20})-(.+)\.snap".r
+  private val SnapRe = raw"(\d{20})-(.+)\.(snap|ckpt)".r
+
+  /** Every `CheckpointInterval`-th version also writes a full-state
+    * checkpoint so reconstruction never folds more than this many deltas. */
+  val CheckpointInterval: Long = 16
 
   /** All log entries, oldest first ((version, commitId) order keeps two
-    * racing writers that picked the same version deterministic). */
+    * racing writers that picked the same version deterministic; a version's
+    * checkpoint sorts after its delta, which fold() relies on). */
   def entries(fs: FileSystem, warehouse: String): Seq[Entry] = {
     val dir = snapDir(warehouse)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case SnapRe(v, cid) => Some(Entry(v.toLong, cid, st.getPath))
+        case SnapRe(v, cid, kind) =>
+          Some(Entry(v.toLong, cid, st.getPath, kind == "ckpt"))
         case _ => None
       }
-    }.sortBy(e => (e.version, e.commitId))
+    }.sortBy(e => (e.version, e.commitId, e.isCheckpoint))
   }
 
   def latestVersion(fs: FileSystem, warehouse: String): Option[Long] =
@@ -67,46 +75,102 @@ object Snapshots {
     }
   }
 
+  private def writeEntry(fs: FileSystem, warehouse: String, name: String,
+                         lines: Seq[String]): Unit = {
+    val dir = snapDir(warehouse)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, name + ".tmp")
+    val fin = new Path(dir, name)
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"snapshot log write failed: $name")
+  }
+
   /** Append the log entry for a published commit. Idempotent by commitId
     * (recovery re-runs publish): an existing `*-<commitId>.snap` wins. The
     * version is max+1; two concurrent writers landing the same version is
     * tolerated — the commitId suffix keeps the filenames (and rename
-    * atomicity) distinct and replay order deterministic. */
+    * atomicity) distinct, and reconstruction re-applies same-version deltas
+    * idempotently. Every [[CheckpointInterval]]-th version also writes a
+    * full-state `.ckpt` (best-effort: a crash between the two writes just
+    * defers the anchor to the next interval). */
   def append(fs: FileSystem, warehouse: String, commitId: String,
              adds: Seq[(String, String)], removes: Seq[(String, String)]): Unit = {
     val existing = entries(fs, warehouse)
     if (existing.exists(_.commitId == commitId)) return
     val version = existing.lastOption.map(_.version + 1).getOrElse(0L)
-    val dir = snapDir(warehouse)
-    fs.mkdirs(dir)
-    val name = f"$version%020d-$commitId.snap"
-    val tmp = new Path(dir, name + ".tmp")
-    val fin = new Path(dir, name)
-    val lines =
+    writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
       adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
-        removes.map { case (t, f) => s"REMOVE\t$t\t$f" }
-    val out = fs.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, fin))
-      throw new IllegalStateException(s"snapshot append failed for $commitId")
+        removes.map { case (t, f) => s"REMOVE\t$t\t$f" })
+    if (version > 0 && version % CheckpointInterval == 0)
+      writeCheckpoint(fs, warehouse, version, commitId)
+  }
+
+  /** Full table→files state folded up to `asOf` (anchored on the latest
+    * visible checkpoint). None when no snapshot log exists. */
+  private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
+      : Option[scala.collection.mutable.LinkedHashMap[
+          String, scala.collection.mutable.LinkedHashSet[String]]] = {
+    val all = entries(fs, warehouse)
+    if (all.isEmpty) return None
+    val visible = asOf.fold(all)(v => all.filter(_.version <= v))
+    // After a vacuum, history before the anchor checkpoint is gone; a read
+    // that can see neither version 0 nor a checkpoint cannot be answered.
+    require(visible.exists(_.isCheckpoint) || visible.headOption.exists(_.version == 0),
+      s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
+    val state = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashSet[String]]
+    def apply(a: Action): Unit = {
+      val files = state.getOrElseUpdate(a.table,
+        scala.collection.mutable.LinkedHashSet.empty[String])
+      if (a.add) files += a.file else files -= a.file
+    }
+    val anchor = visible.filter(_.isCheckpoint).lastOption
+    anchor.foreach(c => readActions(fs, c.path).foreach(apply))
+    val startV = anchor.map(_.version).getOrElse(Long.MinValue)
+    // Deltas at the anchor's own version are re-applied: set ops are
+    // idempotent, and a same-version racer that landed after the checkpoint
+    // was computed is folded in exactly this way.
+    visible.filter(e => !e.isCheckpoint && e.version >= startV)
+      .foreach(e => readActions(fs, e.path).foreach(apply))
+    Some(state)
+  }
+
+  /** Write the full-state checkpoint for `version` (ADD lines only). */
+  private def writeCheckpoint(fs: FileSystem, warehouse: String, version: Long,
+                              commitId: String): Unit = {
+    val state = stateAt(fs, warehouse, Some(version)).getOrElse(return)
+    writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
+      state.toSeq.flatMap { case (t, fsq) => fsq.toSeq.map(f => s"ADD\t$t\t$f") })
+  }
+
+  /** Drop log entries older than the last `keepVersions` versions. An anchor
+    * checkpoint is written at the cutoff first, so every retained version
+    * stays reconstructable; `asOf` reads before the cutoff then fail fast
+    * (their data files may already be compacted away — same trade-off as
+    * Delta's VACUUM). Returns the number of log files removed. */
+  def vacuum(fs: FileSystem, warehouse: String, keepVersions: Int = 32): Int = {
+    val all = entries(fs, warehouse)
+    if (all.isEmpty) return 0
+    val latest = all.last.version
+    val cutoff = latest - keepVersions + 1
+    if (cutoff <= 0) return 0
+    val victims = all.filter(_.version < cutoff)
+    if (victims.isEmpty) return 0
+    if (!all.exists(e => e.isCheckpoint && e.version == cutoff))
+      writeCheckpoint(fs, warehouse, cutoff,
+        "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    victims.foreach(v => fs.delete(v.path, false))
+    victims.size
   }
 
   /** The exact committed file set of `table` at `asOf` (default: latest).
     * None when the warehouse has no snapshot log at all. */
   def fileSet(fs: FileSystem, warehouse: String, table: String,
-              asOf: Option[Long] = None): Option[Seq[String]] = {
-    val all = entries(fs, warehouse)
-    if (all.isEmpty) return None
-    val visible = asOf.fold(all)(v => all.filter(_.version <= v))
-    val files = scala.collection.mutable.LinkedHashSet.empty[String]
-    visible.foreach { e =>
-      readActions(fs, e.path).foreach { a =>
-        if (a.table == table) { if (a.add) files += a.file else files -= a.file }
-      }
-    }
-    Some(files.toSeq)
-  }
+              asOf: Option[Long] = None): Option[Seq[String]] =
+    stateAt(fs, warehouse, asOf).map(_.get(table).map(_.toSeq).getOrElse(Seq.empty))
 
   /** Snapshot-isolated read: plan from the pinned file list of the resolved
     * version — concurrent publishes (and compactions) are invisible, and

@@ -108,6 +108,35 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == (0 until 30).sum)
   }
 
+  test("log checkpoints anchor reconstruction; vacuum bounds the log") {
+    val w = wh("whCkpt")
+    (0 until 18).foreach(i => publishBatch(w, "t", i to i)) // versions 0..17
+    val all = Snapshots.entries(fs, w)
+    assert(all.exists(e => e.isCheckpoint && e.version == 16L)) // interval hit
+    // checkpointed fold == truth
+    assert(Snapshots.read(spark, w, "t").count() == 18)
+    assert(Snapshots.read(spark, w, "t", asOf = Some(5L)).count() == 6)
+
+    val removed = Snapshots.vacuum(fs, w, keepVersions = 4)
+    assert(removed > 0)
+    val kept = Snapshots.entries(fs, w)
+    assert(kept.head.version >= 14L) // cutoff = 17 - 4 + 1
+    assert(kept.exists(e => e.isCheckpoint && e.version == 14L)) // anchor written
+    // reads at and after the cutoff still reconstruct exactly
+    assert(Snapshots.read(spark, w, "t").count() == 18)
+    assert(Snapshots.read(spark, w, "t", asOf = Some(15L)).count() == 16)
+    // pre-cutoff history is gone — fail fast, never a silently wrong answer
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, w, "t", asOf = Some(5L))
+    }
+    // the log keeps flowing: another publish and a compaction still work
+    publishBatch(w, "t", 100 to 101)
+    assert(Snapshots.read(spark, w, "t").count() == 20)
+    Compaction.compact(spark, w, "t")
+    assert(Snapshots.read(spark, w, "t").count() == 20)
+    assert(partFiles(w, "t").size == 1)
+  }
+
   test("recover() leaves fresh (possibly live) staging alone; reaps aged orphans") {
     val w = wh("whTtl")
     publishBatch(w, "t", 1 to 3)
