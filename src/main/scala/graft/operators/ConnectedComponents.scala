@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the step a
+  * dedup pipeline needs between "near-dup pairs" and "keep one doc per
+  * duplicate group": pairs are edges, each component is a duplicate cluster,
+  * and min(doc_id) is the canonical representative.
+  *
+  * Scale shape: each iteration is one equi-join + one map-side-combinable
+  * min-aggregate on the node id — no driver-side graph, no cartesian.
+  * Iterations needed = component diameter (dedup clusters are shallow;
+  * maxIter bounds pathological chains). Lineage is truncated with an eager
+  * `localCheckpoint` per iteration so plan depth stays O(1) instead of
+  * O(iterations) (on a cluster, prefer `checkpoint` with a reliable dir).
+  * The convergence check piggybacks on the same pass (one action per
+  * iteration).
+  */
+object ConnectedComponents {
+
+  /** `edges`: two-column DataFrame (src, dst), undirected. Returns
+    * (node, component) where component = min node id reachable. */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val sym = e.union(e.select(col("dst"), col("src"))).distinct()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate = min label among neighbours; node keeps min(own, candidate)
+      val nbr = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("component").as("nbl"))
+      val next = labels
+        .join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbl"), col("component")))
+            .as("component"),
+          (col("nbl") < col("component")).as("improved"))
+      val stepped = next.localCheckpoint(true)
+      changed = stepped.filter(col("improved")).count()
+      labels = stepped.drop("improved")
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.llmops.{MinHash, Multimodal, Similarity, TextOps}
 
@@ -149,7 +150,57 @@ object LlmQueries {
     "llm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         docs(s, d).withColumn("payload", col("text").cast("binary")),
-        "doc_id", "payload", strideBytes = 64))
+        "doc_id", "payload", strideBytes = 64)),
+
+    // Dedup clusters: connected components over the (oracle-proven) MinHash
+    // near-dup pair graph — the step between "pairs" and "keep one doc per
+    // duplicate group"; min(doc_id) is the canonical representative. The
+    // oracle recomputes components via a recursive reachability CTE over the
+    // all-pairs ground truth, so a hash match proves the distributed label
+    // propagation, not just the pair set.
+    "llm_dedup_clusters" -> ((s, d) => {
+      val pairs = MinHash.nearDupPairs(docsWithDups(s, d), "doc_id", "text")
+      graft.operators.ConnectedComponents.run(pairs.select("doc_a", "doc_b"))
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
+    // Deterministic stratified sampling: 20 docs per predicted language in
+    // md5(doc_id) order — proportional curation that is stable across
+    // reruns, partitionings, and engines (no RNG state to disagree on).
+    "llm_sample_stratified" -> ((s, d) => {
+      val lang = TextOps.langId(docs(s, d), "doc_id", "text")
+        .select("doc_id", "lang_pred")
+      val w = Window.partitionBy("lang_pred")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      lang.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+    }),
+
+    // Shard-parallel next-fit sequence packing into 512-token bins: the
+    // running capped-token sum within a shard assigns each doc the bin its
+    // window starts in. Shards (doc_id % 32) keep the window partitioned —
+    // no global ordering, so the plan parallelizes at any corpus size
+    // (packing is per-worker in a real training loader anyway).
+    "llm_pack_sequences" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("tok_c", least(col("n_tokens"), lit(512L)))
+        .withColumn("cum", sum(col("tok_c")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          expr("(cum - tok_c) div 512").as("pack_id"))
+    }),
+
+    // Weighted source mixing by hash gate: 'books' (doc_id%3=0) kept fully,
+    // 'web' at ~30% via an md5-prefix threshold — deterministic,
+    // engine-portable proportional downsampling (the dataset-mixing
+    // primitive; no RNG, so the mix is reproducible and resumable).
+    "llm_mix_sources" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "books").otherwise("web").as("source"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("gate"))
+        .filter(col("source") === "books" || col("gate") < "4d"))
   )
 
   private val enArr = TextOps.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -304,6 +355,52 @@ object LlmQueries {
     "llm_frame_sample" ->
       """SELECT doc_id,
         | unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS frame_off
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // Components via recursive reachability over the all-pairs ground truth:
+    // cluster_id(node) = min reachable node.
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $dupDocsCte,
+         |$shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT reach.node, e.v FROM reach JOIN edges e ON reach.r = e.u)
+         |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY node""".stripMargin,
+    "llm_sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($enArr, x))) AS en,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($deArr, x))) AS de,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($esArr, x))) AS es,
+         |  len(list_filter(string_split(lower(text), ' '), x -> list_contains($frArr, x))) AS fr
+         | FROM documents),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |       WHEN de >= es AND de >= fr THEN 'de'
+         |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred FROM h),
+         |r AS (SELECT doc_id, lang_pred,
+         |  CAST(row_number() OVER (PARTITION BY lang_pred
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM l)
+         |SELECT doc_id, lang_pred, rk FROM r WHERE rk <= 20""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens, least(n_tokens, 512) AS tok_c,
+        |  sum(least(n_tokens, 512)) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |  CAST((cum - tok_c) // 512 AS BIGINT) AS pack_id FROM c""".stripMargin,
+    "llm_mix_sources" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'books' ELSE 'web' END AS source,
+        | substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS gate
+        |FROM documents
+        |WHERE doc_id % 3 = 0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '4d'""".stripMargin
   )
 }
