@@ -11,6 +11,9 @@ import graft.ingest.{FileSelection, IngestJob, IngestSpecs}
   * graft.Main --input <dirOrBucketUri> --warehouse <dir> --file-type <type>
   *            [--after yyyy-MM-ddTHH:mm:ss] [--before ...] [--continue]
   *            [--file <key>] [--force] [--cpus N]
+  * // warehouse maintenance (no ingest):
+  * graft.Main --warehouse <dir> --compact <table> [--target-bytes N]
+  * graft.Main --warehouse <dir> --vacuum <keepVersions>
   * }}}
   *
   * `--continue` ∧ `--after` and `--file` ∧ `--before` are rejected (O4,
@@ -38,8 +41,38 @@ object Main {
           System.err.println(s"unexpected argument: $other"); sys.exit(2)
       }
     }
-    val input = opts.getOrElse("input", { System.err.println("--input required"); sys.exit(2) })
     val warehouse = opts.getOrElse("warehouse", { System.err.println("--warehouse required"); sys.exit(2) })
+
+    // Warehouse maintenance path: compaction / snapshot-log vacuum.
+    if (opts.contains("compact") || opts.contains("vacuum")) {
+      val cpusM = opts.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      val spark = SparkSession.builder()
+        .master(s"local[$cpusM]")
+        .config("spark.sql.shuffle.partitions", cpusM)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        opts.get("compact").foreach { table =>
+          val target = opts.get("target-bytes").map(_.toLong)
+            .getOrElse(128L * 1024 * 1024)
+          graft.ingest.Compaction.compact(spark, warehouse, table, target) match {
+            case Some(r) =>
+              println(s"compacted $table: ${r.filesBefore} -> ${r.filesAfter} files (${r.bytes} bytes)")
+            case None => println(s"$table already at target granularity — no-op")
+          }
+        }
+        opts.get("vacuum").foreach { keep =>
+          val fs = new org.apache.hadoop.fs.Path(warehouse)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val removed = graft.ingest.Snapshots.vacuum(fs, warehouse, keep.toInt)
+          println(s"vacuumed $removed snapshot log entries (kept last $keep versions)")
+        }
+      } finally spark.stop()
+      return
+    }
+
+    val input = opts.getOrElse("input", { System.err.println("--input required"); sys.exit(2) })
     val fileType = opts.getOrElse("file-type", { System.err.println("--file-type required"); sys.exit(2) })
     if (!IngestSpecs.registry.contains(fileType)) {
       System.err.println(s"unknown --file-type '$fileType'. Known: " +

@@ -23,7 +23,11 @@ object ConnectedComponents {
     * (node, component) where component = min node id reachable. */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.toDF("src", "dst")
+    // Materialize the edge set once — it is re-joined every iteration, and
+    // without this the upstream pipeline (e.g. the whole MinHash candidate
+    // generation) would re-execute per iteration.
     val sym = e.union(e.select(col("dst"), col("src"))).distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)

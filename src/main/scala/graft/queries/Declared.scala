@@ -353,6 +353,19 @@ object Declared {
       graft.operators.AsOfJoin.backward(clicks, purchases, "user_id",
         leftTs = "ts", rightTs = "ts", payloads = Seq("purchase_value"))
         .select("event_id", "user_id", "asof_ts", "purchase_value")
+    }),
+
+    // Q31: distribution-rank window functions (ntile / percent_rank /
+    // cume_dist). Unrounded doubles on purpose: both engines compute the
+    // identical (rank-1)/(n-1) and rank/n IEEE divisions of exact integers,
+    // so the bits match without the round()-semantics minefield. Unique
+    // (value, event_id) ordering keeps ranks deterministic under ties.
+    "q31_rank_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      events(s, d).select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
     })
   )
 
@@ -549,6 +562,13 @@ object Declared {
         |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, r.ts AS asof_ts, r.purchase_value
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q31_rank_funcs" ->
+      """SELECT event_id, event_type,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
   )
 }

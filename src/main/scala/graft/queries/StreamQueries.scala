@@ -28,8 +28,12 @@ object StreamQueries {
 
   /** Run `xform` over a file-stream of the events fixture to completion and
     * return the sink table. Unique query names keep repeated runs (bench
-    * does 3) independent. */
-  private def runToCompletion(s: SparkSession, dir: String)
+    * does 3) independent. `outputMode` is "complete" for windowed aggs and
+    * "update" for arbitrary-state operators (mapGroupsWithState's only
+    * batch-comparable mode — the sink then holds one row per state update,
+    * reduced to final state by the caller). */
+  private def runToCompletion(s: SparkSession, dir: String,
+                              outputMode: String = "complete")
                              (xform: DataFrame => DataFrame): DataFrame = {
     // Same NANOS-timestamp handling as Declared.events: nanos as long, then
     // truncate to micros (identical to DuckDB CAST(ts AS TIMESTAMP)).
@@ -45,7 +49,7 @@ object StreamQueries {
     val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
     val q = xform(stream).writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -59,11 +63,28 @@ object StreamQueries {
       runToCompletion(s, d)(StreamingOps.tumblingCounts(_))),
     // q24_session through the streaming runtime: session-merge state store.
     "stream_session" -> ((s, d) =>
-      runToCompletion(s, d)(StreamingOps.sessionCounts(_))))
+      runToCompletion(s, d)(StreamingOps.sessionCounts(_))),
+    // mapGroupsWithState through the streaming runtime: the update-mode sink
+    // holds one row per state update; max(n_events) per user is the final
+    // state, which must equal the batch group-by — a custom-state regression
+    // (lost updates, state mixups) breaks the hash match.
+    "stream_user_stats" -> ((s, d) => {
+      val sink = runToCompletion(s, d, outputMode = "update") { df =>
+        implicit val enc =
+          org.apache.spark.sql.Encoders.product[StreamingOps.Event]
+        StreamingOps.runningUserStats(
+          df.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[StreamingOps.Event]).toDF()
+      }
+      sink.groupBy("user_id").agg(max("n_events").as("n_events"))
+    }))
 
   /** Same ground truth as the batch entries — the streaming runtime must
     * produce byte-identical results on a bounded input. */
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling" -> Declared.oracleSql("q23_window_tumbling"),
-    "stream_session" -> Declared.oracleSql("q24_session_window"))
+    "stream_session" -> Declared.oracleSql("q24_session_window"),
+    "stream_user_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin)
 }
