@@ -11,11 +11,16 @@ import org.apache.spark.sql.SparkSession
   * rewrites a table's committed files into ~targetBytes outputs behind the
   * same stage/commit/publish protocol as ingest, so the swap is crash-safe
   * and — through the [[Snapshots]] log entry — atomic for snapshot readers:
-  * they see the old file set or the new one, never half of each. (A live
-  * *directory* reader can transiently double-count between the adds landing
-  * and the deletes finishing — exactly the race `Snapshots.read` exists to
-  * close; `asOf` readers of pre-compaction versions lose those files, the
-  * standard vacuum trade-off.)
+  * they see the old file set or the new one, never half of each.
+  *
+  * By default (`retainRemoved = true`) the swapped-out inputs are only
+  * *logically* removed: in-flight readers pinned to older versions and
+  * `asOf` time travel keep working, and [[Snapshots.vacuum]] later deletes
+  * files no retained version can reach. `retainRemoved = false` deletes the
+  * inputs at publish (reclaims space immediately, breaks older versions —
+  * and a live *directory* reader can transiently double-count between the
+  * adds landing and the deletes finishing, exactly the race
+  * `Snapshots.read` exists to close).
   *
   * The rewrite reads only the input file list (no directory scan), and
   * `coalesce` packs partitions without a shuffle — compaction moves bytes
@@ -49,7 +54,8 @@ object Compaction {
     * table already has ≤1 file or fewer than `minInputFiles` inputs. */
   def compact(spark: SparkSession, warehouse: String, table: String,
               targetBytes: Long = 128L * 1024 * 1024,
-              minInputFiles: Int = 2): Option[Result] = {
+              minInputFiles: Int = 2,
+              retainRemoved: Boolean = true): Option[Result] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inputs = liveFiles(spark, warehouse, table)
@@ -64,8 +70,10 @@ object Compaction {
       .coalesce(nOut)
       .write.parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
-    TxnCommit.commit(fs, warehouse, commitId, moves, deletes = inputs.map(_._1))
-    TxnCommit.publish(fs, warehouse, commitId, moves, deletes = inputs.map(_._1))
+    val (deletes, retained) =
+      if (retainRemoved) (Nil, inputs.map(_._1)) else (inputs.map(_._1), Nil)
+    TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained)
+    TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained)
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 }

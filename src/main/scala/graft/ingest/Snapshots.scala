@@ -146,11 +146,14 @@ object Snapshots {
       state.toSeq.flatMap { case (t, fsq) => fsq.toSeq.map(f => s"ADD\t$t\t$f") })
   }
 
-  /** Drop log entries older than the last `keepVersions` versions. An anchor
-    * checkpoint is written at the cutoff first, so every retained version
-    * stays reconstructable; `asOf` reads before the cutoff then fail fast
-    * (their data files may already be compacted away — same trade-off as
-    * Delta's VACUUM). Returns the number of log files removed. */
+  /** Drop log entries older than the last `keepVersions` versions AND reap
+    * the data files only that truncated history could reach (files logically
+    * REMOVEd — e.g. compaction inputs kept for time travel — that the
+    * anchor state no longer references). An anchor checkpoint is written at
+    * the cutoff first, so every retained version stays reconstructable;
+    * `asOf` reads before the cutoff then fail fast instead of returning a
+    * partial table — same trade-off as Delta's VACUUM. Returns the number
+    * of log files removed. */
   def vacuum(fs: FileSystem, warehouse: String, keepVersions: Int = 32): Int = {
     val all = entries(fs, warehouse)
     if (all.isEmpty) return 0
@@ -162,6 +165,19 @@ object Snapshots {
     if (!all.exists(e => e.isCheckpoint && e.version == cutoff))
       writeCheckpoint(fs, warehouse, cutoff,
         "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    // A file REMOVEd at version Vr is referenced only by versions < Vr, so
+    // it becomes unreachable as soon as the cutoff reaches Vr: physically
+    // delete REMOVEs from every entry with version ≤ cutoff (not just the
+    // truncated ones — the entry AT the cutoff survives but its removals
+    // are already invisible to every readable version). The anchor-state
+    // check guards the (name-unique, so normally impossible) re-add case.
+    val anchorState = stateAt(fs, warehouse, Some(cutoff))
+      .map(_.values.flatten.toSet).getOrElse(Set.empty)
+    all.filter(e => !e.isCheckpoint && e.version <= cutoff).foreach { v =>
+      readActions(fs, v.path).foreach { a =>
+        if (!a.add && !anchorState(a.file)) fs.delete(new Path(a.file), false)
+      }
+    }
     victims.foreach(v => fs.delete(v.path, false))
     victims.size
   }

@@ -56,17 +56,21 @@ object TxnCommit {
       Move(src.toString, s"$warehouse/$table/$commitId-${src.getName}")
     }
 
-  /** COMMIT point: persist the manifest (tmp + atomic rename). `deletes`
-    * (live files to remove once the moves have landed — compaction's swap-out
-    * half) are recorded as `DEL\t<path>` lines so recovery finishes them. */
+  /** COMMIT point: persist the manifest (tmp + atomic rename). Two flavours
+    * of swap-out are recorded for recovery: `DEL\t<path>` (logically removed
+    * AND physically deleted at publish) and `RM\t<path>` (logically removed
+    * from the snapshot only — the file stays on disk so older snapshot
+    * versions keep reading until [[Snapshots.vacuum]] reaps it). */
   def commit(fs: FileSystem, warehouse: String, commitId: String,
-             moves: Seq[Move], deletes: Seq[String] = Nil): Unit = {
+             moves: Seq[Move], deletes: Seq[String] = Nil,
+             retained: Seq[String] = Nil): Unit = {
     fs.mkdirs(commitsDir(warehouse))
     val tmp = new Path(commitsDir(warehouse), s"$commitId.manifest.tmp")
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
     val out = fs.create(tmp, true)
     try out.write(
-      (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d"))
+      (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d") ++
+        retained.map(r => s"RM\t$r"))
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, fin))
@@ -80,7 +84,8 @@ object TxnCommit {
     * recovery re-run after a crash at any point converges.
     * `graft.test.failAfterMoves` is a crash-injection point for tests. */
   def publish(fs: FileSystem, warehouse: String, commitId: String,
-              moves: Seq[Move], deletes: Seq[String] = Nil): Unit = {
+              moves: Seq[Move], deletes: Seq[String] = Nil,
+              retained: Seq[String] = Nil): Unit = {
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
     moves.foreach { m =>
@@ -102,13 +107,14 @@ object TxnCommit {
     def tableOf(p: String) = new Path(p).getParent.getName
     Snapshots.append(fs, warehouse, commitId,
       adds = moves.map(m => tableOf(m.dest) -> m.dest),
-      removes = deletes.map(d => tableOf(d) -> d))
+      removes = (deletes ++ retained).map(d => tableOf(d) -> d))
     deletes.foreach(d => fs.delete(new Path(d), false))
     fs.delete(new Path(stagingDir(warehouse, commitId)), true)
     fs.delete(new Path(commitsDir(warehouse), s"$commitId.manifest"), false)
   }
 
-  private def readManifest(fs: FileSystem, p: Path): (Seq[Move], Seq[String]) = {
+  private def readManifest(fs: FileSystem, p: Path)
+      : (Seq[Move], Seq[String], Seq[String]) = {
     val in = fs.open(p)
     val bytes =
       try {
@@ -120,8 +126,10 @@ object TxnCommit {
       } finally in.close()
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
       .filter(_.nonEmpty).map(_.split("\t", 2))
-    val (dels, mvs) = lines.partition(_.head == "DEL")
-    (mvs.map { case Array(src, dest) => Move(src, dest) }, dels.map(_.apply(1)))
+    (lines.filter(l => l.head != "DEL" && l.head != "RM")
+       .map { case Array(src, dest) => Move(src, dest) },
+     lines.filter(_.head == "DEL").map(_.apply(1)),
+     lines.filter(_.head == "RM").map(_.apply(1)))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.
@@ -149,8 +157,8 @@ object TxnCommit {
         .filter(_.getName.endsWith(".manifest"))
         .foreach { mf =>
           val commitId = mf.getName.stripSuffix(".manifest")
-          val (moves, deletes) = readManifest(fs, mf)
-          publish(fs, warehouse, commitId, moves, deletes)
+          val (moves, deletes, retained) = readManifest(fs, mf)
+          publish(fs, warehouse, commitId, moves, deletes, retained)
         }
       // stray .tmp manifests never reached the commit point: drop them
       fs.listStatus(cd).toSeq.map(_.getPath)

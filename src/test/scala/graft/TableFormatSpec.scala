@@ -74,7 +74,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 5)
   }
 
-  test("compaction: fewer files, identical rows and aggregates, snapshot-atomic swap") {
+  test("compaction: snapshot-atomic swap, time travel retained until vacuum") {
     val w = wh("whComp")
     (0 until 4).foreach(i => publishBatch(w, "t", (i * 100) until (i * 100 + 25)))
     assert(partFiles(w, "t").size == 4)
@@ -84,21 +84,34 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val res = Compaction.compact(spark, w, "t").get
     assert(res.filesBefore == 4 && res.filesAfter == 1)
-    assert(partFiles(w, "t").size == 1) // old files vacuumed
+    // default retention: inputs stay on disk, so pre-compaction versions
+    // still read — the snapshot swap is logical
+    assert(partFiles(w, "t").size == 5)
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 1)
     val after = Snapshots.read(spark, w, "t")
     assert(after.count() == 100)
     assert(after.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == sumBefore)
     assert(Snapshots.latestVersion(fs, w).get == vBefore + 1)
-    // a second compact is a no-op (already one file)
+    assert(Snapshots.read(spark, w, "t", asOf = Some(vBefore)).count() == 100)
+    // a second compact is a no-op (the committed set is already one file)
     assert(Compaction.compact(spark, w, "t").isEmpty)
+    // vacuum truncates history AND reaps the unreachable swapped-out inputs
+    Snapshots.vacuum(fs, w, keepVersions = 1)
+    assert(partFiles(w, "t").size == 1)
+    assert(Snapshots.read(spark, w, "t").count() == 100)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, w, "t", asOf = Some(vBefore))
+    }
   }
 
   test("crash mid-compaction loses nothing: recovery completes the swap") {
     val w = wh("whCompCrash")
     (0 until 3).foreach(i => publishBatch(w, "t", (i * 10) until (i * 10 + 10)))
     sys.props("graft.test.failAfterMoves") = "0" // die before any move lands
-    try intercept[IllegalStateException] { Compaction.compact(spark, w, "t") }
-    finally sys.props.remove("graft.test.failAfterMoves")
+    // retainRemoved=false exercises the physical-DEL replay path
+    try intercept[IllegalStateException] {
+      Compaction.compact(spark, w, "t", retainRemoved = false)
+    } finally sys.props.remove("graft.test.failAfterMoves")
     // Committed manifest + untouched inputs: snapshot readers still see v2.
     assert(Snapshots.read(spark, w, "t").count() == 30)
     TxnCommit.recover(fs, w)
@@ -129,12 +142,15 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Snapshots.read(spark, w, "t", asOf = Some(5L))
     }
-    // the log keeps flowing: another publish and a compaction still work
+    // the log keeps flowing: another publish, compaction, and a second
+    // vacuum (reaping the retained compaction inputs) still work
     publishBatch(w, "t", 100 to 101)
     assert(Snapshots.read(spark, w, "t").count() == 20)
     Compaction.compact(spark, w, "t")
     assert(Snapshots.read(spark, w, "t").count() == 20)
+    Snapshots.vacuum(fs, w, keepVersions = 1)
     assert(partFiles(w, "t").size == 1)
+    assert(Snapshots.read(spark, w, "t").count() == 20)
   }
 
   test("recover() leaves fresh (possibly live) staging alone; reaps aged orphans") {
