@@ -28,7 +28,8 @@ object Checkpoint {
 
   /** Keys already recorded for a prefix (idempotent-replay guard). The
     * checkpoint table is small (one row per ingested file) so a driver-side
-    * collect is the right plan. */
+    * collect is the right plan for ad-hoc inspection; the ingest path uses
+    * [[unprocessed]] instead, which never materializes history. */
   def processedKeys(spark: SparkSession, warehouse: String, prefix: String): Set[String] = {
     val path = s"$warehouse/$TableName"
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -37,6 +38,26 @@ object Checkpoint {
     spark.read.parquet(path)
       .filter(col("prefix") === prefix)
       .select("file_name").collect().map(_.getString(0)).toSet
+  }
+
+  /** The subset of `listed` not yet checkpointed, via a broadcast anti-join:
+    * the listed batch (small, bounded by one run) is broadcast against the
+    * checkpoint table, so driver memory is O(batch) — not O(every file ever
+    * ingested), which the collect-a-Set guard would cost after years of
+    * incremental runs. Listing order is preserved. */
+  def unprocessed(spark: SparkSession, warehouse: String, prefix: String,
+                  listed: Seq[FileCatalog.FileInfo]): Seq[FileCatalog.FileInfo] = {
+    val path = s"$warehouse/$TableName"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (listed.isEmpty || !fs.exists(new org.apache.hadoop.fs.Path(path))) return listed
+    import spark.implicits._
+    val listedDf = listed.map(_.key).toDF("file_name")
+    val done = spark.read.parquet(path)
+      .filter(col("prefix") === prefix).select("file_name")
+    val fresh = broadcast(listedDf).join(done, Seq("file_name"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    listed.filter(f => fresh.contains(f.key))
   }
 
   /** K5: latest processed file timestamp for a prefix (epoch ms), as a
@@ -262,11 +283,11 @@ object IngestJob {
     // Idempotent replay: a crash between data-append and checkpoint-append
     // leaves the file unrecorded; re-running would duplicate its rows (the
     // reference is at-least-once here, SURVEY §3.1). Skipping files already
-    // checkpointed makes re-runs exactly-once at file granularity.
-    val done =
-      if (selection.force) Set.empty[String]
-      else Checkpoint.processedKeys(spark, warehouse, spec.prefix)
-    val files = listed.filterNot(f => done.contains(f.key))
+    // checkpointed makes re-runs exactly-once at file granularity; the
+    // anti-join guard keeps driver memory O(this batch), not O(history).
+    val files =
+      if (selection.force) listed
+      else Checkpoint.unprocessed(spark, warehouse, spec.prefix, listed)
     // An explicit --file that the guard filtered out is surprising ("processed
     // 0 files") — say why, and how to override.
     if (selection.file.isDefined && listed.nonEmpty && files.isEmpty)
