@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB design depends on — a plan
+  * regression (lost pushdown, a broadcast flipping to shuffle, a top-k
+  * becoming a global sort, a range join going cartesian) fails here even
+  * while results stay correct. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+    // only the 5 projected columns are read, not all 11
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_tax"), read)
+  }
+
+  test("q05: dimension join broadcasts (no shuffle of the fact side)") {
+    assert(plan("q05_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q06: merge hint pins the sort-merge join (the 100TB fact-fact plan)") {
+    assert(plan("q06_join_shuffle").contains("SortMergeJoin"))
+  }
+
+  test("q10: range join rides the user_id equi key — never a cartesian") {
+    val p = plan("q10_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q16_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("llm_mix_sources: hash-gate filter reads only doc_id") {
+    val p = plan("llm_mix_sources")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+  }
+
+  test("llm_pack_sequences: exactly one exchange (shard window, no global sort)") {
+    val p = plan("llm_pack_sequences")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+}
