@@ -66,6 +66,44 @@ object StreamingOps {
       }
   }
 
+  /** Commit one micro-batch into a [[graft.ingest.TxnCommit]] warehouse
+    * table, exactly-once under batch replays: Spark re-runs a foreachBatch
+    * with the same batchId after a crash-before-offset-commit, and the
+    * snapshot log's commitId is the dedup key — a replayed batch whose
+    * commit already published is skipped entirely; one that crashed
+    * mid-publish is finished by recovery before the skip-check runs. This is
+    * the streaming writer the snapshot table format implies: readers switch
+    * batches atomically via the log, never observing a half-landed trigger. */
+  def commitBatch(df: org.apache.spark.sql.DataFrame, warehouse: String,
+                  table: String, batchId: Long): Unit = {
+    import graft.ingest.{Snapshots, TxnCommit}
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TxnCommit.recover(fs, warehouse) // finish any crashed publish first
+    val commitId = s"stream-$table-$batchId"
+    if (Snapshots.entries(fs, warehouse).exists(_.commitId == commitId)) return
+    val staging = TxnCommit.stagingDir(warehouse, commitId)
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$staging/$table")
+    val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+    TxnCommit.commit(fs, warehouse, commitId, moves)
+    TxnCommit.publish(fs, warehouse, commitId, moves)
+  }
+
+  /** writeStream half: `ds` → transactional warehouse table via
+    * [[commitBatch]] under the stream's own checkpoint. */
+  def transactionalSink[T](ds: Dataset[T], warehouse: String, table: String,
+                           checkpointDir: String,
+                           trigger: org.apache.spark.sql.streaming.Trigger =
+                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ds.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: Dataset[T], batchId: Long) =>
+        commitBatch(batch.toDF(), warehouse, table, batchId))
+      .trigger(trigger)
+      .start()
+
   /** Streaming ingest of reference-format files through the `huckli-frames`
     * DSv2 source (MICRO_BATCH_READ): each trigger lists only keys past the
     * committed high-water file timestamp (the StartAfter analog), plans one

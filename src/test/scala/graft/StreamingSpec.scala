@@ -78,6 +78,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transactional sink: micro-batches land atomically, replays are deduped") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val wh = Files.createTempDirectory("graft-txn-sink").toString
+    val ckpt = Files.createTempDirectory("graft-txn-sink-ckpt").toString
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+    val q = StreamingOps.transactionalSink(input.toDS(), wh, "events_t", ckpt)
+    q.awaitTermination()
+    assert(graft.ingest.Snapshots.read(spark, wh, "events_t").count() == 2)
+
+    // a crash-replay re-runs foreachBatch with the SAME batchId: the
+    // snapshot log's commitId dedups it — no duplicate rows
+    val replay = Seq(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0))
+      .toDF()
+    StreamingOps.commitBatch(replay, wh, "events_t", batchId = 0L)
+    assert(graft.ingest.Snapshots.read(spark, wh, "events_t").count() == 2)
+
+    // next trigger (new batchId) appends atomically
+    input.addData(Event(3, ts(2), 1, "click", 3.0))
+    val q2 = StreamingOps.transactionalSink(input.toDS(), wh, "events_t", ckpt)
+    q2.awaitTermination()
+    assert(graft.ingest.Snapshots.read(spark, wh, "events_t").count() == 3)
+  }
+
   test("streaming file ingest discovers new reference-format files incrementally") {
     val dir = Files.createTempDirectory("graft-stream")
     def fixture(name: String, n: Int, off: Int): Unit = {
