@@ -13,7 +13,7 @@ import graft.ingest.{FileSelection, IngestJob, IngestSpecs}
   *            [--file <key>] [--force] [--cpus N]
   * // warehouse maintenance (no ingest):
   * graft.Main --warehouse <dir> --compact <table> [--target-bytes N]
-  * graft.Main --warehouse <dir> --vacuum <keepVersions>
+  * graft.Main --warehouse <dir> --vacuum <keepVersions> [--retention-hours H]
   * }}}
   *
   * `--continue` ∧ `--after` and `--file` ∧ `--before` are rejected (O4,
@@ -65,7 +65,12 @@ object Main {
         opts.get("vacuum").foreach { keep =>
           val fs = new org.apache.hadoop.fs.Path(warehouse)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val removed = graft.ingest.Snapshots.vacuum(fs, warehouse, keep.toInt)
+          // Default 7-day reader-retention window (Delta's default); an
+          // operator who wants immediate reclaim passes --retention-hours 0.
+          val minAgeMs = opts.get("retention-hours").map(_.toLong)
+            .getOrElse(168L) * 3600L * 1000L
+          val removed =
+            graft.ingest.Snapshots.vacuum(fs, warehouse, keep.toInt, minAgeMs)
           println(s"vacuumed $removed snapshot log entries (kept last $keep versions)")
         }
       } finally spark.stop()

@@ -30,7 +30,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
-  case class Entry(version: Long, commitId: String, path: Path, isCheckpoint: Boolean)
+  case class Entry(version: Long, commitId: String, path: Path,
+                   isCheckpoint: Boolean, mtime: Long = 0L)
   case class Action(add: Boolean, table: String, file: String)
 
   private def snapDir(warehouse: String) = new Path(s"$warehouse/_snapshots")
@@ -50,7 +51,8 @@ object Snapshots {
     fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case SnapRe(v, cid, kind) =>
-          Some(Entry(v.toLong, cid, st.getPath, kind == "ckpt"))
+          Some(Entry(v.toLong, cid, st.getPath, kind == "ckpt",
+            st.getModificationTime))
         case _ => None
       }
     }.sortBy(e => (e.version, e.commitId, e.isCheckpoint))
@@ -153,12 +155,26 @@ object Snapshots {
     * the cutoff first, so every retained version stays reconstructable;
     * `asOf` reads before the cutoff then fail fast instead of returning a
     * partial table — same trade-off as Delta's VACUUM. Returns the number
-    * of log files removed. */
-  def vacuum(fs: FileSystem, warehouse: String, keepVersions: Int = 32): Int = {
+    * of log files removed.
+    *
+    * `minAgeMs` is the in-flight-reader retention window (Delta's
+    * `deletedFileRetentionDuration`): a version is reclaimable only once it
+    * was SUPERSEDED at least `minAgeMs` ago. Any reader still running
+    * started within the window, so it pinned either the current latest or a
+    * version whose successor landed inside the window — all of which stay
+    * readable. Size it to the longest plausible query, not to commit rate. */
+  def vacuum(fs: FileSystem, warehouse: String, keepVersions: Int = 32,
+             minAgeMs: Long = 0L): Int = {
     val all = entries(fs, warehouse)
     if (all.isEmpty) return 0
     val latest = all.last.version
-    val cutoff = latest - keepVersions + 1
+    val now = System.currentTimeMillis()
+    // Version V was superseded before the window iff some entry with a
+    // HIGHER version is already older than the window; max such version
+    // bounds what vacuum may touch.
+    val agedOut = all.filter(e => now - e.mtime >= minAgeMs).map(_.version)
+    if (agedOut.isEmpty) return 0
+    val cutoff = math.min(latest - keepVersions + 1, agedOut.max)
     if (cutoff <= 0) return 0
     val victims = all.filter(_.version < cutoff)
     if (victims.isEmpty) return 0

@@ -120,6 +120,59 @@ object TextOps {
           .cast("binary")).as("chunk_hash"))
   }
 
+  /** Benchmark decontamination: flag every training doc sharing at least
+    * `minOverlap` distinct 3-token shingles with the eval/benchmark set —
+    * the n-gram-overlap rule used before pre-training so test sets don't
+    * leak into the corpus.
+    *
+    * Scale shape: the eval side collapses to one distinct shingle set and is
+    * broadcast (benchmarks are MB-sized against a 100 TB corpus), so the
+    * train side is a single explode + broadcast-hash join + partial-agg
+    * count — no train-side shuffle of text, no all-pairs comparison. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, minOverlap: Int = 1): DataFrame = {
+    val trainSh = MinHash.withShingles(train, idCol, textCol)
+    val evalSh = MinHash.withShingles(eval, idCol, textCol)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val counts = trainSh
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    trainSh.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
+  /** Intra-document repetition scores (the Gopher repetition-removal rules):
+    * duplicate-token fraction and most-frequent-2-gram fraction, plus the
+    * keep gate. Pure per-row column math — the 2-gram mode is computed
+    * in-row over the gram array (O(distinct·grams) per doc) instead of an
+    * explode + two shuffles; for documents (10²–10⁴ tokens) per-row compute
+    * is far cheaper at 100 TB than shuffling the exploded gram stream. */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 maxDupTokens: Double = 0.3, maxTopGram: Double = 0.2): DataFrame = {
+    val withGrams = df
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__toks"))
+      .withColumn("__grams",
+        when(size(col("__toks")) >= 2,
+          expr("transform(sequence(1, size(__toks) - 1), " +
+            "i -> concat_ws(' ', __toks[i-1], __toks[i]))"))
+          .otherwise(array().cast("array<string>")))
+    val nTok = size(col("__toks")).cast("double")
+    val nGram = size(col("__grams"))
+    val topCnt = array_max(expr(
+      "transform(array_distinct(__grams), g -> size(filter(__grams, x -> x = g)))"))
+    val dupRatio = round(lit(1.0) - size(array_distinct(col("__toks"))) / nTok, 4)
+    val topRatio = round(
+      when(nGram > 0, topCnt.cast("double") / nGram).otherwise(lit(0.0)), 4)
+    withGrams.select(
+      col(idCol),
+      dupRatio.as("dup_token_ratio"),
+      topRatio.as("top_2gram_ratio"),
+      (dupRatio <= maxDupTokens && topRatio <= maxTopGram).as("keep"))
+  }
+
   /** Composite quality score: penalize punctuation- and digit-heavy text
     * (2× resp. 3× the character ratio), floor at 0; `keep` additionally
     * requires a sane token count. One projection, deterministic arithmetic

@@ -192,6 +192,21 @@ object LlmQueries {
           expr("(cum - tok_c) div 512").as("pack_id"))
     }),
 
+    // Benchmark decontamination: eval set = every 17th doc, train = the
+    // rest; any shared 3-gram shingle flags the training doc. The eval
+    // shingle set is broadcast — the 100 TB shape (benchmarks are MB-sized).
+    "llm_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.decontaminate(
+        all.filter(col("doc_id") % 17 =!= 0),
+        all.filter(col("doc_id") % 17 === 0), "doc_id", "text")
+    }),
+
+    // Gopher-style intra-document repetition filters (duplicate-token and
+    // top-2-gram fractions), computed per-row with zero shuffles.
+    "llm_repetition" -> ((s, d) =>
+      TextOps.repetition(docs(s, d), "doc_id", "text")),
+
     // Weighted source mixing by hash gate: 'books' (doc_id%3=0) kept fully,
     // 'web' at ~30% via an md5-prefix threshold — deterministic,
     // engine-portable proportional downsampling (the dataset-mixing
@@ -214,6 +229,16 @@ object LlmQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  // DuckDB 3-token shingle-set expression over a `text` column (mirrors
+  // MinHash.withShingles; the CTE below wraps it over the dup-doc union).
+  private val shingleExprSql =
+    """list_distinct(CASE WHEN len(string_split(lower(text), ' ')) >= 3
+      |      THEN list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+      |        i -> string_split(lower(text), ' ')[i] || ' ' ||
+      |             string_split(lower(text), ' ')[i+1] || ' ' ||
+      |             string_split(lower(text), ' ')[i+2])
+      |      ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END)""".stripMargin
 
   // 3-token shingle set of `text` (mirrors MinHash.withShingles).
   private val shingleCte =
@@ -401,6 +426,35 @@ object LlmQueries {
         | CASE WHEN doc_id % 3 = 0 THEN 'books' ELSE 'web' END AS source,
         | substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS gate
         |FROM documents
-        |WHERE doc_id % 3 = 0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '4d'""".stripMargin
+        |WHERE doc_id % 3 = 0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '4d'""".stripMargin,
+    "llm_decontaminate" ->
+      s"""WITH tsh AS (
+         |  SELECT doc_id, unnest($shingleExprSql) AS shingle
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |esh AS (
+         |  SELECT DISTINCT unnest($shingleExprSql) AS shingle
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |c AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM tsh JOIN esh USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(c.n_overlap, 0) AS n_overlap,
+         |  COALESCE(c.n_overlap, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN c USING (doc_id)
+         |WHERE d.doc_id % 17 <> 0""".stripMargin,
+    "llm_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |r AS (SELECT doc_id,
+        |  round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_token_ratio,
+        |  round(CASE WHEN len(grams) > 0 THEN
+        |      list_max(list_transform(list_distinct(grams),
+        |        x -> len(list_filter(grams, y -> y = x)))) / len(grams)
+        |    ELSE 0.0 END, 4) AS top_2gram_ratio FROM g)
+        |SELECT doc_id, dup_token_ratio, top_2gram_ratio,
+        |  dup_token_ratio <= 0.3 AND top_2gram_ratio <= 0.2 AS keep FROM r""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ingest.{Compaction, Snapshots, TxnCommit}
+import graft.ingest.{Compaction, Merge, Snapshots, TxnCommit}
 
 /** Snapshot-isolated reads + compaction over the TxnCommit log. */
 class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -151,6 +151,64 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshots.vacuum(fs, w, keepVersions = 1)
     assert(partFiles(w, "t").size == 1)
     assert(Snapshots.read(spark, w, "t").count() == 20)
+  }
+
+  test("copy-on-write merge: rewrites only affected files; upsert, delete, time travel") {
+    val w = wh("whMerge")
+    val s0 = spark
+    import s0.implicits._
+    def publishKv(ids: Range, v: String): Unit = {
+      val commitId = java.util.UUID.randomUUID().toString
+      ids.map(i => (i.toLong, v)).toDF("id", "val").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, commitId)}/t")
+      val moves = TxnCommit.movesFor(fs, w, commitId, "t")
+      TxnCommit.commit(fs, w, commitId, moves)
+      TxnCommit.publish(fs, w, commitId, moves)
+    }
+    publishKv(0 until 10, "a")  // file A
+    publishKv(10 until 20, "b") // file B
+    val fileB = Snapshots.fileSet(fs, w, "t").get
+      .find(f => spark.read.parquet(f).agg(org.apache.spark.sql.functions.min("id"))
+        .head.getLong(0) == 10L).get
+    val vBefore = Snapshots.latestVersion(fs, w).get
+
+    // Upsert touching only file A's keys (+ one brand-new key).
+    val updates = Seq((5L, "x"), (7L, "x"), (100L, "x")).toDF("id", "val")
+    val res = Merge.upsert(spark, w, "t", updates, Seq("id"))
+    assert(res.filesRewritten == 1 && res.rowsMatched == 2)
+    val after = Snapshots.read(spark, w, "t")
+    assert(after.count() == 21)
+    assert(after.filter($"val" === "x").select("id").as[Long].collect().sorted
+      .sameElements(Array(5L, 7L, 100L)))
+    // file B never moved: the same physical file is still in the snapshot
+    assert(Snapshots.fileSet(fs, w, "t").get.contains(fileB))
+    // pre-merge version still reads the original values
+    assert(Snapshots.read(spark, w, "t", asOf = Some(vBefore))
+      .filter($"id" === 5L).select("val").as[String].head() == "a")
+
+    // Delete by key; missing keys are a no-op.
+    val res2 = Merge.deleteKeys(spark, w, "t", Seq(10L, 11L).toDF("id"), Seq("id"))
+    assert(res2.rowsMatched == 2)
+    assert(Snapshots.read(spark, w, "t").count() == 19)
+    assert(Merge.deleteKeys(spark, w, "t", Seq(999L).toDF("id"), Seq("id"))
+      .rowsMatched == 0)
+    assert(Snapshots.read(spark, w, "t").count() == 19)
+  }
+
+  test("vacuum retention window shields versions still pinnable by in-flight readers") {
+    val w = wh("whRet")
+    (0 until 6).foreach(i => publishBatch(w, "t", i to i)) // versions 0..5
+    // Every entry just landed: within a 1h window, no version has been
+    // superseded long enough to reclaim — vacuum must be a no-op even under
+    // an aggressive keepVersions policy.
+    assert(Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 3600000L) == 0)
+    assert(Snapshots.read(spark, w, "t", asOf = Some(0L)).count() == 1)
+    // Window elapsed (minAgeMs = 0): the version-count policy applies again.
+    assert(Snapshots.vacuum(fs, w, keepVersions = 1) > 0)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, w, "t", asOf = Some(0L))
+    }
+    assert(Snapshots.read(spark, w, "t").count() == 6)
   }
 
   test("recover() leaves fresh (possibly live) staging alone; reaps aged orphans") {
