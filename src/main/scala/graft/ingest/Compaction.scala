@@ -51,24 +51,41 @@ object Compaction {
   }
 
   /** Compact `table` into files of ~`targetBytes`. No-op (None) when the
-    * table already has ≤1 file or fewer than `minInputFiles` inputs. */
+    * table already has ≤1 file or fewer than `minInputFiles` inputs.
+    *
+    * `sortBy` additionally range-clusters the rewrite (Delta's `ZORDER BY`
+    * for the common single-dimension case): rows are range-partitioned and
+    * sorted on the given columns, so each output file covers a disjoint key
+    * range and parquet row-group min/max stats let later scans with
+    * predicates on those columns skip whole files. Clustering needs a
+    * shuffle (range exchange) where plain bin-packing is narrow `coalesce` —
+    * pay it when the table has a dominant filter column. */
   def compact(spark: SparkSession, warehouse: String, table: String,
               targetBytes: Long = 128L * 1024 * 1024,
               minInputFiles: Int = 2,
-              retainRemoved: Boolean = true): Option[Result] = {
+              retainRemoved: Boolean = true,
+              sortBy: Seq[String] = Nil): Option[Result] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val inputs = liveFiles(spark, warehouse, table)
     if (inputs.size < minInputFiles) return None
     val totalBytes = inputs.map(_._2).sum
-    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (nOut >= inputs.size) return None // already at or under target granularity
+    val nOut0 = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    // Clustering is worth a rewrite even when the file count doesn't shrink
+    // (the value is the disjoint ranges), but never grow the file count.
+    val nOut = if (sortBy.nonEmpty) math.min(nOut0, inputs.size) else nOut0
+    if (sortBy.isEmpty && nOut >= inputs.size) return None // already packed
 
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
-    spark.read.parquet(inputs.map(_._1): _*)
-      .coalesce(nOut)
-      .write.parquet(staging)
+    val packed = {
+      val df = spark.read.parquet(inputs.map(_._1): _*)
+      if (sortBy.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut,
+          sortBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+    }
+    packed.write.parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val (deletes, retained) =
       if (retainRemoved) (Nil, inputs.map(_._1)) else (inputs.map(_._1), Nil)

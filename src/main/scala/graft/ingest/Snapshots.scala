@@ -207,9 +207,14 @@ object Snapshots {
   /** Snapshot-isolated read: plan from the pinned file list of the resolved
     * version — concurrent publishes (and compactions) are invisible, and
     * `asOf` reads any retained historical version. Throws if the table has no
-    * committed files at that version (schema would be unknowable). */
+    * committed files at that version (schema would be unknowable).
+    *
+    * `mergeSchema = true` unions the schemas of all pinned files (additive
+    * schema evolution: commits may add columns; old files read them as
+    * null). Off by default — merging reads every footer at plan time, and a
+    * stable-schema table shouldn't pay that at 100k files. */
   def read(spark: SparkSession, warehouse: String, table: String,
-           asOf: Option[Long] = None): DataFrame = {
+           asOf: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fileSet(fs, warehouse, table, asOf)
@@ -217,6 +222,6 @@ object Snapshots {
         s"no snapshot log under $warehouse — was this table committed via TxnCommit?"))
     require(files.nonEmpty,
       s"table '$table' has no committed files at version ${asOf.getOrElse("latest")}")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
   }
 }

@@ -125,20 +125,24 @@ object TextOps {
     * the n-gram-overlap rule used before pre-training so test sets don't
     * leak into the corpus.
     *
-    * Scale shape: the eval side collapses to one distinct shingle set and is
-    * broadcast (benchmarks are MB-sized against a 100 TB corpus), so the
-    * train side is a single explode + broadcast-hash join + partial-agg
-    * count — no train-side shuffle of text, no all-pairs comparison. */
+    * Scale shape: the eval side collapses to one distinct shingle-HASH set
+    * and is broadcast (benchmarks are MB-sized against a 100 TB corpus), so
+    * the train side is a single explode + broadcast-hash join + partial-agg
+    * count — no train-side shuffle of text, no all-pairs comparison. Both
+    * sides join on xxhash64 of the shingle: the broadcast table and every
+    * comparison are 8-byte longs, never n-gram strings (a 64-bit collision
+    * would need ~2^32 distinct eval shingles to become likely). */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, minOverlap: Int = 1): DataFrame = {
-    val trainSh = MinHash.withShingles(train, idCol, textCol)
     val evalSh = MinHash.withShingles(eval, idCol, textCol)
-      .select(explode(col("shingles")).as("shingle")).distinct()
-    val counts = trainSh
+      .select(explode(col("shingles")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val counts = MinHash.withShingles(train, idCol, textCol)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .join(broadcast(evalSh), "shingle")
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .join(broadcast(evalSh), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    trainSh.select("doc_id").join(counts, Seq("doc_id"), "left")
+    train.select(col(idCol).as("doc_id")).join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)

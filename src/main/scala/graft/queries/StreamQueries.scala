@@ -77,7 +77,14 @@ object StreamQueries {
             col("event_type"), col("value")).as[StreamingOps.Event]).toDF()
       }
       sink.groupBy("user_id").agg(max("n_events").as("n_events"))
-    }))
+    }),
+    // q25-style dedup through the streaming runtime: dropDuplicates keeps
+    // per-key state across micro-batches; emitting only the key columns in
+    // append mode makes the sink exactly SELECT DISTINCT — first-seen
+    // payload columns would depend on file order, keys never do.
+    "stream_dedup" -> ((s, d) =>
+      runToCompletion(s, d, outputMode = "append")(
+        _.select(col("user_id"), col("event_type")).dropDuplicates())))
 
   /** Same ground truth as the batch entries — the streaming runtime must
     * produce byte-identical results on a bounded input. */
@@ -86,5 +93,7 @@ object StreamQueries {
     "stream_session" -> Declared.oracleSql("q24_session_window"),
     "stream_user_stats" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
 }

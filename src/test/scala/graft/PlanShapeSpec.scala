@@ -66,4 +66,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("llm_pack_sequences")
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("llm_decontaminate: eval shingle set broadcasts against the train side") {
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("llm_repetition: pure per-row projection — no shuffle at all") {
+    val p = plan("llm_repetition")
+    assert(!p.contains("Exchange"), p)
+  }
 }

@@ -104,6 +104,31 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sorted compaction range-clusters files for min/max data skipping") {
+    val w = wh("whSort")
+    // Four commits each spanning the whole id range — the worst case for
+    // min/max skipping: every file's [min,max] covers every predicate.
+    (0 until 4).foreach(i => publishBatch(w, "t", i until 400 by 4))
+    val res = Compaction.compact(spark, w, "t",
+      targetBytes = 1, minInputFiles = 2, sortBy = Seq("id")).get
+    assert(res.filesBefore == 4)
+    val files = Snapshots.fileSet(fs, w, "t").get
+    assert(files.size > 1)
+    // After clustering, per-file id ranges must be pairwise disjoint — the
+    // property parquet row-group stats pruning needs to skip whole files.
+    val ranges = files.map { f =>
+      val mm = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head
+      (mm.getLong(0), mm.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    assert(Snapshots.read(spark, w, "t").count() == 400)
+  }
+
   test("crash mid-compaction loses nothing: recovery completes the swap") {
     val w = wh("whCompCrash")
     (0 until 3).foreach(i => publishBatch(w, "t", (i * 10) until (i * 10 + 10)))
@@ -193,6 +218,23 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Merge.deleteKeys(spark, w, "t", Seq(999L).toDF("id"), Seq("id"))
       .rowsMatched == 0)
     assert(Snapshots.read(spark, w, "t").count() == 19)
+  }
+
+  test("additive schema evolution: mergeSchema unions commit schemas") {
+    val w = wh("whEvo")
+    val s0 = spark
+    import s0.implicits._
+    publishBatch(w, "t", 1 to 3) // schema: (id)
+    val commitId = java.util.UUID.randomUUID().toString
+    Seq((10L, "x")).toDF("id", "val").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, commitId)}/t") // adds `val`
+    val moves = TxnCommit.movesFor(fs, w, commitId, "t")
+    TxnCommit.commit(fs, w, commitId, moves)
+    TxnCommit.publish(fs, w, commitId, moves)
+    val df = Snapshots.read(spark, w, "t", mergeSchema = true)
+    assert(df.columns.sorted.sameElements(Array("id", "val")))
+    assert(df.count() == 4)
+    assert(df.filter($"val".isNull).count() == 3) // old files: new col is null
   }
 
   test("vacuum retention window shields versions still pinnable by in-flight readers") {
