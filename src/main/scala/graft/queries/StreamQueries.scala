@@ -78,6 +78,28 @@ object StreamQueries {
       }
       sink.groupBy("user_id").agg(max("n_events").as("n_events"))
     }),
+    // Stream-stream interval self-join through the real runtime: clicks
+    // joined to same-user views within 10 minutes, watermarks on both sides
+    // bounding the join state (the canonical Structured Streaming
+    // stream-stream join form; inner joins emit eagerly, so a bounded input
+    // yields the full batch-join result). A state-management regression
+    // (dropped buffered rows, watermark mis-eviction) breaks the hash match.
+    "stream_join" -> ((s, d) =>
+      runToCompletion(s, d, outputMode = "append") { df =>
+        val clicks = df.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val views = df.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("v_ts", "1 hour")
+        clicks.join(views,
+            col("user_id") === col("v_user") &&
+              col("v_ts") >= col("c_ts") &&
+              col("v_ts") <= col("c_ts") + expr("interval 10 minutes"))
+          .select(col("click_id"), col("view_id"), col("user_id"))
+      }),
     // q25-style dedup through the streaming runtime: dropDuplicates keeps
     // per-key state across micro-batches; emitting only the key columns in
     // append mode makes the sink exactly SELECT DISTINCT — first-seen
@@ -95,5 +117,12 @@ object StreamQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id""".stripMargin,
     "stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        |FROM events c JOIN events v
+        |ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE""".stripMargin)
 }
