@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max, min}
 
 /** Copy-on-write MERGE (upsert / delete-by-key) for TxnCommit tables — the
   * Delta `MERGE INTO` analog over the [[Snapshots]] log.
@@ -51,9 +51,16 @@ object Merge {
     // Affected files: commitId-prefixed part names are unique within the
     // table dir, so the name alone identifies a snapshot file (and sidesteps
     // scheme/slash differences between input_file_name() URIs and log paths).
+    // The [min,max] bounds of the leading key are pushed as a scan predicate
+    // first: it can't change the semi-join's answer, but it reaches the
+    // parquet reader as a row-group/file stats filter — after a sorted
+    // compaction on the key, a narrow merge reads only the files it could
+    // possibly rewrite instead of scanning the whole table.
+    val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
     val affectedNames: Set[String] =
-      if (files.isEmpty) Set.empty
+      if (files.isEmpty || bounds.isNullAt(0)) Set.empty
       else spark.read.parquet(files: _*)
+        .filter(col(keyCols.head).between(lit(bounds.get(0)), lit(bounds.get(1))))
         .withColumn("_src_file", input_file_name())
         .join(broadcast(srcKeys), keyCols, "left_semi")
         .select("_src_file").distinct()
