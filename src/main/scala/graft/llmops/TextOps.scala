@@ -134,11 +134,17 @@ object TextOps {
     * would need ~2^32 distinct eval shingles to become likely). */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, minOverlap: Int = 1): DataFrame = {
+    // explode_outer, not explode: plain explode makes Generate push an
+    // `isnotnull AND size>0` guard below the shingle projection, inlining
+    // the whole shingle expression 3× into the scan filter (a huge codegen
+    // blowup measured at ~5s of fixed overhead per action at any data
+    // size). Shingle arrays are never empty (withShingles falls back to the
+    // whole text), so the outer variant is semantically identical.
     val evalSh = MinHash.withShingles(eval, idCol, textCol)
-      .select(explode(col("shingles")).as("shingle"))
+      .select(explode_outer(col("shingles")).as("shingle"))
       .select(xxhash64(col("shingle")).as("sh")).distinct()
     val counts = MinHash.withShingles(train, idCol, textCol)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .join(broadcast(evalSh), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))

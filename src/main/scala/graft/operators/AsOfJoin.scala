@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for every left row, the single latest right row with
-  * the same key and `right.ts <= left.ts` (inclusive) — the standard
-  * time-series enrichment join Spark has no built-in operator for.
+/** As-of join: for every left row, the single nearest right row with the
+  * same key — latest `right.ts <= left.ts` ([[backward]], the standard
+  * time-series enrichment) or earliest `right.ts >= left.ts` ([[forward]],
+  * "next event after") — joins Spark has no built-in operator for.
   *
   * Scale shape: NOT a range join. A range join materializes every
   * (left, right) candidate pair inside the window before keeping one —
@@ -31,28 +32,53 @@ object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, payloads: Seq[String],
-               asOfTsName: String = "asof_ts"): DataFrame = {
+               asOfTsName: String = "asof_ts"): DataFrame =
+    joinAsOf(left, right, key, leftTs, rightTs, payloads, asOfTsName,
+      forwardDir = false)
+
+  /** Forward variant: earliest right row with `right.ts >= left.ts`
+    * (inclusive) — same single-shuffle union+window shape, with the frame
+    * flipped to [current, following] and a `first(ignoreNulls)` carry. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String, payloads: Seq[String],
+              asOfTsName: String = "asof_ts"): DataFrame =
+    joinAsOf(left, right, key, leftTs, rightTs, payloads, asOfTsName,
+      forwardDir = true)
+
+  private def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String, payloads: Seq[String],
+                       asOfTsName: String, forwardDir: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val lCols = left.columns.toSeq
     val packType = StructType(
       StructField("__r_ts", right.schema(rightTs).dataType) +:
         payloads.map(p => StructField(p, right.schema(p).dataType)))
+    // At equal ts the right row must fall inside the left row's frame:
+    // backward looks over (unboundedPreceding, current] so right sorts
+    // BEFORE left (side 0 < 1); forward looks over [current,
+    // unboundedFollowing) so right sorts AFTER left.
+    val (lTag, rTag) = if (forwardDir) (0, 1) else (1, 0)
     val lSide = left.select(
       lCols.map(col) ++ Seq(
-        col(leftTs).as("__ts"), lit(1).as("__side"),
+        col(leftTs).as("__ts"), lit(lTag).as("__side"),
         lit(null).cast(packType).as("__pack")): _*)
     val rSide = right.select(
       lCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__side"),
+        col(rightTs).as("__ts"), lit(rTag).as("__side"),
         struct(col(rightTs).as("__r_ts") +: payloads.map(col): _*)
           .cast(packType).as("__pack")): _*)
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    val w =
+      if (forwardDir) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry =
+      if (forwardDir) first(col("__pack"), ignoreNulls = true)
+      else last(col("__pack"), ignoreNulls = true)
     val carried = lSide.unionByName(rSide)
-      .withColumn("__pack", last(col("__pack"), ignoreNulls = true).over(w))
-    carried.filter(col("__side") === 1)
+      .withColumn("__pack", carry.over(w))
+    carried.filter(col("__side") === lTag)
       .select(lCols.map(col) ++
         (col("__pack.__r_ts").as(asOfTsName) +:
           payloads.map(p => col(s"__pack.$p").as(p))): _*)

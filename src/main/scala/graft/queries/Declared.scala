@@ -355,6 +355,19 @@ object Declared {
         .select("event_id", "user_id", "asof_ts", "purchase_value")
     }),
 
+    // Q32: forward as-of — each click enriched with the next purchase
+    // at-or-after it (same single-shuffle union+window shape as q30).
+    "q32_asof_forward" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      graft.operators.AsOfJoin.forward(clicks, purchases, "user_id",
+        leftTs = "ts", rightTs = "ts", payloads = Seq("purchase_value"))
+        .select("event_id", "user_id", "asof_ts", "purchase_value")
+    }),
+
     // Q31: distribution-rank window functions (ntile / percent_rank /
     // cume_dist). Unrounded doubles on purpose: both engines compute the
     // identical (rank-1)/(n-1) and rank/n IEEE divisions of exact integers,
@@ -563,6 +576,13 @@ object Declared {
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, r.ts AS asof_ts, r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q32_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.ts AS asof_ts, r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
     "q31_rank_funcs" ->
       """SELECT event_id, event_type,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -42,6 +42,23 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("L3", Some(4L), Some("y"), None)))
   }
 
+  test("forward: earliest right at-or-after, inclusive; unmatched tail is null") {
+    val s0 = spark
+    import s0.implicits._
+    val left = Seq((1L, 4L, "L1"), (1L, 5L, "L2"), (1L, 9L, "L3"))
+      .toDF("user_id", "lts", "tag")
+    val right = Seq((1L, 5L, "r5"), (1L, 8L, "r8"))
+      .toDF("user_id", "rts", "v")
+    val out = AsOfJoin.forward(left, right, "user_id", "lts", "rts", Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.get(r.fieldIndex("asof_ts"))).map(_.asInstanceOf[Long]),
+        Option(r.getAs[String]("v")))).toSet
+    assert(out == Set(
+      ("L1", Some(5L), Some("r5")), // next right after 4 is 5
+      ("L2", Some(5L), Some("r5")), // equal ts matches (inclusive)
+      ("L3", None, None)))          // nothing at-or-after 9
+  }
+
   test("left rows before any right match carry all-null payload and timestamp") {
     val s0 = spark
     import s0.implicits._

@@ -6,12 +6,21 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.allowHashOnMapType", "true")
     val d = "/root/testdata/sf0.1"
+    // Same checksum materializer as Bench — count() lets Catalyst prune
+    // column work and under-times projection-shaped queries.
+    def mat(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, d)
+      df.select(org.apache.spark.sql.functions
+          .xxhash64(df.columns.map(org.apache.spark.sql.functions.col): _*).as("__h"))
+        .agg(org.apache.spark.sql.functions.expr("bit_xor(__h)")).collect()
+    }
     for (name <- args) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, d).count()
+      mat(name)
       val t1 = System.nanoTime()
-      SparkEntry.queries(name)(spark, d).count()
+      mat(name)
       val t2 = System.nanoTime()
       println(f"TIMEQ $name cold=${(t1-t0)/1e9}%.2f warm=${(t2-t1)/1e9}%.2f")
     }
