@@ -38,6 +38,12 @@ object StreamQueries {
     // Same NANOS-timestamp handling as Declared.events: nanos as long, then
     // truncate to micros (identical to DuckDB CAST(ts AS TIMESTAMP)).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Stateful streaming allocates one state store per shuffle partition
+    // (a stream-stream join keeps FOUR per partition); size the partition
+    // count to the state, not to the session's batch default — at this
+    // fixture scale 32 partitions are pure store-setup overhead. Purely
+    // physical: results are partitioning-independent. Restored in finally.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     // The fixture is a single file; the file-stream source wants a directory
@@ -47,13 +53,16 @@ object StreamQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
-    val q = xform(stream).writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = xform(stream).writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     s.table(name)
   }
 
