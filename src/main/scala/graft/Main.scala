@@ -12,7 +12,7 @@ import graft.ingest.{FileSelection, IngestJob, IngestSpecs}
   *            [--after yyyy-MM-ddTHH:mm:ss] [--before ...] [--continue]
   *            [--file <key>] [--force] [--cpus N]
   * // warehouse maintenance (no ingest):
-  * graft.Main --warehouse <dir> --compact <table> [--target-bytes N] [--sort-by c1,c2]
+  * graft.Main --warehouse <dir> --compact <table> [--target-bytes N] [--sort-by c1,c2 | --zorder c1,c2]
   * graft.Main --warehouse <dir> --vacuum <keepVersions> [--retention-hours H]
   * }}}
   *
@@ -58,8 +58,12 @@ object Main {
             .getOrElse(128L * 1024 * 1024)
           val sortBy = opts.get("sort-by")
             .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-          graft.ingest.Compaction.compact(spark, warehouse, table, target,
-              sortBy = sortBy) match {
+          val zorderBy = opts.get("zorder")
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+          (if (zorderBy.nonEmpty)
+             graft.ingest.Compaction.zorder(spark, warehouse, table, zorderBy, target)
+           else graft.ingest.Compaction.compact(spark, warehouse, table, target,
+             sortBy = sortBy)) match {
             case Some(r) =>
               println(s"compacted $table: ${r.filesBefore} -> ${r.filesAfter} files (${r.bytes} bytes)")
             case None => println(s"$table already at target granularity — no-op")

@@ -1,7 +1,8 @@
 package graft.ingest
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bin-pack compaction for TxnCommit tables.
   *
@@ -81,8 +82,7 @@ object Compaction {
     val packed = {
       val df = spark.read.parquet(inputs.map(_._1): _*)
       if (sortBy.isEmpty) df.coalesce(nOut)
-      else df.repartitionByRange(nOut,
-          sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartitionByRange(nOut, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
     }
     packed.write.parquet(staging)
@@ -91,6 +91,60 @@ object Compaction {
       if (retainRemoved) (Nil, inputs.map(_._1)) else (inputs.map(_._1), Nil)
     TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained)
     TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained)
+    Some(Result(inputs.size, moves.size, totalBytes))
+  }
+
+  /** Spread the low 16 bits of `x` so consecutive bits land `stride` apart
+    * (Morton/Z-curve bit interleave), as pure codegen'd bit arithmetic. */
+  private def spreadBits(x: Column, stride: Int): Column =
+    (0 until 16).map(i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * stride))
+      .reduce(_.bitwiseOR(_))
+
+  /** Multi-dimensional Z-order rewrite (Delta's `OPTIMIZE ZORDER BY`):
+    * each numeric column is min/max-normalized to a 16-bit rank, the ranks'
+    * bits are interleaved into one Morton key, and the table is
+    * range-repartitioned + sorted on that key — so every output file covers
+    * a small hyper-rectangle of the key space and parquet min/max stats can
+    * skip files for predicates on ANY of the clustered columns, not just a
+    * leading sort column. Bounds come from one model-sized agg; the rewrite
+    * itself is one range exchange, same cost shape as sorted compaction. */
+  def zorder(spark: SparkSession, warehouse: String, table: String,
+             cols: Seq[String],
+             targetBytes: Long = 128L * 1024 * 1024): Option[Result] = {
+    require(cols.size >= 2, "zorder needs >= 2 columns (1 column = sortBy)")
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputs = liveFiles(spark, warehouse, table)
+    if (inputs.size < 2) return None
+    val totalBytes = inputs.map(_._2).sum
+    val nOut = math.min(
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes),
+      inputs.size.toLong).toInt
+    val df = spark.read.parquet(inputs.map(_._1): _*)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head
+    val zval = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      val rank = least(greatest(
+        ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+          .cast("long"), lit(0L)), lit(65535L))
+      shiftleft(spreadBits(rank, cols.size), i)
+    }.reduce(_.bitwiseOR(_))
+
+    val commitId = java.util.UUID.randomUUID().toString
+    val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
+    df.withColumn("__z", zval)
+      .repartitionByRange(nOut, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(staging)
+    val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+    val retained = inputs.map(_._1)
+    TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained)
+    TxnCommit.publish(fs, warehouse, commitId, moves, retained = retained)
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 }

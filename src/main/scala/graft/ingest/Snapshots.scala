@@ -198,6 +198,22 @@ object Snapshots {
     victims.size
   }
 
+  /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
+    * per log version with its commitId, entry timestamp, and add/remove
+    * counts per action. Reads only the tiny log files — never data. */
+  def history(spark: SparkSession, warehouse: String): DataFrame = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = entries(fs, warehouse).filterNot(_.isCheckpoint).map { e =>
+      val acts = readActions(fs, e.path)
+      (e.version, e.commitId, new java.sql.Timestamp(e.mtime),
+        acts.count(_.add).toLong, acts.count(!_.add).toLong,
+        acts.map(_.table).distinct.sorted.mkString(","))
+    }.sortBy(-_._1)
+    import spark.implicits._
+    rows.toDF("version", "commit_id", "committed_at", "n_added", "n_removed", "tables")
+  }
+
   /** The exact committed file set of `table` at `asOf` (default: latest).
     * None when the warehouse has no snapshot log at all. */
   def fileSet(fs: FileSystem, warehouse: String, table: String,

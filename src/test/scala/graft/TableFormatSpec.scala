@@ -129,6 +129,52 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 400)
   }
 
+  test("zorder clusters files into small hyper-rectangles on both dimensions") {
+    val w = wh("whZ")
+    val s0 = spark
+    import s0.implicits._
+    // 4 commits each spanning the FULL (a, b) grid — no single-column sort
+    // can shrink both dimensions at once.
+    val grid = for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong)
+    (0 until 4).foreach { i =>
+      val commitId = java.util.UUID.randomUUID().toString
+      grid.filter(p => (p._1 + p._2 + i) % 4 == 0).toDF("a", "b").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, commitId)}/t")
+      val moves = TxnCommit.movesFor(fs, w, commitId, "t")
+      TxnCommit.commit(fs, w, commitId, moves)
+      TxnCommit.publish(fs, w, commitId, moves)
+    }
+    val res = Compaction.zorder(spark, w, "t", Seq("a", "b"), targetBytes = 1).get
+    assert(res.filesBefore == 4)
+    val files = Snapshots.fileSet(fs, w, "t").get
+    assert(files.size == 4) // capped at input count
+    // The data-skipping property: a predicate on EITHER column must be able
+    // to skip at least one file by min/max stats. (A single-column sort
+    // gives every file the full range of the other column — nothing skips.)
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("a"), org.apache.spark.sql.functions.max("a"),
+        org.apache.spark.sql.functions.min("b"), org.apache.spark.sql.functions.max("b")).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val hitA = boxes.count { case (loA, _, _, _) => loA < 8 } // files a<8 must read
+    val hitB = boxes.count { case (_, _, loB, _) => loB < 8 }
+    assert(hitA < files.size, s"no file skippable for a<8: $boxes")
+    assert(hitB < files.size, s"no file skippable for b<8: $boxes")
+    assert(Snapshots.read(spark, w, "t").count() == grid.size)
+  }
+
+  test("history lists commits newest-first with action counts") {
+    val w = wh("whHist")
+    publishBatch(w, "t", 1 to 5)
+    publishBatch(w, "t", 6 to 9)
+    Compaction.compact(spark, w, "t")
+    val h = graft.ingest.Snapshots.history(spark, w).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L)) // newest first
+    assert(h.head.getLong(3) == 1L && h.head.getLong(4) == 2L) // compact: +1/-2
+    assert(h.forall(_.getString(5) == "t"))
+  }
+
   test("crash mid-compaction loses nothing: recovery completes the swap") {
     val w = wh("whCompCrash")
     (0 until 3).foreach(i => publishBatch(w, "t", (i * 10) until (i * 10 + 10)))
