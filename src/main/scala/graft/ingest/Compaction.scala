@@ -89,8 +89,8 @@ object Compaction {
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val (deletes, retained) =
       if (retainRemoved) (Nil, inputs.map(_._1)) else (inputs.map(_._1), Nil)
-    TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained)
-    TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained)
+    TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained, op = "compact")
+    TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained, op = "compact")
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 
@@ -143,8 +143,8 @@ object Compaction {
       .write.parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val retained = inputs.map(_._1)
-    TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained)
-    TxnCommit.publish(fs, warehouse, commitId, moves, retained = retained)
+    TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained, op = "zorder")
+    TxnCommit.publish(fs, warehouse, commitId, moves, retained = retained, op = "zorder")
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 }

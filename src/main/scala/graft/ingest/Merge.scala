@@ -83,8 +83,8 @@ object Merge {
       case Some(df) =>
         df.coalesce(math.max(1, affected.size)).write.parquet(staging)
         val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
-        TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected)
-        TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected)
+        TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected, op = "merge")
+        TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected, op = "merge")
         Result(affected.size, moves.size, matched)
     }
   }

@@ -61,7 +61,7 @@ object Snapshots {
   def latestVersion(fs: FileSystem, warehouse: String): Option[Long] =
     entries(fs, warehouse).lastOption.map(_.version)
 
-  private def readActions(fs: FileSystem, p: Path): Seq[Action] = {
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     val text =
       try {
@@ -71,11 +71,20 @@ object Snapshots {
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
         new String(buf.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+    text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def readActions(fs: FileSystem, p: Path): Seq[Action] =
+    readLines(fs, p).filterNot(_.startsWith("#")).map { line =>
       val Array(op, table, file) = line.split("\t", 3)
       Action(op == "ADD", table, file)
     }
-  }
+
+  /** Operation tag of a log entry (`#OP` header line); entries written
+    * before tagging existed default to "append". */
+  private def readOp(fs: FileSystem, p: Path): String =
+    readLines(fs, p).find(_.startsWith("#OP\t"))
+      .map(_.split("\t", 2)(1)).getOrElse("append")
 
   private def writeEntry(fs: FileSystem, warehouse: String, name: String,
                          lines: Seq[String]): Unit = {
@@ -99,13 +108,15 @@ object Snapshots {
     * full-state `.ckpt` (best-effort: a crash between the two writes just
     * defers the anchor to the next interval). */
   def append(fs: FileSystem, warehouse: String, commitId: String,
-             adds: Seq[(String, String)], removes: Seq[(String, String)]): Unit = {
+             adds: Seq[(String, String)], removes: Seq[(String, String)],
+             op: String = "append"): Unit = {
     val existing = entries(fs, warehouse)
     if (existing.exists(_.commitId == commitId)) return
     val version = existing.lastOption.map(_.version + 1).getOrElse(0L)
     writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
-      adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
-        removes.map { case (t, f) => s"REMOVE\t$t\t$f" })
+      s"#OP\t$op" +:
+        (adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
+          removes.map { case (t, f) => s"REMOVE\t$t\t$f" }))
     if (version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(fs, warehouse, version, commitId)
   }
@@ -198,6 +209,36 @@ object Snapshots {
     victims.size
   }
 
+  /** Incremental change read (append-only CDC): every row appended to
+    * `table` in versions (`fromExclusive`, `toInclusive`] — how a
+    * downstream consumer tails a 100 TB table without rescanning it: plan
+    * from exactly the files the in-range append commits added. Rewrite
+    * commits (compact / zorder) are skipped — they move rows, they don't
+    * add them (and including their outputs would double-count). A merge
+    * commit in range throws: an upsert rewrites rows in place, which
+    * append-only change capture cannot represent faithfully. Vacuumed-away
+    * change files also throw (fail fast, never a silent partial answer). */
+  def changes(spark: SparkSession, warehouse: String, table: String,
+              fromExclusive: Long, toInclusive: Option[Long] = None): DataFrame = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = entries(fs, warehouse).filterNot(_.isCheckpoint)
+    val to = toInclusive.getOrElse(all.lastOption.map(_.version).getOrElse(-1L))
+    val rewriteOps = Set("compact", "zorder")
+    val files = all.filter(e => e.version > fromExclusive && e.version <= to)
+      .flatMap { e =>
+        val op = readOp(fs, e.path)
+        require(op != "merge",
+          s"version ${e.version} is a merge rewrite — append-only changes() cannot represent it")
+        if (rewriteOps(op)) Nil
+        else readActions(fs, e.path).filter(a => a.add && a.table == table).map(_.file)
+      }
+    files.foreach(f => require(fs.exists(new Path(f)),
+      s"change file $f was vacuumed — requested range predates retention"))
+    if (files.isEmpty) read(spark, warehouse, table, Some(to)).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
   /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
     * per log version with its commitId, entry timestamp, and add/remove
     * counts per action. Reads only the tiny log files — never data. */
@@ -208,10 +249,11 @@ object Snapshots {
       val acts = readActions(fs, e.path)
       (e.version, e.commitId, new java.sql.Timestamp(e.mtime),
         acts.count(_.add).toLong, acts.count(!_.add).toLong,
-        acts.map(_.table).distinct.sorted.mkString(","))
+        acts.map(_.table).distinct.sorted.mkString(","), readOp(fs, e.path))
     }.sortBy(-_._1)
     import spark.implicits._
-    rows.toDF("version", "commit_id", "committed_at", "n_added", "n_removed", "tables")
+    rows.toDF("version", "commit_id", "committed_at", "n_added", "n_removed",
+      "tables", "op")
   }
 
   /** The exact committed file set of `table` at `asOf` (default: latest).

@@ -63,14 +63,18 @@ object TxnCommit {
     * versions keep reading until [[Snapshots.vacuum]] reaps it). */
   def commit(fs: FileSystem, warehouse: String, commitId: String,
              moves: Seq[Move], deletes: Seq[String] = Nil,
-             retained: Seq[String] = Nil): Unit = {
+             retained: Seq[String] = Nil, op: String = "append"): Unit = {
     fs.mkdirs(commitsDir(warehouse))
     val tmp = new Path(commitsDir(warehouse), s"$commitId.manifest.tmp")
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
     val out = fs.create(tmp, true)
+    // The op tag rides the manifest so a crash-recovery replay publishes
+    // the same operation kind into the snapshot log (a recovered compaction
+    // must not masquerade as an append — Snapshots.changes keys off it).
     try out.write(
-      (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d") ++
-        retained.map(r => s"RM\t$r"))
+      (s"#OP\t$op" +:
+        (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d") ++
+          retained.map(r => s"RM\t$r")))
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, fin))
@@ -85,7 +89,7 @@ object TxnCommit {
     * `graft.test.failAfterMoves` is a crash-injection point for tests. */
   def publish(fs: FileSystem, warehouse: String, commitId: String,
               moves: Seq[Move], deletes: Seq[String] = Nil,
-              retained: Seq[String] = Nil): Unit = {
+              retained: Seq[String] = Nil, op: String = "append"): Unit = {
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
     moves.foreach { m =>
@@ -107,14 +111,14 @@ object TxnCommit {
     def tableOf(p: String) = new Path(p).getParent.getName
     Snapshots.append(fs, warehouse, commitId,
       adds = moves.map(m => tableOf(m.dest) -> m.dest),
-      removes = (deletes ++ retained).map(d => tableOf(d) -> d))
+      removes = (deletes ++ retained).map(d => tableOf(d) -> d), op = op)
     deletes.foreach(d => fs.delete(new Path(d), false))
     fs.delete(new Path(stagingDir(warehouse, commitId)), true)
     fs.delete(new Path(commitsDir(warehouse), s"$commitId.manifest"), false)
   }
 
   private def readManifest(fs: FileSystem, p: Path)
-      : (Seq[Move], Seq[String], Seq[String]) = {
+      : (Seq[Move], Seq[String], Seq[String], String) = {
     val in = fs.open(p)
     val bytes =
       try {
@@ -126,10 +130,11 @@ object TxnCommit {
       } finally in.close()
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
       .filter(_.nonEmpty).map(_.split("\t", 2))
-    (lines.filter(l => l.head != "DEL" && l.head != "RM")
+    (lines.filter(l => l.head != "DEL" && l.head != "RM" && l.head != "#OP")
        .map { case Array(src, dest) => Move(src, dest) },
      lines.filter(_.head == "DEL").map(_.apply(1)),
-     lines.filter(_.head == "RM").map(_.apply(1)))
+     lines.filter(_.head == "RM").map(_.apply(1)),
+     lines.find(_.head == "#OP").map(_.apply(1)).getOrElse("append"))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.
@@ -157,8 +162,8 @@ object TxnCommit {
         .filter(_.getName.endsWith(".manifest"))
         .foreach { mf =>
           val commitId = mf.getName.stripSuffix(".manifest")
-          val (moves, deletes, retained) = readManifest(fs, mf)
-          publish(fs, warehouse, commitId, moves, deletes, retained)
+          val (moves, deletes, retained, op) = readManifest(fs, mf)
+          publish(fs, warehouse, commitId, moves, deletes, retained, op)
         }
       // stray .tmp manifests never reached the commit point: drop them
       fs.listStatus(cd).toSeq.map(_.getPath)

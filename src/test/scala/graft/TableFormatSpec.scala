@@ -164,7 +164,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == grid.size)
   }
 
-  test("history lists commits newest-first with action counts") {
+  test("history lists commits newest-first with action counts and op tags") {
     val w = wh("whHist")
     publishBatch(w, "t", 1 to 5)
     publishBatch(w, "t", 6 to 9)
@@ -173,6 +173,29 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L, 0L)) // newest first
     assert(h.head.getLong(3) == 1L && h.head.getLong(4) == 2L) // compact: +1/-2
     assert(h.forall(_.getString(5) == "t"))
+    assert(h.map(_.getString(6)).toSeq == Seq("compact", "append", "append"))
+  }
+
+  test("changes() tails appended rows; skips compaction rewrites; rejects merges") {
+    val w = wh("whCdc")
+    val s0 = spark
+    import s0.implicits._
+    publishBatch(w, "t", 1 to 5)    // v0
+    publishBatch(w, "t", 6 to 8)    // v1
+    Compaction.compact(spark, w, "t") // v2 — moves rows, adds none
+    publishBatch(w, "t", 9 to 10)   // v3
+    // Consumer last saw v0: the delta is exactly v1's and v3's rows —
+    // the compaction's rewritten copies of v0/v1 must NOT be re-delivered.
+    val delta = graft.ingest.Snapshots.changes(spark, w, "t", fromExclusive = 0L)
+    assert(delta.select("id").as[Long].collect().sorted.sameElements(6L to 10L))
+    // No new commits since v3 → empty, with the table's schema intact.
+    val none = graft.ingest.Snapshots.changes(spark, w, "t", fromExclusive = 3L)
+    assert(none.count() == 0 && none.columns.sameElements(Array("id")))
+    // A merge in range rewrites rows in place — append-only CDC must refuse.
+    Merge.upsert(spark, w, "t", Seq(1L).toDF("id"), Seq("id"))
+    intercept[IllegalArgumentException] {
+      graft.ingest.Snapshots.changes(spark, w, "t", fromExclusive = 0L).count()
+    }
   }
 
   test("crash mid-compaction loses nothing: recovery completes the swap") {
