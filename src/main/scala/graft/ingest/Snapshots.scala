@@ -209,6 +209,27 @@ object Snapshots {
     victims.size
   }
 
+  /** Resolve the snapshot version that was latest at `tsMillis` (Delta's
+    * `TIMESTAMP AS OF`): the highest version whose log entry landed at or
+    * before the instant. None if the log is empty or starts later. */
+  def versionAt(fs: FileSystem, warehouse: String, tsMillis: Long): Option[Long] = {
+    val eligible = entries(fs, warehouse)
+      .filterNot(_.isCheckpoint).filter(_.mtime <= tsMillis)
+    eligible.lastOption.map(_.version)
+  }
+
+  /** Time travel by wall clock: read the table as it was at `tsMillis`.
+    * Throws if no version existed yet (same fail-fast stance as `asOf`). */
+  def readAsOfTime(spark: SparkSession, warehouse: String, table: String,
+                   tsMillis: Long): DataFrame = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = versionAt(fs, warehouse, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot version existed at $tsMillis under $warehouse"))
+    read(spark, warehouse, table, asOf = Some(v))
+  }
+
   /** Incremental change read (append-only CDC): every row appended to
     * `table` in versions (`fromExclusive`, `toInclusive`] — how a
     * downstream consumer tails a 100 TB table without rescanning it: plan

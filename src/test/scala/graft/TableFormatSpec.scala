@@ -176,6 +176,21 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h.map(_.getString(6)).toSeq == Seq("compact", "append", "append"))
   }
 
+  test("timestamp time travel resolves the version live at that instant") {
+    val w = wh("whTsTravel")
+    publishBatch(w, "t", 1 to 3)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    publishBatch(w, "t", 4 to 8)
+    assert(Snapshots.readAsOfTime(spark, w, "t", between).count() == 3)
+    assert(Snapshots.readAsOfTime(spark, w, "t",
+      System.currentTimeMillis()).count() == 8)
+    intercept[IllegalStateException] {
+      Snapshots.readAsOfTime(spark, w, "t", 1000L) // before any commit
+    }
+  }
+
   test("changes() tails appended rows; skips compaction rewrites; rejects merges") {
     val w = wh("whCdc")
     val s0 = spark
