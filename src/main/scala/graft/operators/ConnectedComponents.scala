@@ -28,8 +28,14 @@ object ConnectedComponents {
     // generation) would re-execute per iteration.
     val sym = e.union(e.select(col("dst"), col("src"))).distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // Initial label = min(node, min(neighbor)) — the first propagation step
+    // fused into initialization (one aggregate instead of a join pass).
+    // Star-shaped graphs (dedup clusters) converge HERE; the loop's first
+    // iteration is then just the no-change certificate.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbl"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nbl")).as("component"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
