@@ -125,6 +125,8 @@ object Compaction {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head
+    require(!bounds.anyNull,
+      s"zorder columns ${cols.mkString(",")} must be numeric and not all-null")
     val zval = cols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
