@@ -68,6 +68,10 @@ object Compaction {
               sortBy: Seq[String] = Nil): Option[Result] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // OCC guard: capture the snapshot version the input list comes from —
+    // a concurrent rewrite landing after this makes the commit abort
+    // instead of re-adding rows the rival already rewrote (double data).
+    val base = Snapshots.latestVersion(fs, warehouse)
     val inputs = liveFiles(spark, warehouse, table)
     if (inputs.size < minInputFiles) return None
     val totalBytes = inputs.map(_._2).sum
@@ -89,8 +93,10 @@ object Compaction {
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val (deletes, retained) =
       if (retainRemoved) (Nil, inputs.map(_._1)) else (inputs.map(_._1), Nil)
-    TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained, op = "compact")
-    TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained, op = "compact")
+    TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained,
+      op = "compact", baseVersion = base)
+    TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained,
+      op = "compact", baseVersion = base)
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 
@@ -115,6 +121,7 @@ object Compaction {
     require(cols.size >= 2, "zorder needs >= 2 columns (1 column = sortBy)")
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse) // OCC guard, as in compact
     val inputs = liveFiles(spark, warehouse, table)
     if (inputs.size < 2) return None
     val totalBytes = inputs.map(_._2).sum
@@ -145,8 +152,10 @@ object Compaction {
       .write.parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val retained = inputs.map(_._1)
-    TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained, op = "zorder")
-    TxnCommit.publish(fs, warehouse, commitId, moves, retained = retained, op = "zorder")
+    TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained,
+      op = "zorder", baseVersion = base)
+    TxnCommit.publish(fs, warehouse, commitId, moves, retained = retained,
+      op = "zorder", baseVersion = base)
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 }

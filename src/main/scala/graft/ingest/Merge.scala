@@ -43,6 +43,9 @@ object Merge {
                     insertSource: Boolean): Result = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // OCC guard: a merge is stale the moment ANY commit touches the table
+    // after this read (an intervening append may carry matching keys).
+    val base = Snapshots.latestVersion(fs, warehouse)
     val files = Snapshots.fileSet(fs, warehouse, table).getOrElse(
       throw new IllegalStateException(
         s"no snapshot log under $warehouse — merge needs a TxnCommit table"))
@@ -83,8 +86,10 @@ object Merge {
       case Some(df) =>
         df.coalesce(math.max(1, affected.size)).write.parquet(staging)
         val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
-        TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected, op = "merge")
-        TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected, op = "merge")
+        TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
+          op = "merge", baseVersion = base)
+        TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
+          op = "merge", baseVersion = base)
         Result(affected.size, moves.size, matched)
     }
   }

@@ -30,6 +30,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
+  /** A commit lost an optimistic-concurrency race: its snapshot state
+    * changed under it. The transaction was rolled back cleanly (no log
+    * entry, no visible data) — re-read the current snapshot and retry. */
+  class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
   case class Entry(version: Long, commitId: String, path: Path,
                    isCheckpoint: Boolean, mtime: Long = 0L)
   case class Action(add: Boolean, table: String, file: String)
@@ -101,22 +107,61 @@ object Snapshots {
 
   /** Append the log entry for a published commit. Idempotent by commitId
     * (recovery re-runs publish): an existing `*-<commitId>.snap` wins. The
-    * version is max+1; two concurrent writers landing the same version is
-    * tolerated — the commitId suffix keeps the filenames (and rename
-    * atomicity) distinct, and reconstruction re-applies same-version deltas
-    * idempotently. Every [[CheckpointInterval]]-th version also writes a
-    * full-state `.ckpt` (best-effort: a crash between the two writes just
-    * defers the anchor to the next interval). */
+    * version is max+1; two concurrent APPEND writers landing the same
+    * version is tolerated — the commitId suffix keeps the filenames (and
+    * rename atomicity) distinct, reconstruction re-applies same-version
+    * deltas idempotently, and appends touch disjoint files by construction.
+    * Every [[CheckpointInterval]]-th version also writes a full-state
+    * `.ckpt` (best-effort: a crash between the two writes just defers the
+    * anchor to the next interval).
+    *
+    * `baseVersion` is the optimistic-concurrency guard for REWRITE commits
+    * (compact / zorder / merge — ops whose correctness depends on the
+    * snapshot they read): if any commit has touched one of this commit's
+    * tables since `baseVersion`, the rewrite's inputs may have been swapped
+    * out from under it — two racing compactions would each re-add a full
+    * copy of the rows the other removed, silently DOUBLING the table.
+    * Throws [[ConcurrentCommitException]] instead (the Delta conflict-check
+    * analog; conservative per-table serializability). A same-version photo
+    * finish between two guarded writers is broken by filename sort order:
+    * the loser deletes its own entry and throws. */
   def append(fs: FileSystem, warehouse: String, commitId: String,
              adds: Seq[(String, String)], removes: Seq[(String, String)],
-             op: String = "append"): Unit = {
+             op: String = "append", baseVersion: Option[Long] = None): Unit = {
     val existing = entries(fs, warehouse)
     if (existing.exists(_.commitId == commitId)) return
+    val myTables = (adds ++ removes).map(_._1).toSet
+    baseVersion.foreach { base =>
+      val intervening = existing.filterNot(_.isCheckpoint)
+        .filter(_.version > base)
+        .filter(e => readActions(fs, e.path).exists(a => myTables(a.table)))
+      if (intervening.nonEmpty)
+        throw new ConcurrentCommitException(
+          s"commit $commitId read version $base but ${intervening.size} " +
+            s"commit(s) since touched ${myTables.mkString(",")} " +
+            s"(first: version ${intervening.head.version})")
+    }
     val version = existing.lastOption.map(_.version + 1).getOrElse(0L)
-    writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
+    val name = f"$version%020d-$commitId.snap"
+    writeEntry(fs, warehouse, name,
       s"#OP\t$op" +:
         (adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
           removes.map { case (t, f) => s"REMOVE\t$t\t$f" }))
+    // Photo finish between two GUARDED writers: both read the same base,
+    // both passed the pre-check, both wrote version V. Filename order picks
+    // the winner; the loser unpublishes itself. A reader that resolved V in
+    // the sub-second window before the delete fails loudly at scan time
+    // (missing file) — never silently double-counts; same failure mode as a
+    // Delta reader racing VACUUM.
+    if (baseVersion.isDefined) {
+      val rivals = entries(fs, warehouse)
+        .filter(e => e.version == version && !e.isCheckpoint)
+      if (rivals.size > 1 && rivals.head.commitId != commitId) {
+        fs.delete(new Path(snapDir(warehouse), name), false)
+        throw new ConcurrentCommitException(
+          s"commit $commitId lost the version-$version race to ${rivals.head.commitId}")
+      }
+    }
     if (version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(fs, warehouse, version, commitId)
   }

@@ -63,16 +63,18 @@ object TxnCommit {
     * versions keep reading until [[Snapshots.vacuum]] reaps it). */
   def commit(fs: FileSystem, warehouse: String, commitId: String,
              moves: Seq[Move], deletes: Seq[String] = Nil,
-             retained: Seq[String] = Nil, op: String = "append"): Unit = {
+             retained: Seq[String] = Nil, op: String = "append",
+             baseVersion: Option[Long] = None): Unit = {
     fs.mkdirs(commitsDir(warehouse))
     val tmp = new Path(commitsDir(warehouse), s"$commitId.manifest.tmp")
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
     val out = fs.create(tmp, true)
-    // The op tag rides the manifest so a crash-recovery replay publishes
-    // the same operation kind into the snapshot log (a recovered compaction
-    // must not masquerade as an append — Snapshots.changes keys off it).
+    // The op tag and OCC base version ride the manifest so a crash-recovery
+    // replay publishes with the same operation kind AND the same conflict
+    // guard (a recovered compaction must not masquerade as an append, and
+    // must still lose a race it would have lost live).
     try out.write(
-      (s"#OP\t$op" +:
+      (Seq(s"#OP\t$op") ++ baseVersion.map(v => s"#BASE\t$v") ++
         (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d") ++
           retained.map(r => s"RM\t$r")))
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -89,7 +91,8 @@ object TxnCommit {
     * `graft.test.failAfterMoves` is a crash-injection point for tests. */
   def publish(fs: FileSystem, warehouse: String, commitId: String,
               moves: Seq[Move], deletes: Seq[String] = Nil,
-              retained: Seq[String] = Nil, op: String = "append"): Unit = {
+              retained: Seq[String] = Nil, op: String = "append",
+              baseVersion: Option[Long] = None): Unit = {
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
     moves.foreach { m =>
@@ -109,16 +112,40 @@ object TxnCommit {
     // Destinations are always `<warehouse>/<table>/<file>`, so the table is
     // the parent directory name.
     def tableOf(p: String) = new Path(p).getParent.getName
-    Snapshots.append(fs, warehouse, commitId,
+    try Snapshots.append(fs, warehouse, commitId,
       adds = moves.map(m => tableOf(m.dest) -> m.dest),
-      removes = (deletes ++ retained).map(d => tableOf(d) -> d), op = op)
+      removes = (deletes ++ retained).map(d => tableOf(d) -> d),
+      op = op, baseVersion = baseVersion)
+    catch {
+      case e: Snapshots.ConcurrentCommitException =>
+        // Lost the OCC race: unpublish. The `.aborted` marker lands first
+        // (atomic rename), so a crash mid-rollback is finished by
+        // recover() instead of re-publishing half-deleted files as a new
+        // version. Physical deletes stop at the retained inputs — they are
+        // still referenced by live versions.
+        val mf = new Path(commitsDir(warehouse), s"$commitId.manifest")
+        val ab = new Path(commitsDir(warehouse), s"$commitId.aborted")
+        if (fs.exists(mf) && !fs.rename(mf, ab) && !fs.exists(ab))
+          throw new IllegalStateException(s"abort rename failed for $commitId")
+        rollback(fs, warehouse, commitId, moves)
+        throw e
+    }
     deletes.foreach(d => fs.delete(new Path(d), false))
     fs.delete(new Path(stagingDir(warehouse, commitId)), true)
     fs.delete(new Path(commitsDir(warehouse), s"$commitId.manifest"), false)
   }
 
+  /** Undo an aborted commit's visible side effects: landed dest files,
+    * staging, and the `.aborted` marker. Idempotent — recovery re-runs it. */
+  private def rollback(fs: FileSystem, warehouse: String, commitId: String,
+                       moves: Seq[Move]): Unit = {
+    moves.foreach(m => fs.delete(new Path(m.dest), false))
+    fs.delete(new Path(stagingDir(warehouse, commitId)), true)
+    fs.delete(new Path(commitsDir(warehouse), s"$commitId.aborted"), false)
+  }
+
   private def readManifest(fs: FileSystem, p: Path)
-      : (Seq[Move], Seq[String], Seq[String], String) = {
+      : (Seq[Move], Seq[String], Seq[String], String, Option[Long]) = {
     val in = fs.open(p)
     val bytes =
       try {
@@ -130,11 +157,12 @@ object TxnCommit {
       } finally in.close()
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
       .filter(_.nonEmpty).map(_.split("\t", 2))
-    (lines.filter(l => l.head != "DEL" && l.head != "RM" && l.head != "#OP")
+    (lines.filterNot(l => Set("DEL", "RM", "#OP", "#BASE")(l.head))
        .map { case Array(src, dest) => Move(src, dest) },
      lines.filter(_.head == "DEL").map(_.apply(1)),
      lines.filter(_.head == "RM").map(_.apply(1)),
-     lines.find(_.head == "#OP").map(_.apply(1)).getOrElse("append"))
+     lines.find(_.head == "#OP").map(_.apply(1)).getOrElse("append"),
+     lines.find(_.head == "#BASE").map(_.apply(1).toLong))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.
@@ -158,12 +186,23 @@ object TxnCommit {
               orphanTtlMs: Long = OrphanStagingTtlMs): Unit = {
     val cd = commitsDir(warehouse)
     if (fs.exists(cd)) {
+      // Finish crashed aborts FIRST: their dest files must not look live.
+      fs.listStatus(cd).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".aborted"))
+        .foreach { ab =>
+          val commitId = ab.getName.stripSuffix(".aborted")
+          val (moves, _, _, _, _) = readManifest(fs, ab)
+          rollback(fs, warehouse, commitId, moves)
+        }
       fs.listStatus(cd).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".manifest"))
         .foreach { mf =>
           val commitId = mf.getName.stripSuffix(".manifest")
-          val (moves, deletes, retained, op) = readManifest(fs, mf)
-          publish(fs, warehouse, commitId, moves, deletes, retained, op)
+          val (moves, deletes, retained, op, base) = readManifest(fs, mf)
+          // A replayed rewrite can lose its OCC race exactly like a live
+          // one; publish has already rolled it back — recovery moves on.
+          try publish(fs, warehouse, commitId, moves, deletes, retained, op, base)
+          catch { case _: Snapshots.ConcurrentCommitException => () }
         }
       // stray .tmp manifests never reached the commit point: drop them
       fs.listStatus(cd).toSeq.map(_.getPath)

@@ -337,6 +337,57 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 6)
   }
 
+  test("stale rewrite aborts: concurrent compactions cannot double the table") {
+    val w = wh("whOcc")
+    publishBatch(w, "t", 1 to 10)  // v0
+    publishBatch(w, "t", 11 to 20) // v1
+    // Victim compaction reads the v1 snapshot and commits its manifest …
+    val victim = java.util.UUID.randomUUID().toString
+    val inputs = Snapshots.fileSet(fs, w, "t").get
+    spark.read.parquet(inputs: _*).coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, victim)}/t")
+    val moves = TxnCommit.movesFor(fs, w, victim, "t")
+    TxnCommit.commit(fs, w, victim, moves, retained = inputs,
+      op = "compact", baseVersion = Some(1L))
+    // … but a rival compaction publishes first (lands v2).
+    assert(Compaction.compact(spark, w, "t").isDefined)
+    val afterRival = Snapshots.fileSet(fs, w, "t").get.toSet
+    // The victim's publish must abort — without OCC both rewrites' outputs
+    // would fold in and every row would exist twice.
+    intercept[Snapshots.ConcurrentCommitException] {
+      TxnCommit.publish(fs, w, victim, moves, retained = inputs,
+        op = "compact", baseVersion = Some(1L))
+    }
+    assert(Snapshots.fileSet(fs, w, "t").get.toSet == afterRival)
+    assert(Snapshots.read(spark, w, "t").count() == 20) // not 40
+    moves.foreach(m => assert(!fs.exists(new Path(m.dest))))
+    assert(!fs.exists(new Path(s"$w/_commits/$victim.manifest")))
+    assert(!fs.exists(new Path(s"$w/_commits/$victim.aborted")))
+    // Life goes on: recovery is a no-op, appends keep landing.
+    TxnCommit.recover(fs, w)
+    publishBatch(w, "t", 21 to 22)
+    assert(Snapshots.read(spark, w, "t").count() == 22)
+  }
+
+  test("crash mid-abort: recover() finishes the rollback from the marker") {
+    val w = wh("whOccCrash")
+    publishBatch(w, "t", 1 to 5)
+    // Craft the on-disk state of an abort that crashed after the marker
+    // rename but before the dest delete: marker present, dest file landed.
+    val cid = "deadbeef"
+    val orphan = new Path(s"$w/t/$cid-part-00000.parquet")
+    fs.create(orphan, true).close()
+    val ab = new Path(s"$w/_commits/$cid.aborted")
+    fs.mkdirs(ab.getParent)
+    val out = fs.create(ab, true)
+    out.write((s"#OP\tcompact\n#BASE\t0\n" +
+      s"$w/_staging/$cid/t/part-00000.parquet\t$orphan").getBytes("UTF-8"))
+    out.close()
+    TxnCommit.recover(fs, w)
+    assert(!fs.exists(orphan) && !fs.exists(ab))
+    assert(Snapshots.read(spark, w, "t").count() == 5)
+  }
+
   test("recover() leaves fresh (possibly live) staging alone; reaps aged orphans") {
     val w = wh("whTtl")
     publishBatch(w, "t", 1 to 3)
