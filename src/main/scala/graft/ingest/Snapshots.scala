@@ -229,29 +229,54 @@ object Snapshots {
     // HIGHER version is already older than the window; max such version
     // bounds what vacuum may touch.
     val agedOut = all.filter(e => now - e.mtime >= minAgeMs).map(_.version)
-    if (agedOut.isEmpty) return 0
-    val cutoff = math.min(latest - keepVersions + 1, agedOut.max)
-    if (cutoff <= 0) return 0
-    val victims = all.filter(_.version < cutoff)
-    if (victims.isEmpty) return 0
-    if (!all.exists(e => e.isCheckpoint && e.version == cutoff))
-      writeCheckpoint(fs, warehouse, cutoff,
-        "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
-    // A file REMOVEd at version Vr is referenced only by versions < Vr, so
-    // it becomes unreachable as soon as the cutoff reaches Vr: physically
-    // delete REMOVEs from every entry with version ≤ cutoff (not just the
-    // truncated ones — the entry AT the cutoff survives but its removals
-    // are already invisible to every readable version). The anchor-state
-    // check guards the (name-unique, so normally impossible) re-add case.
-    val anchorState = stateAt(fs, warehouse, Some(cutoff))
-      .map(_.values.flatten.toSet).getOrElse(Set.empty)
-    all.filter(e => !e.isCheckpoint && e.version <= cutoff).foreach { v =>
-      readActions(fs, v.path).foreach { a =>
-        if (!a.add && !anchorState(a.file)) fs.delete(new Path(a.file), false)
+    val cutoff =
+      if (agedOut.isEmpty) 0L
+      else math.min(latest - keepVersions + 1, agedOut.max)
+    val victims = if (cutoff <= 0) Nil else all.filter(_.version < cutoff)
+    if (victims.nonEmpty) {
+      if (!all.exists(e => e.isCheckpoint && e.version == cutoff))
+        writeCheckpoint(fs, warehouse, cutoff,
+          "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      // A file REMOVEd at version Vr is referenced only by versions < Vr,
+      // so it becomes unreachable as soon as the cutoff reaches Vr:
+      // physically delete REMOVEs from every entry with version ≤ cutoff
+      // (not just the truncated ones — the entry AT the cutoff survives but
+      // its removals are already invisible to every readable version). The
+      // anchor-state check guards the (name-unique, so normally impossible)
+      // re-add case.
+      val anchorState = stateAt(fs, warehouse, Some(cutoff))
+        .map(_.values.flatten.toSet).getOrElse(Set.empty)
+      all.filter(e => !e.isCheckpoint && e.version <= cutoff).foreach { v =>
+        readActions(fs, v.path).foreach { a =>
+          if (!a.add && !anchorState(a.file)) fs.delete(new Path(a.file), false)
+        }
       }
+      victims.foreach(v => fs.delete(v.path, false))
     }
-    victims.foreach(v => fs.delete(v.path, false))
+    sweepOrphans(fs, warehouse, now, minAgeMs)
     victims.size
+  }
+
+  /** Reap table-dir files no retained log entry references — the residue of
+    * crashed jobs and lost-OCC rewrites that aborted before their marker
+    * landed. Such files are invisible to every snapshot reader, so the only
+    * race is an in-flight publish whose moves have landed but whose log
+    * entry hasn't — the `minAgeMs` guard covers it (a publish completes in
+    * seconds; the retention window is hours). */
+  private def sweepOrphans(fs: FileSystem, warehouse: String, now: Long,
+                           minAgeMs: Long): Unit = {
+    val kept = entries(fs, warehouse)
+    val referenced = kept.flatMap(e => readActions(fs, e.path))
+      .map(a => new Path(a.file).toUri.getPath).toSet
+    val tableDirs = kept.flatMap(e => readActions(fs, e.path))
+      .map(a => new Path(a.file).getParent).distinct
+    tableDirs.filter(fs.exists).foreach { dir =>
+      fs.listStatus(dir).toSeq.filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .filterNot(st => referenced(st.getPath.toUri.getPath))
+        .filter(st => now - st.getModificationTime >= minAgeMs)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
   }
 
   /** Resolve the snapshot version that was latest at `tsMillis` (Delta's

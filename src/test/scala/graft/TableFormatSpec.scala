@@ -337,6 +337,20 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 6)
   }
 
+  test("vacuum sweeps unreferenced orphan files past the retention age") {
+    val w = wh("whOrphan")
+    publishBatch(w, "t", 1 to 4)
+    val stray = new Path(s"$w/t/zz-stray-part-00000.parquet")
+    fs.create(stray, true).close()
+    // A fresh stray could be an in-flight publish's landed move — survives.
+    Snapshots.vacuum(fs, w, keepVersions = 32, minAgeMs = 3600000L)
+    assert(fs.exists(stray))
+    // Aged out → reaped; committed data untouched.
+    Snapshots.vacuum(fs, w, keepVersions = 32)
+    assert(!fs.exists(stray))
+    assert(Snapshots.read(spark, w, "t").count() == 4)
+  }
+
   test("stale rewrite aborts: concurrent compactions cannot double the table") {
     val w = wh("whOcc")
     publishBatch(w, "t", 1 to 10)  // v0
