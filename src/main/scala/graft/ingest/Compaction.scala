@@ -123,7 +123,9 @@ object Compaction {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse) // OCC guard, as in compact
     val inputs = liveFiles(spark, warehouse, table)
-    if (inputs.size < 2) return None
+    // Unlike bin-packing, clustering pays off even for a single input file
+    // (row groups inside it become range-disjoint) — only empty is a no-op.
+    if (inputs.isEmpty) return None
     val totalBytes = inputs.map(_._2).sum
     val nOut = math.min(
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes),
