@@ -315,6 +315,11 @@ object Snapshots {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = entries(fs, warehouse).filterNot(_.isCheckpoint)
     val to = toInclusive.getOrElse(all.lastOption.map(_.version).getOrElse(-1L))
+    // Vacuum deletes pre-cutoff log entries outright — a range reaching
+    // below the earliest retained entry would silently miss their appends.
+    all.headOption.foreach(first => require(fromExclusive + 1 >= first.version,
+      s"changes since $fromExclusive predate the vacuumed log " +
+        s"(earliest retained version: ${first.version})"))
     val rewriteOps = Set("compact", "zorder")
     val files = all.filter(e => e.version > fromExclusive && e.version <= to)
       .flatMap { e =>

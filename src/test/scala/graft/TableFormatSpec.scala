@@ -337,6 +337,34 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 6)
   }
 
+  test("changes() fails fast when the requested range was vacuumed") {
+    val w = wh("whCdcVac")
+    publishBatch(w, "t", 1 to 3)                      // v0
+    (0 until 3).foreach(i => publishBatch(w, "t", (10 + i) to (10 + i))) // v1..v3
+    Compaction.compact(spark, w, "t", retainRemoved = true) // v4
+    Snapshots.vacuum(fs, w, keepVersions = 1) // reaps pre-compaction files
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, w, "t", fromExclusive = -1L).count()
+    }
+  }
+
+  test("merge works on string keys (bounds pushdown included)") {
+    val w = wh("whMergeStr")
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    Seq(("alpha", 1L), ("beta", 2L), ("gamma", 3L)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    val res = Merge.upsert(spark, w, "t",
+      Seq(("beta", 20L), ("delta", 4L)).toDF("k", "v"), Seq("k"))
+    assert(res.rowsMatched == 1)
+    val out = Snapshots.read(spark, w, "t").as[(String, Long)].collect().toMap
+    assert(out == Map("alpha" -> 1L, "beta" -> 20L, "gamma" -> 3L, "delta" -> 4L))
+  }
+
   test("vacuum sweeps unreferenced orphan files past the retention age") {
     val w = wh("whOrphan")
     publishBatch(w, "t", 1 to 4)
