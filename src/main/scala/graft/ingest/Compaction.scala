@@ -100,10 +100,13 @@ object Compaction {
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 
-  /** Spread the low 16 bits of `x` so consecutive bits land `stride` apart
-    * (Morton/Z-curve bit interleave), as pure codegen'd bit arithmetic. */
-  private def spreadBits(x: Column, stride: Int): Column =
-    (0 until 16).map(i =>
+  /** Spread the low `bits` bits of `x` so consecutive bits land `stride`
+    * apart (Morton/Z-curve bit interleave), as pure codegen'd bit
+    * arithmetic. Callers must keep (bits-1)*stride + stride-1 < 64: Spark's
+    * shiftleft wraps the shift amount mod 64, so an overflowing interleave
+    * would silently corrupt the key instead of failing. */
+  private def spreadBits(x: Column, stride: Int, bits: Int): Column =
+    (0 until bits).map(i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * stride))
       .reduce(_.bitwiseOR(_))
 
@@ -136,13 +139,19 @@ object Compaction {
     val bounds = df.agg(aggs.head, aggs.tail: _*).head
     require(!bounds.anyNull,
       s"zorder columns ${cols.mkString(",")} must be numeric and not all-null")
+    // Per-column rank precision shrinks with column count so the interleaved
+    // key always fits 64 bits (5+ cols at 16 bits each would overflow and
+    // shiftleft's mod-64 wrap would scramble the curve): 16 bits up to 4
+    // cols, then 64 / n.
+    val bitsPerCol = math.min(16, 64 / cols.size)
+    val maxRank = (1L << bitsPerCol) - 1
     val zval = cols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
       val rank = least(greatest(
-        ((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
-          .cast("long"), lit(0L)), lit(65535L))
-      shiftleft(spreadBits(rank, cols.size), i)
+        ((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxRank.toDouble))
+          .cast("long"), lit(0L)), lit(maxRank))
+      shiftleft(spreadBits(rank, cols.size, bitsPerCol), i)
     }.reduce(_.bitwiseOR(_))
 
     val commitId = java.util.UUID.randomUUID().toString

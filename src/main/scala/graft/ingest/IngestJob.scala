@@ -40,11 +40,14 @@ object Checkpoint {
       .select("file_name").collect().map(_.getString(0)).toSet
   }
 
-  /** The subset of `listed` not yet checkpointed, via a broadcast anti-join:
-    * the listed batch (small, bounded by one run) is broadcast against the
-    * checkpoint table, so driver memory is O(batch) — not O(every file ever
-    * ingested), which the collect-a-Set guard would cost after years of
-    * incremental runs. Listing order is preserved. */
+  /** The subset of `listed` not yet checkpointed, via a broadcast semi-join:
+    * the listed batch (small, bounded by one run) is broadcast as the BUILD
+    * side of a `left_semi` against the checkpoint table — a broadcast hint
+    * on the left of a `left_anti` would be ignored (LeftAnti only builds on
+    * the right) and plan a sort-merge join shuffling the whole checkpoint
+    * history. The semi-join streams the history past the broadcast batch, so
+    * driver memory and shuffled bytes are O(batch) — not O(every file ever
+    * ingested) after years of incremental runs. Listing order is preserved. */
   def unprocessed(spark: SparkSession, warehouse: String, prefix: String,
                   listed: Seq[FileCatalog.FileInfo]): Seq[FileCatalog.FileInfo] = {
     val path = s"$warehouse/$TableName"
@@ -55,9 +58,9 @@ object Checkpoint {
     val listedDf = listed.map(_.key).toDF("file_name")
     val done = spark.read.parquet(path)
       .filter(col("prefix") === prefix).select("file_name")
-    val fresh = broadcast(listedDf).join(done, Seq("file_name"), "left_anti")
-      .collect().map(_.getString(0)).toSet
-    listed.filter(f => fresh.contains(f.key))
+    val already = done.join(broadcast(listedDf), Seq("file_name"), "left_semi")
+      .distinct().collect().map(_.getString(0)).toSet
+    listed.filterNot(f => already.contains(f.key))
   }
 
   /** K5: latest processed file timestamp for a prefix (epoch ms), as a

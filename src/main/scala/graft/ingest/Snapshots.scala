@@ -123,46 +123,59 @@ object Snapshots {
     * copy of the rows the other removed, silently DOUBLING the table.
     * Throws [[ConcurrentCommitException]] instead (the Delta conflict-check
     * analog; conservative per-table serializability). A same-version photo
-    * finish between two guarded writers is broken by filename sort order:
-    * the loser deletes its own entry and throws. */
+    * finish between two guarded writers aborts ANY writer that observes a
+    * rival after landing its entry — both aborting is safe (each rolls back
+    * cleanly and retries); a sort-order tie-break is NOT, because the
+    * sort-winner may have already returned success before the loser's entry
+    * appeared, after which "loser keeps its entry" silently doubles the
+    * table. The replay path (entry already present for this commitId) runs
+    * the same rival check: a crash between writeEntry and the check must not
+    * skip it on recovery. */
   def append(fs: FileSystem, warehouse: String, commitId: String,
              adds: Seq[(String, String)], removes: Seq[(String, String)],
              op: String = "append", baseVersion: Option[Long] = None): Unit = {
     val existing = entries(fs, warehouse)
-    if (existing.exists(_.commitId == commitId)) return
+    val mine = existing.find(e => !e.isCheckpoint && e.commitId == commitId)
     val myTables = (adds ++ removes).map(_._1).toSet
-    baseVersion.foreach { base =>
-      val intervening = existing.filterNot(_.isCheckpoint)
-        .filter(_.version > base)
-        .filter(e => readActions(fs, e.path).exists(a => myTables(a.table)))
-      if (intervening.nonEmpty)
-        throw new ConcurrentCommitException(
-          s"commit $commitId read version $base but ${intervening.size} " +
-            s"commit(s) since touched ${myTables.mkString(",")} " +
-            s"(first: version ${intervening.head.version})")
+    val version = mine match {
+      case Some(e) => e.version // recovery replay: entry already landed
+      case None =>
+        baseVersion.foreach { base =>
+          val intervening = existing.filterNot(_.isCheckpoint)
+            .filter(_.version > base)
+            .filter(e => readActions(fs, e.path).exists(a => myTables(a.table)))
+          if (intervening.nonEmpty)
+            throw new ConcurrentCommitException(
+              s"commit $commitId read version $base but ${intervening.size} " +
+                s"commit(s) since touched ${myTables.mkString(",")} " +
+                s"(first: version ${intervening.head.version})")
+        }
+        val v = existing.lastOption.map(_.version + 1).getOrElse(0L)
+        writeEntry(fs, warehouse, f"$v%020d-$commitId.snap",
+          s"#OP\t$op" +:
+            (adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
+              removes.map { case (t, f) => s"REMOVE\t$t\t$f" }))
+        v
     }
-    val version = existing.lastOption.map(_.version + 1).getOrElse(0L)
-    val name = f"$version%020d-$commitId.snap"
-    writeEntry(fs, warehouse, name,
-      s"#OP\t$op" +:
-        (adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
-          removes.map { case (t, f) => s"REMOVE\t$t\t$f" }))
     // Photo finish between two GUARDED writers: both read the same base,
-    // both passed the pre-check, both wrote version V. Filename order picks
-    // the winner; the loser unpublishes itself. A reader that resolved V in
-    // the sub-second window before the delete fails loudly at scan time
-    // (missing file) — never silently double-counts; same failure mode as a
-    // Delta reader racing VACUUM.
+    // both passed the pre-check, both wrote version V. Any guarded writer
+    // that sees a same-version rival unpublishes itself and throws —
+    // at-most-one entry survives, whichever writer checked last. A reader
+    // that resolved V in the sub-second window before the delete fails
+    // loudly at scan time (missing file) — never silently double-counts;
+    // same failure mode as a Delta reader racing VACUUM.
     if (baseVersion.isDefined) {
       val rivals = entries(fs, warehouse)
         .filter(e => e.version == version && !e.isCheckpoint)
-      if (rivals.size > 1 && rivals.head.commitId != commitId) {
-        fs.delete(new Path(snapDir(warehouse), name), false)
+        .filterNot(_.commitId == commitId)
+      if (rivals.nonEmpty) {
+        fs.delete(new Path(snapDir(warehouse), f"$version%020d-$commitId.snap"), false)
         throw new ConcurrentCommitException(
-          s"commit $commitId lost the version-$version race to ${rivals.head.commitId}")
+          s"commit $commitId hit a version-$version photo finish with " +
+            s"${rivals.head.commitId}; aborted (rival may have won)")
       }
     }
-    if (version > 0 && version % CheckpointInterval == 0)
+    if (mine.isEmpty && version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(fs, warehouse, version, commitId)
   }
 
@@ -218,9 +231,18 @@ object Snapshots {
     * was SUPERSEDED at least `minAgeMs` ago. Any reader still running
     * started within the window, so it pinned either the current latest or a
     * version whose successor landed inside the window — all of which stay
-    * readable. Size it to the longest plausible query, not to commit rate. */
+    * readable. Size it to the longest plausible query, not to commit rate.
+    *
+    * The default is 7 days (matching the CLI and Delta's
+    * `deletedFileRetentionDuration`): a zero default would disable the
+    * documented in-flight protection for every direct API caller — the
+    * orphan sweep would reap a concurrent publish's just-moved data files
+    * before its log entry lands. Pass an explicit 0 only when nothing else
+    * can possibly be reading or writing the warehouse. */
+  val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   def vacuum(fs: FileSystem, warehouse: String, keepVersions: Int = 32,
-             minAgeMs: Long = 0L): Int = {
+             minAgeMs: Long = DefaultRetentionMs): Int = {
     val all = entries(fs, warehouse)
     if (all.isEmpty) return 0
     val latest = all.last.version

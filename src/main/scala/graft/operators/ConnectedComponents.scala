@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** `edges`: two-column DataFrame (src, dst), undirected. Returns
-    * (node, component) where component = min node id reachable. */
+    * (node, component) where component = min node id reachable.
+    *
+    * Throws if `maxIter` is exhausted before convergence (component
+    * diameter > maxIter): returning unconverged labels would silently split
+    * duplicate clusters. Raise `maxIter` for long-chain graphs — dedup
+    * clusters are star-shaped and converge in 1-2 iterations. */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.toDF("src", "dst")
     // Materialize the edge set once — it is re-joined every iteration, and
@@ -56,6 +61,10 @@ object ConnectedComponents {
       labels = stepped.drop("improved")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations " +
+          s"($changed labels still improving) — raise maxIter")
     labels
   }
 }

@@ -41,4 +41,14 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(1)).toSet
     assert(full == Set(0L))
   }
+
+  test("exhausting maxIter before convergence throws instead of splitting clusters") {
+    val s0 = spark
+    import s0.implicits._
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }

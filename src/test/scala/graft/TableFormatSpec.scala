@@ -96,7 +96,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a second compact is a no-op (the committed set is already one file)
     assert(Compaction.compact(spark, w, "t").isEmpty)
     // vacuum truncates history AND reaps the unreachable swapped-out inputs
-    Snapshots.vacuum(fs, w, keepVersions = 1)
+    Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 0L)
     assert(partFiles(w, "t").size == 1)
     assert(Snapshots.read(spark, w, "t").count() == 100)
     intercept[IllegalArgumentException] {
@@ -162,6 +162,40 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hitA < files.size, s"no file skippable for a<8: $boxes")
     assert(hitB < files.size, s"no file skippable for b<8: $boxes")
     assert(Snapshots.read(spark, w, "t").count() == grid.size)
+  }
+
+  test("zorder with 5 columns narrows rank bits instead of overflowing 64") {
+    // 5 cols × 16 bits would shift past 64 and (shiftleft wraps mod 64)
+    // scramble the curve; with 12-bit ranks the interleave stays exact and
+    // a predicate on the FIRST column must still skip at least one file.
+    val w = wh("whZ5")
+    val s0 = spark
+    import s0.implicits._
+    val commitId = java.util.UUID.randomUUID().toString
+    val rows = (0 until 4096).map { i =>
+      (i.toLong, (i * 7 % 4096).toLong, (i * 13 % 4096).toLong,
+        (i * 17 % 4096).toLong, (i * 19 % 4096).toLong)
+    }
+    rows.toDF("a", "b", "c", "d", "e").repartition(8)
+      .write.parquet(s"${TxnCommit.stagingDir(w, commitId)}/t")
+    val moves = TxnCommit.movesFor(fs, w, commitId, "t")
+    TxnCommit.commit(fs, w, commitId, moves)
+    TxnCommit.publish(fs, w, commitId, moves)
+    val res = Compaction.zorder(spark, w, "t",
+      Seq("a", "b", "c", "d", "e"), targetBytes = 1).get
+    val files = Snapshots.fileSet(fs, w, "t").get
+    assert(files.size >= 4)
+    // With few files the range split lands on the key's top bits, owned by
+    // the LAST column (highest interleave position) — that's where exact
+    // interleaving is observable. A wrapped shift (the 5×16-bit bug) would
+    // scatter e's top bits to low positions and nothing could skip.
+    val skippableForE = files.count { f =>
+      spark.read.parquet(f).agg(org.apache.spark.sql.functions.min("e"))
+        .head.getLong(0) >= 2048
+    }
+    assert(skippableForE >= 1, "e<2048 cannot skip any file — curve scrambled?")
+    assert(Snapshots.read(spark, w, "t").count() == 4096)
+    assert(res.filesBefore == 8)
   }
 
   test("history lists commits newest-first with action counts and op tags") {
@@ -239,7 +273,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 18)
     assert(Snapshots.read(spark, w, "t", asOf = Some(5L)).count() == 6)
 
-    val removed = Snapshots.vacuum(fs, w, keepVersions = 4)
+    val removed = Snapshots.vacuum(fs, w, keepVersions = 4, minAgeMs = 0L)
     assert(removed > 0)
     val kept = Snapshots.entries(fs, w)
     assert(kept.head.version >= 14L) // cutoff = 17 - 4 + 1
@@ -257,7 +291,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 20)
     Compaction.compact(spark, w, "t")
     assert(Snapshots.read(spark, w, "t").count() == 20)
-    Snapshots.vacuum(fs, w, keepVersions = 1)
+    Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 0L)
     assert(partFiles(w, "t").size == 1)
     assert(Snapshots.read(spark, w, "t").count() == 20)
   }
@@ -330,7 +364,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 3600000L) == 0)
     assert(Snapshots.read(spark, w, "t", asOf = Some(0L)).count() == 1)
     // Window elapsed (minAgeMs = 0): the version-count policy applies again.
-    assert(Snapshots.vacuum(fs, w, keepVersions = 1) > 0)
+    assert(Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 0L) > 0)
     intercept[IllegalArgumentException] {
       Snapshots.read(spark, w, "t", asOf = Some(0L))
     }
@@ -342,7 +376,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     publishBatch(w, "t", 1 to 3)                      // v0
     (0 until 3).foreach(i => publishBatch(w, "t", (10 + i) to (10 + i))) // v1..v3
     Compaction.compact(spark, w, "t", retainRemoved = true) // v4
-    Snapshots.vacuum(fs, w, keepVersions = 1) // reaps pre-compaction files
+    Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 0L) // reaps pre-compaction files
     intercept[IllegalArgumentException] {
       Snapshots.changes(spark, w, "t", fromExclusive = -1L).count()
     }
@@ -374,7 +408,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshots.vacuum(fs, w, keepVersions = 32, minAgeMs = 3600000L)
     assert(fs.exists(stray))
     // Aged out → reaped; committed data untouched.
-    Snapshots.vacuum(fs, w, keepVersions = 32)
+    Snapshots.vacuum(fs, w, keepVersions = 32, minAgeMs = 0L)
     assert(!fs.exists(stray))
     assert(Snapshots.read(spark, w, "t").count() == 4)
   }
@@ -409,6 +443,29 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxnCommit.recover(fs, w)
     publishBatch(w, "t", 21 to 22)
     assert(Snapshots.read(spark, w, "t").count() == 22)
+  }
+
+  test("replayed guarded append still runs the photo-finish check") {
+    // Crash window: writer X wrote its v1 entry, crashed before the rival
+    // check; rival Y also landed v1 and already returned success (it checked
+    // before X's entry appeared). X's recovery replay must NOT take the
+    // idempotent shortcut — it must see Y, unpublish itself, and throw;
+    // otherwise both rewrites fold in and the table doubles.
+    val w = wh("whReplayRace")
+    publishBatch(w, "t", 1 to 5) // v0
+    val snapDir = new Path(s"$w/_snapshots")
+    def writeSnap(name: String, lines: String): Unit = {
+      val out = fs.create(new Path(snapDir, name), true)
+      out.write(lines.getBytes("UTF-8")); out.close()
+    }
+    writeSnap("00000000000000000001-xxxx.snap", s"#OP\tcompact\nADD\tt\t$w/t/x.parquet")
+    writeSnap("00000000000000000001-yyyy.snap", s"#OP\tcompact\nADD\tt\t$w/t/y.parquet")
+    intercept[Snapshots.ConcurrentCommitException] {
+      Snapshots.append(fs, w, "xxxx", adds = Seq("t" -> s"$w/t/x.parquet"),
+        removes = Nil, op = "compact", baseVersion = Some(0L))
+    }
+    assert(!fs.exists(new Path(snapDir, "00000000000000000001-xxxx.snap")))
+    assert(fs.exists(new Path(snapDir, "00000000000000000001-yyyy.snap")))
   }
 
   test("crash mid-abort: recover() finishes the rollback from the marker") {
