@@ -9,10 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Every published transaction appends ONE log entry
   * `warehouse/_snapshots/<version>-<commitId>.snap` whose lines are
-  * `ADD\t<table>\t<path>` / `REMOVE\t<table>\t<path>`. The entry lands via
-  * tmp-write + atomic rename, so a snapshot version flips into existence
-  * all-or-nothing; the table state at version V is fold(adds − removes) over
-  * entries with version ≤ V.
+  * `ADD\t<table>\t<path>` / `REMOVE\t<table>\t<path>`. Version ownership is
+  * claimed with an atomic create-iff-absent `<version>.lock` (see
+  * [[putIfAbsent]] — hard-link promotion on local disks, conditional
+  * create elsewhere; no step relies on rename being atomic), and only the
+  * claim owner writes the version's entry, so a snapshot version flips into
+  * existence all-or-nothing with exactly one writer; the table state at
+  * version V is fold(adds − removes) over entries with version ≤ V.
   *
   * This closes the reader race the live-directory `read.parquet(dir)` has: a
   * reader that resolved version N keeps seeing exactly N's file set while any
@@ -43,6 +46,49 @@ object Snapshots {
   private def snapDir(warehouse: String) = new Path(s"$warehouse/_snapshots")
 
   private val SnapRe = raw"(\d{20})-(.+)\.(snap|ckpt)".r
+  private val LockRe = raw"(\d{20})\.lock".r
+
+  /** Test-visible count of log-file opens — the metric the checkpoint
+    * anchoring exists to bound: reconstruction must read O(interval) entry
+    * files, not O(commit history). */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** How long a version claim may sit without its entry before other
+    * writers break it (the claimant died between claim and entry). Must be
+    * much longer than an entry write (milliseconds) — minutes in
+    * production; tests shrink it via the system property. */
+  private def claimGraceMs: Long =
+    sys.props.get("graft.test.claimGraceMs").map(_.toLong).getOrElse(60000L)
+
+  /** Atomic create-iff-absent — the commit primitive, replacing any
+    * reliance on rename atomicity (object stores rename by copy+delete).
+    * On `file://` a fully-written temp file is promoted with a hard link
+    * (atomic, fails EEXIST, never exposes partial content). Elsewhere the
+    * file is created with overwrite=false — atomic on HDFS (namenode
+    * arbitration) and on stores with conditional PUT; the brief window
+    * where a reader can observe a partially-written object matches what
+    * those stores' own commit services exhibit. Returns false when the
+    * name already exists (lost the race). */
+  private[ingest] def putIfAbsent(fs: FileSystem, dest: Path,
+                                  content: Array[Byte]): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+      java.nio.file.Files.createDirectories(destNio.getParent)
+      val tmp = destNio.resolveSibling(
+        dest.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      java.nio.file.Files.write(tmp, content)
+      try { java.nio.file.Files.createLink(destNio, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(dest, false)
+        try out.write(content) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
 
   /** Every `CheckpointInterval`-th version also writes a full-state
     * checkpoint so reconstruction never folds more than this many deltas. */
@@ -68,6 +114,7 @@ object Snapshots {
     entries(fs, warehouse).lastOption.map(_.version)
 
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    logReads.incrementAndGet()
     val in = fs.open(p)
     val text =
       try {
@@ -92,17 +139,42 @@ object Snapshots {
     readLines(fs, p).find(_.startsWith("#OP\t"))
       .map(_.split("\t", 2)(1)).getOrElse("append")
 
+  /** Land a log file via [[putIfAbsent]]. Names are globally unique
+    * (version + commitId), so an existing file can only be this commit's
+    * own earlier write (crash-retry) — treated as success. */
   private def writeEntry(fs: FileSystem, warehouse: String, name: String,
                          lines: Seq[String]): Unit = {
     val dir = snapDir(warehouse)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, name + ".tmp")
-    val fin = new Path(dir, name)
-    val out = fs.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, fin))
-      throw new IllegalStateException(s"snapshot log write failed: $name")
+    putIfAbsent(fs, new Path(dir, name),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def lockPath(warehouse: String, version: Long): Path =
+    new Path(snapDir(warehouse), f"$version%020d.lock")
+
+  /** Does `commitId` hold the claim for `version`? (Pre-claim-era logs have
+    * no lock files — then nobody provably owns the version.) */
+  private def ownsClaim(fs: FileSystem, warehouse: String, version: Long,
+                        commitId: String): Boolean = {
+    val p = lockPath(warehouse, version)
+    try fs.exists(p) && readLines(fs, p).headOption.contains(commitId)
+    catch { case _: java.io.IOException => false }
+  }
+
+  /** Wait (bounded by [[claimGraceMs]]) for the claimed version's entry to
+    * appear; if the claimant died first, break the stale claim so the log
+    * never wedges on a hole. */
+  private def awaitClaimedVersion(fs: FileSystem, warehouse: String,
+                                  version: Long): Unit = {
+    val deadline = System.currentTimeMillis() + claimGraceMs
+    val glob = new Path(snapDir(warehouse), f"$version%020d-*.snap")
+    while (System.currentTimeMillis() < deadline) {
+      if (fs.globStatus(glob).nonEmpty) return
+      Thread.sleep(10)
+    }
+    if (fs.globStatus(glob).isEmpty)
+      fs.delete(lockPath(warehouse, version), false)
   }
 
   /** Append the log entry for a published commit. Idempotent by commitId
@@ -122,61 +194,90 @@ object Snapshots {
     * out from under it — two racing compactions would each re-add a full
     * copy of the rows the other removed, silently DOUBLING the table.
     * Throws [[ConcurrentCommitException]] instead (the Delta conflict-check
-    * analog; conservative per-table serializability). A same-version photo
-    * finish between two guarded writers aborts ANY writer that observes a
-    * rival after landing its entry — both aborting is safe (each rolls back
-    * cleanly and retries); a sort-order tie-break is NOT, because the
-    * sort-winner may have already returned success before the loser's entry
-    * appeared, after which "loser keeps its entry" silently doubles the
-    * table. The replay path (entry already present for this commitId) runs
-    * the same rival check: a crash between writeEntry and the check must not
-    * skip it on recovery. */
+    * analog; conservative per-table serializability).
+    *
+    * Version assignment is serialized by a put-if-absent claim: a writer
+    * owns version V only after atomically creating `<V>.lock` (content =
+    * its commitId), and only the claim owner writes V's entry — so two
+    * entries can never share a version, the log has exactly one winner per
+    * version even on stores without atomic rename, and a guarded writer
+    * that claims V has, by density, seen EVERY committed entry < V when it
+    * ran its conflict check. A claim whose entry never appears (claimant
+    * died in the ms-wide window between claim and entry) is broken by
+    * waiting writers after [[claimGraceMs]]. Against the zombie tail of
+    * that break (claimant wakes up and writes its entry anyway), the
+    * entry write is followed by a claim re-verify: lost ownership ⇒ delete
+    * own entry and retry — and the winner sweeps any same-version zombie
+    * entry it observes. */
   def append(fs: FileSystem, warehouse: String, commitId: String,
              adds: Seq[(String, String)], removes: Seq[(String, String)],
              op: String = "append", baseVersion: Option[Long] = None): Unit = {
-    val existing = entries(fs, warehouse)
-    val mine = existing.find(e => !e.isCheckpoint && e.commitId == commitId)
     val myTables = (adds ++ removes).map(_._1).toSet
-    val version = mine match {
-      case Some(e) => e.version // recovery replay: entry already landed
-      case None =>
-        baseVersion.foreach { base =>
-          val intervening = existing.filterNot(_.isCheckpoint)
-            .filter(_.version > base)
-            .filter(e => readActions(fs, e.path).exists(a => myTables(a.table)))
-          if (intervening.nonEmpty)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 64)
+        throw new ConcurrentCommitException(
+          s"commit $commitId could not claim a log version after 64 attempts")
+      val existing = entries(fs, warehouse)
+      existing.find(e => !e.isCheckpoint && e.commitId == commitId) match {
+        case Some(mine) =>
+          // Recovery replay: the entry landed. It is valid only if this
+          // commit provably owns its version — a same-version rival with
+          // the claim (or a pre-claim-era photo finish nobody owns) means
+          // the crash hit the unverified window: unpublish and throw
+          // rather than risk folding two rewrites in.
+          val rivals = existing.filter(e => !e.isCheckpoint &&
+            e.version == mine.version && e.commitId != commitId)
+          if (rivals.nonEmpty && !ownsClaim(fs, warehouse, mine.version, commitId)) {
+            fs.delete(mine.path, false)
             throw new ConcurrentCommitException(
-              s"commit $commitId read version $base but ${intervening.size} " +
-                s"commit(s) since touched ${myTables.mkString(",")} " +
-                s"(first: version ${intervening.head.version})")
-        }
-        val v = existing.lastOption.map(_.version + 1).getOrElse(0L)
-        writeEntry(fs, warehouse, f"$v%020d-$commitId.snap",
+              s"commit $commitId replayed into a version-${mine.version} " +
+                s"conflict with ${rivals.head.commitId}; aborted")
+          }
+          return
+        case None => ()
+      }
+      baseVersion.foreach { base =>
+        val intervening = existing.filterNot(_.isCheckpoint)
+          .filter(_.version > base)
+          .filter(e => readActions(fs, e.path).exists(a => myTables(a.table)))
+        if (intervening.nonEmpty)
+          throw new ConcurrentCommitException(
+            s"commit $commitId read version $base but ${intervening.size} " +
+              s"commit(s) since touched ${myTables.mkString(",")} " +
+              s"(first: version ${intervening.head.version})")
+      }
+      val version = existing.lastOption.map(_.version + 1).getOrElse(0L)
+      fs.mkdirs(snapDir(warehouse))
+      if (!putIfAbsent(fs, lockPath(warehouse, version),
+          commitId.getBytes(StandardCharsets.UTF_8))) {
+        // Lost the claim: wait for that version's entry (or break a stale
+        // claim), then re-list and try the next version.
+        awaitClaimedVersion(fs, warehouse, version)
+      } else {
+        writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
           s"#OP\t$op" +:
             (adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
               removes.map { case (t, f) => s"REMOVE\t$t\t$f" }))
-        v
-    }
-    // Photo finish between two GUARDED writers: both read the same base,
-    // both passed the pre-check, both wrote version V. Any guarded writer
-    // that sees a same-version rival unpublishes itself and throws —
-    // at-most-one entry survives, whichever writer checked last. A reader
-    // that resolved V in the sub-second window before the delete fails
-    // loudly at scan time (missing file) — never silently double-counts;
-    // same failure mode as a Delta reader racing VACUUM.
-    if (baseVersion.isDefined) {
-      val rivals = entries(fs, warehouse)
-        .filter(e => e.version == version && !e.isCheckpoint)
-        .filterNot(_.commitId == commitId)
-      if (rivals.nonEmpty) {
-        fs.delete(new Path(snapDir(warehouse), f"$version%020d-$commitId.snap"), false)
-        throw new ConcurrentCommitException(
-          s"commit $commitId hit a version-$version photo finish with " +
-            s"${rivals.head.commitId}; aborted (rival may have won)")
+        if (!ownsClaim(fs, warehouse, version, commitId)) {
+          // Our claim was broken as stale while we wrote (we were the
+          // zombie): the version now belongs to someone else.
+          fs.delete(new Path(snapDir(warehouse), f"$version%020d-$commitId.snap"), false)
+        } else {
+          // Winner sweeps zombie entries that raced this version before
+          // their own re-verify could delete them (targeted glob — not a
+          // full listing).
+          val own = f"$version%020d-$commitId.snap"
+          fs.globStatus(new Path(snapDir(warehouse), f"$version%020d-*.snap"))
+            .filterNot(_.getPath.getName == own)
+            .foreach(st => fs.delete(st.getPath, false))
+          if (version > 0 && version % CheckpointInterval == 0)
+            writeCheckpoint(fs, warehouse, version, commitId)
+          return
+        }
       }
     }
-    if (mine.isEmpty && version > 0 && version % CheckpointInterval == 0)
-      writeCheckpoint(fs, warehouse, version, commitId)
   }
 
   /** Full table→files state folded up to `asOf` (anchored on the latest
@@ -274,6 +375,14 @@ object Snapshots {
         }
       }
       victims.foreach(v => fs.delete(v.path, false))
+      // Version claims below the cutoff have served their purpose (their
+      // entries are truncated) — reap them with the entries they guarded.
+      fs.listStatus(snapDir(warehouse)).foreach { st =>
+        st.getPath.getName match {
+          case LockRe(v) if v.toLong < cutoff => fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
     }
     sweepOrphans(fs, warehouse, now, minAgeMs)
     victims.size

@@ -66,21 +66,19 @@ object TxnCommit {
              retained: Seq[String] = Nil, op: String = "append",
              baseVersion: Option[Long] = None): Unit = {
     fs.mkdirs(commitsDir(warehouse))
-    val tmp = new Path(commitsDir(warehouse), s"$commitId.manifest.tmp")
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
-    val out = fs.create(tmp, true)
     // The op tag and OCC base version ride the manifest so a crash-recovery
     // replay publishes with the same operation kind AND the same conflict
     // guard (a recovered compaction must not masquerade as an append, and
-    // must still lose a race it would have lost live).
-    try out.write(
+    // must still lose a race it would have lost live). The manifest lands
+    // via put-if-absent (commitId names are unique, so an existing file is
+    // this commit's own retry) — recovery can never observe a half-copied
+    // manifest on stores whose rename is copy+delete.
+    Snapshots.putIfAbsent(fs, fin,
       (Seq(s"#OP\t$op") ++ baseVersion.map(v => s"#BASE\t$v") ++
         (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d") ++
           retained.map(r => s"RM\t$r")))
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, fin))
-      throw new IllegalStateException(s"commit rename failed for $commitId")
   }
 
   /** PUBLISH: apply every move, flip the [[Snapshots]] log entry (snapshot
