@@ -31,24 +31,40 @@ object Compaction {
 
   case class Result(filesBefore: Int, filesAfter: Int, bytes: Long)
 
-  /** Committed part files of `table`: the latest snapshot's file set when a
-    * log exists (never touches uncommitted or mid-publish files), else the
-    * live directory listing (pre-snapshot-era warehouses). */
+  /** Committed part files of `table` with their partition specs: the
+    * latest snapshot's file set when a log exists (never touches
+    * uncommitted or mid-publish files), else the live directory listing
+    * (pre-snapshot-era warehouses, flat layout only). */
   private def liveFiles(spark: SparkSession, warehouse: String,
-                        table: String): Seq[(String, Long)] = {
+                        table: String): Seq[(String, Long, String)] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Snapshots.fileSet(fs, warehouse, table) match {
+    Snapshots.partitionedFiles(fs, warehouse, table) match {
       case Some(files) =>
-        files.filter(f => fs.exists(new Path(f)))
-          .map(f => f -> fs.getFileStatus(new Path(f)).getLen)
+        files.filter { case (f, _) => fs.exists(new Path(f)) }
+          .map { case (f, spec) =>
+            (f, fs.getFileStatus(new Path(f)).getLen, spec) }
       case None =>
         val dir = new Path(s"$warehouse/$table")
         if (!fs.exists(dir)) Seq.empty
         else fs.listStatus(dir).toSeq.filter(_.isFile)
           .filterNot(_.getPath.getName.startsWith("_"))
-          .map(st => st.getPath.toString -> st.getLen)
+          .map(st => (st.getPath.toString, st.getLen, ""))
     }
+  }
+
+  /** Read the input files so that partition columns (if any) stay in the
+    * schema, and write the rewrite preserving the partition layout — a
+    * partition-blind rewrite would silently DROP the partition column from
+    * a `dt=…` table. */
+  private def readInputs(spark: SparkSession, warehouse: String,
+                         table: String, inputs: Seq[(String, Long, String)]) = {
+    val partCols = Snapshots.partitionColumns(inputs.map(_._3))
+    val files = inputs.map(_._1)
+    val df =
+      if (partCols.isEmpty) spark.read.parquet(files: _*)
+      else spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+    (df, partCols)
   }
 
   /** Compact `table` into files of ~`targetBytes`. No-op (None) when the
@@ -83,13 +99,14 @@ object Compaction {
 
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
-    val packed = {
-      val df = spark.read.parquet(inputs.map(_._1): _*)
+    val (df, partCols) = readInputs(spark, warehouse, table, inputs)
+    val packed =
       if (sortBy.isEmpty) df.coalesce(nOut)
       else df.repartitionByRange(nOut, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
-    }
-    packed.write.parquet(staging)
+    val writer = packed.write
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val (deletes, retained) =
       if (retainRemoved) (Nil, inputs.map(_._1)) else (inputs.map(_._1), Nil)
@@ -133,7 +150,7 @@ object Compaction {
     val nOut = math.min(
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes),
       inputs.size.toLong).toInt
-    val df = spark.read.parquet(inputs.map(_._1): _*)
+    val (df, partCols) = readInputs(spark, warehouse, table, inputs)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head
@@ -156,11 +173,13 @@ object Compaction {
 
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
-    df.withColumn("__z", zval)
+    val zsorted = df.withColumn("__z", zval)
       .repartitionByRange(nOut, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.parquet(staging)
+    val writer = zsorted.write
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val retained = inputs.map(_._1)
     TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained,

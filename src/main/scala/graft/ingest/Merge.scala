@@ -46,9 +46,17 @@ object Merge {
     // OCC guard: a merge is stale the moment ANY commit touches the table
     // after this read (an intervening append may carry matching keys).
     val base = Snapshots.latestVersion(fs, warehouse)
-    val files = Snapshots.fileSet(fs, warehouse, table).getOrElse(
+    val pfiles = Snapshots.partitionedFiles(fs, warehouse, table).getOrElse(
       throw new IllegalStateException(
         s"no snapshot log under $warehouse — merge needs a TxnCommit table"))
+    val files = pfiles.map(_._1)
+    // Partitioned tables: read with basePath so the partition column stays
+    // in the schema (a partition-blind rewrite would drop it), and write
+    // the rewrite back through the same partition layout.
+    val partCols = Snapshots.partitionColumns(pfiles.map(_._2))
+    def readFiles(fl: Seq[String]): DataFrame =
+      if (partCols.isEmpty) spark.read.parquet(fl: _*)
+      else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // Affected files: commitId-prefixed part names are unique within the
@@ -62,7 +70,7 @@ object Merge {
     val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
     val affectedNames: Set[String] =
       if (files.isEmpty || bounds.isNullAt(0)) Set.empty
-      else spark.read.parquet(files: _*)
+      else readFiles(files)
         .filter(col(keyCols.head).between(lit(bounds.get(0)), lit(bounds.get(1))))
         .withColumn("_src_file", input_file_name())
         .join(broadcast(srcKeys), keyCols, "left_semi")
@@ -76,7 +84,7 @@ object Merge {
     val out =
       if (affected.isEmpty) { if (insertSource) Some(source) else None }
       else {
-        val hit = spark.read.parquet(affected: _*)
+        val hit = readFiles(affected)
         matched = hit.join(broadcast(srcKeys), keyCols, "left_semi").count()
         val survivors = hit.join(broadcast(srcKeys), keyCols, "left_anti")
         Some(if (insertSource) survivors.unionByName(source) else survivors)
@@ -84,7 +92,9 @@ object Merge {
     out match {
       case None => Result(0, 0, 0L) // delete with no matches: no-op
       case Some(df) =>
-        df.coalesce(math.max(1, affected.size)).write.parquet(staging)
+        val writer = df.coalesce(math.max(1, affected.size)).write
+        (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+          .parquet(staging)
         val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
         TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
           op = "merge", baseVersion = base)

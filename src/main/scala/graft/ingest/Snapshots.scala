@@ -41,7 +41,31 @@ object Snapshots {
 
   case class Entry(version: Long, commitId: String, path: Path,
                    isCheckpoint: Boolean, mtime: Long = 0L)
-  case class Action(add: Boolean, table: String, file: String)
+
+  /** `partition` is the Hive-style spec of the file's partition directory
+    * chain (`dt=2024-01-01/hour=3`), empty for unpartitioned files. */
+  case class Action(add: Boolean, table: String, file: String,
+                    partition: String = "") {
+    def partitionMap: Map[String, String] =
+      if (partition.isEmpty) Map.empty
+      else partition.split("/").toSeq.map { seg =>
+        val Array(k, v) = seg.split("=", 2); k -> v
+      }.toMap
+  }
+
+  private val PartSegRe = raw"[^=/]+=[^/]*".r
+
+  /** The consecutive `k=v` directory segments immediately above `file` —
+    * the partition spec its path self-describes (Hive layout). */
+  private[graft] def partitionOf(file: String): String = {
+    var dir = new Path(file).getParent
+    val segs = scala.collection.mutable.ListBuffer.empty[String]
+    while (dir != null && PartSegRe.matches(dir.getName)) {
+      segs.prepend(dir.getName)
+      dir = dir.getParent
+    }
+    segs.mkString("/")
+  }
 
   private def snapDir(warehouse: String) = new Path(s"$warehouse/_snapshots")
 
@@ -129,8 +153,13 @@ object Snapshots {
 
   private def readActions(fs: FileSystem, p: Path): Seq[Action] =
     readLines(fs, p).filterNot(_.startsWith("#")).map { line =>
-      val Array(op, table, file) = line.split("\t", 3)
-      Action(op == "ADD", table, file)
+      line.split("\t", 4) match {
+        case Array(op, table, file, part) => Action(op == "ADD", table, file, part)
+        // Entries written before partition tuples were recorded: the path
+        // self-describes its spec.
+        case Array(op, table, file) =>
+          Action(op == "ADD", table, file, partitionOf(file))
+      }
     }
 
   /** Operation tag of a log entry (`#OP` header line); entries written
@@ -258,8 +287,8 @@ object Snapshots {
       } else {
         writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
           s"#OP\t$op" +:
-            (adds.map { case (t, f) => s"ADD\t$t\t$f" } ++
-              removes.map { case (t, f) => s"REMOVE\t$t\t$f" }))
+            (adds.map { case (t, f) => s"ADD\t$t\t$f\t${partitionOf(f)}" } ++
+              removes.map { case (t, f) => s"REMOVE\t$t\t$f\t${partitionOf(f)}" }))
         if (!ownsClaim(fs, warehouse, version, commitId)) {
           // Our claim was broken as stale while we wrote (we were the
           // zombie): the version now belongs to someone else.
@@ -280,11 +309,11 @@ object Snapshots {
     }
   }
 
-  /** Full table→files state folded up to `asOf` (anchored on the latest
-    * visible checkpoint). None when no snapshot log exists. */
+  /** Full table→(file→partition) state folded up to `asOf` (anchored on the
+    * latest visible checkpoint). None when no snapshot log exists. */
   private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
       : Option[scala.collection.mutable.LinkedHashMap[
-          String, scala.collection.mutable.LinkedHashSet[String]]] = {
+          String, scala.collection.mutable.LinkedHashMap[String, String]]] = {
     val all = entries(fs, warehouse)
     if (all.isEmpty) return None
     val visible = asOf.fold(all)(v => all.filter(_.version <= v))
@@ -293,11 +322,11 @@ object Snapshots {
     require(visible.exists(_.isCheckpoint) || visible.headOption.exists(_.version == 0),
       s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
     val state = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.LinkedHashSet[String]]
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
     def apply(a: Action): Unit = {
       val files = state.getOrElseUpdate(a.table,
-        scala.collection.mutable.LinkedHashSet.empty[String])
-      if (a.add) files += a.file else files -= a.file
+        scala.collection.mutable.LinkedHashMap.empty[String, String])
+      if (a.add) files += (a.file -> a.partition) else files -= a.file
     }
     val anchor = visible.filter(_.isCheckpoint).lastOption
     anchor.foreach(c => readActions(fs, c.path).foreach(apply))
@@ -315,7 +344,8 @@ object Snapshots {
                               commitId: String): Unit = {
     val state = stateAt(fs, warehouse, Some(version)).getOrElse(return)
     writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
-      state.toSeq.flatMap { case (t, fsq) => fsq.toSeq.map(f => s"ADD\t$t\t$f") })
+      state.toSeq.flatMap { case (t, fsq) =>
+        fsq.toSeq.map { case (f, part) => s"ADD\t$t\t$f\t$part" } })
   }
 
   /** Drop log entries older than the last `keepVersions` versions AND reap
@@ -368,7 +398,7 @@ object Snapshots {
       // anchor-state check guards the (name-unique, so normally impossible)
       // re-add case.
       val anchorState = stateAt(fs, warehouse, Some(cutoff))
-        .map(_.values.flatten.toSet).getOrElse(Set.empty)
+        .map(_.values.flatMap(_.keys).toSet).getOrElse(Set.empty)
       all.filter(e => !e.isCheckpoint && e.version <= cutoff).foreach { v =>
         readActions(fs, v.path).foreach { a =>
           if (!a.add && !anchorState(a.file)) fs.delete(new Path(a.file), false)
@@ -452,18 +482,20 @@ object Snapshots {
       s"changes since $fromExclusive predate the vacuumed log " +
         s"(earliest retained version: ${first.version})"))
     val rewriteOps = Set("compact", "zorder")
-    val files = all.filter(e => e.version > fromExclusive && e.version <= to)
+    val acts = all.filter(e => e.version > fromExclusive && e.version <= to)
       .flatMap { e =>
         val op = readOp(fs, e.path)
         require(op != "merge",
           s"version ${e.version} is a merge rewrite — append-only changes() cannot represent it")
         if (rewriteOps(op)) Nil
-        else readActions(fs, e.path).filter(a => a.add && a.table == table).map(_.file)
+        else readActions(fs, e.path).filter(a => a.add && a.table == table)
       }
-    files.foreach(f => require(fs.exists(new Path(f)),
-      s"change file $f was vacuumed — requested range predates retention"))
-    if (files.isEmpty) read(spark, warehouse, table, Some(to)).limit(0)
-    else spark.read.parquet(files: _*)
+    acts.foreach(a => require(fs.exists(new Path(a.file)),
+      s"change file ${a.file} was vacuumed — requested range predates retention"))
+    if (acts.isEmpty) read(spark, warehouse, table, Some(to)).limit(0)
+    else if (acts.exists(_.partition.nonEmpty))
+      spark.read.option("basePath", s"$warehouse/$table").parquet(acts.map(_.file): _*)
+    else spark.read.parquet(acts.map(_.file): _*)
   }
 
   /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
@@ -487,26 +519,64 @@ object Snapshots {
     * None when the warehouse has no snapshot log at all. */
   def fileSet(fs: FileSystem, warehouse: String, table: String,
               asOf: Option[Long] = None): Option[Seq[String]] =
-    stateAt(fs, warehouse, asOf).map(_.get(table).map(_.toSeq).getOrElse(Seq.empty))
+    partitionedFiles(fs, warehouse, table, asOf).map(_.map(_._1))
+
+  /** Committed (file, partitionSpec) pairs of `table` at `asOf` — the
+    * log-side input to partition pruning: the spec comes from the ADD line,
+    * no path parsing or directory listing at read time. */
+  def partitionedFiles(fs: FileSystem, warehouse: String, table: String,
+                       asOf: Option[Long] = None): Option[Seq[(String, String)]] =
+    stateAt(fs, warehouse, asOf)
+      .map(_.get(table).map(_.toSeq).getOrElse(Seq.empty))
+
+  private def specToMap(spec: String): Map[String, String] =
+    if (spec.isEmpty) Map.empty
+    else spec.split("/").toSeq.map { seg =>
+      val Array(k, v) = seg.split("=", 2); k -> v
+    }.toMap
+
+  /** The partition column names (in directory order) of a table, from its
+    * committed files' specs — empty for unpartitioned tables. */
+  private[graft] def partitionColumns(specs: Seq[String]): Seq[String] =
+    specs.find(_.nonEmpty)
+      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .getOrElse(Seq.empty)
 
   /** Snapshot-isolated read: plan from the pinned file list of the resolved
     * version — concurrent publishes (and compactions) are invisible, and
     * `asOf` reads any retained historical version. Throws if the table has no
     * committed files at that version (schema would be unknowable).
     *
+    * `partitionFilter` prunes the pinned file list BEFORE planning, from
+    * the partition tuples recorded in the log — no directory listing, no
+    * footer read, no task for a pruned file. At 100 TB this is the
+    * difference between planning over every file of a year-partitioned
+    * table and over one day's worth. Files of a partitioned table are read
+    * with `basePath` so the partition columns stay in the schema.
+    *
     * `mergeSchema = true` unions the schemas of all pinned files (additive
     * schema evolution: commits may add columns; old files read them as
     * null). Off by default — merging reads every footer at plan time, and a
     * stable-schema table shouldn't pay that at 100k files. */
   def read(spark: SparkSession, warehouse: String, table: String,
-           asOf: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
+           asOf: Option[Long] = None, mergeSchema: Boolean = false,
+           partitionFilter: Map[String, String] => Boolean = null): DataFrame = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fileSet(fs, warehouse, table, asOf)
+    val all = partitionedFiles(fs, warehouse, table, asOf)
       .getOrElse(throw new IllegalStateException(
         s"no snapshot log under $warehouse — was this table committed via TxnCommit?"))
-    require(files.nonEmpty,
+    require(all.nonEmpty,
       s"table '$table' has no committed files at version ${asOf.getOrElse("latest")}")
-    spark.read.option("mergeSchema", mergeSchema).parquet(files: _*)
+    val pruned =
+      if (partitionFilter == null) all
+      else all.filter { case (_, spec) => partitionFilter(specToMap(spec)) }
+    require(pruned.nonEmpty,
+      s"partition filter pruned every file of '$table' at version " +
+        s"${asOf.getOrElse("latest")} — relax the filter or read the empty table explicitly")
+    val reader = spark.read.option("mergeSchema", mergeSchema)
+    if (all.exists(_._2.nonEmpty))
+      reader.option("basePath", s"$warehouse/$table").parquet(pruned.map(_._1): _*)
+    else reader.parquet(pruned.map(_._1): _*)
   }
 }

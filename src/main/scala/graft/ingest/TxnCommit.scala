@@ -39,22 +39,49 @@ object TxnCommit {
   /** One staged-file move: src (staging) → dest (live table dir). */
   case class Move(src: String, dest: String)
 
-  /** Data files Spark wrote under a staged output dir (part files only —
-    * `_SUCCESS` markers stay behind and are removed with the staging dir). */
+  /** Data files Spark wrote under a staged output dir, recursively — a
+    * `partitionBy` write nests them in Hive-style `k=v` subdirectories
+    * (part files only; `_SUCCESS` markers stay behind and are removed with
+    * the staging dir). */
   def stagedParts(fs: FileSystem, stagedDir: String): Seq[Path] = {
     val p = new Path(stagedDir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isFile)
-      .map(_.getPath).filter(_.getName.startsWith("part-"))
+    if (!fs.exists(p)) return Seq.empty
+    def walk(d: Path): Seq[Path] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("part-")) Seq(st.getPath)
+        else Seq.empty
+      }
+    walk(p)
   }
 
-  /** Moves publishing a staged table batch: destination names are prefixed
-    * with the commitId so publishes are collision-free and idempotent. */
+  /** Moves publishing a staged table batch: the staged layout below the
+    * table dir (including `k=v` partition subdirectories) is preserved at
+    * the destination, and file names are prefixed with the commitId so
+    * publishes are collision-free and idempotent. */
   def movesFor(fs: FileSystem, warehouse: String, commitId: String,
-               table: String): Seq[Move] =
-    stagedParts(fs, s"${stagingDir(warehouse, commitId)}/$table").map { src =>
-      Move(src.toString, s"$warehouse/$table/$commitId-${src.getName}")
+               table: String): Seq[Move] = {
+    val root = s"${stagingDir(warehouse, commitId)}/$table"
+    val rootPath = new Path(root).toUri.getPath
+    stagedParts(fs, root).map { src =>
+      val rel = src.getParent.toUri.getPath.stripPrefix(rootPath)
+        .stripPrefix("/")
+      val destDir =
+        if (rel.isEmpty) s"$warehouse/$table" else s"$warehouse/$table/$rel"
+      Move(src.toString, s"$destDir/$commitId-${src.getName}")
     }
+  }
+
+  /** The table a destination file belongs to: the first ancestor directory
+    * that is NOT a Hive-style `k=v` partition segment. Destinations are
+    * `<warehouse>/<table>[/<k=v>...]/<file>`, so inferring by parent-dir
+    * name alone would call a partitioned file's table "dt=2024-01-01". */
+  private val PartSegRe = raw"[^=/]+=[^/]*".r
+  private[ingest] def tableOf(p: String): String = {
+    var dir = new Path(p).getParent
+    while (dir != null && PartSegRe.matches(dir.getName)) dir = dir.getParent
+    dir.getName
+  }
 
   /** COMMIT point: persist the manifest (tmp + atomic rename). Two flavours
     * of swap-out are recorded for recovery: `DEL\t<path>` (logically removed
@@ -107,9 +134,6 @@ object TxnCommit {
       }
       applied += 1
     }
-    // Destinations are always `<warehouse>/<table>/<file>`, so the table is
-    // the parent directory name.
-    def tableOf(p: String) = new Path(p).getParent.getName
     try Snapshots.append(fs, warehouse, commitId,
       adds = moves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d => tableOf(d) -> d),
