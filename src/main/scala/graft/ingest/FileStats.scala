@@ -1,0 +1,210 @@
+package graft.ingest
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.LogicalTypeAnnotation
+
+/** Per-file column statistics carried on the snapshot log's ADD lines —
+  * the Delta `stats` analog that turns file skipping into a LOG read
+  * instead of a footer read per file.
+  *
+  * Collected once at publish (one footer open per newly-added file, driver
+  * side, O(files-per-commit)); stored as a single tab-free token on the ADD
+  * line; consumed by [[Snapshots.read]]'s `dataFilter` and by [[Merge]]'s
+  * affected-file discovery. At 100 TB the difference is planning a narrow
+  * merge or a filtered read over the handful of stats-overlapping files
+  * instead of opening every footer (or scanning every file) of the table.
+  *
+  * Only top-level primitive columns are recorded (nested stats don't help
+  * top-level predicates); strings are recorded as-is (parquet-mr already
+  * bounds statistics size), numerics as longs/doubles, date as epoch days,
+  * timestamps as micros — the same physical representations parquet stats
+  * use, so no precision is invented.
+  */
+object FileStats {
+
+  /** One column's [min,max] over a file. `typ` ∈ long | double | string. */
+  case class ColStats(typ: String, min: String, max: String)
+
+  case class Stats(rows: Long, cols: Map[String, ColStats])
+
+  // ---------------------------------------------------------------- encode
+
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+
+  /** Single-line, tab-free token: `rows=N|name,typ,min,max|...` with
+    * URL-encoded name/min/max so arbitrary string values survive. */
+  def encode(s: Stats): String =
+    (s"rows=${s.rows}" +: s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+      s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
+    }).mkString("|")
+
+  /** None for a missing/unparseable token (pre-stats log entries). */
+  def decode(token: String): Option[Stats] =
+    if (token == null || token.isEmpty || !token.startsWith("rows=")) None
+    else try {
+      val parts = token.split("\\|").toSeq
+      val rows = parts.head.stripPrefix("rows=").toLong
+      val cols = parts.tail.map { p =>
+        val Array(n, t, mn, mx) = p.split(",", 4)
+        dec(n) -> ColStats(t, dec(mn), dec(mx))
+      }.toMap
+      Some(Stats(rows, cols))
+    } catch { case _: RuntimeException => None }
+
+  // --------------------------------------------------------------- collect
+
+  /** Read one parquet footer and fold its row groups into per-column
+    * [min,max]. Columns without usable stats (nested, INT96, undecodable)
+    * are simply absent — absent means "never skip on this column".
+    * Returns "" for unreadable/non-parquet files (the caller stores an
+    * empty stats field; readers keep the file). */
+  def collect(conf: Configuration, file: Path): String =
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val md = reader.getFooter
+        var rows = 0L
+        // (typ, min, max) per column; None marks a column seen without
+        // usable stats in some block — then skipping on it would be unsound.
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Option[(String, String, String)]]
+        md.getBlocks.forEach { b =>
+          rows += b.getRowCount
+          b.getColumns.forEach { c =>
+            if (c.getPath.size == 1) {
+              val name = c.getPath.toDotString
+              val st = c.getStatistics
+              val triple: Option[(String, String, String)] =
+                if (st == null || st.isEmpty || !st.hasNonNullValue) None
+                else typedMinMax(c.getPrimitiveType.getPrimitiveTypeName,
+                  c.getPrimitiveType.getLogicalTypeAnnotation, st)
+              acc.get(name) match {
+                case None => acc(name) = triple
+                case Some(None) => () // already unusable
+                case Some(Some((t0, mn0, mx0))) =>
+                  acc(name) = triple.collect {
+                    case (t, mn, mx) if t == t0 =>
+                      (t0, minOf(t0, mn0, mn), maxOf(t0, mx0, mx))
+                  }
+              }
+            }
+          }
+        }
+        encode(Stats(rows, acc.collect {
+          case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
+        }.toMap))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  private def typedMinMax(ptype: PrimitiveTypeName, logical: LogicalTypeAnnotation,
+                          st: org.apache.parquet.column.statistics.Statistics[_])
+      : Option[(String, String, String)] = ptype match {
+    case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+      // Dates (epoch days) and timestamps (micros/millis) compare as longs.
+      Some(("long",
+        st.genericGetMin.asInstanceOf[Number].longValue.toString,
+        st.genericGetMax.asInstanceOf[Number].longValue.toString))
+    case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+      Some(("double",
+        st.genericGetMin.asInstanceOf[Number].doubleValue.toString,
+        st.genericGetMax.asInstanceOf[Number].doubleValue.toString))
+    case PrimitiveTypeName.BINARY
+        if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+      Some(("string",
+        new String(st.getMinBytes, StandardCharsets.UTF_8),
+        new String(st.getMaxBytes, StandardCharsets.UTF_8)))
+    case _ => None // BOOLEAN / INT96 / FIXED / nested — no skipping value
+  }
+
+  private def minOf(t: String, a: String, b: String): String =
+    if (cmp(t, a, b) <= 0) a else b
+  private def maxOf(t: String, a: String, b: String): String =
+    if (cmp(t, a, b) >= 0) a else b
+  private def cmp(t: String, a: String, b: String): Int = t match {
+    case "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  // ----------------------------------------------------------------- prune
+
+  /** File-skipping predicate: evaluated against a file's Stats to decide
+    * "may this file contain a matching row?". Sound by construction — any
+    * uncertainty (missing stats, unknown column, type mismatch) keeps the
+    * file. Compose with and/or; build leaves with the helpers below. */
+  sealed trait Pred {
+    def and(o: Pred): Pred = And(this, o)
+    def or(o: Pred): Pred = Or(this, o)
+  }
+  private case class GtEq(col: String, v: Any) extends Pred
+  private case class LtEq(col: String, v: Any) extends Pred
+  private case class And(l: Pred, r: Pred) extends Pred
+  private case class Or(l: Pred, r: Pred) extends Pred
+
+  def gtEq(col: String, v: Any): Pred = GtEq(col, v)
+  def ltEq(col: String, v: Any): Pred = LtEq(col, v)
+  def eq(col: String, v: Any): Pred = And(GtEq(col, v), LtEq(col, v))
+  def between(col: String, lo: Any, hi: Any): Pred =
+    And(GtEq(col, lo), LtEq(col, hi))
+
+  /** Normalize a predicate value to the stats column's representation. None
+    * when the value can't be compared against this column type (keep file). */
+  private def norm(typ: String, v: Any): Option[Any] = (typ, v) match {
+    case ("long", d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case ("long", d: java.time.LocalDate) => Some(d.toEpochDay)
+    case ("long", t: java.sql.Timestamp) =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    case ("long", t: java.time.Instant) =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
+    case ("long", n: Number) => Some(n.longValue)
+    case ("double", n: Number) => Some(n.doubleValue)
+    case ("string", s: String) => Some(s)
+    case _ => None
+  }
+
+  private def le(typ: String, a: Any, b: Any): Boolean = typ match {
+    case "long" => a.asInstanceOf[Long] <= b.asInstanceOf[Long]
+    case "double" => a.asInstanceOf[Double] <= b.asInstanceOf[Double]
+    case _ => a.asInstanceOf[String] <= b.asInstanceOf[String]
+  }
+
+  /** May a row of a file with `stats` satisfy `pred`? (stats=None ⇒ true.) */
+  def mayMatch(stats: Option[Stats], pred: Pred): Boolean = stats match {
+    case None => true
+    case Some(s) =>
+      def eval(p: Pred): Boolean = p match {
+        case And(l, r) => eval(l) && eval(r)
+        case Or(l, r) => eval(l) || eval(r)
+        case GtEq(c, v) => s.cols.get(c) match {
+          case Some(cs) => norm(cs.typ, v) match {
+            // some row ≥ v iff max ≥ v
+            case Some(nv) => le(cs.typ, nv, parse(cs.typ, cs.max))
+            case None => true
+          }
+          case None => true
+        }
+        case LtEq(c, v) => s.cols.get(c) match {
+          case Some(cs) => norm(cs.typ, v) match {
+            // some row ≤ v iff min ≤ v
+            case Some(nv) => le(cs.typ, parse(cs.typ, cs.min), nv)
+            case None => true
+          }
+          case None => true
+        }
+      }
+      eval(pred)
+  }
+
+  private def parse(typ: String, s: String): Any = typ match {
+    case "long" => s.toLong
+    case "double" => s.toDouble
+    case _ => s
+  }
+}

@@ -7,24 +7,41 @@ import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max
 /** Copy-on-write MERGE (upsert / delete-by-key) for TxnCommit tables — the
   * Delta `MERGE INTO` analog over the [[Snapshots]] log.
   *
-  * Only files that actually contain a matching key are rewritten: a
-  * broadcast semi-join of the pinned snapshot against the (small) update
-  * key set yields the affected-file list, those files are rewritten with
-  * matched rows replaced, and everything lands through the same
-  * stage/commit/publish protocol as ingest — snapshot readers see the old
-  * version or the new one, never a half-merged table, and the swapped-out
-  * originals stay on disk for `asOf` time travel until [[Snapshots.vacuum]].
+  * Only files that actually contain a matching key are rewritten, and only
+  * files that COULD are read: candidate files come from intersecting the
+  * update keys' [min,max] with each file's log-side stats
+  * ([[FileStats]] on the ADD line) — on a key-clustered table a narrow
+  * merge opens a handful of files, not the table; files without stats are
+  * conservatively candidates. A broadcast semi-join over just the
+  * candidates then yields the affected-file list, those files are
+  * rewritten with matched rows replaced, and everything lands through the
+  * same stage/commit/publish protocol as ingest — snapshot readers see the
+  * old version or the new one, never a half-merged table, and the
+  * swapped-out originals stay on disk for `asOf` time travel until
+  * [[Snapshots.vacuum]].
+  *
+  * Alongside the rewrite the merge stages row-level change files
+  * (`_change_type` ∈ insert | update_preimage | update_postimage | delete,
+  * the Delta CDF convention) under `warehouse/_changes/<table>/`; they ride
+  * the same manifest (crash-safe, exactly-once) and are recorded as CDF
+  * lines in the log entry, which is how [[Snapshots.changes]] serves an
+  * upserted table incrementally instead of refusing.
   *
   * Scale shape: the update side is broadcast (merges are dim-sized against
-  * fact-sized tables); the table side is never shuffled — affected files are
-  * read once, anti-joined, and written back with narrow tasks. Unaffected
-  * files move zero bytes. Driver state is O(affected files), not O(rows).
+  * fact-sized tables); the table side is never shuffled — candidate files
+  * are read once, anti-joined, and written back with narrow tasks.
+  * Unaffected files move zero bytes. Driver state is O(affected files),
+  * not O(rows).
   */
 object Merge {
 
   /** `rowsMatched`: rows of the table whose key matched the source —
-    * replaced on upsert, removed on delete. */
-  case class Result(filesRewritten: Int, filesAdded: Int, rowsMatched: Long)
+    * replaced on upsert, removed on delete. `filesScanned`: stats-surviving
+    * candidate files actually opened to find matches (≤ table file count;
+    * the log-side skipping win is `filesScanned` ≪ total on a clustered
+    * table). */
+  case class Result(filesRewritten: Int, filesAdded: Int, rowsMatched: Long,
+                    filesScanned: Int = 0)
 
   /** Upsert `updates` into `table` by `keyCols`: rows whose key matches are
     * replaced, the rest of `updates` is inserted. `updates` must carry the
@@ -46,31 +63,39 @@ object Merge {
     // OCC guard: a merge is stale the moment ANY commit touches the table
     // after this read (an intervening append may carry matching keys).
     val base = Snapshots.latestVersion(fs, warehouse)
-    val pfiles = Snapshots.partitionedFiles(fs, warehouse, table).getOrElse(
+    val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(
       throw new IllegalStateException(
         s"no snapshot log under $warehouse — merge needs a TxnCommit table"))
-    val files = pfiles.map(_._1)
+    val files = meta.map(_.file)
     // Partitioned tables: read with basePath so the partition column stays
     // in the schema (a partition-blind rewrite would drop it), and write
     // the rewrite back through the same partition layout.
-    val partCols = Snapshots.partitionColumns(pfiles.map(_._2))
+    val partCols = Snapshots.partitionColumns(meta.map(_.partition))
     def readFiles(fl: Seq[String]): DataFrame =
       if (partCols.isEmpty) spark.read.parquet(fl: _*)
       else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
+    // Candidate files by LOG-SIDE stats intersection: a file whose recorded
+    // [min,max] on the leading key cannot overlap the update keys' bounds
+    // cannot contain a match — skip it without opening anything. Files
+    // without stats (pre-stats commits, non-leading layouts) stay
+    // candidates; the residual scan below still pushes the bounds to the
+    // parquet reader for row-group skipping.
+    val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
+    val candidates: Seq[String] =
+      if (files.isEmpty || bounds.isNullAt(0)) Nil
+      else {
+        val pred = FileStats.between(keyCols.head, bounds.get(0), bounds.get(1))
+        meta.filter(a => FileStats.mayMatch(FileStats.decode(a.stats), pred))
+          .map(_.file)
+      }
     // Affected files: commitId-prefixed part names are unique within the
     // table dir, so the name alone identifies a snapshot file (and sidesteps
     // scheme/slash differences between input_file_name() URIs and log paths).
-    // The [min,max] bounds of the leading key are pushed as a scan predicate
-    // first: it can't change the semi-join's answer, but it reaches the
-    // parquet reader as a row-group/file stats filter — after a sorted
-    // compaction on the key, a narrow merge reads only the files it could
-    // possibly rewrite instead of scanning the whole table.
-    val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
     val affectedNames: Set[String] =
-      if (files.isEmpty || bounds.isNullAt(0)) Set.empty
-      else readFiles(files)
+      if (candidates.isEmpty) Set.empty
+      else readFiles(candidates)
         .filter(col(keyCols.head).between(lit(bounds.get(0)), lit(bounds.get(1))))
         .withColumn("_src_file", input_file_name())
         .join(broadcast(srcKeys), keyCols, "left_semi")
@@ -80,27 +105,48 @@ object Merge {
 
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
+    val cdfStaging =
+      s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
     var matched = 0L
-    val out =
-      if (affected.isEmpty) { if (insertSource) Some(source) else None }
-      else {
+    val (out, changes) =
+      if (affected.isEmpty) {
+        if (insertSource)
+          (Some(source), Some(source.withColumn("_change_type", lit("insert"))))
+        else (None, None)
+      } else {
         val hit = readFiles(affected)
-        matched = hit.join(broadcast(srcKeys), keyCols, "left_semi").count()
+        val preimage = hit.join(broadcast(srcKeys), keyCols, "left_semi")
+        matched = preimage.count()
         val survivors = hit.join(broadcast(srcKeys), keyCols, "left_anti")
-        Some(if (insertSource) survivors.unionByName(source) else survivors)
+        if (insertSource) {
+          val hitKeys = preimage.select(keyCols.map(col): _*).distinct()
+          val srcMatched = source.join(broadcast(hitKeys), keyCols, "left_semi")
+          val srcNew = source.join(broadcast(hitKeys), keyCols, "left_anti")
+          (Some(survivors.unionByName(source)),
+            Some(preimage.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(srcMatched.withColumn("_change_type", lit("update_postimage")))
+              .unionByName(srcNew.withColumn("_change_type", lit("insert")))))
+        } else
+          (Some(survivors),
+            Some(preimage.withColumn("_change_type", lit("delete"))))
       }
     out match {
-      case None => Result(0, 0, 0L) // delete with no matches: no-op
+      case None => Result(0, 0, 0L, candidates.size) // delete, no matches
       case Some(df) =>
         val writer = df.coalesce(math.max(1, affected.size)).write
         (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
           .parquet(staging)
-        val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+        // Change files are few and small (O(source)); flat layout — the
+        // partition columns travel as ordinary data columns in CDF rows.
+        changes.foreach(_.coalesce(1).write.parquet(cdfStaging))
+        val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+        val moves = dataMoves ++
+          TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
         TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
           op = "merge", baseVersion = base)
         TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
           op = "merge", baseVersion = base)
-        Result(affected.size, moves.size, matched)
+        Result(affected.size, dataMoves.size, matched, candidates.size)
     }
   }
 }

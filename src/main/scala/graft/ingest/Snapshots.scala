@@ -42,10 +42,16 @@ object Snapshots {
   case class Entry(version: Long, commitId: String, path: Path,
                    isCheckpoint: Boolean, mtime: Long = 0L)
 
-  /** `partition` is the Hive-style spec of the file's partition directory
-    * chain (`dt=2024-01-01/hour=3`), empty for unpartitioned files. */
-  case class Action(add: Boolean, table: String, file: String,
-                    partition: String = "") {
+  /** One log line. `kind` ∈ ADD | REMOVE | CDF — CDF files are row-level
+    * change files (merge commits), part of the entry but never of table
+    * state. `partition` is the Hive-style spec of the file's partition
+    * directory chain (`dt=2024-01-01/hour=3`), empty for unpartitioned
+    * files. `stats` is the [[FileStats]] token collected at publish ("" for
+    * pre-stats entries and non-parquet files — absent stats never skip). */
+  case class Action(kind: String, table: String, file: String,
+                    partition: String = "", stats: String = "") {
+    def add: Boolean = kind == "ADD"
+    def cdf: Boolean = kind == "CDF"
     def partitionMap: Map[String, String] =
       if (partition.isEmpty) Map.empty
       else partition.split("/").toSeq.map { seg =>
@@ -153,12 +159,14 @@ object Snapshots {
 
   private def readActions(fs: FileSystem, p: Path): Seq[Action] =
     readLines(fs, p).filterNot(_.startsWith("#")).map { line =>
-      line.split("\t", 4) match {
-        case Array(op, table, file, part) => Action(op == "ADD", table, file, part)
+      line.split("\t", 5) match {
+        case Array(op, table, file, part, stats) =>
+          Action(op, table, file, part, stats)
+        case Array(op, table, file, part) => Action(op, table, file, part)
         // Entries written before partition tuples were recorded: the path
         // self-describes its spec.
         case Array(op, table, file) =>
-          Action(op == "ADD", table, file, partitionOf(file))
+          Action(op, table, file, partitionOf(file))
       }
     }
 
@@ -240,7 +248,9 @@ object Snapshots {
     * entry it observes. */
   def append(fs: FileSystem, warehouse: String, commitId: String,
              adds: Seq[(String, String)], removes: Seq[(String, String)],
-             op: String = "append", baseVersion: Option[Long] = None): Unit = {
+             op: String = "append", baseVersion: Option[Long] = None,
+             statsFor: Map[String, String] = Map.empty,
+             changeFiles: Seq[(String, String)] = Nil): Unit = {
     val myTables = (adds ++ removes).map(_._1).toSet
     var attempts = 0
     while (true) {
@@ -287,8 +297,10 @@ object Snapshots {
       } else {
         writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
           s"#OP\t$op" +:
-            (adds.map { case (t, f) => s"ADD\t$t\t$f\t${partitionOf(f)}" } ++
-              removes.map { case (t, f) => s"REMOVE\t$t\t$f\t${partitionOf(f)}" }))
+            (adds.map { case (t, f) =>
+              s"ADD\t$t\t$f\t${partitionOf(f)}\t${statsFor.getOrElse(f, "")}" } ++
+              removes.map { case (t, f) => s"REMOVE\t$t\t$f\t${partitionOf(f)}\t" } ++
+              changeFiles.map { case (t, f) => s"CDF\t$t\t$f\t\t" }))
         if (!ownsClaim(fs, warehouse, version, commitId)) {
           // Our claim was broken as stale while we wrote (we were the
           // zombie): the version now belongs to someone else.
@@ -309,11 +321,13 @@ object Snapshots {
     }
   }
 
-  /** Full table→(file→partition) state folded up to `asOf` (anchored on the
-    * latest visible checkpoint). None when no snapshot log exists. */
+  /** Full table→(file→(partition, stats)) state folded up to `asOf`
+    * (anchored on the latest visible checkpoint). None when no snapshot log
+    * exists. CDF lines are per-version change capture, not table state —
+    * skipped. */
   private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
       : Option[scala.collection.mutable.LinkedHashMap[
-          String, scala.collection.mutable.LinkedHashMap[String, String]]] = {
+          String, scala.collection.mutable.LinkedHashMap[String, (String, String)]]] = {
     val all = entries(fs, warehouse)
     if (all.isEmpty) return None
     val visible = asOf.fold(all)(v => all.filter(_.version <= v))
@@ -322,11 +336,11 @@ object Snapshots {
     require(visible.exists(_.isCheckpoint) || visible.headOption.exists(_.version == 0),
       s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
     val state = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
-    def apply(a: Action): Unit = {
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, (String, String)]]
+    def apply(a: Action): Unit = if (!a.cdf) {
       val files = state.getOrElseUpdate(a.table,
-        scala.collection.mutable.LinkedHashMap.empty[String, String])
-      if (a.add) files += (a.file -> a.partition) else files -= a.file
+        scala.collection.mutable.LinkedHashMap.empty[String, (String, String)])
+      if (a.add) files += (a.file -> (a.partition, a.stats)) else files -= a.file
     }
     val anchor = visible.filter(_.isCheckpoint).lastOption
     anchor.foreach(c => readActions(fs, c.path).foreach(apply))
@@ -345,7 +359,7 @@ object Snapshots {
     val state = stateAt(fs, warehouse, Some(version)).getOrElse(return)
     writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
       state.toSeq.flatMap { case (t, fsq) =>
-        fsq.toSeq.map { case (f, part) => s"ADD\t$t\t$f\t$part" } })
+        fsq.toSeq.map { case (f, (part, stats)) => s"ADD\t$t\t$f\t$part\t$stats" } })
   }
 
   /** Drop log entries older than the last `keepVersions` versions AND reap
@@ -401,7 +415,13 @@ object Snapshots {
         .map(_.values.flatMap(_.keys).toSet).getOrElse(Set.empty)
       all.filter(e => !e.isCheckpoint && e.version <= cutoff).foreach { v =>
         readActions(fs, v.path).foreach { a =>
-          if (!a.add && !anchorState(a.file)) fs.delete(new Path(a.file), false)
+          // Change files are reachable only through their own entry: reap
+          // them with the truncated entries (the cutoff entry itself
+          // survives, so its CDF files stay serveable by changes()).
+          if (a.cdf) {
+            if (v.version < cutoff) fs.delete(new Path(a.file), false)
+          } else if (!a.add && !anchorState(a.file))
+            fs.delete(new Path(a.file), false)
         }
       }
       victims.foreach(v => fs.delete(v.path, false))
@@ -461,17 +481,23 @@ object Snapshots {
     read(spark, warehouse, table, asOf = Some(v))
   }
 
-  /** Incremental change read (append-only CDC): every row appended to
-    * `table` in versions (`fromExclusive`, `toInclusive`] — how a
-    * downstream consumer tails a 100 TB table without rescanning it: plan
-    * from exactly the files the in-range append commits added. Rewrite
-    * commits (compact / zorder) are skipped — they move rows, they don't
-    * add them (and including their outputs would double-count). A merge
-    * commit in range throws: an upsert rewrites rows in place, which
-    * append-only change capture cannot represent faithfully. Vacuumed-away
-    * change files also throw (fail fast, never a silent partial answer). */
+  /** Row-level change feed (the Delta CDF analog): every change to `table`
+    * in versions (`fromExclusive`, `toInclusive`], with two metadata
+    * columns — `_change_type` ∈ insert | update_preimage | update_postimage
+    * | delete, and `_commit_version` (the log version that made the
+    * change). How a downstream consumer tails a 100 TB table without
+    * rescanning it: plan from exactly the files each in-range commit added.
+    *
+    *  - append commits serve their ADD files directly, tagged `insert` —
+    *    zero extra storage for the overwhelmingly common case;
+    *  - merge commits serve the row-level change files [[Merge]] staged
+    *    alongside the rewrite (CDF lines in the log entry);
+    *  - compact / zorder rewrites move rows without changing them — skipped;
+    *  - vacuumed-away change files throw (fail fast, never a silent partial
+    *    answer), as does a merge commit from before CDF staging existed. */
   def changes(spark: SparkSession, warehouse: String, table: String,
               fromExclusive: Long, toInclusive: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = entries(fs, warehouse).filterNot(_.isCheckpoint)
@@ -482,20 +508,48 @@ object Snapshots {
       s"changes since $fromExclusive predate the vacuumed log " +
         s"(earliest retained version: ${first.version})"))
     val rewriteOps = Set("compact", "zorder")
-    val acts = all.filter(e => e.version > fromExclusive && e.version <= to)
+    def checkLive(acts: Seq[Action]): Unit =
+      acts.foreach(a => require(fs.exists(new Path(a.file)),
+        s"change file ${a.file} was vacuumed — requested range predates retention"))
+    val perVersion = all.filter(e => e.version > fromExclusive && e.version <= to)
       .flatMap { e =>
         val op = readOp(fs, e.path)
-        require(op != "merge",
-          s"version ${e.version} is a merge rewrite — append-only changes() cannot represent it")
-        if (rewriteOps(op)) Nil
-        else readActions(fs, e.path).filter(a => a.add && a.table == table)
+        if (rewriteOps(op)) None
+        else {
+          val acts = readActions(fs, e.path)
+          if (op == "merge") {
+            val cdfs = acts.filter(a => a.cdf && a.table == table)
+            if (cdfs.isEmpty) {
+              require(!acts.exists(a => !a.cdf && a.table == table),
+                s"version ${e.version} is a merge commit without change " +
+                  s"files (pre-CDF) — changes() cannot represent it")
+              None
+            } else {
+              checkLive(cdfs)
+              Some(spark.read.parquet(cdfs.map(_.file): _*)
+                .withColumn("_commit_version", lit(e.version)))
+            }
+          } else {
+            val adds = acts.filter(a => a.add && a.table == table)
+            if (adds.isEmpty) None
+            else {
+              checkLive(adds)
+              val df =
+                if (adds.exists(_.partition.nonEmpty))
+                  spark.read.option("basePath", s"$warehouse/$table")
+                    .parquet(adds.map(_.file): _*)
+                else spark.read.parquet(adds.map(_.file): _*)
+              Some(df.withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(e.version)))
+            }
+          }
+        }
       }
-    acts.foreach(a => require(fs.exists(new Path(a.file)),
-      s"change file ${a.file} was vacuumed — requested range predates retention"))
-    if (acts.isEmpty) read(spark, warehouse, table, Some(to)).limit(0)
-    else if (acts.exists(_.partition.nonEmpty))
-      spark.read.option("basePath", s"$warehouse/$table").parquet(acts.map(_.file): _*)
-    else spark.read.parquet(acts.map(_.file): _*)
+    if (perVersion.isEmpty)
+      read(spark, warehouse, table, Some(to))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)).limit(0)
+    else perVersion.reduce(_.unionByName(_))
   }
 
   /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
@@ -505,7 +559,7 @@ object Snapshots {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = entries(fs, warehouse).filterNot(_.isCheckpoint).map { e =>
-      val acts = readActions(fs, e.path)
+      val acts = readActions(fs, e.path).filterNot(_.cdf)
       (e.version, e.commitId, new java.sql.Timestamp(e.mtime),
         acts.count(_.add).toLong, acts.count(!_.add).toLong,
         acts.map(_.table).distinct.sorted.mkString(","), readOp(fs, e.path))
@@ -526,8 +580,18 @@ object Snapshots {
     * no path parsing or directory listing at read time. */
   def partitionedFiles(fs: FileSystem, warehouse: String, table: String,
                        asOf: Option[Long] = None): Option[Seq[(String, String)]] =
-    stateAt(fs, warehouse, asOf)
-      .map(_.get(table).map(_.toSeq).getOrElse(Seq.empty))
+    fileMeta(fs, warehouse, table, asOf)
+      .map(_.map(a => (a.file, a.partition)))
+
+  /** Committed files of `table` at `asOf` with partition spec AND stats
+    * token — the log-side input to both partition pruning and data
+    * skipping. One ADD Action per live file. */
+  def fileMeta(fs: FileSystem, warehouse: String, table: String,
+               asOf: Option[Long] = None): Option[Seq[Action]] =
+    stateAt(fs, warehouse, asOf).map(_.get(table)
+      .map(_.toSeq.map { case (f, (part, stats)) =>
+        Action("ADD", table, f, part, stats) })
+      .getOrElse(Seq.empty))
 
   private def specToMap(spec: String): Map[String, String] =
     if (spec.isEmpty) Map.empty
@@ -560,23 +624,38 @@ object Snapshots {
     * stable-schema table shouldn't pay that at 100k files. */
   def read(spark: SparkSession, warehouse: String, table: String,
            asOf: Option[Long] = None, mergeSchema: Boolean = false,
-           partitionFilter: Map[String, String] => Boolean = null): DataFrame = {
+           partitionFilter: Map[String, String] => Boolean = null,
+           dataFilter: FileStats.Pred = null): DataFrame = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = partitionedFiles(fs, warehouse, table, asOf)
+    val all = fileMeta(fs, warehouse, table, asOf)
       .getOrElse(throw new IllegalStateException(
         s"no snapshot log under $warehouse — was this table committed via TxnCommit?"))
     require(all.nonEmpty,
       s"table '$table' has no committed files at version ${asOf.getOrElse("latest")}")
-    val pruned =
+    val partPruned =
       if (partitionFilter == null) all
-      else all.filter { case (_, spec) => partitionFilter(specToMap(spec)) }
-    require(pruned.nonEmpty,
+      else all.filter(a => partitionFilter(specToMap(a.partition)))
+    require(partPruned.nonEmpty,
       s"partition filter pruned every file of '$table' at version " +
         s"${asOf.getOrElse("latest")} — relax the filter or read the empty table explicitly")
-    val reader = spark.read.option("mergeSchema", mergeSchema)
-    if (all.exists(_._2.nonEmpty))
-      reader.option("basePath", s"$warehouse/$table").parquet(pruned.map(_._1): _*)
-    else reader.parquet(pruned.map(_._1): _*)
+    // Data skipping from the log's per-file [min,max] — no footer reads at
+    // plan time: a pruned file costs nothing, not even a task. dataFilter
+    // must be implied by the query's own row filter (skipping is an
+    // optimization, never a semantic change); files without stats are kept.
+    val pruned =
+      if (dataFilter == null) partPruned
+      else partPruned.filter(a =>
+        FileStats.mayMatch(FileStats.decode(a.stats), dataFilter))
+    val reader0 = spark.read.option("mergeSchema", mergeSchema)
+    val reader =
+      if (all.exists(_.partition.nonEmpty))
+        reader0.option("basePath", s"$warehouse/$table")
+      else reader0
+    if (pruned.isEmpty)
+      // Every file provably excluded: an empty frame with the table schema
+      // (schema comes from one arbitrary pinned file, never its rows).
+      reader.parquet(partPruned.head.file).limit(0)
+    else reader.parquet(pruned.map(_.file): _*)
   }
 }

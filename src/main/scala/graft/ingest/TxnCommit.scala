@@ -83,6 +83,12 @@ object TxnCommit {
     dir.getName
   }
 
+  /** Is this destination a row-level change file (staged by [[Merge]] under
+    * `<warehouse>/_changes/<table>/`)? Those ride the same manifest/publish
+    * path as data files but land in the log as CDF lines, not ADDs. */
+  private def isChangeDest(p: String): Boolean =
+    new Path(p).getParent.getParent.getName == "_changes"
+
   /** COMMIT point: persist the manifest (tmp + atomic rename). Two flavours
     * of swap-out are recorded for recovery: `DEL\t<path>` (logically removed
     * AND physically deleted at publish) and `RM\t<path>` (logically removed
@@ -134,10 +140,17 @@ object TxnCommit {
       }
       applied += 1
     }
+    val (cdfMoves, dataMoves) = moves.partition(m => isChangeDest(m.dest))
+    // One footer open per newly-published file (driver-side, O(files per
+    // commit)): the [min,max] ride the ADD line so readers and merges can
+    // skip files from the log alone — no footer reads at plan time.
+    val statsFor = dataMoves.map(m =>
+      m.dest -> FileStats.collect(fs.getConf, new Path(m.dest))).toMap
     try Snapshots.append(fs, warehouse, commitId,
-      adds = moves.map(m => tableOf(m.dest) -> m.dest),
+      adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d => tableOf(d) -> d),
-      op = op, baseVersion = baseVersion)
+      op = op, baseVersion = baseVersion, statsFor = statsFor,
+      changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest))
     catch {
       case e: Snapshots.ConcurrentCommitException =>
         // Lost the OCC race: unpublish. The `.aborted` marker lands first

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{FileStats, Merge, Snapshots, TxnCommit}
+
+/** Per-file [min,max] stats on the snapshot log's ADD lines (the Delta
+  * `stats` analog): collected once at publish, used for log-side file
+  * skipping by `Snapshots.read(dataFilter=…)` and by Merge's affected-file
+  * discovery — no footer reads or full-table scans at plan time. */
+class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-filestats")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Publish one single-file batch of (id, val) rows. */
+  private def publishKv(warehouse: String, rows: Seq[(Long, String)]): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
+    val s0 = spark
+    import s0.implicits._
+    rows.toDF("id", "val").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(warehouse, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, warehouse, cid, "t")
+    TxnCommit.commit(fs, warehouse, cid, moves)
+    TxnCommit.publish(fs, warehouse, cid, moves)
+  }
+
+  test("stats token roundtrips and mayMatch is sound on the edges") {
+    val s = FileStats.Stats(42L, Map(
+      "id" -> FileStats.ColStats("long", "10", "20"),
+      "txt" -> FileStats.ColStats("string", "a|b,c\td", "zz")))
+    assert(FileStats.decode(FileStats.encode(s)).contains(s))
+    assert(FileStats.decode("").isEmpty && FileStats.decode("junk").isEmpty)
+    val st = Some(s)
+    // overlap / touch-at-edge / miss on both sides
+    assert(FileStats.mayMatch(st, FileStats.between("id", 15L, 25L)))
+    assert(FileStats.mayMatch(st, FileStats.between("id", 20L, 30L)))
+    assert(FileStats.mayMatch(st, FileStats.between("id", 5L, 10L)))
+    assert(!FileStats.mayMatch(st, FileStats.between("id", 21L, 30L)))
+    assert(!FileStats.mayMatch(st, FileStats.ltEq("id", 9L)))
+    assert(!FileStats.mayMatch(st, FileStats.gtEq("id", 21L)))
+    assert(FileStats.mayMatch(st, FileStats.eq("txt", "b")))
+    assert(!FileStats.mayMatch(st, FileStats.eq("txt", "zzz")))
+    // unknown column / missing stats / uncomparable value → keep
+    assert(FileStats.mayMatch(st, FileStats.eq("nope", 1L)))
+    assert(FileStats.mayMatch(None, FileStats.eq("id", 999L)))
+    assert(FileStats.mayMatch(st, FileStats.eq("id", new Object)))
+    // boolean composition
+    assert(FileStats.mayMatch(st,
+      FileStats.gtEq("id", 21L).or(FileStats.ltEq("id", 12L))))
+    assert(!FileStats.mayMatch(st,
+      FileStats.gtEq("id", 15L).and(FileStats.gtEq("id", 21L))))
+  }
+
+  test("publish records per-file min/max in the log; read(dataFilter) plans only overlapping files") {
+    val w = wh("whSkip")
+    // Four disjoint key ranges → four files with disjoint [min,max].
+    (0 until 4).foreach(i => publishKv(w,
+      (i * 10 until i * 10 + 10).map(k => k.toLong -> s"v$k")))
+    val meta = Snapshots.fileMeta(fs, w, "t").get
+    assert(meta.size == 4)
+    val decoded = meta.map(a => FileStats.decode(a.stats))
+    assert(decoded.forall(_.isDefined), s"missing stats: $meta")
+    assert(decoded.flatMap(_.get.cols.get("id")).size == 4)
+    assert(decoded.map(_.get.rows).sum == 40L)
+
+    // A point-range filter plans exactly the one covering file.
+    val one = Snapshots.read(spark, w, "t",
+      dataFilter = FileStats.between("id", 15L, 17L))
+    assert(one.inputFiles.length == 1, s"planned: ${one.inputFiles.mkString(",")}")
+    assert(one.filter(org.apache.spark.sql.functions.col("id").between(15, 17))
+      .count() == 3)
+    // String-column skipping works too (val is "vNN", lexical order).
+    val sone = Snapshots.read(spark, w, "t",
+      dataFilter = FileStats.eq("val", "v12"))
+    assert(sone.inputFiles.length < 4)
+    // A filter excluding every file yields an empty frame, schema intact.
+    val none = Snapshots.read(spark, w, "t",
+      dataFilter = FileStats.gtEq("id", 1000L))
+    assert(none.count() == 0 && none.columns.sameElements(Array("id", "val")))
+  }
+
+  test("stats survive checkpoints and compaction rewrites") {
+    val w = wh("whCkptStats")
+    // 17 commits crosses the CheckpointInterval (16) so the anchored fold
+    // serves stats from the .ckpt lines, not just .snap deltas.
+    (0 until 17).foreach(i => publishKv(w, Seq(i.toLong -> s"v$i")))
+    val meta = Snapshots.fileMeta(fs, w, "t").get
+    assert(meta.size == 17 && meta.forall(a => FileStats.decode(a.stats).isDefined))
+    // Compaction (sorted) republishes through the same stats collection.
+    graft.ingest.Compaction.compact(spark, w, "t", sortBy = Seq("id"))
+    val meta2 = Snapshots.fileMeta(fs, w, "t").get
+    assert(meta2.nonEmpty && meta2.forall(a => FileStats.decode(a.stats).isDefined))
+    assert(Snapshots.read(spark, w, "t",
+      dataFilter = FileStats.between("id", 3L, 3L)).count() == 17) // one file now
+  }
+
+  test("merge scans only stats-overlapping candidate files") {
+    val w = wh("whMergeSkip")
+    val s0 = spark
+    import s0.implicits._
+    (0 until 4).foreach(i => publishKv(w,
+      (i * 10 until i * 10 + 10).map(k => k.toLong -> s"v$k")))
+    // Update keys 12 and 14 live only in file [10,19]: the candidate set
+    // from log-side stats intersection must be that single file.
+    val res = Merge.upsert(spark, w, "t",
+      Seq(12L -> "X", 14L -> "X").toDF("id", "val"), Seq("id"))
+    assert(res.filesScanned == 1,
+      s"expected 1 stats-surviving candidate, scanned ${res.filesScanned}")
+    assert(res.filesRewritten == 1 && res.rowsMatched == 2)
+    val after = Snapshots.read(spark, w, "t")
+    assert(after.count() == 40)
+    assert(after.filter($"val" === "X").select("id").as[Long].collect().sorted
+      .sameElements(Array(12L, 14L)))
+    // Delete path prunes the same way.
+    val res2 = Merge.deleteKeys(spark, w, "t", Seq(35L).toDF("id"), Seq("id"))
+    assert(res2.filesScanned == 1 && res2.rowsMatched == 1)
+    assert(Snapshots.read(spark, w, "t").count() == 39)
+  }
+
+  test("data skipping composes with partition pruning on a partitioned table") {
+    val w = wh("whPartSkip")
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    ((0 until 10).map(i => (i.toLong, "2024-01-01")) ++
+      (10 until 20).map(i => (i.toLong, "2024-01-02")))
+      .toDF("id", "dt").repartition(1)
+      .write.partitionBy("dt").parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    val both = Snapshots.read(spark, w, "t",
+      partitionFilter = m => m("dt") == "2024-01-02",
+      dataFilter = FileStats.gtEq("id", 15L))
+    assert(both.inputFiles.length == 1)
+    assert(both.columns.contains("dt")) // partition column survives
+    assert(both.filter($"id" >= 15L).count() == 5)
+    // dataFilter alone can exclude a whole partition's file.
+    val skipped = Snapshots.read(spark, w, "t",
+      dataFilter = FileStats.ltEq("id", 5L))
+    assert(skipped.inputFiles.length == 1)
+  }
+}

@@ -147,8 +147,9 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     publishPartitioned(w, "t", Seq(1L -> days(1)))
     publishPartitioned(w, "t", Seq(2L -> days(2)))
     val delta = Snapshots.changes(spark, w, "t", fromExclusive = 0L)
-    assert(delta.columns.toSeq == Seq("id", "dt"))
-    assert(delta.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq ==
-      Seq(2L -> days(2)))
+    assert(delta.columns.toSeq ==
+      Seq("id", "dt", "_change_type", "_commit_version"))
+    assert(delta.select("id", "dt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq == Seq(2L -> days(2)))
   }
 }

@@ -225,7 +225,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("changes() tails appended rows; skips compaction rewrites; rejects merges") {
+  test("changes() tails appends, skips compaction rewrites, serves merges row-level") {
     val w = wh("whCdc")
     val s0 = spark
     import s0.implicits._
@@ -237,14 +237,84 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the compaction's rewritten copies of v0/v1 must NOT be re-delivered.
     val delta = graft.ingest.Snapshots.changes(spark, w, "t", fromExclusive = 0L)
     assert(delta.select("id").as[Long].collect().sorted.sameElements(6L to 10L))
-    // No new commits since v3 → empty, with the table's schema intact.
+    assert(delta.select("_change_type").distinct().as[String].collect()
+      .sameElements(Array("insert")))
+    assert(delta.filter($"id" === 7L).select("_commit_version").as[Long].head() == 1L)
+    // No new commits since v3 → empty, with the table+CDF schema intact.
     val none = graft.ingest.Snapshots.changes(spark, w, "t", fromExclusive = 3L)
-    assert(none.count() == 0 && none.columns.sameElements(Array("id")))
-    // A merge in range rewrites rows in place — append-only CDC must refuse.
+    assert(none.count() == 0 &&
+      none.columns.sorted.sameElements(Array("_change_type", "_commit_version", "id")))
+    // A merge in range is served from its row-level change files: the
+    // upsert of an existing key shows up as a pre/post image pair, and the
+    // rewritten survivor copies are NOT re-delivered.
     Merge.upsert(spark, w, "t", Seq(1L).toDF("id"), Seq("id"))
-    intercept[IllegalArgumentException] {
-      graft.ingest.Snapshots.changes(spark, w, "t", fromExclusive = 0L).count()
+    val vMerge = Snapshots.latestVersion(fs, w).get
+    val cdf = graft.ingest.Snapshots.changes(spark, w, "t", fromExclusive = 3L)
+    assert(cdf.select("_change_type", "id").as[(String, Long)].collect().toSet ==
+      Set(("update_preimage", 1L), ("update_postimage", 1L)))
+    assert(cdf.select("_commit_version").distinct().as[Long].head() == vMerge)
+  }
+
+  test("changes() reconstructs a before/after diff across upsert + delete") {
+    val w = wh("whCdfDiff")
+    val s0 = spark
+    import s0.implicits._
+    def publishKv(rows: Seq[(Long, String)]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "val").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
     }
+    publishKv(Seq((1L, "a"), (2L, "b"), (3L, "c")))            // v0
+    val v0 = Snapshots.latestVersion(fs, w).get
+    val before = Snapshots.read(spark, w, "t", asOf = Some(v0))
+      .as[(Long, String)].collect().toSet
+    Merge.upsert(spark, w, "t",
+      Seq((2L, "B"), (4L, "d")).toDF("id", "val"), Seq("id")) // v1: update 2, insert 4
+    Merge.deleteKeys(spark, w, "t", Seq(1L).toDF("id"), Seq("id")) // v2: delete 1
+    val vEnd = Snapshots.latestVersion(fs, w).get
+    val after = Snapshots.read(spark, w, "t").as[(Long, String)].collect().toSet
+    // Replaying the feed over the before-image must yield the after-image:
+    // apply deletes+preimages as removals, inserts+postimages as additions.
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = v0,
+        toInclusive = Some(vEnd))
+      .select("_change_type", "id", "val").as[(String, Long, String)].collect()
+    val removed = feed.collect {
+      case (t, id, v) if t == "delete" || t == "update_preimage" => (id, v) }.toSet
+    val added = feed.collect {
+      case (t, id, v) if t == "insert" || t == "update_postimage" => (id, v) }.toSet
+    assert((before -- removed) ++ added == after)
+    // And the feed carries exactly the expected change rows.
+    assert(feed.map { case (t, id, v) => (t, id, v) }.toSet == Set(
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "B"),
+      ("insert", 4L, "d"), ("delete", 1L, "a")))
+  }
+
+  test("reconstruction over a deep log reads O(CheckpointInterval) entry files") {
+    val w = wh("whDeep")
+    // 200 synthetic commits, driver-only: the log grows far past several
+    // checkpoint intervals without paying 200 Spark writes.
+    (0 until 200).foreach { i =>
+      Snapshots.append(fs, w, f"c$i%04d",
+        adds = Seq("t" -> s"$w/t/f$i.parquet"), removes = Nil)
+    }
+    assert(Snapshots.latestVersion(fs, w).contains(199L))
+    Snapshots.logReads.set(0L)
+    val files = Snapshots.fileSet(fs, w, "t").get
+    assert(files.size == 200)
+    val reads = Snapshots.logReads.get()
+    // Anchored fold: newest checkpoint (v192) + the ≤ interval deltas at or
+    // after it — never the 200-entry history. Slack covers the anchor read
+    // and the at-anchor-version replay.
+    assert(reads <= Snapshots.CheckpointInterval + 2,
+      s"reconstruction opened $reads log files; expected O(${Snapshots.CheckpointInterval})")
+    // Time travel to a pre-anchor version still folds correctly (bounded by
+    // the nearest earlier checkpoint, not version 0).
+    Snapshots.logReads.set(0L)
+    assert(Snapshots.fileSet(fs, w, "t", asOf = Some(100L)).get.size == 101)
+    assert(Snapshots.logReads.get() <= Snapshots.CheckpointInterval + 2)
   }
 
   test("crash mid-compaction loses nothing: recovery completes the swap") {
