@@ -552,6 +552,18 @@ object Snapshots {
     else perVersion.reduce(_.unionByName(_))
   }
 
+  /** Per-version (version, op, ADD actions for `table`) over the entries in
+    * (`fromExclusive`, `toInclusive`] — the driver-side planning input for
+    * incremental consumers (the streaming source tails the log with this).
+    * Reads only the in-range entry files. */
+  def addsInRange(fs: FileSystem, warehouse: String, table: String,
+                  fromExclusive: Long, toInclusive: Long)
+      : Seq[(Long, String, Seq[Action])] =
+    entries(fs, warehouse).filterNot(_.isCheckpoint)
+      .filter(e => e.version > fromExclusive && e.version <= toInclusive)
+      .map(e => (e.version, readOp(fs, e.path),
+        readActions(fs, e.path).filter(a => a.add && a.table == table)))
+
   /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
     * per log version with its commitId, entry timestamp, and add/remove
     * counts per action. Reads only the tiny log files — never data. */

@@ -1,0 +1,275 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import graft.ingest.Snapshots
+
+/** Structured Streaming source over the [[Snapshots]] log — the read-side
+  * dual of the exactly-once transactional sink: offsets ARE snapshot
+  * versions, and each micro-batch plans exactly the files the in-range
+  * append commits added (the same per-version file lists `changes()`
+  * serves in batch). This completes the table format's streaming story:
+  * one job writes through TxnCommit, any number of downstream jobs tail
+  * the log incrementally with Spark's own checkpointing giving
+  * exactly-once delivery across restarts.
+  *
+  * {{{
+  * spark.readStream.format("graft-snapshots")
+  *   .option("warehouse", wh).option("table", "t")
+  *   .load()  // table schema; one batch per unseen version range
+  * }}}
+  *
+  * Options: `startingVersion` (exclusive, default -1 = from the log's
+  * beginning), `skipChangeCommits` (default false — a merge commit in
+  * range then fails the stream rather than silently dropping its rewrites;
+  * true skips them, the Delta option of the same name). Compaction /
+  * zorder rewrites move rows without changing them and are always skipped.
+  *
+  * Scale shape: a trigger lists the log tail (tiny files, O(new versions)),
+  * never the table directory; one input partition per new data file; the
+  * readers stream parquet row groups directly. Partition-column values come
+  * from the log's recorded tuples — constant per file, appended by the
+  * reader, no path parsing.
+  *
+  * The row decode is a plain parquet Group walk supporting flat schemas of
+  * Spark's primitive types (long/int/double/float/boolean/string/binary/
+  * date/timestamp incl. INT96) — nested columns are rejected at plan time
+  * with a clear error. Reference: the reference's tail-the-bucket loop
+  * (huckli-import/src/lib.rs:150-210) replayed as a log-offset stream.
+  */
+class SnapshotDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshots"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotDataSource.tableSchema(options)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SnapshotTable(schema, properties)
+}
+
+object SnapshotDataSource {
+  private[v2] def required(options: CaseInsensitiveStringMap, key: String): String =
+    Option(options.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"option '$key' is required"))
+
+  /** Schema = the current snapshot's read schema (partition columns last,
+    * exactly as a batch Snapshots.read sees them). */
+  private[v2] def tableSchema(options: CaseInsensitiveStringMap): StructType =
+    Snapshots.read(SparkSession.active, required(options, "warehouse"),
+      required(options, "table")).schema
+
+  /** Partition-spec `k=v` values for the columns NOT present in data files,
+    * parsed to the schema's types at read time. */
+  private[v2] def validate(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           StringType | BinaryType | DateType | TimestampType => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft-snapshots streaming reads flat primitive schemas; " +
+          s"column '${f.name}' has unsupported type $other")
+    }
+  }
+}
+
+class SnapshotTable(tableSchema: StructType, properties: util.Map[String, String])
+  extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-snapshots(${properties.get("warehouse")}/${properties.get("table")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(tableSchema, options)
+}
+
+class SnapshotScanBuilder(tableSchema: StructType,
+                          options: CaseInsensitiveStringMap)
+  extends ScanBuilder with Scan with SupportsPushDownRequiredColumns {
+
+  // Column pruning: ship only projected fields; the Group walk still reads
+  // the file's pages but materializes just the kept columns per row.
+  private var requiredSchema: StructType = tableSchema
+  override def pruneColumns(required: StructType): Unit = {
+    val keep = required.fieldNames.toSet
+    requiredSchema = StructType(tableSchema.fields.filter(f => keep(f.name)))
+  }
+
+  override def build(): Scan = { SnapshotDataSource.validate(tableSchema); this }
+  override def readSchema(): StructType = requiredSchema
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SnapshotMicroBatchStream(options, requiredSchema)
+}
+
+/** Offset = snapshot log version (inclusive high-water mark). */
+case class SnapshotVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":${version}}"""
+}
+
+class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
+                               schema: StructType) extends MicroBatchStream {
+  private val spark = SparkSession.active
+  private val warehouse = SnapshotDataSource.required(options, "warehouse")
+  private val table = SnapshotDataSource.required(options, "table")
+  private val startingVersion =
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L)
+  private val skipChangeCommits =
+    Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialOffset(): Offset = SnapshotVersionOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    SnapshotVersionOffset(
+      Snapshots.latestVersion(fs, warehouse).getOrElse(startingVersion))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotVersionOffset].version
+    val e = end.asInstanceOf[SnapshotVersionOffset].version
+    Snapshots.addsInRange(fs, warehouse, table, s, e).flatMap {
+      case (v, op, adds) =>
+        if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
+        else if (op == "merge") {
+          if (skipChangeCommits) Nil
+          else throw new IllegalStateException(
+            s"snapshot version $v of '$table' is a merge rewrite; this " +
+              "stream serves appended rows only — restart past it or set " +
+              "skipChangeCommits=true to ignore rewrites")
+        } else adds.map(a =>
+          SnapshotInputPartition(a.file, a.partitionMap, v): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()), schema)
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(json.filter(c => c.isDigit || c == '-').toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class SnapshotInputPartition(file: String, partSpec: Map[String, String],
+                                  version: Long) extends InputPartition
+
+case class SnapshotReaderFactory(conf: SerializableConfiguration,
+                                 schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotPartitionReader(
+      partition.asInstanceOf[SnapshotInputPartition], conf, schema)
+}
+
+/** Reads one committed parquet file with the parquet-mr Group API (no
+  * Spark datasource re-entry inside a DSv2 reader), emitting projected
+  * columns as InternalRow. Partition columns (absent from the file) are
+  * served as constants from the log's recorded tuple. */
+class SnapshotPartitionReader(p: SnapshotInputPartition,
+                              conf: SerializableConfiguration,
+                              schema: StructType)
+  extends PartitionReader[InternalRow] {
+
+  private val reader =
+    ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.file), conf.value))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var remaining = 0L
+  private var current: Group = _
+
+  /** Julian-day epoch offset for INT96 timestamps. */
+  private val JulianEpochDay = 2440588L
+
+  // One getter per projected column, resolved once. A column neither in the
+  // file nor in the partition spec reads as null (additive evolution).
+  private val getters: Array[Group => Any] = schema.fields.map { f =>
+    val idx = if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1
+    if (idx >= 0) {
+      val ptype = fileSchema.getType(idx).asPrimitiveType()
+      val pname = ptype.getPrimitiveTypeName
+      val logical = ptype.getLogicalTypeAnnotation
+      val read: Group => Any = (f.dataType, pname) match {
+        case (LongType, PrimitiveTypeName.INT64) => g => g.getLong(idx, 0)
+        case (LongType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0).toLong
+        case (IntegerType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0)
+        case (DoubleType, PrimitiveTypeName.DOUBLE) => g => g.getDouble(idx, 0)
+        case (FloatType, PrimitiveTypeName.FLOAT) => g => g.getFloat(idx, 0)
+        case (BooleanType, PrimitiveTypeName.BOOLEAN) => g => g.getBoolean(idx, 0)
+        case (StringType, PrimitiveTypeName.BINARY) =>
+          g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+        case (BinaryType, PrimitiveTypeName.BINARY) =>
+          g => g.getBinary(idx, 0).getBytes
+        case (DateType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0)
+        case (TimestampType, PrimitiveTypeName.INT64) =>
+          val toMicros: Long => Long = logical match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS => _ / 1000L
+            case _ => identity
+          }
+          g => toMicros(g.getLong(idx, 0))
+        case (TimestampType, PrimitiveTypeName.INT96) => g => {
+          val b = g.getInt96(idx, 0).getBytes // 8B nanos-of-day LE + 4B julian day LE
+          val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = buf.getLong; val jday = buf.getInt
+          (jday - JulianEpochDay) * 86400000000L + nanos / 1000L
+        }
+        case (dt, pt) => throw new UnsupportedOperationException(
+          s"column '${f.name}': cannot decode parquet $pt as Spark $dt")
+      }
+      g => if (g.getFieldRepetitionCount(idx) == 0) null else read(g)
+    } else p.partSpec.get(f.name) match {
+      case Some(v) =>
+        val const: Any = f.dataType match {
+          case StringType => UTF8String.fromString(v)
+          case IntegerType => v.toInt
+          case LongType => v.toLong
+          case DoubleType => v.toDouble
+          case DateType => java.sql.Date.valueOf(v).toLocalDate.toEpochDay.toInt
+          case dt => throw new UnsupportedOperationException(
+            s"partition column '${f.name}' of type $dt not supported")
+        }
+        _ => const
+      case None => _ => null
+    }
+  }
+
+  override def next(): Boolean = {
+    while (remaining == 0L) {
+      val pages = reader.readNextRowGroup()
+      if (pages == null) return false
+      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+      remaining = pages.getRowCount
+    }
+    current = recordReader.read()
+    remaining -= 1
+    true
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(getters.map(_.apply(current)))
+
+  override def close(): Unit = reader.close()
+}

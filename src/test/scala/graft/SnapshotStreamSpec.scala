@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Compaction, Merge, Snapshots, TxnCommit}
+
+/** Streaming reads of the snapshot log (`format("graft-snapshots")`):
+  * offsets are log versions, each micro-batch serves exactly the files the
+  * in-range append commits added, rewrites are skipped, and Spark's own
+  * checkpoint gives exactly-once delivery across restarts. */
+class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-snapstream")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def publishKv(w: String, rows: Seq[(Long, String)],
+                        partitionBy: Option[String] = None): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
+    val s0 = spark
+    import s0.implicits._
+    val df = rows.toDF("id", "val").coalesce(1)
+    val writer = df.write
+    partitionBy.fold(writer)(c => writer.partitionBy(c))
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+  }
+
+  /** Drain the log to its current end with Trigger.AvailableNow into a
+    * parquet sink; restartable via the shared checkpoint. */
+  private def drain(w: String, out: String, ckpt: String,
+                    extraOpts: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+    val q = extraOpts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("exactly-once across restarts; compaction rewrites never re-delivered") {
+    val w = wh("whEo")
+    val out = wh("whEoOut"); val ckpt = wh("whEoCkpt")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, (0 until 10).map(i => i.toLong -> s"a$i"))   // v0
+    publishKv(w, (10 until 20).map(i => i.toLong -> s"b$i"))  // v1
+    drain(w, out, ckpt)
+    val first = spark.read.parquet(out)
+    assert(first.count() == 20)
+    assert(first.select("id").as[Long].collect().sorted.sameElements(0L until 20L))
+
+    // New appends + a compaction land while the stream is down; the restart
+    // resumes from the committed version offset: the appended rows arrive
+    // exactly once and the compaction's rewritten copies never do.
+    Compaction.compact(spark, w, "t")                          // v2 (rewrite)
+    publishKv(w, (20 until 25).map(i => i.toLong -> s"c$i"))   // v3
+    drain(w, out, ckpt)
+    val second = spark.read.parquet(out)
+    assert(second.count() == 25, "restart must deliver only the new append")
+    assert(second.select("id").as[Long].collect().sorted.sameElements(0L until 25L))
+
+    // Nothing new → a third drain adds nothing.
+    drain(w, out, ckpt)
+    assert(spark.read.parquet(out).count() == 25)
+  }
+
+  test("merge commits fail the stream by default; skipChangeCommits skips them") {
+    val w = wh("whMerge")
+    val out = wh("whMergeOut"); val ckpt = wh("whMergeCkpt")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, Seq(1L -> "a", 2L -> "b"))                    // v0
+    Merge.upsert(spark, w, "t", Seq(2L -> "B").toDF("id", "val"), Seq("id")) // v1
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(w, out, ckpt)
+    }
+    assert(err.getMessage.contains("merge") ||
+      Option(err.getCause).exists(_.getMessage.contains("merge")))
+    // With skipChangeCommits the stream serves the appends only.
+    drain(w, out + "2", ckpt + "2", Map("skipChangeCommits" -> "true"))
+    val got = spark.read.parquet(out + "2")
+    assert(got.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+    assert(got.filter($"val" === "B").count() == 0) // rewrite skipped, by contract
+  }
+
+  test("partitioned table: dt served from the log's recorded tuples") {
+    val w = wh("whPart")
+    val out = wh("whPartOut"); val ckpt = wh("whPartCkpt")
+    val s0 = spark
+    import s0.implicits._
+    def pub(rows: Seq[(Long, String)]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "dt").coalesce(1).write.partitionBy("dt")
+        .parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    pub(Seq(1L -> "2024-01-01", 2L -> "2024-01-02"))
+    pub(Seq(3L -> "2024-01-02"))
+    drain(w, out, ckpt)
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(got == Set(1L -> "2024-01-01", 2L -> "2024-01-02", 3L -> "2024-01-02"))
+  }
+
+  test("projection prunes to the requested columns") {
+    val w = wh("whProj")
+    publishKv(w, Seq(1L -> "a", 2L -> "b"))
+    val out = wh("whProjOut"); val ckpt = wh("whProjCkpt")
+    val q = spark.readStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t").load()
+      .select("val")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.columns.sameElements(Array("val")))
+    assert(got.collect().map(_.getString(0)).sorted.sameElements(Array("a", "b")))
+  }
+}
