@@ -1,0 +1,139 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.hadoop.fs.Path
+import graft.ingest.{Compaction, Snapshots}
+
+/** SQL surface for the table format (the `DESCRIBE HISTORY` / `OPTIMIZE` /
+  * `VACUUM` statement family, Delta-style), wired in through the public
+  * `SparkSessionExtensions` parser hook:
+  *
+  * {{{
+  * spark.sql.extensions = graft.sql.GraftSqlExtensions
+  * spark.graft.warehouse = /path/to/warehouse      // statement target
+  *
+  * SNAPSHOT OF t                          -- snapshot-isolated read (latest)
+  * SNAPSHOT OF t VERSION AS OF 3          -- time travel by version
+  * SNAPSHOT OF t TIMESTAMP AS OF '2024-01-01 00:00:00'
+  * SNAPSHOT HISTORY                       -- commit log, newest first
+  * SNAPSHOT CHANGES OF t FROM 2           -- row-level change feed (CDF)
+  * SNAPSHOT CHANGES OF t FROM 2 TO 5      -- bounded version range
+  * OPTIMIZE t                             -- bin-pack compaction
+  * OPTIMIZE t ZORDER BY (a, b)            -- multi-dim clustering rewrite
+  * VACUUM SNAPSHOTS RETAIN 8 VERSIONS [MAX AGE 168 HOURS]
+  * }}}
+  *
+  * Statements not in this grammar fall through to the delegate parser
+  * untouched, so the extension is a pure addition to Spark SQL. Each
+  * statement maps 1:1 onto the library API ([[Snapshots]]/[[Compaction]]) —
+  * the tests assert SQL results equal the API calls. */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+}
+
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  private val SnapshotRe =
+    raw"(?is)\s*SNAPSHOT\s+OF\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*)?".r
+  private val HistoryRe = raw"(?is)\s*SNAPSHOT\s+HISTORY\s*".r
+  private val ChangesRe =
+    raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s+FROM\s+(\d+)\s*(?:TO\s+(\d+)\s*)?".r
+  private val OptimizeRe =
+    raw"(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?".r
+  private val VacuumRe =
+    raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
+
+  private def warehouse: String =
+    session.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new IllegalStateException(
+        "set spark.graft.warehouse to use SNAPSHOT/OPTIMIZE/VACUUM statements"))
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case SnapshotRe(table, version, ts) =>
+      val asOf =
+        if (version != null) Some(version.toLong)
+        else if (ts != null)
+          Some(Snapshots.versionAt(
+            new Path(warehouse).getFileSystem(
+              session.sparkContext.hadoopConfiguration),
+            warehouse, java.sql.Timestamp.valueOf(ts).getTime).getOrElse(
+            throw new IllegalStateException(
+              s"no snapshot version existed at '$ts' under $warehouse")))
+        else None
+      Snapshots.read(session, warehouse, table, asOf).queryExecution.logical
+    case HistoryRe() =>
+      Snapshots.history(session, warehouse).queryExecution.logical
+    // FROM is exclusive (the last version the consumer saw), TO inclusive —
+    // the same contract as the changes() API it maps onto.
+    case ChangesRe(table, from, to) =>
+      Snapshots.changes(session, warehouse, table, from.toLong,
+        Option(to).map(_.toLong)).queryExecution.logical
+    case OptimizeRe(table, zcols) =>
+      GraftOptimizeCommand(warehouse, table,
+        Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+    case VacuumRe(retain, maxAgeHours) =>
+      GraftVacuumCommand(warehouse,
+        Option(retain).map(_.toInt).getOrElse(32),
+        Option(maxAgeHours).map(_.toLong * 3600000L)
+          .getOrElse(Snapshots.DefaultRetentionMs))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `OPTIMIZE t [ZORDER BY (…)]` → [[Compaction.compact]] / zorder. One
+  * clustering column degrades gracefully to a sorted compaction (range
+  * clustering IS single-dimension z-order). */
+case class GraftOptimizeCommand(warehouse: String, table: String,
+                                zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", IntegerType)(),
+    AttributeReference("files_after", IntegerType)(),
+    AttributeReference("bytes", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val res =
+      if (zorderBy.size >= 2) Compaction.zorder(session, warehouse, table, zorderBy)
+      else Compaction.compact(session, warehouse, table, sortBy = zorderBy,
+        minInputFiles = if (zorderBy.nonEmpty) 1 else 2)
+    Seq(res.map(r => Row(r.filesBefore, r.filesAfter, r.bytes))
+      .getOrElse(Row(0, 0, 0L)))
+  }
+}
+
+/** `VACUUM SNAPSHOTS [RETAIN n VERSIONS] [MAX AGE h HOURS]` →
+  * [[Snapshots.vacuum]]. The retention default matches the API's 7 days —
+  * an explicit MAX AGE 0 HOURS is required for immediate reclaim. */
+case class GraftVacuumCommand(warehouse: String, keepVersions: Int,
+                              minAgeMs: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("entries_removed", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    Seq(Row(Snapshots.vacuum(fs, warehouse, keepVersions, minAgeMs)))
+  }
+}

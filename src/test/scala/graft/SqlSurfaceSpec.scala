@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Snapshots, TxnCommit}
+
+/** SQL statements for the table format (SNAPSHOT OF / SNAPSHOT HISTORY /
+  * OPTIMIZE / VACUUM SNAPSHOTS) through `SparkSessionExtensions` — each
+  * must return exactly what the corresponding API call returns, and
+  * ordinary SQL must fall through to Spark's parser untouched. */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-sqlsurface")
+  private def wh = dir.resolve("wh").toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.graft.warehouse", wh)
+    // three commits: v0 (ids 0-9), v1 (ids 10-19), v2 (ids 20-29)
+    (0 until 3).foreach { i =>
+      val cid = java.util.UUID.randomUUID().toString
+      val s0 = spark
+      import s0.implicits._
+      (i * 10 until i * 10 + 10).map(k => (k.toLong, k * 2.0)).toDF("id", "x")
+        .coalesce(1).write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, wh, cid, "t")
+      TxnCommit.commit(fs, wh, cid, moves)
+      TxnCommit.publish(fs, wh, cid, moves)
+    }
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("SNAPSHOT OF reads the pinned snapshot; VERSION/TIMESTAMP AS OF time-travel") {
+    assert(spark.sql("SNAPSHOT OF t").count() ==
+      Snapshots.read(spark, wh, "t").count())
+    assert(spark.sql("SNAPSHOT OF t VERSION AS OF 0").count() == 10)
+    assert(spark.sql("snapshot of t version as of 1").count() == 20)
+    val v1Time = Snapshots.entries(fs, wh).filterNot(_.isCheckpoint)
+      .find(_.version == 1L).get.mtime
+    val ts = new java.sql.Timestamp(v1Time).toString // keeps millis precision
+    assert(spark.sql(s"SNAPSHOT OF t TIMESTAMP AS OF '$ts'").count() ==
+      Snapshots.readAsOfTime(spark, wh, "t", v1Time).count())
+  }
+
+  test("SNAPSHOT CHANGES OF serves the change feed with version bounds") {
+    val viaSql = spark.sql("SNAPSHOT CHANGES OF t FROM 0 TO 2")
+    val viaApi = Snapshots.changes(spark, wh, "t", 0L, Some(2L))
+    assert(viaSql.columns.sameElements(viaApi.columns))
+    assert(viaSql.count() == viaApi.count() && viaSql.count() == 20)
+    assert(viaSql.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("SNAPSHOT HISTORY matches the history() API") {
+    val viaSql = spark.sql("SNAPSHOT HISTORY").collect()
+    val viaApi = Snapshots.history(spark, wh).collect()
+    assert(viaSql.map(_.getLong(0)).toSeq == viaApi.map(_.getLong(0)).toSeq)
+    assert(viaSql.head.getLong(0) >= 2L)
+  }
+
+  test("OPTIMIZE bin-packs; OPTIMIZE ZORDER BY clusters; results mirror the API") {
+    val before = Snapshots.fileSet(fs, wh, "t").get.size
+    assert(before >= 3)
+    val row = spark.sql("OPTIMIZE t").collect().head
+    assert(row.getInt(0) == before && row.getInt(1) == 1)
+    assert(Snapshots.fileSet(fs, wh, "t").get.size == 1)
+    assert(Snapshots.read(spark, wh, "t").count() == 30)
+    // zorder on (id, x): a rewrite lands (files_before ≥ 1), rows intact.
+    val zrow = spark.sql("OPTIMIZE t ZORDER BY (id, x)").collect().head
+    assert(zrow.getInt(0) >= 1)
+    assert(Snapshots.read(spark, wh, "t").count() == 30)
+  }
+
+  test("VACUUM SNAPSHOTS truncates the log only with explicit zero retention") {
+    // Default/huge retention: nothing is old enough to reclaim.
+    assert(spark.sql("VACUUM SNAPSHOTS RETAIN 1 VERSIONS").collect()
+      .head.getInt(0) == 0)
+    val removed = spark.sql("VACUUM SNAPSHOTS RETAIN 1 VERSIONS MAX AGE 0 HOURS")
+      .collect().head.getInt(0)
+    assert(removed > 0)
+    assert(Snapshots.read(spark, wh, "t").count() == 30) // latest still reads
+  }
+
+  test("ordinary SQL falls through to the delegate parser") {
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+    intercept[Exception](spark.sql("OPTIMIZE")) // malformed → delegate error
+  }
+}
