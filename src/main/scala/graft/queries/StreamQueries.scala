@@ -41,7 +41,9 @@ object StreamQueries {
     // Stateful streaming allocates one state store per shuffle partition
     // (a stream-stream join keeps FOUR per partition); size the partition
     // count to the state, not to the session's batch default — at this
-    // fixture scale 32 partitions are pure store-setup overhead. Purely
+    // fixture scale 32 partitions are pure store-setup overhead (measured:
+    // stream_join warm 3.7s at 8 partitions → 2.7s at 4; 2 is within
+    // noise of 4 with less compute parallelism headroom). Purely
     // physical: results are partitioning-independent. Restored in finally.
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     val path = s"$dir/events.parquet"
@@ -54,7 +56,7 @@ object StreamQueries {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = xform(stream).writeStream
         .format("memory").queryName(name)
         .outputMode(outputMode)
