@@ -145,11 +145,15 @@ object FileStats {
   }
   private case class GtEq(col: String, v: Any) extends Pred
   private case class LtEq(col: String, v: Any) extends Pred
+  private case class Gt(col: String, v: Any) extends Pred
+  private case class Lt(col: String, v: Any) extends Pred
   private case class And(l: Pred, r: Pred) extends Pred
   private case class Or(l: Pred, r: Pred) extends Pred
 
   def gtEq(col: String, v: Any): Pred = GtEq(col, v)
   def ltEq(col: String, v: Any): Pred = LtEq(col, v)
+  def gt(col: String, v: Any): Pred = Gt(col, v)
+  def lt(col: String, v: Any): Pred = Lt(col, v)
   def eq(col: String, v: Any): Pred = And(GtEq(col, v), LtEq(col, v))
   def between(col: String, lo: Any, hi: Any): Pred =
     And(GtEq(col, lo), LtEq(col, hi))
@@ -174,30 +178,31 @@ object FileStats {
     case "double" => a.asInstanceOf[Double] <= b.asInstanceOf[Double]
     case _ => a.asInstanceOf[String] <= b.asInstanceOf[String]
   }
+  private def ltStrict(typ: String, a: Any, b: Any): Boolean =
+    le(typ, a, b) && !le(typ, b, a)
 
   /** May a row of a file with `stats` satisfy `pred`? (stats=None ⇒ true.) */
   def mayMatch(stats: Option[Stats], pred: Pred): Boolean = stats match {
     case None => true
     case Some(s) =>
+      // Evaluate one comparison leaf against the column's closed [min,max];
+      // any uncertainty (unknown column, uncomparable value) keeps the file.
+      def leaf(c: String, v: Any)(decide: (String, Any, ColStats) => Boolean): Boolean =
+        s.cols.get(c) match {
+          case Some(cs) => norm(cs.typ, v) match {
+            case Some(nv) => decide(cs.typ, nv, cs)
+            case None => true
+          }
+          case None => true
+        }
       def eval(p: Pred): Boolean = p match {
         case And(l, r) => eval(l) && eval(r)
         case Or(l, r) => eval(l) || eval(r)
-        case GtEq(c, v) => s.cols.get(c) match {
-          case Some(cs) => norm(cs.typ, v) match {
-            // some row ≥ v iff max ≥ v
-            case Some(nv) => le(cs.typ, nv, parse(cs.typ, cs.max))
-            case None => true
-          }
-          case None => true
-        }
-        case LtEq(c, v) => s.cols.get(c) match {
-          case Some(cs) => norm(cs.typ, v) match {
-            // some row ≤ v iff min ≤ v
-            case Some(nv) => le(cs.typ, parse(cs.typ, cs.min), nv)
-            case None => true
-          }
-          case None => true
-        }
+        // some row ≥ v iff max ≥ v; strict variants use strict compares
+        case GtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, nv, parse(t, cs.max)))
+        case LtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, parse(t, cs.min), nv))
+        case Gt(c, v) => leaf(c, v)((t, nv, cs) => ltStrict(t, nv, parse(t, cs.max)))
+        case Lt(c, v) => leaf(c, v)((t, nv, cs) => ltStrict(t, parse(t, cs.min), nv))
       }
       eval(pred)
   }
@@ -206,5 +211,63 @@ object FileStats {
     case "long" => s.toLong
     case "double" => s.toDouble
     case _ => s
+  }
+
+  // ------------------------------------------------- Catalyst → skip pred
+
+  /** Derive a sound skipping predicate from a Catalyst boolean expression
+    * (the tree behind a `Column`), so callers write ONE predicate and get
+    * both row filtering and log-side file skipping. Conversion is
+    * best-effort and only ever widens: an unconvertible conjunct is
+    * dropped (skip less), an unconvertible disjunct poisons its whole OR
+    * (skip nothing there). Returns None when nothing usable survives —
+    * then no skipping at all. */
+  def fromExpression(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Pred] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, Or => CatOr, _}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def nameOf(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case c: Cast => nameOf(c.child)
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case Literal(null, _) => None
+      case Literal(v, _) => Some(v)
+      // Type coercion wraps promoted literals (int → bigint) in a Cast; the
+      // raw value is fine — norm() re-checks it against the stats type and
+      // keeps the file on any mismatch.
+      case c: Cast => litOf(c.child)
+      case _ => None
+    }
+    def cmp(l: Expression, r: Expression)(mk: (String, Any) => Pred,
+                                          flip: (String, Any) => Pred): Option[Pred] =
+      (nameOf(l), litOf(r), nameOf(r), litOf(l)) match {
+        case (Some(n), Some(v), _, _) => Some(mk(n, v))
+        case (_, _, Some(n), Some(v)) => Some(flip(n, v))
+        case _ => None
+      }
+    def walk(x: Expression): Option[Pred] = x match {
+      case CatAnd(l, r) => (walk(l), walk(r)) match {
+        case (Some(a), Some(b)) => Some(a.and(b))
+        case (a, b) => a.orElse(b) // dropped conjunct only widens
+      }
+      case CatOr(l, r) => for (a <- walk(l); b <- walk(r)) yield a.or(b)
+      case EqualTo(l, r) => cmp(l, r)(eq, eq)
+      case GreaterThan(l, r) => cmp(l, r)(gt, lt)
+      case GreaterThanOrEqual(l, r) => cmp(l, r)(gtEq, ltEq)
+      case LessThan(l, r) => cmp(l, r)(lt, gt)
+      case LessThanOrEqual(l, r) => cmp(l, r)(ltEq, gtEq)
+      case In(l, items) =>
+        val vs = items.map(litOf)
+        if (vs.exists(_.isEmpty)) None
+        else nameOf(l).map(n =>
+          vs.flatten.map(v => eq(n, v)).reduce((a, b) => a.or(b)))
+      case _ => None
+    }
+    walk(e)
   }
 }

@@ -552,17 +552,17 @@ object Snapshots {
     else perVersion.reduce(_.unionByName(_))
   }
 
-  /** Per-version (version, op, ADD actions for `table`) over the entries in
-    * (`fromExclusive`, `toInclusive`] — the driver-side planning input for
-    * incremental consumers (the streaming source tails the log with this).
-    * Reads only the in-range entry files. */
+  /** Per-version (version, op, ADD + CDF actions for `table`) over the
+    * entries in (`fromExclusive`, `toInclusive`] — the driver-side planning
+    * input for incremental consumers (the streaming source tails the log
+    * with this). Reads only the in-range entry files. */
   def addsInRange(fs: FileSystem, warehouse: String, table: String,
                   fromExclusive: Long, toInclusive: Long)
       : Seq[(Long, String, Seq[Action])] =
     entries(fs, warehouse).filterNot(_.isCheckpoint)
       .filter(e => e.version > fromExclusive && e.version <= toInclusive)
       .map(e => (e.version, readOp(fs, e.path),
-        readActions(fs, e.path).filter(a => a.add && a.table == table)))
+        readActions(fs, e.path).filter(a => (a.add || a.cdf) && a.table == table)))
 
   /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
     * per log version with its commitId, entry timestamp, and add/remove
@@ -605,7 +605,41 @@ object Snapshots {
         Action("ADD", table, f, part, stats) })
       .getOrElse(Seq.empty))
 
-  private def specToMap(spec: String): Map[String, String] =
+  /** A file's skipping stats with its partition tuple folded in as exact
+    * single-value ranges (strings — Hive specs are untyped; a predicate
+    * comparing them to a non-string keeps the file, which is sound). */
+  private def statsWithPartition(a: Action): Option[FileStats.Stats] = {
+    val base = FileStats.decode(a.stats)
+    val pm = specToMap(a.partition)
+    if (pm.isEmpty) base
+    else {
+      val pcols = pm.map { case (k, v) => k -> FileStats.ColStats("string", v, v) }
+      Some(base.map(s => s.copy(cols = s.cols ++ pcols))
+        .getOrElse(FileStats.Stats(-1L, pcols)))
+    }
+  }
+
+  /** One-predicate read: `condition` both filters rows AND (via
+    * [[FileStats.fromExpression]]) skips non-overlapping files from the
+    * log's stats and partition tuples — the ergonomic form of
+    * `read(dataFilter=…).filter(…)` with the two predicates guaranteed
+    * consistent. The condition is resolved against the table's schema
+    * first (types checked, names bound), then the resolved catalyst tree
+    * is translated; planning the throwaway frame reads one footer for the
+    * schema and zero data. */
+  def readWhere(spark: SparkSession, warehouse: String, table: String,
+                condition: org.apache.spark.sql.Column,
+                asOf: Option[Long] = None): DataFrame = {
+    val resolved = read(spark, warehouse, table, asOf).filter(condition)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    read(spark, warehouse, table, asOf,
+      dataFilter = resolved.flatMap(FileStats.fromExpression).orNull)
+      .filter(condition)
+  }
+
+  private[graft] def specToMap(spec: String): Map[String, String] =
     if (spec.isEmpty) Map.empty
     else spec.split("/").toSeq.map { seg =>
       val Array(k, v) = seg.split("=", 2); k -> v
@@ -655,10 +689,12 @@ object Snapshots {
     // plan time: a pruned file costs nothing, not even a task. dataFilter
     // must be implied by the query's own row filter (skipping is an
     // optimization, never a semantic change); files without stats are kept.
+    // Partition tuples join the stats as exact [v,v] string ranges, so one
+    // predicate skips on data AND partition columns uniformly.
     val pruned =
       if (dataFilter == null) partPruned
       else partPruned.filter(a =>
-        FileStats.mayMatch(FileStats.decode(a.stats), dataFilter))
+        FileStats.mayMatch(statsWithPartition(a), dataFilter))
     val reader0 = spark.read.option("mergeSchema", mergeSchema)
     val reader =
       if (all.exists(_.partition.nonEmpty))

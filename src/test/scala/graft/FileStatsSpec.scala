@@ -135,6 +135,55 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 39)
   }
 
+  test("readWhere derives skipping from a Catalyst predicate; conversion only widens") {
+    val w = wh("whWhere")
+    val s0 = spark
+    import s0.implicits._
+    (0 until 4).foreach(i => publishKv(w,
+      (i * 10 until i * 10 + 10).map(k => k.toLong -> s"v$k")))
+    import org.apache.spark.sql.functions.{col, length}
+    // One predicate: rows filtered AND only the overlapping file planned.
+    val q = Snapshots.readWhere(spark, w, "t", col("id") > 14L && col("id") < 18L)
+    assert(q.inputFiles.length == 1, s"planned ${q.inputFiles.length} files")
+    assert(q.select("id").as[Long].collect().sorted.sameElements(Array(15L, 16L, 17L)))
+    // IN-lists skip to their covering files.
+    val in = Snapshots.readWhere(spark, w, "t", col("id").isin(5L, 35L))
+    assert(in.inputFiles.length == 2 && in.count() == 2)
+    // An unconvertible conjunct only widens (still correct, just no skip):
+    // ids 0..9 render as "v0".."v9" (length 2), so the length conjunct is
+    // a no-op on the surviving file's rows.
+    val wide = Snapshots.readWhere(spark, w, "t",
+      length(col("val")) === 2 && col("id") <= 9L)
+    assert(wide.inputFiles.length == 1 && wide.count() == 10)
+    // An unconvertible disjunct disables skipping entirely (all 4 files
+    // planned) — and still never drops rows.
+    val all = Snapshots.readWhere(spark, w, "t",
+      col("id") <= 9L || length(col("val")) === 4)
+    assert(all.inputFiles.length == 4 && all.count() == 10)
+  }
+
+  test("readWhere skips on partition columns through the same predicate") {
+    val w = wh("whWherePart")
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    ((0 until 10).map(i => (i.toLong, "2024-01-01")) ++
+      (10 until 20).map(i => (i.toLong, "2024-01-02")))
+      .toDF("id", "dt").repartition(1)
+      .write.partitionBy("dt").parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    import org.apache.spark.sql.functions.col
+    val q = Snapshots.readWhere(spark, w, "t",
+      col("dt") === "2024-01-02" && col("id") >= 12L)
+    assert(q.inputFiles.length == 1)
+    assert(q.count() == 8)
+    // Range on the (ISO string) partition column prunes lexically.
+    assert(Snapshots.readWhere(spark, w, "t", col("dt") < "2024-01-02")
+      .inputFiles.length == 1)
+  }
+
   test("data skipping composes with partition pruning on a partitioned table") {
     val w = wh("whPartSkip")
     val s0 = spark
