@@ -34,12 +34,16 @@ object Compaction {
   /** Committed part files of `table` with their partition specs: the
     * latest snapshot's file set when a log exists (never touches
     * uncommitted or mid-publish files), else the live directory listing
-    * (pre-snapshot-era warehouses, flat layout only). */
+    * (pre-snapshot-era warehouses, flat layout only). `partitionFilter`
+    * scopes maintenance to matching partitions — at 100 TB you compact
+    * yesterday's `dt`, never the table. */
   private def liveFiles(spark: SparkSession, warehouse: String,
-                        table: String): Seq[(String, Long, String)] = {
+                        table: String,
+                        partitionFilter: Map[String, String] => Boolean = null)
+      : Seq[(String, Long, String)] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Snapshots.partitionedFiles(fs, warehouse, table) match {
+    val all = Snapshots.partitionedFiles(fs, warehouse, table) match {
       case Some(files) =>
         files.filter { case (f, _) => fs.exists(new Path(f)) }
           .map { case (f, spec) =>
@@ -51,6 +55,9 @@ object Compaction {
           .filterNot(_.getPath.getName.startsWith("_"))
           .map(st => (st.getPath.toString, st.getLen, ""))
     }
+    if (partitionFilter == null) all
+    else all.filter { case (_, _, spec) =>
+      partitionFilter(Snapshots.specToMap(spec)) }
   }
 
   /** Read the input files so that partition columns (if any) stay in the
@@ -81,14 +88,16 @@ object Compaction {
               targetBytes: Long = 128L * 1024 * 1024,
               minInputFiles: Int = 2,
               retainRemoved: Boolean = true,
-              sortBy: Seq[String] = Nil): Option[Result] = {
+              sortBy: Seq[String] = Nil,
+              partitionFilter: Map[String, String] => Boolean = null)
+      : Option[Result] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // OCC guard: capture the snapshot version the input list comes from —
     // a concurrent rewrite landing after this makes the commit abort
     // instead of re-adding rows the rival already rewrote (double data).
     val base = Snapshots.latestVersion(fs, warehouse)
-    val inputs = liveFiles(spark, warehouse, table)
+    val inputs = liveFiles(spark, warehouse, table, partitionFilter)
     if (inputs.size < minInputFiles) return None
     val totalBytes = inputs.map(_._2).sum
     val nOut0 = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -137,12 +146,14 @@ object Compaction {
     * itself is one range exchange, same cost shape as sorted compaction. */
   def zorder(spark: SparkSession, warehouse: String, table: String,
              cols: Seq[String],
-             targetBytes: Long = 128L * 1024 * 1024): Option[Result] = {
+             targetBytes: Long = 128L * 1024 * 1024,
+             partitionFilter: Map[String, String] => Boolean = null)
+      : Option[Result] = {
     require(cols.size >= 2, "zorder needs >= 2 columns (1 column = sortBy)")
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse) // OCC guard, as in compact
-    val inputs = liveFiles(spark, warehouse, table)
+    val inputs = liveFiles(spark, warehouse, table, partitionFilter)
     // Unlike bin-packing, clustering pays off even for a single input file
     // (row groups inside it become range-disjoint) — only empty is a no-op.
     if (inputs.isEmpty) return None

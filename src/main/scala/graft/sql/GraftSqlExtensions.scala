@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
@@ -25,6 +25,7 @@ import graft.ingest.{Compaction, Snapshots}
   * SNAPSHOT CHANGES OF t FROM 2           -- row-level change feed (CDF)
   * SNAPSHOT CHANGES OF t FROM 2 TO 5      -- bounded version range
   * OPTIMIZE t                             -- bin-pack compaction
+  * OPTIMIZE t WHERE dt='2024-01-01'       -- partition-scoped maintenance
   * OPTIMIZE t ZORDER BY (a, b)            -- multi-dim clustering rewrite
   * VACUUM SNAPSHOTS RETAIN 8 VERSIONS [MAX AGE 168 HOURS]
   * }}}
@@ -47,7 +48,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val ChangesRe =
     raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s+FROM\s+(\d+)\s*(?:TO\s+(\d+)\s*)?".r
   private val OptimizeRe =
-    raw"(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?".r
+    raw"(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?".r
+  // Conjunctive partition-equality predicates only: k='v' [AND k2='v2' …]
+  private val PartEqRe = raw"(?i)\s*([\w]+)\s*=\s*'([^']*)'\s*".r
   private val VacuumRe =
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
 
@@ -76,9 +79,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case ChangesRe(table, from, to) =>
       Snapshots.changes(session, warehouse, table, from.toLong,
         Option(to).map(_.toLong)).queryExecution.logical
-    case OptimizeRe(table, zcols) =>
+    case OptimizeRe(table, where, zcols) =>
+      val partEq = Option(where).map { w =>
+        w.split("(?i)\\s+AND\\s+").toSeq.map {
+          case PartEqRe(k, v) => k -> v
+          case other => throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE supports partition equalities (k='v' AND …); got: $other")
+        }
+      }.getOrElse(Nil)
       GraftOptimizeCommand(warehouse, table,
-        Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+        Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), partEq)
     case VacuumRe(retain, maxAgeHours) =>
       GraftVacuumCommand(warehouse,
         Option(retain).map(_.toInt).getOrElse(32),
@@ -105,20 +115,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     delegate.parseRoutineParam(sqlText)
 }
 
-/** `OPTIMIZE t [ZORDER BY (…)]` → [[Compaction.compact]] / zorder. One
-  * clustering column degrades gracefully to a sorted compaction (range
-  * clustering IS single-dimension z-order). */
+/** `OPTIMIZE t [WHERE dt='…' [AND …]] [ZORDER BY (…)]` →
+  * [[Compaction.compact]] / zorder. One clustering column degrades
+  * gracefully to a sorted compaction (range clustering IS single-dimension
+  * z-order); WHERE scopes the rewrite to matching partitions — the 100 TB
+  * shape is compacting one day's `dt`, never the table. */
 case class GraftOptimizeCommand(warehouse: String, table: String,
-                                zorderBy: Seq[String]) extends LeafRunnableCommand {
+                                zorderBy: Seq[String],
+                                partitionEq: Seq[(String, String)] = Nil)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", IntegerType)(),
     AttributeReference("files_after", IntegerType)(),
     AttributeReference("bytes", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
+    val pf: Map[String, String] => Boolean =
+      if (partitionEq.isEmpty) null
+      else m => partitionEq.forall { case (k, v) => m.get(k).contains(v) }
     val res =
-      if (zorderBy.size >= 2) Compaction.zorder(session, warehouse, table, zorderBy)
+      if (zorderBy.size >= 2)
+        Compaction.zorder(session, warehouse, table, zorderBy, partitionFilter = pf)
       else Compaction.compact(session, warehouse, table, sortBy = zorderBy,
-        minInputFiles = if (zorderBy.nonEmpty) 1 else 2)
+        minInputFiles = if (zorderBy.nonEmpty) 1 else 2, partitionFilter = pf)
     Seq(res.map(r => Row(r.filesBefore, r.filesAfter, r.bytes))
       .getOrElse(Row(0, 0, 0L)))
   }

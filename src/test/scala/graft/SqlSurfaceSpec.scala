@@ -84,6 +84,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "t").count() == 30)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partition") {
+    val s0 = spark
+    import s0.implicits._
+    (0 until 2).foreach { i =>
+      val cid = java.util.UUID.randomUUID().toString
+      Seq((i * 2L, "2024-01-01"), (i * 2L + 1, "2024-01-02"))
+        .toDF("id", "dt").coalesce(1).write.partitionBy("dt")
+        .parquet(s"${TxnCommit.stagingDir(wh, cid)}/p")
+      val moves = TxnCommit.movesFor(fs, wh, cid, "p")
+      TxnCommit.commit(fs, wh, cid, moves)
+      TxnCommit.publish(fs, wh, cid, moves)
+    }
+    def filesPer: Map[String, Int] = Snapshots.partitionedFiles(fs, wh, "p").get
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    assert(filesPer == Map("dt=2024-01-01" -> 2, "dt=2024-01-02" -> 2))
+    val row = spark.sql("OPTIMIZE p WHERE dt='2024-01-01'").collect().head
+    assert(row.getInt(0) == 2 && row.getInt(1) == 1)
+    // Only the matching partition was rewritten; the other kept its files.
+    assert(filesPer == Map("dt=2024-01-01" -> 1, "dt=2024-01-02" -> 2))
+    assert(Snapshots.read(spark, wh, "p").count() == 4)
+    intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE p WHERE dt > '2024'")
+    }
+  }
+
   test("VACUUM SNAPSHOTS truncates the log only with explicit zero retention") {
     // Default/huge retention: nothing is old enough to reclaim.
     assert(spark.sql("VACUUM SNAPSHOTS RETAIN 1 VERSIONS").collect()
