@@ -41,8 +41,12 @@ import graft.ingest.Snapshots
   * Options: `startingVersion` (exclusive, default -1 = from the log's
   * beginning), `skipChangeCommits` (default false — a merge commit in
   * range then fails the stream rather than silently dropping its rewrites;
-  * true skips them, the Delta option of the same name). Compaction /
-  * zorder rewrites move rows without changing them and are always skipped.
+  * true skips them, the Delta option of the same name), and
+  * `readChangeFeed` (true = stream the row-level change feed instead:
+  * schema gains `_change_type` and `_commit_version`, appends arrive as
+  * `insert` rows, merges as their staged pre/post-image and delete rows —
+  * the streaming dual of `Snapshots.changes`). Compaction / zorder
+  * rewrites move rows without changing them and are always skipped.
   *
   * Scale shape: a trigger lists the log tail (tiny files, O(new versions)),
   * never the table directory; one input partition per new data file; the
@@ -70,11 +74,18 @@ object SnapshotDataSource {
     Option(options.get(key)).getOrElse(
       throw new IllegalArgumentException(s"option '$key' is required"))
 
+  private[v2] def readChangeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
   /** Schema = the current snapshot's read schema (partition columns last,
-    * exactly as a batch Snapshots.read sees them). */
-  private[v2] def tableSchema(options: CaseInsensitiveStringMap): StructType =
-    Snapshots.read(SparkSession.active, required(options, "warehouse"),
+    * exactly as a batch Snapshots.read sees them); the change feed adds the
+    * same metadata columns as the batch `changes()`. */
+  private[v2] def tableSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = Snapshots.read(SparkSession.active, required(options, "warehouse"),
       required(options, "table")).schema
+    if (!readChangeFeed(options)) base
+    else base.add("_change_type", StringType).add("_commit_version", LongType)
+  }
 
   /** Partition-spec `k=v` values for the columns NOT present in data files,
     * parsed to the schema's types at read time. */
@@ -133,6 +144,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L)
   private val skipChangeCommits =
     Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+  private val readChangeFeed = SnapshotDataSource.readChangeFeed(options)
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -146,16 +158,27 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     val s = start.asInstanceOf[SnapshotVersionOffset].version
     val e = end.asInstanceOf[SnapshotVersionOffset].version
     Snapshots.addsInRange(fs, warehouse, table, s, e).flatMap {
-      case (v, op, adds) =>
+      case (v, op, acts) =>
+        val adds = acts.filter(_.add)
+        val cdfs = acts.filter(_.cdf)
         if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
         else if (op == "merge") {
-          if (skipChangeCommits) Nil
+          if (readChangeFeed) {
+            require(cdfs.nonEmpty || adds.isEmpty,
+              s"snapshot version $v is a merge commit without change files " +
+                "(pre-CDF) — the change-feed stream cannot represent it")
+            // CDF files carry _change_type per row; version is constant.
+            cdfs.map(a =>
+              SnapshotInputPartition(a.file, Map.empty, v, None): InputPartition)
+          } else if (skipChangeCommits) Nil
           else throw new IllegalStateException(
             s"snapshot version $v of '$table' is a merge rewrite; this " +
-              "stream serves appended rows only — restart past it or set " +
-              "skipChangeCommits=true to ignore rewrites")
+              "stream serves appended rows only — restart past it, set " +
+              "skipChangeCommits=true to ignore rewrites, or read the " +
+              "change feed (readChangeFeed=true)")
         } else adds.map(a =>
-          SnapshotInputPartition(a.file, a.partitionMap, v): InputPartition)
+          SnapshotInputPartition(a.file, a.partitionMap, v,
+            Some("insert")): InputPartition)
     }.toArray
   }
 
@@ -170,8 +193,12 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
   override def stop(): Unit = ()
 }
 
+/** `changeType` = Some(constant) for data files (appends are all inserts);
+  * None for change files, whose `_change_type` column is read per row. */
 case class SnapshotInputPartition(file: String, partSpec: Map[String, String],
-                                  version: Long) extends InputPartition
+                                  version: Long,
+                                  changeType: Option[String] = None)
+  extends InputPartition
 
 case class SnapshotReaderFactory(conf: SerializableConfiguration,
                                  schema: StructType) extends PartitionReaderFactory {
@@ -202,8 +229,21 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
   private val JulianEpochDay = 2440588L
 
   // One getter per projected column, resolved once. A column neither in the
-  // file nor in the partition spec reads as null (additive evolution).
+  // file nor in the partition spec reads as null (additive evolution). The
+  // change-feed metadata columns are constants per file — except
+  // `_change_type` of a change file, which is a real per-row column and
+  // falls through to the file path below.
   private val getters: Array[Group => Any] = schema.fields.map { f =>
+    if (f.name == "_commit_version") {
+      val v = p.version
+      (_: Group) => v
+    } else if (f.name == "_change_type" && p.changeType.isDefined) {
+      val ct = UTF8String.fromString(p.changeType.get)
+      (_: Group) => ct
+    } else gettersFor(f)
+  }
+
+  private def gettersFor(f: org.apache.spark.sql.types.StructField): Group => Any = {
     val idx = if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1
     if (idx >= 0) {
       val ptype = fileSchema.getType(idx).asPrimitiveType()

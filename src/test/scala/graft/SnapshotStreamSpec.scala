@@ -127,6 +127,30 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L -> "2024-01-01", 2L -> "2024-01-02", 3L -> "2024-01-02"))
   }
 
+  test("readChangeFeed streams the same row-level feed as batch changes()") {
+    val w = wh("whCdfStream")
+    val out = wh("whCdfOut"); val ckpt = wh("whCdfCkpt")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, Seq(1L -> "a", 2L -> "b"))                          // v0
+    Merge.upsert(spark, w, "t",
+      Seq(2L -> "B", 3L -> "c").toDF("id", "val"), Seq("id"))        // v1
+    Merge.deleteKeys(spark, w, "t", Seq(1L).toDF("id"), Seq("id"))   // v2
+    drain(w, out, ckpt, Map("readChangeFeed" -> "true"))
+    val streamed = spark.read.parquet(out)
+      .select("id", "val", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val batch = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+      .select("id", "val", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._3) ==
+      Set("insert", "update_preimage", "update_postimage", "delete"))
+    // Restart with nothing new appends nothing.
+    drain(w, out, ckpt, Map("readChangeFeed" -> "true"))
+    assert(spark.read.parquet(out).count() == streamed.size)
+  }
+
   test("projection prunes to the requested columns") {
     val w = wh("whProj")
     publishKv(w, Seq(1L -> "a", 2L -> "b"))
