@@ -9,10 +9,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Declared.queries ++ graft.queries.LlmQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++ graft.queries.FormatQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Declared.oracleSql ++ graft.queries.LlmQueries.oracleSql ++
-      graft.queries.StreamQueries.oracleSql
+      graft.queries.StreamQueries.oracleSql ++ graft.queries.FormatQueries.oracleSql
 }

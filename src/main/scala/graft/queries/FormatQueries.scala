@@ -1,0 +1,116 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{Compaction, Merge, Snapshots, TxnCommit}
+
+/** CORRECTNESS bridge for the table format: drive the REAL
+  * stage→commit→publish→snapshot-read machinery inside the driver's
+  * DuckDB-oracle gate, not just ScalaTest. Each entry builds a fresh
+  * throwaway warehouse from the `nation` fixture (25 rows at every SF —
+  * constant cost in bench), pushes it through the format, and returns a
+  * result whose ground truth is expressible as plain SQL over the original
+  * parquet — so a regression in the commit protocol, snapshot fold, merge
+  * rewrite, or change feed breaks a hash match, exactly like any other
+  * operator.
+  */
+object FormatQueries {
+
+  private def nation(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+
+  /** Fresh warehouse per invocation (bench runs entries 3×; runs must not
+    * see each other's commits). */
+  private def freshWh(): String =
+    Files.createTempDirectory("graft-fmtq").resolve("wh").toString
+
+  private def publish(s: SparkSession, wh: String, table: String,
+                      df: DataFrame): Unit = {
+    val fs = new Path(wh).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cid = java.util.UUID.randomUUID().toString
+    df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/$table")
+    val moves = TxnCommit.movesFor(fs, wh, cid, table)
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two commits + a compaction + data-skipping read: the returned rows
+    // must equal the plain table — proving the snapshot fold (adds minus
+    // compaction removes) and the stats-pruned read drop nothing.
+    "fmt_roundtrip" -> ((s, d) => {
+      val wh = freshWh()
+      val n = nation(s, d)
+      publish(s, wh, "nation", n.filter(col("n_nationkey") < 12))
+      publish(s, wh, "nation", n.filter(col("n_nationkey") >= 12))
+      Compaction.compact(s, wh, "nation", sortBy = Seq("n_nationkey"))
+      Snapshots.readWhere(s, wh, "nation", col("n_nationkey") >= 0L)
+    }),
+    // Copy-on-write upsert: modified names for keys < 5, one brand-new row;
+    // result must match a CASE/UNION oracle over the original fixture.
+    "fmt_merge" -> ((s, d) => {
+      val wh = freshWh()
+      val n = nation(s, d)
+      publish(s, wh, "nation", n)
+      val updates = n.filter(col("n_nationkey") < 5)
+        .withColumn("n_name", concat(col("n_name"), lit("_X")))
+        .unionByName(s.range(1).select(lit(990L).as("n_nationkey"),
+          lit("NEWLAND").as("n_name"), lit(0L).as("n_regionkey")))
+      Merge.upsert(s, wh, "nation", updates, Seq("n_nationkey"))
+      Snapshots.read(s, wh, "nation")
+    }),
+    // Version-pinned time travel: after a second commit and a delete, asOf
+    // the first version must still read exactly the original first half.
+    "fmt_timetravel" -> ((s, d) => {
+      val wh = freshWh()
+      val n = nation(s, d)
+      publish(s, wh, "nation", n.filter(col("n_nationkey") < 12)) // v0
+      publish(s, wh, "nation", n.filter(col("n_nationkey") >= 12)) // v1
+      Merge.deleteKeys(s, wh, "nation",
+        n.filter(col("n_nationkey") < 3).select("n_nationkey"),
+        Seq("n_nationkey")) // v2
+      Snapshots.read(s, wh, "nation", asOf = Some(0L))
+    }),
+    // Row-level change feed across an upsert: inserts from both appends,
+    // pre/post images for the updated key, tagged with change type (the
+    // commit-version column is warehouse-relative, so the oracle-checked
+    // surface is the change rows themselves).
+    "fmt_changes" -> ((s, d) => {
+      val wh = freshWh()
+      val n = nation(s, d)
+      publish(s, wh, "nation", n)
+      val upd = n.filter(col("n_nationkey") === 7)
+        .withColumn("n_name", concat(col("n_name"), lit("_Y")))
+      Merge.upsert(s, wh, "nation", upd, Seq("n_nationkey"))
+      Snapshots.changes(s, wh, "nation", fromExclusive = -1L)
+        .select("n_nationkey", "n_name", "n_regionkey", "_change_type")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "fmt_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
+    "fmt_merge" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_nationkey < 5 THEN n_name || '_X' ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |UNION ALL SELECT 990, 'NEWLAND', 0""".stripMargin,
+    "fmt_timetravel" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |WHERE n_nationkey < 12""".stripMargin,
+    "fmt_changes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey, _change_type
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'update_preimage' FROM nation WHERE n_nationkey = 7
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name || '_Y', n_regionkey, 'update_postimage' FROM nation WHERE n_nationkey = 7
+        |)""".stripMargin)
+}
