@@ -157,6 +157,19 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapshotVersionOffset].version
     val e = end.asInstanceOf[SnapshotVersionOffset].version
+    // An offset below the vacuumed log's earliest retained version cannot
+    // be served faithfully: a restart would silently skip the truncated
+    // versions' rows, and a fresh full-history stream would miss appends
+    // already folded into compacted files. Fail loudly (the same stance as
+    // batch changes()); the consumer pattern for a vacuumed table is one
+    // batch Snapshots.read of the current snapshot + a stream from
+    // startingVersion = that snapshot's version.
+    val earliest = Snapshots.entries(fs, warehouse)
+      .filterNot(_.isCheckpoint).headOption.map(_.version)
+    earliest.filter(_ > 0).foreach(first => require(s >= 0 && s + 1 >= first,
+      s"stream offset $s predates the vacuumed snapshot log (earliest " +
+        s"retained version: $first) — the truncated range is unrecoverable; " +
+        "batch-read the current snapshot and stream from its version"))
     Snapshots.addsInRange(fs, warehouse, table, s, e).flatMap {
       case (v, op, acts) =>
         val adds = acts.filter(_.add)

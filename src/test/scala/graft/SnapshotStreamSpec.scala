@@ -151,6 +151,29 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == streamed.size)
   }
 
+  test("offsets below the vacuumed log fail fast instead of under-serving") {
+    val w = wh("whVac")
+    (0 until 4).foreach(i =>
+      publishKv(w, Seq(i.toLong -> s"v$i")))                 // v0..v3
+    Compaction.compact(spark, w, "t")                        // v4
+    Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 0L) // truncates < 4
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(w, wh("whVacOut"), wh("whVacCkpt")) // fresh stream, full history
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("vacuumed")))
+    // From the current snapshot's version forward, streaming resumes fine.
+    val latest = Snapshots.latestVersion(fs, w).get
+    publishKv(w, Seq(100L -> "new"))
+    drain(w, wh("whVacOut2"), wh("whVacCkpt2"),
+      Map("startingVersion" -> latest.toString))
+    val s0 = spark
+    import s0.implicits._
+    assert(spark.read.parquet(wh("whVacOut2")).select("id").as[Long]
+      .collect().sameElements(Array(100L)))
+  }
+
   test("projection prunes to the requested columns") {
     val w = wh("whProj")
     publishKv(w, Seq(1L -> "a", 2L -> "b"))
