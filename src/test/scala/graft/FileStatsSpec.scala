@@ -11,7 +11,7 @@ import graft.ingest.{FileStats, Merge, Snapshots, TxnCommit}
   * `stats` analog): collected once at publish, used for log-side file
   * skipping by `Snapshots.read(dataFilter=…)` and by Merge's affected-file
   * discovery — no footer reads or full-table scans at plan time. */
-class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
 
   private var spark: SparkSession = _
   private lazy val dir = Files.createTempDirectory("graft-filestats")
@@ -67,6 +67,49 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       FileStats.gtEq("id", 21L).or(FileStats.ltEq("id", 12L))))
     assert(!FileStats.mayMatch(st,
       FileStats.gtEq("id", 15L).and(FileStats.gtEq("id", 21L))))
+  }
+
+  test("property: mayMatch never excludes a file containing a satisfying row") {
+    import org.scalacheck.Gen
+    // Random long-valued files and random predicate trees over one column;
+    // the invariant is one-sided soundness: a row satisfying the predicate
+    // ⇒ its file's [min,max] stats must survive mayMatch. (The reverse —
+    // pruning everything prunable — is an optimization, not a contract.)
+    sealed trait P
+    case class Leaf(op: Int, v: Long) extends P
+    case class Node(isAnd: Boolean, l: P, r: P) extends P
+    val leaf = for (op <- Gen.choose(0, 4); v <- Gen.choose(-20L, 20L)) yield Leaf(op, v)
+    def tree(depth: Int): Gen[P] =
+      if (depth == 0) leaf
+      else Gen.frequency(2 -> leaf, 3 -> (for {
+        a <- Gen.oneOf(true, false); l <- tree(depth - 1); r <- tree(depth - 1)
+      } yield Node(a, l, r)))
+    def toPred(p: P): FileStats.Pred = p match {
+      case Leaf(0, v) => FileStats.eq("c", v)
+      case Leaf(1, v) => FileStats.ltEq("c", v)
+      case Leaf(2, v) => FileStats.gtEq("c", v)
+      case Leaf(3, v) => FileStats.lt("c", v)
+      case Leaf(_, v) => FileStats.gt("c", v)
+      case Node(true, l, r) => toPred(l).and(toPred(r))
+      case Node(false, l, r) => toPred(l).or(toPred(r))
+    }
+    def sat(p: P, x: Long): Boolean = p match {
+      case Leaf(0, v) => x == v
+      case Leaf(1, v) => x <= v
+      case Leaf(2, v) => x >= v
+      case Leaf(3, v) => x < v
+      case Leaf(_, v) => x > v
+      case Node(true, l, r) => sat(l, x) && sat(r, x)
+      case Node(false, l, r) => sat(l, x) || sat(r, x)
+    }
+    val rows = Gen.nonEmptyListOf(Gen.choose(-20L, 20L))
+    forAll(Gen.zip(rows, tree(3)), trials = 300) { case (rs, p) =>
+      val stats = Some(FileStats.Stats(rs.size.toLong, Map(
+        "c" -> FileStats.ColStats("long", rs.min.toString, rs.max.toString))))
+      if (rs.exists(sat(p, _)))
+        assert(FileStats.mayMatch(stats, toPred(p)),
+          s"pruned a file with a satisfying row: rows=$rs pred=$p")
+    }
   }
 
   test("publish records per-file min/max in the log; read(dataFilter) plans only overlapping files") {
