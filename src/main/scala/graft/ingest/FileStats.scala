@@ -31,19 +31,28 @@ object FileStats {
   /** One column's [min,max] over a file. `typ` ∈ long | double | string. */
   case class ColStats(typ: String, min: String, max: String)
 
-  case class Stats(rows: Long, cols: Map[String, ColStats])
+  /** `schema`: every top-level column's physical type tag (parquet
+    * primitive + logical annotation, e.g. `INT64/TIMESTAMP(MICROS,true)`),
+    * in file order — including columns with no usable [min,max]. Empty for
+    * pre-schema tokens. Enforcement compares tags for shared names. */
+  case class Stats(rows: Long, cols: Map[String, ColStats],
+                   schema: Seq[(String, String)] = Nil)
 
   // ---------------------------------------------------------------- encode
 
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
 
-  /** Single-line, tab-free token: `rows=N|name,typ,min,max|...` with
-    * URL-encoded name/min/max so arbitrary string values survive. */
+  /** Single-line, tab-free token: `rows=N|s:name,tag|…|name,typ,min,max|…`
+    * with URL-encoded names/tags/values so arbitrary strings survive.
+    * `s:` parts carry the file's full top-level schema; the rest are
+    * per-column [min,max]. */
   def encode(s: Stats): String =
-    (s"rows=${s.rows}" +: s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
-      s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
-    }).mkString("|")
+    (s"rows=${s.rows}" +:
+      (s.schema.map { case (n, t) => s"s:${enc(n)},${enc(t)}" } ++
+        s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+          s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
+        })).mkString("|")
 
   /** None for a missing/unparseable token (pre-stats log entries). */
   def decode(token: String): Option[Stats] =
@@ -51,11 +60,16 @@ object FileStats {
     else try {
       val parts = token.split("\\|").toSeq
       val rows = parts.head.stripPrefix("rows=").toLong
-      val cols = parts.tail.map { p =>
+      val (schemaParts, statParts) = parts.tail.partition(_.startsWith("s:"))
+      val schema = schemaParts.map { p =>
+        val Array(n, t) = p.stripPrefix("s:").split(",", 2)
+        dec(n) -> dec(t)
+      }
+      val cols = statParts.map { p =>
         val Array(n, t, mn, mx) = p.split(",", 4)
         dec(n) -> ColStats(t, dec(mn), dec(mx))
       }.toMap
-      Some(Stats(rows, cols))
+      Some(Stats(rows, cols, schema))
     } catch { case _: RuntimeException => None }
 
   // --------------------------------------------------------------- collect
@@ -70,6 +84,20 @@ object FileStats {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val md = reader.getFooter
+        // Full top-level schema (file order): the log-side source of truth
+        // for schema enforcement and footer-free schema reads. Nested
+        // columns get a structural tag from their parquet repr.
+        val schemaTags: Seq[(String, String)] =
+          md.getFileMetaData.getSchema.getFields.toArray.toSeq
+            .map(_.asInstanceOf[org.apache.parquet.schema.Type]).map { f =>
+              val tag =
+                if (f.isPrimitive) {
+                  val p = f.asPrimitiveType()
+                  p.getPrimitiveTypeName.toString +
+                    Option(p.getLogicalTypeAnnotation).map("/" + _.toString).getOrElse("")
+                } else f.toString.replaceAll("\\s+", " ") // nested: structural
+              f.getName -> tag
+            }
         var rows = 0L
         // (typ, min, max) per column; None marks a column seen without
         // usable stats in some block — then skipping on it would be unsound.
@@ -99,7 +127,7 @@ object FileStats {
         }
         encode(Stats(rows, acc.collect {
           case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
-        }.toMap))
+        }.toMap, schemaTags))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 

@@ -89,15 +89,60 @@ object TxnCommit {
   private def isChangeDest(p: String): Boolean =
     new Path(p).getParent.getParent.getName == "_changes"
 
+  /** Schema enforcement at the commit point (the Delta stance): every
+    * staged file's top-level columns must type-match the table's current
+    * committed schema on shared names — new columns are additive evolution
+    * (allowed; `read(mergeSchema=true)` surfaces them), but silently
+    * changing a column's type would poison every future read. Throws
+    * before anything becomes visible; staging is reclaimed by recovery's
+    * TTL sweep.
+    *
+    * Known TOCTOU window: two concurrent FIRST appends to a brand-new
+    * table with conflicting schemas both see an empty current schema and
+    * both pass — the same window Delta closes by revalidating inside its
+    * OCC retry loop. Rewrites (merge/compact) are already serialized by
+    * `baseVersion`; plain appends to an established table validate against
+    * a schema that only ever grows, so the race is confined to the
+    * table-creation instant. */
+  private def validateSchemas(fs: FileSystem, warehouse: String,
+                              statsFor: Map[String, String]): Unit =
+    statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
+      case (table, destStats) =>
+        val current: Map[String, String] =
+          Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
+            .flatMap(a => FileStats.decode(a.stats).map(_.schema).getOrElse(Nil))
+            .toMap
+        if (current.nonEmpty)
+          destStats.values.flatMap(FileStats.decode).foreach { st =>
+            st.schema.foreach { case (n, tag) =>
+              current.get(n).foreach(cur => require(cur == tag,
+                s"schema enforcement: column '$n' of table '$table' is " +
+                  s"committed as $cur but this commit writes $tag — " +
+                  "additive columns evolve, type changes are rejected"))
+            }
+          }
+    }
+
   /** COMMIT point: persist the manifest (tmp + atomic rename). Two flavours
     * of swap-out are recorded for recovery: `DEL\t<path>` (logically removed
     * AND physically deleted at publish) and `RM\t<path>` (logically removed
     * from the snapshot only — the file stays on disk so older snapshot
-    * versions keep reading until [[Snapshots.vacuum]] reaps it). */
+    * versions keep reading until [[Snapshots.vacuum]] reaps it).
+    *
+    * Stats (and schema tags) are collected HERE, over the staged files —
+    * one footer read per file, before anything is visible — validated for
+    * schema compatibility, and recorded as the move lines' third field, so
+    * publish (live or crash-recovery replay) writes them to the log without
+    * re-opening any footer. */
   def commit(fs: FileSystem, warehouse: String, commitId: String,
              moves: Seq[Move], deletes: Seq[String] = Nil,
              retained: Seq[String] = Nil, op: String = "append",
              baseVersion: Option[Long] = None): Unit = {
+    val statsFor: Map[String, String] = moves
+      .filterNot(m => isChangeDest(m.dest))
+      .map(m => m.dest -> FileStats.collect(fs.getConf, new Path(m.src)))
+      .filter(_._2.nonEmpty).toMap
+    validateSchemas(fs, warehouse, statsFor)
     fs.mkdirs(commitsDir(warehouse))
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
     // The op tag and OCC base version ride the manifest so a crash-recovery
@@ -109,7 +154,9 @@ object TxnCommit {
     // manifest on stores whose rename is copy+delete.
     Snapshots.putIfAbsent(fs, fin,
       (Seq(s"#OP\t$op") ++ baseVersion.map(v => s"#BASE\t$v") ++
-        (moves.map(m => s"${m.src}\t${m.dest}") ++ deletes.map(d => s"DEL\t$d") ++
+        (moves.map(m =>
+          s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
+          deletes.map(d => s"DEL\t$d") ++
           retained.map(r => s"RM\t$r")))
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
@@ -141,11 +188,15 @@ object TxnCommit {
       applied += 1
     }
     val (cdfMoves, dataMoves) = moves.partition(m => isChangeDest(m.dest))
-    // One footer open per newly-published file (driver-side, O(files per
-    // commit)): the [min,max] ride the ADD line so readers and merges can
-    // skip files from the log alone — no footer reads at plan time.
-    val statsFor = dataMoves.map(m =>
-      m.dest -> FileStats.collect(fs.getConf, new Path(m.dest))).toMap
+    // Stats were collected (and schema-validated) at the commit point and
+    // ride the manifest; a manifest from before stats existed falls back
+    // to one footer read per published file. Either way the [min,max] land
+    // on the ADD lines so readers and merges skip files from the log alone.
+    val mf0 = new Path(commitsDir(warehouse), s"$commitId.manifest")
+    val fromManifest: Map[String, String] =
+      if (fs.exists(mf0)) readManifest(fs, mf0).statsFor else Map.empty
+    val statsFor = dataMoves.map(m => m.dest -> fromManifest.getOrElse(m.dest,
+      FileStats.collect(fs.getConf, new Path(m.dest)))).toMap
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d => tableOf(d) -> d),
@@ -179,8 +230,12 @@ object TxnCommit {
     fs.delete(new Path(commitsDir(warehouse), s"$commitId.aborted"), false)
   }
 
-  private def readManifest(fs: FileSystem, p: Path)
-      : (Seq[Move], Seq[String], Seq[String], String, Option[Long]) = {
+  private case class Manifest(moves: Seq[Move], deletes: Seq[String],
+                              retained: Seq[String], op: String,
+                              baseVersion: Option[Long],
+                              statsFor: Map[String, String])
+
+  private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
     val bytes =
       try {
@@ -191,13 +246,16 @@ object TxnCommit {
         buf.toByteArray
       } finally in.close()
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-      .filter(_.nonEmpty).map(_.split("\t", 2))
-    (lines.filterNot(l => Set("DEL", "RM", "#OP", "#BASE")(l.head))
-       .map { case Array(src, dest) => Move(src, dest) },
-     lines.filter(_.head == "DEL").map(_.apply(1)),
-     lines.filter(_.head == "RM").map(_.apply(1)),
-     lines.find(_.head == "#OP").map(_.apply(1)).getOrElse("append"),
-     lines.find(_.head == "#BASE").map(_.apply(1).toLong))
+      .filter(_.nonEmpty).map(_.split("\t", 3))
+    val moveLines = lines.filterNot(l => Set("DEL", "RM", "#OP", "#BASE")(l.head))
+    Manifest(
+      moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
+      lines.filter(_.head == "DEL").map(_.apply(1)),
+      lines.filter(_.head == "RM").map(_.apply(1)),
+      lines.find(_.head == "#OP").map(_.apply(1)).getOrElse("append"),
+      lines.find(_.head == "#BASE").map(_.apply(1).toLong),
+      moveLines.collect { case Array(_, dest, stats) if stats.nonEmpty =>
+        dest -> stats }.toMap)
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.
@@ -226,17 +284,17 @@ object TxnCommit {
         .filter(_.getName.endsWith(".aborted"))
         .foreach { ab =>
           val commitId = ab.getName.stripSuffix(".aborted")
-          val (moves, _, _, _, _) = readManifest(fs, ab)
-          rollback(fs, warehouse, commitId, moves)
+          rollback(fs, warehouse, commitId, readManifest(fs, ab).moves)
         }
       fs.listStatus(cd).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".manifest"))
         .foreach { mf =>
           val commitId = mf.getName.stripSuffix(".manifest")
-          val (moves, deletes, retained, op, base) = readManifest(fs, mf)
+          val m = readManifest(fs, mf)
           // A replayed rewrite can lose its OCC race exactly like a live
           // one; publish has already rolled it back — recovery moves on.
-          try publish(fs, warehouse, commitId, moves, deletes, retained, op, base)
+          try publish(fs, warehouse, commitId, m.moves, m.deletes,
+            m.retained, m.op, m.baseVersion)
           catch { case _: Snapshots.ConcurrentCommitException => () }
         }
       // stray .tmp manifests never reached the commit point: drop them

@@ -425,6 +425,34 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter($"val".isNull).count() == 3) // old files: new col is null
   }
 
+  test("schema enforcement: a type change is rejected at the commit point") {
+    val w = wh("whEnforce")
+    val s0 = spark
+    import s0.implicits._
+    publishBatch(w, "t", 1 to 3) // id: INT64
+    // Same column name, different physical type (BINARY/STRING): the
+    // commit must throw BEFORE the commit point — no manifest, no moves,
+    // table untouched.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq("x", "y").toDF("id").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    val err = intercept[IllegalArgumentException] {
+      TxnCommit.commit(fs, w, cid, moves)
+    }
+    assert(err.getMessage.contains("schema enforcement"))
+    assert(!fs.exists(new Path(s"$w/_commits/$cid.manifest")))
+    assert(Snapshots.read(spark, w, "t").count() == 3)
+    // Additive evolution still commits (new column, existing types equal).
+    val cid2 = java.util.UUID.randomUUID().toString
+    Seq((10L, 1.5)).toDF("id", "score").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid2)}/t")
+    val moves2 = TxnCommit.movesFor(fs, w, cid2, "t")
+    TxnCommit.commit(fs, w, cid2, moves2)
+    TxnCommit.publish(fs, w, cid2, moves2)
+    assert(Snapshots.read(spark, w, "t", mergeSchema = true).count() == 4)
+  }
+
   test("vacuum retention window shields versions still pinnable by in-flight readers") {
     val w = wh("whRet")
     (0 until 6).foreach(i => publishBatch(w, "t", i to i)) // versions 0..5
