@@ -34,9 +34,13 @@ object FileStats {
   /** `schema`: every top-level column's physical type tag (parquet
     * primitive + logical annotation, e.g. `INT64/TIMESTAMP(MICROS,true)`),
     * in file order — including columns with no usable [min,max]. Empty for
-    * pre-schema tokens. Enforcement compares tags for shared names. */
+    * pre-schema tokens. Enforcement compares tags for shared names.
+    * `nulls`: per-column null counts (absent = unknown) — they answer
+    * IS [NOT] NULL skipping and let comparisons prune all-null files,
+    * which min/max alone cannot see. */
   case class Stats(rows: Long, cols: Map[String, ColStats],
-                   schema: Seq[(String, String)] = Nil)
+                   schema: Seq[(String, String)] = Nil,
+                   nulls: Map[String, Long] = Map.empty)
 
   // ---------------------------------------------------------------- encode
 
@@ -50,6 +54,7 @@ object FileStats {
   def encode(s: Stats): String =
     (s"rows=${s.rows}" +:
       (s.schema.map { case (n, t) => s"s:${enc(n)},${enc(t)}" } ++
+        s.nulls.toSeq.sortBy(_._1).map { case (n, c) => s"n:${enc(n)},$c" } ++
         s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
           s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
         })).mkString("|")
@@ -60,16 +65,20 @@ object FileStats {
     else try {
       val parts = token.split("\\|").toSeq
       val rows = parts.head.stripPrefix("rows=").toLong
-      val (schemaParts, statParts) = parts.tail.partition(_.startsWith("s:"))
-      val schema = schemaParts.map { p =>
+      val schema = parts.tail.filter(_.startsWith("s:")).map { p =>
         val Array(n, t) = p.stripPrefix("s:").split(",", 2)
         dec(n) -> dec(t)
       }
-      val cols = statParts.map { p =>
-        val Array(n, t, mn, mx) = p.split(",", 4)
-        dec(n) -> ColStats(t, dec(mn), dec(mx))
+      val nulls = parts.tail.filter(_.startsWith("n:")).map { p =>
+        val Array(n, c) = p.stripPrefix("n:").split(",", 2)
+        dec(n) -> c.toLong
       }.toMap
-      Some(Stats(rows, cols, schema))
+      val cols = parts.tail.filterNot(p => p.startsWith("s:") || p.startsWith("n:"))
+        .map { p =>
+          val Array(n, t, mn, mx) = p.split(",", 4)
+          dec(n) -> ColStats(t, dec(mn), dec(mx))
+        }.toMap
+      Some(Stats(rows, cols, schema, nulls))
     } catch { case _: RuntimeException => None }
 
   // --------------------------------------------------------------- collect
@@ -103,12 +112,20 @@ object FileStats {
         // usable stats in some block — then skipping on it would be unsound.
         val acc = scala.collection.mutable.LinkedHashMap
           .empty[String, Option[(String, String, String)]]
+        // Null counts: Some(total) while every block reports one; None
+        // (unknown) the moment any block doesn't.
+        val nullAcc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Option[Long]]
         md.getBlocks.forEach { b =>
           rows += b.getRowCount
           b.getColumns.forEach { c =>
             if (c.getPath.size == 1) {
               val name = c.getPath.toDotString
               val st = c.getStatistics
+              val blockNulls: Option[Long] =
+                if (st == null || !st.isNumNullsSet) None else Some(st.getNumNulls)
+              nullAcc(name) = nullAcc.getOrElse(name, Some(0L))
+                .flatMap(t => blockNulls.map(t + _))
               val triple: Option[(String, String, String)] =
                 if (st == null || st.isEmpty || !st.hasNonNullValue) None
                 else typedMinMax(c.getPrimitiveType.getPrimitiveTypeName,
@@ -127,7 +144,8 @@ object FileStats {
         }
         encode(Stats(rows, acc.collect {
           case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
-        }.toMap, schemaTags))
+        }.toMap, schemaTags,
+          nullAcc.collect { case (n, Some(c)) => n -> c }.toMap))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 
@@ -175,6 +193,8 @@ object FileStats {
   private case class LtEq(col: String, v: Any) extends Pred
   private case class Gt(col: String, v: Any) extends Pred
   private case class Lt(col: String, v: Any) extends Pred
+  private case class Null(col: String) extends Pred
+  private case class NotNull(col: String) extends Pred
   private case class And(l: Pred, r: Pred) extends Pred
   private case class Or(l: Pred, r: Pred) extends Pred
 
@@ -182,6 +202,8 @@ object FileStats {
   def ltEq(col: String, v: Any): Pred = LtEq(col, v)
   def gt(col: String, v: Any): Pred = Gt(col, v)
   def lt(col: String, v: Any): Pred = Lt(col, v)
+  def isNull(col: String): Pred = Null(col)
+  def isNotNull(col: String): Pred = NotNull(col)
   def eq(col: String, v: Any): Pred = And(GtEq(col, v), LtEq(col, v))
   def between(col: String, lo: Any, hi: Any): Pred =
     And(GtEq(col, lo), LtEq(col, hi))
@@ -213,10 +235,15 @@ object FileStats {
   def mayMatch(stats: Option[Stats], pred: Pred): Boolean = stats match {
     case None => true
     case Some(s) =>
+      // An all-null column satisfies no comparison (NULL op v is never
+      // true) — prunable even without [min,max].
+      def allNull(c: String): Boolean =
+        s.rows >= 0 && s.nulls.get(c).contains(s.rows)
       // Evaluate one comparison leaf against the column's closed [min,max];
       // any uncertainty (unknown column, uncomparable value) keeps the file.
       def leaf(c: String, v: Any)(decide: (String, Any, ColStats) => Boolean): Boolean =
-        s.cols.get(c) match {
+        if (allNull(c)) false
+        else s.cols.get(c) match {
           case Some(cs) => norm(cs.typ, v) match {
             case Some(nv) => decide(cs.typ, nv, cs)
             case None => true
@@ -231,6 +258,9 @@ object FileStats {
         case LtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, parse(t, cs.min), nv))
         case Gt(c, v) => leaf(c, v)((t, nv, cs) => ltStrict(t, nv, parse(t, cs.max)))
         case Lt(c, v) => leaf(c, v)((t, nv, cs) => ltStrict(t, parse(t, cs.min), nv))
+        // some row IS NULL iff nullCount > 0; IS NOT NULL iff count < rows
+        case Null(c) => s.nulls.get(c).forall(_ > 0)
+        case NotNull(c) => !allNull(c)
       }
       eval(pred)
   }
@@ -294,6 +324,10 @@ object FileStats {
         if (vs.exists(_.isEmpty)) None
         else nameOf(l).map(n =>
           vs.flatten.map(v => eq(n, v)).reduce((a, b) => a.or(b)))
+      // The analyzer inserts IsNotNull guards into most filters — with
+      // null counts in the log these prune all-null files for free.
+      case IsNull(l) => nameOf(l).map(isNull)
+      case IsNotNull(l) => nameOf(l).map(isNotNull)
       case _ => None
     }
     walk(e)

@@ -45,7 +45,9 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
   test("stats token roundtrips and mayMatch is sound on the edges") {
     val s = FileStats.Stats(42L, Map(
       "id" -> FileStats.ColStats("long", "10", "20"),
-      "txt" -> FileStats.ColStats("string", "a|b,c\td", "zz")))
+      "txt" -> FileStats.ColStats("string", "a|b,c\td", "zz")),
+      schema = Seq("id" -> "INT64", "txt" -> "BINARY/STRING"),
+      nulls = Map("id" -> 0L, "txt" -> 7L))
     assert(FileStats.decode(FileStats.encode(s)).contains(s))
     assert(FileStats.decode("").isEmpty && FileStats.decode("junk").isEmpty)
     val st = Some(s)
@@ -110,6 +112,43 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
         assert(FileStats.mayMatch(stats, toPred(p)),
           s"pruned a file with a satisfying row: rows=$rs pred=$p")
     }
+  }
+
+  test("null counts: IS [NOT] NULL skipping and all-null comparison pruning") {
+    // Unit semantics first.
+    val mixed = Some(FileStats.Stats(10L,
+      Map("v" -> FileStats.ColStats("long", "1", "5")),
+      nulls = Map("v" -> 3L, "w" -> 10L, "z" -> 0L)))
+    assert(FileStats.mayMatch(mixed, FileStats.isNull("v")))     // 3 nulls
+    assert(!FileStats.mayMatch(mixed, FileStats.isNull("z")))    // 0 nulls
+    assert(FileStats.mayMatch(mixed, FileStats.isNull("nope")))  // unknown
+    assert(FileStats.mayMatch(mixed, FileStats.isNotNull("v")))
+    assert(!FileStats.mayMatch(mixed, FileStats.isNotNull("w"))) // all null
+    // comparisons on an all-null column can never match, min/max or not
+    assert(!FileStats.mayMatch(mixed, FileStats.eq("w", 1L)))
+
+    // End to end: one file with val entirely null, one fully populated.
+    val w = wh("whNulls")
+    val s0 = spark
+    import s0.implicits._
+    def pub(rows: Seq[(Long, Option[String])]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "val").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    pub((0 until 5).map(i => i.toLong -> None))               // all-null val
+    pub((5 until 10).map(i => i.toLong -> Some(s"v$i")))      // no nulls
+    import org.apache.spark.sql.functions.col
+    val notNull = Snapshots.readWhere(spark, w, "t", col("val").isNotNull)
+    assert(notNull.inputFiles.length == 1 && notNull.count() == 5)
+    val isNull = Snapshots.readWhere(spark, w, "t", col("val").isNull)
+    assert(isNull.inputFiles.length == 1 && isNull.count() == 5)
+    // Equality prunes the all-null file though it has no [min,max] for val.
+    val eqq = Snapshots.readWhere(spark, w, "t", col("val") === "v7")
+    assert(eqq.inputFiles.length == 1 && eqq.count() == 1)
   }
 
   test("publish records per-file min/max in the log; read(dataFilter) plans only overlapping files") {
