@@ -404,15 +404,19 @@ object Snapshots {
       if (!all.exists(e => e.isCheckpoint && e.version == cutoff))
         writeCheckpoint(fs, warehouse, cutoff,
           "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
-      // A file REMOVEd at version Vr is referenced only by versions < Vr,
-      // so it becomes unreachable as soon as the cutoff reaches Vr:
-      // physically delete REMOVEs from every entry with version ≤ cutoff
-      // (not just the truncated ones — the entry AT the cutoff survives but
-      // its removals are already invisible to every readable version). The
-      // anchor-state check guards the (name-unique, so normally impossible)
-      // re-add case.
+      // A file REMOVEd at version Vr normally becomes unreachable once the
+      // cutoff reaches Vr: physically delete REMOVEs from every entry with
+      // version ≤ cutoff (not just the truncated ones — the entry AT the
+      // cutoff survives but its removals are already invisible to every
+      // readable version). Two guards keep this sound: the anchor state at
+      // the cutoff, AND any re-ADD by a RETAINED entry above the cutoff —
+      // [[restore]] re-ADDs files an older entry removed, so "removed
+      // below the cutoff" no longer implies "unreachable".
       val anchorState = stateAt(fs, warehouse, Some(cutoff))
         .map(_.values.flatMap(_.keys).toSet).getOrElse(Set.empty)
+      val futureAdds = all.filter(e => !e.isCheckpoint && e.version > cutoff)
+        .flatMap(e => readActions(fs, e.path))
+        .collect { case a if a.add => a.file }.toSet
       all.filter(e => !e.isCheckpoint && e.version <= cutoff).foreach { v =>
         readActions(fs, v.path).foreach { a =>
           // Change files are reachable only through their own entry: reap
@@ -420,7 +424,7 @@ object Snapshots {
           // survives, so its CDF files stay serveable by changes()).
           if (a.cdf) {
             if (v.version < cutoff) fs.delete(new Path(a.file), false)
-          } else if (!a.add && !anchorState(a.file))
+          } else if (!a.add && !anchorState(a.file) && !futureAdds(a.file))
             fs.delete(new Path(a.file), false)
         }
       }
@@ -550,6 +554,43 @@ object Snapshots {
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0)
     else perVersion.reduce(_.unionByName(_))
+  }
+
+  /** Roll `table` back to `version` as a NEW commit (Delta's RESTORE): the
+    * target version's file set is re-ADDed and files it doesn't contain
+    * are logically removed — history is never rewritten, so the bad
+    * versions stay inspectable and time-travel-able until vacuum. Requires
+    * the target's files to still exist (not vacuumed). OCC-guarded like
+    * any rewrite: a concurrent commit to the table aborts the restore.
+    *
+    * Change-feed stance: the re-ADDed files are served as `insert` rows by
+    * `changes()`/the streaming source — to a downstream consumer the
+    * restored rows genuinely reappear. Returns (filesReAdded,
+    * filesRemoved); (0, 0) when the table already equals the target. */
+  def restore(spark: SparkSession, warehouse: String, table: String,
+              version: Long): (Int, Int) = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = latestVersion(fs, warehouse)
+    val target = fileMeta(fs, warehouse, table, Some(version)).getOrElse(
+      throw new IllegalStateException(s"no snapshot log under $warehouse"))
+    require(target.nonEmpty,
+      s"table '$table' has no files at version $version — nothing to restore to")
+    val current = fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
+    val currentSet = current.map(_.file).toSet
+    val targetSet = target.map(_.file).toSet
+    val adds = target.filterNot(a => currentSet(a.file))
+    val removes = current.filterNot(a => targetSet(a.file))
+    adds.foreach(a => require(fs.exists(new Path(a.file)),
+      s"restore target file ${a.file} was vacuumed — version $version is gone"))
+    if (adds.nonEmpty || removes.nonEmpty)
+      append(fs, warehouse,
+        "restore" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        adds = adds.map(a => a.table -> a.file),
+        removes = removes.map(a => a.table -> a.file),
+        op = "restore", baseVersion = base,
+        statsFor = adds.map(a => a.file -> a.stats).toMap)
+    (adds.size, removes.size)
   }
 
   /** Per-version (version, op, ADD + CDF actions for `table`) over the

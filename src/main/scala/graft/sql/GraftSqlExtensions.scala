@@ -24,6 +24,9 @@ import graft.ingest.{Compaction, Snapshots}
   * SNAPSHOT HISTORY                       -- commit log, newest first
   * SNAPSHOT CHANGES OF t FROM 2           -- row-level change feed (CDF)
   * SNAPSHOT CHANGES OF t FROM 2 TO 5      -- bounded version range
+  * RESTORE t TO VERSION AS OF 3           -- roll back as a new commit
+  * DELETE FROM t WHERE v > 10             -- predicate copy-on-write delete
+  * UPDATE t SET v = v + 1 WHERE id = 7    -- predicate copy-on-write update
   * OPTIMIZE t                             -- bin-pack compaction
   * OPTIMIZE t WHERE dt='2024-01-01'       -- partition-scoped maintenance
   * OPTIMIZE t ZORDER BY (a, b)            -- multi-dim clustering rewrite
@@ -51,6 +54,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?".r
   // Conjunctive partition-equality predicates only: k='v' [AND k2='v2' …]
   private val PartEqRe = raw"(?i)\s*([\w]+)\s*=\s*'([^']*)'\s*".r
+  private val RestoreRe =
+    raw"(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*".r
+  private val DeleteRe =
+    raw"(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*".r
+  private val UpdateRe =
+    raw"(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*".r
+  // Split SET assignments on commas outside single-quoted strings.
+  private val AssignSplitRe = ",(?=(?:[^']*'[^']*')*[^']*$)"
+
+  /** DELETE/UPDATE are real Spark grammar too — only intercept statements
+    * whose target is a committed table of the configured graft warehouse;
+    * everything else falls through to the delegate untouched. */
+  private def isGraftTable(table: String): Boolean =
+    session.conf.getOption("spark.graft.warehouse").exists { wh =>
+      try Snapshots.fileMeta(
+        new Path(wh).getFileSystem(session.sparkContext.hadoopConfiguration),
+        wh, table).exists(_.nonEmpty)
+      catch { case _: IllegalArgumentException => false }
+    }
   private val VacuumRe =
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
 
@@ -89,6 +111,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }.getOrElse(Nil)
       GraftOptimizeCommand(warehouse, table,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), partEq)
+    case RestoreRe(table, version) =>
+      GraftRestoreCommand(warehouse, table, version.toLong)
+    case DeleteRe(table, where) if isGraftTable(table) =>
+      GraftDmlCommand(warehouse, table, where, Nil)
+    case UpdateRe(table, sets, where) if isGraftTable(table) =>
+      val assigns = sets.split(AssignSplitRe).toSeq.map { a =>
+        val Array(c, e) = a.split("=", 2)
+        c.trim -> e.trim
+      }
+      GraftDmlCommand(warehouse, table, where, assigns)
     case VacuumRe(retain, maxAgeHours) =>
       GraftVacuumCommand(warehouse,
         Option(retain).map(_.toInt).getOrElse(32),
@@ -139,6 +171,40 @@ case class GraftOptimizeCommand(warehouse: String, table: String,
         minInputFiles = if (zorderBy.nonEmpty) 1 else 2, partitionFilter = pf)
     Seq(res.map(r => Row(r.filesBefore, r.filesAfter, r.bytes))
       .getOrElse(Row(0, 0, 0L)))
+  }
+}
+
+/** `RESTORE t TO VERSION AS OF n` → [[Snapshots.restore]] (a new commit;
+  * history stays intact and time-travel-able until vacuum). */
+case class GraftRestoreCommand(warehouse: String, table: String,
+                               version: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_readded", IntegerType)(),
+    AttributeReference("files_removed", IntegerType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (a, r) = Snapshots.restore(session, warehouse, table, version)
+    Seq(Row(a, r))
+  }
+}
+
+/** `DELETE FROM t WHERE …` / `UPDATE t SET … WHERE …` →
+  * [[graft.ingest.Merge.deleteWhere]] / updateWhere (copy-on-write, CDF
+  * recorded, stats-pruned candidates). Assignments/conditions are Spark
+  * SQL expressions evaluated over the row's current columns. */
+case class GraftDmlCommand(warehouse: String, table: String, where: String,
+                           assignments: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", IntegerType)(),
+    AttributeReference("rows_matched", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    val res =
+      if (assignments.isEmpty)
+        graft.ingest.Merge.deleteWhere(session, warehouse, table, expr(where))
+      else graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where),
+        assignments.map { case (c, e) => c -> expr(e) }.toMap)
+    Seq(Row(res.filesRewritten, res.rowsMatched))
   }
 }
 

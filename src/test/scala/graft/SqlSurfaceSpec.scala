@@ -119,6 +119,47 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "t").count() == 30) // latest still reads
   }
 
+  test("RESTORE TO VERSION AS OF rolls the table back via SQL") {
+    val s0 = spark
+    import s0.implicits._
+    def pub(ids: Range): Long = {
+      val cid = java.util.UUID.randomUUID().toString
+      ids.map(_.toLong).toDF("id").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/r")
+      val moves = TxnCommit.movesFor(fs, wh, cid, "r")
+      TxnCommit.commit(fs, wh, cid, moves)
+      TxnCommit.publish(fs, wh, cid, moves)
+      Snapshots.latestVersion(fs, wh).get
+    }
+    val vA = pub(0 until 10)
+    pub(10 until 20)
+    assert(Snapshots.read(spark, wh, "r").count() == 20)
+    val row = spark.sql(s"RESTORE r TO VERSION AS OF $vA").collect().head
+    assert(row.getInt(0) == 0 && row.getInt(1) == 1) // second file swapped out
+    assert(Snapshots.read(spark, wh, "r").count() == 10)
+  }
+
+  test("DELETE FROM / UPDATE SET are copy-on-write DML for warehouse tables") {
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/d")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "d")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+
+    val urow = spark.sql("UPDATE d SET v = v + 100 WHERE id = 3").collect().head
+    assert(urow.getLong(1) == 1L)
+    assert(Snapshots.read(spark, wh, "d").filter($"id" === 3L)
+      .select("v").as[Long].head() == 103L)
+    val drow = spark.sql("DELETE FROM d WHERE id >= 8").collect().head
+    assert(drow.getLong(1) == 2L)
+    assert(Snapshots.read(spark, wh, "d").count() == 8)
+    // A non-warehouse target falls through to Spark's own DELETE handling.
+    intercept[Exception](spark.sql("DELETE FROM not_a_graft_table WHERE x = 1"))
+  }
+
   test("ordinary SQL falls through to the delegate parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed → delegate error

@@ -425,6 +425,73 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter($"val".isNull).count() == 3) // old files: new col is null
   }
 
+  test("predicate DML: updateWhere/deleteWhere rewrite only matching files, record CDF") {
+    val w = wh("whDml")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    def pub(ids: Range): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      ids.map(i => (i.toLong, i.toLong)).toDF("id", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    pub(0 until 10); pub(10 until 20); pub(20 until 30)
+    val v0 = Snapshots.latestVersion(fs, w).get
+
+    val up = Merge.updateWhere(spark, w, "t", col("id") === 15L,
+      Map("v" -> (col("v") + lit(1000L))))
+    assert(up.filesRewritten == 1 && up.rowsMatched == 1)
+    assert(up.filesScanned == 1, "stats must prune to the one covering file")
+    val after = Snapshots.read(spark, w, "t")
+    assert(after.filter($"id" === 15L).select("v").as[Long].head() == 1015L)
+    assert(after.count() == 30)
+
+    val del = Merge.deleteWhere(spark, w, "t", col("id") >= 20L && col("id") < 25L)
+    assert(del.filesRewritten == 1 && del.rowsMatched == 5)
+    assert(Snapshots.read(spark, w, "t").count() == 25)
+    // No-match predicates are free no-ops.
+    assert(Merge.deleteWhere(spark, w, "t", col("id") === 9999L).rowsMatched == 0)
+    // The change feed carries both DML commits row-level.
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = v0)
+      .select("_change_type", "id").as[(String, Long)].collect()
+    assert(feed.toSet == Set(("update_preimage", 15L), ("update_postimage", 15L)) ++
+      (20L until 25L).map(("delete", _)))
+  }
+
+  test("restore rolls back as a new commit; vacuum never reaps re-added files") {
+    val w = wh("whRestore")
+    val s0 = spark
+    import s0.implicits._
+    publishBatch(w, "t", 1 to 5)   // v0
+    publishBatch(w, "t", 6 to 9)   // v1
+    Compaction.compact(spark, w, "t") // v2: adds packed file, removes originals
+    val (added, removed) = Snapshots.restore(spark, w, "t", 1L) // v3
+    assert(added == 2 && removed == 1) // originals back, packed file out
+    assert(Snapshots.read(spark, w, "t").select("id").as[Long].collect().sorted
+      .sameElements(1L to 9L))
+    // History intact: the compacted version is still readable.
+    assert(Snapshots.read(spark, w, "t", asOf = Some(2L)).count() == 9)
+    // Idempotent: restoring to the now-current state is a no-op commit.
+    assert(Snapshots.restore(spark, w, "t", 3L) == ((0, 0)))
+    // The hazard this exists to test: land one more commit (v4) and vacuum
+    // with the cutoff at the COMPACTION version (2) — strictly below the
+    // restore (3). The compaction's REMOVEs of the original files are ≤
+    // cutoff and absent from the anchor state, so only the re-ADD by the
+    // retained restore entry (futureAdds guard) spares them from physical
+    // deletion. Without that guard this read loses both restored files.
+    publishBatch(w, "t", 100 to 100) // v4
+    Snapshots.vacuum(fs, w, keepVersions = 3, minAgeMs = 0L) // cutoff = 2
+    assert(Snapshots.read(spark, w, "t").select("id").as[Long].collect().sorted
+      .sameElements((1L to 9L) :+ 100L))
+    // And the change feed serves the restored rows as fresh inserts.
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = 2L)
+    assert(feed.count() == 10 &&
+      feed.select("_change_type").distinct().as[String].head() == "insert")
+  }
+
   test("schema enforcement: a type change is rejected at the commit point") {
     val w = wh("whEnforce")
     val s0 = spark
