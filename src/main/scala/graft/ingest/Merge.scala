@@ -55,6 +55,94 @@ object Merge {
                  keys: DataFrame, keyCols: Seq[String]): Result =
     merge(spark, warehouse, table, keys, keyCols, insertSource = false)
 
+  /** Predicate DML (`DELETE FROM t WHERE …`): rewrite only the files that
+    * contain a matching row, dropping those rows; change files record the
+    * deletions. Candidate files come from log-side stats intersection with
+    * the predicate (same skipping as [[Snapshots.readWhere]]). */
+  def deleteWhere(spark: SparkSession, warehouse: String, table: String,
+                  condition: org.apache.spark.sql.Column): Result =
+    rewriteWhere(spark, warehouse, table, condition, Map.empty)
+
+  /** Predicate DML (`UPDATE t SET c = expr WHERE …`): matched rows are
+    * rewritten with `assignments` applied (each value may reference the
+    * row's current columns); unmatched rows and untouched files move zero
+    * bytes. Change files record pre/post images. */
+  def updateWhere(spark: SparkSession, warehouse: String, table: String,
+                  condition: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Result = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteWhere(spark, warehouse, table, condition, assignments)
+  }
+
+  /** Shared copy-on-write core for predicate delete/update. Empty
+    * `assignments` = delete. */
+  private def rewriteWhere(spark: SparkSession, warehouse: String, table: String,
+                           condition: org.apache.spark.sql.Column,
+                           assignments: Map[String, org.apache.spark.sql.Column])
+      : Result = {
+    import org.apache.spark.sql.functions.not
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot log under $warehouse — DML needs a TxnCommit table"))
+    val partCols = Snapshots.partitionColumns(meta.map(_.partition))
+    assignments.keys.foreach(c => require(!partCols.contains(c),
+      s"updateWhere cannot reassign partition column '$c' (rows would " +
+        "land in the wrong directory) — delete + append instead"))
+    def readFiles(fl: Seq[String]): DataFrame =
+      if (partCols.isEmpty) spark.read.parquet(fl: _*)
+      else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
+    // Candidates by log-side stats; affected = candidates that truly match.
+    val resolved = Snapshots.read(spark, warehouse, table).filter(condition)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val pred = resolved.flatMap(FileStats.fromExpression)
+    val candidates = meta.filter(a => pred.forall(p =>
+      FileStats.mayMatch(FileStats.decode(a.stats), p))).map(_.file)
+    val affectedNames: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFiles(candidates).filter(condition)
+        .withColumn("_src_file", input_file_name())
+        .select("_src_file").distinct()
+        .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val affected = meta.map(_.file).filter(f => affectedNames(new Path(f).getName))
+    if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
+
+    val hit = readFiles(affected)
+    val matchedRows = hit.filter(condition)
+    val matched = matchedRows.count()
+    val survivors = hit.filter(not(condition))
+    val (out, changes) =
+      if (assignments.isEmpty)
+        (survivors, matchedRows.withColumn("_change_type", lit("delete")))
+      else {
+        val updated = assignments.foldLeft(matchedRows) {
+          case (df, (c, e)) => df.withColumn(c, e) }
+        (survivors.unionByName(updated),
+          matchedRows.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updated.withColumn("_change_type", lit("update_postimage"))))
+      }
+    val commitId = java.util.UUID.randomUUID().toString
+    val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
+    val cdfStaging =
+      s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
+    val writer = out.coalesce(math.max(1, affected.size)).write
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(staging)
+    changes.coalesce(1).write.parquet(cdfStaging)
+    val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+    val moves = dataMoves ++
+      TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
+    TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
+      op = "merge", baseVersion = base)
+    TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
+      op = "merge", baseVersion = base)
+    Result(affected.size, dataMoves.size, matched, candidates.size)
+  }
+
   private def merge(spark: SparkSession, warehouse: String, table: String,
                     source: DataFrame, keyCols: Seq[String],
                     insertSource: Boolean): Result = {
