@@ -82,6 +82,37 @@ object MinHash {
       .withColumn("jaccard", round(col("jaccard"), 4))
   }
 
+  /** Incremental near-dup detection: find pairs involving at least one NEW
+    * document (a fresh batch, e.g. served by `Snapshots.changes`) against
+    * the full corpus — the 100 TB dedup shape, where re-deduping the whole
+    * corpus per ingest is a non-starter. The bucket join is new-side ×
+    * corpus-side: cost is O(new × bucket width), never O(corpus²), and at
+    * scale the corpus signatures/bands are computed once and persisted as
+    * a table themselves (here recomputed — the fixture is small).
+    * Pairs are normalized (doc_a < doc_b) and include new-vs-new. */
+  def incrementalNearDupPairs(corpus: DataFrame, newIds: DataFrame,
+                              idCol: String, textCol: String,
+                              numPerms: Int = 64, numBands: Int = 16,
+                              threshold: Double = 0.6,
+                              maxBucket: Int = 1000): DataFrame = {
+    val shingled = withShingles(corpus, idCol, textCol).cache()
+    val banded = Similarity.dropLargeBuckets(
+      bands(signatures(shingled, numPerms), numPerms, numBands),
+      Seq("band", "bh"), maxBucket)
+    val fresh = newIds.select(col(idCol).as("doc_id")).distinct()
+    val newSide = banded.join(fresh, "doc_id")
+      .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val allSide = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val cand = newSide.join(allSide, Seq("band", "bh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    jaccard(cand, shingled)
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+  }
+
   /** 64-bit SimHash over token hashes: per bit, sum +1/-1 weighted by token
     * occurrences; the sign vector is the fingerprint. Computed per-row by a
     * native single-pass expression ([[graft.functions.SimHash64Expr]]) — no

@@ -83,6 +83,37 @@ object LlmQueries {
     "llm_dedup_simhash" -> ((s, d) =>
       MinHash.simhashPairs(docsWithDups(s, d), "doc_id", "text")),
 
+    // Incremental dedup through the table format: originals land as one
+    // snapshot commit, the mutated copies as a second; the change feed
+    // serves exactly the new batch, which is deduped against the FULL
+    // corpus with a new-side × corpus-side bucket join — never O(corpus²).
+    // The oracle is the all-pairs ground truth restricted to pairs
+    // involving a new document, so a hash match proves both the change
+    // feed's delta (extra/missing rows change the pair set) and the
+    // incremental join's recall.
+    "llm_dedup_incremental" -> ((s, d) => {
+      import graft.ingest.{Snapshots, TxnCommit}
+      val wh = java.nio.file.Files.createTempDirectory("graft-incdedup")
+        .resolve("wh").toString
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val all = docsWithDups(s, d)
+      def pub(df: DataFrame): Unit = {
+        val cid = java.util.UUID.randomUUID().toString
+        df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/documents")
+        val moves = TxnCommit.movesFor(fs, wh, cid, "documents")
+        TxnCommit.commit(fs, wh, cid, moves)
+        TxnCommit.publish(fs, wh, cid, moves)
+      }
+      pub(all.filter(col("doc_id") < 1000000))   // corpus
+      val vCorpus = Snapshots.latestVersion(fs, wh).get
+      pub(all.filter(col("doc_id") >= 1000000))  // the new batch
+      val fresh = Snapshots.changes(s, wh, "documents", fromExclusive = vCorpus)
+        .select("doc_id")
+      MinHash.incrementalNearDupPairs(
+        Snapshots.read(s, wh, "documents"), fresh, "doc_id", "text")
+    }),
+
     // Brute-force cosine top-10 for query vectors vec_id < 5.
     "llm_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d), 10)),
@@ -352,6 +383,16 @@ object LlmQueries {
          |  round(len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)), 4) AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
          |WHERE a.doc_id % 10 = 0""".stripMargin,
+    // All-pairs truth restricted to pairs involving a new (≥ 1000000) doc;
+    // with doc_a < doc_b that is exactly "doc_b is new".
+    "llm_dedup_incremental" ->
+      s"""WITH $dupDocsCte,
+         |$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE b.doc_id >= 1000000
+         |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6""".stripMargin,
     // Shared ground truth for llm_cosine_topk AND both exact ANN entries:
     // IVF with nprobe=k and LSH with probeAll must each find the exact
     // top-k, so a hash mismatch there is a recall bug in that ANN path.
