@@ -553,7 +553,10 @@ object Snapshots {
       read(spark, warehouse, table, Some(to))
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0)
-    else perVersion.reduce(_.unionByName(_))
+    // allowMissingColumns: additive schema evolution mid-range (a commit
+    // introduced a column) serves older versions' rows with nulls there —
+    // the same stance as read(mergeSchema = true).
+    else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Roll `table` back to `version` as a NEW commit (Delta's RESTORE): the

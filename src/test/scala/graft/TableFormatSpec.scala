@@ -520,6 +520,25 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t", mergeSchema = true).count() == 4)
   }
 
+  test("changes() spans additive schema evolution with nulls for old rows") {
+    val w = wh("whCdcEvo")
+    val s0 = spark
+    import s0.implicits._
+    publishBatch(w, "t", 1 to 3) // schema: (id)
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((10L, "x")).toDF("id", "val").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t") // adds `val`
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+    assert(feed.columns.sorted.sameElements(
+      Array("_change_type", "_commit_version", "id", "val")))
+    assert(feed.count() == 4)
+    assert(feed.filter($"val".isNull).count() == 3) // pre-evolution inserts
+    assert(feed.filter($"val" === "x").select("id").as[Long].head() == 10L)
+  }
+
   test("vacuum retention window shields versions still pinnable by in-flight readers") {
     val w = wh("whRet")
     (0 until 6).foreach(i => publishBatch(w, "t", i to i)) // versions 0..5
