@@ -80,7 +80,7 @@ object Merge {
                            condition: org.apache.spark.sql.Column,
                            assignments: Map[String, org.apache.spark.sql.Column])
       : Result = {
-    import org.apache.spark.sql.functions.not
+    import org.apache.spark.sql.functions.{coalesce => cl, count, not, when}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -112,9 +112,12 @@ object Merge {
     if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
 
     val hit = readFiles(affected)
+    // SQL three-valued logic: DELETE/UPDATE act only on rows where the
+    // condition is TRUE; rows where it evaluates NULL (e.g. a NULL in the
+    // predicate column) must SURVIVE the rewrite — `not(condition)` alone
+    // is NULL for them and would silently drop them from the table.
     val matchedRows = hit.filter(condition)
-    val matched = matchedRows.count()
-    val survivors = hit.filter(not(condition))
+    val survivors = hit.filter(cl(not(condition), lit(true)))
     val (out, changes) =
       if (assignments.isEmpty)
         (survivors, matchedRows.withColumn("_change_type", lit("delete")))
@@ -132,7 +135,18 @@ object Merge {
     val writer = out.coalesce(math.max(1, affected.size)).write
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
-    changes.coalesce(1).write.parquet(cdfStaging)
+    // Matched-row count rides the CDF write as an Observation (one pre-image
+    // / delete row per matched row) instead of a separate pass over the
+    // affected files; CDF parallelism scales with the rewrite — a predicate
+    // hitting 10% of a 100 TB table must not funnel every change row
+    // through one writer task.
+    val obs = new org.apache.spark.sql.Observation()
+    changes
+      .observe(obs, count(when(
+        col("_change_type").isin("delete", "update_preimage"), 1))
+        .as("matched"))
+      .coalesce(math.max(1, affected.size)).write.parquet(cdfStaging)
+    val matched = obs.get.apply("matched").asInstanceOf[Long]
     val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val moves = dataMoves ++
       TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
@@ -191,50 +205,67 @@ object Merge {
         .collect().map(r => new Path(r.getString(0)).getName).toSet
     val affected = files.filter(f => affectedNames(new Path(f).getName))
 
+    // Delta MERGE errors when several source rows share a key (the same
+    // target row would be updated twice, nondeterministically); enforce the
+    // same contract up front. Merges are dim-sized by design, so the extra
+    // aggregation over the source is cheap.
+    if (insertSource) {
+      val dup = source.groupBy(keyCols.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty, s"merge source has duplicate keys on " +
+        s"(${keyCols.mkString(", ")}), e.g. ${dup.head.mkString("[", ",", "]")}" +
+        " — deduplicate the source first")
+    }
+    // Nothing matched and nothing to insert: no commit, no empty data file.
+    if (affected.isEmpty && (!insertSource || source.isEmpty))
+      return Result(0, 0, 0L, candidates.size)
+
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
     val cdfStaging =
       s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
-    var matched = 0L
     val (out, changes) =
       if (affected.isEmpty) {
-        if (insertSource)
-          (Some(source), Some(source.withColumn("_change_type", lit("insert"))))
-        else (None, None)
+        (source, source.withColumn("_change_type", lit("insert")))
       } else {
         val hit = readFiles(affected)
         val preimage = hit.join(broadcast(srcKeys), keyCols, "left_semi")
-        matched = preimage.count()
         val survivors = hit.join(broadcast(srcKeys), keyCols, "left_anti")
         if (insertSource) {
           val hitKeys = preimage.select(keyCols.map(col): _*).distinct()
           val srcMatched = source.join(broadcast(hitKeys), keyCols, "left_semi")
           val srcNew = source.join(broadcast(hitKeys), keyCols, "left_anti")
-          (Some(survivors.unionByName(source)),
-            Some(preimage.withColumn("_change_type", lit("update_preimage"))
+          (survivors.unionByName(source),
+            preimage.withColumn("_change_type", lit("update_preimage"))
               .unionByName(srcMatched.withColumn("_change_type", lit("update_postimage")))
-              .unionByName(srcNew.withColumn("_change_type", lit("insert")))))
+              .unionByName(srcNew.withColumn("_change_type", lit("insert"))))
         } else
-          (Some(survivors),
-            Some(preimage.withColumn("_change_type", lit("delete"))))
+          (survivors, preimage.withColumn("_change_type", lit("delete")))
       }
-    out match {
-      case None => Result(0, 0, 0L, candidates.size) // delete, no matches
-      case Some(df) =>
-        val writer = df.coalesce(math.max(1, affected.size)).write
-        (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
-          .parquet(staging)
-        // Change files are few and small (O(source)); flat layout — the
-        // partition columns travel as ordinary data columns in CDF rows.
-        changes.foreach(_.coalesce(1).write.parquet(cdfStaging))
-        val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
-        val moves = dataMoves ++
-          TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
-        TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
-          op = "merge", baseVersion = base)
-        TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
-          op = "merge", baseVersion = base)
-        Result(affected.size, dataMoves.size, matched, candidates.size)
-    }
+    val writer = out.coalesce(math.max(1, affected.size)).write
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(staging)
+    // Matched count rides the CDF write (one pre-image/delete row per
+    // matched table row) — no separate count() pass over the affected
+    // files. CDF volume is O(source) for key merges but its write
+    // parallelism still tracks the rewrite, not a single task; the
+    // partition columns travel as ordinary data columns in CDF rows.
+    val obs = new org.apache.spark.sql.Observation()
+    changes
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(
+          col("_change_type").isin("delete", "update_preimage"), 1))
+        .as("matched"))
+      .coalesce(math.max(1, affected.size)).write.parquet(cdfStaging)
+    val matched = obs.get.apply("matched").asInstanceOf[Long]
+    val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+    val moves = dataMoves ++
+      TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
+    TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
+      op = "merge", baseVersion = base)
+    TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
+      op = "merge", baseVersion = base)
+    Result(affected.size, dataMoves.size, matched, candidates.size)
   }
 }

@@ -461,6 +461,62 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       (20L until 25L).map(("delete", _)))
   }
 
+  test("DML three-valued logic: NULL-evaluating rows survive; CDF scales past one file") {
+    val w = wh("whDmlNull")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    // Two files, each carrying rows whose predicate column is NULL.
+    def pub(rows: Seq[(Long, Option[Long])]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    pub(Seq((1L, Some(1L)), (2L, None), (3L, Some(3L))))
+    pub(Seq((4L, Some(4L)), (5L, None), (6L, Some(6L))))
+    val cdfBefore = {
+      val d = new Path(s"$w/_changes/t")
+      if (fs.exists(d)) fs.listStatus(d).count(_.isFile) else 0
+    }
+    // v < 100 is TRUE for 1,3,4,6 — NULL (not FALSE) for 2 and 5. Only the
+    // TRUE rows may be deleted; the NULL rows must survive the rewrite.
+    val del = Merge.deleteWhere(spark, w, "t", col("v") < 100L)
+    assert(del.rowsMatched == 4 && del.filesRewritten == 2)
+    val left = Snapshots.read(spark, w, "t").select("id").as[Long].collect().sorted
+    assert(left.sameElements(Array(2L, 5L)),
+      s"NULL-predicate rows must survive DELETE, got ${left.mkString(",")}")
+    // Both affected files contributed change rows; the CDF write keeps that
+    // parallelism instead of funnelling through one task.
+    val cdfAfter = fs.listStatus(new Path(s"$w/_changes/t")).count(_.isFile)
+    assert(cdfAfter - cdfBefore >= 2,
+      s"expected >=2 staged change files for a 2-file DML, got ${cdfAfter - cdfBefore}")
+    // updateWhere: same survival rule.
+    pub(Seq((7L, Some(7L)), (8L, None)))
+    val up = Merge.updateWhere(spark, w, "t", col("v") === 7L,
+      Map("v" -> (col("v") + 1000L)))
+    assert(up.rowsMatched == 1)
+    assert(Snapshots.read(spark, w, "t").filter($"id" === 8L).count() == 1)
+  }
+
+  test("merge guards: empty source is a no-op commit; duplicate source keys rejected") {
+    val w = wh("whMergeGuard")
+    val s0 = spark
+    import s0.implicits._
+    publishBatch(w, "t", 1 to 5)
+    val v0 = Snapshots.latestVersion(fs, w)
+    val res = Merge.upsert(spark, w, "t",
+      spark.emptyDataset[Long].toDF("id"), Seq("id"))
+    assert(res == Merge.Result(0, 0, 0L, 0))
+    assert(Snapshots.latestVersion(fs, w) == v0, "empty upsert must not commit")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, w, "t", Seq(3L, 3L, 9L).toDF("id"), Seq("id"))
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+  }
+
   test("restore rolls back as a new commit; vacuum never reaps re-added files") {
     val w = wh("whRestore")
     val s0 = spark
