@@ -153,10 +153,28 @@ object FileStats {
                           st: org.apache.parquet.column.statistics.Statistics[_])
       : Option[(String, String, String)] = ptype match {
     case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
-      // Dates (epoch days) and timestamps (micros/millis) compare as longs.
-      Some(("long",
-        st.genericGetMin.asInstanceOf[Number].longValue.toString,
-        st.genericGetMax.asInstanceOf[Number].longValue.toString))
+      // Stats must land in the same unit/scale the QUERY side compares in
+      // (norm() produces micros for timestamps; Catalyst TimestampType
+      // literals are micros): MILLIS scale up exactly; NANOS are refused —
+      // this engine reads NANOS parquet via nanosAsLong (raw-long column,
+      // raw-nano predicates), so micros-converted stats would be compared
+      // in the wrong unit there, and micros predicates against raw-nano
+      // stats are wrong the other way. DECIMAL stats are unscaled ints vs
+      // scaled predicate values, and unsigned ints wrap as signed longs —
+      // no skipping value for either (absent = never skip, always sound).
+      logical match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => longStats(st, 1L)
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => longStats(st, 1000L)
+            case _ => None // NANOS: unit ambiguous at read time
+          }
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+        case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if !i.isSigned =>
+          None
+        case _ => longStats(st, 1L) // plain ints, dates (epoch days)
+      }
     case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
       Some(("double",
         st.genericGetMin.asInstanceOf[Number].doubleValue.toString,
@@ -169,6 +187,17 @@ object FileStats {
     case _ => None // BOOLEAN / INT96 / FIXED / nested — no skipping value
   }
 
+  private def longStats(st: org.apache.parquet.column.statistics.Statistics[_],
+                        scale: Long): Option[(String, String, String)] = {
+    val mn = st.genericGetMin.asInstanceOf[Number].longValue
+    val mx = st.genericGetMax.asInstanceOf[Number].longValue
+    // A scaled-up value that would overflow can't be represented — skip
+    // stats rather than record a wrapped bound.
+    try Some(("long", Math.multiplyExact(mn, scale).toString,
+      Math.multiplyExact(mx, scale).toString))
+    catch { case _: ArithmeticException => None }
+  }
+
   private def minOf(t: String, a: String, b: String): String =
     if (cmp(t, a, b) <= 0) a else b
   private def maxOf(t: String, a: String, b: String): String =
@@ -176,7 +205,25 @@ object FileStats {
   private def cmp(t: String, a: String, b: String): Int = t match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case _ => a.compareTo(b)
+    case _ => utf8Cmp(a, b)
+  }
+
+  /** Parquet (and Spark's UTF8String) order strings by UTF-8 bytes,
+    * unsigned; Java's String.compareTo orders by UTF-16 code units. The two
+    * diverge for supplementary-plane characters (surrogates sort below
+    * U+E000..U+FFFF in UTF-16 but above in UTF-8) — comparing stats in the
+    * wrong order could wrongly prune a file. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   // ----------------------------------------------------------------- prune
@@ -193,6 +240,7 @@ object FileStats {
   private case class LtEq(col: String, v: Any) extends Pred
   private case class Gt(col: String, v: Any) extends Pred
   private case class Lt(col: String, v: Any) extends Pred
+  private case class NotEq(col: String, v: Any) extends Pred
   private case class Null(col: String) extends Pred
   private case class NotNull(col: String) extends Pred
   private case class And(l: Pred, r: Pred) extends Pred
@@ -202,11 +250,30 @@ object FileStats {
   def ltEq(col: String, v: Any): Pred = LtEq(col, v)
   def gt(col: String, v: Any): Pred = Gt(col, v)
   def lt(col: String, v: Any): Pred = Lt(col, v)
+  def notEq(col: String, v: Any): Pred = NotEq(col, v)
   def isNull(col: String): Pred = Null(col)
   def isNotNull(col: String): Pred = NotNull(col)
   def eq(col: String, v: Any): Pred = And(GtEq(col, v), LtEq(col, v))
   def between(col: String, lo: Any, hi: Any): Pred =
     And(GtEq(col, lo), LtEq(col, hi))
+
+  /** `col LIKE 'prefix%'` as a range: every matching string is ≥ prefix,
+    * and < the prefix with its last safely-incrementable char bumped (UTF-8
+    * order is code-point order, so a BMP char +1 is a sound upper bound).
+    * When no char can be bumped without leaving valid scalar space, the
+    * lower bound alone still skips. */
+  def startsWith(col: String, prefix: String): Pred = {
+    val lower = GtEq(col, prefix)
+    var i = prefix.length - 1
+    while (i >= 0) {
+      val c = prefix.charAt(i)
+      // c+1 must stay a valid non-surrogate BMP scalar.
+      if (c < '\uD7FF' || (c >= '\uE000' && c < '\uFFFF'))
+        return And(lower, Lt(col, prefix.substring(0, i) + (c + 1).toChar))
+      i -= 1
+    }
+    lower
+  }
 
   /** Normalize a predicate value to the stats column's representation. None
     * when the value can't be compared against this column type (keep file). */
@@ -226,7 +293,7 @@ object FileStats {
   private def le(typ: String, a: Any, b: Any): Boolean = typ match {
     case "long" => a.asInstanceOf[Long] <= b.asInstanceOf[Long]
     case "double" => a.asInstanceOf[Double] <= b.asInstanceOf[Double]
-    case _ => a.asInstanceOf[String] <= b.asInstanceOf[String]
+    case _ => utf8Cmp(a.asInstanceOf[String], b.asInstanceOf[String]) <= 0
   }
   private def ltStrict(typ: String, a: Any, b: Any): Boolean =
     le(typ, a, b) && !le(typ, b, a)
@@ -258,6 +325,10 @@ object FileStats {
         case LtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, parse(t, cs.min), nv))
         case Gt(c, v) => leaf(c, v)((t, nv, cs) => ltStrict(t, nv, parse(t, cs.max)))
         case Lt(c, v) => leaf(c, v)((t, nv, cs) => ltStrict(t, parse(t, cs.min), nv))
+        // some row ≠ v only fails when the whole file is pinned to v
+        // ([min,max] = [v,v]); NULL rows never satisfy ≠ either.
+        case NotEq(c, v) => leaf(c, v)((t, nv, cs) =>
+          !(le(t, nv, parse(t, cs.min)) && le(t, parse(t, cs.max), nv)))
         // some row IS NULL iff nullCount > 0; IS NOT NULL iff count < rows
         case Null(c) => s.nulls.get(c).forall(_ > 0)
         case NotNull(c) => !allNull(c)
@@ -314,20 +385,49 @@ object FileStats {
         case (a, b) => a.orElse(b) // dropped conjunct only widens
       }
       case CatOr(l, r) => for (a <- walk(l); b <- walk(r)) yield a.or(b)
+      case Not(c) => neg(c)
       case EqualTo(l, r) => cmp(l, r)(eq, eq)
       case GreaterThan(l, r) => cmp(l, r)(gt, lt)
       case GreaterThanOrEqual(l, r) => cmp(l, r)(gtEq, ltEq)
       case LessThan(l, r) => cmp(l, r)(lt, gt)
       case LessThanOrEqual(l, r) => cmp(l, r)(ltEq, gtEq)
-      case In(l, items) =>
+      case In(l, items) if items.nonEmpty =>
         val vs = items.map(litOf)
         if (vs.exists(_.isEmpty)) None
         else nameOf(l).map(n =>
           vs.flatten.map(v => eq(n, v)).reduce((a, b) => a.or(b)))
+      case StartsWith(l, r) => for {
+        n <- nameOf(l); v <- litOf(r); s <- Some(v).collect { case s: String => s }
+      } yield startsWith(n, s)
       // The analyzer inserts IsNotNull guards into most filters — with
       // null counts in the log these prune all-null files for free.
       case IsNull(l) => nameOf(l).map(isNull)
       case IsNotNull(l) => nameOf(l).map(isNotNull)
+      case _ => None
+    }
+    // ¬x at TRUE-polarity (filters pass only TRUE; rows where x is NULL
+    // fail both x and ¬x, matching the comparison leaves' null-free
+    // semantics). De Morgan flips and/or; under a negated AND a dropped
+    // branch would NARROW, so both sides must convert there.
+    def neg(x: Expression): Option[Pred] = x match {
+      case Not(c) => walk(c)
+      case CatAnd(l, r) => for (a <- neg(l); b <- neg(r)) yield a.or(b)
+      case CatOr(l, r) => (neg(l), neg(r)) match {
+        case (Some(a), Some(b)) => Some(a.and(b))
+        case (a, b) => a.orElse(b) // ¬(l∨r) ⊆ ¬l — dropping one widens
+      }
+      case EqualTo(l, r) => cmp(l, r)(notEq, notEq)
+      case GreaterThan(l, r) => cmp(l, r)(ltEq, gtEq)
+      case GreaterThanOrEqual(l, r) => cmp(l, r)(lt, gt)
+      case LessThan(l, r) => cmp(l, r)(gtEq, ltEq)
+      case LessThanOrEqual(l, r) => cmp(l, r)(gt, lt)
+      case In(l, items) if items.nonEmpty =>
+        val vs = items.map(litOf)
+        if (vs.exists(_.isEmpty)) None
+        else nameOf(l).map(n =>
+          vs.flatten.map(v => notEq(n, v)).reduce((a, b) => a.and(b)))
+      case IsNull(l) => nameOf(l).map(isNotNull)
+      case IsNotNull(l) => nameOf(l).map(isNull)
       case _ => None
     }
     walk(e)

@@ -65,13 +65,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   /** DELETE/UPDATE are real Spark grammar too — only intercept statements
     * whose target is a committed table of the configured graft warehouse;
-    * everything else falls through to the delegate untouched. */
+    * everything else falls through to the delegate untouched. The probe
+    * must be failure-isolated: ANY trouble reaching the warehouse (bad
+    * path, dead filesystem, missing log) means "not ours" — it must never
+    * break parsing of unrelated Spark SQL DML. Cheap dir checks run before
+    * the log fold so the common negative costs two existence probes. */
   private def isGraftTable(table: String): Boolean =
     session.conf.getOption("spark.graft.warehouse").exists { wh =>
-      try Snapshots.fileMeta(
-        new Path(wh).getFileSystem(session.sparkContext.hadoopConfiguration),
-        wh, table).exists(_.nonEmpty)
-      catch { case _: IllegalArgumentException => false }
+      try {
+        val fs = new Path(wh)
+          .getFileSystem(session.sparkContext.hadoopConfiguration)
+        fs.exists(new Path(wh, "_snapshots")) &&
+          fs.exists(new Path(wh, table)) &&
+          Snapshots.fileMeta(fs, wh, table).exists(_.nonEmpty)
+      } catch { case scala.util.control.NonFatal(_) => false }
     }
   private val VacuumRe =
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r

@@ -114,6 +114,85 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
     }
   }
 
+  test("property: string predicates (incl. not-eq, prefix) sound in UTF-8 order") {
+    import org.scalacheck.Gen
+    // Strings mixing ASCII, a U+E000-block char, and a supplementary-plane
+    // character — exactly where UTF-16 code-unit order and UTF-8 byte order
+    // disagree (surrogates sort below U+E000 in UTF-16, above in UTF-8).
+    val atom = Gen.oneOf("a", "z", "\uE000", "\uD83D\uDE00" /* U+1F600 */)
+    val str = Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+    def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def u8cmp(a: String, b: String): Int = {
+      val (x, y) = (u8(a), u8(b))
+      x.zip(y).collectFirst {
+        case (p, q) if p != q => java.lang.Integer.compare(p & 0xff, q & 0xff)
+      }.getOrElse(java.lang.Integer.compare(x.length, y.length))
+    }
+    val leaf = for (op <- Gen.choose(0, 6); v <- str) yield (op, v)
+    def toPred(op: Int, v: String): FileStats.Pred = op match {
+      case 0 => FileStats.eq("c", v)
+      case 1 => FileStats.ltEq("c", v)
+      case 2 => FileStats.gtEq("c", v)
+      case 3 => FileStats.lt("c", v)
+      case 4 => FileStats.gt("c", v)
+      case 5 => FileStats.notEq("c", v)
+      case _ => FileStats.startsWith("c", v)
+    }
+    // Row semantics in Spark/parquet order (UTF-8 bytes).
+    def sat(op: Int, v: String, x: String): Boolean = op match {
+      case 0 => x == v
+      case 1 => u8cmp(x, v) <= 0
+      case 2 => u8cmp(x, v) >= 0
+      case 3 => u8cmp(x, v) < 0
+      case 4 => u8cmp(x, v) > 0
+      case 5 => x != v
+      case _ => x.startsWith(v)
+    }
+    val rows = Gen.nonEmptyListOf(str)
+    forAll(Gen.zip(rows, leaf), trials = 400) { case (rs, (op, v)) =>
+      val sorted = rs.sortWith(u8cmp(_, _) < 0) // parquet stats are UTF-8-ordered
+      val stats = Some(FileStats.Stats(rs.size.toLong, Map(
+        "c" -> FileStats.ColStats("string", sorted.head, sorted.last))))
+      if (rs.exists(sat(op, v, _)))
+        assert(FileStats.mayMatch(stats, toPred(op, v)),
+          s"pruned a file with a satisfying row: rows=$rs op=$op v=$v")
+    }
+  }
+
+  test("property: negated long predicates stay sound (NotEq leaves)") {
+    import org.scalacheck.Gen
+    val leaf = for (op <- Gen.choose(0, 5); v <- Gen.choose(-10L, 10L)) yield (op, v)
+    def toPred(op: Int, v: Long): FileStats.Pred = op match {
+      case 0 => FileStats.notEq("c", v)
+      case 1 => FileStats.ltEq("c", v)
+      case 2 => FileStats.gtEq("c", v)
+      case 3 => FileStats.lt("c", v)
+      case 4 => FileStats.gt("c", v)
+      case _ => FileStats.notEq("c", v).and(FileStats.gtEq("c", v - 3))
+    }
+    def sat(op: Int, v: Long, x: Long): Boolean = op match {
+      case 0 => x != v
+      case 1 => x <= v
+      case 2 => x >= v
+      case 3 => x < v
+      case 4 => x > v
+      case _ => x != v && x >= v - 3
+    }
+    val rows = Gen.nonEmptyListOf(Gen.choose(-10L, 10L))
+    forAll(Gen.zip(rows, leaf), trials = 300) { case (rs, (op, v)) =>
+      val stats = Some(FileStats.Stats(rs.size.toLong, Map(
+        "c" -> FileStats.ColStats("long", rs.min.toString, rs.max.toString))))
+      if (rs.exists(sat(op, v, _)))
+        assert(FileStats.mayMatch(stats, toPred(op, v)),
+          s"pruned a file with a satisfying row: rows=$rs op=$op v=$v")
+    }
+    // NotEq does prune a constant file.
+    val const = Some(FileStats.Stats(5L,
+      Map("c" -> FileStats.ColStats("long", "7", "7"))))
+    assert(!FileStats.mayMatch(const, FileStats.notEq("c", 7L)))
+    assert(FileStats.mayMatch(const, FileStats.notEq("c", 8L)))
+  }
+
   test("null counts: IS [NOT] NULL skipping and all-null comparison pruning") {
     // Unit semantics first.
     val mixed = Some(FileStats.Stats(10L,
@@ -242,6 +321,65 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
     val all = Snapshots.readWhere(spark, w, "t",
       col("id") <= 9L || length(col("val")) === 4)
     assert(all.inputFiles.length == 4 && all.count() == 10)
+    // NOT converts through De Morgan: ¬(id≤9 ∨ id≥20) = id>9 ∧ id<20 —
+    // exactly the [10,19] file. (The analyzer keeps Not; only the
+    // optimizer would rewrite it, and skipping runs on the analyzed tree.)
+    val neg = Snapshots.readWhere(spark, w, "t",
+      !(col("id") <= 9L || col("id") >= 20L))
+    assert(neg.inputFiles.length == 1 && neg.count() == 10)
+    // Prefix predicates skip as a string range: only "v25" matches, and
+    // only files whose [min,max] straddles ["v25","v26") are planned —
+    // [v20,v29] and [v0,v9] (lexical max "v9" > "v25"), not [v10,v19] or
+    // [v30,v39].
+    val pfx = Snapshots.readWhere(spark, w, "t", col("val").startsWith("v25"))
+    assert(pfx.inputFiles.length == 2, s"planned ${pfx.inputFiles.length}")
+    assert(pfx.count() == 1)
+    // NOT IN prunes files pinned to the excluded values and keeps the rest.
+    val notIn = Snapshots.readWhere(spark, w, "t", !col("id").isin(0L, 1L))
+    assert(notIn.count() == 38)
+  }
+
+  test("timestamp MILLIS stats land in micros; DECIMAL columns record no stats") {
+    val w = wh("whUnits")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      def pub(hours: Range): Unit = {
+        val cid = java.util.UUID.randomUUID().toString
+        hours.map(h => (h.toLong, f"2024-03-01 $h%02d:00:00", BigDecimal(h) / 4))
+          .toDF("id", "ts_s", "amt")
+          .select(col("id"), expr("cast(ts_s as timestamp)").as("ts"),
+            col("amt").cast("decimal(10,2)").as("amt"))
+          .coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+        val moves = TxnCommit.movesFor(fs, w, cid, "t")
+        TxnCommit.commit(fs, w, cid, moves)
+        TxnCommit.publish(fs, w, cid, moves)
+      }
+      pub(0 until 6); pub(6 until 12)
+      val meta = Snapshots.fileMeta(fs, w, "t").get
+      val stats = meta.map(a => FileStats.decode(a.stats).get)
+      // MILLIS files carry micros-unit ts stats (predicates compare in
+      // micros); decimal stats are refused (unscaled ints ≠ scaled values).
+      assert(stats.forall(_.cols.contains("ts")))
+      assert(stats.forall(s => !s.cols.contains("amt")),
+        s"decimal column must record no stats: ${stats.map(_.cols.keySet)}")
+      val microsOf = (s: String) =>
+        java.sql.Timestamp.valueOf(s).getTime * 1000L
+      assert(stats.map(_.cols("ts").min.toLong).min ==
+        microsOf("2024-03-01 00:00:00"))
+      // A timestamp range predicate prunes to the covering file AND returns
+      // the right rows (wrong-unit stats would prune everything).
+      val q = Snapshots.readWhere(spark, w, "t",
+        col("ts") >= expr("timestamp'2024-03-01 08:00:00'"))
+      assert(q.inputFiles.length == 1 && q.count() == 4)
+      // Decimal predicates never skip (no stats) but stay correct.
+      val d = Snapshots.readWhere(spark, w, "t",
+        col("amt") > BigDecimal(2.0))
+      assert(d.inputFiles.length == 2 && d.count() == 3)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
   }
 
   test("readWhere skips on partition columns through the same predicate") {

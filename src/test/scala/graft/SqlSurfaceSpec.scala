@@ -164,4 +164,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed → delegate error
   }
+
+  test("an unreachable warehouse never breaks parsing of non-graft DML") {
+    val prev = spark.conf.get("spark.graft.warehouse")
+    // An unresolvable filesystem: the probe's getFileSystem/exists throws
+    // IOException — isGraftTable must swallow it and fall through, so the
+    // user sees the DELEGATE's analysis error (table not found), not a
+    // parse-time filesystem failure.
+    spark.conf.set("spark.graft.warehouse", "hdfs://no-such-host-xyz:9/wh")
+    try {
+      val ex = intercept[Exception](
+        spark.sql("DELETE FROM some_unrelated_table WHERE x = 1"))
+      assert(!ex.isInstanceOf[java.io.IOException],
+        s"filesystem failure leaked into parsing: $ex")
+    } finally spark.conf.set("spark.graft.warehouse", prev)
+  }
 }
