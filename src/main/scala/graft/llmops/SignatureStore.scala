@@ -1,0 +1,105 @@
+package graft.llmops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{FileStats, Snapshots, TxnCommit}
+
+/** Persisted MinHash signatures: the piece that makes incremental dedup
+  * incremental in COMPUTE, not just in join topology.
+  *
+  * [[MinHash.incrementalNearDupPairs]] already joins new-side × corpus-side
+  * (never O(corpus²)), but it re-shingles and re-signs the entire corpus
+  * every run — O(corpus) prep defeats the point at 100 TB. Here the band
+  * rows (doc_id, band, bh) are a snapshot-committed table of their own,
+  * appended once per ingest batch through the same stage/commit/publish
+  * protocol as the data; an incremental run then
+  *
+  *   1. READS the corpus's bands from the signature table (no text touched),
+  *   2. computes shingles only for the NEW batch (O(new)),
+  *   3. bucket-joins new bands × all bands for candidates,
+  *   4. verifies exact Jaccard, re-reading corpus text ONLY for candidate
+  *      docs — a bounds-pruned [[Snapshots.read]] (log-side file skipping on
+  *      the id column, the same shape as [[graft.ingest.Merge]]'s candidate
+  *      discovery) joined against the candidate ids.
+  *
+  * Total per-run cost: O(new) signature compute + O(candidates) text
+  * re-read. Untouched corpus files move zero bytes.
+  */
+object SignatureStore {
+
+  /** Band rows for one batch of documents: (doc_id, band, bh). */
+  def bandRows(batch: DataFrame, idCol: String, textCol: String,
+               numPerms: Int, numBands: Int): DataFrame =
+    MinHash.bands(
+      MinHash.signatures(MinHash.withShingles(batch, idCol, textCol), numPerms),
+      numPerms, numBands)
+
+  /** Shingle + sign + band `batch` and append its band rows to
+    * `sigTable` as one snapshot commit. `numPerms`/`numBands` must be the
+    * same for every append to a given store (band hashes are only
+    * comparable within one banding scheme). */
+  def appendBatch(spark: SparkSession, warehouse: String, batch: DataFrame,
+                  idCol: String, textCol: String,
+                  numPerms: Int = 64, numBands: Int = 16,
+                  sigTable: String = "doc_signatures"): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cid = java.util.UUID.randomUUID().toString
+    bandRows(batch, idCol, textCol, numPerms, numBands)
+      .write.parquet(s"${TxnCommit.stagingDir(warehouse, cid)}/$sigTable")
+    val moves = TxnCommit.movesFor(fs, warehouse, cid, sigTable)
+    TxnCommit.commit(fs, warehouse, cid, moves)
+    TxnCommit.publish(fs, warehouse, cid, moves)
+  }
+
+  /** Near-dup pairs involving at least one document of `newDocs`
+    * (id + text — e.g. the change feed since the last run), against the
+    * full corpus whose bands are ALREADY PERSISTED in `sigTable` — which
+    * must include the new batch's bands too ([[appendBatch]] runs at ingest
+    * time, dedup after). The corpus text is never scanned wholesale: only
+    * files whose log-side [min,max] on `idCol` overlap the candidate-id
+    * bounds are opened, and only candidate rows are shingled for the exact
+    * verify. Output: (doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def incrementalNearDupPairs(spark: SparkSession, warehouse: String,
+                              docTable: String, newDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.6, maxBucket: Int = 1000,
+                              sigTable: String = "doc_signatures"): DataFrame = {
+    val banded = Similarity.dropLargeBuckets(
+      Snapshots.read(spark, warehouse, sigTable), Seq("band", "bh"), maxBucket)
+    val freshDocs = newDocs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text")).cache()
+    val fresh = freshDocs.select("doc_id").distinct()
+    val newSide = banded.join(fresh, "doc_id")
+      .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val allSide = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
+    val cand = newSide.join(allSide, Seq("band", "bh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct().cache()
+
+    // Corpus endpoints of the candidate pairs: everything not in the new
+    // batch. Their [min,max] drives log-side file skipping — two scalars to
+    // the driver (the Merge bounds pattern), never an id list.
+    val corpusIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+      .join(fresh, Seq("doc_id"), "left_anti")
+    val bounds = corpusIds.agg(min("doc_id"), max("doc_id")).head
+    val corpusShingled =
+      if (bounds.isNullAt(0)) // no corpus endpoints: new-vs-new pairs only
+        MinHash.withShingles(freshDocs.limit(0), "doc_id", "text")
+      else MinHash.withShingles(
+        Snapshots.read(spark, warehouse, docTable,
+            dataFilter = FileStats.between(idCol, bounds.get(0), bounds.get(1)))
+          .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          .join(corpusIds, "doc_id"),
+        "doc_id", "text")
+    val shingled = corpusShingled
+      .unionByName(MinHash.withShingles(freshDocs, "doc_id", "text"))
+    MinHash.jaccard(cand, shingled)
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+  }
+}

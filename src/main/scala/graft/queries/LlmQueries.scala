@@ -114,6 +114,41 @@ object LlmQueries {
         Snapshots.read(s, wh, "documents"), fresh, "doc_id", "text")
     }),
 
+    // Same contract as llm_dedup_incremental (same all-pairs oracle), but
+    // TRULY incremental in compute: each batch's band rows are appended to
+    // a snapshot-committed doc_signatures table at ingest time, and the
+    // dedup run reads corpus bands from that table — corpus text is
+    // shingled only for candidate docs (bounds-pruned read), never
+    // wholesale. A hash mismatch here means the persisted-signature path
+    // lost recall vs ground truth.
+    "llm_dedup_incremental_persisted" -> ((s, d) => {
+      import graft.ingest.{Snapshots, TxnCommit}
+      import graft.llmops.SignatureStore
+      val wh = java.nio.file.Files.createTempDirectory("graft-sigstore")
+        .resolve("wh").toString
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val all = docsWithDups(s, d)
+      def pub(df: DataFrame): Unit = {
+        val cid = java.util.UUID.randomUUID().toString
+        df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/documents")
+        val moves = TxnCommit.movesFor(fs, wh, cid, "documents")
+        TxnCommit.commit(fs, wh, cid, moves)
+        TxnCommit.publish(fs, wh, cid, moves)
+      }
+      val corpus = all.filter(col("doc_id") < 1000000)
+      val batch2 = all.filter(col("doc_id") >= 1000000)
+      pub(corpus)
+      SignatureStore.appendBatch(s, wh, corpus, "doc_id", "text")
+      val vCorpus = Snapshots.latestVersion(fs, wh).get
+      pub(batch2)
+      SignatureStore.appendBatch(s, wh, batch2, "doc_id", "text")
+      val fresh = Snapshots.changes(s, wh, "documents", fromExclusive = vCorpus)
+        .select("doc_id", "text")
+      SignatureStore.incrementalNearDupPairs(s, wh, "documents", fresh,
+        "doc_id", "text")
+    }),
+
     // Brute-force cosine top-10 for query vectors vec_id < 5.
     "llm_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d), 10)),
@@ -386,6 +421,15 @@ object LlmQueries {
     // All-pairs truth restricted to pairs involving a new (≥ 1000000) doc;
     // with doc_a < doc_b that is exactly "doc_b is new".
     "llm_dedup_incremental" ->
+      s"""WITH $dupDocsCte,
+         |$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE b.doc_id >= 1000000
+         |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6""".stripMargin,
+    // The persisted-signature path must reproduce the same ground truth.
+    "llm_dedup_incremental_persisted" ->
       s"""WITH $dupDocsCte,
          |$shingleCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
