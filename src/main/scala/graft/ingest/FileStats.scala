@@ -342,6 +342,64 @@ object FileStats {
     case _ => s
   }
 
+  // ------------------------------------------------ V1 Filter → skip pred
+
+  /** Same contract as [[fromExpression]] for DataSource-V1 `Filter` trees
+    * (the batch `graft-snapshots` relation receives these): best-effort,
+    * only ever widens, None when nothing usable survives. */
+  def fromV1Filter(f: org.apache.spark.sql.sources.Filter): Option[Pred] = {
+    import org.apache.spark.sql.sources.{And => SAnd, Or => SOr, _}
+    def pos(f: Filter): Option[Pred] = f match {
+      case SAnd(l, r) => (pos(l), pos(r)) match {
+        case (Some(a), Some(b)) => Some(a.and(b))
+        case (a, b) => a.orElse(b)
+      }
+      case SOr(l, r) => for (a <- pos(l); b <- pos(r)) yield a.or(b)
+      case Not(c) => neg(c)
+      case EqualTo(a, v) if v != null => Some(eq(a, v))
+      case EqualNullSafe(a, null) => Some(isNull(a))
+      case EqualNullSafe(a, v) => Some(eq(a, v))
+      case GreaterThan(a, v) => Some(gt(a, v))
+      case GreaterThanOrEqual(a, v) => Some(gtEq(a, v))
+      case LessThan(a, v) => Some(lt(a, v))
+      case LessThanOrEqual(a, v) => Some(ltEq(a, v))
+      case In(a, vs) if vs.nonEmpty =>
+        // NULL list entries never match `=` — drop them; all-null → false
+        // for every row, but stay conservative and keep the file.
+        val nn = vs.filter(_ != null)
+        if (nn.isEmpty) None
+        else Some(nn.map(v => eq(a, v)).reduce((x, y) => x.or(y)))
+      case IsNull(a) => Some(isNull(a))
+      case IsNotNull(a) => Some(isNotNull(a))
+      case StringStartsWith(a, p) => Some(startsWith(a, p))
+      case _ => None
+    }
+    def neg(f: Filter): Option[Pred] = f match {
+      case SAnd(l, r) => for (a <- neg(l); b <- neg(r)) yield a.or(b)
+      case SOr(l, r) => (neg(l), neg(r)) match {
+        case (Some(a), Some(b)) => Some(a.and(b))
+        case (a, b) => a.orElse(b)
+      }
+      case Not(c) => pos(c)
+      case EqualTo(a, v) if v != null => Some(notEq(a, v))
+      case EqualNullSafe(a, null) => Some(isNotNull(a))
+      case EqualNullSafe(a, v) =>
+        // ¬(c <=> v): satisfied by NULL rows too — only notEq's null-free
+        // part is expressible; widen with an OR on nullability.
+        Some(notEq(a, v).or(isNull(a)))
+      case GreaterThan(a, v) => Some(ltEq(a, v))
+      case GreaterThanOrEqual(a, v) => Some(lt(a, v))
+      case LessThan(a, v) => Some(gtEq(a, v))
+      case LessThanOrEqual(a, v) => Some(gt(a, v))
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        Some(vs.map(v => notEq(a, v)).reduce((x, y) => x.and(y)))
+      case IsNull(a) => Some(isNotNull(a))
+      case IsNotNull(a) => Some(isNull(a))
+      case _ => None
+    }
+    pos(f)
+  }
+
   // ------------------------------------------------- Catalyst → skip pred
 
   /** Derive a sound skipping predicate from a Catalyst boolean expression

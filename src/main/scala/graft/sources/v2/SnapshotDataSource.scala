@@ -60,13 +60,118 @@ import graft.ingest.Snapshots
   * with a clear error. Reference: the reference's tail-the-bucket loop
   * (huckli-import/src/lib.rs:150-210) replayed as a log-offset stream.
   */
-class SnapshotDataSource extends TableProvider with DataSourceRegister {
+class SnapshotDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.RelationProvider {
   override def shortName(): String = "graft-snapshots"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotDataSource.tableSchema(options)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SnapshotTable(schema, properties)
+  /** Batch reads (`spark.read.format("graft-snapshots")`) resolve through
+    * the V1 fallback: the DSv2 table advertises MICRO_BATCH_READ only, so
+    * DataFrameReader lands here and gets a relation that delegates to the
+    * log-pinned [[Snapshots.read]] plan — vectorized parquet IO, log-side
+    * stats/partition skipping, column pruning — instead of a bespoke
+    * row-at-a-time reader (that one exists for tailing small commits, the
+    * wrong tool for a backfill). */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import scala.jdk.CollectionConverters._
+    new SnapshotBatchRelation(sqlContext,
+      new CaseInsensitiveStringMap(parameters.asJava))
+  }
+}
+
+/** Snapshot-pinned batch relation. The served version is resolved ONCE at
+  * relation creation (`versionAsOf`/`timestampAsOf`, else the latest at
+  * load time), so every action over the returned DataFrame sees the same
+  * snapshot — commits landing between two actions are invisible, the same
+  * isolation contract as `Snapshots.read`. With `readChangeFeed=true` the
+  * relation serves the row-level change feed (`startingVersion` exclusive,
+  * `endingVersion` inclusive) — the batch dual of the CDC stream. */
+class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLContext,
+                            options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  import org.apache.spark.sql.{Column, DataFrame, Row}
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources.Filter
+
+  private val spark = sqlContext.sparkSession
+  private val warehouse = SnapshotDataSource.required(options, "warehouse")
+  private val table = SnapshotDataSource.required(options, "table")
+  private val mergeSchema =
+    Option(options.get("mergeSchema")).exists(_.toBoolean)
+  private val changeFeed = SnapshotDataSource.readChangeFeed(options)
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val pinnedVersion: Option[Long] =
+    if (changeFeed) None
+    else Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map { ts =>
+        Snapshots.versionAt(fs, warehouse,
+            java.sql.Timestamp.valueOf(ts).getTime)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot version existed at '$ts' under $warehouse"))
+      })
+      .orElse(Snapshots.latestVersion(fs, warehouse))
+
+  private def baseFrame(dataFilter: graft.ingest.FileStats.Pred): DataFrame =
+    if (changeFeed)
+      Snapshots.changes(spark, warehouse, table,
+        fromExclusive =
+          Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
+        toInclusive = Option(options.get("endingVersion")).map(_.toLong))
+    else Snapshots.read(spark, warehouse, table, asOf = pinnedVersion,
+      mergeSchema = mergeSchema, dataFilter = dataFilter)
+
+  override val schema: StructType = baseFrame(null).schema
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter])
+      : org.apache.spark.rdd.RDD[Row] = {
+    // Log-side file skipping from the pushed filters (conjunction: any one
+    // proving a file irrelevant skips it); the same filters are re-applied
+    // on the inner frame so parquet row-group pushdown fires too. Spark
+    // still evaluates every filter on the surfaced rows (unhandledFilters
+    // defaults to all) — both layers here are IO reduction, not semantics.
+    val pred = filters.flatMap(f =>
+        if (changeFeed) None else graft.ingest.FileStats.fromV1Filter(f))
+      .reduceOption((a, b) => a.and(b)).orNull
+    val inner = filters.flatMap(toColumn)
+      .foldLeft(baseFrame(pred))((df, c) => df.filter(c))
+    (if (requiredColumns.isEmpty) inner
+     else inner.select(requiredColumns.map(col).toSeq: _*)).rdd
+  }
+
+  /** Exact Column translation (every node must convert — a partially
+    * converted NOT/OR could drop rows). Exactness means the expression is
+    * the one Spark itself would evaluate, so applying it early is safe. */
+  private def toColumn(f: Filter): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+      case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case Not(c) => toColumn(c).map(!_)
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case StringContains(a, p) => Some(col(a).contains(p))
+      case _ => None
+    }
+  }
 }
 
 object SnapshotDataSource {

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Merge, Snapshots, TxnCommit}
+
+/** Batch DSv2 entry point for the table format:
+  * `spark.read.format("graft-snapshots")` must serve exactly what
+  * `Snapshots.read` serves — pinned snapshot, time travel, partition
+  * columns, schema evolution — via the V1 relation fallback that delegates
+  * to the log-pinned vectorized plan. */
+class SnapshotBatchReadSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-batchread")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pub(w: String, table: String, df: DataFrame,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
+    val writer = df.coalesce(1).write
+    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*))
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/$table")
+    val moves = TxnCommit.movesFor(fs, w, cid, table)
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+  }
+
+  private def load(w: String, table: String,
+                   opts: Map[String, String] = Map.empty): DataFrame =
+    opts.foldLeft(spark.read.format("graft-snapshots")
+        .option("warehouse", w).option("table", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("batch read ≡ Snapshots.read on a partitioned, schema-evolved table") {
+    val w = wh("whBatch")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", (0 until 10).map(i => (i.toLong, s"2024-01-0${i % 2 + 1}"))
+      .toDF("id", "dt"), partitionBy = Seq("dt"))
+    // Additive evolution: second commit adds `score`.
+    pub(w, "t", (10 until 20).map(i => (i.toLong, s"2024-01-0${i % 2 + 1}", i * 1.5))
+      .toDF("id", "dt", "score").select("id", "score", "dt"),
+      partitionBy = Seq("dt"))
+
+    val api = Snapshots.read(spark, w, "t", mergeSchema = true)
+    val dsv2 = load(w, "t", Map("mergeSchema" -> "true"))
+    assert(dsv2.columns.sorted.sameElements(api.columns.sorted))
+    assert(sortedRows(dsv2.select("id", "score", "dt")) ==
+      sortedRows(api.select("id", "score", "dt")))
+    assert(dsv2.count() == 20)
+    // Partition column served and usable in predicates + projections.
+    assert(dsv2.filter($"dt" === "2024-01-02").count() == 10)
+    assert(dsv2.filter($"id" < 5L && $"dt" === "2024-01-01")
+      .select("id").as[Long].collect().sorted.sameElements(Array(0L, 2L, 4L)))
+  }
+
+  test("versionAsOf/timestampAsOf time travel; load() pins the snapshot") {
+    val w = wh("whTravel")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", (1 to 5).map(_.toLong).toDF("id"))   // v0
+    val pinned = load(w, "t")
+    pub(w, "t", (6 to 9).map(_.toLong).toDF("id"))   // v1
+    // The relation resolved its version at load() — later commits invisible.
+    assert(pinned.count() == 5)
+    assert(load(w, "t").count() == 9)
+    assert(load(w, "t", Map("versionAsOf" -> "0")).count() == 5)
+    // DML lands a merge commit; history stays readable by version.
+    Merge.deleteWhere(spark, w, "t", $"id" >= 8L)
+    assert(load(w, "t").count() == 7)
+    assert(load(w, "t", Map("versionAsOf" -> "1")).count() == 9)
+  }
+
+  test("batch change feed: readChangeFeed serves changes() with version bounds") {
+    val w = wh("whCdf")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))  // v0
+    pub(w, "t", Seq((3L, 30L)).toDF("id", "v"))             // v1
+    Merge.updateWhere(spark, w, "t", $"id" === 2L, Map("v" -> ($"v" + 1L))) // v2
+    val feed = load(w, "t",
+      Map("readChangeFeed" -> "true", "startingVersion" -> "0"))
+    val api = Snapshots.changes(spark, w, "t", fromExclusive = 0L)
+    assert(sortedRows(feed) == sortedRows(api))
+    assert(feed.filter($"_change_type" === "update_postimage")
+      .select("v").as[Long].head() == 21L)
+    // Bounded range excludes the merge.
+    assert(load(w, "t", Map("readChangeFeed" -> "true",
+      "startingVersion" -> "0", "endingVersion" -> "1")).count() == 1)
+  }
+
+  test("filters and projections prune through to the inner plan correctly") {
+    val w = wh("whPrune")
+    val s0 = spark
+    import s0.implicits._
+    // Disjoint id ranges → verify filter+projection correctness end to end
+    // (file skipping itself is covered by FileStatsSpec; here the contract
+    // is that pushed filters/columns never change results).
+    (0 until 4).foreach(i => pub(w, "t",
+      (i * 10 until i * 10 + 10).map(k => (k.toLong, s"v$k")).toDF("id", "val")))
+    val df = load(w, "t")
+    assert(df.filter($"id".between(15L, 17L)).select("val").as[String]
+      .collect().sorted.sameElements(Array("v15", "v16", "v17")))
+    assert(df.filter(!($"id" < 30L)).count() == 10)
+    assert(df.filter($"val".startsWith("v2") && $"id" =!= 2L).count() == 10)
+    assert(df.select("id").distinct().count() == 40)
+    assert(df.count() == 40) // empty projection (count star) works
+  }
+}
