@@ -83,6 +83,12 @@ object Snapshots {
     * files, not O(commit history). */
   private[graft] val logReads = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test-visible LISTING cost: full dir listings add the number of
+    * statuses returned (object stores price listings by results), anchored
+    * per-version globs add one each. The `_last_checkpoint` pointer exists
+    * to keep this O(interval) per operation instead of O(dir size). */
+  private[graft] val logLists = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** How long a version claim may sit without its entry before other
     * writers break it (the claimant died between claim and entry). Must be
     * much longer than an entry write (milliseconds) — minutes in
@@ -130,7 +136,9 @@ object Snapshots {
   def entries(fs: FileSystem, warehouse: String): Seq[Entry] = {
     val dir = snapDir(warehouse)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.flatMap { st =>
+    val sts = fs.listStatus(dir).toSeq
+    logLists.addAndGet(math.max(1, sts.size))
+    sts.flatMap { st =>
       st.getPath.getName match {
         case SnapRe(v, cid, kind) =>
           Some(Entry(v.toLong, cid, st.getPath, kind == "ckpt",
@@ -140,8 +148,53 @@ object Snapshots {
     }.sortBy(e => (e.version, e.commitId, e.isCheckpoint))
   }
 
+  private val LastCkptName = "_last_checkpoint"
+
+  /** Log listing anchored at the `_last_checkpoint` pointer: walk versions
+    * upward from the recorded checkpoint with one targeted glob each (a
+    * prefix listing on an object store) instead of listing the whole log
+    * dir — O(interval + unvacuumed tail) list operations per call, not
+    * O(retained history). Sound because versions above the newest
+    * checkpoint are DENSE: a writer claims V+1 only after V's entry is
+    * visible (or its stale claim is broken), so the first version with no
+    * entry is the end of the log. The pointer is a monotonic HINT — a
+    * missing, stale, torn, or vacuum-regressed pointer falls back to the
+    * full listing, and consumers needing pre-anchor history (time travel,
+    * vacuum, history, changes) always use the full listing. */
+  private[ingest] def tailEntries(fs: FileSystem, warehouse: String): Seq[Entry] = {
+    val ptr = new Path(snapDir(warehouse), LastCkptName)
+    val anchor =
+      try {
+        if (!fs.exists(ptr)) None
+        else readLines(fs, ptr).headOption.flatMap(_.trim.toLongOption)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    anchor match {
+      case None => entries(fs, warehouse)
+      case Some(a) =>
+        val buf = Seq.newBuilder[Entry]
+        var v = a
+        var done = false
+        while (!done) {
+          val sts = fs.globStatus(new Path(snapDir(warehouse), f"$v%020d-*"))
+          logLists.incrementAndGet()
+          val es = sts.toSeq.flatMap { st =>
+            st.getPath.getName match {
+              case SnapRe(ver, cid, kind) =>
+                Some(Entry(ver.toLong, cid, st.getPath, kind == "ckpt",
+                  st.getModificationTime))
+              case _ => None
+            }
+          }
+          if (es.isEmpty) done = true else { buf ++= es; v += 1 }
+        }
+        val out = buf.result().sortBy(e => (e.version, e.commitId, e.isCheckpoint))
+        if (out.exists(e => e.isCheckpoint && e.version == a)) out
+        else entries(fs, warehouse) // stale pointer: anchor gone
+    }
+  }
+
   def latestVersion(fs: FileSystem, warehouse: String): Option[Long] =
-    entries(fs, warehouse).lastOption.map(_.version)
+    tailEntries(fs, warehouse).lastOption.map(_.version)
 
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     logReads.incrementAndGet()
@@ -250,7 +303,8 @@ object Snapshots {
              adds: Seq[(String, String)], removes: Seq[(String, String)],
              op: String = "append", baseVersion: Option[Long] = None,
              statsFor: Map[String, String] = Map.empty,
-             changeFiles: Seq[(String, String)] = Nil): Unit = {
+             changeFiles: Seq[(String, String)] = Nil,
+             replay: Boolean = false): Unit = {
     val myTables = (adds ++ removes).map(_._1).toSet
     var attempts = 0
     while (true) {
@@ -258,7 +312,20 @@ object Snapshots {
       if (attempts > 64)
         throw new ConcurrentCommitException(
           s"commit $commitId could not claim a log version after 64 attempts")
-      val existing = entries(fs, warehouse)
+      // Fresh commits list only the anchored tail: a brand-new commitId
+      // cannot have an entry anywhere, and version assignment/zombie
+      // checks only need the log's top. Two cases need the full listing:
+      // a recovery REPLAY (its entry may have fallen below the anchor
+      // while the job was down — missing it would double-commit), and an
+      // OCC guard whose base predates the anchor (intervening commits in
+      // (base, anchor) would be invisible to the tail).
+      val tail = if (replay) entries(fs, warehouse)
+                 else tailEntries(fs, warehouse)
+      val existing =
+        if (!replay && baseVersion.exists(b =>
+            tail.headOption.exists(_.version > b + 1)))
+          entries(fs, warehouse)
+        else tail
       existing.find(e => !e.isCheckpoint && e.commitId == commitId) match {
         case Some(mine) =>
           // Recovery replay: the entry landed. It is valid only if this
@@ -328,7 +395,13 @@ object Snapshots {
   private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
       : Option[scala.collection.mutable.LinkedHashMap[
           String, scala.collection.mutable.LinkedHashMap[String, (String, String)]]] = {
-    val all = entries(fs, warehouse)
+    // Latest-state reads ride the anchored tail listing; time travel below
+    // the anchor needs the full log.
+    val tail = tailEntries(fs, warehouse)
+    val all =
+      if (asOf.exists(v => tail.headOption.exists(_.version > v)))
+        entries(fs, warehouse)
+      else tail
     if (all.isEmpty) return None
     val visible = asOf.fold(all)(v => all.filter(_.version <= v))
     // After a vacuum, history before the anchor checkpoint is gone; a read
@@ -360,6 +433,22 @@ object Snapshots {
     writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
       state.toSeq.flatMap { case (t, fsq) =>
         fsq.toSeq.map { case (f, (part, stats)) => s"ADD\t$t\t$f\t$part\t$stats" } })
+    // Advance the `_last_checkpoint` pointer (monotonic — a vacuum's
+    // cutoff checkpoint below a newer anchor must not regress it). Plain
+    // overwrite: a torn/stale pointer is a HINT failure, not a correctness
+    // one — tailEntries verifies the anchor and falls back to the full
+    // listing.
+    val ptr = new Path(snapDir(warehouse), LastCkptName)
+    val prev =
+      try {
+        if (fs.exists(ptr)) readLines(fs, ptr).headOption.flatMap(_.trim.toLongOption)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (prev.forall(_ < version)) {
+      val out = fs.create(ptr, true)
+      try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Drop log entries older than the last `keepVersions` versions AND reap
@@ -501,7 +590,8 @@ object Snapshots {
     *    answer), as does a merge commit from before CDF staging existed. */
   def changes(spark: SparkSession, warehouse: String, table: String,
               fromExclusive: Long, toInclusive: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, element_at, input_file_name,
+      lit, split => fnSplit}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = entries(fs, warehouse).filterNot(_.isCheckpoint)
@@ -515,48 +605,67 @@ object Snapshots {
     def checkLive(acts: Seq[Action]): Unit =
       acts.foreach(a => require(fs.exists(new Path(a.file)),
         s"change file ${a.file} was vacuumed — requested range predates retention"))
-    val perVersion = all.filter(e => e.version > fromExclusive && e.version <= to)
-      .flatMap { e =>
-        val op = readOp(fs, e.path)
-        if (rewriteOps(op)) None
-        else {
-          val acts = readActions(fs, e.path)
-          if (op == "merge") {
-            val cdfs = acts.filter(a => a.cdf && a.table == table)
-            if (cdfs.isEmpty) {
-              require(!acts.exists(a => !a.cdf && a.table == table),
-                s"version ${e.version} is a merge commit without change " +
-                  s"files (pre-CDF) — changes() cannot represent it")
-              None
-            } else {
-              checkLive(cdfs)
-              Some(spark.read.parquet(cdfs.map(_.file): _*)
-                .withColumn("_commit_version", lit(e.version)))
-            }
-          } else {
-            val adds = acts.filter(a => a.add && a.table == table)
-            if (adds.isEmpty) None
-            else {
-              checkLive(adds)
-              val df =
-                if (adds.exists(_.partition.nonEmpty))
-                  spark.read.option("basePath", s"$warehouse/$table")
-                    .parquet(adds.map(_.file): _*)
-                else spark.read.parquet(adds.map(_.file): _*)
-              Some(df.withColumn("_change_type", lit("insert"))
-                .withColumn("_commit_version", lit(e.version)))
-            }
-          }
+    // Plan shape: the whole range is served by AT MOST TWO parquet reads —
+    // one over every in-range append/restore ADD file, one over every merge
+    // CDF file — with `_commit_version` joined per file from a broadcast
+    // (fileName → version) map (commitId-prefixed part names are unique
+    // within a table's dirs). A consumer catching up over thousands of
+    // versions gets a two-leaf plan, not an O(versions)-deep union chain.
+    val appendFiles = Seq.newBuilder[(Action, Long)]
+    val cdfFiles = Seq.newBuilder[(Action, Long)]
+    all.filter(e => e.version > fromExclusive && e.version <= to).foreach { e =>
+      val op = readOp(fs, e.path)
+      if (!rewriteOps(op)) {
+        val acts = readActions(fs, e.path)
+        if (op == "merge") {
+          val cdfs = acts.filter(a => a.cdf && a.table == table)
+          if (cdfs.isEmpty)
+            require(!acts.exists(a => !a.cdf && a.table == table),
+              s"version ${e.version} is a merge commit without change " +
+                s"files (pre-CDF) — changes() cannot represent it")
+          else { checkLive(cdfs); cdfs.foreach(a => cdfFiles += (a -> e.version)) }
+        } else {
+          val adds = acts.filter(a => a.add && a.table == table)
+          checkLive(adds)
+          adds.foreach(a => appendFiles += (a -> e.version))
         }
       }
-    if (perVersion.isEmpty)
+    }
+    def withVersion(df: DataFrame, files: Seq[(Action, Long)]): DataFrame = {
+      val verDf = spark.createDataFrame(
+        files.map { case (a, v) => (new Path(a.file).getName, v) })
+        .toDF("_file_name", "_commit_version")
+      df.withColumn("_file_name",
+          element_at(fnSplit(input_file_name(), "/"), -1))
+        .join(broadcast(verDf), "_file_name").drop("_file_name")
+    }
+    // mergeSchema: additive evolution mid-range serves older versions' rows
+    // with nulls in later columns — same stance as read(mergeSchema=true).
+    val appends = {
+      val files = appendFiles.result()
+      if (files.isEmpty) None
+      else {
+        val reader = spark.read.option("mergeSchema", true)
+        val r = if (files.exists(_._1.partition.nonEmpty))
+          reader.option("basePath", s"$warehouse/$table") else reader
+        Some(withVersion(
+          r.parquet(files.map(_._1.file): _*)
+            .withColumn("_change_type", lit("insert")), files))
+      }
+    }
+    val cdf = {
+      val files = cdfFiles.result()
+      if (files.isEmpty) None
+      else Some(withVersion(
+        spark.read.option("mergeSchema", true).parquet(files.map(_._1.file): _*),
+        files))
+    }
+    val frames = appends.toSeq ++ cdf.toSeq
+    if (frames.isEmpty)
       read(spark, warehouse, table, Some(to))
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0)
-    // allowMissingColumns: additive schema evolution mid-range (a commit
-    // introduced a column) serves older versions' rows with nulls there —
-    // the same stance as read(mergeSchema = true).
-    else perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Roll `table` back to `version` as a NEW commit (Delta's RESTORE): the

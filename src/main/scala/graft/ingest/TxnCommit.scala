@@ -170,7 +170,8 @@ object TxnCommit {
   def publish(fs: FileSystem, warehouse: String, commitId: String,
               moves: Seq[Move], deletes: Seq[String] = Nil,
               retained: Seq[String] = Nil, op: String = "append",
-              baseVersion: Option[Long] = None): Unit = {
+              baseVersion: Option[Long] = None,
+              replay: Boolean = false): Unit = {
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
     moves.foreach { m =>
@@ -201,7 +202,8 @@ object TxnCommit {
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d => tableOf(d) -> d),
       op = op, baseVersion = baseVersion, statsFor = statsFor,
-      changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest))
+      changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest),
+      replay = replay)
     catch {
       case e: Snapshots.ConcurrentCommitException =>
         // Lost the OCC race: unpublish. The `.aborted` marker lands first
@@ -293,8 +295,10 @@ object TxnCommit {
           val m = readManifest(fs, mf)
           // A replayed rewrite can lose its OCC race exactly like a live
           // one; publish has already rolled it back — recovery moves on.
+          // replay = true: the idempotency check must scan the FULL log
+          // (the original entry may sit below the checkpoint anchor).
           try publish(fs, warehouse, commitId, m.moves, m.deletes,
-            m.retained, m.op, m.baseVersion)
+            m.retained, m.op, m.baseVersion, replay = true)
           catch { case _: Snapshots.ConcurrentCommitException => () }
         }
       // stray .tmp manifests never reached the commit point: drop them

@@ -315,6 +315,23 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     Snapshots.logReads.set(0L)
     assert(Snapshots.fileSet(fs, w, "t", asOf = Some(100L)).get.size == 101)
     assert(Snapshots.logReads.get() <= Snapshots.CheckpointInterval + 2)
+    // LISTING cost is bounded too: the _last_checkpoint pointer anchors the
+    // listing walk, so one append (or one latest-state read) pays
+    // O(interval) per-version globs — never a 200-status dir listing.
+    Snapshots.logLists.set(0L)
+    Snapshots.append(fs, w, "cNext",
+      adds = Seq("t" -> s"$w/t/fNext.parquet"), removes = Nil)
+    val listsPerAppend = Snapshots.logLists.get()
+    assert(listsPerAppend <= 2 * Snapshots.CheckpointInterval + 4,
+      s"append paid $listsPerAppend list ops; expected O(${Snapshots.CheckpointInterval})")
+    Snapshots.logLists.set(0L)
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 201)
+    assert(Snapshots.logLists.get() <= 2 * Snapshots.CheckpointInterval + 4,
+      s"read paid ${Snapshots.logLists.get()} list ops")
+    // A stale/missing pointer only widens: delete it, everything still works.
+    fs.delete(new Path(s"$w/_snapshots/_last_checkpoint"), false)
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 201)
+    assert(Snapshots.latestVersion(fs, w).contains(200L))
   }
 
   test("crash mid-compaction loses nothing: recovery completes the swap") {
@@ -546,6 +563,39 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     val feed = Snapshots.changes(spark, w, "t", fromExclusive = 2L)
     assert(feed.count() == 10 &&
       feed.select("_change_type").distinct().as[String].head() == "insert")
+  }
+
+  test("changes() over a long version range plans a bounded-depth tree") {
+    val w = wh("whDeepFeed")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    (0 until 60).foreach(i => publishBatch(w, "t", i to i))
+    // One merge commit mid-range so the CDF leg is exercised too.
+    Merge.upsert(spark, w, "t", Seq(5L).toDF("id"), Seq("id")) // v60
+    (61 until 64).foreach(i => publishBatch(w, "t", (i * 10) to (i * 10)))
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+    // 64 versions, but the plan holds at most two parquet leaf relations
+    // (appends + CDF) plus the broadcast version maps — not a union chain
+    // one level deep per version.
+    val leaves = feed.queryExecution.optimizedPlan.collectLeaves()
+    val parquetLeaves = leaves.count {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case _ => false
+    }
+    assert(parquetLeaves <= 2,
+      s"expected <=2 parquet leaves for a 64-version feed, got $parquetLeaves")
+    // And the rows are exactly right: every append's insert tagged with its
+    // committing version, plus the merge's pre/post images at v60.
+    assert(feed.count() == 63 + 2) // 63 append rows + merge pre/post image
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select("id", "_commit_version").as[(Long, Long)].collect().toMap
+    assert(inserts.size == 63 && inserts(0L) == 0L && inserts(59L) == 59L &&
+      inserts(630L) == 63L)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .select("_commit_version").as[Long].head() == 60L)
   }
 
   test("schema enforcement: a type change is rejected at the commit point") {
