@@ -75,6 +75,34 @@ object FormatQueries {
         Seq("n_nationkey")) // v2
       Snapshots.read(s, wh, "nation", asOf = Some(0L))
     }),
+    // Partitioned table end-to-end: two partitionBy commits, a
+    // partition-SCOPED compaction (the OPTIMIZE WHERE path — only
+    // dt=d1's files are rewritten), then a read with a combined
+    // partition + data predicate served from log tuples + stats. The
+    // returned rows must equal the plain-SQL oracle — proving partition
+    // tuples on ADD lines, scoped maintenance, and pruning drop nothing.
+    "fmt_partition" -> ((s, d) => {
+      val wh = freshWh()
+      val n = nation(s, d).withColumn("dt",
+        when(col("n_nationkey") % 2 === 0, lit("d1")).otherwise(lit("d2")))
+      def pubPart(df: DataFrame): Unit = {
+        val fs = new Path(wh).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val cid = java.util.UUID.randomUUID().toString
+        df.coalesce(1).write.partitionBy("dt")
+          .parquet(s"${TxnCommit.stagingDir(wh, cid)}/nation")
+        val moves = TxnCommit.movesFor(fs, wh, cid, "nation")
+        TxnCommit.commit(fs, wh, cid, moves)
+        TxnCommit.publish(fs, wh, cid, moves)
+      }
+      pubPart(n.filter(col("n_nationkey") < 12))
+      pubPart(n.filter(col("n_nationkey") >= 12))
+      Compaction.compact(s, wh, "nation", sortBy = Seq("n_nationkey"),
+        partitionFilter = m => m.get("dt").contains("d1"))
+      Snapshots.readWhere(s, wh, "nation",
+          col("dt") === "d1" && col("n_nationkey") >= 4L)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("dt").cast("string").as("dt"))
+    }),
     // Row-level change feed across an upsert: inserts from both appends,
     // pre/post images for the updated key, tagged with change type (the
     // commit-version column is warehouse-relative, so the oracle-checked
@@ -103,6 +131,11 @@ object FormatQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
         |WHERE n_nationkey < 12""".stripMargin,
+    "fmt_partition" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey, 'd1' AS dt
+        |FROM nation
+        |WHERE n_nationkey % 2 = 0 AND n_nationkey >= 4""".stripMargin,
     "fmt_changes" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey, _change_type
