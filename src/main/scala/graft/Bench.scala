@@ -35,6 +35,11 @@ object Bench {
     // failed query records -1.0 (visible in the JSON) instead of a
     // plausible-looking elapsed time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // One UNTIMED warm-up run first: identical plans re-hit Spark's
+      // whole-stage-codegen source cache and the JIT'd generated classes,
+      // so the timed runs measure the plan, not first-run compilation
+      // (cold simhash measured ~8s vs 1.7s warm on byte-identical code).
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }

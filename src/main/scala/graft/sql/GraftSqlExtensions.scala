@@ -48,8 +48,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val SnapshotRe =
     raw"(?is)\s*SNAPSHOT\s+OF\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*)?".r
   private val HistoryRe = raw"(?is)\s*SNAPSHOT\s+HISTORY\s*".r
+  // FROM optional (omitted or negative = the log's beginning), TO inclusive.
   private val ChangesRe =
-    raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s+FROM\s+(\d+)\s*(?:TO\s+(\d+)\s*)?".r
+    raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s*(?:FROM\s+(-?\d+)\s*)?(?:TO\s+(\d+)\s*)?".r
   private val OptimizeRe =
     raw"(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?".r
   // Conjunctive partition-equality predicates only: k='v' [AND k2='v2' …]
@@ -59,9 +60,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DeleteRe =
     raw"(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*".r
   private val UpdateRe =
-    raw"(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*".r
+    raw"(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+)".r
   // Split SET assignments on commas outside single-quoted strings.
   private val AssignSplitRe = ",(?=(?:[^']*'[^']*')*[^']*$)"
+
+  /** Split `<assignments> WHERE <condition>` at the first WHERE keyword
+    * OUTSIDE single-quoted strings — `SET v = 'has WHERE inside' WHERE …`
+    * must not split inside the literal. None when no unquoted WHERE. */
+  private def splitSetWhere(rest: String): Option[(String, String)] =
+    raw"(?i)\s+WHERE\s+".r.findAllMatchIn(rest)
+      .find(m => rest.take(m.start).count(_ == '\'') % 2 == 0)
+      .map(m => (rest.take(m.start), rest.substring(m.end).trim))
 
   /** DELETE/UPDATE are real Spark grammar too — only intercept statements
     * whose target is a committed table of the configured graft warehouse;
@@ -106,7 +115,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // FROM is exclusive (the last version the consumer saw), TO inclusive —
     // the same contract as the changes() API it maps onto.
     case ChangesRe(table, from, to) =>
-      Snapshots.changes(session, warehouse, table, from.toLong,
+      // Omitted FROM = the whole RETAINED feed (a vacuumed log cannot
+      // serve its truncated prefix, so "the beginning" is the earliest
+      // retained version, not -1).
+      val fromV = Option(from).map(_.toLong).getOrElse {
+        Snapshots.entries(
+            new Path(warehouse).getFileSystem(
+              session.sparkContext.hadoopConfiguration), warehouse)
+          .filterNot(_.isCheckpoint).headOption.map(_.version - 1)
+          .getOrElse(-1L)
+      }
+      Snapshots.changes(session, warehouse, table, fromV,
         Option(to).map(_.toLong)).queryExecution.logical
     case OptimizeRe(table, where, zcols) =>
       val partEq = Option(where).map { w =>
@@ -122,7 +141,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(warehouse, table, version.toLong)
     case DeleteRe(table, where) if isGraftTable(table) =>
       GraftDmlCommand(warehouse, table, where, Nil)
-    case UpdateRe(table, sets, where) if isGraftTable(table) =>
+    case UpdateRe(table, rest)
+        if splitSetWhere(rest).isDefined && isGraftTable(table) =>
+      val (sets, where) = splitSetWhere(rest).get
       val assigns = sets.split(AssignSplitRe).toSeq.map { a =>
         val Array(c, e) = a.split("=", 2)
         c.trim -> e.trim

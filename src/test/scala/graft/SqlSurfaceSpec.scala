@@ -160,6 +160,28 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("DELETE FROM not_a_graft_table WHERE x = 1"))
   }
 
+  test("SNAPSHOT CHANGES without FROM reads from the beginning; quoted WHERE survives UPDATE") {
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    (0 until 5).map(i => (i.toLong, s"n$i")).toDF("id", "name").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/g")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "g")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+    // No FROM = the full retained feed (the suite warehouse was vacuumed
+    // by an earlier test, so "-1" would throw; the earliest retained
+    // version is the honest beginning).
+    val earliest = Snapshots.entries(fs, wh)
+      .filterNot(_.isCheckpoint).head.version - 1
+    assert(spark.sql("SNAPSHOT CHANGES OF g").count() ==
+      Snapshots.changes(spark, wh, "g", fromExclusive = earliest).count())
+    // A WHERE inside a string literal must not terminate the SET clause.
+    spark.sql("UPDATE g SET name = 'x WHERE y' WHERE id = 2")
+    assert(Snapshots.read(spark, wh, "g").filter($"id" === 2L)
+      .select("name").as[String].head() == "x WHERE y")
+  }
+
   test("ordinary SQL falls through to the delegate parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed → delegate error
