@@ -171,4 +171,26 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): DROP every
+    * vector that has a same-cluster neighbor with cosine ≥ `threshold` and
+    * a smaller id; survivors are returned. The pairing is scoped to the
+    * cluster column — at 100 TB that's a k-means cell id (e.g. from
+    * [[Ivf]]'s assignment) sized so per-cell populations are bounded, and
+    * the self-join is an equi-join on the cluster key: pair cost is
+    * Σ cell², never corpus², and the exchange partitions by cell. The
+    * drop rule is a pure NOT-EXISTS (no iteration): a vector is dropped
+    * whenever ANY smaller-id near-duplicate exists, kept otherwise —
+    * deterministic and oracle-checkable. */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, threshold: Double): DataFrame = {
+    val a = vecs.select(col(clusterCol).as("_c"), col(idCol).as("_id_a"),
+      col(vecCol).as("_v_a"))
+    val b = vecs.select(col(clusterCol).as("_c"), col(idCol).as("_id_b"),
+      col(vecCol).as("_v_b"))
+    val dropped = a.join(b, "_c").filter(col("_id_b") < col("_id_a"))
+      .filter(cosine(col("_v_a"), col("_v_b")) >= threshold)
+      .select(col("_id_a").as(idCol)).distinct()
+    vecs.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -120,6 +120,31 @@ object TextOps {
           .cast("binary")).as("chunk_hash"))
   }
 
+  /** Span-level exact dedup (the C4 / "dedup training data" span rule):
+    * split each doc into non-overlapping `spanTokens`-token spans, hash
+    * each span, and keep a duplicated span only at its FIRST occurrence —
+    * the arg-min (doc_id, span_idx) over every occurrence of the same
+    * hash. Emits (doc, span ordinal, hash, keep) so a downstream rewrite
+    * can drop boilerplate spans repeated across documents while each
+    * retains one copy.
+    *
+    * Scale shape: one posexplode (rows scale with spans), then ONE window
+    * over the span hash — a hash-partitioned shuffle of (id, idx, hash)
+    * triples, never of text; no self-join, no all-pairs. Skewed hashes
+    * (a span repeated millions of times) stay one partition's rank
+    * computation of small fixed-width rows. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash"))
+      .orderBy(col(idCol), col("span_idx"))
+    chunk(df, idCol, textCol, chunkTokens = spanTokens, overlap = 0)
+      .withColumnRenamed("chunk_idx", "span_idx")
+      .withColumnRenamed("chunk_hash", "span_hash")
+      .select(col(idCol), col("span_idx"), col("span_hash"),
+        (row_number().over(w) === 1).as("keep"))
+  }
+
   /** Benchmark decontamination: flag every training doc sharing at least
     * `minOverlap` distinct 3-token shingles with the eval/benchmark set —
     * the n-gram-overlap rule used before pre-training so test sets don't

@@ -149,6 +149,29 @@ object LlmQueries {
         "doc_id", "text")
     }),
 
+    // SemDeDup: within each embedding cluster (the fixture's label column
+    // stands in for a k-means cell id; at scale Ivf assigns it), drop
+    // every vector with a smaller-id same-cluster neighbor at cosine
+    // ≥ 0.95 — selection semantics, not just pair-finding. The injected
+    // exact duplicates (vec_id + 1000000) must each lose to their
+    // original; everything else survives.
+    "llm_dedup_semantic" -> ((s, d) => {
+      val base = embs(s, d).select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      val all = base.union(base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"),
+          col("label")))
+      Similarity.semanticDedup(all, "vec_id", "embedding", "label", 0.95)
+        .select("vec_id", "label")
+    }),
+
+    // Span-level exact dedup (C4 rule): 10-token spans, a duplicated span
+    // keeps only its first (doc_id, span_idx) occurrence. Injected dup
+    // docs share every aligned span with their original, so their spans
+    // all come back keep=false except the trailing mutated one.
+    "llm_dedup_spans" -> ((s, d) =>
+      TextOps.spanDedup(docsWithDups(s, d), "doc_id", "text")),
+
     // Brute-force cosine top-10 for query vectors vec_id < 5.
     "llm_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d), 10)),
@@ -437,6 +460,35 @@ object LlmQueries {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE b.doc_id >= 1000000
          |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.6""".stripMargin,
+    // SemDeDup ground truth: survivors = vectors with NO smaller-id
+    // same-cluster neighbor at cosine ≥ 0.95 (exact NOT EXISTS).
+    "llm_dedup_semantic" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         CAST(label AS BIGINT) AS label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]),
+        |         CAST(label AS BIGINT) FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id, a.label FROM all_vecs a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM all_vecs b
+        |  WHERE b.label = a.label AND b.vec_id < a.vec_id
+        |    AND list_dot_product(a.v, b.v) /
+        |        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+        |        >= 0.95)""".stripMargin,
+    // Span-dedup ground truth: first (doc_id, span_idx) per span hash.
+    "llm_dedup_spans" ->
+      s"""WITH $dupDocsCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs),
+         |s AS (SELECT doc_id, toks,
+         |  unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS start_tok FROM t),
+         |spans AS (SELECT doc_id,
+         |  CAST((start_tok - 1) // 10 AS BIGINT) AS span_idx,
+         |  md5(array_to_string(list_slice(toks, start_tok, start_tok + 9), ' ')) AS span_hash
+         |  FROM s)
+         |SELECT doc_id, span_idx, span_hash,
+         |  (row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) = 1) AS keep
+         |FROM spans""".stripMargin,
     // Shared ground truth for llm_cosine_topk AND both exact ANN entries:
     // IVF with nprobe=k and LSH with probeAll must each find the exact
     // top-k, so a hash mismatch there is a recall bug in that ANN path.

@@ -128,4 +128,36 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.autoPlanes(1024L * 1024, targetBucket = 1024) == 10)
     assert(Similarity.autoPlanes(Long.MaxValue / 4) == 24)
   }
+
+  test("semanticDedup: NOT-EXISTS drop rule, cluster-scoped") {
+    val s0 = spark
+    import s0.implicits._
+    // Cluster 0: ids 1,2,3 all identical (a chain) + an orthogonal id 4.
+    // Cluster 1: id 5 identical to id 1 — but in another cluster, so kept.
+    val u = Array(1.0f, 0.0f)
+    val w = Array(0.0f, 1.0f)
+    val vecs = Seq(
+      (1L, u, 0L), (2L, u, 0L), (3L, u, 0L), (4L, w, 0L), (5L, u, 1L))
+      .toDF("vec_id", "embedding", "cluster")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        "cluster", 0.95)
+      .select("vec_id").as[Long].collect().sorted
+    // 2 and 3 each have a smaller-id near-dup (1) → dropped, even though 2
+    // is itself dropped (NOT-EXISTS, not iterative survivor matching).
+    assert(kept.sameElements(Array(1L, 4L, 5L)))
+  }
+
+  test("spanDedup keeps the first (doc, span) occurrence of each span hash") {
+    val s0 = spark
+    import s0.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h i j k l m n o p q r s t", // spans A,B
+      2L -> "a b c d e f g h i j z z z z z z z z z z", // span A dup + C
+      3L -> "k l m n o p q r s t").toDF("doc_id", "text") // = doc1's span B
+    val res = graft.llmops.TextOps.spanDedup(docs, "doc_id", "text")
+      .select("doc_id", "span_idx", "keep").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(res == Set((1L, 0L, true), (1L, 1L, true),
+      (2L, 0L, false), (2L, 1L, true), (3L, 0L, false)))
+  }
 }
