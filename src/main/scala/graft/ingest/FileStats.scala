@@ -285,7 +285,10 @@ object FileStats {
     case ("long", t: java.time.Instant) =>
       Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
     case ("long", n: Number) => Some(n.longValue)
-    case ("double", n: Number) => Some(n.doubleValue)
+    // NaN: Spark orders it GREATER than every double, Java compare-based
+    // bound checks disagree — no sound [min,max] decision exists (and
+    // parquet writers keep NaN out of stats anyway). Keep the file.
+    case ("double", n: Number) if !n.doubleValue.isNaN => Some(n.doubleValue)
     case ("string", s: String) => Some(s)
     case _ => None
   }
@@ -312,6 +315,10 @@ object FileStats {
         if (allNull(c)) false
         else s.cols.get(c) match {
           case Some(cs) => norm(cs.typ, v) match {
+            // NaN bounds in stats (a writer that included NaN rows) carry
+            // no ordering information in Spark's NaN-greatest order — keep.
+            case Some(nv) if cs.typ == "double" &&
+                (cs.min.toDouble.isNaN || cs.max.toDouble.isNaN) => true
             case Some(nv) => decide(cs.typ, nv, cs)
             case None => true
           }

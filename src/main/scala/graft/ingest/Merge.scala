@@ -80,7 +80,7 @@ object Merge {
                            condition: org.apache.spark.sql.Column,
                            assignments: Map[String, org.apache.spark.sql.Column])
       : Result = {
-    import org.apache.spark.sql.functions.{coalesce => cl, count, not, when}
+    import org.apache.spark.sql.functions.{coalesce => cl, not}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -128,6 +128,24 @@ object Merge {
           matchedRows.withColumn("_change_type", lit("update_preimage"))
             .unionByName(updated.withColumn("_change_type", lit("update_postimage"))))
       }
+    commitRewrite(fs, warehouse, table, partCols, out, changes,
+      affected, base, candidates.size)
+  }
+
+  /** Shared commit tail for the key-merge and predicate-DML paths: stage
+    * the rewrite (+ CDF change files), observe the matched count on the
+    * CDF write, and drive stage→commit→publish. The matched-row count
+    * rides the CDF write as an Observation (one pre-image/delete row per
+    * matched row) instead of a separate pass over the affected files;
+    * both writes coalesce to the affected-file count — a predicate
+    * hitting 10% of a 100 TB table must not funnel every row through one
+    * writer task. */
+  private def commitRewrite(fs: org.apache.hadoop.fs.FileSystem,
+                            warehouse: String, table: String,
+                            partCols: Seq[String], out: DataFrame,
+                            changes: DataFrame, affected: Seq[String],
+                            base: Option[Long], candidates: Int): Result = {
+    import org.apache.spark.sql.functions.{count, when}
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
     val cdfStaging =
@@ -135,11 +153,6 @@ object Merge {
     val writer = out.coalesce(math.max(1, affected.size)).write
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
-    // Matched-row count rides the CDF write as an Observation (one pre-image
-    // / delete row per matched row) instead of a separate pass over the
-    // affected files; CDF parallelism scales with the rewrite — a predicate
-    // hitting 10% of a 100 TB table must not funnel every change row
-    // through one writer task.
     val obs = new org.apache.spark.sql.Observation()
     changes
       .observe(obs, count(when(
@@ -154,7 +167,7 @@ object Merge {
       op = "merge", baseVersion = base)
     TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
       op = "merge", baseVersion = base)
-    Result(affected.size, dataMoves.size, matched, candidates.size)
+    Result(affected.size, dataMoves.size, matched, candidates)
   }
 
   private def merge(spark: SparkSession, warehouse: String, table: String,
@@ -221,10 +234,9 @@ object Merge {
     if (affected.isEmpty && (!insertSource || source.isEmpty))
       return Result(0, 0, 0L, candidates.size)
 
-    val commitId = java.util.UUID.randomUUID().toString
-    val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
-    val cdfStaging =
-      s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
+    // CDF volume is O(source) for key merges; the commit tail still scales
+    // its write with the rewrite, and the partition columns travel as
+    // ordinary data columns in CDF rows.
     val (out, changes) =
       if (affected.isEmpty) {
         (source, source.withColumn("_change_type", lit("insert")))
@@ -243,29 +255,7 @@ object Merge {
         } else
           (survivors, preimage.withColumn("_change_type", lit("delete")))
       }
-    val writer = out.coalesce(math.max(1, affected.size)).write
-    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
-      .parquet(staging)
-    // Matched count rides the CDF write (one pre-image/delete row per
-    // matched table row) — no separate count() pass over the affected
-    // files. CDF volume is O(source) for key merges but its write
-    // parallelism still tracks the rewrite, not a single task; the
-    // partition columns travel as ordinary data columns in CDF rows.
-    val obs = new org.apache.spark.sql.Observation()
-    changes
-      .observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.when(
-          col("_change_type").isin("delete", "update_preimage"), 1))
-        .as("matched"))
-      .coalesce(math.max(1, affected.size)).write.parquet(cdfStaging)
-    val matched = obs.get.apply("matched").asInstanceOf[Long]
-    val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
-    val moves = dataMoves ++
-      TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
-    TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
-      op = "merge", baseVersion = base)
-    TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
-      op = "merge", baseVersion = base)
-    Result(affected.size, dataMoves.size, matched, candidates.size)
+    commitRewrite(fs, warehouse, table, partCols, out, changes,
+      affected, base, candidates.size)
   }
 }

@@ -631,9 +631,14 @@ object Snapshots {
         }
       }
     }
+    // A file can be ADDed at SEVERAL in-range versions (restore re-ADDs the
+    // original path): read each distinct path ONCE, and let the (name →
+    // version) map fan each row out to one copy per serving version — the
+    // same multiplicity the per-version plan produced. Passing the path
+    // twice to read.parquet would double the rows BEFORE the fan-out.
     def withVersion(df: DataFrame, files: Seq[(Action, Long)]): DataFrame = {
       val verDf = spark.createDataFrame(
-        files.map { case (a, v) => (new Path(a.file).getName, v) })
+        files.map { case (a, v) => (new Path(a.file).getName, v) }.distinct)
         .toDF("_file_name", "_commit_version")
       df.withColumn("_file_name",
           element_at(fnSplit(input_file_name(), "/"), -1))
@@ -649,7 +654,7 @@ object Snapshots {
         val r = if (files.exists(_._1.partition.nonEmpty))
           reader.option("basePath", s"$warehouse/$table") else reader
         Some(withVersion(
-          r.parquet(files.map(_._1.file): _*)
+          r.parquet(files.map(_._1.file).distinct: _*)
             .withColumn("_change_type", lit("insert")), files))
       }
     }
@@ -657,7 +662,8 @@ object Snapshots {
       val files = cdfFiles.result()
       if (files.isEmpty) None
       else Some(withVersion(
-        spark.read.option("mergeSchema", true).parquet(files.map(_._1.file): _*),
+        spark.read.option("mergeSchema", true)
+          .parquet(files.map(_._1.file).distinct: _*),
         files))
     }
     val frames = appends.toSeq ++ cdf.toSeq

@@ -68,8 +68,14 @@ object SignatureStore {
                               sigTable: String = "doc_signatures"): DataFrame = {
     val banded = Similarity.dropLargeBuckets(
       Snapshots.read(spark, warehouse, sigTable), Seq("band", "bh"), maxBucket)
+    // localCheckpoint, not cache(): both frames are reused several times
+    // below, but a long-running ingest loop calls this per batch — cached
+    // plans would pin block-manager memory until an explicit unpersist the
+    // caller can't issue. Checkpoint blocks are ContextCleaner-managed
+    // (freed when the frame is GC'd) and both frames are O(new batch) /
+    // O(candidates), never O(corpus).
     val freshDocs = newDocs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text")).cache()
+      .select(col(idCol).as("doc_id"), col(textCol).as("text")).localCheckpoint()
     val fresh = freshDocs.select("doc_id").distinct()
     val newSide = banded.join(fresh, "doc_id")
       .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
@@ -78,7 +84,7 @@ object SignatureStore {
       .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct().cache()
+      .distinct().localCheckpoint()
 
     // Corpus endpoints of the candidate pairs: everything not in the new
     // batch. Their [min,max] drives log-side file skipping — two scalars to

@@ -109,8 +109,14 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // The pinned END of what this relation serves, resolved ONCE at load():
+  // the snapshot version for plain reads, the change feed's inclusive
+  // upper bound for CDF reads — so two actions on the same DataFrame see
+  // the same data even while commits land in between.
   private val pinnedVersion: Option[Long] =
-    if (changeFeed) None
+    if (changeFeed)
+      Option(options.get("endingVersion")).map(_.toLong)
+        .orElse(Snapshots.latestVersion(fs, warehouse))
     else Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map { ts =>
         Snapshots.versionAt(fs, warehouse,
@@ -125,7 +131,7 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
       Snapshots.changes(spark, warehouse, table,
         fromExclusive =
           Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
-        toInclusive = Option(options.get("endingVersion")).map(_.toLong))
+        toInclusive = pinnedVersion)
     else Snapshots.read(spark, warehouse, table, asOf = pinnedVersion,
       mergeSchema = mergeSchema, dataFilter = dataFilter)
 
@@ -142,10 +148,17 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
     val pred = filters.flatMap(f =>
         if (changeFeed) None else graft.ingest.FileStats.fromV1Filter(f))
       .reduceOption((a, b) => a.and(b)).orNull
-    val inner = filters.flatMap(toColumn)
-      .foldLeft(baseFrame(pred))((df, c) => df.filter(c))
-    (if (requiredColumns.isEmpty) inner
-     else inner.select(requiredColumns.map(col).toSeq: _*)).rdd
+    // Skipping can prune away every file that CARRIES a schema-evolved
+    // column (the surviving files' merged schema shrinks) — re-add any
+    // advertised column the pruned frame lost as typed nulls, which is
+    // exactly what those files' rows would have read as.
+    val base = schema.fields.foldLeft(baseFrame(pred)) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val inner = filters.flatMap(toColumn).foldLeft(base)((df, c) => df.filter(c))
+    // Empty projection (count-star shape) must still scan zero columns.
+    inner.select(requiredColumns.map(col).toSeq: _*).rdd
   }
 
   /** Exact Column translation (every node must convert — a partially

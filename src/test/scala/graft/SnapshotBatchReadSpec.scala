@@ -110,6 +110,39 @@ class SnapshotBatchReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       "startingVersion" -> "0", "endingVersion" -> "1")).count() == 1)
   }
 
+  test("pushdown that prunes every evolved-schema file still serves the column as nulls") {
+    val w = wh("whEvoPrune")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", (0 until 10).map(_.toLong).toDF("id"))             // (id)
+    pub(w, "t", (10 until 20).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score"))                                        // (id, score)
+    val df = load(w, "t", Map("mergeSchema" -> "true"))
+    // id < 5 skips every file that CARRIES score; the relation must keep
+    // its advertised schema and read the column as null, not throw.
+    val rows = df.filter($"id" < 5L).select("id", "score")
+      .as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(rows.length == 5 && rows.forall(_._2.isEmpty))
+    assert(df.filter($"id" < 5L && $"score".isNull).count() == 5)
+    // And the mixed case still serves real values.
+    assert(df.filter($"id" === 15L).select("score").as[Double].head() == 15.0)
+  }
+
+  test("NaN-valued pushed filters never prune files (Spark orders NaN greatest)") {
+    val w = wh("whNaN")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", Seq((1L, 1.5), (2L, 2.5)).toDF("id", "d"))
+    pub(w, "t", Seq((3L, Double.NaN)).toDF("id", "d"))
+    val df = load(w, "t")
+    // d < NaN is true for every non-NaN row in Spark's ordering; a
+    // compare-based stats check would prune everything.
+    assert(df.filter($"d" < Double.NaN).count() == 2)
+    assert(df.filter($"d" >= Double.NaN).select("id").as[Long].head() == 3L)
+    // A NaN stats bound (file 2's min=max=NaN) must not mislead either.
+    assert(df.filter($"d" > 2.0).count() == 2) // 2.5 and NaN
+  }
+
   test("filters and projections prune through to the inner plan correctly") {
     val w = wh("whPrune")
     val s0 = spark

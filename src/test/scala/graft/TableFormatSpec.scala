@@ -598,6 +598,24 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("_commit_version").as[Long].head() == 60L)
   }
 
+  test("changes() serves a restore-re-ADDed file once per serving version") {
+    val w = wh("whRestoreFeed")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    publishBatch(w, "t", 1 to 3)                            // v0: file F
+    Merge.deleteKeys(spark, w, "t", Seq(2L).toDF("id"), Seq("id")) // v1
+    Snapshots.restore(spark, w, "t", 0L)                    // v2: re-ADDs F
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+    // F's rows appear EXACTLY twice — once tagged v0, once v2 (the restore
+    // re-ADDs the same path; the multi-file read must not double-read it).
+    val byVersion = feed.filter(col("_change_type") === "insert")
+      .groupBy("_commit_version").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byVersion == Map(0L -> 3L, 2L -> 3L), s"got $byVersion")
+    assert(feed.filter(col("_change_type") === "delete").count() == 1)
+  }
+
   test("schema enforcement: a type change is rejected at the commit point") {
     val w = wh("whEnforce")
     val s0 = spark
