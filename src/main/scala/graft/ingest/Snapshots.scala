@@ -594,7 +594,10 @@ object Snapshots {
       lit, split => fnSplit}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = entries(fs, warehouse).filterNot(_.isCheckpoint)
+    // A consumer tailing the log (from at/above the checkpoint anchor —
+    // the steady state) pays only the anchored tail listing; catch-ups
+    // reaching below the anchor list the full dir.
+    val all = boundedFrom(fs, warehouse, fromExclusive)
     val to = toInclusive.getOrElse(all.lastOption.map(_.version).getOrElse(-1L))
     // Vacuum deletes pre-cutoff log entries outright — a range reaching
     // below the earliest retained entry would silently miss their appends.
@@ -711,14 +714,26 @@ object Snapshots {
     (adds.size, removes.size)
   }
 
+  /** Non-checkpoint entries sufficient to serve a range starting ABOVE
+    * `fromExclusive`: the anchored tail when it covers the range (its
+    * earliest version ≤ from+1 — the steady tailing state), else the full
+    * listing (catch-up below the anchor, or no pointer yet). */
+  private[graft] def boundedFrom(fs: FileSystem, warehouse: String,
+                          fromExclusive: Long): Seq[Entry] = {
+    val tail = tailEntries(fs, warehouse).filterNot(_.isCheckpoint)
+    if (tail.headOption.exists(_.version <= fromExclusive + 1)) tail
+    else entries(fs, warehouse).filterNot(_.isCheckpoint)
+  }
+
   /** Per-version (version, op, ADD + CDF actions for `table`) over the
     * entries in (`fromExclusive`, `toInclusive`] — the driver-side planning
     * input for incremental consumers (the streaming source tails the log
-    * with this). Reads only the in-range entry files. */
+    * with this, once per trigger: in the steady state the listing cost is
+    * the anchored tail, not the dir). Reads only in-range entry files. */
   def addsInRange(fs: FileSystem, warehouse: String, table: String,
                   fromExclusive: Long, toInclusive: Long)
       : Seq[(Long, String, Seq[Action])] =
-    entries(fs, warehouse).filterNot(_.isCheckpoint)
+    boundedFrom(fs, warehouse, fromExclusive)
       .filter(e => e.version > fromExclusive && e.version <= toInclusive)
       .map(e => (e.version, readOp(fs, e.path),
         readActions(fs, e.path).filter(a => (a.add || a.cdf) && a.table == table)))

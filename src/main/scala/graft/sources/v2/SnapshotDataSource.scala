@@ -282,8 +282,11 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     // batch changes()); the consumer pattern for a vacuumed table is one
     // batch Snapshots.read of the current snapshot + a stream from
     // startingVersion = that snapshot's version.
-    val earliest = Snapshots.entries(fs, warehouse)
-      .filterNot(_.isCheckpoint).headOption.map(_.version)
+    // boundedFrom: in the steady tailing state (offset at/above the
+    // checkpoint anchor) this is the anchored tail listing, so a trigger
+    // never pays an O(dir) list just to re-check the vacuum guard.
+    val earliest = Snapshots.boundedFrom(fs, warehouse, s)
+      .headOption.map(_.version)
     earliest.filter(_ > 0).foreach(first => require(s >= 0 && s + 1 >= first,
       s"stream offset $s predates the vacuumed snapshot log (earliest " +
         s"retained version: $first) — the truncated range is unrecoverable; " +

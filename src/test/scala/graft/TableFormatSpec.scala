@@ -328,6 +328,12 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.fileSet(fs, w, "t").get.size == 201)
     assert(Snapshots.logLists.get() <= 2 * Snapshots.CheckpointInterval + 4,
       s"read paid ${Snapshots.logLists.get()} list ops")
+    // Tailing consumers (changes / the streaming source's addsInRange)
+    // with a recent offset also stay on the anchored listing.
+    Snapshots.logLists.set(0L)
+    assert(Snapshots.addsInRange(fs, w, "t", 195L, 200L).size == 5)
+    assert(Snapshots.logLists.get() <= 2 * Snapshots.CheckpointInterval + 4,
+      s"tailing addsInRange paid ${Snapshots.logLists.get()} list ops")
     // A stale/missing pointer only widens: delete it, everything still works.
     fs.delete(new Path(s"$w/_snapshots/_last_checkpoint"), false)
     assert(Snapshots.fileSet(fs, w, "t").get.size == 201)
