@@ -72,6 +72,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("llm_dedup_spans: one exchange (window over span hash), no self-join") {
+    val p = plan("llm_dedup_spans")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("llm_dedup_semantic: cluster-scoped equi-join, never a cartesian") {
+    val p = plan("llm_dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("llm_repetition: pure per-row projection — no shuffle at all") {
     val p = plan("llm_repetition")
     assert(!p.contains("Exchange"), p)

@@ -102,6 +102,28 @@ class SignatureStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sigRead.count() == 33 * 16) // 33 docs × 16 bands
   }
 
+  test("the signature table is a normal table: compaction doesn't change dedup results") {
+    val w = wh("whSigComp")
+    val batches = Seq((0 until 8).map(doc), (8 until 16).map(doc))
+    batches.foreach { b =>
+      pubDocs(w, b)
+      SignatureStore.appendBatch(spark, w, toDf(b), "doc_id", "text")
+    }
+    // Bin-pack the band table (routine maintenance on a per-batch-append
+    // table), then land a new batch and dedup through the compacted store.
+    val res = graft.ingest.Compaction.compact(spark, w, "doc_signatures")
+    assert(res.exists(_.filesBefore >= 2))
+    val batch2 = Seq(2000L -> (doc(3)._2 + " zz"))
+    pubDocs(w, batch2)
+    SignatureStore.appendBatch(spark, w, toDf(batch2), "doc_id", "text")
+    val s0 = spark
+    import s0.implicits._
+    val got = SignatureStore.incrementalNearDupPairs(
+        spark, w, "documents", toDf(batch2), "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2000L)))
+  }
+
   test("new-vs-new only: no corpus endpoints means no corpus text read at all") {
     val w = wh("whNvN")
     val corpus = (0 until 5).map(doc)
