@@ -102,13 +102,17 @@ object Merge {
     val pred = resolved.flatMap(FileStats.fromExpression)
     val candidates = meta.filter(a => pred.forall(p =>
       FileStats.mayMatch(FileStats.decode(a.stats), p))).map(_.file)
+    // Scheme-less FULL paths, not basenames: one dynamic-partition write
+    // emits the same basename into every partition dir, so a basename
+    // match would drag every sibling partition's file into the rewrite.
     val affectedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else readFiles(candidates).filter(condition)
         .withColumn("_src_file", input_file_name())
         .select("_src_file").distinct()
-        .collect().map(r => new Path(r.getString(0)).getName).toSet
-    val affected = meta.map(_.file).filter(f => affectedNames(new Path(f).getName))
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val affected = meta.map(_.file)
+      .filter(f => affectedNames(new Path(f).toUri.getPath))
     if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
 
     val hit = readFiles(affected)
@@ -205,9 +209,10 @@ object Merge {
         meta.filter(a => FileStats.mayMatch(FileStats.decode(a.stats), pred))
           .map(_.file)
       }
-    // Affected files: commitId-prefixed part names are unique within the
-    // table dir, so the name alone identifies a snapshot file (and sidesteps
-    // scheme/slash differences between input_file_name() URIs and log paths).
+    // Affected files by scheme-less FULL path (Path.toUri.getPath
+    // normalizes input_file_name() URIs and log paths to one form) —
+    // basenames are NOT unique across a commit's partition dirs, so a
+    // name match would rewrite every sibling partition's file.
     val affectedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else readFiles(candidates)
@@ -215,8 +220,8 @@ object Merge {
         .withColumn("_src_file", input_file_name())
         .join(broadcast(srcKeys), keyCols, "left_semi")
         .select("_src_file").distinct()
-        .collect().map(r => new Path(r.getString(0)).getName).toSet
-    val affected = files.filter(f => affectedNames(new Path(f).getName))
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val affected = files.filter(f => affectedNames(new Path(f).toUri.getPath))
 
     // Delta MERGE errors when several source rows share a key (the same
     // target row would be updated twice, nondeterministically); enforce the

@@ -590,8 +590,8 @@ object Snapshots {
     *    answer), as does a merge commit from before CDF staging existed. */
   def changes(spark: SparkSession, warehouse: String, table: String,
               fromExclusive: Long, toInclusive: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, element_at, input_file_name,
-      lit, split => fnSplit}
+    import org.apache.spark.sql.functions.{broadcast, input_file_name, lit,
+      regexp_replace}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // A consumer tailing the log (from at/above the checkpoint anchor —
@@ -635,17 +635,20 @@ object Snapshots {
       }
     }
     // A file can be ADDed at SEVERAL in-range versions (restore re-ADDs the
-    // original path): read each distinct path ONCE, and let the (name →
+    // original path): read each distinct path ONCE, and let the (path →
     // version) map fan each row out to one copy per serving version — the
     // same multiplicity the per-version plan produced. Passing the path
-    // twice to read.parquet would double the rows BEFORE the fan-out.
+    // twice to read.parquet would double the rows BEFORE the fan-out. The
+    // key is the scheme-less FULL path, not the basename: one dynamic-
+    // partition write emits the same basename into every partition dir, so
+    // basenames are NOT unique within a commit.
     def withVersion(df: DataFrame, files: Seq[(Action, Long)]): DataFrame = {
       val verDf = spark.createDataFrame(
-        files.map { case (a, v) => (new Path(a.file).getName, v) }.distinct)
-        .toDF("_file_name", "_commit_version")
-      df.withColumn("_file_name",
-          element_at(fnSplit(input_file_name(), "/"), -1))
-        .join(broadcast(verDf), "_file_name").drop("_file_name")
+        files.map { case (a, v) => (new Path(a.file).toUri.getPath, v) }.distinct)
+        .toDF("_file_path", "_commit_version")
+      df.withColumn("_file_path",
+          regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+://[^/]*", ""))
+        .join(broadcast(verDf), "_file_path").drop("_file_path")
     }
     // mergeSchema: additive evolution mid-range serves older versions' rows
     // with nulls in later columns — same stance as read(mergeSchema=true).

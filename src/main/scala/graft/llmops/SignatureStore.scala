@@ -68,14 +68,18 @@ object SignatureStore {
                               sigTable: String = "doc_signatures"): DataFrame = {
     val banded = Similarity.dropLargeBuckets(
       Snapshots.read(spark, warehouse, sigTable), Seq("band", "bh"), maxBucket)
-    // localCheckpoint, not cache(): both frames are reused several times
-    // below, but a long-running ingest loop calls this per batch — cached
-    // plans would pin block-manager memory until an explicit unpersist the
-    // caller can't issue. Checkpoint blocks are ContextCleaner-managed
-    // (freed when the frame is GC'd) and both frames are O(new batch) /
-    // O(candidates), never O(corpus).
+    // localCheckpoint(eager=false), not cache(): both frames are reused
+    // several times below, but a long-running ingest loop calls this per
+    // batch — cached plans would pin block-manager memory until an
+    // explicit unpersist the caller can't issue, while checkpoint blocks
+    // are ContextCleaner-managed (freed when the frame is GC'd). Lazy, so
+    // nothing runs unless the caller executes the result. Trade-off owned
+    // here: truncated lineage means a lost executor fails the job instead
+    // of recomputing (same stance as ConnectedComponents) — both frames
+    // are O(new batch)/O(candidates) small, so a retry is cheap.
     val freshDocs = newDocs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text")).localCheckpoint()
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .localCheckpoint(false)
     val fresh = freshDocs.select("doc_id").distinct()
     val newSide = banded.join(fresh, "doc_id")
       .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
@@ -84,7 +88,7 @@ object SignatureStore {
       .filter(col("doc_a") =!= col("doc_b"))
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
 
     // Corpus endpoints of the candidate pairs: everything not in the new
     // batch. Their [min,max] drives log-side file skipping — two scalars to

@@ -115,16 +115,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // FROM is exclusive (the last version the consumer saw), TO inclusive —
     // the same contract as the changes() API it maps onto.
     case ChangesRe(table, from, to) =>
-      // Omitted or below-range FROM = the whole RETAINED feed (a vacuumed
-      // log cannot serve its truncated prefix, so "the beginning" is the
-      // earliest retained version; FROM -5 on a fresh log likewise clamps
-      // instead of tripping the vacuum guard).
-      val earliest = Snapshots.entries(
-          new Path(warehouse).getFileSystem(
-            session.sparkContext.hadoopConfiguration), warehouse)
-        .filterNot(_.isCheckpoint).headOption.map(_.version - 1)
-        .getOrElse(-1L)
-      val fromV = Option(from).map(_.toLong.max(earliest)).getOrElse(earliest)
+      // Omitted FROM = the whole RETAINED feed ("the beginning" of a
+      // vacuumed log is its earliest retained version — computed only on
+      // this path, so FROM-ful statements pay no extra listing). An
+      // EXPLICIT FROM passes through (below-retention values still fail
+      // fast in changes() — silently clamping would hide vacuumed
+      // versions from a consumer); negatives just normalize to -1.
+      val fromV = Option(from).map(_.toLong.max(-1L)).getOrElse {
+        Snapshots.entries(
+            new Path(warehouse).getFileSystem(
+              session.sparkContext.hadoopConfiguration), warehouse)
+          .filterNot(_.isCheckpoint).headOption.map(_.version - 1)
+          .getOrElse(-1L)
+      }
       Snapshots.changes(session, warehouse, table, fromV,
         Option(to).map(_.toLong)).queryExecution.logical
     case OptimizeRe(table, where, zcols) =>

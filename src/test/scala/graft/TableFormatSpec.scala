@@ -622,6 +622,33 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feed.filter(col("_change_type") === "delete").count() == 1)
   }
 
+  test("partitioned restore feed: equal basenames across partition dirs don't cross-tag") {
+    val w = wh("whPartRestoreFeed")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    // ONE dynamic-partition write emits the SAME basename into dt=d1 and
+    // dt=d2 — the version map must key on full paths, or d2's rows get
+    // fanned out to the restore version too.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, "d1"), (2L, "d1"), (3L, "d2"), (4L, "d2")).toDF("id", "dt")
+      .coalesce(1).write.partitionBy("dt")
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)                       // v0
+    Merge.deleteWhere(spark, w, "t", col("dt") === "d1")       // v1
+    Snapshots.restore(spark, w, "t", 0L)                       // v2: re-ADDs d1's file
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+      .filter(col("_change_type") === "insert")
+      .select("id", "_commit_version").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // d1 rows (1,2): inserted at v0 AND re-inserted by the restore at v2;
+    // d2 rows (3,4): v0 only — never v2.
+    assert(feed == Map(1L -> Seq(0L, 2L), 2L -> Seq(0L, 2L),
+      3L -> Seq(0L), 4L -> Seq(0L)), s"got $feed")
+  }
+
   test("schema enforcement: a type change is rejected at the commit point") {
     val w = wh("whEnforce")
     val s0 = spark
