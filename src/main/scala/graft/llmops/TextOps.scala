@@ -145,6 +145,35 @@ object TextOps {
         (row_number().over(w) === 1).as("keep"))
   }
 
+  /** The rewrite [[spanDedup]] feeds: documents reassembled from only the
+    * spans that are the global first occurrence of their content —
+    * cross-document boilerplate collapses to one surviving copy. Docs
+    * whose every span was seen earlier elsewhere disappear from the
+    * output entirely (fully-duplicate documents). Shape: spanDedup's one
+    * hash-window plus one groupBy(doc) re-assembly; the re-assembly
+    * shuffles only KEPT span text, and span order is restored by an
+    * in-row sort of (idx, text) structs — no second window. */
+  def dropDupSpans(df: DataFrame, idCol: String, textCol: String,
+                   spanTokens: Int = 10): DataFrame = {
+    val spans = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+          lit(spanTokens))).as(Seq("__i", "__start")))
+      .select(col(idCol), col("__i").cast("long").as("span_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(spanTokens)))
+          .as("span_text"))
+      .withColumn("span_hash", md5(col("span_text").cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash")).orderBy(col(idCol), col("span_idx"))
+    spans.withColumn("__keep", row_number().over(w) === 1)
+      .filter(col("__keep"))
+      .groupBy(col(idCol))
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(span_idx, span_text))), x -> x.span_text), ' ')")
+        .as("clean_text"))
+  }
+
   /** Benchmark decontamination: flag every training doc sharing at least
     * `minOverlap` distinct 3-token shingles with the eval/benchmark set —
     * the n-gram-overlap rule used before pre-training so test sets don't

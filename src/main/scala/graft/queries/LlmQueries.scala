@@ -172,6 +172,12 @@ object LlmQueries {
     "llm_dedup_spans" -> ((s, d) =>
       TextOps.spanDedup(docsWithDups(s, d), "doc_id", "text")),
 
+    // The span-dedup rewrite: docs reassembled from globally-first spans.
+    // Each injected dup doc collapses to just its trailing mutated span;
+    // originals come back verbatim.
+    "llm_clean_spans" -> ((s, d) =>
+      TextOps.dropDupSpans(docsWithDups(s, d), "doc_id", "text")),
+
     // Brute-force cosine top-10 for query vectors vec_id < 5.
     "llm_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embs(s, d).filter(col("vec_id") < 5), embs(s, d), 10)),
@@ -489,6 +495,22 @@ object LlmQueries {
          |SELECT doc_id, span_idx, span_hash,
          |  (row_number() OVER (PARTITION BY span_hash ORDER BY doc_id, span_idx) = 1) AS keep
          |FROM spans""".stripMargin,
+    // Clean-rewrite ground truth: first-occurrence spans, reassembled in
+    // span order per doc; fully-duplicate docs produce no row.
+    "llm_clean_spans" ->
+      s"""WITH $dupDocsCte,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs),
+         |s AS (SELECT doc_id, toks,
+         |  unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS start_tok FROM t),
+         |spans AS (SELECT doc_id,
+         |  CAST((start_tok - 1) // 10 AS BIGINT) AS span_idx,
+         |  array_to_string(list_slice(toks, start_tok, start_tok + 9), ' ') AS span_text
+         |  FROM s),
+         |k AS (SELECT doc_id, span_idx, span_text,
+         |  (row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) = 1) AS keep
+         |  FROM spans)
+         |SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text
+         |FROM k WHERE keep GROUP BY doc_id""".stripMargin,
     // Shared ground truth for llm_cosine_topk AND both exact ANN entries:
     // IVF with nprobe=k and LSH with probeAll must each find the exact
     // top-k, so a hash mismatch there is a recall bug in that ANN path.
