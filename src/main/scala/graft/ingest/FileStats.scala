@@ -47,12 +47,20 @@ object FileStats {
   private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
 
-  /** Single-line, tab-free token: `rows=N|s:name,tag|…|name,typ,min,max|…`
+  /** Token format version. v2 marks stats collected with unit-correct
+    * timestamps (MILLIS→micros, NANOS/DECIMAL/TIME/unsigned refused) and
+    * UTF-8-ordered string folding; tokens WITHOUT the marker were
+    * collected by the earlier collector whose values can sit in the wrong
+    * unit/order — [[decode]] strips their hazardous entries so a legacy
+    * log can never prune a file on a wrong-unit bound. */
+  private val TokenVersion = "v:2"
+
+  /** Single-line, tab-free token: `rows=N|v:2|s:name,tag|…|name,typ,min,max|…`
     * with URL-encoded names/tags/values so arbitrary strings survive.
     * `s:` parts carry the file's full top-level schema; the rest are
     * per-column [min,max]. */
   def encode(s: Stats): String =
-    (s"rows=${s.rows}" +:
+    (Seq(s"rows=${s.rows}", TokenVersion) ++
       (s.schema.map { case (n, t) => s"s:${enc(n)},${enc(t)}" } ++
         s.nulls.toSeq.sortBy(_._1).map { case (n, c) => s"n:${enc(n)},$c" } ++
         s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
@@ -65,21 +73,44 @@ object FileStats {
     else try {
       val parts = token.split("\\|").toSeq
       val rows = parts.head.stripPrefix("rows=").toLong
-      val schema = parts.tail.filter(_.startsWith("s:")).map { p =>
+      val v2 = parts.tail.contains(TokenVersion)
+      val meta = parts.tail.filterNot(_ == TokenVersion)
+      val schema = meta.filter(_.startsWith("s:")).map { p =>
         val Array(n, t) = p.stripPrefix("s:").split(",", 2)
         dec(n) -> dec(t)
       }
-      val nulls = parts.tail.filter(_.startsWith("n:")).map { p =>
+      val nulls = meta.filter(_.startsWith("n:")).map { p =>
         val Array(n, c) = p.stripPrefix("n:").split(",", 2)
         dec(n) -> c.toLong
       }.toMap
-      val cols = parts.tail.filterNot(p => p.startsWith("s:") || p.startsWith("n:"))
+      val cols = meta.filterNot(p => p.startsWith("s:") || p.startsWith("n:"))
         .map { p =>
           val Array(n, t, mn, mx) = p.split(",", 4)
           dec(n) -> ColStats(t, dec(mn), dec(mx))
         }.toMap
-      Some(Stats(rows, cols, schema, nulls))
+      Some(Stats(rows, if (v2) cols else legacySafe(cols, schema), schema, nulls))
     } catch { case _: RuntimeException => None }
+
+  /** Strip the entries a pre-v2 collector may have recorded unsoundly:
+    * long bounds on MILLIS/NANOS timestamps (raw units vs the micros the
+    * query side compares in), DECIMAL (unscaled), TIME, and unsigned ints
+    * (signed wraparound) — and ALL string bounds (folded in UTF-16 order,
+    * which can pick non-extreme values for supplementary-plane text). A
+    * long column without a schema tag is unidentifiable → also dropped.
+    * Absent stats never skip, so legacy tables lose some pruning but can
+    * never lose rows. */
+  private def legacySafe(cols: Map[String, ColStats],
+                         schema: Seq[(String, String)]): Map[String, ColStats] = {
+    val tags = schema.toMap
+    cols.filter {
+      case (_, ColStats("double", _, _)) => true
+      case (_, ColStats("string", _, _)) => false
+      case (n, _) => tags.get(n).exists(tag =>
+        !(tag.contains("TIMESTAMP(MILLIS") || tag.contains("TIMESTAMP(NANOS") ||
+          tag.contains("DECIMAL(") || tag.contains("TIME(") ||
+          tag.matches(".*INT\\(\\d+,false\\).*")))
+    }
+  }
 
   // --------------------------------------------------------------- collect
 

@@ -35,6 +35,20 @@ import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max
   */
 object Merge {
 
+  /** Canonical comparison key for a log-side file path: the scheme-less
+    * URL-ENCODED path. `input_file_name()` returns encoded URIs while the
+    * log stores raw paths; Hadoop Path's `toUri.getRawPath` applies the
+    * same encoding Spark's scan paths carry, so both sides meet in one
+    * form (a decoded-vs-encoded comparison would silently mismatch on
+    * partition values with spaces — Spark's path escaping keeps them). */
+  private def pathKey(file: String): String =
+    new Path(file).toUri.getRawPath
+
+  /** Comparison key for an `input_file_name()` value: drop scheme and
+    * authority, keep the (already-encoded) path. */
+  private def srcFileKey(uri: String): String =
+    uri.replaceFirst("^[a-zA-Z0-9+.-]+://[^/]*", "")
+
   /** `rowsMatched`: rows of the table whose key matched the source —
     * replaced on upsert, removed on delete. `filesScanned`: stats-surviving
     * candidate files actually opened to find matches (≤ table file count;
@@ -105,14 +119,14 @@ object Merge {
     // Scheme-less FULL paths, not basenames: one dynamic-partition write
     // emits the same basename into every partition dir, so a basename
     // match would drag every sibling partition's file into the rewrite.
+    // Both sides compare in URL-ENCODED form (see [[pathKey]]).
     val affectedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else readFiles(candidates).filter(condition)
         .withColumn("_src_file", input_file_name())
         .select("_src_file").distinct()
-        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
-    val affected = meta.map(_.file)
-      .filter(f => affectedNames(new Path(f).toUri.getPath))
+        .collect().map(r => srcFileKey(r.getString(0))).toSet
+    val affected = meta.map(_.file).filter(f => affectedNames(pathKey(f)))
     if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
 
     val hit = readFiles(affected)
@@ -209,10 +223,9 @@ object Merge {
         meta.filter(a => FileStats.mayMatch(FileStats.decode(a.stats), pred))
           .map(_.file)
       }
-    // Affected files by scheme-less FULL path (Path.toUri.getPath
-    // normalizes input_file_name() URIs and log paths to one form) —
-    // basenames are NOT unique across a commit's partition dirs, so a
-    // name match would rewrite every sibling partition's file.
+    // Affected files by scheme-less FULL path — basenames are NOT unique
+    // across a commit's partition dirs, so a name match would rewrite
+    // every sibling partition's file. Encoded-form keys (see [[pathKey]]).
     val affectedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else readFiles(candidates)
@@ -220,8 +233,8 @@ object Merge {
         .withColumn("_src_file", input_file_name())
         .join(broadcast(srcKeys), keyCols, "left_semi")
         .select("_src_file").distinct()
-        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
-    val affected = files.filter(f => affectedNames(new Path(f).toUri.getPath))
+        .collect().map(r => srcFileKey(r.getString(0))).toSet
+    val affected = files.filter(f => affectedNames(pathKey(f)))
 
     // Delta MERGE errors when several source rows share a key (the same
     // target row would be updated twice, nondeterministically); enforce the

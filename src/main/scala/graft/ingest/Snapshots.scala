@@ -639,12 +639,17 @@ object Snapshots {
     // version) map fan each row out to one copy per serving version — the
     // same multiplicity the per-version plan produced. Passing the path
     // twice to read.parquet would double the rows BEFORE the fan-out. The
-    // key is the scheme-less FULL path, not the basename: one dynamic-
-    // partition write emits the same basename into every partition dir, so
-    // basenames are NOT unique within a commit.
+    // key is the scheme-less FULL path (basenames are NOT unique within a
+    // commit — one dynamic-partition write emits the same basename into
+    // every partition dir), in the URL-ENCODED form both sides can agree
+    // on: input_file_name() serves encoded URIs, and Hadoop Path's
+    // toUri.getRawPath produces the same encoding for the log's raw paths
+    // (spaces in partition values survive Spark's path escaping, so
+    // comparing decoded-vs-encoded would silently drop their rows).
     def withVersion(df: DataFrame, files: Seq[(Action, Long)]): DataFrame = {
       val verDf = spark.createDataFrame(
-        files.map { case (a, v) => (new Path(a.file).toUri.getPath, v) }.distinct)
+        files.map { case (a, v) =>
+          (new Path(a.file).toUri.getRawPath, v) }.distinct)
         .toDF("_file_path", "_commit_version")
       df.withColumn("_file_path",
           regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+://[^/]*", ""))
@@ -652,18 +657,23 @@ object Snapshots {
     }
     // mergeSchema: additive evolution mid-range serves older versions' rows
     // with nulls in later columns — same stance as read(mergeSchema=true).
-    val appends = {
-      val files = appendFiles.result()
+    // Partitioned and flat ADDs get SEPARATE reads (at most one each): a
+    // range spanning a layout switch would otherwise hand Spark's partition
+    // discovery leaf dirs at conflicting depths in one relation. Plan depth
+    // stays bounded (≤3 parquet leaves total with the CDF leg).
+    def appendRead(files: Seq[(Action, Long)], partitioned: Boolean) =
       if (files.isEmpty) None
       else {
         val reader = spark.read.option("mergeSchema", true)
-        val r = if (files.exists(_._1.partition.nonEmpty))
+        val r = if (partitioned)
           reader.option("basePath", s"$warehouse/$table") else reader
         Some(withVersion(
           r.parquet(files.map(_._1.file).distinct: _*)
             .withColumn("_change_type", lit("insert")), files))
       }
-    }
+    val (partAdds, flatAdds) = appendFiles.result().partition(_._1.partition.nonEmpty)
+    val appends = Seq(appendRead(partAdds, partitioned = true),
+      appendRead(flatAdds, partitioned = false)).flatten
     val cdf = {
       val files = cdfFiles.result()
       if (files.isEmpty) None
@@ -672,7 +682,7 @@ object Snapshots {
           .parquet(files.map(_._1.file).distinct: _*),
         files))
     }
-    val frames = appends.toSeq ++ cdf.toSeq
+    val frames = appends ++ cdf.toSeq
     if (frames.isEmpty)
       read(spark, warehouse, table, Some(to))
         .withColumn("_change_type", lit(""))

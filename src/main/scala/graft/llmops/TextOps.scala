@@ -133,17 +133,30 @@ object TextOps {
     * triples, never of text; no self-join, no all-pairs. Skewed hashes
     * (a span repeated millions of times) stay one partition's rank
     * computation of small fixed-width rows. */
-  def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                spanTokens: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  /** (id, span_idx, span_text) for non-overlapping `spanTokens`-token
+    * spans — the ONE splitter behind [[spanDedup]] and [[dropDupSpans]],
+    * so the two can never disagree on span boundaries or content. */
+  private def spanize(df: DataFrame, idCol: String, textCol: String,
+                      spanTokens: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+          lit(spanTokens))).as(Seq("__i", "__start")))
+      .select(col(idCol), col("__i").cast("long").as("span_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(spanTokens)))
+          .as("span_text"))
+
+  private def spanFirstOccurrence(idCol: String) =
+    row_number().over(org.apache.spark.sql.expressions.Window
       .partitionBy(col("span_hash"))
-      .orderBy(col(idCol), col("span_idx"))
-    chunk(df, idCol, textCol, chunkTokens = spanTokens, overlap = 0)
-      .withColumnRenamed("chunk_idx", "span_idx")
-      .withColumnRenamed("chunk_hash", "span_hash")
+      .orderBy(col(idCol), col("span_idx"))) === 1
+
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanTokens: Int = 10): DataFrame =
+    spanize(df, idCol, textCol, spanTokens)
+      .withColumn("span_hash", md5(col("span_text").cast("binary")))
       .select(col(idCol), col("span_idx"), col("span_hash"),
-        (row_number().over(w) === 1).as("keep"))
-  }
+        spanFirstOccurrence(idCol).as("keep"))
 
   /** The rewrite [[spanDedup]] feeds: documents reassembled from only the
     * spans that are the global first occurrence of their content —
@@ -154,25 +167,15 @@ object TextOps {
     * shuffles only KEPT span text, and span order is restored by an
     * in-row sort of (idx, text) structs — no second window. */
   def dropDupSpans(df: DataFrame, idCol: String, textCol: String,
-                   spanTokens: Int = 10): DataFrame = {
-    val spans = df
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
-          lit(spanTokens))).as(Seq("__i", "__start")))
-      .select(col(idCol), col("__i").cast("long").as("span_idx"),
-        concat_ws(" ", slice(col("__toks"), col("__start"), lit(spanTokens)))
-          .as("span_text"))
+                   spanTokens: Int = 10): DataFrame =
+    spanize(df, idCol, textCol, spanTokens)
       .withColumn("span_hash", md5(col("span_text").cast("binary")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("span_hash")).orderBy(col(idCol), col("span_idx"))
-    spans.withColumn("__keep", row_number().over(w) === 1)
+      .withColumn("__keep", spanFirstOccurrence(idCol))
       .filter(col("__keep"))
       .groupBy(col(idCol))
       .agg(expr("array_join(transform(array_sort(" +
         "collect_list(struct(span_idx, span_text))), x -> x.span_text), ' ')")
         .as("clean_text"))
-  }
 
   /** Benchmark decontamination: flag every training doc sharing at least
     * `minOverlap` distinct 3-token shingles with the eval/benchmark set —

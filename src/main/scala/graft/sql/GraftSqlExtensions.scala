@@ -65,12 +65,31 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AssignSplitRe = ",(?=(?:[^']*'[^']*')*[^']*$)"
 
   /** Split `<assignments> WHERE <condition>` at the first WHERE keyword
-    * OUTSIDE single-quoted strings — `SET v = 'has WHERE inside' WHERE …`
-    * must not split inside the literal. None when no unquoted WHERE. */
-  private def splitSetWhere(rest: String): Option[(String, String)] =
-    raw"(?i)\s+WHERE\s+".r.findAllMatchIn(rest)
-      .find(m => rest.take(m.start).count(_ == '\'') % 2 == 0)
-      .map(m => (rest.take(m.start), rest.substring(m.end).trim))
+    * outside string literals — single- OR double-quoted (Spark SQL treats
+    * both as strings by default), with backslash escapes honored, so
+    * `SET v = "has WHERE inside" WHERE …` and `SET v = 'it\'s WHERE'
+    * WHERE …` split at the real condition. None when no unquoted WHERE. */
+  private def splitSetWhere(rest: String): Option[(String, String)] = {
+    var i = 0
+    var sq = false
+    var dq = false
+    while (i < rest.length) {
+      rest.charAt(i) match {
+        case '\\' if sq || dq => i += 1 // skip the escaped character
+        case '\'' if !dq => sq = !sq
+        case '"' if !sq => dq = !dq
+        case c if !sq && !dq && (c == 'w' || c == 'W') &&
+            rest.regionMatches(true, i, "WHERE", 0, 5) &&
+            i > 0 && Character.isWhitespace(rest.charAt(i - 1)) &&
+            (i + 5 >= rest.length ||
+              Character.isWhitespace(rest.charAt(i + 5))) =>
+          return Some((rest.take(i).trim, rest.substring(i + 5).trim))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
 
   /** DELETE/UPDATE are real Spark grammar too — only intercept statements
     * whose target is a committed table of the configured graft warehouse;

@@ -71,6 +71,29 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
       FileStats.gtEq("id", 15L).and(FileStats.gtEq("id", 21L))))
   }
 
+  test("legacy (pre-v2) tokens drop unit-hazardous stats; v2 keeps them") {
+    // Hand-built legacy token (no v:2 marker): millis-unit timestamp
+    // bounds and UTF-16-folded string bounds must NOT be trusted.
+    val legacy = "rows=5|" +
+      "s:id,INT64|s:ts,INT64%2FTIMESTAMP%28MILLIS%2Ctrue%29|s:name,BINARY%2FSTRING|" +
+      "id,long,1,9|ts,long,1700000000000,1700000100000|name,string,a,z"
+    val s = FileStats.decode(legacy).get
+    assert(s.cols.keySet == Set("id"), s"kept: ${s.cols.keySet}")
+    // Plain ints keep skipping; the dropped columns never prune.
+    assert(!FileStats.mayMatch(Some(s), FileStats.gtEq("id", 10L)))
+    assert(FileStats.mayMatch(Some(s), FileStats.gtEq("ts", 1700000000000000L)))
+    assert(FileStats.mayMatch(Some(s), FileStats.eq("name", "😀")))
+    // A legacy long column with NO schema tag is unidentifiable → dropped.
+    val untagged = "rows=2|mystery,long,5,6"
+    assert(FileStats.decode(untagged).get.cols.isEmpty)
+    // The current encoder stamps v:2 and everything round-trips.
+    val v2 = FileStats.Stats(5L,
+      Map("ts" -> FileStats.ColStats("long", "1", "2"),
+        "name" -> FileStats.ColStats("string", "a", "z")),
+      schema = Seq("ts" -> "INT64/TIMESTAMP(MILLIS,true)", "name" -> "BINARY/STRING"))
+    assert(FileStats.decode(FileStats.encode(v2)).contains(v2))
+  }
+
   test("property: mayMatch never excludes a file containing a satisfying row") {
     import org.scalacheck.Gen
     // Random long-valued files and random predicate trees over one column;

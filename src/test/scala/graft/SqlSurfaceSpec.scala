@@ -176,10 +176,17 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filterNot(_.isCheckpoint).head.version - 1
     assert(spark.sql("SNAPSHOT CHANGES OF g").count() ==
       Snapshots.changes(spark, wh, "g", fromExclusive = earliest).count())
-    // A WHERE inside a string literal must not terminate the SET clause.
+    // A WHERE inside a string literal must not terminate the SET clause —
+    // single-quoted, double-quoted, and escaped-quote variants.
     spark.sql("UPDATE g SET name = 'x WHERE y' WHERE id = 2")
     assert(Snapshots.read(spark, wh, "g").filter($"id" === 2L)
       .select("name").as[String].head() == "x WHERE y")
+    spark.sql("UPDATE g SET name = \"a WHERE b\" WHERE id = 3")
+    assert(Snapshots.read(spark, wh, "g").filter($"id" === 3L)
+      .select("name").as[String].head() == "a WHERE b")
+    spark.sql("UPDATE g SET name = 'it\\'s WHERE x' WHERE id = 4")
+    assert(Snapshots.read(spark, wh, "g").filter($"id" === 4L)
+      .select("name").as[String].head() == "it's WHERE x")
   }
 
   test("ordinary SQL falls through to the delegate parser") {

@@ -649,6 +649,56 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> Seq(0L), 4L -> Seq(0L)), s"got $feed")
   }
 
+  test("merge/DML and the change feed survive spaces in partition values") {
+    // Spark's path escaping does NOT escape spaces, but input_file_name()
+    // serves them percent-encoded — the affected-file match and the feed's
+    // file→version join must meet in one encoding or DML silently no-ops
+    // (upsert would then INSERT duplicates of matched keys).
+    val w = wh("whSpacePath")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, 10L, "Jan 2024"), (2L, 20L, "Feb 2024"))
+      .toDF("id", "v", "month").coalesce(1).write.partitionBy("month")
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    val up = Merge.upsert(spark, w, "t",
+      Seq((1L, 100L, "Jan 2024")).toDF("id", "v", "month"), Seq("id"))
+    assert(up.rowsMatched == 1 && up.filesRewritten == 1,
+      s"space-path merge must find its file: $up")
+    val after = Snapshots.read(spark, w, "t")
+    assert(after.count() == 2) // replaced, NOT duplicated
+    assert(after.filter($"id" === 1L).select("v").as[Long].head() == 100L)
+    val del = Merge.deleteWhere(spark, w, "t", col("v") === 20L)
+    assert(del.rowsMatched == 1)
+    // And the change feed joins its version map on the same encoding.
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 2)
+    assert(feed.filter(col("_change_type") === "delete").count() == 1)
+  }
+
+  test("changes() spans a flat→partitioned layout switch in one range") {
+    val w = wh("whLayoutSwitch")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.col
+    publishBatch(w, "t", 1 to 3) // flat files, schema (id)
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((10L, "d1"), (11L, "d2")).toDF("id", "dt").coalesce(1)
+      .write.partitionBy("dt").parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+    assert(feed.count() == 5)
+    assert(feed.filter(col("_commit_version") === 1L).count() == 2)
+    assert(feed.filter(col("id") === 10L).select("dt")
+      .collect().head.getString(0) == "d1")
+  }
+
   test("schema enforcement: a type change is rejected at the commit point") {
     val w = wh("whEnforce")
     val s0 = spark
