@@ -52,7 +52,10 @@ object FileStats {
     * UTF-8-ordered string folding; tokens WITHOUT the marker were
     * collected by the earlier collector whose values can sit in the wrong
     * unit/order — [[decode]] strips their hazardous entries so a legacy
-    * log can never prune a file on a wrong-unit bound. */
+    * log can never prune a file on a wrong-unit bound. Rolling-upgrade
+    * rule (the standard log-format protocol stance): upgrade READERS
+    * before writers — a pre-v2 reader sees a v2 token as unparseable and
+    * falls back to no stats for that file, which is correct but unpruned. */
   private val TokenVersion = "v:2"
 
   /** Single-line, tab-free token: `rows=N|v:2|s:name,tag|…|name,typ,min,max|…`

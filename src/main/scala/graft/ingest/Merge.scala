@@ -35,19 +35,10 @@ import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max
   */
 object Merge {
 
-  /** Canonical comparison key for a log-side file path: the scheme-less
-    * URL-ENCODED path. `input_file_name()` returns encoded URIs while the
-    * log stores raw paths; Hadoop Path's `toUri.getRawPath` applies the
-    * same encoding Spark's scan paths carry, so both sides meet in one
-    * form (a decoded-vs-encoded comparison would silently mismatch on
-    * partition values with spaces — Spark's path escaping keeps them). */
-  private def pathKey(file: String): String =
-    new Path(file).toUri.getRawPath
-
-  /** Comparison key for an `input_file_name()` value: drop scheme and
-    * authority, keep the (already-encoded) path. */
-  private def srcFileKey(uri: String): String =
-    uri.replaceFirst("^[a-zA-Z0-9+.-]+://[^/]*", "")
+  // Encoded-path comparison keys — the one shared contract lives in
+  // [[Snapshots.pathKey]]/[[Snapshots.srcFileKey]].
+  private def pathKey(file: String): String = Snapshots.pathKey(file)
+  private def srcFileKey(uri: String): String = Snapshots.srcFileKey(uri)
 
   /** `rowsMatched`: rows of the table whose key matched the source —
     * replaced on upsert, removed on delete. `filesScanned`: stats-surviving

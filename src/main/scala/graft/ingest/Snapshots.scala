@@ -73,6 +73,24 @@ object Snapshots {
     segs.mkString("/")
   }
 
+  /** Canonical comparison key for a log-side file path: the scheme-less
+    * URL-ENCODED path. `input_file_name()` serves encoded URIs while the
+    * log stores raw paths; Hadoop Path's `toUri.getRawPath` applies the
+    * same encoding Spark's scan paths carry, so both sides meet in one
+    * form (decoded-vs-encoded would silently mismatch on partition values
+    * with spaces, which Spark's path escaping legitimately keeps). THE
+    * single source of truth for this contract — Merge's affected-file
+    * match and changes()' file→version join both key through here. */
+  private[graft] def pathKey(file: String): String =
+    new Path(file).toUri.getRawPath
+
+  /** Comparison key for an `input_file_name()` value: drop the scheme and
+    * optional authority (`file:///p`, `file:/p`, `hdfs://nn/p` all reduce
+    * to `/p`), keep the already-encoded path. */
+  private[graft] val SchemeRe = "^[a-zA-Z0-9+.-]+:(//[^/]*)?"
+  private[graft] def srcFileKey(uri: String): String =
+    uri.replaceFirst(SchemeRe, "")
+
   private def snapDir(warehouse: String) = new Path(s"$warehouse/_snapshots")
 
   private val SnapRe = raw"(\d{20})-(.+)\.(snap|ckpt)".r
@@ -648,19 +666,20 @@ object Snapshots {
     // comparing decoded-vs-encoded would silently drop their rows).
     def withVersion(df: DataFrame, files: Seq[(Action, Long)]): DataFrame = {
       val verDf = spark.createDataFrame(
-        files.map { case (a, v) =>
-          (new Path(a.file).toUri.getRawPath, v) }.distinct)
+        files.map { case (a, v) => (pathKey(a.file), v) }.distinct)
         .toDF("_file_path", "_commit_version")
       df.withColumn("_file_path",
-          regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+://[^/]*", ""))
+          regexp_replace(input_file_name(), SchemeRe, ""))
         .join(broadcast(verDf), "_file_path").drop("_file_path")
     }
     // mergeSchema: additive evolution mid-range serves older versions' rows
     // with nulls in later columns — same stance as read(mergeSchema=true).
-    // Partitioned and flat ADDs get SEPARATE reads (at most one each): a
-    // range spanning a layout switch would otherwise hand Spark's partition
-    // discovery leaf dirs at conflicting depths in one relation. Plan depth
-    // stays bounded (≤3 parquet leaves total with the CDF leg).
+    // ADDs are read in one relation PER PARTITION LAYOUT (the ordered
+    // partition-column list; flat files are the empty layout): mixing
+    // layouts — flat→partitioned, or dt→dt/hour re-partitioning — in one
+    // read trips Spark's conflicting-directory-structure check. Plan depth
+    // stays O(#layout switches), bounded by schema-evolution events, not
+    // by versions.
     def appendRead(files: Seq[(Action, Long)], partitioned: Boolean) =
       if (files.isEmpty) None
       else {
@@ -671,9 +690,10 @@ object Snapshots {
           r.parquet(files.map(_._1.file).distinct: _*)
             .withColumn("_change_type", lit("insert")), files))
       }
-    val (partAdds, flatAdds) = appendFiles.result().partition(_._1.partition.nonEmpty)
-    val appends = Seq(appendRead(partAdds, partitioned = true),
-      appendRead(flatAdds, partitioned = false)).flatten
+    val appends = appendFiles.result()
+      .groupBy(f => partitionColumns(Seq(f._1.partition)))
+      .toSeq.sortBy(_._1.mkString("/"))
+      .flatMap { case (layout, files) => appendRead(files, layout.nonEmpty) }
     val cdf = {
       val files = cdfFiles.result()
       if (files.isEmpty) None

@@ -105,20 +105,35 @@ object TextOps {
             chunkTokens: Int = 50, overlap: Int = 10): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap ($overlap) must be in [0, chunkTokens=$chunkTokens)")
-    val stride = chunkTokens - overlap
+    spanize(df, idCol, textCol, chunkTokens, chunkTokens - overlap)
+      .select(col(idCol),
+        col("span_idx").as("chunk_idx"),
+        col("start_tok"), col("n_tokens"),
+        md5(col("span_text").cast("binary")).as("chunk_hash"))
+  }
+
+  /** (id, span_idx, start_tok, n_tokens, span_text) for `windowTokens`-
+    * token windows advancing by `stride` — the ONE token-window splitter
+    * behind [[chunk]], [[spanDedup]], and [[dropDupSpans]], so chunk
+    * hashes and span-dedup decisions can never silently diverge on
+    * boundaries, tokenization, or the empty-doc convention. */
+  private def spanize(df: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int, stride: Int): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride)))
-          .as(Seq("__i", "__start")))
-      .select(
-        col(idCol),
-        col("__i").cast("long").as("chunk_idx"),
+        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+          lit(stride))).as(Seq("__i", "__start")))
+      .select(col(idCol), col("__i").cast("long").as("span_idx"),
         col("__start").cast("long").as("start_tok"),
-        size(slice(col("__toks"), col("__start"), lit(chunkTokens)))
+        size(slice(col("__toks"), col("__start"), lit(windowTokens)))
           .cast("long").as("n_tokens"),
-        md5(concat_ws(" ", slice(col("__toks"), col("__start"), lit(chunkTokens)))
-          .cast("binary")).as("chunk_hash"))
-  }
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(windowTokens)))
+          .as("span_text"))
+
+  private def spanFirstOccurrence(idCol: String) =
+    row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash"))
+      .orderBy(col(idCol), col("span_idx"))) === 1
 
   /** Span-level exact dedup (the C4 / "dedup training data" span rule):
     * split each doc into non-overlapping `spanTokens`-token spans, hash
@@ -133,27 +148,9 @@ object TextOps {
     * triples, never of text; no self-join, no all-pairs. Skewed hashes
     * (a span repeated millions of times) stay one partition's rank
     * computation of small fixed-width rows. */
-  /** (id, span_idx, span_text) for non-overlapping `spanTokens`-token
-    * spans — the ONE splitter behind [[spanDedup]] and [[dropDupSpans]],
-    * so the two can never disagree on span boundaries or content. */
-  private def spanize(df: DataFrame, idCol: String, textCol: String,
-                      spanTokens: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
-          lit(spanTokens))).as(Seq("__i", "__start")))
-      .select(col(idCol), col("__i").cast("long").as("span_idx"),
-        concat_ws(" ", slice(col("__toks"), col("__start"), lit(spanTokens)))
-          .as("span_text"))
-
-  private def spanFirstOccurrence(idCol: String) =
-    row_number().over(org.apache.spark.sql.expressions.Window
-      .partitionBy(col("span_hash"))
-      .orderBy(col(idCol), col("span_idx"))) === 1
-
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanTokens: Int = 10): DataFrame =
-    spanize(df, idCol, textCol, spanTokens)
+    spanize(df, idCol, textCol, spanTokens, spanTokens)
       .withColumn("span_hash", md5(col("span_text").cast("binary")))
       .select(col(idCol), col("span_idx"), col("span_hash"),
         spanFirstOccurrence(idCol).as("keep"))
@@ -168,7 +165,7 @@ object TextOps {
     * in-row sort of (idx, text) structs — no second window. */
   def dropDupSpans(df: DataFrame, idCol: String, textCol: String,
                    spanTokens: Int = 10): DataFrame =
-    spanize(df, idCol, textCol, spanTokens)
+    spanize(df, idCol, textCol, spanTokens, spanTokens)
       .withColumn("span_hash", md5(col("span_text").cast("binary")))
       .withColumn("__keep", spanFirstOccurrence(idCol))
       .filter(col("__keep"))

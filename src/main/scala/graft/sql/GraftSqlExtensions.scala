@@ -61,8 +61,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*".r
   private val UpdateRe =
     raw"(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+)".r
-  // Split SET assignments on commas outside single-quoted strings.
-  private val AssignSplitRe = ",(?=(?:[^']*'[^']*')*[^']*$)"
+
+  /** Split SET assignments on commas outside string literals (same quote
+    * rules as [[splitSetWhere]] — single/double quotes, backslash
+    * escapes). */
+  private def splitAssignments(sets: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    var sq = false
+    var dq = false
+    while (i < sets.length) {
+      sets.charAt(i) match {
+        case '\\' if sq || dq => i += 1
+        case '\'' if !dq => sq = !sq
+        case '"' if !sq => dq = !dq
+        case ',' if !sq && !dq =>
+          out += sets.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += sets.substring(start)
+    out.result()
+  }
 
   /** Split `<assignments> WHERE <condition>` at the first WHERE keyword
     * outside string literals — single- OR double-quoted (Spark SQL treats
@@ -83,7 +105,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             i > 0 && Character.isWhitespace(rest.charAt(i - 1)) &&
             (i + 5 >= rest.length ||
               Character.isWhitespace(rest.charAt(i + 5))) =>
-          return Some((rest.take(i).trim, rest.substring(i + 5).trim))
+          val cond = rest.substring(math.min(i + 5, rest.length)).trim
+          // A trailing WHERE with no condition is malformed — fall through
+          // to the delegate's standard syntax error, don't half-parse.
+          return if (cond.isEmpty) None
+                 else Some((rest.take(i).trim, cond))
         case _ => ()
       }
       i += 1
@@ -166,7 +192,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case UpdateRe(table, rest)
         if splitSetWhere(rest).isDefined && isGraftTable(table) =>
       val (sets, where) = splitSetWhere(rest).get
-      val assigns = sets.split(AssignSplitRe).toSeq.map { a =>
+      val assigns = splitAssignments(sets).map { a =>
         val Array(c, e) = a.split("=", 2)
         c.trim -> e.trim
       }

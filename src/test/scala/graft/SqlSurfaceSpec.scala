@@ -187,6 +187,13 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("UPDATE g SET name = 'it\\'s WHERE x' WHERE id = 4")
     assert(Snapshots.read(spark, wh, "g").filter($"id" === 4L)
       .select("name").as[String].head() == "it's WHERE x")
+    // Commas inside quoted SET values must not split the assignment list.
+    spark.sql("UPDATE g SET name = \"a, b\", id = id WHERE id = 0")
+    assert(Snapshots.read(spark, wh, "g").filter($"id" === 0L)
+      .select("name").as[String].head() == "a, b")
+    // A trailing WHERE with no condition is a syntax error, not a
+    // half-parsed empty predicate.
+    intercept[Exception](spark.sql("UPDATE g SET name = 'x' WHERE"))
   }
 
   test("ordinary SQL falls through to the delegate parser") {

@@ -680,23 +680,33 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feed.filter(col("_change_type") === "delete").count() == 1)
   }
 
-  test("changes() spans a flat→partitioned layout switch in one range") {
+  test("changes() spans flat→partitioned→deeper-partitioned layout switches") {
     val w = wh("whLayoutSwitch")
     val s0 = spark
     import s0.implicits._
     import org.apache.spark.sql.functions.col
-    publishBatch(w, "t", 1 to 3) // flat files, schema (id)
-    val cid = java.util.UUID.randomUUID().toString
-    Seq((10L, "d1"), (11L, "d2")).toDF("id", "dt").coalesce(1)
-      .write.partitionBy("dt").parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
-    val moves = TxnCommit.movesFor(fs, w, cid, "t")
-    TxnCommit.commit(fs, w, cid, moves)
-    TxnCommit.publish(fs, w, cid, moves)
+    def pubPart(df: org.apache.spark.sql.DataFrame, cols: String*): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      df.coalesce(1).write.partitionBy(cols: _*)
+        .parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    publishBatch(w, "t", 1 to 3) // v0: flat, schema (id)
+    pubPart(Seq((10L, "d1"), (11L, "d2")).toDF("id", "dt"), "dt") // v1: dt=
+    // v2: re-partitioned deeper — dt=/hour= (conflicting depth vs v1 if
+    // read in one relation).
+    pubPart(Seq((20L, "d1", 0L), (21L, "d1", 1L)).toDF("id", "dt", "hour"),
+      "dt", "hour")
     val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
-    assert(feed.count() == 5)
+    assert(feed.count() == 7)
     assert(feed.filter(col("_commit_version") === 1L).count() == 2)
+    assert(feed.filter(col("_commit_version") === 2L).count() == 2)
     assert(feed.filter(col("id") === 10L).select("dt")
       .collect().head.getString(0) == "d1")
+    assert(feed.filter(col("id") === 21L).select("hour")
+      .collect().head.get(0).toString == "1")
   }
 
   test("schema enforcement: a type change is rejected at the commit point") {
