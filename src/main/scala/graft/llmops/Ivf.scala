@@ -33,8 +33,14 @@ object Ivf {
   }
 
   /** Nearest-centroid id (argmax cosine, deterministic tie-break on id). */
-  private def cellCol(vec: Column, model: Model): Column =
+  private[llmops] def cellCol(vec: Column, model: Model): Column =
     element_at(VectorExprs.nearestCellsCol(vec, model.flat, model.dim, 1), 1)
+
+  /** Tag each row with its nearest-centroid cell id — assignment only, no
+    * repartition (callers that persist the assignment choose their own file
+    * clustering, e.g. [[IvfStore]]'s range-by-cell layout). */
+  def assign(df: DataFrame, model: Model, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", cellCol(col(vecCol), model))
 
   /** Deterministic k-means: seeds are the k corpus vectors with the
     * smallest xxhash64(id) (reproducible, no RNG), refined by `iters` Lloyd

@@ -1,0 +1,133 @@
+package graft.llmops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorExprs
+import graft.ingest.{FileStats, Snapshots, TxnCommit}
+
+/** Persisted IVF index: the [[SignatureStore]] pattern applied to ANN.
+  *
+  * [[Ivf]] alone trains per session — the centroid model lives in a JVM
+  * cache and the corpus is re-assigned on every cold start. At 100 TB an
+  * index must be a TABLE: here the trained model and the per-vector cell
+  * assignments are snapshot-committed through the same stage/commit/publish
+  * protocol as the data, so
+  *
+  *   1. a new session loads k×dim floats from the `ann_centroids` table —
+  *      no re-train, no corpus pass;
+  *   2. new ingest batches are assigned against those centroids and their
+  *      (vec_id, cell, embedding) rows APPENDED to `ann_cells` — O(new)
+  *      work, typically fed by [[Snapshots.changes]] over the corpus table;
+  *   3. a query reads ONLY the `ann_cells` files whose log-side
+  *      [min,max] on `cell` overlap its probed cells — the corpus table
+  *      contributes zero bytes, and with the range-by-cell file layout a
+  *      low-nprobe query skips most of the index too.
+  *
+  * The index stores the vectors alongside the assignment (what an IVF
+  * posting list is), so search never rejoins the corpus.
+  */
+object IvfStore {
+
+  val CentroidTable = "ann_centroids"
+  val CellTable = "ann_cells"
+
+  private def publish(spark: SparkSession, warehouse: String, table: String,
+                      df: DataFrame): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cid = java.util.UUID.randomUUID().toString
+    df.write.parquet(s"${TxnCommit.stagingDir(warehouse, cid)}/$table")
+    val moves = TxnCommit.movesFor(fs, warehouse, cid, table)
+    TxnCommit.commit(fs, warehouse, cid, moves)
+    TxnCommit.publish(fs, warehouse, cid, moves)
+  }
+
+  /** Cell rows of `vecs` under `model`, range-clustered by cell so each
+    * parquet file covers a contiguous cell interval — that is what makes
+    * the log's [min,max] stats on `cell` selective at query time. */
+  private def cellRows(vecs: DataFrame, model: Ivf.Model, idCol: String,
+                       vecCol: String, targetFiles: Int): DataFrame =
+    Ivf.assign(vecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        model)
+      .repartitionByRange(math.max(1, targetFiles), col("cell"), col("vec_id"))
+
+  /** Train on `corpus` and commit the index: one `ann_centroids` commit
+    * (k rows of cell + centroid) and one `ann_cells` commit (the corpus
+    * assignment). Training itself is [[Ivf.train]] — one shuffle-free
+    * treeAggregate per Lloyd step; only model parameters reach the driver.
+    * `targetFiles` spreads `ann_cells` over that many range-by-cell files
+    * (size for ~128 MB files at the real corpus; tests use small values to
+    * exercise pruning). */
+  def buildIndex(spark: SparkSession, warehouse: String, corpus: DataFrame,
+                 dim: Int, k: Int, iters: Int = 2, targetFiles: Int = 8,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Ivf.Model = {
+    val model = Ivf.train(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      dim, k, iters)
+    val rows = model.centroids.zipWithIndex.map { case (c, i) =>
+      Row(i, c.toSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    publish(spark, warehouse, CentroidTable,
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema))
+    publish(spark, warehouse, CellTable,
+      cellRows(corpus, model, idCol, vecCol, targetFiles))
+    model
+  }
+
+  /** Load the committed model: k×dim floats from the centroid table —
+    * model parameters, not data, so the collect is bounded by k at any
+    * corpus scale. */
+  def loadModel(spark: SparkSession, warehouse: String): Ivf.Model = {
+    val rows = Snapshots.read(spark, warehouse, CentroidTable)
+      .select("cell", "centroid").collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"no $CentroidTable committed under $warehouse")
+    Ivf.Model(rows.map(_.getAs[scala.collection.Seq[Float]](1).toArray))
+  }
+
+  /** Assign a new batch against the PERSISTED centroids (no re-train, no
+    * corpus pass) and append its cell rows to `ann_cells` as one commit.
+    * Feed with the change feed since the last indexed version:
+    * `appendBatch(s, wh, Snapshots.changes(s, wh, "embeddings", from))`. */
+  def appendBatch(spark: SparkSession, warehouse: String, newVecs: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  targetFiles: Int = 1): Ivf.Model = {
+    val model = loadModel(spark, warehouse)
+    publish(spark, warehouse, CellTable,
+      cellRows(newVecs, model, idCol, vecCol, targetFiles))
+    model
+  }
+
+  /** ANN top-k through the warm store: centroids from the log, candidates
+    * from the `ann_cells` files overlapping the probed cells. `queries` is
+    * the query batch (small by nature); its probed cell ids — at most
+    * min(|queries|·nprobe, k) ints — are collected to drive log-side file
+    * skipping, the same bounded-scalars-to-the-driver shape as
+    * [[graft.ingest.Merge]]'s candidate bounds. nprobe = k scans every
+    * cell → exact top-k (the oracle-checkable configuration). */
+  def topK(spark: SparkSession, warehouse: String, queries: DataFrame,
+           k: Int, nprobe: Int = 2,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = loadModel(spark, warehouse)
+    val np = math.min(nprobe, model.k)
+    val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val probed = q
+      .select(explode(VectorExprs.nearestCellsCol(
+        col("embedding"), model.flat, model.dim, np)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val indexed =
+      if (probed.isEmpty) // empty query batch: nothing to probe
+        Snapshots.read(spark, warehouse, CellTable).limit(0)
+      else Snapshots.read(spark, warehouse, CellTable,
+          dataFilter = probed.map(c => FileStats.eq("cell", c)).reduce(_ or _))
+        .filter(col("cell").isInCollection(probed))
+    Ivf.topK(q, indexed, model, k, np)
+  }
+}

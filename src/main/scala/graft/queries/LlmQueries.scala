@@ -215,6 +215,39 @@ object LlmQueries {
         graft.llmops.Ivf.index(corpus, model), model, k = 10, nprobe = 8)
     }),
 
+    // IVF through the PERSISTED index (ann_centroids + ann_cells snapshot
+    // tables): train+index on the first corpus commit, append the second
+    // batch's assignments via the change feed (no re-train, no corpus
+    // re-scan), then search the warm store with nprobe = k → exact top-k.
+    // Hash-matching the brute-force oracle proves the committed index is
+    // COMPLETE (a lost appendBatch row changes the top-k) and the
+    // cell-pruned read is sound.
+    "llm_ann_ivf_persisted" -> ((s, d) => {
+      import graft.ingest.{Snapshots, TxnCommit}
+      import graft.llmops.IvfStore
+      val wh = java.nio.file.Files.createTempDirectory("graft-ivfstore")
+        .resolve("wh").toString
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val all = embs(s, d).select("vec_id", "embedding")
+      def pub(df: DataFrame): Unit = {
+        val cid = java.util.UUID.randomUUID().toString
+        df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/embeddings")
+        val moves = TxnCommit.movesFor(fs, wh, cid, "embeddings")
+        TxnCommit.commit(fs, wh, cid, moves)
+        TxnCommit.publish(fs, wh, cid, moves)
+      }
+      pub(all.filter(col("vec_id") % 2 === 0))
+      IvfStore.buildIndex(s, wh,
+        Snapshots.read(s, wh, "embeddings"), dim = 64, k = 8)
+      val vIndexed = Snapshots.latestVersion(fs, wh).get
+      pub(all.filter(col("vec_id") % 2 =!= 0))
+      IvfStore.appendBatch(s, wh,
+        Snapshots.changes(s, wh, "embeddings", fromExclusive = vIndexed)
+          .select("vec_id", "embedding"))
+      IvfStore.topK(s, wh, all.filter(col("vec_id") < 5), k = 10, nprobe = 8)
+    }),
+
     // Embedding-cosine near-dup pairs ≥ 0.95 via LSH buckets.
     "llm_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(embsWithDups(s, d), dim = 64, threshold = 0.95)),
@@ -515,6 +548,7 @@ object LlmQueries {
     // IVF with nprobe=k and LSH with probeAll must each find the exact
     // top-k, so a hash mismatch there is a recall bug in that ANN path.
     "llm_ann_ivf_exact" -> bruteForceTopkSql,
+    "llm_ann_ivf_persisted" -> bruteForceTopkSql,
     "llm_ann_lsh_exact" -> bruteForceTopkSql,
     "llm_cosine_topk" -> bruteForceTopkSql,
     // Ground truth for the cosine-LSH pipeline: ALL pairs with sim ≥ 0.95.

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Snapshots, TxnCommit}
+import graft.llmops.{Ivf, IvfStore, Similarity}
+
+/** Persisted IVF index: centroids + cell assignments are snapshot tables,
+  * so a cold session searches without re-training and without touching the
+  * corpus table — and a low-nprobe query plans only the `ann_cells` files
+  * whose cell range it probes. */
+class IvfStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-ivfstore")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val Dim = 8
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Deterministic vector near axis (i % 4): four natural clusters. */
+  private def vec(i: Int): Seq[Float] = {
+    val v = Array.fill(Dim)(0.01f * ((i * 7 + 3) % 5))
+    v(i % 4) = 1f + 0.001f * (i % 9)
+    v.toSeq
+  }
+
+  private def embDf(ids: Range): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  private def pubEmb(w: String, ids: Range): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
+    embDf(ids).coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/embeddings")
+    val moves = TxnCommit.movesFor(fs, w, cid, "embeddings")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+  }
+
+  test("warm-store query plans ZERO corpus files and skips unprobed cells") {
+    val w = wh("whPrune")
+    pubEmb(w, 0 until 64)
+    IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 4, targetFiles = 4)
+
+    val res = IvfStore.topK(spark, w, embDf(0 until 1), k = 5, nprobe = 1)
+    assert(res.count() == 5)
+    // The scale claim: search is served entirely from the index tables.
+    val planned = res.inputFiles.toSet
+    assert(planned.nonEmpty && !planned.exists(_.contains("/embeddings/")),
+      s"corpus files in the search plan: $planned")
+    // And with one probed cell of four, the range-by-cell layout lets the
+    // log's [min,max] stats skip index files too.
+    val totalCellFiles =
+      Snapshots.read(spark, w, IvfStore.CellTable).inputFiles.length
+    val plannedCellFiles = planned.count(_.contains(s"/${IvfStore.CellTable}/"))
+    assert(totalCellFiles >= 3, s"layout produced $totalCellFiles files")
+    assert(plannedCellFiles < totalCellFiles,
+      s"probed 1 of 4 cells but planned $plannedCellFiles/$totalCellFiles index files")
+  }
+
+  test("nprobe = k through the warm store is exact (matches brute force)") {
+    val w = wh("whExact")
+    pubEmb(w, 0 until 48)
+    IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 4, targetFiles = 2)
+    val queries = embDf(0 until 3)
+    val got = IvfStore.topK(spark, w, queries, k = 7, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Similarity.bruteForceTopK(queries, embDf(0 until 48), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("appendBatch via the change feed completes the index without re-train or corpus re-scan") {
+    val w = wh("whInc")
+    pubEmb(w, 0 until 32)
+    val m1 = IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 4, targetFiles = 2)
+    val vIndexed = Snapshots.latestVersion(fs, w).get
+    pubEmb(w, 32 until 48)
+    val m2 = IvfStore.appendBatch(spark, w,
+      Snapshots.changes(spark, w, "embeddings", fromExclusive = vIndexed)
+        .select("vec_id", "embedding"))
+    // Same centroids (no re-train) …
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    // … and the index now covers both batches exactly once.
+    val cells = Snapshots.read(spark, w, IvfStore.CellTable)
+    assert(cells.count() == 48 && cells.select("vec_id").distinct().count() == 48)
+    // Warm-store exact search over the completed index == brute force over
+    // the full corpus: a lost (or duplicated) append row would change top-k.
+    val queries = embDf(0 until 2)
+    val got = IvfStore.topK(spark, w, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Similarity.bruteForceTopK(queries, embDf(0 until 48), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("a cold session loads the model from the log — no training data needed") {
+    val w = wh("whCold")
+    pubEmb(w, 0 until 24)
+    val trained = IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 3, targetFiles = 1)
+    val loaded = IvfStore.loadModel(spark, w)
+    assert(loaded.k == 3 && loaded.dim == Dim)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      trained.centroids.map(_.toSeq).toSeq)
+  }
+}
