@@ -113,24 +113,35 @@ object MinHash {
       .withColumn("jaccard", round(col("jaccard"), 4))
   }
 
-  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 weighted by token
-    * occurrences; the sign vector is the fingerprint. Computed per-row by a
-    * native single-pass expression ([[graft.functions.SimHash64Expr]]) — no
-    * explode, no shuffle, stays inside whole-stage codegen. */
+  /** 56-bit SimHash over token hashes: per bit, sum +1/-1 weighted by token
+    * occurrences; the sign vector is the fingerprint. The token hash is the
+    * first 14 hex chars of md5 — engine-portable (DuckDB computes the
+    * identical value with `CAST('0x' || substr(md5(t),1,14) AS BIGINT)`), so
+    * the whole signature is oracle-checkable, unlike xxhash64 which exists
+    * only in Spark. The sign accumulation is still the native single-pass
+    * kernel ([[graft.functions.SimHash64Expr]]) — no explode, no shuffle,
+    * stays inside whole-stage codegen; bits 56-63 are simply never set. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64Expr.simhash64(
-        expr(s"transform(split(lower($textCol), ' '), t -> xxhash64(t))")).as("sig"))
+        expr(s"transform(split(lower($textCol), ' '), " +
+          "t -> cast(conv(substr(md5(t), 1, 14), 16, 10) as bigint))")).as("sig"))
 
-  /** SimHash near-dup: band the 64-bit signature into four 16-bit chunks;
-    * candidates share ≥1 chunk (catches all pairs with hamming ≤ 3 by
-    * pigeonhole, most up to the threshold); verify by exact hamming. */
+  /** SimHash near-dup: band the 56-bit signature into four 14-bit chunks
+    * (even coverage — a 16-bit split would leave the top chunk only 8
+    * effective bits and 256 possible buckets, a skew magnet at corpus
+    * scale); candidates share ≥1 chunk, verified by exact hamming
+    * distance. By pigeonhole the banding finds EVERY pair with hamming
+    * ≤ 3 (4 chunks can't all differ), so at the default threshold the
+    * result is exact — the all-pairs hamming ground truth, found without
+    * the O(n²) join. Thresholds above 3 trade completeness for
+    * recall-most. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = simhash(df, idCol, textCol)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("band"),
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(65535L)).as("bh"))
+        shiftright(col("sig"), c * 14).bitwiseAND(lit(16383L)).as("bh"))
     }
     val chunked = Similarity.dropLargeBuckets(
       sigs

@@ -79,7 +79,11 @@ object LlmQueries {
       MinHash.jaccard(pairs, shingled).withColumn("jaccard", round(col("jaccard"), 4))
     }),
 
-    // SimHash near-dup (banded 16-bit chunks; hash-specific → rows-only).
+    // SimHash near-dup: banded 16-bit chunks over the md5-derived 56-bit
+    // signature. At maxHamming = 3 the banding is COMPLETE (pigeonhole:
+    // four chunks can't all differ), so this hash-matches the all-pairs
+    // hamming ground truth the oracle computes over the same signatures —
+    // a mismatch means the banded join lost a pair the O(n²) truth has.
     "llm_dedup_simhash" -> ((s, d) =>
       MinHash.simhashPairs(docsWithDups(s, d), "doc_id", "text")),
 
@@ -465,6 +469,23 @@ object LlmQueries {
         |       - 3.0 * (len(regexp_extract_all(text, '[0-9]')) / length(text))), 4) >= 0.5
         |  AND len(string_split(text, ' ')) BETWEEN 5 AND 10000) AS keep
         |FROM documents""".stripMargin,
+    // All-pairs hamming ground truth over the SAME 56-bit md5-derived
+    // simhash signatures the Spark side computes: the banded pipeline must
+    // reproduce it exactly (complete at hamming ≤ 3 by pigeonhole).
+    "llm_dedup_simhash" ->
+      s"""WITH $dupDocsCte,
+         |h AS (SELECT doc_id, list_transform(string_split(lower(text), ' '),
+         |  t -> CAST('0x' || substr(md5(t), 1, 14) AS BIGINT)) AS hs
+         |  FROM all_docs),
+         |sig AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 56), b ->
+         |    CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     // Ground truth for the MinHash pipeline: ALL pairs with Jaccard ≥ 0.6.
     "llm_dedup_minhash" ->
       s"""WITH $dupDocsCte,

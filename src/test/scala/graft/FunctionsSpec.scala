@@ -64,6 +64,36 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     s1.zip(s2).foreach { case (a, b) => assert(b <= a) }
   }
 
+  test("simhashPairs banding is complete at hamming <= 3 (matches all-pairs truth)") {
+    import org.apache.spark.sql.functions._
+    val s0 = spark
+    import s0.implicits._
+    // A seed corpus plus single-word perturbations of each seed: enough
+    // near-identical token bags that many pairs land within hamming 3, and
+    // enough distinct ones that most don't.
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "mu", "nu", "xi", "omicron", "pi", "rho")
+    val docs = (0 until 40).map { i =>
+      val base = (0 until 12).map(j => words((i * 7 + j * 3) % words.size))
+      val txt = if (i % 2 == 1) (base.dropRight(1) :+ words(i % words.size)) else base
+      (i.toLong, txt.mkString(" "))
+    }.toDF("doc_id", "text")
+    val banded = graft.llmops.MinHash.simhashPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force all-pairs hamming over the same signatures
+    val sigs = graft.llmops.MinHash.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(truth.nonEmpty, "fixture should produce at least one near-dup pair")
+    assert(banded == truth)
+    // signatures use only the low 56 bits (md5-derived token hashes)
+    assert(sigs.forall { case (_, s) => (s >>> 56) == 0L })
+  }
+
   test("registered reference UDFs: base58check, uuid_from_bytes, ts_auto, proto_decimal") {
     val row = spark.sql(
       """SELECT base58check(CAST('' AS BINARY)) AS b58,
