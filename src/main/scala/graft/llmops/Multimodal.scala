@@ -37,16 +37,42 @@ object Multimodal {
     }
   }
 
+  /** Deterministic, oracle-checkable featurizer: a 16-bin histogram of the
+    * payload's byte values (bin = high nibble), normalized to fractions and
+    * fixed to 4 dp with the engine-portable `floor(x*1e4 + 0.5)/1e4` (Spark
+    * `round` HALF_UP ≠ DuckDB binary rounding on .5 boundaries; floor is
+    * bit-identical in both). DuckDB reproduces it from `hex(blob)` — byte
+    * i's high nibble is hex char 2i+1 — so unlike [[decodeStub]] this
+    * feature path hash-matches an exact SQL oracle. Empty payload → all
+    * zeros. */
+  def byteHistogram(payload: Array[Byte]): Array[Double] = {
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) {
+      counts((payload(i) & 0xff) >>> 4) += 1
+      i += 1
+    }
+    if (payload.isEmpty) new Array[Double](16)
+    else {
+      val n = payload.length.toDouble
+      counts.map(c => math.floor(c / n * 10000.0 + 0.5) / 10000.0)
+    }
+  }
+
   /** Per-partition featurization: the decoder runs once per record inside a
     * partition iterator (a real codec would amortize per-batch model setup
-    * here — that is exactly what this shape gives it). Narrow, no shuffle. */
-  def featurize(ds: Dataset[MediaRecord], dim: Int): Dataset[MediaFeatures] = {
+    * here — that is exactly what this shape gives it). Narrow, no shuffle.
+    * Default decoder is the documented stub; [[byteHistogram]] plugs into
+    * the same pipeline as a fully oracle-checkable decoder. */
+  def featurize(ds: Dataset[MediaRecord], dim: Int,
+                decoder: (Array[Byte], Int) => Array[Double] = decodeStub)
+      : Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     ds.mapPartitions { it =>
       // per-partition "codec init" would go here
       it.map { r =>
         MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
-          decodeStub(r.payload, dim))
+          decoder(r.payload, dim))
       }
     }
   }

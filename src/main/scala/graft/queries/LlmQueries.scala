@@ -262,7 +262,10 @@ object LlmQueries {
         docs(s, d).withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload")),
 
-    // Multimodal: stubbed decode via mapPartitions (rows-only). Emitted as
+    // Multimodal: featurization through the mapPartitions decode pipeline,
+    // with the oracle-checkable byte-histogram decoder (DuckDB recomputes
+    // the identical 16-bin nibble histogram from hex(blob) — a hash match
+    // proves the whole decode pipeline, not just row counts). Emitted as
     // scalar rows — (doc_id, kind, n_bytes, feature_idx, feature_value) via
     // posexplode — the joinable shape, and one every checker can canonicalize
     // (an array<double> column breaks pandas-style sort/compare tooling).
@@ -272,7 +275,8 @@ object LlmQueries {
         .select(col("doc_id"), lit("text").as("kind"),
           col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
-      Multimodal.featurize(ds, dim = 8).toDF()
+      Multimodal.featurize(ds, dim = 16,
+          (payload, _) => Multimodal.byteHistogram(payload)).toDF()
         .select(col("doc_id"), col("kind"), col("n_bytes"),
           posexplode(col("features")).as(Seq("feature_idx", "feature_value")))
         .withColumn("feature_idx", col("feature_idx").cast("long"))
@@ -595,6 +599,27 @@ object LlmQueries {
       """SELECT doc_id,
         | unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS frame_off
         |FROM documents""".stripMargin,
+    // Exact recomputation of the byte-histogram decode: byte i's high nibble
+    // is hex char 2i+1 of hex(blob); 16-bin counts normalized with the same
+    // floor(x*1e4 + 0.5)/1e4 fixing the Spark decoder applies.
+    "llm_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents),
+        |i AS (SELECT doc_id, unnest(range(0, n)) AS i FROM b),
+        |e AS (
+        |  SELECT i.doc_id, CAST('0x' || substr(b.hx, CAST(2*i.i+1 AS INT), 1) AS INT) AS hi
+        |  FROM i JOIN b ON i.doc_id = b.doc_id),
+        |cnt AS (SELECT doc_id, hi, count(*) AS c FROM e GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, n, unnest(range(0, 16)) AS feature_idx FROM b)
+        |SELECT g.doc_id, 'text' AS kind, g.n AS n_bytes,
+        |  CAST(g.feature_idx AS BIGINT) AS feature_idx,
+        |  CASE WHEN g.n = 0 THEN 0.0
+        |       ELSE floor(coalesce(c.c, 0) / g.n * 10000 + 0.5) / 10000 END
+        |    AS feature_value
+        |FROM grid g LEFT JOIN cnt c
+        |  ON c.doc_id = g.doc_id AND c.hi = g.feature_idx""".stripMargin,
     // Components via recursive reachability over the all-pairs ground truth:
     // cluster_id(node) = min reachable node.
     "llm_dedup_clusters" ->
