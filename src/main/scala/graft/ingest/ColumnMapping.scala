@@ -1,0 +1,168 @@
+package graft.ingest
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Delta-style column mapping: non-additive schema evolution (RENAME /
+  * DROP COLUMN) as a metadata-only commit, no data rewrite.
+  *
+  * The log's META line carries, per table, the ordered logical schema with
+  * each column's stable PHYSICAL name — the name actually stored in the
+  * parquet files. RENAME changes only the logical side of one pair; DROP
+  * removes the pair and tombstones the physical name. Readers resolve
+  * physical→logical through the latest mapping visible at their pinned
+  * version (time travel below the rename sees the old names — the mapping
+  * folds like any other log state), and rewrite paths ([[Merge]]) operate
+  * on the logical view then restore physical names before staging, so a
+  * table's files keep ONE physical schema across any number of renames.
+  *
+  * Constraint (documented, enforced): a dropped column's physical name is
+  * never reused — re-adding the same logical name would resurrect old
+  * files' bytes under the new column. Partition columns cannot be renamed
+  * or dropped (their physical names are directory structure).
+  */
+case class ColumnMapping(cols: Seq[(String, String)],
+                         droppedPhysical: Seq[String]) {
+
+  def logicalNames: Seq[String] = cols.map(_._1)
+  private lazy val toPhys: Map[String, String] = cols.toMap
+
+  /** Resolve a physical-schema frame to the logical view: mapped columns
+    * renamed into mapping order, unmapped data columns (dropped, or
+    * physical residue in old files) projected away. `passthrough` columns
+    * (e.g. `_change_type`) survive unmapped, in their original order after
+    * the mapped ones. A mapped column missing from `df` entirely (possible
+    * only mid-additive-evolution without mergeSchema) reads as null. */
+  def applyTo(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val present = df.columns.toSet
+    val mapped = cols.map { case (logical, physical) =>
+      if (present(physical)) col(physical).as(logical)
+      else lit(null).as(logical)
+    }
+    val extra = df.columns.filter(passthrough.contains(_)).map(col(_))
+    df.select(mapped ++ extra: _*)
+  }
+
+  /** Inverse resolution for rewrite staging: a logical-view frame back to
+    * physical column names, so rewritten files keep the table's one
+    * physical schema. Non-mapped columns pass through unchanged. */
+  def toPhysicalDf(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      toPhys.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
+
+  /** Physical→logical key rename on a decoded stats token, so log-side
+    * data skipping keeps working against predicates written in logical
+    * names. Stats of dropped/unmapped physical columns are discarded. */
+  def statsToLogical(stats: Option[FileStats.Stats]): Option[FileStats.Stats] = {
+    val toLogical = cols.map { case (l, p) => p -> l }.toMap
+    stats.map(s => s.copy(cols = s.cols.flatMap { case (p, cs) =>
+      toLogical.get(p).map(_ -> cs)
+    }))
+  }
+
+  def encode: String = {
+    def e(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
+    val pairs = cols.map { case (l, p) => s"${e(l)}=${e(p)}" }.mkString(",")
+    s"v1;$pairs;${droppedPhysical.map(e).mkString(",")}"
+  }
+}
+
+object ColumnMapping {
+
+  def decode(payload: String): ColumnMapping = {
+    def d(s: String) = URLDecoder.decode(s, StandardCharsets.UTF_8)
+    payload.split(";", -1) match {
+      case Array("v1", pairs, dropped) =>
+        ColumnMapping(
+          pairs.split(",").toSeq.filter(_.nonEmpty).map { kv =>
+            val Array(l, p) = kv.split("=", 2); (d(l), d(p))
+          },
+          dropped.split(",").toSeq.filter(_.nonEmpty).map(d))
+      case _ => throw new IllegalArgumentException(
+        s"unrecognized column-mapping payload: $payload")
+    }
+  }
+
+  /** The identity mapping over a table's current physical schema — the
+    * starting point for the first rename/drop. */
+  def identity(physicalSchema: Seq[String]): ColumnMapping =
+    ColumnMapping(physicalSchema.map(n => (n, n)), Nil)
+}
+
+/** ALTER TABLE surface for the snapshot log: RENAME COLUMN and DROP COLUMN
+  * as metadata-only commits via [[ColumnMapping]]. ADD COLUMN needs no
+  * statement — appends with the extra column are served by
+  * `read(mergeSchema = true)` (additive evolution). */
+object SchemaEvolution {
+
+  /** Current mapping of `table`, or the identity mapping over its physical
+    * schema when none was ever committed. */
+  def mappingOrIdentity(spark: SparkSession, warehouse: String,
+                        table: String): ColumnMapping = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.columnMapping(fs, warehouse, table).getOrElse {
+      // Physical schema straight from the pinned files, NOT through read()
+      // (which would apply a mapping — there is none yet).
+      ColumnMapping.identity(
+        Snapshots.read(spark, warehouse, table).columns.toSeq)
+    }
+  }
+
+  /** RENAME COLUMN `from` → `to`: one metadata commit, zero files touched.
+    * Fails if `from` doesn't exist, `to` is taken, or `from` is a
+    * partition column. */
+  def renameColumn(spark: SparkSession, warehouse: String, table: String,
+                   from: String, to: String): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val m = mappingOrIdentity(spark, warehouse, table)
+    require(m.logicalNames.contains(from), s"no column '$from' in $table " +
+      s"(has: ${m.logicalNames.mkString(", ")})")
+    require(!m.logicalNames.contains(to), s"column '$to' already exists in $table")
+    requireNotPartition(fs, warehouse, table, from, "rename")
+    commitMeta(fs, warehouse, table, "rename_column", base,
+      m.copy(cols = m.cols.map { case (l, p) =>
+        if (l == from) (to, p) else (l, p) }))
+  }
+
+  /** DROP COLUMN: one metadata commit, zero files touched; the physical
+    * name is tombstoned so it can never be re-added (old files still carry
+    * its bytes and would resurrect under a reused name). Time travel below
+    * the drop still serves the column. */
+  def dropColumn(spark: SparkSession, warehouse: String, table: String,
+                 name: String): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val m = mappingOrIdentity(spark, warehouse, table)
+    require(m.logicalNames.contains(name), s"no column '$name' in $table")
+    require(m.cols.size > 1, s"cannot drop the last column of $table")
+    requireNotPartition(fs, warehouse, table, name, "drop")
+    val phys = m.cols.find(_._1 == name).get._2
+    commitMeta(fs, warehouse, table, "drop_column", base,
+      ColumnMapping(m.cols.filterNot(_._1 == name),
+        m.droppedPhysical :+ phys))
+  }
+
+  private def requireNotPartition(fs: org.apache.hadoop.fs.FileSystem,
+                                  warehouse: String, table: String,
+                                  name: String, verb: String): Unit = {
+    val parts = Snapshots.partitionColumns(
+      Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil).map(_.partition))
+    require(!parts.contains(name),
+      s"cannot $verb partition column '$name' — partition names are " +
+        "directory structure; repartition via compaction first")
+  }
+
+  private def commitMeta(fs: org.apache.hadoop.fs.FileSystem, warehouse: String,
+                         table: String, op: String, base: Option[Long],
+                         m: ColumnMapping): Unit =
+    Snapshots.append(fs, warehouse, java.util.UUID.randomUUID().toString,
+      adds = Nil, removes = Nil, op = op, baseVersion = base,
+      metas = Seq(table -> m.encode))
+}

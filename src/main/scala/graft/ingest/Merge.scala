@@ -96,17 +96,27 @@ object Merge {
     assignments.keys.foreach(c => require(!partCols.contains(c),
       s"updateWhere cannot reassign partition column '$c' (rows would " +
         "land in the wrong directory) — delete + append instead"))
-    def readFiles(fl: Seq[String]): DataFrame =
-      if (partCols.isEmpty) spark.read.parquet(fl: _*)
-      else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
+    // Condition/assignments are expressed in LOGICAL names; files store
+    // physical ones. Read through the mapping, rewrite back to physical.
+    val mapping = Snapshots.columnMapping(fs, warehouse, table)
+    def readFiles(fl: Seq[String]): DataFrame = {
+      val df =
+        if (partCols.isEmpty) spark.read.parquet(fl: _*)
+        else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
+      mapping.fold(df)(_.applyTo(df))
+    }
     // Candidates by log-side stats; affected = candidates that truly match.
     val resolved = Snapshots.read(spark, warehouse, table).filter(condition)
       .queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
     val pred = resolved.flatMap(FileStats.fromExpression)
+    def logicalStats(a: Snapshots.Action) = {
+      val s = FileStats.decode(a.stats)
+      mapping.fold(s)(_.statsToLogical(s))
+    }
     val candidates = meta.filter(a => pred.forall(p =>
-      FileStats.mayMatch(FileStats.decode(a.stats), p))).map(_.file)
+      FileStats.mayMatch(logicalStats(a), p))).map(_.file)
     // Scheme-less FULL paths, not basenames: one dynamic-partition write
     // emits the same basename into every partition dir, so a basename
     // match would drag every sibling partition's file into the rewrite.
@@ -138,7 +148,7 @@ object Merge {
             .unionByName(updated.withColumn("_change_type", lit("update_postimage"))))
       }
     commitRewrite(fs, warehouse, table, partCols, out, changes,
-      affected, base, candidates.size)
+      affected, base, candidates.size, mapping)
   }
 
   /** Shared commit tail for the key-merge and predicate-DML paths: stage
@@ -153,17 +163,22 @@ object Merge {
                             warehouse: String, table: String,
                             partCols: Seq[String], out: DataFrame,
                             changes: DataFrame, affected: Seq[String],
-                            base: Option[Long], candidates: Int): Result = {
+                            base: Option[Long], candidates: Int,
+                            mapping: Option[ColumnMapping] = None): Result = {
     import org.apache.spark.sql.functions.{count, when}
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
     val cdfStaging =
       s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
-    val writer = out.coalesce(math.max(1, affected.size)).write
+    // Rewritten data (and CDF rows) land under PHYSICAL names — renames
+    // never fork the files' schema; only the META mapping moves.
+    val outPhys = mapping.fold(out)(_.toPhysicalDf(out))
+    val changesPhys = mapping.fold(changes)(_.toPhysicalDf(changes))
+    val writer = outPhys.coalesce(math.max(1, affected.size)).write
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
     val obs = new org.apache.spark.sql.Observation()
-    changes
+    changesPhys
       .observe(obs, count(when(
         col("_change_type").isin("delete", "update_preimage"), 1))
         .as("matched"))
@@ -195,9 +210,16 @@ object Merge {
     // in the schema (a partition-blind rewrite would drop it), and write
     // the rewrite back through the same partition layout.
     val partCols = Snapshots.partitionColumns(meta.map(_.partition))
-    def readFiles(fl: Seq[String]): DataFrame =
-      if (partCols.isEmpty) spark.read.parquet(fl: _*)
-      else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
+    // Source and keyCols are LOGICAL; files are physical. Read through the
+    // mapping so the join/union see one schema; the commit tail restores
+    // physical names on write.
+    val mapping = Snapshots.columnMapping(fs, warehouse, table)
+    def readFiles(fl: Seq[String]): DataFrame = {
+      val df =
+        if (partCols.isEmpty) spark.read.parquet(fl: _*)
+        else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
+      mapping.fold(df)(_.applyTo(df))
+    }
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // Candidate files by LOG-SIDE stats intersection: a file whose recorded
@@ -211,8 +233,10 @@ object Merge {
       if (files.isEmpty || bounds.isNullAt(0)) Nil
       else {
         val pred = FileStats.between(keyCols.head, bounds.get(0), bounds.get(1))
-        meta.filter(a => FileStats.mayMatch(FileStats.decode(a.stats), pred))
-          .map(_.file)
+        meta.filter { a =>
+          val s = FileStats.decode(a.stats)
+          FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), pred)
+        }.map(_.file)
       }
     // Affected files by scheme-less FULL path — basenames are NOT unique
     // across a commit's partition dirs, so a name match would rewrite
@@ -265,6 +289,6 @@ object Merge {
           (survivors, preimage.withColumn("_change_type", lit("delete")))
       }
     commitRewrite(fs, warehouse, table, partCols, out, changes,
-      affected, base, candidates.size)
+      affected, base, candidates.size, mapping)
   }
 }

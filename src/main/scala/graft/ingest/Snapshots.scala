@@ -48,10 +48,16 @@ object Snapshots {
     * directory chain (`dt=2024-01-01/hour=3`), empty for unpartitioned
     * files. `stats` is the [[FileStats]] token collected at publish ("" for
     * pre-stats entries and non-parquet files — absent stats never skip). */
+  /** One log line. `kind` ∈ ADD | REMOVE | CDF | META — CDF files are
+    * row-level change files (merge commits), part of the entry but never of
+    * table state; META lines carry table-level metadata (the
+    * [[ColumnMapping]] payload rides the `file` field) and the LATEST
+    * visible one per table wins, like Delta's metaData action. */
   case class Action(kind: String, table: String, file: String,
                     partition: String = "", stats: String = "") {
     def add: Boolean = kind == "ADD"
     def cdf: Boolean = kind == "CDF"
+    def meta: Boolean = kind == "META"
     def partitionMap: Map[String, String] =
       if (partition.isEmpty) Map.empty
       else partition.split("/").toSeq.map { seg =>
@@ -322,8 +328,9 @@ object Snapshots {
              op: String = "append", baseVersion: Option[Long] = None,
              statsFor: Map[String, String] = Map.empty,
              changeFiles: Seq[(String, String)] = Nil,
-             replay: Boolean = false): Unit = {
-    val myTables = (adds ++ removes).map(_._1).toSet
+             replay: Boolean = false,
+             metas: Seq[(String, String)] = Nil): Unit = {
+    val myTables = (adds ++ removes ++ metas).map(_._1).toSet
     var attempts = 0
     while (true) {
       attempts += 1
@@ -385,7 +392,8 @@ object Snapshots {
             (adds.map { case (t, f) =>
               s"ADD\t$t\t$f\t${partitionOf(f)}\t${statsFor.getOrElse(f, "")}" } ++
               removes.map { case (t, f) => s"REMOVE\t$t\t$f\t${partitionOf(f)}\t" } ++
-              changeFiles.map { case (t, f) => s"CDF\t$t\t$f\t\t" }))
+              changeFiles.map { case (t, f) => s"CDF\t$t\t$f\t\t" } ++
+              metas.map { case (t, m) => s"META\t$t\t$m\t\t" }))
         if (!ownsClaim(fs, warehouse, version, commitId)) {
           // Our claim was broken as stale while we wrote (we were the
           // zombie): the version now belongs to someone else.
@@ -410,9 +418,16 @@ object Snapshots {
     * (anchored on the latest visible checkpoint). None when no snapshot log
     * exists. CDF lines are per-version change capture, not table state —
     * skipped. */
+  /** Folded log state: per-table live files (ADD minus REMOVE) and the
+    * latest visible table metadata (META payload), both as of the same
+    * version. */
+  private case class Folded(
+      files: scala.collection.mutable.LinkedHashMap[
+        String, scala.collection.mutable.LinkedHashMap[String, (String, String)]],
+      metas: scala.collection.mutable.LinkedHashMap[String, String])
+
   private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
-      : Option[scala.collection.mutable.LinkedHashMap[
-          String, scala.collection.mutable.LinkedHashMap[String, (String, String)]]] = {
+      : Option[Folded] = {
     // Latest-state reads ride the anchored tail listing; time travel below
     // the anchor needs the full log.
     val tail = tailEntries(fs, warehouse)
@@ -428,11 +443,14 @@ object Snapshots {
       s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
     val state = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, (String, String)]]
-    def apply(a: Action): Unit = if (!a.cdf) {
-      val files = state.getOrElseUpdate(a.table,
-        scala.collection.mutable.LinkedHashMap.empty[String, (String, String)])
-      if (a.add) files += (a.file -> (a.partition, a.stats)) else files -= a.file
-    }
+    val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def apply(a: Action): Unit =
+      if (a.meta) metas += (a.table -> a.file)
+      else if (!a.cdf) {
+        val files = state.getOrElseUpdate(a.table,
+          scala.collection.mutable.LinkedHashMap.empty[String, (String, String)])
+        if (a.add) files += (a.file -> (a.partition, a.stats)) else files -= a.file
+      }
     val anchor = visible.filter(_.isCheckpoint).lastOption
     anchor.foreach(c => readActions(fs, c.path).foreach(apply))
     val startV = anchor.map(_.version).getOrElse(Long.MinValue)
@@ -441,16 +459,17 @@ object Snapshots {
     // was computed is folded in exactly this way.
     visible.filter(e => !e.isCheckpoint && e.version >= startV)
       .foreach(e => readActions(fs, e.path).foreach(apply))
-    Some(state)
+    Some(Folded(state, metas))
   }
 
-  /** Write the full-state checkpoint for `version` (ADD lines only). */
+  /** Write the full-state checkpoint for `version` (ADD + META lines). */
   private def writeCheckpoint(fs: FileSystem, warehouse: String, version: Long,
                               commitId: String): Unit = {
-    val state = stateAt(fs, warehouse, Some(version)).getOrElse(return)
+    val folded = stateAt(fs, warehouse, Some(version)).getOrElse(return)
     writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
-      state.toSeq.flatMap { case (t, fsq) =>
-        fsq.toSeq.map { case (f, (part, stats)) => s"ADD\t$t\t$f\t$part\t$stats" } })
+      folded.metas.toSeq.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
+        folded.files.toSeq.flatMap { case (t, fsq) =>
+          fsq.toSeq.map { case (f, (part, stats)) => s"ADD\t$t\t$f\t$part\t$stats" } })
     // Advance the `_last_checkpoint` pointer (monotonic — a vacuum's
     // cutoff checkpoint below a newer anchor must not regress it). Plain
     // overwrite: a torn/stale pointer is a HINT failure, not a correctness
@@ -520,7 +539,7 @@ object Snapshots {
       // [[restore]] re-ADDs files an older entry removed, so "removed
       // below the cutoff" no longer implies "unreachable".
       val anchorState = stateAt(fs, warehouse, Some(cutoff))
-        .map(_.values.flatMap(_.keys).toSet).getOrElse(Set.empty)
+        .map(_.files.values.flatMap(_.keys).toSet).getOrElse(Set.empty)
       val futureAdds = all.filter(e => !e.isCheckpoint && e.version > cutoff)
         .flatMap(e => readActions(fs, e.path))
         .collect { case a if a.add => a.file }.toSet
@@ -531,7 +550,7 @@ object Snapshots {
           // survives, so its CDF files stay serveable by changes()).
           if (a.cdf) {
             if (v.version < cutoff) fs.delete(new Path(a.file), false)
-          } else if (!a.add && !anchorState(a.file) && !futureAdds(a.file))
+          } else if (!a.add && !a.meta && !anchorState(a.file) && !futureAdds(a.file))
             fs.delete(new Path(a.file), false)
         }
       }
@@ -558,9 +577,10 @@ object Snapshots {
   private def sweepOrphans(fs: FileSystem, warehouse: String, now: Long,
                            minAgeMs: Long): Unit = {
     val kept = entries(fs, warehouse)
-    val referenced = kept.flatMap(e => readActions(fs, e.path))
+    // META lines carry metadata payloads, not paths — Path() on one throws.
+    val referenced = kept.flatMap(e => readActions(fs, e.path)).filterNot(_.meta)
       .map(a => new Path(a.file).toUri.getPath).toSet
-    val tableDirs = kept.flatMap(e => readActions(fs, e.path))
+    val tableDirs = kept.flatMap(e => readActions(fs, e.path)).filterNot(_.meta)
       .map(a => new Path(a.file).getParent).distinct
     tableDirs.filter(fs.exists).foreach { dir =>
       fs.listStatus(dir).toSeq.filter(_.isFile)
@@ -707,7 +727,15 @@ object Snapshots {
       read(spark, warehouse, table, Some(to))
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0)
-    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val physical = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      // Serve the feed in the range-end's LOGICAL schema: physical names
+      // are stable across renames, so one mapping covers every era's files;
+      // the feed's own columns pass through unmapped.
+      columnMapping(fs, warehouse, table, Some(to))
+        .fold(physical)(_.applyTo(physical,
+          passthrough = Seq("_change_type", "_commit_version")))
+    }
   }
 
   /** Roll `table` back to `version` as a NEW commit (Delta's RESTORE): the
@@ -778,7 +806,7 @@ object Snapshots {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = entries(fs, warehouse).filterNot(_.isCheckpoint).map { e =>
-      val acts = readActions(fs, e.path).filterNot(_.cdf)
+      val acts = readActions(fs, e.path).filterNot(a => a.cdf || a.meta)
       (e.version, e.commitId, new java.sql.Timestamp(e.mtime),
         acts.count(_.add).toLong, acts.count(!_.add).toLong,
         acts.map(_.table).distinct.sorted.mkString(","), readOp(fs, e.path))
@@ -807,10 +835,18 @@ object Snapshots {
     * skipping. One ADD Action per live file. */
   def fileMeta(fs: FileSystem, warehouse: String, table: String,
                asOf: Option[Long] = None): Option[Seq[Action]] =
-    stateAt(fs, warehouse, asOf).map(_.get(table)
+    stateAt(fs, warehouse, asOf).map(_.files.get(table)
       .map(_.toSeq.map { case (f, (part, stats)) =>
         Action("ADD", table, f, part, stats) })
       .getOrElse(Seq.empty))
+
+  /** The table's [[ColumnMapping]] visible at `asOf` — None until the
+    * first RENAME/DROP COLUMN commit. Versioned like file state: time
+    * travel below a rename resolves through the mapping of that era. */
+  def columnMapping(fs: FileSystem, warehouse: String, table: String,
+                    asOf: Option[Long] = None): Option[ColumnMapping] =
+    stateAt(fs, warehouse, asOf)
+      .flatMap(_.metas.get(table)).map(ColumnMapping.decode)
 
   /** A file's skipping stats with its partition tuple folded in as exact
     * single-value ranges (strings — Hive specs are untyped; a predicate
@@ -881,9 +917,18 @@ object Snapshots {
            dataFilter: FileStats.Pred = null): DataFrame = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = fileMeta(fs, warehouse, table, asOf)
+    val folded = stateAt(fs, warehouse, asOf)
       .getOrElse(throw new IllegalStateException(
         s"no snapshot log under $warehouse — was this table committed via TxnCommit?"))
+    val all = folded.files.get(table)
+      .map(_.toSeq.map { case (f, (part, stats)) =>
+        Action("ADD", table, f, part, stats) })
+      .getOrElse(Seq.empty)
+    // Column mapping (rename/drop without rewrite): files keep ONE physical
+    // schema; the logical view is resolved at the end, and log-side stats
+    // (physical keys) are renamed to logical so skipping still fires on
+    // logically-named predicates.
+    val mapping = folded.metas.get(table).map(ColumnMapping.decode)
     require(all.nonEmpty,
       s"table '$table' has no committed files at version ${asOf.getOrElse("latest")}")
     val partPruned =
@@ -900,17 +945,21 @@ object Snapshots {
     // predicate skips on data AND partition columns uniformly.
     val pruned =
       if (dataFilter == null) partPruned
-      else partPruned.filter(a =>
-        FileStats.mayMatch(statsWithPartition(a), dataFilter))
+      else partPruned.filter { a =>
+        val stats = statsWithPartition(a)
+        FileStats.mayMatch(mapping.fold(stats)(_.statsToLogical(stats)), dataFilter)
+      }
     val reader0 = spark.read.option("mergeSchema", mergeSchema)
     val reader =
       if (all.exists(_.partition.nonEmpty))
         reader0.option("basePath", s"$warehouse/$table")
       else reader0
-    if (pruned.isEmpty)
-      // Every file provably excluded: an empty frame with the table schema
-      // (schema comes from one arbitrary pinned file, never its rows).
-      reader.parquet(partPruned.head.file).limit(0)
-    else reader.parquet(pruned.map(_.file): _*)
+    val physical =
+      if (pruned.isEmpty)
+        // Every file provably excluded: an empty frame with the table schema
+        // (schema comes from one arbitrary pinned file, never its rows).
+        reader.parquet(partPruned.head.file).limit(0)
+      else reader.parquet(pruned.map(_.file): _*)
+    mapping.fold(physical)(_.applyTo(physical))
   }
 }

@@ -136,6 +136,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   private val VacuumRe =
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
+  // ALTER TABLE is real Spark grammar — intercept only committed graft
+  // tables, like DELETE/UPDATE.
+  private val RenameColRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*".r
+  private val DropColRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
 
   private def warehouse: String =
     session.conf.getOption("spark.graft.warehouse").getOrElse(
@@ -197,6 +203,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         c.trim -> e.trim
       }
       GraftDmlCommand(warehouse, table, where, assigns)
+    case RenameColRe(table, from, to) if isGraftTable(table) =>
+      GraftAlterColumnCommand(warehouse, table, from, Some(to))
+    case DropColRe(table, name) if isGraftTable(table) =>
+      GraftAlterColumnCommand(warehouse, table, name, None)
     case VacuumRe(retain, maxAgeHours) =>
       GraftVacuumCommand(warehouse,
         Option(retain).map(_.toInt).getOrElse(32),
@@ -281,6 +291,24 @@ case class GraftDmlCommand(warehouse: String, table: String, where: String,
       else graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where),
         assignments.map { case (c, e) => c -> expr(e) }.toMap)
     Seq(Row(res.filesRewritten, res.rowsMatched))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` / `ALTER TABLE t DROP COLUMN a` →
+  * [[graft.ingest.SchemaEvolution]]: a metadata-only commit through the
+  * column mapping — zero files rewritten at any table size. */
+case class GraftAlterColumnCommand(warehouse: String, table: String,
+                                   column: String, renameTo: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    renameTo match {
+      case Some(to) =>
+        graft.ingest.SchemaEvolution.renameColumn(session, warehouse, table, column, to)
+      case None =>
+        graft.ingest.SchemaEvolution.dropColumn(session, warehouse, table, column)
+    }
+    Nil
   }
 }
 

@@ -196,6 +196,29 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("UPDATE g SET name = 'x' WHERE"))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata-only evolution via SQL") {
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "name", "score")
+      .coalesce(1).write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/talter")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "talter")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+    val filesBefore = Snapshots.fileSet(fs, wh, "talter").get.toSet
+
+    spark.sql("ALTER TABLE talter RENAME COLUMN name TO label").collect()
+    spark.sql("ALTER TABLE talter DROP COLUMN score").collect()
+    assert(Snapshots.fileSet(fs, wh, "talter").get.toSet == filesBefore) // no rewrite
+    val df = spark.sql("SNAPSHOT OF talter")
+    assert(df.columns.toSeq == Seq("id", "label"))
+    assert(df.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // non-graft ALTER falls through to Spark's own resolution
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("ALTER TABLE no_such_graft_table RENAME COLUMN a TO b"))
+  }
+
   test("ordinary SQL falls through to the delegate parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed → delegate error

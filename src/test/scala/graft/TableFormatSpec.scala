@@ -431,6 +431,119 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 19)
   }
 
+  test("column mapping: RENAME COLUMN is metadata-only, versioned, DML-compatible") {
+    import graft.ingest.SchemaEvolution
+    val w = wh("whRename")
+    val s0 = spark
+    import s0.implicits._
+    def publishKv(rows: Seq[(Long, String, Long)]): Unit = {
+      val commitId = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "name", "score").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, commitId)}/t")
+      val moves = TxnCommit.movesFor(fs, w, commitId, "t")
+      TxnCommit.commit(fs, w, commitId, moves)
+      TxnCommit.publish(fs, w, commitId, moves)
+    }
+    publishKv(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    publishKv(Seq((3L, "c", 30L), (4L, "d", 40L)))
+    val filesBefore = Snapshots.fileSet(fs, w, "t").get.toSet
+    val vBefore = Snapshots.latestVersion(fs, w).get
+
+    SchemaEvolution.renameColumn(spark, w, "t", "name", "doc_name")
+    // zero files touched — pure metadata commit
+    assert(Snapshots.fileSet(fs, w, "t").get.toSet == filesBefore)
+    val df = Snapshots.read(spark, w, "t")
+    assert(df.columns.toSeq == Seq("id", "doc_name", "score"))
+    assert(df.filter($"doc_name" === "c").select("id").as[Long].head() == 3L)
+    // time travel below the rename resolves the OLD logical schema
+    assert(Snapshots.read(spark, w, "t", asOf = Some(vBefore))
+      .columns.toSeq == Seq("id", "name", "score"))
+    // data skipping still fires on the LOGICAL name: the log's physical
+    // stats are renamed through the mapping, so readWhere on doc_name
+    // plans only the file whose [min,max] overlaps.
+    val pruned = Snapshots.readWhere(spark, w, "t", $"id" >= 3L)
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 2)
+    // DML in logical names: upsert replaces by key, rewritten file keeps
+    // the PHYSICAL column name on disk
+    val res = Merge.upsert(spark, w, "t",
+      Seq((1L, "A", 11L)).toDF("id", "doc_name", "score"), Seq("id"))
+    assert(res.filesRewritten == 1 && res.rowsMatched == 1)
+    val after = Snapshots.read(spark, w, "t")
+    assert(after.filter($"id" === 1L).select("doc_name").as[String].head() == "A")
+    val rewritten = (Snapshots.fileSet(fs, w, "t").get.toSet -- filesBefore).head
+    assert(spark.read.parquet(rewritten).columns.contains("name")) // physical
+    // change feed serves the logical schema too
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+    assert(feed.columns.contains("doc_name") && !feed.columns.contains("name"))
+    assert(feed.filter($"_change_type" === "update_postimage")
+      .select("doc_name").as[String].head() == "A")
+    // guards
+    intercept[IllegalArgumentException](
+      SchemaEvolution.renameColumn(spark, w, "t", "nope", "x"))
+    intercept[IllegalArgumentException](
+      SchemaEvolution.renameColumn(spark, w, "t", "doc_name", "score"))
+  }
+
+  test("column mapping: DROP COLUMN tombstones, time travel serves the old era") {
+    import graft.ingest.SchemaEvolution
+    val w = wh("whDrop")
+    val s0 = spark
+    import s0.implicits._
+    def publishKv(rows: Seq[(Long, String, Long)]): Unit = {
+      val commitId = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "name", "score").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, commitId)}/t")
+      val moves = TxnCommit.movesFor(fs, w, commitId, "t")
+      TxnCommit.commit(fs, w, commitId, moves)
+      TxnCommit.publish(fs, w, commitId, moves)
+    }
+    publishKv(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val vBefore = Snapshots.latestVersion(fs, w).get
+    val filesBefore = Snapshots.fileSet(fs, w, "t").get.toSet
+
+    SchemaEvolution.dropColumn(spark, w, "t", "score")
+    assert(Snapshots.fileSet(fs, w, "t").get.toSet == filesBefore) // no rewrite
+    assert(Snapshots.read(spark, w, "t").columns.toSeq == Seq("id", "name"))
+    // the bytes are still there for time travel below the drop
+    assert(Snapshots.read(spark, w, "t", asOf = Some(vBefore))
+      .filter($"id" === 2L).select("score").as[Long].head() == 20L)
+    // a rewrite after the drop writes files WITHOUT the dropped column —
+    // and mixed files (with/without the physical residue) read fine
+    Merge.upsert(spark, w, "t", Seq((2L, "B")).toDF("id", "name"), Seq("id"))
+    val after = Snapshots.read(spark, w, "t")
+    assert(after.columns.toSeq == Seq("id", "name"))
+    assert(after.orderBy("id").as[(Long, String)].collect()
+      .toSeq == Seq((1L, "a"), (2L, "B")))
+    val rewritten = (Snapshots.fileSet(fs, w, "t").get.toSet -- filesBefore).head
+    assert(!spark.read.parquet(rewritten).columns.contains("score"))
+    // the physical name is tombstoned in the mapping
+    val m = Snapshots.columnMapping(fs, w, "t").get
+    assert(m.droppedPhysical == Seq("score"))
+    // guards: last column, unknown column
+    intercept[IllegalArgumentException](
+      SchemaEvolution.dropColumn(spark, w, "t", "nope"))
+    SchemaEvolution.dropColumn(spark, w, "t", "name")
+    intercept[IllegalArgumentException](
+      SchemaEvolution.dropColumn(spark, w, "t", "id"))
+  }
+
+  test("column mapping survives checkpoints and rides rename chains") {
+    import graft.ingest.SchemaEvolution
+    val w = wh("whMapCkpt")
+    publishBatch(w, "t", 1 to 5)
+    SchemaEvolution.renameColumn(spark, w, "t", "id", "key")
+    SchemaEvolution.renameColumn(spark, w, "t", "key", "pk")
+    // drive the log past a checkpoint boundary (interval 16)
+    (0 until 20).foreach(_ => publishBatch(w, "t2", 1 to 2))
+    assert(Snapshots.entries(fs, w).exists(_.isCheckpoint))
+    // the mapping survives the checkpoint fold (META line in the anchor)
+    assert(Snapshots.read(spark, w, "t").columns.toSeq == Seq("pk"))
+    assert(Snapshots.columnMapping(fs, w, "t").get.cols == Seq(("pk", "id")))
+    assert(Snapshots.read(spark, w, "t")
+      .agg(org.apache.spark.sql.functions.sum("pk")).head.getLong(0) == 15L)
+  }
+
   test("additive schema evolution: mergeSchema unions commit schemas") {
     val w = wh("whEvo")
     val s0 = spark
