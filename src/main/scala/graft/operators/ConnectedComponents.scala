@@ -56,8 +56,15 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nbl"), col("component")))
             .as("component"),
           (col("nbl") < col("component")).as("improved"))
-      val stepped = next.localCheckpoint(true)
-      changed = stepped.filter(col("improved")).count()
+      // The improved-count rides the checkpoint's materialization pass as
+      // an Observation — the convergence certificate costs zero extra
+      // actions; on an init-converged star graph the whole loop is this
+      // ONE join pass.
+      val obs = new org.apache.spark.sql.Observation()
+      val stepped = next
+        .observe(obs, count(when(col("improved"), 1)).as("changed"))
+        .localCheckpoint(true)
+      changed = obs.get.apply("changed").asInstanceOf[Long]
       labels = stepped.drop("improved")
       iter += 1
     }
