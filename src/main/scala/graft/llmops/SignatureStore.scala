@@ -53,6 +53,52 @@ object SignatureStore {
     TxnCommit.publish(fs, warehouse, cid, moves)
   }
 
+  /** Streaming dual of [[incrementalNearDupPairs]]: each micro-batch of
+    * documents is (1) committed to `docTable`, (2) signed and its band rows
+    * appended to `sigTable`, (3) deduped against everything committed so
+    * far — the batch's near-dup pairs land in `pairsTable`. All three are
+    * batchId-keyed snapshot commits ([[graft.streaming.StreamingOps
+    * .commitBatch]]), so a crash-replayed trigger skips what already
+    * published and finishes what didn't: exactly-once end to end, and the
+    * union of `pairsTable` over batches equals the one-shot batch result
+    * (each pair is emitted at its later endpoint's batch).
+    *
+    * Per-trigger cost is the incremental contract: O(batch) signature
+    * compute + O(candidates) corpus re-read via log-side bounds pruning —
+    * the corpus text is never re-scanned, which is what makes a
+    * long-running 100 TB ingest loop viable. */
+  def streamingIncrementalDedup(
+      docs: DataFrame, warehouse: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      docTable: String = "documents", sigTable: String = "doc_signatures",
+      pairsTable: String = "dup_pairs",
+      threshold: Double = 0.6, numPerms: Int = 64, numBands: Int = 16,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.StreamingOps.commitBatch
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The batch feeds three actions — pin it once (checkpoint blocks
+        // are ContextCleaner-managed, same stance as the dedup joins).
+        val b = batch.localCheckpoint(true)
+        commitBatch(b, warehouse, docTable, batchId)
+        commitBatch(bandRows(b, idCol, textCol, numPerms, numBands),
+          warehouse, sigTable, batchId)
+        // The store now includes this batch's bands; pairs against the
+        // full corpus-so-far, emitted exactly once per pair.
+        commitBatch(
+          incrementalNearDupPairs(b.sparkSession, warehouse, docTable,
+            b.select(col(idCol), col(textCol)), idCol, textCol,
+            threshold, sigTable = sigTable),
+          warehouse, pairsTable, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Near-dup pairs involving at least one document of `newDocs`
     * (id + text — e.g. the change feed since the last run), against the
     * full corpus whose bands are ALREADY PERSISTED in `sigTable` — which

@@ -24,7 +24,7 @@ object LlmQueries {
     s.read.parquet(s"$d/embeddings.parquet")
 
   /** documents ∪ mutated near-dup copies (every 10th doc, one token added). */
-  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+  private[queries] def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
     base.union(
       base.filter(col("doc_id") % 10 === 0)

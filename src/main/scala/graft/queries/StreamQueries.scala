@@ -117,7 +117,36 @@ object StreamQueries {
     // payload columns would depend on file order, keys never do.
     "stream_dedup" -> ((s, d) =>
       runToCompletion(s, d, outputMode = "append")(
-        _.select(col("user_id"), col("event_type")).dropDuplicates())))
+        _.select(col("user_id"), col("event_type")).dropDuplicates())),
+
+    // Streaming incremental near-dup dedup end-to-end: the corpus arrives
+    // as TWO micro-batches (maxFilesPerTrigger=1); each trigger commits the
+    // docs, appends band rows to the persisted SignatureStore, and emits
+    // the batch's near-dup pairs — all exactly-once. The union of per-batch
+    // pairs must equal the one-shot all-pairs ground truth (the same oracle
+    // as llm_dedup_minhash): a lost cross-batch pair means the store missed
+    // a band, a doubled one means a replay double-committed.
+    "stream_incremental_dedup" -> ((s, d) => {
+      import graft.llmops.SignatureStore
+      val wh = Fixtures.once("stream_incremental_dedup", d) {
+        val base = Files.createTempDirectory("graft-sdedup")
+        val in = base.resolve("in").toString
+        val all = LlmQueries.docsWithDups(s, d).select("doc_id", "text")
+        all.filter(col("doc_id") < 1000000).coalesce(1)
+          .write.parquet(in) // batch 1: originals
+        all.filter(col("doc_id") >= 1000000).coalesce(1)
+          .write.mode("append").parquet(in) // batch 2: the mutated copies
+        val w = base.resolve("wh").toString
+        val q = SignatureStore.streamingIncrementalDedup(
+          s.readStream.schema(all.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
+          w, base.resolve("ckpt").toString)
+        q.awaitTermination()
+        w
+      }
+      graft.ingest.Snapshots.read(s, wh, "dup_pairs")
+        .select("doc_a", "doc_b", "jaccard").distinct()
+    }))
 
   /** Same ground truth as the batch entries — the streaming runtime must
     * produce byte-identical results on a bounded input. */
@@ -129,6 +158,9 @@ object StreamQueries {
         |FROM events GROUP BY user_id""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // Identical ground truth to the batch MinHash pipeline: ALL pairs with
+    // Jaccard >= 0.6 — the streaming path must find every one, incrementally.
+    "stream_incremental_dedup" -> LlmQueries.oracleSql("llm_dedup_minhash"),
     "stream_join" ->
       """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
         |FROM events c JOIN events v

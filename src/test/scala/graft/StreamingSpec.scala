@@ -104,6 +104,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ingest.Snapshots.read(spark, wh, "events_t").count() == 3)
   }
 
+  test("streaming incremental dedup: per-batch pairs union to the one-shot batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val wh = Files.createTempDirectory("graft-stream-dedup").toString
+    val ckpt = Files.createTempDirectory("graft-stream-dedup-ckpt").toString
+    def doc(i: Long): (Long, String) =
+      (i, s"document number $i talks at length about topic ${i % 3} with " +
+        s"many shared words and a distinctive tail token t$i plus filler " +
+        "text that makes shingles overlap only for true duplicates")
+    def dup(i: Long): (Long, String) = { val (_, t) = doc(i); (i + 1000, t + " zz") }
+    val batch1 = Seq(doc(1), doc(2), doc(3), dup(1)) // near-dup inside batch 1
+    val batch2 = Seq(doc(4), doc(5), dup(2), dup(4)) // cross-batch + in-batch dups
+
+    val input = MemoryStream[(Long, String)]
+    input.addData(batch1: _*)
+    val q = graft.llmops.SignatureStore.streamingIncrementalDedup(
+      input.toDF().toDF("doc_id", "text"), wh, ckpt)
+    q.awaitTermination()
+    input.addData(batch2: _*)
+    val q2 = graft.llmops.SignatureStore.streamingIncrementalDedup(
+      input.toDF().toDF("doc_id", "text"), wh, ckpt)
+    q2.awaitTermination()
+
+    val streamed = graft.ingest.Snapshots.read(spark, wh, "dup_pairs")
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    val oneShot = graft.llmops.MinHash.nearDupPairs(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty && oneShot.exists { case (a, b) => b - a == 1000 })
+    assert(streamed == oneShot) // exactly the batch result, no pair lost or doubled
+    assert(graft.ingest.Snapshots.read(spark, wh, "documents").count() == 8)
+    // crash-replay of the last trigger: all three commits dedup by batchId
+    val before = graft.ingest.Snapshots.read(spark, wh, "dup_pairs").count()
+    StreamingOps.commitBatch(batch2.toDF("doc_id", "text"), wh, "documents", 1L)
+    assert(graft.ingest.Snapshots.read(spark, wh, "documents").count() == 8)
+    assert(graft.ingest.Snapshots.read(spark, wh, "dup_pairs").count() == before)
+  }
+
   test("streaming file ingest discovers new reference-format files incrementally") {
     val dir = Files.createTempDirectory("graft-stream")
     def fixture(name: String, n: Int, off: Int): Unit = {
