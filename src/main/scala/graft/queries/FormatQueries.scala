@@ -122,6 +122,26 @@ object FormatQueries {
     // pre/post images for the updated key, tagged with change type (the
     // commit-version column is warehouse-relative, so the oracle-checked
     // surface is the change rows themselves).
+    // Dynamic file pruning under the oracle gate: the dim side's keys prune
+    // the fact side's pinned file list via log stats (2 commits sorted by
+    // key → the selective dim plans 1 of 2 files, asserted in
+    // DynamicFilePruningSpec); the joined rows must equal the plain-SQL
+    // join — pruning is an optimization, never a semantic change.
+    "fmt_dpp_join" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_dpp_join", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n.filter(col("n_nationkey") < 12))
+        publish(s, w, "nation", n.filter(col("n_nationkey") >= 12))
+        w
+      }
+      val dim = nation(s, d).filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("dim_key"), col("n_name").as("dim_name"))
+      graft.operators.DynamicFilePruning.joinPruned(
+          s, wh, "nation", "n_nationkey", dim, "dim_key")
+        .select("n_nationkey", "n_name", "n_regionkey", "dim_name")
+    }),
+
     "fmt_changes" -> ((s, d) => {
       val wh = Fixtures.once("fmt_changes", d) {
         val w = freshWh()
@@ -154,6 +174,12 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey, 'd1' AS dt
         |FROM nation
         |WHERE n_nationkey % 2 = 0 AND n_nationkey >= 4""".stripMargin,
+    "fmt_dpp_join" ->
+      """SELECT CAST(a.n_nationkey AS BIGINT) AS n_nationkey, a.n_name,
+        |       CAST(a.n_regionkey AS BIGINT) AS n_regionkey,
+        |       b.n_name AS dim_name
+        |FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+        |WHERE b.n_nationkey < 5""".stripMargin,
     "fmt_changes" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey, _change_type
