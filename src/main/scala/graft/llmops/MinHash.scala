@@ -124,8 +124,8 @@ object MinHash {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64Expr.simhash64(
-        expr(s"transform(split(lower($textCol), ' '), " +
-          "t -> cast(conv(substr(md5(t), 1, 14), 16, 10) as bigint))")).as("sig"))
+        graft.functions.Md5Prefix56Expr.hashArray(
+          split(lower(col(textCol)), " "))).as("sig"))
 
   /** SimHash near-dup: band the 56-bit signature into four 14-bit chunks
     * (even coverage — a 16-bit split would leave the top chunk only 8

@@ -64,6 +64,22 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     s1.zip(s2).foreach { case (a, b) => assert(b <= a) }
   }
 
+  test("md5_prefix56 native kernel == the SQL conv/substr chain, token by token") {
+    import org.apache.spark.sql.functions._
+    val s0 = spark
+    import s0.implicits._
+    val df = Seq("the quick brown fox", "héllo wörld ünïcode", "a  b", "")
+      .toDF("text")
+      .select(
+        graft.functions.Md5Prefix56Expr.hashArray(
+          split(lower(col("text")), " ")).as("native"),
+        expr("transform(split(lower(text), ' '), " +
+          "t -> cast(conv(substr(md5(t), 1, 14), 16, 10) as bigint))").as("sql"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("simhashPairs banding is complete at hamming <= 3 (matches all-pairs truth)") {
     import org.apache.spark.sql.functions._
     val s0 = spark
