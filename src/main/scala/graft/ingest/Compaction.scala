@@ -84,12 +84,19 @@ object Compaction {
     * predicates on those columns skip whole files. Clustering needs a
     * shuffle (range exchange) where plain bin-packing is narrow `coalesce` —
     * pay it when the table has a dominant filter column. */
+  /** `purgeDropped` is Delta's `REORG TABLE … APPLY (PURGE)` analog for
+    * column mapping: DROP COLUMN is metadata-only, so the dropped bytes
+    * live on in the files until a rewrite; with this flag the compaction
+    * physically excludes every tombstoned physical column — and forces the
+    * rewrite even on an already-packed table, since removing the bytes IS
+    * the point. Pre-purge versions still time-travel (inputs retained). */
   def compact(spark: SparkSession, warehouse: String, table: String,
               targetBytes: Long = 128L * 1024 * 1024,
               minInputFiles: Int = 2,
               retainRemoved: Boolean = true,
               sortBy: Seq[String] = Nil,
-              partitionFilter: Map[String, String] => Boolean = null)
+              partitionFilter: Map[String, String] => Boolean = null,
+              purgeDropped: Boolean = false)
       : Option[Result] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,18 +104,28 @@ object Compaction {
     // a concurrent rewrite landing after this makes the commit abort
     // instead of re-adding rows the rival already rewrote (double data).
     val base = Snapshots.latestVersion(fs, warehouse)
+    val tombstoned: Seq[String] =
+      if (!purgeDropped) Nil
+      else Snapshots.columnMapping(fs, warehouse, table)
+        .map(_.droppedPhysical).getOrElse(Nil)
+    val purging = tombstoned.nonEmpty
     val inputs = liveFiles(spark, warehouse, table, partitionFilter)
-    if (inputs.size < minInputFiles) return None
+    if (inputs.isEmpty || (inputs.size < minInputFiles && !purging)) return None
     val totalBytes = inputs.map(_._2).sum
     val nOut0 = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     // Clustering is worth a rewrite even when the file count doesn't shrink
     // (the value is the disjoint ranges), but never grow the file count.
-    val nOut = if (sortBy.nonEmpty) math.min(nOut0, inputs.size) else nOut0
-    if (sortBy.isEmpty && nOut >= inputs.size) return None // already packed
+    val nOut = if (sortBy.nonEmpty || purging) math.min(nOut0, inputs.size)
+               else nOut0
+    if (sortBy.isEmpty && !purging && nOut >= inputs.size)
+      return None // already packed
 
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
-    val (df, partCols) = readInputs(spark, warehouse, table, inputs)
+    val (df0, partCols) = readInputs(spark, warehouse, table, inputs)
+    // Physically shed tombstoned columns (schema inference may not even
+    // surface them when the sampled footer postdates the drop — intersect).
+    val df = tombstoned.intersect(df0.columns.toSeq).foldLeft(df0)(_.drop(_))
     val packed =
       if (sortBy.isEmpty) df.coalesce(nOut)
       else df.repartitionByRange(nOut, sortBy.map(col): _*)

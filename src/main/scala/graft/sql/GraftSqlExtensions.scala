@@ -138,6 +138,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
   // ALTER TABLE is real Spark grammar — intercept only committed graft
   // tables, like DELETE/UPDATE.
+  // Delta's REORG TABLE … APPLY (PURGE): rewrite files to physically shed
+  // columns dropped via the metadata-only mapping.
+  private val ReorgRe =
+    raw"(?is)\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*".r
   private val RenameColRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*".r
   private val DropColRe =
@@ -203,6 +207,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         c.trim -> e.trim
       }
       GraftDmlCommand(warehouse, table, where, assigns)
+    case ReorgRe(table) =>
+      GraftOptimizeCommand(warehouse, table, Nil, purgeDropped = true)
     case RenameColRe(table, from, to) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
@@ -240,7 +246,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   * shape is compacting one day's `dt`, never the table. */
 case class GraftOptimizeCommand(warehouse: String, table: String,
                                 zorderBy: Seq[String],
-                                partitionEq: Seq[(String, String)] = Nil)
+                                partitionEq: Seq[(String, String)] = Nil,
+                                purgeDropped: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", IntegerType)(),
@@ -254,7 +261,8 @@ case class GraftOptimizeCommand(warehouse: String, table: String,
       if (zorderBy.size >= 2)
         Compaction.zorder(session, warehouse, table, zorderBy, partitionFilter = pf)
       else Compaction.compact(session, warehouse, table, sortBy = zorderBy,
-        minInputFiles = if (zorderBy.nonEmpty) 1 else 2, partitionFilter = pf)
+        minInputFiles = if (zorderBy.nonEmpty) 1 else 2, partitionFilter = pf,
+        purgeDropped = purgeDropped)
     Seq(res.map(r => Row(r.filesBefore, r.filesAfter, r.bytes))
       .getOrElse(Row(0, 0, 0L)))
   }

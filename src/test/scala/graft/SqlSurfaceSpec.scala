@@ -217,6 +217,12 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-graft ALTER falls through to Spark's own resolution
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("ALTER TABLE no_such_graft_table RENAME COLUMN a TO b"))
+    // REORG … APPLY (PURGE) physically sheds the dropped column
+    spark.sql("REORG TABLE talter APPLY (PURGE)").collect()
+    assert(Snapshots.fileSet(fs, wh, "talter").get
+      .forall(f => !spark.read.parquet(f).columns.contains("score")))
+    assert(spark.sql("SNAPSHOT OF talter").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
   test("ordinary SQL falls through to the delegate parser") {

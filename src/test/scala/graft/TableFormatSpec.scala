@@ -528,6 +528,41 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       SchemaEvolution.dropColumn(spark, w, "t", "id"))
   }
 
+  test("purging compaction physically sheds dropped columns; history still travels") {
+    import graft.ingest.SchemaEvolution
+    val w = wh("whPurge")
+    val s0 = spark
+    import s0.implicits._
+    def publishKv(rows: Seq[(Long, String, Long)]): Unit = {
+      val commitId = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "name", "secret").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, commitId)}/t")
+      val moves = TxnCommit.movesFor(fs, w, commitId, "t")
+      TxnCommit.commit(fs, w, commitId, moves)
+      TxnCommit.publish(fs, w, commitId, moves)
+    }
+    publishKv(Seq((1L, "a", 101L)))
+    publishKv(Seq((2L, "b", 102L)))
+    val vBefore = Snapshots.latestVersion(fs, w).get
+    SchemaEvolution.dropColumn(spark, w, "t", "secret")
+    // metadata drop leaves the bytes in place …
+    assert(Snapshots.fileSet(fs, w, "t").get
+      .forall(f => spark.read.parquet(f).columns.contains("secret")))
+    // … the purging rewrite removes them physically
+    val res = Compaction.compact(spark, w, "t", purgeDropped = true)
+    assert(res.nonEmpty)
+    val live = Snapshots.fileSet(fs, w, "t").get
+    assert(live.forall(f => !spark.read.parquet(f).columns.contains("secret")))
+    assert(Snapshots.read(spark, w, "t").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // pre-purge versions still serve the column (inputs retained for asOf)
+    assert(Snapshots.read(spark, w, "t", asOf = Some(vBefore))
+      .filter($"id" === 1L).select("secret").as[Long].head() == 101L)
+    // a second purge run is a no-op only because nothing is left to pack
+    // AND nothing tombstoned survives in live files — count stays stable
+    assert(Snapshots.read(spark, w, "t").count() == 2)
+  }
+
   test("column mapping survives checkpoints and rides rename chains") {
     import graft.ingest.SchemaEvolution
     val w = wh("whMapCkpt")
