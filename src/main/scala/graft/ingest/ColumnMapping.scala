@@ -30,6 +30,10 @@ case class ColumnMapping(cols: Seq[(String, String)],
   def logicalNames: Seq[String] = cols.map(_._1)
   private lazy val toPhys: Map[String, String] = cols.toMap
 
+  /** The physical name behind a logical column (identity for unmapped
+    * names — partition columns and feed metadata pass through). */
+  def physicalFor(logical: String): String = toPhys.getOrElse(logical, logical)
+
   /** Resolve a physical-schema frame to the logical view: mapped columns
     * renamed into mapping order, unmapped data columns (dropped, or
     * physical residue in old files) projected away. `passthrough` columns

@@ -126,10 +126,16 @@ object Compaction {
     // Physically shed tombstoned columns (schema inference may not even
     // surface them when the sampled footer postdates the drop — intersect).
     val df = tombstoned.intersect(df0.columns.toSeq).foldLeft(df0)(_.drop(_))
+    // Callers name columns LOGICALLY; the rewrite reads physical files —
+    // resolve sortBy through the mapping (identity when none).
+    val sortPhys = {
+      lazy val m = Snapshots.columnMapping(fs, warehouse, table)
+      sortBy.map(c => m.map(_.physicalFor(c)).getOrElse(c))
+    }
     val packed =
-      if (sortBy.isEmpty) df.coalesce(nOut)
-      else df.repartitionByRange(nOut, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+      if (sortPhys.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut, sortPhys.map(col): _*)
+        .sortWithinPartitions(sortPhys.head, sortPhys.tail: _*)
     val writer = packed.write
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
@@ -179,7 +185,12 @@ object Compaction {
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes),
       inputs.size.toLong).toInt
     val (df, partCols) = readInputs(spark, warehouse, table, inputs)
-    val aggs = cols.flatMap(c =>
+    // Logical→physical for the clustering columns, like compact's sortBy.
+    val cols0 = {
+      lazy val m = Snapshots.columnMapping(fs, warehouse, table)
+      cols.map(c => m.map(_.physicalFor(c)).getOrElse(c))
+    }
+    val aggs = cols0.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head
     require(!bounds.anyNull,
@@ -190,7 +201,7 @@ object Compaction {
     // cols, then 64 / n.
     val bitsPerCol = math.min(16, 64 / cols.size)
     val maxRank = (1L << bitsPerCol) - 1
-    val zval = cols.zipWithIndex.map { case (c, i) =>
+    val zval = cols0.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
       val rank = least(greatest(

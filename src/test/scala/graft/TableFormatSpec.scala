@@ -567,8 +567,13 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.ingest.SchemaEvolution
     val w = wh("whMapCkpt")
     publishBatch(w, "t", 1 to 5)
+    publishBatch(w, "t", 6 to 10)
     SchemaEvolution.renameColumn(spark, w, "t", "id", "key")
     SchemaEvolution.renameColumn(spark, w, "t", "key", "pk")
+    // maintenance names columns LOGICALLY: sorted compaction on the renamed
+    // column resolves to the physical name under the hood
+    assert(Compaction.compact(spark, w, "t", sortBy = Seq("pk")).nonEmpty)
+    assert(Snapshots.read(spark, w, "t").columns.toSeq == Seq("pk"))
     // drive the log past a checkpoint boundary (interval 16)
     (0 until 20).foreach(_ => publishBatch(w, "t2", 1 to 2))
     assert(Snapshots.entries(fs, w).exists(_.isCheckpoint))
@@ -576,7 +581,7 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").columns.toSeq == Seq("pk"))
     assert(Snapshots.columnMapping(fs, w, "t").get.cols == Seq(("pk", "id")))
     assert(Snapshots.read(spark, w, "t")
-      .agg(org.apache.spark.sql.functions.sum("pk")).head.getLong(0) == 15L)
+      .agg(org.apache.spark.sql.functions.sum("pk")).head.getLong(0) == 55L)
   }
 
   test("additive schema evolution: mergeSchema unions commit schemas") {
