@@ -271,6 +271,43 @@ object LlmQueries {
         .filter(col("vec_id") < 5), k = 10, nprobe = 8)
     }),
 
+    // Persisted LSH ANN (the IvfStore pattern for the hyperplane family):
+    // index built on half the corpus, completed via the change feed, then
+    // queried probeAll through the warm store — exact, so it hash-matches
+    // the same brute-force ground truth as llm_ann_lsh_exact. The
+    // approximate multi-probe path is covered by LshStoreSpec's recall
+    // floor; the pruning claim (probed buckets → index files, zero corpus
+    // files) by its plan assertions.
+    "llm_ann_lsh_persisted" -> ((s, d) => {
+      import graft.ingest.{Snapshots, TxnCommit}
+      import graft.llmops.LshStore
+      val wh = Fixtures.once("llm_ann_lsh_persisted", d) {
+        val w = java.nio.file.Files.createTempDirectory("graft-lshstore")
+          .resolve("wh").toString
+        val fs = new org.apache.hadoop.fs.Path(w)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val all = embs(s, d).select("vec_id", "embedding")
+        def pub(df: DataFrame): Unit = {
+          val cid = java.util.UUID.randomUUID().toString
+          df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/embeddings")
+          val moves = TxnCommit.movesFor(fs, w, cid, "embeddings")
+          TxnCommit.commit(fs, w, cid, moves)
+          TxnCommit.publish(fs, w, cid, moves)
+        }
+        pub(all.filter(col("vec_id") % 2 === 0))
+        LshStore.buildIndex(s, w,
+          Snapshots.read(s, w, "embeddings"), dim = 64, numPlanes = 6)
+        val vIndexed = Snapshots.latestVersion(fs, w).get
+        pub(all.filter(col("vec_id") % 2 =!= 0))
+        LshStore.appendBatch(s, w,
+          Snapshots.changes(s, w, "embeddings", fromExclusive = vIndexed)
+            .select("vec_id", "embedding"))
+        w
+      }
+      LshStore.topK(s, wh, embs(s, d).select("vec_id", "embedding")
+        .filter(col("vec_id") < 5), k = 10, probeAll = true)
+    }),
+
     // Embedding-cosine near-dup pairs ≥ 0.95 via LSH buckets.
     "llm_cosine_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(embsWithDups(s, d), dim = 64, threshold = 0.95)),
@@ -593,6 +630,7 @@ object LlmQueries {
     // top-k, so a hash mismatch there is a recall bug in that ANN path.
     "llm_ann_ivf_exact" -> bruteForceTopkSql,
     "llm_ann_ivf_persisted" -> bruteForceTopkSql,
+    "llm_ann_lsh_persisted" -> bruteForceTopkSql,
     "llm_ann_lsh_exact" -> bruteForceTopkSql,
     "llm_cosine_topk" -> bruteForceTopkSql,
     // Ground truth for the cosine-LSH pipeline: ALL pairs with sim ≥ 0.95.
