@@ -109,10 +109,14 @@ object SchemaEvolution {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Snapshots.columnMapping(fs, warehouse, table).getOrElse {
-      // Physical schema straight from the pinned files, NOT through read()
-      // (which would apply a mapping — there is none yet).
+      // Physical schema from the pinned files with mergeSchema: on an
+      // additively-evolved table a sampled-footer schema could miss a late
+      // column, and a mapping built without it would silently project the
+      // column away on every subsequent read. (read() applies no mapping
+      // here — there is none yet.)
       ColumnMapping.identity(
-        Snapshots.read(spark, warehouse, table).columns.toSeq)
+        Snapshots.read(spark, warehouse, table, mergeSchema = true)
+          .columns.toSeq)
     }
   }
 

@@ -528,6 +528,28 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       SchemaEvolution.dropColumn(spark, w, "t", "id"))
   }
 
+  test("first rename on an additively-evolved table maps the FULL union schema") {
+    import graft.ingest.SchemaEvolution
+    val w = wh("whEvoRename")
+    val s0 = spark
+    import s0.implicits._
+    publishBatch(w, "t", 1 to 3) // schema: (id)
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((10L, "x")).toDF("id", "val").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t") // additive: + val
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    // the identity mapping must capture BOTH columns, whichever footer the
+    // non-merge schema sample would have picked
+    SchemaEvolution.renameColumn(spark, w, "t", "id", "key")
+    val m = Snapshots.columnMapping(fs, w, "t").get
+    assert(m.cols.toSet == Set(("key", "id"), ("val", "val")))
+    val df = Snapshots.read(spark, w, "t", mergeSchema = true)
+    assert(df.columns.toSet == Set("key", "val"))
+    assert(df.filter($"val".isNotNull).select("key").as[Long].head() == 10L)
+  }
+
   test("purging compaction physically sheds dropped columns; history still travels") {
     import graft.ingest.SchemaEvolution
     val w = wh("whPurge")
