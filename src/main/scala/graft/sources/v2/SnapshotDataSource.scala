@@ -318,7 +318,12 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()), schema)
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()), schema,
+      // Column mapping: the stream's schema is LOGICAL; files store stable
+      // physical names. Captured once — physical names never change across
+      // renames, so the map stays valid for the stream's lifetime.
+      Snapshots.columnMapping(fs, warehouse, table)
+        .map(_.cols.toMap).getOrElse(Map.empty))
 
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset(json.filter(c => c.isDigit || c == '-').toLong)
@@ -335,10 +340,12 @@ case class SnapshotInputPartition(file: String, partSpec: Map[String, String],
   extends InputPartition
 
 case class SnapshotReaderFactory(conf: SerializableConfiguration,
-                                 schema: StructType) extends PartitionReaderFactory {
+                                 schema: StructType,
+                                 nameMap: Map[String, String] = Map.empty)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition], conf, schema)
+      partition.asInstanceOf[SnapshotInputPartition], conf, schema, nameMap)
 }
 
 /** Reads one committed parquet file with the parquet-mr Group API (no
@@ -347,7 +354,8 @@ case class SnapshotReaderFactory(conf: SerializableConfiguration,
   * served as constants from the log's recorded tuple. */
 class SnapshotPartitionReader(p: SnapshotInputPartition,
                               conf: SerializableConfiguration,
-                              schema: StructType)
+                              schema: StructType,
+                              nameMap: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val reader =
@@ -378,7 +386,10 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
   }
 
   private def gettersFor(f: org.apache.spark.sql.types.StructField): Group => Any = {
-    val idx = if (fileSchema.containsField(f.name)) fileSchema.getFieldIndex(f.name) else -1
+    // Column mapping: schema names are logical, file fields physical
+    // (identity when unmapped — partition and feed columns included).
+    val phys = nameMap.getOrElse(f.name, f.name)
+    val idx = if (fileSchema.containsField(phys)) fileSchema.getFieldIndex(phys) else -1
     if (idx >= 0) {
       val ptype = fileSchema.getType(idx).asPrimitiveType()
       val pname = ptype.getPrimitiveTypeName

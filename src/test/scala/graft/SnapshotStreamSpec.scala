@@ -174,6 +174,25 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sameElements(Array(100L)))
   }
 
+  test("stream over a renamed table serves the logical schema with real values") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whStreamRename")
+    publishKv(w, Seq((1L, "a"), (2L, "b")))
+    graft.ingest.SchemaEvolution.renameColumn(spark, w, "t", "val", "label")
+    // post-rename append staged under the PHYSICAL names (id, val) — the
+    // contract for writers feeding a mapped table
+    publishKv(w, Seq((3L, "c")))
+    val out = Files.createTempDirectory("graft-rename-out").toString
+    val ckpt = Files.createTempDirectory("graft-rename-ckpt").toString
+    drain(w, out, ckpt)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSet == Set("id", "label"))
+    // the renamed column carries the FILE's values, not nulls
+    assert(got.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("projection prunes to the requested columns") {
     val w = wh("whProj")
     publishKv(w, Seq(1L -> "a", 2L -> "b"))
