@@ -138,10 +138,36 @@ object SchemaEvolution {
         if (l == from) (to, p) else (l, p) }))
   }
 
+  /** ADD COLUMN under the mapping: assigns the new logical name a physical
+    * name that has never carried data — the plain name when fresh, a
+    * version-suffixed one when the name was previously dropped (reusing a
+    * tombstoned physical name would resurrect old files' bytes under the
+    * new column). Writers stage the PHYSICAL name; readers see nulls for
+    * pre-add files (additive semantics, `mergeSchema` for mixed eras).
+    * Tables with no mapping don't need this — plain additive evolution
+    * already covers them. */
+  def addColumn(spark: SparkSession, warehouse: String, table: String,
+                name: String): String = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val m = mappingOrIdentity(spark, warehouse, table)
+    require(!m.logicalNames.contains(name), s"column '$name' already exists in $table")
+    val taken = (m.cols.map(_._2) ++ m.droppedPhysical).toSet
+    val phys =
+      if (!taken(name)) name
+      else Iterator.from(base.getOrElse(0L).toInt + 1)
+        .map(v => s"${name}_v$v").find(!taken(_)).get
+    commitMeta(fs, warehouse, table, "add_column", base,
+      m.copy(cols = m.cols :+ (name, phys)))
+    phys
+  }
+
   /** DROP COLUMN: one metadata commit, zero files touched; the physical
-    * name is tombstoned so it can never be re-added (old files still carry
-    * its bytes and would resurrect under a reused name). Time travel below
-    * the drop still serves the column. */
+    * name is tombstoned so it can never be re-added directly (old files
+    * still carry its bytes and would resurrect under a reused name) —
+    * [[addColumn]] re-adds the logical name under a FRESH physical name.
+    * Time travel below the drop still serves the column. */
   def dropColumn(spark: SparkSession, warehouse: String, table: String,
                  name: String): Unit = {
     val fs = new Path(warehouse)

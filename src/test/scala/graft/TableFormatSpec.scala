@@ -528,6 +528,34 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       SchemaEvolution.dropColumn(spark, w, "t", "id"))
   }
 
+  test("ADD COLUMN after DROP: fresh physical name, old bytes never resurrect") {
+    import graft.ingest.SchemaEvolution
+    val w = wh("whReAdd")
+    val s0 = spark
+    import s0.implicits._
+    def pub(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    pub(Seq((1L, "old1"), (2L, "old2")).toDF("id", "score"))
+    SchemaEvolution.dropColumn(spark, w, "t", "score")
+    // re-add the same LOGICAL name: gets a fresh physical slot
+    val phys = SchemaEvolution.addColumn(spark, w, "t", "score")
+    assert(phys != "score")
+    // writers stage the physical name; old rows read the new column as null
+    pub(Seq((3L, "new3")).toDF("id", phys))
+    val df = Snapshots.read(spark, w, "t", mergeSchema = true).orderBy("id")
+    assert(df.columns.toSeq == Seq("id", "score"))
+    assert(df.as[(Long, Option[String])].collect().toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("new3")))) // old1/old2 stay buried
+    // duplicate add rejected
+    intercept[IllegalArgumentException](
+      SchemaEvolution.addColumn(spark, w, "t", "score"))
+  }
+
   test("first rename on an additively-evolved table maps the FULL union schema") {
     import graft.ingest.SchemaEvolution
     val w = wh("whEvoRename")
