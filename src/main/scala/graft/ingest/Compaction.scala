@@ -40,37 +40,43 @@ object Compaction {
   private def liveFiles(spark: SparkSession, warehouse: String,
                         table: String,
                         partitionFilter: Map[String, String] => Boolean = null)
-      : Seq[(String, Long, String)] = {
+      : Seq[(String, Long, String, String)] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = Snapshots.partitionedFiles(fs, warehouse, table) match {
-      case Some(files) =>
-        files.filter { case (f, _) => fs.exists(new Path(f)) }
-          .map { case (f, spec) =>
-            (f, fs.getFileStatus(new Path(f)).getLen, spec) }
+    val all = Snapshots.fileMeta(fs, warehouse, table) match {
+      case Some(acts) =>
+        acts.filter(a => fs.exists(new Path(a.file)))
+          .map(a => (a.file, fs.getFileStatus(new Path(a.file)).getLen,
+            a.partition, a.dv))
       case None =>
         val dir = new Path(s"$warehouse/$table")
         if (!fs.exists(dir)) Seq.empty
         else fs.listStatus(dir).toSeq.filter(_.isFile)
           .filterNot(_.getPath.getName.startsWith("_"))
-          .map(st => (st.getPath.toString, st.getLen, ""))
+          .map(st => (st.getPath.toString, st.getLen, "", ""))
     }
     if (partitionFilter == null) all
-    else all.filter { case (_, _, spec) =>
+    else all.filter { case (_, _, spec, _) =>
       partitionFilter(Snapshots.specToMap(spec)) }
   }
 
   /** Read the input files so that partition columns (if any) stay in the
-    * schema, and write the rewrite preserving the partition layout — a
-    * partition-blind rewrite would silently DROP the partition column from
-    * a `dt=…` table. */
+    * schema, minus any attached deletion vectors (a compaction of a
+    * DV-carrying file materializes the subtraction — the rewrite IS the
+    * vector purge), and write the rewrite preserving the partition layout —
+    * a partition-blind rewrite would silently DROP the partition column
+    * from a `dt=…` table. */
   private def readInputs(spark: SparkSession, warehouse: String,
-                         table: String, inputs: Seq[(String, Long, String)]) = {
+                         table: String,
+                         inputs: Seq[(String, Long, String, String)]) = {
     val partCols = Snapshots.partitionColumns(inputs.map(_._3))
     val files = inputs.map(_._1)
-    val df =
+    val df0 =
       if (partCols.isEmpty) spark.read.parquet(files: _*)
       else spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
+    val acts = inputs.map { case (f, _, spec, dv) =>
+      Snapshots.Action("ADD", table, f, spec, "", dv) }
+    val df = Snapshots.applyDv(spark, df0, acts)
     (df, partCols)
   }
 
@@ -108,8 +114,12 @@ object Compaction {
       if (!purgeDropped) Nil
       else Snapshots.columnMapping(fs, warehouse, table)
         .map(_.droppedPhysical).getOrElse(Nil)
-    val purging = tombstoned.nonEmpty
     val inputs = liveFiles(spark, warehouse, table, partitionFilter)
+    // REORG … APPLY (PURGE) also purges deletion vectors: the rewrite
+    // materializes the DV subtraction, so the outputs carry no vectors —
+    // force it even on an already-packed table when vectors are present.
+    val purging = tombstoned.nonEmpty ||
+      (purgeDropped && inputs.exists(_._4.nonEmpty))
     if (inputs.isEmpty || (inputs.size < minInputFiles && !purging)) return None
     val totalBytes = inputs.map(_._2).sum
     val nOut0 = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

@@ -40,13 +40,42 @@ object Merge {
   private def pathKey(file: String): String = Snapshots.pathKey(file)
   private def srcFileKey(uri: String): String = Snapshots.srcFileKey(uri)
 
+  /** Scan-side row identity columns: the row's source file (scheme-less
+    * encoded path — directly comparable to [[pathKey]] output) and its row
+    * index within that file. Captured from `_metadata` AT THE SCAN, before
+    * any join — `input_file_name()` is only reliable scan-side and a
+    * deletion-vector anti-join may sit between the scan and the consumer. */
+  private[ingest] val SrcFileCol = "_src_file"
+  private[ingest] val RowPosCol = "_row_pos"
+
+  /** Read committed files with row identity ([[SrcFileCol]], [[RowPosCol]]),
+    * minus any attached deletion vectors, resolved to the logical schema.
+    * Every DML read routes through here so no path can resurrect DV'd rows. */
+  private def dvAwareRead(spark: SparkSession, warehouse: String,
+                          table: String, partCols: Seq[String],
+                          mapping: Option[ColumnMapping],
+                          acts: Seq[Snapshots.Action]): DataFrame = {
+    import org.apache.spark.sql.functions.regexp_replace
+    val fl = acts.map(_.file)
+    val df0 =
+      if (partCols.isEmpty) spark.read.parquet(fl: _*)
+      else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
+    val keyed = df0
+      .withColumn(SrcFileCol,
+        regexp_replace(col("_metadata.file_path"), Snapshots.SchemeRe, ""))
+      .withColumn(RowPosCol, col("_metadata.row_index"))
+    val df = Snapshots.applyDv(spark, keyed, acts)
+    mapping.fold(df)(_.applyTo(df, passthrough = Seq(SrcFileCol, RowPosCol)))
+  }
+
   /** `rowsMatched`: rows of the table whose key matched the source —
     * replaced on upsert, removed on delete. `filesScanned`: stats-surviving
     * candidate files actually opened to find matches (≤ table file count;
     * the log-side skipping win is `filesScanned` ≪ total on a clustered
-    * table). */
+    * table). `filesDvAttached`: files that got a deletion vector instead of
+    * a rewrite (merge-on-read paths only). */
   case class Result(filesRewritten: Int, filesAdded: Int, rowsMatched: Long,
-                    filesScanned: Int = 0)
+                    filesScanned: Int = 0, filesDvAttached: Int = 0)
 
   /** Upsert `updates` into `table` by `keyCols`: rows whose key matches are
     * replaced, the rest of `updates` is inserted. `updates` must carry the
@@ -79,6 +108,184 @@ object Merge {
     rewriteWhere(spark, warehouse, table, condition, assignments)
   }
 
+  /** Merge-on-read predicate DELETE (the Delta deletion-vector path): the
+    * matched rows' (file, position) pairs are committed as deletion-vector
+    * attachments — NO data file is rewritten. Copy-on-write deleting 0.1%
+    * of a 100 TB table rewrites every affected file; this writes O(matched
+    * rows) positions and one log entry. Reads subtract the vector
+    * ([[Snapshots.applyDv]]), `changes()` serves the staged CDF delete
+    * rows, compaction purges vectors, and a file whose deletions come to
+    * cover EVERY row is logically REMOVEd outright instead of carrying a
+    * full vector. */
+  def deleteWhereDv(spark: SparkSession, warehouse: String, table: String,
+                    condition: org.apache.spark.sql.Column): Result =
+    dvWhere(spark, warehouse, table, condition, Map.empty)
+
+  /** Merge-on-read predicate UPDATE: matched rows are deletion-vectored
+    * out of their files and re-appended with `assignments` applied (the
+    * DV-update shape: vector + append — unmatched rows move zero bytes,
+    * same as copy-on-write, but matched FILES aren't rewritten either). */
+  def updateWhereDv(spark: SparkSession, warehouse: String, table: String,
+                    condition: org.apache.spark.sql.Column,
+                    assignments: Map[String, org.apache.spark.sql.Column])
+      : Result = {
+    require(assignments.nonEmpty, "updateWhereDv needs at least one assignment")
+    dvWhere(spark, warehouse, table, condition, assignments)
+  }
+
+  /** Shared merge-on-read core. Empty `assignments` = delete.
+    *
+    * Scale shape: pass 1 scans only stats-surviving candidates to find
+    * affected files + per-file new-deletion counts (driver state is
+    * O(candidate files)); pass 2 scans only AFFECTED files for the CDF
+    * rows and vector positions. The vector parquet is repartitioned by
+    * data file so each file's full deletion set lands in exactly one
+    * staged part (bounded by 32 writer tasks — vectors are position lists,
+    * tiny next to the data); attachments ride the manifest so a crashed
+    * publish replays them exactly. */
+  private def dvWhere(spark: SparkSession, warehouse: String, table: String,
+                      condition: org.apache.spark.sql.Column,
+                      assignments: Map[String, org.apache.spark.sql.Column])
+      : Result = {
+    import org.apache.spark.sql.functions.{count, first, when}
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot log under $warehouse — DML needs a TxnCommit table"))
+    val partCols = Snapshots.partitionColumns(meta.map(_.partition))
+    assignments.keys.foreach(c => require(!partCols.contains(c),
+      s"updateWhereDv cannot reassign partition column '$c' (rows would " +
+        "land in the wrong directory) — delete + append instead"))
+    val mapping = Snapshots.columnMapping(fs, warehouse, table)
+    // Candidates by log-side stats, exactly as the copy-on-write path.
+    val resolved = Snapshots.read(spark, warehouse, table).filter(condition)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val pred = resolved.flatMap(FileStats.fromExpression)
+    val candidates = meta.filter { a =>
+      val s = FileStats.decode(a.stats)
+      pred.forall(p => FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), p))
+    }
+    if (candidates.isEmpty) return Result(0, 0, 0L, 0)
+    // Pass 1: affected files + NEW deletions per file (rows already
+    // vectored out are invisible to the dv-aware read, so a re-run of the
+    // same predicate matches nothing and commits nothing).
+    val newCounts: Map[String, Long] =
+      dvAwareRead(spark, warehouse, table, partCols, mapping, candidates)
+        .filter(condition)
+        .groupBy(SrcFileCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val affected = candidates.filter(a => newCounts.contains(pathKey(a.file)))
+    if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
+
+    // A file whose deletions now cover every row (row count known from log
+    // stats) is logically REMOVEd — readers skip it entirely instead of
+    // anti-joining a full-file vector; the bytes stay for time travel.
+    val (full, partial) = affected.partition { a =>
+      FileStats.decode(a.stats).map(_.rows).filter(_ >= 0)
+        .contains(a.dvCount + newCounts(pathKey(a.file)))
+    }
+
+    // Pass 2, affected files only: matched rows feed the CDF change files
+    // (and the update postimage); their (file, pos) pairs — merged with
+    // the files' existing vectors — become the new vectors.
+    val matched =
+      dvAwareRead(spark, warehouse, table, partCols, mapping, affected)
+        .filter(condition)
+    val commitId = java.util.UUID.randomUUID().toString
+    val dvStaging =
+      s"${TxnCommit.stagingDir(warehouse, commitId)}/_dv/$table"
+    val cdfStaging =
+      s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
+    val dataStaging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
+
+    if (partial.nonEmpty) {
+      val partialKeys = partial.map(a => pathKey(a.file))
+      val newDv = matched
+        .filter(col(SrcFileCol).isin(partialKeys: _*))
+        .select(col(SrcFileCol).as("_dv_data_file"),
+          col(RowPosCol).as("_dv_pos"))
+      val withOld = partial.filter(_.dv.nonEmpty)
+      val dvOut =
+        if (withOld.isEmpty) newDv
+        else newDv.unionByName(Snapshots.dvRowsDf(spark,
+          withOld.map(a => (pathKey(a.file), a.dvPath))))
+      dvOut.repartition(math.min(32, partial.size), col("_dv_data_file"))
+        .write.parquet(dvStaging)
+    }
+
+    // CDF rows (and the update postimage) carry the table's data columns
+    // under physical names, like every staged file.
+    val matchedData = matched.drop(SrcFileCol, RowPosCol)
+    // Assignments are cast back to the table's column types: the postimage
+    // stands alone in its own file (no survivors to union-coerce against,
+    // unlike copy-on-write), so `SET v = 0` on a BIGINT column must not
+    // write an INT32 file — schema enforcement would rightly reject it.
+    def applied(df: DataFrame): DataFrame = {
+      val upd = assignments.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
+      upd.select(df.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
+    val changes =
+      if (assignments.isEmpty)
+        matchedData.withColumn("_change_type", lit("delete"))
+      else
+        matchedData.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied(matchedData)
+            .withColumn("_change_type", lit("update_postimage")))
+    val obs = new org.apache.spark.sql.Observation()
+    mapping.fold(changes)(_.toPhysicalDf(changes))
+      .observe(obs, count(when(
+        col("_change_type").isin("delete", "update_preimage"), 1))
+        .as("matched"))
+      .coalesce(math.max(1, affected.size)).write.parquet(cdfStaging)
+    val matchedCount = obs.get.apply("matched").asInstanceOf[Long]
+    if (assignments.nonEmpty) {
+      val postPhys = {
+        val p = applied(matchedData)
+        mapping.fold(p)(_.toPhysicalDf(p))
+      }
+      val w = postPhys.coalesce(math.max(1, affected.size)).write
+      (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+        .parquet(dataStaging)
+    }
+
+    // Attachment map: the repartition above put each file's vector rows in
+    // exactly one staged part — one read of the tiny staged vector learns
+    // which, and how many. Unreferenced (empty) parts never publish.
+    val dvMoves = TxnCommit.movesFor(fs, warehouse, commitId, s"_dv/$table")
+    val srcToDest = dvMoves.map(m => srcFileKey(m.src) -> m.dest).toMap
+    val attach: Seq[(String, String, Long)] =
+      if (partial.isEmpty) Nil
+      else {
+        val keyToFile = partial.map(a => pathKey(a.file) -> a.file).toMap
+        spark.read.parquet(dvStaging)
+          .withColumn("_p", input_file_name())
+          .groupBy("_dv_data_file")
+          .agg(count(lit(1)).as("_n"), first(col("_p")).as("_p"))
+          .collect()
+          .map(r => (keyToFile(r.getString(0)),
+            srcToDest(srcFileKey(r.getString(2))), r.getLong(1))).toSeq
+      }
+    val usedDvDests = attach.map(_._2).toSet
+    val dataMoves =
+      if (assignments.isEmpty) Nil
+      else TxnCommit.movesFor(fs, warehouse, commitId, table)
+    val moves = dataMoves ++
+      TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table") ++
+      dvMoves.filter(m => usedDvDests(m.dest))
+    TxnCommit.commit(fs, warehouse, commitId, moves,
+      retained = full.map(_.file), op = "merge", baseVersion = base,
+      dvAttach = attach)
+    TxnCommit.publish(fs, warehouse, commitId, moves,
+      retained = full.map(_.file), op = "merge", baseVersion = base,
+      dvAttach = attach)
+    Result(0, dataMoves.size, matchedCount, candidates.size, partial.size)
+  }
+
   /** Shared copy-on-write core for predicate delete/update. Empty
     * `assignments` = delete. */
   private def rewriteWhere(spark: SparkSession, warehouse: String, table: String,
@@ -97,14 +304,12 @@ object Merge {
       s"updateWhere cannot reassign partition column '$c' (rows would " +
         "land in the wrong directory) — delete + append instead"))
     // Condition/assignments are expressed in LOGICAL names; files store
-    // physical ones. Read through the mapping, rewrite back to physical.
+    // physical ones. Read through the mapping (and minus any attached
+    // deletion vectors — a rewrite must not resurrect DV'd rows), rewrite
+    // back to physical.
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
-    def readFiles(fl: Seq[String]): DataFrame = {
-      val df =
-        if (partCols.isEmpty) spark.read.parquet(fl: _*)
-        else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
-      mapping.fold(df)(_.applyTo(df))
-    }
+    def readFiles(acts: Seq[Snapshots.Action]): DataFrame =
+      dvAwareRead(spark, warehouse, table, partCols, mapping, acts)
     // Candidates by log-side stats; affected = candidates that truly match.
     val resolved = Snapshots.read(spark, warehouse, table).filter(condition)
       .queryExecution.analyzed.collectFirst {
@@ -116,7 +321,7 @@ object Merge {
       mapping.fold(s)(_.statsToLogical(s))
     }
     val candidates = meta.filter(a => pred.forall(p =>
-      FileStats.mayMatch(logicalStats(a), p))).map(_.file)
+      FileStats.mayMatch(logicalStats(a), p)))
     // Scheme-less FULL paths, not basenames: one dynamic-partition write
     // emits the same basename into every partition dir, so a basename
     // match would drag every sibling partition's file into the rewrite.
@@ -124,13 +329,12 @@ object Merge {
     val affectedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else readFiles(candidates).filter(condition)
-        .withColumn("_src_file", input_file_name())
-        .select("_src_file").distinct()
-        .collect().map(r => srcFileKey(r.getString(0))).toSet
-    val affected = meta.map(_.file).filter(f => affectedNames(pathKey(f)))
+        .select(SrcFileCol).distinct()
+        .collect().map(_.getString(0)).toSet
+    val affected = meta.filter(a => affectedNames(pathKey(a.file)))
     if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
 
-    val hit = readFiles(affected)
+    val hit = readFiles(affected).drop(SrcFileCol, RowPosCol)
     // SQL three-valued logic: DELETE/UPDATE act only on rows where the
     // condition is TRUE; rows where it evaluates NULL (e.g. a NULL in the
     // predicate column) must SURVIVE the rewrite — `not(condition)` alone
@@ -148,7 +352,7 @@ object Merge {
             .unionByName(updated.withColumn("_change_type", lit("update_postimage"))))
       }
     commitRewrite(fs, warehouse, table, partCols, out, changes,
-      affected, base, candidates.size, mapping)
+      affected.map(_.file), base, candidates.size, mapping)
   }
 
   /** Shared commit tail for the key-merge and predicate-DML paths: stage
@@ -214,12 +418,8 @@ object Merge {
     // mapping so the join/union see one schema; the commit tail restores
     // physical names on write.
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
-    def readFiles(fl: Seq[String]): DataFrame = {
-      val df =
-        if (partCols.isEmpty) spark.read.parquet(fl: _*)
-        else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
-      mapping.fold(df)(_.applyTo(df))
-    }
+    def readFiles(acts: Seq[Snapshots.Action]): DataFrame =
+      dvAwareRead(spark, warehouse, table, partCols, mapping, acts)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // Candidate files by LOG-SIDE stats intersection: a file whose recorded
@@ -229,14 +429,14 @@ object Merge {
     // candidates; the residual scan below still pushes the bounds to the
     // parquet reader for row-group skipping.
     val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
-    val candidates: Seq[String] =
+    val candidates: Seq[Snapshots.Action] =
       if (files.isEmpty || bounds.isNullAt(0)) Nil
       else {
         val pred = FileStats.between(keyCols.head, bounds.get(0), bounds.get(1))
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
           FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), pred)
-        }.map(_.file)
+        }
       }
     // Affected files by scheme-less FULL path — basenames are NOT unique
     // across a commit's partition dirs, so a name match would rewrite
@@ -245,11 +445,10 @@ object Merge {
       if (candidates.isEmpty) Set.empty
       else readFiles(candidates)
         .filter(col(keyCols.head).between(lit(bounds.get(0)), lit(bounds.get(1))))
-        .withColumn("_src_file", input_file_name())
         .join(broadcast(srcKeys), keyCols, "left_semi")
-        .select("_src_file").distinct()
-        .collect().map(r => srcFileKey(r.getString(0))).toSet
-    val affected = files.filter(f => affectedNames(pathKey(f)))
+        .select(SrcFileCol).distinct()
+        .collect().map(_.getString(0)).toSet
+    val affected = meta.filter(a => affectedNames(pathKey(a.file)))
 
     // Delta MERGE errors when several source rows share a key (the same
     // target row would be updated twice, nondeterministically); enforce the
@@ -274,7 +473,7 @@ object Merge {
       if (affected.isEmpty) {
         (source, source.withColumn("_change_type", lit("insert")))
       } else {
-        val hit = readFiles(affected)
+        val hit = readFiles(affected).drop(SrcFileCol, RowPosCol)
         val preimage = hit.join(broadcast(srcKeys), keyCols, "left_semi")
         val survivors = hit.join(broadcast(srcKeys), keyCols, "left_anti")
         if (insertSource) {
@@ -289,6 +488,6 @@ object Merge {
           (survivors, preimage.withColumn("_change_type", lit("delete")))
       }
     commitRewrite(fs, warehouse, table, partCols, out, changes,
-      affected, base, candidates.size, mapping)
+      affected.map(_.file), base, candidates.size, mapping)
   }
 }

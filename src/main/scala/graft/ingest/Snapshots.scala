@@ -48,16 +48,28 @@ object Snapshots {
     * directory chain (`dt=2024-01-01/hour=3`), empty for unpartitioned
     * files. `stats` is the [[FileStats]] token collected at publish ("" for
     * pre-stats entries and non-parquet files — absent stats never skip). */
-  /** One log line. `kind` ∈ ADD | REMOVE | CDF | META — CDF files are
+  /** One log line. `kind` ∈ ADD | REMOVE | CDF | META | DV — CDF files are
     * row-level change files (merge commits), part of the entry but never of
     * table state; META lines carry table-level metadata (the
     * [[ColumnMapping]] payload rides the `file` field) and the LATEST
-    * visible one per table wins, like Delta's metaData action. */
+    * visible one per table wins, like Delta's metaData action; DV lines
+    * attach a deletion vector (`dv` = `<deletedRows>:<dvParquetPath>`) to a
+    * LIVE data file — merge-on-read DML: the file's rows minus the DV'd
+    * positions are the table's rows, no rewrite. A newer DV on the same
+    * file supersedes the older one (each DV carries the file's FULL
+    * deletion set), a REMOVE clears the attachment, and ADD lines may carry
+    * `dv` directly (checkpoints and restore re-ADDs preserve attachments). */
   case class Action(kind: String, table: String, file: String,
-                    partition: String = "", stats: String = "") {
+                    partition: String = "", stats: String = "",
+                    dv: String = "") {
     def add: Boolean = kind == "ADD"
     def cdf: Boolean = kind == "CDF"
     def meta: Boolean = kind == "META"
+    def isDv: Boolean = kind == "DV"
+    def dvPath: String =
+      if (dv.isEmpty) "" else dv.split(":", 2)(1)
+    def dvCount: Long =
+      if (dv.isEmpty) 0L else dv.split(":", 2)(0).toLong
     def partitionMap: Map[String, String] =
       if (partition.isEmpty) Map.empty
       else partition.split("/").toSeq.map { seg =>
@@ -236,7 +248,9 @@ object Snapshots {
 
   private def readActions(fs: FileSystem, p: Path): Seq[Action] =
     readLines(fs, p).filterNot(_.startsWith("#")).map { line =>
-      line.split("\t", 5) match {
+      line.split("\t", 6) match {
+        case Array(op, table, file, part, stats, dv) =>
+          Action(op, table, file, part, stats, dv)
         case Array(op, table, file, part, stats) =>
           Action(op, table, file, part, stats)
         case Array(op, table, file, part) => Action(op, table, file, part)
@@ -329,8 +343,11 @@ object Snapshots {
              statsFor: Map[String, String] = Map.empty,
              changeFiles: Seq[(String, String)] = Nil,
              replay: Boolean = false,
-             metas: Seq[(String, String)] = Nil): Unit = {
-    val myTables = (adds ++ removes ++ metas).map(_._1).toSet
+             metas: Seq[(String, String)] = Nil,
+             dvs: Seq[(String, String, String)] = Nil,
+             dvFor: Map[String, String] = Map.empty): Unit = {
+    val myTables = (adds ++ removes ++ metas).map(_._1).toSet ++
+      dvs.map(_._1)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -390,10 +407,12 @@ object Snapshots {
         writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
           s"#OP\t$op" +:
             (adds.map { case (t, f) =>
-              s"ADD\t$t\t$f\t${partitionOf(f)}\t${statsFor.getOrElse(f, "")}" } ++
+              val base = s"ADD\t$t\t$f\t${partitionOf(f)}\t${statsFor.getOrElse(f, "")}"
+              dvFor.get(f).fold(base)(tok => s"$base\t$tok") } ++
               removes.map { case (t, f) => s"REMOVE\t$t\t$f\t${partitionOf(f)}\t" } ++
               changeFiles.map { case (t, f) => s"CDF\t$t\t$f\t\t" } ++
-              metas.map { case (t, m) => s"META\t$t\t$m\t\t" }))
+              metas.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
+              dvs.map { case (t, f, tok) => s"DV\t$t\t$f\t\t\t$tok" }))
         if (!ownsClaim(fs, warehouse, version, commitId)) {
           // Our claim was broken as stale while we wrote (we were the
           // zombie): the version now belongs to someone else.
@@ -418,12 +437,12 @@ object Snapshots {
     * (anchored on the latest visible checkpoint). None when no snapshot log
     * exists. CDF lines are per-version change capture, not table state —
     * skipped. */
-  /** Folded log state: per-table live files (ADD minus REMOVE) and the
-    * latest visible table metadata (META payload), both as of the same
-    * version. */
+  /** Folded log state: per-table live files (ADD minus REMOVE; value =
+    * (partition, stats, dv attachment)) and the latest visible table
+    * metadata (META payload), both as of the same version. */
   private case class Folded(
       files: scala.collection.mutable.LinkedHashMap[
-        String, scala.collection.mutable.LinkedHashMap[String, (String, String)]],
+        String, scala.collection.mutable.LinkedHashMap[String, (String, String, String)]],
       metas: scala.collection.mutable.LinkedHashMap[String, String])
 
   private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
@@ -442,14 +461,20 @@ object Snapshots {
     require(visible.exists(_.isCheckpoint) || visible.headOption.exists(_.version == 0),
       s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
     val state = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.collection.mutable.LinkedHashMap[String, (String, String)]]
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, (String, String, String)]]
     val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def apply(a: Action): Unit =
       if (a.meta) metas += (a.table -> a.file)
       else if (!a.cdf) {
         val files = state.getOrElseUpdate(a.table,
-          scala.collection.mutable.LinkedHashMap.empty[String, (String, String)])
-        if (a.add) files += (a.file -> (a.partition, a.stats)) else files -= a.file
+          scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)])
+        if (a.isDv)
+          // Attach (or supersede) the deletion vector of a LIVE file; a DV
+          // for a file this state can't see (already removed) is inert.
+          files.get(a.file).foreach { case (part, stats, _) =>
+            files += (a.file -> (part, stats, a.dv)) }
+        else if (a.add) files += (a.file -> (a.partition, a.stats, a.dv))
+        else files -= a.file
       }
     val anchor = visible.filter(_.isCheckpoint).lastOption
     anchor.foreach(c => readActions(fs, c.path).foreach(apply))
@@ -469,7 +494,9 @@ object Snapshots {
     writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
       folded.metas.toSeq.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
         folded.files.toSeq.flatMap { case (t, fsq) =>
-          fsq.toSeq.map { case (f, (part, stats)) => s"ADD\t$t\t$f\t$part\t$stats" } })
+          fsq.toSeq.map { case (f, (part, stats, dv)) =>
+            val base = s"ADD\t$t\t$f\t$part\t$stats"
+            if (dv.isEmpty) base else s"$base\t$dv" } })
     // Advance the `_last_checkpoint` pointer (monotonic — a vacuum's
     // cutoff checkpoint below a newer anchor must not regress it). Plain
     // overwrite: a torn/stale pointer is a HINT failure, not a correctness
@@ -578,10 +605,15 @@ object Snapshots {
                            minAgeMs: Long): Unit = {
     val kept = entries(fs, warehouse)
     // META lines carry metadata payloads, not paths — Path() on one throws.
-    val referenced = kept.flatMap(e => readActions(fs, e.path)).filterNot(_.meta)
-      .map(a => new Path(a.file).toUri.getPath).toSet
-    val tableDirs = kept.flatMap(e => readActions(fs, e.path)).filterNot(_.meta)
-      .map(a => new Path(a.file).getParent).distinct
+    // Deletion-vector parquets referenced from any retained line (ADD's dv
+    // field or a DV line) stay; a SUPERSEDED vector loses its last
+    // reference when its attaching entries are truncated and is reaped
+    // here with the same age guard.
+    val acts = kept.flatMap(e => readActions(fs, e.path)).filterNot(_.meta)
+    val referenced = (acts.map(a => new Path(a.file).toUri.getPath) ++
+      acts.filter(_.dv.nonEmpty).map(a => new Path(a.dvPath).toUri.getPath)).toSet
+    val tableDirs = (acts.map(a => new Path(a.file).getParent) ++
+      acts.filter(_.dv.nonEmpty).map(a => new Path(a.dvPath).getParent)).distinct
     tableDirs.filter(fs.exists).foreach { dir =>
       fs.listStatus(dir).toSeq.filter(_.isFile)
         .filterNot(_.getPath.getName.startsWith("_"))
@@ -688,9 +720,13 @@ object Snapshots {
       val verDf = spark.createDataFrame(
         files.map { case (a, v) => (pathKey(a.file), v) }.distinct)
         .toDF("_file_path", "_commit_version")
-      df.withColumn("_file_path",
+      // The path column may have been captured upstream (before a DV
+      // anti-join — input_file_name is only reliable scan-side).
+      val withPath =
+        if (df.columns.contains("_file_path")) df
+        else df.withColumn("_file_path",
           regexp_replace(input_file_name(), SchemeRe, ""))
-        .join(broadcast(verDf), "_file_path").drop("_file_path")
+      withPath.join(broadcast(verDf), "_file_path").drop("_file_path")
     }
     // mergeSchema: additive evolution mid-range serves older versions' rows
     // with nulls in later columns — same stance as read(mergeSchema=true).
@@ -706,14 +742,24 @@ object Snapshots {
         val reader = spark.read.option("mergeSchema", true)
         val r = if (partitioned)
           reader.option("basePath", s"$warehouse/$table") else reader
+        // Restore re-ADDs can carry a deletion vector — the insert rows a
+        // consumer sees must exclude the DV'd positions. Path captured
+        // scan-side, then the (no-op when dv-free) anti-join.
+        val raw = r.parquet(files.map(_._1.file).distinct: _*)
+          .withColumn("_file_path",
+            regexp_replace(input_file_name(), SchemeRe, ""))
         Some(withVersion(
-          r.parquet(files.map(_._1.file).distinct: _*)
+          applyDv(spark, raw, files.map(_._1))
             .withColumn("_change_type", lit("insert")), files))
       }
+    // Grouping key includes the DV token: a file served at two versions
+    // under DIFFERENT deletion vectors (restore eras) gets one leaf per
+    // era, so each version's insert rows subtract exactly its own vector.
+    // Plan depth grows only with layout switches + restore-of-DV events.
     val appends = appendFiles.result()
-      .groupBy(f => partitionColumns(Seq(f._1.partition)))
-      .toSeq.sortBy(_._1.mkString("/"))
-      .flatMap { case (layout, files) => appendRead(files, layout.nonEmpty) }
+      .groupBy(f => (partitionColumns(Seq(f._1.partition)), f._1.dv))
+      .toSeq.sortBy { case ((layout, dv), _) => (layout.mkString("/"), dv) }
+      .flatMap { case ((layout, _), files) => appendRead(files, layout.nonEmpty) }
     val cdf = {
       val files = cdfFiles.result()
       if (files.isEmpty) None
@@ -759,19 +805,30 @@ object Snapshots {
     require(target.nonEmpty,
       s"table '$table' has no files at version $version — nothing to restore to")
     val current = fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
-    val currentSet = current.map(_.file).toSet
+    val currentDv = current.map(a => a.file -> a.dv).toMap
     val targetSet = target.map(_.file).toSet
-    val adds = target.filterNot(a => currentSet(a.file))
+    // A file present in both versions but with a different deletion-vector
+    // attachment is re-ADDed too: the ADD resets the attachment to the
+    // target era's (including clearing a later DV — the deleted rows
+    // genuinely come back, and the change feed serves the re-ADD).
+    val adds = target.filter(a =>
+      !currentDv.contains(a.file) || currentDv(a.file) != a.dv)
     val removes = current.filterNot(a => targetSet(a.file))
-    adds.foreach(a => require(fs.exists(new Path(a.file)),
-      s"restore target file ${a.file} was vacuumed — version $version is gone"))
+    adds.foreach { a =>
+      require(fs.exists(new Path(a.file)),
+        s"restore target file ${a.file} was vacuumed — version $version is gone")
+      if (a.dv.nonEmpty) require(fs.exists(new Path(a.dvPath)),
+        s"restore target deletion vector ${a.dvPath} was vacuumed — " +
+          s"version $version is gone")
+    }
     if (adds.nonEmpty || removes.nonEmpty)
       append(fs, warehouse,
         "restore" + java.util.UUID.randomUUID().toString.replace("-", ""),
         adds = adds.map(a => a.table -> a.file),
         removes = removes.map(a => a.table -> a.file),
         op = "restore", baseVersion = base,
-        statsFor = adds.map(a => a.file -> a.stats).toMap)
+        statsFor = adds.map(a => a.file -> a.stats).toMap,
+        dvFor = adds.filter(_.dv.nonEmpty).map(a => a.file -> a.dv).toMap)
     (adds.size, removes.size)
   }
 
@@ -836,8 +893,8 @@ object Snapshots {
   def fileMeta(fs: FileSystem, warehouse: String, table: String,
                asOf: Option[Long] = None): Option[Seq[Action]] =
     stateAt(fs, warehouse, asOf).map(_.files.get(table)
-      .map(_.toSeq.map { case (f, (part, stats)) =>
-        Action("ADD", table, f, part, stats) })
+      .map(_.toSeq.map { case (f, (part, stats, dv)) =>
+        Action("ADD", table, f, part, stats, dv) })
       .getOrElse(Seq.empty))
 
   /** The table's [[ColumnMapping]] visible at `asOf` — None until the
@@ -847,6 +904,58 @@ object Snapshots {
                     asOf: Option[Long] = None): Option[ColumnMapping] =
     stateAt(fs, warehouse, asOf)
       .flatMap(_.metas.get(table)).map(ColumnMapping.decode)
+
+  /** Max total deletion-vector rows that ride a broadcast anti-join;
+    * beyond this the join shuffles the scan side. DVs are meant to hold a
+    * sliver of a table (heavy deletion is what compaction — which purges
+    * vectors — is for), so the broadcast path is the steady state. */
+  private[ingest] val DvBroadcastMaxRows = 4L * 1000 * 1000
+
+  /** The live deletion-vector rows for `atts` = (dataFileKey, dvPath)
+    * pairs, as columns `_dv_data_file` (scheme-less encoded path, the
+    * [[pathKey]] form) + `_dv_pos` (row index within the file). A live DV
+    * parquet may also carry rows for files whose attachment has since
+    * moved to a NEWER vector (each commit's vector bundles several files'
+    * full deletion sets) — the broadcast (vector, file) pair filter keeps
+    * only currently-attached pairs. */
+  private[ingest] def dvRowsDf(spark: SparkSession,
+                               atts: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, input_file_name,
+      regexp_replace}
+    val pairs = spark.createDataFrame(
+        atts.map { case (f, p) => (pathKey(p), f) }.distinct)
+      .toDF("_dv_src", "_dv_data_file")
+    spark.read.parquet(atts.map(_._2).distinct: _*)
+      .withColumn("_dv_src", regexp_replace(input_file_name(), SchemeRe, ""))
+      .join(broadcast(pairs), Seq("_dv_src", "_dv_data_file"), "left_semi")
+      .select("_dv_data_file", "_dv_pos")
+  }
+
+  /** Merge-on-read: drop deletion-vectored rows from a parquet scan by
+    * anti-joining the scan's (`_metadata.file_path`, `_metadata.row_index`)
+    * against the live DV rows. Must be applied directly over the file-source
+    * scan (metadata columns resolve there). Broadcast anti-join in the
+    * steady state — the scan side is never shuffled; a table whose DVs
+    * outgrow [[DvBroadcastMaxRows]] pays a shuffle until compaction purges
+    * them. No attachments ⇒ the input plan is returned untouched. */
+  private[ingest] def applyDv(spark: SparkSession, df: DataFrame,
+                              atts: Seq[Action]): DataFrame = {
+    val live = atts.filter(_.dv.nonEmpty)
+    if (live.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    val dv = dvRowsDf(spark, live.map(a => (pathKey(a.file), a.dvPath)))
+    val dvH =
+      if (live.map(_.dvCount).sum <= DvBroadcastMaxRows) broadcast(dv) else dv
+    val keyed = df
+      .withColumn("_dv_file",
+        regexp_replace(col("_metadata.file_path"), SchemeRe, ""))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+    keyed.join(dvH,
+        keyed("_dv_file") === dvH("_dv_data_file") &&
+          keyed("_dv_row") === dvH("_dv_pos"),
+        "left_anti")
+      .drop("_dv_file", "_dv_row")
+  }
 
   /** A file's skipping stats with its partition tuple folded in as exact
     * single-value ranges (strings — Hive specs are untyped; a predicate
@@ -921,8 +1030,8 @@ object Snapshots {
       .getOrElse(throw new IllegalStateException(
         s"no snapshot log under $warehouse — was this table committed via TxnCommit?"))
     val all = folded.files.get(table)
-      .map(_.toSeq.map { case (f, (part, stats)) =>
-        Action("ADD", table, f, part, stats) })
+      .map(_.toSeq.map { case (f, (part, stats, dv)) =>
+        Action("ADD", table, f, part, stats, dv) })
       .getOrElse(Seq.empty)
     // Column mapping (rename/drop without rewrite): files keep ONE physical
     // schema; the logical view is resolved at the end, and log-side stats
@@ -959,7 +1068,10 @@ object Snapshots {
         // Every file provably excluded: an empty frame with the table schema
         // (schema comes from one arbitrary pinned file, never its rows).
         reader.parquet(partPruned.head.file).limit(0)
-      else reader.parquet(pruned.map(_.file): _*)
+      else
+        // Merge-on-read: subtract deletion-vectored rows (no-op plan when
+        // no pruned file carries an attachment).
+        applyDv(spark, reader.parquet(pruned.map(_.file): _*), pruned)
     mapping.fold(physical)(_.applyTo(physical))
   }
 }

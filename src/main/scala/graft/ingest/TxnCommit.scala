@@ -89,6 +89,14 @@ object TxnCommit {
   private def isChangeDest(p: String): Boolean =
     new Path(p).getParent.getParent.getName == "_changes"
 
+  /** Is this destination a deletion-vector parquet (staged by [[Merge]]'s
+    * merge-on-read DML under `<warehouse>/_dv/<table>/`)? Those ride the
+    * manifest too but land in the log as DV attachment lines — never as
+    * ADDs, and never schema-validated against the table (their schema is
+    * (file, pos), not the table's). */
+  private def isDvDest(p: String): Boolean =
+    new Path(p).getParent.getParent.getName == "_dv"
+
   /** Schema enforcement at the commit point (the Delta stance): every
     * staged file's top-level columns must type-match the table's current
     * committed schema on shared names — new columns are additive evolution
@@ -137,9 +145,10 @@ object TxnCommit {
   def commit(fs: FileSystem, warehouse: String, commitId: String,
              moves: Seq[Move], deletes: Seq[String] = Nil,
              retained: Seq[String] = Nil, op: String = "append",
-             baseVersion: Option[Long] = None): Unit = {
+             baseVersion: Option[Long] = None,
+             dvAttach: Seq[(String, String, Long)] = Nil): Unit = {
     val statsFor: Map[String, String] = moves
-      .filterNot(m => isChangeDest(m.dest))
+      .filterNot(m => isChangeDest(m.dest) || isDvDest(m.dest))
       .map(m => m.dest -> FileStats.collect(fs.getConf, new Path(m.src)))
       .filter(_._2.nonEmpty).toMap
     validateSchemas(fs, warehouse, statsFor)
@@ -148,8 +157,11 @@ object TxnCommit {
     // The op tag and OCC base version ride the manifest so a crash-recovery
     // replay publishes with the same operation kind AND the same conflict
     // guard (a recovered compaction must not masquerade as an append, and
-    // must still lose a race it would have lost live). The manifest lands
-    // via put-if-absent (commitId names are unique, so an existing file is
+    // must still lose a race it would have lost live). Deletion-vector
+    // attachments (`DV\t<dataFile>\t<dvDest>\t<count>`) ride it for the
+    // same reason — a replayed merge-on-read commit must re-attach exactly
+    // what the live publish would have. The manifest lands via
+    // put-if-absent (commitId names are unique, so an existing file is
     // this commit's own retry) — recovery can never observe a half-copied
     // manifest on stores whose rename is copy+delete.
     Snapshots.putIfAbsent(fs, fin,
@@ -157,7 +169,8 @@ object TxnCommit {
         (moves.map(m =>
           s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
           deletes.map(d => s"DEL\t$d") ++
-          retained.map(r => s"RM\t$r")))
+          retained.map(r => s"RM\t$r") ++
+          dvAttach.map { case (data, dv, n) => s"DV\t$data\t$dv\t$n" }))
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
@@ -171,7 +184,8 @@ object TxnCommit {
               moves: Seq[Move], deletes: Seq[String] = Nil,
               retained: Seq[String] = Nil, op: String = "append",
               baseVersion: Option[Long] = None,
-              replay: Boolean = false): Unit = {
+              replay: Boolean = false,
+              dvAttach: Seq[(String, String, Long)] = Nil): Unit = {
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
     moves.foreach { m =>
@@ -188,22 +202,29 @@ object TxnCommit {
       }
       applied += 1
     }
-    val (cdfMoves, dataMoves) = moves.partition(m => isChangeDest(m.dest))
+    val (cdfMoves, rest) = moves.partition(m => isChangeDest(m.dest))
+    val dataMoves = rest.filterNot(m => isDvDest(m.dest))
     // Stats were collected (and schema-validated) at the commit point and
     // ride the manifest; a manifest from before stats existed falls back
     // to one footer read per published file. Either way the [min,max] land
     // on the ADD lines so readers and merges skip files from the log alone.
+    // DV attachments prefer the manifest copy (the live arg and the
+    // manifest agree; a crash-recovery replay only has the manifest).
     val mf0 = new Path(commitsDir(warehouse), s"$commitId.manifest")
+    val manifest = if (fs.exists(mf0)) Some(readManifest(fs, mf0)) else None
     val fromManifest: Map[String, String] =
-      if (fs.exists(mf0)) readManifest(fs, mf0).statsFor else Map.empty
+      manifest.map(_.statsFor).getOrElse(Map.empty)
     val statsFor = dataMoves.map(m => m.dest -> fromManifest.getOrElse(m.dest,
       FileStats.collect(fs.getConf, new Path(m.dest)))).toMap
+    val attach = manifest.map(_.dvAttach).filter(_.nonEmpty).getOrElse(dvAttach)
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d => tableOf(d) -> d),
       op = op, baseVersion = baseVersion, statsFor = statsFor,
       changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest),
-      replay = replay)
+      replay = replay,
+      dvs = attach.map { case (data, dv, n) =>
+        (tableOf(data), data, s"$n:$dv") })
     catch {
       case e: Snapshots.ConcurrentCommitException =>
         // Lost the OCC race: unpublish. The `.aborted` marker lands first
@@ -235,7 +256,8 @@ object TxnCommit {
   private case class Manifest(moves: Seq[Move], deletes: Seq[String],
                               retained: Seq[String], op: String,
                               baseVersion: Option[Long],
-                              statsFor: Map[String, String])
+                              statsFor: Map[String, String],
+                              dvAttach: Seq[(String, String, Long)])
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
@@ -248,8 +270,9 @@ object TxnCommit {
         buf.toByteArray
       } finally in.close()
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-      .filter(_.nonEmpty).map(_.split("\t", 3))
-    val moveLines = lines.filterNot(l => Set("DEL", "RM", "#OP", "#BASE")(l.head))
+      .filter(_.nonEmpty).map(_.split("\t", 4))
+    val moveLines =
+      lines.filterNot(l => Set("DEL", "RM", "DV", "#OP", "#BASE")(l.head))
     Manifest(
       moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
       lines.filter(_.head == "DEL").map(_.apply(1)),
@@ -257,7 +280,8 @@ object TxnCommit {
       lines.find(_.head == "#OP").map(_.apply(1)).getOrElse("append"),
       lines.find(_.head == "#BASE").map(_.apply(1).toLong),
       moveLines.collect { case Array(_, dest, stats) if stats.nonEmpty =>
-        dest -> stats }.toMap)
+        dest -> stats }.toMap,
+      lines.filter(_.head == "DV").map(l => (l(1), l(2), l(3).toLong)))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.

@@ -142,6 +142,36 @@ object FormatQueries {
         .select("n_nationkey", "n_name", "n_regionkey", "dim_name")
     }),
 
+    // Merge-on-read DML: a deletion-vector DELETE (no data file rewritten —
+    // DeletionVectorSpec asserts the file set is untouched) followed by the
+    // snapshot read that subtracts the vector; rows must equal a plain
+    // WHERE NOT(...) oracle. Three-valued logic rides free (nation has no
+    // NULL keys, but the predicate shape matches the CoW entries).
+    "fmt_dv_delete" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_dv_delete", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n.filter(col("n_nationkey") < 12))
+        publish(s, w, "nation", n.filter(col("n_nationkey") >= 12))
+        Merge.deleteWhereDv(s, w, "nation", col("n_nationkey") % 4 === 1)
+        w
+      }
+      Snapshots.read(s, wh, "nation")
+    }),
+    // Merge-on-read UPDATE: vector + postimage append; result must equal a
+    // CASE oracle over the original fixture.
+    "fmt_dv_update" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_dv_update", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n)
+        Merge.updateWhereDv(s, w, "nation", col("n_nationkey") < 6,
+          Map("n_name" -> concat(col("n_name"), lit("_D"))))
+        w
+      }
+      Snapshots.read(s, wh, "nation")
+    }),
+
     "fmt_changes" -> ((s, d) => {
       val wh = Fixtures.once("fmt_changes", d) {
         val w = freshWh()
@@ -180,6 +210,14 @@ object FormatQueries {
         |       b.n_name AS dim_name
         |FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
         |WHERE b.n_nationkey < 5""".stripMargin,
+    "fmt_dv_delete" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |WHERE NOT (n_nationkey % 4 = 1)""".stripMargin,
+    "fmt_dv_update" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_nationkey < 6 THEN n_name || '_D' ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     "fmt_changes" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey, _change_type

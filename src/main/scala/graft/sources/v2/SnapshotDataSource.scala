@@ -310,9 +310,20 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
               "stream serves appended rows only — restart past it, set " +
               "skipChangeCommits=true to ignore rewrites, or read the " +
               "change feed (readChangeFeed=true)")
-        } else adds.map(a =>
-          SnapshotInputPartition(a.file, a.partitionMap, v,
-            Some("insert")): InputPartition)
+        } else {
+          // A restore re-ADD can carry a deletion vector; this source's
+          // per-file readers serve whole files and cannot subtract one.
+          // Fail fast rather than resurrect deleted rows — the batch
+          // changes() path serves such a range correctly.
+          adds.filter(_.dv.nonEmpty).foreach(a =>
+            throw new IllegalStateException(
+              s"snapshot version $v re-adds ${a.file} with a deletion " +
+                "vector; the streaming source cannot serve it — use batch " +
+                "changes() for this range"))
+          adds.map(a =>
+            SnapshotInputPartition(a.file, a.partitionMap, v,
+              Some("insert")): InputPartition)
+        }
     }.toArray
   }
 

@@ -283,8 +283,12 @@ case class GraftRestoreCommand(warehouse: String, table: String,
 
 /** `DELETE FROM t WHERE …` / `UPDATE t SET … WHERE …` →
   * [[graft.ingest.Merge.deleteWhere]] / updateWhere (copy-on-write, CDF
-  * recorded, stats-pruned candidates). Assignments/conditions are Spark
-  * SQL expressions evaluated over the row's current columns. */
+  * recorded, stats-pruned candidates) — or the merge-on-read
+  * deletion-vector twins when the session conf `graft.dml.mode` is `mor`
+  * (Delta's `delta.enableDeletionVectors` analog: matched FILES are not
+  * rewritten, a (file, pos) vector is committed instead; reads subtract
+  * it, compaction purges it). Assignments/conditions are Spark SQL
+  * expressions evaluated over the row's current columns. */
 case class GraftDmlCommand(warehouse: String, table: String, where: String,
                            assignments: Seq[(String, String)])
   extends LeafRunnableCommand {
@@ -293,11 +297,18 @@ case class GraftDmlCommand(warehouse: String, table: String, where: String,
     AttributeReference("rows_matched", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
-    val res =
-      if (assignments.isEmpty)
+    val mor = session.conf.getOption("graft.dml.mode").contains("mor")
+    val asg = assignments.map { case (c, e) => c -> expr(e) }.toMap
+    val res = (assignments.isEmpty, mor) match {
+      case (true, false) =>
         graft.ingest.Merge.deleteWhere(session, warehouse, table, expr(where))
-      else graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where),
-        assignments.map { case (c, e) => c -> expr(e) }.toMap)
+      case (true, true) =>
+        graft.ingest.Merge.deleteWhereDv(session, warehouse, table, expr(where))
+      case (false, false) =>
+        graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where), asg)
+      case (false, true) =>
+        graft.ingest.Merge.updateWhereDv(session, warehouse, table, expr(where), asg)
+    }
     Seq(Row(res.filesRewritten, res.rowsMatched))
   }
 }

@@ -158,6 +158,20 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "d").count() == 8)
     // A non-warehouse target falls through to Spark's own DELETE handling.
     intercept[Exception](spark.sql("DELETE FROM not_a_graft_table WHERE x = 1"))
+
+    // graft.dml.mode=mor routes the same statements to the deletion-vector
+    // twins: rows vanish but files_rewritten stays 0 and a vector attaches.
+    spark.conf.set("graft.dml.mode", "mor")
+    try {
+      val mrow = spark.sql("DELETE FROM d WHERE id = 1").collect().head
+      assert(mrow.getInt(0) == 0 && mrow.getLong(1) == 1L)
+      assert(Snapshots.read(spark, wh, "d").count() == 7)
+      assert(Snapshots.fileMeta(fs, wh, "d").get.exists(_.dv.nonEmpty))
+      val urow2 = spark.sql("UPDATE d SET v = 0 WHERE id = 2").collect().head
+      assert(urow2.getInt(0) == 0 && urow2.getLong(1) == 1L)
+      assert(Snapshots.read(spark, wh, "d").filter($"id" === 2L)
+        .select("v").as[Long].head() == 0L)
+    } finally spark.conf.unset("graft.dml.mode")
   }
 
   test("SNAPSHOT CHANGES without FROM reads from the beginning; quoted WHERE survives UPDATE") {
