@@ -233,6 +233,25 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.fileMeta(fs, w2, "t").get.count(_.dv.nonEmpty) == 1)
   }
 
+  test("plan shape: filters push through the DV anti-join; DV-free reads plan no join") {
+    val w = wh("dv-plan")
+    publishBatch(w, "t", 0 until 100)
+    // No vectors: the read plans exactly as before — no join anywhere.
+    val clean = Snapshots.read(spark, w, "t").filter(col("id") > 10)
+      .queryExecution.executedPlan.toString
+    assert(!clean.contains("Join"), "DV-free read must not pay any join")
+
+    Merge.deleteWhereDv(spark, w, "t", col("id") === 5)
+    val df = Snapshots.read(spark, w, "t").filter(col("id") > 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // Scan side stays shuffle-free (broadcast anti) and the caller's
+    // filter still reaches the parquet scan as a pushed filter.
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,10)]"),
+      s"filter must push through the DV anti-join to the scan:\n$plan")
+    assert(df.count() == 89)
+  }
+
   test("vacuum keeps live vectors, reaps superseded ones") {
     val w = wh("dv-vacuum")
     publishBatch(w, "t", 0 until 10)
