@@ -151,6 +151,30 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() == streamed.size)
   }
 
+  test("readChangeFeed serves deletion-vector DML like any merge commit") {
+    val w = wh("whDvStream")
+    val out = wh("whDvOut"); val ckpt = wh("whDvCkpt")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, Seq(1L -> "a", 2L -> "b", 3L -> "c"))                 // v0
+    Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") === 2L)                 // v1
+    drain(w, out, ckpt, Map("readChangeFeed" -> "true"))
+    val streamed = spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed ==
+      Set((1L, "insert", 0L), (2L, "insert", 0L), (3L, "insert", 0L),
+        (2L, "delete", 1L)))
+    // The plain-append stream treats the DV commit as a change commit:
+    // fail by default, skipped with skipChangeCommits.
+    val out2 = wh("whDvOut2"); val ckpt2 = wh("whDvCkpt2")
+    intercept[Exception](drain(w, out2, ckpt2))
+    drain(w, out2, wh("whDvCkpt3"), Map("skipChangeCommits" -> "true"))
+    assert(spark.read.parquet(out2)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("offsets below the vacuumed log fail fast instead of under-serving") {
     val w = wh("whVac")
     (0 until 4).foreach(i =>
