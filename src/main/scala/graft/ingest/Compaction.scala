@@ -152,10 +152,13 @@ object Compaction {
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val (deletes, retained) =
       if (retainRemoved) (Nil, inputs.map(_._1)) else (inputs.map(_._1), Nil)
+    // File-granular OCC: this rewrite depends only on its inputs — a
+    // concurrent APPEND to the table must not abort it (at 100 TB a
+    // continuously-ingested table would otherwise never compact).
     TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained,
-      op = "compact", baseVersion = base)
+      op = "compact", baseVersion = base, fileGranularOcc = true)
     TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained,
-      op = "compact", baseVersion = base)
+      op = "compact", baseVersion = base, fileGranularOcc = true)
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 
@@ -232,9 +235,9 @@ object Compaction {
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val retained = inputs.map(_._1)
     TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained,
-      op = "zorder", baseVersion = base)
+      op = "zorder", baseVersion = base, fileGranularOcc = true)
     TxnCommit.publish(fs, warehouse, commitId, moves, retained = retained,
-      op = "zorder", baseVersion = base)
+      op = "zorder", baseVersion = base, fileGranularOcc = true)
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 }

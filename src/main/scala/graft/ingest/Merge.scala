@@ -279,10 +279,10 @@ object Merge {
       dvMoves.filter(m => usedDvDests(m.dest))
     TxnCommit.commit(fs, warehouse, commitId, moves,
       retained = full.map(_.file), op = "merge", baseVersion = base,
-      dvAttach = attach)
+      dvAttach = attach, fileGranularOcc = true)
     TxnCommit.publish(fs, warehouse, commitId, moves,
       retained = full.map(_.file), op = "merge", baseVersion = base,
-      dvAttach = attach)
+      dvAttach = attach, fileGranularOcc = true)
     Result(0, dataMoves.size, matchedCount, candidates.size, partial.size)
   }
 
@@ -368,7 +368,8 @@ object Merge {
                             partCols: Seq[String], out: DataFrame,
                             changes: DataFrame, affected: Seq[String],
                             base: Option[Long], candidates: Int,
-                            mapping: Option[ColumnMapping] = None): Result = {
+                            mapping: Option[ColumnMapping] = None,
+                            fileGranularOcc: Boolean = false): Result = {
     import org.apache.spark.sql.functions.{count, when}
     val commitId = java.util.UUID.randomUUID().toString
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
@@ -392,9 +393,9 @@ object Merge {
     val moves = dataMoves ++
       TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
     TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
-      op = "merge", baseVersion = base)
+      op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc)
     TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
-      op = "merge", baseVersion = base)
+      op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc)
     Result(affected.size, dataMoves.size, matched, candidates)
   }
 
@@ -487,7 +488,12 @@ object Merge {
         } else
           (survivors, preimage.withColumn("_change_type", lit("delete")))
       }
+    // deleteKeys depends only on the files it rewrites → file-granular.
+    // UPSERT stays table-granular: a concurrent append could land a row
+    // with an inserted key, silently breaking the MERGE uniqueness
+    // contract — correctness outranks liveness there.
     commitRewrite(fs, warehouse, table, partCols, out, changes,
-      affected.map(_.file), base, candidates.size, mapping)
+      affected.map(_.file), base, candidates.size, mapping,
+      fileGranularOcc = !insertSource)
   }
 }

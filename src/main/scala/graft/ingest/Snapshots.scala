@@ -345,9 +345,27 @@ object Snapshots {
              replay: Boolean = false,
              metas: Seq[(String, String)] = Nil,
              dvs: Seq[(String, String, String)] = Nil,
-             dvFor: Map[String, String] = Map.empty): Unit = {
+             dvFor: Map[String, String] = Map.empty,
+             fileGranularOcc: Boolean = false): Unit = {
     val myTables = (adds ++ removes ++ metas).map(_._1).toSet ++
       dvs.map(_._1)
+    // File-granular conflict detection (the Delta WriteSerializable
+    // stance), opted into by rewrites whose read dependence IS their
+    // swap-out set: this commit's removes + DV attach targets. An
+    // intervening commit conflicts iff it touched one of those files —
+    // REMOVE (a rival rewrite swapped it out), ADD (a restore re-added
+    // it), DV (row deletes landed that this rewrite's outputs would
+    // resurrect) — or changed the table's metadata (column mapping).
+    // Intervening plain APPENDS do NOT conflict: they touch disjoint
+    // files, and a predicate DML committing after an append simply hasn't
+    // examined the appended rows — the WriteSerializable relaxation.
+    // Ops whose correctness spans the whole table state (restore, schema
+    // evolution, key-merge UPSERT — a concurrent append could carry a
+    // duplicate of an inserted key) stay table-granular.
+    val occSet: Set[(String, String)] =
+      if (!fileGranularOcc) Set.empty
+      else (removes.map { case (t, f) => (t, pathKey(f)) } ++
+        dvs.map { case (t, f, _) => (t, pathKey(f)) }).toSet
     var attempts = 0
     while (true) {
       attempts += 1
@@ -389,11 +407,18 @@ object Snapshots {
       baseVersion.foreach { base =>
         val intervening = existing.filterNot(_.isCheckpoint)
           .filter(_.version > base)
-          .filter(e => readActions(fs, e.path).exists(a => myTables(a.table)))
+          .filter { e =>
+            val acts = readActions(fs, e.path).filter(a => myTables(a.table))
+            if (!fileGranularOcc) acts.nonEmpty
+            else acts.exists(a => a.meta ||
+              (!a.cdf && occSet((a.table, pathKey(a.file)))))
+          }
         if (intervening.nonEmpty)
           throw new ConcurrentCommitException(
             s"commit $commitId read version $base but ${intervening.size} " +
-              s"commit(s) since touched ${myTables.mkString(",")} " +
+              s"commit(s) since touched " +
+              (if (fileGranularOcc) "files it read in " else "") +
+              s"${myTables.mkString(",")} " +
               s"(first: version ${intervening.head.version})")
       }
       val version = existing.lastOption.map(_.version + 1).getOrElse(0L)

@@ -146,7 +146,8 @@ object TxnCommit {
              moves: Seq[Move], deletes: Seq[String] = Nil,
              retained: Seq[String] = Nil, op: String = "append",
              baseVersion: Option[Long] = None,
-             dvAttach: Seq[(String, String, Long)] = Nil): Unit = {
+             dvAttach: Seq[(String, String, Long)] = Nil,
+             fileGranularOcc: Boolean = false): Unit = {
     val statsFor: Map[String, String] = moves
       .filterNot(m => isChangeDest(m.dest) || isDvDest(m.dest))
       .map(m => m.dest -> FileStats.collect(fs.getConf, new Path(m.src)))
@@ -166,6 +167,7 @@ object TxnCommit {
     // manifest on stores whose rename is copy+delete.
     Snapshots.putIfAbsent(fs, fin,
       (Seq(s"#OP\t$op") ++ baseVersion.map(v => s"#BASE\t$v") ++
+        (if (fileGranularOcc) Seq("#GRANULAR\tfile") else Nil) ++
         (moves.map(m =>
           s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
           deletes.map(d => s"DEL\t$d") ++
@@ -185,7 +187,8 @@ object TxnCommit {
               retained: Seq[String] = Nil, op: String = "append",
               baseVersion: Option[Long] = None,
               replay: Boolean = false,
-              dvAttach: Seq[(String, String, Long)] = Nil): Unit = {
+              dvAttach: Seq[(String, String, Long)] = Nil,
+              fileGranularOcc: Boolean = false): Unit = {
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
     moves.foreach { m =>
@@ -217,6 +220,10 @@ object TxnCommit {
     val statsFor = dataMoves.map(m => m.dest -> fromManifest.getOrElse(m.dest,
       FileStats.collect(fs.getConf, new Path(m.dest)))).toMap
     val attach = manifest.map(_.dvAttach).filter(_.nonEmpty).getOrElse(dvAttach)
+    // The OCC granularity rides the manifest like the op tag and base
+    // version — a crash-recovery replay must run the SAME conflict check
+    // the live publish would have.
+    val granular = manifest.map(_.fileGranularOcc).getOrElse(fileGranularOcc)
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d => tableOf(d) -> d),
@@ -224,7 +231,8 @@ object TxnCommit {
       changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest),
       replay = replay,
       dvs = attach.map { case (data, dv, n) =>
-        (tableOf(data), data, s"$n:$dv") })
+        (tableOf(data), data, s"$n:$dv") },
+      fileGranularOcc = granular)
     catch {
       case e: Snapshots.ConcurrentCommitException =>
         // Lost the OCC race: unpublish. The `.aborted` marker lands first
@@ -257,7 +265,8 @@ object TxnCommit {
                               retained: Seq[String], op: String,
                               baseVersion: Option[Long],
                               statsFor: Map[String, String],
-                              dvAttach: Seq[(String, String, Long)])
+                              dvAttach: Seq[(String, String, Long)],
+                              fileGranularOcc: Boolean)
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
@@ -271,8 +280,8 @@ object TxnCommit {
       } finally in.close()
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
       .filter(_.nonEmpty).map(_.split("\t", 4))
-    val moveLines =
-      lines.filterNot(l => Set("DEL", "RM", "DV", "#OP", "#BASE")(l.head))
+    val moveLines = lines.filterNot(l =>
+      Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR")(l.head))
     Manifest(
       moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
       lines.filter(_.head == "DEL").map(_.apply(1)),
@@ -281,7 +290,8 @@ object TxnCommit {
       lines.find(_.head == "#BASE").map(_.apply(1).toLong),
       moveLines.collect { case Array(_, dest, stats) if stats.nonEmpty =>
         dest -> stats }.toMap,
-      lines.filter(_.head == "DV").map(l => (l(1), l(2), l(3).toLong)))
+      lines.filter(_.head == "DV").map(l => (l(1), l(2), l(3).toLong)),
+      lines.exists(l => l.head == "#GRANULAR" && l.lift(1).contains("file")))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.
