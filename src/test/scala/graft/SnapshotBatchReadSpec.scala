@@ -110,6 +110,21 @@ class SnapshotBatchReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       "startingVersion" -> "0", "endingVersion" -> "1")).count() == 1)
   }
 
+  test("batch read subtracts deletion vectors, with and without pushed filters") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whDvBatch")
+    pub(w, "t", (0L until 20L).map(i => (i, s"n$i")).toDF("id", "name"))
+    Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") % 4 === 0)
+    val viaFormat = load(w, "t").select("id").as[Long].collect().sorted.toSeq
+    assert(viaFormat == (0L until 20L).filterNot(_ % 4 == 0))
+    // A pushed filter composes with the vector subtraction.
+    val filtered = load(w, "t").filter($"id" > 10).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(filtered == (11L until 20L).filterNot(_ % 4 == 0))
+  }
+
   test("pushdown that prunes every evolved-schema file still serves the column as nulls") {
     val w = wh("whEvoPrune")
     val s0 = spark
