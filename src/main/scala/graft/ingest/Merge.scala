@@ -118,8 +118,9 @@ object Merge {
     * cover EVERY row is logically REMOVEd outright instead of carrying a
     * full vector. */
   def deleteWhereDv(spark: SparkSession, warehouse: String, table: String,
-                    condition: org.apache.spark.sql.Column): Result =
-    dvWhere(spark, warehouse, table, condition, Map.empty)
+                    condition: org.apache.spark.sql.Column,
+                    rewriteFraction: Double = 1.0): Result =
+    dvWhere(spark, warehouse, table, condition, Map.empty, rewriteFraction)
 
   /** Merge-on-read predicate UPDATE: matched rows are deletion-vectored
     * out of their files and re-appended with `assignments` applied (the
@@ -127,10 +128,10 @@ object Merge {
     * same as copy-on-write, but matched FILES aren't rewritten either). */
   def updateWhereDv(spark: SparkSession, warehouse: String, table: String,
                     condition: org.apache.spark.sql.Column,
-                    assignments: Map[String, org.apache.spark.sql.Column])
-      : Result = {
+                    assignments: Map[String, org.apache.spark.sql.Column],
+                    rewriteFraction: Double = 1.0): Result = {
     require(assignments.nonEmpty, "updateWhereDv needs at least one assignment")
-    dvWhere(spark, warehouse, table, condition, assignments)
+    dvWhere(spark, warehouse, table, condition, assignments, rewriteFraction)
   }
 
   /** Shared merge-on-read core. Empty `assignments` = delete.
@@ -143,11 +144,19 @@ object Merge {
     * staged part (bounded by 32 writer tasks — vectors are position lists,
     * tiny next to the data); attachments ride the manifest so a crashed
     * publish replays them exactly. */
+  /** `rewriteFraction` is the per-file vector budget (the Delta
+    * auto-tuning analog): a file whose CUMULATIVE deleted fraction (old
+    * vector + this commit) reaches it is rewritten — survivors re-added,
+    * original REMOVEd — instead of carrying a vector that every future
+    * read anti-joins. 1.0 = pure merge-on-read (only all-dead files are
+    * removed); 0.0 = effectively copy-on-write. Files without row-count
+    * stats always take the vector path (their fraction is unknowable). */
   private def dvWhere(spark: SparkSession, warehouse: String, table: String,
                       condition: org.apache.spark.sql.Column,
-                      assignments: Map[String, org.apache.spark.sql.Column])
+                      assignments: Map[String, org.apache.spark.sql.Column],
+                      rewriteFraction: Double = 1.0)
       : Result = {
-    import org.apache.spark.sql.functions.{count, first, when}
+    import org.apache.spark.sql.functions.{coalesce => cl, count, first, not, when}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -181,13 +190,19 @@ object Merge {
     val affected = candidates.filter(a => newCounts.contains(pathKey(a.file)))
     if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
 
-    // A file whose deletions now cover every row (row count known from log
-    // stats) is logically REMOVEd — readers skip it entirely instead of
-    // anti-joining a full-file vector; the bytes stay for time travel.
-    val (full, partial) = affected.partition { a =>
-      FileStats.decode(a.stats).map(_.rows).filter(_ >= 0)
-        .contains(a.dvCount + newCounts(pathKey(a.file)))
-    }
+    // Per-file routing by cumulative deleted fraction: all-dead files are
+    // logically REMOVEd (readers skip them entirely — no vector at all);
+    // files at/above `rewriteFraction` are rewritten (survivors re-added);
+    // the rest get a vector. The bytes of removed originals stay for time
+    // travel either way.
+    val frac: Map[String, Double] = affected.map { a =>
+      val key = pathKey(a.file)
+      key -> FileStats.decode(a.stats).map(_.rows).filter(_ > 0)
+        .map(r => (a.dvCount + newCounts(key)).toDouble / r).getOrElse(0.0)
+    }.toMap
+    val (full, rest) = affected.partition(a => frac(pathKey(a.file)) >= 1.0)
+    val (heavy, partial) =
+      rest.partition(a => frac(pathKey(a.file)) >= rewriteFraction)
 
     // Pass 2, affected files only: matched rows feed the CDF change files
     // (and the update postimage); their (file, pos) pairs — merged with
@@ -243,12 +258,23 @@ object Merge {
         .as("matched"))
       .coalesce(math.max(1, affected.size)).write.parquet(cdfStaging)
     val matchedCount = obs.get.apply("matched").asInstanceOf[Long]
-    if (assignments.nonEmpty) {
-      val postPhys = {
-        val p = applied(matchedData)
-        mapping.fold(p)(_.toPhysicalDf(p))
-      }
-      val w = postPhys.coalesce(math.max(1, affected.size)).write
+    // Data appends: the update postimage, plus — when the vector budget
+    // routed files to a rewrite — those files' survivors (SQL three-valued
+    // logic: rows where the condition evaluates NULL survive).
+    val survivors =
+      if (heavy.isEmpty) None
+      else Some(dvAwareRead(spark, warehouse, table, partCols, mapping, heavy)
+        .filter(cl(not(condition), lit(true))).drop(SrcFileCol, RowPosCol))
+    val post = if (assignments.isEmpty) None else Some(applied(matchedData))
+    val outData = (survivors, post) match {
+      case (Some(s0), Some(p0)) => Some(s0.unionByName(p0))
+      case (s0, p0)             => s0.orElse(p0)
+    }
+    outData.foreach { out =>
+      val outPhys = mapping.fold(out)(_.toPhysicalDf(out))
+      val w = outPhys
+        .coalesce(math.max(1, heavy.size +
+          (if (assignments.isEmpty) 0 else affected.size))).write
       (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
         .parquet(dataStaging)
     }
@@ -272,18 +298,20 @@ object Merge {
       }
     val usedDvDests = attach.map(_._2).toSet
     val dataMoves =
-      if (assignments.isEmpty) Nil
+      if (outData.isEmpty) Nil
       else TxnCommit.movesFor(fs, warehouse, commitId, table)
     val moves = dataMoves ++
       TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table") ++
       dvMoves.filter(m => usedDvDests(m.dest))
+    val removed = (full ++ heavy).map(_.file)
     TxnCommit.commit(fs, warehouse, commitId, moves,
-      retained = full.map(_.file), op = "merge", baseVersion = base,
+      retained = removed, op = "merge", baseVersion = base,
       dvAttach = attach, fileGranularOcc = true)
     TxnCommit.publish(fs, warehouse, commitId, moves,
-      retained = full.map(_.file), op = "merge", baseVersion = base,
+      retained = removed, op = "merge", baseVersion = base,
       dvAttach = attach, fileGranularOcc = true)
-    Result(0, dataMoves.size, matchedCount, candidates.size, partial.size)
+    Result(heavy.size, dataMoves.size, matchedCount, candidates.size,
+      partial.size)
   }
 
   /** Shared copy-on-write core for predicate delete/update. Empty

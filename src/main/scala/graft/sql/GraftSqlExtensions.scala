@@ -297,17 +297,29 @@ case class GraftDmlCommand(warehouse: String, table: String, where: String,
     AttributeReference("rows_matched", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
-    val mor = session.conf.getOption("graft.dml.mode").contains("mor")
+    // graft.dml.mode: cow (default) rewrites affected files; mor commits
+    // deletion vectors only; auto routes per file — vectors below the
+    // graft.dml.rewriteFraction budget (default 0.5), rewrite at/above it.
+    val mode = session.conf.getOption("graft.dml.mode").getOrElse("cow")
+    val fraction = mode match {
+      case "mor"  => 1.0
+      case "auto" => session.conf.getOption("graft.dml.rewriteFraction")
+        .map(_.toDouble).getOrElse(0.5)
+      case _      => 0.0
+    }
     val asg = assignments.map { case (c, e) => c -> expr(e) }.toMap
-    val res = (assignments.isEmpty, mor) match {
-      case (true, false) =>
-        graft.ingest.Merge.deleteWhere(session, warehouse, table, expr(where))
+    val cow = mode != "mor" && mode != "auto" // unknown values fall back
+    val res = (assignments.isEmpty, cow) match {
       case (true, true) =>
-        graft.ingest.Merge.deleteWhereDv(session, warehouse, table, expr(where))
-      case (false, false) =>
-        graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where), asg)
+        graft.ingest.Merge.deleteWhere(session, warehouse, table, expr(where))
+      case (true, false) =>
+        graft.ingest.Merge.deleteWhereDv(session, warehouse, table,
+          expr(where), fraction)
       case (false, true) =>
-        graft.ingest.Merge.updateWhereDv(session, warehouse, table, expr(where), asg)
+        graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where), asg)
+      case (false, false) =>
+        graft.ingest.Merge.updateWhereDv(session, warehouse, table,
+          expr(where), asg, fraction)
     }
     Seq(Row(res.filesRewritten, res.rowsMatched))
   }

@@ -233,6 +233,46 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.fileMeta(fs, w2, "t").get.count(_.dv.nonEmpty) == 1)
   }
 
+  test("auto mode: heavy files rewrite, light files vector, dead files remove") {
+    val w = wh("dv-auto")
+    publishBatch(w, "t", 0 until 10)   // file A: 10 rows
+    publishBatch(w, "t", 10 until 20)  // file B: 10 rows
+    publishBatch(w, "t", 20 until 24)  // file C: 4 rows
+    // Matches: 8/10 of A (heavy), 1/10 of B (light), 4/4 of C (dead).
+    val cond = (col("id") < 8) || (col("id") === 15) || (col("id") >= 20)
+    val r = Merge.deleteWhereDv(spark, w, "t", cond, rewriteFraction = 0.5)
+    assert(r.rowsMatched == 13)
+    assert(r.filesRewritten == 1, "file A crosses the vector budget")
+    assert(r.filesAdded == 1, "A's survivors re-added as one file")
+    assert(r.filesDvAttached == 1, "file B stays vectored")
+    assert(ids(w, "t") == Seq(8L, 9L) ++ (10L until 20L).filterNot(_ == 15L))
+    val meta = Snapshots.fileMeta(fs, w, "t").get
+    assert(meta.size == 2) // survivors file + file B
+    assert(meta.count(_.dv.nonEmpty) == 1)
+    assert(meta.filter(_.dv.nonEmpty).head.dvCount == 1L)
+    // Time travel still sees all 24 rows.
+    assert(ids(w, "t", Some(2L)) == (0L until 24L))
+    // Survivors of a rewritten file never appear in the change feed (the
+    // merge op serves only its CDF rows — 13 deletes).
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = 2L)
+      .select("id", "_change_type").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1)))
+    assert(feed.length == 13 && feed.forall(_._2 == "delete"))
+  }
+
+  test("auto-mode update: heavy file rewrite composes with postimage append") {
+    val w = wh("dv-auto-upd")
+    publishBatch(w, "t", 0 until 10)
+    val r = Merge.updateWhereDv(spark, w, "t", col("id") < 6,
+      Map("name" -> concat(col("name"), lit("_U"))), rewriteFraction = 0.5)
+    assert(r.filesRewritten == 1 && r.filesDvAttached == 0)
+    assert(r.rowsMatched == 6)
+    val got = Snapshots.read(spark, w, "t").select("id", "name").collect()
+      .map(r0 => r0.getLong(0) -> r0.getString(1)).toMap
+    assert(got.size == 10)
+    assert(got(0L) == "name_0_U" && got(7L) == "name_7")
+  }
+
   test("plan shape: filters push through the DV anti-join; DV-free reads plan no join") {
     val w = wh("dv-plan")
     publishBatch(w, "t", 0 until 100)
