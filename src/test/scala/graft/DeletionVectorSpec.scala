@@ -292,6 +292,67 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 89)
   }
 
+  test("partitioned table (space in value): DV delete + update + scoped purge") {
+    val w = wh("dv-part")
+    val s0 = spark
+    import s0.implicits._
+    // Partition values with a space exercise the encoded-path contract the
+    // (file, pos) vector keys ride on.
+    def pub(ids: Range): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      ids.map(i => (i.toLong, s"name_$i",
+          if (i % 2 == 0) "d one" else "d two"))
+        .toDF("id", "name", "dt").coalesce(1).write.partitionBy("dt")
+        .parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    pub(0 until 10)
+    pub(10 until 20)
+    val r = Merge.deleteWhereDv(spark, w, "t", col("id") % 5 === 0)
+    assert(r.rowsMatched == 4 && r.filesRewritten == 0)
+    assert(ids(w, "t") == (0L until 20L).filterNot(_ % 5 == 0))
+    // Postimage append must preserve the partition layout.
+    val u = Merge.updateWhereDv(spark, w, "t", col("id") === 7,
+      Map("name" -> lit("seven")))
+    assert(u.filesAdded == 1)
+    val got = Snapshots.read(spark, w, "t")
+      .filter(col("id") === 7).select("name", "dt").collect().head
+    assert(got.getString(0) == "seven" && got.getString(1) == "d two")
+    // Partition pruning composes with the vector subtraction.
+    assert(Snapshots.readWhere(spark, w, "t", col("dt") === "d one")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+      (0L until 20L).filter(i => i % 2 == 0 && i % 5 != 0))
+    // Partition-scoped compaction purges only that partition's vectors.
+    Compaction.compact(spark, w, "t",
+      partitionFilter = m => m.get("dt").contains("d one"))
+    val meta = Snapshots.fileMeta(fs, w, "t").get
+    assert(meta.filter(_.partition.contains("d%20one")).forall(_.dv.isEmpty) ||
+      meta.filter(_.partition.contains("d one")).forall(_.dv.isEmpty))
+    assert(ids(w, "t") == (0L until 20L).filterNot(_ % 5 == 0))
+  }
+
+  test("column mapping: logical-name DV DML over a renamed column") {
+    val w = wh("dv-mapped")
+    publishBatch(w, "t", 0 until 10)
+    graft.ingest.SchemaEvolution.renameColumn(spark, w, "t", "name", "title")
+    val r = Merge.deleteWhereDv(spark, w, "t", col("title") === "name_4")
+    assert(r.rowsMatched == 1)
+    val u = Merge.updateWhereDv(spark, w, "t", col("id") === 6,
+      Map("title" -> lit("six")))
+    assert(u.rowsMatched == 1)
+    val got = Snapshots.read(spark, w, "t").select("id", "title").collect()
+      .map(r0 => r0.getLong(0) -> r0.getString(1)).toMap
+    assert(got.size == 9 && !got.contains(4L) && got(6L) == "six")
+    // The change feed resolves through the mapping too.
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = 1L)
+      .select("id", "title", "_change_type").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2))).toSet
+    assert(feed == Set((4L, "name_4", "delete"),
+      (6L, "name_6", "update_preimage"), (6L, "six", "update_postimage")))
+  }
+
   test("vacuum keeps live vectors, reaps superseded ones") {
     val w = wh("dv-vacuum")
     publishBatch(w, "t", 0 until 10)
