@@ -353,6 +353,27 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, "name_6", "update_preimage"), (6L, "six", "update_postimage")))
   }
 
+  test("additive schema evolution: mergeSchema read still subtracts vectors") {
+    val w = wh("dv-evolve")
+    publishBatch(w, "t", 0 until 6)
+    Merge.deleteWhereDv(spark, w, "t", col("id") < 2)
+    // A later commit adds a column; the old file's vector must still apply
+    // under the merged schema.
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((100L, "x", 1.5)).toDF("id", "name", "score").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+    val got = Snapshots.read(spark, w, "t", mergeSchema = true)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got.keySet == Set(2L, 3L, 4L, 5L, 100L))
+    assert(got(100L).contains(1.5) && got(2L).isEmpty)
+  }
+
   test("vacuum keeps live vectors, reaps superseded ones") {
     val w = wh("dv-vacuum")
     publishBatch(w, "t", 0 until 10)
