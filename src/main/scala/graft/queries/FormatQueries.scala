@@ -158,6 +158,25 @@ object FormatQueries {
       }
       Snapshots.read(s, wh, "nation")
     }),
+    // Auto-mode DML: the per-file vector budget routes the first file
+    // (keys 0-11, 11 of 12 rows matched) to a rewrite and the second
+    // (keys 12-24, 3 of 13 matched) to a vector — one commit, both
+    // shapes, same WHERE NOT oracle.
+    "fmt_dv_auto" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_dv_auto", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n.filter(col("n_nationkey") < 12))
+        publish(s, w, "nation", n.filter(col("n_nationkey") >= 12))
+        val r = Merge.deleteWhereDv(s, w, "nation",
+          col("n_nationkey") < 10 || col("n_nationkey") % 4 === 2,
+          rewriteFraction = 0.5)
+        require(r.filesRewritten == 1 && r.filesDvAttached == 1,
+          s"auto-mode routing drifted: $r")
+        w
+      }
+      Snapshots.read(s, wh, "nation")
+    }),
     // Merge-on-read UPDATE: vector + postimage append; result must equal a
     // CASE oracle over the original fixture.
     "fmt_dv_update" -> ((s, d) => {
@@ -214,6 +233,10 @@ object FormatQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
         |WHERE NOT (n_nationkey % 4 = 1)""".stripMargin,
+    "fmt_dv_auto" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |WHERE NOT (n_nationkey < 10 OR n_nationkey % 4 = 2)""".stripMargin,
     "fmt_dv_update" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_nationkey < 6 THEN n_name || '_D' ELSE n_name END AS n_name,
