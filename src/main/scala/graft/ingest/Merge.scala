@@ -134,6 +134,33 @@ object Merge {
     dvWhere(spark, warehouse, table, condition, assignments, rewriteFraction)
   }
 
+  /** Merge-on-read delete-by-key: every row whose `keyCols` tuple appears
+    * in `keys` is deletion-vectored out — the vector twin of
+    * [[deleteKeys]]. Candidates come from the keys' [min,max] bounds
+    * against log stats (same skipping as the copy-on-write merge); the
+    * match is a broadcast semi-join (keys are dim-sized by contract). */
+  def deleteKeysDv(spark: SparkSession, warehouse: String, table: String,
+                   keys: DataFrame, keyCols: Seq[String],
+                   rewriteFraction: Double = 1.0): Result = {
+    val srcKeys = keys.select(keyCols.map(col): _*).distinct()
+    val bounds = keys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
+    dvCore(spark, warehouse, table,
+      candidatesOf = (meta, mapping) =>
+        if (bounds.isNullAt(0)) Nil
+        else {
+          val pred = FileStats.between(keyCols.head, bounds.get(0), bounds.get(1))
+          meta.filter { a =>
+            val st = FileStats.decode(a.stats)
+            FileStats.mayMatch(mapping.fold(st)(_.statsToLogical(st)), pred)
+          }
+        },
+      matcher = df => df
+        .filter(col(keyCols.head).between(lit(bounds.get(0)), lit(bounds.get(1))))
+        .join(broadcast(srcKeys), keyCols, "left_semi"),
+      keeper = df => df.join(broadcast(srcKeys), keyCols, "left_anti"),
+      assignments = Map.empty, rewriteFraction = rewriteFraction)
+  }
+
   /** Shared merge-on-read core. Empty `assignments` = delete.
     *
     * Scale shape: pass 1 scans only stats-surviving candidates to find
@@ -154,9 +181,45 @@ object Merge {
   private def dvWhere(spark: SparkSession, warehouse: String, table: String,
                       condition: org.apache.spark.sql.Column,
                       assignments: Map[String, org.apache.spark.sql.Column],
-                      rewriteFraction: Double = 1.0)
+                      rewriteFraction: Double = 1.0): Result = {
+    import org.apache.spark.sql.functions.{coalesce => cl, not}
+    dvCore(spark, warehouse, table,
+      candidatesOf = (meta, mapping) => {
+        // Candidates by log-side stats, exactly as the copy-on-write path.
+        val resolved = Snapshots.read(spark, warehouse, table).filter(condition)
+          .queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition
+          }
+        val pred = resolved.flatMap(FileStats.fromExpression)
+        meta.filter { a =>
+          val s = FileStats.decode(a.stats)
+          pred.forall(p =>
+            FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), p))
+        }
+      },
+      matcher = _.filter(condition),
+      // SQL three-valued logic: rows where the condition evaluates NULL
+      // survive a rewrite.
+      keeper = _.filter(cl(not(condition), lit(true))),
+      assignments = assignments, rewriteFraction = rewriteFraction)
+  }
+
+  /** The merge-on-read engine shared by the predicate and keyed fronts:
+    * `candidatesOf` prunes the file list from log stats, `matcher` yields
+    * the rows to delete/update, `keeper` the survivors of a
+    * budget-routed rewrite (must honor SQL three-valued logic for
+    * predicates). Both run over the dv-aware read, so already-deleted
+    * rows are invisible. */
+  private def dvCore(spark: SparkSession, warehouse: String, table: String,
+                     candidatesOf: (Seq[Snapshots.Action], Option[ColumnMapping])
+                       => Seq[Snapshots.Action],
+                     matcher: DataFrame => DataFrame,
+                     keeper: DataFrame => DataFrame,
+                     assignments: Map[String, org.apache.spark.sql.Column],
+                     rewriteFraction: Double)
       : Result = {
-    import org.apache.spark.sql.functions.{coalesce => cl, count, first, not, when}
+    import org.apache.spark.sql.functions.{count, first, when}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -168,23 +231,13 @@ object Merge {
       s"updateWhereDv cannot reassign partition column '$c' (rows would " +
         "land in the wrong directory) — delete + append instead"))
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
-    // Candidates by log-side stats, exactly as the copy-on-write path.
-    val resolved = Snapshots.read(spark, warehouse, table).filter(condition)
-      .queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }
-    val pred = resolved.flatMap(FileStats.fromExpression)
-    val candidates = meta.filter { a =>
-      val s = FileStats.decode(a.stats)
-      pred.forall(p => FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), p))
-    }
+    val candidates = candidatesOf(meta, mapping)
     if (candidates.isEmpty) return Result(0, 0, 0L, 0)
     // Pass 1: affected files + NEW deletions per file (rows already
     // vectored out are invisible to the dv-aware read, so a re-run of the
     // same predicate matches nothing and commits nothing).
     val newCounts: Map[String, Long] =
-      dvAwareRead(spark, warehouse, table, partCols, mapping, candidates)
-        .filter(condition)
+      matcher(dvAwareRead(spark, warehouse, table, partCols, mapping, candidates))
         .groupBy(SrcFileCol).count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val affected = candidates.filter(a => newCounts.contains(pathKey(a.file)))
@@ -208,8 +261,7 @@ object Merge {
     // (and the update postimage); their (file, pos) pairs — merged with
     // the files' existing vectors — become the new vectors.
     val matched =
-      dvAwareRead(spark, warehouse, table, partCols, mapping, affected)
-        .filter(condition)
+      matcher(dvAwareRead(spark, warehouse, table, partCols, mapping, affected))
     val commitId = java.util.UUID.randomUUID().toString
     val dvStaging =
       s"${TxnCommit.stagingDir(warehouse, commitId)}/_dv/$table"
@@ -263,8 +315,8 @@ object Merge {
     // logic: rows where the condition evaluates NULL survive).
     val survivors =
       if (heavy.isEmpty) None
-      else Some(dvAwareRead(spark, warehouse, table, partCols, mapping, heavy)
-        .filter(cl(not(condition), lit(true))).drop(SrcFileCol, RowPosCol))
+      else Some(keeper(dvAwareRead(spark, warehouse, table, partCols, mapping, heavy))
+        .drop(SrcFileCol, RowPosCol))
     val post = if (assignments.isEmpty) None else Some(applied(matchedData))
     val outData = (survivors, post) match {
       case (Some(s0), Some(p0)) => Some(s0.unionByName(p0))

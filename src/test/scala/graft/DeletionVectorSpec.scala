@@ -233,6 +233,26 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.fileMeta(fs, w2, "t").get.count(_.dv.nonEmpty) == 1)
   }
 
+  test("deleteKeysDv: keyed merge-on-read delete with stats-pruned candidates") {
+    val w = wh("dv-keys")
+    publishBatch(w, "t", 0 until 10)   // file A: ids 0-9
+    publishBatch(w, "t", 10 until 20)  // file B: ids 10-19
+    val s0 = spark
+    import s0.implicits._
+    // Keys hit only file A: stats bounds [2,5] must keep file B unopened.
+    val r = Merge.deleteKeysDv(spark, w, "t",
+      Seq(2L, 5L).toDF("id"), Seq("id"))
+    assert(r.rowsMatched == 2)
+    assert(r.filesScanned == 1)
+    assert(ids(w, "t") == (0L until 20L).filterNot(i => i == 2L || i == 5L))
+    assert(Snapshots.fileMeta(fs, w, "t").get.count(_.dv.nonEmpty) == 1)
+    // A narrow key set prunes to one candidate file.
+    val r2 = Merge.deleteKeysDv(spark, w, "t", Seq(11L).toDF("id"), Seq("id"))
+    assert(r2.rowsMatched == 1 && r2.filesScanned == 1)
+    assert(ids(w, "t") ==
+      (0L until 20L).filterNot(i => i == 2L || i == 5L || i == 11L))
+  }
+
   test("auto mode: heavy files rewrite, light files vector, dead files remove") {
     val w = wh("dv-auto")
     publishBatch(w, "t", 0 until 10)   // file A: 10 rows
