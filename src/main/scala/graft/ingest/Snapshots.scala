@@ -933,8 +933,11 @@ object Snapshots {
   /** Max total deletion-vector rows that ride a broadcast anti-join;
     * beyond this the join shuffles the scan side. DVs are meant to hold a
     * sliver of a table (heavy deletion is what compaction — which purges
-    * vectors — is for), so the broadcast path is the steady state. */
-  private[ingest] val DvBroadcastMaxRows = 4L * 1000 * 1000
+    * vectors — is for), so the broadcast path is the steady state. Tests
+    * shrink it via the system property to pin the degraded path. */
+  private[ingest] def dvBroadcastMaxRows: Long =
+    sys.props.get("graft.test.dvBroadcastMaxRows").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
 
   /** The live deletion-vector rows for `atts` = (dataFileKey, dvPath)
     * pairs, as columns `_dv_data_file` (scheme-less encoded path, the
@@ -961,7 +964,7 @@ object Snapshots {
     * against the live DV rows. Must be applied directly over the file-source
     * scan (metadata columns resolve there). Broadcast anti-join in the
     * steady state — the scan side is never shuffled; a table whose DVs
-    * outgrow [[DvBroadcastMaxRows]] pays a shuffle until compaction purges
+    * outgrow [[dvBroadcastMaxRows]] pays a shuffle until compaction purges
     * them. No attachments ⇒ the input plan is returned untouched. */
   private[ingest] def applyDv(spark: SparkSession, df: DataFrame,
                               atts: Seq[Action]): DataFrame = {
@@ -970,7 +973,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     val dv = dvRowsDf(spark, live.map(a => (pathKey(a.file), a.dvPath)))
     val dvH =
-      if (live.map(_.dvCount).sum <= DvBroadcastMaxRows) broadcast(dv) else dv
+      if (live.map(_.dvCount).sum <= dvBroadcastMaxRows) broadcast(dv) else dv
     val keyed = df
       .withColumn("_dv_file",
         regexp_replace(col("_metadata.file_path"), SchemeRe, ""))

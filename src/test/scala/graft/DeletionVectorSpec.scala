@@ -394,6 +394,44 @@ class DeletionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(100L).contains(1.5) && got(2L).isEmpty)
   }
 
+  test("past the broadcast budget the anti-join degrades to a shuffle, correctly") {
+    val w = wh("dv-shuffle")
+    publishBatch(w, "t", 0 until 50)
+    Merge.deleteWhereDv(spark, w, "t", col("id") % 7 === 0)
+    // Dropping our hint isn't enough locally — the planner still
+    // auto-broadcasts a tiny side, which is exactly what happens at real
+    // scale only when the vector is small. Disable both thresholds to pin
+    // the genuine worst case.
+    sys.props.put("graft.test.dvBroadcastMaxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Snapshots.read(spark, w, "t")
+      val plan = df.queryExecution.executedPlan.toString
+      // The ANTI join must have left the broadcast path (the inner pairs
+      // semi-filter keeps its explicit hint — it is always tiny).
+      assert(!plan.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"),
+        s"threshold 0 must force the non-broadcast anti-join:\n$plan")
+      assert(plan.contains("LeftAnti"))
+      assert(df.select("id").collect().map(_.getLong(0)).toSeq.sorted ==
+        (0L until 50L).filterNot(_ % 7 == 0))
+      // The change feed's path column was captured scan-side, so it
+      // survives the shuffle too.
+      Snapshots.restore(spark, w, "t", 1L) // no-op restore target == current
+      val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(feed == Map("insert" -> 50L, "delete" -> 8L))
+      // A further MoR delete through the shuffle path still merges vectors.
+      Merge.deleteWhereDv(spark, w, "t", col("id") === 1)
+      assert(Snapshots.read(spark, w, "t").count() == 41)
+    } finally {
+      sys.props.remove("graft.test.dvBroadcastMaxRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("vacuum keeps live vectors, reaps superseded ones") {
     val w = wh("dv-vacuum")
     publishBatch(w, "t", 0 until 10)
