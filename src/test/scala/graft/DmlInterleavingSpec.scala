@@ -55,7 +55,7 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     append(w, freshBatch(20))
     (1 to 24).foreach { step =>
-      rng.nextInt(5) match {
+      rng.nextInt(6) match {
         case 0 => append(w, freshBatch(5 + rng.nextInt(10)))
         case 1 => // DV delete of a residue class among live ids
           val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
@@ -74,6 +74,8 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
           Merge.updateWhereDv(spark, w, "t", col("id") % k === 1,
             Map("v" -> (col("v") - 1)))
           model.keys.filter(_ % k == 1).toSeq.foreach(i => model(i) = model(i) - 1)
+        case 5 => // vacuum mid-chain: latest state must be untouched
+          Snapshots.vacuum(fs, w, keepVersions = 8, minAgeMs = 0L)
       }
       val got = Snapshots.read(spark, w, "t").select("id", "v").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
