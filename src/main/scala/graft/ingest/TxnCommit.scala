@@ -112,6 +112,14 @@ object TxnCommit {
     * `baseVersion`; plain appends to an established table validate against
     * a schema that only ever grows, so the race is confined to the
     * table-creation instant. */
+  /** Repetition (required vs optional) never poisons a read — Spark reads
+    * every parquet column as nullable, so a literal-assignment rewrite that
+    * happens to emit `required` into an `optional`-committed column (or
+    * vice versa) is structurally the same type. Strip the repetition
+    * tokens before comparing; everything else about the type must match. */
+  private def repNorm(tag: String): String =
+    tag.replaceAll("\\b(required|optional)\\b\\s*", "")
+
   private def validateSchemas(fs: FileSystem, warehouse: String,
                               statsFor: Map[String, String]): Unit =
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
@@ -123,10 +131,11 @@ object TxnCommit {
         if (current.nonEmpty)
           destStats.values.flatMap(FileStats.decode).foreach { st =>
             st.schema.foreach { case (n, tag) =>
-              current.get(n).foreach(cur => require(cur == tag,
-                s"schema enforcement: column '$n' of table '$table' is " +
-                  s"committed as $cur but this commit writes $tag — " +
-                  "additive columns evolve, type changes are rejected"))
+              current.get(n).foreach(cur =>
+                require(repNorm(cur) == repNorm(tag),
+                  s"schema enforcement: column '$n' of table '$table' is " +
+                    s"committed as $cur but this commit writes $tag — " +
+                    "additive columns evolve, type changes are rejected"))
             }
           }
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.VectorExprs
-import graft.ingest.{FileStats, Snapshots, TxnCommit}
+import graft.ingest.{FileStats, Merge, Snapshots, TxnCommit}
 
 /** Persisted IVF index: the [[SignatureStore]] pattern applied to ANN.
   *
@@ -103,6 +103,47 @@ object IvfStore {
     publish(spark, warehouse, CellTable,
       cellRows(newVecs, model, idCol, vecCol, targetFiles))
     model
+  }
+
+  /** Propagate corpus DML into the index — the maintenance half of the
+    * append-only [[appendBatch]] contract. Without it a
+    * [[graft.ingest.Merge.deleteWhereDv]] on the corpus leaves stale
+    * postings in `ann_cells` and ANN hits can cite vectored-out rows.
+    *
+    * Consumes the corpus change feed since `fromExclusive` (the last
+    * version the index reflects):
+    *
+    *   - `delete` / `update_preimage` rows name ids whose postings must
+    *     go — removed via [[graft.ingest.Merge.deleteKeysDv]] ON THE INDEX
+    *     TABLE (a merge-on-read vector delete: index files are not
+    *     rewritten, and the DV-aware read every query takes subtracts the
+    *     positions). Cost is O(changed keys), not O(index).
+    *   - `insert` / `update_postimage` rows are assigned against the
+    *     persisted centroids and appended — [[appendBatch]], O(new).
+    *
+    * Deletes run first so an updated vector's OLD posting is vectored out
+    * before its new one lands ([[Merge.deleteKeysDv]] removes EVERY
+    * posting of a key). Each half is its own snapshot commit; a crash
+    * between them leaves the index conservatively delete-complete (never
+    * resurrecting a deleted row) and the re-run's feed re-appends. */
+  def syncFromChanges(spark: SparkSession, warehouse: String,
+                      corpusTable: String, fromExclusive: Long,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      targetFiles: Int = 1): Ivf.Model = {
+    // The feed drives two actions — pin it once (ContextCleaner-managed
+    // blocks, the SignatureStore stance), it is O(changed rows) small.
+    val feed = Snapshots.changes(spark, warehouse, corpusTable, fromExclusive)
+      .select(col(idCol), col(vecCol), col("_change_type"))
+      .localCheckpoint(false)
+    val gone = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(idCol).as("vec_id")).distinct()
+    val fresh = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(vecCol))
+    Merge.deleteKeysDv(spark, warehouse, CellTable, gone, Seq("vec_id"))
+    if (fresh.isEmpty) loadModel(spark, warehouse)
+    else appendBatch(spark, warehouse, fresh, idCol, vecCol, targetFiles)
   }
 
   /** ANN top-k through the warm store: centroids from the log, candidates

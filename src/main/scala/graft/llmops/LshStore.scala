@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ingest.{FileStats, Snapshots, TxnCommit}
+import graft.ingest.{FileStats, Merge, Snapshots, TxnCommit}
 
 /** Persisted LSH ANN index — the [[IvfStore]] pattern for the hyperplane
   * family. The bucket function is deterministic (pseudo-random planes
@@ -81,6 +81,30 @@ object LshStore {
     publish(spark, warehouse, BucketTable,
       bucketRows(newVecs, p, idCol, vecCol, targetFiles))
     p
+  }
+
+  /** Propagate corpus DML into the index — [[IvfStore.syncFromChanges]]
+    * for the hyperplane family: delete/update_preimage ids are vector-
+    * deleted out of the bucket table (merge-on-read, O(changed keys)),
+    * insert/update_postimage rows re-bucketed under the persisted params
+    * and appended. Deletes first, same crash stance: an interrupted sync
+    * is delete-complete, the re-run re-appends. */
+  def syncFromChanges(spark: SparkSession, warehouse: String,
+                      corpusTable: String, fromExclusive: Long,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      targetFiles: Int = 1): Params = {
+    val feed = Snapshots.changes(spark, warehouse, corpusTable, fromExclusive)
+      .select(col(idCol), col(vecCol), col("_change_type"))
+      .localCheckpoint(false)
+    val gone = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(idCol).as("vec_id")).distinct()
+    val fresh = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(vecCol))
+    Merge.deleteKeysDv(spark, warehouse, BucketTable, gone, Seq("vec_id"))
+    if (fresh.isEmpty) loadParams(spark, warehouse)
+    else appendBatch(spark, warehouse, fresh, idCol, vecCol, targetFiles)
   }
 
   /** ANN top-k through the warm store: probed bucket ids (≤ |queries| ×

@@ -3,7 +3,7 @@ package graft.llmops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ingest.{FileStats, Snapshots, TxnCommit}
+import graft.ingest.{FileStats, Merge, Snapshots, TxnCommit}
 
 /** Persisted MinHash signatures: the piece that makes incremental dedup
   * incremental in COMPUTE, not just in join topology.
@@ -51,6 +51,34 @@ object SignatureStore {
     val moves = TxnCommit.movesFor(fs, warehouse, cid, sigTable)
     TxnCommit.commit(fs, warehouse, cid, moves)
     TxnCommit.publish(fs, warehouse, cid, moves)
+  }
+
+  /** Propagate corpus DML into the signature table —
+    * [[IvfStore.syncFromChanges]] for the MinHash family. A corpus
+    * `deleteWhereDv` otherwise leaves the deleted docs' band rows behind,
+    * and future incremental runs would still pair new docs against them.
+    * delete/update_preimage ids are vector-deleted out of `sigTable`
+    * (merge-on-read, O(changed keys)); insert/update_postimage docs are
+    * re-shingled/signed/banded and appended (O(new)). Deletes first —
+    * an updated doc's old bands must go before its new ones land. */
+  def syncFromChanges(spark: SparkSession, warehouse: String,
+                      docTable: String, fromExclusive: Long,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      numPerms: Int = 64, numBands: Int = 16,
+                      sigTable: String = "doc_signatures"): Unit = {
+    val feed = Snapshots.changes(spark, warehouse, docTable, fromExclusive)
+      .select(col(idCol), col(textCol), col("_change_type"))
+      .localCheckpoint(false)
+    val gone = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(idCol).as("doc_id")).distinct()
+    val fresh = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(textCol))
+    Merge.deleteKeysDv(spark, warehouse, sigTable, gone, Seq("doc_id"))
+    if (!fresh.isEmpty)
+      appendBatch(spark, warehouse, fresh, idCol, textCol, numPerms,
+        numBands, sigTable)
   }
 
   /** Streaming dual of [[incrementalNearDupPairs]]: each micro-batch of

@@ -271,6 +271,43 @@ object LlmQueries {
         .filter(col("vec_id") < 5), k = 10, nprobe = 8)
     }),
 
+    // Index maintenance under corpus DML: same persisted IVF store, but a
+    // merge-on-read DELETE hits the corpus between index build and query,
+    // and syncFromChanges propagates it into ann_cells (vector-deleting
+    // the dead postings). nprobe = k → exact, so hash-matching the
+    // brute-force-over-SURVIVORS oracle proves a deleted vector can never
+    // resurface through the index — the top-k would differ.
+    "llm_ann_ivf_persisted_dml" -> ((s, d) => {
+      import graft.ingest.{Merge, Snapshots, TxnCommit}
+      import graft.llmops.IvfStore
+      val wh = Fixtures.once("llm_ann_ivf_persisted_dml", d) {
+        val w = java.nio.file.Files.createTempDirectory("graft-ivfstore-dml")
+          .resolve("wh").toString
+        val fs = new org.apache.hadoop.fs.Path(w)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val all = embs(s, d).select("vec_id", "embedding")
+        def pub(df: DataFrame): Unit = {
+          val cid = java.util.UUID.randomUUID().toString
+          df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/embeddings")
+          val moves = TxnCommit.movesFor(fs, w, cid, "embeddings")
+          TxnCommit.commit(fs, w, cid, moves)
+          TxnCommit.publish(fs, w, cid, moves)
+        }
+        pub(all)
+        IvfStore.buildIndex(s, w,
+          Snapshots.read(s, w, "embeddings"), dim = 64, k = 8)
+        val vIndexed = Snapshots.latestVersion(fs, w).get
+        // Corpus DML after the index is built: DV-delete a slice (query
+        // vectors vec_id < 5 stay alive), then propagate into the index.
+        Merge.deleteWhereDv(s, w, "embeddings",
+          col("vec_id") % 7 === 3 && col("vec_id") >= 5)
+        IvfStore.syncFromChanges(s, w, "embeddings", fromExclusive = vIndexed)
+        w
+      }
+      IvfStore.topK(s, wh, embs(s, d).select("vec_id", "embedding")
+        .filter(col("vec_id") < 5), k = 10, nprobe = 8)
+    }),
+
     // Persisted LSH ANN (the IvfStore pattern for the hyperplane family):
     // index built on half the corpus, completed via the change feed, then
     // queried probeAll through the warm store — exact, so it hash-matches
@@ -630,6 +667,23 @@ object LlmQueries {
     // top-k, so a hash mismatch there is a recall bug in that ANN path.
     "llm_ann_ivf_exact" -> bruteForceTopkSql,
     "llm_ann_ivf_persisted" -> bruteForceTopkSql,
+    // Ground truth after the corpus delete: brute force over SURVIVORS
+    // only — a stale posting in the synced index would rank a deleted
+    // vector into some top-10 and break the hash.
+    "llm_ann_ivf_persisted_dml" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |      WHERE NOT (vec_id % 7 = 3 AND vec_id >= 5)),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_dot_product(q.q_vec, c.v) /
+        |      sqrt(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)), 4) AS sim
+        |  FROM q JOIN c ON c.vec_id != q.q_id)
+        |SELECT q_id, vec_id, sim, rnk FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
     "llm_ann_lsh_persisted" -> bruteForceTopkSql,
     "llm_ann_lsh_exact" -> bruteForceTopkSql,
     "llm_cosine_topk" -> bruteForceTopkSql,

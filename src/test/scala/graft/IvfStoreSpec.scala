@@ -117,6 +117,41 @@ class IvfStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("syncFromChanges: corpus delete + update propagate — dead postings never surface") {
+    val w = wh("whSync")
+    pubEmb(w, 0 until 48)
+    IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 4, targetFiles = 2)
+    val vIndexed = Snapshots.latestVersion(fs, w).get
+    // Corpus DML after the index was built: a merge-on-read DELETE of
+    // vec_id in [40, 48) and an UPDATE re-pointing vec_id 5's vector.
+    graft.ingest.Merge.deleteWhereDv(spark, w, "embeddings",
+      col("vec_id") >= 40)
+    val newVec = vec(37) // lands near a different axis than vec(5)
+    graft.ingest.Merge.updateWhereDv(spark, w, "embeddings",
+      col("vec_id") === 5,
+      Map("embedding" -> typedLit(newVec).cast("array<float>")))
+    IvfStore.syncFromChanges(spark, w, "embeddings", fromExclusive = vIndexed)
+
+    // Index state: deleted ids gone, updated id present exactly once with
+    // the NEW assignment's embedding.
+    val cells = Snapshots.read(spark, w, IvfStore.CellTable)
+    assert(cells.filter(col("vec_id") >= 40).count() == 0,
+      "deleted vectors still have postings")
+    assert(cells.filter(col("vec_id") === 5).count() == 1,
+      "updated vector must have exactly one posting")
+    // Exact search through the synced store == brute force over the LIVE
+    // corpus (the dv-aware read): a stale posting would change some top-k.
+    val queries = embDf(0 until 3)
+    val got = IvfStore.topK(spark, w, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Similarity.bruteForceTopK(queries,
+      Snapshots.read(spark, w, "embeddings"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(!got.exists(_._2 >= 40), "a deleted vector surfaced in top-k")
+  }
+
   test("a cold session loads the model from the log — no training data needed") {
     val w = wh("whCold")
     pubEmb(w, 0 until 24)

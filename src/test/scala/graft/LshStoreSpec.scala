@@ -117,4 +117,26 @@ class LshStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.intersect(truth).size >= (truth.size * 6) / 10)
   }
+
+  test("syncFromChanges: a deleted vector never surfaces through the bucket table") {
+    val w = wh("whSync")
+    pubEmb(w, 0 until 48)
+    LshStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, numPlanes = 5, targetFiles = 2)
+    val vIndexed = Snapshots.latestVersion(fs, w).get
+    graft.ingest.Merge.deleteWhereDv(spark, w, "embeddings",
+      col("vec_id") >= 40)
+    LshStore.syncFromChanges(spark, w, "embeddings", fromExclusive = vIndexed)
+    val b = Snapshots.read(spark, w, LshStore.BucketTable)
+    assert(b.filter(col("vec_id") >= 40).count() == 0,
+      "deleted vectors still have bucket rows")
+    val queries = embDf(0 until 3)
+    val got = LshStore.topK(spark, w, queries, k = 10, probeAll = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Similarity.bruteForceTopK(queries,
+      Snapshots.read(spark, w, "embeddings"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(!got.exists(_._2 >= 40), "a deleted vector surfaced in top-k")
+  }
 }

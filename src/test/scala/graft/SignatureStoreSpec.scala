@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ingest.{Snapshots, TxnCommit}
@@ -142,5 +143,33 @@ class SignatureStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((100L, 101L)))
     assert(!res.inputFiles.exists(_.contains("/documents/")),
       "no corpus candidates → the documents table must not be planned")
+  }
+
+  test("syncFromChanges: a deleted doc's bands go, and it never pairs again") {
+    val w = wh("whSync")
+    val s0 = spark
+    import s0.implicits._
+    // Doc 7 is a near-dup of doc 100 (the later batch will re-introduce
+    // that text); after doc 7 is deleted AND the sync runs, the new batch
+    // must pair with nothing.
+    val corpus = (0 until 10).map(doc)
+    pubDocs(w, corpus)
+    SignatureStore.appendBatch(spark, w, toDf(corpus), "doc_id", "text")
+    val vSigned = Snapshots.latestVersion(fs, w).get
+    graft.ingest.Merge.deleteWhereDv(spark, w, "documents",
+      col("doc_id") === 7)
+    SignatureStore.syncFromChanges(spark, w, "documents",
+      fromExclusive = vSigned)
+    assert(Snapshots.read(spark, w, "doc_signatures")
+      .filter(col("doc_id") === 7).count() == 0,
+      "deleted doc still has band rows")
+    // New batch duplicating the DELETED doc's text: without the sync, the
+    // stale bands would candidate-pair it with tombstoned doc 7.
+    val batch2 = Seq(200L -> doc(7)._2)
+    pubDocs(w, batch2)
+    SignatureStore.appendBatch(spark, w, toDf(batch2), "doc_id", "text")
+    val res = SignatureStore.incrementalNearDupPairs(
+      spark, w, "documents", toDf(batch2), "doc_id", "text")
+    assert(res.count() == 0, "a deleted doc resurfaced as a dedup endpoint")
   }
 }
