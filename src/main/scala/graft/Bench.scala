@@ -18,6 +18,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SQL statement surface (SNAPSHOT/OPTIMIZE/MERGE INTO/...): pure
+      // addition — unmatched statements fall through to Spark's parser.
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       // xxhash64 over map-typed output columns (q21_json) needs the legacy
       // allowance; ordering inside the hash is irrelevant for a checksum.
       .config("spark.sql.legacy.allowHashOnMapType", "true")

@@ -14,6 +14,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // SQL statement surface (SNAPSHOT/OPTIMIZE/MERGE INTO/...): pure
+      // addition — unmatched statements fall through to Spark's parser.
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -58,6 +58,34 @@ object FormatQueries {
     }),
     // Copy-on-write upsert: modified names for keys < 5, one brand-new row;
     // result must match a CASE/UNION oracle over the original fixture.
+    // The same upsert driven through the SQL statement (`MERGE INTO …
+    // USING … ON … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    // INSERT *`): hash-matching fmt_merge's oracle proves the parser
+    // lowers onto exactly the engine the API path runs.
+    "fmt_sql_merge" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_sql_merge", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n)
+        n.filter(col("n_nationkey") < 5)
+          .withColumn("n_name", concat(col("n_name"), lit("_X")))
+          .unionByName(s.range(1).select(lit(990L).as("n_nationkey"),
+            lit("NEWLAND").as("n_name"), lit(0L).as("n_regionkey")))
+          .createOrReplaceTempView("fmt_merge_src")
+        val prev = s.conf.getOption("spark.graft.warehouse")
+        s.conf.set("spark.graft.warehouse", w)
+        try s.sql(
+          """MERGE INTO nation USING fmt_merge_src
+            |ON nation.n_nationkey = fmt_merge_src.n_nationkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+        finally prev.fold(s.conf.unset("spark.graft.warehouse"))(v =>
+          s.conf.set("spark.graft.warehouse", v))
+        w
+      }
+      Snapshots.read(s, wh, "nation")
+    }),
+
     "fmt_merge" -> ((s, d) => {
       val wh = Fixtures.once("fmt_merge", d) {
         val w = freshWh()
@@ -210,6 +238,13 @@ object FormatQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     "fmt_merge" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_nationkey < 5 THEN n_name || '_X' ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |UNION ALL SELECT 990, 'NEWLAND', 0""".stripMargin,
+    // Same ground truth as fmt_merge: the SQL statement must land the
+    // identical upsert.
+    "fmt_sql_merge" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_nationkey < 5 THEN n_name || '_X' ELSE n_name END AS n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation

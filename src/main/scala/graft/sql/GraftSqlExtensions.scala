@@ -27,6 +27,9 @@ import graft.ingest.{Compaction, Snapshots}
   * RESTORE t TO VERSION AS OF 3           -- roll back as a new commit
   * DELETE FROM t WHERE v > 10             -- predicate copy-on-write delete
   * UPDATE t SET v = v + 1 WHERE id = 7    -- predicate copy-on-write update
+  * MERGE INTO t USING s ON t.id = s.id    -- keyed upsert / delete-by-key
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
   * OPTIMIZE t                             -- bin-pack compaction
   * OPTIMIZE t WHERE dt='2024-01-01'       -- partition-scoped maintenance
   * OPTIMIZE t ZORDER BY (a, b)            -- multi-dim clustering rewrite
@@ -136,6 +139,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
   private val VacuumRe =
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
+  // Delta-grammar MERGE (the most-used warehouse DML statement): target and
+  // source are table names (graft tables or registered views), the WHEN
+  // clauses are parsed separately below. MERGE INTO is not Spark grammar
+  // for plain parquet paths, so no isGraftTable guard is needed — but the
+  // target must resolve to a committed graft table to run.
+  private val MergeIntoRe =
+    raw"(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*".r
+  private val WhenMatchedUpdateAllRe =
+    raw"(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*".r
+  private val WhenMatchedDeleteRe = raw"(?is)WHEN\s+MATCHED\s+THEN\s+DELETE".r
+  private val WhenNotMatchedInsertAllRe =
+    raw"(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*".r
+  // One ON-condition equality: [alias.]col = [alias.]col
+  private val OnEqRe = raw"(?i)\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*".r
   // ALTER TABLE is real Spark grammar — intercept only committed graft
   // tables, like DELETE/UPDATE.
   // Delta's REORG TABLE … APPLY (PURGE): rewrite files to physically shed
@@ -197,6 +214,40 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), partEq)
     case RestoreRe(table, version) =>
       GraftRestoreCommand(warehouse, table, version.toLong)
+    case MergeIntoRe(target, tAlias, source, sAlias, onCond, whens) =>
+      val matchedUpdate = WhenMatchedUpdateAllRe.findFirstIn(whens).isDefined
+      val matchedDelete = WhenMatchedDeleteRe.findFirstIn(whens).isDefined
+      val notMatchedInsert = WhenNotMatchedInsertAllRe.findFirstIn(whens).isDefined
+      // Anything left after stripping the recognized clauses is a form this
+      // surface doesn't lower (column-level SET, conditional clauses,
+      // INSERT column lists) — fail loudly, never half-apply a MERGE.
+      val residue = Seq(WhenMatchedUpdateAllRe, WhenMatchedDeleteRe,
+          WhenNotMatchedInsertAllRe)
+        .foldLeft(whens)((s, re) => re.replaceAllIn(s, " ")).trim
+      require(residue.isEmpty,
+        s"unsupported MERGE clause: '$residue' — this surface lowers " +
+          "WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE | " +
+          "WHEN NOT MATCHED THEN INSERT * (column-level updates: use the " +
+          "graft.ingest.Merge API)")
+      require(!(matchedUpdate && matchedDelete),
+        "MERGE cannot have both an unconditional MATCHED UPDATE and a " +
+          "MATCHED DELETE clause")
+      val sideNames = Set(target, source) ++
+        Option(tAlias).toSet ++ Option(sAlias).toSet
+      val keyCols = onCond.split("(?i)\\s+AND\\s+").toSeq.map {
+        case OnEqRe(q1, c1, q2, c2) =>
+          require(c1.equalsIgnoreCase(c2),
+            s"MERGE ON clause must equate same-named key columns " +
+              s"(got $c1 = $c2) — Merge.upsert keys by shared names")
+          Seq(Option(q1), Option(q2)).flatten.foreach(q =>
+            require(sideNames.exists(_.equalsIgnoreCase(q)),
+              s"unknown qualifier '$q' in MERGE ON clause"))
+          c1
+        case other => throw new IllegalArgumentException(
+          s"MERGE ON supports AND-ed column equalities (t.k = s.k); got: $other")
+      }
+      GraftMergeCommand(warehouse, target, source, keyCols,
+        matchedUpdate, matchedDelete, notMatchedInsert)
     case DeleteRe(table, where) if isGraftTable(table) =>
       GraftDmlCommand(warehouse, table, where, Nil)
     case UpdateRe(table, rest)
@@ -322,6 +373,62 @@ case class GraftDmlCommand(warehouse: String, table: String, where: String,
           expr(where), asg, fraction)
     }
     Seq(Row(res.filesRewritten, res.rowsMatched))
+  }
+}
+
+/** `MERGE INTO t USING s ON t.k = s.k WHEN …` → the [[graft.ingest.Merge]]
+  * engines. The four lowered shapes:
+  *
+  *   - `UPDATE SET *` + `INSERT *` → [[graft.ingest.Merge.upsert]] (the
+  *     canonical upsert: matched rows replaced, the rest inserted);
+  *   - `DELETE` alone → [[graft.ingest.Merge.deleteKeys]];
+  *   - `UPDATE SET *` alone → upsert of the source semi-joined to the
+  *     target's keys (unmatched source rows must NOT insert);
+  *   - `INSERT *` alone → upsert of the source anti-joined to the
+  *     target's keys (matched source rows must NOT update).
+  *
+  * The semi/anti prefilters read only the target's KEY COLUMNS (column
+  * pruning reaches the scan), and the engine underneath still rewrites
+  * only stats-surviving affected files. The source may be a committed
+  * graft table or any registered Spark view/table. */
+case class GraftMergeCommand(warehouse: String, table: String,
+                             source: String, keyCols: Seq[String],
+                             matchedUpdate: Boolean, matchedDelete: Boolean,
+                             notMatchedInsert: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", IntegerType)(),
+    AttributeReference("files_added", IntegerType)(),
+    AttributeReference("rows_matched", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    import graft.ingest.Merge
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    val src =
+      if (Snapshots.fileMeta(fs, warehouse, source).exists(_.nonEmpty))
+        Snapshots.read(session, warehouse, source)
+      else session.table(source)
+    def targetKeys =
+      Snapshots.read(session, warehouse, table)
+        .select(keyCols.map(col): _*).distinct()
+    val res = (matchedUpdate, matchedDelete, notMatchedInsert) match {
+      case (true, false, true) =>
+        Merge.upsert(session, warehouse, table, src, keyCols)
+      case (false, true, false) =>
+        Merge.deleteKeys(session, warehouse, table,
+          src.select(keyCols.map(col): _*), keyCols)
+      case (true, false, false) =>
+        Merge.upsert(session, warehouse, table,
+          src.join(targetKeys, keyCols, "left_semi"), keyCols)
+      case (false, false, true) =>
+        Merge.upsert(session, warehouse, table,
+          src.join(targetKeys, keyCols, "left_anti"), keyCols)
+      case _ => throw new IllegalArgumentException(
+        "MERGE needs WHEN MATCHED THEN UPDATE SET * / DELETE and/or " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    Seq(Row(res.filesRewritten, res.filesAdded, res.rowsMatched))
   }
 }
 

@@ -239,6 +239,70 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("MERGE INTO lowers the four Delta shapes onto the Merge engines") {
+    val s0 = spark
+    import s0.implicits._
+    def pub(table: String, rows: Seq[(Long, String)]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      rows.toDF("id", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/$table")
+      val moves = TxnCommit.movesFor(fs, wh, cid, table)
+      TxnCommit.commit(fs, wh, cid, moves)
+      TxnCommit.publish(fs, wh, cid, moves)
+    }
+    pub("tmerge", Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    Seq(2L -> "B2", 9L -> "I9").toDF("id", "v")
+      .createOrReplaceTempView("msrc")
+
+    // Canonical upsert: matched row replaced, unmatched inserted.
+    val up = spark.sql(
+      """MERGE INTO tmerge USING msrc ON tmerge.id = msrc.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect().head
+    assert(up.getLong(2) == 1L) // rows_matched
+    assert(Snapshots.read(spark, wh, "tmerge").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "I9"))
+
+    // Update-only: unmatched source rows must NOT insert.
+    Seq(3L -> "C3", 77L -> "nope").toDF("id", "v")
+      .createOrReplaceTempView("msrc_u")
+    spark.sql(
+      """MERGE INTO tmerge USING msrc_u ON tmerge.id = msrc_u.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    val afterU = Snapshots.read(spark, wh, "tmerge").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(afterU == Seq(1L -> "a", 2L -> "B2", 3L -> "C3", 9L -> "I9"))
+
+    // Insert-only: matched source rows must NOT update.
+    Seq(1L -> "nope", 50L -> "I50").toDF("id", "v")
+      .createOrReplaceTempView("msrc_i")
+    spark.sql(
+      """MERGE INTO tmerge USING msrc_i ON tmerge.id = msrc_i.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(Snapshots.read(spark, wh, "tmerge").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "B2", 3L -> "C3", 9L -> "I9", 50L -> "I50"))
+
+    // Matched-delete: rows whose key appears in the source go.
+    Seq(2L -> "x", 50L -> "x").toDF("id", "v")
+      .createOrReplaceTempView("msrc_d")
+    spark.sql(
+      """MERGE INTO tmerge USING msrc_d ON tmerge.id = msrc_d.id
+        |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+    assert(Snapshots.read(spark, wh, "tmerge").orderBy("id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 3L -> "C3", 9L -> "I9"))
+
+    // Unsupported clause shapes fail loudly, never half-apply.
+    intercept[IllegalArgumentException](spark.sql(
+      "MERGE INTO tmerge USING msrc ON tmerge.id = msrc.id " +
+        "WHEN MATCHED THEN UPDATE SET v = 'x'"))
+    intercept[IllegalArgumentException](spark.sql(
+      "MERGE INTO tmerge USING msrc ON tmerge.id < msrc.id " +
+        "WHEN MATCHED THEN DELETE"))
+  }
+
   test("ordinary SQL falls through to the delegate parser") {
     assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed → delegate error
