@@ -105,6 +105,75 @@ object IvfStore {
     model
   }
 
+  /** Re-train and atomically swap the WHOLE index — the answer to centroid
+    * drift: after heavy appends the committed centroids no longer describe
+    * the corpus and recall decays, because [[appendBatch]] deliberately
+    * assigns under the frozen model. `rebuild` trains fresh centroids on
+    * the current corpus and replaces BOTH tables in ONE log version:
+    * new `ann_centroids` + `ann_cells` files added, every old file of both
+    * logically removed, one manifest, one commit. A reader pinned to any
+    * version therefore always sees a centroid set and a cell assignment
+    * produced by the SAME training run — never new centroids over old
+    * assignments (whose `cell` ids would be meaningless).
+    *
+    * OCC is table-granular over the two index tables: a concurrent
+    * [[appendBatch]] (its rows were assigned under the OLD centroids and
+    * would be orphaned by the swap) aborts this commit; commits to other
+    * tables — the corpus included — do not. Old files stay on disk for
+    * time travel until [[graft.ingest.Snapshots.vacuum]].
+    *
+    * The op tag is `merge` WITHOUT change files: a change-feed consumer
+    * tailing the index tables across a rebuild fails fast instead of
+    * seeing the whole re-assignment as inserts (the assignments are not
+    * row-level changes of the old index — they are a new model). */
+  def rebuild(spark: SparkSession, warehouse: String, corpus: DataFrame,
+              dim: Int, k: Int, iters: Int = 2, targetFiles: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Ivf.Model = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val old = Seq(CentroidTable, CellTable).flatMap(t =>
+      Snapshots.fileMeta(fs, warehouse, t).getOrElse(Seq.empty).map(_.file))
+    val model = Ivf.train(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      dim, k, iters)
+    val centroidRows = model.centroids.zipWithIndex.map { case (c, i) =>
+      Row(i, c.toSeq)
+    }
+    val schema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val cid = java.util.UUID.randomUUID().toString
+    val staging = TxnCommit.stagingDir(warehouse, cid)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(centroidRows.toSeq, 1), schema)
+      .write.parquet(s"$staging/$CentroidTable")
+    cellRows(corpus, model, idCol, vecCol, targetFiles)
+      .write.parquet(s"$staging/$CellTable")
+    val moves = TxnCommit.movesFor(fs, warehouse, cid, CentroidTable) ++
+      TxnCommit.movesFor(fs, warehouse, cid, CellTable)
+    TxnCommit.commit(fs, warehouse, cid, moves, retained = old,
+      op = "merge", baseVersion = base)
+    TxnCommit.publish(fs, warehouse, cid, moves, retained = old,
+      op = "merge", baseVersion = base)
+    model
+  }
+
+  /** Bin-pack + re-cluster the posting table. Many [[appendBatch]] commits
+    * leave one small file each, eroding both scan cost and — worse — the
+    * range-by-cell layout the query-time pruning depends on (a late append
+    * covers the full cell range, so probed-cell stats stop skipping it).
+    * This is [[graft.ingest.Compaction.compact]] with `sortBy = cell`: one
+    * range exchange re-establishes disjoint per-file cell intervals, the
+    * swap is OCC-guarded and atomic, and any deletion vectors from
+    * [[syncFromChanges]] are materialized away by the rewrite. */
+  def compactIndex(spark: SparkSession, warehouse: String,
+                   targetBytes: Long = 128L * 1024 * 1024)
+      : Option[graft.ingest.Compaction.Result] =
+    graft.ingest.Compaction.compact(spark, warehouse, CellTable,
+      targetBytes = targetBytes, sortBy = Seq("cell"))
+
   /** Propagate corpus DML into the index — the maintenance half of the
     * append-only [[appendBatch]] contract. Without it a
     * [[graft.ingest.Merge.deleteWhereDv]] on the corpus leaves stale

@@ -83,6 +83,16 @@ object LshStore {
     p
   }
 
+  /** Bin-pack + re-cluster the bucket table ([[IvfStore.compactIndex]]
+    * for the hyperplane family): re-establishes the range-by-bucket
+    * layout that probed-bucket pruning depends on after many one-file
+    * appends, and materializes away any [[syncFromChanges]] vectors. */
+  def compactIndex(spark: SparkSession, warehouse: String,
+                   targetBytes: Long = 128L * 1024 * 1024)
+      : Option[graft.ingest.Compaction.Result] =
+    graft.ingest.Compaction.compact(spark, warehouse, BucketTable,
+      targetBytes = targetBytes, sortBy = Seq("bucket"))
+
   /** Propagate corpus DML into the index — [[IvfStore.syncFromChanges]]
     * for the hyperplane family: delete/update_preimage ids are vector-
     * deleted out of the bucket table (merge-on-read, O(changed keys)),

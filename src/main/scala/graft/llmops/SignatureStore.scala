@@ -53,6 +53,19 @@ object SignatureStore {
     TxnCommit.publish(fs, warehouse, cid, moves)
   }
 
+  /** Bin-pack + re-cluster the signature table by `doc_id`
+    * ([[IvfStore.compactIndex]] for the MinHash family). The id
+    * clustering is what keeps [[graft.ingest.Merge.deleteKeysDv]]'s
+    * bounds-based candidate pruning selective when [[syncFromChanges]]
+    * maintains the store; the rewrite also materializes away its
+    * accumulated deletion vectors. */
+  def compactIndex(spark: SparkSession, warehouse: String,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   sigTable: String = "doc_signatures")
+      : Option[graft.ingest.Compaction.Result] =
+    graft.ingest.Compaction.compact(spark, warehouse, sigTable,
+      targetBytes = targetBytes, sortBy = Seq("doc_id"))
+
   /** Propagate corpus DML into the signature table —
     * [[IvfStore.syncFromChanges]] for the MinHash family. A corpus
     * `deleteWhereDv` otherwise leaves the deleted docs' band rows behind,

@@ -152,6 +152,80 @@ class IvfStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._2 >= 40), "a deleted vector surfaced in top-k")
   }
 
+  test("compactIndex: append-eroded layout re-clusters; pruning and results survive") {
+    val w = wh("whCompact")
+    pubEmb(w, 0 until 32)
+    IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 4, targetFiles = 2)
+    // Three one-file appends: each covers the FULL cell range, so the
+    // range-by-cell pruning decays — exactly the erosion compaction fixes.
+    (0 until 3).foreach { b =>
+      val v = Snapshots.latestVersion(fs, w).get
+      pubEmb(w, 32 + 8 * b until 40 + 8 * b)
+      IvfStore.appendBatch(spark, w,
+        Snapshots.changes(spark, w, "embeddings", fromExclusive = v)
+          .select("vec_id", "embedding"))
+    }
+    val filesBefore = Snapshots.read(spark, w, IvfStore.CellTable)
+      .inputFiles.length
+    assert(filesBefore == 5) // 2 from build + 3 appends
+    val total = Snapshots.read(spark, w, IvfStore.CellTable).inputFiles
+      .map(f => fs.getFileStatus(new Path(new java.net.URI(f).getPath)).getLen).sum
+    val res = IvfStore.compactIndex(spark, w, targetBytes = total / 3)
+    assert(res.exists(r => r.filesAfter < r.filesBefore && r.filesBefore == 5))
+    val filesAfter = Snapshots.read(spark, w, IvfStore.CellTable)
+      .inputFiles.length
+    assert(filesAfter < filesBefore && filesAfter >= 2)
+    // The re-clustered layout prunes again: one probed cell of four plans
+    // strictly fewer index files than the table has.
+    val res1 = IvfStore.topK(spark, w, embDf(0 until 1), k = 5, nprobe = 1)
+    val plannedCell = res1.inputFiles.toSet
+      .count(_.contains(s"/${IvfStore.CellTable}/"))
+    assert(plannedCell < filesAfter,
+      s"compacted layout stopped pruning: planned $plannedCell/$filesAfter")
+    // And nothing was lost or duplicated: exact search == brute force.
+    val queries = embDf(0 until 2)
+    val got = IvfStore.topK(spark, w, queries, k = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Similarity.bruteForceTopK(queries, embDf(0 until 56), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("rebuild swaps centroids+cells in ONE version; any pinned reader sees a matched pair") {
+    val w = wh("whRebuild")
+    pubEmb(w, 0 until 32)
+    IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 3, targetFiles = 2)
+    val vPin = Snapshots.latestVersion(fs, w).get
+    pubEmb(w, 32 until 96)
+    val m2 = IvfStore.rebuild(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 4, targetFiles = 3)
+    val vNew = Snapshots.latestVersion(fs, w).get
+    // One corpus commit + ONE swap commit — no intermediate version can
+    // pair new centroids with old assignments or vice versa.
+    assert(vNew == vPin + 2, s"rebuild took ${vNew - vPin - 1} versions")
+    // Pinned reader: the OLD consistent pair…
+    assert(Snapshots.read(spark, w, IvfStore.CentroidTable, Some(vPin)).count() == 3)
+    val oldCells = Snapshots.read(spark, w, IvfStore.CellTable, Some(vPin))
+    assert(oldCells.count() == 32 &&
+      oldCells.agg(max(col("cell"))).head.getInt(0) < 3)
+    // …latest reader: the NEW pair, cell ids meaningful under k = 4.
+    assert(IvfStore.loadModel(spark, w).centroids.map(_.toSeq).toSeq ==
+      m2.centroids.map(_.toSeq).toSeq)
+    val newCells = Snapshots.read(spark, w, IvfStore.CellTable)
+    assert(newCells.count() == 96 &&
+      newCells.select("vec_id").distinct().count() == 96 &&
+      newCells.agg(max(col("cell"))).head.getInt(0) < 4)
+    // Recall gate post-swap: exact search through the rebuilt store.
+    val queries = embDf(0 until 3)
+    val got = IvfStore.topK(spark, w, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val want = Similarity.bruteForceTopK(queries, embDf(0 until 96), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("a cold session loads the model from the log — no training data needed") {
     val w = wh("whCold")
     pubEmb(w, 0 until 24)
