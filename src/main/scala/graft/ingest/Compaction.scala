@@ -40,23 +40,23 @@ object Compaction {
   private def liveFiles(spark: SparkSession, warehouse: String,
                         table: String,
                         partitionFilter: Map[String, String] => Boolean = null)
-      : Seq[(String, Long, String, String)] = {
+      : Seq[(String, Long, String, String, String)] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = Snapshots.fileMeta(fs, warehouse, table) match {
       case Some(acts) =>
         acts.filter(a => fs.exists(new Path(a.file)))
           .map(a => (a.file, fs.getFileStatus(new Path(a.file)).getLen,
-            a.partition, a.dv))
+            a.partition, a.dv, a.stats))
       case None =>
         val dir = new Path(s"$warehouse/$table")
         if (!fs.exists(dir)) Seq.empty
         else fs.listStatus(dir).toSeq.filter(_.isFile)
           .filterNot(_.getPath.getName.startsWith("_"))
-          .map(st => (st.getPath.toString, st.getLen, "", ""))
+          .map(st => (st.getPath.toString, st.getLen, "", "", ""))
     }
     if (partitionFilter == null) all
-    else all.filter { case (_, _, spec, _) =>
+    else all.filter { case (_, _, spec, _, _) =>
       partitionFilter(Snapshots.specToMap(spec)) }
   }
 
@@ -68,14 +68,17 @@ object Compaction {
     * from a `dt=…` table. */
   private def readInputs(spark: SparkSession, warehouse: String,
                          table: String,
-                         inputs: Seq[(String, Long, String, String)]) = {
+                         inputs: Seq[(String, Long, String, String, String)]) = {
     val partCols = Snapshots.partitionColumns(inputs.map(_._3))
     val files = inputs.map(_._1)
-    val df0 =
-      if (partCols.isEmpty) spark.read.parquet(files: _*)
-      else spark.read.option("basePath", s"$warehouse/$table").parquet(files: _*)
-    val acts = inputs.map { case (f, _, spec, dv) =>
-      Snapshots.Action("ADD", table, f, spec, "", dv) }
+    val acts = inputs.map { case (f, _, spec, dv, stats) =>
+      Snapshots.Action("ADD", table, f, spec, stats, dv) }
+    val bp = if (partCols.isEmpty) None else Some(s"$warehouse/$table")
+    val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
+    // Width-mixed inputs (safe type widening) rewrite at the widest type —
+    // the compaction IS the moment the narrow files physically widen.
+    val df0 = Snapshots.widenedSchema(spark, acts, bp)
+      .fold(rd0)(rd0.schema).parquet(files: _*)
     val df = Snapshots.applyDv(spark, df0, acts)
     (df, partCols)
   }

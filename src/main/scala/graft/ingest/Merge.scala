@@ -57,9 +57,11 @@ object Merge {
                           acts: Seq[Snapshots.Action]): DataFrame = {
     import org.apache.spark.sql.functions.regexp_replace
     val fl = acts.map(_.file)
-    val df0 =
-      if (partCols.isEmpty) spark.read.parquet(fl: _*)
-      else spark.read.option("basePath", s"$warehouse/$table").parquet(fl: _*)
+    val bp = if (partCols.isEmpty) None else Some(s"$warehouse/$table")
+    val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
+    // Width-mixed candidates (safe type widening) read at the widest type.
+    val df0 = Snapshots.widenedSchema(spark, acts, bp)
+      .fold(rd0)(rd0.schema).parquet(fl: _*)
     val keyed = df0
       .withColumn(SrcFileCol,
         regexp_replace(col("_metadata.file_path"), Snapshots.SchemeRe, ""))

@@ -765,8 +765,11 @@ object Snapshots {
       if (files.isEmpty) None
       else {
         val reader = spark.read.option("mergeSchema", true)
-        val r = if (partitioned)
-          reader.option("basePath", s"$warehouse/$table") else reader
+        val bp = if (partitioned) Some(s"$warehouse/$table") else None
+        val r0 = bp.fold(reader)(reader.option("basePath", _))
+        // A width-mixed range (safe type widening landed mid-range) reads
+        // at the widest type — footer merging would throw on the mix.
+        val r = widenedSchema(spark, files.map(_._1), bp).fold(r0)(r0.schema)
         // Restore re-ADDs can carry a deletion vector — the insert rows a
         // consumer sees must exclude the DV'd positions. Path captured
         // scan-side, then the (no-op when dv-free) anti-join.
@@ -1032,6 +1035,60 @@ object Snapshots {
       .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
       .getOrElse(Seq.empty)
 
+  /** Explicit read schema for a width-mixed file set — the read half of
+    * [[TxnCommit]]'s safe type widening. When the live files' log-side
+    * schema tags mix plain INT32/INT64 (or FLOAT/DOUBLE) on a column,
+    * footer-merged inference either throws (mergeSchema) or picks an
+    * arbitrary width (single-footer inference), so the read must be
+    * pinned to the WIDEST type: Spark's vectorized parquet reader then
+    * materializes the narrow files at the wide type losslessly.
+    *
+    * Returns None — zero extra I/O, the untouched fast path — unless a
+    * genuine width mix exists. Otherwise it reads ONE footer per distinct
+    * tag signature (bounded by widening events, not by file count),
+    * merges the Spark schemas with the two promotions applied, and the
+    * caller passes the result as the explicit read schema. Files without
+    * tags (pre-stats logs) disable the feature — absent evidence must
+    * never change how a legacy table reads. */
+  private[graft] def widenedSchema(spark: SparkSession, acts: Seq[Action],
+                                   basePath: Option[String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val sigs: Seq[Seq[(String, String)]] =
+      acts.map(a => FileStats.decode(a.stats).map(_.schema).getOrElse(Nil))
+    if (sigs.exists(_.isEmpty)) return None
+    val byCol = sigs.flatten.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    val widenPairs = Set(Set("INT32", "INT64"), Set("FLOAT", "DOUBLE"))
+    val mixed = byCol.exists { case (_, tags) =>
+      tags.size > 1 && widenPairs.contains(tags.toSet)
+    }
+    if (!mixed) return None
+    def widen(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (x, y) => throw new IllegalStateException(
+        s"widenedSchema: unmergeable types $x vs $y — schema enforcement " +
+          "should have rejected this commit")
+    }
+    def merge(a: StructType, b: StructType): StructType = {
+      val bMap = b.fields.map(f => f.name -> f).toMap
+      val shared = a.fields.map { fa =>
+        bMap.get(fa.name).fold(fa.copy(nullable = true))(fb =>
+          StructField(fa.name, widen(fa.dataType, fb.dataType),
+            fa.nullable || fb.nullable, fa.metadata))
+      }
+      val extra = b.fields.filterNot(f => a.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(shared ++ extra)
+    }
+    val repFiles = sigs.zip(acts).groupBy(_._1).map(_._2.head._2.file).toSeq
+    Some(repFiles.map { f =>
+      val r = spark.read
+      basePath.fold(r)(bp => r.option("basePath", bp)).parquet(f).schema
+    }.reduce(merge))
+  }
+
   /** Snapshot-isolated read: plan from the pinned file list of the resolved
     * version — concurrent publishes (and compactions) are invisible, and
     * `asOf` reads any retained historical version. Throws if the table has no
@@ -1086,11 +1143,18 @@ object Snapshots {
         val stats = statsWithPartition(a)
         FileStats.mayMatch(mapping.fold(stats)(_.statsToLogical(stats)), dataFilter)
       }
+    val partitioned = all.exists(_.partition.nonEmpty)
     val reader0 = spark.read.option("mergeSchema", mergeSchema)
-    val reader =
-      if (all.exists(_.partition.nonEmpty))
-        reader0.option("basePath", s"$warehouse/$table")
+    val reader1 =
+      if (partitioned) reader0.option("basePath", s"$warehouse/$table")
       else reader0
+    // Width-mixed tables (safe type widening) read under an explicit
+    // widest schema — detection over ALL live files, so the schema is
+    // stable regardless of pruning. An explicit schema supersedes
+    // mergeSchema; widenedSchema's merge covers additive columns too.
+    val reader = widenedSchema(spark, all,
+        if (partitioned) Some(s"$warehouse/$table") else None)
+      .fold(reader1)(reader1.schema)
     val physical =
       if (pruned.isEmpty)
         // Every file provably excluded: an empty frame with the table schema

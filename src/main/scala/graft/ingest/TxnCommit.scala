@@ -120,6 +120,22 @@ object TxnCommit {
   private def repNorm(tag: String): String =
     tag.replaceAll("\\b(required|optional)\\b\\s*", "")
 
+  /** Safe type widening (the Delta `delta.enableTypeWidening` family,
+    * restricted to the two promotions every engine reads losslessly):
+    * a column may mix plain INT32/INT64 files, or plain FLOAT/DOUBLE
+    * files, across commits. The table's effective type is the WIDEST live
+    * tag — [[Snapshots.widenedSchema]] resolves reads with an explicit
+    * widened schema, and Spark's vectorized parquet reader materializes
+    * the narrow files at the wide type. Both directions are accepted: a
+    * wider file widens the table; a narrower file after the widening is
+    * the rolling-upgrade writer, and reading it at the wide type is
+    * exact. Annotated types (DATE rides INT32, DECIMAL rides both) never
+    * match the plain tags, so they keep the strict path. */
+  private val Widenable =
+    Set(Set("INT32", "INT64"), Set("FLOAT", "DOUBLE"))
+  private def compatible(cur: String, tag: String): Boolean =
+    repNorm(cur) == repNorm(tag) || Widenable.contains(Set(cur, tag))
+
   private def validateSchemas(fs: FileSystem, warehouse: String,
                               statsFor: Map[String, String]): Unit =
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
@@ -132,10 +148,11 @@ object TxnCommit {
           destStats.values.flatMap(FileStats.decode).foreach { st =>
             st.schema.foreach { case (n, tag) =>
               current.get(n).foreach(cur =>
-                require(repNorm(cur) == repNorm(tag),
+                require(compatible(cur, tag),
                   s"schema enforcement: column '$n' of table '$table' is " +
                     s"committed as $cur but this commit writes $tag — " +
-                    "additive columns evolve, type changes are rejected"))
+                    "additive columns and safe widenings (int→long, " +
+                    "float→double) evolve; other type changes are rejected"))
             }
           }
     }

@@ -105,6 +105,40 @@ object IvfStore {
     model
   }
 
+  /** Streaming dual of [[appendBatch]] (the [[SignatureStore
+    * .streamingIncrementalDedup]] pattern): each micro-batch of vectors is
+    * (1) committed to `corpusTable` and (2) assigned under the PERSISTED
+    * centroids and appended to `ann_cells` — both as batchId-keyed
+    * snapshot commits ([[graft.streaming.StreamingOps.commitBatch]]), so a
+    * crash-replayed trigger skips what already published and finishes what
+    * didn't: corpus and index stay exactly-once consistent, and a
+    * long-running ingest keeps the ANN store warm without ever re-scanning
+    * the corpus. Requires an existing store ([[buildIndex]] bootstraps the
+    * centroids); per-trigger cost is O(batch). */
+  def streamingAppend(vecs: DataFrame, warehouse: String,
+                      checkpointDir: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      corpusTable: String = "embeddings",
+                      trigger: org.apache.spark.sql.streaming.Trigger =
+                        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.StreamingOps.commitBatch
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // The batch feeds two commits — pin it once.
+        val b = batch.localCheckpoint(true)
+        commitBatch(b.select(col(idCol), col(vecCol)), warehouse,
+          corpusTable, batchId)
+        val model = loadModel(b.sparkSession, warehouse)
+        commitBatch(cellRows(b, model, idCol, vecCol, targetFiles = 1),
+          warehouse, CellTable, batchId)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Re-train and atomically swap the WHOLE index — the answer to centroid
     * drift: after heavy appends the committed centroids no longer describe
     * the corpus and recall decays, because [[appendBatch]] deliberately

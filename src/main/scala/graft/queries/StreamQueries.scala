@@ -146,6 +146,48 @@ object StreamQueries {
       }
       graft.ingest.Snapshots.read(s, wh, "dup_pairs")
         .select("doc_a", "doc_b", "jaccard").distinct()
+    }),
+
+    // Streaming ANN index maintenance: bootstrap the persisted IVF store
+    // on half the corpus (batch), then STREAM the other half in —
+    // each micro-batch lands as a corpus commit + an ann_cells commit,
+    // batchId-keyed for exactly-once. The warm-store query with nprobe = k
+    // is exact, so it must hash-match the same brute-force oracle as the
+    // all-batch llm_ann_ivf_persisted: a lost or doubled micro-batch
+    // changes some top-k.
+    "stream_ann_ivf" -> ((s, d) => {
+      import graft.ingest.{Snapshots, TxnCommit}
+      import graft.llmops.IvfStore
+      val wh = Fixtures.once("stream_ann_ivf", d) {
+        val base = Files.createTempDirectory("graft-sann")
+        val w = base.resolve("wh").toString
+        val fs = new org.apache.hadoop.fs.Path(w)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val all = s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding")
+        // Bootstrap: first half committed + indexed in batch.
+        val cid = java.util.UUID.randomUUID().toString
+        all.filter(col("vec_id") % 2 === 0).coalesce(1)
+          .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/embeddings")
+        val moves = TxnCommit.movesFor(fs, w, cid, "embeddings")
+        TxnCommit.commit(fs, w, cid, moves)
+        TxnCommit.publish(fs, w, cid, moves)
+        IvfStore.buildIndex(s, w,
+          Snapshots.read(s, w, "embeddings"), dim = 64, k = 8)
+        // The second half arrives as a STREAM, one file per trigger.
+        val in = base.resolve("in").toString
+        all.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.parquet(in)
+        val q = IvfStore.streamingAppend(
+          s.readStream.schema(all.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in),
+          w, base.resolve("ckpt").toString)
+        q.awaitTermination()
+        w
+      }
+      IvfStore.topK(s, wh,
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select("vec_id", "embedding").filter(col("vec_id") < 5),
+        k = 10, nprobe = 8)
     }))
 
   /** Same ground truth as the batch entries — the streaming runtime must
@@ -161,6 +203,9 @@ object StreamQueries {
     // Identical ground truth to the batch MinHash pipeline: ALL pairs with
     // Jaccard >= 0.6 — the streaming path must find every one, incrementally.
     "stream_incremental_dedup" -> LlmQueries.oracleSql("llm_dedup_minhash"),
+    // Identical ground truth to the batch persisted-index entry: the
+    // streamed index must serve the same exact top-k.
+    "stream_ann_ivf" -> LlmQueries.oracleSql("llm_ann_ivf_persisted"),
     "stream_join" ->
       """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
         |FROM events c JOIN events v

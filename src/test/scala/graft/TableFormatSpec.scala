@@ -1101,4 +1101,63 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     TxnCommit.recover(fs, w, orphanTtlMs = -1000L) // everything is "aged"
     assert(!fs.exists(orphan))
   }
+
+  test("safe type widening: int→long and float→double mix across commits; reads resolve widest") {
+    val w = wh("whWiden")
+    val s0 = spark
+    import s0.implicits._
+    def pub(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    // v0: narrow era (int ids, float score).
+    pub(Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score"))
+    // v1: a writer upgraded — long ids, double scores. Widening: accepted.
+    pub(Seq((3000000000L, 3.5d)).toDF("id", "score"))
+    // v2: a straggler still writes the NARROW types (rolling upgrade) —
+    // also accepted; the effective schema stays the widest live tag.
+    pub(Seq((4, 4.5f)).toDF("id", "score"))
+
+    // Latest read resolves the WIDEST schema and serves every era's rows.
+    val latest = Snapshots.read(spark, w, "t")
+    assert(latest.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(latest.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(latest.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5), (4L, 4.5), (3000000000L, 3.5)))
+    // Time travel BELOW the widening still reads the narrow era natively.
+    val v0 = Snapshots.read(spark, w, "t", asOf = Some(0L))
+    assert(v0.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType && v0.count() == 2)
+
+    // Incompatible changes stay rejected at the commit point.
+    val ex = intercept[IllegalArgumentException](
+      pub(Seq(("x", 1.0d)).toDF("id", "score")))
+    assert(ex.getMessage.contains("schema enforcement"))
+
+    // DML across the width mix: the dv-aware read widens too.
+    Merge.deleteWhere(spark, w, "t", org.apache.spark.sql.functions.col("id") === 2L)
+    assert(Snapshots.read(spark, w, "t").orderBy("id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (4L, 4.5), (3000000000L, 3.5)))
+    // The change feed crosses the widening without a merge failure.
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+    assert(feed.filter("_change_type = 'insert'").count() == 4 &&
+      feed.filter("_change_type = 'delete'").count() == 1)
+    // Compaction materializes the widest type physically.
+    assert(Compaction.compact(spark, w, "t", minInputFiles = 2).nonEmpty)
+    val files = Snapshots.fileSet(fs, w, "t").get
+    files.foreach { f =>
+      val sch = spark.read.parquet(f).schema
+      assert(sch("id").dataType == org.apache.spark.sql.types.LongType &&
+        sch("score").dataType == org.apache.spark.sql.types.DoubleType)
+    }
+    assert(Snapshots.read(spark, w, "t").orderBy("id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (4L, 4.5), (3000000000L, 3.5)))
+  }
 }
