@@ -59,12 +59,16 @@ case class ColumnMapping(cols: Seq[(String, String)],
 
   /** Physical→logical key rename on a decoded stats token, so log-side
     * data skipping keeps working against predicates written in logical
-    * names. Stats of dropped/unmapped physical columns are discarded. */
+    * names. Stats of dropped/unmapped physical columns are discarded —
+    * null counts and bloom bitsets ride the rename with the [min,max]
+    * (leaving them physical-keyed would be sound but unpruned: every
+    * logical-name lookup would miss and keep the file). */
   def statsToLogical(stats: Option[FileStats.Stats]): Option[FileStats.Stats] = {
     val toLogical = cols.map { case (l, p) => p -> l }.toMap
-    stats.map(s => s.copy(cols = s.cols.flatMap { case (p, cs) =>
-      toLogical.get(p).map(_ -> cs)
-    }))
+    def rekey[V](m: Map[String, V]): Map[String, V] =
+      m.flatMap { case (p, v) => toLogical.get(p).map(_ -> v) }
+    stats.map(s => s.copy(cols = rekey(s.cols), nulls = rekey(s.nulls),
+      blooms = rekey(s.blooms)))
   }
 
   def encode: String = {

@@ -149,7 +149,10 @@ object Compaction {
       if (sortPhys.isEmpty) df.coalesce(nOut)
       else df.repartitionByRange(nOut, sortPhys.map(col): _*)
         .sortWithinPartitions(sortPhys.head, sortPhys.tail: _*)
-    val writer = packed.write
+    // Table-property bloom config: compacted files keep the point-lookup
+    // blooms their inputs carried (options are physical-named already).
+    val writer = packed.write.options(Snapshots.bloomWriteOptionsFor(
+      fs, warehouse, table, Snapshots.columnMapping(fs, warehouse, table)))
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
@@ -232,7 +235,8 @@ object Compaction {
       .repartitionByRange(nOut, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    val writer = zsorted.write
+    val writer = zsorted.write.options(Snapshots.bloomWriteOptionsFor(
+      fs, warehouse, table, Snapshots.columnMapping(fs, warehouse, table)))
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)

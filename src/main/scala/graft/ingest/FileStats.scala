@@ -37,10 +37,17 @@ object FileStats {
     * pre-schema tokens. Enforcement compares tags for shared names.
     * `nulls`: per-column null counts (absent = unknown) — they answer
     * IS [NOT] NULL skipping and let comparisons prune all-null files,
-    * which min/max alone cannot see. */
+    * which min/max alone cannot see.
+    * `blooms`: per-column split-block bloom bitsets (one per row group
+    * that couldn't merge; a value may be in the file iff ANY bitset says
+    * maybe). Present only for string columns whose WRITER opted in via
+    * [[bloomWriteOptions]] — they answer point lookups on
+    * high-cardinality keys where [min,max] on a non-clustered file spans
+    * everything. */
   case class Stats(rows: Long, cols: Map[String, ColStats],
                    schema: Seq[(String, String)] = Nil,
-                   nulls: Map[String, Long] = Map.empty)
+                   nulls: Map[String, Long] = Map.empty,
+                   blooms: Map[String, Seq[Array[Byte]]] = Map.empty)
 
   // ---------------------------------------------------------------- encode
 
@@ -66,6 +73,10 @@ object FileStats {
     (Seq(s"rows=${s.rows}", TokenVersion) ++
       (s.schema.map { case (n, t) => s"s:${enc(n)},${enc(t)}" } ++
         s.nulls.toSeq.sortBy(_._1).map { case (n, c) => s"n:${enc(n)},$c" } ++
+        s.blooms.toSeq.sortBy(_._1).flatMap { case (n, bitsets) =>
+          bitsets.map(b =>
+            s"b:${enc(n)},${java.util.Base64.getEncoder.encodeToString(b)}")
+        } ++
         s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
           s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
         })).mkString("|")
@@ -86,12 +97,18 @@ object FileStats {
         val Array(n, c) = p.stripPrefix("n:").split(",", 2)
         dec(n) -> c.toLong
       }.toMap
-      val cols = meta.filterNot(p => p.startsWith("s:") || p.startsWith("n:"))
+      val blooms = meta.filter(_.startsWith("b:")).map { p =>
+        val Array(n, b64) = p.stripPrefix("b:").split(",", 2)
+        dec(n) -> java.util.Base64.getDecoder.decode(b64)
+      }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+      val cols = meta.filterNot(p =>
+          p.startsWith("s:") || p.startsWith("n:") || p.startsWith("b:"))
         .map { p =>
           val Array(n, t, mn, mx) = p.split(",", 4)
           dec(n) -> ColStats(t, dec(mn), dec(mx))
         }.toMap
-      Some(Stats(rows, if (v2) cols else legacySafe(cols, schema), schema, nulls))
+      Some(Stats(rows, if (v2) cols else legacySafe(cols, schema), schema,
+        nulls, blooms))
     } catch { case _: RuntimeException => None }
 
   /** Strip the entries a pre-v2 collector may have recorded unsoundly:
@@ -114,6 +131,29 @@ object FileStats {
           tag.matches(".*INT\\(\\d+,false\\).*")))
     }
   }
+
+  /** Per-column cap on bloom bytes embedded in a log token. Blooms above
+    * it are dropped (never truncated — a truncated bloom false-negatives).
+    * Writers size their blooms via [[bloomWriteOptions]]' `ndv`; filters
+    * meant to exceed this belong in sidecar index files, not log lines —
+    * the default keeps a worst-case ADD line under ~100 KB of base64,
+    * which the checkpoint fold amortizes across reads. */
+  val MaxBloomLogBytes: Long =
+    sys.props.get("graft.bloom.maxLogBytes").map(_.toLong).getOrElse(65536L)
+
+  /** DataFrameWriter options enabling parquet's native split-block bloom
+    * filters on `cols` — the executors hash values during the normal
+    * write, [[collect]] then lifts the finished bitsets off the footer at
+    * the commit point (driver reads bloom BYTES, never data). `ndv` sizes
+    * the filter (parquet rounds `optimalNumOfBits(ndv, fpp)` up to a
+    * power of two); keep the result under [[MaxBloomLogBytes]] or the
+    * bloom stays in the file but off the log line. */
+  def bloomWriteOptions(cols: Seq[String], ndv: Long = 25000L,
+                        fpp: Double = 0.01): Map[String, String] =
+    cols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString,
+      s"parquet.bloom.filter.fpp#$c" -> fpp.toString)).toMap
 
   // --------------------------------------------------------------- collect
 
@@ -150,8 +190,20 @@ object FileStats {
         // (unknown) the moment any block doesn't.
         val nullAcc = scala.collection.mutable.LinkedHashMap
           .empty[String, Option[Long]]
+        // Bloom bitsets: Some(list) while EVERY block has one for the
+        // column (a bloom-less block could hold the probed value, so a
+        // partial bloom would prune unsoundly); blocks whose filters can
+        // union in place merge, incompatible sizes stay separate and are
+        // probed with OR. String columns only — their plain encoding
+        // (UTF-8 bytes) is the one representation the probe side can
+        // reproduce exactly; int/long plain encodings differ by physical
+        // width, so a wrong-width probe hash would false-negative.
+        val bloomAcc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Option[List[
+            org.apache.parquet.column.values.bloomfilter.BloomFilter]]]
         md.getBlocks.forEach { b =>
           rows += b.getRowCount
+          lazy val bloomReader = reader.getBloomFilterDataReader(b)
           b.getColumns.forEach { c =>
             if (c.getPath.size == 1) {
               val name = c.getPath.toDotString
@@ -173,13 +225,39 @@ object FileStats {
                       (t0, minOf(t0, mn0, mn), maxOf(t0, mx0, mx))
                   }
               }
+              val isString = c.getPrimitiveType.getPrimitiveTypeName ==
+                PrimitiveTypeName.BINARY &&
+                c.getPrimitiveType.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              val blockBloom =
+                if (isString && c.getBloomFilterOffset >= 0)
+                  Option(bloomReader.readBloomFilter(c))
+                else None
+              bloomAcc(name) = bloomAcc.getOrElse(name, Some(Nil)).flatMap {
+                have =>
+                  blockBloom.map { bf =>
+                    have.find(_.canMergeFrom(bf)) match {
+                      case Some(target) => target.merge(bf); have
+                      case None => bf :: have
+                    }
+                  }
+              }
             }
           }
         }
+        val blooms: Map[String, Seq[Array[Byte]]] = bloomAcc.collect {
+          case (n, Some(bfs)) if bfs.nonEmpty &&
+              bfs.map(_.getBitsetSize.toLong).sum <= MaxBloomLogBytes =>
+            n -> bfs.reverse.map { bf =>
+              val out = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
+              bf.writeTo(out)
+              out.toByteArray: Array[Byte]
+            }
+        }.toMap
         encode(Stats(rows, acc.collect {
           case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
         }.toMap, schemaTags,
-          nullAcc.collect { case (n, Some(c)) => n -> c }.toMap))
+          nullAcc.collect { case (n, Some(c)) => n -> c }.toMap, blooms))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 
@@ -274,6 +352,7 @@ object FileStats {
   private case class LtEq(col: String, v: Any) extends Pred
   private case class Gt(col: String, v: Any) extends Pred
   private case class Lt(col: String, v: Any) extends Pred
+  private case class Eq(col: String, v: Any) extends Pred
   private case class NotEq(col: String, v: Any) extends Pred
   private case class Null(col: String) extends Pred
   private case class NotNull(col: String) extends Pred
@@ -287,7 +366,11 @@ object FileStats {
   def notEq(col: String, v: Any): Pred = NotEq(col, v)
   def isNull(col: String): Pred = Null(col)
   def isNotNull(col: String): Pred = NotNull(col)
-  def eq(col: String, v: Any): Pred = And(GtEq(col, v), LtEq(col, v))
+  /** Point equality is a first-class leaf (not GtEq∧LtEq sugar): on top
+    * of the [min,max] range check it probes the column's log-embedded
+    * bloom, which is what skips a non-clustered file whose range spans
+    * the whole key space. */
+  def eq(col: String, v: Any): Pred = Eq(col, v)
   def between(col: String, lo: Any, hi: Any): Pred =
     And(GtEq(col, lo), LtEq(col, hi))
 
@@ -358,9 +441,29 @@ object FileStats {
           }
           case None => true
         }
+      // Bloom probe: definite absence prunes; a missing bloom, a non-string
+      // probe value (type-coerced predicate against a string column — the
+      // range leaf already keeps those), or any bitset saying "maybe"
+      // keeps the file. Hashing MUST mirror the write side: parquet
+      // hashes a string column's plain encoding (UTF-8 bytes) with
+      // xxHash64 — BlockSplitBloomFilter.hash(Binary) is that function.
+      def bloomKeep(c: String, v: Any): Boolean = (s.blooms.get(c), v) match {
+        case (Some(bitsets), str: String) => bitsets.exists { bits =>
+          val bf = new org.apache.parquet.column.values.bloomfilter
+            .BlockSplitBloomFilter(bits)
+          bf.findHash(bf.hash(
+            org.apache.parquet.io.api.Binary.fromString(str)))
+        }
+        case _ => true
+      }
       def eval(p: Pred): Boolean = p match {
         case And(l, r) => eval(l) && eval(r)
         case Or(l, r) => eval(l) || eval(r)
+        // point lookup: inside the closed [min,max] AND not bloom-excluded
+        case Eq(c, v) =>
+          leaf(c, v)((t, nv, cs) =>
+            le(t, parse(t, cs.min), nv) && le(t, nv, parse(t, cs.max))) &&
+            bloomKeep(c, v)
         // some row ≥ v iff max ≥ v; strict variants use strict compares
         case GtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, nv, parse(t, cs.max)))
         case LtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, parse(t, cs.min), nv))

@@ -136,11 +136,35 @@ object Merge {
     dvWhere(spark, warehouse, table, condition, assignments, rewriteFraction)
   }
 
+  /** Distinct leading-key cap below which keyed candidate pruning
+    * enumerates point-equality leaves instead of one [min,max] envelope.
+    * Point leaves probe per-file BLOOMS ([[FileStats.bloomWriteOptions]]),
+    * which is what skips a non-clustered file whose range spans the whole
+    * key space — the envelope can't. Merges are dim-sized by contract, so
+    * the extra distinct+limit driver collect is bounded and cheap. */
+  private def maxPointPruneKeys: Int =
+    sys.props.get("graft.merge.pointPruneMaxKeys").map(_.toInt).getOrElse(1024)
+
+  /** Candidate-pruning predicate on the leading key: an OR of point
+    * lookups when the source's distinct keys fit [[maxPointPruneKeys]]
+    * (each also implies the range check), else the keys' [min,max]
+    * envelope. `bounds` is the caller's pre-computed min/max row. */
+  private def keyPrunePred(source: DataFrame, keyCol: String,
+                           bounds: org.apache.spark.sql.Row): FileStats.Pred = {
+    val cap = maxPointPruneKeys
+    val ks = source.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct().limit(cap + 1).collect().map(_.get(0))
+    if (ks.nonEmpty && ks.length <= cap)
+      ks.map(v => FileStats.eq(keyCol, v)).reduce[FileStats.Pred](_.or(_))
+    else FileStats.between(keyCol, bounds.get(0), bounds.get(1))
+  }
+
   /** Merge-on-read delete-by-key: every row whose `keyCols` tuple appears
     * in `keys` is deletion-vectored out — the vector twin of
-    * [[deleteKeys]]. Candidates come from the keys' [min,max] bounds
-    * against log stats (same skipping as the copy-on-write merge); the
-    * match is a broadcast semi-join (keys are dim-sized by contract). */
+    * [[deleteKeys]]. Candidates come from the keys' point/[min,max]
+    * pruning against log stats — incl. bloom probes on bloom-carrying
+    * tables ([[keyPrunePred]]); the match is a broadcast semi-join (keys
+    * are dim-sized by contract). */
   def deleteKeysDv(spark: SparkSession, warehouse: String, table: String,
                    keys: DataFrame, keyCols: Seq[String],
                    rewriteFraction: Double = 1.0): Result = {
@@ -150,7 +174,7 @@ object Merge {
       candidatesOf = (meta, mapping) =>
         if (bounds.isNullAt(0)) Nil
         else {
-          val pred = FileStats.between(keyCols.head, bounds.get(0), bounds.get(1))
+          val pred = keyPrunePred(keys, keyCols.head, bounds)
           meta.filter { a =>
             val st = FileStats.decode(a.stats)
             FileStats.mayMatch(mapping.fold(st)(_.statsToLogical(st)), pred)
@@ -326,9 +350,12 @@ object Merge {
     }
     outData.foreach { out =>
       val outPhys = mapping.fold(out)(_.toPhysicalDf(out))
+      // Table-property bloom config: rewritten/postimage files carry the
+      // same point-lookup blooms the original appends did.
       val w = outPhys
         .coalesce(math.max(1, heavy.size +
           (if (assignments.isEmpty) 0 else affected.size))).write
+        .options(Snapshots.bloomWriteOptionsFor(fs, warehouse, table, mapping))
       (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
         .parquet(dataStaging)
     }
@@ -461,7 +488,10 @@ object Merge {
     // never fork the files' schema; only the META mapping moves.
     val outPhys = mapping.fold(out)(_.toPhysicalDf(out))
     val changesPhys = mapping.fold(changes)(_.toPhysicalDf(changes))
+    // Table-property bloom config: rewrites re-establish the blooms the
+    // swapped-out files carried.
     val writer = outPhys.coalesce(math.max(1, affected.size)).write
+      .options(Snapshots.bloomWriteOptionsFor(fs, warehouse, table, mapping))
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
     val obs = new org.apache.spark.sql.Observation()
@@ -515,7 +545,7 @@ object Merge {
     val candidates: Seq[Snapshots.Action] =
       if (files.isEmpty || bounds.isNullAt(0)) Nil
       else {
-        val pred = FileStats.between(keyCols.head, bounds.get(0), bounds.get(1))
+        val pred = keyPrunePred(source, keyCols.head, bounds)
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
           FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), pred)

@@ -933,6 +933,84 @@ object Snapshots {
     stateAt(fs, warehouse, asOf)
       .flatMap(_.metas.get(table)).map(ColumnMapping.decode)
 
+  // ------------------------------------------------------ table properties
+
+  /** Table properties (the Delta TBLPROPERTIES analog) ride the META
+    * fold under the pseudo-table key `<table>#props` — latest payload
+    * wins, checkpoints re-emit it, time travel sees the era's values, and
+    * nothing else in the fold changes. `#` never appears in a table name
+    * (names are single path segments the ingest surface validates), so
+    * the key space cannot collide with a real table's column mapping.
+    *
+    * Property commits are metadata-only and deliberately do NOT conflict
+    * with in-flight data commits (their OCC key is the pseudo-table):
+    * today's properties are advisory writer configuration — bloom columns
+    * ([[bloomWriteOptionsFor]]) — where racing a rewrite is benign: the
+    * rewrite stages files under the config it read, exactly like a writer
+    * that started before the change. A future property whose correctness
+    * spans table state (e.g. a CHECK constraint) must commit under the
+    * REAL table key instead so it aborts rivals. */
+  private def propsKey(table: String) = s"$table#props"
+
+  private def encodeProps(props: Map[String, String]): String = {
+    def e(s: String) = java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+    "p1;" + props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${e(k)}=${e(v)}" }.mkString(";")
+  }
+
+  private def decodeProps(payload: String): Map[String, String] = {
+    def d(s: String) = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+    payload.split(";", -1).toSeq match {
+      case "p1" +: pairs => pairs.filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); d(k) -> d(v)
+      }.toMap
+      case _ => throw new IllegalArgumentException(
+        s"unrecognized table-properties payload: $payload")
+    }
+  }
+
+  /** The table's properties visible at `asOf` (empty until the first
+    * [[setProperties]] commit). */
+  def properties(fs: FileSystem, warehouse: String, table: String,
+                 asOf: Option[Long] = None): Map[String, String] =
+    stateAt(fs, warehouse, asOf)
+      .flatMap(_.metas.get(propsKey(table))).map(decodeProps)
+      .getOrElse(Map.empty)
+
+  /** Merge `updates` into the table's properties as one metadata-only
+    * commit (a `null`/empty value unsets the key). Versioned like any
+    * commit — RESTORE and time travel see the era's properties. */
+  def setProperties(fs: FileSystem, warehouse: String, table: String,
+                    updates: Map[String, String]): Unit = {
+    val base = latestVersion(fs, warehouse)
+    val merged = (properties(fs, warehouse, table) ++ updates)
+      .filter { case (_, v) => v != null && v.nonEmpty }
+    append(fs, warehouse, java.util.UUID.randomUUID().toString,
+      adds = Nil, removes = Nil, op = "set_properties", baseVersion = base,
+      metas = Seq(propsKey(table) -> encodeProps(merged)))
+  }
+
+  /** Writer options every rewrite of `table` must stage under — today the
+    * parquet bloom config from the `bloom.columns` (comma-joined LOGICAL
+    * names) / `bloom.ndv` / `bloom.fpp` properties, translated to the
+    * files' PHYSICAL column names through `mapping`. Consulted by the
+    * [[Merge]] and [[Compaction]] staging writers, so DML and OPTIMIZE
+    * re-establish the blooms the original appends carried instead of
+    * silently degrading point-lookup pruning with every rewrite. */
+  def bloomWriteOptionsFor(fs: FileSystem, warehouse: String, table: String,
+                           mapping: Option[ColumnMapping])
+      : Map[String, String] = {
+    val props = properties(fs, warehouse, table)
+    props.get("bloom.columns").map(_.split(",").toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .map { logical =>
+        val physical = logical.map(c => mapping.fold(c)(_.physicalFor(c)))
+        FileStats.bloomWriteOptions(physical,
+          ndv = props.get("bloom.ndv").map(_.toLong).getOrElse(25000L),
+          fpp = props.get("bloom.fpp").map(_.toDouble).getOrElse(0.01))
+      }.getOrElse(Map.empty)
+  }
+
   /** Max total deletion-vector rows that ride a broadcast anti-join;
     * beyond this the join shuffles the scan side. DVs are meant to hold a
     * sliver of a table (heavy deletion is what compaction — which purges

@@ -219,6 +219,40 @@ object FormatQueries {
       Snapshots.read(s, wh, "nation")
     }),
 
+    // Bloom-pruned keyed DML: the table property puts a parquet bloom on
+    // n_name; two interleaved-alphabet commits make both files' [min,max]
+    // span the deleted key, so ONLY the bloom can prune — the fixture
+    // asserts exactly one candidate file was planned, and the surviving
+    // rows must equal a plain NOT-IN oracle (pruning is an optimization,
+    // never a semantic change).
+    "fmt_bloom_delete" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_bloom_delete", d) {
+        val w = freshWh()
+        val fs = new Path(w).getFileSystem(s.sparkContext.hadoopConfiguration)
+        val n = nation(s, d)
+        Snapshots.setProperties(fs, w, "nation",
+          Map("bloom.columns" -> "n_name", "bloom.ndv" -> "1000"))
+        def pubBloom(df: DataFrame): Unit = {
+          val cid = java.util.UUID.randomUUID().toString
+          df.coalesce(1).write
+            .options(Snapshots.bloomWriteOptionsFor(fs, w, "nation", None))
+            .parquet(s"${TxnCommit.stagingDir(w, cid)}/nation")
+          val moves = TxnCommit.movesFor(fs, w, cid, "nation")
+          TxnCommit.commit(fs, w, cid, moves)
+          TxnCommit.publish(fs, w, cid, moves)
+        }
+        pubBloom(n.filter(col("n_nationkey") % 2 === 0))
+        pubBloom(n.filter(col("n_nationkey") % 2 === 1))
+        val r = Merge.deleteKeysDv(s, w, "nation",
+          n.filter(col("n_name") === "NATION_12").select("n_name"),
+          Seq("n_name"))
+        require(r.filesScanned == 1 && r.rowsMatched == 1,
+          s"bloom pruning drifted (want 1 candidate of 2): $r")
+        w
+      }
+      Snapshots.read(s, wh, "nation")
+    }),
+
     "fmt_changes" -> ((s, d) => {
       val wh = Fixtures.once("fmt_changes", d) {
         val w = freshWh()
@@ -276,6 +310,10 @@ object FormatQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_nationkey < 6 THEN n_name || '_D' ELSE n_name END AS n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
+    "fmt_bloom_delete" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |WHERE n_name <> 'NATION_12'""".stripMargin,
     "fmt_changes" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey, _change_type

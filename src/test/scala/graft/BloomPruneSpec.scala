@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{FileStats, Merge, Snapshots, TxnCommit}
+
+/** Per-file bloom filters on ADD lines: point lookups on a
+  * high-cardinality string key skip non-clustered files whose [min,max]
+  * spans the whole key space — the case range stats can never prune.
+  * Blooms are parquet-native (executors hash during the write; commit
+  * lifts the finished bitsets off the footer), so the driver never reads
+  * data. The filter is probabilistic ONLY toward keeping files: a "no"
+  * is definite, so pruning is sound by construction.
+  */
+class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-bloom")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Interleaved keys: file f holds doc-%04d for i % files == f, so every
+    * file's [min,max] covers nearly the whole key range — range stats
+    * cannot tell the files apart, only a bloom can. */
+  private def docs(file: Int, files: Int, n: Int): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    (0 until n).filter(_ % files == file)
+      .map(i => (f"doc-$i%04d", i.toLong)).toDF("doc_id", "score")
+  }
+
+  /** Appends consult the table's bloom properties exactly like the
+    * engine's rewrite writers do — the property is the single source of
+    * bloom config for the table's whole lifecycle. */
+  private def publish(w: String, df: DataFrame): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
+    df.coalesce(1).write
+      .options(Snapshots.bloomWriteOptionsFor(fs, w, "docs", None))
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+    val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+  }
+
+  private def build(w: String, bloom: Boolean, files: Int = 4,
+                    n: Int = 400): Unit = {
+    if (bloom)
+      Snapshots.setProperties(fs, w, "docs",
+        Map("bloom.columns" -> "doc_id", "bloom.ndv" -> "1000"))
+    (0 until files).foreach(f => publish(w, docs(f, files, n)))
+  }
+
+  private def keyDf(ks: String*): DataFrame = {
+    val s0 = spark
+    import s0.implicits._
+    ks.toDF("doc_id")
+  }
+
+  test("ADD lines carry bloom bitsets only for opted-in writes") {
+    val w = wh("tok")
+    build(w, bloom = true, files = 1)
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    val st = FileStats.decode(acts.head.stats).get
+    assert(st.blooms.keySet == Set("doc_id"),
+      s"expected a doc_id bloom, got ${st.blooms.keySet}")
+
+    val w2 = wh("tok-plain")
+    build(w2, bloom = false, files = 1)
+    val st2 = FileStats.decode(
+      Snapshots.fileMeta(fs, w2, "docs").get.head.stats).get
+    assert(st2.blooms.isEmpty, "un-opted write must not grow the log token")
+  }
+
+  test("keyed DV delete plans strictly fewer candidates with blooms") {
+    val withBloom = wh("kd-bloom")
+    val without = wh("kd-plain")
+    build(withBloom, bloom = true)
+    build(without, bloom = false)
+
+    // doc-0005 lives in file 1 of 4; every file's [min,max] spans it.
+    val rB = Merge.deleteKeysDv(spark, withBloom, "docs",
+      keyDf("doc-0005"), Seq("doc_id"))
+    val rP = Merge.deleteKeysDv(spark, without, "docs",
+      keyDf("doc-0005"), Seq("doc_id"))
+    assert(rP.filesScanned == 4, s"envelope keeps all files: $rP")
+    assert(rB.filesScanned == 1, s"bloom should plan exactly 1 file: $rB")
+    assert(rB.rowsMatched == 1 && rP.rowsMatched == 1)
+
+    // Same result either way — pruning is an optimization, not semantics.
+    val left = Snapshots.read(spark, withBloom, "docs")
+      .orderBy("doc_id").collect().toSeq
+    val right = Snapshots.read(spark, without, "docs")
+      .orderBy("doc_id").collect().toSeq
+    assert(left == right)
+    assert(!left.exists(_.getString(0) == "doc-0005"))
+  }
+
+  test("copy-on-write keyed delete and upsert prune through blooms too") {
+    val w = wh("cow")
+    build(w, bloom = true)
+    val r = Merge.deleteKeys(spark, w, "docs", keyDf("doc-0006"), Seq("doc_id"))
+    assert(r.filesScanned == 1, s"CoW keyed delete should bloom-prune: $r")
+    assert(r.rowsMatched == 1)
+
+    // doc-0006 lived in file 2; its CoW rewrite staged a REPLACEMENT file.
+    // The table property makes the rewrite writer re-establish the bloom,
+    // so the follow-up upsert still plans exactly one candidate — without
+    // the property, every rewrite would silently degrade pruning.
+    val s0 = spark
+    import s0.implicits._
+    val upd = Seq(("doc-0007", 9999L)).toDF("doc_id", "score")
+    val r2 = Merge.upsert(spark, w, "docs", upd, Seq("doc_id"))
+    assert(r2.filesScanned == 1, s"upsert should bloom-prune: $r2")
+    assert(Snapshots.read(spark, w, "docs")
+      .filter(col("doc_id") === "doc-0007").head.getLong(1) == 9999L)
+  }
+
+  test("compaction re-establishes blooms on the packed files") {
+    val w = wh("compact")
+    build(w, bloom = true, files = 4, n = 200)
+    graft.ingest.Compaction.compact(spark, w, "docs",
+      sortBy = Seq("doc_id"), targetBytes = 512L * 1024 * 1024)
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    assert(acts.nonEmpty)
+    assert(acts.forall(a =>
+      FileStats.decode(a.stats).exists(_.blooms.contains("doc_id"))),
+      "compacted files lost their blooms")
+    // And the key-clustered compaction output still point-prunes.
+    val r = Merge.deleteKeysDv(spark, w, "docs", keyDf("doc-0042"),
+      Seq("doc_id"))
+    assert(r.rowsMatched == 1)
+  }
+
+  test("a bloom never false-prunes: every present key is found") {
+    val w = wh("sound")
+    build(w, bloom = true, files = 4, n = 200)
+    // Delete every 17th key across all files in one call — each must land.
+    val victims = (0 until 200 by 17).map(i => f"doc-$i%04d")
+    val r = Merge.deleteKeysDv(spark, w, "docs", keyDf(victims: _*),
+      Seq("doc_id"))
+    assert(r.rowsMatched == victims.size.toLong, s"lost deletions: $r")
+    val left = Snapshots.read(spark, w, "docs")
+      .select("doc_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(victims.forall(!left(_)))
+    assert(left.size == 200 - victims.size)
+  }
+
+  test("absent keys plan zero candidates and delete nothing") {
+    val w = wh("absent")
+    build(w, bloom = true)
+    val r = Merge.deleteKeysDv(spark, w, "docs",
+      keyDf("doc-9999", "nope"), Seq("doc_id"))
+    assert(r.filesScanned == 0 && r.rowsMatched == 0,
+      s"absent keys should bloom-prune everything: $r")
+  }
+
+  test("readWhere point lookup prunes files via the bloom") {
+    val w = wh("read")
+    build(w, bloom = true)
+    // Correctness: the pruned read returns exactly the key's row.
+    val rows = Snapshots.readWhere(spark, w, "docs",
+      col("doc_id") === "doc-0013").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("doc-0013"))
+    // Pruning: only the one bloom-positive file survives the log-side cut.
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    val pred = FileStats.eq("doc_id", "doc-0013")
+    val kept = acts.filter(a =>
+      FileStats.mayMatch(FileStats.decode(a.stats), pred))
+    assert(kept.size == 1, s"expected 1 bloom-surviving file, got ${kept.size}")
+  }
+
+  test("point pruning past the key cap falls back to the envelope") {
+    val w = wh("cap")
+    build(w, bloom = true, files = 2, n = 100)
+    val old = sys.props.put("graft.merge.pointPruneMaxKeys", "3")
+    try {
+      val victims = Seq("doc-0001", "doc-0003", "doc-0005", "doc-0007")
+      val r = Merge.deleteKeysDv(spark, w, "docs", keyDf(victims: _*),
+        Seq("doc_id"))
+      // 4 distinct keys > cap 3 → [min,max] envelope → both files planned,
+      // and the delete still lands everywhere.
+      assert(r.filesScanned == 2 && r.rowsMatched == 4, s"$r")
+    } finally {
+      old.fold(sys.props.remove("graft.merge.pointPruneMaxKeys"))(v =>
+        sys.props.put("graft.merge.pointPruneMaxKeys", v))
+      ()
+    }
+  }
+
+  test("stats token with blooms round-trips through encode/decode") {
+    val bits = Array.tabulate(64)(_.toByte)
+    val st = FileStats.Stats(10L,
+      Map("k" -> FileStats.ColStats("string", "a", "z")),
+      Seq("k" -> "BINARY/STRING"), Map("k" -> 0L),
+      Map("k" -> Seq(bits)))
+    val rt = FileStats.decode(FileStats.encode(st)).get
+    assert(rt.blooms.keySet == Set("k"))
+    assert(rt.blooms("k").head.toSeq == bits.toSeq)
+    assert(rt.cols == st.cols && rt.nulls == st.nulls)
+  }
+}
