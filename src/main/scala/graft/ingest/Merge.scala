@@ -259,13 +259,27 @@ object Merge {
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
     val candidates = candidatesOf(meta, mapping)
     if (candidates.isEmpty) return Result(0, 0, 0L, 0)
-    // Pass 1: affected files + NEW deletions per file (rows already
-    // vectored out are invisible to the dv-aware read, so a re-run of the
-    // same predicate matches nothing and commits nothing).
-    val newCounts: Map[String, Long] =
+    // The predicate is evaluated ONCE, over the stats-surviving
+    // candidates, and the matched set is persisted: per-file routing
+    // counts, deletion-vector positions, CDF rows, and the update
+    // postimage all derive from this single materialization — a
+    // non-deterministic predicate (rand(), a current_timestamp
+    // comparison) cannot produce a vector, change feed, and postimage
+    // that disagree. (Rows already vectored out are invisible to the
+    // dv-aware read, so a re-run of the same predicate matches nothing
+    // and commits nothing.) The one remaining re-evaluation is
+    // keeper() for files the vector budget routes to a REWRITE — its
+    // survivors are the predicate's complement, so predicates must be
+    // deterministic when rewriteFraction < 1 can trigger rewrites; the
+    // default pure merge-on-read path never calls it. Cache size is
+    // bounded by the matched rows (the deletion set), spilling to disk.
+    val matched =
       matcher(dvAwareRead(spark, warehouse, table, partCols, mapping, candidates))
-        .groupBy(SrcFileCol).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def run(): Result = {
+    val newCounts: Map[String, Long] = matched
+      .groupBy(SrcFileCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val affected = candidates.filter(a => newCounts.contains(pathKey(a.file)))
     if (affected.isEmpty) return Result(0, 0, 0L, candidates.size)
 
@@ -283,11 +297,9 @@ object Merge {
     val (heavy, partial) =
       rest.partition(a => frac(pathKey(a.file)) >= rewriteFraction)
 
-    // Pass 2, affected files only: matched rows feed the CDF change files
-    // (and the update postimage); their (file, pos) pairs — merged with
-    // the files' existing vectors — become the new vectors.
-    val matched =
-      matcher(dvAwareRead(spark, warehouse, table, partCols, mapping, affected))
+    // The persisted matched rows feed the CDF change files (and the
+    // update postimage); their (file, pos) pairs — merged with the
+    // files' existing vectors — become the new vectors.
     val commitId = java.util.UUID.randomUUID().toString
     val dvStaging =
       s"${TxnCommit.stagingDir(warehouse, commitId)}/_dv/$table"
@@ -393,6 +405,8 @@ object Merge {
       dvAttach = attach, fileGranularOcc = true)
     Result(heavy.size, dataMoves.size, matchedCount, candidates.size,
       partial.size)
+    }
+    try run() finally matched.unpersist()
   }
 
   /** Shared copy-on-write core for predicate delete/update. Empty

@@ -66,10 +66,22 @@ object Snapshots {
     def cdf: Boolean = kind == "CDF"
     def meta: Boolean = kind == "META"
     def isDv: Boolean = kind == "DV"
-    def dvPath: String =
-      if (dv.isEmpty) "" else dv.split(":", 2)(1)
-    def dvCount: Long =
-      if (dv.isEmpty) 0L else dv.split(":", 2)(0).toLong
+    // DV token shape is `<count>:<path>`; a malformed one is LOG
+    // corruption and must fail with a diagnosable message naming the
+    // token, not an index/parse exception three frames away.
+    private def dvParts: (Long, String) = {
+      val i = dv.indexOf(':')
+      val count =
+        if (i > 0) dv.substring(0, i).toLongOption else None
+      count match {
+        case Some(n) if n >= 0 && i < dv.length - 1 => (n, dv.substring(i + 1))
+        case _ => throw new IllegalStateException(
+          s"corrupt deletion-vector token '$dv' on $kind line of table " +
+            s"'$table' (file $file) — expected '<count>:<path>'")
+      }
+    }
+    def dvPath: String = if (dv.isEmpty) "" else dvParts._2
+    def dvCount: Long = if (dv.isEmpty) 0L else dvParts._1
     def partitionMap: Map[String, String] =
       if (partition.isEmpty) Map.empty
       else partition.split("/").toSeq.map { seg =>

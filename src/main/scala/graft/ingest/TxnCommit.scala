@@ -136,10 +136,27 @@ object TxnCommit {
   private def compatible(cur: String, tag: String): Boolean =
     repNorm(cur) == repNorm(tag) || Widenable.contains(Set(cur, tag))
 
+  /** Column names the engine materializes internally on DV-carrying reads
+    * and DML scans (row identity, vector join keys, CDF tags). A table
+    * column with one of these names would be silently REPLACED by the
+    * helper and dropped from every dv-aware read, and DML matching on it
+    * would key off the wrong values — reject at the commit point, the
+    * Delta stance on its reserved `_change_type`/`_metadata` names. */
+  private val ReservedCols = Set(
+    "_src_file", "_row_pos", "_change_type", "_commit_version",
+    "_dv_file", "_dv_row", "_dv_data_file", "_dv_pos", "_dv_src")
+
   private def validateSchemas(fs: FileSystem, warehouse: String,
                               statsFor: Map[String, String]): Unit =
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
       case (table, destStats) =>
+        destStats.values.flatMap(FileStats.decode).foreach(
+          _.schema.foreach { case (n, _) =>
+            require(!ReservedCols(n),
+              s"column name '$n' of table '$table' is reserved for the " +
+                "engine's internal row-identity/change-feed columns — " +
+                "rename it before committing")
+          })
         val current: Map[String, String] =
           Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
             .flatMap(a => FileStats.decode(a.stats).map(_.schema).getOrElse(Nil))

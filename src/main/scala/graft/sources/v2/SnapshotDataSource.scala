@@ -313,14 +313,21 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         } else {
           // A restore re-ADD can carry a deletion vector; this source's
           // per-file readers serve whole files and cannot subtract one.
-          // Fail fast rather than resurrect deleted rows — the batch
-          // changes() path serves such a range correctly.
-          adds.filter(_.dv.nonEmpty).foreach(a =>
-            throw new IllegalStateException(
-              s"snapshot version $v re-adds ${a.file} with a deletion " +
-                "vector; the streaming source cannot serve it — use batch " +
-                "changes() for this range"))
-          adds.map(a =>
+          // Under skipChangeCommits the documented "ignore rewrites"
+          // escape hatch applies here exactly as it does to merge
+          // commits — emit nothing for the DV-carrying re-ADD instead of
+          // wedging the stream at this version forever. In the default
+          // mode, fail fast rather than resurrect deleted rows — the
+          // batch changes() path serves such a range correctly.
+          val (dvAdds, plain) = adds.partition(_.dv.nonEmpty)
+          if (!skipChangeCommits)
+            dvAdds.foreach(a =>
+              throw new IllegalStateException(
+                s"snapshot version $v re-adds ${a.file} with a deletion " +
+                  "vector; the streaming source cannot serve it — use batch " +
+                  "changes() for this range, or set skipChangeCommits=true " +
+                  "to skip it"))
+          plain.map(a =>
             SnapshotInputPartition(a.file, a.partitionMap, v,
               Some("insert")): InputPartition)
         }

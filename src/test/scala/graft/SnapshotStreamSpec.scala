@@ -175,6 +175,27 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("skipChangeCommits skips a restore re-ADD carrying a deletion vector") {
+    val w = wh("whDvReAdd")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, Seq(1L -> "a", 2L -> "b", 3L -> "c"))                 // v0
+    Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") === 2L)                 // v1
+    Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") === 3L)                 // v2
+    Snapshots.restore(spark, w, "t", 1L)                               // v3: re-ADD w/ v1 DV
+    // Default mode: the DV-carrying re-ADD is unservable — fail fast.
+    intercept[Exception](
+      drain(w, wh("whDvReAddOut0"), wh("whDvReAddCkpt0")))
+    // The documented escape hatch must work HERE too, not only for merge
+    // commits: emit nothing for the re-ADD instead of wedging the stream.
+    val out = wh("whDvReAddOut")
+    drain(w, out, wh("whDvReAddCkpt"), Map("skipChangeCommits" -> "true"))
+    assert(spark.read.parquet(out)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("offsets below the vacuumed log fail fast instead of under-serving") {
     val w = wh("whVac")
     (0 until 4).foreach(i =>

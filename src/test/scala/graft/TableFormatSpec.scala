@@ -1160,4 +1160,57 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Double)].collect().toSeq ==
       Seq((1L, 1.5), (4L, 4.5), (3000000000L, 3.5)))
   }
+
+  test("reserved engine column names are rejected at the commit point") {
+    val w = wh("reserved")
+    val s0 = spark
+    import s0.implicits._
+    // A user column named like the DV read's row-identity helper would be
+    // silently replaced and dropped on every dv-carrying read.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, "x")).toDF("id", "_src_file").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    val ex = intercept[IllegalArgumentException](
+      TxnCommit.commit(fs, w, cid, moves))
+    assert(ex.getMessage.contains("reserved"))
+    assert(Snapshots.fileMeta(fs, w, "t").isEmpty, "nothing became visible")
+  }
+
+  test("corrupt deletion-vector tokens fail with a diagnosable error") {
+    def act(dv: String) = Snapshots.Action("ADD", "t", "/w/t/f.parquet", dv = dv)
+    // Well-formed token parses.
+    assert(act("3:/w/_dv/t/v.parquet").dvCount == 3L)
+    assert(act("3:/w/_dv/t/v.parquet").dvPath == "/w/_dv/t/v.parquet")
+    // Truncated/corrupt shapes name the token and the file, not an
+    // ArrayIndexOutOfBounds three frames away.
+    Seq("3", ":p", "x:p", "-1:p", "3:").foreach { bad =>
+      val ex = intercept[IllegalStateException](act(bad).dvCount)
+      assert(ex.getMessage.contains("corrupt deletion-vector token") &&
+        ex.getMessage.contains("f.parquet"), s"for '$bad': ${ex.getMessage}")
+    }
+  }
+
+  test("a non-deterministic DV predicate stays internally consistent") {
+    val w = wh("nondet")
+    publishBatch(w, "t", 0 until 40)
+    // rand()-gated delete: matched set is unstable across evaluations —
+    // the single-materialization contract means the vector, the CDF
+    // delete rows, and the surviving reads must all agree on ONE outcome.
+    val r = Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.rand(7L) < 0.5)
+    val left = Snapshots.read(spark, w, "t").count()
+    assert(left + r.rowsMatched == 40L,
+      s"vector and rowsMatched disagree: left=$left, matched=${r.rowsMatched}")
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = 0L)
+      .filter("_change_type = 'delete'")
+    assert(feed.count() == r.rowsMatched,
+      "CDF delete rows disagree with the committed vector")
+    // The deleted ids per the feed are exactly the ids missing from reads.
+    val deleted = feed.select("id").collect().map(_.getLong(0)).toSet
+    val remaining = Snapshots.read(spark, w, "t")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(deleted.intersect(remaining).isEmpty &&
+      deleted.union(remaining) == (0L until 40L).toSet)
+  }
 }
