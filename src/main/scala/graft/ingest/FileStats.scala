@@ -40,14 +40,20 @@ object FileStats {
     * which min/max alone cannot see.
     * `blooms`: per-column split-block bloom bitsets (one per row group
     * that couldn't merge; a value may be in the file iff ANY bitset says
-    * maybe). Present only for string columns whose WRITER opted in via
+    * maybe). Present only for columns whose WRITER opted in via
     * [[bloomWriteOptions]] — they answer point lookups on
     * high-cardinality keys where [min,max] on a non-clustered file spans
     * everything. */
+  /** One column's bloom state: `tag` records the PHYSICAL plain encoding
+    * the writer hashed (`s` = UTF-8 string bytes, `i32`/`i64` = 4/8-byte
+    * little-endian ints), so the probe side reproduces the exact hash —
+    * an INT32 file and an INT64 file of the same width-mixed column carry
+    * different tags and each probes correctly. */
+  case class BloomCol(tag: String, bitsets: Seq[Array[Byte]])
   case class Stats(rows: Long, cols: Map[String, ColStats],
                    schema: Seq[(String, String)] = Nil,
                    nulls: Map[String, Long] = Map.empty,
-                   blooms: Map[String, Seq[Array[Byte]]] = Map.empty)
+                   blooms: Map[String, BloomCol] = Map.empty)
 
   // ---------------------------------------------------------------- encode
 
@@ -73,9 +79,10 @@ object FileStats {
     (Seq(s"rows=${s.rows}", TokenVersion) ++
       (s.schema.map { case (n, t) => s"s:${enc(n)},${enc(t)}" } ++
         s.nulls.toSeq.sortBy(_._1).map { case (n, c) => s"n:${enc(n)},$c" } ++
-        s.blooms.toSeq.sortBy(_._1).flatMap { case (n, bitsets) =>
-          bitsets.map(b =>
-            s"b:${enc(n)},${java.util.Base64.getEncoder.encodeToString(b)}")
+        s.blooms.toSeq.sortBy(_._1).flatMap { case (n, bc) =>
+          bc.bitsets.map(b =>
+            s"b:${enc(n)},${bc.tag}," +
+              java.util.Base64.getEncoder.encodeToString(b))
         } ++
         s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
           s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
@@ -98,9 +105,11 @@ object FileStats {
         dec(n) -> c.toLong
       }.toMap
       val blooms = meta.filter(_.startsWith("b:")).map { p =>
-        val Array(n, b64) = p.stripPrefix("b:").split(",", 2)
-        dec(n) -> java.util.Base64.getDecoder.decode(b64)
-      }.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+        val Array(n, tag, b64) = p.stripPrefix("b:").split(",", 3)
+        (dec(n), tag, java.util.Base64.getDecoder.decode(b64))
+      }.groupBy(_._1).map { case (n, xs) =>
+        n -> BloomCol(xs.head._2, xs.map(_._3))
+      }
       val cols = meta.filterNot(p =>
           p.startsWith("s:") || p.startsWith("n:") || p.startsWith("b:"))
         .map { p =>
@@ -194,13 +203,14 @@ object FileStats {
         // column (a bloom-less block could hold the probed value, so a
         // partial bloom would prune unsoundly); blocks whose filters can
         // union in place merge, incompatible sizes stay separate and are
-        // probed with OR. String columns only — their plain encoding
-        // (UTF-8 bytes) is the one representation the probe side can
-        // reproduce exactly; int/long plain encodings differ by physical
-        // width, so a wrong-width probe hash would false-negative.
+        // probed with OR. Only types whose plain encoding the probe side
+        // can reproduce exactly (see [[bloomTag]]) — a wrong-width probe
+        // hash would false-negative, i.e. prune a file that holds the key.
         val bloomAcc = scala.collection.mutable.LinkedHashMap
           .empty[String, Option[List[
             org.apache.parquet.column.values.bloomfilter.BloomFilter]]]
+        val bloomTags = scala.collection.mutable.LinkedHashMap
+          .empty[String, String]
         md.getBlocks.forEach { b =>
           rows += b.getRowCount
           lazy val bloomReader = reader.getBloomFilterDataReader(b)
@@ -225,14 +235,13 @@ object FileStats {
                       (t0, minOf(t0, mn0, mn), maxOf(t0, mx0, mx))
                   }
               }
-              val isString = c.getPrimitiveType.getPrimitiveTypeName ==
-                PrimitiveTypeName.BINARY &&
-                c.getPrimitiveType.getLogicalTypeAnnotation
-                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              val tag = bloomTag(c.getPrimitiveType.getPrimitiveTypeName,
+                c.getPrimitiveType.getLogicalTypeAnnotation)
               val blockBloom =
-                if (isString && c.getBloomFilterOffset >= 0)
+                if (tag.nonEmpty && c.getBloomFilterOffset >= 0)
                   Option(bloomReader.readBloomFilter(c))
                 else None
+              if (tag.nonEmpty) bloomTags(name) = tag
               bloomAcc(name) = bloomAcc.getOrElse(name, Some(Nil)).flatMap {
                 have =>
                   blockBloom.map { bf =>
@@ -245,14 +254,14 @@ object FileStats {
             }
           }
         }
-        val blooms: Map[String, Seq[Array[Byte]]] = bloomAcc.collect {
+        val blooms: Map[String, BloomCol] = bloomAcc.collect {
           case (n, Some(bfs)) if bfs.nonEmpty &&
               bfs.map(_.getBitsetSize.toLong).sum <= MaxBloomLogBytes =>
-            n -> bfs.reverse.map { bf =>
+            n -> BloomCol(bloomTags(n), bfs.reverse.map { bf =>
               val out = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
               bf.writeTo(out)
               out.toByteArray: Array[Byte]
-            }
+            })
         }.toMap
         encode(Stats(rows, acc.collect {
           case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
@@ -260,6 +269,35 @@ object FileStats {
           nullAcc.collect { case (n, Some(c)) => n -> c }.toMap, blooms))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** The bloom-probe encoding tag for a column, "" when no sound probe
+    * exists. Strings hash their UTF-8 bytes; PLAIN ints hash their 4- or
+    * 8-byte little-endian encoding — the physical width matters, so the
+    * tag rides the log entry and a width-mixed column (safe type
+    * widening) probes each file at ITS width. Annotated ints (DATE,
+    * TIMESTAMP, DECIMAL, unsigned) are excluded: their query-side values
+    * live in a different domain than the written plain encoding, and a
+    * mis-domained hash would false-negative (= unsound pruning). Signed
+    * 8/16/32-bit annotations are plain int32 writes and stay probeable. */
+  private def bloomTag(ptype: PrimitiveTypeName,
+                       logical: LogicalTypeAnnotation): String = ptype match {
+    case PrimitiveTypeName.BINARY
+        if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+      "s"
+    case PrimitiveTypeName.INT32 => logical match {
+      case null => "i32"
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if i.isSigned && i.getBitWidth <= 32 => "i32"
+      case _ => ""
+    }
+    case PrimitiveTypeName.INT64 => logical match {
+      case null => "i64"
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if i.isSigned && i.getBitWidth == 64 => "i64"
+      case _ => ""
+    }
+    case _ => ""
+  }
 
   private def typedMinMax(ptype: PrimitiveTypeName, logical: LogicalTypeAnnotation,
                           st: org.apache.parquet.column.statistics.Statistics[_])
@@ -441,20 +479,40 @@ object FileStats {
           }
           case None => true
         }
-      // Bloom probe: definite absence prunes; a missing bloom, a non-string
-      // probe value (type-coerced predicate against a string column — the
+      // Bloom probe: definite absence prunes; a missing bloom, a probe
+      // value outside the tag's domain (type-coerced predicates — the
       // range leaf already keeps those), or any bitset saying "maybe"
       // keeps the file. Hashing MUST mirror the write side: parquet
-      // hashes a string column's plain encoding (UTF-8 bytes) with
-      // xxHash64 — BlockSplitBloomFilter.hash(Binary) is that function.
-      def bloomKeep(c: String, v: Any): Boolean = (s.blooms.get(c), v) match {
-        case (Some(bitsets), str: String) => bitsets.exists { bits =>
-          val bf = new org.apache.parquet.column.values.bloomfilter
-            .BlockSplitBloomFilter(bits)
-          bf.findHash(bf.hash(
-            org.apache.parquet.io.api.Binary.fromString(str)))
-        }
-        case _ => true
+      // hashes the column's PLAIN encoding with xxHash64, which is what
+      // BlockSplitBloomFilter.hash(Binary|int|long) computes; the tag
+      // recorded at collect time picks the width the file was written at.
+      def bloomKeep(c: String, v: Any): Boolean = s.blooms.get(c) match {
+        case None => true
+        case Some(bc) =>
+          def hashIn(bf: org.apache.parquet.column.values.bloomfilter
+              .BlockSplitBloomFilter): Option[Long] = (bc.tag, v) match {
+            case ("s", str: String) =>
+              Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(str)))
+            case ("i64", n: java.lang.Long) => Some(bf.hash(n.longValue))
+            case ("i64", n: java.lang.Integer) => Some(bf.hash(n.longValue))
+            case ("i64", n: java.lang.Short) => Some(bf.hash(n.longValue))
+            case ("i32", n: java.lang.Integer) => Some(bf.hash(n.intValue))
+            case ("i32", n: java.lang.Short) => Some(bf.hash(n.intValue))
+            case ("i32", n: java.lang.Byte) => Some(bf.hash(n.intValue))
+            // A long-typed probe against an int32 file (width-mixed
+            // column): in-range values hash at the FILE's width; an
+            // out-of-range value cannot be in an int32 file at all, but
+            // the range leaf already excludes it — keep here.
+            case ("i32", n: java.lang.Long)
+                if n >= Int.MinValue && n <= Int.MaxValue =>
+              Some(bf.hash(n.intValue))
+            case _ => None
+          }
+          bc.bitsets.exists { bits =>
+            val bf = new org.apache.parquet.column.values.bloomfilter
+              .BlockSplitBloomFilter(bits)
+            hashIn(bf).forall(bf.findHash)
+          }
       }
       def eval(p: Pred): Boolean = p match {
         case And(l, r) => eval(l) && eval(r)

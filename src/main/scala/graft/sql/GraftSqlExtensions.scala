@@ -34,6 +34,9 @@ import graft.ingest.{Compaction, Snapshots}
   * OPTIMIZE t WHERE dt='2024-01-01'       -- partition-scoped maintenance
   * OPTIMIZE t ZORDER BY (a, b)            -- multi-dim clustering rewrite
   * VACUUM SNAPSHOTS RETAIN 8 VERSIONS [MAX AGE 168 HOURS]
+  * ALTER TABLE t SET TBLPROPERTIES ('bloom.columns'='doc_id')
+  * ALTER TABLE t UNSET TBLPROPERTIES ('bloom.columns')
+  * SHOW TBLPROPERTIES t                   -- (key, value) rows
   * }}}
   *
   * Statements not in this grammar fall through to the delegate parser
@@ -163,6 +166,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*".r
   private val DropColRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
+  // Delta's TBLPROPERTIES family over the snapshot log's property META
+  // lines ([[Snapshots.setProperties]]) — how SQL users configure bloom
+  // columns and future writer knobs.
+  private val SetPropsRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*".r
+  private val UnsetPropsRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*".r
+  private val ShowPropsRe =
+    raw"(?is)\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*".r
+  private val PropPairRe = raw"'([^']*)'\s*=\s*'([^']*)'".r
+  private val PropKeyRe = raw"'([^']*)'".r
+
+  /** TBLPROPERTIES statements additionally accept a table BEFORE its first
+    * data commit (properties like `bloom.columns` must be set before the
+    * first write to govern it) — but never hijack a registered catalog
+    * table of the same name: these are real Spark grammar. */
+  private def isGraftPropsTable(table: String): Boolean =
+    isGraftTable(table) ||
+      (session.conf.getOption("spark.graft.warehouse").isDefined &&
+        !session.catalog.tableExists(table))
 
   private def warehouse: String =
     session.conf.getOption("spark.graft.warehouse").getOrElse(
@@ -264,6 +287,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, name, None)
+    case SetPropsRe(table, pairs) if isGraftPropsTable(table) =>
+      val kvs = PropPairRe.findAllMatchIn(pairs)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      require(kvs.nonEmpty,
+        s"SET TBLPROPERTIES expects ('k'='v'[, …]); got: ($pairs)")
+      GraftSetPropertiesCommand(warehouse, table, kvs)
+    case UnsetPropsRe(table, keys) if isGraftPropsTable(table) =>
+      val ks = PropKeyRe.findAllMatchIn(keys).map(_.group(1)).toSeq
+      require(ks.nonEmpty,
+        s"UNSET TBLPROPERTIES expects ('k'[, …]); got: ($keys)")
+      // setProperties removes empty-valued keys.
+      GraftSetPropertiesCommand(warehouse, table, ks.map(_ -> "").toMap)
+    case ShowPropsRe(table) if isGraftPropsTable(table) =>
+      // A read, not a command — materialized at parse time like SNAPSHOT
+      // HISTORY (driver-sized: a table has a handful of properties).
+      val props = Snapshots.properties(
+        new Path(warehouse).getFileSystem(
+          session.sparkContext.hadoopConfiguration), warehouse, table)
+      import session.implicits._
+      props.toSeq.sortBy(_._1).toDF("key", "value")
+        .queryExecution.logical
     case VacuumRe(retain, maxAgeHours) =>
       GraftVacuumCommand(warehouse,
         Option(retain).map(_.toInt).getOrElse(32),
@@ -316,6 +360,21 @@ case class GraftOptimizeCommand(warehouse: String, table: String,
         purgeDropped = purgeDropped)
     Seq(res.map(r => Row(r.filesBefore, r.filesAfter, r.bytes))
       .getOrElse(Row(0, 0, 0L)))
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)` / `UNSET TBLPROPERTIES
+  * ('k', …)` → [[Snapshots.setProperties]] — one metadata-only commit;
+  * empty values unset. */
+case class GraftSetPropertiesCommand(warehouse: String, table: String,
+                                     updates: Map[String, String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    Snapshots.setProperties(fs, warehouse, table, updates)
+    Nil
   }
 }
 

@@ -209,10 +209,49 @@ class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = FileStats.Stats(10L,
       Map("k" -> FileStats.ColStats("string", "a", "z")),
       Seq("k" -> "BINARY/STRING"), Map("k" -> 0L),
-      Map("k" -> Seq(bits)))
+      Map("k" -> FileStats.BloomCol("s", Seq(bits)),
+        "id" -> FileStats.BloomCol("i64", Seq(bits))))
     val rt = FileStats.decode(FileStats.encode(st)).get
-    assert(rt.blooms.keySet == Set("k"))
-    assert(rt.blooms("k").head.toSeq == bits.toSeq)
+    assert(rt.blooms.keySet == Set("k", "id"))
+    assert(rt.blooms("k").tag == "s" && rt.blooms("id").tag == "i64")
+    assert(rt.blooms("k").bitsets.head.toSeq == bits.toSeq)
     assert(rt.cols == st.cols && rt.nulls == st.nulls)
+  }
+
+  test("bigint keys bloom-prune too (the common MERGE key type)") {
+    val w = wh("longkey")
+    val s0 = spark
+    import s0.implicits._
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "score", "bloom.ndv" -> "1000"))
+    // `score` is the LongType key here: interleaved across 4 files so
+    // every [min,max] spans the probed value.
+    def part(f: Int): org.apache.spark.sql.DataFrame =
+      (0 until 400).filter(_ % 4 == f)
+        .map(i => (f"doc-$i%04d", i.toLong)).toDF("doc_id", "score")
+    (0 until 4).foreach { f =>
+      val cid = java.util.UUID.randomUUID().toString
+      part(f).coalesce(1).write
+        .options(Snapshots.bloomWriteOptionsFor(fs, w, "docs", None))
+        .parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+      val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    assert(acts.forall(a =>
+      FileStats.decode(a.stats).exists(_.blooms.get("score")
+        .exists(_.tag == "i64"))), "long column should carry an i64 bloom")
+    // 17 % 4 == 1 → file 1 of 4; range stats alone keep all 4.
+    val r = Merge.deleteKeysDv(spark, w, "docs",
+      Seq(17L).toDF("score"), Seq("score"))
+    assert(r.filesScanned == 1 && r.rowsMatched == 1,
+      s"i64 bloom should plan exactly 1 file: $r")
+    // Soundness across the key domain: every still-present key is found
+    // (the 31-step set doesn't contain 17, so all of them are live).
+    val r2 = Merge.deleteKeysDv(spark, w, "docs",
+      (0L until 400L by 31L).toDF("score"), Seq("score"))
+    assert(r2.rowsMatched == (0L until 400L by 31L).size,
+      s"lost long-key deletions: $r2")
   }
 }

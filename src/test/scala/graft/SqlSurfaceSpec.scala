@@ -308,6 +308,41 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](spark.sql("OPTIMIZE")) // malformed → delegate error
   }
 
+  test("TBLPROPERTIES: SET / SHOW / UNSET round-trip through SQL") {
+    spark.sql("ALTER TABLE t SET TBLPROPERTIES " +
+      "('bloom.columns'='id', 'bloom.ndv'='1000')").collect()
+    val shown = spark.sql("SHOW TBLPROPERTIES t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown == Map("bloom.columns" -> "id", "bloom.ndv" -> "1000"))
+    // The SQL path and the API read the same committed state.
+    assert(Snapshots.properties(fs, wh, "t") == shown)
+    spark.sql("ALTER TABLE t UNSET TBLPROPERTIES ('bloom.ndv')").collect()
+    assert(Snapshots.properties(fs, wh, "t") == Map("bloom.columns" -> "id"))
+    spark.sql("ALTER TABLE t UNSET TBLPROPERTIES ('bloom.columns')").collect()
+    assert(Snapshots.properties(fs, wh, "t").isEmpty)
+  }
+
+  test("TBLPROPERTIES on a pre-first-commit table governs its first write") {
+    // The property lands BEFORE any data commit — required for
+    // bloom.columns to cover the very first file.
+    spark.sql("ALTER TABLE fresh SET TBLPROPERTIES " +
+      "('bloom.columns'='name')").collect()
+    assert(Snapshots.properties(fs, wh, "fresh") ==
+      Map("bloom.columns" -> "name"))
+    val cid = java.util.UUID.randomUUID().toString
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1).write
+      .options(Snapshots.bloomWriteOptionsFor(fs, wh, "fresh", None))
+      .parquet(s"${TxnCommit.stagingDir(wh, cid)}/fresh")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "fresh")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+    val st = graft.ingest.FileStats.decode(
+      Snapshots.fileMeta(fs, wh, "fresh").get.head.stats).get
+    assert(st.blooms.contains("name"), "first commit should carry the bloom")
+  }
+
   test("an unreachable warehouse never breaks parsing of non-graft DML") {
     val prev = spark.conf.get("spark.graft.warehouse")
     // An unresolvable filesystem: the probe's getFileSystem/exists throws
