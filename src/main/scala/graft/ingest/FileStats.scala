@@ -50,10 +50,20 @@ object FileStats {
     * an INT32 file and an INT64 file of the same width-mixed column carry
     * different tags and each probes correctly. */
   case class BloomCol(tag: String, bitsets: Seq[Array[Byte]])
+
+  /** One column's complete dictionary: when EVERY page of the column is
+    * dictionary-encoded, the dictionary IS the file's exact value set —
+    * parquet writers omit the bloom filter precisely then, and exact
+    * membership beats any bloom. Only small dictionaries ride the log
+    * ([[MaxDictValues]]); `tag` as in [[BloomCol]], values canonical
+    * (longs in decimal, strings raw). */
+  case class DictCol(tag: String, values: Set[String])
+
   case class Stats(rows: Long, cols: Map[String, ColStats],
                    schema: Seq[(String, String)] = Nil,
                    nulls: Map[String, Long] = Map.empty,
-                   blooms: Map[String, BloomCol] = Map.empty)
+                   blooms: Map[String, BloomCol] = Map.empty,
+                   dicts: Map[String, DictCol] = Map.empty)
 
   // ---------------------------------------------------------------- encode
 
@@ -84,6 +94,10 @@ object FileStats {
             s"b:${enc(n)},${bc.tag}," +
               java.util.Base64.getEncoder.encodeToString(b))
         } ++
+        s.dicts.toSeq.sortBy(_._1).map { case (n, dc) =>
+          (s"d:${enc(n)},${dc.tag}" +: dc.values.toSeq.sorted.map(enc))
+            .mkString(",")
+        } ++
         s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
           s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
         })).mkString("|")
@@ -110,14 +124,19 @@ object FileStats {
       }.groupBy(_._1).map { case (n, xs) =>
         n -> BloomCol(xs.head._2, xs.map(_._3))
       }
+      val dicts = meta.filter(_.startsWith("d:")).map { p =>
+        val parts = p.stripPrefix("d:").split(",", -1)
+        dec(parts(0)) -> DictCol(parts(1), parts.drop(2).map(dec).toSet)
+      }.toMap
       val cols = meta.filterNot(p =>
-          p.startsWith("s:") || p.startsWith("n:") || p.startsWith("b:"))
+          p.startsWith("s:") || p.startsWith("n:") || p.startsWith("b:") ||
+            p.startsWith("d:"))
         .map { p =>
           val Array(n, t, mn, mx) = p.split(",", 4)
           dec(n) -> ColStats(t, dec(mn), dec(mx))
         }.toMap
       Some(Stats(rows, if (v2) cols else legacySafe(cols, schema), schema,
-        nulls, blooms))
+        nulls, blooms, dicts))
     } catch { case _: RuntimeException => None }
 
   /** Strip the entries a pre-v2 collector may have recorded unsoundly:
@@ -149,6 +168,13 @@ object FileStats {
     * which the checkpoint fold amortizes across reads. */
   val MaxBloomLogBytes: Long =
     sys.props.get("graft.bloom.maxLogBytes").map(_.toLong).getOrElse(65536L)
+
+  /** Cap on dictionary values embedded per column per file. Dictionaries
+    * are lifted only off FULLY dictionary-encoded columns (writers omit
+    * blooms exactly then), so low-cardinality key columns get exact
+    * membership for free — no write-side opt-in needed. */
+  val MaxDictValues: Int =
+    sys.props.get("graft.dict.maxValues").map(_.toInt).getOrElse(64)
 
   /** DataFrameWriter options enabling parquet's native split-block bloom
     * filters on `cols` — the executors hash values during the normal
@@ -211,6 +237,13 @@ object FileStats {
             org.apache.parquet.column.values.bloomfilter.BloomFilter]]]
         val bloomTags = scala.collection.mutable.LinkedHashMap
           .empty[String, String]
+        // Complete dictionaries: valid only while EVERY block's pages are
+        // all dictionary-encoded (a plain-encoded page could hold values
+        // outside the dictionary — membership would be unsound) and the
+        // union stays small. No writer opt-in: parquet dictionary-encodes
+        // low-cardinality columns by default.
+        val dictAcc = scala.collection.mutable.LinkedHashMap
+          .empty[String, Option[Set[String]]]
         md.getBlocks.forEach { b =>
           rows += b.getRowCount
           lazy val bloomReader = reader.getBloomFilterDataReader(b)
@@ -254,6 +287,40 @@ object FileStats {
             }
           }
         }
+        // Second pass, row-group cursor order (the public dictionary API
+        // is cursor-driven): lift complete dictionaries.
+        md.getBlocks.forEach { b =>
+          val store = reader.getNextDictionaryReader()
+          b.getColumns.forEach { c =>
+            if (c.getPath.size == 1) {
+              val name = c.getPath.toDotString
+              val tag = bloomTag(c.getPrimitiveType.getPrimitiveTypeName,
+                c.getPrimitiveType.getLogicalTypeAnnotation)
+              val es = c.getEncodingStats
+              val blockDict: Option[Set[String]] =
+                if (tag.isEmpty || es == null ||
+                    es.hasNonDictionaryEncodedPages ||
+                    !es.hasDictionaryEncodedPages) None
+                else try {
+                  val desc = md.getFileMetaData.getSchema
+                    .getColumnDescription(c.getPath.toArray)
+                  Option(store.readDictionaryPage(desc)).flatMap { page =>
+                    val dict = page.getEncoding.initDictionary(desc, page)
+                    val vals = (0 to dict.getMaxId).map(i => tag match {
+                      case "s" => dict.decodeToBinary(i).toStringUsingUTF8
+                      case "i64" => dict.decodeToLong(i).toString
+                      case _ => dict.decodeToInt(i).toString
+                    }).toSet
+                    Some(vals).filter(_.size <= MaxDictValues)
+                  }
+                } catch { case scala.util.control.NonFatal(_) => None }
+              dictAcc(name) = dictAcc.getOrElse(name, Some(Set.empty[String]))
+                .flatMap(have => blockDict.map(have ++ _)
+                  .filter(_.size <= MaxDictValues))
+            }
+          }
+          reader.skipNextRowGroup()
+        }
         val blooms: Map[String, BloomCol] = bloomAcc.collect {
           case (n, Some(bfs)) if bfs.nonEmpty &&
               bfs.map(_.getBitsetSize.toLong).sum <= MaxBloomLogBytes =>
@@ -263,10 +330,13 @@ object FileStats {
               out.toByteArray: Array[Byte]
             })
         }.toMap
+        val dicts: Map[String, DictCol] = dictAcc.collect {
+          case (n, Some(vals)) if vals.nonEmpty => n -> DictCol(bloomTags(n), vals)
+        }.toMap
         encode(Stats(rows, acc.collect {
           case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
         }.toMap, schemaTags,
-          nullAcc.collect { case (n, Some(c)) => n -> c }.toMap, blooms))
+          nullAcc.collect { case (n, Some(c)) => n -> c }.toMap, blooms, dicts))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 
@@ -514,14 +584,37 @@ object FileStats {
             hashIn(bf).forall(bf.findHash)
           }
       }
+      // Exact-membership probe against a complete dictionary: the one
+      // case where "not present" is a certainty, not a probability. A
+      // value outside the tag's canonical domain keeps the file (the
+      // range leaf already handles type-coerced predicates) — EXCEPT an
+      // out-of-int32-range long, which provably cannot be in an int32
+      // file.
+      def dictKeep(c: String, v: Any): Boolean = s.dicts.get(c) match {
+        case None => true
+        case Some(dc) =>
+          val canon: Option[String] = (dc.tag, v) match {
+            case ("s", str: String) => Some(str)
+            case ("i64", n: java.lang.Long) => Some(n.toString)
+            case ("i64", n: java.lang.Integer) => Some(n.longValue.toString)
+            case ("i64", n: java.lang.Short) => Some(n.longValue.toString)
+            case ("i32", n: java.lang.Integer) => Some(n.toString)
+            case ("i32", n: java.lang.Short) => Some(n.intValue.toString)
+            case ("i32", n: java.lang.Byte) => Some(n.intValue.toString)
+            case ("i32", n: java.lang.Long) => Some(n.toString) // set is int-strings
+            case _ => None
+          }
+          canon.forall(dc.values.contains)
+      }
       def eval(p: Pred): Boolean = p match {
         case And(l, r) => eval(l) && eval(r)
         case Or(l, r) => eval(l) || eval(r)
-        // point lookup: inside the closed [min,max] AND not bloom-excluded
+        // point lookup: inside the closed [min,max], not bloom-excluded,
+        // and in the complete dictionary when one is recorded
         case Eq(c, v) =>
           leaf(c, v)((t, nv, cs) =>
             le(t, parse(t, cs.min), nv) && le(t, nv, parse(t, cs.max))) &&
-            bloomKeep(c, v)
+            bloomKeep(c, v) && dictKeep(c, v)
         // some row ≥ v iff max ≥ v; strict variants use strict compares
         case GtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, nv, parse(t, cs.max)))
         case LtEq(c, v) => leaf(c, v)((t, nv, cs) => le(t, parse(t, cs.min), nv))

@@ -306,7 +306,12 @@ object IngestJob {
     val counts = tables.map { case (name, df) =>
       val cached = df.cache()
       val n = cached.count()
-      cached.write.mode(SaveMode.Overwrite).parquet(s"$staging/$name")
+      // Table-property bloom config (`bloom.columns`): ingested files
+      // carry the same point-lookup blooms DML rewrites re-establish.
+      cached.write.mode(SaveMode.Overwrite)
+        .options(Snapshots.bloomWriteOptionsFor(fs, warehouse, name,
+          Snapshots.columnMapping(fs, warehouse, name)))
+        .parquet(s"$staging/$name")
       cached.unpersist()
       name -> n
     }

@@ -145,18 +145,27 @@ object Merge {
   private def maxPointPruneKeys: Int =
     sys.props.get("graft.merge.pointPruneMaxKeys").map(_.toInt).getOrElse(1024)
 
-  /** Candidate-pruning predicate on the leading key: an OR of point
-    * lookups when the source's distinct keys fit [[maxPointPruneKeys]]
-    * (each also implies the range check), else the keys' [min,max]
-    * envelope. `bounds` is the caller's pre-computed min/max row. */
-  private def keyPrunePred(source: DataFrame, keyCol: String,
+  /** Candidate-pruning predicate for keyed DML: per KEY COLUMN, an OR of
+    * point lookups when that column's distinct source values fit
+    * [[maxPointPruneKeys]] — ANDed across columns (sound: the per-column
+    * value sets are a superset of the key tuples, and a file missing ANY
+    * column's whole set cannot hold a matching tuple), so a composite key
+    * prunes on whichever columns are selective, not just the leading one.
+    * The leading key's [min,max] envelope always rides along — it is the
+    * whole predicate when no column enumerates. `bounds` is the caller's
+    * pre-computed leading-column min/max row. */
+  private def keyPrunePred(source: DataFrame, keyCols: Seq[String],
                            bounds: org.apache.spark.sql.Row): FileStats.Pred = {
     val cap = maxPointPruneKeys
-    val ks = source.select(col(keyCol)).filter(col(keyCol).isNotNull)
-      .distinct().limit(cap + 1).collect().map(_.get(0))
-    if (ks.nonEmpty && ks.length <= cap)
-      ks.map(v => FileStats.eq(keyCol, v)).reduce[FileStats.Pred](_.or(_))
-    else FileStats.between(keyCol, bounds.get(0), bounds.get(1))
+    val perCol = keyCols.flatMap { c =>
+      val ks = source.select(col(c)).filter(col(c).isNotNull)
+        .distinct().limit(cap + 1).collect().map(_.get(0))
+      if (ks.nonEmpty && ks.length <= cap)
+        Some(ks.map(v => FileStats.eq(c, v)).reduce[FileStats.Pred](_.or(_)))
+      else None
+    }
+    (perCol :+ FileStats.between(keyCols.head, bounds.get(0), bounds.get(1)))
+      .reduce(_.and(_))
   }
 
   /** Merge-on-read delete-by-key: every row whose `keyCols` tuple appears
@@ -174,7 +183,7 @@ object Merge {
       candidatesOf = (meta, mapping) =>
         if (bounds.isNullAt(0)) Nil
         else {
-          val pred = keyPrunePred(keys, keyCols.head, bounds)
+          val pred = keyPrunePred(keys, keyCols, bounds)
           meta.filter { a =>
             val st = FileStats.decode(a.stats)
             FileStats.mayMatch(mapping.fold(st)(_.statsToLogical(st)), pred)
@@ -559,7 +568,7 @@ object Merge {
     val candidates: Seq[Snapshots.Action] =
       if (files.isEmpty || bounds.isNullAt(0)) Nil
       else {
-        val pred = keyPrunePred(source, keyCols.head, bounds)
+        val pred = keyPrunePred(source, keyCols, bounds)
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
           FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), pred)

@@ -204,17 +204,91 @@ class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("composite keys prune on the selective non-leading column") {
+    val w = wh("composite")
+    val s0 = spark
+    import s0.implicits._
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "score", "bloom.ndv" -> "1000"))
+    // (doc_id, score = i % 8) interleaved across 4 files: file f holds
+    // scores {f, f+4} — eq(score, 5) is bloom-definite-absent in 3 of 4.
+    (0 until 4).foreach { f =>
+      val cid = java.util.UUID.randomUUID().toString
+      (0 until 400).filter(_ % 4 == f)
+        .map(i => (f"doc-$i%04d", (i % 8).toLong)).toDF("doc_id", "score")
+        .coalesce(1).write
+        .options(Snapshots.bloomWriteOptionsFor(fs, w, "docs", None))
+        .parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+      val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    // With the leading column past the enumeration cap, the per-column
+    // AND still prunes through the SECOND key column's bloom.
+    val old = sys.props.put("graft.merge.pointPruneMaxKeys", "3")
+    try {
+      val victims = (0 until 400).filter(_ % 8 == 5) // 50 tuples, one score
+        .map(i => (f"doc-$i%04d", 5L))
+      val r = Merge.deleteKeysDv(spark, w, "docs",
+        victims.toDF("doc_id", "score"), Seq("doc_id", "score"))
+      assert(r.filesScanned == 1,
+        s"secondary-column bloom should plan 1 of 4 files: $r")
+      assert(r.rowsMatched == victims.size.toLong)
+    } finally {
+      old.fold(sys.props.remove("graft.merge.pointPruneMaxKeys"))(v =>
+        sys.props.put("graft.merge.pointPruneMaxKeys", v))
+      ()
+    }
+  }
+
+  test("complete dictionaries prune point lookups with no opt-in at all") {
+    val w = wh("dict")
+    val s0 = spark
+    import s0.implicits._
+    // No bloom property, plain writes: parquet dictionary-encodes the
+    // low-cardinality category column by default, and collect() lifts the
+    // complete per-file value set onto the ADD line.
+    (0 until 4).foreach { f =>
+      val cid = java.util.UUID.randomUUID().toString
+      (0 until 100).map(i => (f"doc-$f-$i%03d", s"cat_$f"))
+        .toDF("doc_id", "category").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+      val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    assert(acts.forall(a => FileStats.decode(a.stats)
+      .exists(_.dicts.get("category").exists(_.values.size == 1))),
+      "each file should carry its 1-value category dictionary")
+    // Exact membership: only cat_2's file survives the log-side cut …
+    val kept = acts.filter(a => FileStats.mayMatch(
+      FileStats.decode(a.stats), FileStats.eq("category", "cat_2")))
+    assert(kept.size == 1)
+    // … and an absent category prunes everything (dictionaries are exact,
+    // unlike blooms — no false-keep either way).
+    assert(!acts.exists(a => FileStats.mayMatch(
+      FileStats.decode(a.stats), FileStats.eq("category", "cat_9"))))
+    // Correctness through the read path.
+    assert(Snapshots.readWhere(s0, w, "docs", col("category") === "cat_2")
+      .count() == 100L)
+  }
+
   test("stats token with blooms round-trips through encode/decode") {
     val bits = Array.tabulate(64)(_.toByte)
     val st = FileStats.Stats(10L,
       Map("k" -> FileStats.ColStats("string", "a", "z")),
       Seq("k" -> "BINARY/STRING"), Map("k" -> 0L),
       Map("k" -> FileStats.BloomCol("s", Seq(bits)),
-        "id" -> FileStats.BloomCol("i64", Seq(bits))))
+        "id" -> FileStats.BloomCol("i64", Seq(bits))),
+      Map("cat" -> FileStats.DictCol("s", Set("a,b", "c|d", "")),
+        "n" -> FileStats.DictCol("i32", Set("1", "-7"))))
     val rt = FileStats.decode(FileStats.encode(st)).get
     assert(rt.blooms.keySet == Set("k", "id"))
     assert(rt.blooms("k").tag == "s" && rt.blooms("id").tag == "i64")
     assert(rt.blooms("k").bitsets.head.toSeq == bits.toSeq)
+    // Dictionary values with the token's own delimiters survive encoding.
+    assert(rt.dicts == st.dicts)
     assert(rt.cols == st.cols && rt.nulls == st.nulls)
   }
 
