@@ -183,4 +183,104 @@ object VectorExprs {
 
   def nearestCellsCol(vec: Column, centroids: Array[Float], dim: Int, n: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, dim, n))
+
+  /** Product-quantization encode: the vector split into `m` contiguous
+    * `dsub`-dim subspaces, each mapped to its nearest (L2) sub-centroid's
+    * id — one byte per subspace (ksub ≤ 256), so a dim-float vector
+    * compresses to `m` bytes. `codebooks` is row-major
+    * [subspace][code][component], broadcast once per plan like the IVF
+    * centroid matrix. */
+  case class PqEncode(child: Expression, codebooks: Array[Float],
+                      m: Int, ksub: Int, dsub: Int) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      VectorExprs.pqEncode(input.asInstanceOf[ArrayData], codebooks, m, ksub, dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.pqEncode($c, $ref, $m, $ksub, $dsub);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  def pqEncode(vec: ArrayData, cb: Array[Float], m: Int, ksub: Int,
+               dsub: Int): Array[Byte] = {
+    val out = new Array[Byte](m)
+    val n = vec.numElements()
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var k0 = 0
+      while (k0 < ksub) {
+        val off = (j * ksub + k0) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = j * dsub + i
+          val x = if (idx < n) vec.getFloat(idx).toDouble else 0.0
+          val diff = x - cb(off + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = k0 } // ties keep the earlier code
+        k0 += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  def pqEncodeCol(vec: Column, codebooks: Array[Float], m: Int, ksub: Int,
+                  dsub: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), codebooks, m, ksub, dsub))
+
+  /** Asymmetric-distance cosine: the query stays a full float vector, the
+    * candidate is reconstructed on the fly from its PQ code — one pass,
+    * no allocation, same double-accumulation order as [[CosineSim]]. */
+  case class PqCosine(left: Expression, right: Expression,
+                      codebooks: Array[Float], m: Int, ksub: Int, dsub: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(q: Any, code: Any): Any =
+      VectorExprs.pqCosine(q.asInstanceOf[ArrayData],
+        code.asInstanceOf[Array[Byte]], codebooks, m, ksub, dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+      nullSafeCodeGen(ctx, ev, (q, c) =>
+        s"${ev.value} = graft.functions.VectorExprs.pqCosine($q, $c, $ref, $m, $ksub, $dsub);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqCosine =
+      copy(left = l, right = r)
+  }
+
+  def pqCosine(q: ArrayData, code: Array[Byte], cb: Array[Float], m: Int,
+               ksub: Int, dsub: Int): Double = {
+    val n = q.numElements()
+    var dot = 0.0; var nq = 0.0; var nc = 0.0
+    var j = 0
+    while (j < m) {
+      val k0 = code(j) & 0xff
+      val off = (j * ksub + k0) * dsub
+      var i = 0
+      while (i < dsub) {
+        val idx = j * dsub + i
+        val x = if (idx < n) q.getFloat(idx).toDouble else 0.0
+        val y = cb(off + i).toDouble
+        dot += x * y; nq += x * x; nc += y * y
+        i += 1
+      }
+      j += 1
+    }
+    dot / math.sqrt(nq * nc)
+  }
+
+  def pqCosineCol(q: Column, code: Column, codebooks: Array[Float], m: Int,
+                  ksub: Int, dsub: Int): Column =
+    ColumnBridge.column(PqCosine(ColumnBridge.expression(q),
+      ColumnBridge.expression(code), codebooks, m, ksub, dsub))
 }

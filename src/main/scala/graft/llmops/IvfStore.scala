@@ -249,6 +249,160 @@ object IvfStore {
     else appendBatch(spark, warehouse, fresh, idCol, vecCol, targetFiles)
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  val PqCodebookTable = "ann_pq_codebooks"
+  val PqCellTable = "ann_cells_pq"
+
+  /** Train coarse + product quantizers and commit the PQ index in ONE log
+    * version: `ann_centroids` (coarse model), `ann_pq_codebooks`
+    * (m×ksub sub-centroids), and `ann_cells_pq` — the posting table
+    * holding (vec_id, cell, m-BYTE code), range-clustered by cell like
+    * `ann_cells` but ~(4·dim/m)× smaller because it stores CODES, not
+    * vectors. At 100 TB that factor (32× at dim=64, m=8) is what keeps
+    * the scannable index in page cache; full vectors stay only in the
+    * corpus table and are touched per-query for the SHORTLIST re-rank
+    * alone ([[pqTopK]]). */
+  def buildPqIndex(spark: SparkSession, warehouse: String, corpus: DataFrame,
+                   dim: Int, k: Int, m: Int, ksub: Int, iters: Int = 2,
+                   targetFiles: Int = 8, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): (Ivf.Model, Pq.Model) = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val coarse = Ivf.train(vecs, dim, k, iters)
+    val pq = Pq.train(vecs, dim, m, ksub, iters)
+    val centroidSchema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val cbSchema = StructType(Seq(
+      StructField("subspace", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val cbRows = for (j <- 0 until m; k0 <- 0 until ksub) yield Row(j, k0,
+      (0 until pq.dsub).map(i => pq.codebooks((j * ksub + k0) * pq.dsub + i)))
+    val cid = java.util.UUID.randomUUID().toString
+    val staging = TxnCommit.stagingDir(warehouse, cid)
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        coarse.centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
+          .toSeq, 1), centroidSchema)
+      .write.parquet(s"$staging/$CentroidTable")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cbRows, 1), cbSchema)
+      .write.parquet(s"$staging/$PqCodebookTable")
+    Ivf.assign(vecs, coarse)
+      .withColumn("pq_code", Pq.encodeCol(col("embedding"), pq))
+      .select("vec_id", "cell", "pq_code")
+      .repartitionByRange(math.max(1, targetFiles), col("cell"), col("vec_id"))
+      .write.parquet(s"$staging/$PqCellTable")
+    val moves = Seq(CentroidTable, PqCodebookTable, PqCellTable)
+      .flatMap(t => TxnCommit.movesFor(fs, warehouse, cid, t))
+    TxnCommit.commit(fs, warehouse, cid, moves)
+    TxnCommit.publish(fs, warehouse, cid, moves)
+    (coarse, pq)
+  }
+
+  /** The committed PQ codebooks — m×ksub×dsub floats, model parameters. */
+  def loadPqModel(spark: SparkSession, warehouse: String): Pq.Model = {
+    val rows = Snapshots.read(spark, warehouse, PqCodebookTable)
+      .select("subspace", "code", "centroid").collect()
+    require(rows.nonEmpty, s"no $PqCodebookTable committed under $warehouse")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.head.getAs[scala.collection.Seq[Float]](2).length
+    val flat = new Array[Float](m * ksub * dsub)
+    rows.foreach { r =>
+      val off = (r.getInt(0) * ksub + r.getInt(1)) * dsub
+      val c = r.getAs[scala.collection.Seq[Float]](2)
+      var i = 0
+      while (i < dsub) { flat(off + i) = c(i); i += 1 }
+    }
+    Pq.Model(m * dsub, m, ksub, flat)
+  }
+
+  /** Append a new batch to the PQ posting table under the persisted
+    * models — O(new), the [[appendBatch]] dual. */
+  def appendPqBatch(spark: SparkSession, warehouse: String, newVecs: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    targetFiles: Int = 1): Unit = {
+    val coarse = loadModel(spark, warehouse)
+    val pq = loadPqModel(spark, warehouse)
+    publish(spark, warehouse, PqCellTable,
+      Ivf.assign(newVecs.select(col(idCol).as("vec_id"),
+          col(vecCol).as("embedding")), coarse)
+        .withColumn("pq_code", Pq.encodeCol(col("embedding"), pq))
+        .select("vec_id", "cell", "pq_code")
+        .repartitionByRange(math.max(1, targetFiles), col("cell"),
+          col("vec_id")))
+  }
+
+  /** Shortlist ids above this count skip the corpus point-prune filter
+    * (the re-rank join still runs; it just scans more files) — the same
+    * bounded-driver-collect stance as [[graft.ingest.Merge]]'s key cap. */
+  private def maxRerankPruneIds: Int =
+    sys.props.get("graft.pq.rerankPruneMaxIds").map(_.toInt).getOrElse(4096)
+
+  /** IVF-PQ top-k: probe `nprobe` cells, score ALL candidates from their
+    * m-byte codes (asymmetric cosine — the corpus contributes zero bytes
+    * here), keep the best `k·refine` per query, then re-rank that
+    * shortlist against true vectors from `corpusTable` and return the
+    * exact-scored top-k. The re-rank read is POINT-PRUNED: the shortlist
+    * ids (≤ |queries|·k·refine, driver-bounded) become equality leaves,
+    * so a vec_id-clustered or bloom-carrying corpus opens only the files
+    * that hold shortlist rows. nprobe = k with a refine that covers every
+    * candidate degenerates to exact brute force — the oracle-checkable
+    * configuration. */
+  def pqTopK(spark: SparkSession, warehouse: String, queries: DataFrame,
+             k: Int, nprobe: Int = 2, refine: Int = 4,
+             corpusTable: String = "embeddings",
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coarse = loadModel(spark, warehouse)
+    val pq = loadPqModel(spark, warehouse)
+    val np = math.min(nprobe, coarse.k)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probed = q
+      .select(explode(VectorExprs.nearestCellsCol(
+        col("q_vec"), coarse.flat, coarse.dim, np)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (probed.isEmpty)
+      return q.limit(0).select(col("q_id"), col("q_id").as("vec_id"),
+        lit(0.0).as("sim"), lit(0L).as("rnk"))
+    val postings = Snapshots.read(spark, warehouse, PqCellTable,
+        dataFilter = probed.map(c => FileStats.eq("cell", c)).reduce(_ or _))
+      .filter(col("cell").isInCollection(probed))
+    val qb = q.withColumn("cell",
+      explode(VectorExprs.nearestCellsCol(col("q_vec"), coarse.flat,
+        coarse.dim, np)))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("psim").desc, col("vec_id"))
+    val shortlist = broadcast(qb).join(postings, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("psim", Pq.adcCosineCol(col("q_vec"), col("pq_code"), pq))
+      .withColumn("prnk", row_number().over(w))
+      .filter(col("prnk") <= k.toLong * refine)
+      .select("q_id", "q_vec", "vec_id")
+    // Point-pruned exact re-rank: true vectors for the shortlist only.
+    val ids = shortlist.select("vec_id").distinct()
+      .limit(maxRerankPruneIds + 1).collect().map(_.get(0))
+    val corpus0 =
+      if (ids.nonEmpty && ids.length <= maxRerankPruneIds)
+        Snapshots.read(spark, warehouse, corpusTable,
+          dataFilter = ids.map(v => FileStats.eq(idCol, v)).reduce(_ or _))
+      else Snapshots.read(spark, warehouse, corpusTable)
+    val exact = broadcast(shortlist)
+      .join(corpus0.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        Seq("vec_id"))
+      .withColumn("sim",
+        round(VectorExprs.cosineSim(col("q_vec"), col("embedding")), 4))
+    val w2 = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    exact.withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "vec_id", "sim", "rnk")
+  }
+
   /** ANN top-k through the warm store: centroids from the log, candidates
     * from the `ann_cells` files overlapping the probed cells. `queries` is
     * the query batch (small by nature); its probed cell ids — at most

@@ -23,6 +23,28 @@ object LlmQueries {
   private def embs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** Build-once PQ warehouse: embeddings committed, IVF-PQ index built
+    * (coarse k=8, m=8 one-byte subspaces, ksub=16) — the timed region of
+    * the llm_ann_pq* entries is the warm-store query alone. */
+  private def pqStore(s: SparkSession, d: String): String =
+    Fixtures.once("llm_ann_pq_store", d) {
+      import graft.ingest.{Snapshots, TxnCommit}
+      val w = java.nio.file.Files.createTempDirectory("graft-pqstore")
+        .resolve("wh").toString
+      val fs = new org.apache.hadoop.fs.Path(w)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val cid = java.util.UUID.randomUUID().toString
+      embs(s, d).select("vec_id", "embedding").coalesce(2)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/embeddings")
+      val moves = TxnCommit.movesFor(fs, w, cid, "embeddings")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+      graft.llmops.IvfStore.buildPqIndex(s, w,
+        Snapshots.read(s, w, "embeddings"), dim = 64, k = 8, m = 8,
+        ksub = 16, targetFiles = 4)
+      w
+    }
+
   /** documents ∪ mutated near-dup copies (every 10th doc, one token added). */
   private[queries] def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select("doc_id", "text")
@@ -269,6 +291,29 @@ object LlmQueries {
       }
       IvfStore.topK(s, wh, embs(s, d).select("vec_id", "embedding")
         .filter(col("vec_id") < 5), k = 10, nprobe = 8)
+    }),
+
+    // IVF-PQ through the persisted store: the posting table holds m-BYTE
+    // product-quantization codes (dim=64 floats → 8 bytes, the 32×
+    // memory/IO factor that keeps a 100 TB index scannable), candidates
+    // are scored from codes alone, and the per-query shortlist re-ranks
+    // against true vectors via a POINT-PRUNED corpus read. Exact twin:
+    // nprobe = k and a refine that covers every candidate — the shortlist
+    // provably contains the true top-k, so the re-ranked result equals
+    // brute force and hash-matches the shared oracle.
+    "llm_ann_pq_exact" -> ((s, d) => {
+      val wh = pqStore(s, d)
+      graft.llmops.IvfStore.pqTopK(s, wh,
+        embs(s, d).select("vec_id", "embedding").filter(col("vec_id") < 5),
+        k = 10, nprobe = 8, refine = Int.MaxValue / 16)
+    }),
+    // The serving configuration (nprobe=3, refine=4): approximate by
+    // design → rows-only here; PqSpec holds the recall@10 ≥ 0.9 gate.
+    "llm_ann_pq" -> ((s, d) => {
+      val wh = pqStore(s, d)
+      graft.llmops.IvfStore.pqTopK(s, wh,
+        embs(s, d).select("vec_id", "embedding").filter(col("vec_id") < 5),
+        k = 10, nprobe = 3, refine = 4)
     }),
 
     // Index maintenance under corpus DML: same persisted IVF store, but a
@@ -667,6 +712,8 @@ object LlmQueries {
     // top-k, so a hash mismatch there is a recall bug in that ANN path.
     "llm_ann_ivf_exact" -> bruteForceTopkSql,
     "llm_ann_ivf_persisted" -> bruteForceTopkSql,
+    // Exact-twin IVF-PQ: full-probe + full-refine re-rank IS brute force.
+    "llm_ann_pq_exact" -> bruteForceTopkSql,
     // Ground truth after the corpus delete: brute force over SURVIVORS
     // only — a stale posting in the synced index would rank a deleted
     // vector into some top-10 and break the hash.
