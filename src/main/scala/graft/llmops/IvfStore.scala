@@ -166,6 +166,14 @@ object IvfStore {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse)
+    // The mirror of [[rebuildPq]]'s shared-centroid rule: a PQ posting
+    // table in this warehouse references the swapped centroids' cell ids
+    // through the same `ann_centroids` — refuse rather than silently
+    // orphan it (rebuildPq re-assigns BOTH flavors atomically).
+    require(!Snapshots.fileMeta(fs, warehouse, PqCellTable).exists(_.nonEmpty),
+      s"this warehouse also hosts $PqCellTable, whose codes/cells reference " +
+        "the shared centroids — use rebuildPq, which swaps both index " +
+        "flavors in one commit")
     val old = Seq(CentroidTable, CellTable).flatMap(t =>
       Snapshots.fileMeta(fs, warehouse, t).getOrElse(Seq.empty).map(_.file))
     val model = Ivf.train(
@@ -272,6 +280,21 @@ object IvfStore {
     val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
     val coarse = Ivf.train(vecs, dim, k, iters)
     val pq = Pq.train(vecs, dim, m, ksub, iters)
+    val cid = java.util.UUID.randomUUID().toString
+    writePqTables(spark, TxnCommit.stagingDir(warehouse, cid), coarse, pq,
+      vecs, targetFiles)
+    val moves = Seq(CentroidTable, PqCodebookTable, PqCellTable)
+      .flatMap(t => TxnCommit.movesFor(fs, warehouse, cid, t))
+    TxnCommit.commit(fs, warehouse, cid, moves)
+    TxnCommit.publish(fs, warehouse, cid, moves)
+    (coarse, pq)
+  }
+
+  /** Stage the three PQ-index tables (coarse centroids, codebooks,
+    * range-by-cell code postings) under one commit's staging dir. */
+  private def writePqTables(spark: SparkSession, staging: String,
+                            coarse: Ivf.Model, pq: Pq.Model, vecs: DataFrame,
+                            targetFiles: Int): Unit = {
     val centroidSchema = StructType(Seq(
       StructField("cell", IntegerType, nullable = false),
       StructField("centroid", ArrayType(FloatType, containsNull = false),
@@ -281,10 +304,8 @@ object IvfStore {
       StructField("code", IntegerType, nullable = false),
       StructField("centroid", ArrayType(FloatType, containsNull = false),
         nullable = false)))
-    val cbRows = for (j <- 0 until m; k0 <- 0 until ksub) yield Row(j, k0,
-      (0 until pq.dsub).map(i => pq.codebooks((j * ksub + k0) * pq.dsub + i)))
-    val cid = java.util.UUID.randomUUID().toString
-    val staging = TxnCommit.stagingDir(warehouse, cid)
+    val cbRows = for (j <- 0 until pq.m; k0 <- 0 until pq.ksub) yield Row(j, k0,
+      (0 until pq.dsub).map(i => pq.codebooks((j * pq.ksub + k0) * pq.dsub + i)))
     spark.createDataFrame(spark.sparkContext.parallelize(
         coarse.centroids.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
           .toSeq, 1), centroidSchema)
@@ -297,11 +318,6 @@ object IvfStore {
       .select("vec_id", "cell", "pq_code")
       .repartitionByRange(math.max(1, targetFiles), col("cell"), col("vec_id"))
       .write.parquet(s"$staging/$PqCellTable")
-    val moves = Seq(CentroidTable, PqCodebookTable, PqCellTable)
-      .flatMap(t => TxnCommit.movesFor(fs, warehouse, cid, t))
-    TxnCommit.commit(fs, warehouse, cid, moves)
-    TxnCommit.publish(fs, warehouse, cid, moves)
-    (coarse, pq)
   }
 
   /** The committed PQ codebooks — m×ksub×dsub floats, model parameters. */
@@ -336,6 +352,71 @@ object IvfStore {
         .select("vec_id", "cell", "pq_code")
         .repartitionByRange(math.max(1, targetFiles), col("cell"),
           col("vec_id")))
+  }
+
+  /** Corpus-DML propagation for the PQ posting table — [[syncFromChanges]]
+    * for codes: deleted/updated ids' postings are vector-deleted (queries'
+    * DV-aware reads subtract them), new/updated vectors are re-encoded
+    * under the PERSISTED models and appended. Same crash stance: deletes
+    * commit first, so an interrupted sync is conservatively
+    * delete-complete and can never resurrect a removed row through the
+    * code path. */
+  def syncPqFromChanges(spark: SparkSession, warehouse: String,
+                        corpusTable: String, fromExclusive: Long,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        targetFiles: Int = 1): Unit = {
+    val feed = Snapshots.changes(spark, warehouse, corpusTable, fromExclusive)
+      .select(col(idCol), col(vecCol), col("_change_type"))
+      .localCheckpoint(false)
+    val gone = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(idCol).as("vec_id")).distinct()
+    val fresh = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(vecCol))
+    Merge.deleteKeysDv(spark, warehouse, PqCellTable, gone, Seq("vec_id"))
+    if (!fresh.isEmpty)
+      appendPqBatch(spark, warehouse, fresh, idCol, vecCol, targetFiles)
+  }
+
+  /** Re-train coarse + product quantizers and atomically swap ALL THREE
+    * PQ-index tables in one log version — the [[rebuild]] dual. Codes are
+    * meaningful only under the codebooks that produced them, so readers
+    * must never see new codebooks over old postings (or vice versa);
+    * table-granular OCC aborts a concurrent [[appendPqBatch]] whose rows
+    * were encoded under the old models. */
+  def rebuildPq(spark: SparkSession, warehouse: String, corpus: DataFrame,
+                dim: Int, k: Int, m: Int, ksub: Int, iters: Int = 2,
+                targetFiles: Int = 8, idCol: String = "vec_id",
+                vecCol: String = "embedding"): (Ivf.Model, Pq.Model) = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    // `ann_centroids` is SHARED with the flat index: when this warehouse
+    // also hosts `ann_cells`, its assignments reference the centroids
+    // being swapped — re-assign it under the new model in the SAME
+    // commit, or a reader would see new centroids over old cell ids.
+    val hasFlat =
+      Snapshots.fileMeta(fs, warehouse, CellTable).exists(_.nonEmpty)
+    val tables = Seq(CentroidTable, PqCodebookTable, PqCellTable) ++
+      (if (hasFlat) Seq(CellTable) else Nil)
+    val old = tables.flatMap(t =>
+      Snapshots.fileMeta(fs, warehouse, t).getOrElse(Seq.empty).map(_.file))
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val coarse = Ivf.train(vecs, dim, k, iters)
+    val pq = Pq.train(vecs, dim, m, ksub, iters)
+    val cid = java.util.UUID.randomUUID().toString
+    val staging = TxnCommit.stagingDir(warehouse, cid)
+    writePqTables(spark, staging, coarse, pq, vecs, targetFiles)
+    if (hasFlat)
+      cellRows(vecs, coarse, "vec_id", "embedding", targetFiles)
+        .write.parquet(s"$staging/$CellTable")
+    val moves = tables.flatMap(t => TxnCommit.movesFor(fs, warehouse, cid, t))
+    TxnCommit.commit(fs, warehouse, cid, moves, retained = old,
+      op = "merge", baseVersion = base)
+    TxnCommit.publish(fs, warehouse, cid, moves, retained = old,
+      op = "merge", baseVersion = base)
+    (coarse, pq)
   }
 
   /** Shortlist ids above this count skip the corpus point-prune filter

@@ -353,6 +353,40 @@ object LlmQueries {
         .filter(col("vec_id") < 5), k = 10, nprobe = 8)
     }),
 
+    // PQ index under corpus DML: a DV-delete hits the corpus after the
+    // PQ build, syncPqFromChanges vector-deletes the dead CODE postings,
+    // and the full-probe/full-refine query (exact) must match brute force
+    // over the SURVIVORS — a stale code would re-rank a deleted vector
+    // into some top-10 and break the hash.
+    "llm_ann_pq_dml" -> ((s, d) => {
+      import graft.ingest.{Merge, Snapshots, TxnCommit}
+      import graft.llmops.IvfStore
+      val wh = Fixtures.once("llm_ann_pq_dml", d) {
+        val w = java.nio.file.Files.createTempDirectory("graft-pq-dml")
+          .resolve("wh").toString
+        val fs = new org.apache.hadoop.fs.Path(w)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val cid = java.util.UUID.randomUUID().toString
+        embs(s, d).select("vec_id", "embedding").coalesce(2)
+          .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/embeddings")
+        val moves = TxnCommit.movesFor(fs, w, cid, "embeddings")
+        TxnCommit.commit(fs, w, cid, moves)
+        TxnCommit.publish(fs, w, cid, moves)
+        IvfStore.buildPqIndex(s, w,
+          Snapshots.read(s, w, "embeddings"), dim = 64, k = 8, m = 8,
+          ksub = 16, targetFiles = 4)
+        val vIndexed = Snapshots.latestVersion(fs, w).get
+        Merge.deleteWhereDv(s, w, "embeddings",
+          col("vec_id") % 7 === 3 && col("vec_id") >= 5)
+        IvfStore.syncPqFromChanges(s, w, "embeddings",
+          fromExclusive = vIndexed)
+        w
+      }
+      IvfStore.pqTopK(s, wh, embs(s, d).select("vec_id", "embedding")
+        .filter(col("vec_id") < 5), k = 10, nprobe = 8,
+        refine = Int.MaxValue / 16)
+    }),
+
     // Persisted LSH ANN (the IvfStore pattern for the hyperplane family):
     // index built on half the corpus, completed via the change feed, then
     // queried probeAll through the warm store — exact, so it hash-matches
@@ -718,6 +752,21 @@ object LlmQueries {
     // only — a stale posting in the synced index would rank a deleted
     // vector into some top-10 and break the hash.
     "llm_ann_ivf_persisted_dml" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |      WHERE NOT (vec_id % 7 = 3 AND vec_id >= 5)),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_dot_product(q.q_vec, c.v) /
+        |      sqrt(list_dot_product(q.q_vec, q.q_vec) * list_dot_product(c.v, c.v)), 4) AS sim
+        |  FROM q JOIN c ON c.vec_id != q.q_id)
+        |SELECT q_id, vec_id, sim, rnk FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored) WHERE rnk <= 10""".stripMargin,
+    // Same survivors-only ground truth for the PQ index after the sync.
+    "llm_ann_pq_dml" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
         |           FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -144,6 +144,57 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pqExact == brute)
   }
 
+  test("corpus deletes propagate into the code postings") {
+    val w = wh("dml")
+    pubEmb(w, embDf(300))
+    IvfStore.buildPqIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), dim = Dim, k = 4, m = 8,
+      ksub = 16, targetFiles = 2)
+    val vIndexed = Snapshots.latestVersion(fs, w).get
+    graft.ingest.Merge.deleteWhereDv(spark, w, "embeddings",
+      col("vec_id") % 5 === 1 && col("vec_id") >= 3)
+    IvfStore.syncPqFromChanges(spark, w, "embeddings",
+      fromExclusive = vIndexed)
+    // No deleted id may surface — exact config makes the check total.
+    val got = IvfStore.pqTopK(spark, w,
+      embDf(300).filter(col("vec_id") < 3), k = 10, nprobe = 4,
+      refine = Int.MaxValue / 16)
+    val dead = got.filter(col("vec_id") % 5 === 1 && col("vec_id") >= 3)
+    assert(dead.isEmpty, "a vectored-out corpus row resurfaced via PQ codes")
+    val brute = Similarity.bruteForceTopK(embDf(300).filter(col("vec_id") < 3),
+      Snapshots.read(spark, w, "embeddings"), k = 10)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(got.orderBy("q_id", "rnk").collect().toSeq == brute)
+  }
+
+  test("rebuildPq atomically swaps all index tables; flat rebuild refuses") {
+    val w = wh("rebuild")
+    pubEmb(w, embDf(300))
+    val corpus = Snapshots.read(spark, w, "embeddings")
+    IvfStore.buildPqIndex(spark, w, corpus, dim = Dim, k = 4, m = 8,
+      ksub = 16, targetFiles = 2)
+    val before = Snapshots.latestVersion(fs, w).get
+    IvfStore.rebuildPq(spark, w, corpus, dim = Dim, k = 8, m = 8, ksub = 16,
+      targetFiles = 2)
+    val after = Snapshots.latestVersion(fs, w).get
+    assert(after == before + 1, "rebuild must be ONE commit")
+    // A reader pinned below the swap sees the old consistent pair.
+    assert(Snapshots.read(spark, w, IvfStore.CentroidTable, Some(before))
+      .count() == 4)
+    assert(Snapshots.read(spark, w, IvfStore.CentroidTable).count() == 8)
+    // Post-swap the exact configuration still matches brute force.
+    val queries = corpus.filter(col("vec_id") < 3)
+    assert(IvfStore.pqTopK(spark, w, queries, k = 10, nprobe = 8,
+        refine = Int.MaxValue / 16).orderBy("q_id", "rnk").collect().toSeq ==
+      Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .orderBy("q_id", "rnk").collect().toSeq)
+    // The flat-index rebuild would orphan the PQ postings' cell ids —
+    // it must refuse while ann_cells_pq exists.
+    val ex = intercept[IllegalArgumentException](
+      IvfStore.rebuild(spark, w, corpus, dim = Dim, k = 4))
+    assert(ex.getMessage.contains("rebuildPq"))
+  }
+
   test("incremental append keeps the streamed half searchable") {
     val w = wh("append")
     val all = embDf(400)
