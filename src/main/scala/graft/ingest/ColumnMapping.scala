@@ -68,7 +68,8 @@ case class ColumnMapping(cols: Seq[(String, String)],
     def rekey[V](m: Map[String, V]): Map[String, V] =
       m.flatMap { case (p, v) => toLogical.get(p).map(_ -> v) }
     stats.map(s => s.copy(cols = rekey(s.cols), nulls = rekey(s.nulls),
-      blooms = rekey(s.blooms), dicts = rekey(s.dicts)))
+      blooms = rekey(s.blooms), dicts = rekey(s.dicts),
+      bloomRefs = rekey(s.bloomRefs)))
   }
 
   def encode: String = {

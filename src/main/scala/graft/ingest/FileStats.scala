@@ -59,11 +59,21 @@ object FileStats {
     * (longs in decimal, strings raw). */
   case class DictCol(tag: String, values: Set[String])
 
+  /** Pointer to a SIDECAR bloom file (warehouse-relative path): blooms
+    * past [[MaxBloomLogBytes]] don't fit a log line — production-size
+    * files need ~1.2 MB of bitset for a 1M-NDV key at 1% fpp — so the
+    * bitsets ride the commit as their own staged file and the ADD line
+    * carries this pointer. Loaded (and cached) only for files that
+    * survive the cheap log-side pruning AND whose predicate has an
+    * equality leaf on the column. */
+  case class BloomRef(tag: String, path: String)
+
   case class Stats(rows: Long, cols: Map[String, ColStats],
                    schema: Seq[(String, String)] = Nil,
                    nulls: Map[String, Long] = Map.empty,
                    blooms: Map[String, BloomCol] = Map.empty,
-                   dicts: Map[String, DictCol] = Map.empty)
+                   dicts: Map[String, DictCol] = Map.empty,
+                   bloomRefs: Map[String, BloomRef] = Map.empty)
 
   // ---------------------------------------------------------------- encode
 
@@ -98,6 +108,9 @@ object FileStats {
           (s"d:${enc(n)},${dc.tag}" +: dc.values.toSeq.sorted.map(enc))
             .mkString(",")
         } ++
+        s.bloomRefs.toSeq.sortBy(_._1).map { case (n, r) =>
+          s"B:${enc(n)},${r.tag},${enc(r.path)}"
+        } ++
         s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
           s"${enc(n)},${c.typ},${enc(c.min)},${enc(c.max)}"
         })).mkString("|")
@@ -128,15 +141,19 @@ object FileStats {
         val parts = p.stripPrefix("d:").split(",", -1)
         dec(parts(0)) -> DictCol(parts(1), parts.drop(2).map(dec).toSet)
       }.toMap
+      val bloomRefs = meta.filter(_.startsWith("B:")).map { p =>
+        val Array(n, tag, path) = p.stripPrefix("B:").split(",", 3)
+        dec(n) -> BloomRef(tag, dec(path))
+      }.toMap
       val cols = meta.filterNot(p =>
           p.startsWith("s:") || p.startsWith("n:") || p.startsWith("b:") ||
-            p.startsWith("d:"))
+            p.startsWith("d:") || p.startsWith("B:"))
         .map { p =>
           val Array(n, t, mn, mx) = p.split(",", 4)
           dec(n) -> ColStats(t, dec(mn), dec(mx))
         }.toMap
       Some(Stats(rows, if (v2) cols else legacySafe(cols, schema), schema,
-        nulls, blooms, dicts))
+        nulls, blooms, dicts, bloomRefs))
     } catch { case _: RuntimeException => None }
 
   /** Strip the entries a pre-v2 collector may have recorded unsoundly:
@@ -169,6 +186,13 @@ object FileStats {
   val MaxBloomLogBytes: Long =
     sys.props.get("graft.bloom.maxLogBytes").map(_.toLong).getOrElse(65536L)
 
+  /** Cap on a column's bloom bytes written to a SIDECAR file when they
+    * exceed [[MaxBloomLogBytes]] — covers ~6M NDV at 1% fpp, beyond any
+    * sane per-file cardinality. Past this, no bloom is recorded at all. */
+  val MaxBloomSidecarBytes: Long =
+    sys.props.get("graft.bloom.maxSidecarBytes").map(_.toLong)
+      .getOrElse(8L * 1024 * 1024)
+
   /** Cap on dictionary values embedded per column per file. Dictionaries
     * are lifted only off FULLY dictionary-encoded columns (writers omit
     * blooms exactly then), so low-cardinality key columns get exact
@@ -198,6 +222,19 @@ object FileStats {
     * Returns "" for unreadable/non-parquet files (the caller stores an
     * empty stats field; readers keep the file). */
   def collect(conf: Configuration, file: Path): String =
+    collect(conf, file, (_, _, _) => None)
+
+  /** As [[collect]], with a sidecar escape hatch: a column whose bloom
+    * bitsets exceed [[MaxBloomLogBytes]] (but fit
+    * [[MaxBloomSidecarBytes]]) is offered to `spill(col, tag, bitsets)`;
+    * a returned warehouse-relative path becomes a pointer entry on the
+    * log line instead of the payload. [[TxnCommit.commit]] spills into
+    * the commit's staging dir so the sidecar publishes atomically with
+    * the data (manifest moves) — a crash before the commit point leaves
+    * only reclaimable staging. */
+  def collect(conf: Configuration, file: Path,
+              spill: (String, String, Seq[Array[Byte]]) => Option[String])
+      : String =
     try {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
@@ -321,22 +358,32 @@ object FileStats {
           }
           reader.skipNextRowGroup()
         }
-        val blooms: Map[String, BloomCol] = bloomAcc.collect {
-          case (n, Some(bfs)) if bfs.nonEmpty &&
-              bfs.map(_.getBitsetSize.toLong).sum <= MaxBloomLogBytes =>
-            n -> BloomCol(bloomTags(n), bfs.reverse.map { bf =>
-              val out = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
-              bf.writeTo(out)
-              out.toByteArray: Array[Byte]
-            })
+        val sized: Seq[(String, Long, Seq[Array[Byte]])] = bloomAcc.toSeq.collect {
+          case (n, Some(bfs)) if bfs.nonEmpty =>
+            (n, bfs.map(_.getBitsetSize.toLong).sum,
+              bfs.reverse.map { bf =>
+                val out = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
+                bf.writeTo(out)
+                out.toByteArray: Array[Byte]
+              })
+        }
+        val blooms: Map[String, BloomCol] = sized.collect {
+          case (n, total, bits) if total <= MaxBloomLogBytes =>
+            n -> BloomCol(bloomTags(n), bits)
         }.toMap
+        val bloomRefs: Map[String, BloomRef] = sized.collect {
+          case (n, total, bits)
+              if total > MaxBloomLogBytes && total <= MaxBloomSidecarBytes =>
+            spill(n, bloomTags(n), bits).map(p => n -> BloomRef(bloomTags(n), p))
+        }.flatten.toMap
         val dicts: Map[String, DictCol] = dictAcc.collect {
           case (n, Some(vals)) if vals.nonEmpty => n -> DictCol(bloomTags(n), vals)
         }.toMap
         encode(Stats(rows, acc.collect {
           case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
         }.toMap, schemaTags,
-          nullAcc.collect { case (n, Some(c)) => n -> c }.toMap, blooms, dicts))
+          nullAcc.collect { case (n, Some(c)) => n -> c }.toMap, blooms,
+          dicts, bloomRefs))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 
@@ -525,6 +572,65 @@ object FileStats {
   }
   private def ltStrict(typ: String, a: Any, b: Any): Boolean =
     le(typ, a, b) && !le(typ, b, a)
+
+  // --------------------------------------------------- sidecar bloom files
+
+  /** Sidecar framing: repeated [int32-BE length][bitset bytes]. */
+  def writeSidecar(out: java.io.OutputStream,
+                   bitsets: Seq[Array[Byte]]): Unit = {
+    val d = new java.io.DataOutputStream(out)
+    bitsets.foreach { b => d.writeInt(b.length); d.write(b) }
+    d.flush()
+  }
+
+  def readSidecar(in: java.io.InputStream): Seq[Array[Byte]] = {
+    val d = new java.io.DataInputStream(in)
+    val acc = scala.collection.mutable.ListBuffer.empty[Array[Byte]]
+    var more = true
+    while (more) {
+      val first = d.read()
+      if (first < 0) more = false
+      else {
+        val len = (first << 24) | (d.readUnsignedByte() << 16) |
+          (d.readUnsignedByte() << 8) | d.readUnsignedByte()
+        val b = new Array[Byte](len)
+        d.readFully(b)
+        acc += b
+      }
+    }
+    acc.toSeq
+  }
+
+  /** Columns appearing in an equality leaf of `pred` — the only leaves a
+    * sidecar bloom can serve, so only these are worth a load. */
+  def eqColumns(pred: Pred): Set[String] = pred match {
+    case And(l, r) => eqColumns(l) ++ eqColumns(r)
+    case Or(l, r) => eqColumns(l) ++ eqColumns(r)
+    case Eq(c, _) => Set(c)
+    case _ => Set.empty
+  }
+
+  /** [[mayMatch]] with sidecar-bloom resolution: the cheap log-only
+    * layers run first, and only a file that SURVIVES them pays a sidecar
+    * load (`loader` returning None — missing/corrupt sidecar — keeps the
+    * file: sound). The loader is expected to cache. */
+  def mayMatch(stats: Option[Stats], pred: Pred,
+               loader: BloomRef => Option[Seq[Array[Byte]]]): Boolean =
+    if (!mayMatch(stats, pred)) false
+    else stats match {
+      case Some(s) if s.bloomRefs.nonEmpty =>
+        val need = eqColumns(pred).intersect(s.bloomRefs.keySet)
+        if (need.isEmpty) true
+        else {
+          val loaded = need.flatMap { c =>
+            val r = s.bloomRefs(c)
+            loader(r).map(bits => c -> BloomCol(r.tag, bits))
+          }.toMap
+          loaded.isEmpty ||
+            mayMatch(Some(s.copy(blooms = s.blooms ++ loaded)), pred)
+        }
+      case _ => true
+    }
 
   /** May a row of a file with `stats` satisfy `pred`? (stats=None ⇒ true.) */
   def mayMatch(stats: Option[Stats], pred: Pred): Boolean = stats match {

@@ -184,9 +184,13 @@ object Merge {
         if (bounds.isNullAt(0)) Nil
         else {
           val pred = keyPrunePred(keys, keyCols, bounds)
+          val loader = Snapshots.sidecarBloomLoader(
+            new Path(warehouse).getFileSystem(
+              spark.sparkContext.hadoopConfiguration), warehouse)
           meta.filter { a =>
             val st = FileStats.decode(a.stats)
-            FileStats.mayMatch(mapping.fold(st)(_.statsToLogical(st)), pred)
+            FileStats.mayMatch(mapping.fold(st)(_.statsToLogical(st)), pred,
+              loader)
           }
         },
       matcher = df => df
@@ -227,10 +231,14 @@ object Merge {
               f.condition
           }
         val pred = resolved.flatMap(FileStats.fromExpression)
+        val loader = Snapshots.sidecarBloomLoader(
+          new Path(warehouse).getFileSystem(
+            spark.sparkContext.hadoopConfiguration), warehouse)
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
           pred.forall(p =>
-            FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), p))
+            FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), p,
+              loader))
         }
       },
       matcher = _.filter(condition),
@@ -452,8 +460,9 @@ object Merge {
       val s = FileStats.decode(a.stats)
       mapping.fold(s)(_.statsToLogical(s))
     }
+    val sideLoader = Snapshots.sidecarBloomLoader(fs, warehouse)
     val candidates = meta.filter(a => pred.forall(p =>
-      FileStats.mayMatch(logicalStats(a), p)))
+      FileStats.mayMatch(logicalStats(a), p, sideLoader)))
     // Scheme-less FULL paths, not basenames: one dynamic-partition write
     // emits the same basename into every partition dir, so a basename
     // match would drag every sibling partition's file into the rewrite.
@@ -569,9 +578,11 @@ object Merge {
       if (files.isEmpty || bounds.isNullAt(0)) Nil
       else {
         val pred = keyPrunePred(source, keyCols, bounds)
+        val loader = Snapshots.sidecarBloomLoader(fs, warehouse)
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
-          FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), pred)
+          FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), pred,
+            loader)
         }
       }
     // Affected files by scheme-less FULL path — basenames are NOT unique

@@ -1023,6 +1023,28 @@ object Snapshots {
       }.getOrElse(Map.empty)
   }
 
+  /** Process-wide sidecar-bloom cache: one file holds one column's
+    * bitsets for one data file (≤ [[FileStats.MaxBloomSidecarBytes]]);
+    * repeat probes across queries/DML hit memory. Cleared wholesale past
+    * a bound — correctness never depends on it. */
+  private val sidecarBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Byte]]]()
+
+  /** Loader for [[FileStats.mayMatch]]'s sidecar-resolution variant.
+    * A missing/corrupt sidecar returns None — the caller keeps the file
+    * (sound: absent bloom never skips). */
+  def sidecarBloomLoader(fs: FileSystem, warehouse: String)
+      : FileStats.BloomRef => Option[Seq[Array[Byte]]] = ref => {
+    val full = s"$warehouse/${ref.path}"
+    try {
+      if (sidecarBloomCache.size > 128) sidecarBloomCache.clear()
+      Some(sidecarBloomCache.computeIfAbsent(full, _ => {
+        val in = fs.open(new Path(full))
+        try FileStats.readSidecar(in) finally in.close()
+      }))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Max total deletion-vector rows that ride a broadcast anti-join;
     * beyond this the join shuffles the scan side. DVs are meant to hold a
     * sliver of a table (heavy deletion is what compaction — which purges
@@ -1229,9 +1251,13 @@ object Snapshots {
     // predicate skips on data AND partition columns uniformly.
     val pruned =
       if (dataFilter == null) partPruned
-      else partPruned.filter { a =>
-        val stats = statsWithPartition(a)
-        FileStats.mayMatch(mapping.fold(stats)(_.statsToLogical(stats)), dataFilter)
+      else {
+        val loader = sidecarBloomLoader(fs, warehouse)
+        partPruned.filter { a =>
+          val stats = statsWithPartition(a)
+          FileStats.mayMatch(mapping.fold(stats)(_.statsToLogical(stats)),
+            dataFilter, loader)
+        }
       }
     val partitioned = all.exists(_.partition.nonEmpty)
     val reader0 = spark.read.option("mergeSchema", mergeSchema)

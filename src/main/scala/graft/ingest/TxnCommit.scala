@@ -97,6 +97,15 @@ object TxnCommit {
   private def isDvDest(p: String): Boolean =
     new Path(p).getParent.getParent.getName == "_dv"
 
+  /** Is this destination a sidecar bloom file (spilled by the stats
+    * collector under `<warehouse>/_bloomidx/<table>/` for bitsets too big
+    * for a log line)? Rides the manifest — atomic with the data whose ADD
+    * line points at it — but never becomes an ADD itself. Sidecars of
+    * later-removed data files linger until the table dir is dropped
+    * (sub-1% of data size; the pointer dies with its ADD line). */
+  private def isBloomDest(p: String): Boolean =
+    new Path(p).getParent.getParent.getName == "_bloomidx"
+
   /** Schema enforcement at the commit point (the Delta stance): every
     * staged file's top-level columns must type-match the table's current
     * committed schema on shared names — new columns are additive evolution
@@ -191,11 +200,32 @@ object TxnCommit {
              baseVersion: Option[Long] = None,
              dvAttach: Seq[(String, String, Long)] = Nil,
              fileGranularOcc: Boolean = false): Unit = {
+    // Oversized blooms spill to sidecar files STAGED with this commit:
+    // their moves join the manifest, so they publish (or replay) with the
+    // data whose ADD lines point at them — crash-atomic either way.
+    val sidecarMoves = scala.collection.mutable.ListBuffer.empty[Move]
+    def spillFor(dest: String): (String, String, Seq[Array[Byte]]) => Option[String] = {
+      val table = tableOf(dest)
+      val base = new Path(dest).getName
+      (colName, _, bitsets) => {
+        val name = base + "." +
+          java.net.URLEncoder.encode(colName, "UTF-8") + ".bloom"
+        val rel = s"_bloomidx/$table/$name"
+        val src = new Path(s"${stagingDir(warehouse, commitId)}/$rel")
+        fs.mkdirs(src.getParent)
+        val out = fs.create(src, true)
+        try FileStats.writeSidecar(out, bitsets) finally out.close()
+        sidecarMoves += Move(src.toString, s"$warehouse/$rel")
+        Some(rel)
+      }
+    }
     val statsFor: Map[String, String] = moves
       .filterNot(m => isChangeDest(m.dest) || isDvDest(m.dest))
-      .map(m => m.dest -> FileStats.collect(fs.getConf, new Path(m.src)))
+      .map(m => m.dest ->
+        FileStats.collect(fs.getConf, new Path(m.src), spillFor(m.dest)))
       .filter(_._2.nonEmpty).toMap
     validateSchemas(fs, warehouse, statsFor)
+    val allMoves = moves ++ sidecarMoves
     fs.mkdirs(commitsDir(warehouse))
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
     // The op tag and OCC base version ride the manifest so a crash-recovery
@@ -211,7 +241,7 @@ object TxnCommit {
     Snapshots.putIfAbsent(fs, fin,
       (Seq(s"#OP\t$op") ++ baseVersion.map(v => s"#BASE\t$v") ++
         (if (fileGranularOcc) Seq("#GRANULAR\tfile") else Nil) ++
-        (moves.map(m =>
+        (allMoves.map(m =>
           s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
           deletes.map(d => s"DEL\t$d") ++
           retained.map(r => s"RM\t$r") ++
@@ -232,9 +262,15 @@ object TxnCommit {
               replay: Boolean = false,
               dvAttach: Seq[(String, String, Long)] = Nil,
               fileGranularOcc: Boolean = false): Unit = {
+    // The manifest's move list is authoritative when present: commit()
+    // may have appended sidecar-bloom moves the caller never saw (their
+    // dests must publish with the data whose ADD lines point at them).
+    val mf0 = new Path(commitsDir(warehouse), s"$commitId.manifest")
+    val manifest = if (fs.exists(mf0)) Some(readManifest(fs, mf0)) else None
+    val effMoves = manifest.map(_.moves).getOrElse(moves)
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
-    moves.foreach { m =>
+    effMoves.foreach { m =>
       if (failAfter.contains(applied))
         throw new IllegalStateException(s"injected crash after $applied moves")
       val src = new Path(m.src)
@@ -248,16 +284,15 @@ object TxnCommit {
       }
       applied += 1
     }
-    val (cdfMoves, rest) = moves.partition(m => isChangeDest(m.dest))
-    val dataMoves = rest.filterNot(m => isDvDest(m.dest))
+    val (cdfMoves, rest) = effMoves.partition(m => isChangeDest(m.dest))
+    val dataMoves =
+      rest.filterNot(m => isDvDest(m.dest) || isBloomDest(m.dest))
     // Stats were collected (and schema-validated) at the commit point and
     // ride the manifest; a manifest from before stats existed falls back
     // to one footer read per published file. Either way the [min,max] land
     // on the ADD lines so readers and merges skip files from the log alone.
     // DV attachments prefer the manifest copy (the live arg and the
     // manifest agree; a crash-recovery replay only has the manifest).
-    val mf0 = new Path(commitsDir(warehouse), s"$commitId.manifest")
-    val manifest = if (fs.exists(mf0)) Some(readManifest(fs, mf0)) else None
     val fromManifest: Map[String, String] =
       manifest.map(_.statsFor).getOrElse(Map.empty)
     val statsFor = dataMoves.map(m => m.dest -> fromManifest.getOrElse(m.dest,
@@ -287,7 +322,7 @@ object TxnCommit {
         val ab = new Path(commitsDir(warehouse), s"$commitId.aborted")
         if (fs.exists(mf) && !fs.rename(mf, ab) && !fs.exists(ab))
           throw new IllegalStateException(s"abort rename failed for $commitId")
-        rollback(fs, warehouse, commitId, moves)
+        rollback(fs, warehouse, commitId, effMoves)
         throw e
     }
     deletes.foreach(d => fs.delete(new Path(d), false))

@@ -274,6 +274,69 @@ class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 100L)
   }
 
+  test("oversized blooms spill to sidecar files and still prune") {
+    val w = wh("sidecar")
+    // ndv 200k → ~256 KB bitset, past the 64 KB log cap: the payload must
+    // land in _bloomidx/ with only a pointer on the ADD line.
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "doc_id", "bloom.ndv" -> "200000"))
+    build(w, bloom = false) // property already set; build() publishes via it
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    acts.foreach { a =>
+      val st = FileStats.decode(a.stats).get
+      assert(st.blooms.isEmpty, "payload must not ride the log line")
+      assert(st.bloomRefs.get("doc_id").exists(_.path.startsWith("_bloomidx/")),
+        s"expected a sidecar pointer, got ${st.bloomRefs}")
+      assert(a.stats.length < 8192, s"token still huge: ${a.stats.length}")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$w/${st.bloomRefs("doc_id").path}")), "sidecar file missing")
+    }
+    // Pruning through the pointer: 1 of 4 candidates, delete lands.
+    val r = Merge.deleteKeysDv(spark, w, "docs", keyDf("doc-0005"),
+      Seq("doc_id"))
+    assert(r.filesScanned == 1 && r.rowsMatched == 1,
+      s"sidecar bloom should plan exactly 1 file: $r")
+    // readWhere point lookup prunes through the loader too.
+    assert(Snapshots.readWhere(spark, w, "docs",
+      col("doc_id") === "doc-0013").count() == 1L)
+  }
+
+  test("a sidecar-bloom commit replays through crash recovery intact") {
+    val w = wh("sidecar-crash")
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "doc_id", "bloom.ndv" -> "200000"))
+    val cid = java.util.UUID.randomUUID().toString
+    docs(0, 1, 100).coalesce(1).write
+      .options(Snapshots.bloomWriteOptionsFor(fs, w, "docs", None))
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+    val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+    TxnCommit.commit(fs, w, cid, moves)
+    // Crash between commit point and publish: recovery must move the
+    // SIDECAR with the data (the manifest is authoritative).
+    TxnCommit.recover(fs, w)
+    val st = FileStats.decode(
+      Snapshots.fileMeta(fs, w, "docs").get.head.stats).get
+    assert(st.bloomRefs.contains("doc_id"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$w/${st.bloomRefs("doc_id").path}")),
+      "recovery dropped the sidecar file")
+    assert(Snapshots.read(spark, w, "docs").count() == 100L)
+  }
+
+  test("a lost sidecar keeps files instead of mis-pruning") {
+    val w = wh("sidecar-lost")
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "doc_id", "bloom.ndv" -> "200000"))
+    build(w, bloom = false)
+    // Delete every sidecar out from under the pointers.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$w/_bloomidx"), true)
+    val r = Merge.deleteKeysDv(spark, w, "docs", keyDf("doc-0005"),
+      Seq("doc_id"))
+    // No pruning (all 4 candidates) — but never a lost deletion.
+    assert(r.filesScanned == 4 && r.rowsMatched == 1,
+      s"missing sidecar must degrade to keep-all: $r")
+  }
+
   test("stats token with blooms round-trips through encode/decode") {
     val bits = Array.tabulate(64)(_.toByte)
     val st = FileStats.Stats(10L,
