@@ -601,6 +601,18 @@ object FileStats {
     acc.toSeq
   }
 
+  /** The warehouse-relative sidecar paths a stats token points at —
+    * a LIGHT parse (no base64 decode of inline payloads) for vacuum's
+    * reference sweep. */
+  def sidecarPaths(token: String): Seq[String] =
+    if (token == null || !token.contains("B:")) Nil
+    else token.split("\\|").toSeq.filter(_.startsWith("B:")).flatMap { p =>
+      p.stripPrefix("B:").split(",", 3) match {
+        case Array(_, _, path) => Some(dec(path))
+        case _ => None
+      }
+    }
+
   /** Columns appearing in an equality leaf of `pred` — the only leaves a
     * sidecar bloom can serve, so only these are worth a load. */
   def eqColumns(pred: Pred): Set[String] = pred match {

@@ -658,6 +658,21 @@ object Snapshots {
         .filter(st => now - st.getModificationTime >= minAgeMs)
         .foreach(st => fs.delete(st.getPath, false))
     }
+    // Sidecar bloom files: referenced iff some retained ADD's stats token
+    // still points at them (a removed data file's pointer dies with its
+    // ADD line, truncation included) — reap the rest under the same age
+    // guard. Light token scan, no base64 decoding.
+    val sidecarRefs: Set[String] = acts.filter(_.add)
+      .flatMap(a => FileStats.sidecarPaths(a.stats))
+      .map(p => new Path(s"$warehouse/$p").toUri.getPath).toSet
+    val bloomRoot = new Path(s"$warehouse/_bloomidx")
+    if (fs.exists(bloomRoot))
+      fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory).foreach { td =>
+        fs.listStatus(td.getPath).toSeq.filter(_.isFile)
+          .filterNot(st => sidecarRefs(st.getPath.toUri.getPath))
+          .filter(st => now - st.getModificationTime >= minAgeMs)
+          .foreach(st => fs.delete(st.getPath, false))
+      }
   }
 
   /** Resolve the snapshot version that was latest at `tsMillis` (Delta's

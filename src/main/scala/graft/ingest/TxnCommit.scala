@@ -100,9 +100,9 @@ object TxnCommit {
   /** Is this destination a sidecar bloom file (spilled by the stats
     * collector under `<warehouse>/_bloomidx/<table>/` for bitsets too big
     * for a log line)? Rides the manifest — atomic with the data whose ADD
-    * line points at it — but never becomes an ADD itself. Sidecars of
-    * later-removed data files linger until the table dir is dropped
-    * (sub-1% of data size; the pointer dies with its ADD line). */
+    * line points at it — but never becomes an ADD itself. A sidecar whose
+    * last pointing ADD line leaves the retained log is reaped by
+    * [[Snapshots.vacuum]]'s orphan sweep. */
   private def isBloomDest(p: String): Boolean =
     new Path(p).getParent.getParent.getName == "_bloomidx"
 

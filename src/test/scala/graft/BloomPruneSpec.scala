@@ -337,6 +337,32 @@ class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing sidecar must degrade to keep-all: $r")
   }
 
+  test("vacuum reaps sidecars of truncated files, keeps live ones") {
+    val w = wh("sidecar-vacuum")
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "doc_id", "bloom.ndv" -> "200000"))
+    build(w, bloom = false, files = 2, n = 100)
+    def sidecars(): Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$w/_bloomidx/docs")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(_.getPath.getName).toSet
+    }
+    val before = sidecars()
+    assert(before.size == 2, s"expected 2 sidecars, got $before")
+    // Compaction rewrites both files (new sidecars spill for the packed
+    // output); vacuum to 1 version truncates the originals' ADD lines.
+    graft.ingest.Compaction.compact(spark, w, "docs", minInputFiles = 2)
+    Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 0L)
+    val after = sidecars()
+    assert(before.forall(!after(_)),
+      s"truncated files' sidecars must be reaped: $before ∩ $after")
+    assert(after.nonEmpty, "the live compacted file keeps its sidecar")
+    // And the surviving pointer still prunes/serves correctly.
+    val r = Merge.deleteKeysDv(spark, w, "docs", keyDf("doc-0005"),
+      Seq("doc_id"))
+    assert(r.rowsMatched == 1)
+  }
+
   test("stats token with blooms round-trips through encode/decode") {
     val bits = Array.tabulate(64)(_.toByte)
     val st = FileStats.Stats(10L,

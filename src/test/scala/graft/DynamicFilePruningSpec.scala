@@ -104,4 +104,33 @@ class DynamicFilePruningSpec extends AnyFunSuite with BeforeAndAfterAll {
       dim.filter($"k" < 0).select("k"))
     assert(empty.inputFiles.length <= 1 && empty.count() == 0)
   }
+
+  test("blooms extend DPP to NON-clustered fact tables") {
+    val s0 = spark
+    import s0.implicits._
+    // Interleaved keys: every file's [min,max] spans the whole key space,
+    // so range stats alone cannot prune — the per-file bloom
+    // (bloom.columns table property, consulted by the append writer) is
+    // what makes the dim's point keys selective.
+    val w2 = dir.resolve("wh-bloom").toString
+    Snapshots.setProperties(fs, w2, "fact",
+      Map("bloom.columns" -> "k", "bloom.ndv" -> "1000"))
+    (0 until 4).foreach { i =>
+      val cid = java.util.UUID.randomUUID().toString
+      (0 until 400).filter(_ % 4 == i).map(k => (k.toLong, s"payload$k"))
+        .toDF("k", "payload").coalesce(1)
+        .write.options(Snapshots.bloomWriteOptionsFor(fs, w2, "fact", None))
+        .parquet(s"${TxnCommit.stagingDir(w2, cid)}/fact")
+      val moves = TxnCommit.movesFor(fs, w2, cid, "fact")
+      TxnCommit.commit(fs, w2, cid, moves)
+      TxnCommit.publish(fs, w2, cid, moves)
+    }
+    // Dim keys all ≡ 1 (mod 4) → they live in file 1 alone.
+    val dim = (1L until 400L by 4L).take(20).map(k => (k, s"d$k"))
+      .toDF("k", "dname")
+    val pruned = DynamicFilePruning.joinPruned(spark, w2, "fact", "k", dim, "k")
+    assert(pruned.inputFiles.length == 1,
+      s"bloom-backed DPP should plan 1 of 4 files, planned ${pruned.inputFiles.length}")
+    assert(pruned.count() == 20L)
+  }
 }
