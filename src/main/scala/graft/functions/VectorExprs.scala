@@ -283,4 +283,95 @@ object VectorExprs {
                   ksub: Int, dsub: Int): Column =
     ColumnBridge.column(PqCosine(ColumnBridge.expression(q),
       ColumnBridge.expression(code), codebooks, m, ksub, dsub))
+
+  /** Per-query ADC lookup table — the classic IVF-PQ optimization: the
+    * query's dot product against EVERY sub-centroid is computed ONCE
+    * (O(ksub·dim) on the small query side, before the candidate join),
+    * so each candidate then scores in O(m) table lookups instead of an
+    * O(dim) reconstruction ([[PqLutScore]]). Layout: m·ksub partial dots
+    * followed by the query's squared norm. */
+  case class PqLut(child: Expression, codebooks: Array[Float],
+                   m: Int, ksub: Int, dsub: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      VectorExprs.pqLut(input.asInstanceOf[ArrayData], codebooks, m, ksub, dsub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.pqLut($c, $ref, $m, $ksub, $dsub);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqLut =
+      copy(child = newChild)
+  }
+
+  def pqLut(vec: ArrayData, cb: Array[Float], m: Int, ksub: Int,
+            dsub: Int): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Double](m * ksub + 1)
+    var nq = 0.0
+    var j = 0
+    while (j < m) {
+      var k0 = 0
+      while (k0 < ksub) {
+        val off = (j * ksub + k0) * dsub
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          val idx = j * dsub + i
+          val x = if (idx < n) vec.getFloat(idx).toDouble else 0.0
+          dot += x * cb(off + i).toDouble
+          i += 1
+        }
+        out(j * ksub + k0) = dot
+        k0 += 1
+      }
+      j += 1
+    }
+    var i = 0
+    while (i < n) { val x = vec.getFloat(i).toDouble; nq += x * x; i += 1 }
+    out(m * ksub) = nq
+    new GenericArrayData(out)
+  }
+
+  def pqLutCol(q: Column, codebooks: Array[Float], m: Int, ksub: Int,
+               dsub: Int): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(q), codebooks, m, ksub, dsub))
+
+  /** O(m) ADC cosine from a precomputed [[PqLut]] and the model-constant
+    * per-sub-centroid squared norms (`norms`, length m·ksub). */
+  case class PqLutScore(left: Expression, right: Expression,
+                        norms: Array[Double], m: Int, ksub: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(lut: Any, code: Any): Any =
+      VectorExprs.pqLutScore(lut.asInstanceOf[ArrayData],
+        code.asInstanceOf[Array[Byte]], norms, m, ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("norms", norms, "double[]")
+      nullSafeCodeGen(ctx, ev, (l, c) =>
+        s"${ev.value} = graft.functions.VectorExprs.pqLutScore($l, $c, $ref, $m, $ksub);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqLutScore =
+      copy(left = l, right = r)
+  }
+
+  def pqLutScore(lut: ArrayData, code: Array[Byte], norms: Array[Double],
+                 m: Int, ksub: Int): Double = {
+    var dot = 0.0; var nc = 0.0
+    var j = 0
+    while (j < m) {
+      val k0 = code(j) & 0xff
+      dot += lut.getDouble(j * ksub + k0)
+      nc += norms(j * ksub + k0)
+      j += 1
+    }
+    dot / math.sqrt(lut.getDouble(m * ksub) * nc)
+  }
+
+  def pqLutScoreCol(lut: Column, code: Column, norms: Array[Double],
+                    m: Int, ksub: Int): Column =
+    ColumnBridge.column(PqLutScore(ColumnBridge.expression(lut),
+      ColumnBridge.expression(code), norms, m, ksub))
 }

@@ -454,14 +454,19 @@ object IvfStore {
     val postings = Snapshots.read(spark, warehouse, PqCellTable,
         dataFilter = probed.map(c => FileStats.eq("cell", c)).reduce(_ or _))
       .filter(col("cell").isInCollection(probed))
+    // The ADC lookup table is computed ONCE per query row (O(ksub·dim),
+    // query side, before the fan-out join); every candidate then scores
+    // in O(m) lookups — at m=8, dim=64 that is 8 adds per candidate
+    // instead of a 64-float reconstruction.
     val qb = q.withColumn("cell",
-      explode(VectorExprs.nearestCellsCol(col("q_vec"), coarse.flat,
-        coarse.dim, np)))
+        explode(VectorExprs.nearestCellsCol(col("q_vec"), coarse.flat,
+          coarse.dim, np)))
+      .withColumn("_lut", Pq.lutCol(col("q_vec"), pq))
     val w = Window.partitionBy("q_id")
       .orderBy(col("psim").desc, col("vec_id"))
     val shortlist = broadcast(qb).join(postings, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("psim", Pq.adcCosineCol(col("q_vec"), col("pq_code"), pq))
+      .withColumn("psim", Pq.lutScoreCol(col("_lut"), col("pq_code"), pq))
       .withColumn("prnk", row_number().over(w))
       .filter(col("prnk") <= k.toLong * refine)
       .select("q_id", "q_vec", "vec_id")

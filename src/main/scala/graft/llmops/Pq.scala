@@ -35,6 +35,21 @@ object Pq {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     require(ksub <= 256, s"ksub=$ksub must fit one byte per subspace")
     def dsub: Int = dim / m
+    /** Squared norm of every sub-centroid — a model constant the O(m)
+      * LUT scorer folds in instead of re-deriving per candidate. */
+    lazy val subNorms: Array[Double] = {
+      val out = new Array[Double](m * ksub)
+      var cell = 0
+      while (cell < m * ksub) {
+        val off = cell * dsub
+        var s = 0.0
+        var i = 0
+        while (i < dsub) { val y = codebooks(off + i).toDouble; s += y * y; i += 1 }
+        out(cell) = s
+        cell += 1
+      }
+      out
+    }
   }
 
   def encodeCol(vec: Column, model: Model): Column =
@@ -43,6 +58,14 @@ object Pq {
   def adcCosineCol(qVec: Column, code: Column, model: Model): Column =
     VectorExprs.pqCosineCol(qVec, code, model.codebooks, model.m, model.ksub,
       model.dsub)
+
+  /** Per-query ADC table: compute once on the (small) query side, score
+    * candidates with [[lutScoreCol]] in O(m) lookups each. */
+  def lutCol(qVec: Column, model: Model): Column =
+    VectorExprs.pqLutCol(qVec, model.codebooks, model.m, model.ksub, model.dsub)
+
+  def lutScoreCol(lut: Column, code: Column, model: Model): Column =
+    VectorExprs.pqLutScoreCol(lut, code, model.subNorms, model.m, model.ksub)
 
   /** Deterministic per-subspace k-means, all `m` subspaces in one
     * aggregate: seeds are the ksub corpus vectors with the smallest

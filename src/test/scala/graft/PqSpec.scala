@@ -95,6 +95,25 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mae < 0.08, s"mean |approx - exact| too high: $mae")
   }
 
+  test("LUT scoring equals direct code reconstruction") {
+    val corpus = embDf(128)
+    val model = Pq.train(corpus, Dim, m = 8, ksub = 16, iters = 2)
+    val s0 = spark
+    import s0.implicits._
+    val pairs = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"))
+      .crossJoin(corpus.limit(64)
+        .select(Pq.encodeCol(col("embedding"), model).as("code")))
+    val both = pairs.select(
+        Pq.adcCosineCol(col("q_vec"), col("code"), model).as("direct"),
+        Pq.lutScoreCol(Pq.lutCol(col("q_vec"), model), col("code"), model)
+          .as("lut"))
+      .as[(Double, Double)].collect()
+    // Same math, different double-summation order — last-ulp tolerance.
+    both.foreach { case (d, l) =>
+      assert(math.abs(d - l) < 1e-9, s"direct=$d lut=$l") }
+  }
+
   test("persisted PQ index: one-commit build, recall gate, tiny postings") {
     val w = wh("store")
     pubEmb(w, embDf(512))
