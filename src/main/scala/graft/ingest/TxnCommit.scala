@@ -183,6 +183,89 @@ object TxnCommit {
           }
     }
 
+  /** Stats-verifiable constraints, enforced at the commit point — the
+    * Delta CHECK/NOT NULL analog restricted to the classes per-file
+    * statistics decide EXACTLY, so enforcement is a driver-side token
+    * check, not a data pass:
+    *
+    *   - `constraint.notnull` = comma-joined columns: a file violates iff
+    *     its null count is nonzero (parquet null counts are exact), or
+    *     the column is missing from the file entirely (reads would serve
+    *     nulls). Partition columns cannot be constrained — they live in
+    *     directory names, not files (and are never null in Hive layout).
+    *   - `constraint.bounds.<col>` = "lo,hi" (either side may be empty):
+    *     numeric columns only — a numeric [min,max] is a pair of ACTUAL
+    *     row values, so min < lo ⇔ a violating row exists. String bounds
+    *     are refused (writers may truncate string statistics).
+    *
+    * Violations throw BEFORE the commit point: a violating DML rewrite or
+    * append aborts wholesale, staging is reclaimed, nothing becomes
+    * visible. Constraints apply to commits made AFTER the property lands;
+    * validate existing data before adding one. */
+  private def validateConstraints(fs: FileSystem, warehouse: String,
+                                  statsFor: Map[String, String]): Unit =
+    statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
+      case (table, destStats) =>
+        val props = Snapshots.properties(fs, warehouse, table)
+        val notNull = props.get("constraint.notnull")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val bounds = props.collect {
+          case (k, v) if k.startsWith("constraint.bounds.") =>
+            k.stripPrefix("constraint.bounds.") -> v
+        }
+        if (notNull.nonEmpty || bounds.nonEmpty)
+          destStats.foreach { case (dest, token) =>
+            val st = FileStats.decode(token).getOrElse(
+              throw new IllegalArgumentException(
+                s"table '$table' carries constraints but staged file $dest " +
+                  "has no readable statistics — constraints need parquet stats"))
+            val schemaCols = st.schema.map(_._1).toSet
+            notNull.foreach { c =>
+              if (!schemaCols(c))
+                throw new IllegalArgumentException(
+                  s"NOT NULL constraint on '$c' of '$table': staged file " +
+                    s"$dest has no such column (reads would serve nulls)")
+              st.nulls.get(c) match {
+                case Some(0L) => ()
+                case Some(n) => throw new IllegalArgumentException(
+                  s"NOT NULL constraint on '$c' of '$table' violated: " +
+                    s"staged file $dest holds $n null row(s)")
+                case None => throw new IllegalArgumentException(
+                  s"NOT NULL constraint on '$c' of '$table': staged file " +
+                    s"$dest reports no null count for it — unverifiable")
+              }
+            }
+            bounds.foreach { case (c, spec) =>
+              val Array(lo, hi) = spec.split(",", 2).padTo(2, "")
+              val cs = st.cols.getOrElse(c,
+                throw new IllegalArgumentException(
+                  s"bounds constraint on '$c' of '$table': staged file " +
+                    s"$dest has no [min,max] for it — unverifiable"))
+              // BigDecimal: exact for both long and double stats strings
+              // (a double near 2^63 rendered through Double would corrupt
+              // a long comparison). NaN bounds are unverifiable.
+              def num(s: String, what: String): BigDecimal =
+                try BigDecimal(s) catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"bounds constraint on '$c' of '$table': $what '$s' " +
+                      "is not an exact numeric — unverifiable")
+                }
+              if (cs.typ != "long" && cs.typ != "double")
+                throw new IllegalArgumentException(
+                  s"bounds constraint on '$c' of '$table': only numeric " +
+                    s"columns are exactly verifiable from stats (got ${cs.typ})")
+              if (lo.nonEmpty && num(cs.min, "file min") < num(lo, "bound"))
+                throw new IllegalArgumentException(
+                  s"bounds constraint on '$c' of '$table' violated: staged " +
+                    s"file $dest holds ${cs.min} < $lo")
+              if (hi.nonEmpty && num(cs.max, "file max") > num(hi, "bound"))
+                throw new IllegalArgumentException(
+                  s"bounds constraint on '$c' of '$table' violated: staged " +
+                    s"file $dest holds ${cs.max} > $hi")
+            }
+          }
+    }
+
   /** COMMIT point: persist the manifest (tmp + atomic rename). Two flavours
     * of swap-out are recorded for recovery: `DEL\t<path>` (logically removed
     * AND physically deleted at publish) and `RM\t<path>` (logically removed
@@ -225,6 +308,7 @@ object TxnCommit {
         FileStats.collect(fs.getConf, new Path(m.src), spillFor(m.dest)))
       .filter(_._2.nonEmpty).toMap
     validateSchemas(fs, warehouse, statsFor)
+    validateConstraints(fs, warehouse, statsFor)
     val allMoves = moves ++ sidecarMoves
     fs.mkdirs(commitsDir(warehouse))
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")

@@ -1161,6 +1161,48 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 1.5), (4L, 4.5), (3000000000L, 3.5)))
   }
 
+  test("stats-verifiable constraints enforce NOT NULL and numeric bounds") {
+    val w = wh("constraints")
+    val s0 = spark
+    import s0.implicits._
+    Snapshots.setProperties(fs, w, "t", Map(
+      "constraint.notnull" -> "name",
+      "constraint.bounds.id" -> "0,1000"))
+    def tryCommit(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    // Clean data commits.
+    tryCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    assert(Snapshots.read(spark, w, "t").count() == 2)
+    // A null in a NOT NULL column aborts before anything is visible.
+    val exN = intercept[IllegalArgumentException](tryCommit(
+      Seq((3L, "c"), (4L, null)).toDF("id", "name")))
+    assert(exN.getMessage.contains("NOT NULL") &&
+      exN.getMessage.contains("1 null row"))
+    // A row outside the bounds aborts too — min/max are actual row values,
+    // so the check is exact, not may-contain.
+    val exB = intercept[IllegalArgumentException](tryCommit(
+      Seq((5L, "e"), (-7L, "f")).toDF("id", "name")))
+    assert(exB.getMessage.contains("bounds") && exB.getMessage.contains("-7"))
+    // A violating UPDATE aborts wholesale through the same commit gate.
+    import org.apache.spark.sql.functions.{col, lit}
+    val exU = intercept[IllegalArgumentException](
+      Merge.updateWhere(spark, w, "t", col("id") === 1L,
+        Map("id" -> lit(5000L))))
+    assert(exU.getMessage.contains("bounds"))
+    // Nothing of the aborted commits became visible.
+    assert(Snapshots.read(spark, w, "t").orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // Dropping the constraint re-opens the gate.
+    Snapshots.setProperties(fs, w, "t", Map("constraint.bounds.id" -> ""))
+    tryCommit(Seq((-7L, "g")).toDF("id", "name"))
+    assert(Snapshots.read(spark, w, "t").count() == 3)
+  }
+
   test("reserved engine column names are rejected at the commit point") {
     val w = wh("reserved")
     val s0 = spark
