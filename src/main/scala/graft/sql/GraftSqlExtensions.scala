@@ -34,6 +34,8 @@ import graft.ingest.{Compaction, Snapshots}
   * OPTIMIZE t WHERE dt='2024-01-01'       -- partition-scoped maintenance
   * OPTIMIZE t ZORDER BY (a, b)            -- multi-dim clustering rewrite
   * VACUUM SNAPSHOTS RETAIN 8 VERSIONS [MAX AGE 168 HOURS]
+  * ALTER TABLE t ADD COLUMN c [type]       -- metadata-only evolution
+  * DESCRIBE DETAIL t                      -- files/bytes/rows/partitions/props
   * ALTER TABLE t SET TBLPROPERTIES ('bloom.columns'='doc_id')
   * ALTER TABLE t UNSET TBLPROPERTIES ('bloom.columns')
   * SHOW TBLPROPERTIES t                   -- (key, value) rows
@@ -166,6 +168,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*".r
   private val DropColRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
+  // ADD COLUMN is metadata-only under the mapping (the physical name is
+  // assigned fresh; pre-add files read null) — type is accepted for
+  // familiarity but additive evolution infers it from the first write.
+  private val AddColRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)(?:\s+\w+(?:\([^)]*\))?)?\s*".r
+  private val DescribeDetailRe =
+    raw"(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*".r
   // Delta's TBLPROPERTIES family over the snapshot log's property META
   // lines ([[Snapshots.setProperties]]) — how SQL users configure bloom
   // columns and future writer knobs.
@@ -287,6 +296,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, name, None)
+    case AddColRe(table, name) if isGraftTable(table) =>
+      GraftAddColumnCommand(warehouse, table, name)
+    case DescribeDetailRe(table) if isGraftTable(table) =>
+      // A read, materialized at parse time like SHOW TBLPROPERTIES —
+      // everything comes from the log (no footer opens, no data).
+      val fs = new Path(warehouse).getFileSystem(
+        session.sparkContext.hadoopConfiguration)
+      val acts = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
+      val stats = acts.map(a => graft.ingest.FileStats.decode(a.stats))
+      val numRows = stats.map(_.map(_.rows).getOrElse(-1L))
+      val partCols = Snapshots.partitionColumns(acts.map(_.partition))
+      val props = Snapshots.properties(fs, warehouse, table)
+      val bytes = acts.map(a =>
+        try fs.getFileStatus(new Path(a.file)).getLen
+        catch { case scala.util.control.NonFatal(_) => 0L }).sum
+      import session.implicits._
+      Seq((table, acts.size.toLong, bytes,
+          if (numRows.exists(_ < 0)) -1L else numRows.sum,
+          acts.count(_.dv.nonEmpty).toLong,
+          partCols.mkString(","),
+          props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
+        .toDF("table", "num_files", "size_bytes", "num_rows",
+          "files_with_deletion_vectors", "partition_columns", "properties")
+        .queryExecution.logical
     case SetPropsRe(table, pairs) if isGraftPropsTable(table) =>
       val kvs = PropPairRe.findAllMatchIn(pairs)
         .map(m => m.group(1) -> m.group(2)).toMap
@@ -507,6 +540,17 @@ case class GraftAlterColumnCommand(warehouse: String, table: String,
     }
     Nil
   }
+}
+
+/** `ALTER TABLE t ADD COLUMN c [type]` → [[graft.ingest.SchemaEvolution
+  * .addColumn]]: one metadata commit; the assigned physical name is
+  * returned (fresh — a previously-dropped name is never reused). */
+case class GraftAddColumnCommand(warehouse: String, table: String,
+                                 column: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("physical_name", StringType)())
+  override def run(session: SparkSession): Seq[Row] = Seq(Row(
+    graft.ingest.SchemaEvolution.addColumn(session, warehouse, table, column)))
 }
 
 /** `VACUUM SNAPSHOTS [RETAIN n VERSIONS] [MAX AGE h HOURS]` →

@@ -343,6 +343,33 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.blooms.contains("name"), "first commit should carry the bloom")
   }
 
+  test("ALTER TABLE ADD COLUMN and DESCRIBE DETAIL") {
+    val s0 = spark
+    import s0.implicits._
+    // Fresh table so column evolution doesn't disturb sibling tests.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/addcol")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "addcol")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+
+    val phys = spark.sql("ALTER TABLE addcol ADD COLUMN note STRING")
+      .collect().head.getString(0)
+    assert(phys == "note")
+    // The new column reads as null for pre-add files (additive semantics).
+    val got = Snapshots.read(spark, wh, "addcol", mergeSchema = true)
+    assert(got.columns.contains("note"))
+    assert(got.select("note").collect().forall(_.isNullAt(0)))
+
+    val detail = spark.sql("DESCRIBE DETAIL addcol").collect().head
+    assert(detail.getAs[String]("table") == "addcol")
+    assert(detail.getAs[Long]("num_files") == 1L)
+    assert(detail.getAs[Long]("num_rows") == 2L)
+    assert(detail.getAs[Long]("size_bytes") > 0L)
+    assert(detail.getAs[Long]("files_with_deletion_vectors") == 0L)
+  }
+
   test("an unreachable warehouse never breaks parsing of non-graft DML") {
     val prev = spark.conf.get("spark.graft.warehouse")
     // An unresolvable filesystem: the probe's getFileSystem/exists throws
