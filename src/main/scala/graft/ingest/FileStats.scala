@@ -601,6 +601,19 @@ object FileStats {
     acc.toSeq
   }
 
+  /** Schema tags alone from a token — a LIGHT parse for the hot read
+    * path's width-mix detection and commit-time schema lookups: a full
+    * [[decode]] would base64-decode every inline bloom payload (up to
+    * 64 KB per column per file) just to read the `s:` entries. */
+  def schemaTags(token: String): Seq[(String, String)] =
+    if (token == null || token.isEmpty || !token.startsWith("rows=")) Nil
+    else token.split("\\|").toSeq.filter(_.startsWith("s:")).flatMap { p =>
+      p.stripPrefix("s:").split(",", 2) match {
+        case Array(n, t) => Some(dec(n) -> dec(t))
+        case _ => None
+      }
+    }
+
   /** The warehouse-relative sidecar paths a stats token points at —
     * a LIGHT parse (no base64 decode of inline payloads) for vacuum's
     * reference sweep. */

@@ -970,13 +970,17 @@ object Snapshots {
     * the key space cannot collide with a real table's column mapping.
     *
     * Property commits are metadata-only and deliberately do NOT conflict
-    * with in-flight data commits (their OCC key is the pseudo-table):
-    * today's properties are advisory writer configuration — bloom columns
-    * ([[bloomWriteOptionsFor]]) — where racing a rewrite is benign: the
-    * rewrite stages files under the config it read, exactly like a writer
-    * that started before the change. A future property whose correctness
-    * spans table state (e.g. a CHECK constraint) must commit under the
-    * REAL table key instead so it aborts rivals. */
+    * with in-flight data commits (their OCC key is the pseudo-table).
+    * For advisory writer configuration — bloom columns
+    * ([[bloomWriteOptionsFor]]) — racing a rewrite is benign: the rewrite
+    * stages files under the config it read, exactly like a writer that
+    * started before the change. CONSTRAINT properties
+    * ([[TxnCommit.validateConstraints]]) additionally re-validate at
+    * publish, the last point before visibility, so a property landing
+    * while a violating commit is in flight aborts it there; the
+    * documented activation contract (a constraint binds commits
+    * validated after it lands — validate existing data when adding one)
+    * covers the remaining claim-window sliver. */
   private def propsKey(table: String) = s"$table#props"
 
   private def encodeProps(props: Map[String, String]): String = {
@@ -1040,10 +1044,16 @@ object Snapshots {
 
   /** Process-wide sidecar-bloom cache: one file holds one column's
     * bitsets for one data file (≤ [[FileStats.MaxBloomSidecarBytes]]);
-    * repeat probes across queries/DML hit memory. Cleared wholesale past
-    * a bound — correctness never depends on it. */
+    * repeat probes across queries/DML hit memory. Bounded by BYTES, not
+    * entries (128 near-cap sidecars would otherwise pin ~1 GB of driver
+    * heap), cleared wholesale past the bound — correctness never depends
+    * on it. */
   private val sidecarBloomCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Byte]]]()
+  private val sidecarBloomCacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val SidecarCacheMaxBytes: Long =
+    sys.props.get("graft.bloom.cacheMaxBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
 
   /** Loader for [[FileStats.mayMatch]]'s sidecar-resolution variant.
     * A missing/corrupt sidecar returns None — the caller keeps the file
@@ -1052,10 +1062,15 @@ object Snapshots {
       : FileStats.BloomRef => Option[Seq[Array[Byte]]] = ref => {
     val full = s"$warehouse/${ref.path}"
     try {
-      if (sidecarBloomCache.size > 128) sidecarBloomCache.clear()
+      if (sidecarBloomCacheBytes.get > SidecarCacheMaxBytes) {
+        sidecarBloomCache.clear()
+        sidecarBloomCacheBytes.set(0)
+      }
       Some(sidecarBloomCache.computeIfAbsent(full, _ => {
         val in = fs.open(new Path(full))
-        try FileStats.readSidecar(in) finally in.close()
+        val bits = try FileStats.readSidecar(in) finally in.close()
+        sidecarBloomCacheBytes.addAndGet(bits.map(_.length.toLong).sum)
+        bits
       }))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -1181,8 +1196,10 @@ object Snapshots {
                                    basePath: Option[String])
       : Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
+    // Light parse: width-mix detection runs on EVERY read — decoding the
+    // full token here would base64-decode inline bloom payloads per file.
     val sigs: Seq[Seq[(String, String)]] =
-      acts.map(a => FileStats.decode(a.stats).map(_.schema).getOrElse(Nil))
+      acts.map(a => FileStats.schemaTags(a.stats))
     if (sigs.exists(_.isEmpty)) return None
     val byCol = sigs.flatten.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
     val widenPairs = Set(Set("INT32", "INT64"), Set("FLOAT", "DOUBLE"))

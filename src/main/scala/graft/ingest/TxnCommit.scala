@@ -168,7 +168,7 @@ object TxnCommit {
           })
         val current: Map[String, String] =
           Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
-            .flatMap(a => FileStats.decode(a.stats).map(_.schema).getOrElse(Nil))
+            .flatMap(a => FileStats.schemaTags(a.stats))
             .toMap
         if (current.nonEmpty)
           destStats.values.flatMap(FileStats.decode).foreach { st =>
@@ -291,7 +291,11 @@ object TxnCommit {
       val table = tableOf(dest)
       val base = new Path(dest).getName
       (colName, _, bitsets) => {
-        val name = base + "." +
+        // The counter disambiguates PARTITIONED commits: one dynamic-
+        // partition write emits the same basename into every k=v dir, and
+        // basename-only sidecar names would overwrite each other — file A
+        // probed with file B's bitsets prunes files that hold the key.
+        val name = s"${sidecarMoves.size}-$base." +
           java.net.URLEncoder.encode(colName, "UTF-8") + ".bloom"
         val rel = s"_bloomidx/$table/$name"
         val src = new Path(s"${stagingDir(warehouse, commitId)}/$rel")
@@ -308,7 +312,13 @@ object TxnCommit {
         FileStats.collect(fs.getConf, new Path(m.src), spillFor(m.dest)))
       .filter(_._2.nonEmpty).toMap
     validateSchemas(fs, warehouse, statsFor)
-    validateConstraints(fs, warehouse, statsFor)
+    // Constraints must see EVERY staged data file: one whose stats
+    // collection failed (collect returns "" on any footer trouble) is
+    // unverifiable and must fail the commit, not silently bypass the
+    // constraint — hand the full dest list so absent tokens are caught.
+    validateConstraints(fs, warehouse,
+      moves.filterNot(m => isChangeDest(m.dest) || isDvDest(m.dest))
+        .map(m => m.dest -> statsFor.getOrElse(m.dest, "")).toMap)
     val allMoves = moves ++ sidecarMoves
     fs.mkdirs(commitsDir(warehouse))
     val fin = new Path(commitsDir(warehouse), s"$commitId.manifest")
@@ -381,6 +391,25 @@ object TxnCommit {
       manifest.map(_.statsFor).getOrElse(Map.empty)
     val statsFor = dataMoves.map(m => m.dest -> fromManifest.getOrElse(m.dest,
       FileStats.collect(fs.getConf, new Path(m.dest)))).toMap
+    // Constraints re-validate at the LAST point before visibility: a
+    // constraint property that landed between this commit's validation
+    // and its publish — or a crash-replayed manifest from before the
+    // property — aborts here like a lost OCC race (marker, rollback)
+    // instead of publishing violating rows or wedging recovery in a
+    // throw loop. (A property landing between this check and the log
+    // append can still race in; the documented activation contract —
+    // constraints bind commits validated after the property — covers
+    // that sliver, as it does for Delta's metadata races.)
+    try validateConstraints(fs, warehouse, statsFor)
+    catch {
+      case e: IllegalArgumentException =>
+        val mf = new Path(commitsDir(warehouse), s"$commitId.manifest")
+        val ab = new Path(commitsDir(warehouse), s"$commitId.aborted")
+        if (fs.exists(mf) && !fs.rename(mf, ab) && !fs.exists(ab))
+          throw new IllegalStateException(s"abort rename failed for $commitId")
+        rollback(fs, warehouse, commitId, effMoves)
+        throw e
+    }
     val attach = manifest.map(_.dvAttach).filter(_.nonEmpty).getOrElse(dvAttach)
     // The OCC granularity rides the manifest like the op tag and base
     // version — a crash-recovery replay must run the SAME conflict check

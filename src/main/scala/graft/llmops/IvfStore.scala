@@ -244,17 +244,16 @@ object IvfStore {
     // The feed drives two actions — pin it once (ContextCleaner-managed
     // blocks, the SignatureStore stance), it is O(changed rows) small.
     val feed = Snapshots.changes(spark, warehouse, corpusTable, fromExclusive)
-      .select(col(idCol), col(vecCol), col("_change_type"))
+      .select(col(idCol), col(vecCol), col("_change_type"),
+        col("_commit_version"))
       .localCheckpoint(false)
-    val gone = feed
-      .filter(col("_change_type").isin("delete", "update_preimage"))
-      .select(col(idCol).as("vec_id")).distinct()
-    val fresh = feed
-      .filter(col("_change_type").isin("insert", "update_postimage"))
-      .select(col(idCol), col(vecCol))
-    Merge.deleteKeysDv(spark, warehouse, CellTable, gone, Seq("vec_id"))
-    if (fresh.isEmpty) loadModel(spark, warehouse)
-    else appendBatch(spark, warehouse, fresh, idCol, vecCol, targetFiles)
+    // Last-writer-wins per key ([[IndexSync.net]]): EVERY touched key's
+    // old postings go; only keys alive at the range's end re-append, once.
+    val (touched, alive) = IndexSync.net(feed, idCol, Seq(vecCol))
+    Merge.deleteKeysDv(spark, warehouse, CellTable,
+      touched.select(col(idCol).as("vec_id")), Seq("vec_id"))
+    if (alive.isEmpty) loadModel(spark, warehouse)
+    else appendBatch(spark, warehouse, alive, idCol, vecCol, targetFiles)
   }
 
   // ------------------------------------------------------------- IVF-PQ
@@ -366,17 +365,14 @@ object IvfStore {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         targetFiles: Int = 1): Unit = {
     val feed = Snapshots.changes(spark, warehouse, corpusTable, fromExclusive)
-      .select(col(idCol), col(vecCol), col("_change_type"))
+      .select(col(idCol), col(vecCol), col("_change_type"),
+        col("_commit_version"))
       .localCheckpoint(false)
-    val gone = feed
-      .filter(col("_change_type").isin("delete", "update_preimage"))
-      .select(col(idCol).as("vec_id")).distinct()
-    val fresh = feed
-      .filter(col("_change_type").isin("insert", "update_postimage"))
-      .select(col(idCol), col(vecCol))
-    Merge.deleteKeysDv(spark, warehouse, PqCellTable, gone, Seq("vec_id"))
-    if (!fresh.isEmpty)
-      appendPqBatch(spark, warehouse, fresh, idCol, vecCol, targetFiles)
+    val (touched, alive) = IndexSync.net(feed, idCol, Seq(vecCol))
+    Merge.deleteKeysDv(spark, warehouse, PqCellTable,
+      touched.select(col(idCol).as("vec_id")), Seq("vec_id"))
+    if (!alive.isEmpty)
+      appendPqBatch(spark, warehouse, alive, idCol, vecCol, targetFiles)
   }
 
   /** Re-train coarse + product quantizers and atomically swap ALL THREE
@@ -464,12 +460,17 @@ object IvfStore {
       .withColumn("_lut", Pq.lutCol(col("q_vec"), pq))
     val w = Window.partitionBy("q_id")
       .orderBy(col("psim").desc, col("vec_id"))
+    // localCheckpoint pins the shortlist: it feeds BOTH the driver-side
+    // id collect (for corpus point-pruning) and the re-rank join —
+    // without it the candidate scan + window sort would execute twice.
+    // ContextCleaner-managed blocks (the SignatureStore stance).
     val shortlist = broadcast(qb).join(postings, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("psim", Pq.lutScoreCol(col("_lut"), col("pq_code"), pq))
       .withColumn("prnk", row_number().over(w))
       .filter(col("prnk") <= k.toLong * refine)
       .select("q_id", "q_vec", "vec_id")
+      .localCheckpoint(true)
     // Point-pruned exact re-rank: true vectors for the shortlist only.
     val ids = shortlist.select("vec_id").distinct()
       .limit(maxRerankPruneIds + 1).collect().map(_.get(0))

@@ -104,17 +104,16 @@ object LshStore {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       targetFiles: Int = 1): Params = {
     val feed = Snapshots.changes(spark, warehouse, corpusTable, fromExclusive)
-      .select(col(idCol), col(vecCol), col("_change_type"))
+      .select(col(idCol), col(vecCol), col("_change_type"),
+        col("_commit_version"))
       .localCheckpoint(false)
-    val gone = feed
-      .filter(col("_change_type").isin("delete", "update_preimage"))
-      .select(col(idCol).as("vec_id")).distinct()
-    val fresh = feed
-      .filter(col("_change_type").isin("insert", "update_postimage"))
-      .select(col(idCol), col(vecCol))
-    Merge.deleteKeysDv(spark, warehouse, BucketTable, gone, Seq("vec_id"))
-    if (fresh.isEmpty) loadParams(spark, warehouse)
-    else appendBatch(spark, warehouse, fresh, idCol, vecCol, targetFiles)
+    // Last-writer-wins per key ([[IndexSync.net]]): EVERY touched key's
+    // old postings go; only keys alive at the range's end re-append, once.
+    val (touched, alive) = IndexSync.net(feed, idCol, Seq(vecCol))
+    Merge.deleteKeysDv(spark, warehouse, BucketTable,
+      touched.select(col(idCol).as("vec_id")), Seq("vec_id"))
+    if (alive.isEmpty) loadParams(spark, warehouse)
+    else appendBatch(spark, warehouse, alive, idCol, vecCol, targetFiles)
   }
 
   /** ANN top-k through the warm store: probed bucket ids (≤ |queries| ×

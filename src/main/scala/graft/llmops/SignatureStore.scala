@@ -80,15 +80,15 @@ object SignatureStore {
                       numPerms: Int = 64, numBands: Int = 16,
                       sigTable: String = "doc_signatures"): Unit = {
     val feed = Snapshots.changes(spark, warehouse, docTable, fromExclusive)
-      .select(col(idCol), col(textCol), col("_change_type"))
+      .select(col(idCol), col(textCol), col("_change_type"),
+        col("_commit_version"))
       .localCheckpoint(false)
-    val gone = feed
-      .filter(col("_change_type").isin("delete", "update_preimage"))
-      .select(col(idCol).as("doc_id")).distinct()
-    val fresh = feed
-      .filter(col("_change_type").isin("insert", "update_postimage"))
-      .select(col(idCol), col(textCol))
-    Merge.deleteKeysDv(spark, warehouse, sigTable, gone, Seq("doc_id"))
+    // Last-writer-wins per key ([[IndexSync.net]]): EVERY touched key's
+    // old bands go; only docs alive at the range's end re-append, once.
+    val (touched, alive) = IndexSync.net(feed, idCol, Seq(textCol))
+    val fresh = alive
+    Merge.deleteKeysDv(spark, warehouse, sigTable,
+      touched.select(col(idCol).as("doc_id")), Seq("doc_id"))
     if (!fresh.isEmpty)
       appendBatch(spark, warehouse, fresh, idCol, textCol, numPerms,
         numBands, sigTable)

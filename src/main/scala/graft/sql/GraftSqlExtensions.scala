@@ -146,9 +146,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
   // Delta-grammar MERGE (the most-used warehouse DML statement): target and
   // source are table names (graft tables or registered views), the WHEN
-  // clauses are parsed separately below. MERGE INTO is not Spark grammar
-  // for plain parquet paths, so no isGraftTable guard is needed — but the
-  // target must resolve to a committed graft table to run.
+  // clauses are parsed separately below. Guarded by isGraftTable like
+  // DELETE/UPDATE: another extension (or a v2 catalog) may own MERGE for
+  // non-graft targets, and unsupported clause shapes against them must
+  // reach the delegate, not throw here.
   private val MergeIntoRe =
     raw"(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*".r
   private val WhenMatchedUpdateAllRe =
@@ -246,7 +247,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), partEq)
     case RestoreRe(table, version) =>
       GraftRestoreCommand(warehouse, table, version.toLong)
-    case MergeIntoRe(target, tAlias, source, sAlias, onCond, whens) =>
+    case MergeIntoRe(target, tAlias, source, sAlias, onCond, whens)
+        if isGraftTable(target) =>
       val matchedUpdate = WhenMatchedUpdateAllRe.findFirstIn(whens).isDefined
       val matchedDelete = WhenMatchedDeleteRe.findFirstIn(whens).isDefined
       val notMatchedInsert = WhenNotMatchedInsertAllRe.findFirstIn(whens).isDefined

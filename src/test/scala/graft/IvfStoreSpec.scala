@@ -152,6 +152,46 @@ class IvfStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._2 >= 40), "a deleted vector surfaced in top-k")
   }
 
+  test("sync is last-writer-wins: insert-then-delete never resurrects; double update never duplicates") {
+    val w = wh("whSyncNet")
+    pubEmb(w, 0 until 32)
+    IvfStore.buildIndex(spark, w,
+      Snapshots.read(spark, w, "embeddings"), Dim, k = 4, targetFiles = 2)
+    val vIndexed = Snapshots.latestVersion(fs, w).get
+    // One sync range spanning: INSERT 100 (v+1), DELETE 100 (v+2), and
+    // TWO updates of id 7 (v+3, v+4). The naive per-row split would
+    // re-append 100 from its insert row (resurrection) and append BOTH
+    // postimages of 7 (stale duplicate).
+    pubEmb(w, 100 until 101)
+    graft.ingest.Merge.deleteWhereDv(spark, w, "embeddings",
+      col("vec_id") === 100)
+    graft.ingest.Merge.updateWhereDv(spark, w, "embeddings",
+      col("vec_id") === 7,
+      Map("embedding" -> typedLit(vec(20)).cast("array<float>")))
+    graft.ingest.Merge.updateWhereDv(spark, w, "embeddings",
+      col("vec_id") === 7,
+      Map("embedding" -> typedLit(vec(21)).cast("array<float>")))
+    IvfStore.syncFromChanges(spark, w, "embeddings", fromExclusive = vIndexed)
+
+    val cells = Snapshots.read(spark, w, IvfStore.CellTable)
+    assert(cells.filter(col("vec_id") === 100).count() == 0,
+      "insert-then-delete resurrected through the index")
+    val sevens = cells.filter(col("vec_id") === 7)
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0))
+    assert(sevens.length == 1,
+      s"double update left ${sevens.length} postings (stale duplicate)")
+    assert(sevens.head == vec(21), "posting must carry the FINAL payload")
+    // And exact search equals brute force over the live corpus.
+    val queries = embDf(0 until 3)
+    val got = IvfStore.topK(spark, w, queries, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.bruteForceTopK(queries,
+      Snapshots.read(spark, w, "embeddings"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("compactIndex: append-eroded layout re-clusters; pruning and results survive") {
     val w = wh("whCompact")
     pubEmb(w, 0 until 32)
