@@ -337,6 +337,37 @@ class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing sidecar must degrade to keep-all: $r")
   }
 
+  test("partitioned commits keep per-file sidecars distinct") {
+    val w = wh("sidecar-part")
+    val s0 = spark
+    import s0.implicits._
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "doc_id", "bloom.ndv" -> "200000"))
+    // ONE dynamic-partition commit: both partition dirs get part files
+    // with the SAME basename — basename-keyed sidecar names would
+    // overwrite each other and file A would probe file B's bitsets.
+    val cid = java.util.UUID.randomUUID().toString
+    (0 until 200).map(i => (f"doc-$i%04d", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "part").repartition(1)
+      .write.partitionBy("part")
+      .options(Snapshots.bloomWriteOptionsFor(fs, w, "docs", None))
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+    val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    assert(acts.size == 2, s"expected one file per partition, got ${acts.size}")
+    val refs = acts.map(a =>
+      FileStats.decode(a.stats).get.bloomRefs("doc_id").path)
+    assert(refs.distinct.size == 2,
+      s"partition files must not share a sidecar: $refs")
+    // Soundness end-to-end: every key is found in its own partition file.
+    val r = Merge.deleteKeysDv(spark, w, "docs",
+      Seq("doc-0004", "doc-0007").toDF("doc_id"), Seq("doc_id"))
+    assert(r.rowsMatched == 2, s"collided sidecars lost a deletion: $r")
+  }
+
   test("vacuum reaps sidecars of truncated files, keeps live ones") {
     val w = wh("sidecar-vacuum")
     Snapshots.setProperties(fs, w, "docs",
