@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -248,13 +248,25 @@ class SnapshotScanBuilder(tableSchema: StructType,
     new SnapshotMicroBatchStream(options, requiredSchema)
 }
 
-/** Offset = snapshot log version (inclusive high-water mark). */
-case class SnapshotVersionOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":${version}}"""
+/** Offset = snapshot log version (inclusive high-water mark), plus an
+  * optional intra-version position for rate-limited triggers. `index < 0`
+  * means `version` is FULLY consumed (the legacy single-field form, still
+  * serialized without the index so existing checkpoints keep working);
+  * `index >= 0` means only the first `index` servable file units of
+  * `version` have been consumed — admission control splits a large commit
+  * across triggers exactly the way Delta's (reservoirVersion, index)
+  * offsets do, so a backfill against a 100 TB table never plans one
+  * trigger containing the entire history. */
+case class SnapshotVersionOffset(version: Long, index: Long = -1L)
+  extends Offset {
+  override def json(): String =
+    if (index < 0) s"""{"version":${version}}"""
+    else s"""{"version":${version},"index":${index}}"""
 }
 
 class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
-                               schema: StructType) extends MicroBatchStream {
+                               schema: StructType) extends MicroBatchStream
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val spark = SparkSession.active
   private val warehouse = SnapshotDataSource.required(options, "warehouse")
   private val table = SnapshotDataSource.required(options, "table")
