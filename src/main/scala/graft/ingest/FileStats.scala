@@ -423,10 +423,12 @@ object FileStats {
       // Stats must land in the same unit/scale the QUERY side compares in
       // (norm() produces micros for timestamps; Catalyst TimestampType
       // literals are micros): MILLIS scale up exactly; NANOS are refused —
-      // this engine reads NANOS parquet via nanosAsLong (raw-long column,
-      // raw-nano predicates), so micros-converted stats would be compared
-      // in the wrong unit there, and micros predicates against raw-nano
-      // stats are wrong the other way. DECIMAL stats are unscaled ints vs
+      // a NANOS column either reads as a raw-long nanos column (where
+      // `nanosAsLong` applies — micros-converted stats would then be
+      // compared in the wrong unit) or is rejected outright by the
+      // vectorized reader (this Spark build ignores the conf and throws
+      // [PARQUET_TYPE_ILLEGAL]), so no stats are the only sound choice
+      // either way. DECIMAL stats are unscaled ints vs
       // scaled predicate values, and unsigned ints wrap as signed longs —
       // no skipping value for either (absent = never skip, always sound).
       logical match {

@@ -25,15 +25,9 @@ object Declared {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * and truncate to microseconds — identical to DuckDB `CAST(ts AS
-    * TIMESTAMP)` (both floor positive values), so oracles cast the same way.
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Fixture-vintage-adaptive events read — see [[Fixtures.adaptEventsTs]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Fixtures.events(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: parquet scan + projection — column pruning reaches the scan.

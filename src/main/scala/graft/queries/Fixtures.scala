@@ -2,6 +2,10 @@ package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
 /** Build-once memoization for warehouse fixtures used by the fmt_* /
   * llm_dedup_incremental_* / llm_ann_ivf_persisted oracle entries.
   *
@@ -24,4 +28,30 @@ object Fixtures {
     * but ScalaTest suites may race. */
   def once[T <: AnyRef](key: String, sfDir: String)(build: => T): T =
     cache.computeIfAbsent((key, sfDir), _ => build).asInstanceOf[T]
+
+  /** The ONE events-fixture `ts` adapter (used by Declared, StreamQueries,
+    * and the specs). The column's physical type has varied across fixture
+    * generations — adapt to what the file actually holds rather than pin
+    * one vintage:
+    *  - TIMESTAMP(NANOS): rejected by Spark's vectorized reader
+    *    ([PARQUET_TYPE_ILLEGAL]); where `nanosAsLong` applies it arrives as
+    *    LongType and truncates to micros — identical to DuckDB
+    *    `CAST(ts AS TIMESTAMP)` (both floor positive values).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively as
+    *    TIMESTAMP_NTZ; with the session zone pinned to UTC the cast to
+    *    TIMESTAMP is value-preserving and matches DuckDB's naive read.
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType — identity. */
+  def adaptEventsTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
+  /** Batch read of `$dir/events.parquet` with the adaptive ts handling. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    // Harmless where ignored (this Spark build reads MICROS natively);
+    // required for builds/fixture vintages where ts is TIMESTAMP(NANOS).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    adaptEventsTs(s.read.parquet(s"$dir/events.parquet"))
+  }
 }

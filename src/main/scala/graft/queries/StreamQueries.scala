@@ -50,8 +50,9 @@ object StreamQueries {
 
   private def runStream(s: SparkSession, dir: String, outputMode: String)
                        (xform: DataFrame => DataFrame): String = {
-    // Same NANOS-timestamp handling as Declared.events: nanos as long, then
-    // truncate to micros (identical to DuckDB CAST(ts AS TIMESTAMP)).
+    // Same fixture-vintage-adaptive ts handling as Fixtures.events,
+    // applied to the streaming frame (adaptEventsTs is plan-level, so it
+    // composes with readStream).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stateful streaming allocates one state store per shuffle partition
     // (a stream-stream join keeps FOUR per partition); size the partition
@@ -66,8 +67,7 @@ object StreamQueries {
     // The fixture is a single file; the file-stream source wants a directory
     // or glob (its basePath must be a dir) — the trailing * keeps the
     // non-glob prefix at $dir while matching exactly the events file/dir.
-    val stream = s.readStream.schema(schema).parquet(path + "*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Fixtures.adaptEventsTs(s.readStream.schema(schema).parquet(path + "*"))
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
     try {

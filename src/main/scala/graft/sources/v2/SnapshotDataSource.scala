@@ -284,9 +284,115 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     SnapshotVersionOffset(
       Snapshots.latestVersion(fs, warehouse).getOrElse(startingVersion))
 
+  /** Default per-trigger admission from the Delta-style options:
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` (both → composite;
+    * neither → all available). Trigger.AvailableNow composes with these —
+    * the run drains the prepared bound across rate-limited triggers. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    (maxFiles, maxBytes) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
+  // Trigger.AvailableNow bound: the log end captured ONCE at stream start;
+  // every subsequent latestOffset is capped there, so the run drains
+  // exactly the versions present when it began and then terminates even
+  // while upstream keeps committing.
+  private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound =
+      Some(Snapshots.latestVersion(fs, warehouse).getOrElse(startingVersion))
+
+  /** Admission control: advance the offset by whole file units until the
+    * limit is hit, recording a mid-version position as (version, index) —
+    * the same shape as Delta's (reservoirVersion, index) — so one huge
+    * commit (a backfill's single 100k-file append) is split across
+    * triggers instead of planned as one batch. At least one file is always
+    * admitted (progress guarantee); versions with zero servable units
+    * (compactions, skipped rewrites) are swallowed by the advance. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SnapshotVersionOffset]
+    val logEnd = availableNowBound
+      .orElse(Snapshots.latestVersion(fs, warehouse)).getOrElse(startingVersion)
+    val (maxFiles, maxBytes) = flattenLimit(limit)
+    val caughtUp = logEnd <= s.version && s.index < 0
+    if (caughtUp) s
+    else if (maxFiles.isEmpty && maxBytes.isEmpty) SnapshotVersionOffset(logEnd)
+    else {
+      val from = if (s.index >= 0) s.version - 1 else s.version
+      val all = unitsInRange(from, logEnd)
+      val countByVersion = all.groupBy(_._1).map { case (v, us) => (v, us.size) }
+      val pending = all.filter { case (v, i, _) =>
+        v > s.version || (s.index >= 0 && v == s.version && i >= s.index) }
+      if (pending.isEmpty) SnapshotVersionOffset(logEnd)
+      else {
+        var files = 0L; var bytes = 0L
+        var lastV = s.version; var lastI = -1
+        var admittedAll = true
+        val it = pending.iterator
+        while (admittedAll && it.hasNext) {
+          val (v, i, p) = it.next()
+          // Byte accounting only when a byte limit is set — otherwise no
+          // per-file getFileStatus RPC is paid at all.
+          val sz = if (maxBytes.isDefined)
+            fs.getFileStatus(new Path(p.file)).getLen else 0L
+          val fits = maxFiles.forall(files + 1 <= _) &&
+            maxBytes.forall(bytes + sz <= _)
+          if (files == 0 || fits) { files += 1; bytes += sz; lastV = v; lastI = i }
+          else admittedAll = false
+        }
+        if (admittedAll) SnapshotVersionOffset(logEnd) // drained → whole-range offset
+        else if (lastI + 1 == countByVersion(lastV)) SnapshotVersionOffset(lastV)
+        else SnapshotVersionOffset(lastV, lastI + 1L)
+      }
+    }
+  }
+
+  /** Progress reporting: the TRUE log end, even while a rate limit or an
+    * AvailableNow bound holds the admitted offset back — so lag metrics
+    * (`latestOffset - endOffset` in StreamingQueryProgress) are honest. */
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** (maxFiles, maxBytes) from a possibly-composite limit — min per axis. */
+  private def flattenLimit(limit: ReadLimit): (Option[Long], Option[Long]) =
+    limit match {
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(flattenLimit).foldLeft(
+          (Option.empty[Long], Option.empty[Long])) { case ((f1, b1), (f2, b2)) =>
+          (minOpt(f1, f2), minOpt(b1, b2))
+        }
+      case f: ReadMaxFiles => (Some(f.maxFiles().toLong), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case _: ReadAllAvailable => (None, None)
+      case _ => (None, None) // unknown limit kinds degrade to all-available
+    }
+  private def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+    (a.toSeq ++ b.toSeq).minOption
+
+  /** Ordered servable file units over versions in (fromExclusive,
+    * toInclusive]: (version, ordinal-within-version, partition). Log-line
+    * order, deterministic across calls — admission accounting in
+    * latestOffset and the slice in planInputPartitions walk the SAME list,
+    * so an offset minted by one is exact for the other. */
+  private def unitsInRange(fromExclusive: Long, toInclusive: Long)
+      : Seq[(Long, Int, SnapshotInputPartition)] =
+    Snapshots.addsInRange(fs, warehouse, table, fromExclusive, toInclusive)
+      .flatMap { case (v, op, acts) =>
+        unitsForVersion(v, op, acts).zipWithIndex.map { case (p, i) => (v, i, p) }
+      }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotVersionOffset].version
-    val e = end.asInstanceOf[SnapshotVersionOffset].version
+    val so = start.asInstanceOf[SnapshotVersionOffset]
+    val eo = end.asInstanceOf[SnapshotVersionOffset]
+    // A mid-version start (index >= 0) still needs version s listed — its
+    // remaining units are this batch's head.
+    val s = if (so.index >= 0) so.version - 1 else so.version
     // An offset below the vacuumed log's earliest retained version cannot
     // be served faithfully: a restart would silently skip the truncated
     // versions' rows, and a fresh full-history stream would miss appends
@@ -303,8 +409,16 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       s"stream offset $s predates the vacuumed snapshot log (earliest " +
         s"retained version: $first) — the truncated range is unrecoverable; " +
         "batch-read the current snapshot and stream from its version"))
-    Snapshots.addsInRange(fs, warehouse, table, s, e).flatMap {
-      case (v, op, acts) =>
+    unitsInRange(s, eo.version).collect {
+      case (v, i, p)
+        if (v > so.version || (so.index >= 0 && i >= so.index)) &&
+           (v < eo.version || eo.index < 0 || i < eo.index) => p: InputPartition
+    }.toArray
+  }
+
+  /** The servable partitions of one committed version, in log-line order. */
+  private def unitsForVersion(v: Long, op: String, acts: Seq[Snapshots.Action])
+      : Seq[SnapshotInputPartition] = {
         val adds = acts.filter(_.add)
         val cdfs = acts.filter(_.cdf)
         if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
@@ -314,8 +428,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
               s"snapshot version $v is a merge commit without change files " +
                 "(pre-CDF) — the change-feed stream cannot represent it")
             // CDF files carry _change_type per row; version is constant.
-            cdfs.map(a =>
-              SnapshotInputPartition(a.file, Map.empty, v, None): InputPartition)
+            cdfs.map(a => SnapshotInputPartition(a.file, Map.empty, v, None))
           } else if (skipChangeCommits) Nil
           else throw new IllegalStateException(
             s"snapshot version $v of '$table' is a merge rewrite; this " +
@@ -340,10 +453,8 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
                   "changes() for this range, or set skipChangeCommits=true " +
                   "to skip it"))
           plain.map(a =>
-            SnapshotInputPartition(a.file, a.partitionMap, v,
-              Some("insert")): InputPartition)
+            SnapshotInputPartition(a.file, a.partitionMap, v, Some("insert")))
         }
-    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -355,8 +466,18 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       Snapshots.columnMapping(fs, warehouse, table)
         .map(_.cols.toMap).getOrElse(Map.empty))
 
-  override def deserializeOffset(json: String): Offset =
-    SnapshotVersionOffset(json.filter(c => c.isDigit || c == '-').toLong)
+  override def deserializeOffset(json: String): Offset = {
+    def field(name: String): Option[Long] =
+      ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r
+        .findFirstMatchIn(json).map(_.group(1).toLong)
+    // `index` absent (legacy single-field checkpoints, and every
+    // fully-consumed-version offset) parses as -1 = version complete.
+    field("version") match {
+      case Some(v) => SnapshotVersionOffset(v, field("index").getOrElse(-1L))
+      case None => throw new IllegalArgumentException(
+        s"malformed graft-snapshots offset: $json")
+    }
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

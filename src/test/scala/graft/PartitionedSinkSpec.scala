@@ -23,9 +23,7 @@ class PartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("daily-partitioned sink prunes partitions for time-range predicates") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.queries.Fixtures.events(spark, "/root/testdata/sf0.001")
     val out = Files.createTempDirectory("graft-part").resolve("events_daily").toString
     graft.operators.PartitionedSink.appendDaily(events, out, "ts")
 

@@ -238,6 +238,160 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  private def publishMulti(w: String, rows: Seq[(Long, String)], nFiles: Int): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
+    val s0 = spark
+    import s0.implicits._
+    rows.toDF("id", "val").repartition(nFiles).write
+      .parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+  }
+
+  private def newStream(w: String) = {
+    import scala.jdk.CollectionConverters._
+    new graft.sources.v2.SnapshotMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("warehouse" -> w, "table" -> "t").asJava),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("val", "string"))
+  }
+
+  /** Drive latestOffset/planInputPartitions by hand the way the engine
+    * does — every step roundtrips the offset through json, so each hop IS
+    * a restart from a checkpointed offset (mid-version included). Returns
+    * (offsets-walked, files-planned-in-order). */
+  private def walk(w: String,
+                   limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : (Seq[graft.sources.v2.SnapshotVersionOffset], Seq[String]) = {
+    val stream = newStream(w)
+    val offsets = scala.collection.mutable.ArrayBuffer[graft.sources.v2.SnapshotVersionOffset]()
+    val files = scala.collection.mutable.ArrayBuffer[String]()
+    var off = stream.initialOffset()
+    var steps = 0
+    var progressed = true
+    while (progressed && steps < 100) {
+      val next = stream.latestOffset(off, limit)
+      progressed = next != off
+      if (progressed) {
+        files ++= stream.planInputPartitions(off, next).map(
+          _.asInstanceOf[graft.sources.v2.SnapshotInputPartition].file)
+        off = stream.deserializeOffset(next.json()) // checkpoint roundtrip
+        offsets += off.asInstanceOf[graft.sources.v2.SnapshotVersionOffset]
+        steps += 1
+      }
+    }
+    (offsets.toSeq, files.toSeq)
+  }
+
+  test("admission control: maxFiles walks (version,index) offsets, each file once") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val w = wh("whAdm")
+    publishMulti(w, (0 until 40).map(i => i.toLong -> s"a$i"), 4)  // v0: 4 files
+    publishMulti(w, (40 until 60).map(i => i.toLong -> s"b$i"), 2) // v1: 2 files
+
+    val (offsets, files) = walk(w, ReadLimit.maxFiles(1))
+    // 6 files → 6 single-file triggers; a fat commit is split mid-version
+    // and version boundaries collapse the index back to the legacy form.
+    assert(files.size == 6 && files.distinct.size == 6,
+      s"every file exactly once, got $files")
+    assert(offsets.map(o => (o.version, o.index)) ==
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, -1L), (1L, 1L), (1L, -1L)))
+
+    // A larger cap packs whole versions per trigger but still caps.
+    val (off3, files3) = walk(w, ReadLimit.maxFiles(4))
+    assert(files3.size == 6 && files3.distinct.size == 6)
+    assert(off3.map(o => (o.version, o.index)) == Seq((0L, -1L), (1L, -1L)))
+
+    // Byte limits admit at least one file per trigger (progress guarantee)
+    // and composite limits take the most restrictive axis.
+    val (offB, filesB) = walk(w, ReadLimit.maxBytes(1L))
+    assert(filesB.size == 6 && filesB.distinct.size == 6 && offB.size == 6)
+    val (offC, filesC) = walk(w, ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(2), ReadLimit.maxBytes(1L))))
+    assert(filesC.size == 6 && filesC.distinct.size == 6 && offC.size == 6)
+
+    // No limit → one trigger drains everything to the plain-version offset.
+    val (offAll, filesAll) = walk(w, ReadLimit.allAvailable())
+    assert(filesAll.size == 6 && offAll.map(o => (o.version, o.index)) ==
+      Seq((1L, -1L)))
+  }
+
+  test("two-field offsets survive checkpoint json; legacy form still parses") {
+    val stream = newStream(wh("whAdm"))
+    val two = graft.sources.v2.SnapshotVersionOffset(5L, 3L)
+    assert(stream.deserializeOffset(two.json()) == two) // NOT version 53
+    assert(stream.deserializeOffset("""{"version":7}""") ==
+      graft.sources.v2.SnapshotVersionOffset(7L, -1L))
+    assert(stream.deserializeOffset(
+      graft.sources.v2.SnapshotVersionOffset(7L).json()) ==
+      graft.sources.v2.SnapshotVersionOffset(7L, -1L))
+  }
+
+  test("prepareForTriggerAvailableNow pins the drain bound against late commits") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val w = wh("whAvailNow")
+    publishMulti(w, Seq(1L -> "a"), 1)                       // v0
+    publishMulti(w, Seq(2L -> "b"), 1)                       // v1
+    val pinned = newStream(w)
+    pinned.prepareForTriggerAvailableNow()
+    publishMulti(w, Seq(3L -> "c"), 1)                       // v2, after prepare
+    val end = pinned.latestOffset(pinned.initialOffset(), ReadLimit.allAvailable())
+    assert(end == graft.sources.v2.SnapshotVersionOffset(1L),
+      "AvailableNow run must drain to the prepared bound, not chase v2")
+    // An unprepared stream sees v2.
+    val live = newStream(w)
+    assert(live.latestOffset(live.initialOffset(), ReadLimit.allAvailable()) ==
+      graft.sources.v2.SnapshotVersionOffset(2L))
+  }
+
+  test("e2e: maxFilesPerTrigger rate-limits AvailableNow without loss or dupes") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whRate")
+    publishMulti(w, (0 until 40).map(i => i.toLong -> s"a$i"), 4)  // v0: 4 files
+    publishMulti(w, (40 until 50).map(i => i.toLong -> s"b$i"), 2) // v1: 2 files
+    val out = wh("whRateOut"); val ckpt = wh("whRateCkpt")
+    drain(w, out, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().sorted.sameElements(0L until 50L))
+    // One offset file per micro-batch: the 6 files took ≥6 rate-limited
+    // triggers, not one fat batch.
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 6, s"expected ≥6 rate-limited batches, got $batches")
+    // Restart with new data: still exactly once.
+    publishMulti(w, (50 until 55).map(i => i.toLong -> s"c$i"), 1) // v2
+    drain(w, out, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().sorted.sameElements(0L until 55L))
+  }
+
+  test("e2e: rate-limited change-feed stream preserves per-version integrity") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whRateCdf")
+    publishKv(w, Seq(1L -> "a", 2L -> "b"))                          // v0
+    Merge.upsert(spark, w, "t",
+      Seq(2L -> "B", 3L -> "c").toDF("id", "val"), Seq("id"))        // v1
+    Merge.deleteKeys(spark, w, "t", Seq(1L).toDF("id"), Seq("id"))   // v2
+    val out = wh("whRateCdfOut"); val ckpt = wh("whRateCdfCkpt")
+    drain(w, out, ckpt,
+      Map("readChangeFeed" -> "true", "maxFilesPerTrigger" -> "1"))
+    val streamed = spark.read.parquet(out)
+      .select("id", "val", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val batch = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+      .select("id", "val", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamed == batch,
+      "rate-limited CDF must serve the identical feed, versions intact")
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"expected ≥3 rate-limited CDF batches, got $batches")
+  }
+
   test("projection prunes to the requested columns") {
     val w = wh("whProj")
     publishKv(w, Seq(1L -> "a", 2L -> "b"))
