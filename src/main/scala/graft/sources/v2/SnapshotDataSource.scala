@@ -379,13 +379,28 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     * toInclusive]: (version, ordinal-within-version, partition). Log-line
     * order, deterministic across calls — admission accounting in
     * latestOffset and the slice in planInputPartitions walk the SAME list,
-    * so an offset minted by one is exact for the other. */
+    * so an offset minted by one is exact for the other.
+    *
+    * Memoized so each trigger walks the log ONCE: latestOffset enumerates
+    * (from, logEnd) and planInputPartitions re-requests (from, end≤logEnd)
+    * moments later. Committed log entries are immutable, so the prefix of
+    * the cached walk IS that narrower range — slice, don't re-list. */
+  @volatile private var unitsCache
+      : (Long, Long, Seq[(Long, Int, SnapshotInputPartition)]) = null
   private def unitsInRange(fromExclusive: Long, toInclusive: Long)
-      : Seq[(Long, Int, SnapshotInputPartition)] =
-    Snapshots.addsInRange(fs, warehouse, table, fromExclusive, toInclusive)
-      .flatMap { case (v, op, acts) =>
-        unitsForVersion(v, op, acts).zipWithIndex.map { case (p, i) => (v, i, p) }
-      }
+      : Seq[(Long, Int, SnapshotInputPartition)] = {
+    val c = unitsCache
+    if (c != null && c._1 == fromExclusive && c._2 >= toInclusive)
+      c._3.filter(_._1 <= toInclusive)
+    else {
+      val u = Snapshots.addsInRange(fs, warehouse, table, fromExclusive, toInclusive)
+        .flatMap { case (v, op, acts) =>
+          unitsForVersion(v, op, acts).zipWithIndex.map { case (p, i) => (v, i, p) }
+        }
+      unitsCache = (fromExclusive, toInclusive, u)
+      u
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val so = start.asInstanceOf[SnapshotVersionOffset]
