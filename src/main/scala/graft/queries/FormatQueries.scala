@@ -42,6 +42,29 @@ object FormatQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Native DSv2 streaming SINK end-to-end: events → writeStream
+    // .format("graft-snapshots") → epoch-committed snapshot table. The
+    // read-back must hash-match the fixture exactly — exactly-once landing,
+    // schema (incl. timestamps) preserved through the executor-side parquet
+    // encode and the transactional publish.
+    "fmt_stream_sink" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_stream_sink", d) {
+        val w = freshWh()
+        val path = s"$d/events.parquet"
+        val schema = s.read.parquet(path).schema
+        val stream = Fixtures.adaptEventsTs(
+          s.readStream.schema(schema).parquet(path + "*"))
+        val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+        val q = stream.writeStream.format("graft-snapshots")
+          .option("warehouse", w).option("table", "events")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        w
+      }
+      Snapshots.read(s, wh, "events")
+    }),
     // Two commits + a compaction + data-skipping read: the returned rows
     // must equal the plain table — proving the snapshot fold (adds minus
     // compaction removes) and the stats-pruned read drop nothing.
@@ -268,6 +291,9 @@ object FormatQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "fmt_stream_sink" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |       value, props FROM events""".stripMargin,
     "fmt_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,

@@ -197,10 +197,17 @@ object SnapshotDataSource {
 
   /** Schema = the current snapshot's read schema (partition columns last,
     * exactly as a batch Snapshots.read sees them); the change feed adds the
-    * same metadata columns as the batch `changes()`. */
+    * same metadata columns as the batch `changes()`. A table with no
+    * committed snapshot yet yields an EMPTY schema — the write path needs
+    * that for create-on-first-write (the sink's schema comes from the
+    * query, not the table); the read path fails fast in newScanBuilder. */
   private[v2] def tableSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = Snapshots.read(SparkSession.active, required(options, "warehouse"),
-      required(options, "table")).schema
+    val base =
+      try Snapshots.read(SparkSession.active, required(options, "warehouse"),
+        required(options, "table")).schema
+      catch { case _: IllegalStateException | _: IllegalArgumentException =>
+        return new StructType()
+      }
     if (!readChangeFeed(options)) base
     else base.add("_change_type", StringType).add("_commit_version", LongType)
   }
@@ -219,14 +226,28 @@ object SnapshotDataSource {
 }
 
 class SnapshotTable(tableSchema: StructType, properties: util.Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft-snapshots(${properties.get("warehouse")}/${properties.get("table")})"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: the sink supports create-on-first-write (no table
+  // schema exists to check against at plan time); for existing tables the
+  // commit point enforces schema + constraints transactionally, which is
+  // strictly stronger than the analyzer's structural check.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(tableSchema.nonEmpty,
+      s"graft-snapshots table '${properties.get("table")}' does not exist " +
+        s"yet under ${properties.get("warehouse")} — nothing to read")
     new SnapshotScanBuilder(tableSchema, options)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(info)
 }
 
 class SnapshotScanBuilder(tableSchema: StructType,

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.Snapshots
+
+/** The native streaming SINK (`writeStream.format("graft-snapshots")`):
+  * executors stage parquet, the driver publishes through TxnCommit with an
+  * epoch-derived commitId — exactly-once across restarts, create-on-first-
+  * write, and full round-trip symmetry with the streaming reader. */
+class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-snapsink")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sinkTo(df: DataFrame, w: String, ckpt: String): Unit = {
+    val q = df.writeStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("create-on-first-write, append-per-epoch, exactly-once on restart") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whSink"); val ckpt = wh("whSinkCkpt")
+    val in = MemoryStream[(Long, String)]
+
+    in.addData((0L until 10L).map(i => (i, s"a$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, ckpt) // table did not exist before
+    val v0 = Snapshots.read(spark, w, "t")
+    assert(v0.count() == 10)
+    assert(v0.select("id").as[Long].collect().sorted.sameElements(0L until 10L))
+
+    // Second drain with new data appends ONE more version, no dupes.
+    in.addData((10L until 15L).map(i => (i, s"b$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+    assert(Snapshots.read(spark, w, "t")
+      .select("id").as[Long].collect().sorted.sameElements(0L until 15L))
+
+    // Nothing new → no new snapshot version, table unchanged.
+    val vBefore = Snapshots.latestVersion(fs, w).get
+    sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+    assert(Snapshots.latestVersion(fs, w).get == vBefore)
+    assert(Snapshots.read(spark, w, "t").count() == 15)
+
+    // No staging debris survives the publishes.
+    assert(!fs.exists(new Path(s"$w/_staging")) ||
+      fs.listStatus(new Path(s"$w/_staging")).isEmpty)
+  }
+
+  test("a replayed epoch is recognized by commitId and skipped") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whReplay"); val ckpt = wh("whReplayCkpt")
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L until 5L).map(i => (i, s"x$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+
+    // Simulate Spark replaying epoch 0 after a crash-before-offset-commit:
+    // delete the sink checkpoint so the SAME queryId cannot be reused, then
+    // drive the write path directly with the published epoch's commitId
+    // already in the log — commit() must detect and skip, not double-land.
+    val entriesBefore = Snapshots.entries(fs, w).size
+    val queryId = Snapshots.entries(fs, w)
+      .find(_.commitId.startsWith("stream-")).get.commitId
+      .stripPrefix("stream-").split("-t-")(0)
+    import scala.jdk.CollectionConverters._
+    val write = new graft.sources.v2.SnapshotStreamingWrite(queryId,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("val", "string"),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("warehouse" -> w, "table" -> "t").asJava))
+    write.commit(0L, Array(graft.sources.v2.SnapshotWriteMessage(null, 0L)))
+    assert(Snapshots.entries(fs, w).size == entriesBefore,
+      "replayed epoch must not publish a second version")
+    assert(Snapshots.read(spark, w, "t").count() == 5)
+  }
+
+  test("round trip: the streaming reader tails what the streaming sink lands") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whLoop")
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L until 20L).map(i => (i, s"r$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, wh("whLoopSinkCkpt"))
+    in.addData((20L until 30L).map(i => (i, s"s$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, wh("whLoopSinkCkpt"))
+
+    val out = wh("whLoopOut")
+    val q = spark.readStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", wh("whLoopReadCkpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().sorted.sameElements(0L until 30L))
+  }
+
+  test("schema enforcement holds at the commit point for existing tables") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whSchema"); val ok = MemoryStream[(Long, String)]
+    ok.addData((1L, "a"))
+    sinkTo(ok.toDF.toDF("id", "val"), w, wh("whSchemaCkpt1"))
+    // Same column name, incompatible type: the transactional commit must
+    // refuse (type-safe evolution), failing the stream.
+    val bad = MemoryStream[(Long, Double)]
+    bad.addData((2L, 1.5))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      sinkTo(bad.toDF.toDF("id", "val"), w, wh("whSchemaCkpt2"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(m => m.toLowerCase.contains("schema") ||
+      m.toLowerCase.contains("type")), s"got: ${msgs(err)}")
+    // The failed epoch landed nothing.
+    assert(Snapshots.read(spark, w, "t").count() == 1)
+  }
+
+  test("reading a not-yet-existing table fails with a clear error") {
+    val err = intercept[Exception] {
+      spark.readStream.format("graft-snapshots")
+        .option("warehouse", wh("whNope")).option("table", "t")
+        .load()
+        .writeStream.format("memory").queryName("nope_sink")
+        .option("checkpointLocation", wh("whNopeCkpt"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("does not exist")), s"got: ${msgs(err)}")
+  }
+}
