@@ -742,12 +742,15 @@ object Snapshots {
       val op = readOp(fs, e.path)
       if (!rewriteOps(op)) {
         val acts = readActions(fs, e.path)
-        if (op == "merge") {
+        if (op == "merge" || op == "overwrite") {
+          // Both replace rows: without CDF files their REMOVEs cannot be
+          // represented as append-only events — refuse rather than serve
+          // the new rows as plain inserts on top of the replaced ones.
           val cdfs = acts.filter(a => a.cdf && a.table == table)
           if (cdfs.isEmpty)
             require(!acts.exists(a => !a.cdf && a.table == table),
-              s"version ${e.version} is a merge commit without change " +
-                s"files (pre-CDF) — changes() cannot represent it")
+              s"version ${e.version} is a $op commit without change " +
+                s"files — changes() cannot represent it")
           else { checkLive(cdfs); cdfs.foreach(a => cdfFiles += (a -> e.version)) }
         } else {
           val adds = acts.filter(a => a.add && a.table == table)

@@ -65,6 +65,25 @@ object FormatQueries {
       }
       Snapshots.read(s, wh, "events")
     }),
+    // Native batch WRITE path: append, then an atomic overwrite replacing
+    // the low keys — the final read-back must equal the overwrite result,
+    // proving SaveMode plumbing, the REMOVE+ADD single-version swap, and
+    // the V1 write fallback end-to-end.
+    "fmt_batch_write" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_batch_write", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        n.filter(col("n_nationkey") < 10).write.format("graft-snapshots")
+          .option("warehouse", w).option("table", "nation")
+          .mode(org.apache.spark.sql.SaveMode.Append).save()
+        n.write.format("graft-snapshots")
+          .option("warehouse", w).option("table", "nation")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+        w
+      }
+      s.read.format("graft-snapshots")
+        .option("warehouse", wh).option("table", "nation").load()
+    }),
     // Two commits + a compaction + data-skipping read: the returned rows
     // must equal the plain table — proving the snapshot fold (adds minus
     // compaction removes) and the stats-pruned read drop nothing.
@@ -294,6 +313,10 @@ object FormatQueries {
     "fmt_stream_sink" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         |       value, props FROM events""".stripMargin,
+    // Overwrite replaced the partial first commit with the full table.
+    "fmt_batch_write" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     "fmt_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,

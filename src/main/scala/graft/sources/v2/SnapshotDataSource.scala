@@ -21,7 +21,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.parquet.schema.LogicalTypeAnnotation
-import graft.ingest.Snapshots
+import graft.ingest.{Snapshots, TxnCommit}
 
 /** Structured Streaming source over the [[Snapshots]] log — the read-side
   * dual of the exactly-once transactional sink: offsets ARE snapshot
@@ -61,7 +61,8 @@ import graft.ingest.Snapshots
   * (huckli-import/src/lib.rs:150-210) replayed as a log-offset stream.
   */
 class SnapshotDataSource extends TableProvider with DataSourceRegister
-  with org.apache.spark.sql.sources.RelationProvider {
+  with org.apache.spark.sql.sources.RelationProvider
+  with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "graft-snapshots"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotDataSource.tableSchema(options)
@@ -81,6 +82,73 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
     import scala.jdk.CollectionConverters._
     new SnapshotBatchRelation(sqlContext,
       new CaseInsensitiveStringMap(parameters.asJava))
+  }
+
+  /** Batch WRITE (`df.write.format("graft-snapshots").mode(...).save()`) —
+    * the V1 fallback mirror of the read side: Spark's parquet writer stages
+    * the data (vectorized, partitionBy via the `partitionBy` option), and
+    * one TxnCommit publish lands it atomically.
+    *
+    *  - Append / first write: one new log version of ADDs.
+    *  - Overwrite: ADDs + REMOVEs of every previously-live file in ONE
+    *    version — readers flip atomically, old files stay on disk for time
+    *    travel until vacuum, and coarse OCC (baseVersion = the version
+    *    read) aborts the overwrite if ANY commit touched the table since
+    *    (an overwrite that silently kept a racing append's rows would be
+    *    neither the old nor the new table). Schema must match the current
+    *    table (the commit point enforces it) — overwrite replaces DATA,
+    *    not the contract; use SchemaEvolution for that.
+    *  - ErrorIfExists / Ignore: the Spark-standard existence semantics.
+    *
+    * Downstream consumers see an `overwrite` op tag: the streaming source
+    * and `changes()` treat it like a merge rewrite (fail by default, skip
+    * with skipChangeCommits) — its REMOVEs are not representable as
+    * append-only events. */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.SaveMode
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    val warehouse = SnapshotDataSource.required(options, "warehouse")
+    val table = SnapshotDataSource.required(options, "table")
+    val spark = data.sparkSession
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TxnCommit.recover(fs, warehouse)
+    val existing = graft.ingest.Snapshots.fileMeta(fs, warehouse, table)
+      .map(_.map(_.file)).getOrElse(Seq.empty)
+    val exists = existing.nonEmpty
+    val skip = mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"table '$table' already exists under $warehouse " +
+            "(SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => true
+      case _ => false
+    }
+    if (!skip) {
+      val base = graft.ingest.Snapshots.latestVersion(fs, warehouse)
+      val cid = java.util.UUID.randomUUID().toString
+      val partCols = Option(options.get("partitionBy")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val writer = data.write
+      (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+        .parquet(s"${TxnCommit.stagingDir(warehouse, cid)}/$table")
+      val moves = TxnCommit.movesFor(fs, warehouse, cid, table)
+      if (mode == SaveMode.Overwrite && exists) {
+        TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
+          op = "overwrite", baseVersion = base)
+        TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,
+          op = "overwrite", baseVersion = base)
+      } else {
+        TxnCommit.commit(fs, warehouse, cid, moves)
+        TxnCommit.publish(fs, warehouse, cid, moves)
+      }
+    }
+    new SnapshotBatchRelation(sqlContext, options)
   }
 }
 
@@ -458,16 +526,16 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         val adds = acts.filter(_.add)
         val cdfs = acts.filter(_.cdf)
         if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
-        else if (op == "merge") {
+        else if (op == "merge" || op == "overwrite") {
           if (readChangeFeed) {
             require(cdfs.nonEmpty || adds.isEmpty,
-              s"snapshot version $v is a merge commit without change files " +
-                "(pre-CDF) — the change-feed stream cannot represent it")
+              s"snapshot version $v is a $op commit without change files " +
+                "— the change-feed stream cannot represent it")
             // CDF files carry _change_type per row; version is constant.
             cdfs.map(a => SnapshotInputPartition(a.file, Map.empty, v, None))
           } else if (skipChangeCommits) Nil
           else throw new IllegalStateException(
-            s"snapshot version $v of '$table' is a merge rewrite; this " +
+            s"snapshot version $v of '$table' is a $op rewrite; this " +
               "stream serves appended rows only — restart past it, set " +
               "skipChangeCommits=true to ignore rewrites, or read the " +
               "change feed (readChangeFeed=true)")

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.Snapshots
+
+/** Batch writes through `df.write.format("graft-snapshots")`: SaveMode
+  * semantics over the transactional log — append versions, an atomic
+  * time-travel-preserving overwrite, and the existence modes. */
+class SnapshotBatchWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-batchwrite")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def write(w: String, rows: Seq[(Long, String)], mode: SaveMode,
+                    partitionBy: String = null): Unit = {
+    val s0 = spark
+    import s0.implicits._
+    val writer = rows.toDF("id", "val").coalesce(1).write
+      .format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .mode(mode)
+    (if (partitionBy == null) writer
+     else writer.option("partitionBy", partitionBy)).save()
+  }
+
+  test("append creates then extends; overwrite replaces atomically, history intact") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whBw")
+    write(w, Seq(1L -> "a", 2L -> "b"), SaveMode.Append)      // v0 (create)
+    write(w, Seq(3L -> "c"), SaveMode.Append)                 // v1
+    assert(Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted.sameElements(Array(1L, 2L, 3L)))
+
+    write(w, Seq(10L -> "x", 11L -> "y"), SaveMode.Overwrite) // v2 (replace)
+    assert(Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted.sameElements(Array(10L, 11L)))
+    // Time travel still serves the pre-overwrite snapshot (REMOVEs retain
+    // files on disk until vacuum).
+    assert(Snapshots.read(spark, w, "t", asOf = Some(1L)).select("id")
+      .as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L)))
+
+    // The round trip through the V1 read fallback sees the same rows.
+    assert(spark.read.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t").load()
+      .select("id").as[Long].collect().sorted.sameElements(Array(10L, 11L)))
+  }
+
+  test("ErrorIfExists and Ignore honor table existence") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whModes")
+    write(w, Seq(1L -> "a"), SaveMode.ErrorIfExists) // fresh: fine
+    intercept[IllegalStateException] {
+      write(w, Seq(2L -> "b"), SaveMode.ErrorIfExists)
+    }
+    write(w, Seq(3L -> "c"), SaveMode.Ignore) // existing: silently skipped
+    assert(Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sameElements(Array(1L)))
+  }
+
+  test("partitionBy option lands a partitioned table with recorded tuples") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whBwPart")
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))
+      .toDF("id", "dt").write.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("partitionBy", "dt")
+      .mode(SaveMode.Append).save()
+    val got = Snapshots.read(spark, w, "t").as[(Long, String)].collect().toSet
+    assert(got == Set(1L -> "2024-01-01", 2L -> "2024-01-02", 3L -> "2024-01-02"))
+    // Partition pruning via the log's recorded tuples: one partition read.
+    val pruned = Snapshots.read(spark, w, "t",
+      partitionFilter = m => m.get("dt").contains("2024-01-02"))
+    assert(pruned.as[(Long, String)].collect().toSet ==
+      Set(2L -> "2024-01-02", 3L -> "2024-01-02"))
+  }
+
+  test("overwrite commits read as change commits downstream") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whBwStream")
+    write(w, Seq(1L -> "a"), SaveMode.Append)    // v0
+    write(w, Seq(2L -> "b"), SaveMode.Overwrite) // v1 (rewrite)
+    // changes() refuses the unrepresentable rewrite...
+    val err = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, w, "t", fromExclusive = -1L).collect()
+    }
+    assert(err.getMessage.contains("overwrite"))
+    // ...and the plain-append stream fails by default, skips when asked.
+    val out = wh("whBwStreamOut")
+    intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshots")
+        .option("warehouse", w).option("table", "t").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", wh("whBwCkpt1"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val q2 = spark.readStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("skipChangeCommits", "true").load()
+      .writeStream.format("parquet")
+      .option("path", out + "2").option("checkpointLocation", wh("whBwCkpt2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out + "2").select("id").as[Long]
+      .collect().sameElements(Array(1L))) // v0's append only, by contract
+  }
+}
