@@ -82,12 +82,19 @@ object Snapshots {
     }
     def dvPath: String = if (dv.isEmpty) "" else dvParts._2
     def dvCount: Long = if (dv.isEmpty) 0L else dvParts._1
+    /** Parsed partition tuple with Hive path-escaping undone — consumers
+      * (the streaming reader's served constants, partition filters, stats
+      * ranges) compare REAL values; only paths carry the escaped form. */
     def partitionMap: Map[String, String] =
       if (partition.isEmpty) Map.empty
       else partition.split("/").toSeq.map { seg =>
-        val Array(k, v) = seg.split("=", 2); k -> v
+        val Array(k, v) = seg.split("=", 2)
+        unescapeSeg(k) -> unescapeSeg(v)
       }.toMap
   }
+
+  private[graft] def unescapeSeg(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   private val PartSegRe = raw"[^=/]+=[^/]*".r
 
@@ -1167,17 +1174,22 @@ object Snapshots {
       .filter(condition)
   }
 
+  /** Parse a `k=v/...` spec with Hive path-escaping undone (same contract
+    * as [[Action.partitionMap]]): filters and stats compare real values —
+    * an escaped bound against a real predicate value could unsoundly skip
+    * a file the predicate matches. */
   private[graft] def specToMap(spec: String): Map[String, String] =
     if (spec.isEmpty) Map.empty
     else spec.split("/").toSeq.map { seg =>
-      val Array(k, v) = seg.split("=", 2); k -> v
+      val Array(k, v) = seg.split("=", 2)
+      unescapeSeg(k) -> unescapeSeg(v)
     }.toMap
 
   /** The partition column names (in directory order) of a table, from its
     * committed files' specs — empty for unpartitioned tables. */
   private[graft] def partitionColumns(specs: Seq[String]): Seq[String] =
     specs.find(_.nonEmpty)
-      .map(_.split("/").toSeq.map(_.split("=", 2)(0)))
+      .map(_.split("/").toSeq.map(s => unescapeSeg(s.split("=", 2)(0))))
       .getOrElse(Seq.empty)
 
   /** Explicit read schema for a width-mixed file set — the read half of

@@ -49,6 +49,13 @@ import graft.ingest.{Snapshots, TxnCommit}
   * the same surface the streaming reader serves. Append output mode only
   * (a log is append-only; complete/update modes are rejected by Spark
   * because this sink does not implement truncate).
+  *
+  * `option("partitionBy", "dt[,hour]")` lands a Hive-partitioned table:
+  * writers split rows into one file per distinct tuple per task (partition
+  * columns live in the log's recorded tuples and the `k=v` path, never in
+  * the data files), so the batch reader partition-prunes and the streaming
+  * reader serves the columns from the log — identical layout to a
+  * `partitionBy` batch write.
   */
 class SnapshotWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
   override def build(): Write = new Write {
@@ -73,6 +80,22 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
 
   private val warehouse = SnapshotDataSource.required(options, "warehouse")
   private val table = SnapshotDataSource.required(options, "table")
+  private val partCols: Seq[String] = Option(options.get("partitionBy")).toSeq
+    .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  partCols.foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"partitionBy column '$c' is not in the stream's schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    schema(c).dataType match {
+      case StringType | IntegerType | LongType | BooleanType | DateType => ()
+      case dt => throw new UnsupportedOperationException(
+        s"partitionBy column '$c' of type $dt is not supported " +
+          "(string/int/long/boolean/date partition values only)")
+    }
+  }
+  require(partCols.size < schema.size,
+    "partitionBy cannot cover every column — no data columns would remain")
+
   private def spark = SparkSession.active
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,7 +104,7 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
       : StreamingDataWriterFactory =
     SnapshotWriterFactory(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      schema, warehouse, table, queryId)
+      schema, partCols, warehouse, table, queryId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val cid = SnapshotStreamingWrite.commitId(queryId, table, epochId)
@@ -92,13 +115,19 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
       return
     }
     val staged = messages.collect {
-      case m: SnapshotWriteMessage if m.path != null => m.path }
+      case m: SnapshotWriteMessage => m.files }.flatten
     if (staged.isEmpty) { // empty micro-batch: no version, no log noise
       fs.delete(new Path(TxnCommit.stagingDir(warehouse, cid)), true)
       return
     }
-    val moves = staged.toSeq.map(src => TxnCommit.Move(src,
-      s"$warehouse/$table/$cid-${new Path(src).getName}"))
+    // Hive-style k=v dirs at the destination: the log's ADD lines record
+    // the partition tuple from the path, so the streaming reader serves
+    // the columns from the log and the batch reader partition-prunes.
+    val moves = staged.toSeq.map { case (src, spec) =>
+      val destDir = if (spec.isEmpty) s"$warehouse/$table"
+                    else s"$warehouse/$table/$spec"
+      TxnCommit.Move(src, s"$destDir/$cid-${new Path(src).getName}")
+    }
     TxnCommit.commit(fs, warehouse, cid, moves)
     TxnCommit.publish(fs, warehouse, cid, moves)
   }
@@ -111,7 +140,8 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
 }
 
 case class SnapshotWriterFactory(conf: SerializableConfiguration,
-                                 schema: StructType, warehouse: String,
+                                 schema: StructType, partCols: Seq[String],
+                                 warehouse: String,
                                  table: String, queryId: String)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -119,75 +149,126 @@ case class SnapshotWriterFactory(conf: SerializableConfiguration,
     val cid = SnapshotStreamingWrite.commitId(queryId, table, epochId)
     // taskId in the name keeps retried attempts collision-free; only the
     // committed attempt's message reaches the driver.
-    new SnapshotDataWriter(conf.value, schema,
-      s"${TxnCommit.stagingDir(warehouse, cid)}/$table/" +
-        s"part-$partitionId-$taskId.parquet")
+    new SnapshotDataWriter(conf.value, schema, partCols,
+      s"${TxnCommit.stagingDir(warehouse, cid)}/$table",
+      s"part-$partitionId-$taskId.parquet")
   }
 }
 
-/** The committed file's staging path (null for a zero-row writer — nothing
-  * to publish) plus its row count, for observability. */
-case class SnapshotWriteMessage(path: String, rows: Long)
+/** The committed staged files as (stagingPath, partitionSpec) pairs —
+  * empty for a zero-row writer — plus the row count, for observability. */
+case class SnapshotWriteMessage(files: Seq[(String, String)], rows: Long)
   extends WriterCommitMessage
 
-/** Streams InternalRows into one staged parquet file via the parquet-mr
-  * Group API (no Spark datasource re-entry inside a DSv2 writer) — the
-  * exact write-side mirror of [[SnapshotPartitionReader]]'s decode table. */
-class SnapshotDataWriter(conf: Configuration, schema: StructType, path: String)
+/** Streams InternalRows into staged parquet via the parquet-mr Group API
+  * (no Spark datasource re-entry inside a DSv2 writer) — the exact
+  * write-side mirror of [[SnapshotPartitionReader]]'s decode table.
+  *
+  * Unpartitioned: ONE file per task. Partitioned (`partitionBy` option):
+  * one file per distinct partition tuple seen by this task, under a
+  * Hive-style `k=v` staging subpath; partition columns are NOT stored in
+  * the data files (the log's recorded tuples serve them at read time, the
+  * same convention as every other writer of this format). Writers are
+  * opened lazily per tuple and kept open until commit — the per-task open
+  * count is the task's distinct-tuple count, so repartition the stream by
+  * the partition columns upstream if cardinality is high. */
+class SnapshotDataWriter(conf: Configuration, schema: StructType,
+                         partCols: Seq[String], stagingTableDir: String,
+                         fileName: String)
   extends DataWriter[InternalRow] {
 
-  private val messageType: MessageType = SnapshotDataWriter.parquetType(schema)
-  private val writer = ExampleParquetWriter
-    .builder(HadoopOutputFile.fromPath(new Path(path), conf))
-    .withType(messageType)
-    .withConf(conf)
-    .withCompressionCodec(CompressionCodecName.SNAPPY)
-    .build()
+  private val partIdx: Seq[Int] = partCols.map(schema.fieldIndex)
+  private val dataFields: Seq[(StructField, Int)] =
+    schema.fields.zipWithIndex.toSeq
+      .filter { case (f, _) => !partCols.contains(f.name) }
+  private val dataSchema = StructType(dataFields.map(_._1))
+  private val messageType: MessageType =
+    SnapshotDataWriter.parquetType(dataSchema)
   private val factory = new SimpleGroupFactory(messageType)
-  private var rows = 0L
 
-  // One setter per column, resolved once (mirrors the reader's getters).
+  // One setter per DATA column: group index gi (projected), row index ri
+  // (original) — resolved once, mirrors the reader's getters.
   private val setters: Array[(Group, InternalRow) => Unit] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
+    dataFields.zipWithIndex.map { case ((f, ri), gi) =>
       val set: (Group, InternalRow) => Unit = f.dataType match {
-        case LongType => (g, r) => g.add(i, r.getLong(i))
-        case IntegerType => (g, r) => g.add(i, r.getInt(i))
-        case DoubleType => (g, r) => g.add(i, r.getDouble(i))
-        case FloatType => (g, r) => g.add(i, r.getFloat(i))
-        case BooleanType => (g, r) => g.add(i, r.getBoolean(i))
+        case LongType => (g, r) => g.add(gi, r.getLong(ri))
+        case IntegerType => (g, r) => g.add(gi, r.getInt(ri))
+        case DoubleType => (g, r) => g.add(gi, r.getDouble(ri))
+        case FloatType => (g, r) => g.add(gi, r.getFloat(ri))
+        case BooleanType => (g, r) => g.add(gi, r.getBoolean(ri))
         case StringType => (g, r) =>
-          g.add(i, Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
+          g.add(gi, Binary.fromConstantByteArray(r.getUTF8String(ri).getBytes))
         case BinaryType => (g, r) =>
-          g.add(i, Binary.fromConstantByteArray(r.getBinary(i)))
-        case DateType => (g, r) => g.add(i, r.getInt(i))       // days
-        case TimestampType => (g, r) => g.add(i, r.getLong(i)) // micros
+          g.add(gi, Binary.fromConstantByteArray(r.getBinary(ri)))
+        case DateType => (g, r) => g.add(gi, r.getInt(ri))       // days
+        case TimestampType => (g, r) => g.add(gi, r.getLong(ri)) // micros
         case dt => throw new UnsupportedOperationException(
           s"column '${f.name}': cannot encode Spark $dt to parquet")
       }
       set
-    }
+    }.toArray
+
+  // spec ("" when unpartitioned) → open writer; opened lazily on first row.
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, org.apache.parquet.hadoop.ParquetWriter[Group]]
+  private var rows = 0L
+
+  private def writerFor(spec: String) = writers.getOrElseUpdate(spec, {
+    val dir = if (spec.isEmpty) stagingTableDir else s"$stagingTableDir/$spec"
+    ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new Path(s"$dir/$fileName"), conf))
+      .withType(messageType)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  })
+
+  /** Hive-style escaped `k=v/...` spec for this row's partition tuple. */
+  private def specOf(row: InternalRow): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (partCols.isEmpty) ""
+    else partCols.zip(partIdx).map { case (c, i) =>
+      val v =
+        if (row.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else schema(c).dataType match {
+          case StringType => ExternalCatalogUtils.escapePathName(
+            row.getUTF8String(i).toString)
+          case IntegerType => row.getInt(i).toString
+          case LongType => row.getLong(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i)).toString
+          case dt => throw new UnsupportedOperationException(
+            s"partition column '$c' of type $dt")
+        }
+      s"${ExternalCatalogUtils.escapePathName(c)}=$v"
+    }.mkString("/")
+  }
 
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
     while (i < setters.length) {
-      if (!row.isNullAt(i)) setters(i)(g, row)
+      if (!row.isNullAt(dataFields(i)._2)) setters(i)(g, row)
       i += 1
     }
-    writer.write(g)
+    writerFor(specOf(row)).write(g)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    // A zero-row file has nothing to publish; it dies with the staging dir.
-    SnapshotWriteMessage(if (rows == 0) null else path, rows)
+    val files = writers.toSeq.map { case (spec, w) =>
+      w.close()
+      val dir = if (spec.isEmpty) stagingTableDir else s"$stagingTableDir/$spec"
+      (s"$dir/$fileName", spec)
+    }
+    SnapshotWriteMessage(files, rows)
   }
 
-  override def abort(): Unit = {
-    try writer.close() catch { case _: Throwable => () }
+  override def abort(): Unit = writers.foreach { case (spec, w) =>
+    try w.close() catch { case _: Throwable => () }
     try {
-      val p = new Path(path)
+      val dir = if (spec.isEmpty) stagingTableDir else s"$stagingTableDir/$spec"
+      val p = new Path(s"$dir/$fileName")
       p.getFileSystem(conf).delete(p, false)
     } catch { case _: Throwable => () }
   }

@@ -95,7 +95,7 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         .add("id", "long").add("val", "string"),
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         Map("warehouse" -> w, "table" -> "t").asJava))
-    write.commit(0L, Array(graft.sources.v2.SnapshotWriteMessage(null, 0L)))
+    write.commit(0L, Array(graft.sources.v2.SnapshotWriteMessage(Nil, 0L)))
     assert(Snapshots.entries(fs, w).size == entriesBefore,
       "replayed epoch must not publish a second version")
     assert(Snapshots.read(spark, w, "t").count() == 5)
@@ -124,6 +124,47 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination()
     assert(spark.read.parquet(out).select("id").as[Long]
       .collect().sorted.sameElements(0L until 30L))
+  }
+
+  test("partitionBy lands a Hive-partitioned table readable both ways") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whPartSink")
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"),
+      (4L, "2024 01/03")) // space + slash: path-escaping must hold
+    val q = in.toDF.toDF("id", "dt").writeStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("partitionBy", "dt")
+      .option("checkpointLocation", wh("whPartSinkCkpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // Batch read: partition column from the log tuple; pruning works.
+    val all = Snapshots.read(spark, w, "t").as[(Long, String)].collect().toSet
+    assert(all == Set(1L -> "2024-01-01", 2L -> "2024-01-02",
+      3L -> "2024-01-02", 4L -> "2024 01/03"))
+    val pruned = Snapshots.read(spark, w, "t",
+      partitionFilter = m => m.get("dt").exists(_.contains("2024-01-02")))
+    assert(pruned.as[(Long, String)].collect().toSet ==
+      Set(2L -> "2024-01-02", 3L -> "2024-01-02"))
+
+    // Streaming read: the reader serves dt from the log's recorded tuples.
+    val out = wh("whPartSinkOut")
+    val q2 = spark.readStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", wh("whPartSinkCkpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet == all)
+
+    // Layout: one k=v dir per value, data files free of the partition column.
+    val dirs = fs.listStatus(new Path(s"$w/t"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs.count(_.startsWith("dt=")) == 3, s"got $dirs")
   }
 
   test("schema enforcement holds at the commit point for existing tables") {
