@@ -124,7 +124,10 @@ case class FrameOffset(ts: Long) extends Offset {
   * StartAfter checkpoint has the identical blind spot — late writers must
   * carry fresh timestamps). */
 class FrameMicroBatchStream(options: CaseInsensitiveStringMap,
-                            schema: StructType) extends MicroBatchStream {
+                            schema: StructType) extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
   private val spark = SparkSession.active
   private val path = Option(options.get("path"))
     .getOrElse(throw new IllegalArgumentException("option 'path' is required"))
@@ -143,6 +146,96 @@ class FrameMicroBatchStream(options: CaseInsensitiveStringMap,
     files.lastOption.foreach(f => lastSeenMs = math.max(lastSeenMs, f.timestamp_ms))
     FrameOffset(lastSeenMs)
   }
+
+  /** Delta-style per-trigger admission: `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` options (both → composite; neither → all
+    * available). A 100 TB bucket backfill then ingests in bounded batches
+    * instead of planning its entire history as trigger one — the streaming
+    * dual of the reference's bounded ingest batches. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val mf = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val mb = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    (mf, mb) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
+  // Trigger.AvailableNow: the listing end captured ONCE at start; the run
+  // drains files present then and stops, even while uploads continue.
+  private var availableNowBoundMs: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val files = FileCatalog.list(spark, path, prefix,
+      afterMs = Some(lastSeenMs).filter(_ >= 0))
+    availableNowBoundMs =
+      Some(files.lastOption.map(_.timestamp_ms).getOrElse(lastSeenMs))
+  }
+
+  /** Rate-limited advance. The offset is a timestamp, so admission works in
+    * whole SAME-MILLISECOND groups: the cut lands on the ts of the last
+    * admitted file and every file sharing that ts rides along (an offset
+    * cannot split a millisecond — overshoot is bounded by files-per-ms).
+    * At least one group is always admitted (progress guarantee). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FrameOffset].ts
+    val (maxFiles, maxBytes) = flattenLimit(limit)
+    if (maxFiles.isEmpty && maxBytes.isEmpty) {
+      // Unlimited: the in-memory mark keeps per-trigger listing O(new).
+      val from = math.max(s, lastSeenMs)
+      val files = FileCatalog.list(spark, path, prefix,
+        afterMs = Some(from).filter(_ >= 0))
+      var end = files.lastOption.map(_.timestamp_ms).getOrElse(from)
+      availableNowBoundMs.foreach(b => end = math.min(end, b))
+      end = math.max(end, s)
+      lastSeenMs = math.max(lastSeenMs, end)
+      FrameOffset(end)
+    } else {
+      // Rate-limited: list from the CONSUMED offset (pending files must be
+      // re-seen to pick the next batch) — O(pending + new) per trigger,
+      // shrinking as the backlog drains.
+      val all = FileCatalog.list(spark, path, prefix,
+        afterMs = Some(s).filter(_ >= 0))
+      val bounded = availableNowBoundMs.fold(all)(b => all.filter(_.timestamp_ms <= b))
+      if (bounded.isEmpty)
+        FrameOffset(math.max(s, availableNowBoundMs.getOrElse(s)))
+      else {
+        var files = 0L; var bytes = 0L; var cut = -1L
+        var done = false
+        val it = bounded.iterator
+        while (!done && it.hasNext) {
+          val f = it.next()
+          val fits = maxFiles.forall(files + 1 <= _) &&
+            maxBytes.forall(bytes + f.size_bytes <= _)
+          if (files == 0 || fits || f.timestamp_ms == cut) {
+            files += 1; bytes += f.size_bytes; cut = f.timestamp_ms
+          } else done = true
+        }
+        FrameOffset(cut)
+      }
+    }
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val files = FileCatalog.list(spark, path, prefix,
+      afterMs = Some(lastSeenMs).filter(_ >= 0))
+    FrameOffset(files.lastOption.map(_.timestamp_ms).getOrElse(lastSeenMs))
+  }
+
+  private def flattenLimit(limit: ReadLimit): (Option[Long], Option[Long]) =
+    limit match {
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(flattenLimit).foldLeft(
+          (Option.empty[Long], Option.empty[Long])) { case ((f1, b1), (f2, b2)) =>
+          (Seq(f1, f2).flatten.minOption, Seq(b1, b2).flatten.minOption)
+        }
+      case f: ReadMaxFiles => (Some(f.maxFiles().toLong), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case _: ReadAllAvailable => (None, None)
+      case _ => (None, None)
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FrameOffset].ts

@@ -46,9 +46,10 @@ import graft.ingest.{Snapshots, TxnCommit}
   * readers flip to the new version atomically via the log. Schema and
   * constraint enforcement ride `TxnCommit.commit` like every other writer,
   * so a stream cannot drift a table's schema. Flat primitive schemas only —
-  * the same surface the streaming reader serves. Append output mode only
-  * (a log is append-only; complete/update modes are rejected by Spark
-  * because this sink does not implement truncate).
+  * the same surface the streaming reader serves. Output modes: append (one
+  * ADD version per epoch) and complete (SupportsTruncate: one OVERWRITE
+  * version per epoch — the streaming materialized-view shape); update mode
+  * is rejected (upsert-by-key belongs to `foreachBatch` + `Merge.upsert`).
   *
   * `option("partitionBy", "dt[,hour]")` lands a Hive-partitioned table:
   * writers split rows into one file per distinct tuple per task (partition
@@ -57,11 +58,19 @@ import graft.ingest.{Snapshots, TxnCommit}
   * reader serves the columns from the log — identical layout to a
   * `partitionBy` batch write.
   */
-class SnapshotWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
+class SnapshotWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateEachEpoch = false
+  /** Complete output mode (Spark calls this for it): every epoch REPLACES
+    * the table — one overwrite version per trigger, the streaming
+    * materialized-view shape (e.g. a complete-mode aggregation kept as a
+    * queryable snapshot table with history). */
+  override def truncate(): WriteBuilder = { truncateEachEpoch = true; this }
   override def build(): Write = new Write {
     override def toStreaming: StreamingWrite = {
       SnapshotDataSource.validate(info.schema())
-      new SnapshotStreamingWrite(info.queryId(), info.schema(), info.options())
+      new SnapshotStreamingWrite(info.queryId(), info.schema(), info.options(),
+        truncateEachEpoch)
     }
   }
 }
@@ -75,7 +84,8 @@ private[v2] object SnapshotStreamingWrite {
 }
 
 class SnapshotStreamingWrite(queryId: String, schema: StructType,
-                             options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+                             options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+                             truncateEachEpoch: Boolean = false)
   extends StreamingWrite {
 
   private val warehouse = SnapshotDataSource.required(options, "warehouse")
@@ -116,7 +126,15 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
     }
     val staged = messages.collect {
       case m: SnapshotWriteMessage => m.files }.flatten
-    if (staged.isEmpty) { // empty micro-batch: no version, no log noise
+    val existing = if (truncateEachEpoch)
+      Snapshots.fileMeta(fs, warehouse, table).map(_.map(_.file))
+        .getOrElse(Seq.empty)
+    else Seq.empty
+    if (staged.isEmpty && existing.isEmpty) {
+      // Empty micro-batch over an empty (or append-mode) table: no
+      // version, no log noise. In truncate mode an empty epoch over a
+      // NON-empty table still commits below — complete output means "the
+      // table IS this batch", including empty.
       fs.delete(new Path(TxnCommit.stagingDir(warehouse, cid)), true)
       return
     }
@@ -128,8 +146,20 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
                     else s"$warehouse/$table/$spec"
       TxnCommit.Move(src, s"$destDir/$cid-${new Path(src).getName}")
     }
-    TxnCommit.commit(fs, warehouse, cid, moves)
-    TxnCommit.publish(fs, warehouse, cid, moves)
+    if (truncateEachEpoch) {
+      // One overwrite version per epoch: REMOVEs + ADDs flip atomically,
+      // prior epochs stay time-travelable until vacuum. Coarse OCC: a
+      // concurrent writer to this table aborts the epoch (the stream
+      // retries the trigger) rather than being silently replaced.
+      val base = Snapshots.latestVersion(fs, warehouse)
+      TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
+        op = "overwrite", baseVersion = base)
+      TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,
+        op = "overwrite", baseVersion = base)
+    } else {
+      TxnCommit.commit(fs, warehouse, cid, moves)
+      TxnCommit.publish(fs, warehouse, cid, moves)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

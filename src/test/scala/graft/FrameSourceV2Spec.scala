@@ -72,6 +72,59 @@ class FrameSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(2L, 3L))
   }
 
+  test("streaming ingest honors maxFilesPerTrigger with same-ms ride-along") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.v2.{FrameMicroBatchStream, FrameOffset}
+    val dir = Files.createTempDirectory("graft-dsv2-rate")
+    def fixture(name: String, n: Int): Unit = {
+      val frames = (0 until n).map(i => Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+        Some(SpeedtestIngest(Some(SpeedtestReq(Array[Byte](1), s"s$i", 1700000000L,
+          1, 2, 3)), 1700000000L)), 1700000000L, 0)))
+      val out = new FileOutputStream(dir.resolve(name).toFile)
+      try Framing.writeGzipFrames(out, frames) finally out.close()
+    }
+    fixture("verified_speedtest.1700000001000.gz", 1)
+    fixture("verified_speedtest.1700000002000.gz", 1)
+    // two files sharing one millisecond: an offset cannot split them —
+    // they must ride one trigger together
+    fixture("verified_speedtest.1700000003000.gz", 1)
+    fixture("verified_speedtest.1700000003000.b.gz", 1)
+    fixture("verified_speedtest.1700000004000.gz", 1)
+
+    import scala.jdk.CollectionConverters._
+    val stream = new FrameMicroBatchStream(
+      new CaseInsensitiveStringMap(Map(
+        "path" -> dir.toString, "prefix" -> "verified_speedtest").asJava),
+      new org.apache.spark.sql.types.StructType().add("file_source", "string"))
+    val limit = ReadLimit.maxFiles(1)
+    var off = stream.initialOffset()
+    val batches = scala.collection.mutable.ArrayBuffer[Int]()
+    var progressed = true
+    while (progressed && batches.size < 10) {
+      val next = stream.latestOffset(off, limit)
+      progressed = next.asInstanceOf[FrameOffset].ts != off.asInstanceOf[FrameOffset].ts
+      if (progressed) {
+        batches += stream.planInputPartitions(off, next).length
+        off = stream.deserializeOffset(next.json())
+      }
+    }
+    // 5 files over 4 distinct timestamps → 4 triggers; the same-ms pair
+    // rides together (bounded overshoot), everything served exactly once.
+    assert(batches.toSeq == Seq(1, 1, 2, 1), s"got $batches")
+
+    // AvailableNow pins the bound: files landing after prepare are not
+    // drained by this run.
+    val pinned = new FrameMicroBatchStream(
+      new CaseInsensitiveStringMap(Map(
+        "path" -> dir.toString, "prefix" -> "verified_speedtest").asJava),
+      new org.apache.spark.sql.types.StructType().add("file_source", "string"))
+    pinned.prepareForTriggerAvailableNow()
+    fixture("verified_speedtest.1700000009000.gz", 1)
+    val end = pinned.latestOffset(pinned.initialOffset(), ReadLimit.allAvailable())
+    assert(end.asInstanceOf[FrameOffset].ts == 1700000004000L)
+  }
+
   test("LPT packing balances skewed file sizes across tasks") {
     import graft.sources.{FileCatalog, FrameSource}
     def f(i: Int, size: Long) =

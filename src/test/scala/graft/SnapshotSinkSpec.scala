@@ -167,6 +167,41 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.count(_.startsWith("dt=")) == 3, s"got $dirs")
   }
 
+  test("complete mode keeps a materialized aggregate as overwrite versions") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whComplete"); val ckpt = wh("whCompleteCkpt")
+    val in = MemoryStream[(String, Long)]
+    def drainComplete(): Unit = {
+      val q = in.toDF.toDF("k", "n").groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("n").as("total"))
+        .writeStream.format("graft-snapshots")
+        .option("warehouse", w).option("table", "agg")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    in.addData(("a", 1L), ("b", 2L))
+    drainComplete()
+    assert(Snapshots.read(spark, w, "agg").as[(String, Long)].collect().toSet ==
+      Set("a" -> 1L, "b" -> 2L))
+
+    in.addData(("a", 10L))
+    drainComplete()
+    // The table IS the latest aggregate state — replaced, not appended.
+    assert(Snapshots.read(spark, w, "agg").as[(String, Long)].collect().toSet ==
+      Set("a" -> 11L, "b" -> 2L))
+    // Prior epoch still time-travelable (overwrite retains files).
+    val versions = (0L to Snapshots.latestVersion(fs, w).get)
+    val states = versions.map(v =>
+      Snapshots.read(spark, w, "agg", asOf = Some(v))
+        .as[(String, Long)].collect().toSet)
+    assert(states.contains(Set("a" -> 1L, "b" -> 2L)))
+  }
+
   test("schema enforcement holds at the commit point for existing tables") {
     val s0 = spark
     import s0.implicits._
