@@ -128,6 +128,29 @@ object FormatQueries {
       Snapshots.read(s, wh, "nation")
     }),
 
+    // SQL INSERT INTO lowered onto the batch write path: a partial first
+    // commit + an INSERT of the remainder must reassemble the exact
+    // fixture — proving the parser lowering, positional column mapping,
+    // and the append commit end-to-end through the oracle gate.
+    "fmt_sql_insert" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_sql_insert", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n.filter(col("n_nationkey") < 20))
+        n.filter(col("n_nationkey") >= 20)
+          .createOrReplaceTempView("fmt_ins_src")
+        val prev = s.conf.getOption("spark.graft.warehouse")
+        s.conf.set("spark.graft.warehouse", w)
+        try s.sql(
+          "INSERT INTO nation SELECT n_nationkey, n_name, n_regionkey " +
+            "FROM fmt_ins_src").collect()
+        finally prev.fold(s.conf.unset("spark.graft.warehouse"))(v =>
+          s.conf.set("spark.graft.warehouse", v))
+        w
+      }
+      Snapshots.read(s, wh, "nation")
+    }),
+
     "fmt_merge" -> ((s, d) => {
       val wh = Fixtures.once("fmt_merge", d) {
         val w = freshWh()
@@ -313,6 +336,10 @@ object FormatQueries {
     "fmt_stream_sink" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         |       value, props FROM events""".stripMargin,
+    // Partial commit + SQL INSERT of the remainder = the full table.
+    "fmt_sql_insert" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     // Overwrite replaced the partial first commit with the full table.
     "fmt_batch_write" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -27,6 +27,8 @@ import graft.ingest.{Compaction, Snapshots}
   * RESTORE t TO VERSION AS OF 3           -- roll back as a new commit
   * DELETE FROM t WHERE v > 10             -- predicate copy-on-write delete
   * UPDATE t SET v = v + 1 WHERE id = 7    -- predicate copy-on-write update
+  * INSERT INTO t SELECT ... | VALUES ...  -- positional append (new version)
+  * INSERT OVERWRITE t SELECT ...          -- atomic replace (history intact)
   * MERGE INTO t USING s ON t.id = s.id    -- keyed upsert / delete-by-key
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
@@ -69,6 +71,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*".r
   private val UpdateRe =
     raw"(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+)".r
+  private val InsertIntoRe =
+    raw"(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.*)".r
+  private val InsertOverwriteRe =
+    raw"(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.*)".r
 
   /** Split SET assignments on commas outside string literals (same quote
     * rules as [[splitSetWhere]] — single/double quotes, backslash
@@ -282,6 +288,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       GraftMergeCommand(warehouse, target, source, keyCols,
         matchedUpdate, matchedDelete, notMatchedInsert)
+    case InsertOverwriteRe(table, query) if isGraftTable(table) =>
+      GraftInsertCommand(warehouse, table, query, overwrite = true)
+    case InsertIntoRe(table, query) if isGraftTable(table) =>
+      GraftInsertCommand(warehouse, table, query, overwrite = false)
     case DeleteRe(table, where) if isGraftTable(table) =>
       GraftDmlCommand(warehouse, table, where, Nil)
     case UpdateRe(table, rest)
@@ -434,6 +444,42 @@ case class GraftRestoreCommand(warehouse: String, table: String,
   * rewritten, a (file, pos) vector is committed instead; reads subtract
   * it, compaction purges it). Assignments/conditions are Spark SQL
   * expressions evaluated over the row's current columns. */
+/** `INSERT INTO|OVERWRITE t <query>` → the native batch write path
+  * (`format("graft-snapshots")`), with standard-SQL POSITIONAL column
+  * mapping: the query's columns are renamed to the table's schema in
+  * order (arity must match — a silent name-based partial insert would
+  * corrupt positionally-written rows). A partitioned table keeps its
+  * layout: the target's partition columns are re-derived from the log and
+  * passed through, so an INSERT never mixes flat files into a Hive
+  * layout. OVERWRITE is the atomic REMOVE+ADD single-version swap (OCC
+  * aborts on a racing commit; time travel intact). */
+case class GraftInsertCommand(warehouse: String, table: String,
+                              querySql: String, overwrite: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = session.sql(querySql)
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    val target = Snapshots.read(session, warehouse, table).schema
+    require(src.schema.length == target.length,
+      s"INSERT arity mismatch: query produces ${src.schema.length} " +
+        s"column(s), table '$table' has ${target.length} " +
+        s"(${target.fieldNames.mkString(", ")})")
+    val renamed = src.toDF(target.fieldNames.toIndexedSeq: _*)
+    val partCols = Snapshots.partitionColumns(
+      Snapshots.fileMeta(fs, warehouse, table)
+        .map(_.map(_.partition)).getOrElse(Nil))
+    val writer = renamed.write.format("graft-snapshots")
+      .option("warehouse", warehouse).option("table", table)
+      .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.Append)
+    (if (partCols.isEmpty) writer
+     else writer.option("partitionBy", partCols.mkString(","))).save()
+    Seq.empty
+  }
+}
+
 case class GraftDmlCommand(warehouse: String, table: String, where: String,
                            assignments: Seq[(String, String)])
   extends LeafRunnableCommand {

@@ -139,6 +139,43 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "r").count() == 10)
   }
 
+  test("INSERT INTO / INSERT OVERWRITE lower onto the batch write path") {
+    val s0 = spark
+    import s0.implicits._
+    // fresh table in the shared warehouse (t already has other tests' DML)
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/ins")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "ins")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+
+    // VALUES append with positional mapping (query col names ignored).
+    spark.sql("INSERT INTO ins VALUES (3, 'c'), (4, 'd')")
+    assert(Snapshots.read(spark, wh, "ins").as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+
+    // SELECT append; arity mismatch fails loudly.
+    spark.sql("INSERT INTO ins SELECT 5L, 'e'")
+    assert(Snapshots.read(spark, wh, "ins").count() == 5)
+    val err = intercept[Exception](spark.sql("INSERT INTO ins SELECT 6L"))
+    assert(err.getMessage.contains("arity"))
+
+    // OVERWRITE replaces atomically; prior version still time-travelable.
+    val before = Snapshots.latestVersion(fs, wh).get
+    spark.sql("INSERT OVERWRITE ins VALUES (9, 'z')")
+    assert(Snapshots.read(spark, wh, "ins").as[(Long, String)].collect().toSet ==
+      Set(9L -> "z"))
+    assert(Snapshots.read(spark, wh, "ins", asOf = Some(before)).count() == 5)
+
+    // Non-warehouse INSERT still falls through to Spark's own parser.
+    spark.sql("CREATE TABLE spark_local_ins (id INT) USING parquet")
+    try {
+      spark.sql("INSERT INTO spark_local_ins VALUES (42)")
+      assert(spark.table("spark_local_ins").collect().map(_.getInt(0)).toSeq == Seq(42))
+    } finally spark.sql("DROP TABLE spark_local_ins")
+  }
+
   test("DELETE FROM / UPDATE SET are copy-on-write DML for warehouse tables") {
     val s0 = spark
     import s0.implicits._
