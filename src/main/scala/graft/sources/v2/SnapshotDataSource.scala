@@ -103,7 +103,10 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
     * Downstream consumers see an `overwrite` op tag: the streaming source
     * and `changes()` treat it like a merge rewrite (fail by default, skip
     * with skipChangeCommits) — its REMOVEs are not representable as
-    * append-only events. */
+    * append-only events. `option("changeFeed", "true")` additionally
+    * stages row-level change files (old rows as `delete`, new as
+    * `insert`), making the overwrite servable by `changes()` and
+    * `readChangeFeed` streams at the cost of one extra pass. */
   override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
                               parameters: Map[String, String],
@@ -134,11 +137,33 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
       val cid = java.util.UUID.randomUUID().toString
       val partCols = Option(options.get("partitionBy")).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val stagingTable = s"${TxnCommit.stagingDir(warehouse, cid)}/$table"
       val writer = data.write
       (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
-        .parquet(s"${TxnCommit.stagingDir(warehouse, cid)}/$table")
-      val moves = TxnCommit.movesFor(fs, warehouse, cid, table)
+        .parquet(stagingTable)
+      var moves = TxnCommit.movesFor(fs, warehouse, cid, table)
       if (mode == SaveMode.Overwrite && exists) {
+        // Opt-in change feed for the rewrite (`option("changeFeed","true")`):
+        // stage one CDF set — every replaced row as `delete`, every new row
+        // as `insert` — so changes() and readChangeFeed streams can serve
+        // the overwrite instead of refusing it. The insert half re-reads
+        // the STAGED files (not the incoming plan): a nondeterministic
+        // query must contribute the same rows to the table and its feed.
+        // Costs one extra pass over old + new data; off by default.
+        if (Option(options.get("changeFeed")).exists(_.toBoolean)) {
+          import org.apache.spark.sql.functions.lit
+          val inserts = {
+            val r = spark.read
+            (if (partCols.isEmpty) r else r.option("basePath", stagingTable))
+              .parquet(stagingTable)
+          }.withColumn("_change_type", lit("insert"))
+          val deletes = Snapshots.read(spark, warehouse, table)
+            .withColumn("_change_type", lit("delete"))
+          deletes.unionByName(inserts)
+            .write.parquet(s"${TxnCommit.stagingDir(warehouse, cid)}/_changes/$table")
+          moves = moves ++
+            TxnCommit.movesFor(fs, warehouse, cid, s"_changes/$table")
+        }
         TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
           op = "overwrite", baseVersion = base)
         TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,

@@ -472,6 +472,11 @@ case class GraftInsertCommand(warehouse: String, table: String,
         .map(_.map(_.partition)).getOrElse(Nil))
     val writer = renamed.write.format("graft-snapshots")
       .option("warehouse", warehouse).option("table", table)
+      // graft.cdf.overwrite=true: INSERT OVERWRITE also stages a change
+      // feed (delete pre-images + inserts) — see the batch writer's
+      // changeFeed option.
+      .option("changeFeed",
+        session.conf.getOption("graft.cdf.overwrite").getOrElse("false"))
       .mode(if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
             else org.apache.spark.sql.SaveMode.Append)
     (if (partCols.isEmpty) writer

@@ -96,6 +96,41 @@ class SnapshotBatchWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(2L -> "2024-01-02", 3L -> "2024-01-02"))
   }
 
+  test("changeFeed overwrite serves delete pre-images + inserts as CDF") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whBwCdf")
+    write(w, Seq(1L -> "a", 2L -> "b"), SaveMode.Append)       // v0
+    Seq(9L -> "z").toDF("id", "val").coalesce(1).write
+      .format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("changeFeed", "true")
+      .mode(SaveMode.Overwrite).save()                          // v1 + CDF
+    // Batch change feed: the rewrite is fully represented.
+    val feed = Snapshots.changes(spark, w, "t", fromExclusive = -1L)
+      .select("id", "val", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (1L, "a", "delete", 1L), (2L, "b", "delete", 1L),
+      (9L, "z", "insert", 1L)))
+    // Streaming change feed drains the same rows.
+    val out = wh("whBwCdfOut")
+    val q = spark.readStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", wh("whBwCdfCkpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out)
+      .select("id", "val", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet == feed)
+    // The table itself is just the overwrite result.
+    assert(Snapshots.read(spark, w, "t").as[(Long, String)].collect().toSeq ==
+      Seq(9L -> "z"))
+  }
+
   test("overwrite commits read as change commits downstream") {
     val s0 = spark
     import s0.implicits._
