@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -399,18 +399,20 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       Snapshots.latestVersion(fs, warehouse).getOrElse(startingVersion))
 
   /** Default per-trigger admission from the Delta-style options:
-    * `maxFilesPerTrigger` / `maxBytesPerTrigger` (both → composite;
-    * neither → all available). Trigger.AvailableNow composes with these —
-    * the run drains the prepared bound across rate-limited triggers. */
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` / `maxRowsPerTrigger`
+    * (several → composite; none → all available). Rows are accounted from
+    * the log's per-file stats — zero file opens. Trigger.AvailableNow
+    * composes with these — the run drains the prepared bound across
+    * rate-limited triggers. */
   override def getDefaultReadLimit: ReadLimit = {
-    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
-    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
-    (maxFiles, maxBytes) match {
-      case (Some(f), Some(b)) =>
-        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
-      case (Some(f), None) => ReadLimit.maxFiles(f)
-      case (None, Some(b)) => ReadLimit.maxBytes(b)
-      case _ => ReadLimit.allAvailable()
+    val limits =
+      Option(options.get("maxFilesPerTrigger")).map(v => ReadLimit.maxFiles(v.toInt)).toSeq ++
+      Option(options.get("maxBytesPerTrigger")).map(v => ReadLimit.maxBytes(v.toLong)).toSeq ++
+      Option(options.get("maxRowsPerTrigger")).map(v => ReadLimit.maxRows(v.toLong)).toSeq
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
     }
   }
 
@@ -434,32 +436,39 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     val s = start.asInstanceOf[SnapshotVersionOffset]
     val logEnd = availableNowBound
       .orElse(Snapshots.latestVersion(fs, warehouse)).getOrElse(startingVersion)
-    val (maxFiles, maxBytes) = flattenLimit(limit)
+    val (maxFiles, maxBytes, maxRows) = flattenLimit(limit)
     val caughtUp = logEnd <= s.version && s.index < 0
     if (caughtUp) s
-    else if (maxFiles.isEmpty && maxBytes.isEmpty) SnapshotVersionOffset(logEnd)
+    else if (maxFiles.isEmpty && maxBytes.isEmpty && maxRows.isEmpty)
+      SnapshotVersionOffset(logEnd)
     else {
       val from = if (s.index >= 0) s.version - 1 else s.version
       val all = unitsInRange(from, logEnd)
       val countByVersion = all.groupBy(_._1).map { case (v, us) => (v, us.size) }
-      val pending = all.filter { case (v, i, _) =>
+      val pending = all.filter { case (v, i, _, _) =>
         v > s.version || (s.index >= 0 && v == s.version && i >= s.index) }
       if (pending.isEmpty) SnapshotVersionOffset(logEnd)
       else {
-        var files = 0L; var bytes = 0L
+        var files = 0L; var bytes = 0L; var rows = 0L
         var lastV = s.version; var lastI = -1
         var admittedAll = true
         val it = pending.iterator
         while (admittedAll && it.hasNext) {
-          val (v, i, p) = it.next()
+          val (v, i, p, nRows) = it.next()
           // Byte accounting only when a byte limit is set — otherwise no
-          // per-file getFileStatus RPC is paid at all.
+          // per-file getFileStatus RPC is paid at all. Row accounting reads
+          // the log's stats token (already in hand); a file WITHOUT stats
+          // counts as trigger-filling — conservative, still progresses via
+          // the at-least-one rule.
           val sz = if (maxBytes.isDefined)
             fs.getFileStatus(new Path(p.file)).getLen else 0L
+          val r = nRows.getOrElse(Long.MaxValue / 4)
           val fits = maxFiles.forall(files + 1 <= _) &&
-            maxBytes.forall(bytes + sz <= _)
-          if (files == 0 || fits) { files += 1; bytes += sz; lastV = v; lastI = i }
-          else admittedAll = false
+            maxBytes.forall(bytes + sz <= _) &&
+            maxRows.forall(rows + r <= _)
+          if (files == 0 || fits) {
+            files += 1; bytes += sz; rows += r; lastV = v; lastI = i
+          } else admittedAll = false
         }
         if (admittedAll) SnapshotVersionOffset(logEnd) // drained → whole-range offset
         else if (lastI + 1 == countByVersion(lastV)) SnapshotVersionOffset(lastV)
@@ -473,43 +482,49 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     * (`latestOffset - endOffset` in StreamingQueryProgress) are honest. */
   override def reportLatestOffset(): Offset = latestOffset()
 
-  /** (maxFiles, maxBytes) from a possibly-composite limit — min per axis. */
-  private def flattenLimit(limit: ReadLimit): (Option[Long], Option[Long]) =
+  /** (maxFiles, maxBytes, maxRows) from a possibly-composite limit — min
+    * per axis. */
+  private def flattenLimit(limit: ReadLimit)
+      : (Option[Long], Option[Long], Option[Long]) =
     limit match {
       case c: CompositeReadLimit =>
         c.getReadLimits.map(flattenLimit).foldLeft(
-          (Option.empty[Long], Option.empty[Long])) { case ((f1, b1), (f2, b2)) =>
-          (minOpt(f1, f2), minOpt(b1, b2))
+          (Option.empty[Long], Option.empty[Long], Option.empty[Long])) {
+          case ((f1, b1, r1), (f2, b2, r2)) =>
+            (minOpt(f1, f2), minOpt(b1, b2), minOpt(r1, r2))
         }
-      case f: ReadMaxFiles => (Some(f.maxFiles().toLong), None)
-      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
-      case _: ReadAllAvailable => (None, None)
-      case _ => (None, None) // unknown limit kinds degrade to all-available
+      case f: ReadMaxFiles => (Some(f.maxFiles().toLong), None, None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()), None)
+      case r: ReadMaxRows => (None, None, Some(r.maxRows()))
+      case _: ReadAllAvailable => (None, None, None)
+      case _ => (None, None, None) // unknown limit kinds degrade to all-available
     }
   private def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
     (a.toSeq ++ b.toSeq).minOption
 
   /** Ordered servable file units over versions in (fromExclusive,
-    * toInclusive]: (version, ordinal-within-version, partition). Log-line
-    * order, deterministic across calls — admission accounting in
-    * latestOffset and the slice in planInputPartitions walk the SAME list,
-    * so an offset minted by one is exact for the other.
+    * toInclusive]: (version, ordinal-within-version, partition, log-stats
+    * row count). Log-line order, deterministic across calls — admission
+    * accounting in latestOffset and the slice in planInputPartitions walk
+    * the SAME list, so an offset minted by one is exact for the other.
     *
     * Memoized so each trigger walks the log ONCE: latestOffset enumerates
     * (from, logEnd) and planInputPartitions re-requests (from, end≤logEnd)
     * moments later. Committed log entries are immutable, so the prefix of
     * the cached walk IS that narrower range — slice, don't re-list. */
   @volatile private var unitsCache
-      : (Long, Long, Seq[(Long, Int, SnapshotInputPartition)]) = null
+      : (Long, Long, Seq[(Long, Int, SnapshotInputPartition, Option[Long])]) = null
   private def unitsInRange(fromExclusive: Long, toInclusive: Long)
-      : Seq[(Long, Int, SnapshotInputPartition)] = {
+      : Seq[(Long, Int, SnapshotInputPartition, Option[Long])] = {
     val c = unitsCache
     if (c != null && c._1 == fromExclusive && c._2 >= toInclusive)
       c._3.filter(_._1 <= toInclusive)
     else {
       val u = Snapshots.addsInRange(fs, warehouse, table, fromExclusive, toInclusive)
         .flatMap { case (v, op, acts) =>
-          unitsForVersion(v, op, acts).zipWithIndex.map { case (p, i) => (v, i, p) }
+          unitsForVersion(v, op, acts).zipWithIndex.map {
+            case ((p, rows), i) => (v, i, p, rows)
+          }
         }
       unitsCache = (fromExclusive, toInclusive, u)
       u
@@ -539,15 +554,16 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         s"retained version: $first) — the truncated range is unrecoverable; " +
         "batch-read the current snapshot and stream from its version"))
     unitsInRange(s, eo.version).collect {
-      case (v, i, p)
+      case (v, i, p, _)
         if (v > so.version || (so.index >= 0 && i >= so.index)) &&
            (v < eo.version || eo.index < 0 || i < eo.index) => p: InputPartition
     }.toArray
   }
 
-  /** The servable partitions of one committed version, in log-line order. */
+  /** The servable (partition, log-stats row count) pairs of one committed
+    * version, in log-line order. */
   private def unitsForVersion(v: Long, op: String, acts: Seq[Snapshots.Action])
-      : Seq[SnapshotInputPartition] = {
+      : Seq[(SnapshotInputPartition, Option[Long])] = {
         val adds = acts.filter(_.add)
         val cdfs = acts.filter(_.cdf)
         if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
@@ -557,7 +573,8 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
               s"snapshot version $v is a $op commit without change files " +
                 "— the change-feed stream cannot represent it")
             // CDF files carry _change_type per row; version is constant.
-            cdfs.map(a => SnapshotInputPartition(a.file, Map.empty, v, None))
+            cdfs.map(a => (SnapshotInputPartition(a.file, Map.empty, v, None),
+              graft.ingest.FileStats.decode(a.stats).map(_.rows)))
           } else if (skipChangeCommits) Nil
           else throw new IllegalStateException(
             s"snapshot version $v of '$table' is a $op rewrite; this " +
@@ -582,7 +599,8 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
                   "changes() for this range, or set skipChangeCommits=true " +
                   "to skip it"))
           plain.map(a =>
-            SnapshotInputPartition(a.file, a.partitionMap, v, Some("insert")))
+            (SnapshotInputPartition(a.file, a.partitionMap, v, Some("insert")),
+              graft.ingest.FileStats.decode(a.stats).map(_.rows)))
         }
   }
 

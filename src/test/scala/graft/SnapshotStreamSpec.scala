@@ -312,6 +312,14 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array(ReadLimit.maxFiles(2), ReadLimit.maxBytes(1L))))
     assert(filesC.size == 6 && filesC.distinct.size == 6 && offC.size == 6)
 
+    // Row limits account from the log's stats token — zero file opens.
+    // 60 rows over 6 files (~10 each; round-robin repartition may skew a
+    // few): maxRows(20) needs ≥3 triggers and packs ≤2 files per step.
+    val (offR, filesR) = walk(w, ReadLimit.maxRows(20L))
+    assert(filesR.size == 6 && filesR.distinct.size == 6)
+    assert(offR.size >= 3 && offR.size <= 6, s"got $offR")
+    assert(offR.last == graft.sources.v2.SnapshotVersionOffset(1L))
+
     // No limit → one trigger drains everything to the plain-version offset.
     val (offAll, filesAll) = walk(w, ReadLimit.allAvailable())
     assert(filesAll.size == 6 && offAll.map(o => (o.version, o.index)) ==
