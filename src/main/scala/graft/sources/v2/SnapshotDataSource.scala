@@ -121,6 +121,11 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     TxnCommit.recover(fs, warehouse)
+    // OCC anchor FIRST, live-file set second: a commit racing in between
+    // then has version > base and aborts the overwrite at publish — the
+    // reverse order would let it slip past both the REMOVE set and the
+    // conflict check (its files silently surviving an "overwrite").
+    val base = graft.ingest.Snapshots.latestVersion(fs, warehouse)
     val existing = graft.ingest.Snapshots.fileMeta(fs, warehouse, table)
       .map(_.map(_.file)).getOrElse(Seq.empty)
     val exists = existing.nonEmpty
@@ -133,12 +138,23 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
       case _ => false
     }
     if (!skip) {
-      val base = graft.ingest.Snapshots.latestVersion(fs, warehouse)
       val cid = java.util.UUID.randomUUID().toString
+      // Column-mapped (renamed) tables: files store PHYSICAL names. A
+      // caller naturally writes the LOGICAL schema it reads — translate,
+      // or the logical name would silently evolve as a duplicate column.
+      val mapping = Snapshots.columnMapping(fs, warehouse, table)
+        .map(_.cols.toMap).getOrElse(Map.empty)
+      val physData = mapping.foldLeft(data) {
+        case (df, (logical, physical)) =>
+          if (logical != physical && df.columns.contains(logical))
+            df.withColumnRenamed(logical, physical)
+          else df
+      }
       val partCols = Option(options.get("partitionBy")).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map(c => mapping.getOrElse(c, c))
       val stagingTable = s"${TxnCommit.stagingDir(warehouse, cid)}/$table"
-      val writer = data.write
+      val writer = physData.write
       (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
         .parquet(stagingTable)
       var moves = TxnCommit.movesFor(fs, warehouse, cid, table)
@@ -157,8 +173,15 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
             (if (partCols.isEmpty) r else r.option("basePath", stagingTable))
               .parquet(stagingTable)
           }.withColumn("_change_type", lit("insert"))
-          val deletes = Snapshots.read(spark, warehouse, table)
-            .withColumn("_change_type", lit("delete"))
+          // Pre-images translated to physical names like the staged data —
+          // CDF files follow the same on-disk naming as data files.
+          val deletes = mapping.foldLeft(
+            Snapshots.read(spark, warehouse, table)) {
+              case (df, (logical, physical)) =>
+                if (logical != physical && df.columns.contains(logical))
+                  df.withColumnRenamed(logical, physical)
+                else df
+            }.withColumn("_change_type", lit("delete"))
           deletes.unionByName(inserts)
             .write.parquet(s"${TxnCommit.stagingDir(warehouse, cid)}/_changes/$table")
           moves = moves ++

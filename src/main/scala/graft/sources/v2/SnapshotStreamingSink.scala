@@ -110,11 +110,27 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Column-mapped (renamed) tables: files store PHYSICAL names; the stream
+  // carries the LOGICAL schema the caller reads. Translate field names
+  // once (captured at stream start — physical names never change across
+  // renames). Partition columns must be unmapped: the k=v path and the
+  // log tuple would otherwise disagree with the logical reader.
+  private val nameMap: Map[String, String] =
+    Snapshots.columnMapping(fs, warehouse, table)
+      .map(_.cols.toMap).getOrElse(Map.empty)
+  partCols.foreach(c => require(nameMap.getOrElse(c, c) == c,
+    s"partitionBy column '$c' is renamed (physical '${nameMap(c)}') — " +
+      "partitioned streaming writes to column-mapped tables require " +
+      "unmapped partition columns"))
+  private val physSchema = StructType(schema.fields.map(f =>
+    f.copy(name = nameMap.getOrElse(f.name, f.name))))
+  private val physPartCols = partCols // unmapped by the require above
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     SnapshotWriterFactory(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      schema, partCols, warehouse, table, queryId)
+      physSchema, physPartCols, warehouse, table, queryId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val cid = SnapshotStreamingWrite.commitId(queryId, table, epochId)
@@ -126,6 +142,11 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
     }
     val staged = messages.collect {
       case m: SnapshotWriteMessage => m.files }.flatten
+    // OCC anchor before the live-file set (same ordering rule as the batch
+    // overwrite): a commit racing in between has version > base and aborts
+    // this epoch instead of slipping past the REMOVE set unflagged.
+    val base = if (truncateEachEpoch)
+      Snapshots.latestVersion(fs, warehouse) else None
     val existing = if (truncateEachEpoch)
       Snapshots.fileMeta(fs, warehouse, table).map(_.map(_.file))
         .getOrElse(Seq.empty)
@@ -151,7 +172,6 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
       // prior epochs stay time-travelable until vacuum. Coarse OCC: a
       // concurrent writer to this table aborts the epoch (the stream
       // retries the trigger) rather than being silently replaced.
-      val base = Snapshots.latestVersion(fs, warehouse)
       TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
         op = "overwrite", baseVersion = base)
       TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,

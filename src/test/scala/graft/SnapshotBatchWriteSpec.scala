@@ -131,6 +131,24 @@ class SnapshotBatchWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(9L -> "z"))
   }
 
+  test("writes to a renamed table translate logical names to physical") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whBwRename")
+    write(w, Seq(1L -> "a"), SaveMode.Append)                       // val
+    graft.ingest.SchemaEvolution.renameColumn(spark, w, "t", "val", "label")
+    // Caller writes the LOGICAL schema it reads — no duplicate column may
+    // evolve, and the read must serve the new row's value under `label`.
+    Seq(2L -> "b").toDF("id", "label").coalesce(1).write
+      .format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .mode(SaveMode.Append).save()
+    val got = Snapshots.read(spark, w, "t")
+    assert(got.columns.toSet == Set("id", "label"), got.columns.toSeq)
+    assert(got.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
   test("overwrite commits read as change commits downstream") {
     val s0 = spark
     import s0.implicits._

@@ -224,6 +224,24 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 1)
   }
 
+  test("sink to a renamed table translates logical names to physical") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whSinkRename")
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"))
+    sinkTo(in.toDF.toDF("id", "val"), w, wh("whSinkRenameCkpt1"))
+    graft.ingest.SchemaEvolution.renameColumn(spark, w, "t", "val", "label")
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((2L, "b"))
+    sinkTo(in2.toDF.toDF("id", "label"), w, wh("whSinkRenameCkpt2"))
+    val got = Snapshots.read(spark, w, "t")
+    assert(got.columns.toSet == Set("id", "label"), got.columns.toSeq)
+    assert(got.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
   test("reading a not-yet-existing table fails with a clear error") {
     val err = intercept[Exception] {
       spark.readStream.format("graft-snapshots")
