@@ -253,6 +253,40 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
 
   override val schema: StructType = baseFrame(null).schema
 
+  /** The relation's rows ARE the inner vectorized plan's rows — serve
+    * InternalRows straight from `toRdd` instead of paying a per-row
+    * Row→InternalRow re-encode on every format-based scan (at 100 TB that
+    * round trip roughly doubles scan CPU). Spark then uses the RDD as
+    * `RDD[InternalRow]` directly. */
+  override def needConversion: Boolean = false
+
+  /** The inner frame with log-side skipping applied and any advertised
+    * column the pruning lost re-added as typed nulls (skipping can prune
+    * away every file CARRYING a schema-evolved column — those files' rows
+    * would have read it as null). */
+  private def frameFor(pred: graft.ingest.FileStats.Pred): DataFrame =
+    schema.fields.foldLeft(baseFrame(if (changeFeed) null else pred)) {
+      (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+
+  /** The OPTIMIZED logical plan this relation delegates to, output columns
+    * normalized to schema order — what [[graft.sql.SnapshotScanRule]]
+    * splices into the query plan in place of the relation so the final
+    * physical plan is the vectorized columnar parquet scan itself (full
+    * parquet predicate pushdown, partition pruning, column pruning),
+    * with `pred` pruning the pinned file list from log stats first.
+    * Optimized, not merely analyzed: the splice happens at pre-CBO, after
+    * the outer optimizer's early batches — an un-eliminated ResolvedHint
+    * (the change feed broadcasts its version map) would fail planning.
+    * Built fresh per call: each splice needs its own expression ids (a
+    * self-join swaps two relation nodes independently). */
+  private[graft] def planFor(pred: graft.ingest.FileStats.Pred)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    frameFor(pred).select(schema.fieldNames.map(col).toSeq: _*)
+      .queryExecution.optimizedPlan
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter])
       : org.apache.spark.rdd.RDD[Row] = {
@@ -264,17 +298,14 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
     val pred = filters.flatMap(f =>
         if (changeFeed) None else graft.ingest.FileStats.fromV1Filter(f))
       .reduceOption((a, b) => a.and(b)).orNull
-    // Skipping can prune away every file that CARRIES a schema-evolved
-    // column (the surviving files' merged schema shrinks) — re-add any
-    // advertised column the pruned frame lost as typed nulls, which is
-    // exactly what those files' rows would have read as.
-    val base = schema.fields.foldLeft(baseFrame(pred)) { (df, f) =>
-      if (df.columns.contains(f.name)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    val inner = filters.flatMap(toColumn).foldLeft(base)((df, c) => df.filter(c))
+    val inner = filters.flatMap(toColumn).foldLeft(frameFor(pred))(
+      (df, c) => df.filter(c))
     // Empty projection (count-star shape) must still scan zero columns.
-    inner.select(requiredColumns.map(col).toSeq: _*).rdd
+    // needConversion=false contract: the "Row" RDD actually carries the
+    // inner plan's InternalRows — whole-stage-codegen output, no per-row
+    // conversion layer.
+    inner.select(requiredColumns.map(col).toSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[Row]]
   }
 
   /** Exact Column translation (every node must convert — a partially
@@ -318,9 +349,14 @@ object SnapshotDataSource {
     * that for create-on-first-write (the sink's schema comes from the
     * query, not the table); the read path fails fast in newScanBuilder. */
   private[v2] def tableSchema(options: CaseInsensitiveStringMap): StructType = {
+    // Resolve the required options OUTSIDE the not-committed-yet catch: a
+    // caller that forgot `warehouse`/`table` must get the clear required-
+    // option error, not an empty schema and a confusing "table 'null'
+    // does not exist" three calls later.
+    val warehouse = required(options, "warehouse")
+    val table = required(options, "table")
     val base =
-      try Snapshots.read(SparkSession.active, required(options, "warehouse"),
-        required(options, "table")).schema
+      try Snapshots.read(SparkSession.active, warehouse, table).schema
       catch { case _: IllegalStateException | _: IllegalArgumentException =>
         return new StructType()
       }

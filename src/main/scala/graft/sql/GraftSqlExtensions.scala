@@ -48,8 +48,14 @@ import graft.ingest.{Compaction, Snapshots}
   * statement maps 1:1 onto the library API ([[Snapshots]]/[[Compaction]]) —
   * the tests assert SQL results equal the API calls. */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // Vectorize format-based batch scans: swap the V1 relation leaf for
+    // the log-pinned parquet plan once pushdown has settled (pre-CBO), so
+    // `spark.read.format("graft-snapshots")` plans a columnar parquet
+    // scan — see [[SnapshotScanRule]].
+    ext.injectPreCBORule(session => SnapshotScanRule(session))
+  }
 }
 
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)

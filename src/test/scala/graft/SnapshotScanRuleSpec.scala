@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Merge, Snapshots, TxnCommit}
+
+/** The vectorized format-read path ([[graft.sql.SnapshotScanRule]]): with
+  * the extension installed, `spark.read.format("graft-snapshots")` must
+  * plan Spark's own columnar parquet scan — no row-shaped V1 scan node, no
+  * InternalRow re-encode — while serving exactly what `Snapshots.read`
+  * serves. This is the public read API of the table format; at 100 TB the
+  * re-encode the rule removes roughly doubles scan CPU. */
+class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-scanrule")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pub(w: String, table: String, df: DataFrame): Unit = {
+    val cid = java.util.UUID.randomUUID().toString
+    df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/$table")
+    val moves = TxnCommit.movesFor(fs, w, cid, table)
+    TxnCommit.commit(fs, w, cid, moves)
+    TxnCommit.publish(fs, w, cid, moves)
+  }
+
+  private def load(w: String): DataFrame =
+    spark.read.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t").load()
+
+  test("format read plans a columnar parquet scan, not a row-scan node") {
+    val w = wh("vec")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", (0L until 100L).map(i => (i, s"n$i", i * 2.0))
+      .toDF("id", "name", "v"))
+    val p = load(w).queryExecution.executedPlan.toString
+    assert(p.contains("Scan parquet"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("RowDataSourceScan"), p)
+  }
+
+  test("filters reach the parquet scan as pushed filters; projection prunes") {
+    val w = wh("push")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", (0L until 100L).map(i => (i, s"n$i", i * 2.0))
+      .toDF("id", "name", "v"))
+    val df = load(w).filter(org.apache.spark.sql.functions.col("id") > 50L)
+      .select("id", "name")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(id,50)"), p)
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("\"v\""), read)
+    assert(df.count() == 49)
+  }
+
+  test("format read ≡ Snapshots.read (values, filter, self-join)") {
+    val w = wh("equiv")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", (0L until 50L).map(i => (i, i % 7)).toDF("id", "g"))
+    Merge.deleteKeys(s0, w, "t",
+      Seq(3L, 4L).toDF("id"), Seq("id"))
+    val api = Snapshots.read(spark, w, "t").collect().map(_.toString).sorted
+    val fmt = load(w).collect().map(_.toString).sorted
+    assert(api.toSeq == fmt.toSeq)
+    // Self-join: each relation node splices independently (distinct ids).
+    val df = load(w)
+    val j = df.as("a").join(df.as("b"), "id").filter("a.g = b.g")
+    assert(j.count() == 48)
+    // Filtered read matches the predicate applied after the fact.
+    val f = load(w).filter("id >= 40").collect().map(_.getLong(0)).sorted
+    assert(f.toSeq == (40L until 50L).toSeq)
+  }
+
+  test("change-feed relation still serves through the splice") {
+    val w = wh("cdf")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "t", (0L until 10L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val feed = spark.read.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("readChangeFeed", "true").load()
+    assert(feed.columns.toSeq.takeRight(2) ==
+      Seq("_change_type", "_commit_version"))
+    assert(feed.count() == 10)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+  }
+}
