@@ -45,9 +45,20 @@ object Compaction {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = Snapshots.fileMeta(fs, warehouse, table) match {
       case Some(acts) =>
-        acts.filter(a => fs.exists(new Path(a.file)))
-          .map(a => (a.file, fs.getFileStatus(new Path(a.file)).getLen,
-            a.partition, a.dv, a.stats))
+        // Candidate sizes come from the ADD line's stats token (recorded
+        // at collect time) — zero filesystem RPCs on the common path; only
+        // pre-size-token files pay one getFileStatus (which doubles as the
+        // liveness probe the exists() check used to provide).
+        acts.flatMap { a =>
+          val logged = FileStats.decode(a.stats).map(_.bytes).filter(_ >= 0)
+          logged match {
+            case Some(sz) => Some((a.file, sz, a.partition, a.dv, a.stats))
+            case None =>
+              try Some((a.file, fs.getFileStatus(new Path(a.file)).getLen,
+                a.partition, a.dv, a.stats))
+              catch { case _: java.io.FileNotFoundException => None }
+          }
+        }
       case None =>
         val dir = new Path(s"$warehouse/$table")
         if (!fs.exists(dir)) Seq.empty

@@ -68,12 +68,19 @@ object FileStats {
     * equality leaf on the column. */
   case class BloomRef(tag: String, path: String)
 
+  /** `bytes`: the file's on-disk size recorded at collect time (-1 =
+    * unknown / pre-size token). One token on the ADD line saves a
+    * per-file `getFileStatus` RPC everywhere sizes matter — byte-limited
+    * streaming admission, compaction candidate selection, DESCRIBE
+    * DETAIL — which at 100 TB is the difference between a driver log walk
+    * and a driver metadata storm. */
   case class Stats(rows: Long, cols: Map[String, ColStats],
                    schema: Seq[(String, String)] = Nil,
                    nulls: Map[String, Long] = Map.empty,
                    blooms: Map[String, BloomCol] = Map.empty,
                    dicts: Map[String, DictCol] = Map.empty,
-                   bloomRefs: Map[String, BloomRef] = Map.empty)
+                   bloomRefs: Map[String, BloomRef] = Map.empty,
+                   bytes: Long = -1L)
 
   // ---------------------------------------------------------------- encode
 
@@ -97,6 +104,7 @@ object FileStats {
     * per-column [min,max]. */
   def encode(s: Stats): String =
     (Seq(s"rows=${s.rows}", TokenVersion) ++
+      (if (s.bytes >= 0) Seq(s"z:${s.bytes}") else Nil) ++
       (s.schema.map { case (n, t) => s"s:${enc(n)},${enc(t)}" } ++
         s.nulls.toSeq.sortBy(_._1).map { case (n, c) => s"n:${enc(n)},$c" } ++
         s.blooms.toSeq.sortBy(_._1).flatMap { case (n, bc) =>
@@ -145,15 +153,17 @@ object FileStats {
         val Array(n, tag, path) = p.stripPrefix("B:").split(",", 3)
         dec(n) -> BloomRef(tag, dec(path))
       }.toMap
+      val bytes = meta.find(_.startsWith("z:"))
+        .flatMap(_.stripPrefix("z:").toLongOption).getOrElse(-1L)
       val cols = meta.filterNot(p =>
           p.startsWith("s:") || p.startsWith("n:") || p.startsWith("b:") ||
-            p.startsWith("d:") || p.startsWith("B:"))
+            p.startsWith("d:") || p.startsWith("B:") || p.startsWith("z:"))
         .map { p =>
           val Array(n, t, mn, mx) = p.split(",", 4)
           dec(n) -> ColStats(t, dec(mn), dec(mx))
         }.toMap
       Some(Stats(rows, if (v2) cols else legacySafe(cols, schema), schema,
-        nulls, blooms, dicts, bloomRefs))
+        nulls, blooms, dicts, bloomRefs, bytes))
     } catch { case _: RuntimeException => None }
 
   /** Strip the entries a pre-v2 collector may have recorded unsoundly:
@@ -236,7 +246,10 @@ object FileStats {
               spill: (String, String, Seq[Array[Byte]]) => Option[String])
       : String =
     try {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      // fromPath stats the file anyway — the length rides along for free.
+      val inputFile = HadoopInputFile.fromPath(file, conf)
+      val fileBytes = inputFile.getLength
+      val reader = ParquetFileReader.open(inputFile)
       try {
         val md = reader.getFooter
         // Full top-level schema (file order): the log-side source of truth
@@ -383,7 +396,7 @@ object FileStats {
           case (n, Some((t, mn, mx))) => n -> ColStats(t, mn, mx)
         }.toMap, schemaTags,
           nullAcc.collect { case (n, Some(c)) => n -> c }.toMap, blooms,
-          dicts, bloomRefs))
+          dicts, bloomRefs, fileBytes))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => "" }
 

@@ -437,6 +437,14 @@ case class SnapshotVersionOffset(version: Long, index: Long = -1L)
     else s"""{"version":${version},"index":${index}}"""
 }
 
+object SnapshotMicroBatchStream {
+  /** Test-visible count of per-file getFileStatus fallbacks in byte-limited
+    * admission — the metric the size-on-ADD-stats token exists to zero:
+    * a trigger's accounting must come from the log walk alone. */
+  private[graft] val sizeFallbackRpcs =
+    new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
                                schema: StructType) extends MicroBatchStream
   with SupportsAdmissionControl with SupportsTriggerAvailableNow {
@@ -504,7 +512,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       val from = if (s.index >= 0) s.version - 1 else s.version
       val all = unitsInRange(from, logEnd)
       val countByVersion = all.groupBy(_._1).map { case (v, us) => (v, us.size) }
-      val pending = all.filter { case (v, i, _, _) =>
+      val pending = all.filter { case (v, i, _, _, _) =>
         v > s.version || (s.index >= 0 && v == s.version && i >= s.index) }
       if (pending.isEmpty) SnapshotVersionOffset(logEnd)
       else {
@@ -513,14 +521,19 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         var admittedAll = true
         val it = pending.iterator
         while (admittedAll && it.hasNext) {
-          val (v, i, p, nRows) = it.next()
-          // Byte accounting only when a byte limit is set — otherwise no
-          // per-file getFileStatus RPC is paid at all. Row accounting reads
-          // the log's stats token (already in hand); a file WITHOUT stats
-          // counts as trigger-filling — conservative, still progresses via
-          // the at-least-one rule.
+          val (v, i, p, nRows, nBytes) = it.next()
+          // Byte accounting only when a byte limit is set. Sizes come from
+          // the log's stats token (recorded at collect time — zero RPCs);
+          // only a pre-size-token file pays a getFileStatus fallback. Row
+          // accounting reads the same token; a file WITHOUT stats counts
+          // as trigger-filling — conservative, still progresses via the
+          // at-least-one rule.
           val sz = if (maxBytes.isDefined)
-            fs.getFileStatus(new Path(p.file)).getLen else 0L
+            nBytes.getOrElse {
+              SnapshotMicroBatchStream.sizeFallbackRpcs.incrementAndGet()
+              fs.getFileStatus(new Path(p.file)).getLen
+            }
+          else 0L
           val r = nRows.getOrElse(Long.MaxValue / 4)
           val fits = maxFiles.forall(files + 1 <= _) &&
             maxBytes.forall(bytes + sz <= _) &&
@@ -563,7 +576,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
 
   /** Ordered servable file units over versions in (fromExclusive,
     * toInclusive]: (version, ordinal-within-version, partition, log-stats
-    * row count). Log-line order, deterministic across calls — admission
+    * row count, log-stats byte size). Log-line order, deterministic across calls — admission
     * accounting in latestOffset and the slice in planInputPartitions walk
     * the SAME list, so an offset minted by one is exact for the other.
     *
@@ -572,9 +585,9 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     * moments later. Committed log entries are immutable, so the prefix of
     * the cached walk IS that narrower range — slice, don't re-list. */
   @volatile private var unitsCache
-      : (Long, Long, Seq[(Long, Int, SnapshotInputPartition, Option[Long])]) = null
+      : (Long, Long, Seq[(Long, Int, SnapshotInputPartition, Option[Long], Option[Long])]) = null
   private def unitsInRange(fromExclusive: Long, toInclusive: Long)
-      : Seq[(Long, Int, SnapshotInputPartition, Option[Long])] = {
+      : Seq[(Long, Int, SnapshotInputPartition, Option[Long], Option[Long])] = {
     val c = unitsCache
     if (c != null && c._1 == fromExclusive && c._2 >= toInclusive)
       c._3.filter(_._1 <= toInclusive)
@@ -582,7 +595,8 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       val u = Snapshots.addsInRange(fs, warehouse, table, fromExclusive, toInclusive)
         .flatMap { case (v, op, acts) =>
           unitsForVersion(v, op, acts).zipWithIndex.map {
-            case ((p, rows), i) => (v, i, p, rows)
+            case ((p, st), i) =>
+              (v, i, p, st.map(_.rows), st.map(_.bytes).filter(_ >= 0))
           }
         }
       unitsCache = (fromExclusive, toInclusive, u)
@@ -613,16 +627,16 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         s"retained version: $first) — the truncated range is unrecoverable; " +
         "batch-read the current snapshot and stream from its version"))
     unitsInRange(s, eo.version).collect {
-      case (v, i, p, _)
+      case (v, i, p, _, _)
         if (v > so.version || (so.index >= 0 && i >= so.index)) &&
            (v < eo.version || eo.index < 0 || i < eo.index) => p: InputPartition
     }.toArray
   }
 
-  /** The servable (partition, log-stats row count) pairs of one committed
+  /** The servable (partition, log-stats) pairs of one committed
     * version, in log-line order. */
   private def unitsForVersion(v: Long, op: String, acts: Seq[Snapshots.Action])
-      : Seq[(SnapshotInputPartition, Option[Long])] = {
+      : Seq[(SnapshotInputPartition, Option[graft.ingest.FileStats.Stats])] = {
         val adds = acts.filter(_.add)
         val cdfs = acts.filter(_.cdf)
         if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
@@ -633,7 +647,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
                 "— the change-feed stream cannot represent it")
             // CDF files carry _change_type per row; version is constant.
             cdfs.map(a => (SnapshotInputPartition(a.file, Map.empty, v, None),
-              graft.ingest.FileStats.decode(a.stats).map(_.rows)))
+              graft.ingest.FileStats.decode(a.stats)))
           } else if (skipChangeCommits) Nil
           else throw new IllegalStateException(
             s"snapshot version $v of '$table' is a $op rewrite; this " +
@@ -659,7 +673,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
                   "to skip it"))
           plain.map(a =>
             (SnapshotInputPartition(a.file, a.partitionMap, v, Some("insert")),
-              graft.ingest.FileStats.decode(a.stats).map(_.rows)))
+              graft.ingest.FileStats.decode(a.stats)))
         }
   }
 

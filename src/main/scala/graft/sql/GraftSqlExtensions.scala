@@ -326,9 +326,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       val numRows = stats.map(_.map(_.rows).getOrElse(-1L))
       val partCols = Snapshots.partitionColumns(acts.map(_.partition))
       val props = Snapshots.properties(fs, warehouse, table)
-      val bytes = acts.map(a =>
-        try fs.getFileStatus(new Path(a.file)).getLen
-        catch { case scala.util.control.NonFatal(_) => 0L }).sum
+      // Sizes from the log's stats tokens; only pre-size-token files pay a
+      // getFileStatus RPC.
+      val bytes = acts.zip(stats).map { case (a, st) =>
+        st.map(_.bytes).filter(_ >= 0).getOrElse(
+          try fs.getFileStatus(new Path(a.file)).getLen
+          catch { case scala.util.control.NonFatal(_) => 0L })
+      }.sum
       import session.implicits._
       Seq((table, acts.size.toLong, bytes,
           if (numRows.exists(_ < 0)) -1L else numRows.sum,

@@ -50,6 +50,10 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
       nulls = Map("id" -> 0L, "txt" -> 7L))
     assert(FileStats.decode(FileStats.encode(s)).contains(s))
     assert(FileStats.decode("").isEmpty && FileStats.decode("junk").isEmpty)
+    // File size rides the token (`z:`); absent = -1; pre-size tokens parse.
+    val sized = s.copy(bytes = 123456L)
+    assert(FileStats.decode(FileStats.encode(sized)).contains(sized))
+    assert(FileStats.decode(FileStats.encode(s)).get.bytes == -1L)
     val st = Some(s)
     // overlap / touch-at-edge / miss on both sides
     assert(FileStats.mayMatch(st, FileStats.between("id", 15L, 25L)))

@@ -376,6 +376,26 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sorted.sameElements(0L until 55L))
   }
 
+  test("e2e: byte-limited admission accounts from log sizes — zero status RPCs") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("whBytes")
+    publishMulti(w, (0 until 40).map(i => i.toLong -> s"a$i"), 4)  // v0: 4 files
+    publishMulti(w, (40 until 50).map(i => i.toLong -> s"b$i"), 2) // v1: 2 files
+    val out = wh("whBytesOut"); val ckpt = wh("whBytesCkpt")
+    graft.sources.v2.SnapshotMicroBatchStream.sizeFallbackRpcs.set(0)
+    // Limit below any single file's size → one file per trigger via the
+    // at-least-one progress rule, sized entirely off the ADD stats tokens.
+    drain(w, out, ckpt, Map("maxBytesPerTrigger" -> "1"))
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().sorted.sameElements(0L until 50L))
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 6, s"expected ≥6 byte-limited batches, got $batches")
+    assert(graft.sources.v2.SnapshotMicroBatchStream.sizeFallbackRpcs.get == 0,
+      "byte accounting must come from the log's size tokens, not getFileStatus")
+  }
+
   test("e2e: rate-limited change-feed stream preserves per-version integrity") {
     val s0 = spark
     import s0.implicits._
