@@ -151,6 +151,31 @@ object FormatQueries {
       Snapshots.read(s, wh, "nation")
     }),
 
+    // SQL CTAS lowered onto create-on-first-write: one statement lands the
+    // DDL and the data as a PARTITIONED table; the read-back (partition
+    // column served from log tuples) must reassemble the fixture exactly.
+    "fmt_sql_ctas" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_sql_ctas", d) {
+        val w = freshWh()
+        nation(s, d)
+          .withColumn("side", when(col("n_nationkey") % 2 === 0,
+            lit("even")).otherwise(lit("odd")))
+          .createOrReplaceTempView("fmt_ctas_src")
+        val prev = s.conf.getOption("spark.graft.warehouse")
+        s.conf.set("spark.graft.warehouse", w)
+        try s.sql(
+          "CREATE TABLE nation_ctas PARTITIONED BY (side) AS " +
+            "SELECT n_nationkey, n_name, n_regionkey, side FROM fmt_ctas_src"
+        ).collect()
+        finally prev.fold(s.conf.unset("spark.graft.warehouse"))(v =>
+          s.conf.set("spark.graft.warehouse", v))
+        w
+      }
+      Snapshots.read(s, wh, "nation_ctas")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("side").cast("string").as("side"))
+    }),
+
     "fmt_merge" -> ((s, d) => {
       val wh = Fixtures.once("fmt_merge", d) {
         val w = freshWh()
@@ -336,6 +361,12 @@ object FormatQueries {
     "fmt_stream_sink" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         |       value, props FROM events""".stripMargin,
+    // CTAS read-back = the source view, partition column intact.
+    "fmt_sql_ctas" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS side
+        |FROM nation""".stripMargin,
     // Partial commit + SQL INSERT of the remainder = the full table.
     "fmt_sql_insert" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

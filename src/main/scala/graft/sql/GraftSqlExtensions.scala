@@ -28,7 +28,9 @@ import graft.ingest.{Compaction, Snapshots}
   * DELETE FROM t WHERE v > 10             -- predicate copy-on-write delete
   * UPDATE t SET v = v + 1 WHERE id = 7    -- predicate copy-on-write update
   * INSERT INTO t SELECT ... | VALUES ...  -- positional append (new version)
+  * INSERT INTO t (a, b) SELECT ...        -- column-list append (nulls fill)
   * INSERT OVERWRITE t SELECT ...          -- atomic replace (history intact)
+  * CREATE TABLE t [PARTITIONED BY (dt)] AS SELECT ...  -- DDL + first commit
   * MERGE INTO t USING s ON t.id = s.id    -- keyed upsert / delete-by-key
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
@@ -77,10 +79,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*".r
   private val UpdateRe =
     raw"(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+)".r
+  // Optional standard-SQL column list `(a, b)` before the query: listed
+  // columns map the query's output BY POSITION, unlisted table columns
+  // fill with typed nulls. A parenthesized query `INSERT INTO t (SELECT …)`
+  // does not match the list group (the list must close before the query
+  // keyword) and falls through to the delegate.
   private val InsertIntoRe =
-    raw"(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.*)".r
+    raw"(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(\s*([\w\s,]+?)\s*\)\s*)?((?:SELECT|VALUES|FROM|WITH|TABLE)\b.*)".r
   private val InsertOverwriteRe =
-    raw"(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.*)".r
+    raw"(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(\s*([\w\s,]+?)\s*\)\s*)?((?:SELECT|VALUES|FROM|WITH|TABLE)\b.*)".r
+  // `CREATE TABLE t [USING graft] [PARTITIONED BY (a,b)] AS <query>` —
+  // DDL + first append in one statement (the reference's derive-macro
+  // generates exactly this pair, huckli-import-derive/src/lib.rs:80-104).
+  // Statements carrying other USING/OPTIONS/LOCATION clauses don't match
+  // and reach the delegate untouched.
+  private val CtasRe =
+    raw"(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+(?:USING\s+graft(?:-snapshots)?\s+)?(?:PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\)\s+)?AS\s+((?:SELECT|VALUES|FROM|WITH|TABLE)\b.*)".r
 
   /** Split SET assignments on commas outside string literals (same quote
     * rules as [[splitSetWhere]] — single/double quotes, backslash
@@ -214,6 +228,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       throw new IllegalStateException(
         "set spark.graft.warehouse to use SNAPSHOT/OPTIMIZE/VACUUM statements"))
 
+  /** A null/empty comma-joined column list → Nil. */
+  private def splitCols(list: String): Seq[String] =
+    Option(list).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case SnapshotRe(table, version, ts) =>
       val asOf =
@@ -294,10 +312,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       GraftMergeCommand(warehouse, target, source, keyCols,
         matchedUpdate, matchedDelete, notMatchedInsert)
-    case InsertOverwriteRe(table, query) if isGraftTable(table) =>
-      GraftInsertCommand(warehouse, table, query, overwrite = true)
-    case InsertIntoRe(table, query) if isGraftTable(table) =>
-      GraftInsertCommand(warehouse, table, query, overwrite = false)
+    case InsertOverwriteRe(table, colList, query) if isGraftTable(table) =>
+      GraftInsertCommand(warehouse, table, query, overwrite = true,
+        cols = splitCols(colList))
+    case InsertIntoRe(table, colList, query) if isGraftTable(table) =>
+      GraftInsertCommand(warehouse, table, query, overwrite = false,
+        cols = splitCols(colList))
+    // CTAS targets a table that does not exist yet, so the guard mirrors
+    // isGraftPropsTable: the graft warehouse is configured and no catalog
+    // table owns the name (a registered table's CTAS is real Spark
+    // grammar and must reach the delegate).
+    case CtasRe(ifNotExists, table, partCols, query)
+        if session.conf.getOption("spark.graft.warehouse").isDefined &&
+          !session.catalog.tableExists(table) =>
+      GraftCtasCommand(warehouse, table, splitCols(partCols), query,
+        ifNotExists != null)
     case DeleteRe(table, where) if isGraftTable(table) =>
       GraftDmlCommand(warehouse, table, where, Nil)
     case UpdateRe(table, rest)
@@ -464,19 +493,39 @@ case class GraftRestoreCommand(warehouse: String, table: String,
   * layout. OVERWRITE is the atomic REMOVE+ADD single-version swap (OCC
   * aborts on a racing commit; time travel intact). */
 case class GraftInsertCommand(warehouse: String, table: String,
-                              querySql: String, overwrite: Boolean)
+                              querySql: String, overwrite: Boolean,
+                              cols: Seq[String] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col => c, lit}
     val src = session.sql(querySql)
     val fs = new Path(warehouse)
       .getFileSystem(session.sparkContext.hadoopConfiguration)
     val target = Snapshots.read(session, warehouse, table).schema
-    require(src.schema.length == target.length,
-      s"INSERT arity mismatch: query produces ${src.schema.length} " +
-        s"column(s), table '$table' has ${target.length} " +
-        s"(${target.fieldNames.mkString(", ")})")
-    val renamed = src.toDF(target.fieldNames.toIndexedSeq: _*)
+    val renamed = if (cols.isEmpty) {
+      require(src.schema.length == target.length,
+        s"INSERT arity mismatch: query produces ${src.schema.length} " +
+          s"column(s), table '$table' has ${target.length} " +
+          s"(${target.fieldNames.mkString(", ")})")
+      src.toDF(target.fieldNames.toIndexedSeq: _*)
+    } else {
+      // Column-list form `INSERT INTO t (a, b) <query>`: the query's
+      // columns map to the LISTED names by position; unlisted table
+      // columns fill with typed nulls; output normalized to table order.
+      require(src.schema.length == cols.length,
+        s"INSERT arity mismatch: query produces ${src.schema.length} " +
+          s"column(s), the column list names ${cols.length} " +
+          s"(${cols.mkString(", ")})")
+      cols.foreach(cn => require(target.fieldNames.contains(cn),
+        s"unknown column '$cn' in INSERT column list — table '$table' " +
+          s"has (${target.fieldNames.mkString(", ")})"))
+      val named = src.toDF(cols.toIndexedSeq: _*)
+      target.fields.foldLeft(named) { (df, f) =>
+        if (cols.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(target.fieldNames.map(c).toIndexedSeq: _*)
+    }
     val partCols = Snapshots.partitionColumns(
       Snapshots.fileMeta(fs, warehouse, table)
         .map(_.map(_.partition)).getOrElse(Nil))
@@ -491,6 +540,38 @@ case class GraftInsertCommand(warehouse: String, table: String,
             else org.apache.spark.sql.SaveMode.Append)
     (if (partCols.isEmpty) writer
      else writer.option("partitionBy", partCols.mkString(","))).save()
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE t [PARTITIONED BY (…)] AS <query>` → the native batch
+  * write's create-on-first-write: one append commit lands the schema AND
+  * the data (stats, blooms per table properties, partition tuples on the
+  * ADD lines), exactly what the API caller gets from a first
+  * `format("graft-snapshots")` write. `IF NOT EXISTS` no-ops on a
+  * committed table; otherwise an existing table fails (this statement
+  * CREATES — appends belong to INSERT INTO). */
+case class GraftCtasCommand(warehouse: String, table: String,
+                            partitionBy: Seq[String], querySql: String,
+                            ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    val exists = Snapshots.fileMeta(fs, warehouse, table).exists(_.nonEmpty)
+    if (exists && ifNotExists) return Seq.empty
+    if (exists) throw new IllegalStateException(
+      s"table '$table' already exists under $warehouse — use CREATE TABLE " +
+        "IF NOT EXISTS to no-op, or INSERT INTO to append")
+    val src = session.sql(querySql)
+    partitionBy.foreach(c => require(src.columns.contains(c),
+      s"PARTITIONED BY column '$c' is not in the query's output " +
+        s"(${src.columns.mkString(", ")})"))
+    val writer = src.write.format("graft-snapshots")
+      .option("warehouse", warehouse).option("table", table)
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+    (if (partitionBy.isEmpty) writer
+     else writer.option("partitionBy", partitionBy.mkString(","))).save()
     Seq.empty
   }
 }

@@ -176,6 +176,71 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE spark_local_ins")
   }
 
+  test("CREATE TABLE AS SELECT creates and fills a warehouse table") {
+    val s0 = spark
+    import s0.implicits._
+    (0L until 6L).map(i => (i, i * 3.0)).toDF("id", "y")
+      .createOrReplaceTempView("ctas_src")
+    // Plain CTAS.
+    spark.sql("CREATE TABLE ctas_t AS SELECT id, y FROM ctas_src WHERE id < 5")
+    val got = Snapshots.read(spark, wh, "ctas_t")
+    assert(got.count() == 5)
+    assert(got.select("y").as[Double].collect().sorted.sameElements(
+      Array(0.0, 3.0, 6.0, 9.0, 12.0)))
+    // Existing table: IF NOT EXISTS no-ops, plain CTAS fails.
+    spark.sql("CREATE TABLE IF NOT EXISTS ctas_t AS SELECT 99 AS a")
+    assert(Snapshots.read(spark, wh, "ctas_t").count() == 5)
+    val err = intercept[IllegalStateException] {
+      spark.sql("CREATE TABLE ctas_t AS SELECT 99 AS a")
+    }
+    assert(err.getMessage.contains("already exists"))
+    // Partitioned CTAS: Hive layout + log tuples, partition column intact.
+    spark.sql("CREATE TABLE ctas_p PARTITIONED BY (par) AS " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS par " +
+      "FROM ctas_src")
+    val p = Snapshots.read(spark, wh, "ctas_p")
+    assert(p.columns.toSeq.sorted == Seq("id", "par"))
+    assert(p.filter($"par" === "e").count() == 3)
+    val spec = Snapshots.fileMeta(fs, wh, "ctas_p").get.map(_.partition)
+    assert(spec.forall(_.startsWith("par=")), spec)
+    // USING marker variant parses; a catalog CTAS still reaches Spark.
+    spark.sql("CREATE TABLE ctas_u USING graft AS SELECT 7 AS k")
+    assert(Snapshots.read(spark, wh, "ctas_u").as[Int].head() == 7)
+    spark.sql("CREATE TABLE ctas_cat USING parquet AS SELECT 1 AS c")
+    try assert(spark.table("ctas_cat").count() == 1)
+    finally spark.sql("DROP TABLE ctas_cat")
+  }
+
+  test("INSERT INTO with a column list maps names, fills nulls") {
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, 1.0)).toDF("id", "x").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/cl")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "cl")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+    Seq((100L, 1.0)).toDF("id", "x").createOrReplaceTempView("ins_src2")
+    // Reversed list: names map, positions don't.
+    spark.sql("INSERT INTO cl (x, id) SELECT x * 10, id FROM ins_src2")
+    assert(Snapshots.read(spark, wh, "cl").filter($"id" === 100L)
+      .select("x").as[Double].head() == 10.0)
+    // Partial list: unlisted column fills with null.
+    spark.sql("INSERT INTO cl (id) VALUES (200)")
+    val nulls = Snapshots.read(spark, wh, "cl").filter($"id" === 200L)
+    assert(nulls.count() == 1 && nulls.filter($"x".isNull).count() == 1)
+    // Unknown column in the list fails loudly.
+    val err = intercept[Exception] {
+      spark.sql("INSERT INTO cl (nope) VALUES (1)")
+    }
+    assert(err.getMessage.contains("unknown column 'nope'"), err.getMessage)
+    // Arity mismatch against the list fails loudly.
+    val err2 = intercept[Exception] {
+      spark.sql("INSERT INTO cl (id, x) SELECT 1")
+    }
+    assert(err2.getMessage.contains("arity"), err2.getMessage)
+  }
+
   test("DELETE FROM / UPDATE SET are copy-on-write DML for warehouse tables") {
     val s0 = spark
     import s0.implicits._
