@@ -237,7 +237,14 @@ object Declared {
         (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) / 100.0)
           .as("disc_price"),
         round(col("l_discount") * 100).as("disc_pct"),
-        coalesce(expr("try_cast(l_returnflag AS DOUBLE)"), lit(0.0)).as("flag_num"),
+        // T5 cast-with-default. NOT try_cast: its TRY-mode string→double
+        // rejects per row via exception control flow, and on an all-
+        // non-numeric column (this one: A/N/R flags) that threw ~600k
+        // exceptions per run at sf0.1 — the q20 regression the r12 bench
+        // caught. The numeric-shape guard keeps the ANSI cast off the
+        // non-matching rows entirely; same unparseable→0.0 semantics.
+        when(col("l_returnflag").rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+          col("l_returnflag").cast("double")).otherwise(0.0).as("flag_num"),
         ceil(col("l_quantity")).cast("long").as("qty_ceil"),
         floor(col("l_quantity")).cast("long").as("qty_floor"),
         abs(col("l_discount") - 0.05).as("disc_dev"))),
