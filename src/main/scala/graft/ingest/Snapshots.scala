@@ -1145,7 +1145,12 @@ object Snapshots {
     * comparing them to a non-string keeps the file, which is sound). */
   private def statsWithPartition(a: Action): Option[FileStats.Stats] = {
     val base = FileStats.decode(a.stats)
-    val pm = specToMap(a.partition)
+    // The Hive null sentinel is NOT a value: claiming min=max=sentinel for
+    // a null partition would compare the literal string against real
+    // predicates. Treat it as unknown (absent stats never skip — sound).
+    val pm = specToMap(a.partition).filterNot { case (_, v) =>
+      v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME }
     if (pm.isEmpty) base
     else {
       val pcols = pm.map { case (k, v) => k -> FileStats.ColStats("string", v, v) }

@@ -429,12 +429,22 @@ class SnapshotScanBuilder(tableSchema: StructType,
   * `version` have been consumed — admission control splits a large commit
   * across triggers exactly the way Delta's (reservoirVersion, index)
   * offsets do, so a backfill against a 100 TB table never plans one
-  * trigger containing the entire history. */
-case class SnapshotVersionOffset(version: Long, index: Long = -1L)
+  * trigger containing the entire history.
+  *
+  * `units` fingerprints the split version's TOTAL servable unit count at
+  * mint time: a mid-version index is only exact while the per-version
+  * unit list is what admission enumerated, and a restart with toggled
+  * `skipChangeCommits`/`readChangeFeed` changes that list — the restart
+  * then fails fast on the mismatch instead of silently skipping or
+  * re-serving files of the split version. Absent (-1) on legacy
+  * checkpoints: no check. */
+case class SnapshotVersionOffset(version: Long, index: Long = -1L,
+                                 units: Long = -1L)
   extends Offset {
   override def json(): String =
     if (index < 0) s"""{"version":${version}}"""
-    else s"""{"version":${version},"index":${index}}"""
+    else if (units < 0) s"""{"version":${version},"index":${index}}"""
+    else s"""{"version":${version},"index":${index},"units":${units}}"""
 }
 
 object SnapshotMicroBatchStream {
@@ -512,6 +522,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       val from = if (s.index >= 0) s.version - 1 else s.version
       val all = unitsInRange(from, logEnd)
       val countByVersion = all.groupBy(_._1).map { case (v, us) => (v, us.size) }
+      checkUnitsFingerprint(s, countByVersion.getOrElse(s.version, 0))
       val pending = all.filter { case (v, i, _, _, _) =>
         v > s.version || (s.index >= 0 && v == s.version && i >= s.index) }
       if (pending.isEmpty) SnapshotVersionOffset(logEnd)
@@ -544,10 +555,29 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         }
         if (admittedAll) SnapshotVersionOffset(logEnd) // drained → whole-range offset
         else if (lastI + 1 == countByVersion(lastV)) SnapshotVersionOffset(lastV)
-        else SnapshotVersionOffset(lastV, lastI + 1L)
+        else SnapshotVersionOffset(lastV, lastI + 1L,
+          units = countByVersion(lastV))
       }
     }
   }
+
+  /** A checkpointed mid-version offset is only exact while the split
+    * version's unit list is what admission enumerated when the offset was
+    * minted; restarting with toggled `skipChangeCommits`/`readChangeFeed`
+    * changes that list. The minted fingerprint (total unit count of the
+    * split version) catches the mismatch — fail fast instead of silently
+    * skipping or re-serving files. Legacy offsets (units = -1) skip the
+    * check. */
+  private def checkUnitsFingerprint(o: SnapshotVersionOffset,
+                                    current: Int): Unit =
+    if (o.index >= 0 && o.units >= 0 && current != o.units)
+      throw new IllegalStateException(
+        s"checkpointed mid-version offset (version ${o.version}, index " +
+          s"${o.index}) was minted when the version had ${o.units} servable " +
+          s"file unit(s), but the current options enumerate $current — " +
+          "the stream was restarted with different admission options " +
+          "(skipChangeCommits / readChangeFeed). Restore the original " +
+          "options or start a fresh checkpoint.")
 
   /** Progress reporting: the TRUE log end, even while a rate limit or an
     * AvailableNow bound holds the admitted offset back — so lag metrics
@@ -626,6 +656,9 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       s"stream offset $s predates the vacuumed snapshot log (earliest " +
         s"retained version: $first) — the truncated range is unrecoverable; " +
         "batch-read the current snapshot and stream from its version"))
+    if (so.index >= 0)
+      checkUnitsFingerprint(so,
+        unitsInRange(s, eo.version).count(_._1 == so.version))
     unitsInRange(s, eo.version).collect {
       case (v, i, p, _, _)
         if (v > so.version || (so.index >= 0 && i >= so.index)) &&
@@ -693,7 +726,8 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
     // `index` absent (legacy single-field checkpoints, and every
     // fully-consumed-version offset) parses as -1 = version complete.
     field("version") match {
-      case Some(v) => SnapshotVersionOffset(v, field("index").getOrElse(-1L))
+      case Some(v) => SnapshotVersionOffset(v, field("index").getOrElse(-1L),
+        field("units").getOrElse(-1L))
       case None => throw new IllegalArgumentException(
         s"malformed graft-snapshots offset: $json")
     }
@@ -797,12 +831,21 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
       }
       g => if (g.getFieldRepetitionCount(idx) == 0) null else read(g)
     } else p.partSpec.get(f.name) match {
+      // The Hive null sentinel decodes to NULL for every type — a string
+      // partition column must never read back the literal sentinel, and
+      // typed columns must not throw on it (Spark's own path-inference
+      // read maps it to null; this reader must agree).
+      case Some(v) if v ==
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME =>
+        _ => null
       case Some(v) =>
         val const: Any = f.dataType match {
           case StringType => UTF8String.fromString(v)
           case IntegerType => v.toInt
           case LongType => v.toLong
           case DoubleType => v.toDouble
+          case BooleanType => v.toBoolean
           case DateType => java.sql.Date.valueOf(v).toLocalDate.toEpochDay.toInt
           case dt => throw new UnsupportedOperationException(
             s"partition column '${f.name}' of type $dt not supported")

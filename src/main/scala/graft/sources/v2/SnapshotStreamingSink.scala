@@ -97,10 +97,14 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
       s"partitionBy column '$c' is not in the stream's schema " +
         s"(${schema.fieldNames.mkString(", ")})")
     schema(c).dataType match {
-      case StringType | IntegerType | LongType | BooleanType | DateType => ()
+      // No BooleanType: Spark's partition path-inference has no boolean
+      // domain, so a boolean-partitioned table would batch-read the column
+      // as STRING — the written schema must round-trip, so reject at write
+      // time instead of silently changing the type.
+      case StringType | IntegerType | LongType | DateType => ()
       case dt => throw new UnsupportedOperationException(
         s"partitionBy column '$c' of type $dt is not supported " +
-          "(string/int/long/boolean/date partition values only)")
+          "(string/int/long/date partition values only)")
     }
   }
   require(partCols.size < schema.size,

@@ -167,6 +167,58 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.count(_.startsWith("dt=")) == 3, s"got $dirs")
   }
 
+  test("null partition values round-trip as NULL both ways; boolean rejected") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whNullPart")
+    val in = MemoryStream[(Long, Option[String])]
+    in.addData((1L, Some("d1")), (2L, None), (3L, Some("d1")))
+    val q = in.toDF.toDF("id", "dt").writeStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("partitionBy", "dt")
+      .option("checkpointLocation", wh("whNullPartCkpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // Batch read: Spark's path inference maps the Hive sentinel to null.
+    val batch = Snapshots.read(spark, w, "t")
+      .select("id", "dt").as[(Long, Option[String])].collect().toSet
+    assert(batch == Set((1L, Some("d1")), (2L, None), (3L, Some("d1"))),
+      s"got $batch")
+    // Streaming read: the partition-constant decode must agree — null,
+    // never the literal __HIVE_DEFAULT_PARTITION__ string.
+    val out = wh("whNullPartOut")
+    val q2 = spark.readStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", wh("whNullPartCkpt2"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("id", "dt").as[(Long, Option[String])].collect().toSet
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+
+    // Boolean partition columns don't survive batch path inference (they
+    // read back as string) — rejected at stream start, not demoted.
+    val inB = MemoryStream[(Long, Boolean)]
+    inB.addData((1L, true))
+    val err = intercept[Exception] {
+      val qb = inB.toDF.toDF("id", "flag").writeStream
+        .format("graft-snapshots")
+        .option("warehouse", wh("whBoolPart")).option("table", "t")
+        .option("partitionBy", "flag")
+        .option("checkpointLocation", wh("whBoolPartCkpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      qb.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("not supported")),
+      msgs(err).mkString(" | "))
+  }
+
   test("complete mode keeps a materialized aggregate as overwrite versions") {
     val s0 = spark
     import s0.implicits._

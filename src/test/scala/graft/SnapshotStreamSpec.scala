@@ -337,6 +337,35 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.sources.v2.SnapshotVersionOffset(7L, -1L))
   }
 
+  test("mid-version offsets fingerprint the split version's unit count") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val w = wh("whFp")
+    publishMulti(w, (0 until 40).map(i => i.toLong -> s"a$i"), 4) // v0: 4 files
+    val stream = newStream(w)
+    // A rate-limited trigger mints the fingerprint into the offset json.
+    val first = stream.latestOffset(stream.initialOffset(), ReadLimit.maxFiles(1))
+      .asInstanceOf[graft.sources.v2.SnapshotVersionOffset]
+    assert(first.index == 1L && first.units == 4L, first)
+    assert(stream.deserializeOffset(first.json()) == first)
+    // Matching fingerprint: the restart serves the remaining units.
+    val end = stream.latestOffset(first, ReadLimit.allAvailable())
+    assert(stream.planInputPartitions(first, end).length == 3)
+    // A forged/mismatched fingerprint (= the unit list changed under the
+    // checkpoint, e.g. toggled admission options) fails fast.
+    val forged = graft.sources.v2.SnapshotVersionOffset(0L, 1L, units = 7L)
+    val err = intercept[IllegalStateException] {
+      stream.planInputPartitions(forged, end)
+    }
+    assert(err.getMessage.contains("admission options"), err.getMessage)
+    val err2 = intercept[IllegalStateException] {
+      stream.latestOffset(forged, ReadLimit.maxFiles(1))
+    }
+    assert(err2.getMessage.contains("admission options"), err2.getMessage)
+    // Legacy mid-version offsets (no fingerprint) keep working unchecked.
+    val legacy = stream.deserializeOffset("""{"version":0,"index":1}""")
+    assert(stream.planInputPartitions(legacy, end).length == 3)
+  }
+
   test("prepareForTriggerAvailableNow pins the drain bound against late commits") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val w = wh("whAvailNow")
