@@ -688,25 +688,21 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
               "skipChangeCommits=true to ignore rewrites, or read the " +
               "change feed (readChangeFeed=true)")
         } else {
-          // A restore re-ADD can carry a deletion vector; this source's
-          // per-file readers serve whole files and cannot subtract one.
-          // Under skipChangeCommits the documented "ignore rewrites"
-          // escape hatch applies here exactly as it does to merge
-          // commits — emit nothing for the DV-carrying re-ADD instead of
-          // wedging the stream at this version forever. In the default
-          // mode, fail fast rather than resurrect deleted rows — the
-          // batch changes() path serves such a range correctly.
-          val (dvAdds, plain) = adds.partition(_.dv.nonEmpty)
-          if (!skipChangeCommits)
-            dvAdds.foreach(a =>
-              throw new IllegalStateException(
-                s"snapshot version $v re-adds ${a.file} with a deletion " +
-                  "vector; the streaming source cannot serve it — use batch " +
-                  "changes() for this range, or set skipChangeCommits=true " +
-                  "to skip it"))
-          plain.map(a =>
-            (SnapshotInputPartition(a.file, a.partitionMap, v, Some("insert")),
-              graft.ingest.FileStats.decode(a.stats)))
+          // A restore re-ADD can carry a deletion vector: the reader
+          // subtracts its positions row-by-row (the per-file dual of
+          // `Snapshots.applyDv`), so the stream serves exactly the restored
+          // rows — same semantics as batch `changes()` over the range, in
+          // BOTH modes (a restore is an append of surviving rows, not a
+          // rewrite, so skipChangeCommits does not skip it). Admission's
+          // row accounting subtracts the vector too.
+          adds.map { a =>
+            val st = graft.ingest.FileStats.decode(a.stats).map(s =>
+              if (a.dv.nonEmpty)
+                s.copy(rows = math.max(0L, s.rows - a.dvCount))
+              else s)
+            (SnapshotInputPartition(a.file, a.partitionMap, v,
+              Some("insert"), a.dvPath), st)
+          }
         }
   }
 
@@ -738,10 +734,13 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
 }
 
 /** `changeType` = Some(constant) for data files (appends are all inserts);
-  * None for change files, whose `_change_type` column is read per row. */
+  * None for change files, whose `_change_type` column is read per row.
+  * `dvPath` nonempty = a restore re-ADD carrying a deletion vector: the
+  * reader loads the vector's positions for this file and skips them. */
 case class SnapshotInputPartition(file: String, partSpec: Map[String, String],
                                   version: Long,
-                                  changeType: Option[String] = None)
+                                  changeType: Option[String] = None,
+                                  dvPath: String = "")
   extends InputPartition
 
 case class SnapshotReaderFactory(conf: SerializableConfiguration,
@@ -771,6 +770,45 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var remaining = 0L
   private var current: Group = _
+  // File-wide row position (across row groups, in file order) — the same
+  // index `_metadata.row_index` serves in batch, which is what deletion
+  // vectors record.
+  private var rowIdx = -1L
+
+  /** Deleted positions of THIS data file from the attached deletion
+    * vector (null = no vector). The DV parquet bundles several files'
+    * deletion sets; filter by the scheme-less encoded path key — the same
+    * join key `Snapshots.applyDv` uses in batch. Bounded: a vector is a
+    * per-file deletion set (heavy deletion is compaction's job). */
+  private val deleted: java.util.HashSet[java.lang.Long] =
+    if (p.dvPath.isEmpty) null
+    else {
+      val key = Snapshots.pathKey(p.file)
+      val set = new java.util.HashSet[java.lang.Long]()
+      val dvReader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p.dvPath), conf.value))
+      try {
+        val dvSchema = dvReader.getFooter.getFileMetaData.getSchema
+        val io = new ColumnIOFactory().getColumnIO(dvSchema)
+        val fIdx = dvSchema.getFieldIndex("_dv_data_file")
+        val posIdx = dvSchema.getFieldIndex("_dv_pos")
+        var pages = dvReader.readNextRowGroup()
+        while (pages != null) {
+          val rr = io.getRecordReader(pages, new GroupRecordConverter(dvSchema))
+          var n = pages.getRowCount
+          while (n > 0) {
+            val g = rr.read()
+            if (g.getFieldRepetitionCount(fIdx) > 0 &&
+                new String(g.getBinary(fIdx, 0).getBytes,
+                  java.nio.charset.StandardCharsets.UTF_8) == key)
+              set.add(g.getLong(posIdx, 0))
+            n -= 1
+          }
+          pages = dvReader.readNextRowGroup()
+        }
+      } finally dvReader.close()
+      set
+    }
 
   /** Julian-day epoch offset for INT96 timestamps. */
   private val JulianEpochDay = 2440588L
@@ -856,15 +894,26 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
   }
 
   override def next(): Boolean = {
-    while (remaining == 0L) {
-      val pages = reader.readNextRowGroup()
-      if (pages == null) return false
-      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-      remaining = pages.getRowCount
+    var found = false
+    var exhausted = false
+    while (!found && !exhausted) {
+      while (remaining == 0L && !exhausted) {
+        val pages = reader.readNextRowGroup()
+        if (pages == null) exhausted = true
+        else {
+          recordReader =
+            columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+          remaining = pages.getRowCount
+        }
+      }
+      if (!exhausted) {
+        current = recordReader.read()
+        remaining -= 1
+        rowIdx += 1
+        if (deleted == null || !deleted.contains(rowIdx)) found = true
+      }
     }
-    current = recordReader.read()
-    remaining -= 1
-    true
+    found
   }
 
   override def get(): InternalRow =

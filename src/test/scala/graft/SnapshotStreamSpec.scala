@@ -175,7 +175,7 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
-  test("skipChangeCommits skips a restore re-ADD carrying a deletion vector") {
+  test("a restore re-ADD carrying a deletion vector streams DV-subtracted") {
     val w = wh("whDvReAdd")
     val s0 = spark
     import s0.implicits._
@@ -185,15 +185,26 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     Merge.deleteWhereDv(spark, w, "t",
       org.apache.spark.sql.functions.col("id") === 3L)                 // v2
     Snapshots.restore(spark, w, "t", 1L)                               // v3: re-ADD w/ v1 DV
-    // Default mode: the DV-carrying re-ADD is unservable — fail fast.
-    intercept[Exception](
-      drain(w, wh("whDvReAddOut0"), wh("whDvReAddCkpt0")))
-    // The documented escape hatch must work HERE too, not only for merge
-    // commits: emit nothing for the re-ADD instead of wedging the stream.
+    // Default mode, streaming only the restore version: the reader
+    // subtracts the re-ADD's deletion vector — exact row parity with
+    // batch changes() over the same range ({1,3}: v1's DV deletes id=2).
+    val out0 = wh("whDvReAddOut0")
+    drain(w, out0, wh("whDvReAddCkpt0"), Map("startingVersion" -> "2"))
+    val streamed = spark.read.parquet(out0)
+      .select("id").as[Long].collect().sorted.toSeq
+    val batch = Snapshots.changes(spark, w, "t", fromExclusive = 2L)
+      .filter($"_change_type" === "insert")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch && streamed == Seq(1L, 3L),
+      s"streamed=$streamed batch=$batch")
+    // skipChangeCommits (skipping the v1/v2 merge commits) serves the
+    // re-ADD identically — a restore is an append of surviving rows, not
+    // a rewrite, so the escape hatch no longer drops it.
     val out = wh("whDvReAddOut")
     drain(w, out, wh("whDvReAddCkpt"), Map("skipChangeCommits" -> "true"))
     assert(spark.read.parquet(out)
-      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      .select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 1L, 2L, 3L, 3L)) // v0's {1,2,3} + v3's DV-subtracted {1,3}
   }
 
   test("offsets below the vacuumed log fail fast instead of under-serving") {
