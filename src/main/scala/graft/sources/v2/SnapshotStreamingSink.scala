@@ -8,14 +8,8 @@ import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, Physi
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopOutputFile
-import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
-import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import graft.ingest.{Snapshots, TxnCommit}
 
 /** Native Structured Streaming SINK for the snapshot log — the write-side
@@ -214,9 +208,14 @@ case class SnapshotWriterFactory(conf: SerializableConfiguration,
 case class SnapshotWriteMessage(files: Seq[(String, String)], rows: Long)
   extends WriterCommitMessage
 
-/** Streams InternalRows into staged parquet via the parquet-mr Group API
-  * (no Spark datasource re-entry inside a DSv2 writer) — the exact
-  * write-side mirror of [[SnapshotPartitionReader]]'s decode table.
+/** Streams InternalRows into staged parquet through Spark's own
+  * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
+  * — the exact record-materialization layer Spark's native parquet write
+  * path uses (no boxing, no Group objects; a codegen'd UnsafeProjection
+  * strips partition columns) — wrapped in a parquet-mr writer so there is
+  * no Spark datasource re-entry inside a DSv2 writer. Bytes-on-disk
+  * semantics match a `df.write.parquet` of the same data schema: identical
+  * physical/logical types, micros timestamps, footer schema metadata.
   *
   * Unpartitioned: ONE file per task. Partitioned (`partitionBy` option):
   * one file per distinct partition tuple seen by this task, under a
@@ -236,43 +235,46 @@ class SnapshotDataWriter(conf: Configuration, schema: StructType,
     schema.fields.zipWithIndex.toSeq
       .filter { case (f, _) => !partCols.contains(f.name) }
   private val dataSchema = StructType(dataFields.map(_._1))
-  private val messageType: MessageType =
-    SnapshotDataWriter.parquetType(dataSchema)
-  private val factory = new SimpleGroupFactory(messageType)
 
-  // One setter per DATA column: group index gi (projected), row index ri
-  // (original) — resolved once, mirrors the reader's getters.
-  private val setters: Array[(Group, InternalRow) => Unit] =
-    dataFields.zipWithIndex.map { case ((f, ri), gi) =>
-      val set: (Group, InternalRow) => Unit = f.dataType match {
-        case LongType => (g, r) => g.add(gi, r.getLong(ri))
-        case IntegerType => (g, r) => g.add(gi, r.getInt(ri))
-        case DoubleType => (g, r) => g.add(gi, r.getDouble(ri))
-        case FloatType => (g, r) => g.add(gi, r.getFloat(ri))
-        case BooleanType => (g, r) => g.add(gi, r.getBoolean(ri))
-        case StringType => (g, r) =>
-          g.add(gi, Binary.fromConstantByteArray(r.getUTF8String(ri).getBytes))
-        case BinaryType => (g, r) =>
-          g.add(gi, Binary.fromConstantByteArray(r.getBinary(ri)))
-        case DateType => (g, r) => g.add(gi, r.getInt(ri))       // days
-        case TimestampType => (g, r) => g.add(gi, r.getLong(ri)) // micros
-        case dt => throw new UnsupportedOperationException(
-          s"column '${f.name}': cannot encode Spark $dt to parquet")
-      }
-      set
-    }.toArray
+  // Codegen'd projection dropping partition columns (identity-skip when
+  // there are none: incoming rows are already UnsafeRows in data order).
+  private val project: InternalRow => InternalRow =
+    if (partCols.isEmpty) identity
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+      val p = UnsafeProjection.create(dataFields.map { case (f, ri) =>
+        BoundReference(ri, f.dataType, f.nullable): Expression }.toArray)
+      p.apply _
+    }
+
+  // Writer-side conf: ParquetWriteSupport reads its settings from the
+  // Hadoop conf (Spark's own write path primes these the same way).
+  private val writeConf: Configuration = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new Configuration(conf)
+    ParquetWriteSupport.setSchema(dataSchema, c)
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    // No variant columns pass validate(), but the schema converter parses
+    // the flag unconditionally.
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    c
+  }
 
   // spec ("" when unpartitioned) → open writer; opened lazily on first row.
   private val writers =
-    scala.collection.mutable.LinkedHashMap.empty[String, org.apache.parquet.hadoop.ParquetWriter[Group]]
+    scala.collection.mutable.LinkedHashMap.empty[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
   private var rows = 0L
 
   private def writerFor(spec: String) = writers.getOrElseUpdate(spec, {
     val dir = if (spec.isEmpty) stagingTableDir else s"$stagingTableDir/$spec"
-    ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(new Path(s"$dir/$fileName"), conf))
-      .withType(messageType)
-      .withConf(conf)
+    new SnapshotDataWriter.InternalRowWriterBuilder(
+        HadoopOutputFile.fromPath(new Path(s"$dir/$fileName"), writeConf))
+      .withConf(writeConf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
   })
@@ -299,13 +301,7 @@ class SnapshotDataWriter(conf: Configuration, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    val g = factory.newGroup()
-    var i = 0
-    while (i < setters.length) {
-      if (!row.isNullAt(dataFields(i)._2)) setters(i)(g, row)
-      i += 1
-    }
-    writerFor(specOf(row)).write(g)
+    writerFor(specOf(row)).write(project(row))
     rows += 1
   }
 
@@ -331,30 +327,15 @@ class SnapshotDataWriter(conf: Configuration, schema: StructType,
 }
 
 private[v2] object SnapshotDataWriter {
-  /** Flat primitive Spark schema → parquet MessageType, matching the types
-    * [[SnapshotPartitionReader]] and Spark's own vectorized reader decode. */
-  def parquetType(schema: StructType): MessageType = {
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val fb = f.dataType match {
-        case LongType => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType => Types.optional(DOUBLE)
-        case FloatType => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType =>
-          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-        case BinaryType => Types.optional(BINARY)
-        case DateType =>
-          Types.optional(INT32).as(LogicalTypeAnnotation.dateType())
-        case TimestampType => Types.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case dt => throw new UnsupportedOperationException(
-          s"column '${f.name}': unsupported sink type $dt")
-      }
-      b.addField(fb.named(f.name))
-    }
-    b.named("spark_schema")
+  /** parquet-mr builder over Spark's InternalRow write support — the
+    * minimal shim parquet-mr needs to drive the same record materializer
+    * `ParquetOutputWriter` uses (schema + settings ride the Hadoop conf). */
+  class InternalRowWriterBuilder(file: org.apache.parquet.io.OutputFile)
+    extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+      InternalRow, InternalRowWriterBuilder](file) {
+    override def self(): InternalRowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
   }
 }

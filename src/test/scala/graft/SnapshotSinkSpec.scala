@@ -15,6 +15,9 @@ import graft.ingest.Snapshots
   * write, and full round-trip symmetry with the streaming reader. */
 class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  type WideRow = (Long, Option[Int], Option[Double], Float, Boolean,
+    String, Array[Byte], java.sql.Date, java.sql.Timestamp, String)
+
   private var spark: SparkSession = _
   private lazy val dir = Files.createTempDirectory("graft-snapsink")
   private def wh(name: String) = dir.resolve(name).toString
@@ -292,6 +295,56 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.columns.toSet == Set("id", "label"), got.columns.toSeq)
     assert(got.orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq(1L -> "a", 2L -> "b"))
+  }
+
+  test("wide schema: bytes-on-disk match Spark's native parquet writer") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whWide"); val ckpt = wh("whWideCkpt")
+    // Every type the sink supports, nulls included, plus a partition column.
+    val rows: Seq[WideRow] = Seq(
+      (1L, Some(7), Some(1.5), 2.5f, true, "alpha", Array[Byte](1, 2),
+        java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:30:00.123456"), "p1"),
+      (2L, None, None, -0.5f, false, "béta/ gamma", Array[Byte](),
+        java.sql.Date.valueOf("2024-06-15"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"), "p2"))
+    val cols = Seq("l", "i", "d", "f", "b", "s", "bin", "dt", "ts", "part")
+    val in = MemoryStream[WideRow]
+    in.addData(rows: _*)
+    val q = in.toDF.toDF(cols: _*).writeStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("partitionBy", "part")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // Reference: Spark's own parquet writer over the same DATA schema
+    // (pinned to the sink's modern micros timestamps — the session default
+    // is legacy INT96).
+    val ref = wh("whWideRef")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.createDataset(rows).toDF(cols: _*).drop("part")
+      .coalesce(1).write.parquet(ref)
+    def physSchema(dir: String): String = {
+      val f = fs.listStatus(new Path(dir)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          f, spark.sparkContext.hadoopConfiguration))
+        .getFooter.getFileMetaData.getSchema.toString
+    }
+    // Identical parquet MessageType (physical + logical annotations), and
+    // the Hive partition layout on disk.
+    assert(physSchema(s"$w/t/part=p1") == physSchema(ref))
+    assert(fs.exists(new Path(s"$w/t/part=p2")))
+
+    // Row-for-row parity through the table format's batch reader.
+    val got = Snapshots.read(spark, w, "t")
+      .orderBy("l").as[WideRow].collect().toSeq
+    assert(got.map(r => r.copy(_7 = null)) == rows.map(r => r.copy(_7 = null)))
+    assert(got.map(_._7.toSeq) == rows.map(_._7.toSeq)) // binary by value
   }
 
   test("reading a not-yet-existing table fails with a clear error") {
