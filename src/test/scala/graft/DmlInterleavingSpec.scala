@@ -83,6 +83,128 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stress: sink epochs, batch overwrites, compactions interleave safely") {
+    // Three randomized schedules: a streaming-sink writer (epoch commits
+    // with crash-replays), a batch overwriter (coarse OCC), and a
+    // compactor all hammer ONE table. Invariants, per schedule:
+    //   1. no worker dies with anything but a lost OCC race;
+    //   2. no snapshot version EVER shows a duplicated id (epoch
+    //      idempotence + compaction correctness at every point in time);
+    //   3. the first version where an overwrite's payload appears contains
+    //      EXACTLY the payload — a racing append can never survive an
+    //      overwrite unflagged (the a651d91 anchor-before-snapshot order);
+    //   4. a replayed epoch publishes exactly one log entry.
+    for (seed <- Seq(7, 21, 63)) {
+      val w = wh(s"stress$seed")
+      append(w, 0L until 10L)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val okOverwrites = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      def payload(k: Int): Seq[Long] = (50000L + k * 100) until (50000L + k * 100 + 5)
+      def epochIds(e: Long): Seq[Long] = (10000L + e * 100) until (10000L + e * 100 + 10)
+
+      import scala.jdk.CollectionConverters._
+      val queryId = s"stress-$seed"
+      val write = new graft.sources.v2.SnapshotStreamingWrite(queryId,
+        new org.apache.spark.sql.types.StructType()
+          .add("id", "long").add("v", "long"),
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          Map("warehouse" -> w, "table" -> "t").asJava))
+      def cidOf(e: Long) = s"stream-$queryId-t-$e"
+      def stageEpoch(e: Long): Array[(String, String)] = {
+        val s0 = spark
+        import s0.implicits._
+        val dir = s"${TxnCommit.stagingDir(w, cidOf(e))}/t"
+        epochIds(e).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        fs.listStatus(new Path(dir))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (st.getPath.toString, ""))
+      }
+
+      val sinkRng = new scala.util.Random(seed)
+      val sinker = new Thread(() => {
+        try (0L until 6L).foreach { e =>
+          write.commit(e, Array(graft.sources.v2.SnapshotWriteMessage(
+            stageEpoch(e).toSeq, 10L)))
+          if (sinkRng.nextBoolean() && e > 0) {
+            // Crash-replay of an already-published epoch: restage + commit
+            // again; must be recognized by commitId and dropped.
+            val replay = sinkRng.nextLong(e)
+            write.commit(replay, Array(graft.sources.v2.SnapshotWriteMessage(
+              stageEpoch(replay).toSeq, 10L)))
+          }
+          Thread.sleep(sinkRng.nextInt(40))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      val owRng = new scala.util.Random(seed * 31)
+      val overwriter = new Thread(() => {
+        try (0 until 3).foreach { k =>
+          val s0 = spark
+          import s0.implicits._
+          Thread.sleep(owRng.nextInt(60))
+          try {
+            payload(k).map(i => (i, i * 10)).toDF("id", "v")
+              .write.format("graft-snapshots")
+              .option("warehouse", w).option("table", "t")
+              .mode("overwrite").save()
+            okOverwrites.add(k)
+          } catch { case _: Snapshots.ConcurrentCommitException => () }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      val cpRng = new scala.util.Random(seed * 131)
+      val compactor = new Thread(() => {
+        try (0 until 3).foreach { _ =>
+          Thread.sleep(cpRng.nextInt(50))
+          try Compaction.compact(spark, w, "t")
+          catch { case _: Snapshots.ConcurrentCommitException => () }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+      val workers = Seq(sinker, overwriter, compactor)
+      workers.foreach(_.start())
+      workers.foreach(_.join(180000))
+      assert(failures.isEmpty,
+        s"seed $seed: worker failed: ${Option(failures.peek())}")
+
+      // 4. replayed epochs: exactly one log entry per epoch commitId.
+      val entries = Snapshots.entries(fs, w)
+      (0L until 6L).foreach { e =>
+        assert(entries.count(_.commitId == cidOf(e)) == 1,
+          s"seed $seed: epoch $e published ${entries.count(_.commitId == cidOf(e))} entries")
+      }
+
+      // 2 + 3, checked at EVERY version of the log.
+      val versions = entries.map(_.version).distinct.sorted
+      var firstSeen = Map.empty[Int, Long] // overwrite k -> first version seen
+      versions.foreach { v =>
+        val ids = Snapshots.read(spark, w, "t", asOf = Some(v))
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(ids.distinct.size == ids.size,
+          s"seed $seed: duplicated ids at version $v")
+        okOverwrites.asScala.foreach { k =>
+          if (!firstSeen.contains(k) && ids.exists(payload(k).toSet))
+            firstSeen += k -> v
+        }
+      }
+      okOverwrites.asScala.foreach { k =>
+        val v = firstSeen(k)
+        val at = Snapshots.read(spark, w, "t", asOf = Some(v))
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(at == payload(k).toSet,
+          s"seed $seed: overwrite $k's first version $v is not exactly its payload: $at")
+      }
+
+      // Quiescent overwrite always succeeds and replaces everything.
+      val s0 = spark
+      import s0.implicits._
+      payload(9).map(i => (i, i * 10)).toDF("id", "v")
+        .write.format("graft-snapshots")
+        .option("warehouse", w).option("table", "t")
+        .mode("overwrite").save()
+      assert(Snapshots.read(spark, w, "t").select("id")
+        .collect().map(_.getLong(0)).toSet == payload(9).toSet)
+    }
+  }
+
   test("concurrent appenders and compactors: no row lost, none duplicated") {
     val w = wh("race")
     append(w, 0L until 10L)
