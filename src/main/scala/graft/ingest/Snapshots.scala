@@ -749,9 +749,9 @@ object Snapshots {
       val op = readOp(fs, e.path)
       if (!rewriteOps(op)) {
         val acts = readActions(fs, e.path)
-        if (op == "merge" || op == "overwrite") {
-          // Both replace rows: without CDF files their REMOVEs cannot be
-          // represented as append-only events — refuse rather than serve
+        if (op == "merge" || op == "overwrite" || op == "drop") {
+          // All replace/remove rows: without CDF files their REMOVEs cannot
+          // be represented as append-only events — refuse rather than serve
           // the new rows as plain inserts on top of the replaced ones.
           val cdfs = acts.filter(a => a.cdf && a.table == table)
           if (cdfs.isEmpty)
@@ -962,13 +962,77 @@ object Snapshots {
         Action("ADD", table, f, part, stats, dv) })
       .getOrElse(Seq.empty))
 
+  /** Live file Actions of `table` at `asOf`, pruned by `pred` against the
+    * log's per-file stats — the same skipping [[read]] applies (partition
+    * tuples fold in as exact ranges, files without stats are kept, sidecar
+    * blooms load only for log-surviving files), exposed for the DSv2 batch
+    * scan's filter pushdown. `pred` null = no pruning. */
+  def prunedFileMeta(fs: FileSystem, warehouse: String, table: String,
+                     asOf: Option[Long],
+                     pred: FileStats.Pred): Seq[Action] = {
+    val all = fileMeta(fs, warehouse, table, asOf).getOrElse(Seq.empty)
+    if (pred == null || all.isEmpty) all
+    else {
+      val mapping = columnMapping(fs, warehouse, table, asOf)
+      val loader = sidecarBloomLoader(fs, warehouse)
+      all.filter { a =>
+        val stats = statsWithPartition(a)
+        FileStats.mayMatch(
+          mapping.fold(stats)(_.statsToLogical(stats)), pred, loader)
+      }
+    }
+  }
+
+  /** Ordered partition-column list of the table's live layout at `asOf`
+    * (empty for flat tables). */
+  def partitionLayout(fs: FileSystem, warehouse: String, table: String,
+                      asOf: Option[Long] = None): Seq[String] =
+    partitionColumns(
+      fileMeta(fs, warehouse, table, asOf).getOrElse(Seq.empty).map(_.partition))
+
+  /** Table names visible in the CURRENT snapshot: tables with live files,
+    * plus declared-but-empty tables that carry properties (a catalog
+    * CREATE TABLE before its first data commit). */
+  def tableNames(fs: FileSystem, warehouse: String): Seq[String] =
+    stateAt(fs, warehouse, None).map { st =>
+      val live = st.files.collect { case (t, fsq) if fsq.nonEmpty => t }
+      val declared = st.metas.keys
+        .filter(_.endsWith("#props")).map(_.stripSuffix("#props"))
+      (live ++ declared).toSeq.distinct.sorted
+    }.getOrElse(Nil)
+
+  /** Drop `table`: ONE commit logically REMOVEs every live file (old
+    * versions stay time-travelable until vacuum reaps them) and clears the
+    * table's properties and column mapping, so a re-created table of the
+    * same name starts fresh. The `drop` op tag makes the change stream and
+    * `changes()` treat it like any other unrepresentable rewrite (fail
+    * fast / skipChangeCommits). Returns false when the table has neither
+    * live files nor declared properties — nothing to drop. */
+  def dropTable(fs: FileSystem, warehouse: String, table: String): Boolean = {
+    val live = fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
+    val props = properties(fs, warehouse, table)
+    val mapping = columnMapping(fs, warehouse, table)
+    if (live.isEmpty && props.isEmpty) false
+    else {
+      val base = latestVersion(fs, warehouse)
+      append(fs, warehouse, "drop" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        adds = Nil, removes = live.map(a => table -> a.file),
+        op = "drop", baseVersion = base,
+        metas = Seq(propsKey(table) -> encodeProps(Map.empty)) ++
+          mapping.map(_ => table -> "").toSeq) // "" clears the mapping
+      true
+    }
+  }
+
   /** The table's [[ColumnMapping]] visible at `asOf` — None until the
     * first RENAME/DROP COLUMN commit. Versioned like file state: time
     * travel below a rename resolves through the mapping of that era. */
   def columnMapping(fs: FileSystem, warehouse: String, table: String,
                     asOf: Option[Long] = None): Option[ColumnMapping] =
     stateAt(fs, warehouse, asOf)
-      .flatMap(_.metas.get(table)).map(ColumnMapping.decode)
+      .flatMap(_.metas.get(table)).filter(_.nonEmpty) // "" = cleared by drop
+      .map(ColumnMapping.decode)
 
   // ------------------------------------------------------ table properties
 
@@ -1286,7 +1350,8 @@ object Snapshots {
     // schema; the logical view is resolved at the end, and log-side stats
     // (physical keys) are renamed to logical so skipping still fires on
     // logically-named predicates.
-    val mapping = folded.metas.get(table).map(ColumnMapping.decode)
+    val mapping =
+      folded.metas.get(table).filter(_.nonEmpty).map(ColumnMapping.decode)
     require(all.nonEmpty,
       s"table '$table' has no committed files at version ${asOf.getOrElse("latest")}")
     val partPruned =

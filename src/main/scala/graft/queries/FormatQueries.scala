@@ -176,6 +176,30 @@ object FormatQueries {
           col("side").cast("string").as("side"))
     }),
 
+    // DSv2 catalog end-to-end: CTAS through catalog resolution, INSERT of
+    // the remainder, a DELETE lowered onto the format's row-level delete,
+    // then a catalog SELECT (spliced to the vectorized plan in this
+    // session). Ground truth: plain SQL over the original parquet.
+    "fmt_catalog" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gwh",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_catalog", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gwh.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_cat_src")
+        s.sql("CREATE TABLE gwh.nation_cat AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_cat_src " +
+          "WHERE n_nationkey < 15")
+        s.sql("INSERT INTO gwh.nation_cat " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_cat_src " +
+          "WHERE n_nationkey >= 15")
+        s.sql("DELETE FROM gwh.nation_cat WHERE n_nationkey IN (3, 10, 17, 24)")
+        w
+      }
+      s.conf.set("spark.sql.catalog.gwh.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gwh.nation_cat")
+    }),
+
     "fmt_merge" -> ((s, d) => {
       val wh = Fixtures.once("fmt_merge", d) {
         val w = freshWh()
@@ -367,6 +391,12 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS side
         |FROM nation""".stripMargin,
+    // Catalog CTAS(<15) + INSERT(>=15) + DELETE(in-list) = all but the
+    // deleted keys.
+    "fmt_catalog" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey NOT IN (3, 10, 17, 24)""".stripMargin,
     // Partial commit + SQL INSERT of the remainder = the full table.
     "fmt_sql_insert" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -1,0 +1,275 @@
+package graft.sources.v2
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.ingest.{SchemaEvolution, Snapshots}
+
+/** Standard DSv2 catalog over one snapshot warehouse — the table format
+  * resolved through Spark's OWN name resolution instead of this library's
+  * parser regexes:
+  *
+  * {{{
+  * spark.conf: spark.sql.catalog.graft = graft.sources.v2.GraftCatalog
+  *             spark.sql.catalog.graft.warehouse = /path/to/wh
+  *
+  * SELECT * FROM graft.events WHERE dt = '2024-01-01'
+  * SELECT * FROM graft.events VERSION AS OF 7      -- time travel
+  * CREATE TABLE graft.t PARTITIONED BY (dt) AS SELECT ...
+  * INSERT INTO graft.t SELECT ...                  -- one atomic version
+  * INSERT OVERWRITE graft.t SELECT ...             -- coarse-OCC replace
+  * ALTER TABLE graft.t RENAME COLUMN a TO b        -- metadata-only
+  * DROP TABLE graft.t                              -- time-travelable drop
+  * }}}
+  *
+  * Reads resolve to [[GraftCatalogTable]] (BATCH_READ): correct in any
+  * session via the per-file DSv2 batch scan (log-planned files, partition
+  * tuples from the log, DV subtraction, column mapping, stats-pruned by
+  * pushed filters); sessions with `GraftSqlExtensions` splice the relation
+  * into the vectorized parquet plan pre-CBO, so large scans run columnar.
+  * Writes stage through the vectorized [[SnapshotDataWriter]] and publish
+  * one TxnCommit version per job. Table identity lives in the log alone —
+  * no metastore: CREATE TABLE declares schema/partitioning as table
+  * properties, the first write commits it, DROP is one logical-REMOVE
+  * commit (old versions time-travelable until vacuum).
+  *
+  * Namespaces: the warehouse is flat; the empty namespace (`graft.t`) and
+  * `default` both resolve to it. */
+class GraftCatalog extends TableCatalog {
+  import scala.jdk.CollectionConverters._
+
+  private var catName = "graft"
+  private var whOpt: Option[String] = None
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    whOpt = Option(options.get("warehouse"))
+  }
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+  private def warehouse: String =
+    whOpt.orElse(spark.conf.getOption("spark.graft.warehouse")).getOrElse(
+      throw new IllegalStateException(
+        s"catalog '$catName' has no warehouse — set " +
+          s"spark.sql.catalog.$catName.warehouse (or spark.graft.warehouse)"))
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableName(ident: Identifier): String = {
+    require(ident.namespace().isEmpty ||
+        ident.namespace().sameElements(Array("default")),
+      s"catalog '$catName' is a flat warehouse — namespace " +
+        s"'${ident.namespace().mkString(".")}' does not exist")
+    ident.name()
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Snapshots.tableNames(fs, warehouse)
+      .map(Identifier.of(namespace, _)).toArray
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val t = tableName(ident)
+    Snapshots.fileMeta(fs, warehouse, t).exists(_.nonEmpty) ||
+      Snapshots.properties(fs, warehouse, t).contains("catalog.schema.ddl")
+  }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `SELECT … FROM graft.t VERSION AS OF n` — Spark's time-travel
+    * resolution lands here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF` — `timestamp` arrives in MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tableName(ident)
+    val v = Snapshots.versionAt(fs, warehouse, timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot version of '$t' existed at timestamp $timestamp"))
+    loadAt(ident, Some(v))
+  }
+
+  private def loadAt(ident: Identifier, asOf: Option[Long]): Table = {
+    val t = tableName(ident)
+    val committed =
+      if (Snapshots.fileMeta(fs, warehouse, t, asOf).exists(_.nonEmpty))
+        Some(Snapshots.read(spark, warehouse, t, asOf).schema)
+      else None
+    val tblProps = Snapshots.properties(fs, warehouse, t)
+    val declared: Map[String, org.apache.spark.sql.types.DataType] =
+      tblProps.get("catalog.schema.ddl").map(StructType.fromDDL)
+        .map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    val partCols = {
+      val live = Snapshots.partitionLayout(fs, warehouse, t, asOf)
+      if (live.nonEmpty) live
+      else tblProps.get("catalog.partition.columns").toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty)
+    }
+    // Committed schema wins (it tracks evolution), with two declared-type
+    // repairs: partition columns take the DECLARED type (the path `k=v`
+    // form is untyped, so the committed type is whatever the session's
+    // path inference guessed — the declaration is the contract), and a
+    // column added via ALTER before any file carries it reads as NullType
+    // from the mapping — repair it to its recorded ADD COLUMN type. */
+    val schema = committed.map { cs =>
+      StructType(cs.fields.map { f =>
+        if (partCols.contains(f.name) && declared.contains(f.name))
+          f.copy(dataType = declared(f.name))
+        else if (f.dataType == org.apache.spark.sql.types.NullType)
+          f.copy(dataType =
+            tblProps.get(s"catalog.coltype.${f.name}")
+              .map(ddl => StructType.fromDDL(s"`${f.name}` $ddl")
+                .fields(0).dataType)
+              .orElse(declared.get(f.name))
+              .getOrElse(org.apache.spark.sql.types.StringType))
+        else f
+      })
+    }.orElse(tblProps.get("catalog.schema.ddl").map(StructType.fromDDL))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val props = Map("warehouse" -> warehouse, "table" -> t) ++
+      asOf.map(v => "versionAsOf" -> v.toString)
+    new GraftCatalogTable(schema, props.asJava, partCols)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val t = tableName(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { tr =>
+      if (tr.name() == "identity" && tr.references().length == 1)
+        tr.references()(0).fieldNames().mkString(".")
+      else throw new UnsupportedOperationException(
+        s"partition transform '$tr' is not supported (identity columns only)")
+    }
+    // Declared schema/partitioning ride the log as table properties: the
+    // table is queryable (empty) before its first commit, and CTAS's
+    // follow-up append validates against this declaration at the commit
+    // point like any other write.
+    Snapshots.setProperties(fs, warehouse, t,
+      Map("catalog.schema.ddl" -> schema.toDDL) ++
+        (if (partCols.nonEmpty)
+           Map("catalog.partition.columns" -> partCols.mkString(","))
+         else Map.empty) ++
+        properties.asScala.filterNot(_._1.startsWith("option.")))
+    new GraftCatalogTable(schema,
+      Map("warehouse" -> warehouse, "table" -> t).asJava, partCols)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tableName(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case sp: TableChange.SetProperty =>
+        Snapshots.setProperties(fs, warehouse, t,
+          Map(sp.property() -> sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        Snapshots.setProperties(fs, warehouse, t, Map(rp.property() -> null))
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          "nested column renames are not supported")
+        SchemaEvolution.renameColumn(spark, warehouse, t,
+          rc.fieldNames()(0), rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          "nested column drops are not supported")
+        SchemaEvolution.dropColumn(spark, warehouse, t, dc.fieldNames()(0))
+        Snapshots.setProperties(fs, warehouse, t,
+          Map(s"catalog.coltype.${dc.fieldNames()(0)}" -> null))
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1,
+          "nested column adds are not supported")
+        SchemaEvolution.addColumn(spark, warehouse, t, ac.fieldNames()(0))
+        // Record the declared type: until a file carries the column, the
+        // mapping serves it as NullType and loadTable repairs it from
+        // this property.
+        Snapshots.setProperties(fs, warehouse, t,
+          Map(s"catalog.coltype.${ac.fieldNames()(0)}" ->
+            ac.dataType().sql))
+      case ch => throw new UnsupportedOperationException(
+        s"table change '$ch' is not supported by catalog '$catName'")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && Snapshots.dropTable(fs, warehouse, tableName(ident))
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported — table names are directory " +
+        "structure; CTAS into the new name instead")
+}
+
+/** Catalog-resolved table: the DSv2 [[SnapshotTable]] surface plus batch
+  * capabilities — BATCH_READ through the log-planned per-file scan (or the
+  * spliced vectorized plan under the graft extensions), BATCH_WRITE /
+  * TRUNCATE through the staged TxnCommit write. The table's identity
+  * (warehouse/table/pinned version) and partition layout ride its
+  * properties into every scan and write, so SQL needs no per-query
+  * options. */
+class GraftCatalogTable(tableSchema: StructType,
+                        props: util.Map[String, String],
+                        partCols: Seq[String])
+  extends SnapshotTable(tableSchema, props)
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import scala.jdk.CollectionConverters._
+
+  /** `DELETE FROM graft.t WHERE …` — Spark's row-level delete resolution
+    * hands the (exactly translatable) condition here; it lowers onto the
+    * format's merge-on-read/copy-on-write delete, which picks deletion
+    * vectors or rewrites per file by deletion density. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(SnapshotDataSource.filterToColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.flatMap(SnapshotDataSource.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    graft.ingest.Merge.deleteWhereDv(SparkSession.active,
+      props.get("warehouse"), props.get("table"), cond)
+  }
+
+  // No ACCEPT_ANY_SCHEMA here (unlike the format-path SnapshotTable,
+  // whose sink supports create-on-first-write): a catalog table always
+  // has a schema — declared or committed — so Spark's own INSERT column
+  // alignment/casting runs, and the commit point re-enforces on top.
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    util.EnumSet.of(BATCH_READ, BATCH_WRITE, TRUNCATE,
+      MICRO_BATCH_READ, STREAMING_WRITE)
+  }
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
+  override def properties(): util.Map[String, String] = props
+
+  // SQL reads/writes arrive with EMPTY per-query options: the table's own
+  // properties (warehouse/table/versionAsOf, partitionBy) supply identity;
+  // explicit per-query options still win.
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    super.newScanBuilder(new CaseInsensitiveStringMap(
+      (props.asScala ++ options.asScala).asJava))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(info,
+      props.asScala.toMap ++
+        (if (partCols.nonEmpty) Map("partitionBy" -> partCols.mkString(","))
+         else Map.empty))
+}

@@ -308,15 +308,24 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
       .queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[Row]]
   }
 
-  /** Exact Column translation (every node must convert — a partially
-    * converted NOT/OR could drop rows). Exactness means the expression is
-    * the one Spark itself would evaluate, so applying it early is safe. */
-  private def toColumn(f: Filter): Option[Column] = {
+  private def toColumn(f: Filter): Option[Column] =
+    SnapshotDataSource.filterToColumn(f)
+}
+
+object SnapshotDataSource {
+  /** Exact V1-Filter → Column translation (every node must convert — a
+    * partially converted NOT/OR could drop rows). Exactness means the
+    * expression is the one Spark itself would evaluate, so applying it
+    * early — or handing it to a DML rewrite — is safe. */
+  private[graft] def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.sources._
-    f match {
-      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
-      case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
-      case Not(c) => toColumn(c).map(!_)
+    def go(f: Filter): Option[Column] = f match {
+      case And(l, r) => for (a <- go(l); b <- go(r)) yield a && b
+      case Or(l, r) => for (a <- go(l); b <- go(r)) yield a || b
+      case Not(c) => go(c).map(!_)
       case EqualTo(a, v) => Some(col(a) === lit(v))
       case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
       case GreaterThan(a, v) => Some(col(a) > lit(v))
@@ -329,12 +338,13 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
       case StringStartsWith(a, p) => Some(col(a).startsWith(p))
       case StringEndsWith(a, p) => Some(col(a).endsWith(p))
       case StringContains(a, p) => Some(col(a).contains(p))
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
       case _ => None
     }
+    go(f)
   }
-}
 
-object SnapshotDataSource {
   private[v2] def required(options: CaseInsensitiveStringMap, key: String): String =
     Option(options.get(key)).getOrElse(
       throw new IllegalArgumentException(s"option '$key' is required"))
@@ -404,7 +414,8 @@ class SnapshotTable(tableSchema: StructType, properties: util.Map[String, String
 
 class SnapshotScanBuilder(tableSchema: StructType,
                           options: CaseInsensitiveStringMap)
-  extends ScanBuilder with Scan with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with Scan with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   // Column pruning: ship only projected fields; the Group walk still reads
   // the file's pages but materializes just the kept columns per row.
@@ -414,11 +425,71 @@ class SnapshotScanBuilder(tableSchema: StructType,
     requiredSchema = StructType(tableSchema.fields.filter(f => keep(f.name)))
   }
 
+  // Filter pushdown feeds log-side FILE skipping only (a pruned file costs
+  // nothing, not even a task); every filter is returned as post-scan, so
+  // Spark still evaluates all of them on the surfaced rows — both layers
+  // are IO reduction, never semantics.
+  private var pred: graft.ingest.FileStats.Pred = null
+  private var prunable: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    prunable = filters.filter(f =>
+      graft.ingest.FileStats.fromV1Filter(f).isDefined)
+    pred = filters.flatMap(graft.ingest.FileStats.fromV1Filter)
+      .reduceOption((a, b) => a.and(b)).orNull
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    prunable
+
   override def build(): Scan = { SnapshotDataSource.validate(tableSchema); this }
   override def readSchema(): StructType = requiredSchema
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(options, requiredSchema)
+
+  /** Batch scan for catalog-resolved reads ([[GraftCatalogTable]]
+    * advertises BATCH_READ): one input partition per log-live file at the
+    * pinned version, served by the same per-file reader the stream uses —
+    * partition columns from the log's tuples, deletion vectors subtracted,
+    * column mapping applied. Sessions with the graft extensions splice
+    * this relation into the vectorized parquet plan before physical
+    * planning ever reaches here (see `graft.sql.SnapshotScanRule`). */
+  override def toBatch: Batch = {
+    val spark = SparkSession.active
+    val warehouse = SnapshotDataSource.required(options, "warehouse")
+    val table = SnapshotDataSource.required(options, "table")
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Pin the served version at scan build, like the V1 relation: every
+    // action over this plan sees the same snapshot.
+    val pinned = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Snapshots.latestVersion(fs, warehouse))
+    new SnapshotBatch(warehouse, table, pinned, requiredSchema, pred)
+  }
+}
+
+/** The catalog batch scan: plans the pinned version's log-surviving files
+  * (stats-pruned by the pushed filters) as [[SnapshotInputPartition]]s. */
+class SnapshotBatch(warehouse: String, table: String, pinned: Option[Long],
+                    schema: StructType, pred: graft.ingest.FileStats.Pred)
+  extends Batch {
+  private def spark = SparkSession.active
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Snapshots.prunedFileMeta(fs, warehouse, table, pinned, pred)
+      .map(a => SnapshotInputPartition(a.file, a.partitionMap,
+        pinned.getOrElse(-1L), None, a.dvPath): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      schema,
+      Snapshots.columnMapping(fs, warehouse, table, pinned)
+        .map(_.cols.toMap).getOrElse(Map.empty))
 }
 
 /** Offset = snapshot log version (inclusive high-water mark), plus an
@@ -673,7 +744,7 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         val adds = acts.filter(_.add)
         val cdfs = acts.filter(_.cdf)
         if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
-        else if (op == "merge" || op == "overwrite") {
+        else if (op == "merge" || op == "overwrite" || op == "drop") {
           if (readChangeFeed) {
             require(cdfs.nonEmpty || adds.isEmpty,
               s"snapshot version $v is a $op commit without change files " +
@@ -842,6 +913,9 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
         case (LongType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0).toLong
         case (IntegerType, PrimitiveTypeName.INT32) => g => g.getInteger(idx, 0)
         case (DoubleType, PrimitiveTypeName.DOUBLE) => g => g.getDouble(idx, 0)
+        // Safe type widening: narrow files under the widened table type.
+        case (DoubleType, PrimitiveTypeName.FLOAT) =>
+          g => g.getFloat(idx, 0).toDouble
         case (FloatType, PrimitiveTypeName.FLOAT) => g => g.getFloat(idx, 0)
         case (BooleanType, PrimitiveTypeName.BOOLEAN) => g => g.getBoolean(idx, 0)
         case (StringType, PrimitiveTypeName.BINARY) =>

@@ -52,19 +52,35 @@ import graft.ingest.{Snapshots, TxnCommit}
   * reader serves the columns from the log — identical layout to a
   * `partitionBy` batch write.
   */
-class SnapshotWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder
+class SnapshotWriteBuilder(info: LogicalWriteInfo,
+                           tableDefaults: Map[String, String] = Map.empty)
+  extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var truncateEachEpoch = false
-  /** Complete output mode (Spark calls this for it): every epoch REPLACES
-    * the table — one overwrite version per trigger, the streaming
-    * materialized-view shape (e.g. a complete-mode aggregation kept as a
-    * queryable snapshot table with history). */
-  override def truncate(): WriteBuilder = { truncateEachEpoch = true; this }
+  private var truncateMode = false
+  /** Streaming complete output mode / batch INSERT OVERWRITE (Spark calls
+    * this for both): the write REPLACES the table — one overwrite version
+    * per epoch (streaming) or per job (batch); prior versions stay
+    * time-travelable until vacuum. */
+  override def truncate(): WriteBuilder = { truncateMode = true; this }
+  // Catalog-resolved writes carry no warehouse/table options on the query;
+  // the table's own properties (and its partition layout) fill them in.
+  // Explicit write options win over the table defaults.
+  private def mergedOptions
+      : org.apache.spark.sql.util.CaseInsensitiveStringMap = {
+    import scala.jdk.CollectionConverters._
+    new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      (tableDefaults ++ info.options().asScala).asJava)
+  }
   override def build(): Write = new Write {
     override def toStreaming: StreamingWrite = {
       SnapshotDataSource.validate(info.schema())
-      new SnapshotStreamingWrite(info.queryId(), info.schema(), info.options(),
-        truncateEachEpoch)
+      new SnapshotStreamingWrite(info.queryId(), info.schema(), mergedOptions,
+        truncateMode)
+    }
+    override def toBatch
+        : org.apache.spark.sql.connector.write.BatchWrite = {
+      SnapshotDataSource.validate(info.schema())
+      new SnapshotBatchWrite(info.schema(), mergedOptions, truncateMode)
     }
   }
 }
@@ -77,18 +93,23 @@ private[v2] object SnapshotStreamingWrite {
     s"stream-$queryId-$table-$epochId"
 }
 
-class SnapshotStreamingWrite(queryId: String, schema: StructType,
-                             options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-                             truncateEachEpoch: Boolean = false)
-  extends StreamingWrite {
+/** Shared write-side core: option parsing/validation (partitionBy, column
+  * mapping), the staged-files commit, and abort cleanup — the streaming
+  * sink publishes one epoch per call with a checkpoint-stable commitId
+  * (idempotent against crash-replays); the batch write publishes one job
+  * under a fresh commitId. */
+private[v2] class SnapshotWriteCore(
+    schema: StructType,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    truncateMode: Boolean) {
 
-  private val warehouse = SnapshotDataSource.required(options, "warehouse")
-  private val table = SnapshotDataSource.required(options, "table")
-  private val partCols: Seq[String] = Option(options.get("partitionBy")).toSeq
+  protected val warehouse = SnapshotDataSource.required(options, "warehouse")
+  protected val table = SnapshotDataSource.required(options, "table")
+  protected val partCols: Seq[String] = Option(options.get("partitionBy")).toSeq
     .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   partCols.foreach { c =>
     require(schema.fieldNames.contains(c),
-      s"partitionBy column '$c' is not in the stream's schema " +
+      s"partitionBy column '$c' is not in the written schema " +
         s"(${schema.fieldNames.mkString(", ")})")
     schema(c).dataType match {
       // No BooleanType: Spark's partition path-inference has no boolean
@@ -104,56 +125,55 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
   require(partCols.size < schema.size,
     "partitionBy cannot cover every column — no data columns would remain")
 
-  private def spark = SparkSession.active
-  private def fs = new Path(warehouse)
+  protected def spark = SparkSession.active
+  protected def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // Column-mapped (renamed) tables: files store PHYSICAL names; the stream
+  // Column-mapped (renamed) tables: files store PHYSICAL names; the write
   // carries the LOGICAL schema the caller reads. Translate field names
-  // once (captured at stream start — physical names never change across
+  // once (captured at write start — physical names never change across
   // renames). Partition columns must be unmapped: the k=v path and the
   // log tuple would otherwise disagree with the logical reader.
-  private val nameMap: Map[String, String] =
+  protected val nameMap: Map[String, String] =
     Snapshots.columnMapping(fs, warehouse, table)
       .map(_.cols.toMap).getOrElse(Map.empty)
   partCols.foreach(c => require(nameMap.getOrElse(c, c) == c,
     s"partitionBy column '$c' is renamed (physical '${nameMap(c)}') — " +
-      "partitioned streaming writes to column-mapped tables require " +
+      "partitioned writes to column-mapped tables require " +
       "unmapped partition columns"))
-  private val physSchema = StructType(schema.fields.map(f =>
+  protected val physSchema = StructType(schema.fields.map(f =>
     f.copy(name = nameMap.getOrElse(f.name, f.name))))
-  private val physPartCols = partCols // unmapped by the require above
+  protected val physPartCols = partCols // unmapped by the require above
 
-  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : StreamingDataWriterFactory =
-    SnapshotWriterFactory(
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      physSchema, physPartCols, warehouse, table, queryId)
-
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val cid = SnapshotStreamingWrite.commitId(queryId, table, epochId)
+  /** Publish one write's staged files atomically under `cid`.
+    * `skipIfCommitted` = the streaming idempotence check (a crash-replayed
+    * epoch finds its commitId in the log and drops the restaged files);
+    * batch writes use fresh commitIds and skip the lookup. */
+  protected def commitStaged(cid: String,
+                             messages: Array[WriterCommitMessage],
+                             skipIfCommitted: Boolean): Unit = {
     TxnCommit.recover(fs, warehouse) // finish any crashed publish first
-    if (Snapshots.entries(fs, warehouse).exists(_.commitId == cid)) {
-      // Crash-replayed epoch: already published — drop the restaged files.
+    if (skipIfCommitted &&
+        Snapshots.entries(fs, warehouse).exists(_.commitId == cid)) {
       fs.delete(new Path(TxnCommit.stagingDir(warehouse, cid)), true)
       return
     }
     val staged = messages.collect {
       case m: SnapshotWriteMessage => m.files }.flatten
-    // OCC anchor before the live-file set (same ordering rule as the batch
-    // overwrite): a commit racing in between has version > base and aborts
-    // this epoch instead of slipping past the REMOVE set unflagged.
-    val base = if (truncateEachEpoch)
+    // OCC anchor before the live-file set (same ordering rule as the V1
+    // batch overwrite): a commit racing in between has version > base and
+    // aborts this write instead of slipping past the REMOVE set unflagged.
+    val base = if (truncateMode)
       Snapshots.latestVersion(fs, warehouse) else None
-    val existing = if (truncateEachEpoch)
+    val existing = if (truncateMode)
       Snapshots.fileMeta(fs, warehouse, table).map(_.map(_.file))
         .getOrElse(Seq.empty)
     else Seq.empty
     if (staged.isEmpty && existing.isEmpty) {
-      // Empty micro-batch over an empty (or append-mode) table: no
-      // version, no log noise. In truncate mode an empty epoch over a
-      // NON-empty table still commits below — complete output means "the
-      // table IS this batch", including empty.
+      // Empty write over an empty (or append-mode) table: no version, no
+      // log noise. In truncate mode an empty write over a NON-empty table
+      // still commits below — replace-the-table means "the table IS this
+      // data", including empty.
       fs.delete(new Path(TxnCommit.stagingDir(warehouse, cid)), true)
       return
     }
@@ -165,11 +185,12 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
                     else s"$warehouse/$table/$spec"
       TxnCommit.Move(src, s"$destDir/$cid-${new Path(src).getName}")
     }
-    if (truncateEachEpoch) {
-      // One overwrite version per epoch: REMOVEs + ADDs flip atomically,
-      // prior epochs stay time-travelable until vacuum. Coarse OCC: a
-      // concurrent writer to this table aborts the epoch (the stream
-      // retries the trigger) rather than being silently replaced.
+    if (truncateMode) {
+      // One overwrite version: REMOVEs + ADDs flip atomically, prior
+      // versions stay time-travelable until vacuum. Coarse OCC: a
+      // concurrent writer to this table aborts this write (a streaming
+      // trigger retries; a batch job surfaces the conflict) rather than
+      // being silently replaced.
       TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
         op = "overwrite", baseVersion = base)
       TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,
@@ -180,11 +201,71 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
     }
   }
 
+  /** Pre-manifest staging is dead state (the commit point never passed);
+    * recovery would also sweep it, but clean up eagerly. */
+  protected def abortStaged(cid: String): Unit =
+    fs.delete(new Path(TxnCommit.stagingDir(warehouse, cid)), true)
+}
+
+class SnapshotStreamingWrite(queryId: String, schema: StructType,
+                             options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+                             truncateEachEpoch: Boolean = false)
+  extends SnapshotWriteCore(schema, options, truncateEachEpoch)
+  with StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    SnapshotWriterFactory(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      physSchema, physPartCols, warehouse, table, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    commitStaged(SnapshotStreamingWrite.commitId(queryId, table, epochId),
+      messages, skipIfCommitted = true)
+
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    // Pre-manifest staging is dead state (the commit point never passed);
-    // recovery would also sweep it, but clean up eagerly.
-    fs.delete(new Path(TxnCommit.stagingDir(warehouse,
-      SnapshotStreamingWrite.commitId(queryId, table, epochId))), true)
+    abortStaged(SnapshotStreamingWrite.commitId(queryId, table, epochId))
+}
+
+/** Catalog batch write (INSERT INTO / INSERT OVERWRITE / CTAS through
+  * [[GraftCatalog]]): executors stage through the same vectorized
+  * [[SnapshotDataWriter]], and one TxnCommit publish lands the job
+  * atomically — append mode adds one version, truncate mode replaces the
+  * table under coarse OCC. Task retries stage collision-free files; only
+  * the committed attempts' messages are moved, and the staging dir drops
+  * with the publish. */
+class SnapshotBatchWrite(schema: StructType,
+                         options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+                         truncate: Boolean)
+  extends SnapshotWriteCore(schema, options, truncate)
+  with org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val cid = "batch" +
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    SnapshotBatchWriterFactory(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      physSchema, physPartCols,
+      s"${TxnCommit.stagingDir(warehouse, cid)}/$table")
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitStaged(cid, messages, skipIfCommitted = false)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    abortStaged(cid)
+}
+
+case class SnapshotBatchWriterFactory(conf: SerializableConfiguration,
+                                      schema: StructType,
+                                      partCols: Seq[String],
+                                      stagingTableDir: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(conf.value, schema, partCols, stagingTableDir,
+      s"part-$partitionId-$taskId.parquet")
 }
 
 case class SnapshotWriterFactory(conf: SerializableConfiguration,

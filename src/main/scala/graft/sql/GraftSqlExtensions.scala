@@ -221,7 +221,18 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def isGraftPropsTable(table: String): Boolean =
     isGraftTable(table) ||
       (session.conf.getOption("spark.graft.warehouse").isDefined &&
+        !catalogQualified(table) &&
         !session.catalog.tableExists(table))
+
+  /** Is this a multi-part name whose first segment names a REGISTERED
+    * catalog? Such statements belong to that catalog's own resolution
+    * (e.g. [[graft.sources.v2.GraftCatalog]]) — the regex surface must
+    * never hijack them. */
+  private def catalogQualified(table: String): Boolean = {
+    val head = table.split("\\.")(0)
+    table.contains(".") &&
+      session.conf.getOption(s"spark.sql.catalog.$head").isDefined
+  }
 
   private def warehouse: String =
     session.conf.getOption("spark.graft.warehouse").getOrElse(
@@ -324,6 +335,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // grammar and must reach the delegate).
     case CtasRe(ifNotExists, table, partCols, query)
         if session.conf.getOption("spark.graft.warehouse").isDefined &&
+          !catalogQualified(table) &&
           !session.catalog.tableExists(table) =>
       GraftCtasCommand(warehouse, table, splitCols(partCols), query,
         ifNotExists != null)

@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import graft.ingest.FileStats
-import graft.sources.v2.SnapshotBatchRelation
+import graft.sources.v2.{GraftCatalogTable, SnapshotBatchRelation}
 
 /** Vectorizes `spark.read.format("graft-snapshots")` scans: replaces the
   * V1 [[SnapshotBatchRelation]] leaf with the log-pinned parquet plan it
@@ -29,7 +30,28 @@ import graft.sources.v2.SnapshotBatchRelation
   * version at load() and every splice serves that same version. */
 case class SnapshotScanRule(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Row-level command targets (DELETE/UPDATE/MERGE) must STAY DSv2
+    // relations — DataSourceV2Strategy plans the command off the relation
+    // node itself (unlike AppendData, whose target is not a child). Shield
+    // those subtrees from the read splice.
+    val shielded = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        d.table.foreach(shielded.add)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        u.table.foreach(shielded.add)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        m.targetTable.foreach(shielded.add)
+      case _ => ()
+    }
+    applyShielded(plan, shielded)
+  }
+
+  private def applyShielded(plan: LogicalPlan,
+                            shielded: java.util.Set[LogicalPlan])
+      : LogicalPlan = plan.transformDown {
     case Filter(cond, lr: LogicalRelation)
         if lr.relation.isInstanceOf[SnapshotBatchRelation] =>
       // The condition both stays as the row filter AND prunes the pinned
@@ -38,6 +60,49 @@ case class SnapshotScanRule(session: SparkSession) extends Rule[LogicalPlan] {
     case lr: LogicalRelation
         if lr.relation.isInstanceOf[SnapshotBatchRelation] =>
       splice(lr, null)
+    // Catalog-resolved reads (`SELECT … FROM graft.t`): splice the
+    // [[GraftCatalogTable]] relation the same way so catalog SQL runs the
+    // columnar parquet scan instead of the per-file fallback reader. At
+    // pre-CBO, predicate pushdown has already parked the filters adjacent
+    // to the leaf, so the condition feeds log-side skipping exactly like
+    // the V1 path. Both the pre-pushdown (DataSourceV2Relation) and
+    // post-pushdown (DataSourceV2ScanRelation) shapes are handled —
+    // whichever this Spark version presents at pre-CBO. Write commands
+    // are untouched: a V2WriteCommand's target table is not among its
+    // children, only its query is.
+    case Filter(cond, r: DataSourceV2Relation)
+        if r.table.isInstanceOf[GraftCatalogTable] && !shielded.contains(r) =>
+      Filter(cond, spliceV2(r.table, r.output,
+        FileStats.fromExpression(cond).orNull))
+    case r: DataSourceV2Relation
+        if r.table.isInstanceOf[GraftCatalogTable] && !shielded.contains(r) =>
+      spliceV2(r.table, r.output, null)
+    case Filter(cond, sr: DataSourceV2ScanRelation)
+        if sr.relation.table.isInstanceOf[GraftCatalogTable] &&
+          !shielded.contains(sr) =>
+      Filter(cond, spliceV2(sr.relation.table, sr.output,
+        FileStats.fromExpression(cond).orNull))
+    case sr: DataSourceV2ScanRelation
+        if sr.relation.table.isInstanceOf[GraftCatalogTable] &&
+          !shielded.contains(sr) =>
+      spliceV2(sr.relation.table, sr.output, null)
+  }
+
+  private def spliceV2(table: org.apache.spark.sql.connector.catalog.Table,
+                       output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                       pred: FileStats.Pred): LogicalPlan = {
+    val rel = new SnapshotBatchRelation(session.sqlContext,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        table.properties()))
+    val inner = rel.planFor(pred)
+    // The relation's output may be the PRUNED column set; map by name into
+    // the inner plan's full schema-order output, re-binding the original
+    // expression ids.
+    val byName = inner.output.map(a => a.name -> a).toMap
+    Project(output.map { orig =>
+      Alias(byName(orig.name), orig.name)(
+        exprId = orig.exprId, qualifier = orig.qualifier)
+    }, inner)
   }
 
   private def splice(lr: LogicalRelation,

@@ -91,6 +91,36 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.toSeq == (40L until 50L).toSeq)
   }
 
+  test("catalog reads splice to the columnar parquet scan too") {
+    val w = wh("catVec")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", w)
+    pub(w, "t", (0L until 100L).map(i => (i, s"n$i", i * 2.0))
+      .toDF("id", "name", "v"))
+    val q = spark.sql("SELECT id, v FROM gcat.t WHERE id >= 90")
+    val p = q.queryExecution.executedPlan.toString
+    // Spliced: the physical plan is the vectorized parquet scan, not the
+    // per-file DSv2 BatchScan fallback.
+    assert(p.contains("Scan parquet"), p)
+    assert(!p.contains("BatchScan") && !p.contains("RowDataSourceScan"), p)
+    assert(q.as[(Long, Double)].collect().toSeq.sorted ==
+      (90L until 100L).map(i => (i, i * 2.0)))
+    // The regex CTAS surface must NOT hijack catalog-qualified names even
+    // with a graft warehouse configured: catalog CTAS goes through the
+    // catalog (and lands in ITS warehouse).
+    spark.conf.set("spark.graft.warehouse", wh("catVecOther"))
+    try {
+      spark.sql("CREATE TABLE gcat.ct AS SELECT 1L AS one")
+      assert(Snapshots.fileMeta(fs, w, "ct").exists(_.nonEmpty),
+        "catalog CTAS must land in the catalog's warehouse")
+      assert(spark.sql("SELECT one FROM gcat.ct").as[Long]
+        .collect().toSeq == Seq(1L))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("change-feed relation still serves through the splice") {
     val w = wh("cdf")
     val s0 = spark
