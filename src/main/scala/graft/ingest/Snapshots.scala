@@ -918,8 +918,12 @@ object Snapshots {
       : Seq[(Long, String, Seq[Action])] =
     boundedFrom(fs, warehouse, fromExclusive)
       .filter(e => e.version > fromExclusive && e.version <= toInclusive)
+      // ALL of the table's actions (REMOVEs and metas included): the
+      // streaming source must distinguish "a rewrite commit touched THIS
+      // table" (fail/skip) from "the rewrite touched another table of the
+      // warehouse" (serve nothing, keep streaming).
       .map(e => (e.version, readOp(fs, e.path),
-        readActions(fs, e.path).filter(a => (a.add || a.cdf) && a.table == table)))
+        readActions(fs, e.path).filter(_.table == table)))
 
   /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
     * per log version with its commitId, entry timestamp, and add/remove

@@ -745,7 +745,10 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
         val cdfs = acts.filter(_.cdf)
         if (op == "compact" || op == "zorder") Nil // moved rows, not new ones
         else if (op == "merge" || op == "overwrite" || op == "drop") {
-          if (readChangeFeed) {
+          // A rewrite that never touched THIS table (multi-table
+          // warehouse) serves nothing and streams on.
+          if (acts.isEmpty) Nil
+          else if (readChangeFeed) {
             require(cdfs.nonEmpty || adds.isEmpty,
               s"snapshot version $v is a $op commit without change files " +
                 "— the change-feed stream cannot represent it")

@@ -140,6 +140,37 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq == Seq("fresh"))
   }
 
+  test("streaming read and write resolve through the catalog table name") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("ssrc")
+    spark.sql("CREATE TABLE graft.str AS SELECT id, v FROM ssrc")
+    // readStream.table: the catalog table's MICRO_BATCH_READ serves the
+    // log tail with the table identity from its properties.
+    val out = dir.resolve("strOut").toString
+    val q = spark.readStream.table("graft.str")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", dir.resolve("strCkpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b"))
+    // writeStream.toTable: STREAMING_WRITE through the same resolution —
+    // epochs append to the catalog table exactly once.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData((3L, "c"))
+    val q2 = in.toDF.toDF("id", "v").writeStream
+      .option("checkpointLocation", dir.resolve("strCkpt2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.str")
+    q2.awaitTermination()
+    assert(spark.sql("SELECT id FROM graft.str ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("filter pushdown prunes files from log stats in the DSv2 scan") {
     val s0 = spark
     import s0.implicits._

@@ -207,6 +207,28 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(1L, 1L, 2L, 3L, 3L)) // v0's {1,2,3} + v3's DV-subtracted {1,3}
   }
 
+  test("a rewrite of ANOTHER table does not fail this table's stream") {
+    val w = wh("whMulti")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, Seq(1L -> "a"))                                  // v0: t
+    // An overwrite and a merge land on a SIBLING table of the warehouse.
+    Seq((100L, "x")).toDF("id", "val").write.format("graft-snapshots")
+      .option("warehouse", w).option("table", "other").save()     // v1
+    Seq((101L, "y")).toDF("id", "val").write.format("graft-snapshots")
+      .option("warehouse", w).option("table", "other")
+      .mode("overwrite").save()                                   // v2: overwrite(other)
+    Merge.upsert(spark, w, "other",
+      Seq(101L -> "Y").toDF("id", "val"), Seq("id"))              // v3: merge(other)
+    publishKv(w, Seq(2L -> "b"))                                  // v4: t
+    // Default mode (no skipChangeCommits): the stream of t must sail past
+    // the sibling's rewrite commits and serve exactly t's appends.
+    val out = wh("whMultiOut")
+    drain(w, out, wh("whMultiCkpt"))
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("offsets below the vacuumed log fail fast instead of under-serving") {
     val w = wh("whVac")
     (0 until 4).foreach(i =>
