@@ -200,6 +200,37 @@ object FormatQueries {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gwh.nation_cat")
     }),
 
+    // Catalog row-level SQL (UPDATE + MERGE lowered onto the Merge
+    // engines by the injected resolution rule): suffix region-2 names,
+    // then upsert modified low keys + one new row — ground truth is a
+    // CASE/UNION oracle over the fixture.
+    "fmt_catalog_dml" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gdml",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_catalog_dml", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gdml.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_cdml_src")
+        s.sql("CREATE TABLE gdml.nation_dml AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_cdml_src")
+        s.sql("UPDATE gdml.nation_dml SET n_name = concat(n_name, '_U') " +
+          "WHERE n_regionkey = 2")
+        nation(s, d).filter(col("n_nationkey") < 5)
+          .withColumn("n_name", concat(col("n_name"), lit("_M")))
+          .unionByName(s.range(1).select(lit(990L).as("n_nationkey"),
+            lit("NEWLAND").as("n_name"), lit(0L).as("n_regionkey")))
+          .createOrReplaceTempView("fmt_cdml_upd")
+        s.sql(
+          """MERGE INTO gdml.nation_dml USING fmt_cdml_upd
+            |ON gdml.nation_dml.n_nationkey = fmt_cdml_upd.n_nationkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        w
+      }
+      s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gdml.nation_dml")
+    }),
+
     "fmt_merge" -> ((s, d) => {
       val wh = Fixtures.once("fmt_merge", d) {
         val w = freshWh()
@@ -397,6 +428,25 @@ object FormatQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_nationkey NOT IN (3, 10, 17, 24)""".stripMargin,
+    // Catalog UPDATE (suffix region-2) then MERGE upsert (low keys
+    // re-suffixed from the ORIGINAL fixture + one new row).
+    "fmt_catalog_dml" ->
+      """WITH src AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |         n_name || '_M' AS n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |  FROM nation WHERE n_nationkey < 5
+        |  UNION ALL SELECT 990, 'NEWLAND', 0),
+        |upd AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |         CASE WHEN n_regionkey = 2 THEN n_name || '_U'
+        |              ELSE n_name END AS n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |  FROM nation)
+        |SELECT * FROM src
+        |UNION ALL
+        |SELECT * FROM upd
+        |WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src)""".stripMargin,
     // Partial commit + SQL INSERT of the remainder = the full table.
     "fmt_sql_insert" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

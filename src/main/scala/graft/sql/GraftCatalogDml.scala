@@ -1,0 +1,119 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import graft.sources.v2.GraftCatalogTable
+
+/** Lowers catalog-resolved row-level SQL — `UPDATE graft.t SET … WHERE …`,
+  * `DELETE FROM graft.t WHERE <any predicate>`, and Delta-grammar
+  * `MERGE INTO graft.t USING s ON … WHEN …` — onto the SAME
+  * [[graft.ingest.Merge]] engines the warehouse SQL surface and API use
+  * (copy-on-write / deletion-vector routing via `graft.dml.mode`), by
+  * replacing the analyzed command with the corresponding Graft command.
+  *
+  * Without this rule a [[GraftCatalogTable]] only supports DELETE with
+  * exactly-translatable filters (the `SupportsDelete` capability — still
+  * in place for extension-less sessions); UPDATE and MERGE would fail at
+  * planning. Conditions and assignment values are re-rendered as SQL with
+  * qualifiers stripped, so they re-resolve against the engine's own fresh
+  * read of the table — no stale expression ids cross the boundary. */
+case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  /** (warehouse, table) when the target resolves to a graft catalog
+    * table — None otherwise (the rule must never touch other sources). */
+  private def graftTarget(plan: LogicalPlan): Option[(String, String)] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftCatalogTable] =>
+        (r.table.properties().get("warehouse"),
+          r.table.properties().get("table"))
+    }
+
+  /** Render a resolved expression back to SQL that re-resolves against a
+    * bare read of the table: qualifiers dropped (the engine reads the
+    * table unaliased), everything else verbatim. */
+  private def cleanSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
+      val (wh, t) = graftTarget(u.table).get
+      val assigns = u.assignments.map { a =>
+        a.key match {
+          case ar: AttributeReference => ar.name -> cleanSql(a.value)
+          case k => throw new UnsupportedOperationException(
+            s"UPDATE of nested field ${k.sql} is not supported")
+        }
+      }
+      GraftDmlCommand(wh, t, u.condition.map(cleanSql).getOrElse("true"),
+        assigns)
+
+    case d: DeleteFromTable if d.resolved && graftTarget(d.table).isDefined =>
+      val (wh, t) = graftTarget(d.table).get
+      GraftDmlCommand(wh, t, cleanSql(d.condition), Nil)
+
+    case m: MergeIntoTable
+        if m.resolved && graftTarget(m.targetTable).isDefined =>
+      val (wh, t) = graftTarget(m.targetTable).get
+      require(m.notMatchedBySourceActions.isEmpty,
+        "MERGE WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
+      // Key columns: AND-ed same-named equalities, the Merge.upsert shape.
+      val keyCols = conjuncts(m.mergeCondition).map {
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+            if l.name == r.name => l.name
+        case other => throw new UnsupportedOperationException(
+          s"MERGE ON supports AND-ed same-named column equalities " +
+            s"(t.k = s.k); got: ${other.sql}")
+      }
+      // Star shapes only (the engine's upsert semantics): UPDATE SET * may
+      // arrive pre-expansion or expanded to all same-named assignments.
+      def isStarUpdate(a: MergeAction): Boolean = a match {
+        case UpdateStarAction(None) => true
+        case UpdateAction(None, assigns, _) => assigns.forall {
+          case Assignment(k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name
+          case _ => false
+        }
+        case _ => false
+      }
+      def isStarInsert(a: MergeAction): Boolean = a match {
+        case InsertStarAction(None) => true
+        case InsertAction(None, assigns) => assigns.forall {
+          case Assignment(k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name
+          case _ => false
+        }
+        case _ => false
+      }
+      val matchedUpdate = m.matchedActions.exists(isStarUpdate)
+      val matchedDelete = m.matchedActions.exists {
+        case DeleteAction(None) => true; case _ => false }
+      val notMatchedInsert = m.notMatchedActions.exists(isStarInsert)
+      val recognized = m.matchedActions.count(a => isStarUpdate(a) ||
+          (a match { case DeleteAction(None) => true; case _ => false })) +
+        m.notMatchedActions.count(isStarInsert)
+      require(recognized == m.matchedActions.size + m.notMatchedActions.size,
+        "unsupported MERGE clause for graft tables — this surface lowers " +
+          "WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE | " +
+          "WHEN NOT MATCHED THEN INSERT * (column-level or conditional " +
+          "clauses: use the graft.ingest.Merge API)")
+      require(!(matchedUpdate && matchedDelete),
+        "MERGE cannot have both an unconditional MATCHED UPDATE and a " +
+          "MATCHED DELETE clause")
+      GraftMergeCommand(wh, t, source = "", keyCols,
+        matchedUpdate, matchedDelete, notMatchedInsert,
+        sourcePlan = Some(m.sourceTable))
+
+    case _ => plan
+  }
+}

@@ -57,6 +57,7 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // `spark.read.format("graft-snapshots")` plans a columnar parquet
     // scan — see [[SnapshotScanRule]].
     ext.injectPreCBORule(session => SnapshotScanRule(session))
+    ext.injectPostHocResolutionRule(session => GraftCatalogDmlRule(session))
   }
 }
 
@@ -642,7 +643,8 @@ case class GraftDmlCommand(warehouse: String, table: String, where: String,
 case class GraftMergeCommand(warehouse: String, table: String,
                              source: String, keyCols: Seq[String],
                              matchedUpdate: Boolean, matchedDelete: Boolean,
-                             notMatchedInsert: Boolean)
+                             notMatchedInsert: Boolean,
+                             sourcePlan: Option[LogicalPlan] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_rewritten", IntegerType)(),
@@ -653,10 +655,15 @@ case class GraftMergeCommand(warehouse: String, table: String,
     import graft.ingest.Merge
     val fs = new Path(warehouse)
       .getFileSystem(session.sparkContext.hadoopConfiguration)
-    val src =
-      if (Snapshots.fileMeta(fs, warehouse, source).exists(_.nonEmpty))
-        Snapshots.read(session, warehouse, source)
-      else session.table(source)
+    val src = sourcePlan match {
+      // Catalog MERGE hands the analyzed source plan directly.
+      case Some(p) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, p)
+      case None =>
+        if (Snapshots.fileMeta(fs, warehouse, source).exists(_.nonEmpty))
+          Snapshots.read(session, warehouse, source)
+        else session.table(source)
+    }
     def targetKeys =
       Snapshots.read(session, warehouse, table)
         .select(keyCols.map(col): _*).distinct()

@@ -121,6 +121,49 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("catalog UPDATE/DELETE/MERGE lower onto the Merge engines") {
+    val w = wh("catDml")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gdml",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", w)
+    (0L until 10L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("dml_src")
+    spark.sql("CREATE TABLE gdml.t AS SELECT id, v FROM dml_src")
+
+    // UPDATE with an expression assignment and a non-trivially-translatable
+    // predicate (modulo) — only the catalog DML rule can serve this.
+    spark.sql("UPDATE gdml.t SET v = v + 1 WHERE id % 3 = 0")
+    assert(spark.sql("SELECT sum(v) FROM gdml.t").head().getLong(0) ==
+      (0L until 10L).map(i => i * 10 + (if (i % 3 == 0) 1 else 0)).sum)
+
+    // DELETE with an arithmetic predicate (SupportsDelete can't translate).
+    spark.sql("DELETE FROM gdml.t WHERE id % 4 = 1")
+    assert(spark.sql("SELECT id FROM gdml.t ORDER BY id").as[Long]
+      .collect().toSeq == (0L until 10L).filter(_ % 4 != 1))
+
+    // MERGE: upsert star shape with a view source.
+    Seq((2L, 999L), (100L, 1000L)).toDF("id", "v")
+      .createOrReplaceTempView("dml_upd")
+    spark.sql(
+      """MERGE INTO gdml.t USING dml_upd ON gdml.t.id = dml_upd.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = spark.sql("SELECT id, v FROM gdml.t ORDER BY id")
+      .as[(Long, Long)].collect().toMap
+    assert(after(2L) == 999L && after(100L) == 1000L)
+    assert(after.size == (0L until 10L).count(_ % 4 != 1) + 1)
+
+    // MERGE delete-matched shape.
+    Seq(Tuple1(3L)).toDF("id").createOrReplaceTempView("dml_del")
+    spark.sql(
+      """MERGE INTO gdml.t USING dml_del ON gdml.t.id = dml_del.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(!spark.sql("SELECT id FROM gdml.t").as[Long]
+      .collect().contains(3L))
+  }
+
   test("change-feed relation still serves through the splice") {
     val w = wh("cdf")
     val s0 = spark
