@@ -40,7 +40,8 @@ import graft.ingest.{SchemaEvolution, Snapshots}
   *
   * Namespaces: the warehouse is flat; the empty namespace (`graft.t`) and
   * `default` both resolve to it. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   import scala.jdk.CollectionConverters._
 
   private var catName = "graft"
@@ -144,12 +145,7 @@ class GraftCatalog extends TableCatalog {
                            properties: util.Map[String, String]): Table = {
     val t = tableName(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map { tr =>
-      if (tr.name() == "identity" && tr.references().length == 1)
-        tr.references()(0).fieldNames().mkString(".")
-      else throw new UnsupportedOperationException(
-        s"partition transform '$tr' is not supported (identity columns only)")
-    }
+    val partCols = identityPartCols(partitions)
     // Declared schema/partitioning ride the log as table properties: the
     // table is queryable (empty) before its first commit, and CTAS's
     // follow-up append validates against this declaration at the commit
@@ -202,6 +198,60 @@ class GraftCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && Snapshots.dropTable(fs, warehouse, tableName(ident))
+
+  // ---- atomic CTAS (StagingTableCatalog) -------------------------------
+  // CREATE TABLE … AS SELECT stages NOTHING until the query succeeds: the
+  // declaration (schema/partitioning properties) is held in memory on the
+  // staged table, the data write publishes its one TxnCommit version, and
+  // commitStagedChanges lands the declaration afterwards — a failed CTAS
+  // query leaves no trace (no declared-empty ghost table), and a crash
+  // between the two commits leaves a fully queryable table whose committed
+  // schema serves in place of the declaration.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val t = tableName(ident)
+    val partCols = identityPartCols(partitions)
+    val declared =
+      Map("catalog.schema.ddl" -> schema.toDDL) ++
+        (if (partCols.nonEmpty)
+           Map("catalog.partition.columns" -> partCols.mkString(","))
+         else Map.empty) ++
+        properties.asScala.filterNot(_._1.startsWith("option."))
+    new GraftStagedTable(this, t, schema, partCols, declared)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE is not supported (an overwrite must keep the table's " +
+        "schema contract) — DROP TABLE then CREATE TABLE AS instead")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  private[v2] def identityPartCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { tr =>
+      if (tr.name() == "identity" && tr.references().length == 1)
+        tr.references()(0).fieldNames().mkString(".")
+      else throw new UnsupportedOperationException(
+        s"partition transform '$tr' is not supported (identity columns only)")
+    }
+
+  private[v2] def commitDeclaration(table: String,
+                                    declared: Map[String, String]): Unit =
+    Snapshots.setProperties(fs, warehouse, table, declared)
+
+  private[v2] def warehousePath: String = warehouse
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -272,4 +322,25 @@ class GraftCatalogTable(tableSchema: StructType,
       props.asScala.toMap ++
         (if (partCols.nonEmpty) Map("partitionBy" -> partCols.mkString(","))
          else Map.empty))
+}
+
+/** The in-flight table of an atomic CTAS: writes flow through the normal
+  * batch write (one TxnCommit version on success), the held declaration
+  * commits only in [[commitStagedChanges]], and abort commits nothing —
+  * the data write's own abort already swept its staging. */
+private[v2] class GraftStagedTable(catalog: GraftCatalog, table: String,
+                                   tableSchema: StructType,
+                                   partCols: Seq[String],
+                                   declared: Map[String, String])
+  extends GraftCatalogTable(tableSchema,
+    {
+      import scala.jdk.CollectionConverters._
+      Map("warehouse" -> catalog.warehousePath, "table" -> table).asJava
+    }, partCols)
+  with org.apache.spark.sql.connector.catalog.StagedTable {
+
+  override def commitStagedChanges(): Unit =
+    catalog.commitDeclaration(table, declared)
+
+  override def abortStagedChanges(): Unit = ()
 }

@@ -140,6 +140,18 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq == Seq("fresh"))
   }
 
+  test("CTAS is atomic: a failed query leaves no table behind") {
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.ghost AS SELECT raise_error('boom') AS x"))
+    assert(!spark.catalog.tableExists("graft.ghost"),
+      "failed CTAS must not leave a declared-empty ghost table")
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("ghost"))
+    // The name stays fully usable afterwards.
+    spark.sql("CREATE TABLE graft.ghost AS SELECT 1L AS x")
+    assert(spark.sql("SELECT x FROM graft.ghost").head().getLong(0) == 1L)
+  }
+
   test("streaming read and write resolve through the catalog table name") {
     val s0 = spark
     import s0.implicits._
