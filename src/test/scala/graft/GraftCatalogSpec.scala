@@ -140,6 +140,29 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq == Seq("fresh"))
   }
 
+  test("TRUNCATE TABLE empties via the delete path; vacuum reclaims drops") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("trsrc")
+    spark.sql("CREATE TABLE graft.tr AS SELECT id, v FROM trsrc")
+    spark.sql("TRUNCATE TABLE graft.tr")
+    assert(spark.sql("SELECT count(*) FROM graft.tr").head().getLong(0) == 0)
+    // Still a live (empty) table: INSERT works.
+    spark.sql("INSERT INTO graft.tr SELECT 5L, 'e'")
+    assert(spark.sql("SELECT id FROM graft.tr").as[Long]
+      .collect().toSeq == Seq(5L))
+
+    // DROP then vacuum: the dropped table's data files are physically
+    // reclaimed once the retention window passes them.
+    val dataFiles = Snapshots.fileMeta(fs, wh, "tr").get.map(_.file)
+    assert(dataFiles.nonEmpty)
+    spark.sql("DROP TABLE graft.tr")
+    Snapshots.vacuum(fs, wh, keepVersions = 1, minAgeMs = 0L)
+    dataFiles.foreach(f => assert(!fs.exists(new Path(f)),
+      s"vacuum must reclaim dropped file $f"))
+  }
+
   test("CTAS is atomic: a failed query leaves no table behind") {
     intercept[Exception](spark.sql(
       "CREATE TABLE graft.ghost AS SELECT raise_error('boom') AS x"))
@@ -156,11 +179,16 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s0 = spark
     import s0.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("ssrc")
+    // Earlier tests may have vacuumed the shared warehouse's log tail —
+    // stream from just below this table's own first commit.
+    val startFrom = Snapshots.latestVersion(fs, wh).getOrElse(-1L)
     spark.sql("CREATE TABLE graft.str AS SELECT id, v FROM ssrc")
     // readStream.table: the catalog table's MICRO_BATCH_READ serves the
     // log tail with the table identity from its properties.
     val out = dir.resolve("strOut").toString
-    val q = spark.readStream.table("graft.str")
+    val q = spark.readStream
+      .option("startingVersion", startFrom.toString)
+      .table("graft.str")
       .writeStream.format("parquet")
       .option("path", out)
       .option("checkpointLocation", dir.resolve("strCkpt").toString)
