@@ -160,15 +160,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * break parsing of unrelated Spark SQL DML. Cheap dir checks run before
     * the log fold so the common negative costs two existence probes. */
   private def isGraftTable(table: String): Boolean =
-    session.conf.getOption("spark.graft.warehouse").exists { wh =>
-      try {
-        val fs = new Path(wh)
-          .getFileSystem(session.sparkContext.hadoopConfiguration)
-        fs.exists(new Path(wh, "_snapshots")) &&
-          fs.exists(new Path(wh, table)) &&
-          Snapshots.fileMeta(fs, wh, table).exists(_.nonEmpty)
-      } catch { case scala.util.control.NonFatal(_) => false }
-    }
+    session.conf.getOption("spark.graft.warehouse")
+      .exists(isGraftTableIn(_, table))
+
+  private def isGraftTableIn(wh: String, table: String): Boolean =
+    try {
+      val fs = new Path(wh)
+        .getFileSystem(session.sparkContext.hadoopConfiguration)
+      fs.exists(new Path(wh, "_snapshots")) &&
+        fs.exists(new Path(wh, table)) &&
+        Snapshots.fileMeta(fs, wh, table).exists(_.nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => false }
   private val VacuumRe =
     raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
   // Delta-grammar MERGE (the most-used warehouse DML statement): target and
@@ -240,28 +242,47 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       throw new IllegalStateException(
         "set spark.graft.warehouse to use SNAPSHOT/OPTIMIZE/VACUUM statements"))
 
+  /** Resolve a graft-statement target that may be catalog-qualified:
+    * `cat.t` where `cat` is a registered [[graft.sources.v2.GraftCatalog]]
+    * resolves against THAT catalog's warehouse (so `OPTIMIZE graft.t`,
+    * `RESTORE graft.t …`, `SNAPSHOT CHANGES OF graft.t` work for catalog
+    * users without a separate spark.graft.warehouse); bare names use the
+    * configured warehouse as before. Other multi-part names are returned
+    * unresolved — their statements fall through to the delegate. */
+  private def resolveTarget(name: String): (String, String) = {
+    val parts = name.split("\\.")
+    if (parts.length == 2 && session.conf
+        .getOption(s"spark.sql.catalog.${parts(0)}")
+        .contains(classOf[graft.sources.v2.GraftCatalog].getName))
+      (session.conf.getOption(s"spark.sql.catalog.${parts(0)}.warehouse")
+        .getOrElse(warehouse), parts(1))
+    else (warehouse, name)
+  }
+
   /** A null/empty comma-joined column list → Nil. */
   private def splitCols(list: String): Seq[String] =
     Option(list).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case SnapshotRe(table, version, ts) =>
+    case SnapshotRe(rawTable, version, ts) =>
+      val (wh, table) = resolveTarget(rawTable)
       val asOf =
         if (version != null) Some(version.toLong)
         else if (ts != null)
           Some(Snapshots.versionAt(
-            new Path(warehouse).getFileSystem(
+            new Path(wh).getFileSystem(
               session.sparkContext.hadoopConfiguration),
-            warehouse, java.sql.Timestamp.valueOf(ts).getTime).getOrElse(
+            wh, java.sql.Timestamp.valueOf(ts).getTime).getOrElse(
             throw new IllegalStateException(
-              s"no snapshot version existed at '$ts' under $warehouse")))
+              s"no snapshot version existed at '$ts' under $wh")))
         else None
-      Snapshots.read(session, warehouse, table, asOf).queryExecution.logical
+      Snapshots.read(session, wh, table, asOf).queryExecution.logical
     case HistoryRe() =>
       Snapshots.history(session, warehouse).queryExecution.logical
     // FROM is exclusive (the last version the consumer saw), TO inclusive —
     // the same contract as the changes() API it maps onto.
-    case ChangesRe(table, from, to) =>
+    case ChangesRe(rawTable, from, to) =>
+      val (chWh, table) = resolveTarget(rawTable)
       // Omitted FROM = the whole RETAINED feed ("the beginning" of a
       // vacuumed log is its earliest retained version — computed only on
       // this path, so FROM-ful statements pay no extra listing). An
@@ -270,12 +291,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // versions from a consumer); negatives just normalize to -1.
       val fromV = Option(from).map(_.toLong.max(-1L)).getOrElse {
         Snapshots.entries(
-            new Path(warehouse).getFileSystem(
-              session.sparkContext.hadoopConfiguration), warehouse)
+            new Path(chWh).getFileSystem(
+              session.sparkContext.hadoopConfiguration), chWh)
           .filterNot(_.isCheckpoint).headOption.map(_.version - 1)
           .getOrElse(-1L)
       }
-      Snapshots.changes(session, warehouse, table, fromV,
+      Snapshots.changes(session, chWh, table, fromV,
         Option(to).map(_.toLong)).queryExecution.logical
     case OptimizeRe(table, where, zcols) =>
       val partEq = Option(where).map { w =>
@@ -285,10 +306,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             s"OPTIMIZE WHERE supports partition equalities (k='v' AND …); got: $other")
         }
       }.getOrElse(Nil)
-      GraftOptimizeCommand(warehouse, table,
+      val (optWh, optTable) = resolveTarget(table)
+      GraftOptimizeCommand(optWh, optTable,
         Option(zcols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil), partEq)
     case RestoreRe(table, version) =>
-      GraftRestoreCommand(warehouse, table, version.toLong)
+      val (rWh, rTable) = resolveTarget(table)
+      GraftRestoreCommand(rWh, rTable, version.toLong)
     case MergeIntoRe(target, tAlias, source, sAlias, onCond, whens)
         if isGraftTable(target) =>
       val matchedUpdate = WhenMatchedUpdateAllRe.findFirstIn(whens).isDefined
@@ -351,23 +374,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       GraftDmlCommand(warehouse, table, where, assigns)
     case ReorgRe(table) =>
-      GraftOptimizeCommand(warehouse, table, Nil, purgeDropped = true)
+      val (gWh, gTable) = resolveTarget(table)
+      GraftOptimizeCommand(gWh, gTable, Nil, purgeDropped = true)
     case RenameColRe(table, from, to) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, name, None)
     case AddColRe(table, name) if isGraftTable(table) =>
       GraftAddColumnCommand(warehouse, table, name)
-    case DescribeDetailRe(table) if isGraftTable(table) =>
+    case DescribeDetailRe(rawTable)
+        if scala.util.Try(resolveTarget(rawTable)).toOption
+          .exists { case (w, t) => isGraftTableIn(w, t) } =>
       // A read, materialized at parse time like SHOW TBLPROPERTIES —
       // everything comes from the log (no footer opens, no data).
-      val fs = new Path(warehouse).getFileSystem(
+      val (ddWh, table) = resolveTarget(rawTable)
+      val fs = new Path(ddWh).getFileSystem(
         session.sparkContext.hadoopConfiguration)
-      val acts = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
+      val acts = Snapshots.fileMeta(fs, ddWh, table).getOrElse(Nil)
       val stats = acts.map(a => graft.ingest.FileStats.decode(a.stats))
       val numRows = stats.map(_.map(_.rows).getOrElse(-1L))
       val partCols = Snapshots.partitionColumns(acts.map(_.partition))
-      val props = Snapshots.properties(fs, warehouse, table)
+      val props = Snapshots.properties(fs, ddWh, table)
       // Sizes from the log's stats tokens; only pre-size-token files pay a
       // getFileStatus RPC.
       val bytes = acts.zip(stats).map { case (a, st) =>

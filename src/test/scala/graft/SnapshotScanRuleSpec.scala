@@ -164,6 +164,42 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().contains(3L))
   }
 
+  test("maintenance statements accept catalog-qualified names") {
+    val w = wh("catMaint")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gm",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gm.warehouse", w)
+    // No spark.graft.warehouse set: the statements must resolve the
+    // warehouse from the catalog prefix alone.
+    spark.conf.unset("spark.graft.warehouse")
+    (0L until 20L).map(i => (i, s"n$i")).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("maint_src")
+    spark.sql("CREATE TABLE gm.t AS SELECT id, v FROM maint_src")
+    spark.sql("INSERT INTO gm.t SELECT 100L, 'x'")
+    val fsW = new Path(w).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = Snapshots.latestVersion(fsW, w).get
+
+    // SNAPSHOT OF / CHANGES with the catalog prefix.
+    assert(spark.sql("SNAPSHOT OF gm.t").count() == 21)
+    assert(spark.sql(s"SNAPSHOT CHANGES OF gm.t FROM ${v1 - 1}")
+      .filter($"_change_type" === "insert").count() == 1)
+
+    // OPTIMIZE compacts the two commits into one file.
+    spark.sql("OPTIMIZE gm.t")
+    assert(Snapshots.fileMeta(fsW, w, "t").get.size == 1)
+    assert(spark.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 21)
+
+    // DESCRIBE DETAIL resolves the prefix too.
+    val det = spark.sql("DESCRIBE DETAIL gm.t").head()
+    assert(det.getString(0) == "t" && det.getLong(1) == 1L)
+
+    // RESTORE back to the pre-compaction version.
+    spark.sql(s"RESTORE gm.t TO VERSION AS OF $v1")
+    assert(spark.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 21)
+  }
+
   test("change-feed relation still serves through the splice") {
     val w = wh("cdf")
     val s0 = spark
