@@ -415,7 +415,7 @@ class SnapshotTable(tableSchema: StructType, properties: util.Map[String, String
 class SnapshotScanBuilder(tableSchema: StructType,
                           options: CaseInsensitiveStringMap)
   extends ScanBuilder with Scan with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters with SupportsReportStatistics {
 
   // Column pruning: ship only projected fields; the Group walk still reads
   // the file's pages but materializes just the kept columns per row.
@@ -448,6 +448,41 @@ class SnapshotScanBuilder(tableSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(options, requiredSchema)
 
+  /** Scan statistics from the SAME log walk that plans the files — summed
+    * size/row tokens of the pruning-surviving files, zero file opens — so
+    * Spark's join planning (broadcast thresholds, AQE) sees honest sizes
+    * even on the extension-less fallback path. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    val spark = SparkSession.active
+    val warehouse = SnapshotDataSource.required(options, "warehouse")
+    val table = SnapshotDataSource.required(options, "table")
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Snapshots.latestVersion(fs, warehouse))
+    var bytes = 0L; var rows = 0L
+    var haveBytes = true; var haveRows = true
+    Snapshots.prunedFileMeta(fs, warehouse, table, pinned, pred).foreach { a =>
+      val st = graft.ingest.FileStats.decode(a.stats)
+      st.map(_.bytes).filter(_ >= 0) match {
+        case Some(b) => bytes += b
+        case None => haveBytes = false
+      }
+      st.map(_.rows) match {
+        case Some(r) => rows += math.max(0L, r - a.dvCount)
+        case None => haveRows = false
+      }
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong =
+        if (haveBytes) OptionalLong.of(bytes) else OptionalLong.empty()
+      override def numRows(): OptionalLong =
+        if (haveRows) OptionalLong.of(rows) else OptionalLong.empty()
+    }
+  }
+
   /** Batch scan for catalog-resolved reads ([[GraftCatalogTable]]
     * advertises BATCH_READ): one input partition per log-live file at the
     * pinned version, served by the same per-file reader the stream uses —
@@ -470,7 +505,11 @@ class SnapshotScanBuilder(tableSchema: StructType,
 }
 
 /** The catalog batch scan: plans the pinned version's log-surviving files
-  * (stats-pruned by the pushed filters) as [[SnapshotInputPartition]]s. */
+  * (stats-pruned by the pushed filters) as [[SnapshotInputPartition]]s.
+  * Statistics come from the SAME log walk — summed size/row tokens of the
+  * pruning-surviving files, zero file opens — so Spark's join planning
+  * (broadcast thresholds, AQE) sees honest sizes even on the fallback
+  * path. */
 class SnapshotBatch(warehouse: String, table: String, pinned: Option[Long],
                     schema: StructType, pred: graft.ingest.FileStats.Pred)
   extends Batch {
@@ -478,8 +517,11 @@ class SnapshotBatch(warehouse: String, table: String, pinned: Option[Long],
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  private def survivors: Seq[Snapshots.Action] =
     Snapshots.prunedFileMeta(fs, warehouse, table, pinned, pred)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors
       .map(a => SnapshotInputPartition(a.file, a.partitionMap,
         pinned.getOrElse(-1L), None, a.dvPath): InputPartition)
       .toArray

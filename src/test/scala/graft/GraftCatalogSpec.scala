@@ -211,6 +211,25 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("scan statistics from log tokens drive broadcast-join planning") {
+    val s0 = spark
+    import s0.implicits._
+    spark.range(0, 5000).toDF("id").selectExpr("id", "id * 2 AS v")
+      .createOrReplaceTempView("bigsrc")
+    Seq((1L, "dim1"), (2L, "dim2")).toDF("id", "name")
+      .createOrReplaceTempView("dimsrc")
+    spark.sql("CREATE TABLE graft.fact AS SELECT id, v FROM bigsrc")
+    spark.sql("CREATE TABLE graft.dim AS SELECT id, name FROM dimsrc")
+    // Without SupportsReportStatistics a DSv2 scan defaults to
+    // defaultSizeInBytes (huge) and the join sort-merges; the log's size
+    // tokens make the tiny dimension broadcast.
+    val q = spark.sql(
+      "SELECT f.id, f.v, d.name FROM graft.fact f JOIN graft.dim d ON f.id = d.id")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(q.count() == 2)
+  }
+
   test("filter pushdown prunes files from log stats in the DSv2 scan") {
     val s0 = spark
     import s0.implicits._
