@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata.
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * shape — is real, and so are the decoders for the formats a bare JVM can
-  * parse: PCM-16 WAV ([[decodeWavPcm16]]) and uncompressed 24-bpp BMP
-  * ([[decodeBmp24]]), dispatched per record kind by [[decodeAuto]]. Only
-  * compressed formats (JPEG/MP3/MP4 …) fall back to the deterministic
-  * [[decodeStub]] — this container has no native codec libraries; a
-  * production deployment swaps those stub entries for codec-backed
-  * decoders without touching the pipeline shape. The byte-histogram
+  * shape — is real, and so are the decoders for every format the JVM
+  * itself ships codecs for: PCM-16 WAV ([[decodeWavPcm16]]) and 24-bpp
+  * BMP ([[decodeBmp24]]) hand-rolled, PNG/JPEG/GIF through the JDK's
+  * ImageIO ([[decodeImageIO]]), u-law/a-law WAV / AIFF / AU through the
+  * JDK's sound converters ([[decodeAudioJdk]]) — dispatched per record
+  * kind by [[decodeAuto]]. Only formats with NO JDK codec (MP3/MP4/AAC/
+  * WebP …) fall back to the deterministic [[decodeStub]]; a production
+  * deployment swaps those entries for codec-backed decoders without
+  * touching the pipeline shape. The byte-histogram
   * featurizer ([[byteHistogram]]) is the oracle-checkable path.
   */
 object Multimodal {
@@ -86,10 +88,9 @@ object Multimodal {
     * (header walk to the `fmt ` and `data` chunks, little-endian samples)
     * → fixed-width acoustic features: [n_samples, sample_rate, channels,
     * rms, zero-crossing rate, mean |amplitude|, peak |amplitude|, duration
-    * seconds]. Compressed formats stay with [[decodeStub]] (no codecs in
-    * this container); the point is that the PIPELINE's real-decoder slot is
-    * exercised by a real decoder. Returns None unless the payload is a
-    * well-formed PCM-16 WAV. */
+    * seconds]. Non-PCM encodings fall through to [[decodeAudioJdk]]'s JDK
+    * converters. Returns None unless the payload is a well-formed PCM-16
+    * WAV. */
   def decodeWavPcm16(payload: Array[Byte]): Option[Array[Double]] = {
     def u16(i: Int) = ((payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8))
     def u32(i: Int): Long = (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
@@ -172,15 +173,104 @@ object Multimodal {
       sl2 / n - meanL * meanL, if (edgeN == 0) 0.0 else edge / edgeN))
   }
 
-  /** Kind-dispatched decoder for [[featurize]]: real parsers for the
-    * formats a JVM can decode without native codecs (PCM WAV, 24-bpp BMP),
-    * the deterministic stub for everything else — the dispatch is the
-    * production shape; swapping a stub entry for a codec-backed decoder
-    * changes one line. */
+  /** REAL compressed-image decode through the JDK's OWN codecs
+    * (`javax.imageio`: PNG, JPEG, GIF, BMP — present in every JVM,
+    * headless-safe, no native libraries): decode to pixels and compute the
+    * SAME visual features as [[decodeBmp24]] — [width, height, mean R,
+    * mean G, mean B, mean luminance, luminance variance, edge-ness]. A
+    * BMP decoded here and by the hand-rolled parser yields identical
+    * features (same pixels, same math). Returns None when ImageIO has no
+    * reader for the payload. */
+  def decodeImageIO(payload: Array[Byte]): Option[Array[Double]] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+        var edge = 0.0; var edgeN = 0L
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0; var prevLum = 0.0
+          while (x < w) {
+            val argb = row(x)
+            val r = (argb >>> 16) & 0xff
+            val g = (argb >>> 8) & 0xff
+            val b = argb & 0xff
+            val lum = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += lum; sl2 += lum * lum
+            if (x > 0) { edge += math.abs(lum - prevLum); edgeN += 1 }
+            prevLum = lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val meanL = sl / n
+        Some(Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n, meanL,
+          sl2 / n - meanL * meanL, if (edgeN == 0) 0.0 else edge / edgeN))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL non-PCM audio decode through the JDK's `javax.sound.sampled`
+    * (u-law/a-law WAV, AIFF, AU — every JVM ships these converters):
+    * convert to PCM-16 and compute the SAME acoustic features as
+    * [[decodeWavPcm16]]. MP3/AAC have no JDK codec and stay with the
+    * stub. Returns None when the JDK cannot read or convert the payload. */
+  def decodeAudioJdk(payload: Array[Byte]): Option[Array[Double]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val conv = AudioSystem.getAudioInputStream(pcm, in)
+        try {
+          val bytes = conv.readAllBytes()
+          val n = bytes.length / 2
+          if (n <= 0) return None
+          var i = 0; var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
+          var zc = 0; var prevNeg = false
+          while (i < n) {
+            val s = (((bytes(2 * i) & 0xff) |
+              ((bytes(2 * i + 1) & 0xff) << 8)).toShort).toDouble / 32768.0
+            sumSq += s * s; sumAbs += math.abs(s)
+            if (math.abs(s) > peak) peak = math.abs(s)
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          val channels = pcm.getChannels
+          val frames = n / channels
+          Some(Array(n.toDouble, pcm.getSampleRate.toDouble,
+            channels.toDouble, math.sqrt(sumSq / n), zc.toDouble / n,
+            sumAbs / n, peak, frames.toDouble / pcm.getSampleRate))
+        } finally conv.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Kind-dispatched decoder for [[featurize]]: REAL decoders for every
+    * format the JVM itself can decode — PCM WAV (hand-rolled, zero-copy),
+    * u-law/a-law WAV / AIFF / AU (JDK sound converters), 24-bpp BMP
+    * (hand-rolled), PNG / JPEG / GIF (JDK ImageIO) — and the deterministic
+    * stub only for codec-less formats (MP3/MP4/AAC/WebP …); swapping a
+    * stub entry for a codec-backed decoder changes one line. */
   def decodeAuto(kind: String)(payload: Array[Byte], dim: Int): Array[Double] = {
     val real = kind match {
-      case "audio/wav" => decodeWavPcm16(payload)
-      case "image/bmp" => decodeBmp24(payload)
+      case "audio/wav" => decodeWavPcm16(payload).orElse(decodeAudioJdk(payload))
+      case "audio/aiff" | "audio/basic" => decodeAudioJdk(payload)
+      case "image/bmp" => decodeBmp24(payload).orElse(decodeImageIO(payload))
+      case "image/png" | "image/jpeg" | "image/gif" => decodeImageIO(payload)
       case _ => None
     }
     real.map(f => java.util.Arrays.copyOf(f, dim))

@@ -116,6 +116,73 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(wav.length.toLong, bmp.length.toLong, 3L))
   }
 
+  test("JDK codecs: PNG/JPEG decode real features; BMP agrees both ways") {
+    import java.awt.image.BufferedImage
+    // Deterministic 4×3 image with a known pixel function.
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 40 + 10) % 256, (y * 70 + 20) % 256, (x * y * 30 + 5) % 256)
+    val img = new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    def encode(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    // PNG is lossless: ImageIO features equal the hand-rolled BMP parser's
+    // features over the SAME pixels — two independent decoders, one truth.
+    val pngFeat = Multimodal.decodeImageIO(encode("png")).get
+    val bmpFeat = Multimodal.decodeBmp24(bmpBytes(4, 3, px)).get
+    assert(pngFeat.zip(bmpFeat).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      s"png=${pngFeat.toSeq} bmp=${bmpFeat.toSeq}")
+    // The JDK's own BMP reader agrees with the hand-rolled parser too.
+    val bmpViaImageIO = Multimodal.decodeImageIO(bmpBytes(4, 3, px)).get
+    assert(bmpViaImageIO.toSeq == bmpFeat.toSeq)
+    // JPEG is lossy: dimensions exact, means close.
+    val jpgFeat = Multimodal.decodeImageIO(encode("jpg")).get
+    assert(jpgFeat(0) == 4.0 && jpgFeat(1) == 3.0)
+    assert(math.abs(jpgFeat(5) - bmpFeat(5)) < 16.0, // mean luminance
+      s"jpeg luminance drifted: ${jpgFeat(5)} vs ${bmpFeat(5)}")
+    // Garbage payload → None (falls back to the stub in decodeAuto).
+    assert(Multimodal.decodeImageIO(Array[Byte](1, 2, 3)).isEmpty)
+    // decodeAuto routes the compressed kinds to ImageIO.
+    assert(Multimodal.decodeAuto("image/png")(encode("png"), 8).toSeq ==
+      java.util.Arrays.copyOf(pngFeat, 8).toSeq)
+  }
+
+  test("JDK audio converters: u-law WAV decodes to the PCM feature shape") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // Synthesize a PCM-16 sine, convert to u-law, write as WAV bytes.
+    val rate = 8000f
+    val pcmSamples = (0 until 800).map(i =>
+      (math.sin(i * 2 * math.Pi * 440 / rate) * 12000).toShort)
+    val pcmBytes = pcmSamples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, 1, 2, rate, false)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      rate, 8, 1, 1, rate, false)
+    val ulawStream = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcmBytes),
+        pcmFmt, pcmSamples.length))
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawStream, AudioFileFormat.Type.WAVE, out)
+    val ulawWav = out.toByteArray
+    // The hand-rolled PCM parser refuses it; the JDK converter serves it.
+    assert(Multimodal.decodeWavPcm16(ulawWav).isEmpty)
+    val feat = Multimodal.decodeAudioJdk(ulawWav).get
+    assert(feat(0) == 800.0 && feat(1) == 8000.0 && feat(2) == 1.0,
+      feat.toSeq.toString)
+    // RMS of a 12000/32768-amplitude sine ≈ 0.259; u-law is lossy but close.
+    assert(math.abs(feat(3) - 12000.0 / 32768 / math.sqrt(2)) < 0.01,
+      s"rms=${feat(3)}")
+    // decodeAuto reaches it through the audio/wav fallback.
+    assert(Multimodal.decodeAuto("audio/wav")(ulawWav, 8).toSeq ==
+      java.util.Arrays.copyOf(feat, 8).toSeq)
+  }
+
   test("featurize pipeline: pluggable decoder, one row per record, n_bytes carried") {
     val s0 = spark
     import s0.implicits._
