@@ -415,7 +415,141 @@ class SnapshotTable(tableSchema: StructType, properties: util.Map[String, String
 class SnapshotScanBuilder(tableSchema: StructType,
                           options: CaseInsensitiveStringMap)
   extends ScanBuilder with Scan with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters with SupportsReportStatistics {
+  with SupportsPushDownFilters with SupportsReportStatistics
+  with SupportsPushDownAggregates {
+
+  // ---- metadata-only aggregates -----------------------------------------
+  // A filterless COUNT(*) / MIN / MAX is answered from the LOG alone when
+  // the per-file stats make it exact: count from the rows tokens (deletion
+  // vectors subtracted), min/max folded over the exact [min,max] tokens.
+  // Any inexactness — a file without stats, a DV under a min/max, a
+  // double column (NaN ordering), a partition or unmapped column — bails
+  // to the normal scan. Spark only attempts the push when every filter
+  // was consumed (this scan keeps all filters post-scan, so only
+  // unfiltered aggregates arrive here). At 100 TB this is the difference
+  // between a driver log walk and a full-table scan for `SELECT count(*)`.
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+
+  private var aggPush: Option[(StructType, Array[String])] = None
+  private var aggCache: Option[(Aggregation, Option[(StructType, Array[String])])] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    computeAgg(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    computeAgg(agg) match {
+      case Some(r) => aggPush = Some(r); true
+      case None => false
+    }
+  private[graft] def hasPushedAggregation: Boolean = aggPush.isDefined
+
+  private def computeAgg(agg: Aggregation)
+      : Option[(StructType, Array[String])] = {
+    aggCache match {
+      case Some((a, r)) if a eq agg => return r
+      case _ => ()
+    }
+    val r = computeAggUncached(agg)
+    aggCache = Some((agg, r))
+    r
+  }
+
+  private def computeAggUncached(agg: Aggregation)
+      : Option[(StructType, Array[String])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) return None
+    val spark = SparkSession.active
+    val warehouse = SnapshotDataSource.required(options, "warehouse")
+    val table = SnapshotDataSource.required(options, "table")
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Snapshots.latestVersion(fs, warehouse))
+    val files = Snapshots.fileMeta(fs, warehouse, table, pinned)
+      .getOrElse(return None)
+    val mapping = Snapshots.columnMapping(fs, warehouse, table, pinned)
+    val decoded: Seq[(Snapshots.Action, graft.ingest.FileStats.Stats)] =
+      files.map { a =>
+        val st = graft.ingest.FileStats.decode(a.stats)
+        a -> mapping.fold(st)(_.statsToLogical(st)).getOrElse(return None)
+      }
+    val needsMinMax = agg.aggregateExpressions.exists(!_.isInstanceOf[CountStar])
+    if (needsMinMax && files.exists(_.dv.nonEmpty)) return None
+
+    def colOf(f: AggregateFunc): Option[String] = f match {
+      case m: Min => m.column match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+      case _ => None
+    }
+    def utf8Le(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length <= y.length
+    }
+    // Fold one column's exact bound over every file, or bail (None).
+    def foldMinMax(col: String, isMin: Boolean): Option[Option[String]] = {
+      val field = tableSchema.fields.find(_.name == col).getOrElse(return None)
+      val expectTyp = field.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             TimestampType => "long"
+        case StringType => "string"
+        case _ => return None // double/float: NaN breaks stats ordering
+      }
+      var best: Option[String] = None
+      decoded.foreach { case (_, st) =>
+        st.cols.get(col) match {
+          case Some(cs) =>
+            if (cs.typ != expectTyp) return None
+            val v = if (isMin) cs.min else cs.max
+            val better = best match {
+              case None => true
+              case Some(b) =>
+                if (expectTyp == "long")
+                  if (isMin) v.toLong < b.toLong else v.toLong > b.toLong
+                else if (isMin) utf8Le(v, b) && v != b
+                else utf8Le(b, v) && v != b
+            }
+            if (better) best = Some(v)
+          case None =>
+            // No [min,max]: sound to skip ONLY a provably all-null file.
+            if (!st.nulls.get(col).contains(st.rows)) return None
+        }
+      }
+      Some(best)
+    }
+
+    val results = agg.aggregateExpressions.map {
+      case _: CountStar =>
+        val n = decoded.map { case (a, st) =>
+          math.max(0L, st.rows - a.dvCount) }.sum
+        (StructField("count(*)", LongType, nullable = false), n.toString)
+      case f @ (_: Min) =>
+        val col = colOf(f).getOrElse(return None)
+        val v = foldMinMax(col, isMin = true).getOrElse(return None)
+        (StructField(s"min($col)", tableSchema(col).dataType), v.orNull)
+      case f @ (_: Max) =>
+        val col = colOf(f).getOrElse(return None)
+        val v = foldMinMax(col, isMin = false).getOrElse(return None)
+        (StructField(s"max($col)", tableSchema(col).dataType), v.orNull)
+      case _ => return None // Count(col), Sum, avg …: not exact from the log
+    }
+    Some((StructType(results.map(_._1)), results.map(_._2)))
+  }
+  // -----------------------------------------------------------------------
 
   // Column pruning: ship only projected fields; the Group walk still reads
   // the file's pages but materializes just the kept columns per row.
@@ -443,7 +577,8 @@ class SnapshotScanBuilder(tableSchema: StructType,
     prunable
 
   override def build(): Scan = { SnapshotDataSource.validate(tableSchema); this }
-  override def readSchema(): StructType = requiredSchema
+  override def readSchema(): StructType =
+    aggPush.map(_._1).getOrElse(requiredSchema)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(options, requiredSchema)
@@ -490,17 +625,59 @@ class SnapshotScanBuilder(tableSchema: StructType,
     * column mapping applied. Sessions with the graft extensions splice
     * this relation into the vectorized parquet plan before physical
     * planning ever reaches here (see `graft.sql.SnapshotScanRule`). */
-  override def toBatch: Batch = {
-    val spark = SparkSession.active
-    val warehouse = SnapshotDataSource.required(options, "warehouse")
-    val table = SnapshotDataSource.required(options, "table")
-    val fs = new Path(warehouse)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Pin the served version at scan build, like the V1 relation: every
-    // action over this plan sees the same snapshot.
-    val pinned = Option(options.get("versionAsOf")).map(_.toLong)
-      .orElse(Snapshots.latestVersion(fs, warehouse))
-    new SnapshotBatch(warehouse, table, pinned, requiredSchema, pred)
+  override def toBatch: Batch = aggPush match {
+    case Some((schema, values)) => new SnapshotAggBatch(schema, values)
+    case None =>
+      val spark = SparkSession.active
+      val warehouse = SnapshotDataSource.required(options, "warehouse")
+      val table = SnapshotDataSource.required(options, "table")
+      val fs = new Path(warehouse)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Pin the served version at scan build, like the V1 relation: every
+      // action over this plan sees the same snapshot.
+      val pinned = Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(Snapshots.latestVersion(fs, warehouse))
+      new SnapshotBatch(warehouse, table, pinned, requiredSchema, pred)
+  }
+}
+
+/** One synthetic row carrying a fully-pushed aggregation's final values —
+  * the whole "scan" is the driver-side log fold that already happened at
+  * push time; no data file is opened. Values travel as strings and decode
+  * per the agg schema's types. */
+class SnapshotAggBatch(schema: StructType, values: Array[String])
+  extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotAggPartition(schema, values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotAggReaderFactory()
+}
+
+case class SnapshotAggPartition(schema: StructType, values: Array[String])
+  extends InputPartition
+
+case class SnapshotAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotAggPartition]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(p.schema.fields.zip(p.values).map {
+          case (_, null) => null
+          case (f, v) => f.dataType match {
+            case LongType | TimestampType => v.toLong
+            case IntegerType | DateType => v.toLong.toInt
+            case ShortType => v.toLong.toShort
+            case ByteType => v.toLong.toByte
+            case StringType => UTF8String.fromString(v)
+            case dt => throw new IllegalStateException(
+              s"unexpected pushed-aggregate type $dt")
+          }
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -79,14 +79,22 @@ case class SnapshotScanRule(session: SparkSession) extends Rule[LogicalPlan] {
       spliceV2(r.table, r.output, null)
     case Filter(cond, sr: DataSourceV2ScanRelation)
         if sr.relation.table.isInstanceOf[GraftCatalogTable] &&
-          !shielded.contains(sr) =>
+          !shielded.contains(sr) && !aggPushed(sr) =>
       Filter(cond, spliceV2(sr.relation.table, sr.output,
         FileStats.fromExpression(cond).orNull))
     case sr: DataSourceV2ScanRelation
         if sr.relation.table.isInstanceOf[GraftCatalogTable] &&
-          !shielded.contains(sr) =>
+          !shielded.contains(sr) && !aggPushed(sr) =>
       spliceV2(sr.relation.table, sr.output, null)
   }
+
+  /** A scan serving a fully-pushed aggregation answers from the log and
+    * must not be spliced back into a full-table plan. */
+  private def aggPushed(sr: DataSourceV2ScanRelation): Boolean =
+    sr.scan match {
+      case b: graft.sources.v2.SnapshotScanBuilder => b.hasPushedAggregation
+      case _ => false
+    }
 
   private def spliceV2(table: org.apache.spark.sql.connector.catalog.Table,
                        output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],

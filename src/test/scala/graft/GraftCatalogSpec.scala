@@ -211,6 +211,52 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("filterless count/min/max answer from the log, not a data scan") {
+    import org.apache.spark.sql.connector.expressions.Expressions.{column => colRef}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+    val s0 = spark
+    import s0.implicits._
+    Seq((5L, "cc"), (1L, "aa"), (9L, "bb")).toDF("id", "s").coalesce(1)
+      .createOrReplaceTempView("aggsrc")
+    spark.sql("CREATE TABLE graft.agg AS SELECT id, s FROM aggsrc")
+    spark.sql("INSERT INTO graft.agg SELECT 42L, 'zz'")
+
+    // SQL correctness through the pushed path.
+    val r = spark.sql(
+      "SELECT count(*), min(id), max(id), min(s), max(s) FROM graft.agg").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getString(4)) == ((4L, 1L, 42L, "aa", "zz")))
+
+    // The scan itself: a pushed aggregation plans ONE synthetic partition
+    // (the log fold), not per-file partitions.
+    def builder() = new graft.sources.v2.SnapshotScanBuilder(
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("s", "string"),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh, "table", "agg")))
+    val b = builder()
+    assert(b.pushAggregation(new Aggregation(
+      Array(new CountStar, new Min(colRef("id")),
+        new Max(colRef("s"))), Array.empty)))
+    val parts = b.toBatch.planInputPartitions()
+    assert(parts.length == 1 &&
+      parts(0).isInstanceOf[graft.sources.v2.SnapshotAggPartition], parts.toSeq)
+
+    // A deletion vector keeps count(*) exact (subtracted) but bails
+    // min/max back to the real scan — both stay correct.
+    spark.sql("DELETE FROM graft.agg WHERE id = 1")
+    assert(Snapshots.fileMeta(fs, wh, "agg").get.exists(_.dv.nonEmpty))
+    val r2 = spark.sql(
+      "SELECT count(*), min(id), min(s) FROM graft.agg").head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getString(2)) == ((3L, 5L, "bb")))
+    val b2 = builder()
+    assert(b2.pushAggregation(new Aggregation(
+      Array(new CountStar), Array.empty)), "count alone must still push")
+    assert(!builder().pushAggregation(new Aggregation(
+      Array(new Min(colRef("id"))), Array.empty)),
+      "min under a deletion vector must bail to the scan")
+  }
+
   test("scan statistics from log tokens drive broadcast-join planning") {
     val s0 = spark
     import s0.implicits._
