@@ -199,6 +199,22 @@ class GraftCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && Snapshots.dropTable(fs, warehouse, tableName(ident))
 
+  /** `DROP TABLE … PURGE`: the logical drop plus IMMEDIATE physical
+    * deletion of the table's live data files — time travel to the dropped
+    * table is forfeited (that is what PURGE means); the log entries stay
+    * and vacuum reaps the remainder on schedule. */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val t = tableName(ident)
+    val live = Snapshots.fileMeta(fs, warehouse, t).getOrElse(Seq.empty)
+    val dropped = dropTable(ident)
+    if (dropped)
+      live.foreach { a =>
+        fs.delete(new Path(a.file), false)
+        if (a.dv.nonEmpty) fs.delete(new Path(a.dvPath), false)
+      }
+    dropped
+  }
+
   // ---- atomic CTAS (StagingTableCatalog) -------------------------------
   // CREATE TABLE … AS SELECT stages NOTHING until the query succeeds: the
   // declaration (schema/partitioning properties) is held in memory on the

@@ -34,11 +34,18 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
 
   /** Render a resolved expression back to SQL that re-resolves against a
     * bare read of the table: qualifiers dropped (the engine reads the
-    * table unaliased), everything else verbatim. */
-  private def cleanSql(e: Expression): String =
+    * table unaliased), everything else verbatim. Subqueries cannot ride
+    * the round trip (their `.sql` is not re-parseable) — fail with a
+    * clear message instead of a confusing parse error downstream. */
+  private def cleanSql(e: Expression): String = {
+    require(!e.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      "subqueries in catalog DML conditions/assignments are not " +
+        "supported — materialize the subquery as a view and use MERGE INTO")
     e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     }.sql
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

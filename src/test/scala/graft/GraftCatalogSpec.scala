@@ -163,6 +163,19 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"vacuum must reclaim dropped file $f"))
   }
 
+  test("DROP TABLE PURGE deletes data files immediately") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "p")).toDF("id", "v").createOrReplaceTempView("pgsrc")
+    spark.sql("CREATE TABLE graft.pg AS SELECT id, v FROM pgsrc")
+    val files = Snapshots.fileMeta(fs, wh, "pg").get.map(_.file)
+    assert(files.nonEmpty && files.forall(f => fs.exists(new Path(f))))
+    spark.sql("DROP TABLE graft.pg PURGE")
+    assert(!spark.catalog.tableExists("graft.pg"))
+    files.foreach(f => assert(!fs.exists(new Path(f)),
+      s"PURGE must delete $f immediately"))
+  }
+
   test("CTAS is atomic: a failed query leaves no table behind") {
     intercept[Exception](spark.sql(
       "CREATE TABLE graft.ghost AS SELECT raise_error('boom') AS x"))
