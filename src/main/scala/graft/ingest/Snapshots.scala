@@ -489,6 +489,21 @@ object Snapshots {
         String, scala.collection.mutable.LinkedHashMap[String, (String, String, String)]],
       metas: scala.collection.mutable.LinkedHashMap[String, String])
 
+  /** Process-wide fold cache. A fold's entire input is (anchor checkpoint,
+    * post-anchor delta entries); log entry FILES are immutable once
+    * written, and any new commit, checkpoint, or vacuum changes the
+    * visible-entry key — so a hit is exact. The freshness check each call
+    * still pays is the (cheap) log tail LISTING; what the cache removes is
+    * re-reading and re-parsing O(checkpoint interval) entry files on every
+    * metadata touch — at 100 TB on object storage, the difference between
+    * one listing and a dozen GETs per catalog query. Cached folds are
+    * read-only by contract. */
+  private val foldCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Folded](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Folded]): Boolean = size() > 64
+    })
+
   private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
       : Option[Folded] = {
     // Latest-state reads ride the anchored tail listing; time travel below
@@ -504,6 +519,16 @@ object Snapshots {
     // that can see neither version 0 nor a checkpoint cannot be answered.
     require(visible.exists(_.isCheckpoint) || visible.headOption.exists(_.version == 0),
       s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
+    val anchor = visible.filter(_.isCheckpoint).lastOption
+    val startV = anchor.map(_.version).getOrElse(Long.MinValue)
+    // Deltas at the anchor's own version are re-applied: set ops are
+    // idempotent, and a same-version racer that landed after the checkpoint
+    // was computed is folded in exactly this way.
+    val deltas = visible.filter(e => !e.isCheckpoint && e.version >= startV)
+    val key = warehouse + "|" + anchor.map(_.path.getName).getOrElse("") +
+      "|" + deltas.map(_.path.getName).mkString(",")
+    val hit = foldCache.get(key)
+    if (hit != null) return Some(hit)
     val state = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, (String, String, String)]]
     val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -520,15 +545,11 @@ object Snapshots {
         else if (a.add) files += (a.file -> (a.partition, a.stats, a.dv))
         else files -= a.file
       }
-    val anchor = visible.filter(_.isCheckpoint).lastOption
     anchor.foreach(c => readActions(fs, c.path).foreach(apply))
-    val startV = anchor.map(_.version).getOrElse(Long.MinValue)
-    // Deltas at the anchor's own version are re-applied: set ops are
-    // idempotent, and a same-version racer that landed after the checkpoint
-    // was computed is folded in exactly this way.
-    visible.filter(e => !e.isCheckpoint && e.version >= startV)
-      .foreach(e => readActions(fs, e.path).foreach(apply))
-    Some(Folded(state, metas))
+    deltas.foreach(e => readActions(fs, e.path).foreach(apply))
+    val folded = Folded(state, metas)
+    foldCache.put(key, folded)
+    Some(folded)
   }
 
   /** Write the full-state checkpoint for `version` (ADD + META lines). */
