@@ -312,7 +312,7 @@ class GraftCatalogTable(tableSchema: StructType,
   // alignment/casting runs, and the commit point re-enforces on top.
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
     import org.apache.spark.sql.connector.catalog.TableCapability._
-    util.EnumSet.of(BATCH_READ, BATCH_WRITE, TRUNCATE,
+    util.EnumSet.of(BATCH_READ, BATCH_WRITE, TRUNCATE, OVERWRITE_DYNAMIC,
       MICRO_BATCH_READ, STREAMING_WRITE)
   }
 

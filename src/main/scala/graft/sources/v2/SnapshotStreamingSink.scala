@@ -55,13 +55,21 @@ import graft.ingest.{Snapshots, TxnCommit}
 class SnapshotWriteBuilder(info: LogicalWriteInfo,
                            tableDefaults: Map[String, String] = Map.empty)
   extends WriteBuilder
-  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  with org.apache.spark.sql.connector.write.SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var truncateMode = false
+  private var dynamicMode = false
   /** Streaming complete output mode / batch INSERT OVERWRITE (Spark calls
     * this for both): the write REPLACES the table — one overwrite version
     * per epoch (streaming) or per job (batch); prior versions stay
     * time-travelable until vacuum. */
   override def truncate(): WriteBuilder = { truncateMode = true; this }
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`): the
+    * job replaces ONLY the partitions its data touches — REMOVEs scoped
+    * to the staged tuples, one atomic OCC-guarded version. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicMode = true; this
+  }
   // Catalog-resolved writes carry no warehouse/table options on the query;
   // the table's own properties (and its partition layout) fill them in.
   // Explicit write options win over the table defaults.
@@ -80,7 +88,8 @@ class SnapshotWriteBuilder(info: LogicalWriteInfo,
     override def toBatch
         : org.apache.spark.sql.connector.write.BatchWrite = {
       SnapshotDataSource.validate(info.schema())
-      new SnapshotBatchWrite(info.schema(), mergedOptions, truncateMode)
+      new SnapshotBatchWrite(info.schema(), mergedOptions, truncateMode,
+        dynamicMode)
     }
   }
 }
@@ -101,7 +110,8 @@ private[v2] object SnapshotStreamingWrite {
 private[v2] class SnapshotWriteCore(
     schema: StructType,
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-    truncateMode: Boolean) {
+    truncateMode: Boolean,
+    dynamicMode: Boolean = false) {
 
   protected val warehouse = SnapshotDataSource.required(options, "warehouse")
   protected val table = SnapshotDataSource.required(options, "table")
@@ -163,12 +173,22 @@ private[v2] class SnapshotWriteCore(
     // OCC anchor before the live-file set (same ordering rule as the V1
     // batch overwrite): a commit racing in between has version > base and
     // aborts this write instead of slipping past the REMOVE set unflagged.
-    val base = if (truncateMode)
+    val base = if (truncateMode || dynamicMode)
       Snapshots.latestVersion(fs, warehouse) else None
-    val existing = if (truncateMode)
-      Snapshots.fileMeta(fs, warehouse, table).map(_.map(_.file))
-        .getOrElse(Seq.empty)
-    else Seq.empty
+    val existing =
+      if (truncateMode)
+        Snapshots.fileMeta(fs, warehouse, table).map(_.map(_.file))
+          .getOrElse(Seq.empty)
+      else if (dynamicMode) {
+        // Replace only the partitions this job's data touches.
+        val specs = staged.map(_._2).toSet
+        require(!specs.contains(""),
+          "dynamic partition overwrite requires a partitioned table — " +
+            "unpartitioned data would silently replace everything; use " +
+            "plain INSERT OVERWRITE (truncate) for that")
+        Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
+          .filter(a => specs.contains(a.partition)).map(_.file)
+      } else Seq.empty
     if (staged.isEmpty && existing.isEmpty) {
       // Empty write over an empty (or append-mode) table: no version, no
       // log noise. In truncate mode an empty write over a NON-empty table
@@ -185,7 +205,7 @@ private[v2] class SnapshotWriteCore(
                     else s"$warehouse/$table/$spec"
       TxnCommit.Move(src, s"$destDir/$cid-${new Path(src).getName}")
     }
-    if (truncateMode) {
+    if (truncateMode || dynamicMode) {
       // One overwrite version: REMOVEs + ADDs flip atomically, prior
       // versions stay time-travelable until vacuum. Coarse OCC: a
       // concurrent writer to this table aborts this write (a streaming
@@ -236,8 +256,9 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
   * with the publish. */
 class SnapshotBatchWrite(schema: StructType,
                          options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-                         truncate: Boolean)
-  extends SnapshotWriteCore(schema, options, truncate)
+                         truncate: Boolean,
+                         dynamic: Boolean = false)
+  extends SnapshotWriteCore(schema, options, truncate, dynamic)
   with org.apache.spark.sql.connector.write.BatchWrite {
 
   private val cid = "batch" +

@@ -163,6 +163,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"vacuum must reclaim dropped file $f"))
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "d1"), (2L, "d2"), (3L, "d3")).toDF("id", "dt")
+      .createOrReplaceTempView("dposrc")
+    spark.sql(
+      "CREATE TABLE graft.dpo PARTITIONED BY (dt) AS SELECT id, dt FROM dposrc")
+    val vBefore = Snapshots.latestVersion(fs, wh).get
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // Touches only d2: d1 and d3 must survive, d2 replaced — atomically.
+      spark.sql("INSERT OVERWRITE graft.dpo SELECT 20L, 'd2'")
+      assert(spark.sql("SELECT id, dt FROM graft.dpo ORDER BY id")
+        .as[(Long, String)].collect().toSeq ==
+          Seq(1L -> "d1", 3L -> "d3", 20L -> "d2"))
+      // One overwrite version; the pre-state time-travels.
+      assert(Snapshots.latestVersion(fs, wh).get == vBefore + 1)
+      assert(spark.sql(
+          s"SELECT id FROM graft.dpo VERSION AS OF $vBefore ORDER BY id")
+        .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+      // STATIC mode still replaces everything.
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql("INSERT OVERWRITE graft.dpo SELECT 99L, 'd9'")
+      assert(spark.sql("SELECT id FROM graft.dpo").as[Long]
+        .collect().toSeq == Seq(99L))
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("DROP TABLE PURGE deletes data files immediately") {
     val s0 = spark
     import s0.implicits._
