@@ -81,17 +81,24 @@ object Compaction {
                          table: String,
                          inputs: Seq[(String, Long, String, String, String)]) = {
     val partCols = Snapshots.partitionColumns(inputs.map(_._3))
-    val files = inputs.map(_._1)
     val acts = inputs.map { case (f, _, spec, dv, stats) =>
       Snapshots.Action("ADD", table, f, spec, stats, dv) }
-    val bp = if (partCols.isEmpty) None else Some(s"$warehouse/$table")
-    val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
-    // Width-mixed inputs (safe type widening) rewrite at the widest type —
-    // the compaction IS the moment the narrow files physically widen.
-    val df0 = Snapshots.widenedSchema(spark, acts, bp)
-      .fold(rd0)(rd0.schema).parquet(files: _*)
-    val df = Snapshots.applyDv(spark, df0, acts)
-    (df, partCols)
+    // One relation per root table dir (a CLONE's inputs can still sit in
+    // the source table's dir): basePath and DV subtraction per root, then
+    // union. Width-mixed inputs (safe type widening) rewrite at the widest
+    // type — the compaction IS the moment the narrow files physically
+    // widen (cross-root widening rides union coercion).
+    val groups =
+      if (partCols.isEmpty) Seq(acts) else Snapshots.rootGroups(acts)
+    val frames = groups.map { g =>
+      val bp =
+        if (partCols.isEmpty) None else Some(Snapshots.rootDirOf(g.head))
+      val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
+      val df0 = Snapshots.widenedSchema(spark, g, bp)
+        .fold(rd0)(rd0.schema).parquet(g.map(_.file): _*)
+      Snapshots.applyDv(spark, df0, g)
+    }
+    (frames.reduce(_.unionByName(_, allowMissingColumns = true)), partCols)
   }
 
   /** Compact `table` into files of ~`targetBytes`. No-op (None) when the
@@ -173,9 +180,11 @@ object Compaction {
     // concurrent APPEND to the table must not abort it (at 100 TB a
     // continuously-ingested table would otherwise never compact).
     TxnCommit.commit(fs, warehouse, commitId, moves, deletes, retained,
-      op = "compact", baseVersion = base, fileGranularOcc = true)
+      op = "compact", baseVersion = base, fileGranularOcc = true,
+      asTable = Some(table))
     TxnCommit.publish(fs, warehouse, commitId, moves, deletes, retained,
-      op = "compact", baseVersion = base, fileGranularOcc = true)
+      op = "compact", baseVersion = base, fileGranularOcc = true,
+      asTable = Some(table))
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 
@@ -253,9 +262,11 @@ object Compaction {
     val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val retained = inputs.map(_._1)
     TxnCommit.commit(fs, warehouse, commitId, moves, retained = retained,
-      op = "zorder", baseVersion = base, fileGranularOcc = true)
+      op = "zorder", baseVersion = base, fileGranularOcc = true,
+      asTable = Some(table))
     TxnCommit.publish(fs, warehouse, commitId, moves, retained = retained,
-      op = "zorder", baseVersion = base, fileGranularOcc = true)
+      op = "zorder", baseVersion = base, fileGranularOcc = true,
+      asTable = Some(table))
     Some(Result(inputs.size, moves.size, totalBytes))
   }
 }

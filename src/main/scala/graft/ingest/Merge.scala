@@ -56,17 +56,26 @@ object Merge {
                           mapping: Option[ColumnMapping],
                           acts: Seq[Snapshots.Action]): DataFrame = {
     import org.apache.spark.sql.functions.regexp_replace
-    val fl = acts.map(_.file)
-    val bp = if (partCols.isEmpty) None else Some(s"$warehouse/$table")
-    val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
-    // Width-mixed candidates (safe type widening) read at the widest type.
-    val df0 = Snapshots.widenedSchema(spark, acts, bp)
-      .fold(rd0)(rd0.schema).parquet(fl: _*)
-    val keyed = df0
-      .withColumn(SrcFileCol,
-        regexp_replace(col("_metadata.file_path"), Snapshots.SchemeRe, ""))
-      .withColumn(RowPosCol, col("_metadata.row_index"))
-    val df = Snapshots.applyDv(spark, keyed, acts)
+    // One relation per root table dir (a diverged CLONE's candidates span
+    // the source's dir and its own): basePath, width-mixed widening, row
+    // identity, and DV subtraction are all per-root — metadata columns
+    // only resolve scan-side — then union (cross-root widening rides
+    // union coercion).
+    val groups =
+      if (partCols.isEmpty) Seq(acts) else Snapshots.rootGroups(acts)
+    val frames = groups.map { g =>
+      val bp =
+        if (partCols.isEmpty) None else Some(Snapshots.rootDirOf(g.head))
+      val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
+      val df0 = Snapshots.widenedSchema(spark, g, bp)
+        .fold(rd0)(rd0.schema).parquet(g.map(_.file): _*)
+      val keyed = df0
+        .withColumn(SrcFileCol,
+          regexp_replace(col("_metadata.file_path"), Snapshots.SchemeRe, ""))
+        .withColumn(RowPosCol, col("_metadata.row_index"))
+      Snapshots.applyDv(spark, keyed, g)
+    }
+    val df = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     mapping.fold(df)(_.applyTo(df, passthrough = Seq(SrcFileCol, RowPosCol)))
   }
 
@@ -416,10 +425,10 @@ object Merge {
     val removed = (full ++ heavy).map(_.file)
     TxnCommit.commit(fs, warehouse, commitId, moves,
       retained = removed, op = "merge", baseVersion = base,
-      dvAttach = attach, fileGranularOcc = true)
+      dvAttach = attach, fileGranularOcc = true, asTable = Some(table))
     TxnCommit.publish(fs, warehouse, commitId, moves,
       retained = removed, op = "merge", baseVersion = base,
-      dvAttach = attach, fileGranularOcc = true)
+      dvAttach = attach, fileGranularOcc = true, asTable = Some(table))
     Result(heavy.size, dataMoves.size, matchedCount, candidates.size,
       partial.size)
     }
@@ -537,9 +546,11 @@ object Merge {
     val moves = dataMoves ++
       TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
     TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
-      op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc)
+      op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc,
+      asTable = Some(table))
     TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
-      op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc)
+      op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc,
+      asTable = Some(table))
     Result(affected.size, dataMoves.size, matched, candidates)
   }
 

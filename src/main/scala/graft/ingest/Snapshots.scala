@@ -125,6 +125,25 @@ object Snapshots {
     * optional authority (`file:///p`, `file:/p`, `hdfs://nn/p` all reduce
     * to `/p`), keep the already-encoded path. */
   private[graft] val SchemeRe = "^[a-zA-Z0-9+.-]+:(//[^/]*)?"
+
+  /** Root table dir of a committed file = the dir above its partition
+    * segments — normally `$warehouse/$table` for every live file, but a
+    * zero-copy [[cloneTable]]'s ADDs point into the SOURCE table's
+    * directory. Spark's basePath must be an ancestor of every file it
+    * reads, so partitioned reads (and DML/compaction scans) build one
+    * relation per root; a clone that has not diverged — and every normal
+    * table — keeps the single-relation fast path. */
+  private[graft] def rootDirOf(a: Action): String = {
+    var d = new Path(a.file).getParent
+    if (a.partition.nonEmpty) {
+      var i = a.partition.count(_ == '/') + 1
+      while (i > 0) { d = d.getParent; i -= 1 }
+    }
+    d.toString
+  }
+
+  private[graft] def rootGroups(acts: Seq[Action]): Seq[Seq[Action]] =
+    acts.groupBy(rootDirOf).values.toSeq
   private[graft] def srcFileKey(uri: String): String =
     uri.replaceFirst(SchemeRe, "")
 
@@ -1026,6 +1045,43 @@ object Snapshots {
       (live ++ declared).toSeq.distinct.sorted
     }.getOrElse(Nil)
 
+  /** Zero-copy SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`
+    * analog): ONE metadata commit ADDs the source table's live file list —
+    * partition tuples, stats tokens, and deletion-vector attachments
+    * intact — under `dst`. No data moves; at 100 TB a clone is a driver
+    * log walk. The clone then diverges independently: DML and compaction
+    * rewrite into ITS directory (reads group per root dir), and vacuum's
+    * reference sweeps are warehouse-wide over file paths, so shared files
+    * survive while EITHER table's retained log references them. The
+    * source's column mapping and properties at `asOf` carry over, so
+    * logical names and constraints resolve identically. OCC-guarded
+    * against a racing creation of `dst`. Returns the clone's version. */
+  def cloneTable(spark: SparkSession, warehouse: String, src: String,
+                 dst: String, asOf: Option[Long] = None): Long = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(src != dst, "clone source and destination are the same table")
+    val files = fileMeta(fs, warehouse, src, asOf).getOrElse(Seq.empty)
+    require(files.nonEmpty,
+      s"source table '$src' has no committed files at " +
+        s"version ${asOf.getOrElse("latest")}")
+    require(fileMeta(fs, warehouse, dst).forall(_.isEmpty),
+      s"table '$dst' already exists under $warehouse")
+    val base = latestVersion(fs, warehouse)
+    val srcMapping = columnMapping(fs, warehouse, src, asOf)
+    val srcProps = properties(fs, warehouse, src, asOf)
+    append(fs, warehouse,
+      "clone" + java.util.UUID.randomUUID().toString.replace("-", ""),
+      adds = files.map(a => dst -> a.file), removes = Nil,
+      op = "clone", baseVersion = base,
+      statsFor = files.map(a => a.file -> a.stats).toMap,
+      metas = srcMapping.map(m => dst -> m.encode).toSeq ++
+        (if (srcProps.nonEmpty)
+           Seq(propsKey(dst) -> encodeProps(srcProps)) else Nil),
+      dvFor = files.filter(_.dv.nonEmpty).map(a => a.file -> a.dv).toMap)
+    latestVersion(fs, warehouse).get
+  }
+
   /** Drop `table`: ONE commit logically REMOVEs every live file (old
     * versions stay time-travelable until vacuum reaps them) and clears the
     * table's properties and column mapping, so a re-created table of the
@@ -1402,26 +1458,33 @@ object Snapshots {
         }
       }
     val partitioned = all.exists(_.partition.nonEmpty)
-    val reader0 = spark.read.option("mergeSchema", mergeSchema)
-    val reader1 =
-      if (partitioned) reader0.option("basePath", s"$warehouse/$table")
-      else reader0
+    val allByRoot = all.groupBy(rootDirOf)
     // Width-mixed tables (safe type widening) read under an explicit
-    // widest schema — detection over ALL live files, so the schema is
-    // stable regardless of pruning. An explicit schema supersedes
+    // widest schema — detection over the root's live files, so the schema
+    // is stable regardless of pruning. An explicit schema supersedes
     // mergeSchema; widenedSchema's merge covers additive columns too.
-    val reader = widenedSchema(spark, all,
-        if (partitioned) Some(s"$warehouse/$table") else None)
-      .fold(reader1)(reader1.schema)
-    val physical =
-      if (pruned.isEmpty)
-        // Every file provably excluded: an empty frame with the table schema
-        // (schema comes from one arbitrary pinned file, never its rows).
-        reader.parquet(partPruned.head.file).limit(0)
+    def frameOver(group: Seq[Action], schemaOnly: Boolean): DataFrame = {
+      val root = rootDirOf(group.head)
+      val bp = if (partitioned) Some(root) else None
+      val reader0 = spark.read.option("mergeSchema", mergeSchema)
+      val reader1 = bp.fold(reader0)(reader0.option("basePath", _))
+      val reader = widenedSchema(spark, allByRoot.getOrElse(root, group), bp)
+        .fold(reader1)(reader1.schema)
+      if (schemaOnly)
+        // Every file provably excluded: an empty frame with the table
+        // schema (schema comes from one arbitrary pinned file, never its
+        // rows).
+        reader.parquet(group.head.file).limit(0)
       else
         // Merge-on-read: subtract deletion-vectored rows (no-op plan when
-        // no pruned file carries an attachment).
-        applyDv(spark, reader.parquet(pruned.map(_.file): _*), pruned)
+        // no group file carries an attachment).
+        applyDv(spark, reader.parquet(group.map(_.file).distinct: _*), group)
+    }
+    val physical =
+      if (pruned.isEmpty) frameOver(Seq(partPruned.head), schemaOnly = true)
+      else pruned.groupBy(rootDirOf).values.toSeq
+        .map(g => frameOver(g, schemaOnly = false))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     mapping.fold(physical)(_.applyTo(physical))
   }
 }

@@ -282,7 +282,8 @@ object TxnCommit {
              retained: Seq[String] = Nil, op: String = "append",
              baseVersion: Option[Long] = None,
              dvAttach: Seq[(String, String, Long)] = Nil,
-             fileGranularOcc: Boolean = false): Unit = {
+             fileGranularOcc: Boolean = false,
+             asTable: Option[String] = None): Unit = {
     // Oversized blooms spill to sidecar files STAGED with this commit:
     // their moves join the manifest, so they publish (or replay) with the
     // data whose ADD lines point at them — crash-atomic either way.
@@ -335,6 +336,11 @@ object TxnCommit {
     Snapshots.putIfAbsent(fs, fin,
       (Seq(s"#OP\t$op") ++ baseVersion.map(v => s"#BASE\t$v") ++
         (if (fileGranularOcc) Seq("#GRANULAR\tfile") else Nil) ++
+        // REMOVEs/DVs normally attribute to the table the file path names;
+        // a zero-copy CLONE's shared files live under the SOURCE table's
+        // dir, so rewrites of the clone record their owning table here —
+        // replayed identically from the manifest.
+        asTable.map(t => s"#ASTABLE\t$t") ++
         (allMoves.map(m =>
           s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
           deletes.map(d => s"DEL\t$d") ++
@@ -355,7 +361,8 @@ object TxnCommit {
               baseVersion: Option[Long] = None,
               replay: Boolean = false,
               dvAttach: Seq[(String, String, Long)] = Nil,
-              fileGranularOcc: Boolean = false): Unit = {
+              fileGranularOcc: Boolean = false,
+              asTable: Option[String] = None): Unit = {
     // The manifest's move list is authoritative when present: commit()
     // may have appended sidecar-bloom moves the caller never saw (their
     // dests must publish with the data whose ADD lines point at them).
@@ -415,14 +422,16 @@ object TxnCommit {
     // version — a crash-recovery replay must run the SAME conflict check
     // the live publish would have.
     val granular = manifest.map(_.fileGranularOcc).getOrElse(fileGranularOcc)
+    val asT = manifest.flatMap(_.asTable).orElse(asTable)
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
-      removes = (deletes ++ retained).map(d => tableOf(d) -> d),
+      removes = (deletes ++ retained).map(d =>
+        asT.getOrElse(tableOf(d)) -> d),
       op = op, baseVersion = baseVersion, statsFor = statsFor,
       changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest),
       replay = replay,
       dvs = attach.map { case (data, dv, n) =>
-        (tableOf(data), data, s"$n:$dv") },
+        (asT.getOrElse(tableOf(data)), data, s"$n:$dv") },
       fileGranularOcc = granular)
     catch {
       case e: Snapshots.ConcurrentCommitException =>
@@ -457,7 +466,8 @@ object TxnCommit {
                               baseVersion: Option[Long],
                               statsFor: Map[String, String],
                               dvAttach: Seq[(String, String, Long)],
-                              fileGranularOcc: Boolean)
+                              fileGranularOcc: Boolean,
+                              asTable: Option[String] = None)
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
@@ -472,7 +482,7 @@ object TxnCommit {
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
       .filter(_.nonEmpty).map(_.split("\t", 4))
     val moveLines = lines.filterNot(l =>
-      Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR")(l.head))
+      Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR", "#ASTABLE")(l.head))
     Manifest(
       moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
       lines.filter(_.head == "DEL").map(_.apply(1)),
@@ -482,7 +492,8 @@ object TxnCommit {
       moveLines.collect { case Array(_, dest, stats) if stats.nonEmpty =>
         dest -> stats }.toMap,
       lines.filter(_.head == "DV").map(l => (l(1), l(2), l(3).toLong)),
-      lines.exists(l => l.head == "#GRANULAR" && l.lift(1).contains("file")))
+      lines.exists(l => l.head == "#GRANULAR" && l.lift(1).contains("file")),
+      lines.find(_.head == "#ASTABLE").map(_.apply(1)))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.

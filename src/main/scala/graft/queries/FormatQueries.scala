@@ -231,6 +231,22 @@ object FormatQueries {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gdml.nation_dml")
     }),
 
+    // Zero-copy shallow clone + divergence: clone the committed fixture,
+    // DELETE the high keys on the CLONE (a rewrite spanning the shared
+    // root), and read the clone back — proving the one-commit clone, the
+    // per-root read, and remove-attribution to the owning table. Ground
+    // truth: a plain filter over the fixture.
+    "fmt_clone" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_clone", d) {
+        val w = freshWh()
+        publish(s, w, "nation", nation(s, d))
+        Snapshots.cloneTable(s, w, "nation", "nation_clone")
+        Merge.deleteWhere(s, w, "nation_clone", col("n_nationkey") >= 20L)
+        w
+      }
+      Snapshots.read(s, wh, "nation_clone")
+    }),
+
     "fmt_merge" -> ((s, d) => {
       val wh = Fixtures.once("fmt_merge", d) {
         val w = freshWh()
@@ -422,6 +438,11 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS side
         |FROM nation""".stripMargin,
+    // Clone of the full fixture minus the clone-side DELETE of high keys.
+    "fmt_clone" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey < 20""".stripMargin,
     // Catalog CTAS(<15) + INSERT(>=15) + DELETE(in-list) = all but the
     // deleted keys.
     "fmt_catalog" ->

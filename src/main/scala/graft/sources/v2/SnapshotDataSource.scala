@@ -188,9 +188,9 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
             TxnCommit.movesFor(fs, warehouse, cid, s"_changes/$table")
         }
         TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
-          op = "overwrite", baseVersion = base)
+          op = "overwrite", baseVersion = base, asTable = Some(table))
         TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,
-          op = "overwrite", baseVersion = base)
+          op = "overwrite", baseVersion = base, asTable = Some(table))
       } else {
         TxnCommit.commit(fs, warehouse, cid, moves)
         TxnCommit.publish(fs, warehouse, cid, moves)

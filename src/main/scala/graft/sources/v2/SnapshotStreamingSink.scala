@@ -212,9 +212,9 @@ private[v2] class SnapshotWriteCore(
       // trigger retries; a batch job surfaces the conflict) rather than
       // being silently replaced.
       TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
-        op = "overwrite", baseVersion = base)
+        op = "overwrite", baseVersion = base, asTable = Some(table))
       TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,
-        op = "overwrite", baseVersion = base)
+        op = "overwrite", baseVersion = base, asTable = Some(table))
     } else {
       TxnCommit.commit(fs, warehouse, cid, moves)
       TxnCommit.publish(fs, warehouse, cid, moves)

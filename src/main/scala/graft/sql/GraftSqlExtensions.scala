@@ -76,6 +76,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val PartEqRe = raw"(?i)\s*([\w]+)\s*=\s*'([^']*)'\s*".r
   private val RestoreRe =
     raw"(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*".r
+  // Zero-copy shallow clone: one metadata commit, no data movement.
+  private val CloneRe =
+    raw"(?is)\s*SNAPSHOT\s+CLONE\s+([\w.]+)\s+TO\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?".r
   private val DeleteRe =
     raw"(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*".r
   private val UpdateRe =
@@ -312,6 +315,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case RestoreRe(table, version) =>
       val (rWh, rTable) = resolveTarget(table)
       GraftRestoreCommand(rWh, rTable, version.toLong)
+    case CloneRe(src, dst, version) =>
+      val (sWh, sT) = resolveTarget(src)
+      val (dWh, dT) = resolveTarget(dst)
+      require(sWh == dWh,
+        "SNAPSHOT CLONE source and destination must share one warehouse")
+      GraftCloneCommand(sWh, sT, dT, Option(version).map(_.toLong))
     case MergeIntoRe(target, tAlias, source, sAlias, onCond, whens)
         if isGraftTable(target) =>
       val matchedUpdate = WhenMatchedUpdateAllRe.findFirstIn(whens).isDefined
@@ -513,6 +522,17 @@ case class GraftRestoreCommand(warehouse: String, table: String,
     val (a, r) = Snapshots.restore(session, warehouse, table, version)
     Seq(Row(a, r))
   }
+}
+
+/** `SNAPSHOT CLONE src TO dst [VERSION AS OF n]` →
+  * [[graft.ingest.Snapshots.cloneTable]]: a zero-copy shallow clone of the
+  * source's (as-of) live file list as a brand-new table. */
+case class GraftCloneCommand(warehouse: String, src: String, dst: String,
+                             asOf: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("clone_version", LongType)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.cloneTable(session, warehouse, src, dst, asOf)))
 }
 
 /** `DELETE FROM t WHERE …` / `UPDATE t SET … WHERE …` →
