@@ -202,16 +202,26 @@ class GraftCatalog extends TableCatalog
   /** `DROP TABLE … PURGE`: the logical drop plus IMMEDIATE physical
     * deletion of the table's live data files — time travel to the dropped
     * table is forfeited (that is what PURGE means); the log entries stay
-    * and vacuum reaps the remainder on schedule. */
+    * and vacuum reaps the remainder on schedule. Files another LIVE table
+    * still references (zero-copy clones share files) are spared — only
+    * the reference sweep may reclaim those, once every table lets go. */
   override def purgeTable(ident: Identifier): Boolean = {
     val t = tableName(ident)
     val live = Snapshots.fileMeta(fs, warehouse, t).getOrElse(Seq.empty)
     val dropped = dropTable(ident)
-    if (dropped)
-      live.foreach { a =>
+    if (dropped) {
+      val otherLive = Snapshots.tableNames(fs, warehouse).filterNot(_ == t)
+        .flatMap(o => Snapshots.fileMeta(fs, warehouse, o)
+          .getOrElse(Seq.empty))
+      val sharedFiles = otherLive.map(_.file).toSet
+      val sharedDvs =
+        otherLive.filter(_.dv.nonEmpty).map(_.dvPath).toSet
+      live.filterNot(a => sharedFiles(a.file)).foreach { a =>
         fs.delete(new Path(a.file), false)
-        if (a.dv.nonEmpty) fs.delete(new Path(a.dvPath), false)
+        if (a.dv.nonEmpty && !sharedDvs(a.dvPath))
+          fs.delete(new Path(a.dvPath), false)
       }
+    }
     dropped
   }
 

@@ -129,6 +129,24 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "src").count() == 20)
   }
 
+  test("PURGE of a clone spares files its source still references") {
+    val w = wh("purge")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "src", (0L until 8L).map(i => (i, s"p$i")).toDF("id", "v"))
+    Snapshots.cloneTable(spark, w, "src", "dst")
+    spark.conf.set("spark.sql.catalog.gcl",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", w)
+    spark.sql("DROP TABLE gcl.dst PURGE")
+    // The shared files survive — src still serves them.
+    assert(Snapshots.read(spark, w, "src").count() == 8)
+    // Purging the LAST referencing table deletes for real.
+    spark.sql("DROP TABLE gcl.src PURGE")
+    assert(fs.listStatus(new Path(s"$w/src"))
+      .count(_.getPath.getName.endsWith(".parquet")) == 0)
+  }
+
   test("SQL: SNAPSHOT CLONE src TO dst [VERSION AS OF n]") {
     val w = wh("sql")
     val s0 = spark
