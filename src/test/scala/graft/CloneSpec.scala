@@ -129,6 +129,55 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "src").count() == 20)
   }
 
+  test("randomized divergence: clone and source track independent models") {
+    val w = wh("model")
+    val s0 = spark
+    import s0.implicits._
+    def appendRows(t: String, rows: Seq[(Long, Long)]): Unit =
+      pub(w, t, rows.toDF("id", "v"))
+    val rng = new scala.util.Random(17)
+    val model = Map("src" -> scala.collection.mutable.Map.empty[Long, Long],
+      "dst" -> scala.collection.mutable.Map.empty[Long, Long])
+    var nextId = 0L
+    def fresh(t: String, n: Int): Unit = {
+      val ids = (nextId until nextId + n); nextId += n
+      ids.foreach(i => model(t)(i) = i * 10)
+      appendRows(t, ids.map(i => (i, i * 10)))
+    }
+    fresh("src", 12)
+    fresh("src", 8)
+    Snapshots.cloneTable(spark, w, "src", "dst")
+    model("dst") ++= model("src")
+    (1 to 16).foreach { step =>
+      val t = if (rng.nextBoolean()) "src" else "dst"
+      rng.nextInt(5) match {
+        case 0 => fresh(t, 3 + rng.nextInt(5))
+        case 1 => // CoW delete of a residue class
+          val k = 2 + rng.nextInt(3); val r = rng.nextInt(k)
+          Merge.deleteWhere(spark, w, t, col("id") % k === r)
+          model(t).keys.filter(_ % k == r).toSeq.foreach(model(t).remove)
+        case 2 => // DV delete of a narrow range
+          val lo = rng.nextLong(math.max(1L, nextId))
+          Merge.deleteWhereDv(spark, w, t, col("id").between(lo, lo + 4))
+          model(t).keys.filter(i => i >= lo && i <= lo + 4)
+            .toSeq.foreach(model(t).remove)
+        case 3 => // CoW update
+          val lo = rng.nextLong(math.max(1L, nextId))
+          Merge.updateWhere(spark, w, t, col("id").between(lo, lo + 6),
+            Map("v" -> (col("v") + 1)))
+          model(t).keys.filter(i => i >= lo && i <= lo + 6)
+            .toSeq.foreach(i => model(t)(i) = model(t)(i) + 1)
+        case 4 => Compaction.compact(spark, w, t)
+      }
+      Seq("src", "dst").foreach { tt =>
+        val got = Snapshots.read(spark, w, tt).select("id", "v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model(tt).toMap,
+          s"table $tt diverged from its model after step $step (op on $t)")
+      }
+    }
+  }
+
   test("PURGE of a clone spares files its source still references") {
     val w = wh("purge")
     val s0 = spark
