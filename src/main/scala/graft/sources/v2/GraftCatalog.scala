@@ -135,7 +135,11 @@ class GraftCatalog extends TableCatalog
       })
     }.orElse(tblProps.get("catalog.schema.ddl").map(StructType.fromDDL))
       .getOrElse(throw new NoSuchTableException(ident))
-    val props = Map("warehouse" -> warehouse, "table" -> t) ++
+    // Identity props drive scans/writes; the log's TBLPROPERTIES ride
+    // along so `SHOW TBLPROPERTIES graft.t` (which reads
+    // Table.properties()) shows the real table configuration.
+    val props = tblProps ++
+      Map("warehouse" -> warehouse, "table" -> t) ++
       asOf.map(v => "versionAsOf" -> v.toString)
     new GraftCatalogTable(schema, props.asJava, partCols)
   }

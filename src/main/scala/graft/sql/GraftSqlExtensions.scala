@@ -66,7 +66,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val SnapshotRe =
     raw"(?is)\s*SNAPSHOT\s+OF\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*)?".r
-  private val HistoryRe = raw"(?is)\s*SNAPSHOT\s+HISTORY\s*".r
+  private val HistoryRe =
+    raw"(?is)\s*SNAPSHOT\s+HISTORY\s*(?:OF\s+([\w.]+)\s*)?".r
   // FROM optional (omitted or negative = the log's beginning), TO inclusive.
   private val ChangesRe =
     raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s*(?:FROM\s+(-?\d+)\s*)?(?:TO\s+(\d+)\s*)?".r
@@ -280,8 +281,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               s"no snapshot version existed at '$ts' under $wh")))
         else None
       Snapshots.read(session, wh, table, asOf).queryExecution.logical
-    case HistoryRe() =>
-      Snapshots.history(session, warehouse).queryExecution.logical
+    case HistoryRe(table) =>
+      // Optional `OF t`: only the versions that touched that table
+      // (catalog-qualified names resolve their catalog's warehouse).
+      val (hWh, hT) =
+        Option(table).map(resolveTarget).getOrElse((warehouse, null))
+      val h = Snapshots.history(session, hWh)
+      (if (hT == null) h
+       else h.filter(org.apache.spark.sql.functions.array_contains(
+         org.apache.spark.sql.functions.split(
+           org.apache.spark.sql.functions.col("tables"), ","), hT)))
+        .queryExecution.logical
     // FROM is exclusive (the last version the consumer saw), TO inclusive —
     // the same contract as the changes() API it maps onto.
     case ChangesRe(rawTable, from, to) =>

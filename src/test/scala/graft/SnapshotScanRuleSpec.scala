@@ -200,6 +200,29 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 21)
   }
 
+  test("SNAPSHOT HISTORY OF t and SHOW TBLPROPERTIES resolve per table") {
+    val w = wh("histOf")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gh",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gh.warehouse", w)
+    pub(w, "a", Seq((1L, "x")).toDF("id", "v"))
+    pub(w, "b", Seq((2L, "y")).toDF("id", "v"))
+    pub(w, "a", Seq((3L, "z")).toDF("id", "v"))
+    spark.conf.set("spark.graft.warehouse", w)
+    try {
+      assert(spark.sql("SNAPSHOT HISTORY").count() == 3)
+      assert(spark.sql("SNAPSHOT HISTORY OF a").count() == 2)
+      assert(spark.sql("SNAPSHOT HISTORY OF gh.b").count() == 1)
+      // TBLPROPERTIES land in the log and surface through the catalog.
+      spark.sql("ALTER TABLE gh.a SET TBLPROPERTIES ('quality'='gold')")
+      val shown = spark.sql("SHOW TBLPROPERTIES gh.a").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("quality").contains("gold"), shown)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("change-feed relation still serves through the splice") {
     val w = wh("cdf")
     val s0 = spark
