@@ -217,6 +217,34 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT x FROM graft.ghost").head().getLong(0) == 1L)
   }
 
+  test("table properties act as default read options for catalog streams") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("optsrc")
+    val startFrom = Snapshots.latestVersion(fs, wh).getOrElse(-1L)
+    spark.sql("CREATE TABLE graft.opts AS SELECT id, v FROM optsrc")
+    spark.sql("INSERT INTO graft.opts SELECT 2L, 'b'")
+    spark.sql("INSERT INTO graft.opts SELECT 3L, 'c'")
+    // A table-level default: every stream of this table is rate-limited
+    // without per-query options (the Delta table-properties model).
+    spark.sql(
+      "ALTER TABLE graft.opts SET TBLPROPERTIES ('maxFilesPerTrigger'='1')")
+    val out = dir.resolve("optsOut").toString
+    val ckpt = dir.resolve("optsCkpt").toString
+    val q = spark.readStream
+      .option("startingVersion", startFrom.toString) // per-query still wins
+      .table("graft.opts")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 3)
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3,
+      s"table-level maxFilesPerTrigger must rate-limit: got $batches batches")
+  }
+
   test("streaming read and write resolve through the catalog table name") {
     val s0 = spark
     import s0.implicits._
