@@ -341,9 +341,19 @@ class GraftCatalogTable(tableSchema: StructType,
   // properties (warehouse/table/versionAsOf, partitionBy) supply identity;
   // explicit per-query options still win.
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : org.apache.spark.sql.connector.read.ScanBuilder =
-    super.newScanBuilder(new CaseInsensitiveStringMap(
-      (props.asScala ++ options.asScala).asJava))
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (props.asScala ++ options.asScala).asJava)
+    // The catalog table's resolved schema is the SNAPSHOT schema; serving
+    // the change feed under it would silently surface merge pre/post-image
+    // rows as plain data. The feed has its own surfaces — fail fast.
+    require(!Option(merged.get("readChangeFeed")).exists(_.toBoolean),
+      "readChangeFeed is not supported on catalog tables — use " +
+        "SNAPSHOT CHANGES OF t, Snapshots.changes, or " +
+        "spark.read.format(\"graft-snapshots\").option(\"readChangeFeed\", " +
+        "\"true\") (whose schema carries _change_type/_commit_version)")
+    super.newScanBuilder(merged)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -205,6 +205,18 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PURGE must delete $f immediately"))
   }
 
+  test("readChangeFeed on a catalog table fails fast with guidance") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("cfsrc")
+    spark.sql("CREATE TABLE graft.cf AS SELECT id, v FROM cfsrc")
+    val err = intercept[Exception](
+      spark.read.option("readChangeFeed", "true").table("graft.cf").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("SNAPSHOT CHANGES")), msgs(err))
+  }
+
   test("CTAS is atomic: a failed query leaves no table behind") {
     intercept[Exception](spark.sql(
       "CREATE TABLE graft.ghost AS SELECT raise_error('boom') AS x"))
