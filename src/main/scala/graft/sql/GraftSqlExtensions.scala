@@ -67,7 +67,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val SnapshotRe =
     raw"(?is)\s*SNAPSHOT\s+OF\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*)?".r
   private val HistoryRe =
-    raw"(?is)\s*SNAPSHOT\s+HISTORY\s*(?:OF\s+([\w.]+)\s*)?".r
+    raw"(?is)\s*SNAPSHOT\s+HISTORY\s*(?:OF\s+([\w.]+)\s*)?(?:IN\s+(\w+)\s*)?".r
   // FROM optional (omitted or negative = the log's beginning), TO inclusive.
   private val ChangesRe =
     raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s*(?:FROM\s+(-?\d+)\s*)?(?:TO\s+(\d+)\s*)?".r
@@ -176,7 +176,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Snapshots.fileMeta(fs, wh, table).exists(_.nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => false }
   private val VacuumRe =
-    raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
+    raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:IN\s+(\w+)\s*)?(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
   // Delta-grammar MERGE (the most-used warehouse DML statement): target and
   // source are table names (graft tables or registered views), the WHEN
   // clauses are parsed separately below. Guarded by isGraftTable like
@@ -253,6 +253,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * users without a separate spark.graft.warehouse); bare names use the
     * configured warehouse as before. Other multi-part names are returned
     * unresolved — their statements fall through to the delegate. */
+  /** The warehouse of a registered GraftCatalog, if `cat` names one. */
+  private def catalogWarehouse(cat: String): Option[String] =
+    session.conf.getOption(s"spark.sql.catalog.$cat")
+      .filter(_ == classOf[graft.sources.v2.GraftCatalog].getName)
+      .flatMap(_ => session.conf
+        .getOption(s"spark.sql.catalog.$cat.warehouse"))
+
   private def resolveTarget(name: String): (String, String) = {
     val parts = name.split("\\.")
     if (parts.length == 2 && session.conf
@@ -281,11 +288,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               s"no snapshot version existed at '$ts' under $wh")))
         else None
       Snapshots.read(session, wh, table, asOf).queryExecution.logical
-    case HistoryRe(table) =>
+    case HistoryRe(table, inCat) =>
       // Optional `OF t`: only the versions that touched that table
-      // (catalog-qualified names resolve their catalog's warehouse).
+      // (catalog-qualified names resolve their catalog's warehouse);
+      // optional `IN cat`: that GraftCatalog's whole warehouse.
       val (hWh, hT) =
-        Option(table).map(resolveTarget).getOrElse((warehouse, null))
+        Option(table).map(resolveTarget).getOrElse(
+          (Option(inCat).flatMap(catalogWarehouse).getOrElse(warehouse),
+            null))
       val h = Snapshots.history(session, hWh)
       (if (hT == null) h
        else h.filter(org.apache.spark.sql.functions.array_contains(
@@ -451,8 +461,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       import session.implicits._
       props.toSeq.sortBy(_._1).toDF("key", "value")
         .queryExecution.logical
-    case VacuumRe(retain, maxAgeHours) =>
-      GraftVacuumCommand(warehouse,
+    case VacuumRe(inCat, retain, maxAgeHours) =>
+      GraftVacuumCommand(
+        Option(inCat).flatMap(catalogWarehouse).getOrElse(warehouse),
         Option(retain).map(_.toInt).getOrElse(32),
         Option(maxAgeHours).map(_.toLong * 3600000L)
           .getOrElse(Snapshots.DefaultRetentionMs))

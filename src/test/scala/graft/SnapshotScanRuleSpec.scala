@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ingest.{Merge, Snapshots, TxnCommit}
+import graft.ingest.{Compaction, Merge, Snapshots, TxnCommit}
 
 /** The vectorized format-read path ([[graft.sql.SnapshotScanRule]]): with
   * the extension installed, `spark.read.format("graft-snapshots")` must
@@ -221,6 +221,29 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(shown.get("quality").contains("gold"), shown)
     } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("HISTORY IN cat / VACUUM IN cat and explicit-schema DDL work catalog-only") {
+    val w = wh("inCat")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gic",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gic.warehouse", w)
+    // No spark.graft.warehouse anywhere in this test.
+    spark.conf.unset("spark.graft.warehouse")
+    // Explicit-schema DDL (no AS SELECT) through the catalog, then INSERT.
+    spark.sql("CREATE TABLE gic.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gic.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT id FROM gic.t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+    spark.sql("INSERT INTO gic.t VALUES (3, 'c')")
+    assert(spark.sql("SNAPSHOT HISTORY IN gic").count() == 3) // props + 2 appends
+    Compaction.compact(spark, w, "t")
+    spark.sql("VACUUM SNAPSHOTS IN gic RETAIN 1 VERSIONS MAX AGE 0 HOURS")
+    val fsW = new Path(w).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Snapshots.entries(fsW, w).filterNot(_.isCheckpoint).size <= 2)
+    assert(spark.sql("SELECT count(*) FROM gic.t").head().getLong(0) == 3)
   }
 
   test("change-feed relation still serves through the splice") {
