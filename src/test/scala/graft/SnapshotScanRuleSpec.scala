@@ -198,6 +198,13 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // RESTORE back to the pre-compaction version.
     spark.sql(s"RESTORE gm.t TO VERSION AS OF $v1")
     assert(spark.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 21)
+
+    // Zero-copy clone with catalog-qualified names on both sides.
+    spark.sql("SNAPSHOT CLONE gm.t TO gm.t2")
+    assert(spark.sql("SELECT count(*) FROM gm.t2").head().getLong(0) == 21)
+    spark.sql("DELETE FROM gm.t2 WHERE id >= 100")
+    assert(spark.sql("SELECT count(*) FROM gm.t2").head().getLong(0) == 20)
+    assert(spark.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 21)
   }
 
   test("SNAPSHOT HISTORY OF t and SHOW TBLPROPERTIES resolve per table") {
