@@ -1457,18 +1457,27 @@ object Snapshots {
             dataFilter, loader)
         }
       }
-    val partitioned = all.exists(_.partition.nonEmpty)
-    val allByRoot = all.groupBy(rootDirOf)
-    // Width-mixed tables (safe type widening) read under an explicit
-    // widest schema — detection over the root's live files, so the schema
+    // Files group per (root table dir, partition layout): normally ONE
+    // group — the fast single-relation path — but a zero-copy clone's
+    // shared files root in the source's dir, and a table whose partition
+    // layout EVOLVED (flat era → dt= era, or re-partitioning) carries
+    // several layouts. Each group reads under its own basePath/inference;
+    // rows from eras without a partition column read it as null
+    // (additive semantics), and cross-group type widening rides union
+    // coercion.
+    def groupKey(a: Action): (String, Seq[String]) =
+      (rootDirOf(a), partitionColumns(Seq(a.partition)))
+    val allByGroup = all.groupBy(groupKey)
+    // Width-mixed groups (safe type widening) read under an explicit
+    // widest schema — detection over the group's live files, so the schema
     // is stable regardless of pruning. An explicit schema supersedes
     // mergeSchema; widenedSchema's merge covers additive columns too.
     def frameOver(group: Seq[Action], schemaOnly: Boolean): DataFrame = {
-      val root = rootDirOf(group.head)
-      val bp = if (partitioned) Some(root) else None
+      val key = groupKey(group.head)
+      val bp = if (group.head.partition.nonEmpty) Some(key._1) else None
       val reader0 = spark.read.option("mergeSchema", mergeSchema)
       val reader1 = bp.fold(reader0)(reader0.option("basePath", _))
-      val reader = widenedSchema(spark, allByRoot.getOrElse(root, group), bp)
+      val reader = widenedSchema(spark, allByGroup.getOrElse(key, group), bp)
         .fold(reader1)(reader1.schema)
       if (schemaOnly)
         // Every file provably excluded: an empty frame with the table
@@ -1482,7 +1491,7 @@ object Snapshots {
     }
     val physical =
       if (pruned.isEmpty) frameOver(Seq(partPruned.head), schemaOnly = true)
-      else pruned.groupBy(rootDirOf).values.toSeq
+      else pruned.groupBy(groupKey).values.toSeq
         .map(g => frameOver(g, schemaOnly = false))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     mapping.fold(physical)(_.applyTo(physical))

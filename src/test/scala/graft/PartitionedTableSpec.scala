@@ -142,6 +142,31 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.partitionedFiles(fs, w, "t").get.forall(_._2.startsWith("dt=")))
   }
 
+  test("partition layout evolution: a flat era and a dt= era read together") {
+    val w = wh("whEvolve")
+    val s0 = spark
+    import s0.implicits._
+    // Era 1: FLAT files (no partition column).
+    val cid = java.util.UUID.randomUUID().toString
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("id").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val mv = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, mv); TxnCommit.publish(fs, w, cid, mv)
+    // Era 2: the table re-partitions by dt going forward.
+    publishPartitioned(w, "t", Seq(3L -> days(1), 4L -> days(2)))
+    val got = Snapshots.read(spark, w, "t")
+    assert(got.columns.toSet == Set("id", "dt"))
+    // Old rows read dt as null (additive semantics); new rows carry it.
+    assert(got.collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toSet ==
+      Set(1L -> null, 2L -> null, 3L -> days(1), 4L -> days(2)))
+    // Partition pruning still plans only the matching dt files; the flat
+    // era cannot be pruned by a partition filter and is kept.
+    val prunedRows = Snapshots.read(spark, w, "t",
+      partitionFilter = m => m.isEmpty || m.get("dt").contains(days(2)))
+    assert(prunedRows.select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("changes() on a partitioned table keeps the dt column") {
     val w = wh("whCdc")
     publishPartitioned(w, "t", Seq(1L -> days(1)))
