@@ -367,7 +367,13 @@ object TxnCommit {
     // may have appended sidecar-bloom moves the caller never saw (their
     // dests must publish with the data whose ADD lines point at them).
     val mf0 = new Path(commitsDir(warehouse), s"$commitId.manifest")
-    val manifest = if (fs.exists(mf0)) Some(readManifest(fs, mf0)) else None
+    // A concurrent recover() may replay this commit and delete the
+    // manifest between the existence check and the read: the publish
+    // already happened (idempotently) — proceed on the caller's own args;
+    // every downstream step converges.
+    val manifest =
+      try { if (fs.exists(mf0)) Some(readManifest(fs, mf0)) else None }
+      catch { case _: java.io.FileNotFoundException => None }
     val effMoves = manifest.map(_.moves).getOrElse(moves)
     val failAfter = sys.props.get("graft.test.failAfterMoves").map(_.toInt)
     var applied = 0
@@ -522,20 +528,29 @@ object TxnCommit {
         .filter(_.getName.endsWith(".aborted"))
         .foreach { ab =>
           val commitId = ab.getName.stripSuffix(".aborted")
-          rollback(fs, warehouse, commitId, readManifest(fs, ab).moves)
+          // A rival recover can finish (and remove) the abort between the
+          // listing and the read — converged, move on.
+          try rollback(fs, warehouse, commitId, readManifest(fs, ab).moves)
+          catch { case _: java.io.FileNotFoundException => () }
         }
       fs.listStatus(cd).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".manifest"))
         .foreach { mf =>
           val commitId = mf.getName.stripSuffix(".manifest")
-          val m = readManifest(fs, mf)
           // A replayed rewrite can lose its OCC race exactly like a live
           // one; publish has already rolled it back — recovery moves on.
-          // replay = true: the idempotency check must scan the FULL log
-          // (the original entry may sit below the checkpoint anchor).
-          try publish(fs, warehouse, commitId, m.moves, m.deletes,
-            m.retained, m.op, m.baseVersion, replay = true)
-          catch { case _: Snapshots.ConcurrentCommitException => () }
+          // The manifest's OWNER (or a rival recover) can also publish and
+          // delete it mid-walk — converged, move on. replay = true: the
+          // idempotency check must scan the FULL log (the original entry
+          // may sit below the checkpoint anchor).
+          try {
+            val m = readManifest(fs, mf)
+            publish(fs, warehouse, commitId, m.moves, m.deletes,
+              m.retained, m.op, m.baseVersion, replay = true)
+          } catch {
+            case _: Snapshots.ConcurrentCommitException => ()
+            case _: java.io.FileNotFoundException => ()
+          }
         }
       // stray .tmp manifests never reached the commit point: drop them
       fs.listStatus(cd).toSeq.map(_.getPath)
