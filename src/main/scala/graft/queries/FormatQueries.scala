@@ -247,6 +247,33 @@ object FormatQueries {
       Snapshots.read(s, wh, "nation_clone")
     }),
 
+    // Partition-layout evolution: a FLAT first era (no side column on
+    // disk, keys < 13) and a side-partitioned second era read as ONE
+    // table — old rows serve the partition column as NULL. Ground truth:
+    // a UNION with a NULL side for the flat era.
+    "fmt_layout_evolve" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_layout_evolve", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n.filter(col("n_nationkey") < 13))
+        val cid = java.util.UUID.randomUUID().toString
+        n.filter(col("n_nationkey") >= 13)
+          .withColumn("side", when(col("n_nationkey") % 2 === 0,
+            lit("even")).otherwise(lit("odd")))
+          .coalesce(1).write.partitionBy("side")
+          .parquet(s"${TxnCommit.stagingDir(w, cid)}/nation")
+        val fs = new Path(w).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        val moves = TxnCommit.movesFor(fs, w, cid, "nation")
+        TxnCommit.commit(fs, w, cid, moves)
+        TxnCommit.publish(fs, w, cid, moves)
+        w
+      }
+      Snapshots.read(s, wh, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("side").cast("string").as("side"))
+    }),
+
     "fmt_merge" -> ((s, d) => {
       val wh = Fixtures.once("fmt_merge", d) {
         val w = freshWh()
@@ -438,6 +465,17 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS side
         |FROM nation""".stripMargin,
+    // Flat era (keys < 13, NULL side) unioned with the partitioned era.
+    "fmt_layout_evolve" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(NULL AS VARCHAR) AS side
+        |FROM nation WHERE n_nationkey < 13
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS BIGINT), n_name,
+        |       CAST(n_regionkey AS BIGINT),
+        |       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        |FROM nation WHERE n_nationkey >= 13""".stripMargin,
     // Clone of the full fixture minus the clone-side DELETE of high keys.
     "fmt_clone" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
