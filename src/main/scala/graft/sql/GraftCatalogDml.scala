@@ -72,8 +72,14 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     case m: MergeIntoTable
         if m.resolved && graftTarget(m.targetTable).isDefined =>
       val (wh, t) = graftTarget(m.targetTable).get
-      require(m.notMatchedBySourceActions.isEmpty,
-        "MERGE WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
+      val nmbsDelete = m.notMatchedBySourceActions match {
+        case Seq() => false
+        case Seq(DeleteAction(None)) => true
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE clause(s) for graft " +
+            s"tables: ${other.mkString(", ")} — only an unconditional " +
+            "DELETE is lowered (the mirror-sync shape)")
+      }
       // Key columns: AND-ed same-named equalities, the Merge.upsert shape.
       val keyCols = conjuncts(m.mergeCondition).map {
         case EqualTo(l: AttributeReference, r: AttributeReference)
@@ -117,10 +123,87 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       require(!(matchedUpdate && matchedDelete),
         "MERGE cannot have both an unconditional MATCHED UPDATE and a " +
           "MATCHED DELETE clause")
-      GraftMergeCommand(wh, t, source = "", keyCols,
-        matchedUpdate, matchedDelete, notMatchedInsert,
-        sourcePlan = Some(m.sourceTable))
+      if (nmbsDelete) {
+        require(!matchedDelete,
+          "MATCHED DELETE with NOT MATCHED BY SOURCE DELETE would empty " +
+            "the table — use TRUNCATE")
+        // Mirror-sync shapes, each ONE atomic commit:
+        //   UPDATE* + INSERT* + NMBS DELETE ≡ the table BECOMES the source
+        //     (matched rows replaced by source, unmatched inserted,
+        //     everything else deleted) → one OCC overwrite;
+        //   UPDATE* + NMBS DELETE ≡ the source restricted to existing
+        //     keys → one OCC overwrite of that semi-join;
+        //   NMBS DELETE alone ≡ delete target keys absent from the
+        //     source → one keyed-delete commit.
+        GraftMergeSyncCommand(wh, t, keyCols, m.sourceTable,
+          matchedUpdate, notMatchedInsert)
+      } else
+        GraftMergeCommand(wh, t, source = "", keyCols,
+          matchedUpdate, matchedDelete, notMatchedInsert,
+          sourcePlan = Some(m.sourceTable))
 
     case _ => plan
+  }
+}
+
+/** The mirror-sync MERGE shapes (`WHEN NOT MATCHED BY SOURCE THEN
+  * DELETE`), each lowered to ONE atomic commit — never a multi-commit
+  * window where the table is neither old nor new:
+  *
+  *   - with `UPDATE SET *` + `INSERT *`: the table becomes exactly the
+  *     source (the CDC mirror) — an OCC-guarded overwrite;
+  *   - with `UPDATE SET *` only: the source restricted to keys already in
+  *     the table — an OCC-guarded overwrite of that semi-join;
+  *   - alone: a keyed delete of target keys the source no longer has.
+  *
+  * Duplicate source keys are rejected up front (the MERGE contract — an
+  * overwrite would otherwise silently keep both copies). */
+case class GraftMergeSyncCommand(warehouse: String, table: String,
+                                 keyCols: Seq[String],
+                                 sourcePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                 matchedUpdate: Boolean,
+                                 notMatchedInsert: Boolean)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.LongType
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rows_after", LongType)())
+
+  override def run(session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val src =
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, sourcePlan)
+    require(src.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      s"MERGE source has duplicate keys on (${keyCols.mkString(", ")})")
+    val result =
+      if (matchedUpdate && notMatchedInsert) src
+      else if (matchedUpdate) {
+        val targetKeys = graft.ingest.Snapshots
+          .read(session, warehouse, table)
+          .select(keyCols.map(col): _*).distinct()
+        src.join(targetKeys, keyCols, "left_semi")
+      } else null
+    if (result != null) {
+      val partCols = graft.ingest.Snapshots.partitionLayout(
+        new org.apache.hadoop.fs.Path(warehouse).getFileSystem(
+          session.sparkContext.hadoopConfiguration), warehouse, table)
+      val w = result.write.format("graft-snapshots")
+        .option("warehouse", warehouse).option("table", table)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      (if (partCols.isEmpty) w
+       else w.option("partitionBy", partCols.mkString(","))).save()
+    } else {
+      // NMBS DELETE alone: drop target keys absent from the source.
+      val gone = graft.ingest.Snapshots.read(session, warehouse, table)
+        .select(keyCols.map(col): _*).distinct()
+        .join(src.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+      graft.ingest.Merge.deleteKeys(session, warehouse, table, gone, keyCols)
+    }
+    Seq(org.apache.spark.sql.Row(
+      graft.ingest.Snapshots.read(session, warehouse, table).count()))
   }
 }

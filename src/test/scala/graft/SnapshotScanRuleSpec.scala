@@ -164,6 +164,68 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().contains(3L))
   }
 
+  test("MERGE mirror-sync shapes: NOT MATCHED BY SOURCE DELETE") {
+    val w = wh("catSync")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gs",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gs.warehouse", w)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("sync_t")
+    spark.sql("CREATE TABLE gs.t AS SELECT id, v FROM sync_t")
+    val vBefore = {
+      val fsW = new Path(w).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      Snapshots.latestVersion(fsW, w).get
+    }
+    // Full mirror: the table BECOMES the source in one version.
+    Seq((2L, "B"), (4L, "d")).toDF("id", "v")
+      .createOrReplaceTempView("sync_src")
+    spark.sql(
+      """MERGE INTO gs.t USING sync_src ON gs.t.id = sync_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM gs.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq(2L -> "B", 4L -> "d"))
+    // One atomic version; the pre-sync state time-travels.
+    val fsW = new Path(w).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Snapshots.latestVersion(fsW, w).get == vBefore + 1)
+    assert(spark.sql(s"SELECT count(*) FROM gs.t VERSION AS OF $vBefore")
+      .head().getLong(0) == 3)
+
+    // NMBS DELETE alone: prune keys the source no longer has.
+    Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("sync_keep")
+    spark.sql(
+      """MERGE INTO gs.t USING sync_keep ON gs.t.id = sync_keep.id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id FROM gs.t").as[Long]
+      .collect().toSeq == Seq(2L))
+
+    // UPDATE* + NMBS DELETE (no INSERT): source restricted to existing
+    // keys — new source keys are NOT inserted, missing ones are dropped.
+    spark.sql("INSERT INTO gs.t SELECT 5L, 'e'") // table: {2, 5}
+    Seq((2L, "Z"), (9L, "q")).toDF("id", "v")
+      .createOrReplaceTempView("sync_upd")
+    spark.sql(
+      """MERGE INTO gs.t USING sync_upd ON gs.t.id = sync_upd.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM gs.t").as[(Long, String)]
+      .collect().toSeq == Seq(2L -> "Z"))
+
+    // Duplicate source keys are rejected.
+    Seq((7L, "x"), (7L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("sync_dup")
+    val err = intercept[Exception](spark.sql(
+      """MERGE INTO gs.t USING sync_dup ON gs.t.id = sync_dup.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    assert(err.getMessage.contains("duplicate keys"), err.getMessage)
+  }
+
   test("maintenance statements accept catalog-qualified names") {
     val w = wh("catMaint")
     val s0 = spark
