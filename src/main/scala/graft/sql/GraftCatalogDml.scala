@@ -203,7 +203,17 @@ case class GraftMergeSyncCommand(warehouse: String, table: String,
           keyCols, "left_anti")
       graft.ingest.Merge.deleteKeys(session, warehouse, table, gone, keyCols)
     }
-    Seq(org.apache.spark.sql.Row(
-      graft.ingest.Snapshots.read(session, warehouse, table).count()))
+    // rows_after from the log's stats tokens (DV counts subtracted) — a
+    // MERGE must not end with a full count job at 100 TB; -1 when any
+    // file lacks a rows token.
+    val fsW = new org.apache.hadoop.fs.Path(warehouse).getFileSystem(
+      session.sparkContext.hadoopConfiguration)
+    val files = graft.ingest.Snapshots.fileMeta(fsW, warehouse, table)
+      .getOrElse(Seq.empty)
+    val rowsAfter = files.foldLeft(Option(0L)) { (acc, a) =>
+      for (t <- acc; st <- graft.ingest.FileStats.decode(a.stats))
+        yield t + math.max(0L, st.rows - a.dvCount)
+    }.getOrElse(-1L)
+    Seq(org.apache.spark.sql.Row(rowsAfter))
   }
 }
