@@ -83,22 +83,28 @@ object Compaction {
     val partCols = Snapshots.partitionColumns(inputs.map(_._3))
     val acts = inputs.map { case (f, _, spec, dv, stats) =>
       Snapshots.Action("ADD", table, f, spec, stats, dv) }
-    // One relation per root table dir (a CLONE's inputs can still sit in
-    // the source table's dir): basePath and DV subtraction per root, then
-    // union. Width-mixed inputs (safe type widening) rewrite at the widest
-    // type — the compaction IS the moment the narrow files physically
-    // widen (cross-root widening rides union coercion).
+    // One relation per (root table dir, partition layout) — the same key
+    // Snapshots.read groups by: a CLONE's inputs can still sit in the
+    // source table's dir, and a layout-EVOLVED table (flat era + dt= era)
+    // must not mix depths in one basePath relation. Width-mixed inputs
+    // (safe type widening) rewrite at the widest type — the compaction IS
+    // the moment the narrow files physically widen; flat-era rows read
+    // evolved partition columns as null (cross-group widening rides union
+    // coercion).
     val groups =
-      if (partCols.isEmpty) Seq(acts) else Snapshots.rootGroups(acts)
+      if (partCols.isEmpty) Seq(acts) else Snapshots.layoutGroups(acts)
     val frames = groups.map { g =>
       val bp =
-        if (partCols.isEmpty) None else Some(Snapshots.rootDirOf(g.head))
+        if (g.head.partition.isEmpty) None
+        else Some(Snapshots.rootDirOf(g.head))
       val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
       val df0 = Snapshots.widenedSchema(spark, g, bp)
         .fold(rd0)(rd0.schema).parquet(g.map(_.file): _*)
       Snapshots.applyDv(spark, df0, g)
     }
-    (frames.reduce(_.unionByName(_, allowMissingColumns = true)), partCols)
+    (Snapshots.deVoidPartitions(
+      frames.reduce(_.unionByName(_, allowMissingColumns = true)), partCols),
+      partCols)
   }
 
   /** Compact `table` into files of ~`targetBytes`. No-op (None) when the

@@ -56,16 +56,22 @@ object Merge {
                           mapping: Option[ColumnMapping],
                           acts: Seq[Snapshots.Action]): DataFrame = {
     import org.apache.spark.sql.functions.regexp_replace
-    // One relation per root table dir (a diverged CLONE's candidates span
-    // the source's dir and its own): basePath, width-mixed widening, row
-    // identity, and DV subtraction are all per-root — metadata columns
-    // only resolve scan-side — then union (cross-root widening rides
+    // One relation per (root table dir, partition layout) — the SAME key
+    // Snapshots.read groups by. Root splits cover a diverged CLONE's
+    // candidates spanning the source's dir and its own; layout splits
+    // cover a table whose partitioning EVOLVED (flat era + dt= era under
+    // one root), where a single basePath relation trips Spark's
+    // conflicting-directory-structures check. basePath, width-mixed
+    // widening, row identity, and DV subtraction are all per-group —
+    // metadata columns only resolve scan-side — then union (flat-era rows
+    // read evolved partition columns as null; cross-group widening rides
     // union coercion).
     val groups =
-      if (partCols.isEmpty) Seq(acts) else Snapshots.rootGroups(acts)
+      if (partCols.isEmpty) Seq(acts) else Snapshots.layoutGroups(acts)
     val frames = groups.map { g =>
       val bp =
-        if (partCols.isEmpty) None else Some(Snapshots.rootDirOf(g.head))
+        if (g.head.partition.isEmpty) None
+        else Some(Snapshots.rootDirOf(g.head))
       val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
       val df0 = Snapshots.widenedSchema(spark, g, bp)
         .fold(rd0)(rd0.schema).parquet(g.map(_.file): _*)
@@ -75,7 +81,8 @@ object Merge {
         .withColumn(RowPosCol, col("_metadata.row_index"))
       Snapshots.applyDv(spark, keyed, g)
     }
-    val df = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val df = Snapshots.deVoidPartitions(
+      frames.reduce(_.unionByName(_, allowMissingColumns = true)), partCols)
     mapping.fold(df)(_.applyTo(df, passthrough = Seq(SrcFileCol, RowPosCol)))
   }
 

@@ -144,6 +144,33 @@ object Snapshots {
 
   private[graft] def rootGroups(acts: Seq[Action]): Seq[Seq[Action]] =
     acts.groupBy(rootDirOf).values.toSeq
+
+  /** When EVERY file of a relation sits in the null partition
+    * (`dt=__HIVE_DEFAULT_PARTITION__` — e.g. a rewrite that migrated
+    * flat-era rows of a layout-evolved table), Spark infers the partition
+    * column as NullType (VOID) — a type parquet cannot write and
+    * partitionBy rejects, so any DML rewrite over such a relation would
+    * fail downstream. Cast it to string (the values are all null, so the
+    * cast is value-preserving; a mixed relation never hits this — any
+    * non-null value wins inference). */
+  private[graft] def deVoidPartitions(df: org.apache.spark.sql.DataFrame,
+                                      partCols: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    partCols.foldLeft(df)((d, c) =>
+      if (d.schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.NullType))
+        d.withColumn(c, d(c).cast(org.apache.spark.sql.types.StringType))
+      else d)
+
+  /** Group actions exactly the way [[read]]'s frameOver does: one group
+    * per (root table dir, partition layout). DML and compaction scans must
+    * use THIS key, not root dir alone — on a layout-evolved table (flat
+    * era + `dt=` era under one root) a single relation with basePath trips
+    * Spark's conflicting-directory-structures check; per-layout relations
+    * union with additive semantics instead. */
+  private[graft] def layoutGroups(acts: Seq[Action]): Seq[Seq[Action]] =
+    acts.groupBy(a => (rootDirOf(a), partitionColumns(Seq(a.partition))))
+      .values.toSeq
   private[graft] def srcFileKey(uri: String): String =
     uri.replaceFirst(SchemeRe, "")
 
@@ -1489,11 +1516,12 @@ object Snapshots {
         // no group file carries an attachment).
         applyDv(spark, reader.parquet(group.map(_.file).distinct: _*), group)
     }
-    val physical =
+    val physical = deVoidPartitions(
       if (pruned.isEmpty) frameOver(Seq(partPruned.head), schemaOnly = true)
       else pruned.groupBy(groupKey).values.toSeq
         .map(g => frameOver(g, schemaOnly = false))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .reduce(_.unionByName(_, allowMissingColumns = true)),
+      partitionColumns(all.map(_.partition)))
     mapping.fold(physical)(_.applyTo(physical))
   }
 }

@@ -968,7 +968,15 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
           // warehouse) serves nothing and streams on.
           if (acts.isEmpty) Nil
           else if (readChangeFeed) {
-            require(cdfs.nonEmpty || adds.isEmpty,
+            // A CDF-less rewrite is unrepresentable whether it carries
+            // ADDs (replacement rows with no delete events) or bare
+            // REMOVEs (a drop: the deletion itself is the event). Serving
+            // Nil for a drop would let a consumer apply later re-create
+            // inserts on top of never-deleted rows — the exact corruption
+            // batch changes() refuses.
+            val removes = acts.exists(a =>
+              !a.add && !a.cdf && !a.meta && !a.isDv)
+            require(cdfs.nonEmpty || (adds.isEmpty && !removes),
               s"snapshot version $v is a $op commit without change files " +
                 "— the change-feed stream cannot represent it")
             // CDF files carry _change_type per row; version is constant.

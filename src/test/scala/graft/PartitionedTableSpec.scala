@@ -167,6 +167,36 @@ class PartitionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedRows.select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("DML and compaction span a layout-evolved table (flat + dt= eras)") {
+    val w = wh("whEvolveDml")
+    val s0 = spark
+    import s0.implicits._
+    // Era 1: FLAT files; era 2: dt= partitioned — both live under one root.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("id").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val mv = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, mv); TxnCommit.publish(fs, w, cid, mv)
+    publishPartitioned(w, "t", Seq(3L -> days(1), 4L -> days(2)))
+    // DELETE spanning both eras: one flat-era row and one dt-era row.
+    val r = Merge.deleteWhere(spark, w, "t", col("id").isin(2L, 3L))
+    assert(r.rowsMatched == 2, s"matched ${r.rowsMatched}")
+    def ids() = Snapshots.read(spark, w, "t")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids() == Seq(1L, 4L))
+    // UPDATE across eras.
+    Merge.updateWhere(spark, w, "t", col("id") === 1L,
+      Map("id" -> org.apache.spark.sql.functions.lit(10L)))
+    assert(ids() == Seq(4L, 10L))
+    // Keyed MERGE (upsert) across eras.
+    Merge.upsert(spark, w, "t",
+      Seq(10L -> days(3), 5L -> days(3)).toDF("id", "dt"), Seq("id"))
+    assert(ids() == Seq(4L, 5L, 10L))
+    // OPTIMIZE (compaction) over the mixed eras still reads + rewrites.
+    Compaction.compact(spark, w, "t", minInputFiles = 2)
+    assert(ids() == Seq(4L, 5L, 10L))
+  }
+
   test("changes() on a partitioned table keeps the dt column") {
     val w = wh("whCdc")
     publishPartitioned(w, "t", Seq(1L -> days(1)))

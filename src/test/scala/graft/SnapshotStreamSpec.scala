@@ -207,6 +207,31 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(1L, 1L, 2L, 3L, 3L)) // v0's {1,2,3} + v3's DV-subtracted {1,3}
   }
 
+  test("readChangeFeed fails on a drop commit instead of swallowing it") {
+    val w = wh("whCdfDrop")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, Seq(1L -> "a", 2L -> "b"))        // v0
+    Snapshots.dropTable(fs, w, "t")                // v1: REMOVEs only, no CDF
+    publishKv(w, Seq(3L -> "c"))                   // v2: re-create
+    // A drop writes bare REMOVEs (no CDF files): its deletions cannot be
+    // represented as change rows, so the CDF stream must fail fast — NOT
+    // serve v2's inserts on top of never-deleted v0 rows.
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(w, wh("whCdfDropOut"), wh("whCdfDropCkpt"),
+        Map("readChangeFeed" -> "true"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("drop")))
+    // Starting PAST the drop, the CDF stream serves the re-created rows.
+    val out = wh("whCdfDropOut2")
+    drain(w, out, wh("whCdfDropCkpt2"),
+      Map("readChangeFeed" -> "true", "startingVersion" -> "1"))
+    assert(spark.read.parquet(out)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("a rewrite of ANOTHER table does not fail this table's stream") {
     val w = wh("whMulti")
     val s0 = spark
