@@ -660,4 +660,199 @@ object Merge {
       affected.map(_.file), base, candidates.size, mapping,
       fileGranularOcc = !insertSource)
   }
+
+  /** One `WHEN` clause of a general MERGE. For a MATCHED clause,
+    * `assigns = Some(col → expr)` is `UPDATE SET col = expr` (expressions
+    * may reference `t.<col>` and `s.<col>`) and `assigns = None` is
+    * `DELETE`. For a NOT MATCHED clause, `Some` is
+    * `INSERT (cols) VALUES (exprs)` (unassigned target columns insert
+    * NULL) and `None` is `INSERT *` (same-named source columns).
+    * `cond = None` is an unconditional clause. */
+  case class WhenClause(cond: Option[org.apache.spark.sql.Column],
+                        assigns: Option[Seq[(String, org.apache.spark.sql.Column)]])
+
+  /** General MERGE with conditional and column-level clauses — the full
+    * Delta `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN
+    * UPDATE SET col = expr | DELETE / WHEN NOT MATCHED [AND c] THEN
+    * INSERT …` shape, which [[upsert]]/[[deleteKeys]] (star shapes) cannot
+    * express. Per MERGE semantics, clauses apply in order: the FIRST
+    * matched clause whose condition is true acts on a matched row; a
+    * matched row no clause acts on survives unchanged; the first
+    * not-matched clause whose condition is true inserts an unmatched
+    * source row. A target row matched by several acting source rows is an
+    * error (the Delta multi-match contract).
+    *
+    * Scale shape: candidates come from the source keys' log-stats pruning
+    * (point/bloom/minmax — same as [[upsert]]); clause conditions are
+    * evaluated in ONE join over the candidates; only files where some
+    * clause ACTS are rewritten; the not-matched set anti-joins the
+    * matched keys observed in that same join — never a full-table scan.
+    * Driver state is O(affected files). */
+  def mergeClauses(spark: SparkSession, warehouse: String, table: String,
+                   source: DataFrame, keyCols: Seq[String],
+                   matched: Seq[WhenClause],
+                   notMatched: Seq[WhenClause]): Result = {
+    import org.apache.spark.sql.functions.{count, lit => flit, when}
+    require(matched.nonEmpty || notMatched.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot log under $warehouse — merge needs a TxnCommit table"))
+    val partCols = Snapshots.partitionColumns(meta.map(_.partition))
+    matched.flatMap(_.assigns.getOrElse(Nil)).map(_._1)
+      .foreach(c => require(!partCols.contains(c),
+        s"MERGE cannot reassign partition column '$c' (rows would land " +
+          "in the wrong directory) — delete + insert instead"))
+    val mapping = Snapshots.columnMapping(fs, warehouse, table)
+
+    // Candidate files by log-side stats intersection with the source keys.
+    val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
+    val candidates: Seq[Snapshots.Action] =
+      if (meta.isEmpty || bounds.isNullAt(0)) Nil
+      else {
+        val pred = keyPrunePred(source, keyCols, bounds)
+        val loader = Snapshots.sidecarBloomLoader(fs, warehouse)
+        meta.filter { a =>
+          val s = FileStats.decode(a.stats)
+          FileStats.mayMatch(mapping.fold(s)(_.statsToLogical(s)), pred, loader)
+        }
+      }
+
+    val tAll =
+      if (candidates.isEmpty) null
+      else dvAwareRead(spark, warehouse, table, partCols, mapping, candidates)
+    val dataCols: Seq[org.apache.spark.sql.types.StructField] =
+      if (tAll != null)
+        tAll.schema.fields.toSeq.filterNot(f =>
+          f.name == SrcFileCol || f.name == RowPosCol)
+      else { // empty/unmatchable table: schema from an arbitrary pinned file
+        val probe = Snapshots.read(spark, warehouse, table)
+        probe.schema.fields.toSeq
+      }
+    def firstAction(cls: Seq[WhenClause]): org.apache.spark.sql.Column =
+      cls.zipWithIndex.foldRight(flit(0)) { case ((cl, i), els) =>
+        when(cl.cond.getOrElse(flit(true)), flit(i + 1)).otherwise(els)
+      }
+
+    // ONE join evaluates every matched clause's condition; `_m_action` is
+    // the 1-based index of the first acting clause (0 = none acts).
+    val pairs =
+      if (tAll == null) null
+      else tAll.alias("t").join(broadcast(source).alias("s"),
+        keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        "inner")
+    val acted =
+      if (pairs == null) null
+      else pairs.withColumn("_m_action", firstAction(matched))
+        .filter(col("_m_action") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def run(): Result = {
+    val affectedNames: Set[String] =
+      if (acted == null) Set.empty
+      else acted.select(col(s"t.$SrcFileCol")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val affected = meta.filter(a => affectedNames(pathKey(a.file)))
+    // Delta multi-match contract: a target row several source rows ACT on
+    // is nondeterministic — fail before staging anything.
+    if (acted != null && matched.nonEmpty) {
+      val dup = acted.groupBy(col(s"t.$SrcFileCol"), col(s"t.$RowPosCol"))
+        .agg(count(flit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE: multiple source rows act on the same target row " +
+          s"(keys ${keyCols.mkString(", ")}) — deduplicate the source")
+    }
+
+    // Unmatched source rows: anti-join against the keys seen to MATCH in
+    // the pairs join (a matched-but-unacted row still blocks its key from
+    // inserting). Keys not in any candidate file cannot match — stats
+    // pruning is conservative — so the pairs join's key set IS the
+    // matched-key set.
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val matchedKeys =
+          if (pairs == null) null
+          else pairs.select(keyCols.map(k => col(s"s.$k").as(k)): _*).distinct()
+        val unmatched0 =
+          if (matchedKeys == null) source
+          else source.join(matchedKeys, keyCols, "left_anti")
+        val withAct = unmatched0.alias("s")
+          .withColumn("_i_action", firstAction(notMatched))
+          .filter(col("_i_action") > 0)
+        val branches = notMatched.zipWithIndex.map { case (cl, i) =>
+          val sel = withAct.filter(col("_i_action") === i + 1)
+          cl.assigns match {
+            case None => // INSERT *: same-named source columns
+              sel.select(dataCols.map(f =>
+                col(s"s.${f.name}").cast(f.dataType).as(f.name)): _*)
+            case Some(asg) =>
+              val m = asg.toMap
+              sel.select(dataCols.map(f =>
+                m.get(f.name).fold(flit(null).cast(f.dataType).as(f.name))(
+                  _.cast(f.dataType).as(f.name))): _*)
+          }
+        }
+        branches.reduceOption(_.unionByName(_))
+      }
+
+    if (affected.isEmpty && inserts.isEmpty)
+      return Result(0, 0, 0L, candidates.size)
+
+    // Replacement rows for update clauses; delete clauses contribute
+    // nothing to the rewrite (their rows just vanish) but feed the CDF.
+    val updateBranches = matched.zipWithIndex.collect {
+      case (cl, i) if cl.assigns.isDefined =>
+        val m = cl.assigns.get.toMap
+        acted.filter(col("_m_action") === i + 1).select(dataCols.map(f =>
+          m.get(f.name).fold(col(s"t.${f.name}"))(identity)
+            .cast(f.dataType).as(f.name)): _*)
+    }
+    val replacements = updateBranches.reduceOption(_.unionByName(_))
+    val survivors =
+      if (affected.isEmpty) None
+      else {
+        val hit = dvAwareRead(spark, warehouse, table, partCols, mapping, affected)
+        val actedKeys = acted.select(
+          col(s"t.$SrcFileCol").as(SrcFileCol),
+          col(s"t.$RowPosCol").as(RowPosCol))
+        Some(hit.join(actedKeys, Seq(SrcFileCol, RowPosCol), "left_anti")
+          .drop(SrcFileCol, RowPosCol))
+      }
+    val out = (survivors.toSeq ++ replacements.toSeq ++ inserts.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(dataCols)))
+
+    // CDF rows: preimages for EVERY acted row (update_preimage / delete by
+    // clause kind), postimages for update clauses, inserts as inserts.
+    val deleteIdx = matched.zipWithIndex.collect {
+      case (cl, i) if cl.assigns.isEmpty => i + 1 }.toSet
+    val changeBranches = Seq.newBuilder[DataFrame]
+    if (acted != null && matched.nonEmpty) {
+      val pre = acted.select(dataCols.map(f =>
+        col(s"t.${f.name}").as(f.name)) :+ col("_m_action"): _*)
+      changeBranches += pre.withColumn("_change_type",
+        when(col("_m_action").isin(deleteIdx.toSeq.map(Integer.valueOf): _*),
+          lit("delete")).otherwise(lit("update_preimage")))
+        .drop("_m_action")
+    }
+    replacements.foreach(r =>
+      changeBranches += r.withColumn("_change_type", lit("update_postimage")))
+    inserts.foreach(ins =>
+      changeBranches += ins.withColumn("_change_type", lit("insert")))
+    val changes = changeBranches.result().reduce(_.unionByName(_))
+
+    // Matched-only merges depend only on the files they rewrite →
+    // file-granular OCC; with a NOT MATCHED clause the insert keys'
+    // uniqueness depends on the whole table → table-granular.
+    commitRewrite(fs, warehouse, table, partCols, out, changes,
+      affected.map(_.file), base, candidates.size, mapping,
+      fileGranularOcc = notMatched.isEmpty)
+    }
+    try run() finally if (acted != null) acted.unpersist()
+  }
 }

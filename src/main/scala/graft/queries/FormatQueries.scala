@@ -231,6 +231,41 @@ object FormatQueries {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gdml.nation_dml")
     }),
 
+    // Conditional + column-level MERGE clauses through the catalog: the
+    // general engine path (first acting clause wins, matched-but-unacted
+    // rows survive, a failed NOT MATCHED condition suppresses the insert,
+    // unassigned INSERT columns land NULL). Ground truth: a CASE/filter/
+    // UNION over the fixture.
+    "fmt_sql_merge_cond" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gmc",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_sql_merge_cond", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gmc.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_mc_base")
+        s.sql("CREATE TABLE gmc.nation_cond AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_mc_base")
+        nation(s, d).filter(col("n_nationkey") < 15)
+          .unionByName(s.range(1).select(lit(990L).as("n_nationkey"),
+            lit("NEWLAND").as("n_name"), lit(1L).as("n_regionkey")))
+          .unionByName(s.range(1).select(lit(996L).as("n_nationkey"),
+            lit("FARLAND").as("n_name"), lit(1L).as("n_regionkey")))
+          .createOrReplaceTempView("fmt_mc_src")
+        s.sql(
+          """MERGE INTO gmc.nation_cond USING fmt_mc_src
+            |ON gmc.nation_cond.n_nationkey = fmt_mc_src.n_nationkey
+            |WHEN MATCHED AND fmt_mc_src.n_regionkey = 2
+            |  THEN UPDATE SET n_name = concat(gmc.nation_cond.n_name, '_C')
+            |WHEN MATCHED AND fmt_mc_src.n_regionkey = 4 THEN DELETE
+            |WHEN NOT MATCHED AND fmt_mc_src.n_nationkey < 995
+            |  THEN INSERT (n_nationkey, n_name)
+            |       VALUES (fmt_mc_src.n_nationkey, fmt_mc_src.n_name)""".stripMargin)
+        w
+      }
+      s.conf.set("spark.sql.catalog.gmc.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gmc.nation_cond")
+    }),
+
     // Zero-copy shallow clone + divergence: clone the committed fixture,
     // DELETE the high keys on the CLONE (a rewrite spanning the shared
     // root), and read the clone back — proving the one-commit clone, the
@@ -529,6 +564,14 @@ object FormatQueries {
         |       CASE WHEN n_nationkey < 5 THEN n_name || '_X' ELSE n_name END AS n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
         |UNION ALL SELECT 990, 'NEWLAND', 0""".stripMargin,
+    "fmt_sql_merge_cond" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_nationkey < 15 AND n_regionkey = 2
+        |            THEN n_name || '_C' ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE NOT (n_nationkey < 15 AND n_regionkey = 4)
+        |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
     "fmt_timetravel" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation

@@ -52,6 +52,66 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     case other => Seq(other)
   }
 
+  /** Render a resolved MERGE-clause expression to SQL with every column
+    * re-qualified as `t.<name>` (target attribute) or `s.<name>` (source
+    * attribute) — the aliases [[graft.ingest.Merge.mergeClauses]] joins
+    * under — so the text re-resolves against the engine's own fresh read
+    * with no stale expression ids, and same-named target/source columns
+    * stay unambiguous. */
+  private def qualifiedSql(e: Expression,
+                           tgt: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+                           src: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : String = {
+    require(!e.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      "subqueries in MERGE clause conditions/values are not supported")
+    e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if src.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+    }.sql
+  }
+
+  /** Conditional / column-level MERGE → [[GraftMergeClausesCommand]] over
+    * the general engine. Clause order is preserved (first acting clause
+    * wins, per MERGE semantics). */
+  private def lowerGeneralMerge(wh: String, t: String, keyCols: Seq[String],
+                                m: MergeIntoTable): LogicalPlan = {
+    val tgt = m.targetTable.outputSet
+    val src = m.sourceTable.outputSet
+    def render(e: Expression): String = qualifiedSql(e, tgt, src)
+    val tgtCols = m.targetTable.output.map(_.name)
+    def assignPairs(assigns: Seq[Assignment]): Seq[(String, String)] =
+      assigns.map { a =>
+        a.key match {
+          case ar: AttributeReference => ar.name -> render(a.value)
+          case k => throw new UnsupportedOperationException(
+            s"MERGE assignment to nested field ${k.sql} is not supported")
+        }
+      }
+    val matchedCls: Seq[(Option[String], Option[Seq[(String, String)]])] =
+      m.matchedActions.map {
+        case UpdateAction(cond, assigns, _) =>
+          (cond.map(render), Some(assignPairs(assigns)))
+        case UpdateStarAction(cond) =>
+          (cond.map(render), Some(tgtCols.map(c => c -> s"s.$c")))
+        case DeleteAction(cond) => (cond.map(render), None)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN MATCHED action: $other")
+      }
+    val notMatchedCls: Seq[(Option[String], Option[Seq[(String, String)]])] =
+      m.notMatchedActions.map {
+        case InsertAction(cond, assigns) =>
+          (cond.map(render), Some(assignPairs(assigns)))
+        case InsertStarAction(cond) => (cond.map(render), None)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED action: $other")
+      }
+    GraftMergeClausesCommand(wh, t, keyCols, matchedCls, notMatchedCls,
+      m.sourceTable)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
       val (wh, t) = graftTarget(u.table).get
@@ -88,24 +148,26 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           s"MERGE ON supports AND-ed same-named column equalities " +
             s"(t.k = s.k); got: ${other.sql}")
       }
-      // Star shapes only (the engine's upsert semantics): UPDATE SET * may
-      // arrive pre-expansion or expanded to all same-named assignments.
-      def isStarUpdate(a: MergeAction): Boolean = a match {
-        case UpdateStarAction(None) => true
-        case UpdateAction(None, assigns, _) => assigns.forall {
+      // Star shapes (the engine's upsert semantics): UPDATE SET * may
+      // arrive pre-expansion or expanded to same-named assignments — but
+      // only counts as star when it covers EVERY target column (a partial
+      // same-named assignment like `SET v = s.v` must keep the other
+      // columns, which is the general engine's job, not upsert's).
+      val tgtColCount = m.targetTable.output.size
+      def allSameNamed(assigns: Seq[Assignment]): Boolean =
+        assigns.size == tgtColCount && assigns.forall {
           case Assignment(k: AttributeReference, v: AttributeReference) =>
             k.name == v.name
           case _ => false
         }
+      def isStarUpdate(a: MergeAction): Boolean = a match {
+        case UpdateStarAction(None) => true
+        case UpdateAction(None, assigns, _) => allSameNamed(assigns)
         case _ => false
       }
       def isStarInsert(a: MergeAction): Boolean = a match {
         case InsertStarAction(None) => true
-        case InsertAction(None, assigns) => assigns.forall {
-          case Assignment(k: AttributeReference, v: AttributeReference) =>
-            k.name == v.name
-          case _ => false
-        }
+        case InsertAction(None, assigns) => allSameNamed(assigns)
         case _ => false
       }
       val matchedUpdate = m.matchedActions.exists(isStarUpdate)
@@ -115,11 +177,13 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       val recognized = m.matchedActions.count(a => isStarUpdate(a) ||
           (a match { case DeleteAction(None) => true; case _ => false })) +
         m.notMatchedActions.count(isStarInsert)
-      require(recognized == m.matchedActions.size + m.notMatchedActions.size,
-        "unsupported MERGE clause for graft tables — this surface lowers " +
-          "WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE | " +
-          "WHEN NOT MATCHED THEN INSERT * (column-level or conditional " +
-          "clauses: use the graft.ingest.Merge API)")
+      if (recognized != m.matchedActions.size + m.notMatchedActions.size) {
+        // Conditional and/or column-level clauses: the general engine.
+        require(!nmbsDelete,
+          "WHEN NOT MATCHED BY SOURCE cannot combine with conditional or " +
+            "column-level clauses — split into two MERGE statements")
+        return lowerGeneralMerge(wh, t, keyCols, m)
+      }
       require(!(matchedUpdate && matchedDelete),
         "MERGE cannot have both an unconditional MATCHED UPDATE and a " +
           "MATCHED DELETE clause")
@@ -143,6 +207,41 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           sourcePlan = Some(m.sourceTable))
 
     case _ => plan
+  }
+}
+
+/** Conditional / column-level MERGE clauses lowered onto
+  * [[graft.ingest.Merge.mergeClauses]]. Conditions and assignment values
+  * arrive as SQL text qualified with the engine's own `t`/`s` aliases
+  * (see [[GraftCatalogDmlRule.qualifiedSql]]); `assigns = None` on a
+  * matched clause is DELETE, on a not-matched clause INSERT *. */
+case class GraftMergeClausesCommand(warehouse: String, table: String,
+                                    keyCols: Seq[String],
+                                    matched: Seq[(Option[String], Option[Seq[(String, String)]])],
+                                    notMatched: Seq[(Option[String], Option[Seq[(String, String)]])],
+                                    sourcePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_rewritten", IntegerType)(),
+    AttributeReference("files_added", IntegerType)(),
+    AttributeReference("rows_matched", LongType)())
+
+  override def run(session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.expr
+    def toClause(c: (Option[String], Option[Seq[(String, String)]]))
+        : graft.ingest.Merge.WhenClause =
+      graft.ingest.Merge.WhenClause(c._1.map(expr),
+        c._2.map(_.map { case (col, e) => col -> expr(e) }))
+    val src =
+      org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, sourcePlan)
+    val res = graft.ingest.Merge.mergeClauses(session, warehouse, table,
+      src, keyCols, matched.map(toClause), notMatched.map(toClause))
+    Seq(org.apache.spark.sql.Row(
+      res.filesRewritten, res.filesAdded, res.rowsMatched))
   }
 }
 

@@ -226,6 +226,50 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("duplicate keys"), err.getMessage)
   }
 
+  test("conditional and column-level MERGE clauses lower onto the general engine") {
+    val w = wh("catCondMerge")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gcm",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcm.warehouse", w)
+    (0L until 6L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("cm_t")
+    spark.sql("CREATE TABLE gcm.t AS SELECT id, v FROM cm_t")
+    Seq((1L, 200L), (2L, -5L), (3L, 50L), (10L, 7L), (11L, -1L))
+      .toDF("id", "v").createOrReplaceTempView("cm_src")
+    // First acting clause wins; matched-but-unacted rows survive; a
+    // failed NOT MATCHED condition suppresses the insert.
+    spark.sql(
+      """MERGE INTO gcm.t USING cm_src ON gcm.t.id = cm_src.id
+        |WHEN MATCHED AND cm_src.v > 100 THEN UPDATE SET v = gcm.t.v + cm_src.v
+        |WHEN MATCHED AND cm_src.v < 0 THEN DELETE
+        |WHEN NOT MATCHED AND cm_src.v >= 0
+        |  THEN INSERT (id, v) VALUES (cm_src.id, cm_src.v * 2)""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM gcm.t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq(0L -> 0L, 1L -> 210L, 3L -> 30L, 4L -> 40L, 5L -> 50L, 10L -> 14L))
+    // The change feed records the acted rows faithfully.
+    val cdf = Snapshots.changes(spark, w, "t", fromExclusive = 0L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdf == Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (2L, "delete"), (10L, "insert")), s"cdf=$cdf")
+    // Unconditional column-level UPDATE (no star): v = 0 for matched keys.
+    Seq(Tuple1(4L)).toDF("id").createOrReplaceTempView("cm_zero")
+    spark.sql(
+      """MERGE INTO gcm.t USING cm_zero ON gcm.t.id = cm_zero.id
+        |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    assert(spark.sql("SELECT v FROM gcm.t WHERE id = 4").as[Long]
+      .collect().toSeq == Seq(0L))
+    // Multi-match contract: two source rows acting on one target row fail.
+    Seq((1L, 500L), (1L, 600L)).toDF("id", "v")
+      .createOrReplaceTempView("cm_dup")
+    val err = intercept[Exception](spark.sql(
+      """MERGE INTO gcm.t USING cm_dup ON gcm.t.id = cm_dup.id
+        |WHEN MATCHED THEN UPDATE SET v = cm_dup.v""".stripMargin))
+    assert(err.getMessage.contains("multiple source rows"), err.getMessage)
+  }
+
   test("maintenance statements accept catalog-qualified names") {
     val w = wh("catMaint")
     val s0 = spark
