@@ -1203,6 +1203,22 @@ object Snapshots {
       metas = Seq(propsKey(table) -> encodeProps(merged)))
   }
 
+  /** REPLACE TABLE's metadata tail: the table's declaration becomes
+    * EXACTLY `declared` — stale properties of the old contract are
+    * dropped, not merged — and any column mapping of the old era is
+    * cleared, in ONE commit. Prior versions keep their own era's
+    * properties/mapping (time travel across the replace). */
+  def replaceDeclaration(fs: FileSystem, warehouse: String, table: String,
+                         declared: Map[String, String]): Unit = {
+    val base = latestVersion(fs, warehouse)
+    val hadMapping = columnMapping(fs, warehouse, table).nonEmpty
+    append(fs, warehouse, java.util.UUID.randomUUID().toString,
+      adds = Nil, removes = Nil, op = "set_properties", baseVersion = base,
+      metas = Seq(propsKey(table) -> encodeProps(
+        declared.filter { case (_, v) => v != null && v.nonEmpty })) ++
+        (if (hadMapping) Seq(table -> "") else Nil)) // "" clears the mapping
+  }
+
   /** Writer options every rewrite of `table` must stage under — today the
     * parquet bloom config from the `bloom.columns` (comma-joined LOGICAL
     * names) / `bloom.ndv` / `bloom.fpp` properties, translated to the

@@ -155,8 +155,14 @@ object TxnCommit {
     "_src_file", "_row_pos", "_change_type", "_commit_version",
     "_dv_file", "_dv_row", "_dv_data_file", "_dv_pos", "_dv_src")
 
+  /** `removed` = files this same commit swaps out: compatibility is
+    * checked against the files the staged ones will COEXIST with, so a
+    * full replace (overwrite/REPLACE TABLE — every live file removed)
+    * may change column types, while a partial overwrite (dynamic
+    * partitions) still validates against the surviving files. */
   private def validateSchemas(fs: FileSystem, warehouse: String,
-                              statsFor: Map[String, String]): Unit =
+                              statsFor: Map[String, String],
+                              removed: Set[String]): Unit =
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
       case (table, destStats) =>
         destStats.values.flatMap(FileStats.decode).foreach(
@@ -168,6 +174,7 @@ object TxnCommit {
           })
         val current: Map[String, String] =
           Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
+            .filterNot(a => removed.contains(a.file))
             .flatMap(a => FileStats.schemaTags(a.stats))
             .toMap
         if (current.nonEmpty)
@@ -312,7 +319,7 @@ object TxnCommit {
       .map(m => m.dest ->
         FileStats.collect(fs.getConf, new Path(m.src), spillFor(m.dest)))
       .filter(_._2.nonEmpty).toMap
-    validateSchemas(fs, warehouse, statsFor)
+    validateSchemas(fs, warehouse, statsFor, (deletes ++ retained).toSet)
     // Constraints must see EVERY staged data file: one whose stats
     // collection failed (collect returns "" on any footer trouble) is
     // unverifiable and must fail the commit, not silently bypass the

@@ -266,6 +266,67 @@ object FormatQueries {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gmc.nation_cond")
     }),
 
+    // REPLACE TABLE through the staged catalog path: data and declaration
+    // swap atomically with a NEW schema contract; the pre-replace version
+    // stays time-travelable. The entry reads the replaced table UNIONed
+    // with a time-traveled projection of the original — proving both the
+    // swap and cross-replace time travel. Ground truth: plain SQL over
+    // the fixture.
+    "fmt_replace" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.grp",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_replace", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.grp.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_rp_base")
+        s.sql("CREATE TABLE grp.nation_rp AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_rp_base")
+        s.sql(
+          """REPLACE TABLE grp.nation_rp AS
+            |SELECT n_regionkey AS region, count(*) AS n,
+            |       sum(n_nationkey) AS key_sum
+            |FROM fmt_rp_base GROUP BY n_regionkey""".stripMargin)
+        w
+      }
+      s.conf.set("spark.sql.catalog.grp.warehouse", wh)
+      val fsW = new Path(wh).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vPre = Snapshots.latestVersion(fsW, wh).get - 2 // before the replace
+      s.sql(
+        s"""SELECT region, n, key_sum FROM grp.nation_rp
+           |UNION ALL
+           |SELECT n_nationkey AS region, -1L AS n, -1L AS key_sum
+           |FROM grp.nation_rp VERSION AS OF $vPre WHERE n_regionkey = 3""".stripMargin)
+    }),
+
+    // IN-subquery DML through the catalog: DELETE/UPDATE whose condition
+    // is `col IN (SELECT …)` [AND residual] lower onto the keyed merge
+    // engine (the subquery is the MERGE source — no driver value list).
+    // Ground truth: the same membership expressed as a plain SQL filter.
+    "fmt_catalog_subq" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gsq",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_catalog_subq", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gsq.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_sq_base")
+        s.sql("CREATE TABLE gsq.nation_sq AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_sq_base")
+        // Delete every nation of regions 0/4 with an odd key; bump the
+        // names of region-2 keys via a second IN-subquery UPDATE.
+        s.sql(
+          """DELETE FROM gsq.nation_sq WHERE n_nationkey IN
+            |  (SELECT n_nationkey FROM fmt_sq_base
+            |   WHERE n_regionkey IN (0, 4)) AND n_nationkey % 2 = 1""".stripMargin)
+        s.sql(
+          """UPDATE gsq.nation_sq SET n_name = concat(n_name, '_S')
+            |WHERE n_nationkey IN
+            |  (SELECT n_nationkey FROM fmt_sq_base WHERE n_regionkey = 2)""".stripMargin)
+        w
+      }
+      s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gsq.nation_sq")
+    }),
+
     // Zero-copy shallow clone + divergence: clone the committed fixture,
     // DELETE the high keys on the CLONE (a rewrite spanning the shared
     // root), and read the clone back — proving the one-commit clone, the
@@ -488,6 +549,28 @@ object FormatQueries {
       }
       Snapshots.changes(s, wh, "nation", fromExclusive = -1L)
         .select("n_nationkey", "n_name", "n_regionkey", "_change_type")
+    }),
+
+    // The table_changes TVF (composable SQL change feed): same fixture
+    // shape as fmt_changes, but served through SELECT … FROM
+    // table_changes('cat.t', from) with a catalog-qualified name — the
+    // Delta-TVF analog of the SNAPSHOT CHANGES statement.
+    "fmt_tvf_changes" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gtc",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_tvf_changes", d) {
+        val w = freshWh()
+        val n = nation(s, d)
+        publish(s, w, "nation", n)
+        Merge.deleteKeys(s, w, "nation",
+          n.filter(col("n_nationkey") % 10 === 3).select("n_nationkey"),
+          Seq("n_nationkey"))
+        w
+      }
+      s.conf.set("spark.sql.catalog.gtc.warehouse", wh)
+      s.sql(
+        """SELECT n_nationkey, n_name, n_regionkey, _change_type
+          |FROM table_changes('gtc.nation', -1)""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -572,6 +655,20 @@ object FormatQueries {
         |FROM nation
         |WHERE NOT (n_nationkey < 15 AND n_regionkey = 4)
         |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
+    "fmt_catalog_subq" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_regionkey = 2 THEN n_name || '_S' ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE NOT (n_regionkey IN (0, 4) AND n_nationkey % 2 = 1)""".stripMargin,
+    "fmt_replace" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS region,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS BIGINT), -1, -1 FROM nation
+        |WHERE n_regionkey = 3""".stripMargin,
     "fmt_timetravel" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
@@ -612,5 +709,14 @@ object FormatQueries {
         |  SELECT n_nationkey, n_name, n_regionkey, 'update_preimage' FROM nation WHERE n_nationkey = 7
         |  UNION ALL
         |  SELECT n_nationkey, n_name || '_Y', n_regionkey, 'update_postimage' FROM nation WHERE n_nationkey = 7
+        |)""".stripMargin,
+    "fmt_tvf_changes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey, _change_type
+        |FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'insert' AS _change_type FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'delete' FROM nation
+        |  WHERE n_nationkey % 10 = 3
         |)""".stripMargin)
 }

@@ -254,20 +254,46 @@ class GraftCatalog extends TableCatalog
     new GraftStagedTable(this, t, schema, partCols, declared)
   }
 
+  /** `REPLACE TABLE … AS SELECT`: replace = a NEW schema contract. The
+    * query's data lands as ONE atomic OCC-guarded overwrite version
+    * (every old live file removed, new files added — readers see the old
+    * table or the new one, never a mix; prior versions stay
+    * time-travelable), then [[GraftStagedReplaceTable.commitStagedChanges]]
+    * swaps the declaration wholesale (stale properties dropped, column
+    * mapping cleared) in one metadata commit. A failed query leaves the
+    * old table untouched. */
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String])
-      : org.apache.spark.sql.connector.catalog.StagedTable =
-    throw new UnsupportedOperationException(
-      "REPLACE TABLE is not supported (an overwrite must keep the table's " +
-        "schema contract) — DROP TABLE then CREATE TABLE AS instead")
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .CannotReplaceMissingTableException(ident)
+    stagedReplace(ident, schema, partitions, properties)
+  }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    if (tableExists(ident))
+      stagedReplace(ident, schema, partitions, properties)
     else stageCreate(ident, schema, partitions, properties)
+
+  private def stagedReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val t = tableName(ident)
+    val partCols = identityPartCols(partitions)
+    val declared =
+      Map("catalog.schema.ddl" -> schema.toDDL) ++
+        (if (partCols.nonEmpty)
+           Map("catalog.partition.columns" -> partCols.mkString(","))
+         else Map.empty) ++
+        properties.asScala.filterNot(_._1.startsWith("option."))
+    new GraftStagedReplaceTable(this, t, schema, partCols, declared)
+  }
 
   private[v2] def identityPartCols(partitions: Array[Transform]): Seq[String] =
     partitions.toSeq.map { tr =>
@@ -280,6 +306,10 @@ class GraftCatalog extends TableCatalog
   private[v2] def commitDeclaration(table: String,
                                     declared: Map[String, String]): Unit =
     Snapshots.setProperties(fs, warehouse, table, declared)
+
+  private[v2] def commitReplacedDeclaration(table: String,
+                                            declared: Map[String, String]): Unit =
+    Snapshots.replaceDeclaration(fs, warehouse, table, declared)
 
   private[v2] def warehousePath: String = warehouse
 
@@ -383,4 +413,26 @@ private[v2] class GraftStagedTable(catalog: GraftCatalog, table: String,
     catalog.commitDeclaration(table, declared)
 
   override def abortStagedChanges(): Unit = ()
+}
+
+/** The in-flight table of an atomic REPLACE: the data write is FORCED
+  * into truncate (overwrite) mode — one OCC-guarded version swaps every
+  * old live file for the query's output — and the held declaration
+  * replaces the old one wholesale on commit (stale properties dropped,
+  * column mapping cleared). Abort leaves the old table untouched. */
+private[v2] class GraftStagedReplaceTable(catalog: GraftCatalog, table: String,
+                                          tableSchema: StructType,
+                                          partCols: Seq[String],
+                                          declared: Map[String, String])
+  extends GraftStagedTable(catalog, table, tableSchema, partCols, declared) {
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    super.newWriteBuilder(info)
+      .asInstanceOf[org.apache.spark.sql.connector.write.SupportsTruncate]
+      .truncate()
+
+  override def commitStagedChanges(): Unit =
+    catalog.commitReplacedDeclaration(table, declared)
 }

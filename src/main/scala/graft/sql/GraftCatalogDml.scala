@@ -112,22 +112,87 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       m.sourceTable)
   }
 
+  /** `WHERE (k, …) IN (SELECT …) [AND residual…]` lowered onto the
+    * general merge engine: the subquery becomes the MERGE source (distinct
+    * key tuples), the residual subquery-free conjuncts become the matched
+    * clause's condition, and DELETE/UPDATE become the clause action — a
+    * broadcast-keyed rewrite of only the files that hold matching keys,
+    * never a driver-materialized value list. Returns None when the
+    * condition has no subquery (the plain path serves it); throws the
+    * clear unsupported error for shapes this cannot express (NOT IN,
+    * EXISTS, correlated, scalar subqueries). */
+  private def lowerSubqueryDml(wh: String, t: String, target: LogicalPlan,
+                               condition: Expression,
+                               assigns: Option[Seq[Assignment]]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, InSubquery, ListQuery, PlanExpression}
+    if (!condition.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    val parts = conjuncts(condition)
+    val (subq, residual) =
+      parts.partition(_.exists(_.isInstanceOf[PlanExpression[_]]))
+    def unsupported(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"unsupported subquery in catalog DML condition ($why) — only " +
+          "`(col, …) IN (SELECT …)` [AND subquery-free predicates] is " +
+          "lowered; materialize other subqueries as a view and use MERGE INTO")
+    val (keyAttrs, listPlan) = subq match {
+      case Seq(InSubquery(values, lq: ListQuery)) =>
+        if (lq.outerAttrs.nonEmpty) unsupported("correlated")
+        val attrs = values.map {
+          case a: AttributeReference => a
+          case v => unsupported(s"non-column IN value ${v.sql}")
+        }
+        (attrs, lq.plan)
+      case Seq(one) => unsupported(s"shape ${one.sql.take(80)}")
+      case _ => unsupported("multiple subqueries")
+    }
+    val tgt = target.outputSet
+    require(keyAttrs.forall(tgt.contains),
+      "IN-subquery values must be columns of the target table")
+    val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    def render(e: Expression): String = qualifiedSql(e, tgt, empty)
+    val keyCols = keyAttrs.map(_.name)
+    // The subquery's output, aliased to the key column names and made
+    // distinct — IN is membership, and distinct keys satisfy the engine's
+    // multi-match contract by construction.
+    val aliased = Project(listPlan.output.zip(keyCols).map {
+      case (a, n) => Alias(a, n)() }, listPlan)
+    val source = Distinct(aliased)
+    val residualSql = residual match {
+      case Seq() => None
+      case rs => Some(rs.map(render).mkString("(", ") AND (", ")"))
+    }
+    val assignPairs = assigns.map(_.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.name -> render(a.value)
+        case k => throw new UnsupportedOperationException(
+          s"UPDATE of nested field ${k.sql} is not supported")
+      }
+    })
+    Some(GraftMergeClausesCommand(wh, t, keyCols,
+      matched = Seq((residualSql, assignPairs)), notMatched = Nil, source))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
       val (wh, t) = graftTarget(u.table).get
-      val assigns = u.assignments.map { a =>
-        a.key match {
-          case ar: AttributeReference => ar.name -> cleanSql(a.value)
-          case k => throw new UnsupportedOperationException(
-            s"UPDATE of nested field ${k.sql} is not supported")
+      u.condition.flatMap(c =>
+          lowerSubqueryDml(wh, t, u.table, c, Some(u.assignments)))
+        .getOrElse {
+          val assigns = u.assignments.map { a =>
+            a.key match {
+              case ar: AttributeReference => ar.name -> cleanSql(a.value)
+              case k => throw new UnsupportedOperationException(
+                s"UPDATE of nested field ${k.sql} is not supported")
+            }
+          }
+          GraftDmlCommand(wh, t, u.condition.map(cleanSql).getOrElse("true"),
+            assigns)
         }
-      }
-      GraftDmlCommand(wh, t, u.condition.map(cleanSql).getOrElse("true"),
-        assigns)
 
     case d: DeleteFromTable if d.resolved && graftTarget(d.table).isDefined =>
       val (wh, t) = graftTarget(d.table).get
-      GraftDmlCommand(wh, t, cleanSql(d.condition), Nil)
+      lowerSubqueryDml(wh, t, d.table, d.condition, None)
+        .getOrElse(GraftDmlCommand(wh, t, cleanSql(d.condition), Nil))
 
     case m: MergeIntoTable
         if m.resolved && graftTarget(m.targetTable).isDefined =>

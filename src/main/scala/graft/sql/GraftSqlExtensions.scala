@@ -58,6 +58,55 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // scan — see [[SnapshotScanRule]].
     ext.injectPreCBORule(session => SnapshotScanRule(session))
     ext.injectPostHocResolutionRule(session => GraftCatalogDmlRule(session))
+    // `table_changes('t' | 'cat.t', from [, to])` — the Delta TVF analog
+    // of SNAPSHOT CHANGES OF, composable inside any query (joins, CTEs):
+    // returns the row-level change feed with _change_type/_commit_version.
+    // FROM is exclusive, TO inclusive — the changes() contract.
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftSqlExtensions].getName, "table_changes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSqlExtensions.tableChangesPlan(args)))
+  }
+}
+
+object GraftSqlExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+  /** Build the `table_changes` TVF's plan. Arguments must be literals:
+    * the table name (optionally `cat.t` for a registered GraftCatalog),
+    * the exclusive start version, and an optional inclusive end. */
+  private[sql] def tableChangesPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def lit(e: Expression, what: String): Any = e match {
+      case Literal(v, _) if v != null => v
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be a literal, got ${other.sql}")
+    }
+    require(args.size == 2 || args.size == 3,
+      "table_changes(table, fromVersionExclusive [, toVersionInclusive])")
+    val session = SparkSession.active
+    val name = lit(args(0), "the table name").toString
+    val from = lit(args(1), "the start version").toString.toLong.max(-1L)
+    val to = args.lift(2).map(e =>
+      lit(e, "the end version").toString.toLong)
+    val parts = name.split("\\.")
+    val (wh, table) =
+      if (parts.length == 2 && session.conf
+          .getOption(s"spark.sql.catalog.${parts(0)}")
+          .contains(classOf[graft.sources.v2.GraftCatalog].getName))
+        (session.conf.getOption(s"spark.sql.catalog.${parts(0)}.warehouse")
+          .orElse(session.conf.getOption("spark.graft.warehouse")).getOrElse(
+            throw new IllegalStateException(
+              s"catalog '${parts(0)}' has no warehouse configured")),
+          parts(1))
+      else
+        (session.conf.getOption("spark.graft.warehouse").getOrElse(
+          throw new IllegalStateException(
+            "table_changes on a bare table name needs " +
+              "spark.graft.warehouse (or use a cat.table name)")), name)
+    Snapshots.changes(session, wh, table, from, to).queryExecution.logical
   }
 }
 

@@ -217,6 +217,45 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(err).exists(_.contains("SNAPSHOT CHANGES")), msgs(err))
   }
 
+  test("REPLACE TABLE swaps data and contract atomically; time travel holds") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").createOrReplaceTempView("rp_src")
+    spark.sql("CREATE TABLE graft.rp AS SELECT id, name FROM rp_src")
+    spark.sql("ALTER TABLE graft.rp SET TBLPROPERTIES ('team' = 'old')")
+    val vBefore = Snapshots.latestVersion(fs, wh).get
+    // REPLACE with a DIFFERENT schema (new contract): data + declaration swap.
+    spark.sql(
+      "REPLACE TABLE graft.rp AS SELECT CAST(9 AS INT) AS k, 1.5D AS score")
+    assert(spark.sql("SELECT k, score FROM graft.rp").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq((9, 1.5)))
+    // The old contract's properties are gone, not merged.
+    assert(!spark.sql("SHOW TBLPROPERTIES graft.rp").collect()
+      .exists(_.getString(0) == "team"))
+    // Pre-replace versions still read under the OLD schema.
+    assert(spark.sql(s"SELECT id, name FROM graft.rp VERSION AS OF $vBefore " +
+        "ORDER BY id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    // CREATE OR REPLACE over an existing table replaces…
+    spark.sql("CREATE OR REPLACE TABLE graft.rp AS SELECT 7L AS id")
+    assert(spark.sql("SELECT id FROM graft.rp").as[Long]
+      .collect().toSeq == Seq(7L))
+    // …and over a missing one creates.
+    spark.sql("CREATE OR REPLACE TABLE graft.rp_new AS SELECT 3L AS id")
+    assert(spark.sql("SELECT id FROM graft.rp_new").as[Long]
+      .collect().toSeq == Seq(3L))
+    // Plain REPLACE of a missing table fails.
+    intercept[Exception](
+      spark.sql("REPLACE TABLE graft.rp_missing AS SELECT 1L AS id"))
+    assert(!spark.catalog.tableExists("graft.rp_missing"))
+    // A failed REPLACE query leaves the old table untouched.
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE graft.rp AS SELECT assert_true(id > 100L) AS x, id " +
+        "FROM graft.rp_new"))
+    assert(spark.sql("SELECT id FROM graft.rp").as[Long]
+      .collect().toSeq == Seq(7L))
+  }
+
   test("CTAS is atomic: a failed query leaves no table behind") {
     intercept[Exception](spark.sql(
       "CREATE TABLE graft.ghost AS SELECT raise_error('boom') AS x"))

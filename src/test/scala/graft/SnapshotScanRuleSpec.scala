@@ -270,6 +270,39 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("multiple source rows"), err.getMessage)
   }
 
+  test("IN-subquery DML conditions lower onto the keyed merge engine") {
+    val w = wh("catSubq")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gsq",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsq.warehouse", w)
+    (0L until 10L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("sq_t")
+    spark.sql("CREATE TABLE gsq.t AS SELECT id, v FROM sq_t")
+    // DELETE … WHERE id IN (SELECT …): subquery becomes the keyed source.
+    Seq(Tuple1(2L), Tuple1(5L), Tuple1(5L), Tuple1(99L)).toDF("k")
+      .createOrReplaceTempView("sq_del")
+    spark.sql("DELETE FROM gsq.t WHERE id IN (SELECT k FROM sq_del)")
+    assert(spark.sql("SELECT id FROM gsq.t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    // Residual subquery-free conjunct: applies on top of membership.
+    Seq(Tuple1(3L), Tuple1(4L)).toDF("k").createOrReplaceTempView("sq_del2")
+    spark.sql(
+      "DELETE FROM gsq.t WHERE id IN (SELECT k FROM sq_del2) AND v > 35")
+    assert(spark.sql("SELECT id FROM gsq.t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(0L, 1L, 3L, 6L, 7L, 8L, 9L))
+    // UPDATE with an IN-subquery condition and an expression assignment.
+    spark.sql(
+      "UPDATE gsq.t SET v = v + 1 WHERE id IN (SELECT k FROM sq_del2)")
+    assert(spark.sql("SELECT v FROM gsq.t WHERE id = 3").as[Long]
+      .collect().toSeq == Seq(31L))
+    // Correlated / EXISTS / NOT IN keep a crisp unsupported error.
+    val err = intercept[Exception](spark.sql(
+      "DELETE FROM gsq.t WHERE EXISTS (SELECT 1 FROM sq_del2 WHERE k = id)"))
+    assert(err.getMessage.contains("unsupported subquery"), err.getMessage)
+  }
+
   test("maintenance statements accept catalog-qualified names") {
     val w = wh("catMaint")
     val s0 = spark

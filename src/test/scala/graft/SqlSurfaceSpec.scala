@@ -64,6 +64,33 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("table_changes TVF serves the change feed and composes in queries") {
+    val s0 = spark
+    import s0.implicits._
+    // TVF ≡ the changes() API over the same bounds.
+    val viaTvf = spark.sql("SELECT * FROM table_changes('t', 0, 2)")
+    val viaApi = Snapshots.changes(spark, wh, "t", 0L, Some(2L))
+    assert(viaTvf.columns.sameElements(viaApi.columns))
+    assert(viaTvf.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet ==
+      viaApi.select("id", "_change_type", "_commit_version")
+        .as[(Long, String, Long)].collect().toSet)
+    // Composable: joined against another relation inside one query.
+    val joined = spark.sql(
+      """SELECT c._commit_version AS v, count(*) AS n
+        |FROM table_changes('t', 0) c
+        |JOIN (SELECT explode(sequence(10, 29)) AS id) keys ON c.id = keys.id
+        |GROUP BY c._commit_version ORDER BY v""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(joined == Seq(1L -> 10L, 2L -> 10L), s"got $joined")
+    // Catalog-qualified names resolve that catalog's warehouse.
+    spark.conf.set("spark.sql.catalog.gtvf",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtvf.warehouse", wh)
+    assert(spark.sql("SELECT count(*) FROM table_changes('gtvf.t', 0, 2)")
+      .head().getLong(0) == viaApi.count())
+  }
+
   test("SNAPSHOT HISTORY matches the history() API") {
     val viaSql = spark.sql("SNAPSHOT HISTORY").collect()
     val viaApi = Snapshots.history(spark, wh).collect()
