@@ -594,7 +594,23 @@ object Snapshots {
     anchor.foreach(c => readActions(fs, c.path).foreach(apply))
     deltas.foreach(e => readActions(fs, e.path).foreach(apply))
     val folded = Folded(state, metas)
-    foldCache.put(key, folded)
+    foldCache.synchronized {
+      foldCache.put(key, folded)
+      // Weight bound on top of the entry cap: each Folded holds a FULL
+      // warehouse state (every table's live-file map), and every commit
+      // mints a new key — a busy writer would otherwise retain dozens of
+      // near-identical multi-GB folds on the driver. Keep only the 2
+      // most-recently-used folds per warehouse (latest state + one
+      // time-traveled era); cross-warehouse entries still share the 64 cap.
+      val prefix = warehouse + "|"
+      val same = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = foldCache.entrySet().iterator()
+      while (it.hasNext) {
+        val k = it.next().getKey
+        if (k.startsWith(prefix)) same += k // access order: LRU first
+      }
+      same.dropRight(2).foreach(foldCache.remove)
+    }
     Some(folded)
   }
 
@@ -1067,10 +1083,34 @@ object Snapshots {
   def tableNames(fs: FileSystem, warehouse: String): Seq[String] =
     stateAt(fs, warehouse, None).map { st =>
       val live = st.files.collect { case (t, fsq) if fsq.nonEmpty => t }
-      val declared = st.metas.keys
-        .filter(_.endsWith("#props")).map(_.stripSuffix("#props"))
+      // A dropped table's props key survives the fold with an EMPTY
+      // payload (drop writes `p1;` to clear) — only a nonEmpty decoded
+      // payload marks a declared table, so SHOW TABLES never lists a
+      // ghost that tableExists rejects.
+      val declared = st.metas.collect {
+        case (k, v) if k.endsWith("#props") && decodeProps(v).nonEmpty =>
+          k.stripSuffix("#props")
+      }
       (live ++ declared).toSeq.distinct.sorted
     }.getOrElse(Nil)
+
+  /** Every live data file (and deletion-vector path) referenced by any
+    * table EXCEPT `except`, from ONE fold — DROP PURGE's clone-sharing
+    * spare list without a per-table [[fileMeta]] walk over the
+    * warehouse. */
+  private[graft] def liveRefsExcept(fs: FileSystem, warehouse: String,
+                                    except: String): (Set[String], Set[String]) =
+    stateAt(fs, warehouse, None).map { st =>
+      val files = Set.newBuilder[String]
+      val dvs = Set.newBuilder[String]
+      st.files.foreach { case (t, m) =>
+        if (t != except) m.foreach { case (f, (part, stats, dv)) =>
+          files += f
+          if (dv.nonEmpty) dvs += Action("ADD", t, f, part, stats, dv).dvPath
+        }
+      }
+      (files.result(), dvs.result())
+    }.getOrElse((Set.empty[String], Set.empty[String]))
 
   /** Zero-copy SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`
     * analog): ONE metadata commit ADDs the source table's live file list —

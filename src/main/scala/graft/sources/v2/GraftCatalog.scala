@@ -103,7 +103,10 @@ class GraftCatalog extends TableCatalog
       if (Snapshots.fileMeta(fs, warehouse, t, asOf).exists(_.nonEmpty))
         Some(Snapshots.read(spark, warehouse, t, asOf).schema)
       else None
-    val tblProps = Snapshots.properties(fs, warehouse, t)
+    // asOf rides into the properties too: a time-traveled load must apply
+    // THAT era's declared types/partitioning/TBLPROPERTIES, not the
+    // current ones (wrong era after an ALTER or a replace/re-create).
+    val tblProps = Snapshots.properties(fs, warehouse, t, asOf)
     val declared: Map[String, org.apache.spark.sql.types.DataType] =
       tblProps.get("catalog.schema.ddl").map(StructType.fromDDL)
         .map(_.fields.map(f => f.name -> f.dataType).toMap)
@@ -174,19 +177,19 @@ class GraftCatalog extends TableCatalog
       case rp: TableChange.RemoveProperty =>
         Snapshots.setProperties(fs, warehouse, t, Map(rp.property() -> null))
       case rc: TableChange.RenameColumn =>
-        require(rc.fieldNames().length == 1,
-          "nested column renames are not supported")
+        require(rc.fieldNames().length == 1, nestedDdlError(
+          "RENAME", rc.fieldNames(), t))
         SchemaEvolution.renameColumn(spark, warehouse, t,
           rc.fieldNames()(0), rc.newName())
       case dc: TableChange.DeleteColumn =>
-        require(dc.fieldNames().length == 1,
-          "nested column drops are not supported")
+        require(dc.fieldNames().length == 1, nestedDdlError(
+          "DROP", dc.fieldNames(), t))
         SchemaEvolution.dropColumn(spark, warehouse, t, dc.fieldNames()(0))
         Snapshots.setProperties(fs, warehouse, t,
           Map(s"catalog.coltype.${dc.fieldNames()(0)}" -> null))
       case ac: TableChange.AddColumn =>
-        require(ac.fieldNames().length == 1,
-          "nested column adds are not supported")
+        require(ac.fieldNames().length == 1, nestedDdlError(
+          "ADD", ac.fieldNames(), t))
         SchemaEvolution.addColumn(spark, warehouse, t, ac.fieldNames()(0))
         // Record the declared type: until a file carries the column, the
         // mapping serves it as NullType and loadTable repairs it from
@@ -199,6 +202,18 @@ class GraftCatalog extends TableCatalog
     }
     loadTable(ident)
   }
+
+  /** Metadata-only evolution (the column mapping) tracks TOP-LEVEL
+    * columns; a struct's interior cannot evolve without rewriting files.
+    * The error names the supported path so a user is never stranded. */
+  private def nestedDdlError(op: String, fieldNames: Array[String],
+                             table: String): String =
+    s"ALTER TABLE $op COLUMN of nested field " +
+      s"'${fieldNames.mkString(".")}' is not supported — snapshot tables " +
+      "evolve top-level columns only (metadata-only, zero rewrite). " +
+      "Flatten instead: CREATE OR REPLACE TABLE " +
+      s"$catName.$table AS SELECT *, ${fieldNames.head}.* FROM " +
+      s"$catName.$table (then ALTER the now-flat column)"
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && Snapshots.dropTable(fs, warehouse, tableName(ident))
@@ -214,12 +229,11 @@ class GraftCatalog extends TableCatalog
     val live = Snapshots.fileMeta(fs, warehouse, t).getOrElse(Seq.empty)
     val dropped = dropTable(ident)
     if (dropped) {
-      val otherLive = Snapshots.tableNames(fs, warehouse).filterNot(_ == t)
-        .flatMap(o => Snapshots.fileMeta(fs, warehouse, o)
-          .getOrElse(Seq.empty))
-      val sharedFiles = otherLive.map(_.file).toSet
-      val sharedDvs =
-        otherLive.filter(_.dv.nonEmpty).map(_.dvPath).toSet
+      // Clone-sharing spare list from ONE warehouse fold (not a per-table
+      // fileMeta walk): on a thousand-table warehouse a DROP PURGE pays
+      // one cached fold plus a set build over live references.
+      val (sharedFiles, sharedDvs) =
+        Snapshots.liveRefsExcept(fs, warehouse, t)
       live.filterNot(a => sharedFiles(a.file)).foreach { a =>
         fs.delete(new Path(a.file), false)
         if (a.dv.nonEmpty && !sharedDvs(a.dvPath))

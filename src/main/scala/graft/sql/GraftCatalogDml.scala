@@ -336,19 +336,36 @@ case class GraftMergeSyncCommand(warehouse: String, table: String,
 
   override def run(session: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{assert_true, col, count, lit, when}
     val src =
       org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, sourcePlan)
-    require(src.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).isEmpty,
-      s"MERGE source has duplicate keys on (${keyCols.mkString(", ")})")
+    // Duplicate-key contract (Delta errors on duplicate matches too),
+    // enforced IN the overwrite job rather than as a separate
+    // count-aggregate pass: a per-key window count rides the write, and
+    // the first key column is wrapped in an assert that throws on any
+    // key seen twice — one source scan total, failing before the commit
+    // point (the write stages first; an assert aborts staging, nothing
+    // publishes). Applied after the semi-join on the UPDATE*-only shape,
+    // so only rows that will ACT are under the contract.
+    def guarded(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      val k0 = keyCols.head
+      df.withColumn("_graft_key_n", count(lit(1)).over(w))
+        .withColumn(k0, when(
+          assert_true(col("_graft_key_n") <= 1,
+            lit(s"MERGE source has duplicate keys on " +
+              s"(${keyCols.mkString(", ")})")).isNull,
+          col(k0)))
+        .drop("_graft_key_n")
+    }
     val result =
-      if (matchedUpdate && notMatchedInsert) src
+      if (matchedUpdate && notMatchedInsert) guarded(src)
       else if (matchedUpdate) {
         val targetKeys = graft.ingest.Snapshots
           .read(session, warehouse, table)
           .select(keyCols.map(col): _*).distinct()
-        src.join(targetKeys, keyCols, "left_semi")
+        guarded(src.join(targetKeys, keyCols, "left_semi"))
       } else null
     if (result != null) {
       val partCols = graft.ingest.Snapshots.partitionLayout(

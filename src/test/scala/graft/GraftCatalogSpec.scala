@@ -205,6 +205,76 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PURGE must delete $f immediately"))
   }
 
+  test("SHOW TABLES never lists a dropped table's ghost") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "g")).toDF("id", "v").createOrReplaceTempView("ghsrc")
+    spark.sql("CREATE TABLE graft.gh AS SELECT id, v FROM ghsrc")
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("gh"))
+    spark.sql("DROP TABLE graft.gh")
+    // The drop clears the props payload; the fold keeps the meta key —
+    // listTables must filter the ghost (tableExists already rejects it).
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("gh"),
+      "dropped table listed forever (ghost #props key)")
+  }
+
+  test("DROP PURGE on a multi-table warehouse spares clone-shared files") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "s")).toDF("id", "v").createOrReplaceTempView("pmsrc")
+    spark.sql("CREATE TABLE graft.pm AS SELECT id, v FROM pmsrc")
+    // A zero-copy clone shares pm's files; siblings make the sweep walk.
+    Snapshots.cloneTable(spark, wh, "pm", "pm_clone")
+    spark.sql("CREATE TABLE graft.pm_other AS SELECT 2L AS id")
+    val shared = Snapshots.fileMeta(fs, wh, "pm").get.map(_.file)
+    spark.sql("DROP TABLE graft.pm PURGE")
+    // Shared files survive (the clone still references them) and the
+    // clone still reads.
+    shared.foreach(f => assert(fs.exists(new Path(f)),
+      s"PURGE deleted clone-shared file $f"))
+    assert(spark.sql("SELECT id FROM graft.pm_clone").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
+  test("nested-column ALTER DDL fails with the flatten workaround") {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    spark.sql("CREATE TABLE graft.nd AS SELECT 1L AS id, 'x' AS v")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.v2.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "nd")
+    val changes: Seq[TableChange] = Seq(
+      TableChange.renameColumn(Array("s", "x"), "a"),
+      TableChange.deleteColumn(Array("s", "x"), false),
+      TableChange.addColumn(Array("s", "z"),
+        org.apache.spark.sql.types.StringType))
+    changes.foreach { ch =>
+      val err = intercept[Exception](cat.alterTable(ident, ch))
+      assert(err.getMessage.contains("nested field") &&
+        err.getMessage.contains("CREATE OR REPLACE"),
+        s"$ch → ${err.getMessage}")
+    }
+  }
+
+  test("time-traveled loads apply that era's declared properties") {
+    val s0 = spark
+    import s0.implicits._
+    spark.sql("CREATE TABLE graft.era AS SELECT 1L AS id, 'a' AS v")
+    spark.sql("ALTER TABLE graft.era SET TBLPROPERTIES ('era' = 'one')")
+    val vOld = Snapshots.latestVersion(fs, wh).get
+    spark.sql("ALTER TABLE graft.era SET TBLPROPERTIES ('era' = 'two')")
+    // loadTable(ident, version) must serve the OLD era's properties.
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sources.v2.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "era")
+    assert(cat.loadTable(ident, vOld.toString).properties()
+      .get("era") == "one")
+    assert(cat.loadTable(ident).properties().get("era") == "two")
+  }
+
   test("readChangeFeed on a catalog table fails fast with guidance") {
     val s0 = spark
     import s0.implicits._

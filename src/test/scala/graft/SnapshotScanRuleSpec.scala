@@ -226,6 +226,38 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("duplicate keys"), err.getMessage)
   }
 
+  test("mirror-sync MERGE reads its source exactly once (dup check rides the write)") {
+    val w = wh("catSyncOnce")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gso",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gso.warehouse", w)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("so_t")
+    spark.sql("CREATE TABLE gso.t AS SELECT id, v FROM so_t")
+    // An accumulator-ticking source: each scan of a row bumps the count,
+    // so evals == rowCount proves ONE source pass (the old implementation
+    // ran a separate duplicate-key aggregation first → 2× the count).
+    val evals = spark.sparkContext.longAccumulator("srcEvals")
+    val tick = org.apache.spark.sql.functions.udf { (id: Long) =>
+      evals.add(1); id }
+    spark.range(1, 5).select(tick(org.apache.spark.sql.functions.col("id")).as("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("v"),
+          org.apache.spark.sql.functions.col("id")).as("v"))
+      .createOrReplaceTempView("so_src")
+    spark.sql(
+      """MERGE INTO gso.t USING so_src ON gso.t.id = so_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id FROM gso.t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(evals.value == 4L,
+      s"mirror-sync MERGE evaluated the source ${evals.value} times for 4 rows")
+  }
+
   test("conditional and column-level MERGE clauses lower onto the general engine") {
     val w = wh("catCondMerge")
     val s0 = spark
