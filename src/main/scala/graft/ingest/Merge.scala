@@ -688,12 +688,20 @@ object Merge {
     * clause ACTS are rewritten; the not-matched set anti-joins the
     * matched keys observed in that same join — never a full-table scan.
     * Driver state is O(affected files). */
+  /** `notMatchedBySource` clauses (`WHEN NOT MATCHED BY SOURCE [AND c]
+    * THEN UPDATE SET … | DELETE`) act on TARGET rows whose key has no
+    * source match; their conditions/assignments may reference `t.<col>`
+    * only. By semantics they cannot be key-pruned (any file may hold an
+    * unmatched row), so supplying one scans the whole table — the same
+    * cost Delta pays. */
   def mergeClauses(spark: SparkSession, warehouse: String, table: String,
                    source: DataFrame, keyCols: Seq[String],
                    matched: Seq[WhenClause],
-                   notMatched: Seq[WhenClause]): Result = {
+                   notMatched: Seq[WhenClause],
+                   notMatchedBySource: Seq[WhenClause] = Nil): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+        notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -702,7 +710,7 @@ object Merge {
       throw new IllegalStateException(
         s"no snapshot log under $warehouse — merge needs a TxnCommit table"))
     val partCols = Snapshots.partitionColumns(meta.map(_.partition))
-    matched.flatMap(_.assigns.getOrElse(Nil)).map(_._1)
+    (matched ++ notMatchedBySource).flatMap(_.assigns.getOrElse(Nil)).map(_._1)
       .foreach(c => require(!partCols.contains(c),
         s"MERGE cannot reassign partition column '$c' (rows would land " +
           "in the wrong directory) — delete + insert instead"))
@@ -749,11 +757,28 @@ object Merge {
       else pairs.withColumn("_m_action", firstAction(matched))
         .filter(col("_m_action") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NOT MATCHED BY SOURCE: target rows with no source key match — a
+    // whole-table anti-join against the (broadcast, dim-sized) source
+    // keys; clause conditions see `t.<col>` only.
+    val nmbsActed =
+      if (notMatchedBySource.isEmpty || meta.isEmpty) null
+      else {
+        val srcKeys = source.select(keyCols.map(col): _*).distinct()
+        dvAwareRead(spark, warehouse, table, partCols, mapping, meta)
+          .alias("t")
+          .join(broadcast(srcKeys), keyCols, "left_anti")
+          .withColumn("_b_action", firstAction(notMatchedBySource))
+          .filter(col("_b_action") > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     def run(): Result = {
     val affectedNames: Set[String] =
-      if (acted == null) Set.empty
-      else acted.select(col(s"t.$SrcFileCol")).distinct()
-        .collect().map(_.getString(0)).toSet
+      (if (acted == null) Set.empty[String]
+       else acted.select(col(s"t.$SrcFileCol")).distinct()
+         .collect().map(_.getString(0)).toSet) ++
+      (if (nmbsActed == null) Set.empty[String]
+       else nmbsActed.select(col(s"t.$SrcFileCol")).distinct()
+         .collect().map(_.getString(0)).toSet)
     val affected = meta.filter(a => affectedNames(pathKey(a.file)))
     // Delta multi-match contract: a target row several source rows ACT on
     // is nondeterministic — fail before staging anything.
@@ -803,21 +828,31 @@ object Merge {
 
     // Replacement rows for update clauses; delete clauses contribute
     // nothing to the rewrite (their rows just vanish) but feed the CDF.
-    val updateBranches = matched.zipWithIndex.collect {
-      case (cl, i) if cl.assigns.isDefined =>
-        val m = cl.assigns.get.toMap
-        acted.filter(col("_m_action") === i + 1).select(dataCols.map(f =>
-          m.get(f.name).fold(col(s"t.${f.name}"))(identity)
-            .cast(f.dataType).as(f.name)): _*)
-    }
+    def updateBranchesOf(cls: Seq[WhenClause], df: DataFrame,
+                         actionCol: String): Seq[DataFrame] =
+      cls.zipWithIndex.collect {
+        case (cl, i) if cl.assigns.isDefined =>
+          val m = cl.assigns.get.toMap
+          df.filter(col(actionCol) === i + 1).select(dataCols.map(f =>
+            m.get(f.name).fold(col(s"t.${f.name}"))(identity)
+              .cast(f.dataType).as(f.name)): _*)
+      }
+    val updateBranches =
+      (if (acted == null) Nil
+       else updateBranchesOf(matched, acted, "_m_action")) ++
+      (if (nmbsActed == null) Nil
+       else updateBranchesOf(notMatchedBySource, nmbsActed, "_b_action"))
     val replacements = updateBranches.reduceOption(_.unionByName(_))
     val survivors =
       if (affected.isEmpty) None
       else {
         val hit = dvAwareRead(spark, warehouse, table, partCols, mapping, affected)
-        val actedKeys = acted.select(
+        val actedFrames =
+          (if (acted == null) Nil else Seq(acted)) ++
+          (if (nmbsActed == null) Nil else Seq(nmbsActed))
+        val actedKeys = actedFrames.map(_.select(
           col(s"t.$SrcFileCol").as(SrcFileCol),
-          col(s"t.$RowPosCol").as(RowPosCol))
+          col(s"t.$RowPosCol").as(RowPosCol))).reduce(_.unionByName(_))
         Some(hit.join(actedKeys, Seq(SrcFileCol, RowPosCol), "left_anti")
           .drop(SrcFileCol, RowPosCol))
       }
@@ -829,17 +864,22 @@ object Merge {
 
     // CDF rows: preimages for EVERY acted row (update_preimage / delete by
     // clause kind), postimages for update clauses, inserts as inserts.
-    val deleteIdx = matched.zipWithIndex.collect {
-      case (cl, i) if cl.assigns.isEmpty => i + 1 }.toSet
-    val changeBranches = Seq.newBuilder[DataFrame]
-    if (acted != null && matched.nonEmpty) {
-      val pre = acted.select(dataCols.map(f =>
-        col(s"t.${f.name}").as(f.name)) :+ col("_m_action"): _*)
-      changeBranches += pre.withColumn("_change_type",
-        when(col("_m_action").isin(deleteIdx.toSeq.map(Integer.valueOf): _*),
+    def preimagesOf(cls: Seq[WhenClause], df: DataFrame,
+                    actionCol: String): DataFrame = {
+      val deleteIdx = cls.zipWithIndex.collect {
+        case (cl, i) if cl.assigns.isEmpty => i + 1 }.toSet
+      val pre = df.select(dataCols.map(f =>
+        col(s"t.${f.name}").as(f.name)) :+ col(actionCol): _*)
+      pre.withColumn("_change_type",
+        when(col(actionCol).isin(deleteIdx.toSeq.map(Integer.valueOf): _*),
           lit("delete")).otherwise(lit("update_preimage")))
-        .drop("_m_action")
+        .drop(actionCol)
     }
+    val changeBranches = Seq.newBuilder[DataFrame]
+    if (acted != null && matched.nonEmpty)
+      changeBranches += preimagesOf(matched, acted, "_m_action")
+    if (nmbsActed != null)
+      changeBranches += preimagesOf(notMatchedBySource, nmbsActed, "_b_action")
     replacements.foreach(r =>
       changeBranches += r.withColumn("_change_type", lit("update_postimage")))
     inserts.foreach(ins =>
@@ -851,8 +891,11 @@ object Merge {
     // uniqueness depends on the whole table → table-granular.
     commitRewrite(fs, warehouse, table, partCols, out, changes,
       affected.map(_.file), base, candidates.size, mapping,
-      fileGranularOcc = notMatched.isEmpty)
+      fileGranularOcc = notMatched.isEmpty && notMatchedBySource.isEmpty)
     }
-    try run() finally if (acted != null) acted.unpersist()
+    try run() finally {
+      if (acted != null) acted.unpersist()
+      if (nmbsActed != null) nmbsActed.unpersist()
+    }
   }
 }

@@ -298,6 +298,38 @@ object FormatQueries {
            |FROM grp.nation_rp VERSION AS OF $vPre WHERE n_regionkey = 3""".stripMargin)
     }),
 
+    // Conditional WHEN NOT MATCHED BY SOURCE clauses (general engine):
+    // unmatched target rows update or delete by condition — the full
+    // Delta NMBS surface beyond the star mirror-sync shape. Ground
+    // truth: CASE/filter SQL over the fixture.
+    "fmt_merge_nmbs_cond" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gnbq",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_merge_nmbs_cond", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gnbq.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_nb_base")
+        s.sql("CREATE TABLE gnbq.nation_nb AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_nb_base")
+        nation(s, d).filter(col("n_nationkey") < 10)
+          .createOrReplaceTempView("fmt_nb_src")
+        // Matched (keys < 10): tag the name. Unmatched: region-2 rows
+        // get region 99 (conditional NMBS UPDATE); region-4 rows drop
+        // (conditional NMBS DELETE); the rest survive untouched.
+        s.sql(
+          """MERGE INTO gnbq.nation_nb USING fmt_nb_src
+            |ON gnbq.nation_nb.n_nationkey = fmt_nb_src.n_nationkey
+            |WHEN MATCHED THEN UPDATE SET n_name = concat(gnbq.nation_nb.n_name, '_M')
+            |WHEN NOT MATCHED BY SOURCE AND gnbq.nation_nb.n_regionkey = 2
+            |  THEN UPDATE SET n_regionkey = 99
+            |WHEN NOT MATCHED BY SOURCE AND gnbq.nation_nb.n_regionkey = 4
+            |  THEN DELETE""".stripMargin)
+        w
+      }
+      s.conf.set("spark.sql.catalog.gnbq.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gnbq.nation_nb")
+    }),
+
     // IN-subquery DML through the catalog: DELETE/UPDATE whose condition
     // is `col IN (SELECT …)` [AND residual] lower onto the keyed merge
     // engine (the subquery is the MERGE source — no driver value list).
@@ -661,6 +693,13 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation
         |WHERE NOT (n_regionkey IN (0, 4) AND n_nationkey % 2 = 1)""".stripMargin,
+    "fmt_merge_nmbs_cond" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_nationkey < 10 THEN n_name || '_M' ELSE n_name END AS n_name,
+        |       CAST(CASE WHEN n_nationkey >= 10 AND n_regionkey = 2 THEN 99
+        |                 ELSE n_regionkey END AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE NOT (n_nationkey >= 10 AND n_regionkey = 4)""".stripMargin,
     "fmt_replace" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS region,
         |       CAST(count(*) AS BIGINT) AS n,

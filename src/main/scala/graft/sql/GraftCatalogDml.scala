@@ -108,8 +108,19 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         case other => throw new UnsupportedOperationException(
           s"unsupported WHEN NOT MATCHED action: $other")
       }
+    // NMBS conditions/assignments see the TARGET only (no source row to
+    // reference) — render catches stray source attrs naturally (they
+    // fail to re-resolve under the engine's t-only frame).
+    val nmbsCls: Seq[(Option[String], Option[Seq[(String, String)]])] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(cond, assigns, _) =>
+          (cond.map(render), Some(assignPairs(assigns)))
+        case DeleteAction(cond) => (cond.map(render), None)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
     GraftMergeClausesCommand(wh, t, keyCols, matchedCls, notMatchedCls,
-      m.sourceTable)
+      m.sourceTable, nmbsCls)
   }
 
   /** `WHERE (k, …) IN (SELECT …) [AND residual…]` lowered onto the
@@ -197,13 +208,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     case m: MergeIntoTable
         if m.resolved && graftTarget(m.targetTable).isDefined =>
       val (wh, t) = graftTarget(m.targetTable).get
-      val nmbsDelete = m.notMatchedBySourceActions match {
-        case Seq() => false
-        case Seq(DeleteAction(None)) => true
-        case other => throw new UnsupportedOperationException(
-          s"unsupported WHEN NOT MATCHED BY SOURCE clause(s) for graft " +
-            s"tables: ${other.mkString(", ")} — only an unconditional " +
-            "DELETE is lowered (the mirror-sync shape)")
+      // Star NMBS (the mirror-sync fast path) is exactly one
+      // unconditional DELETE; anything else routes to the general engine.
+      val nmbsStar: Option[Boolean] = m.notMatchedBySourceActions match {
+        case Seq() => Some(false)
+        case Seq(DeleteAction(None)) => Some(true)
+        case _ => None
       }
       // Key columns: AND-ed same-named equalities, the Merge.upsert shape.
       val keyCols = conjuncts(m.mergeCondition).map {
@@ -242,13 +252,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       val recognized = m.matchedActions.count(a => isStarUpdate(a) ||
           (a match { case DeleteAction(None) => true; case _ => false })) +
         m.notMatchedActions.count(isStarInsert)
-      if (recognized != m.matchedActions.size + m.notMatchedActions.size) {
-        // Conditional and/or column-level clauses: the general engine.
-        require(!nmbsDelete,
-          "WHEN NOT MATCHED BY SOURCE cannot combine with conditional or " +
-            "column-level clauses — split into two MERGE statements")
+      if (nmbsStar.isEmpty ||
+          recognized != m.matchedActions.size + m.notMatchedActions.size)
+        // Conditional and/or column-level clauses (incl. conditional /
+        // UPDATE-ing NOT MATCHED BY SOURCE): the general engine.
         return lowerGeneralMerge(wh, t, keyCols, m)
-      }
+      val nmbsDelete = nmbsStar.get
       require(!(matchedUpdate && matchedDelete),
         "MERGE cannot have both an unconditional MATCHED UPDATE and a " +
           "MATCHED DELETE clause")
@@ -284,7 +293,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     keyCols: Seq[String],
                                     matched: Seq[(Option[String], Option[Seq[(String, String)]])],
                                     notMatched: Seq[(Option[String], Option[Seq[(String, String)]])],
-                                    sourcePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+                                    sourcePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                    notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -304,7 +314,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
     val src =
       org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, sourcePlan)
     val res = graft.ingest.Merge.mergeClauses(session, warehouse, table,
-      src, keyCols, matched.map(toClause), notMatched.map(toClause))
+      src, keyCols, matched.map(toClause), notMatched.map(toClause),
+      notMatchedBySource.map(toClause))
     Seq(org.apache.spark.sql.Row(
       res.filesRewritten, res.filesAdded, res.rowsMatched))
   }

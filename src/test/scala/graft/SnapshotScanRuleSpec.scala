@@ -302,6 +302,40 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("multiple source rows"), err.getMessage)
   }
 
+  test("conditional NOT MATCHED BY SOURCE clauses act on unmatched target rows") {
+    val w = wh("catNmbs")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gnb",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gnb.warehouse", w)
+    (0L until 8L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("nb_t")
+    spark.sql("CREATE TABLE gnb.t AS SELECT id, v FROM nb_t")
+    Seq((1L, 111L), (2L, 222L)).toDF("id", "v")
+      .createOrReplaceTempView("nb_src")
+    // Matched rows update; unmatched target rows: small v zeroed
+    // (conditional NMBS UPDATE), large v deleted (conditional NMBS DELETE);
+    // in-between (v = 40, 50) survive untouched.
+    spark.sql(
+      """MERGE INTO gnb.t USING nb_src ON gnb.t.id = nb_src.id
+        |WHEN MATCHED THEN UPDATE SET v = nb_src.v
+        |WHEN NOT MATCHED BY SOURCE AND gnb.t.v < 40 THEN UPDATE SET v = 0
+        |WHEN NOT MATCHED BY SOURCE AND gnb.t.v > 50 THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM gnb.t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq(0L -> 0L, 1L -> 111L, 2L -> 222L, 3L -> 0L, 4L -> 40L, 5L -> 50L))
+    // The change feed records NMBS actions like any other clause.
+    val cdf = Snapshots.changes(spark, w, "t", fromExclusive = 0L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdf == Set(
+      (1L, "update_preimage"), (1L, "update_postimage"),
+      (2L, "update_preimage"), (2L, "update_postimage"),
+      (0L, "update_preimage"), (0L, "update_postimage"),
+      (3L, "update_preimage"), (3L, "update_postimage"),
+      (6L, "delete"), (7L, "delete")), s"cdf=$cdf")
+  }
+
   test("IN-subquery DML conditions lower onto the keyed merge engine") {
     val w = wh("catSubq")
     val s0 = spark
