@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Merge, Snapshots, TxnCommit}
+
+/** Model-checked general MERGE: random tables, sources, and clause sets
+  * run through [[Merge.mergeClauses]] and through a plain-Scala reference
+  * model of the MERGE semantics (first acting clause wins, matched-but-
+  * unacted rows survive, unmatched-source inserts, NOT MATCHED BY SOURCE
+  * acts on unmatched target rows). Catches clause-interaction bugs the
+  * fixed-shape oracle entries cannot. */
+class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-mergecl")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** One random scenario: table rows (id → v), source rows (id → v),
+    * clause thresholds. Conditions are of the form `s.v % m == r` /
+    * `t.v % m == r`; updates assign arithmetic over both sides. */
+  private case class Scenario(seed: Long) {
+    private val rnd = new scala.util.Random(seed)
+    val tableRows: Seq[(Long, Long)] =
+      (0L until (20 + rnd.nextInt(30))).map(i => i -> rnd.nextInt(100).toLong)
+    val srcRows: Seq[(Long, Long)] = {
+      val ids = rnd.shuffle((0L until 70L).toList).take(10 + rnd.nextInt(15))
+      ids.map(i => i -> rnd.nextInt(100).toLong)
+    }
+    // matched clauses: (mod, rem, isDelete); evaluated in order on s.v.
+    val matchedCls: Seq[(Int, Int, Boolean)] =
+      (0 until 1 + rnd.nextInt(3)).map(_ =>
+        (2 + rnd.nextInt(3), rnd.nextInt(3), rnd.nextBoolean()))
+    // notMatched: (mod, rem) insert conditions on s.v (None cond = last
+    // clause unconditional half the time).
+    val insertCls: Seq[Option[(Int, Int)]] =
+      if (rnd.nextBoolean())
+        Seq(Some((2 + rnd.nextInt(2), rnd.nextInt(2)))) ++
+          (if (rnd.nextBoolean()) Seq(None) else Nil)
+      else Nil
+    // nmbs: (mod, rem, isDelete) on t.v.
+    val nmbsCls: Seq[(Int, Int, Boolean)] =
+      if (rnd.nextBoolean())
+        (0 until 1 + rnd.nextInt(2)).map(_ =>
+          (2 + rnd.nextInt(3), rnd.nextInt(3), rnd.nextBoolean()))
+      else Nil
+    val hasClauses: Boolean =
+      matchedCls.nonEmpty || insertCls.nonEmpty || nmbsCls.nonEmpty
+
+    /** Reference result computed row-by-row on the driver. */
+    def expected: Set[(Long, Long)] = {
+      val srcByKey = srcRows.toMap // ids are distinct by construction
+      val out = Seq.newBuilder[(Long, Long)]
+      tableRows.foreach { case (id, tv) =>
+        srcByKey.get(id) match {
+          case Some(sv) =>
+            matchedCls.find { case (m, r, _) => sv % m == r } match {
+              case Some((_, _, true)) => () // delete
+              case Some((_, _, false)) => out += (id -> (tv + sv)) // update
+              case None => out += (id -> tv) // matched, no clause acts
+            }
+          case None =>
+            nmbsCls.find { case (m, r, _) => tv % m == r } match {
+              case Some((_, _, true)) => ()
+              case Some((_, _, false)) => out += (id -> (tv + 1000L))
+              case None => out += (id -> tv)
+            }
+        }
+      }
+      val tgtKeys = tableRows.map(_._1).toSet
+      srcRows.filterNot { case (id, _) => tgtKeys(id) }.foreach {
+        case (id, sv) =>
+          insertCls.find(_.forall { case (m, r) => sv % m == r })
+            .foreach(_ => out += (id -> (sv * 2)))
+      }
+      // Sets suffice: ids are unique in table and source, and surviving /
+      // inserted rows keep unique ids.
+      out.result().toSet
+    }
+  }
+
+  private def publish(w: String, rows: Seq[(Long, Long)]): Unit = {
+    val s0 = spark
+    import s0.implicits._
+    // Several files so candidate pruning and per-file rewrites engage.
+    rows.grouped(math.max(1, rows.size / 3)).foreach { batch =>
+      val cid = java.util.UUID.randomUUID().toString
+      batch.toDF("id", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+  }
+
+  test("random clause sets match the reference model across seeds") {
+    val s0 = spark
+    import s0.implicits._
+    (1L to 8L).foreach { seed =>
+      val sc = Scenario(seed)
+      if (sc.hasClauses) {
+        val w = wh(s"m$seed")
+        publish(w, sc.tableRows)
+        val src = sc.srcRows.toDF("id", "v")
+        val matched = sc.matchedCls.map { case (m, r, isDel) =>
+          Merge.WhenClause(Some(expr(s"s.v % $m = $r")),
+            if (isDel) None else Some(Seq("v" -> expr("t.v + s.v"))))
+        }
+        val notMatched = sc.insertCls.map { cnd =>
+          Merge.WhenClause(cnd.map { case (m, r) => expr(s"s.v % $m = $r") },
+            Some(Seq("id" -> expr("s.id"), "v" -> expr("s.v * 2"))))
+        }
+        val nmbs = sc.nmbsCls.map { case (m, r, isDel) =>
+          Merge.WhenClause(Some(expr(s"t.v % $m = $r")),
+            if (isDel) None else Some(Seq("v" -> expr("t.v + 1000"))))
+        }
+        Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+          matched, notMatched, nmbs)
+        val got = Snapshots.read(spark, w, "t")
+          .as[(Long, Long)].collect().toSet
+        assert(got == sc.expected,
+          s"seed=$seed\n got=${got.toSeq.sorted}\n exp=${sc.expected.toSeq.sorted}\n $sc")
+      }
+    }
+  }
+
+  test("matched-only clause merges are file-granular and skip clean files") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("granular")
+    publish(w, (0L until 30L).map(i => i -> i)) // 3 files by construction
+    val before = Snapshots.fileSet(fs, w, "t").get
+    // Keys 0-4 live in the first file only: one file rewrites.
+    val res = Merge.mergeClauses(spark, w, "t",
+      Seq((2L, 5L), (3L, 5L)).toDF("id", "v"), Seq("id"),
+      matched = Seq(Merge.WhenClause(Some(expr("s.v > 4")),
+        Some(Seq("v" -> expr("s.v * 100"))))),
+      notMatched = Nil)
+    assert(res.rowsMatched == 2 && res.filesRewritten == 1,
+      s"expected 1 rewritten file, got $res")
+    val after = Snapshots.fileSet(fs, w, "t").get
+    assert((before intersect after).size == before.size - 1,
+      "only the matching file may swap out")
+  }
+}
