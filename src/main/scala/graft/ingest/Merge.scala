@@ -753,23 +753,54 @@ object Merge {
         keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
         "inner")
     val acted =
-      if (pairs == null) null
+      if (pairs == null || matched.isEmpty) null
       else pairs.withColumn("_m_action", firstAction(matched))
         .filter(col("_m_action") > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // NOT MATCHED BY SOURCE: target rows with no source key match — a
-    // whole-table anti-join against the (broadcast, dim-sized) source
-    // keys; clause conditions see `t.<col>` only.
+    // NOT MATCHED BY SOURCE: target rows with no source key match — an
+    // anti-join against the (broadcast, dim-sized) source keys; clause
+    // conditions see `t.<col>` only. Unmatched-ness itself cannot be
+    // key-pruned, but a row no clause CONDITION matches cannot act — so
+    // when every NMBS clause is conditional, log-side stats skip files
+    // provably outside OR(conditions) (`WHEN NOT MATCHED BY SOURCE AND
+    // t.dt = '…' THEN DELETE` scans one partition's files, not 100 TB).
     val nmbsActed =
       if (notMatchedBySource.isEmpty || meta.isEmpty) null
       else {
-        val srcKeys = source.select(keyCols.map(col): _*).distinct()
-        dvAwareRead(spark, warehouse, table, partCols, mapping, meta)
-          .alias("t")
-          .join(broadcast(srcKeys), keyCols, "left_anti")
-          .withColumn("_b_action", firstAction(notMatchedBySource))
-          .filter(col("_b_action") > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nmbsMeta =
+          if (notMatchedBySource.exists(_.cond.isEmpty)) meta
+          else {
+            val preds = notMatchedBySource.flatMap(_.cond).map { c =>
+              // Resolve the t-qualified condition against a bare read so
+              // FileStats can translate it (same trick as rewriteWhere);
+              // untranslatable conditions (None) disable pruning.
+              Snapshots.read(spark, warehouse, table).alias("t").filter(c)
+                .queryExecution.analyzed.collectFirst {
+                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                    f.condition
+                }.flatMap(FileStats.fromExpression)
+            }
+            if (preds.exists(_.isEmpty)) meta
+            else {
+              val pred = preds.flatten.reduce[FileStats.Pred](_.or(_))
+              val loader = Snapshots.sidecarBloomLoader(fs, warehouse)
+              meta.filter { a =>
+                val s = FileStats.decode(a.stats)
+                FileStats.mayMatch(
+                  mapping.fold(s)(_.statsToLogical(s)), pred, loader)
+              }
+            }
+          }
+        if (nmbsMeta.isEmpty) null
+        else {
+          val srcKeys = source.select(keyCols.map(col): _*).distinct()
+          dvAwareRead(spark, warehouse, table, partCols, mapping, nmbsMeta)
+            .alias("t")
+            .join(broadcast(srcKeys), keyCols, "left_anti")
+            .withColumn("_b_action", firstAction(notMatchedBySource))
+            .filter(col("_b_action") > 0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
       }
     def run(): Result = {
     val affectedNames: Set[String] =

@@ -141,6 +141,40 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("conditional NMBS prunes files outside the conditions' stats") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("nmbsPrune")
+    publish(w, (0L until 30L).map(i => i -> i)) // 3 files: 0-9, 10-19, 20-29
+    // Corrupt the MIDDLE file's bytes on disk: a scan touching it would
+    // throw, so the merge below succeeds ONLY if the NMBS condition's
+    // stats pruning (t.id >= 20 cannot match [10,19]) skips it.
+    val mid = Snapshots.fileMeta(fs, w, "t").get.find(a =>
+      graft.ingest.FileStats.decode(a.stats).exists(s =>
+        s.cols.get("id").exists(_.min == "10"))).get.file
+    val orig = {
+      val in = fs.open(new Path(mid))
+      try { val b = new Array[Byte](fs.getFileStatus(new Path(mid)).getLen.toInt)
+        in.readFully(b); b } finally in.close()
+    }
+    val out = fs.create(new Path(mid), true)
+    try out.write("garbage-not-parquet".getBytes) finally out.close()
+    try {
+      // Unmatched rows with id >= 20 delete; key 25 is matched (survives).
+      Merge.mergeClauses(spark, w, "t",
+        Seq((25L, 0L)).toDF("id", "v"), Seq("id"),
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(
+          Merge.WhenClause(Some(expr("t.id >= 20")), None)))
+    } finally {
+      val o2 = fs.create(new Path(mid), true)
+      try o2.write(orig) finally o2.close()
+    }
+    assert(Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted.toSeq == ((0L until 20L) :+ 25L),
+      "NMBS delete must drop unmatched ids >= 20 and keep the matched 25")
+  }
+
   test("matched-only clause merges are file-granular and skip clean files") {
     val s0 = spark
     import s0.implicits._
