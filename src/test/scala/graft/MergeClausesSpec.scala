@@ -175,6 +175,43 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "NMBS delete must drop unmatched ids >= 20 and keep the matched 25")
   }
 
+  test("clause-evaluation joins broadcast the source — never a cartesian") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("planShape")
+    publish(w, (0L until 30L).map(i => i -> i))
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Merge.mergeClauses(spark, w, "t",
+        Seq((5L, 1L), (40L, 2L)).toDF("id", "v"), Seq("id"),
+        matched = Seq(Merge.WhenClause(Some(expr("s.v > 0")),
+          Some(Seq("v" -> expr("t.v + s.v"))))),
+        notMatched = Seq(Merge.WhenClause(None, None /* INSERT * */)),
+        notMatchedBySource = Seq(
+          Merge.WhenClause(Some(expr("t.id >= 28")), None)))
+      // The listener bus is asynchronous — give it a beat to drain.
+      Thread.sleep(2000)
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.toSeq)
+    assert(all.exists(_.contains("BroadcastHashJoin")),
+      "the clause-evaluation join must broadcast the dim-sized source")
+    all.foreach(p => assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in a merge plan:\n$p"))
+    assert(Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted.toSeq == ((0L until 28L) :+ 40L))
+  }
+
   test("matched-only clause merges are file-granular and skip clean files") {
     val s0 = spark
     import s0.implicits._
