@@ -145,14 +145,25 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         s"unsupported subquery in catalog DML condition ($why) — only " +
           "`(col, …) IN (SELECT …)` [AND subquery-free predicates] is " +
           "lowered; materialize other subqueries as a view and use MERGE INTO")
-    val (keyAttrs, listPlan) = subq match {
+    val (keyAttrs, listPlan, negated) = subq match {
       case Seq(InSubquery(values, lq: ListQuery)) =>
         if (lq.outerAttrs.nonEmpty) unsupported("correlated")
         val attrs = values.map {
           case a: AttributeReference => a
           case v => unsupported(s"non-column IN value ${v.sql}")
         }
-        (attrs, lq.plan)
+        (attrs, lq.plan, false)
+      case Seq(org.apache.spark.sql.catalyst.expressions.Not(
+          InSubquery(values, lq: ListQuery))) =>
+        if (lq.outerAttrs.nonEmpty) unsupported("correlated")
+        // Single column only: multi-column NOT IN's per-component NULL
+        // semantics are not worth the trap.
+        val attrs = values.map {
+          case a: AttributeReference => a
+          case v => unsupported(s"non-column NOT IN value ${v.sql}")
+        }
+        if (attrs.size != 1) unsupported("multi-column NOT IN")
+        (attrs, lq.plan, true)
       case Seq(one) => unsupported(s"shape ${one.sql.take(80)}")
       case _ => unsupported("multiple subqueries")
     }
@@ -179,8 +190,22 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           s"UPDATE of nested field ${k.sql} is not supported")
       }
     })
-    Some(GraftMergeClausesCommand(wh, t, keyCols,
-      matched = Seq((residualSql, assignPairs)), notMatched = Nil, source))
+    if (negated) {
+      // `k NOT IN (sub)`: act on target rows with NO source match — the
+      // NOT MATCHED BY SOURCE machinery. SQL three-valued logic rides as
+      // clause conditions: a NULL target key makes NOT IN evaluate NULL
+      // (row must NOT act), and a NULL anywhere in the subquery result
+      // makes it never-TRUE (whole statement no-ops — checked at run
+      // time by sourceNullNoop).
+      val notNull = s"(t.${keyCols.head} IS NOT NULL)"
+      val cond = residualSql.fold(notNull)(r => s"$notNull AND $r")
+      Some(GraftMergeClausesCommand(wh, t, keyCols,
+        matched = Nil, notMatched = Nil, source,
+        notMatchedBySource = Seq((Some(cond), assignPairs)),
+        sourceNullNoop = true))
+    } else
+      Some(GraftMergeClausesCommand(wh, t, keyCols,
+        matched = Seq((residualSql, assignPairs)), notMatched = Nil, source))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -294,7 +319,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     matched: Seq[(Option[String], Option[Seq[(String, String)]])],
                                     notMatched: Seq[(Option[String], Option[Seq[(String, String)]])],
                                     sourcePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-                                    notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil)
+                                    notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil,
+                                    sourceNullNoop: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -313,6 +339,13 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
         c._2.map(_.map { case (col, e) => col -> expr(e) }))
     val src =
       org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, sourcePlan)
+    // NOT IN semantics: one NULL in the subquery result makes the
+    // predicate never-TRUE — the whole statement is a no-op. One cheap
+    // limit(1) job on the dim-sized subquery decides it.
+    if (sourceNullNoop && src.filter(
+        org.apache.spark.sql.functions.col(keyCols.head).isNull)
+        .limit(1).count() > 0)
+      return Seq(org.apache.spark.sql.Row(0, 0, 0L))
     val res = graft.ingest.Merge.mergeClauses(session, warehouse, table,
       src, keyCols, matched.map(toClause), notMatched.map(toClause),
       notMatchedBySource.map(toClause))

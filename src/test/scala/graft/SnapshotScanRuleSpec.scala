@@ -363,7 +363,25 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "UPDATE gsq.t SET v = v + 1 WHERE id IN (SELECT k FROM sq_del2)")
     assert(spark.sql("SELECT v FROM gsq.t WHERE id = 3").as[Long]
       .collect().toSeq == Seq(31L))
-    // Correlated / EXISTS / NOT IN keep a crisp unsupported error.
+    // NOT IN: unmatched rows act, with full three-valued-logic semantics.
+    // Table here: ids {0,1,3,6,7,8,9} with v = id*10 except v(3)=31.
+    Seq(Tuple1(0L), Tuple1(1L), Tuple1(3L), Tuple1(6L)).toDF("k")
+      .createOrReplaceTempView("sq_keep")
+    spark.sql(
+      "DELETE FROM gsq.t WHERE id NOT IN (SELECT k FROM sq_keep) AND v < 90")
+    // 7 and 8 are not in the keep-set and v < 90 → deleted; 9 kept (v=90).
+    assert(spark.sql("SELECT id FROM gsq.t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(0L, 1L, 3L, 6L, 9L))
+    // A NULL in the subquery makes NOT IN never-true: statement no-ops.
+    Seq(Some(0L), None).toDF("k").createOrReplaceTempView("sq_null")
+    spark.sql("DELETE FROM gsq.t WHERE id NOT IN (SELECT k FROM sq_null)")
+    assert(spark.sql("SELECT count(*) FROM gsq.t").head().getLong(0) == 5)
+    // UPDATE via NOT IN.
+    spark.sql(
+      "UPDATE gsq.t SET v = -1 WHERE id NOT IN (SELECT k FROM sq_del2)")
+    assert(spark.sql("SELECT count(*) FROM gsq.t WHERE v = -1")
+      .head().getLong(0) == 4) // all but id=3 (sq_del2 = {3, 4})
+    // Correlated / EXISTS keep a crisp unsupported error.
     val err = intercept[Exception](spark.sql(
       "DELETE FROM gsq.t WHERE EXISTS (SELECT 1 FROM sq_del2 WHERE k = id)"))
     assert(err.getMessage.contains("unsupported subquery"), err.getMessage)
