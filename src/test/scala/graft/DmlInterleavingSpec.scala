@@ -55,7 +55,7 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     append(w, freshBatch(20))
     (1 to 24).foreach { step =>
-      rng.nextInt(6) match {
+      rng.nextInt(7) match {
         case 0 => append(w, freshBatch(5 + rng.nextInt(10)))
         case 1 => // DV delete of a residue class among live ids
           val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
@@ -76,6 +76,29 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
           model.keys.filter(_ % k == 1).toSeq.foreach(i => model(i) = model(i) - 1)
         case 5 => // vacuum mid-chain: latest state must be untouched
           Snapshots.vacuum(fs, w, keepVersions = 8, minAgeMs = 0L)
+        case 6 => // general clause MERGE: conditional update + delete + insert
+          val s0 = spark
+          import s0.implicits._
+          val liveIds = model.keys.toSeq.sorted
+          val touch = rng.shuffle(liveIds).take(math.min(6, liveIds.size))
+          val fresh = freshBatch(3) // model pre-filled at i*10 — fix below
+          fresh.foreach(model.remove)
+          val srcRows = touch.map(i => (i, rng.nextInt(100).toLong)) ++
+            fresh.map(i => (i, rng.nextInt(100).toLong))
+          Merge.mergeClauses(spark, w, "t",
+            srcRows.toDF("id", "v"), Seq("id"),
+            matched = Seq(
+              Merge.WhenClause(Some(expr("s.v < 30")), None), // delete
+              Merge.WhenClause(Some(expr("s.v >= 60")),
+                Some(Seq("v" -> expr("t.v + s.v"))))),
+            notMatched = Seq(Merge.WhenClause(Some(expr("s.v % 2 = 0")),
+              Some(Seq("id" -> expr("s.id"), "v" -> expr("s.v"))))))
+          srcRows.foreach { case (i, sv) =>
+            if (model.contains(i)) {
+              if (sv < 30) model.remove(i)
+              else if (sv >= 60) model(i) = model(i) + sv
+            } else if (sv % 2 == 0) model(i) = sv
+          }
       }
       val got = Snapshots.read(spark, w, "t").select("id", "v").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
