@@ -694,15 +694,22 @@ object Merge {
     * only. By semantics they cannot be key-pruned (any file may hold an
     * unmatched row), so supplying one scans the whole table — the same
     * cost Delta pays. */
+  /** `sourceKeyCols` (empty = same names as `keyCols`) lets the ON
+    * condition pair differently-named columns (`ON t.id = s.customer_id`):
+    * keyCols(i) on the target joins sourceKeyCols(i) on the source. */
   def mergeClauses(spark: SparkSession, warehouse: String, table: String,
                    source: DataFrame, keyCols: Seq[String],
                    matched: Seq[WhenClause],
                    notMatched: Seq[WhenClause],
-                   notMatchedBySource: Seq[WhenClause] = Nil): Result = {
+                   notMatchedBySource: Seq[WhenClause] = Nil,
+                   sourceKeyCols: Seq[String] = Nil): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
         notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
+    val srcKeyCols = if (sourceKeyCols.isEmpty) keyCols else sourceKeyCols
+    require(srcKeyCols.size == keyCols.size,
+      "sourceKeyCols must pair one-to-one with keyCols")
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -716,12 +723,16 @@ object Merge {
           "in the wrong directory) — delete + insert instead"))
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
 
-    // Candidate files by log-side stats intersection with the source keys.
-    val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
+    // Candidate files by log-side stats intersection with the source keys
+    // (source values pruned under the TARGET column's name).
+    val srcAsTgtKeys = source.select(srcKeyCols.zip(keyCols).map {
+      case (s, t) => col(s).as(t) }: _*)
+    val bounds =
+      srcAsTgtKeys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
     val candidates: Seq[Snapshots.Action] =
       if (meta.isEmpty || bounds.isNullAt(0)) Nil
       else {
-        val pred = keyPrunePred(source, keyCols, bounds)
+        val pred = keyPrunePred(srcAsTgtKeys, keyCols, bounds)
         val loader = Snapshots.sidecarBloomLoader(fs, warehouse)
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
@@ -750,7 +761,8 @@ object Merge {
     val pairs =
       if (tAll == null) null
       else tAll.alias("t").join(broadcast(source).alias("s"),
-        keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+        keyCols.zip(srcKeyCols).map { case (tk, sk) =>
+          col(s"t.$tk") === col(s"s.$sk") }.reduce(_ && _),
         "inner")
     val acted =
       if (pairs == null || matched.isEmpty) null
@@ -793,10 +805,11 @@ object Merge {
           }
         if (nmbsMeta.isEmpty) null
         else {
-          val srcKeys = source.select(keyCols.map(col): _*).distinct()
+          // Source keys renamed to the TARGET key names so the usingColumns
+          // anti-join drops them and the surviving frame is pure `t`.
           dvAwareRead(spark, warehouse, table, partCols, mapping, nmbsMeta)
             .alias("t")
-            .join(broadcast(srcKeys), keyCols, "left_anti")
+            .join(broadcast(srcAsTgtKeys.distinct()), keyCols, "left_anti")
             .withColumn("_b_action", firstAction(notMatchedBySource))
             .filter(col("_b_action") > 0)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -831,10 +844,11 @@ object Merge {
       else {
         val matchedKeys =
           if (pairs == null) null
-          else pairs.select(keyCols.map(k => col(s"s.$k").as(k)): _*).distinct()
+          else pairs.select(srcKeyCols.map(k =>
+            col(s"s.$k").as(k)): _*).distinct()
         val unmatched0 =
           if (matchedKeys == null) source
-          else source.join(matchedKeys, keyCols, "left_anti")
+          else source.join(matchedKeys, srcKeyCols, "left_anti")
         val withAct = unmatched0.alias("s")
           .withColumn("_i_action", firstAction(notMatched))
           .filter(col("_i_action") > 0)

@@ -76,7 +76,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
   /** Conditional / column-level MERGE → [[GraftMergeClausesCommand]] over
     * the general engine. Clause order is preserved (first acting clause
     * wins, per MERGE semantics). */
-  private def lowerGeneralMerge(wh: String, t: String, keyCols: Seq[String],
+  private def lowerGeneralMerge(wh: String, t: String,
+                                keyPairs: Seq[(String, String)],
                                 m: MergeIntoTable): LogicalPlan = {
     val tgt = m.targetTable.outputSet
     val src = m.sourceTable.outputSet
@@ -119,8 +120,9 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         case other => throw new UnsupportedOperationException(
           s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
       }
-    GraftMergeClausesCommand(wh, t, keyCols, matchedCls, notMatchedCls,
-      m.sourceTable, nmbsCls)
+    GraftMergeClausesCommand(wh, t, keyPairs.map(_._1), matchedCls,
+      notMatchedCls, m.sourceTable, nmbsCls,
+      srcKeyCols = keyPairs.map(_._2))
   }
 
   /** `WHERE (k, …) IN (SELECT …) [AND residual…]` lowered onto the
@@ -240,14 +242,22 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         case Seq(DeleteAction(None)) => Some(true)
         case _ => None
       }
-      // Key columns: AND-ed same-named equalities, the Merge.upsert shape.
-      val keyCols = conjuncts(m.mergeCondition).map {
+      // Key columns: AND-ed target=source column equalities, sides
+      // resolved by attribute ownership (names may differ:
+      // `ON t.id = s.customer_id`).
+      val tgtSet = m.targetTable.outputSet
+      val srcSet = m.sourceTable.outputSet
+      val keyPairs: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
         case EqualTo(l: AttributeReference, r: AttributeReference)
-            if l.name == r.name => l.name
+            if tgtSet.contains(l) && srcSet.contains(r) => l.name -> r.name
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+            if srcSet.contains(l) && tgtSet.contains(r) => r.name -> l.name
         case other => throw new UnsupportedOperationException(
-          s"MERGE ON supports AND-ed same-named column equalities " +
+          s"MERGE ON supports AND-ed target=source column equalities " +
             s"(t.k = s.k); got: ${other.sql}")
       }
+      val keyCols = keyPairs.map(_._1)
+      val sameNamedKeys = keyPairs.forall { case (t0, s0) => t0 == s0 }
       // Star shapes (the engine's upsert semantics): UPDATE SET * may
       // arrive pre-expansion or expanded to same-named assignments — but
       // only counts as star when it covers EVERY target column (a partial
@@ -277,11 +287,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       val recognized = m.matchedActions.count(a => isStarUpdate(a) ||
           (a match { case DeleteAction(None) => true; case _ => false })) +
         m.notMatchedActions.count(isStarInsert)
-      if (nmbsStar.isEmpty ||
+      if (nmbsStar.isEmpty || !sameNamedKeys ||
           recognized != m.matchedActions.size + m.notMatchedActions.size)
         // Conditional and/or column-level clauses (incl. conditional /
-        // UPDATE-ing NOT MATCHED BY SOURCE): the general engine.
-        return lowerGeneralMerge(wh, t, keyCols, m)
+        // UPDATE-ing NOT MATCHED BY SOURCE), or differently-named ON
+        // keys: the general engine (star shapes expand there).
+        return lowerGeneralMerge(wh, t, keyPairs, m)
       val nmbsDelete = nmbsStar.get
       require(!(matchedUpdate && matchedDelete),
         "MERGE cannot have both an unconditional MATCHED UPDATE and a " +
@@ -320,7 +331,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     notMatched: Seq[(Option[String], Option[Seq[(String, String)]])],
                                     sourcePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                                     notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil,
-                                    sourceNullNoop: Boolean = false)
+                                    sourceNullNoop: Boolean = false,
+                                    srcKeyCols: Seq[String] = Nil)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -348,7 +360,7 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
       return Seq(org.apache.spark.sql.Row(0, 0, 0L))
     val res = graft.ingest.Merge.mergeClauses(session, warehouse, table,
       src, keyCols, matched.map(toClause), notMatched.map(toClause),
-      notMatchedBySource.map(toClause))
+      notMatchedBySource.map(toClause), sourceKeyCols = srcKeyCols)
     Seq(org.apache.spark.sql.Row(
       res.filesRewritten, res.filesAdded, res.rowsMatched))
   }

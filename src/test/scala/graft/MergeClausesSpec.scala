@@ -199,8 +199,14 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
         notMatched = Seq(Merge.WhenClause(None, None /* INSERT * */)),
         notMatchedBySource = Seq(
           Merge.WhenClause(Some(expr("t.id >= 28")), None)))
-      // The listener bus is asynchronous — give it a beat to drain.
-      Thread.sleep(2000)
+      // The listener bus is asynchronous — poll until the broadcast-join
+      // plan has been delivered (bounded; under parallel-suite load a
+      // fixed sleep is flaky).
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.synchronized(
+          plans.exists(_.contains("BroadcastHashJoin"))) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
     } finally spark.listenerManager.unregister(listener)
     val all = plans.synchronized(plans.toSeq)
     assert(all.exists(_.contains("BroadcastHashJoin")),

@@ -336,6 +336,37 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, "delete"), (7L, "delete")), s"cdf=$cdf")
   }
 
+  test("MERGE ON pairs differently-named key columns") {
+    val w = wh("catDiffKeys")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gdk",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdk.warehouse", w)
+    (0L until 6L).map(i => (i, i * 10)).toDF("id", "v").coalesce(1)
+      .createOrReplaceTempView("dk_t")
+    spark.sql("CREATE TABLE gdk.t AS SELECT id, v FROM dk_t")
+    Seq((2L, 999L), (9L, 900L)).toDF("customer_id", "amount")
+      .createOrReplaceTempView("dk_src")
+    // Differently-named ON keys + column-level clauses → general engine.
+    spark.sql(
+      """MERGE INTO gdk.t USING dk_src ON gdk.t.id = dk_src.customer_id
+        |WHEN MATCHED THEN UPDATE SET v = dk_src.amount
+        |WHEN NOT MATCHED
+        |  THEN INSERT (id, v) VALUES (dk_src.customer_id, dk_src.amount)""".stripMargin)
+    assert(spark.sql("SELECT id, v FROM gdk.t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq(0L -> 0L, 1L -> 10L, 2L -> 999L, 3L -> 30L, 4L -> 40L,
+        5L -> 50L, 9L -> 900L))
+    // Reversed equality order resolves the same pairing.
+    Seq(Tuple1(9L)).toDF("cid").createOrReplaceTempView("dk_del")
+    spark.sql(
+      """MERGE INTO gdk.t USING dk_del ON dk_del.cid = gdk.t.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(!spark.sql("SELECT id FROM gdk.t").as[Long]
+      .collect().contains(9L))
+  }
+
   test("IN-subquery DML conditions lower onto the keyed merge engine") {
     val w = wh("catSubq")
     val s0 = spark
