@@ -147,17 +147,47 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         s"unsupported subquery in catalog DML condition ($why) — only " +
           "`(col, …) IN (SELECT …)` [AND subquery-free predicates] is " +
           "lowered; materialize other subqueries as a view and use MERGE INTO")
-    val (keyAttrs, listPlan, negated) = subq match {
+    // Equality-correlated EXISTS decorrelates to the IN shape: pull the
+    // `inner = outer` conjuncts out of the subquery's (top-level) Filter,
+    // project the inner sides, and treat the outer sides as the key
+    // columns. Handles the canonical `EXISTS (SELECT … FROM s WHERE
+    // s.k = t.k [AND s-side preds])`; deeper correlation shapes keep the
+    // unsupported error.
+    def decorrelate(ex: org.apache.spark.sql.catalyst.expressions.Exists)
+        : (Seq[AttributeReference], LogicalPlan) = {
+      import org.apache.spark.sql.catalyst.expressions.OuterReference
+      val (filter, below) = ex.plan match {
+        case Project(_, f @ Filter(_, child)) => (f, child)
+        case f @ Filter(_, child) => (f, child)
+        case _ => unsupported("EXISTS without a simple filtered subquery")
+      }
+      val (cor, plain) = conjuncts(filter.condition)
+        .partition(_.exists(_.isInstanceOf[OuterReference]))
+      val pairs: Seq[(AttributeReference, AttributeReference)] = cor.map {
+        case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference)) =>
+          o -> i
+        case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference) =>
+          o -> i
+        case other => unsupported(s"non-equality correlation ${other.sql}")
+      }
+      if (pairs.isEmpty) unsupported("EXISTS without equality correlation")
+      val inner = plain.reduceOption(And).map(Filter(_, below)).getOrElse(below)
+      (pairs.map(_._1), Project(pairs.map(_._2), inner))
+    }
+    // nmbs = act on rows WITHOUT a source match; nullGuards = NOT IN's
+    // three-valued-logic traps (NOT EXISTS has none: a NULL-keyed target
+    // row never matches, so NOT EXISTS is TRUE and the row acts).
+    val (keyAttrs, listPlan, nmbsMode, nullGuards) = subq match {
       case Seq(InSubquery(values, lq: ListQuery)) =>
-        if (lq.outerAttrs.nonEmpty) unsupported("correlated")
+        if (lq.outerAttrs.nonEmpty) unsupported("correlated IN")
         val attrs = values.map {
           case a: AttributeReference => a
           case v => unsupported(s"non-column IN value ${v.sql}")
         }
-        (attrs, lq.plan, false)
+        (attrs, lq.plan, false, false)
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           InSubquery(values, lq: ListQuery))) =>
-        if (lq.outerAttrs.nonEmpty) unsupported("correlated")
+        if (lq.outerAttrs.nonEmpty) unsupported("correlated NOT IN")
         // Single column only: multi-column NOT IN's per-component NULL
         // semantics are not worth the trap.
         val attrs = values.map {
@@ -165,7 +195,14 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           case v => unsupported(s"non-column NOT IN value ${v.sql}")
         }
         if (attrs.size != 1) unsupported("multi-column NOT IN")
-        (attrs, lq.plan, true)
+        (attrs, lq.plan, true, true)
+      case Seq(ex: org.apache.spark.sql.catalyst.expressions.Exists) =>
+        val (outer, plan) = decorrelate(ex)
+        (outer, plan, false, false)
+      case Seq(org.apache.spark.sql.catalyst.expressions.Not(
+          ex: org.apache.spark.sql.catalyst.expressions.Exists)) =>
+        val (outer, plan) = decorrelate(ex)
+        (outer, plan, true, false)
       case Seq(one) => unsupported(s"shape ${one.sql.take(80)}")
       case _ => unsupported("multiple subqueries")
     }
@@ -192,19 +229,24 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           s"UPDATE of nested field ${k.sql} is not supported")
       }
     })
-    if (negated) {
-      // `k NOT IN (sub)`: act on target rows with NO source match — the
-      // NOT MATCHED BY SOURCE machinery. SQL three-valued logic rides as
-      // clause conditions: a NULL target key makes NOT IN evaluate NULL
-      // (row must NOT act), and a NULL anywhere in the subquery result
-      // makes it never-TRUE (whole statement no-ops — checked at run
-      // time by sourceNullNoop).
-      val notNull = s"(t.${keyCols.head} IS NOT NULL)"
-      val cond = residualSql.fold(notNull)(r => s"$notNull AND $r")
+    if (nmbsMode) {
+      // `k NOT IN (sub)` / `NOT EXISTS (…)`: act on target rows with NO
+      // source match — the NOT MATCHED BY SOURCE machinery. NOT IN's SQL
+      // three-valued logic rides as clause conditions: a NULL target key
+      // makes NOT IN evaluate NULL (row must NOT act), and a NULL
+      // anywhere in the subquery result makes it never-TRUE (whole
+      // statement no-ops — checked at run time by sourceNullNoop). NOT
+      // EXISTS has neither trap: unmatched is unmatched.
+      val cond =
+        if (!nullGuards) residualSql
+        else {
+          val notNull = s"(t.${keyCols.head} IS NOT NULL)"
+          Some(residualSql.fold(notNull)(r => s"$notNull AND $r"))
+        }
       Some(GraftMergeClausesCommand(wh, t, keyCols,
         matched = Nil, notMatched = Nil, source,
-        notMatchedBySource = Seq((Some(cond), assignPairs)),
-        sourceNullNoop = true))
+        notMatchedBySource = Seq((cond, assignPairs)),
+        sourceNullNoop = nullGuards))
     } else
       Some(GraftMergeClausesCommand(wh, t, keyCols,
         matched = Seq((residualSql, assignPairs)), notMatched = Nil, source))

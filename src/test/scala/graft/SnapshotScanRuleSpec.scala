@@ -412,9 +412,24 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "UPDATE gsq.t SET v = -1 WHERE id NOT IN (SELECT k FROM sq_del2)")
     assert(spark.sql("SELECT count(*) FROM gsq.t WHERE v = -1")
       .head().getLong(0) == 4) // all but id=3 (sq_del2 = {3, 4})
-    // Correlated / EXISTS keep a crisp unsupported error.
+    // Table at this point: ids {0,1,3,6,9}, v = -1 except v(3)=31.
+    // Equality-correlated EXISTS decorrelates onto the IN machinery.
+    Seq(Tuple1(0L), Tuple1(9L)).toDF("k").createOrReplaceTempView("sq_ex")
+    spark.sql(
+      "DELETE FROM gsq.t WHERE EXISTS (SELECT 1 FROM sq_ex WHERE k = id)")
+    assert(spark.sql("SELECT id FROM gsq.t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 3L, 6L))
+    // NOT EXISTS (with an s-side predicate) → the NMBS machinery.
+    Seq((1L, true), (3L, false), (6L, true)).toDF("k", "keep")
+      .createOrReplaceTempView("sq_nex")
+    spark.sql(
+      "DELETE FROM gsq.t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM sq_nex WHERE k = id AND keep)")
+    assert(spark.sql("SELECT id FROM gsq.t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 6L))
+    // Non-equality correlation keeps a crisp unsupported error.
     val err = intercept[Exception](spark.sql(
-      "DELETE FROM gsq.t WHERE EXISTS (SELECT 1 FROM sq_del2 WHERE k = id)"))
+      "DELETE FROM gsq.t WHERE EXISTS (SELECT 1 FROM sq_ex WHERE k > id)"))
     assert(err.getMessage.contains("unsupported subquery"), err.getMessage)
   }
 
