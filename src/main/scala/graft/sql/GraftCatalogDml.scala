@@ -134,6 +134,36 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     * condition has no subquery (the plain path serves it); throws the
     * clear unsupported error for shapes this cannot express (NOT IN,
     * EXISTS, correlated, scalar subqueries). */
+  /** Uncorrelated SCALAR subqueries (in the condition or assignment
+    * values) swap for `__graft_scalar_i` markers; the command evaluates
+    * each plan at run time (one tiny job each) and splices the result
+    * back as a SQL literal. Returns None when no scalar subquery is
+    * present; leaves IN/EXISTS shapes to [[lowerSubqueryDml]]. */
+  private def lowerScalarDml(wh: String, t: String,
+                             condition: Option[Expression],
+                             assigns: Option[Seq[Assignment]]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{PlanExpression, ScalarSubquery}
+    val exprs = condition.toSeq ++ assigns.getOrElse(Nil).map(_.value)
+    if (!exprs.exists(_.exists(_.isInstanceOf[ScalarSubquery]))) return None
+    val scalars = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    def swap(e: Expression): Expression = e.transform {
+      case s: ScalarSubquery if s.outerAttrs.isEmpty =>
+        scalars += s.plan
+        UnresolvedAttribute(Seq(s"__graft_scalar_${scalars.size - 1}"))
+    }
+    val cond2 = condition.map(swap)
+    val assigns2 = assigns.map(_.map(a => (a.key, swap(a.value))))
+    // Anything beyond uncorrelated scalars (mixed IN + scalar, correlated
+    // scalar) keeps the crisp unsupported error from cleanSql.
+    val rendered = cond2.map(cleanSql).getOrElse("true")
+    val assignPairs = assigns2.map(_.map {
+      case (k: AttributeReference, v) => k.name -> cleanSql(v)
+      case (k, _) => throw new UnsupportedOperationException(
+        s"UPDATE of nested field ${k.sql} is not supported")
+    }).getOrElse(Nil)
+    Some(GraftDmlCommand(wh, t, rendered, assignPairs, scalars.toSeq))
+  }
+
   private def lowerSubqueryDml(wh: String, t: String, target: LogicalPlan,
                                condition: Expression,
                                assigns: Option[Seq[Assignment]]): Option[LogicalPlan] = {
@@ -255,8 +285,9 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
       val (wh, t) = graftTarget(u.table).get
-      u.condition.flatMap(c =>
-          lowerSubqueryDml(wh, t, u.table, c, Some(u.assignments)))
+      lowerScalarDml(wh, t, u.condition, Some(u.assignments))
+        .orElse(u.condition.flatMap(c =>
+          lowerSubqueryDml(wh, t, u.table, c, Some(u.assignments))))
         .getOrElse {
           val assigns = u.assignments.map { a =>
             a.key match {
@@ -271,7 +302,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
 
     case d: DeleteFromTable if d.resolved && graftTarget(d.table).isDefined =>
       val (wh, t) = graftTarget(d.table).get
-      lowerSubqueryDml(wh, t, d.table, d.condition, None)
+      lowerScalarDml(wh, t, Some(d.condition), None)
+        .orElse(lowerSubqueryDml(wh, t, d.table, d.condition, None))
         .getOrElse(GraftDmlCommand(wh, t, cleanSql(d.condition), Nil))
 
     case m: MergeIntoTable

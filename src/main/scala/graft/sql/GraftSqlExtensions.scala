@@ -706,12 +706,37 @@ case class GraftCtasCommand(warehouse: String, table: String,
   }
 }
 
+/** `scalarPlans`: uncorrelated scalar subqueries whose results splice in
+  * for `__graft_scalar_i` markers in `where`/`assignments` at run time —
+  * each is one tiny job (`limit(2)`, >1 row is the standard error), and
+  * the value re-renders through `Literal.sql` so quoting/typing is
+  * Catalyst's, not string concatenation. */
 case class GraftDmlCommand(warehouse: String, table: String, where: String,
-                           assignments: Seq[(String, String)])
+                           assignments: Seq[(String, String)],
+                           scalarPlans: Seq[LogicalPlan] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_rewritten", IntegerType)(),
     AttributeReference("rows_matched", LongType)())
+
+  private def resolveScalars(session: SparkSession, s: String): String =
+    scalarPlans.zipWithIndex.reverse.foldLeft(s) { case (acc, (p, i)) =>
+      val marker = s"__graft_scalar_$i"
+      if (!acc.contains(marker)) acc
+      else {
+        val df = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(session, p)
+        val rows = df.limit(2).collect()
+        require(rows.length <= 1,
+          "scalar subquery in DML returned more than one row")
+        val dt = df.schema.fields(0).dataType
+        val v = if (rows.isEmpty || rows(0).isNullAt(0)) null
+                else rows(0).get(0)
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal
+          .create(v, dt).sql
+        acc.replace(marker, lit)
+      }
+    }
+
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
     // graft.dml.mode: cow (default) rewrites affected files; mor commits
@@ -724,19 +749,21 @@ case class GraftDmlCommand(warehouse: String, table: String, where: String,
         .map(_.toDouble).getOrElse(0.5)
       case _      => 0.0
     }
-    val asg = assignments.map { case (c, e) => c -> expr(e) }.toMap
+    val where2 = resolveScalars(session, where)
+    val asg = assignments.map { case (c, e) =>
+      c -> expr(resolveScalars(session, e)) }.toMap
     val cow = mode != "mor" && mode != "auto" // unknown values fall back
     val res = (assignments.isEmpty, cow) match {
       case (true, true) =>
-        graft.ingest.Merge.deleteWhere(session, warehouse, table, expr(where))
+        graft.ingest.Merge.deleteWhere(session, warehouse, table, expr(where2))
       case (true, false) =>
         graft.ingest.Merge.deleteWhereDv(session, warehouse, table,
-          expr(where), fraction)
+          expr(where2), fraction)
       case (false, true) =>
-        graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where), asg)
+        graft.ingest.Merge.updateWhere(session, warehouse, table, expr(where2), asg)
       case (false, false) =>
         graft.ingest.Merge.updateWhereDv(session, warehouse, table,
-          expr(where), asg, fraction)
+          expr(where2), asg, fraction)
     }
     Seq(Row(res.filesRewritten, res.rowsMatched))
   }

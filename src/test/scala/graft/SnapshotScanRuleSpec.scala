@@ -431,6 +431,16 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val err = intercept[Exception](spark.sql(
       "DELETE FROM gsq.t WHERE EXISTS (SELECT 1 FROM sq_ex WHERE k > id)"))
     assert(err.getMessage.contains("unsupported subquery"), err.getMessage)
+    // Uncorrelated SCALAR subqueries evaluate at run time and splice as
+    // literals — in conditions and in assignment values.
+    // Table here: ids {1, 6}, both v = -1.
+    spark.sql("UPDATE gsq.t SET v = (SELECT max(k) FROM sq_ex) " +
+      "WHERE id > (SELECT min(k) FROM sq_nex)")
+    assert(spark.sql("SELECT id, v FROM gsq.t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq(1L -> -1L, 6L -> 9L))
+    spark.sql("DELETE FROM gsq.t WHERE v = (SELECT max(k) FROM sq_ex)")
+    assert(spark.sql("SELECT id FROM gsq.t").as[Long]
+      .collect().toSeq == Seq(1L))
   }
 
   test("maintenance statements accept catalog-qualified names") {
