@@ -782,11 +782,16 @@ object Merge {
         val nmbsMeta =
           if (notMatchedBySource.exists(_.cond.isEmpty)) meta
           else {
+            // Resolve the t-qualified conditions against an EMPTY frame
+            // carrying the table schema — zero file access (a footer read
+            // over the full list would defeat the point of pruning) —
+            // so FileStats can translate them (same trick as
+            // rewriteWhere); untranslatable conditions disable pruning.
+            val schemaFrame = spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(dataCols))
             val preds = notMatchedBySource.flatMap(_.cond).map { c =>
-              // Resolve the t-qualified condition against a bare read so
-              // FileStats can translate it (same trick as rewriteWhere);
-              // untranslatable conditions (None) disable pruning.
-              Snapshots.read(spark, warehouse, table).alias("t").filter(c)
+              schemaFrame.alias("t").filter(c)
                 .queryExecution.analyzed.collectFirst {
                   case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
                     f.condition
