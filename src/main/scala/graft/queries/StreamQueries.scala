@@ -203,6 +203,72 @@ object StreamQueries {
         s.read.parquet(s"$d/embeddings.parquet")
           .select("vec_id", "embedding").filter(col("vec_id") < 5),
         k = 10, nprobe = 8)
+    }),
+
+    // CDC-apply loop through the general MERGE engine: a change stream
+    // arrives as two micro-batches (maxFilesPerTrigger=1), and each
+    // trigger lands one clause merge — conditional DELETE, column-level
+    // UPDATE, conditional INSERT (absolute assignments, so the loop is
+    // row-level idempotent under replays). The final table must
+    // hash-match plain CASE/filter SQL over the fixture — a lost batch,
+    // doubled batch, or clause-ordering bug breaks the match.
+    "stream_merge_clauses" -> ((s, d) => {
+      import graft.ingest.{Merge, Snapshots, TxnCommit}
+      val wh = Fixtures.once("stream_merge_clauses", d) {
+        val base = Files.createTempDirectory("graft-smerge")
+        val w = base.resolve("wh").toString
+        val fs = new org.apache.hadoop.fs.Path(w)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nation = s.read.parquet(s"$d/nation.parquet")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        val cid = java.util.UUID.randomUUID().toString
+        nation.coalesce(1)
+          .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/nation_sm")
+        val moves = TxnCommit.movesFor(fs, w, cid, "nation_sm")
+        TxnCommit.commit(fs, w, cid, moves)
+        TxnCommit.publish(fs, w, cid, moves)
+        // Change batches: keys < 8 then keys 8-15 (+ one insertable and
+        // one suppressed new key); keys 3 and 12 are deletes.
+        val in = base.resolve("in").toString
+        def upd(lo: Long, hi: Long, tag: String) = nation
+          .filter(col("n_nationkey") >= lo && col("n_nationkey") < hi)
+          .select(col("n_nationkey"),
+            concat(col("n_name"), lit(tag)).as("new_name"),
+            when(col("n_nationkey").isin(3L, 12L), "del")
+              .otherwise("upd").as("action"))
+        upd(0, 8, "_S1").coalesce(1).write.parquet(in)
+        upd(8, 16, "_S2")
+          .unionByName(s.range(1).select(lit(990L).as("n_nationkey"),
+            lit("NEWLAND").as("new_name"), lit("upd").as("action")))
+          .unionByName(s.range(1).select(lit(996L).as("n_nationkey"),
+            lit("FARLAND").as("new_name"), lit("upd").as("action")))
+          .coalesce(1).write.mode("append").parquet(in)
+        val sch = s.read.parquet(in).schema
+        val q = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              Merge.mergeClauses(s, w, "nation_sm", batch,
+                Seq("n_nationkey"),
+                matched = Seq(
+                  Merge.WhenClause(Some(expr("s.action = 'del'")), None),
+                  Merge.WhenClause(None,
+                    Some(Seq("n_name" -> expr("s.new_name"))))),
+                notMatched = Seq(
+                  Merge.WhenClause(Some(expr("s.n_nationkey < 995")),
+                    Some(Seq("n_nationkey" -> expr("s.n_nationkey"),
+                      "n_name" -> expr("s.new_name"))))))
+              ()
+            }
+          }.start()
+        q.awaitTermination()
+        w
+      }
+      Snapshots.read(s, wh, "nation_sm")
+        .select("n_nationkey", "n_name", "n_regionkey")
     }))
 
   /** Same ground truth as the batch entries — the streaming runtime must
@@ -221,6 +287,14 @@ object StreamQueries {
     // Identical ground truth to the batch persisted-index entry: the
     // streamed index must serve the same exact top-k.
     "stream_ann_ivf" -> LlmQueries.oracleSql("llm_ann_ivf_persisted"),
+    "stream_merge_clauses" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_nationkey < 8 THEN n_name || '_S1'
+        |            WHEN n_nationkey < 16 THEN n_name || '_S2'
+        |            ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey NOT IN (3, 12)
+        |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
     "stream_join" ->
       """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
         |FROM events c JOIN events v
