@@ -526,9 +526,11 @@ object Merge {
                             changes: DataFrame, affected: Seq[String],
                             base: Option[Long], candidates: Int,
                             mapping: Option[ColumnMapping] = None,
-                            fileGranularOcc: Boolean = false): Result = {
+                            fileGranularOcc: Boolean = false,
+                            fixedCommitId: Option[String] = None): Result = {
     import org.apache.spark.sql.functions.{count, when}
-    val commitId = java.util.UUID.randomUUID().toString
+    val commitId =
+      fixedCommitId.getOrElse(java.util.UUID.randomUUID().toString)
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
     val cdfStaging =
       s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
@@ -696,13 +698,20 @@ object Merge {
     * cost Delta pays. */
   /** `sourceKeyCols` (empty = same names as `keyCols`) lets the ON
     * condition pair differently-named columns (`ON t.id = s.customer_id`):
-    * keyCols(i) on the target joins sourceKeyCols(i) on the source. */
+    * keyCols(i) on the target joins sourceKeyCols(i) on the source.
+    *
+    * `commitId` (None = fresh UUID) makes the merge IDEMPOTENT under that
+    * key: a commitId already in the log returns a zero Result without
+    * staging anything — the exactly-once handle a `foreachBatch` CDC
+    * loop needs (`Some(s"merge-$queryId-$table-$batchId")`, the same
+    * convention as the streaming sink's epoch keys). */
   def mergeClauses(spark: SparkSession, warehouse: String, table: String,
                    source: DataFrame, keyCols: Seq[String],
                    matched: Seq[WhenClause],
                    notMatched: Seq[WhenClause],
                    notMatchedBySource: Seq[WhenClause] = Nil,
-                   sourceKeyCols: Seq[String] = Nil): Result = {
+                   sourceKeyCols: Seq[String] = Nil,
+                   commitId: Option[String] = None): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
         notMatchedBySource.nonEmpty,
@@ -712,6 +721,15 @@ object Merge {
       "sourceKeyCols must pair one-to-one with keyCols")
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Idempotence: finish any crashed publish first (same order as the
+    // streaming sink), then a replayed batch finds its commitId in the
+    // log and lands nothing — presence = fully applied.
+    if (commitId.isDefined) {
+      TxnCommit.recover(fs, warehouse)
+      if (Snapshots.entries(fs, warehouse)
+          .exists(e => commitId.contains(e.commitId)))
+        return Result(0, 0, 0L, 0)
+    }
     val base = Snapshots.latestVersion(fs, warehouse)
     val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(
       throw new IllegalStateException(
@@ -941,7 +959,8 @@ object Merge {
     // uniqueness depends on the whole table → table-granular.
     commitRewrite(fs, warehouse, table, partCols, out, changes,
       affected.map(_.file), base, candidates.size, mapping,
-      fileGranularOcc = notMatched.isEmpty && notMatchedBySource.isEmpty)
+      fileGranularOcc = notMatched.isEmpty && notMatchedBySource.isEmpty,
+      fixedCommitId = commitId)
     }
     try run() finally {
       if (acted != null) acted.unpersist()

@@ -249,7 +249,7 @@ object StreamQueries {
           .option("maxFilesPerTrigger", 1).parquet(in)
           .writeStream.trigger(Trigger.AvailableNow())
           .option("checkpointLocation", base.resolve("ckpt").toString)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             if (!batch.isEmpty) {
               Merge.mergeClauses(s, w, "nation_sm", batch,
                 Seq("n_nationkey"),
@@ -260,7 +260,10 @@ object StreamQueries {
                 notMatched = Seq(
                   Merge.WhenClause(Some(expr("s.n_nationkey < 995")),
                     Some(Seq("n_nationkey" -> expr("s.n_nationkey"),
-                      "n_name" -> expr("s.new_name"))))))
+                      "n_name" -> expr("s.new_name"))))),
+                // batchId-keyed exactly-once: a crash-replayed batch
+                // finds its commitId in the log and lands nothing.
+                commitId = Some(s"merge-smc-nation_sm-$batchId"))
               ()
             }
           }.start()

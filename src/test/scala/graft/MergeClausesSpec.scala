@@ -218,6 +218,33 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sorted.toSeq == ((0L until 28L) :+ 40L))
   }
 
+  test("commitId-keyed merges are exactly-once under replay") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("idem")
+    publish(w, (0L until 10L).map(i => i -> i))
+    val src = Seq((3L, 100L)).toDF("id", "v")
+    val clause = Seq(Merge.WhenClause(None,
+      Some(Seq("v" -> expr("t.v + s.v"))))) // NON-idempotent on purpose
+    def apply(): Merge.Result =
+      Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+        matched = clause, notMatched = Nil,
+        commitId = Some("merge-replay-test-batch-7"))
+    val first = apply()
+    assert(first.rowsMatched == 1)
+    // The replay (same commitId) must land NOTHING: v stays +100, not +200.
+    val replay = apply()
+    assert(replay.rowsMatched == 0 && replay.filesRewritten == 0)
+    assert(Snapshots.read(spark, w, "t").filter($"id" === 3L)
+      .select("v").as[Long].collect().toSeq == Seq(103L))
+    // A different batch's commitId applies normally.
+    Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+      matched = clause, notMatched = Nil,
+      commitId = Some("merge-replay-test-batch-8"))
+    assert(Snapshots.read(spark, w, "t").filter($"id" === 3L)
+      .select("v").as[Long].collect().toSeq == Seq(203L))
+  }
+
   test("matched-only clause merges are file-granular and skip clean files") {
     val s0 = spark
     import s0.implicits._
