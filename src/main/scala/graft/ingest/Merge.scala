@@ -704,14 +704,22 @@ object Merge {
     * key: a commitId already in the log returns a zero Result without
     * staging anything — the exactly-once handle a `foreachBatch` CDC
     * loop needs (`Some(s"merge-$queryId-$table-$batchId")`, the same
-    * convention as the streaming sink's epoch keys). */
+    * convention as the streaming sink's epoch keys).
+    *
+    * `onResidual` is the ON condition's non-equi remainder (`ON t.k = s.k
+    * AND t.dt = '…'` — the partition-scoped merge): matching requires the
+    * keys AND the residual, so rows failing it are NOT matched — NOT
+    * MATCHED inserts fire for their source rows and NOT MATCHED BY SOURCE
+    * clauses act on their target rows, exactly the Delta semantics (scope
+    * NMBS clauses with conditions when using a scoping residual). */
   def mergeClauses(spark: SparkSession, warehouse: String, table: String,
                    source: DataFrame, keyCols: Seq[String],
                    matched: Seq[WhenClause],
                    notMatched: Seq[WhenClause],
                    notMatchedBySource: Seq[WhenClause] = Nil,
                    sourceKeyCols: Seq[String] = Nil,
-                   commitId: Option[String] = None): Result = {
+                   commitId: Option[String] = None,
+                   onResidual: Option[org.apache.spark.sql.Column] = None): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
         notMatchedBySource.nonEmpty,
@@ -776,12 +784,12 @@ object Merge {
 
     // ONE join evaluates every matched clause's condition; `_m_action` is
     // the 1-based index of the first acting clause (0 = none acts).
+    val onCond = keyCols.zip(srcKeyCols).map { case (tk, sk) =>
+      col(s"t.$tk") === col(s"s.$sk") }.reduce(_ && _)
+    val fullOn = onResidual.fold(onCond)(onCond && _)
     val pairs =
       if (tAll == null) null
-      else tAll.alias("t").join(broadcast(source).alias("s"),
-        keyCols.zip(srcKeyCols).map { case (tk, sk) =>
-          col(s"t.$tk") === col(s"s.$sk") }.reduce(_ && _),
-        "inner")
+      else tAll.alias("t").join(broadcast(source).alias("s"), fullOn, "inner")
     val acted =
       if (pairs == null || matched.isEmpty) null
       else pairs.withColumn("_m_action", firstAction(matched))
@@ -828,11 +836,22 @@ object Merge {
           }
         if (nmbsMeta.isEmpty) null
         else {
-          // Source keys renamed to the TARGET key names so the usingColumns
-          // anti-join drops them and the surviving frame is pure `t`.
-          dvAwareRead(spark, warehouse, table, partCols, mapping, nmbsMeta)
-            .alias("t")
-            .join(broadcast(srcAsTgtKeys.distinct()), keyCols, "left_anti")
+          val tFrame =
+            dvAwareRead(spark, warehouse, table, partCols, mapping, nmbsMeta)
+              .alias("t")
+          // Without a residual, source keys renamed to the TARGET key
+          // names so the usingColumns anti-join drops them and the
+          // surviving frame is pure `t`; with one, unmatched-ness is
+          // "no pair satisfying keys AND residual" — anti-join the full
+          // ON condition (an expression anti-join keeps only t columns).
+          val unmatchedT = onResidual match {
+            case None =>
+              tFrame.join(broadcast(srcAsTgtKeys.distinct()), keyCols,
+                "left_anti")
+            case Some(_) =>
+              tFrame.join(broadcast(source).alias("s"), fullOn, "left_anti")
+          }
+          unmatchedT
             .withColumn("_b_action", firstAction(notMatchedBySource))
             .filter(col("_b_action") > 0)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -78,6 +78,7 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     * wins, per MERGE semantics). */
   private def lowerGeneralMerge(wh: String, t: String,
                                 keyPairs: Seq[(String, String)],
+                                onResidual: Seq[Expression],
                                 m: MergeIntoTable): LogicalPlan = {
     val tgt = m.targetTable.outputSet
     val src = m.sourceTable.outputSet
@@ -122,7 +123,11 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       }
     GraftMergeClausesCommand(wh, t, keyPairs.map(_._1), matchedCls,
       notMatchedCls, m.sourceTable, nmbsCls,
-      srcKeyCols = keyPairs.map(_._2))
+      srcKeyCols = keyPairs.map(_._2),
+      onResidualSql = onResidual match {
+        case Seq() => None
+        case rs => Some(rs.map(render).mkString("(", ") AND (", ")"))
+      })
   }
 
   /** `WHERE (k, …) IN (SELECT …) [AND residual…]` lowered onto the
@@ -318,18 +323,27 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       }
       // Key columns: AND-ed target=source column equalities, sides
       // resolved by attribute ownership (names may differ:
-      // `ON t.id = s.customer_id`).
+      // `ON t.id = s.customer_id`). Non-equi conjuncts become the ON
+      // residual — matching requires keys AND residual (the
+      // partition-scoped merge, `ON t.k = s.k AND t.dt = '…'`).
       val tgtSet = m.targetTable.outputSet
       val srcSet = m.sourceTable.outputSet
-      val keyPairs: Seq[(String, String)] = conjuncts(m.mergeCondition).map {
+      val keyPairsB = Seq.newBuilder[(String, String)]
+      val residualB = Seq.newBuilder[Expression]
+      conjuncts(m.mergeCondition).foreach {
         case EqualTo(l: AttributeReference, r: AttributeReference)
-            if tgtSet.contains(l) && srcSet.contains(r) => l.name -> r.name
+            if tgtSet.contains(l) && srcSet.contains(r) =>
+          keyPairsB += l.name -> r.name
         case EqualTo(l: AttributeReference, r: AttributeReference)
-            if srcSet.contains(l) && tgtSet.contains(r) => r.name -> l.name
-        case other => throw new UnsupportedOperationException(
-          s"MERGE ON supports AND-ed target=source column equalities " +
-            s"(t.k = s.k); got: ${other.sql}")
+            if srcSet.contains(l) && tgtSet.contains(r) =>
+          keyPairsB += r.name -> l.name
+        case other => residualB += other
       }
+      val keyPairs = keyPairsB.result()
+      val onResidual = residualB.result()
+      require(keyPairs.nonEmpty,
+        "MERGE ON needs at least one target=source column equality " +
+          "(t.k = s.k) — a purely non-equi ON would be a cross join")
       val keyCols = keyPairs.map(_._1)
       val sameNamedKeys = keyPairs.forall { case (t0, s0) => t0 == s0 }
       // Star shapes (the engine's upsert semantics): UPDATE SET * may
@@ -361,12 +375,13 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       val recognized = m.matchedActions.count(a => isStarUpdate(a) ||
           (a match { case DeleteAction(None) => true; case _ => false })) +
         m.notMatchedActions.count(isStarInsert)
-      if (nmbsStar.isEmpty || !sameNamedKeys ||
+      if (nmbsStar.isEmpty || !sameNamedKeys || onResidual.nonEmpty ||
           recognized != m.matchedActions.size + m.notMatchedActions.size)
         // Conditional and/or column-level clauses (incl. conditional /
-        // UPDATE-ing NOT MATCHED BY SOURCE), or differently-named ON
-        // keys: the general engine (star shapes expand there).
-        return lowerGeneralMerge(wh, t, keyPairs, m)
+        // UPDATE-ing NOT MATCHED BY SOURCE), differently-named ON keys,
+        // or a non-equi ON residual: the general engine (star shapes
+        // expand there).
+        return lowerGeneralMerge(wh, t, keyPairs, onResidual, m)
       val nmbsDelete = nmbsStar.get
       require(!(matchedUpdate && matchedDelete),
         "MERGE cannot have both an unconditional MATCHED UPDATE and a " +
@@ -406,7 +421,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     sourcePlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                                     notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil,
                                     sourceNullNoop: Boolean = false,
-                                    srcKeyCols: Seq[String] = Nil)
+                                    srcKeyCols: Seq[String] = Nil,
+                                    onResidualSql: Option[String] = None)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -434,7 +450,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
       return Seq(org.apache.spark.sql.Row(0, 0, 0L))
     val res = graft.ingest.Merge.mergeClauses(session, warehouse, table,
       src, keyCols, matched.map(toClause), notMatched.map(toClause),
-      notMatchedBySource.map(toClause), sourceKeyCols = srcKeyCols)
+      notMatchedBySource.map(toClause), sourceKeyCols = srcKeyCols,
+      onResidual = onResidualSql.map(expr))
     Seq(org.apache.spark.sql.Row(
       res.filesRewritten, res.filesAdded, res.rowsMatched))
   }

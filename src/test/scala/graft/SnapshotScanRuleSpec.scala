@@ -367,6 +367,41 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().contains(9L))
   }
 
+  test("MERGE ON with a non-equi residual scopes matching") {
+    val w = wh("catOnRes")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gor",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gor.warehouse", w)
+    Seq((1L, "d1", 10L), (2L, "d1", 20L), (1L, "d2", 30L), (3L, "d2", 40L))
+      .toDF("id", "dt", "v").coalesce(1).createOrReplaceTempView("or_t")
+    spark.sql("CREATE TABLE gor.t AS SELECT id, dt, v FROM or_t")
+    Seq((1L, 100L), (2L, 200L), (9L, 900L)).toDF("id", "v")
+      .createOrReplaceTempView("or_src")
+    // Residual t.dt = 'd1': only d1 rows match — (1, d2) must NOT update,
+    // and the NOT MATCHED insert must not fire for keys matched in d1.
+    spark.sql(
+      """MERGE INTO gor.t USING or_src
+        |ON gor.t.id = or_src.id AND gor.t.dt = 'd1'
+        |WHEN MATCHED THEN UPDATE SET v = or_src.v
+        |WHEN NOT MATCHED THEN INSERT (id, dt, v) VALUES (or_src.id, 'new', or_src.v)""".stripMargin)
+    assert(spark.sql("SELECT id, dt, v FROM gor.t ORDER BY id, dt")
+      .as[(Long, String, Long)].collect().toSeq == Seq(
+        (1L, "d1", 100L), (1L, "d2", 30L), (2L, "d1", 200L),
+        (3L, "d2", 40L), (9L, "new", 900L)))
+    // A key whose only pairs FAIL the residual inserts (id 3 is d2-only).
+    Seq((3L, 333L)).toDF("id", "v").createOrReplaceTempView("or_src2")
+    spark.sql(
+      """MERGE INTO gor.t USING or_src2
+        |ON gor.t.id = or_src2.id AND gor.t.dt = 'd1'
+        |WHEN MATCHED THEN UPDATE SET v = or_src2.v
+        |WHEN NOT MATCHED THEN INSERT (id, dt, v) VALUES (or_src2.id, 'new', or_src2.v)""".stripMargin)
+    assert(spark.sql("SELECT dt, v FROM gor.t WHERE id = 3 ORDER BY dt")
+      .as[(String, Long)].collect().toSeq ==
+      Seq("d2" -> 40L, "new" -> 333L))
+  }
+
   test("IN-subquery DML conditions lower onto the keyed merge engine") {
     val w = wh("catSubq")
     val s0 = spark
