@@ -134,7 +134,16 @@ class GraftCatalog extends TableCatalog
                 .fields(0).dataType)
               .orElse(declared.get(f.name))
               .getOrElse(org.apache.spark.sql.types.StringType))
-        else f
+        else
+          // ALTER COLUMN TYPE widening: the declared coltype wins when
+          // it safely widens the committed type — existing narrow files
+          // read at the wide type (width-mixed reads are already exact).
+          tblProps.get(s"catalog.coltype.${f.name}")
+            .map(ddl => StructType.fromDDL(s"`${f.name}` $ddl")
+              .fields(0).dataType)
+            .filter(d => GraftCatalog.safeWidening(f.dataType, d))
+            .map(d => f.copy(dataType = d))
+            .getOrElse(f)
       })
     }.orElse(tblProps.get("catalog.schema.ddl").map(StructType.fromDDL))
       .getOrElse(throw new NoSuchTableException(ident))
@@ -187,6 +196,23 @@ class GraftCatalog extends TableCatalog
         SchemaEvolution.dropColumn(spark, warehouse, t, dc.fieldNames()(0))
         Snapshots.setProperties(fs, warehouse, t,
           Map(s"catalog.coltype.${dc.fieldNames()(0)}" -> null))
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1, nestedDdlError(
+          "ALTER", ut.fieldNames(), t))
+        val c = ut.fieldNames()(0)
+        val cur = loadTable(ident).columns()
+          .find(_.name == c).getOrElse(throw new IllegalArgumentException(
+            s"column '$c' does not exist in table '$t'")).dataType()
+        require(GraftCatalog.safeWidening(cur, ut.newDataType()),
+          s"ALTER COLUMN '$c' TYPE ${ut.newDataType().sql}: only safe " +
+            s"widenings evolve metadata-only (INT→BIGINT, FLOAT→DOUBLE); " +
+            s"'$c' is ${cur.sql} — rewrite via CREATE OR REPLACE for " +
+            "other changes")
+        // Metadata-only: the declared type wins at load, existing narrow
+        // files read at the wide type (the same width-mixed machinery
+        // compaction and commits already honor), new writes land wide.
+        Snapshots.setProperties(fs, warehouse, t,
+          Map(s"catalog.coltype.$c" -> ut.newDataType().sql))
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames().length == 1, nestedDdlError(
           "ADD", ac.fieldNames(), t))
@@ -331,6 +357,20 @@ class GraftCatalog extends TableCatalog
     throw new UnsupportedOperationException(
       "RENAME TABLE is not supported — table names are directory " +
         "structure; CTAS into the new name instead")
+}
+
+object GraftCatalog {
+  import org.apache.spark.sql.types._
+
+  /** The metadata-only type evolutions commits, reads, and compaction all
+    * honor exactly (narrow files read at the wide type). */
+  private[v2] def safeWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
 }
 
 /** Catalog-resolved table: the DSv2 [[SnapshotTable]] surface plus batch

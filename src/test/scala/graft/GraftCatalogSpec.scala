@@ -238,6 +238,36 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq == Seq(1L))
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only; narrow files still read") {
+    val s0 = spark
+    import s0.implicits._
+    spark.sql("CREATE TABLE graft.wd AS " +
+      "SELECT CAST(1 AS INT) AS id, CAST(1.5 AS FLOAT) AS x, 'a' AS tag")
+    val filesBefore = Snapshots.fileMeta(fs, wh, "wd").get.map(_.file).toSet
+    spark.sql("ALTER TABLE graft.wd ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.wd ALTER COLUMN x TYPE DOUBLE")
+    // Metadata-only: zero files moved.
+    assert(Snapshots.fileMeta(fs, wh, "wd").get.map(_.file).toSet == filesBefore)
+    val sch = spark.table("graft.wd").schema
+    assert(sch("id").dataType == org.apache.spark.sql.types.LongType &&
+      sch("x").dataType == org.apache.spark.sql.types.DoubleType, sch)
+    // The pre-widening (narrow) file reads at the wide type…
+    assert(spark.sql("SELECT id, x FROM graft.wd").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.5)))
+    // …and post-widening appends land wide values beyond the narrow range.
+    spark.sql("INSERT INTO graft.wd SELECT 3000000000, 2.5D, 'b'")
+    assert(spark.sql("SELECT sum(id) FROM graft.wd").head().getLong(0) ==
+      3000000001L)
+    // Narrowing is rejected by Spark's own analysis; a non-widening
+    // change Spark lets through (long → string is an upcast) hits the
+    // catalog's guard with guidance.
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.wd ALTER COLUMN id TYPE INT"))
+    val err = intercept[Exception](
+      spark.sql("ALTER TABLE graft.wd ALTER COLUMN id TYPE STRING"))
+    assert(err.getMessage.contains("safe widening"), err.getMessage)
+  }
+
   test("nested-column ALTER DDL fails with the flatten workaround") {
     import org.apache.spark.sql.connector.catalog.TableChange
     spark.sql("CREATE TABLE graft.nd AS SELECT 1L AS id, 'x' AS v")

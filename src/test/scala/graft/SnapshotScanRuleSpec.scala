@@ -367,6 +367,25 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().contains(9L))
   }
 
+  test("ALTER COLUMN TYPE widening serves through the spliced scan") {
+    val w = wh("catWiden")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gwd",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwd.warehouse", w)
+    spark.sql("CREATE TABLE gwd.t AS SELECT CAST(7 AS INT) AS id, 'a' AS v")
+    spark.sql("ALTER TABLE gwd.t ALTER COLUMN id TYPE BIGINT")
+    // Under the extensions the catalog read splices to the vectorized
+    // parquet plan — the narrow (int32) file must still serve as LONG.
+    val df = spark.sql("SELECT id FROM gwd.t")
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.as[Long].collect().toSeq == Seq(7L))
+    spark.sql("INSERT INTO gwd.t SELECT 4000000000L, 'b'")
+    assert(spark.sql("SELECT sum(id) FROM gwd.t").head().getLong(0) ==
+      4000000007L)
+  }
+
   test("MERGE ON with a non-equi residual scopes matching") {
     val w = wh("catOnRes")
     val s0 = spark
