@@ -85,12 +85,10 @@ object GraftSqlExtensions {
         s"table_changes: $what must be a literal, got ${other.sql}")
     }
     require(args.size == 2 || args.size == 3,
-      "table_changes(table, fromVersionExclusive [, toVersionInclusive])")
+      "table_changes(table, fromVersionExclusive [, toVersionInclusive]) " +
+        "— versions as numbers, or 'yyyy-MM-dd HH:mm:ss' timestamp strings")
     val session = SparkSession.active
     val name = lit(args(0), "the table name").toString
-    val from = lit(args(1), "the start version").toString.toLong.max(-1L)
-    val to = args.lift(2).map(e =>
-      lit(e, "the end version").toString.toLong)
     val parts = name.split("\\.")
     val (wh, table) =
       if (parts.length == 2 && session.conf
@@ -106,6 +104,23 @@ object GraftSqlExtensions {
           throw new IllegalStateException(
             "table_changes on a bare table name needs " +
               "spark.graft.warehouse (or use a cat.table name)")), name)
+    // Bounds: plain numbers are versions; anything else parses as a
+    // timestamp and resolves through the log's entry times (FROM stays
+    // exclusive — the version current AT that moment is the consumer's
+    // last-seen state; TO includes everything committed by its moment).
+    lazy val fsW = new Path(wh)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    def bound(e: Expression, what: String): Long = {
+      val s = lit(e, what).toString
+      s.toLongOption.getOrElse {
+        val ms = java.sql.Timestamp.valueOf(s).getTime
+        Snapshots.versionAt(fsW, wh, ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"table_changes: no snapshot version of '$table' existed at '$s'"))
+      }
+    }
+    val from = bound(args(1), "the start bound").max(-1L)
+    val to = args.lift(2).map(e => bound(e, "the end bound"))
     Snapshots.changes(session, wh, table, from, to).queryExecution.logical
   }
 }

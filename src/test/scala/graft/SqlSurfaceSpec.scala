@@ -89,6 +89,18 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.sql.catalog.gtvf.warehouse", wh)
     assert(spark.sql("SELECT count(*) FROM table_changes('gtvf.t', 0, 2)")
       .head().getLong(0) == viaApi.count())
+    // Timestamp bounds resolve through the log's entry times: a FROM at
+    // (or after) the newest commit's moment serves the same feed as that
+    // version number.
+    val lastTs = Snapshots.history(spark, wh)
+      .orderBy(org.apache.spark.sql.functions.desc("version"))
+      .select("committed_at").head().getTimestamp(0)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    assert(spark.sql(
+        s"SELECT count(*) FROM table_changes('t', '${fmt.format(lastTs)}')")
+      .head().getLong(0) ==
+      spark.sql(s"SELECT count(*) FROM table_changes('t', " +
+        Snapshots.latestVersion(fs, wh).get + ")").head().getLong(0))
   }
 
   test("SNAPSHOT HISTORY matches the history() API") {
