@@ -27,11 +27,14 @@ import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max
   * lines in the log entry, which is how [[Snapshots.changes]] serves an
   * upserted table incrementally instead of refusing.
   *
-  * Scale shape: the update side is broadcast (merges are dim-sized against
-  * fact-sized tables); the table side is never shuffled — candidate files
-  * are read once, anti-joined, and written back with narrow tasks.
-  * Unaffected files move zero bytes. Driver state is O(affected files),
-  * not O(rows).
+  * Scale shape: the update side is SIZE-ROUTED — dim-sized sources (the
+  * common merge) broadcast and point-prune; a source past
+  * `graft.merge.broadcastMaxRows` drops the hint (the joins plan as
+  * shuffle joins) and keeps [min,max] envelope pruning only, so a
+  * fact-sized CDC backfill re-plans instead of OOMing executors. On the
+  * broadcast route the table side is never shuffled — candidate files are
+  * read once, anti-joined, and written back with narrow tasks. Unaffected
+  * files move zero bytes. Driver state is O(affected files), not O(rows).
   */
 object Merge {
 
@@ -161,6 +164,32 @@ object Merge {
   private def maxPointPruneKeys: Int =
     sys.props.get("graft.merge.pointPruneMaxKeys").map(_.toInt).getOrElse(1024)
 
+  /** Source row count above which the merge engines DROP the `broadcast`
+    * hint. Spark honors a broadcast hint regardless of size, so an
+    * unconditional hint turns a fact-sized CDC backfill or
+    * snapshot-to-snapshot sync source into an executor OOM instead of a
+    * plan change. Above the threshold the joins plan as shuffle joins
+    * (SMJ / shuffled hash — the keys are equi-join keys throughout) and
+    * keyed candidate pruning keeps only the [min,max] envelope: the
+    * per-column point enumeration is a driver-side distinct+collect the
+    * large path must not pay. ≤ 0 disables the guard (always broadcast). */
+  private def broadcastMaxRows: Long =
+    sys.props.get("graft.merge.broadcastMaxRows").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
+
+  /** One bounded job routes the merge: count at most threshold+1 source
+    * rows. The limit caps the scan — a 100 TB source answers "big" after
+    * the first partitions, never a full count. */
+  private def sourceIsSmall(source: DataFrame): Boolean = {
+    val t = broadcastMaxRows
+    t <= 0 || source.limit(math.min(t + 1, Int.MaxValue.toLong).toInt)
+      .count() <= t
+  }
+
+  /** The broadcast hint, applied only on the small-source route. */
+  private def hintIf(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
+
   /** Candidate-pruning predicate for keyed DML: per KEY COLUMN, an OR of
     * point lookups when that column's distinct source values fit
     * [[maxPointPruneKeys]] — ANDed across columns (sound: the per-column
@@ -171,9 +200,10 @@ object Merge {
     * whole predicate when no column enumerates. `bounds` is the caller's
     * pre-computed leading-column min/max row. */
   private def keyPrunePred(source: DataFrame, keyCols: Seq[String],
-                           bounds: org.apache.spark.sql.Row): FileStats.Pred = {
+                           bounds: org.apache.spark.sql.Row,
+                           enumerate: Boolean = true): FileStats.Pred = {
     val cap = maxPointPruneKeys
-    val perCol = keyCols.flatMap { c =>
+    val perCol = if (!enumerate) Nil else keyCols.flatMap { c =>
       val ks = source.select(col(c)).filter(col(c).isNotNull)
         .distinct().limit(cap + 1).collect().map(_.get(0))
       if (ks.nonEmpty && ks.length <= cap)
@@ -194,12 +224,13 @@ object Merge {
                    keys: DataFrame, keyCols: Seq[String],
                    rewriteFraction: Double = 1.0): Result = {
     val srcKeys = keys.select(keyCols.map(col): _*).distinct()
+    val small = sourceIsSmall(keys)
     val bounds = keys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
     dvCore(spark, warehouse, table,
       candidatesOf = (meta, mapping) =>
         if (bounds.isNullAt(0)) Nil
         else {
-          val pred = keyPrunePred(keys, keyCols, bounds)
+          val pred = keyPrunePred(keys, keyCols, bounds, enumerate = small)
           val loader = Snapshots.sidecarBloomLoader(
             new Path(warehouse).getFileSystem(
               spark.sparkContext.hadoopConfiguration), warehouse)
@@ -211,8 +242,8 @@ object Merge {
         },
       matcher = df => df
         .filter(col(keyCols.head).between(lit(bounds.get(0)), lit(bounds.get(1))))
-        .join(broadcast(srcKeys), keyCols, "left_semi"),
-      keeper = df => df.join(broadcast(srcKeys), keyCols, "left_anti"),
+        .join(hintIf(small)(srcKeys), keyCols, "left_semi"),
+      keeper = df => df.join(hintIf(small)(srcKeys), keyCols, "left_anti"),
       assignments = Map.empty, rewriteFraction = rewriteFraction)
   }
 
@@ -531,6 +562,15 @@ object Merge {
     import org.apache.spark.sql.functions.{count, when}
     val commitId =
       fixedCommitId.getOrElse(java.util.UUID.randomUUID().toString)
+    // A caller-supplied commitId is a REPLAY key: a prior attempt that
+    // crashed before the manifest commit point may have left its staging
+    // dir behind, and ErrorIfExists writes would then fail until the
+    // orphan TTL reaps it — stalling the exactly-once CDC loop this
+    // feature exists for. The commitId is provably absent from the log
+    // (the idempotence check ran first), so nothing was published and the
+    // leftover staging is safe to clear.
+    if (fixedCommitId.isDefined)
+      fs.delete(new Path(TxnCommit.stagingDir(warehouse, commitId)), true)
     val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
     val cdfStaging =
       s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
@@ -586,6 +626,9 @@ object Merge {
     def readFiles(acts: Seq[Snapshots.Action]): DataFrame =
       dvAwareRead(spark, warehouse, table, partCols, mapping, acts)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // Size-routed: a dim-sized source broadcasts (and point-prunes); a
+    // fact-sized one plans shuffle joins and keeps envelope pruning only.
+    val small = sourceIsSmall(source)
 
     // Candidate files by LOG-SIDE stats intersection: a file whose recorded
     // [min,max] on the leading key cannot overlap the update keys' bounds
@@ -597,7 +640,7 @@ object Merge {
     val candidates: Seq[Snapshots.Action] =
       if (files.isEmpty || bounds.isNullAt(0)) Nil
       else {
-        val pred = keyPrunePred(source, keyCols, bounds)
+        val pred = keyPrunePred(source, keyCols, bounds, enumerate = small)
         val loader = Snapshots.sidecarBloomLoader(fs, warehouse)
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
@@ -612,7 +655,7 @@ object Merge {
       if (candidates.isEmpty) Set.empty
       else readFiles(candidates)
         .filter(col(keyCols.head).between(lit(bounds.get(0)), lit(bounds.get(1))))
-        .join(broadcast(srcKeys), keyCols, "left_semi")
+        .join(hintIf(small)(srcKeys), keyCols, "left_semi")
         .select(SrcFileCol).distinct()
         .collect().map(_.getString(0)).toSet
     val affected = meta.filter(a => affectedNames(pathKey(a.file)))
@@ -641,12 +684,13 @@ object Merge {
         (source, source.withColumn("_change_type", lit("insert")))
       } else {
         val hit = readFiles(affected).drop(SrcFileCol, RowPosCol)
-        val preimage = hit.join(broadcast(srcKeys), keyCols, "left_semi")
-        val survivors = hit.join(broadcast(srcKeys), keyCols, "left_anti")
+        val preimage = hit.join(hintIf(small)(srcKeys), keyCols, "left_semi")
+        val survivors = hit.join(hintIf(small)(srcKeys), keyCols, "left_anti")
         if (insertSource) {
+          // hitKeys is bounded by the source's matched keys — same route.
           val hitKeys = preimage.select(keyCols.map(col): _*).distinct()
-          val srcMatched = source.join(broadcast(hitKeys), keyCols, "left_semi")
-          val srcNew = source.join(broadcast(hitKeys), keyCols, "left_anti")
+          val srcMatched = source.join(hintIf(small)(hitKeys), keyCols, "left_semi")
+          val srcNew = source.join(hintIf(small)(hitKeys), keyCols, "left_anti")
           (survivors.unionByName(source),
             preimage.withColumn("_change_type", lit("update_preimage"))
               .unionByName(srcMatched.withColumn("_change_type", lit("update_postimage")))
@@ -732,6 +776,12 @@ object Merge {
     // Idempotence: finish any crashed publish first (same order as the
     // streaming sink), then a replayed batch finds its commitId in the
     // log and lands nothing — presence = fully applied.
+    // RETENTION CONTRACT: the check scans surviving log entries, and
+    // [[Snapshots.vacuum]] reaps old ones — log retention MUST exceed the
+    // maximum replay window (checkpoint age) of any CDC loop driving
+    // commitId merges, or a replay arriving after its original entry is
+    // vacuumed silently re-applies the batch (Delta keeps txn
+    // appId/version pairs in checkpointed state for the same reason).
     if (commitId.isDefined) {
       TxnCommit.recover(fs, warehouse)
       if (Snapshots.entries(fs, warehouse)
@@ -749,6 +799,9 @@ object Merge {
           "in the wrong directory) — delete + insert instead"))
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
 
+    // Size-routed source (see [[broadcastMaxRows]]): broadcast + point
+    // pruning when dim-sized, shuffle joins + envelope pruning when not.
+    val small = sourceIsSmall(source)
     // Candidate files by log-side stats intersection with the source keys
     // (source values pruned under the TARGET column's name).
     val srcAsTgtKeys = source.select(srcKeyCols.zip(keyCols).map {
@@ -758,7 +811,8 @@ object Merge {
     val candidates: Seq[Snapshots.Action] =
       if (meta.isEmpty || bounds.isNullAt(0)) Nil
       else {
-        val pred = keyPrunePred(srcAsTgtKeys, keyCols, bounds)
+        val pred = keyPrunePred(srcAsTgtKeys, keyCols, bounds,
+          enumerate = small)
         val loader = Snapshots.sidecarBloomLoader(fs, warehouse)
         meta.filter { a =>
           val s = FileStats.decode(a.stats)
@@ -789,7 +843,8 @@ object Merge {
     val fullOn = onResidual.fold(onCond)(onCond && _)
     val pairs =
       if (tAll == null) null
-      else tAll.alias("t").join(broadcast(source).alias("s"), fullOn, "inner")
+      else tAll.alias("t")
+        .join(hintIf(small)(source).alias("s"), fullOn, "inner")
     val acted =
       if (pairs == null || matched.isEmpty) null
       else pairs.withColumn("_m_action", firstAction(matched))
@@ -846,10 +901,11 @@ object Merge {
           // ON condition (an expression anti-join keeps only t columns).
           val unmatchedT = onResidual match {
             case None =>
-              tFrame.join(broadcast(srcAsTgtKeys.distinct()), keyCols,
+              tFrame.join(hintIf(small)(srcAsTgtKeys.distinct()), keyCols,
                 "left_anti")
             case Some(_) =>
-              tFrame.join(broadcast(source).alias("s"), fullOn, "left_anti")
+              tFrame.join(hintIf(small)(source).alias("s"), fullOn,
+                "left_anti")
           }
           unmatchedT
             .withColumn("_b_action", firstAction(notMatchedBySource))

@@ -97,7 +97,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         case UpdateAction(cond, assigns, _) =>
           (cond.map(render), Some(assignPairs(assigns)))
         case UpdateStarAction(cond) =>
-          (cond.map(render), Some(tgtCols.map(c => c -> s"s.$c")))
+          // Render through UnresolvedAttribute like every other path so
+          // identifiers needing backquotes (space, dash, dot) stay
+          // re-parseable — raw s"s.$c" interpolation would emit
+          // unparseable expression text for them.
+          (cond.map(render), Some(tgtCols.map(c =>
+            c -> UnresolvedAttribute(Seq("s", c)).sql)))
         case DeleteAction(cond) => (cond.map(render), None)
         case other => throw new UnsupportedOperationException(
           s"unsupported WHEN MATCHED action: $other")

@@ -110,13 +110,17 @@ object GraftSqlExtensions {
     // last-seen state; TO includes everything committed by its moment).
     lazy val fsW = new Path(wh)
       .getFileSystem(session.sparkContext.hadoopConfiguration)
+    // NOTE the divergence from Delta's TVF: Delta's startingTimestamp is
+    // INCLUSIVE of the commit at that moment; here FROM is exclusive —
+    // "the version current at that moment is what you already saw". A
+    // timestamp before the table's first commit resolves to -1: as FROM
+    // it serves the full retained feed (nothing was seen yet), as TO an
+    // empty one (nothing was committed yet).
     def bound(e: Expression, what: String): Long = {
       val s = lit(e, what).toString
       s.toLongOption.getOrElse {
         val ms = java.sql.Timestamp.valueOf(s).getTime
-        Snapshots.versionAt(fsW, wh, ms).getOrElse(
-          throw new IllegalArgumentException(
-            s"table_changes: no snapshot version of '$table' existed at '$s'"))
+        Snapshots.versionAt(fsW, wh, ms).getOrElse(-1L)
       }
     }
     val from = bound(args(1), "the start bound").max(-1L)

@@ -218,6 +218,75 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().sorted.toSeq == ((0L until 28L) :+ 40L))
   }
 
+  test("a source past graft.merge.broadcastMaxRows takes a non-broadcast " +
+      "plan — no BroadcastHashJoin, no cartesian") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("bigSource")
+    publish(w, (0L until 30L).map(i => i -> i))
+    // Route threshold below the source size; kill Spark's own
+    // auto-broadcast (static AND adaptive) so any BroadcastHashJoin in a
+    // merge plan could only come from the engine's hint — which the size
+    // guard must drop.
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdaptive = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    sys.props("graft.merge.broadcastMaxRows") = "10"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val src = (0L until 50L).map(i => i -> (i + 500L)).toDF("id", "v")
+      Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+        matched = Seq(Merge.WhenClause(Some(expr("s.v > 0")),
+          Some(Seq("v" -> expr("t.v + s.v"))))),
+        notMatched = Seq(Merge.WhenClause(None, None /* INSERT * */)),
+        notMatchedBySource = Seq(
+          Merge.WhenClause(Some(expr("t.id >= 28")), None)))
+      // Wait for the async listener bus to drain the merge's join plans.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.synchronized(plans.exists(p =>
+          p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      sys.props.remove("graft.merge.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAdaptive match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    val all = plans.synchronized(plans.toSeq)
+    assert(all.exists(p =>
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")),
+      "the large-source route must plan a shuffle join")
+    all.foreach(p => assert(!p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"large-source merge must not broadcast or go cartesian:\n$p"))
+    // Semantics are route-independent: matched 0-29 updated (t.v + s.v,
+    // minus 28/29 which matched — NMBS only acts on UNMATCHED), source
+    // 30-49 inserted as-is.
+    val got = Snapshots.read(spark, w, "t").as[(Long, Long)].collect().toSet
+    val exp = (0L until 30L).map(i => i -> (i + i + 500L)).toSet ++
+      (30L until 50L).map(i => i -> (i + 500L)).toSet
+    assert(got == exp, s"got=${got.toSeq.sorted}")
+  }
+
   test("commitId-keyed merges are exactly-once under replay") {
     val s0 = spark
     import s0.implicits._
