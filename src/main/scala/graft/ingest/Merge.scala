@@ -190,6 +190,46 @@ object Merge {
   private def hintIf(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df
 
+  /** Additive MERGE schema evolution, the Delta
+    * `spark.databricks.delta.schema.autoMerge` analog: when the session
+    * conf `graft.merge.schemaEvolution` is `true`, source columns the
+    * target lacks are ADDED to the table (each a metadata-only
+    * [[SchemaEvolution.addColumn]] commit) instead of failing the merge;
+    * pre-merge files read the new columns as null. The evolution commits
+    * land BEFORE the merge captures its OCC base version, so they never
+    * conflict with the merge's own publish. Off (strict schemas) by
+    * default, like Delta. */
+  private def schemaEvolutionOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.merge.schemaEvolution")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Commit add-column evolution for every source column absent from the
+    * target's logical schema (skipping `excluded` — source-side key names
+    * paired to differently-named target keys are the join keys, not new
+    * columns). Target names come from the mapping when one exists, else
+    * from the log's schema tags + partition columns — no footer reads. A
+    * pre-stats log (any file without tags) disables evolution: the target
+    * column set is unknowable, and guessing could shadow a real column. */
+  private def evolveExtraColumns(spark: SparkSession, warehouse: String,
+                                 table: String,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 srcCols: Seq[String],
+                                 excluded: Set[String] = Set.empty): Unit = {
+    if (!schemaEvolutionOn(spark)) return
+    val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
+    val tcols: Set[String] =
+      Snapshots.columnMapping(fs, warehouse, table) match {
+        case Some(m) => m.logicalNames.toSet
+        case None =>
+          val tags = meta.map(a => FileStats.schemaTags(a.stats))
+          if (meta.isEmpty || tags.exists(_.isEmpty)) return
+          tags.flatten.map(_._1).toSet ++
+            Snapshots.partitionColumns(meta.map(_.partition))
+      }
+    srcCols.filterNot(c => tcols(c) || excluded(c))
+      .foreach(c => SchemaEvolution.addColumn(spark, warehouse, table, c))
+  }
+
   /** Candidate-pruning predicate for keyed DML: per KEY COLUMN, an OR of
     * point lookups when that column's distinct source values fit
     * [[maxPointPruneKeys]] — ANDed across columns (sound: the per-column
@@ -608,6 +648,11 @@ object Merge {
                     insertSource: Boolean): Result = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Additive schema evolution (flag-gated) — before the OCC base so the
+    // metadata commits are not "intervening". Delete-by-key sources carry
+    // only keys; evolution applies to inserting merges.
+    if (insertSource)
+      evolveExtraColumns(spark, warehouse, table, fs, source.columns.toSeq)
     // OCC guard: a merge is stale the moment ANY commit touches the table
     // after this read (an intervening append may carry matching keys).
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -788,6 +833,15 @@ object Merge {
           .exists(e => commitId.contains(e.commitId)))
         return Result(0, 0, 0L, 0)
     }
+    // Additive schema evolution (flag-gated): only when some clause can
+    // MATERIALIZE a new column (an insert or an update assignment) — a
+    // delete-only merge must not add an all-null column. Runs before the
+    // OCC base capture so the metadata commits are not "intervening".
+    if (notMatched.nonEmpty ||
+        (matched ++ notMatchedBySource).exists(_.assigns.isDefined))
+      evolveExtraColumns(spark, warehouse, table, fs, source.columns.toSeq,
+        excluded = srcKeyCols.zip(keyCols)
+          .collect { case (s, t) if s != t => s }.toSet)
     val base = Snapshots.latestVersion(fs, warehouse)
     val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(
       throw new IllegalStateException(
@@ -823,7 +877,7 @@ object Merge {
     val tAll =
       if (candidates.isEmpty) null
       else dvAwareRead(spark, warehouse, table, partCols, mapping, candidates)
-    val dataCols: Seq[org.apache.spark.sql.types.StructField] =
+    val dataCols0: Seq[org.apache.spark.sql.types.StructField] =
       if (tAll != null)
         tAll.schema.fields.toSeq.filterNot(f =>
           f.name == SrcFileCol || f.name == RowPosCol)
@@ -831,6 +885,14 @@ object Merge {
         val probe = Snapshots.read(spark, warehouse, table)
         probe.schema.fields.toSeq
       }
+    // A just-evolved column exists in no file yet: the mapped read serves
+    // it as a typeless null (NullType), which parquet cannot write and
+    // casts cannot target — type it from the source's same-named column.
+    val srcTypes = source.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dataCols = dataCols0.map(f =>
+      if (f.dataType == org.apache.spark.sql.types.NullType)
+        srcTypes.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)
+      else f)
     def firstAction(cls: Seq[WhenClause]): org.apache.spark.sql.Column =
       cls.zipWithIndex.foldRight(flit(0)) { case ((cl, i), els) =>
         when(cl.cond.getOrElse(flit(true)), flit(i + 1)).otherwise(els)
@@ -996,8 +1058,12 @@ object Merge {
         val actedKeys = actedFrames.map(_.select(
           col(s"t.$SrcFileCol").as(SrcFileCol),
           col(s"t.$RowPosCol").as(RowPosCol))).reduce(_.unionByName(_))
+        // The cast projection types any just-evolved (NullType) column;
+        // identity casts fold away on the common path.
         Some(hit.join(actedKeys, Seq(SrcFileCol, RowPosCol), "left_anti")
-          .drop(SrcFileCol, RowPosCol))
+          .drop(SrcFileCol, RowPosCol)
+          .select(dataCols.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*))
       }
     val out = (survivors.toSeq ++ replacements.toSeq ++ inserts.toSeq)
       .reduceOption(_.unionByName(_))
@@ -1012,7 +1078,7 @@ object Merge {
       val deleteIdx = cls.zipWithIndex.collect {
         case (cl, i) if cl.assigns.isEmpty => i + 1 }.toSet
       val pre = df.select(dataCols.map(f =>
-        col(s"t.${f.name}").as(f.name)) :+ col(actionCol): _*)
+        col(s"t.${f.name}").cast(f.dataType).as(f.name)) :+ col(actionCol): _*)
       pre.withColumn("_change_type",
         when(col(actionCol).isin(deleteIdx.toSeq.map(Integer.valueOf): _*),
           lit("delete")).otherwise(lit("update_preimage")))

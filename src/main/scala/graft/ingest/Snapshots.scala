@@ -1451,10 +1451,17 @@ object Snapshots {
     if (sigs.exists(_.isEmpty)) return None
     val byCol = sigs.flatten.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
     val widenPairs = Set(Set("INT32", "INT64"), Set("FLOAT", "DOUBLE"))
-    val mixed = byCol.exists { case (_, tags) =>
+    val widthMixed = byCol.exists { case (_, tags) =>
       tags.size > 1 && widenPairs.contains(tags.toSet)
     }
-    if (!mixed) return None
+    // Additive mix: the live files disagree on the COLUMN SET (a commit —
+    // append or schema-evolving merge — added columns). Single-footer
+    // inference would silently hide the new column from every read that
+    // samples an old file; merging one footer per distinct signature
+    // serves it (old files null-fill under the explicit schema) without
+    // the all-footers cost of mergeSchema.
+    val addMixed = sigs.map(_.map(_._1).toSet).distinct.size > 1
+    if (!widthMixed && !addMixed) return None
     def widen(a: DataType, b: DataType): DataType = (a, b) match {
       case (x, y) if x == y => x
       case (IntegerType, LongType) | (LongType, IntegerType) => LongType
@@ -1474,7 +1481,10 @@ object Snapshots {
         .map(_.copy(nullable = true))
       StructType(shared ++ extra)
     }
-    val repFiles = sigs.zip(acts).groupBy(_._1).map(_._2.head._2.file).toSeq
+    // Deterministic representative order: the merged schema's column order
+    // must not vary run to run with the groupBy's map ordering.
+    val repFiles = sigs.zip(acts).groupBy(_._1).toSeq
+      .sortBy(_._1.toString).map(_._2.head._2.file)
     Some(repFiles.map { f =>
       val r = spark.read
       basePath.fold(r)(bp => r.option("basePath", bp)).parquet(f).schema

@@ -330,6 +330,42 @@ object FormatQueries {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gnbq.nation_nb")
     }),
 
+    // MERGE additive schema evolution (graft.merge.schemaEvolution, the
+    // Delta autoMerge analog): the target starts WITHOUT n_regionkey; a
+    // clause merge whose source carries it adds the column (metadata-only
+    // add-column commit + typed values on the rewritten/inserted rows),
+    // and pre-merge rows read it as NULL — served by the default
+    // snapshot read (additive-mix schema resolution), no mergeSchema.
+    // Ground truth: CASE SQL over the fixture.
+    "fmt_merge_evolve" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_merge_evolve", d) {
+        val w = freshWh()
+        // Two files/commits: the merge rewrites only the first — the
+        // second survives WITHOUT the evolved column, so the final read
+        // must null-fill it from the log-side additive-mix schema.
+        val base = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        publish(s, w, "nation_ev", base.filter(col("n_nationkey") < 15))
+        publish(s, w, "nation_ev", base.filter(col("n_nationkey") >= 15))
+        val src = nation(s, d).filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey"),
+            concat(col("n_name"), lit("_E")).as("n_name"),
+            col("n_regionkey"))
+          .unionByName(s.range(1).select(lit(990L).as("n_nationkey"),
+            lit("NEWLAND").as("n_name"), lit(7L).as("n_regionkey")))
+        s.conf.set("graft.merge.schemaEvolution", "true")
+        try Merge.mergeClauses(s, w, "nation_ev", src, Seq("n_nationkey"),
+          matched = Seq(Merge.WhenClause(None,
+            Some(Seq("n_name" -> expr("s.n_name"),
+              "n_regionkey" -> expr("s.n_regionkey"))))),
+          notMatched = Seq(Merge.WhenClause(None, None /* INSERT * */)))
+        finally s.conf.unset("graft.merge.schemaEvolution")
+        w
+      }
+      Snapshots.read(s, wh, "nation_ev")
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
     // IN-subquery DML through the catalog: DELETE/UPDATE whose condition
     // is `col IN (SELECT …)` [AND residual] lower onto the keyed merge
     // engine (the subquery is the MERGE source — no driver value list).
@@ -700,6 +736,12 @@ object FormatQueries {
         |                 ELSE n_regionkey END AS BIGINT) AS n_regionkey
         |FROM nation
         |WHERE NOT (n_nationkey >= 10 AND n_regionkey = 4)""".stripMargin,
+    "fmt_merge_evolve" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_nationkey < 10 THEN n_name || '_E' ELSE n_name END AS n_name,
+        |       CAST(CASE WHEN n_nationkey < 10 THEN n_regionkey END AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL SELECT 990, 'NEWLAND', 7""".stripMargin,
     "fmt_replace" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS region,
         |       CAST(count(*) AS BIGINT) AS n,

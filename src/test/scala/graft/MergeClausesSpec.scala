@@ -314,6 +314,35 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("v").as[Long].collect().toSeq == Seq(203L))
   }
 
+  test("schema evolution: merge adds source-only columns when flagged on") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("evolve")
+    publish(w, (0L until 20L).map(i => i -> i)) // cols (id, v), 3 files
+    val src = Seq((5L, 100L, "x5"), (40L, 101L, "x40")).toDF("id", "v", "tag")
+    // Flag off (default): strict schemas — the extra column fails the merge.
+    intercept[Exception] { Merge.upsert(spark, w, "t", src, Seq("id")) }
+    spark.conf.set("graft.merge.schemaEvolution", "true")
+    try Merge.upsert(spark, w, "t", src, Seq("id"))
+    finally spark.conf.unset("graft.merge.schemaEvolution")
+    // Matched row updated with the new column; unmatched inserted; every
+    // pre-merge row (including files the merge never rewrote) reads the
+    // evolved column as NULL — no mergeSchema anywhere.
+    val got = Snapshots.read(spark, w, "t")
+      .select("id", "v", "tag").as[(Long, Long, Option[String])]
+      .collect().toSet
+    val exp = (0L until 20L).filterNot(_ == 5L).map(i => (i, i, None)).toSet ++
+      Set((5L, 100L, Some("x5")), (40L, 101L, Some("x40")))
+    assert(got == exp, s"got=${got.toSeq.sortBy(_._1)}")
+    // Clause merges on the evolved table keep working (typed column now).
+    Merge.mergeClauses(spark, w, "t",
+      Seq((7L, 0L, "x7")).toDF("id", "v", "tag"), Seq("id"),
+      matched = Seq(Merge.WhenClause(None,
+        Some(Seq("tag" -> expr("s.tag"))))), notMatched = Nil)
+    assert(Snapshots.read(spark, w, "t").filter($"id" === 7L)
+      .select("v", "tag").as[(Long, String)].collect().toSeq == Seq((7L, "x7")))
+  }
+
   test("matched-only clause merges are file-granular and skip clean files") {
     val s0 = spark
     import s0.implicits._
