@@ -801,6 +801,13 @@ object Merge {
     * MATCHED inserts fire for their source rows and NOT MATCHED BY SOURCE
     * clauses act on their target rows, exactly the Delta semantics (scope
     * NMBS clauses with conditions when using a scoping residual). */
+  /** `nmbsAntiOn` (None = the default key-equality anti-join) replaces the
+    * NOT MATCHED BY SOURCE unmatched-ness condition wholesale: a target
+    * row is "unmatched" iff NO source row satisfies it. This is how
+    * general `NOT IN` lowers exactly — its three-valued semantics are an
+    * anti-join on `AND_i(t.ki = s.ki OR t.ki IS NULL OR s.ki IS NULL)`
+    * (strict equalities for correlation conjuncts), which plain key
+    * equality cannot express. Conditions reference the `t`/`s` aliases. */
   def mergeClauses(spark: SparkSession, warehouse: String, table: String,
                    source: DataFrame, keyCols: Seq[String],
                    matched: Seq[WhenClause],
@@ -808,7 +815,8 @@ object Merge {
                    notMatchedBySource: Seq[WhenClause] = Nil,
                    sourceKeyCols: Seq[String] = Nil,
                    commitId: Option[String] = None,
-                   onResidual: Option[org.apache.spark.sql.Column] = None): Result = {
+                   onResidual: Option[org.apache.spark.sql.Column] = None,
+                   nmbsAntiOn: Option[org.apache.spark.sql.Column] = None): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
         notMatchedBySource.nonEmpty,
@@ -961,11 +969,14 @@ object Merge {
           // surviving frame is pure `t`; with one, unmatched-ness is
           // "no pair satisfying keys AND residual" — anti-join the full
           // ON condition (an expression anti-join keeps only t columns).
-          val unmatchedT = onResidual match {
-            case None =>
+          val unmatchedT = (nmbsAntiOn, onResidual) match {
+            case (Some(cond), _) => // caller-supplied unmatched-ness
+              tFrame.join(hintIf(small)(source).alias("s"), cond,
+                "left_anti")
+            case (None, None) =>
               tFrame.join(hintIf(small)(srcAsTgtKeys.distinct()), keyCols,
                 "left_anti")
-            case Some(_) =>
+            case (None, Some(_)) =>
               tFrame.join(hintIf(small)(source).alias("s"), fullOn,
                 "left_anti")
           }

@@ -389,6 +389,20 @@ object FormatQueries {
           """UPDATE gsq.nation_sq SET n_name = concat(n_name, '_S')
             |WHERE n_nationkey IN
             |  (SELECT n_nationkey FROM fmt_sq_base WHERE n_regionkey = 2)""".stripMargin)
+        // Multi-column NOT IN (general anti-join lowering): tuples not in
+        // the low-key slice of the fixture — drops every key >= 20.
+        s.sql(
+          """DELETE FROM gsq.nation_sq WHERE (n_nationkey, n_regionkey) NOT IN
+            |  (SELECT n_nationkey, n_regionkey FROM fmt_sq_base
+            |   WHERE n_nationkey < 20)""".stripMargin)
+        // Equality-correlated NOT IN: keys absent from their own region's
+        // <10 slice — tags exactly the surviving keys 10-19.
+        s.sql(
+          """UPDATE gsq.nation_sq SET n_name = concat(n_name, '_N')
+            |WHERE n_nationkey NOT IN
+            |  (SELECT n_nationkey FROM fmt_sq_base
+            |   WHERE fmt_sq_base.n_regionkey = gsq.nation_sq.n_regionkey
+            |     AND n_nationkey < 10)""".stripMargin)
         w
       }
       s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
@@ -725,10 +739,12 @@ object FormatQueries {
         |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
     "fmt_catalog_subq" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
-        |       CASE WHEN n_regionkey = 2 THEN n_name || '_S' ELSE n_name END AS n_name,
+        |       CASE WHEN n_regionkey = 2 THEN n_name || '_S' ELSE n_name END ||
+        |       CASE WHEN n_nationkey >= 10 THEN '_N' ELSE '' END AS n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation
-        |WHERE NOT (n_regionkey IN (0, 4) AND n_nationkey % 2 = 1)""".stripMargin,
+        |WHERE NOT (n_regionkey IN (0, 4) AND n_nationkey % 2 = 1)
+        |  AND n_nationkey < 20""".stripMargin,
     "fmt_merge_nmbs_cond" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_nationkey < 10 THEN n_name || '_M' ELSE n_name END AS n_name,

@@ -174,6 +174,88 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     Some(GraftDmlCommand(wh, t, rendered, assignPairs, scalars.toSeq))
   }
 
+  /** General `NOT IN` — multi-column tuples and equality-correlated
+    * subqueries — lowered onto the NMBS engine with a CUSTOM anti-join
+    * condition carrying the exact three-valued semantics: a target row
+    * acts iff NO subquery row makes every component comparison non-FALSE,
+    * i.e. anti-join on `AND_i(t.ki = s.ki OR t.ki IS NULL OR s.ki IS
+    * NULL)` with strict equalities for the correlation conjuncts. Every
+    * NULL trap follows from that one condition: a subquery row whose
+    * components are all NULL-compatible blocks every target row (the
+    * global no-op), a NULL target component acts only when some other
+    * component differs definitely, an empty subquery acts on everything,
+    * and a NULL correlation key (inner WHERE evaluates NULL → empty list)
+    * lets the target row act. */
+  private def lowerGeneralNotIn(wh: String, t: String, target: LogicalPlan,
+                                attrs: Seq[AttributeReference],
+                                lq: org.apache.spark.sql.catalyst.expressions.ListQuery,
+                                residual: Seq[Expression],
+                                assigns: Option[Seq[Assignment]],
+                                unsupported: String => Nothing): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
+    // Decorrelate the canonical shape: `inner = outer` equality conjuncts
+    // in the subquery's top-level filter; anything deeper keeps the crisp
+    // unsupported error.
+    val (corrPairs, projList, below): (Seq[(AttributeReference, AttributeReference)],
+        Seq[Expression], LogicalPlan) =
+      if (lq.outerAttrs.isEmpty) (Nil, lq.plan.output, lq.plan)
+      else lq.plan match {
+        case p @ Project(_, f @ Filter(_, child)) =>
+          val (cor, plain) = conjuncts(f.condition)
+            .partition(_.exists(_.isInstanceOf[OuterReference]))
+          val pairs = cor.map {
+            case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference)) =>
+              o -> i
+            case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference) =>
+              o -> i
+            case other =>
+              unsupported(s"non-equality NOT IN correlation ${other.sql}")
+          }
+          if (pairs.isEmpty) unsupported("NOT IN correlation without equality")
+          (pairs, p.projectList,
+            plain.reduceOption(And).map(Filter(_, child)).getOrElse(child))
+        case _ =>
+          unsupported("correlated NOT IN without a simple filtered subquery")
+      }
+    val tgt = target.outputSet
+    require((attrs ++ corrPairs.map(_._1)).forall(tgt.contains),
+      "NOT IN values and correlation columns must be columns of the target table")
+    val names = attrs.map(_.name) ++ corrPairs.map(_._1.name)
+    if (names.distinct.size != names.size)
+      unsupported(
+        "a target column appears twice across the NOT IN tuple and its correlation")
+    // Subquery output aliased to the target-side names (value columns to
+    // the tuple's names, correlation inners to their outer names), made
+    // distinct — membership semantics, smaller anti-join build side.
+    val srcPlan = Distinct(Project(
+      projList.zip(attrs).map { case (e, a) => Alias(e, a.name)() } ++
+        corrPairs.map { case (o, i) => Alias(i, o.name)() }, below))
+    def tq(n: String) = UnresolvedAttribute(Seq("t", n)).sql
+    def sq(n: String) = UnresolvedAttribute(Seq("s", n)).sql
+    val antiOn = (attrs.map(a =>
+        s"${tq(a.name)} = ${sq(a.name)} OR ${tq(a.name)} IS NULL OR " +
+          s"${sq(a.name)} IS NULL") ++
+      corrPairs.map { case (o, _) => s"${tq(o.name)} = ${sq(o.name)}" })
+      .mkString("(", ") AND (", ")")
+    val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    def render(e: Expression): String = qualifiedSql(e, tgt, empty)
+    val residualSql = residual match {
+      case Seq() => None
+      case rs => Some(rs.map(render).mkString("(", ") AND (", ")"))
+    }
+    val assignPairs = assigns.map(_.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.name -> render(a.value)
+        case k => throw new UnsupportedOperationException(
+          s"UPDATE of nested field ${k.sql} is not supported")
+      }
+    })
+    GraftMergeClausesCommand(wh, t, attrs.map(_.name),
+      matched = Nil, notMatched = Nil, srcPlan,
+      notMatchedBySource = Seq((residualSql, assignPairs)),
+      nmbsAntiOnSql = Some(antiOn))
+  }
+
   private def lowerSubqueryDml(wh: String, t: String, target: LogicalPlan,
                                condition: Expression,
                                assigns: Option[Seq[Assignment]]): Option[LogicalPlan] = {
@@ -227,15 +309,20 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         (attrs, lq.plan, false, false)
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           InSubquery(values, lq: ListQuery))) =>
-        if (lq.outerAttrs.nonEmpty) unsupported("correlated NOT IN")
-        // Single column only: multi-column NOT IN's per-component NULL
-        // semantics are not worth the trap.
         val attrs = values.map {
           case a: AttributeReference => a
           case v => unsupported(s"non-column NOT IN value ${v.sql}")
         }
-        if (attrs.size != 1) unsupported("multi-column NOT IN")
-        (attrs, lq.plan, true, true)
+        // Single-column uncorrelated NOT IN keeps the key-equality NMBS
+        // path (stats-prunable; its NULL traps ride as clause conditions
+        // plus the source-null no-op probe). Multi-column tuples and
+        // equality-correlated subqueries take the general anti-join
+        // lowering, whose ON condition IS the three-valued semantics.
+        if (lq.outerAttrs.isEmpty && attrs.size == 1)
+          (attrs, lq.plan, true, true)
+        else
+          return Some(lowerGeneralNotIn(wh, t, target, attrs, lq,
+            residual, assigns, unsupported))
       case Seq(ex: org.apache.spark.sql.catalyst.expressions.Exists) =>
         val (outer, plan) = decorrelate(ex)
         (outer, plan, false, false)
@@ -427,7 +514,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil,
                                     sourceNullNoop: Boolean = false,
                                     srcKeyCols: Seq[String] = Nil,
-                                    onResidualSql: Option[String] = None)
+                                    onResidualSql: Option[String] = None,
+                                    nmbsAntiOnSql: Option[String] = None)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -456,7 +544,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
     val res = graft.ingest.Merge.mergeClauses(session, warehouse, table,
       src, keyCols, matched.map(toClause), notMatched.map(toClause),
       notMatchedBySource.map(toClause), sourceKeyCols = srcKeyCols,
-      onResidual = onResidualSql.map(expr))
+      onResidual = onResidualSql.map(expr),
+      nmbsAntiOn = nmbsAntiOnSql.map(expr))
     Seq(org.apache.spark.sql.Row(
       res.filesRewritten, res.filesAdded, res.rowsMatched))
   }

@@ -497,6 +497,55 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq == Seq(1L))
   }
 
+  test("multi-column and correlated NOT IN lower with exact 3VL semantics") {
+    val w = wh("catNotIn")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gni",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gni.warehouse", w)
+    // Multi-column tuples with NULL components on both sides.
+    Seq((Some(0L), Some(0L), 0L), (Some(1L), Some(1L), 10L),
+      (Some(2L), Some(2L), 20L), (Some(3L), None, 30L),
+      (None, Some(4L), 40L), (Some(5L), Some(5L), 50L),
+      (Some(6L), Some(6L), 60L))
+      .toDF("a", "b", "v").coalesce(1).createOrReplaceTempView("ni_t")
+    spark.sql("CREATE TABLE gni.t2 AS SELECT a, b, v FROM ni_t")
+    Seq((Some(1L), Some(1L)), (Some(3L), Some(7L)), (Some(5L), None))
+      .toDF("x", "y").createOrReplaceTempView("ni_m1")
+    spark.sql(
+      "DELETE FROM gni.t2 WHERE (a, b) NOT IN (SELECT x, y FROM ni_m1)")
+    // (0,0),(2,2),(6,6) definitely absent → deleted. (1,1) matches.
+    // (3,NULL) vs (3,7) is UNKNOWN → survives; (NULL,4) vs (5,NULL) is
+    // UNKNOWN → survives; (5,5) vs (5,NULL) is UNKNOWN → survives.
+    assert(spark.sql("SELECT v FROM gni.t2 ORDER BY v").as[Long]
+      .collect().toSeq == Seq(10L, 30L, 40L, 50L))
+    // Equality-correlated NOT IN: per-row membership in the correlated
+    // slice; a NULL correlation key yields an empty list → row acts.
+    Seq((Some(1L), Some(10L), 0L), (Some(1L), Some(12L), 0L),
+      (Some(2L), Some(5L), 0L), (Some(3L), Some(7L), 0L),
+      (None, Some(8L), 0L))
+      .toDF("g", "k", "v").coalesce(1).createOrReplaceTempView("ni_t3")
+    spark.sql("CREATE TABLE gni.t3 AS SELECT g, k, v FROM ni_t3")
+    Seq((Some(1L), Some(10L)), (Some(1L), Some(11L)), (Some(2L), None))
+      .toDF("g2", "k2").createOrReplaceTempView("ni_c1")
+    spark.sql(
+      """UPDATE gni.t3 SET v = -1 WHERE k NOT IN
+        |  (SELECT k2 FROM ni_c1 WHERE ni_c1.g2 = gni.t3.g)""".stripMargin)
+    // (1,10) in its slice → keep; (1,12) definitely absent → act;
+    // (2,5) vs NULL member → UNKNOWN → keep; (3,7) empty slice → act;
+    // (NULL,8) NULL correlation → empty slice → act.
+    assert(spark.sql("SELECT k, v FROM gni.t3 ORDER BY k")
+      .as[(Long, Long)].collect().toSeq == Seq(
+        5L -> 0L, 7L -> -1L, 8L -> -1L, 10L -> 0L, 12L -> -1L))
+    // Deeper shapes keep crisp unsupported errors.
+    val err = intercept[Exception](spark.sql(
+      "DELETE FROM gni.t3 WHERE k NOT IN " +
+        "(SELECT k2 FROM ni_c1 WHERE ni_c1.g2 > gni.t3.g)"))
+    assert(err.getMessage.contains("non-equality NOT IN correlation"),
+      err.getMessage)
+  }
+
   test("maintenance statements accept catalog-qualified names") {
     val w = wh("catMaint")
     val s0 = spark
