@@ -447,11 +447,15 @@ object Merge {
             .withColumn("_change_type", lit("update_postimage")))
     val obs = new org.apache.spark.sql.Observation()
     mapping.fold(changes)(_.toPhysicalDf(changes))
-      .observe(obs, count(when(
-        col("_change_type").isin("delete", "update_preimage"), 1))
-        .as("matched"))
+      .observe(obs,
+        count(when(col("_change_type") === "delete", 1)).as("deleted"),
+        count(when(col("_change_type") === "update_preimage", 1)).as("updated"))
       .coalesce(math.max(1, affected.size)).write.parquet(cdfStaging)
-    val matchedCount = obs.get.apply("matched").asInstanceOf[Long]
+    val dvDeleted = obs.get.apply("deleted").asInstanceOf[Long]
+    val dvUpdated = obs.get.apply("updated").asInstanceOf[Long]
+    val matchedCount = dvDeleted + dvUpdated
+    val dvMetrics = Map("rows_deleted" -> dvDeleted,
+      "rows_updated" -> dvUpdated, "rows_inserted" -> 0L)
     // Data appends: the update postimage, plus — when the vector budget
     // routed files to a rewrite — those files' survivors (SQL three-valued
     // logic: rows where the condition evaluates NULL survive).
@@ -503,10 +507,12 @@ object Merge {
     val removed = (full ++ heavy).map(_.file)
     TxnCommit.commit(fs, warehouse, commitId, moves,
       retained = removed, op = "merge", baseVersion = base,
-      dvAttach = attach, fileGranularOcc = true, asTable = Some(table))
+      dvAttach = attach, fileGranularOcc = true, asTable = Some(table),
+      metrics = dvMetrics)
     TxnCommit.publish(fs, warehouse, commitId, moves,
       retained = removed, op = "merge", baseVersion = base,
-      dvAttach = attach, fileGranularOcc = true, asTable = Some(table))
+      dvAttach = attach, fileGranularOcc = true, asTable = Some(table),
+      metrics = dvMetrics)
     Result(heavy.size, dataMoves.size, matchedCount, candidates.size,
       partial.size)
     }
@@ -624,22 +630,31 @@ object Merge {
       .options(Snapshots.bloomWriteOptionsFor(fs, warehouse, table, mapping))
     (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(staging)
+    // The CDF write's Observation yields the per-kind row counts — the
+    // operation metrics SNAPSHOT HISTORY surfaces — with zero extra jobs
+    // (deletes + update preimages = the matched count the Result reports).
     val obs = new org.apache.spark.sql.Observation()
     changesPhys
-      .observe(obs, count(when(
-        col("_change_type").isin("delete", "update_preimage"), 1))
-        .as("matched"))
+      .observe(obs,
+        count(when(col("_change_type") === "delete", 1)).as("deleted"),
+        count(when(col("_change_type") === "update_preimage", 1)).as("updated"),
+        count(when(col("_change_type") === "insert", 1)).as("inserted"))
       .coalesce(math.max(1, affected.size)).write.parquet(cdfStaging)
-    val matched = obs.get.apply("matched").asInstanceOf[Long]
+    val deleted = obs.get.apply("deleted").asInstanceOf[Long]
+    val updated = obs.get.apply("updated").asInstanceOf[Long]
+    val inserted = obs.get.apply("inserted").asInstanceOf[Long]
+    val matched = deleted + updated
+    val metrics = Map("rows_deleted" -> deleted, "rows_updated" -> updated,
+      "rows_inserted" -> inserted)
     val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
     val moves = dataMoves ++
       TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
     TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
       op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc,
-      asTable = Some(table))
+      asTable = Some(table), metrics = metrics)
     TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
       op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc,
-      asTable = Some(table))
+      asTable = Some(table), metrics = metrics)
     Result(affected.size, dataMoves.size, matched, candidates)
   }
 

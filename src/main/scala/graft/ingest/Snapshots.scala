@@ -312,7 +312,10 @@ object Snapshots {
   }
 
   private def readActions(fs: FileSystem, p: Path): Seq[Action] =
-    readLines(fs, p).filterNot(_.startsWith("#")).map { line =>
+    parseActions(readLines(fs, p))
+
+  private def parseActions(lines: Seq[String]): Seq[Action] =
+    lines.filterNot(_.startsWith("#")).map { line =>
       line.split("\t", 6) match {
         case Array(op, table, file, part, stats, dv) =>
           Action(op, table, file, part, stats, dv)
@@ -331,6 +334,19 @@ object Snapshots {
   private def readOp(fs: FileSystem, p: Path): String =
     readLines(fs, p).find(_.startsWith("#OP\t"))
       .map(_.split("\t", 2)(1)).getOrElse("append")
+
+  /** Operation metrics of a log entry (`#METRICS\tk=v,…` header line) —
+    * row counts the committing operation observed (rows_inserted /
+    * rows_updated / rows_deleted). Empty for entries written without
+    * metrics (pre-metrics logs, metadata commits). */
+  private def parseMetrics(lines: Seq[String]): Map[String, Long] =
+    lines.find(_.startsWith("#METRICS\t"))
+      .map(_.split("\t", 2)(1).split(",").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => v.toLongOption.map(k -> _)
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
 
   /** Land a log file via [[putIfAbsent]]. Names are globally unique
     * (version + commitId), so an existing file can only be this commit's
@@ -411,7 +427,8 @@ object Snapshots {
              metas: Seq[(String, String)] = Nil,
              dvs: Seq[(String, String, String)] = Nil,
              dvFor: Map[String, String] = Map.empty,
-             fileGranularOcc: Boolean = false): Unit = {
+             fileGranularOcc: Boolean = false,
+             metrics: Map[String, Long] = Map.empty): Unit = {
     val myTables = (adds ++ removes ++ metas).map(_._1).toSet ++
       dvs.map(_._1)
     // File-granular conflict detection (the Delta WriteSerializable
@@ -495,7 +512,10 @@ object Snapshots {
         awaitClaimedVersion(fs, warehouse, version)
       } else {
         writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
-          s"#OP\t$op" +:
+          (Seq(s"#OP\t$op") ++
+            (if (metrics.isEmpty) Nil
+             else Seq("#METRICS\t" + metrics.toSeq.sorted
+               .map { case (k, v) => s"$k=$v" }.mkString(",")))) ++
             (adds.map { case (t, f) =>
               val base = s"ADD\t$t\t$f\t${partitionOf(f)}\t${statsFor.getOrElse(f, "")}"
               dvFor.get(f).fold(base)(tok => s"$base\t$tok") } ++
@@ -1015,14 +1035,19 @@ object Snapshots {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = entries(fs, warehouse).filterNot(_.isCheckpoint).map { e =>
-      val acts = readActions(fs, e.path).filterNot(a => a.cdf || a.meta)
+      val lines = readLines(fs, e.path) // one read: actions, op, metrics
+      val acts = parseActions(lines).filterNot(a => a.cdf || a.meta)
+      val op = lines.find(_.startsWith("#OP\t"))
+        .map(_.split("\t", 2)(1)).getOrElse("append")
+      val m = parseMetrics(lines)
       (e.version, e.commitId, new java.sql.Timestamp(e.mtime),
         acts.count(_.add).toLong, acts.count(!_.add).toLong,
-        acts.map(_.table).distinct.sorted.mkString(","), readOp(fs, e.path))
+        acts.map(_.table).distinct.sorted.mkString(","), op,
+        m.get("rows_inserted"), m.get("rows_updated"), m.get("rows_deleted"))
     }.sortBy(-_._1)
     import spark.implicits._
     rows.toDF("version", "commit_id", "committed_at", "n_added", "n_removed",
-      "tables", "op")
+      "tables", "op", "rows_inserted", "rows_updated", "rows_deleted")
   }
 
   /** The exact committed file set of `table` at `asOf` (default: latest).

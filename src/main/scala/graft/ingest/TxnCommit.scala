@@ -190,6 +190,61 @@ object TxnCommit {
           }
     }
 
+  /** A parsed named CHECK constraint — the SQL face
+    * (`ALTER TABLE t ADD CONSTRAINT c CHECK (…)`) of the same
+    * stats-verifiable classes the raw properties expose: conjunctions of
+    * `col IS NOT NULL`, `col >= n`, `col <= n`, `col BETWEEN n AND m`.
+    * Bounds are kept as strings — the validator compares through
+    * BigDecimal exactly, like the legacy `constraint.bounds.*` path. */
+  private[graft] case class Check(notNull: Seq[String],
+                                  bounds: Seq[(String, String, String)])
+
+  private val CkNotNullRe = raw"(?i)\s*(\w+)\s+IS\s+NOT\s+NULL\s*".r
+  private val CkGeRe = raw"(?i)\s*(\w+)\s*>=\s*(-?[\d.]+)\s*".r
+  private val CkLeRe = raw"(?i)\s*(\w+)\s*<=\s*(-?[\d.]+)\s*".r
+  private val CkBetweenLoRe = raw"(?i)\s*(\w+)\s+BETWEEN\s+(-?[\d.]+)\s*".r
+  private val CkNumRe = raw"\s*(-?[\d.]+)\s*".r
+
+  /** Parse a CHECK expression into its verifiable parts; throws a crisp
+    * error naming the unsupported conjunct otherwise. The grammar is
+    * deliberately the EXACTLY-stats-decidable class — enforcement stays a
+    * driver-side token check, never a data pass. */
+  private[graft] def parseCheck(sql: String): Check = {
+    // BETWEEN owns one AND: the conjunct split leaves its upper bound as
+    // the following fragment — stitch it back.
+    val parts = sql.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
+    val nn = Seq.newBuilder[String]
+    val bd = Seq.newBuilder[(String, String, String)]
+    var i = 0
+    while (i < parts.length) {
+      parts(i) match {
+        case CkNotNullRe(c) => nn += c
+        case CkGeRe(c, lo) => bd += ((c, lo, ""))
+        case CkLeRe(c, hi) => bd += ((c, "", hi))
+        case CkBetweenLoRe(c, lo) if i + 1 < parts.length &&
+            CkNumRe.matches(parts(i + 1)) =>
+          bd += ((c, lo, parts(i + 1).trim)); i += 1
+        case other => throw new IllegalArgumentException(
+          s"unsupported CHECK conjunct '$other' — stats-verifiable " +
+            "constraints are: col IS NOT NULL, col >= n, col <= n, " +
+            "col BETWEEN n AND m, AND-combined")
+      }
+      i += 1
+    }
+    val ck = Check(nn.result(), bd.result())
+    if (ck.notNull.isEmpty && ck.bounds.isEmpty)
+      throw new IllegalArgumentException(s"empty CHECK expression: '$sql'")
+    ck
+  }
+
+  /** Named CHECK constraints of a property map, parsed. */
+  private[graft] def namedChecks(props: Map[String, String])
+      : Seq[(String, Check)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith("constraint.check.") && v.nonEmpty =>
+        k.stripPrefix("constraint.check.") -> parseCheck(v)
+    }.sortBy(_._1)
+
   /** Stats-verifiable constraints, enforced at the commit point — the
     * Delta CHECK/NOT NULL analog restricted to the classes per-file
     * statistics decide EXACTLY, so enforcement is a driver-side token
@@ -209,67 +264,91 @@ object TxnCommit {
     * append aborts wholesale, staging is reclaimed, nothing becomes
     * visible. Constraints apply to commits made AFTER the property lands;
     * validate existing data before adding one. */
+  /** One file's stats token against one table's constraint set.
+    * `notNull` pairs (column, label); `bounds` tuples (column, lo, hi,
+    * label) — labels carry the constraint's identity (the raw property
+    * kind, or the NAMED CHECK constraint) into every error message. */
+  private[graft] def checkStats(st: FileStats.Stats, dest: String,
+                                notNull: Seq[(String, String)],
+                                bounds: Seq[(String, String, String, String)])
+      : Unit = {
+    val schemaCols = st.schema.map(_._1).toSet
+    notNull.foreach { case (c, who) =>
+      if (!schemaCols(c))
+        throw new IllegalArgumentException(
+          s"$who: staged file $dest has no such column " +
+            "(reads would serve nulls)")
+      st.nulls.get(c) match {
+        case Some(0L) => ()
+        case Some(n) => throw new IllegalArgumentException(
+          s"$who violated: staged file $dest holds $n null row(s)")
+        case None => throw new IllegalArgumentException(
+          s"$who: staged file $dest reports no null count for it — " +
+            "unverifiable")
+      }
+    }
+    bounds.foreach { case (c, lo, hi, who) =>
+      val cs = st.cols.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"$who: staged file $dest has no [min,max] for it — unverifiable"))
+      // BigDecimal: exact for both long and double stats strings
+      // (a double near 2^63 rendered through Double would corrupt
+      // a long comparison). NaN bounds are unverifiable.
+      def num(s: String, what: String): BigDecimal =
+        try BigDecimal(s) catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$who: $what '$s' is not an exact numeric — unverifiable")
+        }
+      if (cs.typ != "long" && cs.typ != "double")
+        throw new IllegalArgumentException(
+          s"$who: only numeric columns are exactly verifiable from " +
+            s"stats (got ${cs.typ})")
+      if (lo.nonEmpty && num(cs.min, "file min") < num(lo, "bound"))
+        throw new IllegalArgumentException(
+          s"$who violated: staged file $dest holds ${cs.min} < $lo")
+      if (hi.nonEmpty && num(cs.max, "file max") > num(hi, "bound"))
+        throw new IllegalArgumentException(
+          s"$who violated: staged file $dest holds ${cs.max} > $hi")
+    }
+  }
+
+  /** The constraint set of a property map as labeled check lists — raw
+    * `constraint.notnull` / `constraint.bounds.<col>` keys plus named
+    * `constraint.check.<name>` CHECK constraints. */
+  private[graft] def constraintSet(props: Map[String, String], table: String)
+      : (Seq[(String, String)], Seq[(String, String, String, String)]) = {
+    val named = namedChecks(props)
+    val notNull: Seq[(String, String)] =
+      props.get("constraint.notnull")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        .map(c => c -> s"NOT NULL constraint on '$c' of '$table'") ++
+      named.flatMap { case (n, ck) => ck.notNull.map(c =>
+        c -> s"CHECK constraint '$n' of '$table' (NOT NULL on '$c')") }
+    val bounds: Seq[(String, String, String, String)] =
+      props.toSeq.collect {
+        case (k, v) if k.startsWith("constraint.bounds.") =>
+          val c = k.stripPrefix("constraint.bounds.")
+          val Array(lo, hi) = v.split(",", 2).padTo(2, "")
+          (c, lo, hi, s"bounds constraint on '$c' of '$table'")
+      } ++
+      named.flatMap { case (n, ck) => ck.bounds.map { case (c, lo, hi) =>
+        (c, lo, hi, s"CHECK constraint '$n' of '$table' (bounds on '$c')") } }
+    (notNull, bounds)
+  }
+
   private def validateConstraints(fs: FileSystem, warehouse: String,
                                   statsFor: Map[String, String]): Unit =
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
       case (table, destStats) =>
         val props = Snapshots.properties(fs, warehouse, table)
-        val notNull = props.get("constraint.notnull")
-          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-        val bounds = props.collect {
-          case (k, v) if k.startsWith("constraint.bounds.") =>
-            k.stripPrefix("constraint.bounds.") -> v
-        }
+        val (notNull, bounds) = constraintSet(props, table)
         if (notNull.nonEmpty || bounds.nonEmpty)
           destStats.foreach { case (dest, token) =>
             val st = FileStats.decode(token).getOrElse(
               throw new IllegalArgumentException(
                 s"table '$table' carries constraints but staged file $dest " +
                   "has no readable statistics — constraints need parquet stats"))
-            val schemaCols = st.schema.map(_._1).toSet
-            notNull.foreach { c =>
-              if (!schemaCols(c))
-                throw new IllegalArgumentException(
-                  s"NOT NULL constraint on '$c' of '$table': staged file " +
-                    s"$dest has no such column (reads would serve nulls)")
-              st.nulls.get(c) match {
-                case Some(0L) => ()
-                case Some(n) => throw new IllegalArgumentException(
-                  s"NOT NULL constraint on '$c' of '$table' violated: " +
-                    s"staged file $dest holds $n null row(s)")
-                case None => throw new IllegalArgumentException(
-                  s"NOT NULL constraint on '$c' of '$table': staged file " +
-                    s"$dest reports no null count for it — unverifiable")
-              }
-            }
-            bounds.foreach { case (c, spec) =>
-              val Array(lo, hi) = spec.split(",", 2).padTo(2, "")
-              val cs = st.cols.getOrElse(c,
-                throw new IllegalArgumentException(
-                  s"bounds constraint on '$c' of '$table': staged file " +
-                    s"$dest has no [min,max] for it — unverifiable"))
-              // BigDecimal: exact for both long and double stats strings
-              // (a double near 2^63 rendered through Double would corrupt
-              // a long comparison). NaN bounds are unverifiable.
-              def num(s: String, what: String): BigDecimal =
-                try BigDecimal(s) catch { case _: NumberFormatException =>
-                  throw new IllegalArgumentException(
-                    s"bounds constraint on '$c' of '$table': $what '$s' " +
-                      "is not an exact numeric — unverifiable")
-                }
-              if (cs.typ != "long" && cs.typ != "double")
-                throw new IllegalArgumentException(
-                  s"bounds constraint on '$c' of '$table': only numeric " +
-                    s"columns are exactly verifiable from stats (got ${cs.typ})")
-              if (lo.nonEmpty && num(cs.min, "file min") < num(lo, "bound"))
-                throw new IllegalArgumentException(
-                  s"bounds constraint on '$c' of '$table' violated: staged " +
-                    s"file $dest holds ${cs.min} < $lo")
-              if (hi.nonEmpty && num(cs.max, "file max") > num(hi, "bound"))
-                throw new IllegalArgumentException(
-                  s"bounds constraint on '$c' of '$table' violated: staged " +
-                    s"file $dest holds ${cs.max} > $hi")
-            }
+            checkStats(st, dest, notNull, bounds)
           }
     }
 
@@ -290,7 +369,8 @@ object TxnCommit {
              baseVersion: Option[Long] = None,
              dvAttach: Seq[(String, String, Long)] = Nil,
              fileGranularOcc: Boolean = false,
-             asTable: Option[String] = None): Unit = {
+             asTable: Option[String] = None,
+             metrics: Map[String, Long] = Map.empty): Unit = {
     // Oversized blooms spill to sidecar files STAGED with this commit:
     // their moves join the manifest, so they publish (or replay) with the
     // data whose ADD lines point at them — crash-atomic either way.
@@ -343,6 +423,11 @@ object TxnCommit {
     Snapshots.putIfAbsent(fs, fin,
       (Seq(s"#OP\t$op") ++ baseVersion.map(v => s"#BASE\t$v") ++
         (if (fileGranularOcc) Seq("#GRANULAR\tfile") else Nil) ++
+        // Operation metrics (rows inserted/updated/deleted) ride the
+        // manifest so a crash-recovery replay records the same counts.
+        (if (metrics.isEmpty) Nil
+         else Seq("#METRICS\t" + metrics.toSeq.sorted
+           .map { case (k, v) => s"$k=$v" }.mkString(","))) ++
         // REMOVEs/DVs normally attribute to the table the file path names;
         // a zero-copy CLONE's shared files live under the SOURCE table's
         // dir, so rewrites of the clone record their owning table here —
@@ -369,7 +454,8 @@ object TxnCommit {
               replay: Boolean = false,
               dvAttach: Seq[(String, String, Long)] = Nil,
               fileGranularOcc: Boolean = false,
-              asTable: Option[String] = None): Unit = {
+              asTable: Option[String] = None,
+              metrics: Map[String, Long] = Map.empty): Unit = {
     // The manifest's move list is authoritative when present: commit()
     // may have appended sidecar-bloom moves the caller never saw (their
     // dests must publish with the data whose ADD lines point at them).
@@ -436,6 +522,22 @@ object TxnCommit {
     // the live publish would have.
     val granular = manifest.map(_.fileGranularOcc).getOrElse(fileGranularOcc)
     val asT = manifest.flatMap(_.asTable).orElse(asTable)
+    // Metrics: the manifest copy wins (a replay only has the manifest);
+    // appends/overwrites without explicit metrics get rows_inserted from
+    // the stats tokens already in hand — zero extra reads. Rewrite ops
+    // (merge/compact) must pass theirs explicitly: added-file row sums
+    // would misreport survivors as inserts.
+    val mEff0 = manifest.map(_.metrics).filter(_.nonEmpty).getOrElse(metrics)
+    val opEff = manifest.map(_.op).getOrElse(op)
+    val mEff =
+      if (mEff0.nonEmpty || !Set("append", "overwrite").contains(opEff) ||
+          dataMoves.isEmpty) mEff0
+      else {
+        val rows = dataMoves.map(m =>
+          statsFor.get(m.dest).flatMap(FileStats.decode).map(_.rows))
+        if (rows.exists(_.isEmpty)) mEff0
+        else Map("rows_inserted" -> rows.flatten.sum)
+      }
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d =>
@@ -445,7 +547,7 @@ object TxnCommit {
       replay = replay,
       dvs = attach.map { case (data, dv, n) =>
         (asT.getOrElse(tableOf(data)), data, s"$n:$dv") },
-      fileGranularOcc = granular)
+      fileGranularOcc = granular, metrics = mEff)
     catch {
       case e: Snapshots.ConcurrentCommitException =>
         // Lost the OCC race: unpublish. The `.aborted` marker lands first
@@ -480,7 +582,8 @@ object TxnCommit {
                               statsFor: Map[String, String],
                               dvAttach: Seq[(String, String, Long)],
                               fileGranularOcc: Boolean,
-                              asTable: Option[String] = None)
+                              asTable: Option[String] = None,
+                              metrics: Map[String, Long] = Map.empty)
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
@@ -495,7 +598,8 @@ object TxnCommit {
     val lines = new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
       .filter(_.nonEmpty).map(_.split("\t", 4))
     val moveLines = lines.filterNot(l =>
-      Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR", "#ASTABLE")(l.head))
+      Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR", "#ASTABLE",
+        "#METRICS")(l.head))
     Manifest(
       moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
       lines.filter(_.head == "DEL").map(_.apply(1)),
@@ -506,7 +610,14 @@ object TxnCommit {
         dest -> stats }.toMap,
       lines.filter(_.head == "DV").map(l => (l(1), l(2), l(3).toLong)),
       lines.exists(l => l.head == "#GRANULAR" && l.lift(1).contains("file")),
-      lines.find(_.head == "#ASTABLE").map(_.apply(1)))
+      lines.find(_.head == "#ASTABLE").map(_.apply(1)),
+      lines.find(_.head == "#METRICS").map(_.apply(1)
+          .split(",").toSeq.flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => v.toLongOption.map(k -> _)
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.

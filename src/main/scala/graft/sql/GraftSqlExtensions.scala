@@ -280,6 +280,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // Delta's TBLPROPERTIES family over the snapshot log's property META
   // lines ([[Snapshots.setProperties]]) — how SQL users configure bloom
   // columns and future writer knobs.
+  // Named CHECK constraints (`ADD CONSTRAINT c CHECK (…)` / `DROP
+  // CONSTRAINT c`) — sugar over the stats-verifiable constraint
+  // properties, enforced at every commit point by TxnCommit.
+  private val AddConstraintRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*".r
+  private val DropConstraintRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*".r
   private val SetPropsRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*".r
   private val UnsetPropsRe =
@@ -508,6 +515,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .toDF("table", "num_files", "size_bytes", "num_rows",
           "files_with_deletion_vectors", "partition_columns", "properties")
         .queryExecution.logical
+    case AddConstraintRe(table, name, check) if isGraftPropsTable(table) =>
+      GraftAddConstraintCommand(warehouse, table, name, check.trim)
+    case DropConstraintRe(table, name) if isGraftPropsTable(table) =>
+      GraftSetPropertiesCommand(warehouse, table,
+        Map(s"constraint.check.$name" -> "")) // empty value unsets
     case SetPropsRe(table, pairs) if isGraftPropsTable(table) =>
       val kvs = PropPairRe.findAllMatchIn(pairs)
         .map(m => m.group(1) -> m.group(2)).toMap
@@ -582,6 +594,47 @@ case class GraftOptimizeCommand(warehouse: String, table: String,
         purgeDropped = purgeDropped)
     Seq(res.map(r => Row(r.filesBefore, r.filesAfter, r.bytes))
       .getOrElse(Row(0, 0, 0L)))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT c CHECK (…)` → the named-constraint
+  * property `constraint.check.<c>`, enforced by [[graft.ingest.TxnCommit]]
+  * at every later commit point (violating writes abort naming the
+  * constraint, nothing becomes visible). The CHECK grammar is the
+  * exactly-stats-decidable class — conjunctions of `col IS NOT NULL`,
+  * `col >= n`, `col <= n`, `col BETWEEN n AND m`; anything else is
+  * rejected HERE with the unsupported conjunct named. EXISTING data is
+  * validated from the log's per-file stats tokens before the property
+  * lands — Delta's add-constraint stance at zero data-pass cost. */
+case class GraftAddConstraintCommand(warehouse: String, table: String,
+                                     name: String, checkSql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.ingest.{FileStats, TxnCommit}
+    val ck = TxnCommit.parseCheck(checkSql) // reject unsupported shapes now
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    val props = Snapshots.properties(fs, warehouse, table)
+    require(props.getOrElse(s"constraint.check.$name", "").isEmpty,
+      s"constraint '$name' already exists on '$table' — DROP CONSTRAINT " +
+        "first")
+    val who = (c: String, what: String) =>
+      s"CHECK constraint '$name' of '$table' ($what on '$c')"
+    val notNull = ck.notNull.map(c => c -> who(c, "NOT NULL"))
+    val bounds = ck.bounds.map { case (c, lo, hi) =>
+      (c, lo, hi, who(c, "bounds")) }
+    Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
+      .foreach { a =>
+        val st = FileStats.decode(a.stats).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot add constraint '$name': live file ${a.file} has no " +
+              "stats token — existing data is unverifiable"))
+        TxnCommit.checkStats(st, a.file, notNull, bounds)
+      }
+    Snapshots.setProperties(fs, warehouse, table,
+      Map(s"constraint.check.$name" -> checkSql))
+    Nil
   }
 }
 

@@ -484,6 +484,62 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.blooms.contains("name"), "first commit should carry the bloom")
   }
 
+  test("SNAPSHOT HISTORY surfaces operation metrics per commit") {
+    spark.sql("CREATE TABLE hm AS SELECT id, x FROM VALUES " +
+      "(CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE)), " +
+      "(CAST(2 AS BIGINT), CAST(20.0 AS DOUBLE)), " +
+      "(CAST(3 AS BIGINT), CAST(30.0 AS DOUBLE)) AS v(id, x)")
+    spark.sql("DELETE FROM hm WHERE id = 1")
+    spark.sql("UPDATE hm SET x = x + 1 WHERE id >= 2")
+    def hist = spark.sql("SNAPSHOT HISTORY OF hm")
+      .select("op", "rows_inserted", "rows_updated", "rows_deleted")
+      .collect().toSeq.map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // Newest first: the UPDATE (2 rows), the DELETE (1 row), the CTAS
+    // append (3 rows inserted, from the stats tokens already in hand).
+    assert(hist == Seq(
+      ("merge", 0L, 2L, 0L),
+      ("merge", 0L, 0L, 1L),
+      ("append", 3L, -1L, -1L)), s"got $hist")
+  }
+
+  test("ADD/DROP CONSTRAINT: named CHECK constraints gate commits by name") {
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    spark.sql("CREATE TABLE ct AS SELECT id, x FROM VALUES " +
+      "(CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE)), " +
+      "(CAST(2 AS BIGINT), CAST(20.0 AS DOUBLE)) AS v(id, x)")
+    spark.sql("ALTER TABLE ct ADD CONSTRAINT xrange CHECK " +
+      "(x BETWEEN 0 AND 100 AND id IS NOT NULL)").collect()
+    assert(Snapshots.properties(fs, wh, "ct")
+      .get("constraint.check.xrange").nonEmpty)
+    // A violating INSERT aborts NAMING the constraint; nothing lands.
+    val err = intercept[Exception](
+      spark.sql("INSERT INTO ct VALUES (CAST(3 AS BIGINT), CAST(-5.0 AS DOUBLE))"))
+    assert(chain(err).contains("CHECK constraint 'xrange'"), chain(err))
+    assert(Snapshots.read(spark, wh, "ct").count() == 2)
+    // A conforming INSERT passes the gate.
+    spark.sql("INSERT INTO ct VALUES (CAST(3 AS BIGINT), CAST(55.0 AS DOUBLE))")
+    assert(Snapshots.read(spark, wh, "ct").count() == 3)
+    // ADD CONSTRAINT validates EXISTING data from the log's stats tokens:
+    // a constraint current rows violate is refused and never lands.
+    val err2 = intercept[Exception](spark.sql(
+      "ALTER TABLE ct ADD CONSTRAINT xbig CHECK (x >= 1000)").collect())
+    assert(chain(err2).contains("CHECK constraint 'xbig'"), chain(err2))
+    assert(Snapshots.properties(fs, wh, "ct")
+      .get("constraint.check.xbig").isEmpty)
+    // Unsupported CHECK shapes are rejected up front, naming the conjunct.
+    val err3 = intercept[Exception](spark.sql(
+      "ALTER TABLE ct ADD CONSTRAINT odd CHECK (x + id > 0)").collect())
+    assert(chain(err3).contains("unsupported CHECK conjunct"), chain(err3))
+    // DROP CONSTRAINT re-opens the gate.
+    spark.sql("ALTER TABLE ct DROP CONSTRAINT xrange").collect()
+    spark.sql("INSERT INTO ct VALUES (CAST(4 AS BIGINT), CAST(-5.0 AS DOUBLE))")
+    assert(Snapshots.read(spark, wh, "ct").count() == 4)
+  }
+
   test("ALTER TABLE ADD COLUMN and DESCRIBE DETAIL") {
     val s0 = spark
     import s0.implicits._
