@@ -259,32 +259,72 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Kind-dispatched decoder for [[featurize]]: REAL decoders for every
-    * format the JVM itself can decode — PCM WAV (hand-rolled, zero-copy),
-    * u-law/a-law WAV / AIFF / AU (JDK sound converters), 24-bpp BMP
-    * (hand-rolled), PNG / JPEG / GIF (JDK ImageIO) — and the deterministic
-    * stub only for codec-less formats (MP3/MP4/AAC/WebP …); swapping a
-    * stub entry for a codec-backed decoder changes one line. */
-  def decodeAuto(kind: String)(payload: Array[Byte], dim: Int): Array[Double] = {
-    val real = kind match {
+  /** Decoder SPI: a codec takes the raw payload and returns `Some`
+    * feature vector, or `None` to fall through to the next tier. MUST be
+    * serializable — registered decoders ship to executors inside the
+    * `mapPartitions` closure (registration itself is driver-side; the
+    * registry is SNAPSHOTTED at plan time, so late registrations never
+    * race a running job). */
+  type Decoder = Array[Byte] => Option[Array[Double]]
+
+  private val userDecoders =
+    new java.util.concurrent.ConcurrentHashMap[String, Decoder]()
+
+  /** Register a codec for a MIME kind (e.g. `audio/mp3`, `image/webp`).
+    * User codecs take priority over the built-in JDK chain, so a kind the
+    * JVM half-handles can be overridden outright; a codec-less kind stops
+    * falling back to the deterministic stub. */
+  def registerDecoder(kind: String, d: Decoder): Unit =
+    userDecoders.put(kind, d)
+
+  def unregisterDecoder(kind: String): Unit = userDecoders.remove(kind)
+
+  /** The registry as an immutable, closure-shippable snapshot. */
+  private def registrySnapshot(): Map[String, Decoder] = {
+    import scala.jdk.CollectionConverters._
+    userDecoders.asScala.toMap
+  }
+
+  /** Built-in tier: REAL decoders for every format the JVM itself can
+    * decode — PCM WAV (hand-rolled, zero-copy), u-law/a-law WAV / AIFF /
+    * AU (JDK sound converters), 24-bpp BMP (hand-rolled), PNG / JPEG /
+    * GIF (JDK ImageIO); None for codec-less formats (MP3/MP4/AAC/WebP …). */
+  def builtinDecode(kind: String, payload: Array[Byte]): Option[Array[Double]] =
+    kind match {
       case "audio/wav" => decodeWavPcm16(payload).orElse(decodeAudioJdk(payload))
       case "audio/aiff" | "audio/basic" => decodeAudioJdk(payload)
       case "image/bmp" => decodeBmp24(payload).orElse(decodeImageIO(payload))
       case "image/png" | "image/jpeg" | "image/gif" => decodeImageIO(payload)
       case _ => None
     }
+
+  /** Kind-dispatched decode against an explicit registry snapshot:
+    * user codec → built-in JDK chain → deterministic stub. */
+  def decodeWith(reg: Map[String, Decoder])(kind: String)(
+      payload: Array[Byte], dim: Int): Array[Double] = {
+    val real = reg.get(kind).flatMap(_(payload))
+      .orElse(builtinDecode(kind, payload))
     real.map(f => java.util.Arrays.copyOf(f, dim))
       .getOrElse(decodeStub(payload, dim))
   }
 
-  /** [[featurize]] with the per-record kind driving [[decodeAuto]]'s
-    * dispatch — the full production shape: one partition iterator, real
-    * decoders where the JVM has them, stub elsewhere. */
+  /** Kind-dispatched decoder for [[featurize]] under the CURRENT registry
+    * (driver-side convenience; distributed paths snapshot once at plan
+    * time — see [[featurizeAuto]]). */
+  def decodeAuto(kind: String)(payload: Array[Byte], dim: Int): Array[Double] =
+    decodeWith(registrySnapshot())(kind)(payload, dim)
+
+  /** [[featurize]] with the per-record kind driving the dispatch — the
+    * full production shape: one partition iterator, user codecs where
+    * registered, real JDK decoders where the JVM has them, stub
+    * elsewhere. The registry snapshot is taken HERE, on the driver, and
+    * travels in the closure — executors never consult mutable state. */
   def featurizeAuto(ds: Dataset[MediaRecord], dim: Int): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
+    val reg = registrySnapshot()
     ds.mapPartitions(_.map(r =>
       MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong,
-        decodeAuto(r.kind)(r.payload, dim))))
+        decodeWith(reg)(r.kind)(r.payload, dim))))
   }
 
   /** Column-level metadata extraction over a binary column — fully

@@ -230,16 +230,25 @@ class GraftCatalog extends TableCatalog
   }
 
   /** Metadata-only evolution (the column mapping) tracks TOP-LEVEL
-    * columns; a struct's interior cannot evolve without rewriting files.
-    * The error names the supported path so a user is never stranded. */
+    * columns; a struct's interior cannot evolve without rewriting files —
+    * and this is PERMANENT (decided round 15, COVERAGE.md): the format is
+    * flat-relational by design, every write surface refuses struct
+    * columns, so nested DDL can only ever meet pre-catalog legacy files.
+    * The error names the EXECUTABLE flatten path (a catalog CREATE OR
+    * REPLACE cannot read the struct table — the API read can), so a user
+    * is never stranded. */
   private def nestedDdlError(op: String, fieldNames: Array[String],
                              table: String): String =
     s"ALTER TABLE $op COLUMN of nested field " +
       s"'${fieldNames.mkString(".")}' is not supported — snapshot tables " +
       "evolve top-level columns only (metadata-only, zero rewrite). " +
-      "Flatten instead: CREATE OR REPLACE TABLE " +
-      s"$catName.$table AS SELECT *, ${fieldNames.head}.* FROM " +
-      s"$catName.$table (then ALTER the now-flat column)"
+      "Flatten instead (one atomic overwrite — the CREATE OR REPLACE of " +
+      "this format): graft.ingest.Snapshots.read(spark, wh, \"" + table +
+      "\").select(col(\"*\"), col(\"" + fieldNames.head +
+      ".*\")).drop(\"" + fieldNames.head + "\").write" +
+      ".format(\"graft-snapshots\").option(\"warehouse\", wh)" +
+      ".option(\"table\", \"" + table + "\").mode(\"overwrite\").save(), " +
+      "then ALTER the now-flat column"
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && Snapshots.dropTable(fs, warehouse, tableName(ident))

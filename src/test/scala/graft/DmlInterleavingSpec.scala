@@ -54,8 +54,9 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ids
     }
     append(w, freshBatch(20))
+    val chaosModes = scala.collection.mutable.Set.empty[Int]
     (1 to 24).foreach { step =>
-      rng.nextInt(7) match {
+      rng.nextInt(8) match {
         case 0 => append(w, freshBatch(5 + rng.nextInt(10)))
         case 1 => // DV delete of a residue class among live ids
           val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
@@ -99,11 +100,59 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
               else if (sv >= 60) model(i) = model(i) + sv
             } else if (sv % 2 == 0) model(i) = sv
           }
+        case 7 => // commitId-keyed clause merge under crash-replay chaos:
+          // a third of the time the first attempt dies BEFORE the manifest
+          // commit point (stale staging left behind), a third it dies
+          // MID-PUBLISH (manifest committed, moves half-applied), then the
+          // CDC loop replays the same commitId — the deliberately
+          // NON-idempOTENT assignment (t.v + s.v) must land exactly once
+          // either way, interleaved with every other DML the chain throws.
+          val s1 = spark
+          import s1.implicits._
+          val liveIds = model.keys.toSeq.sorted
+          val touch = rng.shuffle(liveIds).take(math.min(4, liveIds.size))
+          if (touch.nonEmpty) {
+            val cid = s"chaos-merge-$step"
+            val srcRows = touch.map(i => (i, 50L + rng.nextInt(50)))
+            def run(): Merge.Result = Merge.mergeClauses(spark, w, "t",
+              srcRows.toDF("id", "v"), Seq("id"),
+              matched = Seq(Merge.WhenClause(None,
+                Some(Seq("v" -> expr("t.v + s.v"))))),
+              notMatched = Nil, commitId = Some(cid))
+            // Force both crash modes to fire at least once per run: the
+            // first two chaos steps take modes 0 and 1 deterministically,
+            // later ones draw at random.
+            val mode =
+              if (!chaosModes(0)) 0
+              else if (!chaosModes(1)) 1
+              else rng.nextInt(3)
+            chaosModes += mode
+            mode match {
+              case 0 => // pre-manifest death: leftover staging junk
+                val junk = new Path(
+                  s"${TxnCommit.stagingDir(w, cid)}/t/part-junk.parquet")
+                fs.mkdirs(junk.getParent)
+                val out = fs.create(junk, true)
+                try out.write(Array[Byte](1, 2, 3)) finally out.close()
+              case 1 => // mid-publish death: injected crash after one move
+                sys.props("graft.test.failAfterMoves") = "1"
+                try intercept[IllegalStateException](run())
+                finally sys.props.remove("graft.test.failAfterMoves")
+              case _ => () // clean first attempt
+            }
+            run() // the (re)play: lands the batch exactly once
+            val replay = run() // an extra replay must be a no-op
+            assert(replay.rowsMatched == 0 && replay.filesRewritten == 0,
+              s"step $step: replayed commitId merge must land nothing")
+            srcRows.foreach { case (i, sv) => model(i) = model(i) + sv }
+          }
       }
       val got = Snapshots.read(spark, w, "t").select("id", "v").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == model.toMap, s"divergence after step $step")
     }
+    assert(chaosModes.contains(0) && chaosModes.contains(1),
+      s"chaos coverage: both crash modes must have fired (got $chaosModes)")
   }
 
   test("stress: sink epochs, batch overwrites, compactions interleave safely") {

@@ -116,6 +116,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(wav.length.toLong, bmp.length.toLong, 3L))
   }
 
+  test("decoder SPI: a registered codec overrides the stub and unplugs cleanly") {
+    val s0 = spark
+    import s0.implicits._
+    val payload = Array[Byte](9, 9, 9)
+    val rec = Seq(Multimodal.MediaRecord(7L, "audio/mp3", payload)).toDS()
+    // Codec-less kind without a registration: deterministic stub.
+    assert(Multimodal.featurizeAuto(rec, dim = 4).collect().head.features.toSeq
+      == Multimodal.decodeStub(payload, 4).toSeq)
+    // Register a fake mp3 codec: the SPI tier wins; short vectors pad to dim.
+    Multimodal.registerDecoder("audio/mp3",
+      p => Some(Array(p.length.toDouble, 42.0)))
+    try {
+      assert(Multimodal.featurizeAuto(rec, dim = 4).collect().head.features.toSeq
+        == Seq(3.0, 42.0, 0.0, 0.0))
+      // A codec may decline (None): falls through to the stub tier.
+      Multimodal.registerDecoder("audio/mp3", _ => None)
+      assert(Multimodal.featurizeAuto(rec, dim = 4).collect().head.features.toSeq
+        == Multimodal.decodeStub(payload, 4).toSeq)
+      // User codecs take priority over BUILT-IN decoders too.
+      Multimodal.registerDecoder("image/bmp", _ => Some(Array(-1.0)))
+      try assert(Multimodal.decodeAuto("image/bmp")(
+        bmpBytes(2, 2, (_, _) => (10, 20, 30)), 2).toSeq == Seq(-1.0, 0.0))
+      finally Multimodal.unregisterDecoder("image/bmp")
+    } finally Multimodal.unregisterDecoder("audio/mp3")
+    // Unregistered again: back to the stub.
+    assert(Multimodal.featurizeAuto(rec, dim = 4).collect().head.features.toSeq
+      == Multimodal.decodeStub(payload, 4).toSeq)
+  }
+
   test("JDK codecs: PNG/JPEG decode real features; BMP agrees both ways") {
     import java.awt.image.BufferedImage
     // Deterministic 4×3 image with a known pixel function.
