@@ -403,6 +403,14 @@ object FormatQueries {
             |  (SELECT n_nationkey FROM fmt_sq_base
             |   WHERE fmt_sq_base.n_regionkey = gsq.nation_sq.n_regionkey
             |     AND n_nationkey < 10)""".stripMargin)
+        // Equality-correlated IN (the positive twin): a row is in its own
+        // region's slice iff its own fixture name matches — deletes the
+        // surviving keys whose ORIGINAL name contains a '3'.
+        s.sql(
+          """DELETE FROM gsq.nation_sq WHERE n_nationkey IN
+            |  (SELECT n_nationkey FROM fmt_sq_base
+            |   WHERE fmt_sq_base.n_regionkey = gsq.nation_sq.n_regionkey
+            |     AND n_name LIKE '%3%')""".stripMargin)
         w
       }
       s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
@@ -744,7 +752,9 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation
         |WHERE NOT (n_regionkey IN (0, 4) AND n_nationkey % 2 = 1)
-        |  AND n_nationkey < 20""".stripMargin,
+        |  AND n_nationkey < 20
+        |  AND n_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation WHERE n_name LIKE '%3%')""".stripMargin,
     "fmt_merge_nmbs_cond" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_nationkey < 10 THEN n_name || '_M' ELSE n_name END AS n_name,

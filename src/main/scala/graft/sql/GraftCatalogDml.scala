@@ -186,37 +186,46 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     * component differs definitely, an empty subquery acts on everything,
     * and a NULL correlation key (inner WHERE evaluates NULL → empty list)
     * lets the target row act. */
+  /** Decorrelate a (NOT) IN ListQuery of the canonical shape — `inner =
+    * outer` equality conjuncts in the subquery's top-level filter —
+    * into (correlation pairs, the value projection, the plain-filtered
+    * inner plan); anything deeper keeps the crisp unsupported error. */
+  private def decorrelateList(
+      lq: org.apache.spark.sql.catalyst.expressions.ListQuery,
+      what: String, unsupported: String => Nothing)
+      : (Seq[(AttributeReference, AttributeReference)], Seq[Expression],
+         LogicalPlan) = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    if (lq.outerAttrs.isEmpty) return (Nil, lq.plan.output, lq.plan)
+    lq.plan match {
+      case p @ Project(_, f @ Filter(_, child)) =>
+        val (cor, plain) = conjuncts(f.condition)
+          .partition(_.exists(_.isInstanceOf[OuterReference]))
+        val pairs = cor.map {
+          case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference)) =>
+            o -> i
+          case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference) =>
+            o -> i
+          case other =>
+            unsupported(s"non-equality $what correlation ${other.sql}")
+        }
+        if (pairs.isEmpty) unsupported(s"$what correlation without equality")
+        (pairs, p.projectList,
+          plain.reduceOption(And).map(Filter(_, child)).getOrElse(child))
+      case _ =>
+        unsupported(s"correlated $what without a simple filtered subquery")
+    }
+  }
+
   private def lowerGeneralNotIn(wh: String, t: String, target: LogicalPlan,
                                 attrs: Seq[AttributeReference],
                                 lq: org.apache.spark.sql.catalyst.expressions.ListQuery,
                                 residual: Seq[Expression],
                                 assigns: Option[Seq[Assignment]],
                                 unsupported: String => Nothing): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
-    // Decorrelate the canonical shape: `inner = outer` equality conjuncts
-    // in the subquery's top-level filter; anything deeper keeps the crisp
-    // unsupported error.
-    val (corrPairs, projList, below): (Seq[(AttributeReference, AttributeReference)],
-        Seq[Expression], LogicalPlan) =
-      if (lq.outerAttrs.isEmpty) (Nil, lq.plan.output, lq.plan)
-      else lq.plan match {
-        case p @ Project(_, f @ Filter(_, child)) =>
-          val (cor, plain) = conjuncts(f.condition)
-            .partition(_.exists(_.isInstanceOf[OuterReference]))
-          val pairs = cor.map {
-            case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference)) =>
-              o -> i
-            case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference) =>
-              o -> i
-            case other =>
-              unsupported(s"non-equality NOT IN correlation ${other.sql}")
-          }
-          if (pairs.isEmpty) unsupported("NOT IN correlation without equality")
-          (pairs, p.projectList,
-            plain.reduceOption(And).map(Filter(_, child)).getOrElse(child))
-        case _ =>
-          unsupported("correlated NOT IN without a simple filtered subquery")
-      }
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val (corrPairs, projList, below) =
+      decorrelateList(lq, "NOT IN", unsupported)
     val tgt = target.outputSet
     require((attrs ++ corrPairs.map(_._1)).forall(tgt.contains),
       "NOT IN values and correlation columns must be columns of the target table")
@@ -301,12 +310,27 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     // row never matches, so NOT EXISTS is TRUE and the row acts).
     val (keyAttrs, listPlan, nmbsMode, nullGuards) = subq match {
       case Seq(InSubquery(values, lq: ListQuery)) =>
-        if (lq.outerAttrs.nonEmpty) unsupported("correlated IN")
         val attrs = values.map {
           case a: AttributeReference => a
           case v => unsupported(s"non-column IN value ${v.sql}")
         }
-        (attrs, lq.plan, false, false)
+        // Equality-correlated IN decorrelates onto the SAME multi-key
+        // matched path: `t.k IN (SELECT x FROM s WHERE s.c = t.c)` acts
+        // exactly on rows with a source tuple (x = t.k, c = t.c) — the
+        // correlation column joins alongside the value column, and IN's
+        // NULL semantics (never TRUE on a NULL key) fall out of the
+        // strict equi-join.
+        val (pairs, projList, below) = decorrelateList(lq, "IN", unsupported)
+        val inNames = (attrs ++ pairs.map(_._1)).map(_.name)
+        if (inNames.distinct.size != inNames.size)
+          unsupported(
+            "a target column appears twice across the IN tuple and its correlation")
+        val named = projList.map {
+          case n: org.apache.spark.sql.catalyst.expressions.NamedExpression => n
+          case e => Alias(e, "v")()
+        }
+        (attrs ++ pairs.map(_._1),
+          Project(named ++ pairs.map(_._2), below), false, false)
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           InSubquery(values, lq: ListQuery))) =>
         val attrs = values.map {

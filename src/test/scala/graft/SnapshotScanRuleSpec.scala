@@ -538,6 +538,15 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT k, v FROM gni.t3 ORDER BY k")
       .as[(Long, Long)].collect().toSeq == Seq(
         5L -> 0L, 7L -> -1L, 8L -> -1L, 10L -> 0L, 12L -> -1L))
+    // Equality-correlated IN: per-row membership in the slice — strict
+    // equality throughout, so a NULL member or a NULL correlation key
+    // simply never matches. Only (g=1, k=10) is in its own slice.
+    spark.sql(
+      """UPDATE gni.t3 SET v = 100 WHERE k IN
+        |  (SELECT k2 FROM ni_c1 WHERE ni_c1.g2 = gni.t3.g)""".stripMargin)
+    assert(spark.sql("SELECT k, v FROM gni.t3 ORDER BY k")
+      .as[(Long, Long)].collect().toSeq == Seq(
+        5L -> 0L, 7L -> -1L, 8L -> -1L, 10L -> 100L, 12L -> -1L))
     // Deeper shapes keep crisp unsupported errors.
     val err = intercept[Exception](spark.sql(
       "DELETE FROM gni.t3 WHERE k NOT IN " +
