@@ -173,15 +173,18 @@ object Merge {
     * keyed candidate pruning keeps only the [min,max] envelope: the
     * per-column point enumeration is a driver-side distinct+collect the
     * large path must not pay. ≤ 0 disables the guard (always broadcast). */
-  private def broadcastMaxRows: Long =
-    sys.props.get("graft.merge.broadcastMaxRows").map(_.toLong)
-      .getOrElse(4L * 1000 * 1000)
+  // Session conf first (the user-facing knob), JVM property as the
+  // session-less fallback/test hook.
+  private def broadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.merge.broadcastMaxRows")
+      .orElse(sys.props.get("graft.merge.broadcastMaxRows"))
+      .map(_.toLong).getOrElse(4L * 1000 * 1000)
 
   /** One bounded job routes the merge: count at most threshold+1 source
     * rows. The limit caps the scan — a 100 TB source answers "big" after
     * the first partitions, never a full count. */
   private def sourceIsSmall(source: DataFrame): Boolean = {
-    val t = broadcastMaxRows
+    val t = broadcastMaxRows(source.sparkSession)
     t <= 0 || source.limit(math.min(t + 1, Int.MaxValue.toLong).toInt)
       .count() <= t
   }

@@ -286,7 +286,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val AddConstraintRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*".r
   private val DropConstraintRe =
-    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(?:IF\s+EXISTS\s+)?(\w+)\s*".r
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(\w+)\s*".r
   private val SetPropsRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*".r
   private val UnsetPropsRe =
@@ -517,9 +517,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case AddConstraintRe(table, name, check) if isGraftPropsTable(table) =>
       GraftAddConstraintCommand(warehouse, table, name, check.trim)
-    case DropConstraintRe(table, name) if isGraftPropsTable(table) =>
-      GraftSetPropertiesCommand(warehouse, table,
-        Map(s"constraint.check.$name" -> "")) // empty value unsets
+    case DropConstraintRe(table, ifExists, name) if isGraftPropsTable(table) =>
+      GraftDropConstraintCommand(warehouse, table, name, ifExists != null)
     case SetPropsRe(table, pairs) if isGraftPropsTable(table) =>
       val kvs = PropPairRe.findAllMatchIn(pairs)
         .map(m => m.group(1) -> m.group(2)).toMap
@@ -634,6 +633,31 @@ case class GraftAddConstraintCommand(warehouse: String, table: String,
       }
     Snapshots.setProperties(fs, warehouse, table,
       Map(s"constraint.check.$name" -> checkSql))
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] c` — unsets the named
+  * property; dropping an absent constraint errors unless IF EXISTS (a
+  * silent no-op would hide a typo'd name while the real constraint keeps
+  * rejecting writes). */
+case class GraftDropConstraintCommand(warehouse: String, table: String,
+                                      name: String, ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    val key = s"constraint.check.$name"
+    val exists = Snapshots.properties(fs, warehouse, table)
+      .get(key).exists(_.nonEmpty)
+    if (!exists) {
+      if (ifExists) return Nil
+      throw new IllegalArgumentException(
+        s"no constraint '$name' on table '$table' — " +
+          "use DROP CONSTRAINT IF EXISTS to no-op")
+    }
+    Snapshots.setProperties(fs, warehouse, table, Map(key -> ""))
     Nil
   }
 }

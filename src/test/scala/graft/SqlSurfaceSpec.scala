@@ -534,6 +534,12 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val err3 = intercept[Exception](spark.sql(
       "ALTER TABLE ct ADD CONSTRAINT odd CHECK (x + id > 0)").collect())
     assert(chain(err3).contains("unsupported CHECK conjunct"), chain(err3))
+    // Dropping a typo'd name errors (a silent no-op would hide the typo
+    // while the real constraint keeps rejecting writes); IF EXISTS no-ops.
+    val err4 = intercept[Exception](
+      spark.sql("ALTER TABLE ct DROP CONSTRAINT xrang").collect())
+    assert(chain(err4).contains("no constraint 'xrang'"), chain(err4))
+    spark.sql("ALTER TABLE ct DROP CONSTRAINT IF EXISTS xrang").collect()
     // DROP CONSTRAINT re-opens the gate.
     spark.sql("ALTER TABLE ct DROP CONSTRAINT xrange").collect()
     spark.sql("INSERT INTO ct VALUES (CAST(4 AS BIGINT), CAST(-5.0 AS DOUBLE))")
