@@ -826,6 +826,13 @@ object Merge {
     * anti-join on `AND_i(t.ki = s.ki OR t.ki IS NULL OR s.ki IS NULL)`
     * (strict equalities for correlation conjuncts), which plain key
     * equality cannot express. Conditions reference the `t`/`s` aliases. */
+  /** `dedupeMatched = true` keeps ONE arbitrary witness per matched
+    * target row instead of enforcing the multi-match contract — sound
+    * ONLY when every matched clause's condition and assignments reference
+    * `t.<col>` alone (any witness acts identically). This is how
+    * EXISTS-derived DML lowers: several subquery rows witnessing one
+    * target row is the NORM there, and the action never reads the
+    * witness. */
   def mergeClauses(spark: SparkSession, warehouse: String, table: String,
                    source: DataFrame, keyCols: Seq[String],
                    matched: Seq[WhenClause],
@@ -834,7 +841,8 @@ object Merge {
                    sourceKeyCols: Seq[String] = Nil,
                    commitId: Option[String] = None,
                    onResidual: Option[org.apache.spark.sql.Column] = None,
-                   nmbsAntiOn: Option[org.apache.spark.sql.Column] = None): Result = {
+                   nmbsAntiOn: Option[org.apache.spark.sql.Column] = None,
+                   dedupeMatched: Boolean = false): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
         notMatchedBySource.nonEmpty,
@@ -935,9 +943,18 @@ object Merge {
         .join(hintIf(small)(source).alias("s"), fullOn, "inner")
     val acted =
       if (pairs == null || matched.isEmpty) null
-      else pairs.withColumn("_m_action", firstAction(matched))
-        .filter(col("_m_action") > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        val a0 = pairs.withColumn("_m_action", firstAction(matched))
+          .filter(col("_m_action") > 0)
+        // One witness per target row on the dedupe route (t-only actions
+        // by contract — any witness acts identically).
+        val a1 =
+          if (!dedupeMatched) a0
+          else a0.withColumn("_dd_f", col(s"t.$SrcFileCol"))
+            .withColumn("_dd_p", col(s"t.$RowPosCol"))
+            .dropDuplicates("_dd_f", "_dd_p").drop("_dd_f", "_dd_p")
+        a1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     // NOT MATCHED BY SOURCE: target rows with no source key match — an
     // anti-join against the (broadcast, dim-sized) source keys; clause
     // conditions see `t.<col>` only. Unmatched-ness itself cannot be
@@ -1014,8 +1031,9 @@ object Merge {
          .collect().map(_.getString(0)).toSet)
     val affected = meta.filter(a => affectedNames(pathKey(a.file)))
     // Delta multi-match contract: a target row several source rows ACT on
-    // is nondeterministic — fail before staging anything.
-    if (acted != null && matched.nonEmpty) {
+    // is nondeterministic — fail before staging anything. (The dedupe
+    // route already collapsed witnesses; its actions are t-only.)
+    if (acted != null && matched.nonEmpty && !dedupeMatched) {
       val dup = acted.groupBy(col(s"t.$SrcFileCol"), col(s"t.$RowPosCol"))
         .agg(count(flit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
       require(dup.isEmpty,

@@ -411,6 +411,14 @@ object FormatQueries {
             |  (SELECT n_nationkey FROM fmt_sq_base
             |   WHERE fmt_sq_base.n_regionkey = gsq.nation_sq.n_regionkey
             |     AND n_name LIKE '%3%')""".stripMargin)
+        // Non-equality-correlated EXISTS (equality anchor + range
+        // residual): drop survivors with a same-region fixture key more
+        // than 18 above theirs.
+        s.sql(
+          """DELETE FROM gsq.nation_sq WHERE EXISTS
+            |  (SELECT 1 FROM fmt_sq_base b
+            |   WHERE b.n_regionkey = gsq.nation_sq.n_regionkey
+            |     AND b.n_nationkey > gsq.nation_sq.n_nationkey + 18)""".stripMargin)
         w
       }
       s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
@@ -754,7 +762,11 @@ object FormatQueries {
         |WHERE NOT (n_regionkey IN (0, 4) AND n_nationkey % 2 = 1)
         |  AND n_nationkey < 20
         |  AND n_nationkey NOT IN
-        |    (SELECT n_nationkey FROM nation WHERE n_name LIKE '%3%')""".stripMargin,
+        |    (SELECT n_nationkey FROM nation WHERE n_name LIKE '%3%')
+        |  AND NOT EXISTS
+        |    (SELECT 1 FROM nation b
+        |     WHERE b.n_regionkey = nation.n_regionkey
+        |       AND b.n_nationkey > nation.n_nationkey + 18)""".stripMargin,
     "fmt_merge_nmbs_cond" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_nationkey < 10 THEN n_name || '_M' ELSE n_name END AS n_name,

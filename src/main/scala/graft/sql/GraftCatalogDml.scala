@@ -217,6 +217,76 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     }
   }
 
+  /** EXISTS / NOT EXISTS whose correlation carries NON-equality conjuncts
+    * beyond the anchoring equalities (`EXISTS (SELECT 1 FROM s WHERE
+    * s.g = t.g AND s.ts < t.ts)`): the equalities become MERGE keys, the
+    * rest becomes the ON residual (matching = keys AND residual — the
+    * engine's partition-scoped-merge machinery), and the inner columns
+    * the residual reads ride the source projection. EXISTS routes to the
+    * matched path with witness dedupe (several subquery rows witnessing
+    * one target row act once — conditions/assignments are t-only by
+    * construction); NOT EXISTS anti-joins the full ON, exactly its
+    * semantics. */
+  private def lowerResidualExists(wh: String, t: String, target: LogicalPlan,
+                                  pairs: Seq[(AttributeReference, AttributeReference)],
+                                  residCor: Seq[Expression], inner: LogicalPlan,
+                                  residual: Seq[Expression],
+                                  assigns: Option[Seq[Assignment]],
+                                  nmbs: Boolean,
+                                  unsupported: String => Nothing): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
+    def innerAttrsOf(e: Expression): Seq[AttributeReference] = e match {
+      case OuterReference(_) => Nil
+      case a: AttributeReference => Seq(a)
+      case other => other.children.flatMap(innerAttrsOf)
+    }
+    val keyNames = pairs.map(_._1.name)
+    val tgt = target.outputSet
+    require(pairs.map(_._1).forall(tgt.contains),
+      "EXISTS correlation outer columns must be columns of the target table")
+    // Inner columns the residual reads, projected under their own names
+    // (minus those already served by a same-named key alias).
+    val residInner = residCor.flatMap(innerAttrsOf)
+      .groupBy(_.exprId).map(_._2.head).toSeq.sortBy(_.name)
+    val extras = residInner.filterNot(a => pairs.exists(p =>
+      p._2.exprId == a.exprId && p._1.name == a.name))
+    extras.foreach(a => if (keyNames.contains(a.name)) unsupported(
+      s"correlated-subquery column '${a.name}' shadows a correlation key name"))
+    if (extras.map(_.name).distinct.size != extras.size)
+      unsupported("ambiguous same-named columns in the correlated subquery")
+    val srcPlan = Distinct(Project(
+      pairs.map { case (o, i) => Alias(i, o.name)() } ++ extras, inner))
+    def corSql(e: Expression): String = e.transform {
+      case OuterReference(o: AttributeReference) =>
+        UnresolvedAttribute(Seq("t", o.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq("s", a.name))
+    }.sql
+    val onResidualSql =
+      Some(residCor.map(corSql).mkString("(", ") AND (", ")"))
+    val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    def render(e: Expression): String = qualifiedSql(e, tgt, empty)
+    val residualSql = residual match {
+      case Seq() => None
+      case rs => Some(rs.map(render).mkString("(", ") AND (", ")"))
+    }
+    val assignPairs = assigns.map(_.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.name -> render(a.value)
+        case k => throw new UnsupportedOperationException(
+          s"UPDATE of nested field ${k.sql} is not supported")
+      }
+    })
+    if (nmbs)
+      GraftMergeClausesCommand(wh, t, keyNames,
+        matched = Nil, notMatched = Nil, srcPlan,
+        notMatchedBySource = Seq((residualSql, assignPairs)),
+        onResidualSql = onResidualSql)
+    else
+      GraftMergeClausesCommand(wh, t, keyNames,
+        matched = Seq((residualSql, assignPairs)), notMatched = Nil, srcPlan,
+        onResidualSql = onResidualSql, dedupeMatched = true)
+  }
+
   private def lowerGeneralNotIn(wh: String, t: String, target: LogicalPlan,
                                 attrs: Seq[AttributeReference],
                                 lq: org.apache.spark.sql.catalyst.expressions.ListQuery,
@@ -285,7 +355,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     // s.k = t.k [AND s-side preds])`; deeper correlation shapes keep the
     // unsupported error.
     def decorrelate(ex: org.apache.spark.sql.catalyst.expressions.Exists)
-        : (Seq[AttributeReference], LogicalPlan) = {
+        : (Seq[(AttributeReference, AttributeReference)], Seq[Expression],
+           LogicalPlan) = {
       import org.apache.spark.sql.catalyst.expressions.OuterReference
       val (filter, below) = ex.plan match {
         case Project(_, f @ Filter(_, child)) => (f, child)
@@ -294,16 +365,23 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       }
       val (cor, plain) = conjuncts(filter.condition)
         .partition(_.exists(_.isInstanceOf[OuterReference]))
-      val pairs: Seq[(AttributeReference, AttributeReference)] = cor.map {
+      // Equality conjuncts become the join keys; the rest of the
+      // correlated conjuncts (range comparisons etc.) become the ON
+      // residual — at least one equality must anchor the join (a purely
+      // non-equi correlation would be a cross join).
+      val pairsB = Seq.newBuilder[(AttributeReference, AttributeReference)]
+      val residB = Seq.newBuilder[Expression]
+      cor.foreach {
         case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference)) =>
-          o -> i
+          pairsB += o -> i
         case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference) =>
-          o -> i
-        case other => unsupported(s"non-equality correlation ${other.sql}")
+          pairsB += o -> i
+        case other => residB += other
       }
+      val pairs = pairsB.result()
       if (pairs.isEmpty) unsupported("EXISTS without equality correlation")
       val inner = plain.reduceOption(And).map(Filter(_, below)).getOrElse(below)
-      (pairs.map(_._1), Project(pairs.map(_._2), inner))
+      (pairs, residB.result(), inner)
     }
     // nmbs = act on rows WITHOUT a source match; nullGuards = NOT IN's
     // three-valued-logic traps (NOT EXISTS has none: a NULL-keyed target
@@ -348,12 +426,20 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           return Some(lowerGeneralNotIn(wh, t, target, attrs, lq,
             residual, assigns, unsupported))
       case Seq(ex: org.apache.spark.sql.catalyst.expressions.Exists) =>
-        val (outer, plan) = decorrelate(ex)
-        (outer, plan, false, false)
+        val (pairs, residCor, inner) = decorrelate(ex)
+        if (residCor.isEmpty)
+          (pairs.map(_._1), Project(pairs.map(_._2), inner), false, false)
+        else
+          return Some(lowerResidualExists(wh, t, target, pairs, residCor,
+            inner, residual, assigns, nmbs = false, unsupported))
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           ex: org.apache.spark.sql.catalyst.expressions.Exists)) =>
-        val (outer, plan) = decorrelate(ex)
-        (outer, plan, true, false)
+        val (pairs, residCor, inner) = decorrelate(ex)
+        if (residCor.isEmpty)
+          (pairs.map(_._1), Project(pairs.map(_._2), inner), true, false)
+        else
+          return Some(lowerResidualExists(wh, t, target, pairs, residCor,
+            inner, residual, assigns, nmbs = true, unsupported))
       case Seq(one) => unsupported(s"shape ${one.sql.take(80)}")
       case _ => unsupported("multiple subqueries")
     }
@@ -539,7 +625,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     sourceNullNoop: Boolean = false,
                                     srcKeyCols: Seq[String] = Nil,
                                     onResidualSql: Option[String] = None,
-                                    nmbsAntiOnSql: Option[String] = None)
+                                    nmbsAntiOnSql: Option[String] = None,
+                                    dedupeMatched: Boolean = false)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -569,7 +656,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
       src, keyCols, matched.map(toClause), notMatched.map(toClause),
       notMatchedBySource.map(toClause), sourceKeyCols = srcKeyCols,
       onResidual = onResidualSql.map(expr),
-      nmbsAntiOn = nmbsAntiOnSql.map(expr))
+      nmbsAntiOn = nmbsAntiOnSql.map(expr),
+      dedupeMatched = dedupeMatched)
     Seq(org.apache.spark.sql.Row(
       res.filesRewritten, res.filesAdded, res.rowsMatched))
   }

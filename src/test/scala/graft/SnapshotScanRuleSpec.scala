@@ -555,6 +555,43 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       err.getMessage)
   }
 
+  test("non-equality-correlated EXISTS/NOT EXISTS lower with ON residuals") {
+    val w = wh("catExResid")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gex",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gex.warehouse", w)
+    Seq((1L, 5L, 0L), (1L, 9L, 0L), (2L, 3L, 0L), (2L, 1L, 0L),
+      (3L, 4L, 0L)).toDF("g", "ts", "v").coalesce(1)
+      .createOrReplaceTempView("ex_t")
+    spark.sql("CREATE TABLE gex.tx AS SELECT g, ts, v FROM ex_t")
+    Seq((1L, 6L), (1L, 7L), (2L, 2L), (9L, 0L)).toDF("g2", "ts2")
+      .createOrReplaceTempView("ex1")
+    // EXISTS with a range conjunct beside the equality anchor. Row
+    // (1, 9) has TWO witnesses (ts2 = 6 and 7) — it must act exactly
+    // once (v + 1, not v + 2): the witness dedupe.
+    spark.sql("UPDATE gex.tx SET v = v + 1 WHERE EXISTS " +
+      "(SELECT 1 FROM ex1 WHERE g2 = g AND ts2 < ts)")
+    assert(spark.sql("SELECT g, ts, v FROM gex.tx ORDER BY g, ts")
+      .as[(Long, Long, Long)].collect().toSeq == Seq(
+        (1L, 5L, 0L), (1L, 9L, 1L), (2L, 1L, 0L), (2L, 3L, 1L),
+        (3L, 4L, 0L)))
+    // NOT EXISTS: act iff NO subquery row satisfies keys AND residual.
+    spark.sql("UPDATE gex.tx SET v = 7 WHERE NOT EXISTS " +
+      "(SELECT 1 FROM ex1 WHERE g2 = g AND ts2 >= ts)")
+    assert(spark.sql("SELECT g, ts, v FROM gex.tx ORDER BY g, ts")
+      .as[(Long, Long, Long)].collect().toSeq == Seq(
+        (1L, 5L, 0L), (1L, 9L, 7L), (2L, 1L, 0L), (2L, 3L, 7L),
+        (3L, 4L, 7L)))
+    // DELETE combining the residual EXISTS with a subquery-free conjunct.
+    spark.sql("DELETE FROM gex.tx WHERE EXISTS " +
+      "(SELECT 1 FROM ex1 WHERE g2 = g AND ts2 < ts) AND v = 7")
+    assert(spark.sql("SELECT g, ts, v FROM gex.tx ORDER BY g, ts")
+      .as[(Long, Long, Long)].collect().toSeq == Seq(
+        (1L, 5L, 0L), (2L, 1L, 0L), (3L, 4L, 7L)))
+  }
+
   test("maintenance statements accept catalog-qualified names") {
     val w = wh("catMaint")
     val s0 = spark
