@@ -225,8 +225,17 @@ object TextOps {
           .otherwise(array().cast("array<string>")))
     val nTok = size(col("__toks")).cast("double")
     val nGram = size(col("__grams"))
-    val topCnt = array_max(expr(
-      "transform(array_distinct(__grams), g -> size(filter(__grams, x -> x = g)))"))
+    // Max multiplicity = longest equal-run in the SORTED gram array — one
+    // O(n log n) pass instead of the O(distinct × n) nested
+    // transform/filter scan (quadratic on repetitive documents, exactly
+    // the ones this filter exists to catch).
+    val topCnt = expr(
+      """aggregate(array_sort(__grams),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+        |  (a, x) -> named_struct('prev', x,
+        |    'run', IF(a.prev <=> x, a.run + 1, 1),
+        |    'best', GREATEST(a.best, IF(a.prev <=> x, a.run + 1, 1))),
+        |  a -> a.best)""".stripMargin)
     val dupRatio = round(lit(1.0) - size(array_distinct(col("__toks"))) / nTok, 4)
     val topRatio = round(
       when(nGram > 0, topCnt.cast("double") / nGram).otherwise(lit(0.0)), 4)
