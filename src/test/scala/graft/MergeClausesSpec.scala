@@ -343,6 +343,51 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("v", "tag").as[(Long, String)].collect().toSeq == Seq((7L, "x7")))
   }
 
+  test("schema evolution composes with renamed (mapped) and partitioned tables") {
+    val s0 = spark
+    import s0.implicits._
+    // Mapped table: RENAME first (creates the column mapping), then an
+    // evolving merge — the new column joins the existing mapping.
+    val w = wh("evolveMapped")
+    publish(w, (0L until 10L).map(i => i -> i))
+    graft.ingest.SchemaEvolution.renameColumn(spark, w, "t", "v", "val")
+    spark.conf.set("graft.merge.schemaEvolution", "true")
+    try {
+      Merge.upsert(spark, w, "t",
+        Seq((3L, 30L, "m3"), (20L, 200L, "m20")).toDF("id", "val", "tag"),
+        Seq("id"))
+      val got = Snapshots.read(spark, w, "t")
+        .select("id", "val", "tag").as[(Long, Long, Option[String])]
+        .collect().toSet
+      val exp = (0L until 10L).filterNot(_ == 3L).map(i => (i, i, None)).toSet ++
+        Set((3L, 30L, Some("m3")), (20L, 200L, Some("m20")))
+      assert(got == exp, s"mapped: got=${got.toSeq.sortBy(_._1)}")
+
+      // Partitioned table: the new column lands as a DATA column; the
+      // partition layout survives the evolving clause merge.
+      val w2 = wh("evolvePart")
+      (0L until 6L).map(i => (i, i * 10, s"d${i % 2}")).toDF("id", "v", "dt")
+        .write.format("graft-snapshots")
+        .option("warehouse", w2).option("table", "p")
+        .option("partitionBy", "dt").save()
+      Merge.mergeClauses(spark, w2, "p",
+        Seq((1L, 111L, "d1", "x1"), (9L, 999L, "d1", "x9"))
+          .toDF("id", "v", "dt", "note"), Seq("id"),
+        matched = Seq(Merge.WhenClause(None,
+          Some(Seq("v" -> expr("s.v"), "note" -> expr("s.note"))))),
+        notMatched = Seq(Merge.WhenClause(None, None /* INSERT * */)))
+      val got2 = Snapshots.read(spark, w2, "p")
+        .select("id", "v", "dt", "note")
+        .as[(Long, Long, String, Option[String])].collect().toSet
+      val exp2 = Set((0L, 0L, "d0", None), (2L, 20L, "d0", None),
+        (4L, 40L, "d0", None), (3L, 30L, "d1", None), (5L, 50L, "d1", None),
+        (1L, 111L, "d1", Some("x1")), (9L, 999L, "d1", Some("x9")))
+      assert(got2 == exp2, s"partitioned: got=${got2.toSeq.sortBy(_._1)}")
+      assert(graft.ingest.Snapshots.partitionLayout(fs, w2, "p") == Seq("dt"),
+        "partition layout must survive the evolving merge")
+    } finally spark.conf.unset("graft.merge.schemaEvolution")
+  }
+
   test("matched-only clause merges are file-granular and skip clean files") {
     val s0 = spark
     import s0.implicits._
