@@ -229,8 +229,17 @@ object Merge {
           tags.flatten.map(_._1).toSet ++
             Snapshots.partitionColumns(meta.map(_.partition))
       }
-    srcCols.filterNot(c => tcols(c) || excluded(c))
-      .foreach(c => SchemaEvolution.addColumn(spark, warehouse, table, c))
+    srcCols.filterNot(c => tcols(c) || excluded(c)).foreach { c =>
+      // A racing evolving merge may add the same column between our
+      // mapping read and this commit — "already exists" means the goal
+      // state holds, not a failure.
+      try SchemaEvolution.addColumn(spark, warehouse, table, c)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+          ()
+      }
+    }
   }
 
   /** Candidate-pruning predicate for keyed DML: per KEY COLUMN, an OR of

@@ -343,6 +343,34 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("v", "tag").as[(Long, String)].collect().toSeq == Seq((7L, "x7")))
   }
 
+  test("evolving commitId merges stay exactly-once under crash-replay") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("evolveReplay")
+    publish(w, (0L until 10L).map(i => i -> i))
+    spark.conf.set("graft.merge.schemaEvolution", "true")
+    try {
+      val src = Seq((4L, 40L, "t4")).toDF("id", "v", "tag")
+      def run(): Merge.Result = Merge.mergeClauses(spark, w, "t", src,
+        Seq("id"),
+        matched = Seq(Merge.WhenClause(None, Some(Seq(
+          "v" -> expr("t.v + s.v"), "tag" -> expr("s.tag"))))),
+        notMatched = Nil, commitId = Some("evolve-replay-1"))
+      // First attempt dies mid-publish, AFTER the add-column metadata
+      // commit landed; the replay must neither re-add the column nor
+      // re-apply the (deliberately non-idempotent) assignment.
+      sys.props("graft.test.failAfterMoves") = "1"
+      try intercept[IllegalStateException](run())
+      finally sys.props.remove("graft.test.failAfterMoves")
+      run() // recovery finishes the crashed publish; batch lands once
+      val replay = run()
+      assert(replay.rowsMatched == 0 && replay.filesRewritten == 0)
+      assert(Snapshots.read(spark, w, "t").filter($"id" === 4L)
+        .select("v", "tag").as[(Long, String)].collect().toSeq ==
+        Seq((44L, "t4")))
+    } finally spark.conf.unset("graft.merge.schemaEvolution")
+  }
+
   test("schema evolution composes with renamed (mapped) and partitioned tables") {
     val s0 = spark
     import s0.implicits._
