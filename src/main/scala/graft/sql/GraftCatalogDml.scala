@@ -341,13 +341,61 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     import org.apache.spark.sql.catalyst.expressions.{Alias, InSubquery, ListQuery, PlanExpression}
     if (!condition.exists(_.isInstanceOf[PlanExpression[_]])) return None
     val parts = conjuncts(condition)
-    val (subq, residual) =
+    val (subq0, residual0) =
       parts.partition(_.exists(_.isInstanceOf[PlanExpression[_]]))
     def unsupported(why: String): Nothing =
       throw new UnsupportedOperationException(
         s"unsupported subquery in catalog DML condition ($why) — only " +
           "`(col, …) IN (SELECT …)` [AND subquery-free predicates] is " +
           "lowered; materialize other subqueries as a view and use MERGE INTO")
+    // Several subquery conjuncts: the FIRST stays the engine's subquery
+    // source; every OTHER must be an uncorrelated single-column IN /
+    // NOT IN, which is evaluated NOW (bounded driver materialization —
+    // the same value-cap discipline as keyed point pruning) and joins
+    // the residual as a literal membership condition. 3VL holds: a NULL
+    // in a NOT IN list (or an empty IN list) renders the conjunct false,
+    // an empty NOT IN list renders it true, NULL elements of an IN list
+    // drop (they can never make IN true).
+    def inlineLiteral(e: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, In, IsNotNull, Literal, Not => CNot}
+      val inlineCap = 1024
+      def valuesOf(lq: ListQuery): Option[Seq[Any]] = {
+        val rows = org.apache.spark.sql.graftbridge.ColumnBridge
+          .ofRows(SparkSession.active, lq.plan).limit(inlineCap + 1).collect()
+        if (rows.length > inlineCap) None else Some(rows.toSeq.map(_.get(0)))
+      }
+      e match {
+        case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
+            if lq.outerAttrs.isEmpty =>
+          valuesOf(lq) match {
+            case None =>
+              unsupported(s"secondary IN subquery past $inlineCap values")
+            case Some(vs) =>
+              val nn = vs.filter(_ != null)
+              if (nn.isEmpty) Literal(false)
+              else In(a, nn.map(v =>
+                Literal.create(v, lq.plan.output.head.dataType)))
+          }
+        case org.apache.spark.sql.catalyst.expressions.Not(
+            InSubquery(Seq(a: AttributeReference), lq: ListQuery))
+            if lq.outerAttrs.isEmpty =>
+          valuesOf(lq) match {
+            case None =>
+              unsupported(s"secondary NOT IN subquery past $inlineCap values")
+            case Some(vs) =>
+              if (vs.contains(null)) Literal(false) // NOT IN is never TRUE
+              else if (vs.isEmpty) Literal(true)
+              else CAnd(IsNotNull(a), CNot(In(a, vs.map(v =>
+                Literal.create(v, lq.plan.output.head.dataType)))))
+          }
+        case other => unsupported(
+          "multiple subqueries: every conjunct after the first must be an " +
+            s"uncorrelated single-column IN/NOT IN, got ${other.sql.take(60)}")
+      }
+    }
+    val (subq, residual) =
+      if (subq0.size <= 1) (subq0, residual0)
+      else (Seq(subq0.head), residual0 ++ subq0.tail.map(inlineLiteral))
     // Equality-correlated EXISTS decorrelates to the IN shape: pull the
     // `inner = outer` conjuncts out of the subquery's (top-level) Filter,
     // project the inner sides, and treat the outer sides as the key

@@ -547,6 +547,23 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT k, v FROM gni.t3 ORDER BY k")
       .as[(Long, Long)].collect().toSeq == Seq(
         5L -> 0L, 7L -> -1L, 8L -> -1L, 10L -> 100L, 12L -> -1L))
+    // Multiple subquery conjuncts: the first lowers as the engine's
+    // source; the second (uncorrelated single-column NOT IN) inlines as
+    // a bounded literal list. A NULL in the secondary NOT IN makes the
+    // whole statement a no-op (3VL), exactly as a primary would.
+    Seq(Some(0L), None).toDF("x").createOrReplaceTempView("ni_nullsec")
+    spark.sql(
+      """DELETE FROM gni.t3 WHERE k IN (SELECT k2 FROM ni_c1)
+        |  AND k NOT IN (SELECT x FROM ni_nullsec)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gni.t3").head().getLong(0) == 5)
+    Seq(Tuple1(12L)).toDF("x").createOrReplaceTempView("ni_keep12")
+    spark.sql(
+      """DELETE FROM gni.t3 WHERE k IN (SELECT k2 FROM ni_c1)
+        |  AND k NOT IN (SELECT x FROM ni_keep12)""".stripMargin)
+    // primary membership {10, 11}; secondary excludes 12 (no-op here) →
+    // only k = 10 deletes.
+    assert(spark.sql("SELECT k FROM gni.t3 ORDER BY k").as[Long]
+      .collect().toSeq == Seq(5L, 7L, 8L, 12L))
     // Deeper shapes keep crisp unsupported errors.
     val err = intercept[Exception](spark.sql(
       "DELETE FROM gni.t3 WHERE k NOT IN " +
