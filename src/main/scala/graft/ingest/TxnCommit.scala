@@ -534,7 +534,8 @@ object TxnCommit {
           dataMoves.isEmpty) mEff0
       else {
         val rows = dataMoves.map(m =>
-          statsFor.get(m.dest).flatMap(FileStats.decode).map(_.rows))
+          statsFor.get(m.dest).flatMap(FileStats.decode).map(_.rows)
+            .filter(_ >= 0))
         if (rows.exists(_.isEmpty)) mEff0
         else Map("rows_inserted" -> rows.flatten.sum)
       }
