@@ -136,6 +136,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*SNAPSHOT\s+OF\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*|TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*)?".r
   private val HistoryRe =
     raw"(?is)\s*SNAPSHOT\s+HISTORY\s*(?:OF\s+([\w.]+)\s*)?(?:IN\s+(\w+)\s*)?".r
+  // Delta-compat alias (`DESCRIBE HISTORY t`) — not vanilla Spark
+  // grammar, but gated on a configured warehouse so sessions without
+  // graft still get the delegate's own error.
+  private val DescHistoryRe =
+    raw"(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*".r
   // FROM optional (omitted or negative = the log's beginning), TO inclusive.
   private val ChangesRe =
     raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s*(?:FROM\s+(-?\d+)\s*)?(?:TO\s+(\d+)\s*)?".r
@@ -143,8 +148,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?".r
   // Conjunctive partition-equality predicates only: k='v' [AND k2='v2' …]
   private val PartEqRe = raw"(?i)\s*([\w]+)\s*=\s*'([^']*)'\s*".r
+  // Optional TABLE keyword = the Delta spelling (`RESTORE TABLE t TO …`).
   private val RestoreRe =
-    raw"(?is)\s*RESTORE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*".r
+    raw"(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*".r
   // Zero-copy shallow clone: one metadata commit, no data movement.
   private val CloneRe =
     raw"(?is)\s*SNAPSHOT\s+CLONE\s+([\w.]+)\s+TO\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?".r
@@ -363,6 +369,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               s"no snapshot version existed at '$ts' under $wh")))
         else None
       Snapshots.read(session, wh, table, asOf).queryExecution.logical
+    case DescHistoryRe(table)
+        if session.conf.getOption("spark.graft.warehouse").isDefined ||
+          scala.util.Try(resolveTarget(table)).toOption
+            .exists { case (w, t0) => isGraftTableIn(w, t0) } =>
+      val (dhWh, dhT) = resolveTarget(table)
+      Snapshots.history(session, dhWh)
+        .filter(org.apache.spark.sql.functions.array_contains(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("tables"), ","), dhT))
+        .queryExecution.logical
     case HistoryRe(table, inCat) =>
       // Optional `OF t`: only the versions that touched that table
       // (catalog-qualified names resolve their catalog's warehouse);

@@ -108,6 +108,9 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaApi = Snapshots.history(spark, wh).collect()
     assert(viaSql.map(_.getLong(0)).toSeq == viaApi.map(_.getLong(0)).toSeq)
     assert(viaSql.head.getLong(0) >= 2L)
+    // Delta-compat aliases: DESCRIBE HISTORY t ≡ SNAPSHOT HISTORY OF t.
+    assert(spark.sql("DESCRIBE HISTORY t").collect().map(_.getLong(0)).toSeq ==
+      spark.sql("SNAPSHOT HISTORY OF t").collect().map(_.getLong(0)).toSeq)
   }
 
   test("OPTIMIZE bin-packs; OPTIMIZE ZORDER BY clusters; results mirror the API") {
@@ -175,6 +178,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "r").count() == 20)
     val row = spark.sql(s"RESTORE r TO VERSION AS OF $vA").collect().head
     assert(row.getInt(0) == 0 && row.getInt(1) == 1) // second file swapped out
+    assert(Snapshots.read(spark, wh, "r").count() == 10)
+    // Delta-compat spelling: RESTORE TABLE t TO VERSION AS OF n.
+    val vB = pub(20 until 25)
+    assert(Snapshots.read(spark, wh, "r").count() == 15)
+    spark.sql(s"RESTORE TABLE r TO VERSION AS OF ${vB - 1}").collect()
     assert(Snapshots.read(spark, wh, "r").count() == 10)
   }
 
