@@ -1036,13 +1036,22 @@ object Snapshots {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = entries(fs, warehouse).filterNot(_.isCheckpoint).map { e =>
       val lines = readLines(fs, e.path) // one read: actions, op, metrics
-      val acts = parseActions(lines).filterNot(a => a.cdf || a.meta)
+      val parsed = parseActions(lines)
+      val acts = parsed.filterNot(a => a.cdf || a.meta)
+      // Metadata-only commits (add/rename/drop column, property and
+      // constraint changes) attribute to their table in the `tables`
+      // column — Delta's DESCRIBE HISTORY records ALTERs too — without
+      // counting in n_added/n_removed. META pseudo-table keys
+      // (`t#props`, `#txn#…`) reduce to the owning table; pure-registry
+      // keys (leading `#`) attribute to nothing.
+      val metaTables = parsed.filter(_.meta)
+        .map(_.table.split("#", 2)(0)).filter(_.nonEmpty)
       val op = lines.find(_.startsWith("#OP\t"))
         .map(_.split("\t", 2)(1)).getOrElse("append")
       val m = parseMetrics(lines)
       (e.version, e.commitId, new java.sql.Timestamp(e.mtime),
         acts.count(_.add).toLong, acts.count(!_.add).toLong,
-        acts.map(_.table).distinct.sorted.mkString(","), op,
+        (acts.map(_.table) ++ metaTables).distinct.sorted.mkString(","), op,
         m.get("rows_inserted"), m.get("rows_updated"), m.get("rows_deleted"))
     }.sortBy(-_._1)
     import spark.implicits._

@@ -115,15 +115,24 @@ object GraftSqlExtensions {
     // "the version current at that moment is what you already saw". A
     // timestamp before the table's first commit resolves to -1: as FROM
     // it serves the full retained feed (nothing was seen yet), as TO an
-    // empty one (nothing was committed yet).
-    def bound(e: Expression, what: String): Long = {
+    // empty one (nothing was committed yet). Ported Delta queries can opt
+    // into Delta's inclusivity with the session conf
+    // `graft.cdf.inclusiveFromTimestamp=true`: a timestamp FROM bound then
+    // INCLUDES the commit current at that moment (the exclusive bound
+    // shifts one version down). Numeric version bounds are unaffected —
+    // only the timestamp form diverges from Delta.
+    val inclusiveFrom = session.conf
+      .getOption("graft.cdf.inclusiveFromTimestamp")
+      .exists(_.equalsIgnoreCase("true"))
+    def bound(e: Expression, what: String, isFrom: Boolean = false): Long = {
       val s = lit(e, what).toString
       s.toLongOption.getOrElse {
         val ms = java.sql.Timestamp.valueOf(s).getTime
-        Snapshots.versionAt(fsW, wh, ms).getOrElse(-1L)
+        val v = Snapshots.versionAt(fsW, wh, ms).getOrElse(-1L)
+        if (isFrom && inclusiveFrom && v >= 0) v - 1 else v
       }
     }
-    val from = bound(args(1), "the start bound").max(-1L)
+    val from = bound(args(1), "the start bound", isFrom = true).max(-1L)
     val to = args.lift(2).map(e => bound(e, "the end bound"))
     Snapshots.changes(session, wh, table, from, to).queryExecution.logical
   }
@@ -369,10 +378,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               s"no snapshot version existed at '$ts' under $wh")))
         else None
       Snapshots.read(session, wh, table, asOf).queryExecution.logical
+    // Gated on the table actually RESOLVING as a graft table — a bare
+    // warehouse conf must not hijack `DESCRIBE HISTORY` for Delta/parquet
+    // tables living in the same session (those fall through to the
+    // delegate parser's own handling).
     case DescHistoryRe(table)
-        if session.conf.getOption("spark.graft.warehouse").isDefined ||
-          scala.util.Try(resolveTarget(table)).toOption
-            .exists { case (w, t0) => isGraftTableIn(w, t0) } =>
+        if scala.util.Try(resolveTarget(table)).toOption
+          .exists { case (w, t0) => isGraftTableIn(w, t0) } =>
       val (dhWh, dhT) = resolveTarget(table)
       Snapshots.history(session, dhWh)
         .filter(org.apache.spark.sql.functions.array_contains(

@@ -581,6 +581,76 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(detail.getAs[Long]("files_with_deletion_vectors") == 0L)
   }
 
+  test("table_changes FROM-timestamp inclusivity flag (Delta compat)") {
+    // Default: FROM is EXCLUSIVE — a timestamp at the newest commit's
+    // moment means "that version is what you already saw", empty feed.
+    // With graft.cdf.inclusiveFromTimestamp=true the same timestamp
+    // INCLUDES that commit (Delta's startingTimestamp semantics).
+    val s0 = spark
+    import s0.implicits._
+    (0 until 2).foreach { i =>
+      val cid = java.util.UUID.randomUUID().toString
+      (i * 10 until i * 10 + 10).map(k => (k.toLong, k * 3.0)).toDF("id", "x")
+        .coalesce(1).write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/cdf2")
+      val moves = TxnCommit.movesFor(fs, wh, cid, "cdf2")
+      TxnCommit.commit(fs, wh, cid, moves)
+      TxnCommit.publish(fs, wh, cid, moves)
+    }
+    // cdf2's second commit is the warehouse's newest entry.
+    val latest = Snapshots.latestVersion(fs, wh).get
+    val lastTs = Snapshots.history(spark, wh)
+      .orderBy(org.apache.spark.sql.functions.desc("version"))
+      .select("committed_at").head().getTimestamp(0)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val q =
+      s"SELECT count(*) FROM table_changes('cdf2', '${fmt.format(lastTs)}')"
+    val exclusive = spark.sql(q).head().getLong(0)
+    assert(exclusive == 0L,
+      s"exclusive FROM at the newest commit's moment must serve nothing, got $exclusive")
+    spark.conf.set("graft.cdf.inclusiveFromTimestamp", "true")
+    try {
+      val inclusive = spark.sql(q).head().getLong(0)
+      assert(inclusive == 10L,
+        s"inclusive FROM must include the commit at the timestamp, got $inclusive")
+      // Numeric version bounds are unaffected by the flag.
+      assert(spark.sql(
+          s"SELECT count(*) FROM table_changes('cdf2', $latest)")
+        .head().getLong(0) == 0L)
+    } finally spark.conf.unset("graft.cdf.inclusiveFromTimestamp")
+  }
+
+  test("DESCRIBE HISTORY of a non-graft table falls through to the delegate") {
+    // A configured warehouse must not hijack DESCRIBE HISTORY for tables
+    // that don't resolve as graft tables — the delegate's own error (not
+    // a silently empty graft history) must surface.
+    intercept[Exception](spark.sql("DESCRIBE HISTORY not_a_graft_table"))
+    // Sanity: the graft-table form still works after the fall-through.
+    assert(spark.sql("DESCRIBE HISTORY t").count() > 0)
+  }
+
+  test("metadata-only commits appear in per-table history") {
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, 2.0)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/histmeta")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "histmeta")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+    spark.sql("ALTER TABLE histmeta ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE histmeta SET TBLPROPERTIES ('owner' = 'me')")
+    val ops = spark.sql("SNAPSHOT HISTORY OF histmeta")
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops.contains("add_column"), s"ALTER missing from history: $ops")
+    assert(ops.contains("set_properties"),
+      s"property commit missing from history: $ops")
+    // Metadata commits attribute to the table but count no files.
+    val metaRow = spark.sql("SNAPSHOT HISTORY OF histmeta")
+      .filter("op = 'add_column'").collect().head
+    assert(metaRow.getAs[Long]("n_added") == 0L &&
+      metaRow.getAs[Long]("n_removed") == 0L)
+  }
+
   test("an unreachable warehouse never breaks parsing of non-graft DML") {
     val prev = spark.conf.get("spark.graft.warehouse")
     // An unresolvable filesystem: the probe's getFileSystem/exists throws
