@@ -180,13 +180,63 @@ object Merge {
       .orElse(sys.props.get("graft.merge.broadcastMaxRows"))
       .map(_.toLong).getOrElse(4L * 1000 * 1000)
 
-  /** One bounded job routes the merge: count at most threshold+1 source
-    * rows. The limit caps the scan — a 100 TB source answers "big" after
-    * the first partitions, never a full count. */
+  /** Zero-job source-row UPPER BOUND from the snapshot log: when the
+    * source plan bottoms out in graft snapshot relations (V1
+    * `graft-snapshots` reads or catalog tables) whose live files all carry
+    * row-count stats tokens, and every node above the leaves can only
+    * KEEP OR SHRINK the row count (project/filter/distinct/agg/limit/…),
+    * the summed log tokens bound the source size without running
+    * anything. A join, generator, or unrecognized node disables the
+    * shortcut — the probe job below is the fallback, never a guess. */
+  private[graft] def statsRowBound(source: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def leafRows(p: LogicalPlan): Option[Long] = p match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case sbr: graft.sources.v2.SnapshotBatchRelation => sbr.logRowBound
+          case _ => None
+        }
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case t: graft.sources.v2.GraftCatalogTable => t.logRowBound
+          case _ => None
+        }
+      case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        sr.relation.table match {
+          case t: graft.sources.v2.GraftCatalogTable => t.logRowBound
+          case _ => None
+        }
+      case _ => None
+    }
+    def bound(p: LogicalPlan): Option[Long] = leafRows(p).orElse(p match {
+      case u: Union =>
+        u.children.map(bound).foldLeft(Option(0L)) { (a, b) =>
+          for (x <- a; y <- b) yield x + y
+        }
+      case _: Project | _: Filter | _: SubqueryAlias | _: Distinct |
+           _: Deduplicate | _: Sort | _: Window | _: GlobalLimit |
+           _: LocalLimit | _: RepartitionOperation =>
+        bound(p.children.head)
+      // A grouped aggregate yields ≤ input rows; a GLOBAL one yields
+      // exactly 1 even over an empty child — max-guard the bound.
+      case a: Aggregate => bound(a.child).map(math.max(_, 1L))
+      case _ => None
+    })
+    bound(source.queryExecution.analyzed)
+  }
+
+  /** Route the merge by source size. The log's row tokens answer first —
+    * zero jobs for a snapshot-table source ([[statsRowBound]]); otherwise
+    * ONE bounded probe job counts at most threshold+1 rows (the limit
+    * caps the scan — a 100 TB source answers "big" after the first
+    * partitions, never a full count; note the probe re-executes the
+    * source plan once, so expensive non-snapshot sources should be
+    * cached by the caller). */
   private def sourceIsSmall(source: DataFrame): Boolean = {
     val t = broadcastMaxRows(source.sparkSession)
-    t <= 0 || source.limit(math.min(t + 1, Int.MaxValue.toLong).toInt)
-      .count() <= t
+    t <= 0 || statsRowBound(source).map(_ <= t).getOrElse(
+      source.limit(math.min(t + 1, Int.MaxValue.toLong).toInt)
+        .count() <= t)
   }
 
   /** The broadcast hint, applied only on the small-source route. */
@@ -209,15 +259,20 @@ object Merge {
   /** Commit add-column evolution for every source column absent from the
     * target's logical schema (skipping `excluded` — source-side key names
     * paired to differently-named target keys are the join keys, not new
-    * columns). Target names come from the mapping when one exists, else
-    * from the log's schema tags + partition columns — no footer reads. A
-    * pre-stats log (any file without tags) disables evolution: the target
-    * column set is unknowable, and guessing could shadow a real column. */
+    * columns). `restrictTo` (None = all) bounds evolution to columns a
+    * clause actually REFERENCES — Delta's autoMerge only evolves
+    * referenced/star columns, so a stray extra source column must not
+    * grow the table. Target names come from the mapping when one exists,
+    * else from the log's schema tags + partition columns — no footer
+    * reads. A pre-stats log (any file without tags) disables evolution:
+    * the target column set is unknowable, and guessing could shadow a
+    * real column. */
   private def evolveExtraColumns(spark: SparkSession, warehouse: String,
                                  table: String,
                                  fs: org.apache.hadoop.fs.FileSystem,
                                  srcCols: Seq[String],
-                                 excluded: Set[String] = Set.empty): Unit = {
+                                 excluded: Set[String] = Set.empty,
+                                 restrictTo: Option[Set[String]] = None): Unit = {
     if (!schemaEvolutionOn(spark)) return
     val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)
     val tcols: Set[String] =
@@ -229,7 +284,8 @@ object Merge {
           tags.flatten.map(_._1).toSet ++
             Snapshots.partitionColumns(meta.map(_.partition))
       }
-    srcCols.filterNot(c => tcols(c) || excluded(c)).foreach { c =>
+    srcCols.filterNot(c => tcols(c) || excluded(c))
+      .filter(c => restrictTo.forall(_(c))).foreach { c =>
       // A racing evolving merge may add the same column between our
       // mapping read and this commit — "already exists" means the goal
       // state holds, not a failure.
@@ -622,16 +678,24 @@ object Merge {
       fixedCommitId.getOrElse(java.util.UUID.randomUUID().toString)
     // A caller-supplied commitId is a REPLAY key: a prior attempt that
     // crashed before the manifest commit point may have left its staging
-    // dir behind, and ErrorIfExists writes would then fail until the
-    // orphan TTL reaps it — stalling the exactly-once CDC loop this
-    // feature exists for. The commitId is provably absent from the log
-    // (the idempotence check ran first), so nothing was published and the
-    // leftover staging is safe to clear.
-    if (fixedCommitId.isDefined)
-      fs.delete(new Path(TxnCommit.stagingDir(warehouse, commitId)), true)
-    val staging = s"${TxnCommit.stagingDir(warehouse, commitId)}/$table"
+    // dir behind, and ErrorIfExists writes against a commitId-named dir
+    // would then fail until the orphan TTL reaps it — stalling the
+    // exactly-once CDC loop this feature exists for. Deleting the old dir
+    // is NOT the answer: a concurrent duplicate (zombie driver + restart,
+    // the exact pair replay keys target) would clobber its rival's
+    // in-flight files and publish a mixed manifest. Instead each ATTEMPT
+    // stages into its own uniquely-named dir; the manifest's put-if-absent
+    // on the COMMIT id stays the single arbitration point — the first
+    // attempt to commit wins, a concurrent rival converges by publishing
+    // the winner's manifest (idempotent renames), and every attempt reaps
+    // its own staging afterwards (a crashed attempt's dir falls to the
+    // orphan TTL).
+    val stagingId =
+      if (fixedCommitId.isEmpty) commitId
+      else s"$commitId-a-${java.util.UUID.randomUUID().toString}"
+    val staging = s"${TxnCommit.stagingDir(warehouse, stagingId)}/$table"
     val cdfStaging =
-      s"${TxnCommit.stagingDir(warehouse, commitId)}/_changes/$table"
+      s"${TxnCommit.stagingDir(warehouse, stagingId)}/_changes/$table"
     // Rewritten data (and CDF rows) land under PHYSICAL names — renames
     // never fork the files' schema; only the META mapping moves.
     val outPhys = mapping.fold(out)(_.toPhysicalDf(out))
@@ -658,15 +722,20 @@ object Merge {
     val matched = deleted + updated
     val metrics = Map("rows_deleted" -> deleted, "rows_updated" -> updated,
       "rows_inserted" -> inserted)
-    val dataMoves = TxnCommit.movesFor(fs, warehouse, commitId, table)
+    val dataMoves = TxnCommit.movesFor(fs, warehouse, stagingId, table)
     val moves = dataMoves ++
-      TxnCommit.movesFor(fs, warehouse, commitId, s"_changes/$table")
+      TxnCommit.movesFor(fs, warehouse, stagingId, s"_changes/$table")
     TxnCommit.commit(fs, warehouse, commitId, moves, retained = affected,
       op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc,
-      asTable = Some(table), metrics = metrics)
+      asTable = Some(table), metrics = metrics, txnId = fixedCommitId)
     TxnCommit.publish(fs, warehouse, commitId, moves, retained = affected,
       op = "merge", baseVersion = base, fileGranularOcc = fileGranularOcc,
-      asTable = Some(table), metrics = metrics)
+      asTable = Some(table), metrics = metrics, txnId = fixedCommitId)
+    // Reap the attempt dir (publish only knows the commitId-named one):
+    // the winner's is empty shells, a converged loser's still holds its
+    // unpublished parts — both are dead weight either way.
+    if (stagingId != commitId)
+      fs.delete(new Path(TxnCommit.stagingDir(warehouse, stagingId)), true)
     Result(affected.size, dataMoves.size, matched, candidates)
   }
 
@@ -851,7 +920,8 @@ object Merge {
                    commitId: Option[String] = None,
                    onResidual: Option[org.apache.spark.sql.Column] = None,
                    nmbsAntiOn: Option[org.apache.spark.sql.Column] = None,
-                   dedupeMatched: Boolean = false): Result = {
+                   dedupeMatched: Boolean = false,
+                   evolveSchema: Boolean = true): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
         notMatchedBySource.nonEmpty,
@@ -862,29 +932,42 @@ object Merge {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Idempotence: finish any crashed publish first (same order as the
-    // streaming sink), then a replayed batch finds its commitId in the
-    // log and lands nothing — presence = fully applied.
-    // RETENTION CONTRACT: the check scans surviving log entries, and
-    // [[Snapshots.vacuum]] reaps old ones — log retention MUST exceed the
-    // maximum replay window (checkpoint age) of any CDC loop driving
-    // commitId merges, or a replay arriving after its original entry is
-    // vacuumed silently re-applies the batch (Delta keeps txn
-    // appId/version pairs in checkpointed state for the same reason).
+    // streaming sink), then a replayed batch lands nothing — either its
+    // commitId is still among the surviving log entries, or the
+    // vacuum-exempt applied-txn registry ([[Snapshots.txnApplied]],
+    // checkpoint-carried META state every commitId merge records) proves
+    // it applied even after [[Snapshots.vacuum]] reaped the entry. The
+    // registry is what makes exactly-once survive ANY retention schedule;
+    // ad-hoc commitIds without the `<app>-<n>` suffix convention fall
+    // back to verbatim membership (see the registry's Scaladoc).
     if (commitId.isDefined) {
       TxnCommit.recover(fs, warehouse)
       if (Snapshots.entries(fs, warehouse)
-          .exists(e => commitId.contains(e.commitId)))
+          .exists(e => commitId.contains(e.commitId)) ||
+          commitId.exists(Snapshots.txnApplied(fs, warehouse, _)))
         return Result(0, 0, 0L, 0)
     }
     // Additive schema evolution (flag-gated): only when some clause can
     // MATERIALIZE a new column (an insert or an update assignment) — a
-    // delete-only merge must not add an all-null column. Runs before the
-    // OCC base capture so the metadata commits are not "intervening".
-    if (notMatched.nonEmpty ||
-        (matched ++ notMatchedBySource).exists(_.assigns.isDefined))
+    // delete-only merge must not add an all-null column — and never for
+    // internally derived sources (`evolveSchema = false`: EXISTS / NOT IN
+    // DML lowerings build sources whose extras are subquery plumbing, not
+    // user columns). Without an INSERT * clause, evolution is bounded to
+    // columns the clauses actually ASSIGN (the Delta autoMerge stance —
+    // an unreferenced extra source column must not grow the table). Runs
+    // before the OCC base capture so the metadata commits are not
+    // "intervening".
+    if (evolveSchema && (notMatched.nonEmpty ||
+        (matched ++ notMatchedBySource).exists(_.assigns.isDefined))) {
+      val restrictTo =
+        if (notMatched.exists(_.assigns.isEmpty)) None // INSERT *
+        else Some((matched ++ notMatched ++ notMatchedBySource)
+          .flatMap(_.assigns.getOrElse(Nil)).map(_._1).toSet)
       evolveExtraColumns(spark, warehouse, table, fs, source.columns.toSeq,
         excluded = srcKeyCols.zip(keyCols)
-          .collect { case (s, t) if s != t => s }.toSet)
+          .collect { case (s, t) if s != t => s }.toSet,
+        restrictTo = restrictTo)
+    }
     val base = Snapshots.latestVersion(fs, warehouse)
     val meta = Snapshots.fileMeta(fs, warehouse, table).getOrElse(
       throw new IllegalStateException(

@@ -1059,6 +1059,18 @@ object Snapshots {
       "tables", "op", "rows_inserted", "rows_updated", "rows_deleted")
   }
 
+  /** Summed live-row count of `table` at `asOf` from the log's stats
+    * tokens alone (deletion-vectored rows subtracted) — zero file opens,
+    * zero jobs. None when the warehouse has no log or any live file lacks
+    * a rows token (pre-stats eras must never masquerade as counted). */
+  def logRowCount(fs: FileSystem, warehouse: String, table: String,
+                  asOf: Option[Long] = None): Option[Long] =
+    fileMeta(fs, warehouse, table, asOf).flatMap(acts =>
+      acts.foldLeft(Option(0L)) { (acc, a) =>
+        acc.flatMap(t => FileStats.decode(a.stats).filter(_.rows >= 0)
+          .map(st => t + math.max(0L, st.rows - a.dvCount)))
+      })
+
   /** The exact committed file set of `table` at `asOf` (default: latest).
     * None when the warehouse has no snapshot log at all. */
   def fileSet(fs: FileSystem, warehouse: String, table: String,
@@ -1238,6 +1250,61 @@ object Snapshots {
     * validated after it lands — validate existing data when adding one)
     * covers the remaining claim-window sliver. */
   private def propsKey(table: String) = s"$table#props"
+
+  // ---------------------------------------------------- applied-txn registry
+
+  /** Vacuum-exempt applied-commitId registry — the Delta SetTransaction
+    * (txn appId/version) analog. The raw exactly-once check scans
+    * surviving log ENTRIES for the commitId, which [[vacuum]] truncates:
+    * a CDC replay arriving after its original entry was reaped would
+    * silently re-apply the batch. This registry rides the META fold under
+    * the pseudo-key `#txn#<app>` with the applied version as the payload —
+    * latest wins, every checkpoint re-emits it (vacuum's cutoff checkpoint
+    * included), so the log can never forget an applied batch, no matter
+    * how aggressive the retention.
+    *
+    * CommitIds of the form `<app>-<n>` (the documented streaming
+    * convention, `merge-<queryId>-<table>-<batchId>` /
+    * `stream-<table>-<batchId>`) register app → n and count as applied iff
+    * n ≤ the recorded watermark — batches commit in order per stream, so
+    * the registry stays O(#streams), like Delta's per-appId version. Any
+    * other commitId registers itself verbatim at version 0 (pure
+    * membership; distinct ad-hoc ids accumulate in the META state exactly
+    * as Delta's appIds do — prefer the suffix convention for unbounded
+    * loops). */
+  private val TxnIdRe = "^(.+)-(\\d{1,18})$".r
+  private[graft] def txnParse(commitId: String): (String, Long) =
+    commitId match {
+      case TxnIdRe(app, v) => (app, v.toLong)
+      case _ => (commitId, 0L)
+    }
+  private def txnMetaKey(appId: String): String =
+    "#txn#" + java.net.URLEncoder.encode(appId, StandardCharsets.UTF_8)
+
+  /** The applied-version watermark of a txn app, if any was recorded. */
+  def txnVersion(fs: FileSystem, warehouse: String, appId: String)
+      : Option[Long] =
+    stateAt(fs, warehouse, None)
+      .flatMap(_.metas.get(txnMetaKey(appId))).flatMap(_.toLongOption)
+
+  /** Was `commitId` provably applied? Survives log vacuum — the check the
+    * exactly-once merge/stream replay paths pair with the raw entry scan. */
+  def txnApplied(fs: FileSystem, warehouse: String, commitId: String)
+      : Boolean = {
+    val (app, v) = txnParse(commitId)
+    txnVersion(fs, warehouse, app).exists(_ >= v)
+  }
+
+  /** The META entry recording `commitId` as applied — handed to
+    * [[append]]'s `metas` so the record lands ATOMICALLY with the
+    * commit's own log entry (one file, one put-if-absent). Max-guarded: a
+    * recovery replay of an older batch must never regress the watermark. */
+  private[graft] def txnMetaEntry(fs: FileSystem, warehouse: String,
+                                  commitId: String): (String, String) = {
+    val (app, v) = txnParse(commitId)
+    val cur = txnVersion(fs, warehouse, app).getOrElse(Long.MinValue)
+    (txnMetaKey(app), math.max(v, cur).toString)
+  }
 
   private def encodeProps(props: Map[String, String]): String = {
     def e(s: String) = java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)

@@ -430,6 +430,18 @@ class GraftCatalogTable(tableSchema: StructType,
 
   override def properties(): util.Map[String, String] = props
 
+  /** Live-row bound from the log's stats tokens (the table's own
+    * versionAsOf property honored) — zero jobs; [[graft.ingest.Merge]]
+    * routes merge-source sizing through this instead of a probe job. */
+  private[graft] def logRowBound: Option[Long] = {
+    val wh = props.get("warehouse")
+    val t = props.get("table")
+    val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    graft.ingest.Snapshots.logRowCount(fs, wh, t,
+      Option(props.get("versionAsOf")).map(_.toLong))
+  }
+
   // SQL reads/writes arrive with EMPTY per-query options: the table's own
   // properties (warehouse/table/versionAsOf, partitionBy) supply identity;
   // explicit per-query options still win.

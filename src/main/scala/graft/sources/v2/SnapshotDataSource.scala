@@ -242,6 +242,14 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
       })
       .orElse(Snapshots.latestVersion(fs, warehouse))
 
+  /** Live-row bound at the pinned version from the log's stats tokens —
+    * zero jobs; [[graft.ingest.Merge]] routes merge-source sizing through
+    * this instead of a probe job. None for CDF reads (feed rows are not
+    * file rows) or token-less files. */
+  private[graft] def logRowBound: Option[Long] =
+    if (changeFeed) None
+    else Snapshots.logRowCount(fs, warehouse, table, pinnedVersion)
+
   private def baseFrame(dataFilter: graft.ingest.FileStats.Pred): DataFrame =
     if (changeFeed)
       Snapshots.changes(spark, warehouse, table,

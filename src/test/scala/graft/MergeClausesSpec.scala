@@ -287,6 +287,106 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp, s"got=${got.toSeq.sorted}")
   }
 
+  test("a snapshot-table source routes by log stats — no probe job") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("statsroute")
+    publish(w, (0L until 30L).map(i => i -> i))
+    // A second warehouse table as the merge SOURCE, read through the DSv2
+    // catalog — its row count must come from the log's stats tokens, not
+    // a limit+count probe job.
+    val cid = java.util.UUID.randomUUID().toString
+    (0L until 15L).map(i => i -> (i + 500L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/src")
+    val mv = TxnCommit.movesFor(fs, w, cid, "src")
+    TxnCommit.commit(fs, w, cid, mv)
+    TxnCommit.publish(fs, w, cid, mv)
+    spark.conf.set("spark.sql.catalog.mcstats",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcstats.warehouse", w)
+    try {
+      val src = spark.table("mcstats.src")
+      // The bound is exact on the bare table and survives row-preserving/
+      // shrinking plans; foreign plans refuse (None → probe fallback).
+      assert(Merge.statsRowBound(src) == Some(15L))
+      assert(Merge.statsRowBound(
+        src.filter($"id" >= 5L).select("id", "v").distinct()) == Some(15L))
+      assert(Merge.statsRowBound(src.union(src)) == Some(30L))
+      assert(Merge.statsRowBound(Seq((1L, 2L)).toDF("id", "v")).isEmpty)
+      assert(Merge.statsRowBound(src.join(src, "id")).isEmpty)
+
+      val events =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          events.synchronized {
+            events += ((funcName, qe.analyzed.toString.take(200))) }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+          matched = Seq(Merge.WhenClause(None,
+            Some(Seq("v" -> expr("t.v + s.v"))))),
+          notMatched = Seq(Merge.WhenClause(None, None)))
+        // Drain marker: a sentinel count whose event PROVES the async bus
+        // has delivered everything the merge posted before it.
+        spark.range(1).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!events.synchronized(events.exists { case (f, p) =>
+            f == "count" && p.contains("Range (0, 1") }) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally spark.listenerManager.unregister(listener)
+      val counts = events.synchronized(events.toSeq)
+        .filter(_._1 == "count").filterNot(_._2.contains("Range (0, 1"))
+      assert(counts.isEmpty,
+        s"snapshot-table source must not pay a probe count job: $counts")
+      // Route is correct, not just job-free: oracle-exact result.
+      val got = Snapshots.read(spark, w, "t").as[(Long, Long)]
+        .collect().toSet
+      val exp = (0L until 15L).map(i => i -> (i + i + 500L)).toSet ++
+        (15L until 30L).map(i => i -> i).toSet
+      assert(got == exp, s"got=${got.toSeq.sorted}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mcstats")
+      spark.conf.unset("spark.sql.catalog.mcstats.warehouse")
+    }
+  }
+
+  test("schema evolution is bounded to referenced columns (Delta autoMerge)") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("evolveScope")
+    publish(w, (0L until 10L).map(i => i -> i))
+    def cols(): Seq[String] = Snapshots.read(spark, w, "t").columns.toSeq
+    val src = Seq((1L, 100L, 9L)).toDF("id", "v", "extra")
+    spark.conf.set("graft.merge.schemaEvolution", "true")
+    try {
+      // Explicit assignments that never reference `extra`: no evolution.
+      Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+        matched = Seq(Merge.WhenClause(None,
+          Some(Seq("v" -> expr("t.v + s.v"))))), notMatched = Nil)
+      assert(cols() == Seq("id", "v"),
+        "unreferenced source column must not evolve the table")
+      // evolveSchema = false (internal sources): even INSERT * won't add.
+      Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+        matched = Nil, notMatched = Seq(Merge.WhenClause(None, None)),
+        evolveSchema = false)
+      assert(cols() == Seq("id", "v"))
+      // An assignment TARGETING the new column evolves exactly it.
+      Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+        matched = Seq(Merge.WhenClause(None,
+          Some(Seq("extra" -> expr("s.extra"))))), notMatched = Nil)
+      assert(cols().contains("extra"),
+        s"assigned new column must evolve, got ${cols()}")
+    } finally spark.conf.unset("graft.merge.schemaEvolution")
+  }
+
   test("commitId-keyed merges are exactly-once under replay") {
     val s0 = spark
     import s0.implicits._
