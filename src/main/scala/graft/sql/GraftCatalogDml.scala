@@ -280,11 +280,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       GraftMergeClausesCommand(wh, t, keyNames,
         matched = Nil, notMatched = Nil, srcPlan,
         notMatchedBySource = Seq((residualSql, assignPairs)),
-        onResidualSql = onResidualSql)
+        onResidualSql = onResidualSql, evolveSchema = false)
     else
       GraftMergeClausesCommand(wh, t, keyNames,
         matched = Seq((residualSql, assignPairs)), notMatched = Nil, srcPlan,
-        onResidualSql = onResidualSql, dedupeMatched = true)
+        onResidualSql = onResidualSql, dedupeMatched = true,
+        evolveSchema = false)
   }
 
   private def lowerGeneralNotIn(wh: String, t: String, target: LogicalPlan,
@@ -332,7 +333,7 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     GraftMergeClausesCommand(wh, t, attrs.map(_.name),
       matched = Nil, notMatched = Nil, srcPlan,
       notMatchedBySource = Seq((residualSql, assignPairs)),
-      nmbsAntiOnSql = Some(antiOn))
+      nmbsAntiOnSql = Some(antiOn), evolveSchema = false)
   }
 
   private def lowerSubqueryDml(wh: String, t: String, target: LogicalPlan,
@@ -531,10 +532,11 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       Some(GraftMergeClausesCommand(wh, t, keyCols,
         matched = Nil, notMatched = Nil, source,
         notMatchedBySource = Seq((cond, assignPairs)),
-        sourceNullNoop = nullGuards))
+        sourceNullNoop = nullGuards, evolveSchema = false))
     } else
       Some(GraftMergeClausesCommand(wh, t, keyCols,
-        matched = Seq((residualSql, assignPairs)), notMatched = Nil, source))
+        matched = Seq((residualSql, assignPairs)), notMatched = Nil, source,
+        evolveSchema = false))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -674,7 +676,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     srcKeyCols: Seq[String] = Nil,
                                     onResidualSql: Option[String] = None,
                                     nmbsAntiOnSql: Option[String] = None,
-                                    dedupeMatched: Boolean = false)
+                                    dedupeMatched: Boolean = false,
+                                    evolveSchema: Boolean = true)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -705,7 +708,7 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
       notMatchedBySource.map(toClause), sourceKeyCols = srcKeyCols,
       onResidual = onResidualSql.map(expr),
       nmbsAntiOn = nmbsAntiOnSql.map(expr),
-      dedupeMatched = dedupeMatched)
+      dedupeMatched = dedupeMatched, evolveSchema = evolveSchema)
     Seq(org.apache.spark.sql.Row(
       res.filesRewritten, res.filesAdded, res.rowsMatched))
   }

@@ -609,6 +609,34 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
         (1L, 5L, 0L), (2L, 1L, 0L), (3L, 4L, 7L)))
   }
 
+  test("schema evolution never fires for subquery-DML internal sources") {
+    val w = wh("catEvGuard")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gevg",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gevg.warehouse", w)
+    Seq((1L, 5L, 0L), (2L, 3L, 0L), (3L, 4L, 0L)).toDF("g", "ts", "v")
+      .coalesce(1).createOrReplaceTempView("evg_t")
+    spark.sql("CREATE TABLE gevg.tx AS SELECT g, ts, v FROM evg_t")
+    Seq((1L, 4L, "x"), (2L, 9L, "y")).toDF("g2", "ts2", "tag")
+      .createOrReplaceTempView("evg_s")
+    spark.conf.set("graft.merge.schemaEvolution", "true")
+    try {
+      // The residual-EXISTS lowering builds an internal merge source
+      // carrying the subquery's extra columns (ts2); with autoMerge on,
+      // a plain UPDATE must NOT evolve them into the table.
+      spark.sql("UPDATE gevg.tx SET v = v + 1 WHERE EXISTS " +
+        "(SELECT 1 FROM evg_s WHERE g2 = g AND ts2 < ts)")
+      assert(spark.table("gevg.tx").columns.toSeq == Seq("g", "ts", "v"),
+        "UPDATE ... WHERE EXISTS must never alter the schema")
+      // Same for the general NOT IN anti-join lowering.
+      spark.sql("DELETE FROM gevg.tx WHERE (g, ts) NOT IN " +
+        "(SELECT g2, ts2 FROM evg_s)")
+      assert(spark.table("gevg.tx").columns.toSeq == Seq("g", "ts", "v"))
+    } finally spark.conf.unset("graft.merge.schemaEvolution")
+  }
+
   test("maintenance statements accept catalog-qualified names") {
     val w = wh("catMaint")
     val s0 = spark
