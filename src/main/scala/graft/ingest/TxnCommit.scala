@@ -370,7 +370,8 @@ object TxnCommit {
              dvAttach: Seq[(String, String, Long)] = Nil,
              fileGranularOcc: Boolean = false,
              asTable: Option[String] = None,
-             metrics: Map[String, Long] = Map.empty): Unit = {
+             metrics: Map[String, Long] = Map.empty,
+             txnId: Option[String] = None): Unit = {
     // Oversized blooms spill to sidecar files STAGED with this commit:
     // their moves join the manifest, so they publish (or replay) with the
     // data whose ADD lines point at them — crash-atomic either way.
@@ -433,6 +434,10 @@ object TxnCommit {
         // dir, so rewrites of the clone record their owning table here —
         // replayed identically from the manifest.
         asTable.map(t => s"#ASTABLE\t$t") ++
+        // The exactly-once key rides the manifest so a crash-recovery
+        // replay records the applied-txn watermark exactly like the live
+        // publish would ([[Snapshots.txnApplied]]).
+        txnId.map(id => s"#TXN\t$id") ++
         (allMoves.map(m =>
           s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
           deletes.map(d => s"DEL\t$d") ++
@@ -455,7 +460,8 @@ object TxnCommit {
               dvAttach: Seq[(String, String, Long)] = Nil,
               fileGranularOcc: Boolean = false,
               asTable: Option[String] = None,
-              metrics: Map[String, Long] = Map.empty): Unit = {
+              metrics: Map[String, Long] = Map.empty,
+              txnId: Option[String] = None): Unit = {
     // The manifest's move list is authoritative when present: commit()
     // may have appended sidecar-bloom moves the caller never saw (their
     // dests must publish with the data whose ADD lines point at them).
@@ -539,6 +545,7 @@ object TxnCommit {
         if (rows.exists(_.isEmpty)) mEff0
         else Map("rows_inserted" -> rows.flatten.sum)
       }
+    val txnEff = manifest.flatMap(_.txnId).orElse(txnId)
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d =>
@@ -546,6 +553,8 @@ object TxnCommit {
       op = op, baseVersion = baseVersion, statsFor = statsFor,
       changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest),
       replay = replay,
+      metas = txnEff
+        .map(id => Snapshots.txnMetaEntry(fs, warehouse, id)).toSeq,
       dvs = attach.map { case (data, dv, n) =>
         (asT.getOrElse(tableOf(data)), data, s"$n:$dv") },
       fileGranularOcc = granular, metrics = mEff)
@@ -584,7 +593,8 @@ object TxnCommit {
                               dvAttach: Seq[(String, String, Long)],
                               fileGranularOcc: Boolean,
                               asTable: Option[String] = None,
-                              metrics: Map[String, Long] = Map.empty)
+                              metrics: Map[String, Long] = Map.empty,
+                              txnId: Option[String] = None)
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
@@ -600,7 +610,7 @@ object TxnCommit {
       .filter(_.nonEmpty).map(_.split("\t", 4))
     val moveLines = lines.filterNot(l =>
       Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR", "#ASTABLE",
-        "#METRICS")(l.head))
+        "#METRICS", "#TXN")(l.head))
     Manifest(
       moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
       lines.filter(_.head == "DEL").map(_.apply(1)),
@@ -618,7 +628,8 @@ object TxnCommit {
               case Array(k, v) => v.toLongOption.map(k -> _)
               case _ => None
             }
-          }.toMap).getOrElse(Map.empty))
+          }.toMap).getOrElse(Map.empty),
+      lines.find(_.head == "#TXN").map(_.apply(1)))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.

@@ -163,8 +163,12 @@ private[v2] class SnapshotWriteCore(
                              messages: Array[WriterCommitMessage],
                              skipIfCommitted: Boolean): Unit = {
     TxnCommit.recover(fs, warehouse) // finish any crashed publish first
+    // Replay check: surviving log entry OR the vacuum-exempt applied-txn
+    // registry — a crash-replayed epoch arriving after vacuum truncated
+    // its entry must still drop its restaged files.
     if (skipIfCommitted &&
-        Snapshots.entries(fs, warehouse).exists(_.commitId == cid)) {
+        (Snapshots.entries(fs, warehouse).exists(_.commitId == cid) ||
+          Snapshots.txnApplied(fs, warehouse, cid))) {
       fs.delete(new Path(TxnCommit.stagingDir(warehouse, cid)), true)
       return
     }
@@ -211,13 +215,17 @@ private[v2] class SnapshotWriteCore(
       // concurrent writer to this table aborts this write (a streaming
       // trigger retries; a batch job surfaces the conflict) rather than
       // being silently replaced.
+      val txn = if (skipIfCommitted) Some(cid) else None
       TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
-        op = "overwrite", baseVersion = base, asTable = Some(table))
+        op = "overwrite", baseVersion = base, asTable = Some(table),
+        txnId = txn)
       TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,
-        op = "overwrite", baseVersion = base, asTable = Some(table))
+        op = "overwrite", baseVersion = base, asTable = Some(table),
+        txnId = txn)
     } else {
-      TxnCommit.commit(fs, warehouse, cid, moves)
-      TxnCommit.publish(fs, warehouse, cid, moves)
+      val txn = if (skipIfCommitted) Some(cid) else None
+      TxnCommit.commit(fs, warehouse, cid, moves, txnId = txn)
+      TxnCommit.publish(fs, warehouse, cid, moves, txnId = txn)
     }
   }
 

@@ -82,12 +82,20 @@ object StreamingOps {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     TxnCommit.recover(fs, warehouse) // finish any crashed publish first
     val commitId = s"stream-$table-$batchId"
-    if (Snapshots.entries(fs, warehouse).exists(_.commitId == commitId)) return
-    val staging = TxnCommit.stagingDir(warehouse, commitId)
+    if (Snapshots.entries(fs, warehouse).exists(_.commitId == commitId) ||
+        Snapshots.txnApplied(fs, warehouse, commitId)) return
+    // Each ATTEMPT stages into its own dir: a zombie driver and its
+    // restart replaying the same batchId must never interleave part files
+    // in one staging dir. The manifest's put-if-absent on the batch's
+    // commitId is the arbitration point — first committer wins, the rival
+    // converges by publishing the winner's manifest.
+    val stagingId = s"$commitId-a-${java.util.UUID.randomUUID().toString}"
+    val staging = TxnCommit.stagingDir(warehouse, stagingId)
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$staging/$table")
-    val moves = TxnCommit.movesFor(fs, warehouse, commitId, table)
-    TxnCommit.commit(fs, warehouse, commitId, moves)
-    TxnCommit.publish(fs, warehouse, commitId, moves)
+    val moves = TxnCommit.movesFor(fs, warehouse, stagingId, table)
+    TxnCommit.commit(fs, warehouse, commitId, moves, txnId = Some(commitId))
+    TxnCommit.publish(fs, warehouse, commitId, moves, txnId = Some(commitId))
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   /** writeStream half: `ds` → transactional warehouse table via

@@ -155,6 +155,58 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"chaos coverage: both crash modes must have fired (got $chaosModes)")
   }
 
+  test("commitId replay is a no-op even after vacuum reaps the entry") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("vacreplay")
+    append(w, 0L until 10L)
+    val src = Seq((3L, 100L)).toDF("id", "v")
+    def run(cid: String): Merge.Result =
+      Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+        matched = Seq(Merge.WhenClause(None,
+          Some(Seq("v" -> expr("t.v + s.v"))))), // NON-idempotent on purpose
+        notMatched = Nil, commitId = Some(cid))
+    def vOf3(): Long = Snapshots.read(spark, w, "t")
+      .filter(col("id") === 3L).select("v").collect().head.getLong(0)
+    assert(run("vr-app-t-1").rowsMatched == 1L)
+    assert(run("adhocmerge").rowsMatched == 1L) // suffix-less id, same guarantee
+    assert(vOf3() == 230L) // 30 + 100 + 100
+    // Push the log far past both merge entries, then vacuum aggressively —
+    // the original entries are provably GONE from the retained log.
+    (0 until 20).foreach(i => append(w, Seq(1000L + i)))
+    Snapshots.vacuum(fs, w, keepVersions = 2, minAgeMs = 0L)
+    assert(!Snapshots.entries(fs, w).exists(e =>
+        e.commitId == "vr-app-t-1" || e.commitId == "adhocmerge"),
+      "precondition: vacuum must have reaped the merge entries")
+    // Late CDC replays (the zombie-after-vacuum window): the vacuum-exempt
+    // applied-txn registry — carried by the cutoff checkpoint — must prove
+    // both applied, and land NOTHING.
+    for (cid <- Seq("vr-app-t-1", "adhocmerge")) {
+      val replay = run(cid)
+      assert(replay.rowsMatched == 0 && replay.filesRewritten == 0,
+        s"replay of vacuumed $cid must be a no-op")
+    }
+    assert(vOf3() == 230L, "a vacuumed-entry replay re-applied the batch")
+    // A LOWER batch of the same stream is also provably applied (batches
+    // commit in order — the Delta txn-version semantics).
+    assert(run("vr-app-t-0").rowsMatched == 0)
+    // The NEXT batch of the stream still applies normally.
+    assert(run("vr-app-t-2").rowsMatched == 1L)
+    assert(vOf3() == 330L)
+
+    // Streaming-sink epochs get the same guarantee through commitBatch.
+    graft.streaming.StreamingOps.commitBatch(
+      Seq((1L, 1L)).toDF("id", "v"), w, "t2", batchId = 1L)
+    assert(Snapshots.read(spark, w, "t2").count() == 1L)
+    (0 until 20).foreach(i => append(w, Seq(2000L + i)))
+    Snapshots.vacuum(fs, w, keepVersions = 2, minAgeMs = 0L)
+    assert(!Snapshots.entries(fs, w).exists(_.commitId == "stream-t2-1"))
+    graft.streaming.StreamingOps.commitBatch(
+      Seq((1L, 1L)).toDF("id", "v"), w, "t2", batchId = 1L)
+    assert(Snapshots.read(spark, w, "t2").count() == 1L,
+      "a vacuumed stream epoch replay re-landed its batch")
+  }
+
   test("stress: sink epochs, batch overwrites, compactions interleave safely") {
     // Three randomized schedules: a streaming-sink writer (epoch commits
     // with crash-replays), a batch overwriter (coarse OCC), and a
