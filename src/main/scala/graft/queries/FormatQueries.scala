@@ -366,6 +366,40 @@ object FormatQueries {
           col("n_regionkey").cast("long").as("n_regionkey"))
     }),
 
+    // The LARGE-source merge route (graft.merge.broadcastMaxRows exceeded):
+    // the broadcast hint drops, the clause-evaluation joins plan as shuffle
+    // joins, and driver-side point-key enumeration is skipped — the
+    // scale-safe path a fact-sized CDC backfill takes. The threshold is
+    // lowered below the source size so this gate entry re-proves the
+    // route's RESULT (not just its plan shape) every round. Ground truth:
+    // the same upsert expressed as plain SQL over the fixture.
+    "fmt_merge_large" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_merge_large", d) {
+        val w = freshWh()
+        val base = nation(s, d)
+        publish(s, w, "nation_lg", base.filter(col("n_nationkey") < 15))
+        publish(s, w, "nation_lg", base.filter(col("n_nationkey") >= 15))
+        val src = base
+          .select(col("n_nationkey"),
+            concat(col("n_name"), lit("_L")).as("n_name"),
+            col("n_regionkey"))
+          .unionByName(s.range(1).select(lit(991L).as("n_nationkey"),
+            lit("BIGLAND").as("n_name"), lit(7L).as("n_regionkey")))
+        s.conf.set("graft.merge.broadcastMaxRows", "10") // 26-row source = big
+        try Merge.mergeClauses(s, w, "nation_lg", src, Seq("n_nationkey"),
+          matched = Seq(Merge.WhenClause(None,
+            Some(Seq("n_name" -> expr("s.n_name"))))),
+          notMatched = Seq(Merge.WhenClause(None, None /* INSERT * */)),
+          notMatchedBySource = Seq(Merge.WhenClause(
+            Some(expr("t.n_regionkey = 999")), None))) // never acts; exercises the NMBS anti-join on the large route
+        finally s.conf.unset("graft.merge.broadcastMaxRows")
+        w
+      }
+      Snapshots.read(s, wh, "nation_lg")
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
     // IN-subquery DML through the catalog: DELETE/UPDATE whose condition
     // is `col IN (SELECT …)` [AND residual] lower onto the keyed merge
     // engine (the subquery is the MERGE source — no driver value list).
@@ -423,6 +457,45 @@ object FormatQueries {
       }
       s.conf.set("spark.sql.catalog.gsq.warehouse", wh)
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gsq.nation_sq")
+    }),
+
+    // PAST-CAP secondary subqueries (graft.dml.inlineCap exceeded): the
+    // second IN/NOT IN conjunct of a multi-subquery DML condition lowers
+    // onto a distributed target-side semi/anti join instead of a driver
+    // literal list — the route an oversized secondary takes at 100 TB.
+    // The cap is shrunk to 3 so every secondary here exercises the join
+    // path. Ground truth: the same memberships as plain SQL filters.
+    "fmt_catalog_subq_cap" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gsc",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_catalog_subq_cap", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gsc.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_sc_base")
+        s.sql("CREATE TABLE gsc.nation_sc AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_sc_base")
+        s.conf.set("graft.dml.inlineCap", "3")
+        try {
+          // Secondary IN past the cap (12 names): delete region-1 keys
+          // whose name sits in the low-key name list (names are unique →
+          // region 1 AND key < 12).
+          s.sql(
+            """DELETE FROM gsc.nation_sc WHERE n_nationkey IN
+              |  (SELECT n_nationkey FROM fmt_sc_base WHERE n_regionkey = 1)
+              |  AND n_name IN
+              |  (SELECT n_name FROM fmt_sc_base WHERE n_nationkey < 12)""".stripMargin)
+          // Secondary NOT IN past the cap (~5 region-2 keys > 3): tag
+          // every surviving non-region-2 key.
+          s.sql(
+            """UPDATE gsc.nation_sc SET n_name = concat(n_name, '_C')
+              |WHERE n_nationkey IN (SELECT n_nationkey FROM fmt_sc_base)
+              |  AND n_nationkey NOT IN
+              |  (SELECT n_nationkey FROM fmt_sc_base WHERE n_regionkey = 2)""".stripMargin)
+        } finally s.conf.unset("graft.dml.inlineCap")
+        w
+      }
+      s.conf.set("spark.sql.catalog.gsc.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gsc.nation_sc")
     }),
 
     // Zero-copy shallow clone + divergence: clone the committed fixture,
@@ -753,6 +826,19 @@ object FormatQueries {
         |FROM nation
         |WHERE NOT (n_nationkey < 15 AND n_regionkey = 4)
         |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
+    "fmt_catalog_subq_cap" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_regionkey <> 2 THEN n_name || '_C' ELSE n_name END
+        |         AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE NOT (n_regionkey = 1 AND n_nationkey < 12)""".stripMargin,
+    "fmt_merge_large" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       n_name || '_L' AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL SELECT 991, 'BIGLAND', 7""".stripMargin,
     "fmt_catalog_subq" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_regionkey = 2 THEN n_name || '_S' ELSE n_name END ||

@@ -358,6 +358,84 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a skewed source merge rides AQE skew-join splitting on the large route") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("skewMerge")
+    // One hot key dominates the TARGET (the skewed-CDC-key shape: 50k of
+    // 60k rows share id 1); the source keys are unique per the MERGE
+    // contract. On the large route the pairs join shuffles on id — without
+    // skew handling the hot partition is one straggler task.
+    val hot = (0 until 60000).map(i =>
+      (if (i < 50000) 1L else i.toLong, i.toLong))
+    hot.grouped(20000).foreach { batch =>
+      val cid = java.util.UUID.randomUUID().toString
+      batch.toDF("id", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    val src = (0 until 2000).map(i => (i.toLong, 100000L + i)).toDF("id", "v")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevs = Seq(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    sys.props("graft.merge.broadcastMaxRows") = "100" // 2000-row source = big
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // Shrink AQE's skew thresholds to test scale — the POINT is that the
+    // engine's join shape lets OptimizeSkewedJoin fire at all (no
+    // hand-scheduling, no driver-side key split).
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Merge.mergeClauses(spark, w, "t", src, Seq("id"),
+        matched = Seq(Merge.WhenClause(None,
+          Some(Seq("v" -> expr("s.v"))))), notMatched = Nil)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.synchronized(plans.exists(_.contains("skew"))) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      sys.props.remove("graft.merge.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val all = plans.synchronized(plans.toSeq)
+    assert(all.exists(_.contains("skew")),
+      "AQE skew-join splitting must fire on the skewed merge join; plans:\n" +
+        all.filter(_.contains("SortMergeJoin")).map(_.take(2000)).mkString("\n---\n"))
+    // Result stays oracle-exact: every hot row matched id 1 → v = 100001.
+    val got = Snapshots.read(spark, w, "t")
+    assert(got.filter(col("id") === 1L).select("v").distinct()
+      .as[Long].collect().toSeq == Seq(100001L))
+    assert(got.count() == 60000L)
+    // Unmatched target rows (ids ≥ 50000) survive untouched: v == id.
+    assert(got.filter(col("id") >= 50000L && col("id") =!= col("v"))
+      .count() == 0L)
+  }
+
   test("schema evolution is bounded to referenced columns (Delta autoMerge)") {
     val s0 = spark
     import s0.implicits._
