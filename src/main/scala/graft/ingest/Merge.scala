@@ -911,6 +911,16 @@ object Merge {
     * EXISTS-derived DML lowers: several subquery rows witnessing one
     * target row is the NORM there, and the action never reads the
     * witness. */
+  /** `targetFilter` (None = identity) restricts which TARGET rows may act
+    * at all — applied to the candidate read before the pairs join and to
+    * the NOT-MATCHED-BY-SOURCE frame before its anti-join. Excluded rows
+    * behave as if no clause matched them: they survive rewrites
+    * untouched. This is how a multi-conjunct DML condition's SECONDARY
+    * IN/NOT IN subqueries lower past the literal-inline cap — each
+    * becomes a distributed semi/anti join on its column instead of a
+    * driver value list. The filter must be row-REDUCING only (joins,
+    * filters); it runs over frames still carrying the engine's internal
+    * row-identity columns, which it must pass through untouched. */
   def mergeClauses(spark: SparkSession, warehouse: String, table: String,
                    source: DataFrame, keyCols: Seq[String],
                    matched: Seq[WhenClause],
@@ -921,7 +931,8 @@ object Merge {
                    onResidual: Option[org.apache.spark.sql.Column] = None,
                    nmbsAntiOn: Option[org.apache.spark.sql.Column] = None,
                    dedupeMatched: Boolean = false,
-                   evolveSchema: Boolean = true): Result = {
+                   evolveSchema: Boolean = true,
+                   targetFilter: Option[DataFrame => DataFrame] = None): Result = {
     import org.apache.spark.sql.functions.{count, lit => flit, when}
     require(matched.nonEmpty || notMatched.nonEmpty ||
         notMatchedBySource.nonEmpty,
@@ -1002,7 +1013,11 @@ object Merge {
 
     val tAll =
       if (candidates.isEmpty) null
-      else dvAwareRead(spark, warehouse, table, partCols, mapping, candidates)
+      else {
+        val raw = dvAwareRead(spark, warehouse, table, partCols, mapping,
+          candidates)
+        targetFilter.fold(raw)(f => f(raw))
+      }
     val dataCols0: Seq[org.apache.spark.sql.types.StructField] =
       if (tAll != null)
         tAll.schema.fields.toSeq.filterNot(f =>
@@ -1088,9 +1103,9 @@ object Merge {
           }
         if (nmbsMeta.isEmpty) null
         else {
-          val tFrame =
+          val tRaw =
             dvAwareRead(spark, warehouse, table, partCols, mapping, nmbsMeta)
-              .alias("t")
+          val tFrame = targetFilter.fold(tRaw)(f => f(tRaw)).alias("t")
           // Without a residual, source keys renamed to the TARGET key
           // names so the usingColumns anti-join drops them and the
           // surviving frame is pure `t`; with one, unmatched-ness is

@@ -233,7 +233,9 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                   residual: Seq[Expression],
                                   assigns: Option[Seq[Assignment]],
                                   nmbs: Boolean,
-                                  unsupported: String => Nothing): LogicalPlan = {
+                                  unsupported: String => Nothing,
+                                  targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil)
+      : LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
     def innerAttrsOf(e: Expression): Seq[AttributeReference] = e match {
       case OuterReference(_) => Nil
@@ -280,12 +282,13 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       GraftMergeClausesCommand(wh, t, keyNames,
         matched = Nil, notMatched = Nil, srcPlan,
         notMatchedBySource = Seq((residualSql, assignPairs)),
-        onResidualSql = onResidualSql, evolveSchema = false)
+        onResidualSql = onResidualSql, evolveSchema = false,
+        targetInSubqueries = targetFilters)
     else
       GraftMergeClausesCommand(wh, t, keyNames,
         matched = Seq((residualSql, assignPairs)), notMatched = Nil, srcPlan,
         onResidualSql = onResidualSql, dedupeMatched = true,
-        evolveSchema = false)
+        evolveSchema = false, targetInSubqueries = targetFilters)
   }
 
   private def lowerGeneralNotIn(wh: String, t: String, target: LogicalPlan,
@@ -293,7 +296,9 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                 lq: org.apache.spark.sql.catalyst.expressions.ListQuery,
                                 residual: Seq[Expression],
                                 assigns: Option[Seq[Assignment]],
-                                unsupported: String => Nothing): LogicalPlan = {
+                                unsupported: String => Nothing,
+                                targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil)
+      : LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     val (corrPairs, projList, below) =
       decorrelateList(lq, "NOT IN", unsupported)
@@ -333,7 +338,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     GraftMergeClausesCommand(wh, t, attrs.map(_.name),
       matched = Nil, notMatched = Nil, srcPlan,
       notMatchedBySource = Seq((residualSql, assignPairs)),
-      nmbsAntiOnSql = Some(antiOn), evolveSchema = false)
+      nmbsAntiOnSql = Some(antiOn), evolveSchema = false,
+      targetInSubqueries = targetFilters)
   }
 
   private def lowerSubqueryDml(wh: String, t: String, target: LogicalPlan,
@@ -351,15 +357,21 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           "lowered; materialize other subqueries as a view and use MERGE INTO")
     // Several subquery conjuncts: the FIRST stays the engine's subquery
     // source; every OTHER must be an uncorrelated single-column IN /
-    // NOT IN, which is evaluated NOW (bounded driver materialization —
-    // the same value-cap discipline as keyed point pruning) and joins
-    // the residual as a literal membership condition. 3VL holds: a NULL
+    // NOT IN. Small ones (≤ `graft.dml.inlineCap`, default 1024) are
+    // evaluated NOW (bounded driver materialization — the same value-cap
+    // discipline as keyed point pruning) and join the residual as a
+    // literal membership condition; PAST the cap they become distributed
+    // target-side semi/anti joins (the engine's targetFilter) — never an
+    // error, never an unbounded collect. 3VL holds on both routes: a NULL
     // in a NOT IN list (or an empty IN list) renders the conjunct false,
     // an empty NOT IN list renders it true, NULL elements of an IN list
     // drop (they can never make IN true).
-    def inlineLiteral(e: Expression): Expression = {
+    val targetFiltersB =
+      Seq.newBuilder[(String, LogicalPlan, Boolean)] // (col, subquery, negated)
+    def inlineLiteral(e: Expression): Option[Expression] = {
       import org.apache.spark.sql.catalyst.expressions.{And => CAnd, In, IsNotNull, Literal, Not => CNot}
-      val inlineCap = 1024
+      val inlineCap = SparkSession.active.conf
+        .getOption("graft.dml.inlineCap").map(_.toInt).getOrElse(1024)
       def valuesOf(lq: ListQuery): Option[Seq[Any]] = {
         val rows = org.apache.spark.sql.graftbridge.ColumnBridge
           .ofRows(SparkSession.active, lq.plan).limit(inlineCap + 1).collect()
@@ -370,24 +382,24 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
             if lq.outerAttrs.isEmpty =>
           valuesOf(lq) match {
             case None =>
-              unsupported(s"secondary IN subquery past $inlineCap values")
+              targetFiltersB += ((a.name, lq.plan, false)); None
             case Some(vs) =>
               val nn = vs.filter(_ != null)
-              if (nn.isEmpty) Literal(false)
+              Some(if (nn.isEmpty) Literal(false)
               else In(a, nn.map(v =>
-                Literal.create(v, lq.plan.output.head.dataType)))
+                Literal.create(v, lq.plan.output.head.dataType))))
           }
         case org.apache.spark.sql.catalyst.expressions.Not(
             InSubquery(Seq(a: AttributeReference), lq: ListQuery))
             if lq.outerAttrs.isEmpty =>
           valuesOf(lq) match {
             case None =>
-              unsupported(s"secondary NOT IN subquery past $inlineCap values")
+              targetFiltersB += ((a.name, lq.plan, true)); None
             case Some(vs) =>
-              if (vs.contains(null)) Literal(false) // NOT IN is never TRUE
+              Some(if (vs.contains(null)) Literal(false) // NOT IN is never TRUE
               else if (vs.isEmpty) Literal(true)
               else CAnd(IsNotNull(a), CNot(In(a, vs.map(v =>
-                Literal.create(v, lq.plan.output.head.dataType)))))
+                Literal.create(v, lq.plan.output.head.dataType))))))
           }
         case other => unsupported(
           "multiple subqueries: every conjunct after the first must be an " +
@@ -396,7 +408,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     }
     val (subq, residual) =
       if (subq0.size <= 1) (subq0, residual0)
-      else (Seq(subq0.head), residual0 ++ subq0.tail.map(inlineLiteral))
+      else (Seq(subq0.head), residual0 ++ subq0.tail.flatMap(inlineLiteral))
+    val targetFilters = targetFiltersB.result()
+    targetFilters.foreach { case (c, _, _) =>
+      require(target.output.exists(_.name == c),
+        s"secondary subquery column '$c' must be a column of the target table")
+    }
     // Equality-correlated EXISTS decorrelates to the IN shape: pull the
     // `inner = outer` conjuncts out of the subquery's (top-level) Filter,
     // project the inner sides, and treat the outer sides as the key
@@ -473,14 +490,15 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           (attrs, lq.plan, true, true)
         else
           return Some(lowerGeneralNotIn(wh, t, target, attrs, lq,
-            residual, assigns, unsupported))
+            residual, assigns, unsupported, targetFilters))
       case Seq(ex: org.apache.spark.sql.catalyst.expressions.Exists) =>
         val (pairs, residCor, inner) = decorrelate(ex)
         if (residCor.isEmpty)
           (pairs.map(_._1), Project(pairs.map(_._2), inner), false, false)
         else
           return Some(lowerResidualExists(wh, t, target, pairs, residCor,
-            inner, residual, assigns, nmbs = false, unsupported))
+            inner, residual, assigns, nmbs = false, unsupported,
+            targetFilters))
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           ex: org.apache.spark.sql.catalyst.expressions.Exists)) =>
         val (pairs, residCor, inner) = decorrelate(ex)
@@ -488,7 +506,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           (pairs.map(_._1), Project(pairs.map(_._2), inner), true, false)
         else
           return Some(lowerResidualExists(wh, t, target, pairs, residCor,
-            inner, residual, assigns, nmbs = true, unsupported))
+            inner, residual, assigns, nmbs = true, unsupported,
+            targetFilters))
       case Seq(one) => unsupported(s"shape ${one.sql.take(80)}")
       case _ => unsupported("multiple subqueries")
     }
@@ -532,11 +551,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       Some(GraftMergeClausesCommand(wh, t, keyCols,
         matched = Nil, notMatched = Nil, source,
         notMatchedBySource = Seq((cond, assignPairs)),
-        sourceNullNoop = nullGuards, evolveSchema = false))
+        sourceNullNoop = nullGuards, evolveSchema = false,
+        targetInSubqueries = targetFilters))
     } else
       Some(GraftMergeClausesCommand(wh, t, keyCols,
         matched = Seq((residualSql, assignPairs)), notMatched = Nil, source,
-        evolveSchema = false))
+        evolveSchema = false, targetInSubqueries = targetFilters))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -677,7 +697,8 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
                                     onResidualSql: Option[String] = None,
                                     nmbsAntiOnSql: Option[String] = None,
                                     dedupeMatched: Boolean = false,
-                                    evolveSchema: Boolean = true)
+                                    evolveSchema: Boolean = true,
+                                    targetInSubqueries: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Boolean)] = Nil)
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
   import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -703,12 +724,48 @@ case class GraftMergeClausesCommand(warehouse: String, table: String,
         org.apache.spark.sql.functions.col(keyCols.head).isNull)
         .limit(1).count() > 0)
       return Seq(org.apache.spark.sql.Row(0, 0, 0L))
+    // Past-cap secondary IN/NOT IN conjuncts: each becomes a distributed
+    // semi/anti join restricting which TARGET rows may act. The 3VL edge
+    // cases resolve with bounded limit(1) probes here, exactly mirroring
+    // the literal-inline route: NOT IN over a NULL-carrying list is never
+    // TRUE (whole statement no-ops), over an empty list always TRUE (no
+    // filter at all); a NULL target value never satisfies either form
+    // against a non-empty list.
+    var targetFilter: Option[org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame] = None
+    for ((c, plan, negated) <- targetInSubqueries) {
+      import org.apache.spark.sql.functions.col
+      val sub = org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofRows(session, plan)
+      val vals = sub.select(sub.columns.head).toDF(c).distinct()
+      val isEmpty = vals.limit(1).count() == 0
+      val step: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame] =
+        if (!negated) {
+          if (isEmpty) // IN (empty) is never TRUE: nothing acts.
+            return Seq(org.apache.spark.sql.Row(0, 0, 0L))
+          Some(df => df.filter(col(c).isNotNull)
+            .join(vals.filter(col(c).isNotNull), Seq(c), "left_semi"))
+        } else {
+          if (isEmpty) None // NOT IN (empty) is TRUE for every row.
+          else if (vals.filter(col(c).isNull).limit(1).count() > 0)
+            return Seq(org.apache.spark.sql.Row(0, 0, 0L))
+          else Some(df => df.filter(col(c).isNotNull)
+            .join(vals, Seq(c), "left_anti"))
+        }
+      (targetFilter, step) match {
+        case (Some(f), Some(g)) => targetFilter = Some(f.andThen(g))
+        case (None, s) => targetFilter = s
+        case _ => ()
+      }
+    }
     val res = graft.ingest.Merge.mergeClauses(session, warehouse, table,
       src, keyCols, matched.map(toClause), notMatched.map(toClause),
       notMatchedBySource.map(toClause), sourceKeyCols = srcKeyCols,
       onResidual = onResidualSql.map(expr),
       nmbsAntiOn = nmbsAntiOnSql.map(expr),
-      dedupeMatched = dedupeMatched, evolveSchema = evolveSchema)
+      dedupeMatched = dedupeMatched, evolveSchema = evolveSchema,
+      targetFilter = targetFilter)
     Seq(org.apache.spark.sql.Row(
       res.filesRewritten, res.filesAdded, res.rowsMatched))
   }

@@ -572,6 +572,63 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       err.getMessage)
   }
 
+  test("past-cap secondary subqueries lower onto semi/anti joins") {
+    val w = wh("catSubqCap")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gcap",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcap.warehouse", w)
+    def reset(): Unit = {
+      Seq((1L, Some(10L), 0L), (2L, Some(20L), 0L), (3L, Some(30L), 0L),
+        (4L, Some(40L), 0L), (5L, None, 0L))
+        .toDF("id", "k", "v").coalesce(1).createOrReplaceTempView("cap_t")
+      spark.sql("DROP TABLE IF EXISTS gcap.t4")
+      spark.sql("CREATE TABLE gcap.t4 AS SELECT id, k, v FROM cap_t")
+    }
+    def vs(): Seq[(Long, Long)] =
+      spark.sql("SELECT id, v FROM gcap.t4 ORDER BY id")
+        .as[(Long, Long)].collect().toSeq
+    Seq(1L, 2L, 4L, 5L).toDF("p").createOrReplaceTempView("cap_prim")
+    Seq(10L, 20L, 30L).toDF("x").createOrReplaceTempView("cap_in")
+    Seq(Some(10L), None).toDF("x").createOrReplaceTempView("cap_null")
+    Seq(10L).toDF("x").filter($"x" > 99L).createOrReplaceTempView("cap_empty")
+    // Cap 0: EVERY secondary subquery takes the join route — identical
+    // semantics to the literal-inline route it replaces past the cap.
+    spark.conf.set("graft.dml.inlineCap", "0")
+    try {
+      reset()
+      // Secondary IN: acts on primary-matching rows whose k is present.
+      spark.sql("""UPDATE gcap.t4 SET v = 1 WHERE id IN (SELECT p FROM cap_prim)
+        | AND k IN (SELECT x FROM cap_in)""".stripMargin)
+      assert(vs() == Seq(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+      // Secondary NOT IN (null-free): NULL target k must NOT act (3VL).
+      reset()
+      spark.sql("""UPDATE gcap.t4 SET v = 2 WHERE id IN (SELECT p FROM cap_prim)
+        | AND k NOT IN (SELECT x FROM cap_in)""".stripMargin)
+      assert(vs() == Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 2L, 5L -> 0L))
+      // A NULL in the secondary NOT IN list: whole statement no-ops.
+      reset()
+      spark.sql("""DELETE FROM gcap.t4 WHERE id IN (SELECT p FROM cap_prim)
+        | AND k NOT IN (SELECT x FROM cap_null)""".stripMargin)
+      assert(vs().size == 5)
+      // Secondary IN over an empty list: never TRUE — statement no-ops.
+      spark.sql("""DELETE FROM gcap.t4 WHERE id IN (SELECT p FROM cap_prim)
+        | AND k IN (SELECT x FROM cap_empty)""".stripMargin)
+      assert(vs().size == 5)
+      // Secondary NOT IN over an empty list: TRUE for every row — even a
+      // NULL-k one (id 5 deletes with the rest of the primary set).
+      spark.sql("""DELETE FROM gcap.t4 WHERE id IN (SELECT p FROM cap_prim)
+        | AND k NOT IN (SELECT x FROM cap_empty)""".stripMargin)
+      assert(vs().map(_._1) == Seq(3L))
+      // NMBS route (NOT IN primary) takes the same target filter.
+      reset()
+      spark.sql("""DELETE FROM gcap.t4 WHERE id NOT IN (SELECT p FROM cap_prim)
+        | AND k IN (SELECT x FROM cap_in)""".stripMargin)
+      assert(vs().map(_._1) == Seq(1L, 2L, 4L, 5L)) // only id 3 acts
+    } finally spark.conf.unset("graft.dml.inlineCap")
+  }
+
   test("non-equality-correlated EXISTS/NOT EXISTS lower with ON residuals") {
     val w = wh("catExResid")
     val s0 = spark
