@@ -151,8 +151,14 @@ object SchemaEvolution {
     * pre-add files (additive semantics, `mergeSchema` for mixed eras).
     * Tables with no mapping don't need this — plain additive evolution
     * already covers them. */
+  /** `default` (a SQL literal, e.g. `Some("'legacy'")` or `Some("42")`) is
+    * the column's INITIAL DEFAULT: rows of files written before the column
+    * existed read it instead of null ([[Snapshots.columnDefaults]] — the
+    * Iceberg initial-default analog). It lands as the `default.<name>`
+    * table property in the SAME log entry as the mapping, so a crash can
+    * never leave the column without its default. */
   def addColumn(spark: SparkSession, warehouse: String, table: String,
-                name: String): String = {
+                name: String, default: Option[String] = None): String = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -164,7 +170,9 @@ object SchemaEvolution {
       else Iterator.from(base.getOrElse(0L).toInt + 1)
         .map(v => s"${name}_v$v").find(!taken(_)).get
     commitMeta(fs, warehouse, table, "add_column", base,
-      m.copy(cols = m.cols :+ (name, phys)))
+      m.copy(cols = m.cols :+ (name, phys)),
+      extraMetas = default.map(d => Snapshots.propsMetaEntry(
+        fs, warehouse, table, Map(s"default.$name" -> d))).toSeq)
     phys
   }
 
@@ -200,8 +208,9 @@ object SchemaEvolution {
 
   private def commitMeta(fs: org.apache.hadoop.fs.FileSystem, warehouse: String,
                          table: String, op: String, base: Option[Long],
-                         m: ColumnMapping): Unit =
+                         m: ColumnMapping,
+                         extraMetas: Seq[(String, String)] = Nil): Unit =
     Snapshots.append(fs, warehouse, java.util.UUID.randomUUID().toString,
       adds = Nil, removes = Nil, op = op, baseVersion = base,
-      metas = Seq(table -> m.encode))
+      metas = (table -> m.encode) +: extraMetas)
 }

@@ -69,8 +69,15 @@ object Merge {
     // metadata columns only resolve scan-side — then union (flat-era rows
     // read evolved partition columns as null; cross-group widening rides
     // union coercion).
+    // Column defaults: DML reads must serve (and rewrites MATERIALIZE)
+    // the default for rows of pre-add files — split each layout group by
+    // defaulted-column presence, inject constants for the absent ones.
+    val defaults = Snapshots.columnDefaults(
+      new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      warehouse, table, None, mapping)
     val groups =
-      if (partCols.isEmpty) Seq(acts) else Snapshots.layoutGroups(acts)
+      (if (partCols.isEmpty) Seq(acts) else Snapshots.layoutGroups(acts))
+        .flatMap(_.groupBy(Snapshots.defaultPresence(_, defaults)).values)
     val frames = groups.map { g =>
       val bp =
         if (g.head.partition.isEmpty) None
@@ -82,7 +89,8 @@ object Merge {
         .withColumn(SrcFileCol,
           regexp_replace(col("_metadata.file_path"), Snapshots.SchemeRe, ""))
         .withColumn(RowPosCol, col("_metadata.row_index"))
-      Snapshots.applyDv(spark, keyed, g)
+      Snapshots.injectDefaults(Snapshots.applyDv(spark, keyed, g),
+        Snapshots.defaultPresence(g.head, defaults), defaults)
     }
     val df = Snapshots.deVoidPartitions(
       frames.reduce(_.unionByName(_, allowMissingColumns = true)), partCols)

@@ -1331,6 +1331,70 @@ object Snapshots {
       .flatMap(_.metas.get(propsKey(table))).map(decodeProps)
       .getOrElse(Map.empty)
 
+  /** The props META entry that would merge `updates` in — for callers
+    * composing a property change ATOMICALLY with another metadata commit
+    * (e.g. ADD COLUMN … DEFAULT: mapping + default land in one entry). */
+  private[ingest] def propsMetaEntry(fs: FileSystem, warehouse: String,
+                                     table: String,
+                                     updates: Map[String, String])
+      : (String, String) = {
+    val merged = (properties(fs, warehouse, table) ++ updates)
+      .filter { case (_, v) => v != null && v.nonEmpty }
+    propsKey(table) -> encodeProps(merged)
+  }
+
+  // ------------------------------------------------------- column defaults
+
+  /** Column DEFAULTs (`ALTER TABLE t ADD COLUMN c DEFAULT lit`) — the
+    * Iceberg initial-default / Delta column-default analog, metadata-only:
+    * the literal lives in the `default.<logical>` table property and is
+    * served at READ time for rows of files written BEFORE the column
+    * existed (per-FILE, decided from the log's schema tags — a post-add
+    * file's stored values, explicit NULLs included, always win). Files
+    * without schema tags (pre-stats eras) conservatively read null: a
+    * wrong default is worse than the old behavior.
+    *
+    * Returns PHYSICAL-name → default SQL literal text at `asOf`. */
+  private[graft] def columnDefaults(fs: FileSystem, warehouse: String,
+                                    table: String, asOf: Option[Long],
+                                    mapping: Option[ColumnMapping])
+      : Map[String, String] =
+    properties(fs, warehouse, table, asOf).collect {
+      case (k, v) if k.startsWith("default.") && v.nonEmpty =>
+        val logical = k.stripPrefix("default.")
+        mapping.fold(logical)(_.physicalFor(logical)) -> v
+    }
+
+  /** Which defaulted physical columns this file CARRIES — the subgroup
+    * key: files sharing it read through one relation, and the defaults of
+    * the complement are injected as constants. */
+  private[graft] def defaultPresence(a: Action,
+                                     defaults: Map[String, String])
+      : Set[String] =
+    if (defaults.isEmpty) Set.empty
+    else {
+      val tags = FileStats.schemaTags(a.stats)
+      if (tags.isEmpty) defaults.keySet // tagless: "has" → null, never a wrong default
+      else defaults.keySet.intersect(tags.map(_._1).toSet)
+    }
+
+  /** Inject each defaulted column ABSENT from this subgroup's files as a
+    * constant expression (typed from the frame's own column when an
+    * explicit read schema already carries it). */
+  private[graft] def injectDefaults(df: org.apache.spark.sql.DataFrame,
+                                    present: Set[String],
+                                    defaults: Map[String, String])
+      : org.apache.spark.sql.DataFrame =
+    defaults.foldLeft(df) { case (d, (phys, text)) =>
+      if (present(phys)) d
+      else {
+        val e = org.apache.spark.sql.functions.expr(text)
+        val typed = d.schema.fields.find(_.name == phys)
+          .map(f => e.cast(f.dataType)).getOrElse(e)
+        d.withColumn(phys, typed)
+      }
+    }
+
   /** Merge `updates` into the table's properties as one metadata-only
     * commit (a `null`/empty value unsets the key). Versioned like any
     * commit — RESTORE and time travel see the era's properties. */
@@ -1552,8 +1616,14 @@ object Snapshots {
     if (sigs.exists(_.isEmpty)) return None
     val byCol = sigs.flatten.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
     val widenPairs = Set(Set("INT32", "INT64"), Set("FLOAT", "DOUBLE"))
+    // Same-scale decimal precision mixes widen too (TxnCommit.compatible's
+    // decimal rule) — any number of distinct precisions, one scale.
+    def decimalMix(tags: Seq[String]): Boolean = {
+      val decs = tags.flatMap(TxnCommit.decimalTag)
+      decs.size == tags.size && decs.map(_._2).distinct.size == 1
+    }
     val widthMixed = byCol.exists { case (_, tags) =>
-      tags.size > 1 && widenPairs.contains(tags.toSet)
+      tags.size > 1 && (widenPairs.contains(tags.toSet) || decimalMix(tags))
     }
     // Additive mix: the live files disagree on the COLUMN SET (a commit —
     // append or schema-evolving merge — added columns). Single-footer
@@ -1567,6 +1637,8 @@ object Snapshots {
       case (x, y) if x == y => x
       case (IntegerType, LongType) | (LongType, IntegerType) => LongType
       case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (d1: DecimalType, d2: DecimalType) if d1.scale == d2.scale =>
+        DecimalType(math.max(d1.precision, d2.precision), d1.scale)
       case (x, y) => throw new IllegalStateException(
         s"widenedSchema: unmergeable types $x vs $y — schema enforcement " +
           "should have rejected this commit")
@@ -1659,8 +1731,13 @@ object Snapshots {
     // rows from eras without a partition column read it as null
     // (additive semantics), and cross-group type widening rides union
     // coercion.
-    def groupKey(a: Action): (String, Seq[String]) =
-      (rootDirOf(a), partitionColumns(Seq(a.partition)))
+    // Column defaults split groups further by which defaulted columns a
+    // file carries (zero-cost when no default exists): files lacking one
+    // read it as the injected constant, per-file exactness.
+    val defaults = columnDefaults(fs, warehouse, table, asOf, mapping)
+    def groupKey(a: Action): (String, Seq[String], Set[String]) =
+      (rootDirOf(a), partitionColumns(Seq(a.partition)),
+        defaultPresence(a, defaults))
     val allByGroup = all.groupBy(groupKey)
     // Width-mixed groups (safe type widening) read under an explicit
     // widest schema — detection over the group's live files, so the schema
@@ -1673,15 +1750,17 @@ object Snapshots {
       val reader1 = bp.fold(reader0)(reader0.option("basePath", _))
       val reader = widenedSchema(spark, allByGroup.getOrElse(key, group), bp)
         .fold(reader1)(reader1.schema)
-      if (schemaOnly)
-        // Every file provably excluded: an empty frame with the table
-        // schema (schema comes from one arbitrary pinned file, never its
-        // rows).
-        reader.parquet(group.head.file).limit(0)
-      else
-        // Merge-on-read: subtract deletion-vectored rows (no-op plan when
-        // no group file carries an attachment).
-        applyDv(spark, reader.parquet(group.map(_.file).distinct: _*), group)
+      val frame =
+        if (schemaOnly)
+          // Every file provably excluded: an empty frame with the table
+          // schema (schema comes from one arbitrary pinned file, never its
+          // rows).
+          reader.parquet(group.head.file).limit(0)
+        else
+          // Merge-on-read: subtract deletion-vectored rows (no-op plan when
+          // no group file carries an attachment).
+          applyDv(spark, reader.parquet(group.map(_.file).distinct: _*), group)
+      injectDefaults(frame, key._3, defaults)
     }
     val physical = deVoidPartitions(
       if (pruned.isEmpty) frameOver(Seq(partPruned.head), schemaOnly = true)

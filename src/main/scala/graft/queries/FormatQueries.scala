@@ -366,6 +366,30 @@ object FormatQueries {
           col("n_regionkey").cast("long").as("n_regionkey"))
     }),
 
+    // ALTER TABLE ADD COLUMN … DEFAULT (initial-default semantics, the
+    // Iceberg initial-default / Delta column-default analog): rows of
+    // files written BEFORE the column existed read the literal; post-add
+    // files' stored values — explicit NULLs included — always win. One
+    // metadata commit (mapping + default property together), zero
+    // rewrites. Ground truth: a CASE over the fixture.
+    "fmt_default" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_default", d) {
+        val w = freshWh()
+        val base = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        publish(s, w, "nation_df", base.filter(col("n_nationkey") < 15))
+        graft.ingest.SchemaEvolution.addColumn(s, w, "nation_df", "n_tag",
+          default = Some("'legacy'"))
+        // Post-add era carries the column, with explicit NULLs for odd
+        // keys — those must read back NULL, never the default.
+        publish(s, w, "nation_df", base.filter(col("n_nationkey") >= 15)
+          .withColumn("n_tag",
+            when(col("n_nationkey") % 2 === 0, lit("fresh"))))
+        w
+      }
+      Snapshots.read(s, wh, "nation_df")
+        .select(col("n_nationkey"), col("n_name"), col("n_tag"))
+    }),
+
     // The LARGE-source merge route (graft.merge.broadcastMaxRows exceeded):
     // the broadcast hint drops, the clause-evaluation joins plan as shuffle
     // joins, and driver-side point-key enumeration is skipped — the
@@ -826,6 +850,11 @@ object FormatQueries {
         |FROM nation
         |WHERE NOT (n_nationkey < 15 AND n_regionkey = 4)
         |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
+    "fmt_default" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CASE WHEN n_nationkey < 15 THEN 'legacy'
+        |            WHEN n_nationkey % 2 = 0 THEN 'fresh' END AS n_tag
+        |FROM nation""".stripMargin,
     "fmt_catalog_subq_cap" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_regionkey <> 2 THEN n_name || '_C' ELSE n_name END

@@ -705,11 +705,28 @@ class SnapshotBatch(warehouse: String, table: String, pinned: Option[Long],
   private def survivors: Seq[Snapshots.Action] =
     Snapshots.prunedFileMeta(fs, warehouse, table, pinned, pred)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Initial-defaults: attach (logical → literal) for columns a file
+    // predates, decided per file from the log's schema tags (a tagless
+    // file conservatively serves null).
+    val mapping = Snapshots.columnMapping(fs, warehouse, table, pinned)
+    val physDefaults = Snapshots.columnDefaults(
+      fs, warehouse, table, pinned, mapping)
+    val toLogical: Map[String, String] =
+      mapping.map(_.cols.map { case (l, p) => p -> l }.toMap)
+        .getOrElse(Map.empty)
     survivors
-      .map(a => SnapshotInputPartition(a.file, a.partitionMap,
-        pinned.getOrElse(-1L), None, a.dvPath): InputPartition)
+      .map { a =>
+        val present = Snapshots.defaultPresence(a, physDefaults)
+        val dfl = physDefaults.collect {
+          case (phys, text) if !present(phys) =>
+            toLogical.getOrElse(phys, phys) -> text
+        }
+        SnapshotInputPartition(a.file, a.partitionMap,
+          pinned.getOrElse(-1L), None, a.dvPath, dfl): InputPartition
+      }
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotReaderFactory(
@@ -1046,10 +1063,14 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
   * None for change files, whose `_change_type` column is read per row.
   * `dvPath` nonempty = a restore re-ADD carrying a deletion vector: the
   * reader loads the vector's positions for this file and skips them. */
+/** `defaults`: LOGICAL column name → SQL literal text for columns this
+  * file predates (initial-defaults, [[Snapshots.columnDefaults]]) — the
+  * reader serves the constant instead of null. */
 case class SnapshotInputPartition(file: String, partSpec: Map[String, String],
                                   version: Long,
                                   changeType: Option[String] = None,
-                                  dvPath: String = "")
+                                  dvPath: String = "",
+                                  defaults: Map[String, String] = Map.empty)
   extends InputPartition
 
 case class SnapshotReaderFactory(conf: SerializableConfiguration,
@@ -1201,7 +1222,31 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
             s"partition column '${f.name}' of type $dt not supported")
         }
         _ => const
-      case None => _ => null
+      case None => p.defaults.get(f.name) match {
+        // Initial-default for a column this file predates: serve the
+        // literal as a constant (same per-file decision the batch read's
+        // injectDefaults makes).
+        case Some(text) =>
+          val raw =
+            if (text.length >= 2 && text.head == '\'' && text.last == '\'')
+              text.substring(1, text.length - 1).replace("''", "'")
+            else text
+          val const: Any = f.dataType match {
+            case StringType => UTF8String.fromString(raw)
+            case IntegerType => raw.toInt
+            case LongType => raw.toLong
+            case DoubleType => raw.toDouble
+            case FloatType => raw.toFloat
+            case BooleanType => raw.toBoolean
+            case DateType =>
+              java.sql.Date.valueOf(raw).toLocalDate.toEpochDay.toInt
+            case dt => throw new UnsupportedOperationException(
+              s"default for column '${f.name}' of type $dt not supported " +
+                "by the per-file reader")
+          }
+          _ => const
+        case None => _ => null
+      }
     }
   }
 

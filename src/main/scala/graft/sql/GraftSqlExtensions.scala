@@ -288,8 +288,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // ADD COLUMN is metadata-only under the mapping (the physical name is
   // assigned fresh; pre-add files read null) — type is accepted for
   // familiarity but additive evolution infers it from the first write.
+  // Optional `DEFAULT <literal>`: pre-add rows read the literal instead
+  // of null (the initial-default; one atomic metadata commit).
   private val AddColRe =
-    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)(?:\s+\w+(?:\([^)]*\))?)?\s*".r
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)(?:\s+\w+(?:\([^)]*\))?)?(?:\s+DEFAULT\s+(.+?))?\s*".r
   private val DescribeDetailRe =
     raw"(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*".r
   // Delta's TBLPROPERTIES family over the snapshot log's property META
@@ -512,8 +514,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, name, None)
-    case AddColRe(table, name) if isGraftTable(table) =>
-      GraftAddColumnCommand(warehouse, table, name)
+    case AddColRe(table, name, dflt) if isGraftTable(table) =>
+      GraftAddColumnCommand(warehouse, table, name, Option(dflt))
     case DescribeDetailRe(rawTable)
         if scala.util.Try(resolveTarget(rawTable)).toOption
           .exists { case (w, t) => isGraftTableIn(w, t) } =>
@@ -973,15 +975,21 @@ case class GraftAlterColumnCommand(warehouse: String, table: String,
   }
 }
 
-/** `ALTER TABLE t ADD COLUMN c [type]` → [[graft.ingest.SchemaEvolution
-  * .addColumn]]: one metadata commit; the assigned physical name is
-  * returned (fresh — a previously-dropped name is never reused). */
+/** `ALTER TABLE t ADD COLUMN c [type] [DEFAULT lit]` →
+  * [[graft.ingest.SchemaEvolution.addColumn]]: one metadata commit; the
+  * assigned physical name is returned (fresh — a previously-dropped name
+  * is never reused). With DEFAULT, pre-add rows read the literal instead
+  * of null (initial-default semantics; the property rides the same
+  * commit). */
 case class GraftAddColumnCommand(warehouse: String, table: String,
-                                 column: String) extends LeafRunnableCommand {
+                                 column: String,
+                                 default: Option[String] = None)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("physical_name", StringType)())
   override def run(session: SparkSession): Seq[Row] = Seq(Row(
-    graft.ingest.SchemaEvolution.addColumn(session, warehouse, table, column)))
+    graft.ingest.SchemaEvolution.addColumn(session, warehouse, table, column,
+      default)))
 }
 
 /** `VACUUM SNAPSHOTS [RETAIN n VERSIONS] [MAX AGE h HOURS]` →

@@ -122,6 +122,20 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.properties(fs, wh, "alt").get("team").contains("data-eng"))
   }
 
+  test("per-file catalog reads serve initial-defaults for pre-add files") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("dfsrc")
+    spark.sql("CREATE TABLE graft.dft AS SELECT id, v FROM dfsrc")
+    graft.ingest.SchemaEvolution.addColumn(spark, wh, "dft", "tag",
+      default = Some("'old'"))
+    spark.sql("INSERT INTO graft.dft VALUES (2, 'b', 'new')")
+    // The pre-add file's row reads the default through the per-file DSv2
+    // reader; the post-add file's stored value wins.
+    assert(spark.sql("SELECT id, tag FROM graft.dft ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq(1L -> "old", 2L -> "new"))
+  }
+
   test("DROP TABLE is a time-travelable logical remove; name is reusable") {
     val s0 = spark
     import s0.implicits._

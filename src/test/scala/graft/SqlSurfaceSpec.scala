@@ -651,6 +651,40 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       metaRow.getAs[Long]("n_removed") == 0L)
   }
 
+  test("ADD COLUMN DEFAULT: pre-add rows read it; stored values win; DML materializes it") {
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/dfl")
+    val moves = TxnCommit.movesFor(fs, wh, cid, "dfl")
+    TxnCommit.commit(fs, wh, cid, moves)
+    TxnCommit.publish(fs, wh, cid, moves)
+    spark.sql("ALTER TABLE dfl ADD COLUMN note STRING DEFAULT 'n/a'")
+    def notes(): Map[Long, String] = Snapshots.read(spark, wh, "dfl")
+      .select("id", "note").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(notes() == Map(1L -> "n/a", 2L -> "n/a"))
+    // Post-add era: stored values — explicit NULLs included — always win.
+    val cid2 = java.util.UUID.randomUUID().toString
+    Seq((3L, "c", Some("x")), (4L, "d", None: Option[String]))
+      .toDF("id", "name", "note").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid2)}/dfl")
+    val mv2 = TxnCommit.movesFor(fs, wh, cid2, "dfl")
+    TxnCommit.commit(fs, wh, cid2, mv2)
+    TxnCommit.publish(fs, wh, cid2, mv2)
+    assert(notes() == Map(1L -> "n/a", 2L -> "n/a", 3L -> "x", 4L -> null))
+    // A rewrite of a pre-add file MATERIALIZES the default for its rows.
+    spark.sql("UPDATE dfl SET name = 'A' WHERE id = 1")
+    assert(notes() == Map(1L -> "n/a", 2L -> "n/a", 3L -> "x", 4L -> null))
+    // Numeric default through the same grammar.
+    spark.sql("ALTER TABLE dfl ADD COLUMN score BIGINT DEFAULT 7")
+    assert(Snapshots.read(spark, wh, "dfl")
+      .selectExpr("cast(score as long)").collect()
+      .forall(_.getLong(0) == 7L))
+  }
+
   test("an unreachable warehouse never breaks parsing of non-graft DML") {
     val prev = spark.conf.get("spark.graft.warehouse")
     // An unresolvable filesystem: the probe's getFileSystem/exists throws
