@@ -142,8 +142,24 @@ object TxnCommit {
     * match the plain tags, so they keep the strict path. */
   private val Widenable =
     Set(Set("INT32", "INT64"), Set("FLOAT", "DOUBLE"))
+  /** DECIMAL widening (SURVEY §1.1's u64 escape hatch): decimal(p,s) files
+    * may mix with decimal(p+k,s) — same scale, any precisions, any
+    * physical carrier (INT32/INT64/FIXED per precision band) — and the
+    * table reads at the widest live precision. Scale changes rescale
+    * values and stay rejected. */
+  private val DecTagRe =
+    raw"(?:INT32|INT64|BINARY|FIXED_LEN_BYTE_ARRAY)\s*/\s*DECIMAL\((\d+),(\d+)\)".r
+  private[ingest] def decimalTag(tag: String): Option[(Int, Int)] =
+    repNorm(tag).trim match {
+      case DecTagRe(p, s) => Some((p.toInt, s.toInt))
+      case _ => None
+    }
   private def compatible(cur: String, tag: String): Boolean =
-    repNorm(cur) == repNorm(tag) || Widenable.contains(Set(cur, tag))
+    repNorm(cur) == repNorm(tag) || Widenable.contains(Set(cur, tag)) ||
+      ((decimalTag(cur), decimalTag(tag)) match {
+        case (Some((_, s1)), Some((_, s2))) => s1 == s2
+        case _ => false
+      })
 
   /** Column names the engine materializes internally on DV-carrying reads
     * and DML scans (row identity, vector join keys, CDF tags). A table
@@ -185,7 +201,8 @@ object TxnCommit {
                   s"schema enforcement: column '$n' of table '$table' is " +
                     s"committed as $cur but this commit writes $tag — " +
                     "additive columns and safe widenings (int→long, " +
-                    "float→double) evolve; other type changes are rejected"))
+                    "float→double, same-scale decimal precision) evolve; " +
+                    "other type changes are rejected"))
             }
           }
     }

@@ -1161,6 +1161,52 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 1.5), (4L, 4.5), (3000000000L, 3.5)))
   }
 
+  test("decimal widening: same-scale precision mixes read at the widest") {
+    val w = wh("whDecWiden")
+    def pub(df: org.apache.spark.sql.DataFrame): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      df.coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    import org.apache.spark.sql.types.DecimalType
+    def dec(rows: Seq[(Long, String)], p: Int): org.apache.spark.sql.DataFrame = {
+      val s0 = spark
+      import s0.implicits._
+      rows.toDF("id", "amt")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("amt").cast(DecimalType(p, 2))
+            .as("amt"))
+    }
+    // v0: decimal(10,2) (INT64 carrier). v1: a writer upgraded to
+    // decimal(14,2) — accepted; v2: a straggler still writes (5,2)
+    // (INT32 carrier) — also accepted, the u64-escape-hatch rolling
+    // upgrade shape.
+    pub(dec(Seq((1L, "1.25"), (2L, "2.50")), 10))
+    pub(dec(Seq((3L, "123456789012.75")), 14))
+    pub(dec(Seq((4L, "9.99")), 5))
+    val latest = Snapshots.read(spark, w, "t")
+    assert(latest.schema("amt").dataType == DecimalType(14, 2),
+      s"got ${latest.schema("amt").dataType}")
+    assert(latest.orderBy("id").select("amt").collect()
+      .map(_.getDecimal(0).toPlainString).toSeq ==
+      Seq("1.25", "2.50", "123456789012.75", "9.99"))
+    // Scale changes are NOT widening — rejected at the commit point.
+    val ex = intercept[IllegalArgumentException](
+      pub(dec(Seq((5L, "1.2")), 10).select(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("amt").cast(DecimalType(10, 3))
+          .as("amt"))))
+    assert(ex.getMessage.contains("schema enforcement"))
+    // DML across the precision mix: the dv-aware read widens too.
+    Merge.deleteWhere(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") === 2L)
+    assert(Snapshots.read(spark, w, "t").orderBy("id").select("amt")
+      .collect().map(_.getDecimal(0).toPlainString).toSeq ==
+      Seq("1.25", "123456789012.75", "9.99"))
+  }
+
   test("stats-verifiable constraints enforce NOT NULL and numeric bounds") {
     val w = wh("constraints")
     val s0 = spark
