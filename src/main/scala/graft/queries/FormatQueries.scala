@@ -522,6 +522,36 @@ object FormatQueries {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gsc.nation_sc")
     }),
 
+    // DISJUNCTIVE subquery DML (`IN (…) OR plain` / `EXISTS (…) OR
+    // plain`): the union act-set lowers as matched clause + conditional
+    // NMBS clause in ONE atomic merge. Ground truth: the same unions as
+    // plain SQL filters.
+    "fmt_catalog_subq_or" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gor2",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_catalog_subq_or", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gor2.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_or_base")
+        s.sql("CREATE TABLE gor2.nation_or AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_or_base")
+        s.sql(
+          """UPDATE gor2.nation_or SET n_name = concat(n_name, '_O')
+            |WHERE n_nationkey IN
+            |  (SELECT n_nationkey FROM fmt_or_base WHERE n_regionkey = 1)
+            |  OR n_regionkey = 3""".stripMargin)
+        s.sql(
+          """DELETE FROM gor2.nation_or WHERE EXISTS
+            |  (SELECT 1 FROM fmt_or_base
+            |   WHERE fmt_or_base.n_nationkey = gor2.nation_or.n_nationkey
+            |     AND fmt_or_base.n_regionkey = 0)
+            |  OR n_nationkey >= 20""".stripMargin)
+        w
+      }
+      s.conf.set("spark.sql.catalog.gor2.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gor2.nation_or")
+    }),
+
     // Zero-copy shallow clone + divergence: clone the committed fixture,
     // DELETE the high keys on the CLONE (a rewrite spanning the shared
     // root), and read the clone back — proving the one-commit clone, the
@@ -862,6 +892,13 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation
         |WHERE NOT (n_regionkey = 1 AND n_nationkey < 12)""".stripMargin,
+    "fmt_catalog_subq_or" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_regionkey IN (1, 3) THEN n_name || '_O'
+        |            ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE NOT (n_regionkey = 0 OR n_nationkey >= 20)""".stripMargin,
     "fmt_merge_large" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       n_name || '_L' AS n_name,

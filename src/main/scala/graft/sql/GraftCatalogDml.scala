@@ -347,7 +347,27 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                assigns: Option[Seq[Assignment]]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, InSubquery, ListQuery, PlanExpression}
     if (!condition.exists(_.isInstanceOf[PlanExpression[_]])) return None
-    val parts = conjuncts(condition)
+    def isSub(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[PlanExpression[_]])
+    // Top-level DISJUNCTION with exactly one subquery side: `S OR r` acts
+    // on the UNION of the two act sets, which the engine expresses in one
+    // atomic merge — matched rows (S's key match) act with condition
+    // `B OR r` (B = S's own plain conjuncts), unmatched target rows act
+    // through a NOT MATCHED BY SOURCE clause with condition `r`. Sound
+    // for non-negated membership (plain/correlated IN, equality-anchored
+    // EXISTS): S evaluates TRUE exactly on key-matched rows, so the
+    // matched/unmatched split IS the S/¬S split (a NULL key never
+    // matches — not-TRUE — and still acts iff r). Negated subqueries
+    // under OR keep the crisp unsupported error (their 3VL no-op guards
+    // don't compose with a disjunction).
+    val (splitSrc, orPlain) = condition match {
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r)
+          if isSub(l) && !isSub(r) => (l, Some(r))
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r)
+          if isSub(r) && !isSub(l) => (r, Some(l))
+      case _ => (condition, None)
+    }
+    val parts = conjuncts(splitSrc)
     val (subq0, residual0) =
       parts.partition(_.exists(_.isInstanceOf[PlanExpression[_]]))
     def unsupported(why: String): Nothing =
@@ -404,6 +424,16 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         case other => unsupported(
           "multiple subqueries: every conjunct after the first must be an " +
             s"uncorrelated single-column IN/NOT IN, got ${other.sql.take(60)}")
+      }
+    }
+    if (orPlain.isDefined && subq0.size > 1)
+      unsupported("several subquery conjuncts under a disjunction")
+    orPlain.foreach { _ =>
+      subq0 match {
+        case Seq(_: InSubquery) => ()
+        case Seq(_: org.apache.spark.sql.catalyst.expressions.Exists) => ()
+        case _ => unsupported(
+          "a disjunction's subquery side must be a plain IN or EXISTS")
       }
     }
     val (subq, residual) =
@@ -495,10 +525,13 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         val (pairs, residCor, inner) = decorrelate(ex)
         if (residCor.isEmpty)
           (pairs.map(_._1), Project(pairs.map(_._2), inner), false, false)
-        else
+        else {
+          if (orPlain.isDefined) unsupported(
+            "EXISTS with non-equality correlation under a disjunction")
           return Some(lowerResidualExists(wh, t, target, pairs, residCor,
             inner, residual, assigns, nmbs = false, unsupported,
             targetFilters))
+        }
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           ex: org.apache.spark.sql.catalyst.expressions.Exists)) =>
         val (pairs, residCor, inner) = decorrelate(ex)
@@ -553,10 +586,23 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         notMatchedBySource = Seq((cond, assignPairs)),
         sourceNullNoop = nullGuards, evolveSchema = false,
         targetInSubqueries = targetFilters))
-    } else
-      Some(GraftMergeClausesCommand(wh, t, keyCols,
-        matched = Seq((residualSql, assignPairs)), notMatched = Nil, source,
-        evolveSchema = false, targetInSubqueries = targetFilters))
+    } else orPlain match {
+      case Some(pl) =>
+        // `S OR r`: matched rows (S's key match) act iff B ∨ r (B = S's
+        // own plain conjuncts, None = always); unmatched target rows act
+        // iff r, through a conditional NMBS clause over the same source.
+        val rSql = render(pl)
+        Some(GraftMergeClausesCommand(wh, t, keyCols,
+          matched = Seq((residualSql.map(b => s"($b) OR ($rSql)"),
+            assignPairs)),
+          notMatched = Nil, source,
+          notMatchedBySource = Seq((Some(rSql), assignPairs)),
+          evolveSchema = false))
+      case None =>
+        Some(GraftMergeClausesCommand(wh, t, keyCols,
+          matched = Seq((residualSql, assignPairs)), notMatched = Nil, source,
+          evolveSchema = false, targetInSubqueries = targetFilters))
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {

@@ -629,6 +629,51 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.dml.inlineCap")
   }
 
+  test("disjunctive subquery conditions: IN/EXISTS OR plain predicate") {
+    val w = wh("catSubqOr")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gor",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gor.warehouse", w)
+    def reset(): Unit = {
+      Seq((1L, Some(10L), 0L), (2L, Some(20L), 0L), (3L, Some(30L), 0L),
+        (4L, Some(40L), 7L), (5L, None, 7L))
+        .toDF("id", "k", "v").coalesce(1).createOrReplaceTempView("or_t")
+      spark.sql("DROP TABLE IF EXISTS gor.t5")
+      spark.sql("CREATE TABLE gor.t5 AS SELECT id, k, v FROM or_t")
+    }
+    def vs(): Seq[(Long, Long)] =
+      spark.sql("SELECT id, v FROM gor.t5 ORDER BY id")
+        .as[(Long, Long)].collect().toSeq
+    Seq(10L, 20L).toDF("x").createOrReplaceTempView("or_in")
+    // IN OR plain: union of the act sets — id 1,2 via membership, 4 AND
+    // the NULL-k row 5 via the plain side (NULL k never blocks r).
+    reset()
+    spark.sql("""UPDATE gor.t5 SET v = 1 WHERE k IN (SELECT x FROM or_in)
+      | OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // Subquery side with its own plain conjunct: (IN ∧ B) ∨ r — a
+    // matched row failing B still acts when r holds.
+    reset()
+    spark.sql("""UPDATE gor.t5 SET v = 2
+      | WHERE (k IN (SELECT x FROM or_in) AND id >= 2) OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 2L, 5L -> 2L))
+    // EXISTS OR plain, and as a DELETE.
+    reset()
+    Seq((1L, "a"), (3L, "b")).toDF("id2", "tag")
+      .createOrReplaceTempView("or_ex")
+    spark.sql("""DELETE FROM gor.t5 WHERE EXISTS
+      | (SELECT 1 FROM or_ex WHERE id2 = id) OR v = 7""".stripMargin)
+    assert(vs().map(_._1) == Seq(2L))
+    // Negated subqueries under OR keep the crisp unsupported error.
+    reset()
+    val err = intercept[Exception](spark.sql(
+      """DELETE FROM gor.t5 WHERE k NOT IN (SELECT x FROM or_in)
+        | OR v = 7""".stripMargin))
+    assert(err.getMessage.contains("disjunction"), err.getMessage)
+  }
+
   test("non-equality-correlated EXISTS/NOT EXISTS lower with ON residuals") {
     val w = wh("catExResid")
     val s0 = spark
