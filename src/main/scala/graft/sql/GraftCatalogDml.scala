@@ -186,31 +186,35 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     * component differs definitely, an empty subquery acts on everything,
     * and a NULL correlation key (inner WHERE evaluates NULL → empty list)
     * lets the target row act. */
-  /** Decorrelate a (NOT) IN ListQuery of the canonical shape — `inner =
-    * outer` equality conjuncts in the subquery's top-level filter —
-    * into (correlation pairs, the value projection, the plain-filtered
-    * inner plan); anything deeper keeps the crisp unsupported error. */
+  /** Decorrelate a (NOT) IN ListQuery of the canonical shape —
+    * correlation conjuncts in the subquery's top-level filter — into
+    * (equality correlation pairs, NON-equality correlated conjuncts, the
+    * value projection, the plain-filtered inner plan). Callers decide
+    * what to do with the non-equality remainder: IN lowers it as the
+    * merge engine's ON residual ([[lowerResidualExists]] — the value
+    * column itself anchors the equi-join), NOT IN keeps the crisp
+    * unsupported error (its 3VL doesn't compose with a residual). */
   private def decorrelateList(
       lq: org.apache.spark.sql.catalyst.expressions.ListQuery,
       what: String, unsupported: String => Nothing)
       : (Seq[(AttributeReference, AttributeReference)], Seq[Expression],
-         LogicalPlan) = {
+         Seq[Expression], LogicalPlan) = {
     import org.apache.spark.sql.catalyst.expressions.OuterReference
-    if (lq.outerAttrs.isEmpty) return (Nil, lq.plan.output, lq.plan)
+    if (lq.outerAttrs.isEmpty) return (Nil, Nil, lq.plan.output, lq.plan)
     lq.plan match {
       case p @ Project(_, f @ Filter(_, child)) =>
         val (cor, plain) = conjuncts(f.condition)
           .partition(_.exists(_.isInstanceOf[OuterReference]))
-        val pairs = cor.map {
+        val pairsB = Seq.newBuilder[(AttributeReference, AttributeReference)]
+        val residB = Seq.newBuilder[Expression]
+        cor.foreach {
           case EqualTo(i: AttributeReference, OuterReference(o: AttributeReference)) =>
-            o -> i
+            pairsB += o -> i
           case EqualTo(OuterReference(o: AttributeReference), i: AttributeReference) =>
-            o -> i
-          case other =>
-            unsupported(s"non-equality $what correlation ${other.sql}")
+            pairsB += o -> i
+          case other => residB += other
         }
-        if (pairs.isEmpty) unsupported(s"$what correlation without equality")
-        (pairs, p.projectList,
+        (pairsB.result(), residB.result(), p.projectList,
           plain.reduceOption(And).map(Filter(_, child)).getOrElse(child))
       case _ =>
         unsupported(s"correlated $what without a simple filtered subquery")
@@ -300,8 +304,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                 targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil)
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.Alias
-    val (corrPairs, projList, below) =
+    val (corrPairs, residCor, projList, below) =
       decorrelateList(lq, "NOT IN", unsupported)
+    residCor.foreach(other =>
+      unsupported(s"non-equality NOT IN correlation ${other.sql}"))
+    if (lq.outerAttrs.nonEmpty && corrPairs.isEmpty)
+      unsupported("NOT IN correlation without equality")
     val tgt = target.outputSet
     require((attrs ++ corrPairs.map(_._1)).forall(tgt.contains),
       "NOT IN values and correlation columns must be columns of the target table")
@@ -494,11 +502,48 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         // correlation column joins alongside the value column, and IN's
         // NULL semantics (never TRUE on a NULL key) fall out of the
         // strict equi-join.
-        val (pairs, projList, below) = decorrelateList(lq, "IN", unsupported)
+        val (pairs, residCor, projList, below) =
+          decorrelateList(lq, "IN", unsupported)
         val inNames = (attrs ++ pairs.map(_._1)).map(_.name)
         if (inNames.distinct.size != inNames.size)
           unsupported(
             "a target column appears twice across the IN tuple and its correlation")
+        if (residCor.nonEmpty) {
+          // NON-equality correlated conjuncts (`s.ts < t.ts` beside the
+          // values/anchors): `IN` ≡ EXISTS with the value columns as
+          // extra equality anchors — the residual rides the merge
+          // engine's ON condition, multiple witnesses collapse
+          // (dedupeMatched; DML actions are t-only).
+          if (orPlain.isDefined) unsupported(
+            "IN with non-equality correlation under a disjunction")
+          if (attrs.size != projList.size)
+            unsupported("IN tuple arity mismatch")
+          // The projected value expressions must be addressable inner
+          // ATTRIBUTES for the key pairing — alias non-attribute
+          // projections on top of the filtered plan (old attrs stay
+          // valid for the residual).
+          val (valAttrs, inner2) = {
+            val aliases = projList.zipWithIndex.map {
+              case (a: AttributeReference, _) => Left(a)
+              case (e, i) =>
+                Right(Alias(e, s"__graft_in_v$i")())
+            }
+            val extraAliases = aliases.collect { case Right(al) => al }
+            val plan =
+              if (extraAliases.isEmpty) below
+              else Project(below.output ++ extraAliases, below)
+            (aliases.map {
+              case Left(a) => a
+              case Right(al) => al.toAttribute match {
+                case ar: AttributeReference => ar
+                case other => unsupported(s"unexpected alias ${other.sql}")
+              }
+            }, plan)
+          }
+          return Some(lowerResidualExists(wh, t, target,
+            attrs.zip(valAttrs) ++ pairs, residCor, inner2,
+            residual, assigns, nmbs = false, unsupported, targetFilters))
+        }
         val named = projList.map {
           case n: org.apache.spark.sql.catalyst.expressions.NamedExpression => n
           case e => Alias(e, "v")()

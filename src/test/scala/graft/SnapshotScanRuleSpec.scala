@@ -629,6 +629,39 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.dml.inlineCap")
   }
 
+  test("IN with non-equality correlation lowers via the residual engine") {
+    val w = wh("catInResid")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.gir",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gir.warehouse", w)
+    Seq((1L, 5L, 0L), (1L, 9L, 0L), (2L, 3L, 0L), (3L, 4L, 0L))
+      .toDF("g", "ts", "v").coalesce(1).createOrReplaceTempView("ir_t")
+    spark.sql("CREATE TABLE gir.tx AS SELECT g, ts, v FROM ir_t")
+    // Value anchor (g2 = t.g) + a RANGE correlated conjunct. Row (1, 9)
+    // has TWO qualifying witnesses (ts2 = 6, 7) — must act exactly once.
+    Seq((1L, 6L), (1L, 7L), (2L, 9L), (9L, 0L)).toDF("g2", "ts2")
+      .createOrReplaceTempView("ir_s")
+    spark.sql("""UPDATE gir.tx SET v = v + 1 WHERE g IN
+      | (SELECT g2 FROM ir_s WHERE ts2 < gir.tx.ts)""".stripMargin)
+    assert(spark.sql("SELECT g, ts, v FROM gir.tx ORDER BY g, ts")
+      .as[(Long, Long, Long)].collect().toSeq == Seq(
+        (1L, 5L, 0L), (1L, 9L, 1L), (2L, 3L, 0L), (3L, 4L, 0L)))
+    // Expression-valued projection (g2 + 1) exercises the alias path; no
+    // row has a qualifying witness here (g2+1 = t.g ∧ ts2 < ts is empty
+    // on this data), so the statement must be a clean no-op.
+    spark.sql("""UPDATE gir.tx SET v = 100 WHERE g IN
+      | (SELECT g2 + 1 FROM ir_s WHERE ts2 < gir.tx.ts)""".stripMargin)
+    assert(spark.sql("SELECT sum(v) FROM gir.tx").head().getLong(0) == 1L)
+    spark.sql("""DELETE FROM gir.tx WHERE g IN
+      | (SELECT g2 + 1 FROM ir_s WHERE ts2 > gir.tx.ts)""".stripMargin)
+    // (2,3): g2=1, ts2>3 → witnesses (6,7) → delete; (3,4): g2=2,
+    // ts2>4 → witness (9) → delete; (1,5)/(1,9): g2=0 → none.
+    assert(spark.sql("SELECT g, ts FROM gir.tx ORDER BY g, ts")
+      .as[(Long, Long)].collect().toSeq == Seq(1L -> 5L, 1L -> 9L))
+  }
+
   test("disjunctive subquery conditions: IN/EXISTS OR plain predicate") {
     val w = wh("catSubqOr")
     val s0 = spark
