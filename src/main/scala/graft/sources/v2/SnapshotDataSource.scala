@@ -232,6 +232,11 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
   private val pinnedVersion: Option[Long] =
     if (changeFeed)
       Option(options.get("endingVersion")).map(_.toLong)
+        .orElse(Option(options.get("endingTimestamp")).map { ts =>
+          // Inclusive: everything committed by the instant.
+          Snapshots.versionAt(fs, warehouse,
+            java.sql.Timestamp.valueOf(ts).getTime).getOrElse(-1L)
+        })
         .orElse(Snapshots.latestVersion(fs, warehouse))
     else Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map { ts =>
@@ -254,7 +259,13 @@ class SnapshotBatchRelation(override val sqlContext: org.apache.spark.sql.SQLCon
     if (changeFeed)
       Snapshots.changes(spark, warehouse, table,
         fromExclusive =
-          Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L),
+          Option(options.get("startingVersion")).map(_.toLong)
+            .orElse(Option(options.get("startingTimestamp")).map { ts =>
+              // Delta-parity INCLUSIVE timestamp bound: serve changes
+              // committed at or after the instant.
+              Snapshots.versionAt(fs, warehouse,
+                java.sql.Timestamp.valueOf(ts).getTime - 1).getOrElse(-1L)
+            }).getOrElse(-1L),
         toInclusive = pinnedVersion)
     else Snapshots.read(spark, warehouse, table, asOf = pinnedVersion,
       mergeSchema = mergeSchema, dataFilter = dataFilter)
@@ -776,8 +787,16 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
   private val spark = SparkSession.active
   private val warehouse = SnapshotDataSource.required(options, "warehouse")
   private val table = SnapshotDataSource.required(options, "table")
+  // `startingTimestamp` (Delta parity, INCLUSIVE: changes committed at or
+  // after the instant are served) resolves to the exclusive version bound
+  // "latest version committed strictly before the timestamp".
   private val startingVersion =
-    Option(options.get("startingVersion")).map(_.toLong).getOrElse(-1L)
+    Option(options.get("startingVersion")).map(_.toLong)
+      .orElse(Option(options.get("startingTimestamp")).map { ts =>
+        Snapshots.versionAt(fs, warehouse,
+          java.sql.Timestamp.valueOf(ts).getTime - 1).getOrElse(-1L)
+      })
+      .getOrElse(-1L)
   private val skipChangeCommits =
     Option(options.get("skipChangeCommits")).exists(_.toBoolean)
   private val readChangeFeed = SnapshotDataSource.readChangeFeed(options)

@@ -157,9 +157,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*OPTIMIZE\s+([\w.]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s+\(([^)]+)\)\s*)?".r
   // Conjunctive partition-equality predicates only: k='v' [AND k2='v2' …]
   private val PartEqRe = raw"(?i)\s*([\w]+)\s*=\s*'([^']*)'\s*".r
-  // Optional TABLE keyword = the Delta spelling (`RESTORE TABLE t TO …`).
+  // Optional TABLE keyword = the Delta spelling (`RESTORE TABLE t TO …`);
+  // TIMESTAMP AS OF resolves through the log's entry times like reads.
   private val RestoreRe =
     raw"(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*".r
+  private val RestoreTsRe =
+    raw"(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*".r
   // Zero-copy shallow clone: one metadata commit, no data movement.
   private val CloneRe =
     raw"(?is)\s*SNAPSHOT\s+CLONE\s+([\w.]+)\s+TO\s+([\w.]+)\s*(?:VERSION\s+AS\s+OF\s+(\d+)\s*)?".r
@@ -440,6 +443,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case RestoreRe(table, version) =>
       val (rWh, rTable) = resolveTarget(table)
       GraftRestoreCommand(rWh, rTable, version.toLong)
+    case RestoreTsRe(table, ts) =>
+      val (rWh, rTable) = resolveTarget(table)
+      val v = Snapshots.versionAt(
+        new Path(rWh).getFileSystem(session.sparkContext.hadoopConfiguration),
+        rWh, java.sql.Timestamp.valueOf(ts).getTime).getOrElse(
+        throw new IllegalStateException(
+          s"no snapshot version existed at '$ts' under $rWh"))
+      GraftRestoreCommand(rWh, rTable, v)
     case CloneRe(src, dst, version) =>
       val (sWh, sT) = resolveTarget(src)
       val (dWh, dT) = resolveTarget(dst)

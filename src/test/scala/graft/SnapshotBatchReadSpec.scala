@@ -108,6 +108,22 @@ class SnapshotBatchReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Bounded range excludes the merge.
     assert(load(w, "t", Map("readChangeFeed" -> "true",
       "startingVersion" -> "0", "endingVersion" -> "1")).count() == 1)
+    // Delta-parity TIMESTAMP bounds: startingTimestamp is INCLUSIVE of
+    // commits at/after the instant, endingTimestamp of commits by it.
+    val entries = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+    def fmtTs(v: Long): String = new java.text.SimpleDateFormat(
+      "yyyy-MM-dd HH:mm:ss.SSS").format(
+      new java.sql.Timestamp(entries.find(_.version == v).get.mtime))
+    // From v1's own commit instant: v1 and v2 changes serve (v1's insert
+    // + the merge's pre/postimage rows).
+    assert(load(w, "t", Map("readChangeFeed" -> "true",
+      "startingTimestamp" -> fmtTs(1L))).count() ==
+      Snapshots.changes(spark, w, "t", fromExclusive = 0L).count())
+    // Ending at v1's instant: only v1's insert (when v2 landed in the
+    // same millisecond the window widens — tolerate both).
+    val ended = load(w, "t", Map("readChangeFeed" -> "true",
+      "startingVersion" -> "0", "endingTimestamp" -> fmtTs(1L))).count()
+    assert(ended >= 1 && ended <= 3, s"got $ended")
   }
 
   test("batch read subtracts deletion vectors, with and without pushed filters") {

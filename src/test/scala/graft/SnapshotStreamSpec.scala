@@ -61,6 +61,25 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination()
   }
 
+  test("startingTimestamp resolves the stream's initial offset (Delta parity)") {
+    val w = wh("whStartTs")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, (0 until 10).map(i => i.toLong -> s"a$i"))   // v0
+    Thread.sleep(20) // distinct entry mtimes
+    publishKv(w, (10 until 15).map(i => i.toLong -> s"b$i"))  // v1
+    val v1ts = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+      .find(_.version == 1L).get.mtime
+    // INCLUSIVE of v1: a start at v1's own instant serves v1's rows.
+    val ts = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      .format(new java.sql.Timestamp(v1ts))
+    val out = wh("whStartTsOut")
+    drain(w, out, wh("whStartTsCkpt"),
+      Map("startingTimestamp" -> ts))
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().sorted.toSeq == (10L until 15L))
+  }
+
   test("exactly-once across restarts; compaction rewrites never re-delivered") {
     val w = wh("whEo")
     val out = wh("whEoOut"); val ckpt = wh("whEoCkpt")

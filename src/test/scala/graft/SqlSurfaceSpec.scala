@@ -651,6 +651,27 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       metaRow.getAs[Long]("n_removed") == 0L)
   }
 
+  test("RESTORE TO TIMESTAMP AS OF rolls back via the log's entry times") {
+    val s0 = spark
+    import s0.implicits._
+    def pub(ids: Seq[Long]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      ids.map(i => (i, i)).toDF("id", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/rts")
+      val moves = TxnCommit.movesFor(fs, wh, cid, "rts")
+      TxnCommit.commit(fs, wh, cid, moves)
+      TxnCommit.publish(fs, wh, cid, moves)
+    }
+    pub(0L until 5L)
+    val v1 = Snapshots.latestVersion(fs, wh).get
+    pub(5L until 12L)
+    val ts = new java.sql.Timestamp(Snapshots.entries(fs, wh)
+      .filterNot(_.isCheckpoint).find(_.version == v1).get.mtime)
+    assert(Snapshots.read(spark, wh, "rts").count() == 12)
+    spark.sql(s"RESTORE TABLE rts TO TIMESTAMP AS OF '$ts'")
+    assert(Snapshots.read(spark, wh, "rts").count() == 5)
+  }
+
   test("ADD COLUMN DEFAULT: pre-add rows read it; stored values win; DML materializes it") {
     val s0 = spark
     import s0.implicits._
