@@ -91,8 +91,19 @@ object Compaction {
     // the moment the narrow files physically widen; flat-era rows read
     // evolved partition columns as null (cross-group widening rides union
     // coercion).
+    // Column defaults: a compaction merging pre-add and post-add files
+    // would otherwise write the pre-add rows' values as stored NULLs into
+    // column-carrying outputs — silently LOSING the default. Split groups
+    // by defaulted-column presence and inject the constants: the rewrite
+    // is the moment the metadata default becomes physical (same stance as
+    // type widening).
+    val fsW = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val defaults = Snapshots.columnDefaults(fsW, warehouse, table, None,
+      Snapshots.columnMapping(fsW, warehouse, table))
     val groups =
-      if (partCols.isEmpty) Seq(acts) else Snapshots.layoutGroups(acts)
+      (if (partCols.isEmpty) Seq(acts) else Snapshots.layoutGroups(acts))
+        .flatMap(_.groupBy(Snapshots.defaultPresence(_, defaults)).values)
     val frames = groups.map { g =>
       val bp =
         if (g.head.partition.isEmpty) None
@@ -100,7 +111,8 @@ object Compaction {
       val rd0 = bp.fold(spark.read)(p => spark.read.option("basePath", p))
       val df0 = Snapshots.widenedSchema(spark, g, bp)
         .fold(rd0)(rd0.schema).parquet(g.map(_.file): _*)
-      Snapshots.applyDv(spark, df0, g)
+      Snapshots.injectDefaults(Snapshots.applyDv(spark, df0, g),
+        Snapshots.defaultPresence(g.head, defaults), defaults)
     }
     (Snapshots.deVoidPartitions(
       frames.reduce(_.unionByName(_, allowMissingColumns = true)), partCols),

@@ -1046,9 +1046,29 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
                 s.copy(rows = math.max(0L, s.rows - a.dvCount))
               else s)
             (SnapshotInputPartition(a.file, a.partitionMap, v,
-              Some("insert"), a.dvPath), st)
+              Some("insert"), a.dvPath, defaultsFor(a)), st)
           }
         }
+  }
+
+  // Initial-defaults for a streamed file that predates a defaulted column
+  // (a new stream replaying old append commits must serve what the batch
+  // read serves). Current-era properties/mapping, like the stream schema.
+  private lazy val streamDefaults: (Map[String, String], Map[String, String]) = {
+    val mapping = Snapshots.columnMapping(fs, warehouse, table)
+    val phys = Snapshots.columnDefaults(fs, warehouse, table, None, mapping)
+    val toLogical = mapping.map(_.cols.map { case (l, p) => p -> l }.toMap)
+      .getOrElse(Map.empty[String, String])
+    (phys, toLogical)
+  }
+  private def defaultsFor(a: Snapshots.Action): Map[String, String] = {
+    val (phys, toLogical) = streamDefaults
+    if (phys.isEmpty) Map.empty
+    else {
+      val present = Snapshots.defaultPresence(a, phys)
+      phys.collect { case (p, text) if !present(p) =>
+        toLogical.getOrElse(p, p) -> text }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

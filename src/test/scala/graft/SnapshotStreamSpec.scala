@@ -61,6 +61,30 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination()
   }
 
+  test("a new stream serves initial-defaults for pre-add-era commits") {
+    val w = wh("whStreamDfl")
+    val s0 = spark
+    import s0.implicits._
+    publishKv(w, Seq(1L -> "a", 2L -> "b")) // pre-add era
+    graft.ingest.SchemaEvolution.addColumn(spark, w, "t", "tag",
+      default = Some("'old'"))
+    // Post-add era with the column present (typed; one explicit NULL).
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((3L, "c", Some("new")), (4L, "d", None: Option[String]))
+      .toDF("id", "val", "tag").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val mv = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, mv)
+    TxnCommit.publish(fs, w, cid, mv)
+    val out = wh("whStreamDflOut")
+    drain(w, out, wh("whStreamDflCkpt"))
+    val got = spark.read.parquet(out).select("id", "tag").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "old", 2L -> "old", 3L -> "new", 4L -> null),
+      s"got $got")
+  }
+
   test("startingTimestamp resolves the stream's initial offset (Delta parity)") {
     val w = wh("whStartTs")
     val s0 = spark

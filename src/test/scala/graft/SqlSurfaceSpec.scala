@@ -704,6 +704,13 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "dfl")
       .selectExpr("cast(score as long)").collect()
       .forall(_.getLong(0) == 7L))
+    // OPTIMIZE merges pre-add and post-add files into one: the defaults
+    // must MATERIALIZE in the rewrite, never degrade to stored NULLs.
+    spark.sql("OPTIMIZE dfl")
+    assert(notes() == Map(1L -> "n/a", 2L -> "n/a", 3L -> "x", 4L -> null))
+    assert(Snapshots.read(spark, wh, "dfl")
+      .selectExpr("cast(score as long)").collect()
+      .forall(_.getLong(0) == 7L))
   }
 
   test("an unreachable warehouse never breaks parsing of non-graft DML") {
