@@ -772,6 +772,65 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("graft.merge.schemaEvolution")
   }
 
+  test("randomized subquery-DML ≡ Spark's own filter semantics") {
+    // Model check: every lowered subquery shape, on random NULL-carrying
+    // data, must delete EXACTLY the rows Spark's own 3VL filter semantics
+    // say are TRUE — Spark evaluating the identical condition on a plain
+    // view is the oracle, so any divergence in a lowering's NULL traps,
+    // witness handling, or join shape fails here.
+    val w = wh("catSubqRnd")
+    val s0 = spark
+    import s0.implicits._
+    spark.conf.set("spark.sql.catalog.grnd",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grnd.warehouse", w)
+    val conds = Seq(
+      "k IN (SELECT x FROM rnd_s1)",
+      "k NOT IN (SELECT x FROM rnd_s1)",
+      "(g, k) NOT IN (SELECT g2, x2 FROM rnd_s2)",
+      "k IN (SELECT x FROM rnd_s1) AND g IN (SELECT g2 FROM rnd_s2)",
+      "k IN (SELECT x FROM rnd_s1) AND g NOT IN (SELECT g2 FROM rnd_s2)",
+      "k IN (SELECT x FROM rnd_s1) OR v >= 50",
+      "EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g)",
+      "NOT EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g)",
+      "k NOT IN (SELECT x2 FROM rnd_s2 WHERE rnd_s2.g2 = grnd.t6.g)",
+      "k IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v)")
+    try {
+      for (seed <- Seq(11, 47)) {
+        val rnd = new scala.util.Random(seed)
+        def mk[T](f: => T, nullEvery: Int): Option[T] =
+          if (rnd.nextInt(nullEvery) == 0) None else Some(f)
+        val rows = (0 until 40).map(i => (i.toLong,
+          mk(rnd.nextInt(6).toLong, 10),
+          mk(rnd.nextInt(20).toLong, 10),
+          rnd.nextInt(100).toLong))
+        rows.toDF("id", "g", "k", "v").coalesce(2)
+          .createOrReplaceTempView("rnd_t")
+        (0 until 8).map(_ => mk(rnd.nextInt(20).toLong, 8)).toDF("x")
+          .createOrReplaceTempView("rnd_s1")
+        (0 until 8).map(_ =>
+          (mk(rnd.nextInt(6).toLong, 8), mk(rnd.nextInt(20).toLong, 8)))
+          .toDF("g2", "x2").createOrReplaceTempView("rnd_s2")
+        for (cond <- conds) {
+          // Both secondary routes: literal inline and the join lowering.
+          spark.conf.set("graft.dml.inlineCap",
+            if (rnd.nextBoolean()) "0" else "1024")
+          spark.sql("DROP TABLE IF EXISTS grnd.t6")
+          spark.sql("CREATE TABLE grnd.t6 AS SELECT id, g, k, v FROM rnd_t")
+          spark.sql(s"DELETE FROM grnd.t6 WHERE $cond")
+          val got = spark.sql("SELECT id FROM grnd.t6")
+            .as[Long].collect().sorted.toSeq
+          val oracleCond = cond.replace("grnd.t6.", "rnd_t.")
+          val expected = spark.sql(
+            s"SELECT id FROM rnd_t WHERE NOT coalesce(($oracleCond), false)")
+            .as[Long].collect().sorted.toSeq
+          assert(got == expected,
+            s"seed $seed cond [$cond]: got $got expected $expected")
+        }
+      }
+    } finally spark.conf.unset("graft.dml.inlineCap")
+  }
+
   test("maintenance statements accept catalog-qualified names") {
     val w = wh("catMaint")
     val s0 = spark
