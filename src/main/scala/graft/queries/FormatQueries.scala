@@ -390,6 +390,29 @@ object FormatQueries {
         .select(col("n_nationkey"), col("n_name"), col("n_tag"))
     }),
 
+    // Same-scale DECIMAL precision widening across commits: a (10,2) era
+    // and a (14,2) era mix on one column; the read resolves the widest
+    // precision and serves every era's values exactly. Ground truth: the
+    // same CASE over the fixture, cast to the wide type.
+    "fmt_decimal_widen" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_decimal_widen", d) {
+        val w = freshWh()
+        val base = nation(s, d)
+        def era(pred: org.apache.spark.sql.Column, p: Int,
+                offset: String): DataFrame =
+          base.filter(pred).select(col("n_nationkey"),
+            (col("n_nationkey").cast("decimal(10,2)") + expr(offset))
+              .cast(s"decimal($p,2)").as("amt"))
+        publish(s, w, "nation_dec",
+          era(col("n_nationkey") < 15, 10, "0.25BD"))
+        publish(s, w, "nation_dec",
+          era(col("n_nationkey") >= 15, 14, "123456789000.25BD"))
+        w
+      }
+      Snapshots.read(s, wh, "nation_dec").select(col("n_nationkey"),
+        col("amt").cast("decimal(14,2)").as("amt"))
+    }),
+
     // The LARGE-source merge route (graft.merge.broadcastMaxRows exceeded):
     // the broadcast hint drops, the clause-evaluation joins plan as shuffle
     // joins, and driver-side point-key enumeration is skipped — the
@@ -880,6 +903,12 @@ object FormatQueries {
         |FROM nation
         |WHERE NOT (n_nationkey < 15 AND n_regionkey = 4)
         |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
+    "fmt_decimal_widen" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CAST(CASE WHEN n_nationkey < 15 THEN n_nationkey + 0.25
+        |                 ELSE n_nationkey + 123456789000.25 END
+        |            AS DECIMAL(14,2)) AS amt
+        |FROM nation""".stripMargin,
     "fmt_default" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CASE WHEN n_nationkey < 15 THEN 'legacy'
