@@ -161,6 +161,22 @@ object SchemaEvolution {
                 name: String, default: Option[String] = None): String = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Defaults must be PLAIN literals: the per-file DSv2 reader serves
+    // them as parsed constants, so an expression (function call, cast,
+    // column ref) would silently diverge between read paths — reject at
+    // declaration, not at first read.
+    default.foreach { d =>
+      val e =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(d)
+        catch { case scala.util.control.NonFatal(ex) =>
+          throw new IllegalArgumentException(
+            s"unparseable DEFAULT '$d' for column '$name'", ex)
+        }
+      require(e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal],
+        s"DEFAULT for column '$name' must be a plain literal " +
+          s"(number, 'string', true/false), got '$d'")
+    }
     val base = Snapshots.latestVersion(fs, warehouse)
     val m = mappingOrIdentity(spark, warehouse, table)
     require(!m.logicalNames.contains(name), s"column '$name' already exists in $table")

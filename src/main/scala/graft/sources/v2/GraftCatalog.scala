@@ -432,8 +432,13 @@ class GraftCatalogTable(tableSchema: StructType,
 
   /** Live-row bound from the log's stats tokens (the table's own
     * versionAsOf property honored) — zero jobs; [[graft.ingest.Merge]]
-    * routes merge-source sizing through this instead of a probe job. */
+    * routes merge-source sizing through this instead of a probe job. A
+    * timestampAsOf pin refuses (latest-version tokens would not bound a
+    * time-traveled read of a since-shrunk table) — callers fall back to
+    * the probe. */
   private[graft] def logRowBound: Option[Long] = {
+    if (props.containsKey("timestampAsOf") &&
+        props.get("timestampAsOf") != null) return None
     val wh = props.get("warehouse")
     val t = props.get("table")
     val fs = new org.apache.hadoop.fs.Path(wh).getFileSystem(

@@ -704,6 +704,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "dfl")
       .selectExpr("cast(score as long)").collect()
       .forall(_.getLong(0) == 7L))
+    // Non-literal defaults are rejected at declaration (the per-file
+    // reader serves parsed constants — expressions would diverge).
+    val exd = intercept[IllegalArgumentException](spark.sql(
+      "ALTER TABLE dfl ADD COLUMN bad STRING DEFAULT upper(name)"))
+    assert(exd.getMessage.contains("plain literal"), exd.getMessage)
     // OPTIMIZE merges pre-add and post-add files into one: the defaults
     // must MATERIALIZE in the rewrite, never degrade to stored NULLs.
     spark.sql("OPTIMIZE dfl")
