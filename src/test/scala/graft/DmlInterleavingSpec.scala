@@ -55,8 +55,12 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     append(w, freshBatch(20))
     val chaosModes = scala.collection.mutable.Set.empty[Int]
+    // Set once mid-chain: a defaulted column joins the table; every row —
+    // pre-add, post-add (appends never write it), rewritten by CoW/DV/
+    // compaction/merges — must read the default forever after.
+    var defaultAdded = false
     (1 to 24).foreach { step =>
-      rng.nextInt(8) match {
+      rng.nextInt(9) match {
         case 0 => append(w, freshBatch(5 + rng.nextInt(10)))
         case 1 => // DV delete of a residue class among live ids
           val k = 2 + rng.nextInt(4); val r = rng.nextInt(k)
@@ -146,13 +150,26 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
               s"step $step: replayed commitId merge must land nothing")
             srcRows.foreach { case (i, sv) => model(i) = model(i) + sv }
           }
+        case 8 => // initial-default column joins the chain (once)
+          if (!defaultAdded) {
+            graft.ingest.SchemaEvolution.addColumn(spark, w, "t", "tag",
+              default = Some("'d'"))
+            defaultAdded = true
+          }
       }
       val got = Snapshots.read(spark, w, "t").select("id", "v").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == model.toMap, s"divergence after step $step")
+      if (defaultAdded) {
+        val tags = Snapshots.read(spark, w, "t").select("tag").collect()
+        assert(tags.forall(r => !r.isNullAt(0) && r.getString(0) == "d"),
+          s"step $step: a row lost the column default")
+      }
     }
     assert(chaosModes.contains(0) && chaosModes.contains(1),
       s"chaos coverage: both crash modes must have fired (got $chaosModes)")
+    assert(defaultAdded,
+      "chaos coverage: the defaulted column must have joined the chain")
   }
 
   test("commitId replay is a no-op even after vacuum reaps the entry") {
