@@ -149,7 +149,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // grammar, but gated on a configured warehouse so sessions without
   // graft still get the delegate's own error.
   private val DescHistoryRe =
-    raw"(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*".r
+    raw"(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*(?:LIMIT\s+(\d+)\s*)?".r
   // FROM optional (omitted or negative = the log's beginning), TO inclusive.
   private val ChangesRe =
     raw"(?is)\s*SNAPSHOT\s+CHANGES\s+OF\s+([\w.]+)\s*(?:FROM\s+(-?\d+)\s*)?(?:TO\s+(\d+)\s*)?".r
@@ -387,14 +387,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // warehouse conf must not hijack `DESCRIBE HISTORY` for Delta/parquet
     // tables living in the same session (those fall through to the
     // delegate parser's own handling).
-    case DescHistoryRe(table)
+    case DescHistoryRe(table, limit)
         if scala.util.Try(resolveTarget(table)).toOption
           .exists { case (w, t0) => isGraftTableIn(w, t0) } =>
       val (dhWh, dhT) = resolveTarget(table)
-      Snapshots.history(session, dhWh)
+      val h = Snapshots.history(session, dhWh)
         .filter(org.apache.spark.sql.functions.array_contains(
           org.apache.spark.sql.functions.split(
             org.apache.spark.sql.functions.col("tables"), ","), dhT))
+      // Optional LIMIT n (the Delta spelling): newest n commits.
+      Option(limit).map(_.toInt).fold(h)(h.limit)
         .queryExecution.logical
     case HistoryRe(table, inCat) =>
       // Optional `OF t`: only the versions that touched that table

@@ -111,6 +111,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Delta-compat aliases: DESCRIBE HISTORY t ≡ SNAPSHOT HISTORY OF t.
     assert(spark.sql("DESCRIBE HISTORY t").collect().map(_.getLong(0)).toSeq ==
       spark.sql("SNAPSHOT HISTORY OF t").collect().map(_.getLong(0)).toSeq)
+    // LIMIT n = newest n commits (history is newest-first).
+    assert(spark.sql("DESCRIBE HISTORY t LIMIT 2").collect()
+      .map(_.getLong(0)).toSeq ==
+      spark.sql("DESCRIBE HISTORY t").collect().map(_.getLong(0))
+        .take(2).toSeq)
   }
 
   test("OPTIMIZE bin-packs; OPTIMIZE ZORDER BY clusters; results mirror the API") {
