@@ -638,8 +638,22 @@ object Snapshots {
   private def writeCheckpoint(fs: FileSystem, warehouse: String, version: Long,
                               commitId: String): Unit = {
     val folded = stateAt(fs, warehouse, Some(version)).getOrElse(return)
+    // Applied-txn retention ([[setTxnRetention]]): expired AD-HOC registry
+    // entries (payload `0@<registeredAtMs>`) drop here — the checkpoint is
+    // the registry's only carrier once the original delta falls below the
+    // anchor, so not re-emitting IS the expiry. Watermark entries (plain
+    // long payload) and everything else pass through untouched.
+    val cutoffMs = txnRetentionMs(folded.metas)
+      .map(System.currentTimeMillis() - _)
+    val keptMetas = folded.metas.toSeq.filter { case (k, m) =>
+      !(k.startsWith("#txn#") && cutoffMs.exists(c =>
+        m.split('@') match {
+          case Array(_, ts) => ts.toLongOption.exists(_ < c)
+          case _ => false
+        }))
+    }
     writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
-      folded.metas.toSeq.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
+      keptMetas.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
         folded.files.toSeq.flatMap { case (t, fsq) =>
           fsq.toSeq.map { case (f, (part, stats, dv)) =>
             val base = s"ADD\t$t\t$f\t$part\t$stats"
@@ -1263,32 +1277,49 @@ object Snapshots {
     * included), so the log can never forget an applied batch, no matter
     * how aggressive the retention.
     *
-    * CommitIds of the form `<app>-<n>` (the documented streaming
-    * convention, `merge-<queryId>-<table>-<batchId>` /
-    * `stream-<table>-<batchId>`) register app → n and count as applied iff
-    * n ≤ the recorded watermark — batches commit in order per stream, so
-    * the registry stays O(#streams), like Delta's per-appId version. Any
-    * other commitId registers itself verbatim at version 0 (pure
-    * membership; distinct ad-hoc ids accumulate in the META state exactly
-    * as Delta's appIds do — prefer the suffix convention for unbounded
-    * loops). */
-  private val TxnIdRe = "^(.+)-(\\d{1,18})$".r
+    * FRAMEWORK-MINTED commitIds — `merge-<queryId>-<table>-<batchId>` and
+    * `stream-[<queryId>-]<table>-<batchId>`, the ONLY shapes this engine
+    * mints itself — register app → n and count as applied iff n ≤ the
+    * recorded watermark: batches commit in order per stream, so the
+    * registry stays O(#streams), like Delta's per-appId version. The
+    * watermark interpretation is gated on those documented prefixes, NOT
+    * inferred from id shape: a caller-supplied replay key that merely
+    * ends in digits (`load-20240105`, parallel backfills `job-7`/`job-3`)
+    * is registered VERBATIM — pure membership, order-independent — so an
+    * out-of-order ad-hoc commit can never be mistaken for already-applied
+    * (the Delta SetTransaction contract, where appId/version are always
+    * explicit). Verbatim entries carry their registration wall-clock and
+    * are subject to [[setTxnRetention]] expiry at checkpoint time;
+    * watermarks are exempt (they are O(#streams), never accumulate). */
+  private val TxnIdRe = "^((?:merge|stream)-.+)-(\\d{1,18})$".r
   private[graft] def txnParse(commitId: String): (String, Long) =
     commitId match {
       case TxnIdRe(app, v) => (app, v.toLong)
       case _ => (commitId, 0L)
     }
+  /** Is `commitId` a framework-minted `<app>-<n>` watermark id (vs an
+    * ad-hoc verbatim-membership key)? */
+  private[graft] def txnIsWatermark(commitId: String): Boolean =
+    TxnIdRe.matches(commitId)
   private def txnMetaKey(appId: String): String =
     "#txn#" + java.net.URLEncoder.encode(appId, StandardCharsets.UTF_8)
 
-  /** The applied-version watermark of a txn app, if any was recorded. */
+  /** The applied-version watermark of a txn app, if any was recorded.
+    * Verbatim (ad-hoc) entries answer 0 — membership only; their payload
+    * also carries a `@<registeredAtMs>` tail for retention, which this
+    * accessor strips. */
   def txnVersion(fs: FileSystem, warehouse: String, appId: String)
       : Option[Long] =
     stateAt(fs, warehouse, None)
-      .flatMap(_.metas.get(txnMetaKey(appId))).flatMap(_.toLongOption)
+      .flatMap(_.metas.get(txnMetaKey(appId)))
+      .flatMap(_.split('@').head.toLongOption)
 
   /** Was `commitId` provably applied? Survives log vacuum — the check the
-    * exactly-once merge/stream replay paths pair with the raw entry scan. */
+    * exactly-once merge/stream replay paths pair with the raw entry scan.
+    * For ad-hoc ids this is pure membership; a verbatim entry expired by
+    * [[setTxnRetention]] makes the replay UNPROVABLE and the batch
+    * re-applies (documented at-least-once fallback past retention, the
+    * Delta setTransactionRetentionDuration trade-off). */
   def txnApplied(fs: FileSystem, warehouse: String, commitId: String)
       : Boolean = {
     val (app, v) = txnParse(commitId)
@@ -1297,14 +1328,44 @@ object Snapshots {
 
   /** The META entry recording `commitId` as applied — handed to
     * [[append]]'s `metas` so the record lands ATOMICALLY with the
-    * commit's own log entry (one file, one put-if-absent). Max-guarded: a
-    * recovery replay of an older batch must never regress the watermark. */
+    * commit's own log entry (one file, one put-if-absent). Watermark ids
+    * are max-guarded (a recovery replay of an older batch must never
+    * regress the watermark); verbatim ids stamp their registration time
+    * for [[setTxnRetention]] expiry. */
   private[graft] def txnMetaEntry(fs: FileSystem, warehouse: String,
                                   commitId: String): (String, String) = {
     val (app, v) = txnParse(commitId)
-    val cur = txnVersion(fs, warehouse, app).getOrElse(Long.MinValue)
-    (txnMetaKey(app), math.max(v, cur).toString)
+    if (txnIsWatermark(commitId)) {
+      val cur = txnVersion(fs, warehouse, app).getOrElse(Long.MinValue)
+      (txnMetaKey(app), math.max(v, cur).toString)
+    } else
+      (txnMetaKey(app), s"0@${System.currentTimeMillis()}")
   }
+
+  /** Warehouse-level retention for AD-HOC applied-txn registry entries
+    * (the Delta `setTransactionRetentionDuration` analog, property name
+    * `graft.txn.retentionMs`). Verbatim commitId entries older than this
+    * are dropped when the next CHECKPOINT is written — the registry stays
+    * bounded under undisciplined callers minting unbounded distinct keys —
+    * at the documented cost that a replay arriving PAST retention is no
+    * longer provably applied and re-applies (at-least-once; size it to
+    * the longest plausible replay gap, like vacuum's `minAgeMs`).
+    * Framework `<app>-<n>` watermark entries are exempt: they are
+    * O(#streams) and must survive any schedule. Unset (the default) =
+    * keep everything forever. */
+  def setTxnRetention(fs: FileSystem, warehouse: String,
+                      retentionMs: Long): Unit = {
+    require(retentionMs >= 0, s"negative retention: $retentionMs")
+    val base = latestVersion(fs, warehouse)
+    append(fs, warehouse, "txnret" +
+        java.util.UUID.randomUUID().toString.replace("-", ""),
+      adds = Nil, removes = Nil, op = "meta", baseVersion = base,
+      metas = Seq(TxnRetentionKey -> retentionMs.toString))
+  }
+  private val TxnRetentionKey = "#txn.retention"
+  private[graft] def txnRetentionMs(metas: collection.Map[String, String])
+      : Option[Long] =
+    metas.get(TxnRetentionKey).flatMap(_.toLongOption)
 
   private def encodeProps(props: Map[String, String]): String = {
     def e(s: String) = java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)

@@ -185,7 +185,7 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
         notMatched = Nil, commitId = Some(cid))
     def vOf3(): Long = Snapshots.read(spark, w, "t")
       .filter(col("id") === 3L).select("v").collect().head.getLong(0)
-    assert(run("vr-app-t-1").rowsMatched == 1L)
+    assert(run("merge-vrapp-t-1").rowsMatched == 1L)
     assert(run("adhocmerge").rowsMatched == 1L) // suffix-less id, same guarantee
     assert(vOf3() == 230L) // 30 + 100 + 100
     // Push the log far past both merge entries, then vacuum aggressively —
@@ -193,12 +193,12 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     (0 until 20).foreach(i => append(w, Seq(1000L + i)))
     Snapshots.vacuum(fs, w, keepVersions = 2, minAgeMs = 0L)
     assert(!Snapshots.entries(fs, w).exists(e =>
-        e.commitId == "vr-app-t-1" || e.commitId == "adhocmerge"),
+        e.commitId == "merge-vrapp-t-1" || e.commitId == "adhocmerge"),
       "precondition: vacuum must have reaped the merge entries")
     // Late CDC replays (the zombie-after-vacuum window): the vacuum-exempt
     // applied-txn registry — carried by the cutoff checkpoint — must prove
     // both applied, and land NOTHING.
-    for (cid <- Seq("vr-app-t-1", "adhocmerge")) {
+    for (cid <- Seq("merge-vrapp-t-1", "adhocmerge")) {
       val replay = run(cid)
       assert(replay.rowsMatched == 0 && replay.filesRewritten == 0,
         s"replay of vacuumed $cid must be a no-op")
@@ -206,9 +206,9 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vOf3() == 230L, "a vacuumed-entry replay re-applied the batch")
     // A LOWER batch of the same stream is also provably applied (batches
     // commit in order — the Delta txn-version semantics).
-    assert(run("vr-app-t-0").rowsMatched == 0)
+    assert(run("merge-vrapp-t-0").rowsMatched == 0)
     // The NEXT batch of the stream still applies normally.
-    assert(run("vr-app-t-2").rowsMatched == 1L)
+    assert(run("merge-vrapp-t-2").rowsMatched == 1L)
     assert(vOf3() == 330L)
 
     // Streaming-sink epochs get the same guarantee through commitBatch.
@@ -222,6 +222,88 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 1L)).toDF("id", "v"), w, "t2", batchId = 1L)
     assert(Snapshots.read(spark, w, "t2").count() == 1L,
       "a vacuumed stream epoch replay re-landed its batch")
+  }
+
+  test("out-of-order ad-hoc commitIds with numeric suffixes all apply") {
+    // The watermark interpretation is gated on framework prefixes: a
+    // caller-supplied replay key that merely ENDS in digits must get pure
+    // membership semantics. Before the gate, 'load-20240105' registered
+    // app='load' @ 20240105 and a later 'load-20240104' was silently
+    // dropped as "already applied" — a batch lost forever.
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("adhocorder")
+    append(w, 0L until 10L)
+    def run(cid: String): Merge.Result =
+      Merge.mergeClauses(spark, w, "t", Seq((3L, 100L)).toDF("id", "v"),
+        Seq("id"),
+        matched = Seq(Merge.WhenClause(None,
+          Some(Seq("v" -> expr("t.v + s.v"))))),
+        notMatched = Nil, commitId = Some(cid))
+    def vOf3(): Long = Snapshots.read(spark, w, "t")
+      .filter(col("id") === 3L).select("v").collect().head.getLong(0)
+    assert(run("load-20240105").rowsMatched == 1L)
+    assert(run("load-20240104").rowsMatched == 1L,
+      "an EARLIER-suffixed ad-hoc id must still apply (no inferred watermark)")
+    assert(run("job-7").rowsMatched == 1L)
+    assert(run("job-3").rowsMatched == 1L,
+      "parallel per-partition backfill keys are independent")
+    assert(vOf3() == 430L)
+    // Replays of each stay exactly-once via verbatim membership — even
+    // after vacuum reaps the entries (registry-carried).
+    (0 until 20).foreach(i => append(w, Seq(1000L + i)))
+    Snapshots.vacuum(fs, w, keepVersions = 2, minAgeMs = 0L)
+    for (cid <- Seq("load-20240105", "load-20240104", "job-7", "job-3"))
+      assert(run(cid).rowsMatched == 0, s"replay of $cid re-applied")
+    assert(vOf3() == 430L)
+  }
+
+  test("ad-hoc txn retention: entries expire at checkpoint, watermarks exempt") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("txnret")
+    append(w, 0L until 5L)
+    // A framework watermark and 1k ad-hoc ids enter the registry. The
+    // ad-hoc entries ride META state verbatim; unbounded callers would
+    // grow it forever without retention.
+    graft.streaming.StreamingOps.commitBatch(
+      Seq((1L, 1L)).toDF("id", "v"), w, "wm", batchId = 3L)
+    (0 until 50).foreach { g =>
+      val base = Snapshots.latestVersion(fs, w)
+      Snapshots.append(fs, w, f"adhocg$g%02d", adds = Nil, removes = Nil,
+        op = "meta", baseVersion = base,
+        metas = (1 to 20).map(j =>
+          Snapshots.txnMetaEntry(fs, w, f"adhocld${g * 20 + j}%04d")))
+    }
+    assert(Snapshots.txnApplied(fs, w, "adhocld0001") &&
+      Snapshots.txnApplied(fs, w, "adhocld1000"))
+    // Retention 1ms; everything registered above is already older.
+    Snapshots.setTxnRetention(fs, w, retentionMs = 1L)
+    Thread.sleep(5)
+    // Expiry happens when the next CHECKPOINT is written — vacuum's
+    // cutoff checkpoint is one such point (so is the every-16th-version
+    // interval checkpoint).
+    (0 until 20).foreach(i => append(w, Seq(5000L + i)))
+    Snapshots.vacuum(fs, w, keepVersions = 2, minAgeMs = 0L)
+    // Post-expiry: the replay is UNPROVABLE — txnApplied answers false and
+    // the batch would re-apply (the documented at-least-once fallback past
+    // retention, Delta's setTransactionRetentionDuration trade-off).
+    assert(!Snapshots.txnApplied(fs, w, "adhocld0001"),
+      "expired ad-hoc entry still provable")
+    assert(!Snapshots.txnApplied(fs, w, "adhocld1000"))
+    // The watermark entry is EXEMPT: the stream's exactly-once survives.
+    assert(Snapshots.txnApplied(fs, w, "stream-wm-3"))
+    assert(Snapshots.txnApplied(fs, w, "stream-wm-2")) // lower batch: provable
+    graft.streaming.StreamingOps.commitBatch(
+      Seq((9L, 9L)).toDF("id", "v"), w, "wm", batchId = 3L)
+    assert(Snapshots.read(spark, w, "wm").count() == 1L,
+      "watermarked epoch replay re-landed after retention")
+    // META state is BOUNDED again: the newest checkpoint carries no
+    // expired #txn# line (1k registered, ~0 retained).
+    val ckpt = Snapshots.entries(fs, w).filter(_.isCheckpoint).last
+    val txnLines = scala.io.Source.fromInputStream(fs.open(ckpt.path))
+      .getLines().count(_.contains("#txn#"))
+    assert(txnLines <= 2, s"checkpoint still carries $txnLines txn lines")
   }
 
   test("stress: sink epochs, batch overwrites, compactions interleave safely") {
