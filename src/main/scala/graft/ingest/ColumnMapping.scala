@@ -164,8 +164,12 @@ object SchemaEvolution {
     // Defaults must be PLAIN literals: the per-file DSv2 reader serves
     // them as parsed constants, so an expression (function call, cast,
     // column ref) would silently diverge between read paths — reject at
-    // declaration, not at first read.
-    default.foreach { d =>
+    // declaration, not at first read. Store the parsed Literal's
+    // CANONICAL sql (when it round-trips to an equal plain literal), so
+    // every read path sees one normalized spelling: a double-quoted
+    // "legacy" lands as 'legacy', escapes are resolved by the real
+    // parser once, here, not re-guessed per reader.
+    val storedDefault = default.map { d =>
       val e =
         try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseExpression(d)
@@ -176,6 +180,12 @@ object SchemaEvolution {
       require(e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal],
         s"DEFAULT for column '$name' must be a plain literal " +
           s"(number, 'string', true/false), got '$d'")
+      val canonical = e.sql
+      val roundTrips =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(canonical) == e
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (roundTrips) canonical else d
     }
     val base = Snapshots.latestVersion(fs, warehouse)
     val m = mappingOrIdentity(spark, warehouse, table)
@@ -187,7 +197,7 @@ object SchemaEvolution {
         .map(v => s"${name}_v$v").find(!taken(_)).get
     commitMeta(fs, warehouse, table, "add_column", base,
       m.copy(cols = m.cols :+ (name, phys)),
-      extraMetas = default.map(d => Snapshots.propsMetaEntry(
+      extraMetas = storedDefault.map(d => Snapshots.propsMetaEntry(
         fs, warehouse, table, Map(s"default.$name" -> d))).toSeq)
     phys
   }

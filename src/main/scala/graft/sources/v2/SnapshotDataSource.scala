@@ -1262,27 +1262,30 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
         }
         _ => const
       case None => p.defaults.get(f.name) match {
-        // Initial-default for a column this file predates: serve the
-        // literal as a constant (same per-file decision the batch read's
-        // injectDefaults makes).
+        // Initial-default for a column this file predates: parse the
+        // stored SQL literal with the SAME machinery as the batch read's
+        // injectDefaults (`expr(text).cast(colType)`) and fold it to one
+        // Catalyst-internal constant per file — identical semantics on
+        // both paths by construction (quoting/escapes via the real
+        // parser; decimal/timestamp/binary columns via Cast), instead of
+        // a hand-rolled strip-quotes + String#toX decode that diverged
+        // on legal literals.
         case Some(text) =>
-          val raw =
-            if (text.length >= 2 && text.head == '\'' && text.last == '\'')
-              text.substring(1, text.length - 1).replace("''", "'")
-            else text
-          val const: Any = f.dataType match {
-            case StringType => UTF8String.fromString(raw)
-            case IntegerType => raw.toInt
-            case LongType => raw.toLong
-            case DoubleType => raw.toDouble
-            case FloatType => raw.toFloat
-            case BooleanType => raw.toBoolean
-            case DateType =>
-              java.sql.Date.valueOf(raw).toLocalDate.toEpochDay.toInt
-            case dt => throw new UnsupportedOperationException(
-              s"default for column '${f.name}' of type $dt not supported " +
-                "by the per-file reader")
-          }
+          import org.apache.spark.sql.catalyst.expressions.Cast
+          val lit =
+            try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(text)
+            catch { case scala.util.control.NonFatal(ex) =>
+              throw new IllegalStateException(
+                s"unparseable stored DEFAULT '$text' for '${f.name}'", ex) }
+          require(lit.foldable,
+            s"stored DEFAULT '$text' for '${f.name}' is not a literal")
+          val cast = Cast(lit, f.dataType,
+            Some(java.util.TimeZone.getDefault.getID))
+          if (!cast.resolved) throw new UnsupportedOperationException(
+            s"DEFAULT '$text' cannot be cast to ${f.dataType} " +
+              s"for column '${f.name}'")
+          val const: Any = cast.eval(InternalRow.empty)
           _ => const
         case None => _ => null
       }

@@ -118,18 +118,21 @@ object GraftSqlExtensions {
     // empty one (nothing was committed yet). Ported Delta queries can opt
     // into Delta's inclusivity with the session conf
     // `graft.cdf.inclusiveFromTimestamp=true`: a timestamp FROM bound then
-    // INCLUDES the commit current at that moment (the exclusive bound
-    // shifts one version down). Numeric version bounds are unaffected —
-    // only the timestamp form diverges from Delta.
+    // serves changes committed AT or AFTER the instant — the exclusive
+    // bound is the version current one millisecond earlier, the SAME
+    // resolution as the DSv2 `startingTimestamp` option (versionAt(ts-1)):
+    // commits strictly before ts stay excluded even when no commit lands
+    // exactly at ts. Numeric version bounds are unaffected — only the
+    // timestamp form diverges from Delta.
     val inclusiveFrom = session.conf
       .getOption("graft.cdf.inclusiveFromTimestamp")
       .exists(_.equalsIgnoreCase("true"))
     def bound(e: Expression, what: String, isFrom: Boolean = false): Long = {
       val s = lit(e, what).toString
       s.toLongOption.getOrElse {
-        val ms = java.sql.Timestamp.valueOf(s).getTime
-        val v = Snapshots.versionAt(fsW, wh, ms).getOrElse(-1L)
-        if (isFrom && inclusiveFrom && v >= 0) v - 1 else v
+        val ms0 = java.sql.Timestamp.valueOf(s).getTime
+        val ms = if (isFrom && inclusiveFrom) ms0 - 1 else ms0
+        Snapshots.versionAt(fsW, wh, ms).getOrElse(-1L)
       }
     }
     val from = bound(args(1), "the start bound", isFrom = true).max(-1L)

@@ -136,6 +136,52 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, String)].collect().toSeq == Seq(1L -> "old", 2L -> "new"))
   }
 
+  test("default literals decode identically on the batch and per-file paths") {
+    val s0 = spark
+    import s0.implicits._
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("dlsrc")
+    spark.sql("CREATE TABLE graft.dlt AS SELECT id, v FROM dlsrc")
+    // Double-quoted string literal: legal at declaration (the parser
+    // accepts it), must NOT be served with the quote characters.
+    graft.ingest.SchemaEvolution.addColumn(spark, wh, "dlt", "dq",
+      default = Some("\"legacy\""))
+    // Escaped single quote: the parser, not a strip-quotes hack, must
+    // resolve it.
+    graft.ingest.SchemaEvolution.addColumn(spark, wh, "dlt", "esc",
+      default = Some("'it''s'"))
+    // Timestamp-typed column default — formerly an
+    // UnsupportedOperationException at scan time, after a LEGAL ALTER.
+    graft.ingest.SchemaEvolution.addColumn(spark, wh, "dlt", "ts",
+      default = Some("TIMESTAMP'2024-01-02 03:04:05'"))
+    // Binary-typed column default (same former crash class). A decimal
+    // literal like DEFAULT 1.5 on a DOUBLE column folds through the same
+    // Cast path; DecimalType columns themselves are outside the flat
+    // DSv2 surface by design (validate()).
+    graft.ingest.SchemaEvolution.addColumn(spark, wh, "dlt", "bin",
+      default = Some("X'0A0B'"))
+    // A post-add file pins the columns' types (timestamp / binary).
+    spark.sql("INSERT INTO graft.dlt VALUES " +
+      "(2, 'b', 'n', 'm', TIMESTAMP'2025-06-07 08:09:10', X'FF')")
+    val perFile = spark.sql(
+      "SELECT id, dq, esc, CAST(ts AS STRING) AS ts, hex(bin) AS bin " +
+        "FROM graft.dlt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    val batch = Snapshots.read(spark, wh, "dlt")
+      .selectExpr("id", "dq", "esc", "CAST(ts AS STRING) AS ts",
+        "hex(bin) AS bin").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    val expect = Seq(
+      (1L, "legacy", "it's", "2024-01-02 03:04:05", "0A0B"),
+      (2L, "n", "m", "2025-06-07 08:09:10", "FF"))
+    assert(perFile == expect, s"per-file path diverged: $perFile")
+    assert(batch == expect, s"batch path diverged: $batch")
+    // The stored property is the parser's canonical spelling.
+    val props = Snapshots.properties(fs, wh, "dlt")
+    assert(props.get("default.dq").contains("'legacy'"), props)
+  }
+
   test("DROP TABLE is a time-travelable logical remove; name is reusable") {
     val s0 = spark
     import s0.implicits._

@@ -600,6 +600,9 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val moves = TxnCommit.movesFor(fs, wh, cid, "cdf2")
       TxnCommit.commit(fs, wh, cid, moves)
       TxnCommit.publish(fs, wh, cid, moves)
+      // Separate the two commit mtimes so a BETWEEN-commits timestamp
+      // exists (the inclusivity boundary case below needs one).
+      Thread.sleep(5)
     }
     // cdf2's second commit is the warehouse's newest entry.
     val latest = Snapshots.latestVersion(fs, wh).get
@@ -621,6 +624,25 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql(
           s"SELECT count(*) FROM table_changes('cdf2', $latest)")
         .head().getLong(0) == 0L)
+      // A timestamp BETWEEN the two commits (no commit lands exactly at
+      // it): Delta's startingTimestamp serves changes at-or-after the
+      // instant ONLY — the earlier commit stays excluded. This is the
+      // exact case where versionAt(ts)-1 double-served a commit; the
+      // bound must resolve as versionAt(ts-1), same as the DSv2
+      // startingTimestamp option.
+      val hist = Snapshots.history(spark, wh)
+        .orderBy(org.apache.spark.sql.functions.desc("version"))
+        .select("committed_at").limit(2).collect()
+        .map(_.getTimestamp(0).getTime)
+      val Array(t2, t1) = hist
+      assert(t2 > t1 + 1, s"commits not separated: $t1 / $t2")
+      val mid = new java.sql.Timestamp((t1 + t2) / 2 max (t1 + 1))
+      val between = spark.sql(
+        s"SELECT count(*) FROM table_changes('cdf2', '${fmt.format(mid)}')")
+        .head().getLong(0)
+      assert(between == 10L,
+        s"inclusive FROM between commits must exclude the earlier one, " +
+          s"got $between")
     } finally spark.conf.unset("graft.cdf.inclusiveFromTimestamp")
   }
 
