@@ -314,6 +314,20 @@ class MergeClausesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Merge.statsRowBound(src.union(src)) == Some(30L))
       assert(Merge.statsRowBound(Seq((1L, 2L)).toDF("id", "v")).isEmpty)
       assert(Merge.statsRowBound(src.join(src, "id")).isEmpty)
+      // Per-QUERY time travel wins over table props in newScanBuilder, so
+      // latest-version tokens bound NOTHING for the pinned read: a
+      // version/timestamp-pinned source must refuse the shortcut (probe
+      // fallback), never serve the latest count as a "bound".
+      val pinnedV = spark.read.option("versionAsOf",
+          Snapshots.latestVersion(fs, w).get.toString)
+        .table("mcstats.src")
+      assert(Merge.statsRowBound(pinnedV).isEmpty,
+        "versionAsOf-pinned source must not take the stats shortcut")
+      val pinnedTs = spark.read
+        .option("timestampAsOf", "2100-01-01 00:00:00")
+        .table("mcstats.src")
+      assert(Merge.statsRowBound(pinnedTs).isEmpty,
+        "timestampAsOf-pinned source must not take the stats shortcut")
 
       val events =
         scala.collection.mutable.ArrayBuffer.empty[(String, String)]
