@@ -238,5 +238,12 @@ object SchemaEvolution {
                          extraMetas: Seq[(String, String)] = Nil): Unit =
     Snapshots.append(fs, warehouse, java.util.UUID.randomUUID().toString,
       adds = Nil, removes = Nil, op = op, baseVersion = base,
-      metas = (table -> m.encode) +: extraMetas)
+      metas = (table -> m.encode) +: extraMetas,
+      // Protocol requirements land WITH the commit that introduces them:
+      // a reader without mapping support misresolves renamed columns; one
+      // without defaults support serves nulls where the literal belongs.
+      features = (table -> "r:columnMapping") +:
+        extraMetas.collect { case (k, v)
+            if k.endsWith("#props") && v.contains("default.") =>
+          table -> "r:columnDefaults" })
 }

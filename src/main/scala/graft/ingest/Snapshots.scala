@@ -428,7 +428,17 @@ object Snapshots {
              dvs: Seq[(String, String, String)] = Nil,
              dvFor: Map[String, String] = Map.empty,
              fileGranularOcc: Boolean = false,
-             metrics: Map[String, Long] = Map.empty): Unit = {
+             metrics: Map[String, Long] = Map.empty,
+             features: Seq[(String, String)] = Nil): Unit = {
+    // Writer-side protocol gate: refuse to mutate a table whose required
+    // features this build doesn't know (recovery replays are exempt —
+    // their commit passed the gate live; a replay must converge, not
+    // wedge). Pseudo-keys (`t#props`, `#txn#…`) are not tables.
+    if (!replay)
+      (adds.map(_._1) ++ removes.map(_._1) ++ dvs.map(_._1) ++
+        metas.map(_._1).filterNot(_.contains("#")))
+        .distinct.foreach(t =>
+          requireFeatures(fs, warehouse, t, forWrite = true))
     val myTables = (adds ++ removes ++ metas).map(_._1).toSet ++
       dvs.map(_._1)
     // File-granular conflict detection (the Delta WriteSerializable
@@ -511,6 +521,16 @@ object Snapshots {
         // claim), then re-list and try the next version.
         awaitClaimedVersion(fs, warehouse, version)
       } else {
+        // Feature requirements land ATOMICALLY with the commit that first
+        // exercises them: explicit tags from the caller (widening,
+        // mapping, defaults) plus the implicit one a DV attach carries.
+        // Re-merged per ATTEMPT against current state, so a rival's
+        // feature introduction between retries is never clobbered
+        // (latest-wins META key — the union must be computed last).
+        val featMetas = (features ++
+            dvs.map { case (t, _, _) => (t, "r:deletionVectors") })
+          .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, tags) =>
+            featureMetaEntry(fs, warehouse, t, tags.map(_._2).toSet) }
         writeEntry(fs, warehouse, f"$version%020d-$commitId.snap",
           (Seq(s"#OP\t$op") ++
             (if (metrics.isEmpty) Nil
@@ -521,7 +541,7 @@ object Snapshots {
               dvFor.get(f).fold(base)(tok => s"$base\t$tok") } ++
               removes.map { case (t, f) => s"REMOVE\t$t\t$f\t${partitionOf(f)}\t" } ++
               changeFiles.map { case (t, f) => s"CDF\t$t\t$f\t\t" } ++
-              metas.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
+              (metas ++ featMetas).map { case (t, m) => s"META\t$t\t$m\t\t" } ++
               dvs.map { case (t, f, tok) => s"DV\t$t\t$f\t\t\t$tok" }))
         if (!ownsClaim(fs, warehouse, version, commitId)) {
           // Our claim was broken as stale while we wrote (we were the
@@ -840,6 +860,9 @@ object Snapshots {
       regexp_replace}
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Protocol gate (reader side): a change feed serves file rows, so it
+    // needs every reader feature a plain read needs.
+    requireFeatures(fs, warehouse, table, toInclusive)
     // A consumer tailing the log (from at/above the checkpoint anchor —
     // the steady state) pays only the anchored tail listing; catch-ups
     // reaching below the anchor list the full dir.
@@ -1367,6 +1390,95 @@ object Snapshots {
       : Option[Long] =
     metas.get(TxnRetentionKey).flatMap(_.toLongOption)
 
+  // ------------------------------------------------------- table features
+
+  /** Protocol gate — the Delta minReaderVersion / table-features analog.
+    * The format carries semantics a naive reader must UNDERSTAND to serve
+    * correct rows: ignore a deletion vector and deleted rows come back;
+    * ignore an initial default and pre-add files read the wrong value;
+    * ignore the column mapping and renamed columns misresolve; ignore
+    * widening and mixed-precision files type-clash. Before this gate an
+    * older build of this engine (or a third-party reader) opening a newer
+    * table failed SILENTLY-WRONG. Now the commit that FIRST uses a
+    * feature merges its name into the table's required-feature set — a
+    * `<table>#features` META entry riding the SAME log entry (atomic,
+    * latest-wins, checkpoint-carried, vacuum-proof like every META key) —
+    * and every read/write path refuses a table whose required features it
+    * doesn't know, with an error NAMING the feature.
+    *
+    * Names carry a scope prefix, Delta's readerFeatures/writerFeatures
+    * split: `r:<name>` gates reads AND writes (serving rows needs it);
+    * `w:<name>` gates writes only (e.g. identity columns — a reader
+    * serves plain stored values, but a writer that doesn't maintain the
+    * high-water mark would mint duplicates). Time travel sees the era's
+    * feature set: a read below the feature-introducing commit is served
+    * even by a build that doesn't know the feature. */
+  val SupportedReaderFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "columnDefaults",
+    "typeWidening", "decimalWidening")
+  val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set("identityColumns")
+
+  private def featuresKey(table: String) = s"$table#features"
+  private def encodeFeatures(fs0: Set[String]): String =
+    "tf1;" + fs0.toSeq.sorted.mkString(";")
+  private def decodeFeatures(payload: String): Set[String] =
+    payload.split(";").toSeq match {
+      case "tf1" +: names => names.filter(_.nonEmpty).toSet
+      case _ => throw new IllegalArgumentException(
+        s"unrecognized table-features payload: $payload")
+    }
+
+  /** The table's required features at `asOf` (scope-prefixed names). */
+  def tableFeatures(fs: FileSystem, warehouse: String, table: String,
+                    asOf: Option[Long] = None): Set[String] =
+    stateAt(fs, warehouse, asOf)
+      .flatMap(_.metas.get(featuresKey(table)))
+      .map(decodeFeatures).getOrElse(Set.empty)
+
+  /** Thrown when a table requires features this build doesn't know —
+    * deliberately NOT a subclass of the OCC/validation exceptions so
+    * recovery and abort paths can route it precisely. */
+  final class UnsupportedTableFeatureException(msg: String)
+    extends UnsupportedOperationException(msg)
+
+  /** Refuse to serve (or, `forWrite`, to mutate) a table whose required
+    * features this build doesn't understand — fail FAST with the feature
+    * names, never silently-wrong rows. */
+  def requireFeatures(fs: FileSystem, warehouse: String, table: String,
+                      asOf: Option[Long] = None,
+                      forWrite: Boolean = false): Unit = {
+    val req = tableFeatures(fs, warehouse, table, asOf)
+    if (req.isEmpty) return
+    val unknownR = req.collect {
+      case f if f.startsWith("r:") &&
+        !SupportedReaderFeatures(f.drop(2)) => f.drop(2) }
+    val unknownW =
+      if (!forWrite) Set.empty[String]
+      else req.collect {
+        case f if f.startsWith("w:") &&
+          !SupportedWriterFeatures(f.drop(2)) => f.drop(2) }
+    val unknown = unknownR ++ unknownW
+    if (unknown.nonEmpty)
+      throw new UnsupportedTableFeatureException(
+        s"table '$table' requires ${if (forWrite) "writer" else "reader"} " +
+          s"support for feature(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+          "this build does not implement — upgrade the engine before " +
+          s"${if (forWrite) "writing" else "reading"} it")
+  }
+
+  /** The META entry merging `features` into the table's required set —
+    * None when nothing is new (no redundant log lines). Hand it to
+    * [[append]]'s `metas` so the requirement lands ATOMICALLY with the
+    * commit that first exercises the feature. */
+  private[graft] def featureMetaEntry(fs: FileSystem, warehouse: String,
+                                      table: String, features: Set[String])
+      : Option[(String, String)] = {
+    val cur = tableFeatures(fs, warehouse, table)
+    if ((features -- cur).isEmpty) None
+    else Some(featuresKey(table) -> encodeFeatures(cur ++ features))
+  }
+
   private def encodeProps(props: Map[String, String]): String = {
     def e(s: String) = java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
     "p1;" + props.toSeq.sortBy(_._1)
@@ -1747,6 +1859,10 @@ object Snapshots {
            dataFilter: FileStats.Pred = null): DataFrame = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Protocol gate: refuse a table requiring reader features this build
+    // doesn't know — fail fast, never silently-wrong rows. Time travel
+    // checks the ERA's feature set.
+    requireFeatures(fs, warehouse, table, asOf)
     val folded = stateAt(fs, warehouse, asOf)
       .getOrElse(throw new IllegalStateException(
         s"no snapshot log under $warehouse — was this table committed via TxnCommit?"))

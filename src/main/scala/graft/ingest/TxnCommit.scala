@@ -178,7 +178,14 @@ object TxnCommit {
     * partitions) still validates against the surviving files. */
   private def validateSchemas(fs: FileSystem, warehouse: String,
                               statsFor: Map[String, String],
-                              removed: Set[String]): Unit =
+                              removed: Set[String])
+      : Seq[(String, String)] = {
+    // Returns the protocol features this commit EXERCISES (table →
+    // scope-prefixed feature name): a reader that cannot widen mixed
+    // int/float or decimal precisions would type-clash on these tables,
+    // so the requirement must land with the first widening commit.
+    val exercised = scala.collection.mutable.LinkedHashSet
+      .empty[(String, String)]
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
       case (table, destStats) =>
         destStats.values.flatMap(FileStats.decode).foreach(
@@ -196,16 +203,23 @@ object TxnCommit {
         if (current.nonEmpty)
           destStats.values.flatMap(FileStats.decode).foreach { st =>
             st.schema.foreach { case (n, tag) =>
-              current.get(n).foreach(cur =>
+              current.get(n).foreach { cur =>
                 require(compatible(cur, tag),
                   s"schema enforcement: column '$n' of table '$table' is " +
                     s"committed as $cur but this commit writes $tag — " +
                     "additive columns and safe widenings (int→long, " +
                     "float→double, same-scale decimal precision) evolve; " +
-                    "other type changes are rejected"))
+                    "other type changes are rejected")
+                if (repNorm(cur) != repNorm(tag))
+                  exercised += ((table,
+                    if (Widenable.contains(Set(cur, tag))) "r:typeWidening"
+                    else "r:decimalWidening"))
+              }
             }
           }
     }
+    exercised.toSeq
+  }
 
   /** A parsed named CHECK constraint — the SQL face
     * (`ALTER TABLE t ADD CONSTRAINT c CHECK (…)`) of the same
@@ -412,12 +426,21 @@ object TxnCommit {
         Some(rel)
       }
     }
+    // Writer-side protocol gate, BEFORE staging work: refuse a table
+    // requiring features this build doesn't know (fail fast, nothing to
+    // roll back yet).
+    (moves.map(m => asTable.getOrElse(tableOf(m.dest))) ++
+      (deletes ++ retained).map(d => asTable.getOrElse(tableOf(d))) ++
+      dvAttach.map { case (data, _, _) => asTable.getOrElse(tableOf(data)) })
+      .distinct.foreach(t =>
+        Snapshots.requireFeatures(fs, warehouse, t, forWrite = true))
     val statsFor: Map[String, String] = moves
       .filterNot(m => isChangeDest(m.dest) || isDvDest(m.dest))
       .map(m => m.dest ->
         FileStats.collect(fs.getConf, new Path(m.src), spillFor(m.dest)))
       .filter(_._2.nonEmpty).toMap
-    validateSchemas(fs, warehouse, statsFor, (deletes ++ retained).toSet)
+    val exercisedFeatures =
+      validateSchemas(fs, warehouse, statsFor, (deletes ++ retained).toSet)
     // Constraints must see EVERY staged data file: one whose stats
     // collection failed (collect returns "" on any footer trouble) is
     // unverifiable and must fail the commit, not silently bypass the
@@ -455,6 +478,10 @@ object TxnCommit {
         // replay records the applied-txn watermark exactly like the live
         // publish would ([[Snapshots.txnApplied]]).
         txnId.map(id => s"#TXN\t$id") ++
+        // Protocol features this commit exercises (widenings detected at
+        // schema validation) ride the manifest so a crash-recovery replay
+        // stamps the SAME requirements the live publish would.
+        exercisedFeatures.map { case (t, f) => s"#FEATURE\t$t\t$f" } ++
         (allMoves.map(m =>
           s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
           deletes.map(d => s"DEL\t$d") ++
@@ -563,6 +590,7 @@ object TxnCommit {
         else Map("rows_inserted" -> rows.flatten.sum)
       }
     val txnEff = manifest.flatMap(_.txnId).orElse(txnId)
+    val featEff = manifest.map(_.features).getOrElse(Nil)
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d =>
@@ -574,9 +602,15 @@ object TxnCommit {
         .map(id => Snapshots.txnMetaEntry(fs, warehouse, id)).toSeq,
       dvs = attach.map { case (data, dv, n) =>
         (asT.getOrElse(tableOf(data)), data, s"$n:$dv") },
-      fileGranularOcc = granular, metrics = mEff)
+      fileGranularOcc = granular, metrics = mEff, features = featEff)
     catch {
-      case e: Snapshots.ConcurrentCommitException =>
+      // An OCC loss unpublishes; so does a protocol refusal (a rival
+      // introduced a feature this build doesn't know between our commit
+      // gate and this publish — the rolling-upgrade race). Either way the
+      // `.aborted` marker lands first so recovery finishes the rollback
+      // instead of wedging in a replay-throw loop.
+      case e @ (_: Snapshots.ConcurrentCommitException |
+                _: Snapshots.UnsupportedTableFeatureException) =>
         // Lost the OCC race: unpublish. The `.aborted` marker lands first
         // (atomic rename), so a crash mid-rollback is finished by
         // recover() instead of re-publishing half-deleted files as a new
@@ -611,7 +645,8 @@ object TxnCommit {
                               fileGranularOcc: Boolean,
                               asTable: Option[String] = None,
                               metrics: Map[String, Long] = Map.empty,
-                              txnId: Option[String] = None)
+                              txnId: Option[String] = None,
+                              features: Seq[(String, String)] = Nil)
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
@@ -627,7 +662,7 @@ object TxnCommit {
       .filter(_.nonEmpty).map(_.split("\t", 4))
     val moveLines = lines.filterNot(l =>
       Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR", "#ASTABLE",
-        "#METRICS", "#TXN")(l.head))
+        "#METRICS", "#TXN", "#FEATURE")(l.head))
     Manifest(
       moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
       lines.filter(_.head == "DEL").map(_.apply(1)),
@@ -646,7 +681,8 @@ object TxnCommit {
               case _ => None
             }
           }.toMap).getOrElse(Map.empty),
-      lines.find(_.head == "#TXN").map(_.apply(1)))
+      lines.find(_.head == "#TXN").map(_.apply(1)),
+      lines.filter(_.head == "#FEATURE").map(l => (l(1), l(2))))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.

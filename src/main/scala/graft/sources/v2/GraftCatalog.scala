@@ -454,6 +454,15 @@ class GraftCatalogTable(tableSchema: StructType,
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (props.asScala ++ options.asScala).asJava)
+    // Protocol gate: the per-file catalog scan serves rows directly from
+    // the log's file list, so it needs every reader feature a batch read
+    // needs — refuse unknown ones at plan time, naming the feature.
+    val whGate = merged.get("warehouse")
+    graft.ingest.Snapshots.requireFeatures(
+      new org.apache.hadoop.fs.Path(whGate).getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      whGate, merged.get("table"),
+      Option(merged.get("versionAsOf")).map(_.toLong))
     // The catalog table's resolved schema is the SNAPSHOT schema; serving
     // the change feed under it would silently surface merge pre/post-image
     // rows as plain data. The feed has its own surfaces — fail fast.

@@ -1301,4 +1301,71 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deleted.intersect(remaining).isEmpty &&
       deleted.union(remaining) == (0L until 40L).toSet)
   }
+
+  test("protocol gate: a fabricated future feature refuses reads and writes") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("protogate")
+    publishBatch(w, "t", 0 until 10)
+    val vOld = Snapshots.latestVersion(fs, w).get
+    // A DV commit stamps its reader feature; this build serves it fine.
+    Merge.deleteWhereDv(spark, w, "t", org.apache.spark.sql.functions.col("id") === 0L)
+    assert(Snapshots.tableFeatures(fs, w, "t")
+      .contains("r:deletionVectors"))
+    assert(Snapshots.read(spark, w, "t").count() == 9L)
+    // A NEWER build marks the table as requiring a reader feature this
+    // build has never heard of (raw META append — the upgrade commit).
+    Snapshots.append(fs, w, "futurefeat", adds = Nil, removes = Nil,
+      op = "meta", baseVersion = Snapshots.latestVersion(fs, w),
+      metas = Seq("t#features" ->
+        "tf1;r:deletionVectors;r:futureMagicEncoding"))
+    // Reads refuse, NAMING the feature — batch, change feed, catalog.
+    val exR = intercept[UnsupportedOperationException](
+      Snapshots.read(spark, w, "t"))
+    assert(exR.getMessage.contains("futureMagicEncoding") &&
+      exR.getMessage.contains("t"), exR.getMessage)
+    intercept[UnsupportedOperationException](
+      Snapshots.changes(spark, w, "t", fromExclusive = 0L))
+    spark.conf.set("spark.sql.catalog.protogate",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.protogate.warehouse", w)
+    try {
+      val exC = intercept[Exception](
+        spark.sql("SELECT * FROM protogate.t").collect())
+      assert(exC.getMessage.contains("futureMagicEncoding") ||
+        Option(exC.getCause).exists(_.getMessage
+          .contains("futureMagicEncoding")), exC.toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.protogate.warehouse")
+      spark.conf.unset("spark.sql.catalog.protogate")
+    }
+    // Writes refuse too — fail fast at the commit gate, nothing staged.
+    val exW = intercept[UnsupportedOperationException] {
+      val cid = java.util.UUID.randomUUID().toString
+      (10 until 12).map(_.toLong).toDF("id").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val mv = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, mv)
+    }
+    assert(exW.getMessage.contains("futureMagicEncoding"))
+    intercept[UnsupportedOperationException](
+      Merge.deleteWhereDv(spark, w, "t",
+        org.apache.spark.sql.functions.col("id") === 1L))
+    // Time travel BELOW the upgrade commit serves the era this build
+    // fully understands.
+    assert(Snapshots.read(spark, w, "t", asOf = Some(vOld)).count() == 10L)
+    // A WRITER-only future feature (w: scope) lets reads through and
+    // blocks only mutation — the Delta readerFeatures/writerFeatures
+    // split.
+    publishBatch(w, "t2", 0 until 5)
+    Snapshots.append(fs, w, "futuresink", adds = Nil, removes = Nil,
+      op = "meta", baseVersion = Snapshots.latestVersion(fs, w),
+      metas = Seq("t2#features" -> "tf1;w:futureSinkProtocol"))
+    assert(Snapshots.read(spark, w, "t2").count() == 5L)
+    val exW2 = intercept[UnsupportedOperationException](
+      Merge.updateWhere(spark, w, "t2",
+        org.apache.spark.sql.functions.col("id") === 1L,
+        Map("id" -> org.apache.spark.sql.functions.lit(99L))))
+    assert(exW2.getMessage.contains("futureSinkProtocol"))
+  }
 }
