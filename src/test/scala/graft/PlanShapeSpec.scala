@@ -87,4 +87,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("llm_repetition")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("q26_pivot: hash-agg pivot lowering — two shuffles, no sort fallback") {
+    // Spark's pivot with pinned values lowers to sum-by-(ls,rf) then
+    // pivotfirst-by-ls: two partial+final HashAggregate pairs, exactly
+    // two exchanges, map-side combine before each. A SortAggregate
+    // fallback or a third shuffle is a plan regression. (Pinned after the
+    // r16 bench drift: the plan was NOT the cause — both this entry and
+    // llm_repetition regressed 1.4–1.8× on untouched code under
+    // co-tenant machine load and recovered with the suite unchanged; see
+    // BENCH_NOTES.md.)
+    val p = plan("q26_pivot")
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
