@@ -721,9 +721,29 @@ object Snapshots {
   val DefaultRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 
   def vacuum(fs: FileSystem, warehouse: String, keepVersions: Int = 32,
-             minAgeMs: Long = DefaultRetentionMs): Int = {
+             minAgeMs: Long = DefaultRetentionMs): Int =
+    vacuumStats(fs, warehouse, keepVersions, minAgeMs).entriesRemoved
+
+  /** What one vacuum run reaped — or, `dryRun`, WOULD reap: data/CDF/DV
+    * files with their byte sizes (log entry files are bookkeeping and
+    * counted only in `entriesRemoved`). */
+  case class VacuumStats(entriesRemoved: Int, filesDeleted: Long,
+                         bytesDeleted: Long, files: Seq[(String, Long)])
+
+  /** [[vacuum]] with full accounting. `dryRun = true` computes the exact
+    * reap set — truncatable entries, unreachable data/CDF files, orphans —
+    * and deletes NOTHING, writes NOTHING (no cutoff checkpoint either):
+    * at 100 TB vacuum is the most dangerous command in the surface, and
+    * this is its safety preview (Delta `VACUUM … DRY RUN`). A real run
+    * that reaped anything also records `files_deleted`/`bytes_deleted`/
+    * `entries_removed` as a metadata-only `op=vacuum` commit, so
+    * DESCRIBE HISTORY answers "what did that vacuum actually delete" like
+    * it answers merge row counts. */
+  def vacuumStats(fs: FileSystem, warehouse: String, keepVersions: Int = 32,
+                  minAgeMs: Long = DefaultRetentionMs,
+                  dryRun: Boolean = false): VacuumStats = {
     val all = entries(fs, warehouse)
-    if (all.isEmpty) return 0
+    if (all.isEmpty) return VacuumStats(0, 0L, 0L, Nil)
     val latest = all.last.version
     val now = System.currentTimeMillis()
     // Version V was superseded before the window iff some entry with a
@@ -734,8 +754,11 @@ object Snapshots {
       if (agedOut.isEmpty) 0L
       else math.min(latest - keepVersions + 1, agedOut.max)
     val victims = if (cutoff <= 0) Nil else all.filter(_.version < cutoff)
+    // Candidate data-file reaps are COLLECTED first (dedup'd, sized),
+    // executed after — the same walk serves the dry run and the real one.
+    val toReap = scala.collection.mutable.LinkedHashSet.empty[String]
     if (victims.nonEmpty) {
-      if (!all.exists(e => e.isCheckpoint && e.version == cutoff))
+      if (!dryRun && !all.exists(e => e.isCheckpoint && e.version == cutoff))
         writeCheckpoint(fs, warehouse, cutoff,
           "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
       // A file REMOVEd at version Vr normally becomes unreachable once the
@@ -757,23 +780,65 @@ object Snapshots {
           // them with the truncated entries (the cutoff entry itself
           // survives, so its CDF files stay serveable by changes()).
           if (a.cdf) {
-            if (v.version < cutoff) fs.delete(new Path(a.file), false)
+            if (v.version < cutoff) toReap += a.file
           } else if (!a.add && !a.meta && !anchorState(a.file) && !futureAdds(a.file))
-            fs.delete(new Path(a.file), false)
-        }
-      }
-      victims.foreach(v => fs.delete(v.path, false))
-      // Version claims below the cutoff have served their purpose (their
-      // entries are truncated) — reap them with the entries they guarded.
-      fs.listStatus(snapDir(warehouse)).foreach { st =>
-        st.getPath.getName match {
-          case LockRe(v) if v.toLong < cutoff => fs.delete(st.getPath, false)
-          case _ => ()
+            toReap += a.file
         }
       }
     }
-    sweepOrphans(fs, warehouse, now, minAgeMs)
-    victims.size
+    // Files the CUTOFF STATE still references must never look orphaned:
+    // live files added by truncated entries survive only through the
+    // anchor checkpoint, which in a dry run is not written yet (and in a
+    // real run was written after `all` was listed) — fold the anchor
+    // state's files, their DV sidecars, and their bloom sidecars into the
+    // reference set explicitly.
+    val anchorRefs: Set[String] =
+      if (victims.isEmpty) Set.empty
+      else stateAt(fs, warehouse, Some(cutoff)).map { st =>
+        st.files.values.flatten.flatMap { case (f, (_, stats, dv)) =>
+          Seq(new Path(f).toUri.getPath) ++
+            (if (dv.isEmpty) Nil
+             else Seq(new Path(dv.split(":", 2)(1)).toUri.getPath)) ++
+            FileStats.sidecarPaths(stats)
+              .map(p => new Path(s"$warehouse/$p").toUri.getPath)
+        }.toSet
+      }.getOrElse(Set.empty)
+    val orphans = orphanCandidates(fs, warehouse, now, minAgeMs,
+      kept = all.filterNot(victims.toSet), extraReferenced = anchorRefs)
+    val reapAll = (toReap.toSeq ++ orphans).distinct
+    val sized = reapAll.flatMap { f =>
+      try { val p = new Path(f); if (fs.exists(p))
+        Some(f -> fs.getFileStatus(p).getLen) else None }
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    if (!dryRun) {
+      sized.foreach { case (f, _) => fs.delete(new Path(f), false) }
+      victims.foreach(v => fs.delete(v.path, false))
+      if (victims.nonEmpty)
+        // Version claims below the cutoff have served their purpose (their
+        // entries are truncated) — reap them with the entries they guarded.
+        fs.listStatus(snapDir(warehouse)).foreach { st =>
+          st.getPath.getName match {
+            case LockRe(v) if v.toLong < cutoff => fs.delete(st.getPath, false)
+            case _ => ()
+          }
+        }
+    }
+    val stats = VacuumStats(victims.size, sized.size.toLong,
+      sized.map(_._2).sum, sized)
+    // Accountability: a real run that reaped anything records its counts
+    // as a metadata-only commit — visible in [[history]] / DESCRIBE
+    // HISTORY alongside merge metrics. (Dry runs and no-op runs leave the
+    // log untouched.)
+    if (!dryRun && (stats.entriesRemoved > 0 || stats.filesDeleted > 0))
+      append(fs, warehouse, "vacuum" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        adds = Nil, removes = Nil, op = "vacuum",
+        metrics = Map(
+          "entries_removed" -> stats.entriesRemoved.toLong,
+          "files_deleted" -> stats.filesDeleted,
+          "bytes_deleted" -> stats.bytesDeleted))
+    stats
   }
 
   /** Reap table-dir files no retained log entry references — the residue of
@@ -782,17 +847,22 @@ object Snapshots {
     * race is an in-flight publish whose moves have landed but whose log
     * entry hasn't — the `minAgeMs` guard covers it (a publish completes in
     * seconds; the retention window is hours). */
-  private def sweepOrphans(fs: FileSystem, warehouse: String, now: Long,
-                           minAgeMs: Long): Unit = {
-    val kept = entries(fs, warehouse)
+  private def orphanCandidates(fs: FileSystem, warehouse: String, now: Long,
+                               minAgeMs: Long, kept: Seq[Entry],
+                               extraReferenced: Set[String] = Set.empty)
+      : Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
     // META lines carry metadata payloads, not paths — Path() on one throws.
     // Deletion-vector parquets referenced from any retained line (ADD's dv
     // field or a DV line) stay; a SUPERSEDED vector loses its last
     // reference when its attaching entries are truncated and is reaped
-    // here with the same age guard.
+    // here with the same age guard. `kept` is the entry set AS IT WILL BE
+    // after this run's truncation — the same computation serves the dry
+    // run (nothing deleted yet) and the real one.
     val acts = kept.flatMap(e => readActions(fs, e.path)).filterNot(_.meta)
     val referenced = (acts.map(a => new Path(a.file).toUri.getPath) ++
-      acts.filter(_.dv.nonEmpty).map(a => new Path(a.dvPath).toUri.getPath)).toSet
+      acts.filter(_.dv.nonEmpty).map(a => new Path(a.dvPath).toUri.getPath))
+      .toSet ++ extraReferenced
     val tableDirs = (acts.map(a => new Path(a.file).getParent) ++
       acts.filter(_.dv.nonEmpty).map(a => new Path(a.dvPath).getParent)).distinct
     tableDirs.filter(fs.exists).foreach { dir =>
@@ -800,7 +870,7 @@ object Snapshots {
         .filterNot(_.getPath.getName.startsWith("_"))
         .filterNot(st => referenced(st.getPath.toUri.getPath))
         .filter(st => now - st.getModificationTime >= minAgeMs)
-        .foreach(st => fs.delete(st.getPath, false))
+        .foreach(st => out += st.getPath.toString)
     }
     // Sidecar bloom files: referenced iff some retained ADD's stats token
     // still points at them (a removed data file's pointer dies with its
@@ -808,15 +878,17 @@ object Snapshots {
     // guard. Light token scan, no base64 decoding.
     val sidecarRefs: Set[String] = acts.filter(_.add)
       .flatMap(a => FileStats.sidecarPaths(a.stats))
-      .map(p => new Path(s"$warehouse/$p").toUri.getPath).toSet
+      .map(p => new Path(s"$warehouse/$p").toUri.getPath)
+      .toSet ++ extraReferenced
     val bloomRoot = new Path(s"$warehouse/_bloomidx")
     if (fs.exists(bloomRoot))
       fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory).foreach { td =>
         fs.listStatus(td.getPath).toSeq.filter(_.isFile)
           .filterNot(st => sidecarRefs(st.getPath.toUri.getPath))
           .filter(st => now - st.getModificationTime >= minAgeMs)
-          .foreach(st => fs.delete(st.getPath, false))
+          .foreach(st => out += st.getPath.toString)
       }
+    out.toSeq
   }
 
   /** Resolve the snapshot version that was latest at `tsMillis` (Delta's
@@ -1089,11 +1161,13 @@ object Snapshots {
       (e.version, e.commitId, new java.sql.Timestamp(e.mtime),
         acts.count(_.add).toLong, acts.count(!_.add).toLong,
         (acts.map(_.table) ++ metaTables).distinct.sorted.mkString(","), op,
-        m.get("rows_inserted"), m.get("rows_updated"), m.get("rows_deleted"))
+        m.get("rows_inserted"), m.get("rows_updated"), m.get("rows_deleted"),
+        m.get("files_deleted"), m.get("bytes_deleted"))
     }.sortBy(-_._1)
     import spark.implicits._
     rows.toDF("version", "commit_id", "committed_at", "n_added", "n_removed",
-      "tables", "op", "rows_inserted", "rows_updated", "rows_deleted")
+      "tables", "op", "rows_inserted", "rows_updated", "rows_deleted",
+      "files_deleted", "bytes_deleted")
   }
 
   /** Summed live-row count of `table` at `asOf` from the log's stats

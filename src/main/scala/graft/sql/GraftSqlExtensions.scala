@@ -37,7 +37,7 @@ import graft.ingest.{Compaction, Snapshots}
   * OPTIMIZE t                             -- bin-pack compaction
   * OPTIMIZE t WHERE dt='2024-01-01'       -- partition-scoped maintenance
   * OPTIMIZE t ZORDER BY (a, b)            -- multi-dim clustering rewrite
-  * VACUUM SNAPSHOTS RETAIN 8 VERSIONS [MAX AGE 168 HOURS]
+  * VACUUM SNAPSHOTS RETAIN 8 VERSIONS [MAX AGE 168 HOURS] [DRY RUN]
   * ALTER TABLE t ADD COLUMN c [type]       -- metadata-only evolution
   * DESCRIBE DETAIL t                      -- files/bytes/rows/partitions/props
   * ALTER TABLE t SET TBLPROPERTIES ('bloom.columns'='doc_id')
@@ -265,7 +265,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Snapshots.fileMeta(fs, wh, table).exists(_.nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => false }
   private val VacuumRe =
-    raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:IN\s+(\w+)\s*)?(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?".r
+    raw"(?is)\s*VACUUM\s+SNAPSHOTS\s*(?:IN\s+(\w+)\s*)?(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(?:MAX\s+AGE\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?".r
   // Delta-grammar MERGE (the most-used warehouse DML statement): target and
   // source are table names (graft tables or registered views), the WHEN
   // clauses are parsed separately below. Guarded by isGraftTable like
@@ -586,12 +586,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       import session.implicits._
       props.toSeq.sortBy(_._1).toDF("key", "value")
         .queryExecution.logical
-    case VacuumRe(inCat, retain, maxAgeHours) =>
-      GraftVacuumCommand(
-        Option(inCat).flatMap(catalogWarehouse).getOrElse(warehouse),
-        Option(retain).map(_.toInt).getOrElse(32),
-        Option(maxAgeHours).map(_.toLong * 3600000L)
-          .getOrElse(Snapshots.DefaultRetentionMs))
+    case VacuumRe(inCat, retain, maxAgeHours, dryRun) =>
+      val whV = Option(inCat).flatMap(catalogWarehouse).getOrElse(warehouse)
+      val keep = Option(retain).map(_.toInt).getOrElse(32)
+      val ageMs = Option(maxAgeHours).map(_.toLong * 3600000L)
+        .getOrElse(Snapshots.DefaultRetentionMs)
+      if (dryRun != null) GraftVacuumDryRunCommand(whV, keep, ageMs)
+      else GraftVacuumCommand(whV, keep, ageMs)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -1014,10 +1015,32 @@ case class GraftAddColumnCommand(warehouse: String, table: String,
 case class GraftVacuumCommand(warehouse: String, keepVersions: Int,
                               minAgeMs: Long) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
-    AttributeReference("entries_removed", IntegerType)())
+    AttributeReference("entries_removed", IntegerType)(),
+    AttributeReference("files_deleted", LongType)(),
+    AttributeReference("bytes_deleted", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val fs = new Path(warehouse)
       .getFileSystem(session.sparkContext.hadoopConfiguration)
-    Seq(Row(Snapshots.vacuum(fs, warehouse, keepVersions, minAgeMs)))
+    val st = Snapshots.vacuumStats(fs, warehouse, keepVersions, minAgeMs)
+    Seq(Row(st.entriesRemoved, st.filesDeleted, st.bytesDeleted))
+  }
+}
+
+/** `VACUUM SNAPSHOTS … DRY RUN` → the exact reap set, one row per file
+  * with its byte size, deleting and writing NOTHING (Delta's dry-run
+  * semantics). At 100 TB vacuum is the most dangerous statement in the
+  * surface — this is its preview. */
+case class GraftVacuumDryRunCommand(warehouse: String, keepVersions: Int,
+                                    minAgeMs: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", StringType)(),
+    AttributeReference("bytes", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    val st = Snapshots.vacuumStats(fs, warehouse, keepVersions, minAgeMs,
+      dryRun = true)
+    st.files.map { case (f, sz) => Row(f, sz) }
   }
 }

@@ -166,6 +166,68 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, wh, "t").count() == 30) // latest still reads
   }
 
+  test("VACUUM DRY RUN previews the exact reap set; real runs record metrics") {
+    val s0 = spark
+    import s0.implicits._
+    // Isolated warehouse via a registered catalog (`IN cat`), so the
+    // shared-warehouse tests keep their own file accounting.
+    val w2 = java.nio.file.Files.createTempDirectory("graft-vacdry")
+      .resolve("wh").toString
+    val fs2 = new org.apache.hadoop.fs.Path(w2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pub(ids: Range): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      ids.map(_.toLong).toDF("id").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w2, cid)}/vt")
+      val moves = TxnCommit.movesFor(fs2, w2, cid, "vt")
+      TxnCommit.commit(fs2, w2, cid, moves)
+      TxnCommit.publish(fs2, w2, cid, moves)
+    }
+    pub(0 until 10); pub(10 until 20)
+    graft.ingest.Compaction.compact(spark, w2, "vt") // inputs superseded
+    pub(20 until 30); pub(30 until 40)
+    spark.conf.set("spark.sql.catalog.vcat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vcat.warehouse", w2)
+    try {
+      val entriesBefore = Snapshots.entries(fs2, w2).size
+      val dry = spark.sql("VACUUM SNAPSHOTS IN vcat RETAIN 1 VERSIONS " +
+        "MAX AGE 0 HOURS DRY RUN").collect()
+      assert(dry.nonEmpty, "dry run must list the reapable files")
+      // Deleted NOTHING, wrote NOTHING: every listed file still exists,
+      // the log is byte-for-byte the same entry set, the table reads.
+      dry.foreach(r => assert(
+        fs2.exists(new org.apache.hadoop.fs.Path(r.getString(0))),
+        s"dry run deleted ${r.getString(0)}"))
+      assert(Snapshots.entries(fs2, w2).size == entriesBefore,
+        "dry run changed the log")
+      assert(Snapshots.read(spark, w2, "vt").count() == 40)
+      val dryFiles = dry.map(_.getString(0)).toSet
+      val dryBytes = dry.map(_.getLong(1)).sum
+      // The real run reaps EXACTLY the previewed set and reports it.
+      val real = spark.sql("VACUUM SNAPSHOTS IN vcat RETAIN 1 VERSIONS " +
+        "MAX AGE 0 HOURS").collect().head
+      assert(real.getInt(0) > 0)
+      assert(real.getLong(1) == dryFiles.size.toLong,
+        s"real=${real.getLong(1)} files vs dry=${dryFiles.size}")
+      assert(real.getLong(2) == dryBytes)
+      dryFiles.foreach(f => assert(
+        !fs2.exists(new org.apache.hadoop.fs.Path(f)),
+        s"real vacuum left previewed file $f"))
+      assert(Snapshots.read(spark, w2, "vt").count() == 40)
+      // Accountability: the newest history row is the vacuum's own
+      // metadata commit carrying the reap counts.
+      val h = Snapshots.history(spark, w2)
+        .orderBy(org.apache.spark.sql.functions.desc("version")).head()
+      assert(h.getAs[String]("op") == "vacuum", h.toString)
+      assert(h.getAs[Long]("files_deleted") == dryFiles.size.toLong)
+      assert(h.getAs[Long]("bytes_deleted") == dryBytes)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.vcat.warehouse")
+      spark.conf.unset("spark.sql.catalog.vcat")
+    }
+  }
+
   test("RESTORE TO VERSION AS OF rolls the table back via SQL") {
     val s0 = spark
     import s0.implicits._
