@@ -135,13 +135,18 @@ object Compaction {
     * physically excludes every tombstoned physical column — and forces the
     * rewrite even on an already-packed table, since removing the bytes IS
     * the point. Pre-purge versions still time-travel (inputs retained). */
+  /** `maxInputBytes` restricts the rewrite to files at or under the
+    * size — the bin-packing mode auto-compaction uses: already-packed
+    * files are left alone, so the pass stays O(small files), not
+    * O(partition). */
   def compact(spark: SparkSession, warehouse: String, table: String,
               targetBytes: Long = 128L * 1024 * 1024,
               minInputFiles: Int = 2,
               retainRemoved: Boolean = true,
               sortBy: Seq[String] = Nil,
               partitionFilter: Map[String, String] => Boolean = null,
-              purgeDropped: Boolean = false)
+              purgeDropped: Boolean = false,
+              maxInputBytes: Long = Long.MaxValue)
       : Option[Result] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -154,6 +159,7 @@ object Compaction {
       else Snapshots.columnMapping(fs, warehouse, table)
         .map(_.droppedPhysical).getOrElse(Nil)
     val inputs = liveFiles(spark, warehouse, table, partitionFilter)
+      .filter(_._2 <= maxInputBytes)
     // REORG … APPLY (PURGE) also purges deletion vectors: the rewrite
     // materializes the DV subtraction, so the outputs carry no vectors —
     // force it even on an already-packed table when vectors are present.
@@ -286,5 +292,59 @@ object Compaction {
       op = "zorder", baseVersion = base, fileGranularOcc = true,
       asTable = Some(table))
     Some(Result(inputs.size, moves.size, totalBytes))
+  }
+
+  /** Post-commit auto-compaction (the Delta `autoCompact` analog), gated
+    * by TABLE PROPERTIES and OFF by default:
+    *
+    *   graft.autoCompact.minFiles    — small-file threshold (absent/≤1 = off)
+    *   graft.autoCompact.targetBytes — pack target (default 128 MiB)
+    *
+    * A streaming sink lands ≥1 file per task per epoch; at 100 TB with
+    * minute-level triggers that is millions of small files between manual
+    * OPTIMIZE runs. Writers call this AFTER a successful publish: each
+    * partition the commit touched is examined, and a partition whose
+    * count of small files (≤ targetBytes) reaches minFiles is bin-packed —
+    * ONLY the small files rewrite (O(small), never O(partition)), under
+    * file-granular OCC so concurrent appends never abort it and it never
+    * aborts them. Best-effort by design: a lost race (rival rewrite of
+    * the same inputs) skips silently — the small files are still there
+    * and the next commit's hook retries. Failure is contained: the
+    * triggering write ALREADY published. */
+  def autoCompact(spark: SparkSession, warehouse: String, table: String,
+                  touchedSpecs: Set[String]): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = Snapshots.properties(fs, warehouse, table)
+    val minFiles = props.get("graft.autoCompact.minFiles")
+      .flatMap(_.toIntOption).getOrElse(0)
+    if (minFiles <= 1) return
+    val target = props.get("graft.autoCompact.targetBytes")
+      .flatMap(_.toLongOption).getOrElse(128L * 1024 * 1024)
+    try {
+      val perSpec = liveFiles(spark, warehouse, table, null)
+        .filter(_._2 <= target).groupBy(_._3)
+        .filter { case (spec, fs0) =>
+          fs0.size >= minFiles &&
+            (touchedSpecs.isEmpty || touchedSpecs.contains(spec)) }
+      perSpec.keys.toSeq.sorted.foreach { spec =>
+        // Uniform equality filter: "" matches only layout-era
+        // unpartitioned files (mixed-layout tables must not widen the
+        // rewrite to other partitions).
+        val want = Snapshots.specToMap(spec)
+        compact(spark, warehouse, table, targetBytes = target,
+          minInputFiles = minFiles,
+          partitionFilter = m => m == want,
+          maxInputBytes = target)
+      }
+    } catch {
+      // Contention (a rival rewrite won the race on these inputs) or any
+      // other failure: skip — auto-compaction is advisory maintenance and
+      // must never fail the write that triggered it.
+      case _: Snapshots.ConcurrentCommitException => ()
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"auto-compaction of $table skipped: ${e.getMessage}")
+    }
   }
 }

@@ -227,6 +227,12 @@ private[v2] class SnapshotWriteCore(
       TxnCommit.commit(fs, warehouse, cid, moves, txnId = txn)
       TxnCommit.publish(fs, warehouse, cid, moves, txnId = txn)
     }
+    // Post-commit auto-compaction (table-property-gated, off by default):
+    // bin-pack the just-written partitions when their small-file count
+    // crossed the threshold. AFTER publish — the write's durability never
+    // depends on maintenance; runs under its own commit, best-effort.
+    graft.ingest.Compaction.autoCompact(spark, warehouse, table,
+      staged.map(_._2).toSet)
   }
 
   /** Pre-manifest staging is dead state (the commit point never passed);

@@ -96,6 +96,9 @@ object StreamingOps {
     TxnCommit.commit(fs, warehouse, commitId, moves, txnId = Some(commitId))
     TxnCommit.publish(fs, warehouse, commitId, moves, txnId = Some(commitId))
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // Post-commit auto-compaction (table-property-gated, off by default;
+    // best-effort, under its own commit — the epoch already published).
+    graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set(""))
   }
 
   /** writeStream half: `ds` → transactional warehouse table via

@@ -75,6 +75,51 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       fs.listStatus(new Path(s"$w/_staging")).isEmpty)
   }
 
+  test("auto-compaction bounds the sink's live-file count (property-gated)") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whAutoC"); val ckpt = wh("whAutoCCkpt")
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L until 5L).map(i => (i, s"x$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, ckpt) // creates the table
+    // Opt in: pack whenever 4+ small files accumulate.
+    Snapshots.setProperties(fs, w, "t", Map(
+      "graft.autoCompact.minFiles" -> "4",
+      "graft.autoCompact.targetBytes" -> (64L * 1024 * 1024).toString))
+    // A long-running ingest: 12 epochs, each landing >= 1 new file.
+    (1 to 12).foreach { e =>
+      in.addData((e * 100L until e * 100L + 5L).map(i => (i, s"x$i")): _*)
+      sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+    }
+    val live = Snapshots.fileMeta(fs, w, "t").get
+    assert(live.size < 8,
+      s"auto-compaction must bound live files, got ${live.size}")
+    // Exactly the ingested rows — maintenance moved bytes, never rows.
+    val ids = Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted
+    val expect = ((0L until 5L) ++
+      (1 to 12).flatMap(e => e * 100L until e * 100L + 5L)).sorted
+    assert(ids.sameElements(expect))
+    // The packing ran as its own op=compact commits, AFTER the epochs.
+    val hist = Snapshots.history(spark, w).select("op").as[String].collect()
+    assert(hist.count(_ == "compact") >= 1, hist.mkString(","))
+    // Control: without the property the same drive pattern accumulates.
+    val w2 = wh("whAutoC2"); val ckpt2 = wh("whAutoC2Ckpt")
+    val in2 = MemoryStream[(Long, String)]
+    (0 to 8).foreach { e =>
+      in2.addData((e * 100L until e * 100L + 3L).map(i => (i, s"y$i")): _*)
+      val q = in2.toDF.toDF("id", "val").writeStream
+        .format("graft-snapshots")
+        .option("warehouse", w2).option("table", "t")
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(Snapshots.fileMeta(fs, w2, "t").get.size >= 9,
+      "control table without the property must accumulate files")
+  }
+
   test("a replayed epoch is recognized by commitId and skipped") {
     val s0 = spark
     import s0.implicits._
