@@ -1,0 +1,153 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
+
+/** GENERATED ALWAYS AS IDENTITY columns (the Delta identity-column
+  * analog; the reference's own surrogate-key pattern,
+  * `huckli-import/src/radio_reward.rs:117`, is the use case): the ENGINE
+  * mints the id at write time, and a log-carried high-water mark per
+  * column guarantees ids are UNIQUE and MONOTONE across commits — every
+  * commit's ids are strictly greater than every earlier commit's.
+  *
+  * Mechanics:
+  *  - [[declare]] records `identity.<col>` as a table property, seeds the
+  *    high-water META key (`<table>#idhw#<col>`), and stamps the
+  *    `w:identityColumns` WRITER feature — readers serve plain stored
+  *    values, but a writer that doesn't maintain the mark would mint
+  *    duplicates, so unaware builds are refused at the protocol gate.
+  *  - [[appendWithIdentity]] materializes `hw + 1 +
+  *    monotonically_increasing_id()` (unique within the write; partition
+  *    offsets may leave GAPS, exactly Delta's contract — dense only for
+  *    single-partition writes), reads the true max back from the staged
+  *    files' stats tokens, and commits data + new high-water mark in ONE
+  *    log entry. Crash-recovery replays re-apply the same mark from the
+  *    commit manifest; a `commitId` replay after vacuum is caught by the
+  *    applied-txn registry — ids are exactly-once under any schedule.
+  *  - Allocation serializes writers: the commit carries an OCC base, so a
+  *    rival landing between the mark read and the publish aborts this
+  *    attempt and it retries with a fresh mark (same serialization Delta
+  *    pays on identity metadata). Bounded retries, then the conflict
+  *    surfaces.
+  *  - Raw appends that do NOT carry the column are rejected at the
+  *    TxnCommit gate (null ids must be impossible by construction).
+  */
+object Identity {
+
+  private def hwKey(table: String, column: String) = s"$table#idhw#$column"
+
+  /** Declared identity columns of `table` (property-driven). */
+  def identityColumns(fs: FileSystem, warehouse: String, table: String)
+      : Seq[String] =
+    Snapshots.properties(fs, warehouse, table).keys.toSeq
+      .filter(_.startsWith("identity.")).map(_.stripPrefix("identity."))
+      .sorted
+
+  /** The column's current high-water mark (last minted id). */
+  def highWaterMark(fs: FileSystem, warehouse: String, table: String,
+                    column: String): Option[Long] =
+    Snapshots.metaValue(fs, warehouse, hwKey(table, column))
+      .flatMap(_.toLongOption)
+
+  /** Declare `column` GENERATED ALWAYS AS IDENTITY starting at `start`.
+    * One metadata commit: property + seeded mark + writer feature. The
+    * column must not already exist in committed data (identity is a
+    * creation-time property, Delta's stance — a retrofit would leave
+    * pre-declaration rows without ids). */
+  def declare(spark: SparkSession, warehouse: String, table: String,
+              column: String, start: Long = 1L): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
+    require(!existing.exists(a =>
+        FileStats.schemaTags(a.stats).exists(_._1 == column)),
+      s"column '$column' already carries data in '$table' — identity is " +
+        "declared before the column's first write, not retrofitted")
+    require(Snapshots.columnMapping(fs, warehouse, table)
+        .forall(m => m.physicalFor(column) == column),
+      s"identity column '$column' must be unmapped (no rename history)")
+    val base = Snapshots.latestVersion(fs, warehouse)
+    Snapshots.append(fs, warehouse, "identity" +
+        java.util.UUID.randomUUID().toString.replace("-", ""),
+      adds = Nil, removes = Nil, op = "identity", baseVersion = base,
+      metas = Seq(
+        Snapshots.propsMetaEntry(fs, warehouse, table,
+          Map(s"identity.$column" -> s"always,$start")),
+        hwKey(table, column) -> (start - 1L).toString),
+      features = Seq(table -> "w:identityColumns"))
+  }
+
+  /** Append `df` minting the table's identity column(s). `df` must NOT
+    * contain them (GENERATED ALWAYS — user-supplied values are an error,
+    * the Delta semantics). `commitId` makes the append exactly-once under
+    * replays, like merges and sink epochs. Returns the number of rows
+    * appended (0 for a recognized replay). */
+  def appendWithIdentity(spark: SparkSession, warehouse: String,
+                         table: String, df: DataFrame,
+                         commitId: Option[String] = None): Long = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idCols = identityColumns(fs, warehouse, table)
+    require(idCols.nonEmpty,
+      s"table '$table' has no declared identity column ([[declare]])")
+    idCols.foreach(c => require(!df.columns.contains(c),
+      s"GENERATED ALWAYS: the write must not supply identity column '$c'"))
+    val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      TxnCommit.recover(fs, warehouse)
+      if (commitId.isDefined &&
+          (Snapshots.entries(fs, warehouse).exists(_.commitId == cid) ||
+            Snapshots.txnApplied(fs, warehouse, cid)))
+        return 0L // replay: the batch already landed, ids already minted
+      val base = Snapshots.latestVersion(fs, warehouse)
+      val marks = idCols.map(c => c ->
+        highWaterMark(fs, warehouse, table, c).getOrElse(0L)).toMap
+      // Attempt-scoped staging (the zombie-vs-retry discipline every
+      // replay-keyed path uses).
+      val stagingId = s"$cid-a-${java.util.UUID.randomUUID().toString}"
+      val staging = s"${TxnCommit.stagingDir(warehouse, stagingId)}/$table"
+      val withIds = idCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(marks(c) + 1L) + monotonically_increasing_id()))
+      withIds.write.parquet(staging)
+      val moves = TxnCommit.movesFor(fs, warehouse, stagingId, table)
+      if (moves.isEmpty) { // empty batch: nothing to mint
+        fs.delete(new Path(TxnCommit.stagingDir(warehouse, stagingId)), true)
+        return 0L
+      }
+      // The TRUE per-column max comes from the staged files' stats tokens
+      // (footer-derived) — not from re-evaluating a possibly
+      // non-deterministic plan.
+      val stats = moves.flatMap(m =>
+        FileStats.decode(FileStats.collect(fs.getConf, new Path(m.src))))
+      val newMarks = idCols.map { c =>
+        val maxes = stats.flatMap(_.cols.get(c)).map(_.max)
+        require(maxes.nonEmpty && stats.size == moves.size,
+          s"staged files carry no [min,max] for identity column '$c' — " +
+            "cannot advance the high-water mark")
+        c -> maxes.map(_.toLong).max
+      }
+      val rows = stats.map(_.rows).sum
+      try {
+        // Coarse OCC (baseVersion): ANY commit landing on this table
+        // between the mark read and this publish conflicts — allocation
+        // is serialized, duplicates are impossible.
+        TxnCommit.commit(fs, warehouse, cid, moves,
+          baseVersion = base, txnId = commitId,
+          metas = newMarks.map { case (c, m) => hwKey(table, c) -> m.toString })
+        TxnCommit.publish(fs, warehouse, cid, moves,
+          baseVersion = base, txnId = commitId,
+          metas = newMarks.map { case (c, m) => hwKey(table, c) -> m.toString })
+        fs.delete(new Path(TxnCommit.stagingDir(warehouse, stagingId)), true)
+        return rows
+      } catch {
+        case _: Snapshots.ConcurrentCommitException if attempt < 8 =>
+          fs.delete(new Path(TxnCommit.stagingDir(warehouse, stagingId)), true)
+        // attempt 8 rethrows — the contention is real, surface it
+      }
+    }
+    0L // unreachable
+  }
+}

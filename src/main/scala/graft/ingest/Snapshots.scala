@@ -1541,6 +1541,11 @@ object Snapshots {
           s"${if (forWrite) "writing" else "reading"} it")
   }
 
+  /** Raw META payload of a pseudo-key (identity high-water marks, etc.). */
+  private[graft] def metaValue(fs: FileSystem, warehouse: String,
+                               key: String): Option[String] =
+    stateAt(fs, warehouse, None).flatMap(_.metas.get(key))
+
   /** The META entry merging `features` into the table's required set —
     * None when nothing is new (no redundant log lines). Hand it to
     * [[append]]'s `metas` so the requirement lands ATOMICALLY with the

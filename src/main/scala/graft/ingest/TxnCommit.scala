@@ -402,7 +402,8 @@ object TxnCommit {
              fileGranularOcc: Boolean = false,
              asTable: Option[String] = None,
              metrics: Map[String, Long] = Map.empty,
-             txnId: Option[String] = None): Unit = {
+             txnId: Option[String] = None,
+             metas: Seq[(String, String)] = Nil): Unit = {
     // Oversized blooms spill to sidecar files STAGED with this commit:
     // their moves join the manifest, so they publish (or replay) with the
     // data whose ADD lines point at them — crash-atomic either way.
@@ -441,6 +442,24 @@ object TxnCommit {
       .filter(_._2.nonEmpty).toMap
     val exercisedFeatures =
       validateSchemas(fs, warehouse, statsFor, (deletes ++ retained).toSet)
+    // GENERATED ALWAYS: staged data files of an identity table must CARRY
+    // the column — a raw append without it would silently land null-id
+    // rows. Rewrites (merge/compact) read it from their inputs and pass;
+    // fresh appends must route through Identity.appendWithIdentity.
+    statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
+      case (table, ds) =>
+        val idCols = Snapshots.properties(fs, warehouse, table).keys
+          .filter(_.startsWith("identity."))
+          .map(_.stripPrefix("identity."))
+        idCols.foreach { c =>
+          ds.values.flatMap(FileStats.decode).foreach(st =>
+            require(st.schema.exists(_._1 == c),
+              s"table '$table' declares GENERATED ALWAYS identity column " +
+                s"'$c' — appends must materialize it " +
+                "(Identity.appendWithIdentity); raw files without it " +
+                "would read null ids"))
+        }
+    }
     // Constraints must see EVERY staged data file: one whose stats
     // collection failed (collect returns "" on any footer trouble) is
     // unverifiable and must fail the commit, not silently bypass the
@@ -482,6 +501,10 @@ object TxnCommit {
         // schema validation) ride the manifest so a crash-recovery replay
         // stamps the SAME requirements the live publish would.
         exercisedFeatures.map { case (t, f) => s"#FEATURE\t$t\t$f" } ++
+        // Caller META entries (identity high-water marks) ride the
+        // manifest for the same reason: they must land ATOMICALLY with
+        // the data on every path, crash-recovery replays included.
+        metas.map { case (k, v) => s"#META\t$k\t$v" } ++
         (allMoves.map(m =>
           s"${m.src}\t${m.dest}\t${statsFor.getOrElse(m.dest, "")}") ++
           deletes.map(d => s"DEL\t$d") ++
@@ -505,7 +528,8 @@ object TxnCommit {
               fileGranularOcc: Boolean = false,
               asTable: Option[String] = None,
               metrics: Map[String, Long] = Map.empty,
-              txnId: Option[String] = None): Unit = {
+              txnId: Option[String] = None,
+              metas: Seq[(String, String)] = Nil): Unit = {
     // The manifest's move list is authoritative when present: commit()
     // may have appended sidecar-bloom moves the caller never saw (their
     // dests must publish with the data whose ADD lines point at them).
@@ -591,6 +615,7 @@ object TxnCommit {
       }
     val txnEff = manifest.flatMap(_.txnId).orElse(txnId)
     val featEff = manifest.map(_.features).getOrElse(Nil)
+    val metasEff = manifest.map(_.metas).filter(_.nonEmpty).getOrElse(metas)
     try Snapshots.append(fs, warehouse, commitId,
       adds = dataMoves.map(m => tableOf(m.dest) -> m.dest),
       removes = (deletes ++ retained).map(d =>
@@ -599,7 +624,8 @@ object TxnCommit {
       changeFiles = cdfMoves.map(m => tableOf(m.dest) -> m.dest),
       replay = replay,
       metas = txnEff
-        .map(id => Snapshots.txnMetaEntry(fs, warehouse, id)).toSeq,
+        .map(id => Snapshots.txnMetaEntry(fs, warehouse, id)).toSeq ++
+        metasEff,
       dvs = attach.map { case (data, dv, n) =>
         (asT.getOrElse(tableOf(data)), data, s"$n:$dv") },
       fileGranularOcc = granular, metrics = mEff, features = featEff)
@@ -646,7 +672,8 @@ object TxnCommit {
                               asTable: Option[String] = None,
                               metrics: Map[String, Long] = Map.empty,
                               txnId: Option[String] = None,
-                              features: Seq[(String, String)] = Nil)
+                              features: Seq[(String, String)] = Nil,
+                              metas: Seq[(String, String)] = Nil)
 
   private def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
@@ -662,7 +689,7 @@ object TxnCommit {
       .filter(_.nonEmpty).map(_.split("\t", 4))
     val moveLines = lines.filterNot(l =>
       Set("DEL", "RM", "DV", "#OP", "#BASE", "#GRANULAR", "#ASTABLE",
-        "#METRICS", "#TXN", "#FEATURE")(l.head))
+        "#METRICS", "#TXN", "#FEATURE", "#META")(l.head))
     Manifest(
       moveLines.map(l => Move(l(0), l(1))), // pre-stats manifests: 2 fields
       lines.filter(_.head == "DEL").map(_.apply(1)),
@@ -682,7 +709,8 @@ object TxnCommit {
             }
           }.toMap).getOrElse(Map.empty),
       lines.find(_.head == "#TXN").map(_.apply(1)),
-      lines.filter(_.head == "#FEATURE").map(l => (l(1), l(2))))
+      lines.filter(_.head == "#FEATURE").map(l => (l(1), l(2))),
+      lines.filter(_.head == "#META").map(l => (l(1), l(2))))
   }
 
   /** Grace period before an uncommitted staging dir is considered orphaned.

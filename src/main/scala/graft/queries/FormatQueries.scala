@@ -390,6 +390,33 @@ object FormatQueries {
         .select(col("n_nationkey"), col("n_name"), col("n_tag"))
     }),
 
+    // GENERATED ALWAYS AS IDENTITY: two appendWithIdentity commits mint
+    // engine-assigned ids; single-partition sorted writes make them DENSE
+    // and deterministic (batch order = key order here), so DuckDB's
+    // row_number() is the exact ground truth. The second batch also
+    // replays under its commitId — exactly-once, no ids re-minted.
+    "fmt_identity" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_identity", d) {
+        val w = freshWh()
+        val base = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        graft.ingest.Identity.declare(s, w, "nation_id", "row_id")
+        def batch(pred: org.apache.spark.sql.Column): DataFrame =
+          base.filter(pred).coalesce(1).sortWithinPartitions("n_nationkey")
+        graft.ingest.Identity.appendWithIdentity(s, w, "nation_id",
+          batch(col("n_nationkey") < 12))
+        graft.ingest.Identity.appendWithIdentity(s, w, "nation_id",
+          batch(col("n_nationkey") >= 12),
+          commitId = Some("load-identity-b2"))
+        // Replayed batch: recognized, nothing minted, nothing landed.
+        graft.ingest.Identity.appendWithIdentity(s, w, "nation_id",
+          batch(col("n_nationkey") >= 12),
+          commitId = Some("load-identity-b2"))
+        w
+      }
+      Snapshots.read(s, wh, "nation_id")
+        .select(col("n_nationkey"), col("n_name"), col("row_id"))
+    }),
+
     // Same-scale DECIMAL precision widening across commits: a (10,2) era
     // and a (14,2) era mix on one column; the read resolves the widest
     // precision and serves every era's values exactly. Ground truth: the
@@ -903,6 +930,11 @@ object FormatQueries {
         |FROM nation
         |WHERE NOT (n_nationkey < 15 AND n_regionkey = 4)
         |UNION ALL SELECT 990, 'NEWLAND', CAST(NULL AS BIGINT)""".stripMargin,
+    "fmt_identity" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT)
+        |         AS row_id
+        |FROM nation""".stripMargin,
     "fmt_decimal_widen" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CAST(CASE WHEN n_nationkey < 15 THEN n_nationkey + 0.25

@@ -298,6 +298,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // of null (the initial-default; one atomic metadata commit).
   private val AddColRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)(?:\s+\w+(?:\([^)]*\))?)?(?:\s+DEFAULT\s+(.+?))?\s*".r
+  // `GENERATED ALWAYS AS IDENTITY [(START WITH n)]` (Delta grammar):
+  // engine-minted monotone ids via [[graft.ingest.Identity]].
+  private val IdentityColRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)(?:\s+\w+)?\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(\d+)\s*\))?\s*".r
   private val DescribeDetailRe =
     raw"(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*".r
   // Delta's TBLPROPERTIES family over the snapshot log's property META
@@ -530,6 +534,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, name, None)
+    case IdentityColRe(table, name, start) if isGraftTable(table) =>
+      GraftIdentityColumnCommand(warehouse, table, name,
+        Option(start).map(_.toLong).getOrElse(1L))
     case AddColRe(table, name, dflt) if isGraftTable(table) =>
       GraftAddColumnCommand(warehouse, table, name, Option(dflt))
     case DescribeDetailRe(rawTable)
@@ -1007,6 +1014,19 @@ case class GraftAddColumnCommand(warehouse: String, table: String,
   override def run(session: SparkSession): Seq[Row] = Seq(Row(
     graft.ingest.SchemaEvolution.addColumn(session, warehouse, table, column,
       default)))
+}
+
+/** `ALTER TABLE t ADD COLUMN c [type] GENERATED ALWAYS AS IDENTITY
+  * [(START WITH n)]` → [[graft.ingest.Identity.declare]]. */
+case class GraftIdentityColumnCommand(warehouse: String, table: String,
+                                      column: String, start: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.ingest.Identity.declare(session, warehouse, table, column, start)
+    Seq(Row(column))
+  }
 }
 
 /** `VACUUM SNAPSHOTS [RETAIN n VERSIONS] [MAX AGE h HOURS]` →

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Identity, Snapshots, TxnCommit}
+
+/** GENERATED ALWAYS AS IDENTITY: engine-minted ids, unique and monotone
+  * across commits via the log-carried high-water mark, exactly-once under
+  * replays and crashes, serialized under contention. */
+class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-identity")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ids(w: String, t: String = "t"): Seq[Long] =
+    Snapshots.read(spark, w, t).select("row_id")
+      .collect().map(_.getLong(0)).toSeq
+
+  test("multi-commit appends mint unique monotone ids (gaps allowed)") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("mono")
+    Identity.declare(spark, w, "t", "row_id")
+    val n1 = Identity.appendWithIdentity(spark, w, "t",
+      (0L until 10L).map(i => (i, s"a$i")).toDF("k", "v"))
+    assert(n1 == 10L)
+    // Multi-partition write: ids get partition-offset GAPS but stay
+    // unique, and EVERY id exceeds every id of the earlier commit.
+    Identity.appendWithIdentity(spark, w, "t",
+      (10L until 30L).map(i => (i, s"b$i")).toDF("k", "v").repartition(3))
+    val all = Snapshots.read(spark, w, "t")
+      .select("k", "row_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(all.map(_._2).distinct.length == 30, "ids must be unique")
+    val batch1Max = all.filter(_._1 < 10L).map(_._2).max
+    val batch2Min = all.filter(_._1 >= 10L).map(_._2).min
+    assert(batch2Min > batch1Max, "commit N+1 ids must exceed commit N's")
+    assert(Identity.highWaterMark(fs, w, "t", "row_id")
+      .contains(all.map(_._2).max))
+  }
+
+  test("GENERATED ALWAYS: user-supplied values and raw appends are refused") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("always")
+    Identity.declare(spark, w, "t", "row_id")
+    Identity.appendWithIdentity(spark, w, "t",
+      Seq((1L, "a")).toDF("k", "v"))
+    // Supplying the column through the API is an error.
+    intercept[IllegalArgumentException](
+      Identity.appendWithIdentity(spark, w, "t",
+        Seq((2L, "b", 99L)).toDF("k", "v", "row_id")))
+    // A raw TxnCommit append WITHOUT the column is refused at the commit
+    // gate — null-id rows must be impossible by construction.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val mv = TxnCommit.movesFor(fs, w, cid, "t")
+    val ex = intercept[IllegalArgumentException](
+      TxnCommit.commit(fs, w, cid, mv))
+    assert(ex.getMessage.contains("row_id"), ex.getMessage)
+    // Declaring identity on a column that already carries data is refused.
+    intercept[IllegalArgumentException](
+      Identity.declare(spark, w, "t", "v"))
+  }
+
+  test("exactly-once: commitId replays and crash-recovery never re-mint") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("replay")
+    Identity.declare(spark, w, "t", "row_id", start = 100L)
+    val df = (0L until 5L).map(i => (i, s"x$i")).toDF("k", "v")
+      .coalesce(1).sortWithinPartitions("k")
+    assert(Identity.appendWithIdentity(spark, w, "t", df,
+      commitId = Some("idload-b1")) == 5L)
+    assert(ids(w).sorted == (100L until 105L))
+    // Plain replay: recognized, nothing minted.
+    assert(Identity.appendWithIdentity(spark, w, "t", df,
+      commitId = Some("idload-b1")) == 0L)
+    assert(ids(w).sorted == (100L until 105L))
+    // Crash mid-publish: recovery must finish the batch ONCE, high-water
+    // mark included (it rides the manifest).
+    val df2 = (5L until 8L).map(i => (i, s"y$i")).toDF("k", "v")
+      .coalesce(1).sortWithinPartitions("k")
+    sys.props("graft.test.failAfterMoves") = "0"
+    try intercept[IllegalStateException](
+      Identity.appendWithIdentity(spark, w, "t", df2,
+        commitId = Some("idload-b2")))
+    finally sys.props.remove("graft.test.failAfterMoves")
+    // The replay (same commitId) converges: recovery publishes the crashed
+    // manifest, then the call recognizes it as applied.
+    assert(Identity.appendWithIdentity(spark, w, "t", df2,
+      commitId = Some("idload-b2")) == 0L)
+    assert(ids(w).sorted == (100L until 108L))
+    assert(Identity.highWaterMark(fs, w, "t", "row_id").contains(107L))
+    // Vacuum past the entries: the applied-txn registry still proves both.
+    (0 until 20).foreach { i =>
+      val cid = java.util.UUID.randomUUID().toString
+      Seq((1000L + i, "z")).toDF("k", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/other")
+      val mv = TxnCommit.movesFor(fs, w, cid, "other")
+      TxnCommit.commit(fs, w, cid, mv); TxnCommit.publish(fs, w, cid, mv)
+    }
+    Snapshots.vacuum(fs, w, keepVersions = 2, minAgeMs = 0L)
+    assert(Identity.appendWithIdentity(spark, w, "t", df2,
+      commitId = Some("idload-b2")) == 0L)
+    assert(ids(w).sorted == (100L until 108L))
+  }
+
+  test("contention: concurrent appends serialize, ids stay disjoint") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("race")
+    Identity.declare(spark, w, "t", "row_id")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs0 = (0 until 4).map { g =>
+      Future {
+        Identity.appendWithIdentity(spark, w, "t",
+          (0L until 25L).map(i => (g * 100L + i, s"g$g-$i")).toDF("k", "v"))
+      }
+    }
+    Await.result(Future.sequence(fs0), 120.seconds)
+    val got = ids(w)
+    assert(got.length == 100 && got.distinct.length == 100,
+      s"ids must stay unique under contention (got ${got.length}, " +
+        s"${got.distinct.length} distinct)")
+  }
+
+  test("SQL: ALTER TABLE ... GENERATED ALWAYS AS IDENTITY (START WITH n)") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("sql")
+    spark.conf.set("spark.graft.warehouse", w)
+    try {
+      // Table must exist for isGraftTable routing — seed one committed era.
+      val cid = java.util.UUID.randomUUID().toString
+      Seq((1L, "a")).toDF("k", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val mv = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, mv); TxnCommit.publish(fs, w, cid, mv)
+      spark.sql(
+        "ALTER TABLE t ADD COLUMN row_id BIGINT GENERATED ALWAYS AS " +
+          "IDENTITY (START WITH 500)")
+      assert(Identity.identityColumns(fs, w, "t") == Seq("row_id"))
+      Identity.appendWithIdentity(spark, w, "t",
+        Seq((2L, "b")).toDF("k", "v").coalesce(1))
+      // Pre-declaration rows read NULL for the column (additive era);
+      // minted rows start at the declared offset.
+      val got = Snapshots.read(spark, w, "t", mergeSchema = true)
+        .select("k", "row_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(got(1L).isEmpty && got(2L).contains(500L), got.toString)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+}
