@@ -564,9 +564,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           if (numRows.exists(_ < 0)) -1L else numRows.sum,
           acts.count(_.dv.nonEmpty).toLong,
           partCols.mkString(","),
-          props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
+          props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","),
+          // The protocol gate's required-feature set (Delta's
+          // minReaderVersion/tableFeatures column): what a reader/writer
+          // must support to open this table.
+          Snapshots.tableFeatures(fs, ddWh, table).toSeq.sorted
+            .mkString(",")))
         .toDF("table", "num_files", "size_bytes", "num_rows",
-          "files_with_deletion_vectors", "partition_columns", "properties")
+          "files_with_deletion_vectors", "partition_columns", "properties",
+          "table_features")
         .queryExecution.logical
     case AddConstraintRe(table, name, check) if isGraftPropsTable(table) =>
       GraftAddConstraintCommand(warehouse, table, name, check.trim)

@@ -84,6 +84,16 @@ object StreamingOps {
     val commitId = s"stream-$table-$batchId"
     if (Snapshots.entries(fs, warehouse).exists(_.commitId == commitId) ||
         Snapshots.txnApplied(fs, warehouse, commitId)) return
+    // Identity tables: the engine mints the ids — route through the
+    // allocation path under the SAME epoch commitId, so the stream keeps
+    // exactly-once (a crash-replayed trigger re-finds the commitId and
+    // mints nothing) and ids stay monotone across epochs.
+    if (graft.ingest.Identity.identityColumns(fs, warehouse, table).nonEmpty) {
+      graft.ingest.Identity.appendWithIdentity(spark, warehouse, table, df,
+        commitId = Some(commitId))
+      graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set(""))
+      return
+    }
     // Each ATTEMPT stages into its own dir: a zombie driver and its
     // restart replaying the same batchId must never interleave part files
     // in one staging dir. The manifest's put-if-absent on the batch's

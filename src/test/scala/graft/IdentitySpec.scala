@@ -145,6 +145,33 @@ class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${got.distinct.length} distinct)")
   }
 
+  test("streaming epochs mint identity ids exactly-once across restarts") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("streamid"); val ckpt = wh("streamidCkpt")
+    Identity.declare(spark, w, "t", "row_id")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingOps.transactionalSink(
+        in.toDF.toDF("k", "v"), w, "t", ckpt)
+      q.awaitTermination()
+    }
+    in.addData((0L until 5L).map(i => (i, s"a$i")): _*)
+    drain()
+    in.addData((5L until 9L).map(i => (i, s"b$i")): _*)
+    drain()
+    val got = ids(w)
+    assert(got.length == 9 && got.distinct.length == 9, got.toString)
+    // A replayed epoch (same batchId through commitBatch directly) mints
+    // nothing — the stream's exactly-once extends to the allocation.
+    graft.streaming.StreamingOps.commitBatch(
+      (0L until 5L).map(i => (i, s"a$i")).toDF("k", "v"), w, "t",
+      batchId = 0L)
+    assert(ids(w).length == 9, "replayed epoch re-minted ids")
+  }
+
   test("SQL: ALTER TABLE ... GENERATED ALWAYS AS IDENTITY (START WITH n)") {
     val s0 = spark
     import s0.implicits._
