@@ -744,6 +744,15 @@ object Snapshots {
                   dryRun: Boolean = false): VacuumStats = {
     val all = entries(fs, warehouse)
     if (all.isEmpty) return VacuumStats(0, 0L, 0L, Nil)
+    // Protocol gate: which files are LIVE is itself feature-dependent (a
+    // future feature could redefine liveness the way deletion vectors
+    // did) — a vacuum computed by a build that doesn't understand a
+    // table's reader features could reap live data. Refuse for the whole
+    // warehouse, naming the table (the Delta stance: protocol checks
+    // guard every operation, vacuum included).
+    stateAt(fs, warehouse, None).foreach(_.metas.keys
+      .filter(_.endsWith("#features")).map(_.stripSuffix("#features"))
+      .foreach(t => requireFeatures(fs, warehouse, t)))
     val latest = all.last.version
     val now = System.currentTimeMillis()
     // Version V was superseded before the window iff some entry with a
@@ -1294,6 +1303,15 @@ object Snapshots {
     val base = latestVersion(fs, warehouse)
     val srcMapping = columnMapping(fs, warehouse, src, asOf)
     val srcProps = properties(fs, warehouse, src, asOf)
+    // The clone needs everything a reader/writer of the SOURCE needs: its
+    // required-feature set (a clone of a DV table without
+    // r:deletionVectors would dodge the protocol gate and serve deleted
+    // rows to naive readers) and its identity high-water marks (a clone
+    // that restarts at 1 would mint ids colliding with the cloned rows).
+    val srcFeatures = tableFeatures(fs, warehouse, src, asOf)
+    val srcHw = stateAt(fs, warehouse, asOf).map(_.metas).getOrElse(Map.empty)
+      .collect { case (k, v) if k.startsWith(s"$src#idhw#") =>
+        (s"$dst#idhw#" + k.stripPrefix(s"$src#idhw#")) -> v }.toSeq
     append(fs, warehouse,
       "clone" + java.util.UUID.randomUUID().toString.replace("-", ""),
       adds = files.map(a => dst -> a.file), removes = Nil,
@@ -1301,7 +1319,9 @@ object Snapshots {
       statsFor = files.map(a => a.file -> a.stats).toMap,
       metas = srcMapping.map(m => dst -> m.encode).toSeq ++
         (if (srcProps.nonEmpty)
-           Seq(propsKey(dst) -> encodeProps(srcProps)) else Nil),
+           Seq(propsKey(dst) -> encodeProps(srcProps)) else Nil) ++
+        srcHw,
+      features = srcFeatures.map(dst -> _).toSeq,
       dvFor = files.filter(_.dv.nonEmpty).map(a => a.file -> a.dv).toMap)
     latestVersion(fs, warehouse).get
   }
@@ -1320,12 +1340,21 @@ object Snapshots {
     if (live.isEmpty && props.isEmpty) false
     else {
       val base = latestVersion(fs, warehouse)
+      // A re-created table of the same name must start FRESH: clear the
+      // required-feature set and identity high-water marks with the props
+      // and mapping ("" = cleared in the fold, like the mapping).
+      val stale = stateAt(fs, warehouse, None).map(_.metas)
+        .getOrElse(Map.empty).keys
+        .filter(k => k == featuresKey(table) ||
+          k.startsWith(s"$table#idhw#"))
+        .map(_ -> "").toSeq
       append(fs, warehouse, "drop" +
           java.util.UUID.randomUUID().toString.replace("-", ""),
         adds = Nil, removes = live.map(a => table -> a.file),
         op = "drop", baseVersion = base,
         metas = Seq(propsKey(table) -> encodeProps(Map.empty)) ++
-          mapping.map(_ => table -> "").toSeq) // "" clears the mapping
+          mapping.map(_ => table -> "").toSeq ++ // "" clears the mapping
+          stale)
       true
     }
   }
@@ -1503,11 +1532,12 @@ object Snapshots {
         s"unrecognized table-features payload: $payload")
     }
 
-  /** The table's required features at `asOf` (scope-prefixed names). */
+  /** The table's required features at `asOf` (scope-prefixed names).
+    * "" = cleared by a drop (a re-created name starts fresh). */
   def tableFeatures(fs: FileSystem, warehouse: String, table: String,
                     asOf: Option[Long] = None): Set[String] =
     stateAt(fs, warehouse, asOf)
-      .flatMap(_.metas.get(featuresKey(table)))
+      .flatMap(_.metas.get(featuresKey(table))).filter(_.nonEmpty)
       .map(decodeFeatures).getOrElse(Set.empty)
 
   /** Thrown when a table requires features this build doesn't know —
@@ -1669,11 +1699,20 @@ object Snapshots {
                          declared: Map[String, String]): Unit = {
     val base = latestVersion(fs, warehouse)
     val hadMapping = columnMapping(fs, warehouse, table).nonEmpty
+    // Replace = a NEW contract: the required-feature set and identity
+    // marks of the old incarnation clear with the properties (the new
+    // data re-stamps whatever it actually uses).
+    val stale = stateAt(fs, warehouse, None).map(_.metas)
+      .getOrElse(Map.empty).keys
+      .filter(k => k == featuresKey(table) ||
+        k.startsWith(s"$table#idhw#"))
+      .map(_ -> "").toSeq
     append(fs, warehouse, java.util.UUID.randomUUID().toString,
       adds = Nil, removes = Nil, op = "set_properties", baseVersion = base,
       metas = Seq(propsKey(table) -> encodeProps(
         declared.filter { case (_, v) => v != null && v.nonEmpty })) ++
-        (if (hadMapping) Seq(table -> "") else Nil)) // "" clears the mapping
+        (if (hadMapping) Seq(table -> "") else Nil) ++ // "" clears mapping
+        stale)
   }
 
   /** Writer options every rewrite of `table` must stage under — today the

@@ -106,6 +106,39 @@ class CloneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "dst").filter(col("id") === 7L).count() == 0)
   }
 
+  test("required features and identity marks ride the clone; drop clears them") {
+    val w = wh("feat")
+    val s0 = spark
+    import s0.implicits._
+    pub(w, "src", (0L until 20L).map(i => (i, i * 2)).toDF("id", "v"))
+    Merge.deleteWhereDv(spark, w, "src", col("id") === 3L)
+    Snapshots.cloneTable(spark, w, "src", "dst")
+    // The clone carries DV files, so it needs the DV reader feature — a
+    // clone WITHOUT it would dodge the protocol gate and serve deleted
+    // rows to naive readers.
+    assert(Snapshots.tableFeatures(fs, w, "dst")
+      .contains("r:deletionVectors"))
+    // Identity marks ride too: the clone continues where the source left
+    // off, never re-minting the cloned rows' ids.
+    graft.ingest.Identity.declare(spark, w, "idsrc", "row_id")
+    graft.ingest.Identity.appendWithIdentity(spark, w, "idsrc",
+      (0L until 5L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    Snapshots.cloneTable(spark, w, "idsrc", "iddst")
+    graft.ingest.Identity.appendWithIdentity(spark, w, "iddst",
+      (5L until 8L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    val ids = Snapshots.read(spark, w, "iddst").select("row_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 8 && ids.distinct.length == 8,
+      s"cloned identity table re-minted ids: $ids")
+    // DROP clears the name's features and marks — a re-created table of
+    // the same name starts fresh (no stale refusals, ids from 1).
+    Snapshots.dropTable(fs, w, "dst")
+    assert(Snapshots.tableFeatures(fs, w, "dst").isEmpty)
+    Snapshots.dropTable(fs, w, "iddst")
+    assert(graft.ingest.Identity.highWaterMark(fs, w, "iddst", "row_id")
+      .isEmpty)
+  }
+
   test("vacuum keeps shared files alive until BOTH tables let go") {
     val w = wh("vac")
     val s0 = spark

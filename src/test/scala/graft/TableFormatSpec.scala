@@ -1351,6 +1351,11 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[UnsupportedOperationException](
       Merge.deleteWhereDv(spark, w, "t",
         org.apache.spark.sql.functions.col("id") === 1L))
+    // Vacuum refuses too: liveness itself is feature-dependent (DVs
+    // redefined it once) — reaping by a build that can't read the table
+    // could delete live data.
+    intercept[UnsupportedOperationException](
+      Snapshots.vacuum(fs, w, keepVersions = 1, minAgeMs = 0L))
     // Time travel BELOW the upgrade commit serves the era this build
     // fully understands.
     assert(Snapshots.read(spark, w, "t", asOf = Some(vOld)).count() == 10L)
