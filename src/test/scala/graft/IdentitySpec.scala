@@ -145,6 +145,58 @@ class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${got.distinct.length} distinct)")
   }
 
+  test("randomized chain: crashes, replays, compactions keep ids unique") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("chaos")
+    Identity.declare(spark, w, "t", "row_id")
+    val rng = new scala.util.Random(7)
+    var appended = 0L
+    var nextK = 0L
+    var batchNo = 0
+    def fresh(n: Int) = {
+      val ks = (nextK until nextK + n); nextK += n
+      ks.map(k => (k, s"v$k")).toDF("k", "v")
+    }
+    (1 to 15).foreach { step =>
+      rng.nextInt(4) match {
+        case 0 => // plain append, multi-partition sometimes
+          val df = fresh(3 + rng.nextInt(4))
+          appended += Identity.appendWithIdentity(spark, w, "t",
+            if (rng.nextBoolean()) df.repartition(2) else df)
+        case 1 => // replay-keyed append driven twice: lands once
+          batchNo += 1
+          val cid = s"chaosload-$batchNo"
+          val df = fresh(3)
+          appended += Identity.appendWithIdentity(spark, w, "t", df,
+            commitId = Some(cid))
+          assert(Identity.appendWithIdentity(spark, w, "t", df,
+            commitId = Some(cid)) == 0L, s"step $step: replay re-landed")
+        case 2 => // crash mid-publish; recovery + replay converge
+          batchNo += 1
+          val cid = s"chaoscrash-$batchNo"
+          val df = fresh(2)
+          sys.props("graft.test.failAfterMoves") = "0"
+          try intercept[IllegalStateException](
+            Identity.appendWithIdentity(spark, w, "t", df,
+              commitId = Some(cid)))
+          finally sys.props.remove("graft.test.failAfterMoves")
+          assert(Identity.appendWithIdentity(spark, w, "t", df,
+            commitId = Some(cid)) == 0L,
+            s"step $step: crashed batch replayed as new")
+          appended += 2 // recovery landed the crashed publish exactly once
+        case 3 => graft.ingest.Compaction.compact(spark, w, "t")
+      }
+      val got = ids(w)
+      assert(got.length == appended,
+        s"step $step: expected $appended rows, got ${got.length}")
+      assert(got.distinct.length == got.length,
+        s"step $step: duplicate ids minted")
+      assert(Identity.highWaterMark(fs, w, "t", "row_id")
+        .contains(got.max), s"step $step: mark diverged from max id")
+    }
+  }
+
   test("streaming epochs mint identity ids exactly-once across restarts") {
     val s0 = spark
     import s0.implicits._

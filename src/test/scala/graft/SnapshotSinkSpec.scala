@@ -120,6 +120,47 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "control table without the property must accumulate files")
   }
 
+  test("auto-compaction is partition-scoped: untouched partitions keep files") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whAutoP"); val ckpt = wh("whAutoPCkpt")
+    val in = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = in.toDF.toDF("id", "side").writeStream
+        .format("graft-snapshots")
+        .option("warehouse", w).option("table", "t")
+        .option("partitionBy", "side")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    in.addData((0L until 4L).map(i => (i, "a")): _*); drain()
+    Snapshots.setProperties(fs, w, "t", Map(
+      "graft.autoCompact.minFiles" -> "4",
+      "graft.autoCompact.targetBytes" -> (64L * 1024 * 1024).toString))
+    // side=a accumulates 6 more epochs; side=b gets exactly 2 epochs —
+    // below the threshold, its files must be left alone.
+    (1 to 6).foreach { e =>
+      in.addData((e * 10L until e * 10L + 2L).map(i => (i, "a")): _*)
+      drain()
+    }
+    (1 to 2).foreach { e =>
+      in.addData((100L + e, "b")); drain()
+    }
+    val bySpec = Snapshots.fileMeta(fs, w, "t").get.groupBy(_.partition)
+    assert(bySpec("side=b").size == 2,
+      s"untouched/below-threshold partition was rewritten: ${bySpec("side=b")}")
+    assert(bySpec("side=a").size < 5,
+      s"hot partition must be packed, got ${bySpec("side=a").size} files")
+    val got = Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted
+    val expect = ((0L until 4L) ++
+      (1 to 6).flatMap(e => e * 10L until e * 10L + 2L) ++
+      (1 to 2).map(e => 100L + e)).sorted
+    assert(got.sameElements(expect))
+  }
+
   test("a replayed epoch is recognized by commitId and skipped") {
     val s0 = spark
     import s0.implicits._
