@@ -192,8 +192,10 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     * value projection, the plain-filtered inner plan). Callers decide
     * what to do with the non-equality remainder: IN lowers it as the
     * merge engine's ON residual ([[lowerResidualExists]] — the value
-    * column itself anchors the equi-join), NOT IN keeps the crisp
-    * unsupported error (its 3VL doesn't compose with a residual). */
+    * column itself anchors the equi-join); NOT IN folds it into its
+    * wholesale anti-join ON ([[lowerGeneralNotIn]] — a witness is an
+    * inner row the conjunct admits as TRUE, which is exactly the
+    * subquery-membership test, so 3VL composes). */
   private def decorrelateList(
       lq: org.apache.spark.sql.catalyst.expressions.ListQuery,
       what: String, unsupported: String => Nothing)
@@ -231,6 +233,17 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     * one target row act once — conditions/assignments are t-only by
     * construction); NOT EXISTS anti-joins the full ON, exactly its
     * semantics. */
+  /** The INNER attributes an expression reads (everything under an
+    * OuterReference belongs to the target side and is excluded). */
+  private def innerAttrsOf(e: Expression): Seq[AttributeReference] = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    e match {
+      case OuterReference(_) => Nil
+      case a: AttributeReference => Seq(a)
+      case other => other.children.flatMap(innerAttrsOf)
+    }
+  }
+
   private def lowerResidualExists(wh: String, t: String, target: LogicalPlan,
                                   pairs: Seq[(AttributeReference, AttributeReference)],
                                   residCor: Seq[Expression], inner: LogicalPlan,
@@ -241,11 +254,6 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                   targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil)
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
-    def innerAttrsOf(e: Expression): Seq[AttributeReference] = e match {
-      case OuterReference(_) => Nil
-      case a: AttributeReference => Seq(a)
-      case other => other.children.flatMap(innerAttrsOf)
-    }
     val keyNames = pairs.map(_._1.name)
     val tgt = target.outputSet
     require(pairs.map(_._1).forall(tgt.contains),
@@ -303,13 +311,11 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                 unsupported: String => Nothing,
                                 targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil)
       : LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
     val (corrPairs, residCor, projList, below) =
       decorrelateList(lq, "NOT IN", unsupported)
-    residCor.foreach(other =>
-      unsupported(s"non-equality NOT IN correlation ${other.sql}"))
-    if (lq.outerAttrs.nonEmpty && corrPairs.isEmpty)
-      unsupported("NOT IN correlation without equality")
+    if (lq.outerAttrs.nonEmpty && corrPairs.isEmpty && residCor.isEmpty)
+      unsupported("NOT IN correlation outside the subquery's WHERE clause")
     val tgt = target.outputSet
     require((attrs ++ corrPairs.map(_._1)).forall(tgt.contains),
       "NOT IN values and correlation columns must be columns of the target table")
@@ -317,18 +323,41 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     if (names.distinct.size != names.size)
       unsupported(
         "a target column appears twice across the NOT IN tuple and its correlation")
+    // NON-equality correlated conjuncts (`AND s.ts < t.ts`) ride the anti
+    // ON directly — 3VL-exact BECAUSE of the join-condition semantics: a
+    // witness for target row t is an inner row the subquery's WHERE
+    // admits (conjunct TRUE; NULL/false rows are simply not in the
+    // subquery result for t), so putting the conjunct in the ON — where
+    // NULL = no match — IS the membership test, composed with the
+    // three-valued tuple comparison below. The inner columns they read
+    // ride the source projection under their own names.
+    val residInner = residCor.flatMap(innerAttrsOf)
+      .groupBy(_.exprId).map(_._2.head).toSeq.sortBy(_.name)
+    val extras = residInner.filterNot(a => corrPairs.exists(p =>
+      p._2.exprId == a.exprId && p._1.name == a.name))
+    extras.foreach(a => if (names.contains(a.name)) unsupported(
+      s"correlated-subquery column '${a.name}' shadows a NOT IN " +
+        "tuple/correlation name"))
+    if (extras.map(_.name).distinct.size != extras.size)
+      unsupported("ambiguous same-named columns in the correlated subquery")
     // Subquery output aliased to the target-side names (value columns to
     // the tuple's names, correlation inners to their outer names), made
     // distinct — membership semantics, smaller anti-join build side.
     val srcPlan = Distinct(Project(
       projList.zip(attrs).map { case (e, a) => Alias(e, a.name)() } ++
-        corrPairs.map { case (o, i) => Alias(i, o.name)() }, below))
+        corrPairs.map { case (o, i) => Alias(i, o.name)() } ++ extras, below))
     def tq(n: String) = UnresolvedAttribute(Seq("t", n)).sql
     def sq(n: String) = UnresolvedAttribute(Seq("s", n)).sql
+    def corSql(e: Expression): String = e.transform {
+      case OuterReference(o: AttributeReference) =>
+        UnresolvedAttribute(Seq("t", o.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq("s", a.name))
+    }.sql
     val antiOn = (attrs.map(a =>
         s"${tq(a.name)} = ${sq(a.name)} OR ${tq(a.name)} IS NULL OR " +
           s"${sq(a.name)} IS NULL") ++
-      corrPairs.map { case (o, _) => s"${tq(o.name)} = ${sq(o.name)}" })
+      corrPairs.map { case (o, _) => s"${tq(o.name)} = ${sq(o.name)}" } ++
+      residCor.map(corSql))
       .mkString("(", ") AND (", ")")
     val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
     def render(e: Expression): String = qualifiedSql(e, tgt, empty)

@@ -564,12 +564,35 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // only k = 10 deletes.
     assert(spark.sql("SELECT k FROM gni.t3 ORDER BY k").as[Long]
       .collect().toSeq == Seq(5L, 7L, 8L, 12L))
-    // Deeper shapes keep crisp unsupported errors.
+    // NON-equality NOT IN correlation: the conjunct rides the anti-join
+    // ON (a witness is an inner row the subquery's WHERE admits — TRUE
+    // only, exactly the membership test), composed with the three-valued
+    // tuple comparison. Slice per target row of t4 under `g2 < g`:
+    //   (g=2,k=10): {10,NULL} → member → keep
+    //   (g=2,k=99): {10,NULL} → NULL member → UNKNOWN → keep
+    //   (g=4,k=20): {10,NULL,20} → member → keep
+    //   (g=0,k=7):  {} → empty → act
+    //   (g=NULL,k=7): g2<NULL never TRUE → empty slice → act
+    //   (g=2,k=NULL): nonempty slice → UNKNOWN → keep
+    //   (g=0,k=NULL): EMPTY slice → NOT IN {} = TRUE → act
+    Seq((Some(2L), Some(10L), 1L), (Some(2L), Some(99L), 2L),
+      (Some(4L), Some(20L), 3L), (Some(0L), Some(7L), 4L),
+      (None, Some(7L), 5L), (Some(2L), None, 6L), (Some(0L), None, 7L))
+      .toDF("g", "k", "v").coalesce(1).createOrReplaceTempView("ni_t4")
+    spark.sql("CREATE TABLE gni.t4 AS SELECT g, k, v FROM ni_t4")
+    Seq((1L, Some(10L)), (1L, None), (3L, Some(20L)), (5L, Some(30L)))
+      .toDF("g2", "k2").createOrReplaceTempView("ni_c2")
+    spark.sql(
+      """DELETE FROM gni.t4 WHERE k NOT IN
+        |  (SELECT k2 FROM ni_c2 WHERE ni_c2.g2 < gni.t4.g)""".stripMargin)
+    assert(spark.sql("SELECT v FROM gni.t4 ORDER BY v").as[Long]
+      .collect().toSeq == Seq(1L, 2L, 3L, 6L))
+    // Correlation OUTSIDE the subquery's WHERE keeps a crisp error.
     val err = intercept[Exception](spark.sql(
-      "DELETE FROM gni.t3 WHERE k NOT IN " +
-        "(SELECT k2 FROM ni_c1 WHERE ni_c1.g2 > gni.t3.g)"))
-    assert(err.getMessage.contains("non-equality NOT IN correlation"),
-      err.getMessage)
+      "DELETE FROM gni.t4 WHERE k NOT IN " +
+        "(SELECT k2 + gni.t4.g FROM ni_c2)"))
+    assert(err.getMessage.contains("NOT IN") ||
+      err.getMessage.contains("correlat"), err.getMessage)
   }
 
   test("past-cap secondary subqueries lower onto semi/anti joins") {
@@ -794,7 +817,10 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g)",
       "NOT EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g)",
       "k NOT IN (SELECT x2 FROM rnd_s2 WHERE rnd_s2.g2 = grnd.t6.g)",
-      "k IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v)")
+      "k IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v)",
+      "k NOT IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v)",
+      "k NOT IN (SELECT x2 FROM rnd_s2 WHERE rnd_s2.g2 = grnd.t6.g " +
+        "AND x2 < grnd.t6.v)")
     try {
       for (seed <- Seq(11, 47)) {
         val rnd = new scala.util.Random(seed)
