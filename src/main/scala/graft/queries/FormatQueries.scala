@@ -602,6 +602,37 @@ object FormatQueries {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gor2.nation_or")
     }),
 
+    // Negated subqueries under OR: `NOT IN … OR r` rides the general
+    // anti-join with ¬coalesce(r, false) in the ON, `NOT EXISTS … OR r`
+    // the nmbs residual engine — each ONE atomic merge. Ground truth:
+    // plain SQL filters over the same unions.
+    "fmt_catalog_subq_notor" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gnor",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_catalog_subq_notor", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gnor.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_nor_base")
+        s.sql("CREATE TABLE gnor.nation_nor AS " +
+          "SELECT n_nationkey, n_name, n_regionkey FROM fmt_nor_base")
+        s.sql(
+          """UPDATE gnor.nation_nor SET n_name = concat(n_name, '_X')
+            |WHERE n_nationkey NOT IN
+            |  (SELECT n_nationkey FROM fmt_nor_base
+            |   WHERE n_regionkey IN (1, 2))
+            |  OR n_regionkey = 4""".stripMargin)
+        s.sql(
+          """DELETE FROM gnor.nation_nor WHERE NOT EXISTS
+            |  (SELECT 1 FROM fmt_nor_base
+            |   WHERE fmt_nor_base.n_nationkey = gnor.nation_nor.n_nationkey
+            |     AND fmt_nor_base.n_regionkey < 2)
+            |  OR n_nationkey >= 20""".stripMargin)
+        w
+      }
+      s.conf.set("spark.sql.catalog.gnor.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gnor.nation_nor")
+    }),
+
     // Zero-copy shallow clone + divergence: clone the committed fixture,
     // DELETE the high keys on the CLONE (a rewrite spanning the shared
     // root), and read the clone back — proving the one-commit clone, the
@@ -960,6 +991,13 @@ object FormatQueries {
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation
         |WHERE NOT (n_regionkey = 0 OR n_nationkey >= 20)""".stripMargin,
+    "fmt_catalog_subq_notor" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CASE WHEN n_regionkey IN (0, 3, 4) THEN n_name || '_X'
+        |            ELSE n_name END AS n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |WHERE NOT (n_regionkey >= 2 OR n_nationkey >= 20)""".stripMargin,
     "fmt_merge_large" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       n_name || '_L' AS n_name,

@@ -251,7 +251,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                   assigns: Option[Seq[Assignment]],
                                   nmbs: Boolean,
                                   unsupported: String => Nothing,
-                                  targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil)
+                                  targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil,
+                                  orPlain: Option[Expression] = None)
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
     val keyNames = pairs.map(_._1.name)
@@ -275,13 +276,23 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         UnresolvedAttribute(Seq("t", o.name))
       case a: AttributeReference => UnresolvedAttribute(Seq("s", a.name))
     }.sql
-    val onResidualSql =
-      Some(residCor.map(corSql).mkString("(", ") AND (", ")"))
     val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
     def render(e: Expression): String = qualifiedSql(e, tgt, empty)
-    val residualSql = residual match {
-      case Seq() => None
-      case rs => Some(rs.map(render).mkString("(", ") AND (", ")"))
+    // `NOT EXISTS … OR r` on the nmbs route: same construction as the
+    // general NOT IN — ¬coalesce(r, false) rides the ON (a witness only
+    // blocks rows where r is not TRUE), (b OR r) rides the condition.
+    val orSql = orPlain.map(render)
+    require(orSql.isEmpty || nmbs,
+      "disjunctions reach the residual engine only on the negated route")
+    val onResidualSql =
+      Some((residCor.map(corSql) ++
+        orSql.map(r => s"NOT coalesce(($r), false)"))
+        .mkString("(", ") AND (", ")"))
+    val residualSql = (residual, orSql) match {
+      case (Seq(), _) => None
+      case (rs, None) => Some(rs.map(render).mkString("(", ") AND (", ")"))
+      case (rs, Some(r)) =>
+        Some(s"(${rs.map(render).mkString("(", ") AND (", ")")}) OR ($r)")
     }
     val assignPairs = assigns.map(_.map { a =>
       a.key match {
@@ -309,7 +320,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
                                 residual: Seq[Expression],
                                 assigns: Option[Seq[Assignment]],
                                 unsupported: String => Nothing,
-                                targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil)
+                                targetFilters: Seq[(String, LogicalPlan, Boolean)] = Nil,
+                                orPlain: Option[Expression] = None)
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference}
     val (corrPairs, residCor, projList, below) =
@@ -353,17 +365,28 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         UnresolvedAttribute(Seq("t", o.name))
       case a: AttributeReference => UnresolvedAttribute(Seq("s", a.name))
     }.sql
+    val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+    def render(e: Expression): String = qualifiedSql(e, tgt, empty)
+    // `NOT IN … OR r` (r subquery-free, t-only): the t-only conjunct
+    // `NOT coalesce(r, false)` joins the anti ON, so a witness only
+    // BLOCKS rows where r is not TRUE — "unmatched" becomes r′ ∨ ¬∃w —
+    // and the clause condition (b OR r) below restores exactly
+    // (NOT IN ∧ b) ∨ r: (r′ ∨ ¬∃w) ∧ (b ∨ r) evaluates act-iff-TRUE by
+    // cases on r (TRUE → acts; FALSE → ¬∃w ∧ b; UNKNOWN → r′ = false,
+    // acts iff ¬∃w ∧ b — the 3VL answer each time).
+    val orSql = orPlain.map(render)
     val antiOn = (attrs.map(a =>
         s"${tq(a.name)} = ${sq(a.name)} OR ${tq(a.name)} IS NULL OR " +
           s"${sq(a.name)} IS NULL") ++
       corrPairs.map { case (o, _) => s"${tq(o.name)} = ${sq(o.name)}" } ++
-      residCor.map(corSql))
+      residCor.map(corSql) ++
+      orSql.map(r => s"NOT coalesce(($r), false)"))
       .mkString("(", ") AND (", ")")
-    val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
-    def render(e: Expression): String = qualifiedSql(e, tgt, empty)
-    val residualSql = residual match {
-      case Seq() => None
-      case rs => Some(rs.map(render).mkString("(", ") AND (", ")"))
+    val residualSql = (residual, orSql) match {
+      case (Seq(), _) => None // b empty: (TRUE OR r) = TRUE
+      case (rs, None) => Some(rs.map(render).mkString("(", ") AND (", ")"))
+      case (rs, Some(r)) =>
+        Some(s"(${rs.map(render).mkString("(", ") AND (", ")")}) OR ($r)")
     }
     val assignPairs = assigns.map(_.map { a =>
       a.key match {
@@ -394,9 +417,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     // for non-negated membership (plain/correlated IN, equality-anchored
     // EXISTS): S evaluates TRUE exactly on key-matched rows, so the
     // matched/unmatched split IS the S/¬S split (a NULL key never
-    // matches — not-TRUE — and still acts iff r). Negated subqueries
-    // under OR keep the crisp unsupported error (their 3VL no-op guards
-    // don't compose with a disjunction).
+    // matches — not-TRUE — and still acts iff r). NEGATED subqueries
+    // (`NOT IN … OR r`, `NOT EXISTS … OR r`) lower on their anti-join
+    // routes instead: the t-only conjunct ¬coalesce(r, false) joins the
+    // unmatched-ness ON (a witness only blocks rows where r is not
+    // TRUE) and the clause condition becomes b ∨ r — algebra restores
+    // exactly (S ∧ b) ∨ r, 3VL traps staying structural in the ON.
     val (splitSrc, orPlain) = condition match {
       case org.apache.spark.sql.catalyst.expressions.Or(l, r)
           if isSub(l) && !isSub(r) => (l, Some(r))
@@ -469,8 +495,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       subq0 match {
         case Seq(_: InSubquery) => ()
         case Seq(_: org.apache.spark.sql.catalyst.expressions.Exists) => ()
+        case Seq(org.apache.spark.sql.catalyst.expressions.Not(
+          _: InSubquery | _: org.apache.spark.sql.catalyst.expressions.Exists
+        )) => ()
         case _ => unsupported(
-          "a disjunction's subquery side must be a plain IN or EXISTS")
+          "a disjunction's subquery side must be an IN, NOT IN, EXISTS " +
+            "or NOT EXISTS")
       }
     }
     val (subq, residual) =
@@ -587,14 +617,16 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         }
         // Single-column uncorrelated NOT IN keeps the key-equality NMBS
         // path (stats-prunable; its NULL traps ride as clause conditions
-        // plus the source-null no-op probe). Multi-column tuples and
-        // equality-correlated subqueries take the general anti-join
-        // lowering, whose ON condition IS the three-valued semantics.
-        if (lq.outerAttrs.isEmpty && attrs.size == 1)
+        // plus the source-null no-op probe). Multi-column tuples,
+        // equality-correlated subqueries and disjunctions (whose r-TRUE
+        // rows must act even when the no-op probe fires) take the
+        // general anti-join lowering, whose ON condition IS the
+        // three-valued semantics.
+        if (lq.outerAttrs.isEmpty && attrs.size == 1 && orPlain.isEmpty)
           (attrs, lq.plan, true, true)
         else
           return Some(lowerGeneralNotIn(wh, t, target, attrs, lq,
-            residual, assigns, unsupported, targetFilters))
+            residual, assigns, unsupported, targetFilters, orPlain))
       case Seq(ex: org.apache.spark.sql.catalyst.expressions.Exists) =>
         val (pairs, residCor, inner) = decorrelate(ex)
         if (residCor.isEmpty)
@@ -609,12 +641,12 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           ex: org.apache.spark.sql.catalyst.expressions.Exists)) =>
         val (pairs, residCor, inner) = decorrelate(ex)
-        if (residCor.isEmpty)
+        if (residCor.isEmpty && orPlain.isEmpty)
           (pairs.map(_._1), Project(pairs.map(_._2), inner), true, false)
         else
           return Some(lowerResidualExists(wh, t, target, pairs, residCor,
             inner, residual, assigns, nmbs = true, unsupported,
-            targetFilters))
+            targetFilters, orPlain))
       case Seq(one) => unsupported(s"shape ${one.sql.take(80)}")
       case _ => unsupported("multiple subqueries")
     }

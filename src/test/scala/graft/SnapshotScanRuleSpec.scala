@@ -722,12 +722,53 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("""DELETE FROM gor.t5 WHERE EXISTS
       | (SELECT 1 FROM or_ex WHERE id2 = id) OR v = 7""".stripMargin)
     assert(vs().map(_._1) == Seq(2L))
-    // Negated subqueries under OR keep the crisp unsupported error.
+    // NOT IN OR plain: ¬coalesce(r, false) rides the anti ON, (b OR r)
+    // the clause condition. id 3,4 act via NOT IN TRUE; NULL-k id 5 has
+    // NOT IN UNKNOWN but acts via r; members 1,2 keep.
     reset()
-    val err = intercept[Exception](spark.sql(
-      """DELETE FROM gor.t5 WHERE k NOT IN (SELECT x FROM or_in)
-        | OR v = 7""".stripMargin))
-    assert(err.getMessage.contains("disjunction"), err.getMessage)
+    spark.sql("""UPDATE gor.t5 SET v = 3 WHERE k NOT IN (SELECT x FROM or_in)
+      | OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // NULL in the subquery result: NOT IN is never TRUE, but — unlike
+    // the conjunctive no-op — r-TRUE rows (4, 5) still act.
+    reset()
+    Seq(Some(10L), None).toDF("x").createOrReplaceTempView("or_in_n")
+    spark.sql("""UPDATE gor.t5 SET v = 4
+      | WHERE k NOT IN (SELECT x FROM or_in_n) OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L))
+    // Empty subquery: NOT IN {} is TRUE everywhere (NULL keys included).
+    reset()
+    spark.sql("""UPDATE gor.t5 SET v = 5 WHERE k NOT IN
+      | (SELECT x FROM or_in WHERE x > 99) OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 5L, 5L -> 5L))
+    // UNKNOWN OR UNKNOWN must NOT act: r = k > 15 is UNKNOWN on the
+    // NULL-k row, as is its NOT IN — id 5 keeps; 2 acts via r, 3,4 via
+    // the subquery; (NOT IN ∧ b) ∨ r with b = id <= 3 drops 4's
+    // subquery route but r = v = 7 restores it.
+    reset()
+    spark.sql("""DELETE FROM gor.t5 WHERE k NOT IN (SELECT x FROM or_in)
+      | OR k > 15""".stripMargin)
+    assert(vs().map(_._1) == Seq(1L, 5L))
+    reset()
+    spark.sql("""UPDATE gor.t5 SET v = 6 WHERE (k NOT IN
+      | (SELECT x FROM or_in) AND id <= 3) OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 0L, 2L -> 0L, 3L -> 6L, 4L -> 6L, 5L -> 6L))
+    // NOT EXISTS OR plain (equality anchor): unmatched ids 2,4,5 act;
+    // 4,5 double-covered by r.
+    reset()
+    spark.sql("""DELETE FROM gor.t5 WHERE NOT EXISTS
+      | (SELECT 1 FROM or_ex WHERE id2 = id) OR v = 7""".stripMargin)
+    assert(vs().map(_._1) == Seq(1L, 3L))
+    // NOT EXISTS with a non-equality residual OR plain: witness needs
+    // id2 = id AND lim < k — id 1 blocked (5 < 10), id 2 unmatched
+    // (25 < 20 fails), 3,4,5 unmatched (no id2).
+    reset()
+    Seq((1L, 5L), (2L, 25L)).toDF("id2", "lim")
+      .createOrReplaceTempView("or_ex3")
+    spark.sql("""UPDATE gor.t5 SET v = 8 WHERE NOT EXISTS
+      | (SELECT 1 FROM or_ex3 WHERE id2 = id AND lim < k)
+      | OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 0L, 2L -> 8L, 3L -> 8L, 4L -> 8L, 5L -> 8L))
   }
 
   test("non-equality-correlated EXISTS/NOT EXISTS lower with ON residuals") {
@@ -820,7 +861,16 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "k IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v)",
       "k NOT IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v)",
       "k NOT IN (SELECT x2 FROM rnd_s2 WHERE rnd_s2.g2 = grnd.t6.g " +
-        "AND x2 < grnd.t6.v)")
+        "AND x2 < grnd.t6.v)",
+      "k NOT IN (SELECT x FROM rnd_s1) OR v >= 50",
+      "(k NOT IN (SELECT x FROM rnd_s1) AND g <= 3) OR v >= 80",
+      "(g, k) NOT IN (SELECT g2, x2 FROM rnd_s2) OR k >= 15",
+      "k NOT IN (SELECT x2 FROM rnd_s2 WHERE rnd_s2.g2 = grnd.t6.g) " +
+        "OR v >= 50",
+      "EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g) OR v >= 50",
+      "NOT EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g) OR v >= 50",
+      "NOT EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g " +
+        "AND x2 < grnd.t6.k) OR v >= 80")
     try {
       for (seed <- Seq(11, 47)) {
         val rnd = new scala.util.Random(seed)
