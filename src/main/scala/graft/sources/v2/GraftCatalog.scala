@@ -494,7 +494,10 @@ private[v2] class GraftStagedTable(catalog: GraftCatalog, table: String,
   extends GraftCatalogTable(tableSchema,
     {
       import scala.jdk.CollectionConverters._
-      Map("warehouse" -> catalog.warehousePath, "table" -> table).asJava
+      // Declared TBLPROPERTIES configure the CTAS data write itself
+      // (e.g. graft.optimizeWrite) — identity props still win.
+      (declared.filterNot(_._1.startsWith("option.")) ++
+        Map("warehouse" -> catalog.warehousePath, "table" -> table)).asJava
     }, partCols)
   with org.apache.spark.sql.connector.catalog.StagedTable {
 

@@ -154,7 +154,24 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         .map(c => mapping.getOrElse(c, c))
       val stagingTable = s"${TxnCommit.stagingDir(warehouse, cid)}/$table"
-      val writer = physData.write
+      // Optimized write (table property / write option
+      // `graft.optimizeWrite`, off by default): REBALANCE the frame on
+      // the partition columns (round-robin when unpartitioned) before
+      // staging, so AQE coalesces small outputs and splits skewed ones
+      // at the advisory size instead of landing tasks × partitions
+      // files. The v2 write path declares the same intent through
+      // RequiresDistributionAndOrdering; AQE-off sessions skip the hint
+      // (REBALANCE is an AQE optimization).
+      val ow = Option(options.get("graft.optimizeWrite"))
+        .orElse(graft.ingest.Snapshots.properties(fs, warehouse, table)
+          .get("graft.optimizeWrite")).exists(_.toBoolean) &&
+        spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean
+      val staged =
+        if (!ow) physData
+        else if (partCols.isEmpty) physData.hint("rebalance")
+        else physData.hint("rebalance",
+          partCols.map(org.apache.spark.sql.functions.col): _*)
+      val writer = staged.write
       (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
         .parquet(stagingTable)
       var moves = TxnCommit.movesFor(fs, warehouse, cid, table)

@@ -79,17 +79,51 @@ class SnapshotWriteBuilder(info: LogicalWriteInfo,
     new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       (tableDefaults ++ info.options().asScala).asJava)
   }
-  override def build(): Write = new Write {
-    override def toStreaming: StreamingWrite = {
-      SnapshotDataSource.validate(info.schema())
-      new SnapshotStreamingWrite(info.queryId(), info.schema(), mergedOptions,
-        truncateMode)
+  /** Optimized write (the Delta `optimizeWrite` analog), gated by the
+    * table property / write option `graft.optimizeWrite` and OFF by
+    * default: the Write declares a NON-strict clustered distribution on
+    * the partition columns plus an advisory size
+    * (`graft.optimizeWrite.targetBytes`, default 128 MiB), so Spark
+    * itself plans the pre-write shuffle — under AQE a
+    * RebalancePartitions that coalesces small partitions AND splits
+    * skewed ones to the advisory size; without AQE (streaming
+    * microbatches disable it) a hash repartition that still lands ONE
+    * file per partition value per epoch instead of one per task per
+    * value. Complements post-commit autoCompact by not writing the
+    * small files in the first place. Unpartitioned writes are unchanged
+    * on this path (no clustering columns to declare — their file count
+    * is the task count, and autoCompact owns the tail). */
+  override def build(): Write = {
+    val merged = mergedOptions
+    val ow = Option(merged.get("graft.optimizeWrite")).exists(_.toBoolean)
+    val owTarget = Option(merged.get("graft.optimizeWrite.targetBytes"))
+      .flatMap(_.toLongOption).getOrElse(128L * 1024 * 1024)
+    val owPartCols = Option(merged.get("partitionBy")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    trait Core extends Write {
+      override def toStreaming: StreamingWrite = {
+        SnapshotDataSource.validate(info.schema())
+        new SnapshotStreamingWrite(info.queryId(), info.schema(),
+          mergedOptions, truncateMode)
+      }
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite = {
+        SnapshotDataSource.validate(info.schema())
+        new SnapshotBatchWrite(info.schema(), mergedOptions, truncateMode,
+          dynamicMode)
+      }
     }
-    override def toBatch
-        : org.apache.spark.sql.connector.write.BatchWrite = {
-      SnapshotDataSource.validate(info.schema())
-      new SnapshotBatchWrite(info.schema(), mergedOptions, truncateMode,
-        dynamicMode)
+    if (!ow || owPartCols.isEmpty) new Core {}
+    else new Core
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortOrder}
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(
+          owPartCols.map(c => Expressions.identity(c): Expression).toArray)
+      override def distributionStrictlyRequired(): Boolean = false
+      override def advisoryPartitionSizeInBytes(): Long = owTarget
+      override def requiredOrdering(): Array[SortOrder] = Array.empty
     }
   }
 }

@@ -59,6 +59,33 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("optimizeWrite property drives the catalog write's distribution") {
+    val s0 = spark
+    import s0.implicits._
+    (0L until 200L).map(i => (i, i % 2)).toDF("id", "p")
+      .createOrReplaceTempView("ow_src")
+    // CTAS and INSERT flow through the v2 Write, which declares a
+    // non-strict clustered distribution on the partition columns
+    // (RequiresDistributionAndOrdering) — AQE rebalances the 4-task
+    // input onto the partition layout: ONE file per partition value per
+    // commit instead of one per task per value.
+    spark.sql("CREATE TABLE graft.owt PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('graft.optimizeWrite'='true') AS " +
+      "SELECT /*+ REPARTITION(4) */ id, p FROM ow_src")
+    val afterCtas = Snapshots.fileMeta(fs, wh, "owt").get.size
+    assert(afterCtas == 2,
+      s"expected one file per partition value from CTAS, got $afterCtas")
+    spark.sql("INSERT INTO graft.owt " +
+      "SELECT /*+ REPARTITION(4) */ id + 200, p FROM ow_src")
+    val afterInsert = Snapshots.fileMeta(fs, wh, "owt").get.size
+    assert(afterInsert == 4,
+      s"expected two more files from INSERT, got $afterInsert")
+    assert(spark.sql("SELECT count(*) FROM graft.owt").head().getLong(0)
+      == 400)
+    assert(spark.sql("SELECT count(DISTINCT id) FROM graft.owt")
+      .head().getLong(0) == 400)
+  }
+
   test("partitioned CTAS: k=v layout on disk, log-served partition column") {
     val s0 = spark
     import s0.implicits._

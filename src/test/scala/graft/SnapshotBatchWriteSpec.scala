@@ -65,6 +65,35 @@ class SnapshotBatchWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id").as[Long].collect().sorted.sameElements(Array(10L, 11L)))
   }
 
+  test("optimizeWrite rebalances staged files to the partition layout") {
+    val s0 = spark
+    import s0.implicits._
+    val rows = (0L until 200L).map(i => (i, (i % 2).toString))
+    def df = rows.toDF("id", "p").repartition(4)
+    // Without: every input task writes a file per partition value it
+    // holds — tasks × values small files.
+    val w0 = wh("whOwOff")
+    df.write.format("graft-snapshots").option("warehouse", w0)
+      .option("table", "t").option("partitionBy", "p")
+      .mode(SaveMode.Append).save()
+    val off = Snapshots.fileMeta(fs, w0, "t").get.size
+    assert(off > 2, s"expected tasks × values without optimizeWrite, got $off")
+    // With: the staged frame REBALANCEs on p — AQE coalesces the tiny
+    // shuffle partitions, so each partition value lands in ONE file.
+    val w1 = wh("whOwOn")
+    df.write.format("graft-snapshots").option("warehouse", w1)
+      .option("table", "t").option("partitionBy", "p")
+      .option("graft.optimizeWrite", "true")
+      .mode(SaveMode.Append).save()
+    val on = Snapshots.fileMeta(fs, w1, "t").get
+    assert(on.size == 2, s"expected one file per partition value, got " +
+      on.map(_.file).mkString(", "))
+    assert(on.map(_.partition).distinct.size == 2)
+    assert(Snapshots.read(spark, w1, "t").count() == 200)
+    assert(Snapshots.read(spark, w1, "t").select("id").as[Long]
+      .collect().sorted.sameElements(0L until 200L))
+  }
+
   test("ErrorIfExists and Ignore honor table existence") {
     val s0 = spark
     import s0.implicits._

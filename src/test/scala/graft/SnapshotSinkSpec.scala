@@ -256,6 +256,32 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.count(_.startsWith("dt=")) == 3, s"got $dirs")
   }
 
+  test("optimizeWrite clusters each epoch's files by partition value") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whOwSink"); val ckpt = wh("whOwSinkCkpt")
+    val in = MemoryStream[(Long, Long)]
+    in.addData((0L until 80L).map(i => (i, i % 2)): _*)
+    // Streaming disables AQE, so the declared clustered distribution
+    // plans a strict hash repartition on p — each partition value lands
+    // in exactly one task, hence ONE file per value per epoch (vs one
+    // per task per value without the option).
+    val q = in.toDF.toDF("id", "p").repartition(4)
+      .writeStream.format("graft-snapshots")
+      .option("warehouse", w).option("table", "t")
+      .option("partitionBy", "p")
+      .option("graft.optimizeWrite", "true")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val files = Snapshots.fileMeta(fs, w, "t").get
+    assert(files.size == 2, s"expected one file per partition value, " +
+      s"got ${files.map(_.file).mkString(", ")}")
+    assert(Snapshots.read(spark, w, "t").count() == 80)
+  }
+
   test("null partition values round-trip as NULL both ways; boolean rejected") {
     val s0 = spark
     import s0.implicits._
