@@ -448,6 +448,7 @@ object Merge {
     assignments.keys.foreach(c => require(!partCols.contains(c),
       s"updateWhereDv cannot reassign partition column '$c' (rows would " +
         "land in the wrong directory) — delete + append instead"))
+    requireAssignable(fs, warehouse, table, assignments.keys, "updateWhereDv")
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
     val candidates = candidatesOf(meta, mapping)
     if (candidates.isEmpty) return Result(0, 0, 0L, 0)
@@ -523,7 +524,11 @@ object Merge {
     // write an INT32 file — schema enforcement would rightly reject it.
     def applied(df: DataFrame): DataFrame = {
       val upd = assignments.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
-      upd.select(df.schema.fields.map(f =>
+      // GENERATED columns recompute on the postimage (base-column updates
+      // must not leave a stale generated value on the merge-on-read path
+      // either).
+      val gen = Generated.materialize(fs, warehouse, table, upd)
+      gen.select(df.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
     }
     val changes =
@@ -607,6 +612,26 @@ object Merge {
     try run() finally matched.unpersist()
   }
 
+
+  /** Direct assignments to engine-managed columns are rejected:
+    * GENERATED values re-materialize from their expression (assign the
+    * BASE columns instead), identity values are minted once at append
+    * and never rewritten. */
+  private def requireAssignable(fs: org.apache.hadoop.fs.FileSystem,
+                                warehouse: String, table: String,
+                                cols: Iterable[String], what: String): Unit = {
+    val gen = Generated.generatedColumns(fs, warehouse, table).map(_._1).toSet
+    val ids = Identity.identityColumns(fs, warehouse, table).toSet
+    cols.foreach { c =>
+      require(!gen.contains(c),
+        s"$what cannot assign GENERATED column '$c' — it re-materializes " +
+          "from its expression; assign the base columns instead")
+      require(!ids.contains(c),
+        s"$what cannot assign IDENTITY column '$c' — ids are minted at " +
+          "append and never rewritten")
+    }
+  }
+
   /** Shared copy-on-write core for predicate delete/update. Empty
     * `assignments` = delete. */
   private def rewriteWhere(spark: SparkSession, warehouse: String, table: String,
@@ -624,6 +649,7 @@ object Merge {
     assignments.keys.foreach(c => require(!partCols.contains(c),
       s"updateWhere cannot reassign partition column '$c' (rows would " +
         "land in the wrong directory) — delete + append instead"))
+    requireAssignable(fs, warehouse, table, assignments.keys, "updateWhere")
     // Condition/assignments are expressed in LOGICAL names; files store
     // physical ones. Read through the mapping (and minus any attached
     // deletion vectors — a rewrite must not resurrect DV'd rows), rewrite
@@ -716,10 +742,19 @@ object Merge {
     val staging = s"${TxnCommit.stagingDir(warehouse, stagingId)}/$table"
     val cdfStaging =
       s"${TxnCommit.stagingDir(warehouse, stagingId)}/_changes/$table"
+    // GENERATED columns re-materialize on every rewrite frame (this is
+    // the staging funnel all copy-on-write DML passes through):
+    // assignments to base columns recompute the generated value in the
+    // same commit; untouched rows recompute to their stored value
+    // (idempotent), so one hook keeps the invariant everywhere. CDF
+    // preimages carry OLD base columns and recompute to the OLD stored
+    // value — also idempotent.
+    val outG = Generated.materialize(fs, warehouse, table, out)
+    val changesG = Generated.materialize(fs, warehouse, table, changes)
     // Rewritten data (and CDF rows) land under PHYSICAL names — renames
     // never fork the files' schema; only the META mapping moves.
-    val outPhys = mapping.fold(out)(_.toPhysicalDf(out))
-    val changesPhys = mapping.fold(changes)(_.toPhysicalDf(changes))
+    val outPhys = mapping.fold(outG)(_.toPhysicalDf(outG))
+    val changesPhys = mapping.fold(changesG)(_.toPhysicalDf(changesG))
     // Table-property bloom config: rewrites re-establish the blooms the
     // swapped-out files carried.
     val writer = outPhys.coalesce(math.max(1, affected.size)).write
@@ -1008,6 +1043,9 @@ object Merge {
       .foreach(c => require(!partCols.contains(c),
         s"MERGE cannot reassign partition column '$c' (rows would land " +
           "in the wrong directory) — delete + insert instead"))
+    requireAssignable(fs, warehouse, table,
+      (matched ++ notMatchedBySource).flatMap(_.assigns.getOrElse(Nil))
+        .map(_._1), "MERGE")
     val mapping = Snapshots.columnMapping(fs, warehouse, table)
 
     // Size-routed source (see [[broadcastMaxRows]]): broadcast + point

@@ -1520,7 +1520,7 @@ object Snapshots {
     "deletionVectors", "columnMapping", "columnDefaults",
     "typeWidening", "decimalWidening")
   val SupportedWriterFeatures: Set[String] =
-    SupportedReaderFeatures ++ Set("identityColumns")
+    SupportedReaderFeatures ++ Set("identityColumns", "generatedColumns")
 
   private def featuresKey(table: String) = s"$table#features"
   private def encodeFeatures(fs0: Set[String]): String =

@@ -448,8 +448,8 @@ object TxnCommit {
     // fresh appends must route through Identity.appendWithIdentity.
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
       case (table, ds) =>
-        val idCols = Snapshots.properties(fs, warehouse, table).keys
-          .filter(_.startsWith("identity."))
+        val props = Snapshots.properties(fs, warehouse, table)
+        val idCols = props.keys.filter(_.startsWith("identity."))
           .map(_.stripPrefix("identity."))
         idCols.foreach { c =>
           ds.values.flatMap(FileStats.decode).foreach(st =>
@@ -458,6 +458,15 @@ object TxnCommit {
                 s"'$c' — appends must materialize it " +
                 "(Identity.appendWithIdentity); raw files without it " +
                 "would read null ids"))
+        }
+        val genCols = props.keys.filter(_.startsWith("generated."))
+          .map(_.stripPrefix("generated."))
+        genCols.foreach { c =>
+          ds.values.flatMap(FileStats.decode).foreach(st =>
+            require(st.schema.exists(_._1 == c),
+              s"table '$table' declares GENERATED column '$c' — appends " +
+                "must materialize it (Generated.appendGenerated); raw " +
+                "files without it would read null values"))
         }
     }
     // Constraints must see EVERY staged data file: one whose stats

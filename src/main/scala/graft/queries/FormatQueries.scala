@@ -417,6 +417,27 @@ object FormatQueries {
         .select(col("n_nationkey"), col("n_name"), col("row_id"))
     }),
 
+    // GENERATED ALWAYS AS (expr): the engine materializes the expression
+    // at append and RE-materializes it through a base-column UPDATE (the
+    // rewrite hook) — stored ≡ expression everywhere. Ground truth: the
+    // same expression over the post-update image in plain SQL.
+    "fmt_generated" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_generated", d) {
+        val w = freshWh()
+        graft.ingest.Generated.declare(s, w, "nation_gen", "key2",
+          "n_nationkey * 2 + n_regionkey")
+        graft.ingest.Generated.appendGenerated(s, w, "nation_gen",
+          nation(s, d).select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey")))
+        // Base-column UPDATE: key2 recomputes in the same commit.
+        Merge.updateWhere(s, w, "nation_gen", col("n_nationkey") < 10,
+          Map("n_regionkey" -> (col("n_regionkey") + lit(100L))))
+        w
+      }
+      Snapshots.read(s, wh, "nation_gen")
+        .select(col("n_nationkey"), col("n_regionkey"), col("key2"))
+    }),
+
     // Same-scale DECIMAL precision widening across commits: a (10,2) era
     // and a (14,2) era mix on one column; the read resolves the widest
     // precision and serves every era's values exactly. Ground truth: the
@@ -965,6 +986,15 @@ object FormatQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT)
         |         AS row_id
+        |FROM nation""".stripMargin,
+    "fmt_generated" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CAST(n_regionkey AS BIGINT) +
+        |         CASE WHEN n_nationkey < 10 THEN 100 ELSE 0 END
+        |         AS n_regionkey,
+        |       CAST(n_nationkey AS BIGINT) * 2 +
+        |         CAST(n_regionkey AS BIGINT) +
+        |         CASE WHEN n_nationkey < 10 THEN 100 ELSE 0 END AS key2
         |FROM nation""".stripMargin,
     "fmt_decimal_widen" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

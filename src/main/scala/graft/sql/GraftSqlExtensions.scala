@@ -302,6 +302,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // engine-minted monotone ids via [[graft.ingest.Identity]].
   private val IdentityColRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)(?:\s+\w+)?\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(\d+)\s*\))?\s*".r
+  // `GENERATED ALWAYS AS (expr)` (Delta grammar): engine-materialized
+  // deterministic expression columns via [[graft.ingest.Generated]] —
+  // DML rewrites re-materialize, direct assignment is rejected.
+  private val GeneratedColRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)(?:\s+\w+(?:\([^)]*\))?)?\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*".r
   private val DescribeDetailRe =
     raw"(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*".r
   // Delta's TBLPROPERTIES family over the snapshot log's property META
@@ -537,6 +542,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case IdentityColRe(table, name, start) if isGraftTable(table) =>
       GraftIdentityColumnCommand(warehouse, table, name,
         Option(start).map(_.toLong).getOrElse(1L))
+    case GeneratedColRe(table, name, exprSql) if isGraftTable(table) =>
+      GraftGeneratedColumnCommand(warehouse, table, name, exprSql.trim)
     case AddColRe(table, name, dflt) if isGraftTable(table) =>
       GraftAddColumnCommand(warehouse, table, name, Option(dflt))
     case DescribeDetailRe(rawTable)
@@ -1031,6 +1038,19 @@ case class GraftIdentityColumnCommand(warehouse: String, table: String,
     AttributeReference("column", StringType)())
   override def run(session: SparkSession): Seq[Row] = {
     graft.ingest.Identity.declare(session, warehouse, table, column, start)
+    Seq(Row(column))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN c [type] GENERATED ALWAYS AS (expr)` →
+  * [[graft.ingest.Generated.declare]]. */
+case class GraftGeneratedColumnCommand(warehouse: String, table: String,
+                                       column: String, exprSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    graft.ingest.Generated.declare(session, warehouse, table, column, exprSql)
     Seq(Row(column))
   }
 }

@@ -94,6 +94,15 @@ object StreamingOps {
       graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set(""))
       return
     }
+    // Generated tables: the engine materializes the expressions — same
+    // exactly-once epoch key, same discipline as identity.
+    if (graft.ingest.Generated.generatedColumns(fs, warehouse, table)
+        .nonEmpty) {
+      graft.ingest.Generated.appendGenerated(spark, warehouse, table, df,
+        commitId = Some(commitId))
+      graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set(""))
+      return
+    }
     // Each ATTEMPT stages into its own dir: a zombie driver and its
     // restart replaying the same batchId must never interleave part files
     // in one staging dir. The manifest's put-if-absent on the batch's

@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Generated, Merge, Snapshots, TxnCommit}
+
+/** GENERATED ALWAYS AS (expr): engine-materialized expression columns —
+  * appends materialize, every DML rewrite RE-materializes (base-column
+  * updates can never leave a stale generated value), direct assignment
+  * is rejected, raw appends without the column are refused at the
+  * commit gate. */
+class GeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val dir = Files.createTempDirectory("graft-generated")
+  private def wh(name: String) = dir.resolve(name).toString
+  private def fs = new Path(dir.toString)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** The invariant every test closes with: stored ≡ expression. */
+  private def assertInvariant(w: String, t: String, c: String,
+                              exprSql: String): Unit = {
+    val bad = Snapshots.read(spark, w, t)
+      .filter(s"NOT ($c <=> ($exprSql))").count()
+    assert(bad == 0, s"$bad rows violate $c = $exprSql")
+  }
+
+  test("appends materialize; raw/user-supplied writes are refused") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("gen")
+    Generated.declare(spark, w, "t", "total", "price * qty")
+    val n = Generated.appendGenerated(spark, w, "t",
+      Seq((1L, 10.0, 3L), (2L, 2.5, 4L)).toDF("id", "price", "qty"))
+    assert(n == 2L)
+    assert(Snapshots.read(spark, w, "t").select("id", "total")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 30.0, 2L -> 10.0))
+    // Supplying the column through the API is an error.
+    intercept[IllegalArgumentException](
+      Generated.appendGenerated(spark, w, "t",
+        Seq((3L, 1.0, 1L, 99.0)).toDF("id", "price", "qty", "total")))
+    // A raw TxnCommit append WITHOUT the column is refused at the gate.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((3L, 1.0, 1L)).toDF("id", "price", "qty").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val mv = TxnCommit.movesFor(fs, w, cid, "t")
+    val ex = intercept[IllegalArgumentException](
+      TxnCommit.commit(fs, w, cid, mv))
+    assert(ex.getMessage.contains("total"), ex.getMessage)
+    // Writer feature stamped: an unaware build must refuse to write.
+    assert(Snapshots.tableFeatures(fs, w, "t").contains("w:generatedColumns"))
+    assertInvariant(w, "t", "total", "price * qty")
+  }
+
+  test("declaration validation: parse, determinism, chains, conflicts") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("genVal")
+    Generated.appendGenerated(spark, w, "base", {
+      Generated.declare(spark, w, "base", "twice", "k * 2")
+      Seq((1L, "a")).toDF("k", "v")
+    })
+    // Non-deterministic expressions are rejected (resolved check).
+    val e1 = intercept[IllegalArgumentException](
+      Generated.declare(spark, w, "base", "r", "k + rand()"))
+    assert(e1.getMessage.contains("non-deterministic"), e1.getMessage)
+    // Unresolvable references are rejected at declare time.
+    val e2 = intercept[IllegalArgumentException](
+      Generated.declare(spark, w, "base", "x", "no_such_col + 1"))
+    assert(e2.getMessage.contains("does not resolve"), e2.getMessage)
+    // Generated-on-generated chains are rejected.
+    val e3 = intercept[IllegalArgumentException](
+      Generated.declare(spark, w, "base", "quad", "twice * 2"))
+    assert(e3.getMessage.contains("itself generated"), e3.getMessage)
+    // Subqueries are rejected.
+    intercept[IllegalArgumentException](
+      Generated.declare(spark, w, "base", "s", "(SELECT max(k) FROM base)"))
+    // Retrofitting a column that already carries data is refused.
+    intercept[IllegalArgumentException](
+      Generated.declare(spark, w, "base", "v", "upper(v)"))
+  }
+
+  test("DML rewrites re-materialize; direct assignment is rejected") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("genDml")
+    Generated.declare(spark, w, "t", "total", "price * qty")
+    Generated.appendGenerated(spark, w, "t",
+      (0L until 20L).map(i => (i, i.toDouble, 2L)).toDF("id", "price", "qty"))
+    // Copy-on-write UPDATE of a BASE column recomputes the generated one.
+    Merge.updateWhere(spark, w, "t", col("id") < 5L,
+      Map("qty" -> lit(10L)))
+    assert(Snapshots.read(spark, w, "t").filter("id = 3").select("total")
+      .head().getDouble(0) == 30.0)
+    // Merge-on-read (deletion-vector) UPDATE recomputes too.
+    Merge.updateWhereDv(spark, w, "t", col("id") === 7L,
+      Map("price" -> lit(100.0)))
+    assert(Snapshots.read(spark, w, "t").filter("id = 7").select("total")
+      .head().getDouble(0) == 200.0)
+    // DELETE keeps the invariant (survivor rewrite re-materializes).
+    Merge.deleteWhere(spark, w, "t", col("id") === 9L)
+    assert(Snapshots.read(spark, w, "t").count() == 19)
+    assertInvariant(w, "t", "total", "price * qty")
+    // Assigning the generated column directly is rejected on every route.
+    val e1 = intercept[IllegalArgumentException](
+      Merge.updateWhere(spark, w, "t", col("id") === 1L,
+        Map("total" -> lit(0.0))))
+    assert(e1.getMessage.contains("GENERATED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Merge.updateWhereDv(spark, w, "t", col("id") === 1L,
+        Map("total" -> lit(0.0))))
+    assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Merge.mergeClauses(spark, w, "t",
+        Seq((1L, 5.0)).toDF("id", "price"), Seq("id"),
+        matched = Seq(Merge.WhenClause(None,
+          Some(Seq("total" -> lit(1.0))))),
+        notMatched = Nil))
+    assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
+    // MERGE assigning a BASE column recomputes on the general engine.
+    Merge.mergeClauses(spark, w, "t",
+      Seq((2L, 50.0)).toDF("id", "p2"), Seq("id"),
+      matched = Seq(Merge.WhenClause(None,
+        Some(Seq("price" -> col("s.p2"))))),
+      notMatched = Nil)
+    // id = 2 had qty bumped to 10 by the first UPDATE: 50.0 × 10.
+    assert(Snapshots.read(spark, w, "t").filter("id = 2").select("total")
+      .head().getDouble(0) == 500.0)
+    assertInvariant(w, "t", "total", "price * qty")
+  }
+
+  test("exactly-once epochs, SQL grammar, clone carries the declaration") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("genSql")
+    spark.conf.set("spark.graft.warehouse", w)
+    try {
+      // Table must exist for isGraftTable routing — seed one committed
+      // era; its rows read NULL for the later column (additive era).
+      val cid = java.util.UUID.randomUUID().toString
+      Seq((0L, 6L)).toDF("id", "ts").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val mv = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, mv); TxnCommit.publish(fs, w, cid, mv)
+      spark.sql(
+        "ALTER TABLE t ADD COLUMN day INT GENERATED ALWAYS AS " +
+          "((CAST(ts AS INT) % 7))")
+      assert(Generated.generatedColumns(fs, w, "t") ==
+        Seq("day" -> "(CAST(ts AS INT) % 7)"))
+      Generated.appendGenerated(spark, w, "t",
+        Seq((1L, 20L), (2L, 13L)).toDF("id", "ts"))
+      val got = Snapshots.read(spark, w, "t", mergeSchema = true)
+        .select("id", "day").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(got == Map(0L -> None, 1L -> Some(6), 2L -> Some(6)), got)
+      // commitId replay: the batch lands once.
+      val df = Seq((3L, 21L)).toDF("id", "ts")
+      assert(Generated.appendGenerated(spark, w, "t", df,
+        commitId = Some("gen-load-1")) == 1L)
+      assert(Generated.appendGenerated(spark, w, "t", df,
+        commitId = Some("gen-load-1")) == 0L)
+      assert(Snapshots.read(spark, w, "t", mergeSchema = true).count() == 4)
+      // Clone carries the property + feature; appends there materialize.
+      Snapshots.cloneTable(spark, w, "t", "t2")
+      assert(Generated.generatedColumns(fs, w, "t2").nonEmpty)
+      assert(Snapshots.tableFeatures(fs, w, "t2")
+        .contains("w:generatedColumns"))
+      Generated.appendGenerated(spark, w, "t2",
+        Seq((4L, 15L)).toDF("id", "ts"))
+      assert(Snapshots.read(spark, w, "t2", mergeSchema = true)
+        .filter("id = 4").select("day").head().getInt(0) == 1)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+}
