@@ -145,6 +145,101 @@ class GeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertInvariant(w, "t", "total", "price * qty")
   }
 
+  test("randomized chain: appends, DML, crashes, compaction keep the invariant") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("genChaos")
+    Generated.declare(spark, w, "t", "total", "price * qty")
+    val rng = new scala.util.Random(13)
+    var rows = 0L
+    var nextK = 0L
+    var batchNo = 0
+    def fresh(n: Int) = {
+      val ks = (nextK until nextK + n); nextK += n
+      ks.map(k => (k, (k % 9).toDouble, 1L + k % 4)).toDF("id", "price", "qty")
+    }
+    rows += Generated.appendGenerated(spark, w, "t", fresh(6))
+    (1 to 14).foreach { step =>
+      rng.nextInt(6) match {
+        case 0 =>
+          rows += Generated.appendGenerated(spark, w, "t",
+            fresh(2 + rng.nextInt(4)))
+        case 1 => // replay-keyed append driven twice: lands once
+          batchNo += 1
+          val cid = s"genload-$batchNo"
+          val df = fresh(3)
+          rows += Generated.appendGenerated(spark, w, "t", df,
+            commitId = Some(cid))
+          assert(Generated.appendGenerated(spark, w, "t", df,
+            commitId = Some(cid)) == 0L, s"step $step: replay re-landed")
+        case 2 => // crash mid-publish; recovery + replay converge
+          batchNo += 1
+          val cid = s"gencrash-$batchNo"
+          val df = fresh(2)
+          sys.props("graft.test.failAfterMoves") = "0"
+          try intercept[IllegalStateException](
+            Generated.appendGenerated(spark, w, "t", df,
+              commitId = Some(cid)))
+          finally sys.props.remove("graft.test.failAfterMoves")
+          assert(Generated.appendGenerated(spark, w, "t", df,
+            commitId = Some(cid)) == 0L,
+            s"step $step: crashed batch replayed as new")
+          rows += 2
+        case 3 => // base-column update on a random slice (either route)
+          val lo = rng.nextInt(nextK.toInt.max(1)).toLong
+          if (rng.nextBoolean())
+            Merge.updateWhere(spark, w, "t",
+              col("id") >= lo && col("id") < lo + 3,
+              Map("qty" -> (col("qty") + lit(1L))))
+          else
+            Merge.updateWhereDv(spark, w, "t",
+              col("id") >= lo && col("id") < lo + 3,
+              Map("price" -> (col("price") + lit(0.5))))
+        case 4 => // delete a row
+          val k = rng.nextInt(nextK.toInt.max(1)).toLong
+          rows -= Snapshots.read(spark, w, "t")
+            .filter(col("id") === k).count()
+          Merge.deleteWhere(spark, w, "t", col("id") === k)
+        case 5 => graft.ingest.Compaction.compact(spark, w, "t")
+      }
+      assert(Snapshots.read(spark, w, "t").count() == rows,
+        s"step $step: row count diverged")
+      assertInvariant(w, "t", "total", "price * qty")
+    }
+  }
+
+  test("catalog SQL DML and MERGE inserts keep the invariant") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("genCat")
+    Generated.declare(spark, w, "t", "total", "price * qty")
+    Generated.appendGenerated(spark, w, "t",
+      (0L until 10L).map(i => (i, i.toDouble, 2L)).toDF("id", "price", "qty"))
+    spark.conf.set("spark.sql.catalog.ggen",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ggen.warehouse", w)
+    // Catalog SQL UPDATE of a base column lowers onto the merge engine,
+    // whose staging hook recomputes the generated value.
+    spark.sql("UPDATE ggen.t SET qty = 5 WHERE id = 4")
+    assert(spark.sql("SELECT total FROM ggen.t WHERE id = 4")
+      .head().getDouble(0) == 20.0)
+    // Direct SQL assignment of the generated column is rejected.
+    val e = intercept[Exception](
+      spark.sql("UPDATE ggen.t SET total = 0.0 WHERE id = 1"))
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    // MERGE inserts with explicit assignments OMITTING the generated
+    // column land it from the expression (null placeholder recomputed).
+    Merge.mergeClauses(spark, w, "t",
+      Seq((100L, 7.0, 3L)).toDF("id", "price", "qty"), Seq("id"),
+      matched = Nil,
+      notMatched = Seq(Merge.WhenClause(None, Some(Seq(
+        "id" -> col("s.id"), "price" -> col("s.price"),
+        "qty" -> col("s.qty"))))))
+    assert(Snapshots.read(spark, w, "t").filter("id = 100").select("total")
+      .head().getDouble(0) == 21.0)
+    assertInvariant(w, "t", "total", "price * qty")
+  }
+
   test("exactly-once epochs, SQL grammar, clone carries the declaration") {
     val s0 = spark
     import s0.implicits._
