@@ -84,10 +84,16 @@ object Generated {
     * the RESOLVED tree; an unresolved `rand()` would claim determinism. */
   private def validateResolved(spark: SparkSession, warehouse: String,
                                table: String, column: String,
-                               exprSql: String): Unit = {
+                               exprSql: String,
+                               schemaHint: Option[org.apache.spark.sql.types.StructType])
+      : Unit = {
     val probe =
       try Some(Snapshots.read(spark, warehouse, table).limit(0))
-      catch { case _: Exception => None }
+      catch {
+        case _: Exception => // declared-only table: resolve on the hint
+          schemaHint.map(sc => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), sc))
+      }
     probe.foreach { p =>
       val analyzed =
         try p.select(expr(exprSql).as(column)).queryExecution.analyzed
@@ -107,11 +113,13 @@ object Generated {
   /** Declare `column` GENERATED ALWAYS AS (`exprSql`). One metadata
     * commit: property + writer feature. */
   def declare(spark: SparkSession, warehouse: String, table: String,
-              column: String, exprSql: String): Unit = {
+              column: String, exprSql: String,
+              schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     validate(fs, warehouse, table, column, exprSql)
-    validateResolved(spark, warehouse, table, column, exprSql)
+    validateResolved(spark, warehouse, table, column, exprSql, schemaHint)
     val existing = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
     require(!existing.exists(a =>
         FileStats.schemaTags(a.stats).exists(_._1 == column)),
@@ -156,6 +164,10 @@ object Generated {
     val gens = generatedColumns(fs, warehouse, table)
     require(gens.nonEmpty,
       s"table '$table' has no declared generated column ([[declare]])")
+    require(Identity.identityColumns(fs, warehouse, table).isEmpty,
+      s"table '$table' also declares IDENTITY columns — route through " +
+        "Identity.appendWithIdentity, which mints ids AND materializes " +
+        "the generated expressions")
     gens.foreach { case (c, _) => require(!df.columns.contains(c),
       s"GENERATED ALWAYS: the write must not supply generated column '$c'") }
     val cid = commitId.getOrElse(java.util.UUID.randomUUID().toString)

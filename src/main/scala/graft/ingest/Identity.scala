@@ -111,7 +111,16 @@ object Identity {
       val staging = s"${TxnCommit.stagingDir(warehouse, stagingId)}/$table"
       val withIds = idCols.foldLeft(df)((d, c) =>
         d.withColumn(c, lit(marks(c) + 1L) + monotonically_increasing_id()))
-      withIds.write.parquet(staging)
+      // Tables carrying BOTH engine-managed kinds: this is the one legal
+      // append path, so it also materializes the generated expressions
+      // (which may never reference identity columns — banned at declare,
+      // so the order is immaterial).
+      val gens = Generated.generatedColumns(fs, warehouse, table)
+      gens.foreach { case (c, _) => require(!df.columns.contains(c),
+        s"GENERATED ALWAYS: the write must not supply generated column '$c'") }
+      val withAll = gens.foldLeft(withIds) { case (d, (c, e)) =>
+        d.withColumn(c, org.apache.spark.sql.functions.expr(e)) }
+      withAll.write.parquet(staging)
       val moves = TxnCommit.movesFor(fs, warehouse, stagingId, table)
       if (moves.isEmpty) { // empty batch: nothing to mint
         fs.delete(new Path(TxnCommit.stagingDir(warehouse, stagingId)), true)

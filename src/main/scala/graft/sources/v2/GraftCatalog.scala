@@ -176,6 +176,45 @@ class GraftCatalog extends TableCatalog
       Map("warehouse" -> warehouse, "table" -> t).asJava, partCols)
   }
 
+  // CREATE-time engine-managed columns: Spark routes `GENERATED ALWAYS
+  // AS (expr)` / `AS IDENTITY` in CREATE TABLE to catalogs declaring the
+  // capability, delivering the specs on the v2 Column array — declare
+  // the plain table, then the identity marks / generation expressions
+  // (each its own validated metadata commit, same as the ALTER grammar).
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
+    util.EnumSet.of(SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+  }
+
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val gens = columns.filter(_.generationExpression() != null)
+    val ids = columns.filter(_.identityColumnSpec() != null)
+    val schema = columnsToSchema(columns)
+    if (gens.isEmpty && ids.isEmpty)
+      return createTable(ident, schema, partitions, properties)
+    val t = tableName(ident)
+    createTable(ident, schema, partitions, properties)
+    ids.foreach { c =>
+      val spec = c.identityColumnSpec()
+      require(spec.getStep == 1L,
+        s"identity column '${c.name}': STEP ${spec.getStep} is not " +
+          "supported — engine allocation is step-1 monotone")
+      require(!spec.isAllowExplicitInsert,
+        s"identity column '${c.name}': GENERATED BY DEFAULT is not " +
+          "supported — ids are GENERATED ALWAYS (engine-minted only)")
+      graft.ingest.Identity.declare(spark, warehouse, t, c.name,
+        spec.getStart)
+    }
+    gens.foreach(c => graft.ingest.Generated.declare(spark, warehouse, t,
+      c.name, c.generationExpression(), schemaHint = Some(schema)))
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tableName(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -286,6 +325,54 @@ class GraftCatalog extends TableCatalog
   // query leaves no trace (no declared-empty ghost table), and a crash
   // between the two commits leaves a fully queryable table whose committed
   // schema serves in place of the declaration.
+
+  private def columnsToSchema(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : StructType =
+    StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable)
+      Option(c.comment()).fold(f)(cm => f.withComment(cm))
+    })
+
+  private def rejectEngineManaged(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      what: String): Unit =
+    columns.foreach { c =>
+      require(c.generationExpression() == null &&
+          c.identityColumnSpec() == null,
+        s"$what cannot declare engine-managed column '${c.name}' — the " +
+          "query's rows would bypass materialization; CREATE TABLE " +
+          "first, then load through the engine-managed append paths")
+    }
+
+  override def stageCreate(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    rejectEngineManaged(columns, "CTAS")
+    stageCreate(ident, columnsToSchema(columns), partitions, properties)
+  }
+
+  override def stageReplace(ident: Identifier,
+                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    rejectEngineManaged(columns, "REPLACE TABLE AS SELECT")
+    stageReplace(ident, columnsToSchema(columns), partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    rejectEngineManaged(columns, "CREATE OR REPLACE TABLE AS SELECT")
+    stageCreateOrReplace(ident, columnsToSchema(columns), partitions,
+      properties)
+  }
 
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

@@ -139,12 +139,22 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
     }
     if (!skip) {
       val cid = java.util.UUID.randomUUID().toString
+      // Engine-managed columns: identity tables refuse generic writes
+      // (ids are minted under the allocation-serialized high-water mark);
+      // generated columns RECOMPUTE from their expression (the engine's
+      // value wins — a supplied value cannot break stored ≡ expression).
+      require(graft.ingest.Identity.identityColumns(fs, warehouse, table)
+          .isEmpty,
+        s"table '$table' declares GENERATED ALWAYS AS IDENTITY columns — " +
+          "write through Identity.appendWithIdentity")
+      val data1 = graft.ingest.Generated.materialize(fs, warehouse, table,
+        data)
       // Column-mapped (renamed) tables: files store PHYSICAL names. A
       // caller naturally writes the LOGICAL schema it reads — translate,
       // or the logical name would silently evolve as a duplicate column.
       val mapping = Snapshots.columnMapping(fs, warehouse, table)
         .map(_.cols.toMap).getOrElse(Map.empty)
-      val physData = mapping.foldLeft(data) {
+      val physData = mapping.foldLeft(data1) {
         case (df, (logical, physical)) =>
           if (logical != physical && df.columns.contains(logical))
             df.withColumnRenamed(logical, physical)

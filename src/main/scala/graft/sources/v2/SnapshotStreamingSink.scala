@@ -189,6 +189,47 @@ private[v2] class SnapshotWriteCore(
     f.copy(name = nameMap.getOrElse(f.name, f.name))))
   protected val physPartCols = partCols // unmapped by the require above
 
+  // IDENTITY tables: ids are engine-minted under an allocation-serialized
+  // high-water mark — a generic v2 write has no way to keep that contract,
+  // so refuse with the steering error instead of landing duplicate ids.
+  require(graft.ingest.Identity.identityColumns(fs, warehouse, table).isEmpty,
+    s"table '$table' declares GENERATED ALWAYS AS IDENTITY columns — " +
+      "write through Identity.appendWithIdentity (batch) or " +
+      "StreamingOps.transactionalSink (streaming), which mint ids under " +
+      "the log's high-water mark")
+
+  /** GENERATED columns: the expression is resolved against the written
+    * schema on the DRIVER and bound by position; every writer OVERRIDES
+    * the column per row (GENERATED ALWAYS — the engine's value wins, a
+    * user-supplied value can never break the stored ≡ expression
+    * invariant on this path). */
+  protected val generatedBound
+      : Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeSeq, BindReferences}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val gens = graft.ingest.Generated.generatedColumns(fs, warehouse, table)
+    gens.map { case (c, e) =>
+      val idx = schema.fieldNames.indexOf(c)
+      require(idx >= 0,
+        s"table '$table' declares GENERATED column '$c' — the write must " +
+          "carry it in its schema (the engine overrides the value from " +
+          s"the expression $e)")
+      val frame = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val analyzed = frame.select(org.apache.spark.sql.functions.expr(e)
+        .cast(schema(c).dataType).as(c)).queryExecution.analyzed
+      val proj = analyzed.collectFirst { case p: Project => p }.getOrElse(
+        throw new IllegalStateException(
+          s"generated column '$c': unexpected plan shape for $e"))
+      val resolved = proj.projectList.head match {
+        case a: Alias => a.child
+        case other => other
+      }
+      idx -> BindReferences.bindReference(resolved,
+        AttributeSeq(proj.child.output))
+    }
+  }
+
   /** Publish one write's staged files atomically under `cid`.
     * `skipIfCommitted` = the streaming idempotence check (a crash-replayed
     * epoch finds its commitId in the log and drops the restaged files);
@@ -285,7 +326,7 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
       : StreamingDataWriterFactory =
     SnapshotWriterFactory(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      physSchema, physPartCols, warehouse, table, queryId)
+      physSchema, physPartCols, warehouse, table, queryId, generatedBound)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     commitStaged(SnapshotStreamingWrite.commitId(queryId, table, epochId),
@@ -317,7 +358,7 @@ class SnapshotBatchWrite(schema: StructType,
     SnapshotBatchWriterFactory(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
       physSchema, physPartCols,
-      s"${TxnCommit.stagingDir(warehouse, cid)}/$table")
+      s"${TxnCommit.stagingDir(warehouse, cid)}/$table", generatedBound)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     commitStaged(cid, messages, skipIfCommitted = false)
@@ -329,18 +370,20 @@ class SnapshotBatchWrite(schema: StructType,
 case class SnapshotBatchWriterFactory(conf: SerializableConfiguration,
                                       schema: StructType,
                                       partCols: Seq[String],
-                                      stagingTableDir: String)
+                                      stagingTableDir: String,
+                                      generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new SnapshotDataWriter(conf.value, schema, partCols, stagingTableDir,
-      s"part-$partitionId-$taskId.parquet")
+      s"part-$partitionId-$taskId.parquet", generated)
 }
 
 case class SnapshotWriterFactory(conf: SerializableConfiguration,
                                  schema: StructType, partCols: Seq[String],
                                  warehouse: String,
-                                 table: String, queryId: String)
+                                 table: String, queryId: String,
+                                 generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
@@ -349,7 +392,7 @@ case class SnapshotWriterFactory(conf: SerializableConfiguration,
     // committed attempt's message reaches the driver.
     new SnapshotDataWriter(conf.value, schema, partCols,
       s"${TxnCommit.stagingDir(warehouse, cid)}/$table",
-      s"part-$partitionId-$taskId.parquet")
+      s"part-$partitionId-$taskId.parquet", generated)
   }
 }
 
@@ -377,8 +420,22 @@ case class SnapshotWriteMessage(files: Seq[(String, String)], rows: Long)
   * the partition columns upstream if cardinality is high. */
 class SnapshotDataWriter(conf: Configuration, schema: StructType,
                          partCols: Seq[String], stagingTableDir: String,
-                         fileName: String)
+                         fileName: String,
+                         generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
   extends DataWriter[InternalRow] {
+
+  // GENERATED columns recompute per row BEFORE partition routing (a
+  // generated partition column must route by the engine's value): one
+  // codegen'd projection substituting the bound expressions in place.
+  private val regen: InternalRow => InternalRow =
+    if (generated.isEmpty) identity
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+      val g = generated.toMap
+      val exprs = schema.fields.zipWithIndex.map { case (f, i) =>
+        g.getOrElse(i, BoundReference(i, f.dataType, f.nullable)): Expression }
+      UnsafeProjection.create(exprs).apply _
+    }
 
   private val partIdx: Seq[Int] = partCols.map(schema.fieldIndex)
   private val dataFields: Seq[(StructField, Int)] =
@@ -451,7 +508,8 @@ class SnapshotDataWriter(conf: Configuration, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    writerFor(specOf(row)).write(project(row))
+    val r = regen(row)
+    writerFor(specOf(r)).write(project(r))
     rows += 1
   }
 

@@ -59,6 +59,54 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("CREATE TABLE declares identity and generated columns natively") {
+    val s0 = spark
+    import s0.implicits._
+    import graft.ingest.{Generated, Identity}
+    // Spark's own DDL routes the specs through the catalog capability.
+    spark.sql("CREATE TABLE graft.em (" +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10), " +
+      "price DOUBLE, qty BIGINT, " +
+      "total DOUBLE GENERATED ALWAYS AS (price * qty))")
+    assert(Identity.identityColumns(fs, wh, "em") == Seq("rid"))
+    assert(Generated.generatedColumns(fs, wh, "em").map(_._1) == Seq("total"))
+    // The one legal append path mints ids AND materializes expressions.
+    Identity.appendWithIdentity(spark, wh, "em",
+      Seq((2.0, 3L), (5.0, 2L)).toDF("price", "qty").coalesce(1))
+    val got = spark.sql("SELECT rid, total FROM graft.em ORDER BY rid")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq(10L -> 6.0, 11L -> 10.0), got)
+    // appendGenerated steers to the identity path on mixed tables.
+    val e = intercept[IllegalArgumentException](
+      Generated.appendGenerated(spark, wh, "em",
+        Seq((1.0, 1L)).toDF("price", "qty")))
+    assert(e.getMessage.contains("appendWithIdentity"), e.getMessage)
+    // Unsupported specs are rejected with crisp errors.
+    val e2 = intercept[Exception](spark.sql("CREATE TABLE graft.em2 " +
+      "(rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 " +
+      "INCREMENT BY 2), k BIGINT)"))
+    assert(e2.getMessage.contains("STEP"), e2.getMessage)
+    // CTAS with engine-managed columns is refused — by Spark's parser
+    // (schema-in-CTAS) or by the staging guard; either way the rows can
+    // never bypass materialization.
+    intercept[Exception](spark.sql("CREATE TABLE graft.em3 " +
+      "(k BIGINT, t BIGINT GENERATED ALWAYS AS (k + 1)) AS SELECT 1L AS k"))
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("em3"))
+    // Generic v2 writes to identity tables are refused at plan time —
+    // user-supplied ids would break uniqueness under the high-water mark.
+    val e4 = intercept[Exception](
+      spark.sql("INSERT INTO graft.em SELECT 99L, 1.0, 1L, 1.0"))
+    assert(e4.getMessage.contains("appendWithIdentity"), e4.getMessage)
+    // Generated-only tables: catalog INSERT works, and the ENGINE's value
+    // wins — a wrong user-supplied total can never land.
+    spark.sql("CREATE TABLE graft.gv (price DOUBLE, qty BIGINT, " +
+      "total DOUBLE GENERATED ALWAYS AS (price * qty))")
+    spark.sql("INSERT INTO graft.gv SELECT 2.0, 4L, 999.0")
+    assert(spark.sql("SELECT total FROM graft.gv").head().getDouble(0)
+      == 8.0)
+  }
+
   test("optimizeWrite property drives the catalog write's distribution") {
     val s0 = spark
     import s0.implicits._
