@@ -462,11 +462,17 @@ object TxnCommit {
         val genCols = props.keys.filter(_.startsWith("generated."))
           .map(_.stripPrefix("generated."))
         genCols.foreach { c =>
-          ds.values.flatMap(FileStats.decode).foreach(st =>
-            require(st.schema.exists(_._1 == c),
-              s"table '$table' declares GENERATED column '$c' — appends " +
-                "must materialize it (Generated.appendGenerated); raw " +
-                "files without it would read null values"))
+          ds.foreach { case (dest, stats) =>
+            // A generated PARTITION column lives in the k=v path / log
+            // tuple, not the data file — the writer routed it from the
+            // engine's value, so the tuple IS the materialization.
+            val partitionRouted = dest.contains(s"/$c=")
+            FileStats.decode(stats).foreach(st =>
+              require(partitionRouted || st.schema.exists(_._1 == c),
+                s"table '$table' declares GENERATED column '$c' — appends " +
+                  "must materialize it (Generated.appendGenerated); raw " +
+                  "files without it would read null values"))
+          }
         }
     }
     // Constraints must see EVERY staged data file: one whose stats

@@ -107,6 +107,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       == 8.0)
   }
 
+  test("generated PARTITION columns route and prune by the engine's value") {
+    val s0 = spark
+    import s0.implicits._
+    // The Delta generated-partition pattern: partition by an expression
+    // of a data column. Rows route by the ENGINE-computed value (regen
+    // runs before partition routing), and reads prune on the partition
+    // tuple.
+    spark.sql("CREATE TABLE graft.gp (id BIGINT, v STRING, " +
+      "bucket BIGINT GENERATED ALWAYS AS (id % 4)) PARTITIONED BY (bucket)")
+    (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("gp_src")
+    // The INSERT must carry the column (schema arity); values are
+    // engine-overridden, so a constant works.
+    spark.sql("INSERT INTO graft.gp SELECT id, v, 0L FROM gp_src")
+    assert(spark.sql("SELECT count(*) FROM graft.gp WHERE bucket = 3")
+      .head().getLong(0) == 10)
+    // Routing correct: every row's tuple matches its id.
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.gp WHERE bucket <> id % 4")
+      .head().getLong(0) == 0)
+    // Partition pruning: a bucket filter plans a quarter of the files.
+    val all = Snapshots.fileMeta(fs, wh, "gp").get
+    assert(all.map(_.partition).distinct.size == 4, all.map(_.partition))
+    val one = spark.sql("SELECT id FROM graft.gp WHERE bucket = 2")
+      .queryExecution.executedPlan.toString
+    assert(spark.sql("SELECT id FROM graft.gp WHERE bucket = 2")
+      .collect().map(_.getLong(0)).forall(_ % 4 == 2), one)
+  }
+
   test("optimizeWrite property drives the catalog write's distribution") {
     val s0 = spark
     import s0.implicits._
