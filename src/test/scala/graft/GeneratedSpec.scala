@@ -240,6 +240,33 @@ class GeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertInvariant(w, "t", "total", "price * qty")
   }
 
+  test("streaming epochs materialize exactly-once across restarts") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("genStream"); val ckpt = wh("genStreamCkpt")
+    Generated.declare(spark, w, "t", "total", "price * qty")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Double, Long)]
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingOps.transactionalSink(
+        in.toDF.toDF("price", "qty"), w, "t", ckpt)
+      q.awaitTermination()
+    }
+    in.addData((1L to 5L).map(i => (i.toDouble, i)): _*)
+    drain()
+    in.addData((6L to 9L).map(i => (i.toDouble, i)): _*)
+    drain()
+    assert(Snapshots.read(spark, w, "t").count() == 9)
+    assertInvariant(w, "t", "total", "price * qty")
+    // A replayed epoch (same batchId through commitBatch) lands nothing.
+    graft.streaming.StreamingOps.commitBatch(
+      (1L to 5L).map(i => (i.toDouble, i)).toDF("price", "qty"), w, "t",
+      batchId = 0L)
+    assert(Snapshots.read(spark, w, "t").count() == 9,
+      "replayed epoch re-landed")
+  }
+
   test("exactly-once epochs, SQL grammar, clone carries the declaration") {
     val s0 = spark
     import s0.implicits._
