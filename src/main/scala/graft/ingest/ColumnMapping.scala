@@ -138,6 +138,7 @@ object SchemaEvolution {
       s"(has: ${m.logicalNames.mkString(", ")})")
     require(!m.logicalNames.contains(to), s"column '$to' already exists in $table")
     requireNotPartition(fs, warehouse, table, from, "rename")
+    requireNotEngineManaged(fs, warehouse, table, from, "rename")
     commitMeta(fs, warehouse, table, "rename_column", base,
       m.copy(cols = m.cols.map { case (l, p) =>
         if (l == from) (to, p) else (l, p) }))
@@ -216,10 +217,49 @@ object SchemaEvolution {
     require(m.logicalNames.contains(name), s"no column '$name' in $table")
     require(m.cols.size > 1, s"cannot drop the last column of $table")
     requireNotPartition(fs, warehouse, table, name, "drop")
+    // Dropping a GENERATED column is legal — its declaration clears in
+    // the SAME commit (a crash can never leave a declared-but-absent
+    // column). Identity and generation-referenced base columns refuse.
+    require(!Identity.identityColumns(fs, warehouse, table).contains(name),
+      s"cannot drop IDENTITY column '$name' — its high-water mark is " +
+        "keyed by name")
+    val refs = Generated.referencedBy(fs, warehouse, table, name)
+    require(refs.isEmpty,
+      s"cannot drop column '$name' — generated column(s) " +
+        s"${refs.mkString(", ")} reference it by name in their expressions")
+    val clearGen =
+      if (Generated.generatedColumns(fs, warehouse, table)
+          .exists(_._1 == name))
+        Seq(Snapshots.propsMetaEntry(fs, warehouse, table,
+          Map(s"generated.$name" -> "")))
+      else Nil
     val phys = m.cols.find(_._1 == name).get._2
     commitMeta(fs, warehouse, table, "drop_column", base,
       ColumnMapping(m.cols.filterNot(_._1 == name),
-        m.droppedPhysical :+ phys))
+        m.droppedPhysical :+ phys), extraMetas = clearGen)
+  }
+
+  /** Engine-managed column DDL guards: a generated/identity column's
+    * declaration is keyed by NAME (property + high-water META), and a
+    * generation expression references base columns by NAME — renaming or
+    * dropping either side would dangle the declaration and fail (or
+    * corrupt) every later materialization. Crisp refusal instead. */
+  private def requireNotEngineManaged(fs: org.apache.hadoop.fs.FileSystem,
+                                      warehouse: String, table: String,
+                                      name: String, verb: String): Unit = {
+    require(!Generated.generatedColumns(fs, warehouse, table)
+        .exists(_._1 == name),
+      s"cannot $verb GENERATED column '$name' — its declaration is keyed " +
+        "by name; DROP COLUMN (which clears the declaration) and " +
+        "re-declare instead")
+    require(!Identity.identityColumns(fs, warehouse, table).contains(name),
+      s"cannot $verb IDENTITY column '$name' — its high-water mark is " +
+        "keyed by name")
+    val refs = Generated.referencedBy(fs, warehouse, table, name)
+    require(refs.isEmpty,
+      s"cannot $verb column '$name' — generated column(s) " +
+        s"${refs.mkString(", ")} reference it by name in their " +
+        "expressions")
   }
 
   private def requireNotPartition(fs: org.apache.hadoop.fs.FileSystem,

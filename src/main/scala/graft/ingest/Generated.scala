@@ -48,6 +48,24 @@ object Generated {
         k.stripPrefix("generated.") -> v }
       .sortBy(_._1)
 
+  /** Generated columns whose expressions REFERENCE `col` — the rename /
+    * drop DDL refuses to touch such a base column (the stored expression
+    * text would dangle and every later materialization would fail). */
+  def referencedBy(fs: FileSystem, warehouse: String, table: String,
+                   col: String): Seq[String] =
+    generatedColumns(fs, warehouse, table).collect {
+      case (g, e) if {
+        val refs =
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(e).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.name
+            }
+          catch { case _: Exception => Nil }
+        refs.contains(col)
+      } => g
+    }
+
   /** Validate an expression for generation: parses, deterministic, no
     * subquery, and references no generated/identity column (generation
     * must be a function of STORED base columns only — chains would make

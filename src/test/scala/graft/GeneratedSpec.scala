@@ -240,6 +240,40 @@ class GeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertInvariant(w, "t", "total", "price * qty")
   }
 
+  test("rename/drop DDL refuses to dangle generation expressions") {
+    val s0 = spark
+    import s0.implicits._
+    import graft.ingest.SchemaEvolution
+    val w = wh("genDdl")
+    Generated.declare(spark, w, "t", "total", "price * qty")
+    Generated.appendGenerated(spark, w, "t",
+      Seq((1L, 2.0, 3L)).toDF("id", "price", "qty"))
+    // Renaming a referenced base column would dangle the expression.
+    val e1 = intercept[IllegalArgumentException](
+      SchemaEvolution.renameColumn(spark, w, "t", "price", "p"))
+    assert(e1.getMessage.contains("total"), e1.getMessage)
+    // Dropping a referenced base column likewise.
+    val e2 = intercept[IllegalArgumentException](
+      SchemaEvolution.dropColumn(spark, w, "t", "qty"))
+    assert(e2.getMessage.contains("total"), e2.getMessage)
+    // Renaming the generated column itself refuses (name-keyed).
+    val e3 = intercept[IllegalArgumentException](
+      SchemaEvolution.renameColumn(spark, w, "t", "total", "t2"))
+    assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
+    // Unreferenced columns rename/drop freely.
+    SchemaEvolution.renameColumn(spark, w, "t", "id", "key")
+    // DROPPING the generated column clears its declaration in the same
+    // commit — later appends need (and accept) no generated column.
+    SchemaEvolution.dropColumn(spark, w, "t", "total")
+    assert(Generated.generatedColumns(fs, w, "t").isEmpty)
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((2L, 5.0, 1L)).toDF("key", "price", "qty").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    TxnCommit.commit(fs, w, cid, TxnCommit.movesFor(fs, w, cid, "t"))
+    TxnCommit.publish(fs, w, cid, TxnCommit.movesFor(fs, w, cid, "t"))
+    assert(Snapshots.read(spark, w, "t").count() == 2)
+  }
+
   test("streaming epochs materialize exactly-once across restarts") {
     val s0 = spark
     import s0.implicits._
