@@ -417,6 +417,52 @@ object FormatQueries {
         .select(col("n_nationkey"), col("n_name"), col("row_id"))
     }),
 
+    // Optimized write (graft.optimizeWrite): a CTAS + INSERT under the
+    // declared clustered distribution — proves the REBALANCE shuffle
+    // changes file layout only, never the rows. Ground truth: plain
+    // projection of the fixture (doubled key era from the INSERT).
+    "fmt_optimize_write" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gow",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_optimize_write", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.gow.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_ow_src")
+        s.sql("CREATE TABLE gow.nation_ow PARTITIONED BY (n_regionkey) " +
+          "TBLPROPERTIES ('graft.optimizeWrite'='true') AS " +
+          "SELECT /*+ REPARTITION(8) */ n_nationkey, n_name, n_regionkey " +
+          "FROM fmt_ow_src")
+        s.sql("INSERT INTO gow.nation_ow " +
+          "SELECT /*+ REPARTITION(8) */ n_nationkey + 100, n_name, " +
+          "n_regionkey FROM fmt_ow_src")
+        w
+      }
+      s.conf.set("spark.sql.catalog.gow.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM gow.nation_ow")
+    }),
+
+    // CREATE-time generated columns through Spark's own DDL (catalog
+    // capability): a generated PARTITION column routes rows by the
+    // ENGINE's value — the INSERT's user-supplied constant can never
+    // land. Ground truth: the same expression in plain SQL.
+    "fmt_generated_ddl" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.ggen2",
+        classOf[graft.sources.v2.GraftCatalog].getName)
+      val wh = Fixtures.once("fmt_generated_ddl", d) {
+        val w = freshWh()
+        s.conf.set("spark.sql.catalog.ggen2.warehouse", w)
+        nation(s, d).createOrReplaceTempView("fmt_gddl_src")
+        s.sql("CREATE TABLE ggen2.nation_gddl (n_nationkey BIGINT, " +
+          "n_name STRING, bucket BIGINT GENERATED ALWAYS AS " +
+          "(n_nationkey % 3)) PARTITIONED BY (bucket)")
+        s.sql("INSERT INTO ggen2.nation_gddl " +
+          "SELECT n_nationkey, n_name, 0L FROM fmt_gddl_src")
+        w
+      }
+      s.conf.set("spark.sql.catalog.ggen2.warehouse", wh)
+      s.sql("SELECT n_nationkey, n_name, bucket FROM ggen2.nation_gddl")
+    }),
+
     // GENERATED ALWAYS AS (expr): the engine materializes the expression
     // at append and RE-materializes it through a base-column UPDATE (the
     // rewrite hook) — stored ≡ expression everywhere. Ground truth: the
@@ -986,6 +1032,18 @@ object FormatQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT)
         |         AS row_id
+        |FROM nation""".stripMargin,
+    "fmt_optimize_write" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey AS BIGINT) + 100, n_name,
+        |       CAST(n_regionkey AS BIGINT)
+        |FROM nation""".stripMargin,
+    "fmt_generated_ddl" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_nationkey AS BIGINT) % 3 AS bucket
         |FROM nation""".stripMargin,
     "fmt_generated" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
