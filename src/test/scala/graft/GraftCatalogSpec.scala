@@ -134,6 +134,16 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(spark.sql("SELECT id FROM graft.gp WHERE bucket = 2")
       .collect().map(_.getLong(0)).forall(_ % 4 == 2), one)
+    // The blessed append path honors the partition layout too — the
+    // materialized bucket routes to k=v dirs, keeping the pruning.
+    graft.ingest.Generated.appendGenerated(spark, wh, "gp",
+      (40L until 48L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val after = Snapshots.fileMeta(fs, wh, "gp").get
+    assert(after.forall(_.partition.startsWith("bucket=")),
+      after.map(_.partition).distinct.mkString(", "))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.gp WHERE bucket <> id % 4")
+      .head().getLong(0) == 0)
   }
 
   test("optimizeWrite property drives the catalog write's distribution") {
