@@ -902,7 +902,21 @@ object Snapshots {
 
   /** Resolve the snapshot version that was latest at `tsMillis` (Delta's
     * `TIMESTAMP AS OF`): the highest version whose log entry landed at or
-    * before the instant. None if the log is empty or starts later. */
+    * before the instant. None if the log is empty or starts later.
+    *
+    * Soundness rests on entry mtimes being NON-DECREASING in version
+    * order, which this log guarantees structurally — no in-commit
+    * timestamp machinery (Delta's ICT) needed:
+    *  - entries are put-if-absent and never rewritten (a zombie
+    *    re-publish converges on the existing file), so mtime IS the
+    *    creation instant;
+    *  - versions are DENSE and claim-ordered: a writer claims V+1 only
+    *    after V's entry is visible, so creation order follows version
+    *    order even across writers;
+    *  - the timestamp source is the ONE backing store's clock (namenode /
+    *    object-store Last-Modified), not per-writer wall clocks — writer
+    *    clock skew cannot reorder it. Same-instant commits (store clock
+    *    granularity) resolve to the higher version via `lastOption`. */
   def versionAt(fs: FileSystem, warehouse: String, tsMillis: Long): Option[Long] = {
     val eligible = entries(fs, warehouse)
       .filterNot(_.isCheckpoint).filter(_.mtime <= tsMillis)

@@ -240,6 +240,58 @@ class GeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertInvariant(w, "t", "total", "price * qty")
   }
 
+  test("mixed identity+generated chain: ids unique, invariant holds") {
+    val s0 = spark
+    import s0.implicits._
+    import graft.ingest.Identity
+    val w = wh("genMix")
+    Identity.declare(spark, w, "t", "rid")
+    Generated.declare(spark, w, "t", "total", "price * qty")
+    val rng = new scala.util.Random(29)
+    var rows = 0L
+    var nextK = 0L
+    var batchNo = 0
+    def fresh(n: Int) = {
+      val ks = (nextK until nextK + n); nextK += n
+      ks.map(k => ((k % 7).toDouble, 1L + k % 3)).toDF("price", "qty")
+    }
+    rows += Identity.appendWithIdentity(spark, w, "t", fresh(5))
+    (1 to 12).foreach { step =>
+      rng.nextInt(5) match {
+        case 0 =>
+          rows += Identity.appendWithIdentity(spark, w, "t",
+            fresh(2 + rng.nextInt(3)))
+        case 1 => // replay-keyed: lands once, mints once
+          batchNo += 1
+          val cid = s"mixload-$batchNo"
+          val df = fresh(3)
+          rows += Identity.appendWithIdentity(spark, w, "t", df,
+            commitId = Some(cid))
+          assert(Identity.appendWithIdentity(spark, w, "t", df,
+            commitId = Some(cid)) == 0L, s"step $step: replay re-landed")
+        case 2 => // base-column update recomputes the generated value
+          val lo = rng.nextInt(rows.toInt.max(1)).toLong
+          Merge.updateWhere(spark, w, "t",
+            col("rid") >= lo && col("rid") < lo + 4,
+            Map("price" -> (col("price") + lit(1.0))))
+        case 3 => // identity/generated assignment both refuse
+          intercept[IllegalArgumentException](
+            Merge.updateWhere(spark, w, "t", col("qty") > 0L,
+              Map("rid" -> lit(0L))))
+          intercept[IllegalArgumentException](
+            Merge.updateWhereDv(spark, w, "t", col("qty") > 0L,
+              Map("total" -> lit(0.0))))
+        case 4 => graft.ingest.Compaction.compact(spark, w, "t")
+      }
+      val got = Snapshots.read(spark, w, "t")
+        .select("rid").as[Long].collect().toSeq
+      assert(got.length == rows, s"step $step: row count diverged")
+      assert(got.distinct.length == got.length,
+        s"step $step: duplicate ids")
+      assertInvariant(w, "t", "total", "price * qty")
+    }
+  }
+
   test("rename/drop DDL refuses to dangle generation expressions") {
     val s0 = spark
     import s0.implicits._
