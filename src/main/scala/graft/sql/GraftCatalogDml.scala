@@ -489,10 +489,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
             s"uncorrelated single-column IN/NOT IN, got ${other.sql.take(60)}")
       }
     }
-    if (orPlain.isDefined && subq0.size > 1)
-      unsupported("several subquery conjuncts under a disjunction")
     orPlain.foreach { _ =>
-      subq0 match {
+      subq0.headOption.toSeq match {
         case Seq(_: InSubquery) => ()
         case Seq(_: org.apache.spark.sql.catalyst.expressions.Exists) => ()
         case Seq(org.apache.spark.sql.catalyst.expressions.Not(
@@ -507,6 +505,15 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
       if (subq0.size <= 1) (subq0, residual0)
       else (Seq(subq0.head), residual0 ++ subq0.tail.flatMap(inlineLiteral))
     val targetFilters = targetFiltersB.result()
+    // Secondary subquery conjuncts COMPOSE with a disjunction only on the
+    // literal-inline route (the inlined predicate is subquery-free and
+    // rides `B` in (S ∧ B) ∨ r); the past-cap route's targetFilter
+    // restricts the WHOLE act set — wrong under OR, where r-TRUE rows act
+    // regardless of the secondary membership. Crisp error past the cap.
+    if (orPlain.isDefined && targetFilters.nonEmpty)
+      unsupported(
+        "past-the-inline-cap secondary subqueries under a disjunction — " +
+          "raise graft.dml.inlineCap or materialize the subquery")
     targetFilters.foreach { case (c, _, _) =>
       require(target.output.exists(_.name == c),
         s"secondary subquery column '$c' must be a column of the target table")

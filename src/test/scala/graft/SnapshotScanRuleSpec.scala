@@ -769,6 +769,32 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       | (SELECT 1 FROM or_ex3 WHERE id2 = id AND lim < k)
       | OR v = 7""".stripMargin)
     assert(vs() == Seq(1L -> 0L, 2L -> 8L, 3L -> 8L, 4L -> 8L, 5L -> 8L))
+    // SEVERAL subquery conjuncts under OR: the secondary inlines to a
+    // literal and rides B — (k IN s ∧ id IN s2) ∨ r. id 1 (member, but
+    // 1 ∉ {2,4}) keeps; id 2 acts via both; 4,5 via r.
+    reset()
+    Seq(2L, 4L).toDF("y").createOrReplaceTempView("or_in2")
+    spark.sql("""UPDATE gor.t5 SET v = 9
+      | WHERE (k IN (SELECT x FROM or_in)
+      |        AND id IN (SELECT y FROM or_in2)) OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 0L, 2L -> 9L, 3L -> 0L, 4L -> 9L, 5L -> 9L))
+    // …and with a NOT IN head: (k NOT IN s ∧ id IN s2) ∨ r — id 4 acts
+    // via both routes, id 3 fails the secondary, id 5 via r.
+    reset()
+    spark.sql("""DELETE FROM gor.t5
+      | WHERE (k NOT IN (SELECT x FROM or_in)
+      |        AND id IN (SELECT y FROM or_in2)) OR v = 7""".stripMargin)
+    assert(vs().map(_._1) == Seq(1L, 2L, 3L))
+    // Past the inline cap the secondary's distributed route cannot
+    // compose with OR — crisp error, cap restored after.
+    reset()
+    spark.conf.set("graft.dml.inlineCap", "0")
+    try {
+      val err2 = intercept[Exception](spark.sql(
+        """DELETE FROM gor.t5 WHERE (k IN (SELECT x FROM or_in)
+          | AND id IN (SELECT y FROM or_in2)) OR v = 7""".stripMargin))
+      assert(err2.getMessage.contains("inline"), err2.getMessage)
+    } finally spark.conf.unset("graft.dml.inlineCap")
   }
 
   test("non-equality-correlated EXISTS/NOT EXISTS lower with ON residuals") {
