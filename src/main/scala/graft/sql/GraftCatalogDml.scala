@@ -278,16 +278,20 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     }.sql
     val empty = org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
     def render(e: Expression): String = qualifiedSql(e, tgt, empty)
-    // `NOT EXISTS … OR r` on the nmbs route: same construction as the
-    // general NOT IN — ¬coalesce(r, false) rides the ON (a witness only
-    // blocks rows where r is not TRUE), (b OR r) rides the condition.
+    // Disjunctions on this engine:
+    //  - `NOT EXISTS … OR r` (nmbs): the general-NOT-IN construction —
+    //    ¬coalesce(r, false) rides the ON (a witness only blocks rows
+    //    where r is not TRUE), (B OR r) rides the condition;
+    //  - `EXISTS/IN-with-residual … OR r` (matched): S is TRUE exactly
+    //    on witness-matched rows, so matched rows act under (B OR r)
+    //    and UNMATCHED rows act under r through an NMBS clause over the
+    //    SAME ON — the two clause sets partition the target exactly.
     val orSql = orPlain.map(render)
-    require(orSql.isEmpty || nmbs,
-      "disjunctions reach the residual engine only on the negated route")
+    val onParts = residCor.map(corSql) ++
+      (if (nmbs) orSql.map(r => s"NOT coalesce(($r), false)") else None)
     val onResidualSql =
-      Some((residCor.map(corSql) ++
-        orSql.map(r => s"NOT coalesce(($r), false)"))
-        .mkString("(", ") AND (", ")"))
+      if (onParts.isEmpty) None
+      else Some(onParts.mkString("(", ") AND (", ")"))
     val residualSql = (residual, orSql) match {
       case (Seq(), _) => None
       case (rs, None) => Some(rs.map(render).mkString("(", ") AND (", ")"))
@@ -310,6 +314,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
     else
       GraftMergeClausesCommand(wh, t, keyNames,
         matched = Seq((residualSql, assignPairs)), notMatched = Nil, srcPlan,
+        notMatchedBySource =
+          orSql.map(r => (Some(r): Option[String], assignPairs)).toSeq,
         onResidualSql = onResidualSql, dedupeMatched = true,
         evolveSchema = false, targetInSubqueries = targetFilters)
   }
@@ -580,8 +586,6 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           // extra equality anchors — the residual rides the merge
           // engine's ON condition, multiple witnesses collapse
           // (dedupeMatched; DML actions are t-only).
-          if (orPlain.isDefined) unsupported(
-            "IN with non-equality correlation under a disjunction")
           if (attrs.size != projList.size)
             unsupported("IN tuple arity mismatch")
           // The projected value expressions must be addressable inner
@@ -608,7 +612,8 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
           }
           return Some(lowerResidualExists(wh, t, target,
             attrs.zip(valAttrs) ++ pairs, residCor, inner2,
-            residual, assigns, nmbs = false, unsupported, targetFilters))
+            residual, assigns, nmbs = false, unsupported, targetFilters,
+            orPlain))
         }
         val named = projList.map {
           case n: org.apache.spark.sql.catalyst.expressions.NamedExpression => n
@@ -638,13 +643,10 @@ case class GraftCatalogDmlRule(session: SparkSession) extends Rule[LogicalPlan] 
         val (pairs, residCor, inner) = decorrelate(ex)
         if (residCor.isEmpty)
           (pairs.map(_._1), Project(pairs.map(_._2), inner), false, false)
-        else {
-          if (orPlain.isDefined) unsupported(
-            "EXISTS with non-equality correlation under a disjunction")
+        else
           return Some(lowerResidualExists(wh, t, target, pairs, residCor,
             inner, residual, assigns, nmbs = false, unsupported,
-            targetFilters))
-        }
+            targetFilters, orPlain))
       case Seq(org.apache.spark.sql.catalyst.expressions.Not(
           ex: org.apache.spark.sql.catalyst.expressions.Exists)) =>
         val (pairs, residCor, inner) = decorrelate(ex)

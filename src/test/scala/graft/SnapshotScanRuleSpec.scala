@@ -769,6 +769,22 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       | (SELECT 1 FROM or_ex3 WHERE id2 = id AND lim < k)
       | OR v = 7""".stripMargin)
     assert(vs() == Seq(1L -> 0L, 2L -> 8L, 3L -> 8L, 4L -> 8L, 5L -> 8L))
+    // IN with a NON-equality correlation under OR: the residual engine
+    // grows a conditional NMBS clause — matched (witness) rows act
+    // always here (B empty), unmatched rows act iff r.
+    reset()
+    spark.sql("""UPDATE gor.t5 SET v = 11 WHERE k IN
+      | (SELECT x FROM or_in WHERE x < gor.t5.id * 15)
+      | OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 11L, 2L -> 11L, 3L -> 0L, 4L -> 11L, 5L -> 11L))
+    // EXISTS with a non-equality residual under OR, same construction.
+    reset()
+    Seq((1L, 5L), (2L, 25L)).toDF("id2", "lim")
+      .createOrReplaceTempView("or_ex4")
+    spark.sql("""UPDATE gor.t5 SET v = 10 WHERE EXISTS
+      | (SELECT 1 FROM or_ex4 WHERE id2 = id AND lim < k)
+      | OR v = 7""".stripMargin)
+    assert(vs() == Seq(1L -> 10L, 2L -> 0L, 3L -> 0L, 4L -> 10L, 5L -> 10L))
     // SEVERAL subquery conjuncts under OR: the secondary inlines to a
     // literal and rides B — (k IN s ∧ id IN s2) ∨ r. id 1 (member, but
     // 1 ∉ {2,4}) keeps; id 2 acts via both; 4,5 via r.
@@ -896,6 +912,9 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g) OR v >= 50",
       "NOT EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g) OR v >= 50",
       "NOT EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g " +
+        "AND x2 < grnd.t6.k) OR v >= 80",
+      "k IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v) OR v >= 50",
+      "EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g " +
         "AND x2 < grnd.t6.k) OR v >= 80")
     try {
       for (seed <- Seq(11, 47)) {
