@@ -915,7 +915,8 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
         "AND x2 < grnd.t6.k) OR v >= 80",
       "k IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v) OR v >= 50",
       "EXISTS (SELECT 1 FROM rnd_s2 WHERE g2 = grnd.t6.g " +
-        "AND x2 < grnd.t6.k) OR v >= 80")
+        "AND x2 < grnd.t6.k) OR v >= 80",
+      "k NOT IN (SELECT x2 FROM rnd_s2 WHERE x2 < grnd.t6.v) OR v >= 50")
     try {
       for (seed <- Seq(11, 47)) {
         val rnd = new scala.util.Random(seed)
