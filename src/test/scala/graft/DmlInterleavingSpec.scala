@@ -386,7 +386,8 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
       workers.foreach(_.start())
       workers.foreach(_.join(180000))
       assert(failures.isEmpty,
-        s"seed $seed: worker failed: ${Option(failures.peek())}")
+        s"seed $seed: worker failed: ${Option(failures.peek()).map(t =>
+          t.toString + "\n" + t.getStackTrace.take(14).mkString("\n"))}")
 
       // 4. replayed epochs: exactly one log entry per epoch commitId.
       val entries = Snapshots.entries(fs, w)
