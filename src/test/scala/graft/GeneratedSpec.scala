@@ -240,6 +240,37 @@ class GeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertInvariant(w, "t", "total", "price * qty")
   }
 
+  test("random expression shapes hold the invariant through DML") {
+    val s0 = spark
+    import s0.implicits._
+    // Beyond the arithmetic happy path: string building, CASE, integer
+    // division (NULL on zero via nullif), and null-propagating inputs —
+    // each declared, appended, updated twice, and re-verified.
+    val exprs = Seq(
+      "concat(name, '-', CAST(qty AS STRING))",
+      "CASE WHEN qty > 2 THEN price * 2 ELSE price END",
+      "price / nullif(CAST(qty AS DOUBLE) - 2.0, 0.0)",
+      "coalesce(price, 0.0) + qty",
+      "upper(substring(name, 1, 3))",
+      "CAST(price AS DECIMAL(12,2)) * qty")
+    exprs.zipWithIndex.foreach { case (e, i) =>
+      val w = wh(s"genProp$i")
+      Generated.declare(spark, w, "t", "g", e)
+      val rng = new scala.util.Random(100 + i)
+      def optD() = if (rng.nextInt(8) == 0) None else Some(rng.nextInt(9).toDouble)
+      val rows = (0L until 30L).map(k =>
+        (k, optD(), 1L + rng.nextInt(4), s"n$k"))
+      Generated.appendGenerated(spark, w, "t",
+        rows.toDF("id", "price", "qty", "name"))
+      Merge.updateWhere(spark, w, "t", col("id") % 3 === 0L,
+        Map("qty" -> (col("qty") + lit(2L))))
+      Merge.updateWhereDv(spark, w, "t", col("id") % 5 === 1L,
+        Map("price" -> (col("price") * lit(2.0))))
+      assertInvariant(w, "t", "g", e)
+      assert(Snapshots.read(spark, w, "t").count() == 30, s"expr [$e]")
+    }
+  }
+
   test("mixed identity+generated chain: ids unique, invariant holds") {
     val s0 = spark
     import s0.implicits._
