@@ -66,10 +66,20 @@ object Generated {
       } => g
     }
 
-  /** Validate an expression for generation: parses, deterministic, no
-    * subquery, and references no generated/identity column (generation
-    * must be a function of STORED base columns only — chains would make
-    * rewrite re-materialization order-dependent). */
+  /** Functions Catalyst calls "deterministic" but that change BETWEEN
+    * queries — a rewrite recomputing them would silently change rows it
+    * merely carried (Delta bans the same set in generation expressions). */
+  private val ContextDependent = Set(
+    "current_timestamp", "now", "current_date", "localtimestamp",
+    "curdate", "current_timezone", "current_database", "current_schema",
+    "current_catalog", "current_user", "session_user", "user",
+    "input_file_name", "input_file_block_start", "input_file_block_length",
+    "spark_partition_id", "version", "java_method", "reflect")
+
+  /** Validate an expression for generation: parses, deterministic, not
+    * context-dependent, no subquery, and references no generated/identity
+    * column (generation must be a function of STORED base columns only —
+    * chains would make rewrite re-materialization order-dependent). */
   private def validate(fs: FileSystem, warehouse: String, table: String,
                        column: String, exprSql: String): Unit = {
     val parsed =
@@ -92,6 +102,12 @@ object Generated {
           s"generated column '$column': expression references " +
             s"'${a.name}', which is itself generated — generation " +
             "expressions may reference stored base columns only")
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val n = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+        require(!ContextDependent.contains(n),
+          s"generated column '$column': $n() changes between queries — " +
+            "a rewrite recomputing it would silently change carried " +
+            "rows; generation must be a pure function of the row")
       case _ => ()
     }
   }
@@ -125,6 +141,16 @@ object Generated {
         s"generated column '$column': expression '$exprSql' is " +
           "non-deterministic — rewrites re-materialize it, so it must " +
           "be a pure function of the row")
+      // Context-dependent functions resolve as "deterministic" (per-query
+      // constants) — catch them on the RESOLVED tree too (the syntactic
+      // pass misses SQL aliases that resolve to one).
+      analyzed.expressions.foreach(_.foreach { e =>
+        require(!ContextDependent.contains(
+            e.prettyName.toLowerCase(java.util.Locale.ROOT)),
+          s"generated column '$column': ${e.prettyName}() changes " +
+            "between queries — a rewrite recomputing it would silently " +
+            "change carried rows")
+      })
     }
   }
 

@@ -91,6 +91,14 @@ class GeneratedSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Subqueries are rejected.
     intercept[IllegalArgumentException](
       Generated.declare(spark, w, "base", "s", "(SELECT max(k) FROM base)"))
+    // Context-dependent functions (Catalyst calls them deterministic —
+    // per-query constants) are rejected: a rewrite recomputing
+    // current_timestamp would silently change carried rows.
+    val e5 = intercept[IllegalArgumentException](
+      Generated.declare(spark, w, "base", "ts", "current_timestamp()"))
+    assert(e5.getMessage.contains("changes"), e5.getMessage)
+    intercept[IllegalArgumentException](
+      Generated.declare(spark, w, "base", "d", "k + spark_partition_id()"))
     // Retrofitting a column that already carries data is refused.
     intercept[IllegalArgumentException](
       Generated.declare(spark, w, "base", "v", "upper(v)"))
