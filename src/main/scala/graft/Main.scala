@@ -79,14 +79,13 @@ object Main {
           println(s"restored $table to version $v: +$a/-$r files")
         }
         opts.get("vacuum").foreach { keep =>
-          val fs = new org.apache.hadoop.fs.Path(warehouse)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           // Default 7-day reader-retention window (Delta's default); an
           // operator who wants immediate reclaim passes --retention-hours 0.
           val minAgeMs = opts.get("retention-hours").map(_.toLong)
             .getOrElse(168L) * 3600L * 1000L
+          // Distributed sweep: listing and deletion run as Spark jobs.
           val removed =
-            graft.ingest.Snapshots.vacuum(fs, warehouse, keep.toInt, minAgeMs)
+            graft.ingest.Snapshots.vacuum(spark, warehouse, keep.toInt, minAgeMs)
           println(s"vacuumed $removed snapshot log entries (kept last $keep versions)")
         }
       } finally spark.stop()

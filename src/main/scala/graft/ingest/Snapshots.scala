@@ -730,6 +730,125 @@ object Snapshots {
   case class VacuumStats(entriesRemoved: Int, filesDeleted: Long,
                          bytesDeleted: Long, files: Seq[(String, Long)])
 
+  /** Java-serializable Hadoop `Configuration` carrier (the standard Spark
+    * idiom — `Configuration` itself is `Writable`, not `Serializable`) so
+    * vacuum tasks can open the warehouse FileSystem on executors. */
+  private[graft] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Pluggable executor for vacuum's three BULK I/O phases — directory
+    * scans, file sizing, file deletion. The reap-set SEMANTICS (victims,
+    * anchor refs, retention guards) live in [[vacuumStats]] and are
+    * identical under either executor; only where the listStatus /
+    * getFileStatus / delete calls run differs. At 100 TB a warehouse holds
+    * millions of files across tens of thousands of partition directories —
+    * a driver-sequential sweep is the one maintenance command that cannot
+    * finish in a window, so the [[SparkSession]] overloads run these
+    * phases as Spark jobs (Delta runs vacuum the same way). */
+  private[graft] sealed trait VacuumExec {
+    /** List plain files in `dirs`, dropping referenced paths, names that
+      * start with `_` (when `skipUnderscore`), and files younger than the
+      * retention window; returns orphan candidates. */
+    def scanOrphans(dirs: Seq[String], referenced: Set[String], now: Long,
+                    minAgeMs: Long, skipUnderscore: Boolean): Seq[String]
+    /** Size each still-existing path (missing/unreadable paths drop). */
+    def size(paths: Seq[String]): Seq[(String, Long)]
+    /** Delete each path (single files, non-recursive). */
+    def delete(paths: Seq[String]): Unit
+  }
+
+  /** Single-process executor — every call runs on the caller's thread
+    * against the caller's FileSystem. Used by the legacy `(fs, warehouse)`
+    * entry points and by tests that have no SparkSession. */
+  private final class DriverVacuumExec(fs: FileSystem) extends VacuumExec {
+    def scanOrphans(dirs: Seq[String], referenced: Set[String], now: Long,
+                    minAgeMs: Long, skipUnderscore: Boolean): Seq[String] =
+      dirs.map(new Path(_)).filter(fs.exists).flatMap { dir =>
+        fs.listStatus(dir).toSeq.filter(_.isFile)
+          .filterNot(st => skipUnderscore && st.getPath.getName.startsWith("_"))
+          .filterNot(st => referenced(st.getPath.toUri.getPath))
+          .filter(st => now - st.getModificationTime >= minAgeMs)
+          .map(_.getPath.toString)
+      }
+    def size(paths: Seq[String]): Seq[(String, Long)] =
+      paths.flatMap { f =>
+        try { val p = new Path(f); if (fs.exists(p))
+          Some(f -> fs.getFileStatus(p).getLen) else None }
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    def delete(paths: Seq[String]): Unit =
+      paths.foreach(f => fs.delete(new Path(f), false))
+  }
+
+  /** Distributed executor: directory listing, sizing, and deletion run as
+    * Spark jobs over the partition/table directories, with the
+    * referenced-file set shipped as a broadcast (it is O(live files) —
+    * path strings, not data). Results come back in deterministic input
+    * order (parallelize slices preserve order through collect), so the
+    * reap SET and the recorded stats are bit-identical to the driver
+    * executor's — proven by the parity case in VacuumSpec. */
+  private final class DistributedVacuumExec(spark: SparkSession)
+      extends VacuumExec {
+    private val conf =
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    private def slices(n: Int): Int =
+      math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 2))
+    def scanOrphans(dirs: Seq[String], referenced: Set[String], now: Long,
+                    minAgeMs: Long, skipUnderscore: Boolean): Seq[String] = {
+      if (dirs.isEmpty) return Nil
+      val c = conf
+      val refB = spark.sparkContext.broadcast(referenced)
+      try spark.sparkContext.parallelize(dirs, slices(dirs.size))
+        .flatMap { d =>
+          val dir = new Path(d)
+          val fs = dir.getFileSystem(c.value)
+          if (!fs.exists(dir)) Iterator.empty
+          else fs.listStatus(dir).iterator.filter(_.isFile)
+            .filterNot(st =>
+              skipUnderscore && st.getPath.getName.startsWith("_"))
+            .filterNot(st => refB.value(st.getPath.toUri.getPath))
+            .filter(st => now - st.getModificationTime >= minAgeMs)
+            .map(_.getPath.toString)
+        }.collect().toSeq
+      finally refB.unpersist(blocking = false)
+    }
+    def size(paths: Seq[String]): Seq[(String, Long)] = {
+      if (paths.isEmpty) return Nil
+      val c = conf
+      val byPath = spark.sparkContext.parallelize(paths, slices(paths.size))
+        .mapPartitions { it =>
+          it.flatMap { f =>
+            try { val p = new Path(f); val fs = p.getFileSystem(c.value)
+              if (fs.exists(p)) Some(f -> fs.getFileStatus(p).getLen)
+              else None }
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }.collect().toMap
+      paths.flatMap(f => byPath.get(f).map(f -> _))
+    }
+    def delete(paths: Seq[String]): Unit =
+      if (paths.nonEmpty) {
+        val c = conf // local capture — the closure must not drag `this` in
+        spark.sparkContext.parallelize(paths, slices(paths.size))
+          .foreachPartition { it =>
+            it.foreach { f =>
+              val p = new Path(f)
+              p.getFileSystem(c.value).delete(p, false)
+            }
+          }
+      }
+  }
+
   /** [[vacuum]] with full accounting. `dryRun = true` computes the exact
     * reap set — truncatable entries, unreachable data/CDF files, orphans —
     * and deletes NOTHING, writes NOTHING (no cutoff checkpoint either):
@@ -741,7 +860,36 @@ object Snapshots {
     * it answers merge row counts. */
   def vacuumStats(fs: FileSystem, warehouse: String, keepVersions: Int = 32,
                   minAgeMs: Long = DefaultRetentionMs,
-                  dryRun: Boolean = false): VacuumStats = {
+                  dryRun: Boolean = false): VacuumStats =
+    vacuumStatsWith(fs, warehouse, keepVersions, minAgeMs, dryRun,
+      new DriverVacuumExec(fs))
+
+  /** [[vacuumStats]] with the bulk I/O phases (directory sweep, sizing,
+    * deletion) running as DISTRIBUTED Spark jobs — the form a 100 TB
+    * warehouse needs (the driver-only overload is a sequential
+    * `listStatus` + per-file delete loop). Log reads, the cutoff
+    * checkpoint, and the accounting commit stay driver-side: they are
+    * O(log), not O(files). Semantics — `minAgeMs`, DRY RUN, the stats
+    * rows — are identical to the driver overload (VacuumSpec proves the
+    * dry-run reap sets match). */
+  def vacuumStats(spark: SparkSession, warehouse: String, keepVersions: Int,
+                  minAgeMs: Long, dryRun: Boolean): VacuumStats = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vacuumStatsWith(fs, warehouse, keepVersions, minAgeMs, dryRun,
+      new DistributedVacuumExec(spark))
+  }
+
+  /** Distributed [[vacuum]] — see the SparkSession [[vacuumStats]]. */
+  def vacuum(spark: SparkSession, warehouse: String, keepVersions: Int,
+             minAgeMs: Long): Int =
+    vacuumStats(spark, warehouse, keepVersions, minAgeMs,
+      dryRun = false).entriesRemoved
+
+  private def vacuumStatsWith(fs: FileSystem, warehouse: String,
+                              keepVersions: Int, minAgeMs: Long,
+                              dryRun: Boolean, exec: VacuumExec)
+      : VacuumStats = {
     val all = entries(fs, warehouse)
     if (all.isEmpty) return VacuumStats(0, 0L, 0L, Nil)
     // Protocol gate: which files are LIVE is itself feature-dependent (a
@@ -813,15 +961,14 @@ object Snapshots {
         }.toSet
       }.getOrElse(Set.empty)
     val orphans = orphanCandidates(fs, warehouse, now, minAgeMs,
-      kept = all.filterNot(victims.toSet), extraReferenced = anchorRefs)
+      kept = all.filterNot(victims.toSet), extraReferenced = anchorRefs,
+      exec = exec)
     val reapAll = (toReap.toSeq ++ orphans).distinct
-    val sized = reapAll.flatMap { f =>
-      try { val p = new Path(f); if (fs.exists(p))
-        Some(f -> fs.getFileStatus(p).getLen) else None }
-      catch { case scala.util.control.NonFatal(_) => None }
-    }
+    val sized = exec.size(reapAll)
     if (!dryRun) {
-      sized.foreach { case (f, _) => fs.delete(new Path(f), false) }
+      exec.delete(sized.map(_._1))
+      // Log-entry and lock cleanup stay driver-side: both are O(retained
+      // log), a few hundred files, not O(table data).
       victims.foreach(v => fs.delete(v.path, false))
       if (victims.nonEmpty)
         // Version claims below the cutoff have served their purpose (their
@@ -858,9 +1005,8 @@ object Snapshots {
     * seconds; the retention window is hours). */
   private def orphanCandidates(fs: FileSystem, warehouse: String, now: Long,
                                minAgeMs: Long, kept: Seq[Entry],
-                               extraReferenced: Set[String] = Set.empty)
-      : Seq[String] = {
-    val out = scala.collection.mutable.ListBuffer.empty[String]
+                               extraReferenced: Set[String] = Set.empty,
+                               exec: VacuumExec): Seq[String] = {
     // META lines carry metadata payloads, not paths — Path() on one throws.
     // Deletion-vector parquets referenced from any retained line (ADD's dv
     // field or a DV line) stay; a SUPERSEDED vector loses its last
@@ -874,30 +1020,26 @@ object Snapshots {
       .toSet ++ extraReferenced
     val tableDirs = (acts.map(a => new Path(a.file).getParent) ++
       acts.filter(_.dv.nonEmpty).map(a => new Path(a.dvPath).getParent)).distinct
-    tableDirs.filter(fs.exists).foreach { dir =>
-      fs.listStatus(dir).toSeq.filter(_.isFile)
-        .filterNot(_.getPath.getName.startsWith("_"))
-        .filterNot(st => referenced(st.getPath.toUri.getPath))
-        .filter(st => now - st.getModificationTime >= minAgeMs)
-        .foreach(st => out += st.getPath.toString)
-    }
+    val dataOrphans = exec.scanOrphans(tableDirs.map(_.toString), referenced,
+      now, minAgeMs, skipUnderscore = true)
     // Sidecar bloom files: referenced iff some retained ADD's stats token
     // still points at them (a removed data file's pointer dies with its
     // ADD line, truncation included) — reap the rest under the same age
-    // guard. Light token scan, no base64 decoding.
+    // guard. Light token scan, no base64 decoding. Only the per-table
+    // sweeps distribute; the _bloomidx root list is one call.
     val sidecarRefs: Set[String] = acts.filter(_.add)
       .flatMap(a => FileStats.sidecarPaths(a.stats))
       .map(p => new Path(s"$warehouse/$p").toUri.getPath)
       .toSet ++ extraReferenced
     val bloomRoot = new Path(s"$warehouse/_bloomidx")
-    if (fs.exists(bloomRoot))
-      fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory).foreach { td =>
-        fs.listStatus(td.getPath).toSeq.filter(_.isFile)
-          .filterNot(st => sidecarRefs(st.getPath.toUri.getPath))
-          .filter(st => now - st.getModificationTime >= minAgeMs)
-          .foreach(st => out += st.getPath.toString)
-      }
-    out.toSeq
+    val bloomDirs =
+      if (fs.exists(bloomRoot))
+        fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory)
+          .map(_.getPath.toString)
+      else Nil
+    val bloomOrphans = exec.scanOrphans(bloomDirs, sidecarRefs, now,
+      minAgeMs, skipUnderscore = false)
+    dataOrphans ++ bloomOrphans
   }
 
   /** Resolve the snapshot version that was latest at `tsMillis` (Delta's

@@ -1065,9 +1065,10 @@ case class GraftVacuumCommand(warehouse: String, keepVersions: Int,
     AttributeReference("files_deleted", LongType)(),
     AttributeReference("bytes_deleted", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
-    val fs = new Path(warehouse)
-      .getFileSystem(session.sparkContext.hadoopConfiguration)
-    val st = Snapshots.vacuumStats(fs, warehouse, keepVersions, minAgeMs)
+    // Distributed executor: the sweep and delete run as Spark jobs, not a
+    // driver listStatus loop — the only shape that finishes at 100 TB.
+    val st = Snapshots.vacuumStats(session, warehouse, keepVersions,
+      minAgeMs, dryRun = false)
     Seq(Row(st.entriesRemoved, st.filesDeleted, st.bytesDeleted))
   }
 }
@@ -1083,10 +1084,8 @@ case class GraftVacuumDryRunCommand(warehouse: String, keepVersions: Int,
     AttributeReference("file", StringType)(),
     AttributeReference("bytes", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
-    val fs = new Path(warehouse)
-      .getFileSystem(session.sparkContext.hadoopConfiguration)
-    val st = Snapshots.vacuumStats(fs, warehouse, keepVersions, minAgeMs,
-      dryRun = true)
+    val st = Snapshots.vacuumStats(session, warehouse, keepVersions,
+      minAgeMs, dryRun = true)
     st.files.map { case (f, sz) => Row(f, sz) }
   }
 }
