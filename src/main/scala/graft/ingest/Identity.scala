@@ -120,7 +120,26 @@ object Identity {
         s"GENERATED ALWAYS: the write must not supply generated column '$c'") }
       val withAll = gens.foldLeft(withIds) { case (d, (c, e)) =>
         d.withColumn(c, org.apache.spark.sql.functions.expr(e)) }
-      withAll.write.parquet(staging)
+      // Honor the table's partition layout and declared blooms, exactly
+      // like [[Generated.appendGenerated]] — otherwise appends to a
+      // partitioned identity table land unpartitioned files (reads stay
+      // correct via mixed-layout handling, but pruning and blooms are
+      // lost for those files).
+      val partCols = {
+        val live = Snapshots.partitionLayout(fs, warehouse, table)
+        if (live.nonEmpty) live
+        else Snapshots.properties(fs, warehouse, table)
+          .get("catalog.partition.columns").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty)
+      }
+      idCols.foreach(c => require(!partCols.contains(c),
+        s"identity column '$c' cannot be a partition column — the " +
+          "high-water mark advances from file stats, which partition " +
+          "values don't carry"))
+      val writer = withAll.write
+        .options(Snapshots.bloomWriteOptionsFor(fs, warehouse, table, None))
+      (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+        .parquet(staging)
       val moves = TxnCommit.movesFor(fs, warehouse, stagingId, table)
       if (moves.isEmpty) { // empty batch: nothing to mint
         fs.delete(new Path(TxnCommit.stagingDir(warehouse, stagingId)), true)

@@ -1605,8 +1605,26 @@ object Snapshots {
   def txnApplied(fs: FileSystem, warehouse: String, commitId: String)
       : Boolean = {
     val (app, v) = txnParse(commitId)
-    txnVersion(fs, warehouse, app).exists(_ >= v)
+    txnVersion(fs, warehouse, app).exists(_ >= v) ||
+      // Upgrade bridge: before the watermark shape was gated to merge-/
+      // stream- prefixes, ANY id ending in `-<digits>` registered under
+      // its TRUNCATED app key with a numeric watermark. An ad-hoc replay
+      // straddling that upgrade must still be provably applied, so on a
+      // verbatim-key miss probe the legacy key too — read-only (new
+      // builds never write this shape for ad-hoc ids, so the probe decays
+      // to dead code as legacy entries expire). A legacy hit keeps the
+      // legacy semantics it was recorded under; new registrations are
+      // order-independent membership and never feed this branch.
+      (!txnIsWatermark(commitId) && (commitId match {
+        case LegacyTxnIdRe(lapp, lv) =>
+          txnVersion(fs, warehouse, lapp).exists(_ >= lv.toLong)
+        case _ => false
+      }))
   }
+
+  /** The pre-gating watermark shape (any `-<digits>` tail) — kept ONLY
+    * for [[txnApplied]]'s legacy-key probe. */
+  private val LegacyTxnIdRe = "^(.+)-(\\d{1,18})$".r
 
   /** The META entry recording `commitId` as applied — handed to
     * [[append]]'s `metas` so the record lands ATOMICALLY with the

@@ -198,7 +198,8 @@ class GraftCatalog extends TableCatalog
     if (gens.isEmpty && ids.isEmpty)
       return createTable(ident, schema, partitions, properties)
     val t = tableName(ident)
-    createTable(ident, schema, partitions, properties)
+    // Validate every spec BEFORE the plain table lands — a rejected
+    // CREATE TABLE must leave NO table behind, not a declared plain one.
     ids.foreach { c =>
       val spec = c.identityColumnSpec()
       require(spec.getStep == 1L,
@@ -207,11 +208,22 @@ class GraftCatalog extends TableCatalog
       require(!spec.isAllowExplicitInsert,
         s"identity column '${c.name}': GENERATED BY DEFAULT is not " +
           "supported — ids are GENERATED ALWAYS (engine-minted only)")
-      graft.ingest.Identity.declare(spark, warehouse, t, c.name,
-        spec.getStart)
     }
-    gens.foreach(c => graft.ingest.Generated.declare(spark, warehouse, t,
-      c.name, c.generationExpression(), schemaHint = Some(schema)))
+    createTable(ident, schema, partitions, properties)
+    // The declares re-validate (generation expressions need the declared
+    // table to resolve against); a failure here still unwinds the
+    // just-created table so the CREATE is all-or-nothing.
+    try {
+      ids.foreach(c => graft.ingest.Identity.declare(spark, warehouse, t,
+        c.name, c.identityColumnSpec().getStart))
+      gens.foreach(c => graft.ingest.Generated.declare(spark, warehouse, t,
+        c.name, c.generationExpression(), schemaHint = Some(schema)))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try dropTable(ident)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     loadTable(ident)
   }
 

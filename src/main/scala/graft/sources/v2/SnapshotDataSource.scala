@@ -771,7 +771,8 @@ class SnapshotBatch(warehouse: String, table: String, pinned: Option[Long],
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
       schema,
       Snapshots.columnMapping(fs, warehouse, table, pinned)
-        .map(_.cols.toMap).getOrElse(Map.empty))
+        .map(_.cols.toMap).getOrElse(Map.empty),
+      sessionTz = spark.sessionState.conf.sessionLocalTimeZone)
 }
 
 /** Offset = snapshot log version (inclusive high-water mark), plus an
@@ -1105,7 +1106,8 @@ class SnapshotMicroBatchStream(options: CaseInsensitiveStringMap,
       // physical names. Captured once — physical names never change across
       // renames, so the map stays valid for the stream's lifetime.
       Snapshots.columnMapping(fs, warehouse, table)
-        .map(_.cols.toMap).getOrElse(Map.empty))
+        .map(_.cols.toMap).getOrElse(Map.empty),
+      sessionTz = spark.sessionState.conf.sessionLocalTimeZone)
 
   override def deserializeOffset(json: String): Offset = {
     def field(name: String): Option[Long] =
@@ -1141,11 +1143,14 @@ case class SnapshotInputPartition(file: String, partSpec: Map[String, String],
 
 case class SnapshotReaderFactory(conf: SerializableConfiguration,
                                  schema: StructType,
-                                 nameMap: Map[String, String] = Map.empty)
+                                 nameMap: Map[String, String] = Map.empty,
+                                 sessionTz: String =
+                                   java.util.TimeZone.getDefault.getID)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SnapshotPartitionReader(
-      partition.asInstanceOf[SnapshotInputPartition], conf, schema, nameMap)
+      partition.asInstanceOf[SnapshotInputPartition], conf, schema, nameMap,
+      sessionTz)
 }
 
 /** Reads one committed parquet file with the parquet-mr Group API (no
@@ -1155,7 +1160,9 @@ case class SnapshotReaderFactory(conf: SerializableConfiguration,
 class SnapshotPartitionReader(p: SnapshotInputPartition,
                               conf: SerializableConfiguration,
                               schema: StructType,
-                              nameMap: Map[String, String] = Map.empty)
+                              nameMap: Map[String, String] = Map.empty,
+                              sessionTz: String =
+                                java.util.TimeZone.getDefault.getID)
   extends PartitionReader[InternalRow] {
 
   private val reader =
@@ -1307,8 +1314,12 @@ class SnapshotPartitionReader(p: SnapshotInputPartition,
                 s"unparseable stored DEFAULT '$text' for '${f.name}'", ex) }
           require(lit.foldable,
             s"stored DEFAULT '$text' for '${f.name}' is not a literal")
-          val cast = Cast(lit, f.dataType,
-            Some(java.util.TimeZone.getDefault.getID))
+          // Session timezone, captured DRIVER-side into the factory: the
+          // batch path (Snapshots.injectDefaults) evaluates the same cast
+          // under spark.sql.session.timeZone — a timestamp default must
+          // serve the identical instant on both read paths even when the
+          // session TZ differs from the executor JVM's default TZ.
+          val cast = Cast(lit, f.dataType, Some(sessionTz))
           if (!cast.resolved) throw new UnsupportedOperationException(
             s"DEFAULT '$text' cannot be cast to ${f.dataType} " +
               s"for column '${f.name}'")

@@ -91,7 +91,12 @@ object StreamingOps {
     if (graft.ingest.Identity.identityColumns(fs, warehouse, table).nonEmpty) {
       graft.ingest.Identity.appendWithIdentity(spark, warehouse, table, df,
         commitId = Some(commitId))
-      graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set(""))
+      // Engine-managed appends stage under the table's own k=v partition
+      // layout, which this caller doesn't see — Set.empty means ALL specs
+      // are eligible (Set("") would match only layout-era unpartitioned
+      // files and the hook would silently never fire for partitioned
+      // tables). Threshold gating keeps untouched partitions no-ops.
+      graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set.empty)
       return
     }
     // Generated tables: the engine materializes the expressions — same
@@ -100,7 +105,8 @@ object StreamingOps {
         .nonEmpty) {
       graft.ingest.Generated.appendGenerated(spark, warehouse, table, df,
         commitId = Some(commitId))
-      graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set(""))
+      // Set.empty (all specs), same reason as the identity branch above.
+      graft.ingest.Compaction.autoCompact(spark, warehouse, table, Set.empty)
       return
     }
     // Each ATTEMPT stages into its own dir: a zombie driver and its

@@ -464,4 +464,36 @@ class DmlInterleavingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.sorted == expected.sorted,
       s"expected ${expected.size} rows exactly once, got ${got.size}")
   }
+
+  test("legacy truncated-key watermarks still prove ad-hoc replays across the upgrade") {
+    val w = wh("txnlegacy")
+    append(w, 0L until 3L)
+    // Simulate a registry written by a PRE-GATING build: back then ANY id
+    // ending in `-<digits>` registered a plain-long watermark under its
+    // TRUNCATED app key. A replay straddling the upgrade must still be
+    // provably applied (read-only probe — new builds register ad-hoc ids
+    // verbatim, so this shape is never written again).
+    val base = Snapshots.latestVersion(fs, w)
+    Snapshots.append(fs, w, "legacyreg", adds = Nil, removes = Nil,
+      op = "meta", baseVersion = base,
+      metas = Seq("#txn#load" -> "20240105"))
+    assert(Snapshots.txnApplied(fs, w, "load-20240105"),
+      "legacy-registered replay no longer provable after the upgrade")
+    assert(Snapshots.txnApplied(fs, w, "load-20240104"),
+      "below-watermark legacy id keeps the semantics it was recorded under")
+    assert(!Snapshots.txnApplied(fs, w, "load-20240106"),
+      "never-applied id must not be claimed by the legacy probe")
+    // Non-numeric tails and framework-shaped ids never feed the probe.
+    assert(!Snapshots.txnApplied(fs, w, "load-abc"))
+    assert(!Snapshots.txnApplied(fs, w, "stream-load-1"))
+    // A MODERN verbatim registration of a `-<digits>` id stays pure
+    // membership: registering load-7 proves load-7 only.
+    val base2 = Snapshots.latestVersion(fs, w)
+    Snapshots.append(fs, w, "modernreg", adds = Nil, removes = Nil,
+      op = "meta", baseVersion = base2,
+      metas = Seq(Snapshots.txnMetaEntry(fs, w, "job-7")))
+    assert(Snapshots.txnApplied(fs, w, "job-7"))
+    assert(!Snapshots.txnApplied(fs, w, "job-3"),
+      "verbatim membership must not infer order from the suffix")
+  }
 }

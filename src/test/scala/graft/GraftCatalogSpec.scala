@@ -86,6 +86,16 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 " +
       "INCREMENT BY 2), k BIGINT)"))
     assert(e2.getMessage.contains("STEP"), e2.getMessage)
+    // …and the rejected CREATE left NO table behind (specs validate
+    // before the plain table is declared).
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("em2"))
+    // A failure in the declare phase (bad generation expression) also
+    // unwinds the just-created table — CREATE is all-or-nothing.
+    intercept[Exception](spark.sql("CREATE TABLE graft.em4 " +
+      "(k BIGINT, t TIMESTAMP GENERATED ALWAYS AS (current_timestamp()))"))
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("em4"))
     // CTAS with engine-managed columns is refused — by Spark's parser
     // (schema-in-CTAS) or by the staging guard; either way the rows can
     // never bypass materialization.
@@ -294,6 +304,41 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The stored property is the parser's canonical spelling.
     val props = Snapshots.properties(fs, wh, "dlt")
     assert(props.get("default.dq").contains("'legacy'"), props)
+  }
+
+  test("timestamp defaults fold under the SESSION timezone on both read paths") {
+    val s0 = spark
+    import s0.implicits._
+    val jvmTz = java.util.TimeZone.getDefault.getID
+    // Pick a session TZ guaranteed ≠ the executor JVM's default: a
+    // string→timestamp default must serve the SAME instant on the batch
+    // path (injectDefaults, session TZ) and the per-file DSv2 path
+    // (which used to fold the Cast under the JVM TZ — +5:30 off here).
+    val sessTz = if (jvmTz == "Asia/Kolkata") "Pacific/Marquesas"
+                 else "Asia/Kolkata"
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", sessTz)
+    try {
+      Seq(1L).toDF("id").createOrReplaceTempView("tzsrc")
+      spark.sql("CREATE TABLE graft.tzd AS SELECT id FROM tzsrc")
+      // STRING literal default on a timestamp column: the Cast's timezone
+      // decides the instant (a TIMESTAMP'…' typed literal would hide it).
+      graft.ingest.SchemaEvolution.addColumn(spark, wh, "tzd", "ts",
+        default = Some("'2024-01-02 03:04:05'"))
+      spark.sql(
+        "INSERT INTO graft.tzd VALUES (2, TIMESTAMP'2025-06-07 08:09:10')")
+      val perFile = spark.sql(
+        "SELECT id, CAST(ts AS STRING) AS ts FROM graft.tzd ORDER BY id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      val batch = Snapshots.read(spark, wh, "tzd")
+        .selectExpr("id", "CAST(ts AS STRING) AS ts").orderBy("id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      val expect = Seq(1L -> "2024-01-02 03:04:05",
+        2L -> "2025-06-07 08:09:10")
+      assert(batch == expect, s"batch path diverged: $batch")
+      assert(perFile == expect,
+        s"per-file path folded the default under the wrong TZ: $perFile")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("DROP TABLE is a time-travelable logical remove; name is reusable") {

@@ -251,4 +251,67 @@ class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(1L).isEmpty && got(2L).contains(500L), got.toString)
     } finally spark.conf.unset("spark.graft.warehouse")
   }
+
+  test("appends to a partitioned identity table honor the layout (pruning kept)") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("partid")
+    Snapshots.setProperties(fs, w, "t",
+      Map("catalog.partition.columns" -> "pt"))
+    Identity.declare(spark, w, "t", "row_id")
+    Identity.appendWithIdentity(spark, w, "t",
+      (0L until 12L).map(i => (i, s"p${i % 3}")).toDF("k", "pt"))
+    // Files landed under the k=v layout with their specs recorded …
+    val pf = Snapshots.partitionedFiles(fs, w, "t").get
+    assert(pf.map(_._2).toSet == Set("pt=p0", "pt=p1", "pt=p2"), pf)
+    // … so log-side pruning plans only the matching partition.
+    val pruned = Snapshots.read(spark, w, "t",
+      partitionFilter = m => m("pt") == "p1")
+    assert(pruned.inputFiles.length < pf.size)
+    assert(pruned.count() == 4)
+    // Ids still unique and stats-advanced across the partitioned write.
+    val got = ids(w)
+    assert(got.distinct.size == 12 && got.forall(_ >= 1L))
+    assert(Identity.highWaterMark(fs, w, "t", "row_id").contains(got.max))
+    // An identity column can never BE the partition column: the mark
+    // advances from file stats, which partition values don't carry.
+    Snapshots.setProperties(fs, w, "bad",
+      Map("catalog.partition.columns" -> "row_id"))
+    Identity.declare(spark, w, "bad", "row_id")
+    val e = intercept[IllegalArgumentException](
+      Identity.appendWithIdentity(spark, w, "bad",
+        Seq(1L).toDF("k")))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
+  test("streaming epochs auto-compact partitioned identity tables (hook fires)") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("autoc")
+    // Partitioned identity table, auto-compaction opted in: the
+    // post-commit hook must fire for the k=v layout the engine-managed
+    // append stages (a Set("") spec filter would silently never match).
+    Snapshots.setProperties(fs, w, "t", Map(
+      "catalog.partition.columns" -> "pt",
+      "graft.autoCompact.minFiles" -> "4",
+      "graft.autoCompact.targetBytes" -> (64L * 1024 * 1024).toString))
+    Identity.declare(spark, w, "t", "row_id")
+    (0 until 10).foreach { b =>
+      graft.streaming.StreamingOps.commitBatch(
+        Seq((b.toLong, "a"), (b + 100L, "b")).toDF("k", "pt").coalesce(1),
+        w, "t", batchId = b.toLong)
+    }
+    val live = Snapshots.fileMeta(fs, w, "t").get
+    assert(live.size < 10,
+      s"auto-compaction never fired for the partitioned layout: ${live.size} files")
+    assert(Snapshots.history(spark, w).select("op").as[String].collect()
+      .contains("compact"), "no compact commit in history")
+    // Maintenance moved bytes, never rows; ids stay unique.
+    val got = Snapshots.read(spark, w, "t")
+      .select("k", "row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got.map(_._1).sorted ==
+      ((0L until 10L) ++ (100L until 110L)).sorted)
+    assert(got.map(_._2).distinct.size == 20, "duplicate ids after packing")
+  }
 }
