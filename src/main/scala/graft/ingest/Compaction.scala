@@ -146,7 +146,8 @@ object Compaction {
               sortBy: Seq[String] = Nil,
               partitionFilter: Map[String, String] => Boolean = null,
               purgeDropped: Boolean = false,
-              maxInputBytes: Long = Long.MaxValue)
+              maxInputBytes: Long = Long.MaxValue,
+              maxInputFiles: Int = Int.MaxValue)
       : Option[Result] = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -158,8 +159,15 @@ object Compaction {
       if (!purgeDropped) Nil
       else Snapshots.columnMapping(fs, warehouse, table)
         .map(_.droppedPhysical).getOrElse(Nil)
-    val inputs = liveFiles(spark, warehouse, table, partitionFilter)
+    val inputsAll = liveFiles(spark, warehouse, table, partitionFilter)
       .filter(_._2 <= maxInputBytes)
+    // Per-run work bound (auto-compaction's latency cap): when the
+    // eligible set exceeds it, pack the SMALLEST files first — best
+    // file-count reduction per byte rewritten; the remainder converges on
+    // later invocations.
+    val inputs =
+      if (inputsAll.size <= maxInputFiles) inputsAll
+      else inputsAll.sortBy(_._2).take(maxInputFiles)
     // REORG … APPLY (PURGE) also purges deletion vectors: the rewrite
     // materializes the DV subtraction, so the outputs carry no vectors —
     // force it even on an already-packed table when vectors are present.
@@ -321,21 +329,34 @@ object Compaction {
     if (minFiles <= 1) return
     val target = props.get("graft.autoCompact.targetBytes")
       .flatMap(_.toLongOption).getOrElse(128L * 1024 * 1024)
+    // Latency bound: one post-commit invocation rewrites at most this
+    // many input files across all specs (unset = unbounded). A streaming
+    // epoch that trips the threshold on a huge backlog pays a CAPPED
+    // bin-pack, never an unbounded one — the next commit's hook
+    // continues where this one stopped, so the file count still
+    // converges.
+    val maxPerRun = props.get("graft.autoCompact.maxInputsPerRun")
+      .flatMap(_.toIntOption).getOrElse(Int.MaxValue)
     try {
       val perSpec = liveFiles(spark, warehouse, table, null)
         .filter(_._2 <= target).groupBy(_._3)
         .filter { case (spec, fs0) =>
           fs0.size >= minFiles &&
             (touchedSpecs.isEmpty || touchedSpecs.contains(spec)) }
+      var budget = maxPerRun
       perSpec.keys.toSeq.sorted.foreach { spec =>
         // Uniform equality filter: "" matches only layout-era
         // unpartitioned files (mixed-layout tables must not widen the
         // rewrite to other partitions).
-        val want = Snapshots.specToMap(spec)
-        compact(spark, warehouse, table, targetBytes = target,
-          minInputFiles = minFiles,
-          partitionFilter = m => m == want,
-          maxInputBytes = target)
+        if (budget >= minFiles) {
+          val want = Snapshots.specToMap(spec)
+          compact(spark, warehouse, table, targetBytes = target,
+            minInputFiles = minFiles,
+            partitionFilter = m => m == want,
+            maxInputBytes = target,
+            maxInputFiles = budget)
+            .foreach(r => budget -= r.filesBefore)
+        }
       }
     } catch {
       // Contention (a rival rewrite won the race on these inputs) or any

@@ -78,6 +78,65 @@ object Identity {
       features = Seq(table -> "w:identityColumns"))
   }
 
+  /** High-water-mark META entries for a batch of STAGED files (the
+    * streaming sink's per-epoch mark advance): the true per-column max
+    * from the staged files' stats tokens, exactly like
+    * [[appendWithIdentity]] — handed to the publishing commit so data and
+    * mark land in ONE log entry. */
+  private[graft] def marksFromStaged(fs: FileSystem, warehouse: String,
+                                     table: String, stagedSrcs: Seq[String],
+                                     cols: Seq[String])
+      : Seq[(String, String)] = {
+    val stats = stagedSrcs.flatMap(p =>
+      FileStats.decode(FileStats.collect(fs.getConf, new Path(p))))
+    cols.map { c =>
+      val maxes = stats.flatMap(_.cols.get(c)).map(_.max.toLong)
+      require(maxes.nonEmpty && stats.size == stagedSrcs.size,
+        s"staged files carry no [min,max] for identity column '$c' — " +
+          "cannot advance the high-water mark")
+      c -> maxes.max.toString
+    }.map { case (c, m) => hwKey(table, c) -> m }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c SYNC IDENTITY` (Delta parity): re-seed
+    * the high-water mark from the MAX stored value over live data, so
+    * out-of-band writes that carried explicit ids (raw appends WITH the
+    * column pass the TxnCommit gate — e.g. migrations, CLONE-then-load)
+    * can't collide with the next engine-minted id. Metadata-only: the
+    * max comes from the log's exact per-file [min,max] stats tokens —
+    * ZERO file reads, zero jobs (the same tokens the append path trusts).
+    * Stats-max is ≥ the live-row max under deletion vectors, which only
+    * widens the safety margin. OCC-guarded like allocation itself; the
+    * mark never regresses. Returns the mark after the sync. */
+  def syncIdentity(fs: FileSystem, warehouse: String, table: String,
+                   column: String): Long = {
+    require(identityColumns(fs, warehouse, table).contains(column),
+      s"'$column' is not a declared identity column of '$table'")
+    val base = Snapshots.latestVersion(fs, warehouse)
+    val cur = highWaterMark(fs, warehouse, table, column).getOrElse(0L)
+    val acts = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
+    val maxes = acts.flatMap(a => FileStats.decode(a.stats))
+      .flatMap { st =>
+        // A live file that predates the column (or lacks its stats)
+        // cannot carry ids — only files that STORE the column count, and
+        // for those the [min,max] token must exist or the sync is
+        // unprovable.
+        if (!st.schema.exists(_._1 == column)) None
+        else Some(st.cols.get(column).map(_.max.toLong).getOrElse(
+          throw new IllegalStateException(
+            s"a live file of '$table' stores '$column' without a " +
+              "[min,max] stats token — SYNC IDENTITY cannot prove the " +
+              "max without reading data; OPTIMIZE the table first")))
+      }
+    val synced = (cur +: maxes).max
+    if (synced > cur)
+      Snapshots.append(fs, warehouse, "idsync" +
+          java.util.UUID.randomUUID().toString.replace("-", ""),
+        adds = Nil, removes = Nil, op = "syncIdentity", baseVersion = base,
+        metas = Seq(hwKey(table, column) -> synced.toString))
+    synced
+  }
+
   /** Append `df` minting the table's identity column(s). `df` must NOT
     * contain them (GENERATED ALWAYS — user-supplied values are an error,
     * the Delta semantics). `commitId` makes the append exactly-once under

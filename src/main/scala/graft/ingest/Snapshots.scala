@@ -1745,6 +1745,94 @@ object Snapshots {
           s"${if (forWrite) "writing" else "reading"} it")
   }
 
+  /** `ALTER TABLE … DROP FEATURE` (Delta parity): remove `name` from the
+    * table's required set once nothing LIVE depends on it, so older
+    * builds regain access to a table that stopped using a feature (all
+    * DVs purged by REORG, generated column dropped, …) instead of being
+    * locked out forever. One META commit under coarse OCC — a concurrent
+    * write re-exercising the feature between the dependency probe and
+    * this commit aborts the drop, never the reverse.
+    *
+    * History stays safe WITHOUT truncation: the feature gate is
+    * versioned (`tableFeatures(asOf)` reads the era's set), so a time
+    * travel below the drop still refuses an unaware build, while reads
+    * at latest see the cleared requirement. A later write that exercises
+    * the feature again simply re-stamps it. */
+  def dropFeature(fs: FileSystem, warehouse: String, table: String,
+                  name: String): Unit = {
+    require(SupportedWriterFeatures(name),
+      s"cannot drop feature '$name': this build does not implement it, " +
+        "so it cannot prove nothing live depends on it — upgrade first")
+    val cur = tableFeatures(fs, warehouse, table)
+    val scoped = cur.filter(_.drop(2) == name)
+    require(scoped.nonEmpty,
+      s"table '$table' does not require feature '$name'")
+    val deps = featureDependents(fs, warehouse, table, name)
+    if (deps.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot drop feature '$name' from '$table': ${deps.mkString("; ")}")
+    val remaining = cur -- scoped
+    append(fs, warehouse, "dropfeat" +
+        java.util.UUID.randomUUID().toString.replace("-", ""),
+      adds = Nil, removes = Nil, op = "dropFeature",
+      baseVersion = latestVersion(fs, warehouse),
+      metas = Seq(featuresKey(table) ->
+        (if (remaining.isEmpty) "" else encodeFeatures(remaining))))
+  }
+
+  /** What in the table's LIVE state still needs `name` (empty = safe to
+    * drop). Checks are exact, not heuristic — each names the dependent
+    * and the purge verb that clears it. */
+  private def featureDependents(fs: FileSystem, warehouse: String,
+                                table: String, name: String): Seq[String] = {
+    lazy val live = fileMeta(fs, warehouse, table).getOrElse(Nil)
+    lazy val props = properties(fs, warehouse, table)
+    name match {
+      case "deletionVectors" =>
+        val n = live.count(_.dv.nonEmpty)
+        if (n > 0) Seq(s"$n live file(s) still carry deletion vectors — " +
+          "REORG TABLE … APPLY (PURGE) or OPTIMIZE first") else Nil
+      case "columnMapping" =>
+        columnMapping(fs, warehouse, table) match {
+          case Some(m) if m.cols.exists { case (l, p) => l != p } ||
+              m.droppedPhysical.nonEmpty =>
+            Seq("the column mapping still renames columns or hides " +
+              "dropped physical residue — REORG TABLE … APPLY (PURGE) " +
+              "cannot undo renames; only an identity mapping is droppable")
+          case _ => Nil
+        }
+      case "columnDefaults" =>
+        val ks = props.keys.filter(_.startsWith("default.")).toSeq.sorted
+        if (ks.nonEmpty)
+          Seq(s"initial defaults still declared (${ks.mkString(", ")}) — " +
+            "OPTIMIZE materializes them, then unset the properties")
+        else Nil
+      case "typeWidening" | "decimalWidening" =>
+        val mixed = live.flatMap(a => FileStats.schemaTags(a.stats))
+          .groupBy(_._1).collect { case (c, ts)
+            if ts.map(t => TxnCommit.repNorm(t._2)).distinct.size > 1 => c }
+          .toSeq.sorted
+        if (mixed.nonEmpty)
+          Seq(s"live files still mix physical widths for column(s) " +
+            s"${mixed.mkString(", ")} — OPTIMIZE rewrites them at the " +
+            "widest type")
+        else Nil
+      case "identityColumns" =>
+        val ks = props.keys.filter(_.startsWith("identity.")).toSeq.sorted
+        if (ks.nonEmpty)
+          Seq(s"identity column(s) still declared " +
+            s"(${ks.map(_.stripPrefix("identity.")).mkString(", ")})")
+        else Nil
+      case "generatedColumns" =>
+        val ks = props.keys.filter(_.startsWith("generated.")).toSeq.sorted
+        if (ks.nonEmpty)
+          Seq(s"generated column(s) still declared " +
+            s"(${ks.map(_.stripPrefix("generated.")).mkString(", ")})")
+        else Nil
+      case _ => Seq(s"no dependency probe for '$name'")
+    }
+  }
+
   /** Raw META payload of a pseudo-key (identity high-water marks, etc.). */
   private[graft] def metaValue(fs: FileSystem, warehouse: String,
                                key: String): Option[String] =

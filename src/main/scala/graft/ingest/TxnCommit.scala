@@ -126,7 +126,7 @@ object TxnCommit {
     * happens to emit `required` into an `optional`-committed column (or
     * vice versa) is structurally the same type. Strip the repetition
     * tokens before comparing; everything else about the type must match. */
-  private def repNorm(tag: String): String =
+  private[ingest] def repNorm(tag: String): String =
     tag.replaceAll("\\b(required|optional)\\b\\s*", "")
 
   /** Safe type widening (the Delta `delta.enableTypeWidening` family,

@@ -272,6 +272,50 @@ object StreamQueries {
       }
       Snapshots.read(s, wh, "nation_sm")
         .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
+    // IDENTITY through the NATIVE DSv2 streaming sink: two epochs (two
+    // driver runs over a growing file source, same checkpoint) into an
+    // identity table — the sink's writers mint ids against the epoch's
+    // high-water mark and the publish advances it atomically. Sorted
+    // single-partition epochs make the minted ids DENSE and deterministic
+    // (1..12 for keys < 12, then 13..25), so plain row_number() SQL is the
+    // exact ground truth — a duplicate, gap, or non-monotone epoch breaks
+    // the hash.
+    "stream_identity" -> ((s, d) => {
+      import graft.ingest.{Identity, Snapshots}
+      val wh = Fixtures.once("stream_identity", d) {
+        val base = Files.createTempDirectory("graft-sid")
+        val w = base.resolve("wh").toString
+        Identity.declare(s, w, "nation_sid", "row_id")
+        val nation = s.read.parquet(s"$d/nation.parquet")
+          .select(col("n_nationkey").cast("long").as("n_nationkey"),
+            col("n_name"))
+        val in = base.resolve("in").toString
+        val ckpt = base.resolve("ckpt").toString
+        def drive(): Unit = {
+          val sch = s.read.parquet(in).schema
+          val q = s.readStream.schema(sch).parquet(in)
+            .coalesce(1) // dense ids per epoch → oracle-expressible
+            // The write schema CARRIES the column; the engine overrides
+            // every value (GENERATED ALWAYS — the 0L can never land).
+            .withColumn("row_id", lit(0L))
+            .writeStream.format("graft-snapshots")
+            .option("warehouse", w).option("table", "nation_sid")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        nation.filter(col("n_nationkey") < 12).orderBy("n_nationkey")
+          .coalesce(1).write.parquet(in)
+        drive()
+        nation.filter(col("n_nationkey") >= 12).orderBy("n_nationkey")
+          .coalesce(1).write.mode("append").parquet(in)
+        drive()
+        w
+      }
+      Snapshots.read(s, wh, "nation_sid")
+        .select("row_id", "n_nationkey", "n_name")
     }))
 
   /** Same ground truth as the batch entries — the streaming runtime must
@@ -290,6 +334,11 @@ object StreamQueries {
     // Identical ground truth to the batch persisted-index entry: the
     // streamed index must serve the same exact top-k.
     "stream_ann_ivf" -> LlmQueries.oracleSql("llm_ann_ivf_persisted"),
+    "stream_identity" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT)
+        |         AS row_id,
+        |       CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation""".stripMargin,
     "stream_merge_clauses" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |       CASE WHEN n_nationkey < 8 THEN n_name || '_S1'

@@ -189,14 +189,27 @@ private[v2] class SnapshotWriteCore(
     f.copy(name = nameMap.getOrElse(f.name, f.name))))
   protected val physPartCols = partCols // unmapped by the require above
 
-  // IDENTITY tables: ids are engine-minted under an allocation-serialized
-  // high-water mark — a generic v2 write has no way to keep that contract,
-  // so refuse with the steering error instead of landing duplicate ids.
-  require(graft.ingest.Identity.identityColumns(fs, warehouse, table).isEmpty,
-    s"table '$table' declares GENERATED ALWAYS AS IDENTITY columns — " +
-      "write through Identity.appendWithIdentity (batch) or " +
-      "StreamingOps.transactionalSink (streaming), which mint ids under " +
-      "the log's high-water mark")
+  // IDENTITY columns with their index in the written schema. The
+  // STREAMING sink mints them natively (writers allocate against the
+  // epoch's high-water mark; the publishing commit advances the mark
+  // atomically under OCC — see [[SnapshotWriterFactory]]); the generic
+  // BATCH write still refuses (its subclass enforces it) — batch callers
+  // route through Identity.appendWithIdentity.
+  protected val identityCols: Seq[(String, Int)] =
+    graft.ingest.Identity.identityColumns(fs, warehouse, table).map { c =>
+      val idx = schema.fieldNames.indexOf(c)
+      require(idx >= 0,
+        s"table '$table' declares GENERATED ALWAYS AS IDENTITY column " +
+          s"'$c' — the write schema must carry it (the engine overrides " +
+          "the value)")
+      require(schema(idx).dataType == LongType,
+        s"identity column '$c' must be BIGINT in the written schema")
+      require(!partCols.contains(c),
+        s"identity column '$c' cannot be a partition column — the " +
+          "high-water mark advances from file stats, which partition " +
+          "values don't carry")
+      c -> idx
+    }
 
   /** GENERATED columns: the expression is resolved against the written
     * schema on the DRIVER and bound by position; every writer OVERRIDES
@@ -284,23 +297,49 @@ private[v2] class SnapshotWriteCore(
                     else s"$warehouse/$table/$spec"
       TxnCommit.Move(src, s"$destDir/$cid-${new Path(src).getName}")
     }
+    // IDENTITY epochs: every writer allocated against ONE high-water-mark
+    // snapshot (they embed the log version they read); the publish
+    // carries the new mark in the SAME entry and anchors OCC at that
+    // version — ANY commit racing in between aborts this epoch (the
+    // restarted query re-runs it against the fresh mark, re-minting from
+    // scratch; the replay check above keeps it exactly-once).
+    val idVersions = messages.collect {
+      case m: SnapshotWriteMessage => m.idBaseVersion }.flatten.distinct
+    val idMetas: Seq[(String, String)] =
+      if (identityCols.isEmpty || staged.isEmpty) Nil
+      else {
+        require(idVersions.size == 1,
+          s"identity allocation for '$table' raced a concurrent commit " +
+            "mid-epoch (writers read different high-water marks) — the " +
+            "restarted query replays this epoch cleanly")
+        graft.ingest.Identity.marksFromStaged(fs, warehouse, table,
+          moves.map(_.src), identityCols.map(_._1))
+      }
+    val idBase: Option[Long] =
+      if (idMetas.isEmpty) None else idVersions.headOption
     if (truncateMode || dynamicMode) {
       // One overwrite version: REMOVEs + ADDs flip atomically, prior
       // versions stay time-travelable until vacuum. Coarse OCC: a
       // concurrent writer to this table aborts this write (a streaming
       // trigger retries; a batch job surfaces the conflict) rather than
       // being silently replaced.
+      // Both anchors must hold: the overwrite's live-set base AND the
+      // identity allocation base — the earlier one subsumes the other.
+      val occBase: Option[Long] =
+        (base.toSeq ++ idBase.toSeq).reduceOption((a, b) => math.min(a, b))
       val txn = if (skipIfCommitted) Some(cid) else None
       TxnCommit.commit(fs, warehouse, cid, moves, retained = existing,
-        op = "overwrite", baseVersion = base, asTable = Some(table),
-        txnId = txn)
+        op = "overwrite", baseVersion = occBase, asTable = Some(table),
+        txnId = txn, metas = idMetas)
       TxnCommit.publish(fs, warehouse, cid, moves, retained = existing,
-        op = "overwrite", baseVersion = base, asTable = Some(table),
-        txnId = txn)
+        op = "overwrite", baseVersion = occBase, asTable = Some(table),
+        txnId = txn, metas = idMetas)
     } else {
       val txn = if (skipIfCommitted) Some(cid) else None
-      TxnCommit.commit(fs, warehouse, cid, moves, txnId = txn)
-      TxnCommit.publish(fs, warehouse, cid, moves, txnId = txn)
+      TxnCommit.commit(fs, warehouse, cid, moves, txnId = txn,
+        baseVersion = idBase, metas = idMetas)
+      TxnCommit.publish(fs, warehouse, cid, moves, txnId = txn,
+        baseVersion = idBase, metas = idMetas)
     }
     // Post-commit auto-compaction (table-property-gated, off by default):
     // bin-pack the just-written partitions when their small-file count
@@ -326,7 +365,8 @@ class SnapshotStreamingWrite(queryId: String, schema: StructType,
       : StreamingDataWriterFactory =
     SnapshotWriterFactory(
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      physSchema, physPartCols, warehouse, table, queryId, generatedBound)
+      physSchema, physPartCols, warehouse, table, queryId, generatedBound,
+      identityCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     commitStaged(SnapshotStreamingWrite.commitId(queryId, table, epochId),
@@ -349,6 +389,15 @@ class SnapshotBatchWrite(schema: StructType,
                          dynamic: Boolean = false)
   extends SnapshotWriteCore(schema, options, truncate, dynamic)
   with org.apache.spark.sql.connector.write.BatchWrite {
+
+  // Ids are engine-minted under an allocation-serialized high-water
+  // mark; the generic batch write has no epoch discipline to keep that
+  // contract — refuse with the steering error (the streaming sink DOES
+  // mint natively).
+  require(identityCols.isEmpty,
+    s"table '$table' declares GENERATED ALWAYS AS IDENTITY columns — " +
+      "write through Identity.appendWithIdentity (batch); the streaming " +
+      "sink mints ids natively")
 
   private val cid = "batch" +
     java.util.UUID.randomUUID().toString.replace("-", "")
@@ -383,22 +432,47 @@ case class SnapshotWriterFactory(conf: SerializableConfiguration,
                                  schema: StructType, partCols: Seq[String],
                                  warehouse: String,
                                  table: String, queryId: String,
-                                 generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+                                 generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+                                 identityCols: Seq[(String, Int)] = Nil)
   extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val cid = SnapshotStreamingWrite.commitId(queryId, table, epochId)
+    // IDENTITY allocation: each writer reads the mark from the log (an
+    // O(checkpoint-tail) read, once per task per epoch) and mints
+    // hw + 1 + (partition << 33) + row — unique within the epoch without
+    // coordination (the monotonically_increasing_id layout; gaps allowed,
+    // Delta's contract). The log VERSION the mark was read at rides the
+    // commit message: the driver refuses mixed versions and anchors the
+    // publish's OCC there, so a racing commit aborts the epoch instead of
+    // ever minting duplicates. Zombie attempts of the same (epoch,
+    // partition) mint the same ids — only one attempt's message commits.
+    val (idBase, idVersion) =
+      if (identityCols.isEmpty) (Nil, None)
+      else {
+        val fs = new Path(warehouse).getFileSystem(conf.value)
+        val v = Snapshots.latestVersion(fs, warehouse)
+        val bases = identityCols.map { case (c, i) =>
+          i -> (graft.ingest.Identity.highWaterMark(fs, warehouse, table, c)
+            .getOrElse(0L) + 1L) }
+        (bases, Some(v.getOrElse(-1L)))
+      }
     // taskId in the name keeps retried attempts collision-free; only the
     // committed attempt's message reaches the driver.
     new SnapshotDataWriter(conf.value, schema, partCols,
       s"${TxnCommit.stagingDir(warehouse, cid)}/$table",
-      s"part-$partitionId-$taskId.parquet", generated)
+      s"part-$partitionId-$taskId.parquet", generated,
+      identityBase = idBase, initPartitionId = partitionId,
+      idBaseVersion = idVersion)
   }
 }
 
 /** The committed staged files as (stagingPath, partitionSpec) pairs —
-  * empty for a zero-row writer — plus the row count, for observability. */
-case class SnapshotWriteMessage(files: Seq[(String, String)], rows: Long)
+  * empty for a zero-row writer — plus the row count, for observability.
+  * `idBaseVersion`: the log version this writer's identity allocation was
+  * read at (None for non-identity tables) — the driver's OCC anchor. */
+case class SnapshotWriteMessage(files: Seq[(String, String)], rows: Long,
+                                idBaseVersion: Option[Long] = None)
   extends WriterCommitMessage
 
 /** Streams InternalRows into staged parquet through Spark's own
@@ -421,20 +495,32 @@ case class SnapshotWriteMessage(files: Seq[(String, String)], rows: Long)
 class SnapshotDataWriter(conf: Configuration, schema: StructType,
                          partCols: Seq[String], stagingTableDir: String,
                          fileName: String,
-                         generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+                         generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+                         identityBase: Seq[(Int, Long)] = Nil,
+                         initPartitionId: Int = 0,
+                         idBaseVersion: Option[Long] = None)
   extends DataWriter[InternalRow] {
 
-  // GENERATED columns recompute per row BEFORE partition routing (a
-  // generated partition column must route by the engine's value): one
-  // codegen'd projection substituting the bound expressions in place.
+  // GENERATED and IDENTITY columns recompute per row BEFORE partition
+  // routing (a generated partition column must route by the engine's
+  // value): one codegen'd projection substituting the bound expressions —
+  // identity as base + monotonically_increasing_id (unique per partition,
+  // gaps allowed), initialized with this task's partition index.
   private val regen: InternalRow => InternalRow =
-    if (generated.isEmpty) identity
+    if (generated.isEmpty && identityBase.isEmpty) identity
     else {
-      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+      import org.apache.spark.sql.catalyst.expressions.{Add, BoundReference, EvalMode, Expression, Literal, MonotonicallyIncreasingID, UnsafeProjection}
       val g = generated.toMap
+      val ids = identityBase.toMap
       val exprs = schema.fields.zipWithIndex.map { case (f, i) =>
-        g.getOrElse(i, BoundReference(i, f.dataType, f.nullable)): Expression }
-      UnsafeProjection.create(exprs).apply _
+        ids.get(i)
+          .map(base => Add(Literal(base), MonotonicallyIncreasingID(),
+            EvalMode.LEGACY): Expression)
+          .orElse(g.get(i))
+          .getOrElse(BoundReference(i, f.dataType, f.nullable): Expression) }
+      val p = UnsafeProjection.create(exprs)
+      p.initialize(initPartitionId)
+      p.apply _
     }
 
   private val partIdx: Seq[Int] = partCols.map(schema.fieldIndex)
@@ -519,7 +605,7 @@ class SnapshotDataWriter(conf: Configuration, schema: StructType,
       val dir = if (spec.isEmpty) stagingTableDir else s"$stagingTableDir/$spec"
       (s"$dir/$fileName", spec)
     }
-    SnapshotWriteMessage(files, rows)
+    SnapshotWriteMessage(files, rows, idBaseVersion)
   }
 
   override def abort(): Unit = writers.foreach { case (spec, w) =>

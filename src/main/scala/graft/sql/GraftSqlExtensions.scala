@@ -291,6 +291,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*".r
   private val DropColRe =
     raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*".r
+  // Delta's `ALTER TABLE … DROP FEATURE f`: clear a protocol requirement
+  // once nothing live depends on it ([[Snapshots.dropFeature]]).
+  private val DropFeatureRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+FEATURE\s+(\w+)\s*".r
+  // Delta's `ALTER TABLE … ALTER COLUMN c SYNC IDENTITY`: re-seed the
+  // high-water mark from max(c) over live data (log stats, zero reads).
+  private val SyncIdentityRe =
+    raw"(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SYNC\s+IDENTITY\s*".r
   // ADD COLUMN is metadata-only under the mapping (the physical name is
   // assigned fresh; pre-add files read null) — type is accepted for
   // familiarity but additive evolution infers it from the first write.
@@ -539,6 +547,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, name, None)
+    case DropFeatureRe(table, feature) if isGraftTable(table) =>
+      GraftDropFeatureCommand(warehouse, table, feature)
+    case SyncIdentityRe(table, column) if isGraftTable(table) =>
+      GraftSyncIdentityCommand(warehouse, table, column)
     case IdentityColRe(table, name, start) if isGraftTable(table) =>
       GraftIdentityColumnCommand(warehouse, table, name,
         Option(start).map(_.toLong).getOrElse(1L))
@@ -1052,6 +1064,38 @@ case class GraftGeneratedColumnCommand(warehouse: String, table: String,
   override def run(session: SparkSession): Seq[Row] = {
     graft.ingest.Generated.declare(session, warehouse, table, column, exprSql)
     Seq(Row(column))
+  }
+}
+
+/** `ALTER TABLE t DROP FEATURE f` → [[Snapshots.dropFeature]]: clears a
+  * protocol requirement (refusing while live state still depends on it),
+  * so older builds regain access to a table that stopped using the
+  * feature. */
+case class GraftDropFeatureCommand(warehouse: String, table: String,
+                                   feature: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("feature", StringType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    Snapshots.dropFeature(fs, warehouse, table, feature)
+    Seq(Row(feature))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SYNC IDENTITY` →
+  * [[graft.ingest.Identity.syncIdentity]]: returns the mark after the
+  * sync (the last id considered minted). */
+case class GraftSyncIdentityCommand(warehouse: String, table: String,
+                                    column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("high_water_mark", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val fs = new Path(warehouse)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    Seq(Row(graft.ingest.Identity.syncIdentity(fs, warehouse, table, column)))
   }
 }
 

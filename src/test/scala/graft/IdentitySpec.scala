@@ -314,4 +314,40 @@ class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ((0L until 10L) ++ (100L until 110L)).sorted)
     assert(got.map(_._2).distinct.size == 20, "duplicate ids after packing")
   }
+
+  test("SYNC IDENTITY re-seeds the mark after out-of-band explicit ids") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("sync")
+    Identity.declare(spark, w, "t", "row_id")
+    Identity.appendWithIdentity(spark, w, "t",
+      Seq("a", "b").toDF("v").coalesce(1)) // mints 1, 2
+    // Out-of-band: a raw append CARRYING explicit ids passes the gate
+    // (migrations do this) and lands ids far above the mark.
+    val cid = java.util.UUID.randomUUID().toString
+    Seq((100L, "m1"), (200L, "m2")).toDF("row_id", "v").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+    val mv = TxnCommit.movesFor(fs, w, cid, "t")
+    TxnCommit.commit(fs, w, cid, mv)
+    TxnCommit.publish(fs, w, cid, mv)
+    assert(Identity.highWaterMark(fs, w, "t", "row_id").contains(2L),
+      "raw appends must not move the mark by themselves")
+    // SYNC: metadata-only, from the log's stats tokens.
+    assert(Identity.syncIdentity(fs, w, "t", "row_id") == 200L)
+    assert(Identity.highWaterMark(fs, w, "t", "row_id").contains(200L))
+    // The next engine mint starts ABOVE the synced ids.
+    Identity.appendWithIdentity(spark, w, "t", Seq("c").toDF("v"))
+    val got = ids(w)
+    assert(got.distinct.size == 5 && got.max > 200L, got.sorted)
+    // Idempotent; never regresses.
+    assert(Identity.syncIdentity(fs, w, "t", "row_id") == got.max)
+    // SQL face (Delta grammar) + non-identity column refusal.
+    spark.conf.set("spark.graft.warehouse", w)
+    try assert(spark.sql("ALTER TABLE t ALTER COLUMN row_id SYNC IDENTITY")
+      .head().getLong(0) == got.max)
+    finally spark.conf.unset("spark.graft.warehouse")
+    val e = intercept[IllegalArgumentException](
+      Identity.syncIdentity(fs, w, "t", "v"))
+    assert(e.getMessage.contains("not a declared identity"), e.getMessage)
+  }
 }

@@ -81,6 +81,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("llm_dedup_semantic: cluster-scoped equi-join, never a cartesian") {
     val p = plan("llm_dedup_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("llm_dedup_minhash: banded bucket self-join — never a cartesian") {
+    // MinHash+LSH: shingle → signature → band → EQUI-join on (band,
+    // bucket). The 100 TB shape is the bucket join; a cartesian or
+    // nested-loop fallback here is the regression this pin exists to
+    // catch. (Pinned after the r17 bench drift: driver tails showed the
+    // dedup family 1.5–1.7× slower on UNTOUCHED code, the same co-tenant
+    // signature BENCH_NOTES.md root-caused for llm_repetition in r16 —
+    // with the plan pinned, the next drift is provably environmental.)
+    val p = plan("llm_dedup_minhash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("llm_dedup_simhash: banded 16-bit-chunk join — never a cartesian") {
+    val p = plan("llm_dedup_simhash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
   test("llm_repetition: pure per-row projection — no shuffle at all") {

@@ -472,4 +472,99 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(err).exists(_.contains("does not exist")), s"got: ${msgs(err)}")
   }
+
+  test("auto-compaction per-run input cap bounds epoch latency, still converges") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whAutoCap"); val ckpt = wh("whAutoCapCkpt")
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L until 3L).map(i => (i, s"x$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+    // Opt in with a per-invocation work bound: one post-commit hook may
+    // rewrite at most 4 input files — a minute-trigger epoch never pays
+    // an unbounded bin-pack on a backlog.
+    Snapshots.setProperties(fs, w, "t", Map(
+      "graft.autoCompact.minFiles" -> "4",
+      "graft.autoCompact.targetBytes" -> (64L * 1024 * 1024).toString,
+      "graft.autoCompact.maxInputsPerRun" -> "4"))
+    (1 to 14).foreach { e =>
+      in.addData((e * 100L until e * 100L + 3L).map(i => (i, s"x$i")): _*)
+      sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+    }
+    // EVERY hook invocation stayed within the cap: each compact commit
+    // consumed at most 4 inputs (its REMOVE lines).
+    val compacts = Snapshots.history(spark, w)
+      .filter("op = 'compact'").select("n_removed").collect()
+      .map(_.getLong(0))
+    assert(compacts.nonEmpty, "hook never fired")
+    assert(compacts.forall(_ <= 4L),
+      s"a capped run rewrote more than its budget: ${compacts.mkString(",")}")
+    // … and the live-file count still converges under the capped packs.
+    val live = Snapshots.fileMeta(fs, w, "t").get
+    assert(live.size < 10,
+      s"capped auto-compaction failed to converge: ${live.size} files")
+    // Rows exactly once through all the maintenance.
+    val got = Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted
+    val expect = ((0L until 3L) ++
+      (1 to 14).flatMap(e => e * 100L until e * 100L + 3L)).sorted
+    assert(got.sameElements(expect))
+  }
+
+  test("native sink mints identity ids per epoch; replayed epoch mints nothing") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whIdSink"); val ckpt = wh("whIdSinkCkpt")
+    graft.ingest.Identity.declare(spark, w, "t", "row_id")
+    val in = MemoryStream[(Long, String)]
+    // The write schema CARRIES the identity column (the engine overrides
+    // every value — GENERATED ALWAYS; the user's 0L can never land).
+    def df = in.toDF.toDF("k", "v")
+      .withColumn("row_id", org.apache.spark.sql.functions.lit(0L))
+    in.addData((0L until 5L).map(i => (i, s"a$i")): _*)
+    sinkTo(df, w, ckpt)
+    val e1 = Snapshots.read(spark, w, "t")
+      .select("row_id").as[Long].collect().toSeq
+    assert(e1.distinct.size == 5 && e1.forall(_ >= 1L), e1.sorted)
+    // Epoch 2: unique across epochs AND monotone — every id of the later
+    // commit exceeds every id of the earlier one (mark-carried).
+    in.addData((5L until 9L).map(i => (i, s"b$i")): _*)
+    sinkTo(df, w, ckpt)
+    val e2 = Snapshots.read(spark, w, "t")
+      .select("row_id").as[Long].collect().toSeq
+    assert(e2.distinct.size == 9, e2.sorted)
+    assert(e2.filterNot(e1.contains).min > e1.max,
+      "later epoch ids must exceed all earlier ids")
+    assert(graft.ingest.Identity.highWaterMark(fs, w, "t", "row_id")
+      .contains(e2.max), "mark must ride the epoch commit")
+    // Replayed epoch (same queryId + epochId → same commitId): recognized
+    // and skipped — nothing re-minted, mark unchanged.
+    val queryId = Snapshots.entries(fs, w)
+      .find(_.commitId.startsWith("stream-")).get.commitId
+      .stripPrefix("stream-").split("-t-")(0)
+    import scala.jdk.CollectionConverters._
+    val write = new graft.sources.v2.SnapshotStreamingWrite(queryId,
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("v", "string").add("row_id", "long"),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("warehouse" -> w, "table" -> "t").asJava))
+    write.commit(0L, Array(graft.sources.v2.SnapshotWriteMessage(Nil, 0L,
+      Some(0L))))
+    assert(Snapshots.read(spark, w, "t").count() == 9,
+      "replayed epoch re-landed rows")
+    assert(graft.ingest.Identity.highWaterMark(fs, w, "t", "row_id")
+      .contains(e2.max), "replayed epoch moved the mark")
+    // The BATCH v2 write still refuses identity tables with the steering
+    // error (no epoch discipline → no allocation contract).
+    val ex = intercept[Exception] {
+      new graft.sources.v2.SnapshotBatchWrite(
+        new org.apache.spark.sql.types.StructType()
+          .add("k", "long").add("v", "string").add("row_id", "long"),
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          Map("warehouse" -> w, "table" -> "t").asJava), false)
+    }
+    assert(ex.getMessage.contains("appendWithIdentity"), ex.getMessage)
+  }
 }

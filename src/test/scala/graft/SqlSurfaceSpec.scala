@@ -821,4 +821,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"filesystem failure leaked into parsing: $ex")
     } finally spark.conf.set("spark.graft.warehouse", prev)
   }
+
+  test("ALTER TABLE DROP FEATURE clears the requirement after a purge") {
+    val s0 = spark
+    import s0.implicits._
+    val cid = java.util.UUID.randomUUID().toString
+    (0 until 10).map(_.toLong).toDF("id").coalesce(1)
+      .write.parquet(s"${TxnCommit.stagingDir(wh, cid)}/dfeat")
+    val mv = TxnCommit.movesFor(fs, wh, cid, "dfeat")
+    TxnCommit.commit(fs, wh, cid, mv)
+    TxnCommit.publish(fs, wh, cid, mv)
+    // DV delete stamps the reader feature.
+    spark.conf.set("graft.dml.mode", "mor")
+    try spark.sql("DELETE FROM dfeat WHERE id = 0")
+    finally spark.conf.unset("graft.dml.mode")
+    assert(Snapshots.tableFeatures(fs, wh, "dfeat")
+      .contains("r:deletionVectors"))
+    // Refused while a live vector depends on it; the error names the verb.
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE dfeat DROP FEATURE deletionVectors"))
+    assert(ex.getMessage.contains("REORG"), ex.getMessage)
+    spark.sql("REORG TABLE dfeat APPLY (PURGE)").collect()
+    val out = spark.sql("ALTER TABLE dfeat DROP FEATURE deletionVectors")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("deletionVectors"))
+    assert(Snapshots.tableFeatures(fs, wh, "dfeat").isEmpty)
+    assert(spark.sql("SNAPSHOT OF dfeat").count() == 9)
+  }
 }

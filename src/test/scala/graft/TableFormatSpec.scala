@@ -1373,4 +1373,68 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
         Map("id" -> org.apache.spark.sql.functions.lit(99L))))
     assert(exW2.getMessage.contains("futureSinkProtocol"))
   }
+
+  test("DROP FEATURE: purged tables free older builds; live dependents refuse") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("dropfeat")
+    publishBatch(w, "t", 0 until 10)
+    Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") === 0L)
+    assert(Snapshots.tableFeatures(fs, w, "t").contains("r:deletionVectors"))
+    // While a live file still carries its vector, the drop REFUSES and
+    // names the purge verb.
+    val exLive = intercept[IllegalStateException](
+      Snapshots.dropFeature(fs, w, "t", "deletionVectors"))
+    assert(exLive.getMessage.contains("deletion vectors"), exLive.getMessage)
+    // Purge: REORG-style compaction consumes the vectors into clean files
+    // (purgeDropped forces the rewrite even for a single input file).
+    Compaction.compact(spark, w, "t", targetBytes = 512L * 1024 * 1024,
+      purgeDropped = true)
+    assert(Snapshots.fileMeta(fs, w, "t").get.forall(_.dv.isEmpty))
+    val vBeforeDrop = Snapshots.latestVersion(fs, w).get
+    Snapshots.dropFeature(fs, w, "t", "deletionVectors")
+    // The requirement is gone at latest — a build that has never heard of
+    // deletionVectors passes the gate (requireFeatures consults the same
+    // cleared set for ANY build) — while time travel below the drop still
+    // carries the era's requirement for history safety.
+    assert(Snapshots.tableFeatures(fs, w, "t").isEmpty)
+    assert(Snapshots.tableFeatures(fs, w, "t", Some(vBeforeDrop))
+      .contains("r:deletionVectors"))
+    assert(Snapshots.read(spark, w, "t").count() == 9L)
+    // Dropping a feature the table never required, or one THIS build
+    // cannot probe dependencies for, refuses crisply.
+    intercept[IllegalArgumentException](
+      Snapshots.dropFeature(fs, w, "t", "deletionVectors"))
+    intercept[IllegalArgumentException](
+      Snapshots.dropFeature(fs, w, "t", "futureMagicEncoding"))
+    // End-to-end "older build" simulation: a NEWER build stamps a feature
+    // this build does not implement — reads refuse; that newer build's
+    // DROP FEATURE (emulated by the same cleared-set commit it would
+    // write) restores this build's access. Roles exactly as in prod:
+    // WE are the older build.
+    Snapshots.append(fs, w, "futurefeat", adds = Nil, removes = Nil,
+      op = "meta", baseVersion = Snapshots.latestVersion(fs, w),
+      metas = Seq("t#features" -> "tf1;r:futureMagicEncoding"))
+    intercept[UnsupportedOperationException](Snapshots.read(spark, w, "t"))
+    Snapshots.append(fs, w, "futuredrop", adds = Nil, removes = Nil,
+      op = "dropFeature", baseVersion = Snapshots.latestVersion(fs, w),
+      metas = Seq("t#features" -> ""))
+    assert(Snapshots.read(spark, w, "t").count() == 9L,
+      "older build still locked out after the newer build's drop")
+    // Writer-scope analog: identity declaration blocks the drop until the
+    // declaration itself is cleared.
+    graft.ingest.Identity.declare(spark, w, "idt", "row_id")
+    val exId = intercept[IllegalStateException](
+      Snapshots.dropFeature(fs, w, "idt", "identityColumns"))
+    assert(exId.getMessage.contains("row_id"), exId.getMessage)
+    Snapshots.setProperties(fs, w, "idt", Map("identity.row_id" -> null))
+    Snapshots.dropFeature(fs, w, "idt", "identityColumns")
+    assert(Snapshots.tableFeatures(fs, w, "idt").isEmpty)
+    // A later write that re-exercises a feature simply re-stamps it.
+    Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") === 1L)
+    assert(Snapshots.tableFeatures(fs, w, "t").contains("r:deletionVectors"))
+    assert(Snapshots.read(spark, w, "t").count() == 8L)
+  }
 }
