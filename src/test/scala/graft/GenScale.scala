@@ -69,12 +69,14 @@ object GenScale {
     write(replicate(lineitem, Map("l_orderkey" -> okBase,
       "l_partkey" -> pkBase, "l_suppkey" -> skBase)), "lineitem")
 
-    // Events: new event ids per replica; user_id KEPT (10× events per
-    // user — per-key state in the window/session/dedup queries grows
-    // linearly, which is the interesting scale axis).
+    // Events: new event ids AND user ids per replica — the "more users"
+    // growth model. Keeping user_id would instead grow per-user density
+    // 10×, which makes the user-keyed self-joins' OUTPUT quadratic in the
+    // copy count (first measured run: q10_range_join 13× at 10× data) —
+    // a corpus-shape change masquerading as an engine scale problem.
     val events = read("events")
-    write(replicate(events, Map("event_id" -> maxOf(events, "event_id"))),
-      "events")
+    write(replicate(events, Map("event_id" -> maxOf(events, "event_id"),
+      "user_id" -> maxOf(events, "user_id"))), "events")
 
     // Documents: fresh ids + per-copy vowel rotation so replicas are NOT
     // near-dups of their originals (shingle overlap drops far below the

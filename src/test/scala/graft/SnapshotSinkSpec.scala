@@ -567,4 +567,46 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("appendWithIdentity"), ex.getMessage)
   }
+
+  test("a stale identity allocation aborts the epoch instead of minting duplicates") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whIdOcc"); val ckpt = wh("whIdOccCkpt")
+    graft.ingest.Identity.declare(spark, w, "t", "row_id")
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L until 3L).map(i => (i, s"a$i")): _*)
+    sinkTo(in.toDF.toDF("k", "v")
+      .withColumn("row_id", org.apache.spark.sql.functions.lit(0L)), w, ckpt)
+    val vNow = Snapshots.latestVersion(fs, w).get
+    // Stage one real file the way a writer would, then drive the commit
+    // with an allocation anchored BELOW the current version — the exact
+    // state after a rival identity append landed mid-epoch. The publish
+    // must abort (restart re-mints), never land possibly-duplicate ids.
+    import scala.jdk.CollectionConverters._
+    val write = new graft.sources.v2.SnapshotStreamingWrite("occq",
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("v", "string").add("row_id", "long"),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        Map("warehouse" -> w, "table" -> "t").asJava))
+    val cid = "stream-occq-t-0"
+    val staging = s"${graft.ingest.TxnCommit.stagingDir(w, cid)}/t"
+    Seq((99L, "z", 1L)).toDF("k", "v", "row_id").coalesce(1)
+      .write.parquet(staging)
+    val file = fs.listStatus(new Path(staging)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get.toString
+    // Mixed allocation versions across writers refuse outright…
+    val exMix = intercept[IllegalArgumentException](write.commit(0L, Array(
+      graft.sources.v2.SnapshotWriteMessage(Seq(file -> ""), 1L,
+        Some(vNow - 1)),
+      graft.sources.v2.SnapshotWriteMessage(Nil, 0L, Some(vNow)))))
+    assert(exMix.getMessage.contains("high-water marks"), exMix.getMessage)
+    // …and a uniformly STALE allocation aborts at the OCC gate.
+    intercept[graft.ingest.Snapshots.ConcurrentCommitException](
+      write.commit(0L, Array(graft.sources.v2.SnapshotWriteMessage(
+        Seq(file -> ""), 1L, Some(vNow - 1)))))
+    // Nothing landed: same version, same rows, mark unmoved.
+    assert(Snapshots.latestVersion(fs, w).get == vNow)
+    assert(Snapshots.read(spark, w, "t").count() == 3)
+  }
 }
