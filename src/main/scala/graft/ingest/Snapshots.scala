@@ -359,6 +359,49 @@ object Snapshots {
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  /** [[writeEntry]] that STREAMS its lines — same put-if-absent contract
+    * (temp + hard-link promotion on file://, create-no-overwrite
+    * elsewhere) without materializing the payload. Delta commits are a
+    * handful of lines, but a CHECKPOINT is one line per live file: at
+    * millions of files the mkString+getBytes path would hold hundreds of
+    * MB twice on the driver beside the fold itself. */
+  private def writeEntryStream(fs: FileSystem, warehouse: String,
+                               name: String, lines: Iterator[String])
+      : Unit = {
+    val dir = snapDir(warehouse)
+    fs.mkdirs(dir)
+    val dest = new Path(dir, name)
+    def pour(out: java.io.OutputStream): Unit = {
+      val w = new java.io.BufferedOutputStream(out, 1 << 20)
+      var first = true
+      lines.foreach { l =>
+        if (!first) w.write('\n')
+        first = false
+        w.write(l.getBytes(StandardCharsets.UTF_8))
+      }
+      w.flush()
+    }
+    if (fs.getUri.getScheme == "file") {
+      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+      java.nio.file.Files.createDirectories(destNio.getParent)
+      val tmp = destNio.resolveSibling(
+        dest.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      try {
+        val os = java.nio.file.Files.newOutputStream(tmp)
+        try pour(os) finally os.close()
+        try java.nio.file.Files.createLink(destNio, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        val out = fs.create(dest, false)
+        try pour(out) finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      }
+    }
+  }
+
   private def lockPath(warehouse: String, version: Long): Path =
     new Path(snapDir(warehouse), f"$version%020d.lock")
 
@@ -672,10 +715,10 @@ object Snapshots {
           case _ => false
         }))
     }
-    writeEntry(fs, warehouse, f"$version%020d-$commitId.ckpt",
-      keptMetas.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
-        folded.files.toSeq.flatMap { case (t, fsq) =>
-          fsq.toSeq.map { case (f, (part, stats, dv)) =>
+    writeEntryStream(fs, warehouse, f"$version%020d-$commitId.ckpt",
+      keptMetas.iterator.map { case (t, m) => s"META\t$t\t$m\t\t" } ++
+        folded.files.iterator.flatMap { case (t, fsq) =>
+          fsq.iterator.map { case (f, (part, stats, dv)) =>
             val base = s"ADD\t$t\t$f\t$part\t$stats"
             if (dv.isEmpty) base else s"$base\t$dv" } })
     // Advance the `_last_checkpoint` pointer (monotonic — a vacuum's
