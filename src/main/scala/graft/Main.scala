@@ -13,7 +13,7 @@ import graft.ingest.{FileSelection, IngestJob, IngestSpecs}
   *            [--file <key>] [--force] [--cpus N]
   * // warehouse maintenance (no ingest):
   * graft.Main --warehouse <dir> --compact <table> [--target-bytes N] [--sort-by c1,c2 | --zorder c1,c2]
-  * graft.Main --warehouse <dir> --vacuum <keepVersions> [--retention-hours H]
+  * graft.Main --warehouse <dir> --vacuum <keepVersions> [--retention-hours H] [--dry-run]
   * graft.Main --warehouse <dir> --restore <table> --to-version <n>
   * }}}
   *
@@ -34,6 +34,7 @@ object Main {
       args(i) match {
         case "--continue" => continueFlag = true; i += 1
         case "--force" => forceFlag = true; i += 1
+        case "--dry-run" => opts("dry-run") = "true"; i += 1
         case flag if flag.startsWith("--") && i + 1 < args.length =>
           opts(flag.drop(2)) = args(i + 1); i += 2
         case flag if flag.startsWith("--") =>
@@ -84,9 +85,20 @@ object Main {
           val minAgeMs = opts.get("retention-hours").map(_.toLong)
             .getOrElse(168L) * 3600L * 1000L
           // Distributed sweep: listing and deletion run as Spark jobs.
-          val removed =
-            graft.ingest.Snapshots.vacuum(spark, warehouse, keep.toInt, minAgeMs)
-          println(s"vacuumed $removed snapshot log entries (kept last $keep versions)")
+          // `--dry-run` previews the exact reap set, deleting nothing —
+          // at scale vacuum is the most dangerous command in the surface.
+          val dryRun = opts.contains("dry-run")
+          val st = graft.ingest.Snapshots.vacuumStats(spark, warehouse,
+            keep.toInt, minAgeMs, dryRun = dryRun)
+          if (dryRun) {
+            st.files.foreach { case (f, sz) => println(s"would reap: $f ($sz bytes)") }
+            println(s"DRY RUN: would remove ${st.entriesRemoved} log entries, " +
+              s"${st.filesDeleted} files, ${st.bytesDeleted} bytes " +
+              s"(kept last $keep versions)")
+          } else
+            println(s"vacuumed ${st.entriesRemoved} snapshot log entries " +
+              s"(kept last $keep versions; ${st.filesDeleted} files, " +
+              s"${st.bytesDeleted} bytes reaped)")
         }
       } finally spark.stop()
       return

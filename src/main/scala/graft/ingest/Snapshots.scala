@@ -789,6 +789,14 @@ object Snapshots {
     }
   }
 
+  /** Deterministic 64-bit path digest (MD5-prefix — stable across JVMs
+    * and rounds) for the vacuum sweep's broadcast referenced-set. */
+  private[graft] def pathHash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
   /** Pluggable executor for vacuum's three BULK I/O phases — directory
     * scans, file sizing, file deletion. The reap-set SEMANTICS (victims,
     * anchor refs, retention guards) live in [[vacuumStats]] and are
@@ -850,7 +858,18 @@ object Snapshots {
                     minAgeMs: Long, skipUnderscore: Boolean): Seq[String] = {
       if (dirs.isEmpty) return Nil
       val c = conf
-      val refB = spark.sparkContext.broadcast(referenced)
+      // Ship the referenced set as a SORTED ARRAY of 64-bit path hashes,
+      // not strings: 8 bytes/entry instead of ~100, so the broadcast for
+      // millions of live files is tens of MB, not GBs. Collision
+      // direction is FAIL-SAFE: a stray file hashing onto a referenced
+      // path is merely kept (a leaked orphan, ~2⁻⁶⁴ per pair) — a
+      // referenced file can never be mistaken for an orphan, since every
+      // truly-referenced path is in the array by construction.
+      val refHashes: Array[Long] = {
+        val a = referenced.iterator.map(pathHash64).toArray
+        java.util.Arrays.sort(a); a
+      }
+      val refB = spark.sparkContext.broadcast(refHashes)
       try spark.sparkContext.parallelize(dirs, slices(dirs.size))
         .flatMap { d =>
           val dir = new Path(d)
@@ -859,7 +878,8 @@ object Snapshots {
           else fs.listStatus(dir).iterator.filter(_.isFile)
             .filterNot(st =>
               skipUnderscore && st.getPath.getName.startsWith("_"))
-            .filterNot(st => refB.value(st.getPath.toUri.getPath))
+            .filterNot(st => java.util.Arrays.binarySearch(refB.value,
+              pathHash64(st.getPath.toUri.getPath)) >= 0)
             .filter(st => now - st.getModificationTime >= minAgeMs)
             .map(_.getPath.toString)
         }.collect().toSeq

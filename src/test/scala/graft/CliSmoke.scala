@@ -41,6 +41,11 @@ object CliSmoke {
     // maintenance pass), then forward again via the CLI.
     Main.main(Array("--warehouse", wh, "--restore", "t", "--to-version", "4"))
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // Dry run previews without deleting — the real run after must still
+    // find everything the preview promised.
+    Main.main(Array("--warehouse", wh, "--vacuum", "1",
+      "--retention-hours", "0", "--dry-run"))
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     Main.main(Array("--warehouse", wh, "--vacuum", "1", "--retention-hours", "0"))
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
