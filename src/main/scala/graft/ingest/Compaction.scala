@@ -319,8 +319,43 @@ object Compaction {
     * the same inputs) skips silently — the small files are still there
     * and the next commit's hook retries. Failure is contained: the
     * triggering write ALREADY published. */
+  /** Single daemon maintenance thread per JVM for async auto-compaction
+    * (`graft.autoCompact.async=true`): the triggering write returns
+    * immediately and the pack runs here. At most ONE run queues behind
+    * the in-flight one — further triggers drop (the hook is level-based:
+    * the queued run sees the latest live-file state when it executes, so
+    * dropped triggers lose nothing). */
+  private lazy val maintenanceThread =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-auto-compact")
+      t.setDaemon(true); t
+    })
+  private val maintenancePending =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def autoCompact(spark: SparkSession, warehouse: String, table: String,
                   touchedSpecs: Set[String]): Unit = {
+    val fs = new Path(warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val props = Snapshots.properties(fs, warehouse, table)
+    val minFiles = props.get("graft.autoCompact.minFiles")
+      .flatMap(_.toIntOption).getOrElse(0)
+    if (minFiles <= 1) return
+    if (props.get("graft.autoCompact.async").contains("true")) {
+      // in-flight + one queued, max — beyond that the trigger drops.
+      if (maintenancePending.incrementAndGet() <= 2)
+        maintenanceThread.submit(new Runnable {
+          override def run(): Unit =
+            try autoCompactNow(spark, warehouse, table, touchedSpecs)
+            finally maintenancePending.decrementAndGet()
+        })
+      else maintenancePending.decrementAndGet()
+    } else autoCompactNow(spark, warehouse, table, touchedSpecs)
+  }
+
+  private def autoCompactNow(spark: SparkSession, warehouse: String,
+                             table: String, touchedSpecs: Set[String])
+      : Unit = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = Snapshots.properties(fs, warehouse, table)

@@ -447,6 +447,11 @@ case class SnapshotWriterFactory(conf: SerializableConfiguration,
     // publish's OCC there, so a racing commit aborts the epoch instead of
     // ever minting duplicates. Zombie attempts of the same (epoch,
     // partition) mint the same ids — only one attempt's message commits.
+    // Per-task cost is ONE anchor-bounded log listing plus a memoized
+    // state-fold lookup (Snapshots.foldCache) — deliberately NOT cached
+    // per epoch: a cached allocation replayed after an OCC abort would
+    // re-serve the stale mark forever (livelock), and the fold cache
+    // already amortizes the expensive part within a JVM.
     val (idBase, idVersion) =
       if (identityCols.isEmpty) (Nil, None)
       else {

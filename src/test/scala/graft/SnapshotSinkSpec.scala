@@ -609,4 +609,37 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.latestVersion(fs, w).get == vNow)
     assert(Snapshots.read(spark, w, "t").count() == 3)
   }
+
+  test("async auto-compaction packs off the write path and still converges") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whAutoAsync"); val ckpt = wh("whAutoAsyncCkpt")
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L until 3L).map(i => (i, s"x$i")): _*)
+    sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+    Snapshots.setProperties(fs, w, "t", Map(
+      "graft.autoCompact.minFiles" -> "4",
+      "graft.autoCompact.targetBytes" -> (64L * 1024 * 1024).toString,
+      "graft.autoCompact.async" -> "true"))
+    (1 to 10).foreach { e =>
+      in.addData((e * 100L until e * 100L + 3L).map(i => (i, s"x$i")): _*)
+      sinkTo(in.toDF.toDF("id", "val"), w, ckpt)
+    }
+    // The packs run on the maintenance thread — poll for convergence
+    // (level-based: the last queued run sees the final live set).
+    val deadline = System.currentTimeMillis() + 30000
+    var live = Snapshots.fileMeta(fs, w, "t").get.size
+    while (live >= 8 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250)
+      live = Snapshots.fileMeta(fs, w, "t").get.size
+    }
+    assert(live < 8, s"async auto-compaction never converged: $live files")
+    // Maintenance moved bytes, never rows.
+    val got = Snapshots.read(spark, w, "t").select("id").as[Long]
+      .collect().sorted
+    val expect = ((0L until 3L) ++
+      (1 to 10).flatMap(e => e * 100L until e * 100L + 3L)).sorted
+    assert(got.sameElements(expect))
+  }
 }
