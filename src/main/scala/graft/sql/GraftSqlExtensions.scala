@@ -547,10 +547,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftAlterColumnCommand(warehouse, table, from, Some(to))
     case DropColRe(table, name) if isGraftTable(table) =>
       GraftAlterColumnCommand(warehouse, table, name, None)
-    case DropFeatureRe(table, feature) if isGraftTable(table) =>
-      GraftDropFeatureCommand(warehouse, table, feature)
-    case SyncIdentityRe(table, column) if isGraftTable(table) =>
-      GraftSyncIdentityCommand(warehouse, table, column)
+    // DROP FEATURE / SYNC IDENTITY are Delta-only grammar (no delegate
+    // owns them) — unguarded like REORG, catalog-qualified names resolve
+    // their warehouse.
+    case DropFeatureRe(table, feature) =>
+      val (gWh, gTable) = resolveTarget(table)
+      GraftDropFeatureCommand(gWh, gTable, feature)
+    case SyncIdentityRe(table, column) =>
+      val (gWh, gTable) = resolveTarget(table)
+      GraftSyncIdentityCommand(gWh, gTable, column)
     case IdentityColRe(table, name, start) if isGraftTable(table) =>
       GraftIdentityColumnCommand(warehouse, table, name,
         Option(start).map(_.toLong).getOrElse(1L))

@@ -994,6 +994,17 @@ class SnapshotScanRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DELETE FROM gm.t2 WHERE id >= 100")
     assert(spark.sql("SELECT count(*) FROM gm.t2").head().getLong(0) == 20)
     assert(spark.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 21)
+
+    // SYNC IDENTITY and DROP FEATURE resolve the prefix too.
+    graft.ingest.Identity.declare(spark, w, "idc", "rid")
+    graft.ingest.Identity.appendWithIdentity(spark, w, "idc",
+      Seq("a", "b").toDF("v").coalesce(1))
+    assert(spark.sql("ALTER TABLE gm.idc ALTER COLUMN rid SYNC IDENTITY")
+      .head().getLong(0) == 2L)
+    Snapshots.setProperties(fsW, w, "idc", Map("identity.rid" -> null))
+    assert(spark.sql("ALTER TABLE gm.idc DROP FEATURE identityColumns")
+      .head().getString(0) == "identityColumns")
+    assert(Snapshots.tableFeatures(fsW, w, "idc").isEmpty)
   }
 
   test("SNAPSHOT HISTORY OF t and SHOW TBLPROPERTIES resolve per table") {

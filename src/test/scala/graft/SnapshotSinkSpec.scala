@@ -642,4 +642,50 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1 to 10).flatMap(e => e * 100L until e * 100L + 3L)).sorted
     assert(got.sameElements(expect))
   }
+
+  test("partitioned identity table through the native sink: routed, pruned, monotone") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whIdPart"); val ckpt = wh("whIdPartCkpt")
+    graft.ingest.Identity.declare(spark, w, "t", "row_id")
+    val in = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = in.toDF.toDF("k", "side")
+        .withColumn("row_id", org.apache.spark.sql.functions.lit(0L))
+        .writeStream.format("graft-snapshots")
+        .option("warehouse", w).option("table", "t")
+        .option("partitionBy", "side")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    in.addData((0L until 6L).map(i => (i, if (i % 2 == 0) "a" else "b")): _*)
+    drain()
+    in.addData((6L until 10L).map(i => (i, "a")): _*)
+    drain()
+    // Files landed under the k=v layout with specs recorded — pruning fires.
+    val bySpec = Snapshots.fileMeta(fs, w, "t").get.groupBy(_.partition)
+    assert(bySpec.keySet == Set("side=a", "side=b"), bySpec.keySet)
+    val pruned = Snapshots.read(spark, w, "t",
+      partitionFilter = m => m("side") == "b")
+    assert(pruned.count() == 3)
+    // Ids unique across epochs/partitions; mark = true max.
+    val got = Snapshots.read(spark, w, "t")
+      .select("row_id").as[Long].collect().toSeq
+    assert(got.distinct.size == 10, got.sorted)
+    assert(graft.ingest.Identity.highWaterMark(fs, w, "t", "row_id")
+      .contains(got.max))
+    // The identity column itself can never be the partition column.
+    val ex = intercept[Exception] {
+      import scala.jdk.CollectionConverters._
+      new graft.sources.v2.SnapshotStreamingWrite("ppq",
+        new org.apache.spark.sql.types.StructType()
+          .add("k", "long").add("row_id", "long"),
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          Map("warehouse" -> w, "table" -> "t",
+            "partitionBy" -> "row_id").asJava))
+    }
+    assert(ex.getMessage.contains("partition column"), ex.getMessage)
+  }
 }
