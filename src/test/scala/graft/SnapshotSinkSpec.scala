@@ -688,4 +688,37 @@ class SnapshotSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("partition column"), ex.getMessage)
   }
+
+  test("mixed identity + generated table through the native sink") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh("whIdGen"); val ckpt = wh("whIdGenCkpt")
+    graft.ingest.Identity.declare(spark, w, "t", "row_id")
+    graft.ingest.Generated.declare(spark, w, "t", "total",
+      "price * qty", schemaHint = Some(
+        new org.apache.spark.sql.types.StructType()
+          .add("price", "double").add("qty", "long")))
+    val in = MemoryStream[(Double, Long)]
+    def drain(): Unit = {
+      val q = in.toDF.toDF("price", "qty")
+        .withColumn("row_id", org.apache.spark.sql.functions.lit(0L))
+        .withColumn("total", org.apache.spark.sql.functions.lit(-1.0))
+        .writeStream.format("graft-snapshots")
+        .option("warehouse", w).option("table", "t")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    in.addData((2.0, 3L), (5.0, 2L)); drain()
+    in.addData((1.5, 4L)); drain()
+    val got = Snapshots.read(spark, w, "t")
+      .select("price", "qty", "row_id", "total").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // The ENGINE's values win on both columns: user 0L/-1.0 never land.
+    assert(got.map(_._3).distinct.length == 3, got.mkString(","))
+    assert(got.forall { case (p, q, _, t) => t == p * q }, got.mkString(","))
+    assert(graft.ingest.Identity.highWaterMark(fs, w, "t", "row_id")
+      .contains(got.map(_._3).max))
+  }
 }
