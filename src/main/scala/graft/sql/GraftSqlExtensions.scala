@@ -593,10 +593,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           // minReaderVersion/tableFeatures column): what a reader/writer
           // must support to open this table.
           Snapshots.tableFeatures(fs, ddWh, table).toSeq.sorted
-            .mkString(",")))
+            .mkString(","),
+          // Identity allocation state (col=last-minted-id) — the mark the
+          // next appendWithIdentity / sink epoch mints above, otherwise
+          // invisible outside a SYNC IDENTITY run.
+          graft.ingest.Identity.identityColumns(fs, ddWh, table).map(c =>
+            s"$c=${graft.ingest.Identity.highWaterMark(fs, ddWh, table, c)
+              .getOrElse(-1L)}").mkString(",")))
         .toDF("table", "num_files", "size_bytes", "num_rows",
           "files_with_deletion_vectors", "partition_columns", "properties",
-          "table_features")
+          "table_features", "identity_high_water_marks")
         .queryExecution.logical
     case AddConstraintRe(table, name, check) if isGraftPropsTable(table) =>
       GraftAddConstraintCommand(warehouse, table, name, check.trim)

@@ -350,4 +350,20 @@ class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
       Identity.syncIdentity(fs, w, "t", "v"))
     assert(e.getMessage.contains("not a declared identity"), e.getMessage)
   }
+
+  test("DESCRIBE DETAIL surfaces the identity high-water mark") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("detail")
+    Identity.declare(spark, w, "t", "row_id", start = 5L)
+    Identity.appendWithIdentity(spark, w, "t",
+      Seq("a", "b", "c").toDF("v").coalesce(1)) // mints 5, 6, 7
+    spark.conf.set("spark.graft.warehouse", w)
+    try {
+      val det = spark.sql("DESCRIBE DETAIL t").head()
+      assert(det.getAs[String]("identity_high_water_marks") == "row_id=7",
+        det.toString)
+      assert(det.getAs[String]("table_features").contains("w:identityColumns"))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
 }
