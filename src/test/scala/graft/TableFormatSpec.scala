@@ -1437,4 +1437,31 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.tableFeatures(fs, w, "t").contains("r:deletionVectors"))
     assert(Snapshots.read(spark, w, "t").count() == 8L)
   }
+
+  test("DROP FEATURE generatedColumns after the column drops; clone carries the cleared set") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("dropgenfeat")
+    publishBatch(w, "t", 0 until 5)
+    graft.ingest.Generated.declare(spark, w, "t", "twice", "id * 2")
+    graft.ingest.Generated.appendGenerated(spark, w, "t",
+      Seq(100L).toDF("id").coalesce(1))
+    assert(Snapshots.tableFeatures(fs, w, "t").contains("w:generatedColumns"))
+    // Refused while the declaration lives; the error names the column.
+    val ex = intercept[IllegalStateException](
+      Snapshots.dropFeature(fs, w, "t", "generatedColumns"))
+    assert(ex.getMessage.contains("twice"), ex.getMessage)
+    // DROP COLUMN clears the declaration in the same commit — then the
+    // feature is droppable.
+    graft.ingest.SchemaEvolution.dropColumn(spark, w, "t", "twice")
+    Snapshots.dropFeature(fs, w, "t", "generatedColumns")
+    // columnMapping (from the drop) now gates reads instead — expected:
+    // the drop DDL is itself a feature; generatedColumns is gone.
+    assert(!Snapshots.tableFeatures(fs, w, "t").exists(_.contains("generated")))
+    assert(Snapshots.read(spark, w, "t").count() == 6)
+    // A clone made AFTER the drop carries the cleared set, not a stale one.
+    Snapshots.cloneTable(spark, w, "t", "t2")
+    assert(!Snapshots.tableFeatures(fs, w, "t2").exists(_.contains("generated")),
+      Snapshots.tableFeatures(fs, w, "t2").toString)
+  }
 }
