@@ -322,16 +322,22 @@ object Compaction {
   /** Single daemon maintenance thread per JVM for async auto-compaction
     * (`graft.autoCompact.async=true`): the triggering write returns
     * immediately and the pack runs here. At most ONE run queues behind
-    * the in-flight one — further triggers drop (the hook is level-based:
-    * the queued run sees the latest live-file state when it executes, so
-    * dropped triggers lose nothing). */
-  private lazy val maintenanceThread =
+    * the in-flight one PER (warehouse, table) — further triggers for that
+    * table drop (the hook is level-based: the queued run sees the latest
+    * live-file state when it executes, so dropped triggers lose nothing),
+    * while other tables' triggers queue independently: the one-queued
+    * collapse is only sound within a table, where the queued run provably
+    * covers every dropped trigger's state. The single thread also bounds
+    * the QUEUE: at most 2 × live tables entries, never an unbounded
+    * backlog. */
+  private[graft] lazy val maintenanceThread =
     java.util.concurrent.Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, "graft-auto-compact")
       t.setDaemon(true); t
     })
   private val maintenancePending =
-    new java.util.concurrent.atomic.AtomicInteger(0)
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String), java.util.concurrent.atomic.AtomicInteger]()
 
   def autoCompact(spark: SparkSession, warehouse: String, table: String,
                   touchedSpecs: Set[String]): Unit = {
@@ -342,20 +348,30 @@ object Compaction {
       .flatMap(_.toIntOption).getOrElse(0)
     if (minFiles <= 1) return
     if (props.get("graft.autoCompact.async").contains("true")) {
-      // in-flight + one queued, max — beyond that the trigger drops.
-      if (maintenancePending.incrementAndGet() <= 2)
+      // in-flight + one queued PER TABLE, max — beyond that the trigger
+      // drops.
+      val pending = maintenancePending.computeIfAbsent((warehouse, table),
+        _ => new java.util.concurrent.atomic.AtomicInteger(0))
+      if (pending.incrementAndGet() <= 2)
         maintenanceThread.submit(new Runnable {
           override def run(): Unit =
             try autoCompactNow(spark, warehouse, table, touchedSpecs)
-            finally maintenancePending.decrementAndGet()
+            finally pending.decrementAndGet()
         })
-      else maintenancePending.decrementAndGet()
+      else pending.decrementAndGet()
     } else autoCompactNow(spark, warehouse, table, touchedSpecs)
   }
 
   private def autoCompactNow(spark: SparkSession, warehouse: String,
                              table: String, touchedSpecs: Set[String])
       : Unit = {
+    // Shutdown ordering: a queued maintenance run must never land a
+    // commit after its session began stopping (tests tear the warehouse
+    // temp dirs down right after spark.stop(); in production the rewrite
+    // job would die mid-flight anyway). Advisory work — abandoning it is
+    // always safe, the small files stay and the next commit's hook
+    // retries.
+    if (spark.sparkContext.isStopped) return
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = Snapshots.properties(fs, warehouse, table)

@@ -91,8 +91,13 @@ object Identity {
       FileStats.decode(FileStats.collect(fs.getConf, new Path(p))))
     cols.map { c =>
       val maxes = stats.flatMap(_.cols.get(c)).map(_.max.toLong)
-      require(maxes.nonEmpty && stats.size == stagedSrcs.size,
-        s"staged files carry no [min,max] for identity column '$c' — " +
+      // Per-file per-column coverage: EVERY staged file must carry the
+      // column's [min,max] token. A token-less file (any block without
+      // usable stats) silently dropping from the max would under-advance
+      // the mark and later epochs would mint duplicate ids.
+      require(maxes.size == stagedSrcs.size,
+        s"${stagedSrcs.size - maxes.size} of ${stagedSrcs.size} staged " +
+          s"file(s) carry no [min,max] for identity column '$c' — " +
           "cannot advance the high-water mark")
       c -> maxes.max.toString
     }.map { case (c, m) => hwKey(table, c) -> m }
@@ -109,7 +114,15 @@ object Identity {
     * widens the safety margin. OCC-guarded like allocation itself; the
     * mark never regresses. Returns the mark after the sync. */
   def syncIdentity(fs: FileSystem, warehouse: String, table: String,
-                   column: String): Long = {
+                   column: String): Long =
+    syncIdentity(fs, warehouse, table, column, () => ())
+
+  /** [[syncIdentity]] with a post-scan hook — the deterministic test seam
+    * for the stats-scan→publish race window (a raw append with explicit
+    * ids landed by the hook must abort the sync). */
+  private[graft] def syncIdentity(fs: FileSystem, warehouse: String,
+                                  table: String, column: String,
+                                  scanDone: () => Unit): Long = {
     require(identityColumns(fs, warehouse, table).contains(column),
       s"'$column' is not a declared identity column of '$table'")
     val base = Snapshots.latestVersion(fs, warehouse)
@@ -128,11 +141,19 @@ object Identity {
               "[min,max] stats token — SYNC IDENTITY cannot prove the " +
               "max without reading data; OPTIMIZE the table first")))
       }
+    scanDone()
     val synced = (cur +: maxes).max
     if (synced > cur)
+      // The conflict scope includes the DATA TABLE (`occTables`), not
+      // just the high-water pseudo-key: a raw append carrying explicit
+      // ids that lands between the stats scan above and this commit — the
+      // exact out-of-band write SYNC IDENTITY exists to reconcile — emits
+      // no `#idhw#` line, so only conflicting on the table itself makes
+      // the sync abort and the caller retry against fresh stats.
       Snapshots.append(fs, warehouse, "idsync" +
           java.util.UUID.randomUUID().toString.replace("-", ""),
         adds = Nil, removes = Nil, op = "syncIdentity", baseVersion = base,
+        occTables = Set(table),
         metas = Seq(hwKey(table, column) -> synced.toString))
     synced
   }
@@ -211,9 +232,13 @@ object Identity {
         FileStats.decode(FileStats.collect(fs.getConf, new Path(m.src))))
       val newMarks = idCols.map { c =>
         val maxes = stats.flatMap(_.cols.get(c)).map(_.max)
-        require(maxes.nonEmpty && stats.size == moves.size,
-          s"staged files carry no [min,max] for identity column '$c' — " +
-            "cannot advance the high-water mark")
+        // Per-file coverage, as in [[marksFromStaged]]: one token per
+        // staged file or the epoch fails — a partial max is a duplicate
+        // factory.
+        require(maxes.size == moves.size,
+          s"${moves.size - maxes.size} of ${moves.size} staged file(s) " +
+            s"carry no [min,max] for identity column '$c' — cannot " +
+            "advance the high-water mark")
         c -> maxes.map(_.toLong).max
       }
       val rows = stats.map(_.rows).sum

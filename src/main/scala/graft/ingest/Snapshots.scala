@@ -197,15 +197,57 @@ object Snapshots {
   private def claimGraceMs: Long =
     sys.props.get("graft.test.claimGraceMs").map(_.toLong).getOrElse(60000L)
 
+  /** THE load-bearing storage contract of the whole commit protocol:
+    * version claims (and entry idempotence) serialize through an ATOMIC
+    * create-iff-absent. Where that primitive is real, any number of
+    * concurrent committers are safe; where it is emulated as
+    * check-then-act (HEAD then PUT — e.g. Hadoop's classic S3A
+    * `create(overwrite=false)` without conditional-write support), two
+    * clients can both "win" a version and the log corrupts. So the
+    * engine REFUSES to commit multi-writer on a scheme it cannot vouch
+    * for, instead of corrupting quietly at 100 TB:
+    *
+    *  - `file://` — safe built-in (temp + hard-link promotion, atomic).
+    *  - `hdfs://` / `viewfs://` — safe built-in (namenode arbitrates
+    *    create-no-overwrite atomically).
+    *  - any other scheme needs ONE of:
+    *    `graft.commit.atomicConditionalCreate.<scheme>=true` — the
+    *    operator vouches the store's create-no-overwrite is a true
+    *    conditional put (S3 with the connector's If-None-Match
+    *    conditional-write support enabled, GCS preconditions, ABFS,
+    *    MinIO, …); or
+    *    `graft.commit.singleWriter=true` — no cross-client race exists
+    *    by deployment contract, so atomicity is not needed.
+    *
+    * Both keys are read from the FileSystem's Hadoop configuration
+    * (settable per-session via `spark.hadoop.graft.commit.…`). */
+  private def requireConditionalPut(fs: FileSystem): Unit = {
+    val scheme = fs.getUri.getScheme
+    if (scheme == "file" || scheme == "hdfs" || scheme == "viewfs") return
+    val conf = fs.getConf
+    if (conf != null &&
+        (conf.getBoolean(s"graft.commit.atomicConditionalCreate.$scheme", false) ||
+          conf.getBoolean("graft.commit.singleWriter", false))) return
+    throw new UnsupportedOperationException(
+      s"scheme '$scheme' offers no proven atomic create-iff-absent — the " +
+        "commit protocol's multi-writer safety rests on it. Either vouch " +
+        s"for the store (graft.commit.atomicConditionalCreate.$scheme=true " +
+        "— only when its create-no-overwrite is a true conditional put, " +
+        "e.g. S3 conditional writes / GCS preconditions) or declare " +
+        "single-writer deployment (graft.commit.singleWriter=true)")
+  }
+
   /** Atomic create-iff-absent — the commit primitive, replacing any
     * reliance on rename atomicity (object stores rename by copy+delete).
     * On `file://` a fully-written temp file is promoted with a hard link
     * (atomic, fails EEXIST, never exposes partial content). Elsewhere the
     * file is created with overwrite=false — atomic on HDFS (namenode
-    * arbitration) and on stores with conditional PUT; the brief window
+    * arbitration) and on stores with conditional PUT, a contract
+    * [[requireConditionalPut]] enforces per scheme; the brief window
     * where a reader can observe a partially-written object matches what
-    * those stores' own commit services exhibit. Returns false when the
-    * name already exists (lost the race). */
+    * those stores' own commit services exhibit (and the [[EndMarker]]
+    * footer makes it detectable). Returns false when the name already
+    * exists (lost the race). */
   private[ingest] def putIfAbsent(fs: FileSystem, dest: Path,
                                   content: Array[Byte]): Boolean =
     if (fs.getUri.getScheme == "file") {
@@ -218,6 +260,7 @@ object Snapshots {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      requireConditionalPut(fs)
       try {
         val out = fs.create(dest, false)
         try out.write(content) finally out.close()
@@ -311,8 +354,73 @@ object Snapshots {
     text.split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  /** Completeness footer, the LAST line of every `.snap`/`.ckpt`. Entry
+    * visibility is not content-atomic on every store: `file://` promotes a
+    * fully-written temp by hard link, and a real S3 PUT materializes on
+    * close, but HDFS/NFS-style stores expose `create(overwrite=false)` +
+    * write — a concurrent lister can open the entry EMPTY or PARTIAL, and
+    * a writer that dies mid-write leaves a truncated entry forever.
+    * Folding a truncated entry silently loses ADD/REMOVE actions, so the
+    * footer makes completeness CHECKABLE: readers treat a footer-less
+    * entry as in-flight (bounded re-read — writes are ms-wide) and then
+    * as torn — a torn CHECKPOINT is skipped (redundant state; the fold
+    * falls back to the previous anchor), a torn DELTA fails loudly with
+    * the path, never a silent partial fold. */
+  private[ingest] val EndMarker = "#END"
+
+  /** Bound on how long a reader waits for a footer-less entry to finish
+    * (the write side needs milliseconds; a footer still missing after
+    * this is a dead writer's torn entry, not an in-flight one). */
+  private def tornGraceMs: Long = math.min(claimGraceMs, 5000L)
+
+  /** Read a log entry's lines, validating the [[EndMarker]] footer. None
+    * after the grace window = torn (or still in-flight under a pathological
+    * stall — retrying later is always safe: complete entries are
+    * immutable). Footer line stripped from the result. */
+  private def readEntryOpt(fs: FileSystem, p: Path): Option[Seq[String]] = {
+    val deadline = System.currentTimeMillis() + tornGraceMs
+    var lines = readLines(fs, p)
+    while (lines.lastOption.forall(_ != EndMarker) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(10)
+      lines = readLines(fs, p)
+    }
+    if (lines.lastOption.contains(EndMarker)) Some(lines.init) else None
+  }
+
+  /** [[readEntryOpt]] that FAILS on a torn entry — the delta-entry read:
+    * unlike a checkpoint (redundant state, skippable), a truncated delta
+    * has no safe interpretation. */
+  private def readEntry(fs: FileSystem, p: Path): Seq[String] =
+    readEntryOpt(fs, p).getOrElse(throw new IllegalStateException(
+      s"log entry $p is torn or still in flight (no $EndMarker footer " +
+        s"after ${tornGraceMs}ms) — a writer died mid-write; restore the " +
+        "entry or remove it and its version claim before retrying"))
+
+  /** A LISTED log entry can legitimately vanish before it is opened: the
+    * commit protocol deletes `.snap` files after they become visible (a
+    * loser's self-delete on a broken claim, the winner's same-version
+    * zombie sweep), and vacuum truncates old entries. A vanished entry is
+    * by construction not part of the committed log, so the consistent
+    * answer is to RE-LIST and re-run the read — which every wrapped body
+    * does internally (its listing happens inside). Bounded: persistent
+    * FNF (someone deleted files out-of-band) surfaces the original error. */
+  private def retryVanished[A](body: => A): A = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempts += 1
+          if (attempts > 8) throw e
+          Thread.sleep(5L * attempts)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def readActions(fs: FileSystem, p: Path): Seq[Action] =
-    parseActions(readLines(fs, p))
+    parseActions(readEntry(fs, p))
 
   private def parseActions(lines: Seq[String]): Seq[Action] =
     lines.filterNot(_.startsWith("#")).map { line =>
@@ -332,7 +440,7 @@ object Snapshots {
   /** Operation tag of a log entry (`#OP` header line); entries written
     * before tagging existed default to "append". */
   private def readOp(fs: FileSystem, p: Path): String =
-    readLines(fs, p).find(_.startsWith("#OP\t"))
+    readEntry(fs, p).find(_.startsWith("#OP\t"))
       .map(_.split("\t", 2)(1)).getOrElse("append")
 
   /** Operation metrics of a log entry (`#METRICS\tk=v,…` header line) —
@@ -356,7 +464,7 @@ object Snapshots {
     val dir = snapDir(warehouse)
     fs.mkdirs(dir)
     putIfAbsent(fs, new Path(dir, name),
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      (lines :+ EndMarker).mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
   /** [[writeEntry]] that STREAMS its lines — same put-if-absent contract
@@ -374,7 +482,7 @@ object Snapshots {
     def pour(out: java.io.OutputStream): Unit = {
       val w = new java.io.BufferedOutputStream(out, 1 << 20)
       var first = true
-      lines.foreach { l =>
+      (lines ++ Iterator.single(EndMarker)).foreach { l =>
         if (!first) w.write('\n')
         first = false
         w.write(l.getBytes(StandardCharsets.UTF_8))
@@ -393,6 +501,7 @@ object Snapshots {
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
+      requireConditionalPut(fs)
       try {
         val out = fs.create(dest, false)
         try pour(out) finally out.close()
@@ -472,7 +581,8 @@ object Snapshots {
              dvFor: Map[String, String] = Map.empty,
              fileGranularOcc: Boolean = false,
              metrics: Map[String, Long] = Map.empty,
-             features: Seq[(String, String)] = Nil): Unit = {
+             features: Seq[(String, String)] = Nil,
+             occTables: Set[String] = Set.empty): Unit = {
     // Writer-side protocol gate: refuse to mutate a table whose required
     // features this build doesn't know (recovery replays are exempt —
     // their commit passed the gate live; a replay must converge, not
@@ -482,8 +592,14 @@ object Snapshots {
         metas.map(_._1).filterNot(_.contains("#")))
         .distinct.foreach(t =>
           requireFeatures(fs, warehouse, t, forWrite = true))
+    // `occTables` widens the conflict scope beyond the keys this commit
+    // writes: metadata-only commits whose VALIDITY depends on the table's
+    // data state (DROP FEATURE's dependency probe, SYNC IDENTITY's stats
+    // scan) pass the data table here, so a concurrent commit touching the
+    // table — which emits no line under the metadata pseudo-key — still
+    // conflicts and the caller re-validates against fresh state.
     val myTables = (adds ++ removes ++ metas).map(_._1).toSet ++
-      dvs.map(_._1)
+      dvs.map(_._1) ++ occTables
     // File-granular conflict detection (the Delta WriteSerializable
     // stance), opted into by rewrites whose read dependence IS their
     // swap-out set: this commit's removes + DV attach targets. An
@@ -507,6 +623,7 @@ object Snapshots {
       if (attempts > 64)
         throw new ConcurrentCommitException(
           s"commit $commitId could not claim a log version after 64 attempts")
+      try {
       // Fresh commits list only the anchored tail: a brand-new commitId
       // cannot have an entry anywhere, and version assignment/zombie
       // checks only need the log's top. Two cases need the full listing:
@@ -558,8 +675,12 @@ object Snapshots {
       }
       val version = existing.lastOption.map(_.version + 1).getOrElse(0L)
       fs.mkdirs(snapDir(warehouse))
+      // An earlier attempt of THIS commit may already hold the claim (a
+      // vanished-entry retry fired between claim and entry write):
+      // ownership, not create success, decides who writes the entry.
       if (!putIfAbsent(fs, lockPath(warehouse, version),
-          commitId.getBytes(StandardCharsets.UTF_8))) {
+            commitId.getBytes(StandardCharsets.UTF_8)) &&
+          !ownsClaim(fs, warehouse, version, commitId)) {
         // Lost the claim: wait for that version's entry (or break a stale
         // claim), then re-list and try the next version.
         awaitClaimedVersion(fs, warehouse, version)
@@ -598,10 +719,28 @@ object Snapshots {
           fs.globStatus(new Path(snapDir(warehouse), f"$version%020d-*.snap"))
             .filterNot(_.getPath.getName == own)
             .foreach(st => fs.delete(st.getPath, false))
+          // Best-effort by contract (see the method doc): the COMMIT is
+          // the entry already written; a failed checkpoint just defers
+          // the anchor to the next interval. Without this containment a
+          // checkpoint hiccup would surface as a commit failure AFTER
+          // the commit became visible.
           if (version > 0 && version % CheckpointInterval == 0)
-            writeCheckpoint(fs, warehouse, version, commitId)
+            try writeCheckpoint(fs, warehouse, version, commitId)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"checkpoint at version $version deferred: ${e.getMessage}")
+            }
           return
         }
+      }
+      } catch {
+        // A listed entry vanished between listStatus and open — by
+        // construction a swept zombie (loser self-delete / winner sweep)
+        // or a concurrent vacuum's truncation: the next iteration
+        // re-lists and sees a consistent log. Never give up on FNF alone:
+        // the attempt cap still bounds the loop.
+        case _: java.io.FileNotFoundException => Thread.sleep(5)
       }
     }
   }
@@ -634,7 +773,15 @@ object Snapshots {
     })
 
   private def stateAt(fs: FileSystem, warehouse: String, asOf: Option[Long])
-      : Option[Folded] = {
+      : Option[Folded] =
+    // The fold can race the protocol's legitimate entry deletions (zombie
+    // sweeps, vacuum truncation): a vanished entry aborts THIS pass and
+    // the retry re-lists — listing happens inside, so each pass folds a
+    // consistent view.
+    retryVanished { stateAtPass(fs, warehouse, asOf) }
+
+  private def stateAtPass(fs: FileSystem, warehouse: String,
+                          asOf: Option[Long]): Option[Folded] = {
     // Latest-state reads ride the anchored tail listing; time travel below
     // the anchor needs the full log.
     val tail = tailEntries(fs, warehouse)
@@ -644,20 +791,47 @@ object Snapshots {
       else tail
     if (all.isEmpty) return None
     val visible = asOf.fold(all)(v => all.filter(_.version <= v))
-    // After a vacuum, history before the anchor checkpoint is gone; a read
-    // that can see neither version 0 nor a checkpoint cannot be answered.
-    require(visible.exists(_.isCheckpoint) || visible.headOption.exists(_.version == 0),
-      s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
-    val anchor = visible.filter(_.isCheckpoint).lastOption
-    val startV = anchor.map(_.version).getOrElse(Long.MinValue)
-    // Deltas at the anchor's own version are re-applied: set ops are
-    // idempotent, and a same-version racer that landed after the checkpoint
-    // was computed is folded in exactly this way.
-    val deltas = visible.filter(e => !e.isCheckpoint && e.version >= startV)
-    val key = warehouse + "|" + anchor.map(_.path.getName).getOrElse("") +
-      "|" + deltas.map(_.path.getName).mkString(",")
-    val hit = foldCache.get(key)
-    if (hit != null) return Some(hit)
+    // Candidate anchors newest-first. A checkpoint without its [[EndMarker]]
+    // footer is in-flight (a racing writeCheckpoint) or torn (its writer
+    // died mid-write): checkpoints are REDUNDANT state, so the fold never
+    // trusts one it can't validate — it falls back to the previous anchor
+    // and the (longer) delta chain above it, which vacuum provably retains
+    // (truncation only happens below a cutoff checkpoint it wrote itself).
+    var ckpts = visible.filter(_.isCheckpoint).reverse
+    while (true) {
+      val anchor = ckpts.headOption
+      // After a vacuum, history before the anchor checkpoint is gone; a read
+      // that can see neither version 0 nor a valid checkpoint cannot be
+      // answered.
+      require(anchor.nonEmpty || visible.headOption.exists(_.version == 0),
+        s"version ${asOf.getOrElse("latest")} predates the vacuumed snapshot history")
+      val startV = anchor.map(_.version).getOrElse(Long.MinValue)
+      // Deltas at the anchor's own version are re-applied: set ops are
+      // idempotent, and a same-version racer that landed after the checkpoint
+      // was computed is folded in exactly this way.
+      val deltas = visible.filter(e => !e.isCheckpoint && e.version >= startV)
+      val key = warehouse + "|" + anchor.map(_.path.getName).getOrElse("") +
+        "|" + deltas.map(_.path.getName).mkString(",")
+      // A hit needs no anchor validation: this exact (anchor, deltas) set
+      // folded before, and complete entries are immutable.
+      val hit = foldCache.get(key)
+      if (hit != null) return Some(hit)
+      val anchorActs: Option[Seq[Action]] = anchor match {
+        case None => Some(Nil)
+        case Some(c) => readEntryOpt(fs, c.path).map(parseActions)
+      }
+      anchorActs match {
+        case None => ckpts = ckpts.tail // torn/in-flight anchor: skip it
+        case Some(acts) =>
+          return Some(foldState(fs, warehouse, key, acts, deltas))
+      }
+    }
+    None // unreachable
+  }
+
+  private def foldState(fs: FileSystem, warehouse: String, key: String,
+                        anchorActs: Seq[Action], deltas: Seq[Entry])
+      : Folded = {
     val state = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, (String, String, String)]]
     val metas = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -674,7 +848,7 @@ object Snapshots {
         else if (a.add) files += (a.file -> (a.partition, a.stats, a.dv))
         else files -= a.file
       }
-    anchor.foreach(c => readActions(fs, c.path).foreach(apply))
+    anchorActs.foreach(apply)
     deltas.foreach(e => readActions(fs, e.path).foreach(apply))
     val folded = Folded(state, metas)
     foldCache.synchronized {
@@ -694,7 +868,7 @@ object Snapshots {
       }
       same.dropRight(2).foreach(foldCache.remove)
     }
-    Some(folded)
+    folded
   }
 
   /** Write the full-state checkpoint for `version` (ADD + META lines). */
@@ -953,8 +1127,13 @@ object Snapshots {
                               keepVersions: Int, minAgeMs: Long,
                               dryRun: Boolean, exec: VacuumExec)
       : VacuumStats = {
+    // The whole READ phase (listing, state folds, reap-set computation)
+    // retries as a unit on a vanished entry — a racing committer's zombie
+    // sweep mid-scan aborts the pass, and the retry lists a consistent
+    // log. All mutation below happens AFTER this block.
+    val pass = retryVanished[Option[(Seq[Entry], Long, Seq[Entry], Seq[String])]] {
     val all = entries(fs, warehouse)
-    if (all.isEmpty) return VacuumStats(0, 0L, 0L, Nil)
+    if (all.isEmpty) None else {
     // Protocol gate: which files are LIVE is itself feature-dependent (a
     // future feature could redefine liveness the way deletion vectors
     // did) — a vacuum computed by a build that doesn't understand a
@@ -978,9 +1157,18 @@ object Snapshots {
     // executed after — the same walk serves the dry run and the real one.
     val toReap = scala.collection.mutable.LinkedHashSet.empty[String]
     if (victims.nonEmpty) {
-      if (!dryRun && !all.exists(e => e.isCheckpoint && e.version == cutoff))
-        writeCheckpoint(fs, warehouse, cutoff,
-          "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      // Truncation safety rests on a VALID checkpoint at the cutoff: a
+      // footer-less one (a writer died mid-checkpoint) must never be
+      // trusted as the anchor the victims' history collapses into —
+      // sweep it and write a complete one in its place.
+      if (!dryRun) {
+        val atCutoff = all.filter(e => e.isCheckpoint && e.version == cutoff)
+        val torn = atCutoff.filter(c => readEntryOpt(fs, c.path).isEmpty)
+        torn.foreach(c => fs.delete(c.path, false))
+        if (atCutoff.size == torn.size)
+          writeCheckpoint(fs, warehouse, cutoff,
+            "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      }
       // A file REMOVEd at version Vr normally becomes unreachable once the
       // cutoff reaches Vr: physically delete REMOVEs from every entry with
       // version ≤ cutoff (not just the truncated ones — the entry AT the
@@ -1026,9 +1214,22 @@ object Snapshots {
     val orphans = orphanCandidates(fs, warehouse, now, minAgeMs,
       kept = all.filterNot(victims.toSet), extraReferenced = anchorRefs,
       exec = exec)
-    val reapAll = (toReap.toSeq ++ orphans).distinct
+    Some((victims, cutoff, all, (toReap.toSeq ++ orphans).distinct))
+    }}
+    val (victims, cutoff, all, reapAll) = pass match {
+      case None => return VacuumStats(0, 0L, 0L, Nil)
+      case Some((v, c, a, r)) => (v, c, a, r)
+    }
     val sized = exec.size(reapAll)
     if (!dryRun) {
+      // Final guard before truncation: every retained version must stay
+      // reconstructable, which needs a COMPLETE checkpoint at the cutoff
+      // (the one written above, or a pre-existing valid one).
+      if (victims.nonEmpty)
+        require(entries(fs, warehouse).exists(e => e.isCheckpoint &&
+            e.version == cutoff && readEntryOpt(fs, e.path).nonEmpty),
+          s"vacuum aborted: no complete checkpoint at cutoff $cutoff — " +
+            "refusing to truncate history it anchors")
       exec.delete(sized.map(_._1))
       // Log-entry and lock cleanup stay driver-side: both are O(retained
       // log), a few hundred files, not O(table data).
@@ -1163,16 +1364,6 @@ object Snapshots {
     // Protocol gate (reader side): a change feed serves file rows, so it
     // needs every reader feature a plain read needs.
     requireFeatures(fs, warehouse, table, toInclusive)
-    // A consumer tailing the log (from at/above the checkpoint anchor —
-    // the steady state) pays only the anchored tail listing; catch-ups
-    // reaching below the anchor list the full dir.
-    val all = boundedFrom(fs, warehouse, fromExclusive)
-    val to = toInclusive.getOrElse(all.lastOption.map(_.version).getOrElse(-1L))
-    // Vacuum deletes pre-cutoff log entries outright — a range reaching
-    // below the earliest retained entry would silently miss their appends.
-    all.headOption.foreach(first => require(fromExclusive + 1 >= first.version,
-      s"changes since $fromExclusive predate the vacuumed log " +
-        s"(earliest retained version: ${first.version})"))
     val rewriteOps = Set("compact", "zorder")
     def checkLive(acts: Seq[Action]): Unit =
       acts.foreach(a => require(fs.exists(new Path(a.file)),
@@ -1183,28 +1374,45 @@ object Snapshots {
     // (fileName → version) map (commitId-prefixed part names are unique
     // within a table's dirs). A consumer catching up over thousands of
     // versions gets a two-leaf plan, not an O(versions)-deep union chain.
-    val appendFiles = Seq.newBuilder[(Action, Long)]
-    val cdfFiles = Seq.newBuilder[(Action, Long)]
-    all.filter(e => e.version > fromExclusive && e.version <= to).foreach { e =>
-      val op = readOp(fs, e.path)
-      if (!rewriteOps(op)) {
-        val acts = readActions(fs, e.path)
-        if (op == "merge" || op == "overwrite" || op == "drop") {
-          // All replace/remove rows: without CDF files their REMOVEs cannot
-          // be represented as append-only events — refuse rather than serve
-          // the new rows as plain inserts on top of the replaced ones.
-          val cdfs = acts.filter(a => a.cdf && a.table == table)
-          if (cdfs.isEmpty)
-            require(!acts.exists(a => !a.cdf && a.table == table),
-              s"version ${e.version} is a $op commit without change " +
-                s"files — changes() cannot represent it")
-          else { checkLive(cdfs); cdfs.foreach(a => cdfFiles += (a -> e.version)) }
-        } else {
-          val adds = acts.filter(a => a.add && a.table == table)
-          checkLive(adds)
-          adds.foreach(a => appendFiles += (a -> e.version))
+    // The scan retries whole on a vanished entry (zombie sweep / vacuum
+    // racing it) — listing, range bound, and builders all reset per pass.
+    val (appendList, cdfList, to) = retryVanished {
+      // A consumer tailing the log (from at/above the checkpoint anchor —
+      // the steady state) pays only the anchored tail listing; catch-ups
+      // reaching below the anchor list the full dir.
+      val all = boundedFrom(fs, warehouse, fromExclusive)
+      val to = toInclusive.getOrElse(all.lastOption.map(_.version).getOrElse(-1L))
+      // Vacuum deletes pre-cutoff log entries outright — a range reaching
+      // below the earliest retained entry would silently miss their appends.
+      all.headOption.foreach(first => require(fromExclusive + 1 >= first.version,
+        s"changes since $fromExclusive predate the vacuumed log " +
+          s"(earliest retained version: ${first.version})"))
+      val appendFiles = Seq.newBuilder[(Action, Long)]
+      val cdfFiles = Seq.newBuilder[(Action, Long)]
+      all.filter(e => e.version > fromExclusive && e.version <= to).foreach { e =>
+        val lines = readEntry(fs, e.path) // one read: op + actions
+        val op = lines.find(_.startsWith("#OP\t"))
+          .map(_.split("\t", 2)(1)).getOrElse("append")
+        if (!rewriteOps(op)) {
+          val acts = parseActions(lines)
+          if (op == "merge" || op == "overwrite" || op == "drop") {
+            // All replace/remove rows: without CDF files their REMOVEs cannot
+            // be represented as append-only events — refuse rather than serve
+            // the new rows as plain inserts on top of the replaced ones.
+            val cdfs = acts.filter(a => a.cdf && a.table == table)
+            if (cdfs.isEmpty)
+              require(!acts.exists(a => !a.cdf && a.table == table),
+                s"version ${e.version} is a $op commit without change " +
+                  s"files — changes() cannot represent it")
+            else { checkLive(cdfs); cdfs.foreach(a => cdfFiles += (a -> e.version)) }
+          } else {
+            val adds = acts.filter(a => a.add && a.table == table)
+            checkLive(adds)
+            adds.foreach(a => appendFiles += (a -> e.version))
+          }
         }
       }
+      (appendFiles.result(), cdfFiles.result(), to)
     }
     // A file can be ADDed at SEVERAL in-range versions (restore re-ADDs the
     // original path): read each distinct path ONCE, and let the (path →
@@ -1261,12 +1469,12 @@ object Snapshots {
     // under DIFFERENT deletion vectors (restore eras) gets one leaf per
     // era, so each version's insert rows subtract exactly its own vector.
     // Plan depth grows only with layout switches + restore-of-DV events.
-    val appends = appendFiles.result()
+    val appends = appendList
       .groupBy(f => (partitionColumns(Seq(f._1.partition)), f._1.dv))
       .toSeq.sortBy { case ((layout, dv), _) => (layout.mkString("/"), dv) }
       .flatMap { case ((layout, _), files) => appendRead(files, layout.nonEmpty) }
     val cdf = {
-      val files = cdfFiles.result()
+      val files = cdfList
       if (files.isEmpty) None
       else Some(withVersion(
         spark.read.option("mergeSchema", true)
@@ -1355,7 +1563,7 @@ object Snapshots {
     * the anchored tail, not the dir). Reads only in-range entry files. */
   def addsInRange(fs: FileSystem, warehouse: String, table: String,
                   fromExclusive: Long, toInclusive: Long)
-      : Seq[(Long, String, Seq[Action])] =
+      : Seq[(Long, String, Seq[Action])] = retryVanished {
     boundedFrom(fs, warehouse, fromExclusive)
       .filter(e => e.version > fromExclusive && e.version <= toInclusive)
       // ALL of the table's actions (REMOVEs and metas included): the
@@ -1364,6 +1572,7 @@ object Snapshots {
       // warehouse" (serve nothing, keep streaming).
       .map(e => (e.version, readOp(fs, e.path),
         readActions(fs, e.path).filter(_.table == table)))
+  }
 
   /** Commit history, newest first (the DESCRIBE HISTORY analog): one row
     * per log version with its commitId, entry timestamp, and add/remove
@@ -1371,8 +1580,9 @@ object Snapshots {
   def history(spark: SparkSession, warehouse: String): DataFrame = {
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = entries(fs, warehouse).filterNot(_.isCheckpoint).map { e =>
-      val lines = readLines(fs, e.path) // one read: actions, op, metrics
+    val rows = retryVanished {
+      entries(fs, warehouse).filterNot(_.isCheckpoint).map { e =>
+      val lines = readEntry(fs, e.path) // one read: actions, op, metrics
       val parsed = parseActions(lines)
       val acts = parsed.filterNot(a => a.cdf || a.meta)
       // Metadata-only commits (add/rename/drop column, property and
@@ -1391,7 +1601,8 @@ object Snapshots {
         (acts.map(_.table) ++ metaTables).distinct.sorted.mkString(","), op,
         m.get("rows_inserted"), m.get("rows_updated"), m.get("rows_deleted"),
         m.get("files_deleted"), m.get("bytes_deleted"))
-    }.sortBy(-_._1)
+      }.sortBy(-_._1)
+    }
     import spark.implicits._
     rows.toDF("version", "commit_id", "committed_at", "n_added", "n_removed",
       "tables", "op", "rows_inserted", "rows_updated", "rows_deleted",
@@ -1822,10 +2033,25 @@ object Snapshots {
     * at latest see the cleared requirement. A later write that exercises
     * the feature again simply re-stamps it. */
   def dropFeature(fs: FileSystem, warehouse: String, table: String,
-                  name: String): Unit = {
+                  name: String): Unit =
+    dropFeature(fs, warehouse, table, name, () => ())
+
+  /** [[dropFeature]] with a post-probe hook — the deterministic test seam
+    * for the probe→publish race window (a rival commit landed by the hook
+    * must abort the drop). */
+  private[graft] def dropFeature(fs: FileSystem, warehouse: String,
+                                 table: String, name: String,
+                                 probeDone: () => Unit): Unit = {
     require(SupportedWriterFeatures(name),
       s"cannot drop feature '$name': this build does not implement it, " +
         "so it cannot prove nothing live depends on it — upgrade first")
+    // OCC base is captured BEFORE the dependency probe, and the conflict
+    // scope includes the DATA TABLE (`occTables`), not just the features
+    // pseudo-key: a concurrent commit re-exercising the feature (e.g. a
+    // DELETE attaching a deletion vector) emits no `#features` META line
+    // when the feature is already in the set — only its ADD/REMOVE/DV
+    // lines on the table betray it, and those must abort the drop.
+    val base = latestVersion(fs, warehouse)
     val cur = tableFeatures(fs, warehouse, table)
     val scoped = cur.filter(_.drop(2) == name)
     require(scoped.nonEmpty,
@@ -1834,11 +2060,12 @@ object Snapshots {
     if (deps.nonEmpty)
       throw new IllegalStateException(
         s"cannot drop feature '$name' from '$table': ${deps.mkString("; ")}")
+    probeDone()
     val remaining = cur -- scoped
     append(fs, warehouse, "dropfeat" +
         java.util.UUID.randomUUID().toString.replace("-", ""),
       adds = Nil, removes = Nil, op = "dropFeature",
-      baseVersion = latestVersion(fs, warehouse),
+      baseVersion = base, occTables = Set(table),
       metas = Seq(featuresKey(table) ->
         (if (remaining.isEmpty) "" else encodeFeatures(remaining))))
   }

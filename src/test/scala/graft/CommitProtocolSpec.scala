@@ -55,6 +55,26 @@ class SloppyRenameFs extends RawLocalFileSystem {
 
 object SloppyRenameFs { private[graft] val createLock = new Object }
 
+/** Classic-S3A-shaped FileSystem: `create(overwrite = false)` is an
+  * UNSYNCHRONIZED exists-then-create — check-then-act, NOT a conditional
+  * put (two clients can both pass the exists check). The engine must
+  * refuse to run its commit protocol multi-writer on such a store. */
+class HeadThenPutFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("s3emu:///")
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      if (exists(f))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+      Thread.sleep(1) // widen the HEAD→PUT window
+    }
+    super.create(f, permission, true, bufferSize, replication, blockSize,
+      progress)
+  }
+}
+
 class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -78,6 +98,10 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("fs.sloppy.impl", classOf[SloppyRenameFs].getName)
     conf.setBoolean("fs.sloppy.impl.disable.cache", true)
+    // The double's create(overwrite=false) IS an honest conditional put
+    // (JVM-lock arbitration) — vouch for it, the way an operator vouches
+    // for S3 conditional writes.
+    conf.setBoolean("graft.commit.atomicConditionalCreate.sloppy", true)
     new Path("sloppy:///").getFileSystem(conf)
   }
 
@@ -136,6 +160,164 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deltas.last.commitId == "c1")
     assert(Snapshots.fileSet(fs, w, "t").get.toSet ==
       Set(s"$w/t/a.parquet", s"$w/t/b.parquet"))
+  }
+
+  test("readers and writers tolerate entries vanishing mid-read (zombie sweeps)") {
+    // The protocol legitimately DELETES visible .snap files (a loser's
+    // self-delete on a broken claim, the winner's same-version sweep): a
+    // reader that listed such an entry must re-list and retry, never
+    // crash with FileNotFoundException. The chaos thread plants
+    // same-version rival entries and sweeps them moments later — the
+    // exact lifecycle of a zombie — while readers fold continuously and
+    // writers commit under a shrunk claim grace (more stale-claim breaks,
+    // more self-deletes).
+    val w = wh("whZombie")
+    val fs = sloppyFs()
+    sys.props("graft.test.claimGraceMs") = "150"
+    try {
+      Snapshots.append(fs, w, s"seed-${UUID.randomUUID()}",
+        adds = Seq("t" -> s"$w/t/seed.parquet"), removes = Nil)
+      val writers = 2
+      val perWriter = 8
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writersDone = new CountDownLatch(writers)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val pool = Executors.newFixedThreadPool(writers + 3)
+      (0 until writers).foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            try (0 until perWriter).foreach { i =>
+              try Snapshots.append(fs, w, s"zw$t-c$i-${UUID.randomUUID()}",
+                adds = Seq("t" -> s"$w/t/zw$t-f$i.parquet"), removes = Nil)
+              catch { case e: Throwable => failures.add(e) }
+            } finally writersDone.countDown()
+          }
+        })
+      }
+      (0 until 2).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            while (!stop.get()) {
+              try assert(Snapshots.fileSet(fs, w, "t").exists(_.nonEmpty))
+              catch { case e: Throwable => failures.add(e); stop.set(true) }
+            }
+        })
+      }
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          var i = 0
+          while (!stop.get()) {
+            try {
+              // Plant a complete rival entry AT an existing version (a
+              // zombie that wrote before noticing its broken claim), then
+              // sweep it — readers race both transitions.
+              Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+                .lastOption.foreach { last =>
+                  val p = new Path(
+                    s"$w/_snapshots/${"%020d".format(last.version)}-zz$i.snap")
+                  val out = fs.create(p, true)
+                  out.write(
+                    "#OP\tappend\nADD\tzz\t/tmp/zz.parquet\t\t\n#END"
+                      .getBytes("UTF-8"))
+                  out.close()
+                  Thread.sleep(2)
+                  fs.delete(p, false)
+                }
+            } catch { case _: Throwable => () }
+            i += 1
+            Thread.sleep(3)
+          }
+        }
+      })
+      assert(writersDone.await(120, TimeUnit.SECONDS))
+      stop.set(true)
+      pool.shutdown()
+      assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+      assert(failures.isEmpty, s"race surfaced: ${failures.peek()}")
+      // Cleanup any chaos entry caught mid-lifecycle, then verify the real
+      // log: one entry per version, dense, every commit's file live.
+      fs.globStatus(new Path(s"$w/_snapshots/*-zz*.snap"))
+        .foreach(st => fs.delete(st.getPath, false))
+      val deltas = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+      assert(deltas.map(_.version) ==
+        (0L until (1 + writers * perWriter)).toSeq,
+        s"versions: ${deltas.map(_.version)}")
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 1 + writers * perWriter)
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("a torn (footer-less) checkpoint is never an anchor: the fold falls back") {
+    val w = wh("whTornCkpt")
+    val fs = localFs
+    val n = 20 // valid checkpoint lands at version 16
+    (0 until n).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    // A writer died mid-checkpoint at version 18: half the state, no #END.
+    val torn = new Path(s"$w/_snapshots/${"%020d".format(18)}-torn.ckpt")
+    val out = fs.create(torn, true)
+    out.write((0 until 9).map(i => s"ADD\tt\t$w/t/f$i.parquet\t\t")
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      // The fold must skip the torn anchor and serve the FULL state from
+      // the previous (valid) checkpoint + deltas — not the truncated half.
+      assert(Snapshots.fileSet(fs, w, "t").get.size == n)
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("a torn (footer-less) delta entry fails loudly, never a partial fold") {
+    val w = wh("whTornSnap")
+    val fs = localFs
+    (0 until 3).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    val torn = new Path(s"$w/_snapshots/${"%020d".format(3)}-torn.snap")
+    val out = fs.create(torn, true)
+    out.write(s"#OP\tappend\nADD\tt\t$w/t/f3.parquet\t\t".getBytes("UTF-8"))
+    out.close()
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      val e = intercept[IllegalStateException](Snapshots.fileSet(fs, w, "t"))
+      assert(e.getMessage.contains("torn"), e.getMessage)
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("schemes without a proven conditional put are refused multi-writer") {
+    // Emulated classic S3A: create(overwrite=false) is HEAD-then-PUT with
+    // no cross-client arbitration. The engine must refuse to commit on it
+    // rather than corrupt quietly — unless the operator either vouches
+    // for the store's conditional-write support or declares single-writer
+    // deployment.
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.s3emu.impl", classOf[HeadThenPutFs].getName)
+    conf.setBoolean("fs.s3emu.impl.disable.cache", true)
+    val fs = new Path("s3emu:///").getFileSystem(conf)
+    val w = wh("whCondPut")
+    val e = intercept[UnsupportedOperationException](
+      Snapshots.append(fs, w, "c0", adds = Seq("t" -> s"$w/t/a.parquet"),
+        removes = Nil))
+    assert(e.getMessage.contains("s3emu"), e.getMessage)
+    assert(e.getMessage.contains("singleWriter"), e.getMessage)
+
+    // Operator vouches (the S3-conditional-writes / GCS-preconditions
+    // case): multi-writer commits proceed.
+    val vouchConf = new Configuration(conf)
+    vouchConf.setBoolean("graft.commit.atomicConditionalCreate.s3emu", true)
+    val vouched = new Path("s3emu:///").getFileSystem(vouchConf)
+    Snapshots.append(vouched, w, "c1",
+      adds = Seq("t" -> s"$w/t/a.parquet"), removes = Nil)
+
+    // Single-writer declaration: the primitive's atomicity is not needed.
+    val swConf = new Configuration(conf)
+    swConf.setBoolean("graft.commit.singleWriter", true)
+    val single = new Path("s3emu:///").getFileSystem(swConf)
+    Snapshots.append(single, w, "c2",
+      adds = Seq("t" -> s"$w/t/b.parquet"), removes = Nil)
+    assert(Snapshots.fileSet(single, w, "t").get.size == 2)
   }
 
   test("snapshot reconstruction reads O(CheckpointInterval) log files, not O(history)") {

@@ -351,6 +351,60 @@ class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a declared identity"), e.getMessage)
   }
 
+  test("SYNC IDENTITY aborts when a raw append races the stats scan") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("syncrace")
+    Identity.declare(spark, w, "t", "row_id")
+    Identity.appendWithIdentity(spark, w, "t",
+      Seq("a").toDF("v").coalesce(1)) // mints 1
+    def rawAppend(rows: Seq[(Long, String)]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      rows.toDF("row_id", "v").coalesce(1)
+        .write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val mv = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, mv)
+      TxnCommit.publish(fs, w, cid, mv)
+    }
+    rawAppend(Seq((100L, "m1")))
+    // A second out-of-band append lands BETWEEN the sync's stats scan and
+    // its publish — the exact write SYNC IDENTITY exists to reconcile.
+    // The sync's conflict scope includes the table, so it must ABORT (a
+    // mark of 100 would collide the next mint with the racing 500).
+    intercept[Snapshots.ConcurrentCommitException](
+      Identity.syncIdentity(fs, w, "t", "row_id",
+        () => rawAppend(Seq((500L, "m2")))))
+    assert(Identity.highWaterMark(fs, w, "t", "row_id").contains(1L),
+      "an aborted sync must not move the mark")
+    // The caller's retry sees fresh stats and lands the true max.
+    assert(Identity.syncIdentity(fs, w, "t", "row_id") == 500L)
+    Identity.appendWithIdentity(spark, w, "t", Seq("c").toDF("v"))
+    val got = ids(w)
+    assert(got.distinct.size == got.size && got.max > 500L, got.sorted)
+  }
+
+  test("identity mark advance requires per-file per-column stats coverage") {
+    val s0 = spark
+    import s0.implicits._
+    val w = wh("coverage")
+    // Two staged files: one carries row_id [min,max], one does not store
+    // the column at all — the max over the covered file alone would
+    // under-advance the mark and later epochs would re-mint ids.
+    val dA = s"$w/staged/a"; val dB = s"$w/staged/b"
+    Seq((7L, "a")).toDF("row_id", "v").coalesce(1).write.parquet(dA)
+    Seq("b").toDF("v").coalesce(1).write.parquet(dB)
+    def part(d: String): String = fs.listStatus(new Path(d))
+      .map(_.getPath.toString).find(_.endsWith(".parquet")).get
+    val covered = part(dA); val uncovered = part(dB)
+    val e = intercept[IllegalArgumentException](
+      Identity.marksFromStaged(fs, w, "t", Seq(covered, uncovered),
+        Seq("row_id")))
+    assert(e.getMessage.contains("1 of 2"), e.getMessage)
+    // Full coverage: the mark is the true max.
+    assert(Identity.marksFromStaged(fs, w, "t", Seq(covered), Seq("row_id"))
+      == Seq("t#idhw#row_id" -> "7"))
+  }
+
   test("DESCRIBE DETAIL surfaces the identity high-water mark") {
     val s0 = spark
     import s0.implicits._

@@ -1060,7 +1060,9 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     val snapDir = new Path(s"$w/_snapshots")
     def writeSnap(name: String, lines: String): Unit = {
       val out = fs.create(new Path(snapDir, name), true)
-      out.write(lines.getBytes("UTF-8")); out.close()
+      // Complete entries carry the #END footer — both crashed AFTER their
+      // write finished, inside the verify window.
+      out.write((lines + "\n#END").getBytes("UTF-8")); out.close()
     }
     writeSnap("00000000000000000001-xxxx.snap", s"#OP\tcompact\nADD\tt\t$w/t/x.parquet")
     writeSnap("00000000000000000001-yyyy.snap", s"#OP\tcompact\nADD\tt\t$w/t/y.parquet")
@@ -1435,6 +1437,37 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     Merge.deleteWhereDv(spark, w, "t",
       org.apache.spark.sql.functions.col("id") === 1L)
     assert(Snapshots.tableFeatures(fs, w, "t").contains("r:deletionVectors"))
+    assert(Snapshots.read(spark, w, "t").count() == 8L)
+  }
+
+  test("DROP FEATURE aborts when a concurrent commit re-exercises the feature") {
+    val w = wh("dropfeatrace")
+    publishBatch(w, "t", 0 until 10)
+    Merge.deleteWhereDv(spark, w, "t",
+      org.apache.spark.sql.functions.col("id") === 0L)
+    Compaction.compact(spark, w, "t", targetBytes = 512L * 1024 * 1024,
+      purgeDropped = true)
+    assert(Snapshots.fileMeta(fs, w, "t").get.forall(_.dv.isEmpty))
+    // The dependency probe passes (no live vectors) — and then a rival
+    // DELETE attaches a fresh vector before the drop publishes. The
+    // rival's entry carries NO `#features` META line (the feature is
+    // already required), only a DV line on the table: the drop's OCC
+    // scope must include the table itself to see it, and ABORT — an
+    // older build opening the table after a drop that slipped through
+    // would serve the deleted row back.
+    intercept[Snapshots.ConcurrentCommitException](
+      Snapshots.dropFeature(fs, w, "t", "deletionVectors", () =>
+        Merge.deleteWhereDv(spark, w, "t",
+          org.apache.spark.sql.functions.col("id") === 1L)))
+    assert(Snapshots.tableFeatures(fs, w, "t").contains("r:deletionVectors"),
+      "the drop slipped through with a live dependent")
+    assert(Snapshots.fileMeta(fs, w, "t").get.exists(_.dv.nonEmpty))
+    assert(Snapshots.read(spark, w, "t").count() == 8L)
+    // The retry path: purge again, drop cleanly.
+    Compaction.compact(spark, w, "t", targetBytes = 512L * 1024 * 1024,
+      purgeDropped = true)
+    Snapshots.dropFeature(fs, w, "t", "deletionVectors")
+    assert(Snapshots.tableFeatures(fs, w, "t").isEmpty)
     assert(Snapshots.read(spark, w, "t").count() == 8L)
   }
 
