@@ -259,6 +259,40 @@ object Merge {
         .count() <= t)
   }
 
+  /** [[sourceIsSmall]] with probe-cost containment: when the answer must
+    * come from the bounded probe job (no log-token bound — a plain
+    * DataFrame source), the source is persisted FIRST, so the probe's
+    * partial execution lands in the cache and the merge body's own
+    * re-executions (bounds agg, key enumeration, the pairs join) hit it
+    * instead of re-running an arbitrarily expensive upstream plan. The
+    * cache is kept only on a SMALL verdict (≤ broadcast-threshold rows —
+    * bounded memory by construction); a fact-sized source unpersists
+    * immediately, since spilling a 100 TB plan to MEMORY_AND_DISK would
+    * cost more than the one probe re-execution it saves. Snapshot-backed
+    * sources answer from log tokens (zero jobs, nothing to cache); a
+    * source the CALLER already persisted is probed but never
+    * double-persisted or unpersisted here. Callers must invoke the
+    * returned release handle when the merge is done. */
+  private def sizeRouted(source: DataFrame): (Boolean, () => Unit) = {
+    val noop: () => Unit = () => ()
+    val t = broadcastMaxRows(source.sparkSession)
+    if (t <= 0) return (true, noop)
+    statsRowBound(source) match {
+      case Some(b) => (b <= t, noop)
+      case None =>
+        val probeRows = math.min(t + 1, Int.MaxValue.toLong).toInt
+        if (source.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+          (source.limit(probeRows).count() <= t, noop)
+        else {
+          source.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val small = source.limit(probeRows).count() <= t
+          if (small) (true, () => { source.unpersist(false); () })
+          else { source.unpersist(false); (false, noop) }
+        }
+    }
+  }
+
   /** The broadcast hint, applied only on the small-source route. */
   private def hintIf(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df
@@ -352,7 +386,11 @@ object Merge {
                    keys: DataFrame, keyCols: Seq[String],
                    rewriteFraction: Double = 1.0): Result = {
     val srcKeys = keys.select(keyCols.map(col): _*).distinct()
-    val small = sourceIsSmall(keys)
+    // Probe-cached (released in the finally below): the keys frame is
+    // re-executed by the bounds agg, the prune predicate, and the
+    // semi-join.
+    val (small, releaseProbe) = sizeRouted(keys)
+    try {
     val bounds = keys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
     dvCore(spark, warehouse, table,
       candidatesOf = (meta, mapping) =>
@@ -373,6 +411,7 @@ object Merge {
         .join(hintIf(small)(srcKeys), keyCols, "left_semi"),
       keeper = df => df.join(hintIf(small)(srcKeys), keyCols, "left_anti"),
       assignments = Map.empty, rewriteFraction = rewriteFraction)
+    } finally releaseProbe()
   }
 
   /** Shared merge-on-read core. Empty `assignments` = delete.
@@ -824,8 +863,9 @@ object Merge {
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     // Size-routed: a dim-sized source broadcasts (and point-prunes); a
     // fact-sized one plans shuffle joins and keeps envelope pruning only.
-    val small = sourceIsSmall(source)
-
+    // Probe-cached (released in the finally below).
+    val (small, releaseProbe) = sizeRouted(source)
+    try {
     // Candidate files by LOG-SIDE stats intersection: a file whose recorded
     // [min,max] on the leading key cannot overlap the update keys' bounds
     // cannot contain a match — skip it without opening anything. Files
@@ -901,6 +941,7 @@ object Merge {
     commitRewrite(fs, warehouse, table, partCols, out, changes,
       affected.map(_.file), base, candidates.size, mapping,
       fileGranularOcc = !insertSource)
+    } finally releaseProbe()
   }
 
   /** One `WHEN` clause of a general MERGE. For a MATCHED clause,
@@ -1050,7 +1091,10 @@ object Merge {
 
     // Size-routed source (see [[broadcastMaxRows]]): broadcast + point
     // pruning when dim-sized, shuffle joins + envelope pruning when not.
-    val small = sourceIsSmall(source)
+    // Probe-cached: a plain-DataFrame source persists across the probe
+    // and the body's reuses (released in the tail's finally).
+    val (small, releaseProbe) = sizeRouted(source)
+    try {
     // Candidate files by log-side stats intersection with the source keys
     // (source values pruned under the TARGET column's name).
     val srcAsTgtKeys = source.select(srcKeyCols.zip(keyCols).map {
@@ -1319,5 +1363,6 @@ object Merge {
       if (acted != null) acted.unpersist()
       if (nmbsActed != null) nmbsActed.unpersist()
     }
+    } finally releaseProbe()
   }
 }

@@ -390,12 +390,67 @@ object Snapshots {
 
   /** [[readEntryOpt]] that FAILS on a torn entry — the delta-entry read:
     * unlike a checkpoint (redundant state, skippable), a truncated delta
-    * has no safe interpretation. */
+    * has no safe interpretation — after attempting the self-heal below. */
   private def readEntry(fs: FileSystem, p: Path): Seq[String] =
-    readEntryOpt(fs, p).getOrElse(throw new IllegalStateException(
-      s"log entry $p is torn or still in flight (no $EndMarker footer " +
-        s"after ${tornGraceMs}ms) — a writer died mid-write; restore the " +
-        "entry or remove it and its version claim before retrying"))
+    readEntryOpt(fs, p).getOrElse {
+      if (sweepTorn(fs, p))
+        // The torn entry is gone: surface it as a vanished entry, which
+        // every read path already retries with a re-list.
+        throw new java.io.FileNotFoundException(
+          s"$p was torn (dead writer) and has been swept")
+      throw new IllegalStateException(
+        s"log entry $p is torn or still in flight (no $EndMarker footer " +
+          s"after ${tornGraceMs}ms) — its writer may still be alive " +
+          "(within the claim grace); retry, or past the grace the next " +
+          "read self-heals by sweeping it")
+    }
+
+  /** Self-heal a torn entry whose writer is provably dead: an entry still
+    * footer-less past [[claimGraceMs]] (the same staleness rule claim
+    * breaking uses — entry writes are ms-wide) is a died-mid-write
+    * residue that would otherwise wedge every reader AND every writer
+    * (version assignment counts it; `putIfAbsent` can never replace it).
+    *
+    * Two safety rails:
+    *  - A DELTA sweeps only at the TOP of the log (no entry at version+1):
+    *    deleting a mid-log version would punch a hole in the dense-version
+    *    invariant the anchored listing and the OCC "seen every entry < V"
+    *    argument rest on. Mid-log torn deltas are near-impossible anyway —
+    *    every adds-bearing append folds the log (and so trips on the torn
+    *    entry) BEFORE claiming a higher version; only metadata-only
+    *    commits could stack past one, and those keep the loud error.
+    *  - Against a merely-SLOW writer: (1) break the version claim FIRST,
+    *    (2) re-read — a writer that completed and verified its claim
+    *    before (1) has, by read-after-write, a visible footer at (2), so
+    *    a completed entry is never deleted; a writer still in flight
+    *    loses its claim, and its own post-write re-verify self-deletes
+    *    and retries (the standard zombie path).
+    *
+    * Checkpoints sweep on age alone — redundant state with no role in
+    * version assignment, and the lingering torn file would block
+    * [[writeCheckpoint]]'s put-if-absent at that version forever.
+    * Returns true when the entry was removed. */
+  private def sweepTorn(fs: FileSystem, p: Path): Boolean = {
+    val version = p.getName match {
+      case SnapRe(v, _, _) => v.toLong
+      case _ => return false
+    }
+    val age =
+      try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => return false }
+    if (age < claimGraceMs) return false
+    if (!p.getName.endsWith(".ckpt")) {
+      if (fs.globStatus(
+          new Path(p.getParent, f"${version + 1}%020d-*.snap")).nonEmpty)
+        return false // mid-log: never punch a hole
+      fs.delete(new Path(p.getParent, f"$version%020d.lock"), false)
+    }
+    val stillTorn =
+      try readLines(fs, p).lastOption.forall(_ != EndMarker)
+      catch { case _: java.io.FileNotFoundException => return true }
+    if (stillTorn) fs.delete(p, false)
+    stillTorn
+  }
 
   /** A LISTED log entry can legitimately vanish before it is opened: the
     * commit protocol deletes `.snap` files after they become visible (a
@@ -821,7 +876,13 @@ object Snapshots {
         case Some(c) => readEntryOpt(fs, c.path).map(parseActions)
       }
       anchorActs match {
-        case None => ckpts = ckpts.tail // torn/in-flight anchor: skip it
+        case None =>
+          // Torn/in-flight anchor: fold from the previous one. An AGED
+          // torn checkpoint also sweeps — it is redundant state, and
+          // leaving it would block a future writeCheckpoint's
+          // put-if-absent at that version forever.
+          anchor.foreach(c => sweepTorn(fs, c.path))
+          ckpts = ckpts.tail
         case Some(acts) =>
           return Some(foldState(fs, warehouse, key, acts, deltas))
       }

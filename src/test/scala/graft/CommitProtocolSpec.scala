@@ -265,24 +265,79 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       // The fold must skip the torn anchor and serve the FULL state from
       // the previous (valid) checkpoint + deltas — not the truncated half.
       assert(Snapshots.fileSet(fs, w, "t").get.size == n)
+      // Aged past the grace, the torn checkpoint is also SWEPT (it would
+      // block a future writeCheckpoint's put-if-absent at v18 forever).
+      assert(!fs.exists(torn), "aged torn checkpoint not swept")
+      assert(Snapshots.fileSet(fs, w, "t").get.size == n)
     } finally sys.props.remove("graft.test.claimGraceMs")
   }
 
-  test("a torn (footer-less) delta entry fails loudly, never a partial fold") {
+  test("a torn delta: loud while its writer may live, swept once provably dead") {
     val w = wh("whTornSnap")
     val fs = localFs
     (0 until 3).foreach { i =>
       Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
         removes = Nil)
     }
+    def tearEntry(): Path = {
+      val torn = new Path(s"$w/_snapshots/${"%020d".format(3)}-torn.snap")
+      val out = fs.create(torn, true)
+      out.write(s"#OP\tappend\nADD\tt\t$w/t/f3.parquet\t\t".getBytes("UTF-8"))
+      out.close()
+      torn
+    }
+    // Writer may still be alive (inside the claim grace): never fold the
+    // truncated state — fail loudly after the bounded wait.
+    val torn = tearEntry()
+    sys.props("graft.test.claimGraceMs") = "8000" // read wait caps at 5s < grace
+    try {
+      val e = intercept[IllegalStateException](Snapshots.fileSet(fs, w, "t"))
+      assert(e.getMessage.contains("torn"), e.getMessage)
+      assert(fs.exists(torn), "must not sweep inside the writer's grace")
+    } finally sys.props.remove("graft.test.claimGraceMs")
+    // Past the grace the writer is provably dead: the read SELF-HEALS —
+    // sweeps the residue (top-of-log only) and serves the committed state.
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      Thread.sleep(250)
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 3)
+      assert(!fs.exists(torn), "aged torn delta not swept")
+      // Life goes on: the freed version is claimable again.
+      Snapshots.append(fs, w, "c3", adds = Seq("t" -> s"$w/t/f3.parquet"),
+        removes = Nil)
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 4)
+      assert(Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+        .map(_.version) == Seq(0L, 1L, 2L, 3L))
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("a torn delta BELOW committed versions is never swept (no log holes)") {
+    val w = wh("whTornMid")
+    val fs = localFs
+    (0 until 3).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    // Fabricate the pathological state: a torn entry at v3 with a real
+    // commit at v4 stacked above it (only metadata-only commits can do
+    // this in practice — adds-bearing appends fold first and trip).
     val torn = new Path(s"$w/_snapshots/${"%020d".format(3)}-torn.snap")
     val out = fs.create(torn, true)
     out.write(s"#OP\tappend\nADD\tt\t$w/t/f3.parquet\t\t".getBytes("UTF-8"))
     out.close()
+    val v4 = new Path(s"$w/_snapshots/${"%020d".format(4)}-real.snap")
+    val out4 = fs.create(v4, true)
+    out4.write(s"#OP\tappend\nADD\tt\t$w/t/f4.parquet\t\t\n#END".getBytes("UTF-8"))
+    out4.close()
     sys.props("graft.test.claimGraceMs") = "200"
     try {
+      Thread.sleep(250)
+      // Sweeping v3 would hide v4 from the dense-version walk — the read
+      // must keep failing loudly instead of silently truncating the log.
       val e = intercept[IllegalStateException](Snapshots.fileSet(fs, w, "t"))
       assert(e.getMessage.contains("torn"), e.getMessage)
+      assert(fs.exists(torn), "mid-log torn entry must never be swept")
+      assert(fs.exists(v4))
     } finally sys.props.remove("graft.test.claimGraceMs")
   }
 
