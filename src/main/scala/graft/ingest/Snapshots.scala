@@ -380,9 +380,11 @@ object Snapshots {
   private def readEntryOpt(fs: FileSystem, p: Path): Option[Seq[String]] = {
     val deadline = System.currentTimeMillis() + tornGraceMs
     var lines = readLines(fs, p)
+    var backoff = 10L // exponential: each retry is a GET on object stores
     while (lines.lastOption.forall(_ != EndMarker) &&
         System.currentTimeMillis() < deadline) {
-      Thread.sleep(10)
+      Thread.sleep(backoff)
+      backoff = math.min(backoff * 2, 250L)
       lines = readLines(fs, p)
     }
     if (lines.lastOption.contains(EndMarker)) Some(lines.init) else None
