@@ -390,6 +390,14 @@ object Snapshots {
     if (lines.lastOption.contains(EndMarker)) Some(lines.init) else None
   }
 
+  /** A log entry is visible but incomplete (no [[EndMarker]] footer) and
+    * could not be self-healed yet: its writer may still be alive (inside
+    * [[claimGraceMs]]), or it sits mid-log where sweeping would punch a
+    * version hole. TRANSIENT in the first case — a retry after the grace
+    * self-heals; callers that can re-drive the operation should. */
+  final class TornLogEntryException(msg: String)
+    extends IllegalStateException(msg)
+
   /** [[readEntryOpt]] that FAILS on a torn entry — the delta-entry read:
     * unlike a checkpoint (redundant state, skippable), a truncated delta
     * has no safe interpretation — after attempting the self-heal below. */
@@ -400,7 +408,7 @@ object Snapshots {
         // every read path already retries with a re-list.
         throw new java.io.FileNotFoundException(
           s"$p was torn (dead writer) and has been swept")
-      throw new IllegalStateException(
+      throw new TornLogEntryException(
         s"log entry $p is torn or still in flight (no $EndMarker footer " +
           s"after ${tornGraceMs}ms) — its writer may still be alive " +
           "(within the claim grace); retry, or past the grace the next " +
