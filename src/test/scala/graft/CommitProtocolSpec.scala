@@ -341,6 +341,63 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props.remove("graft.test.claimGraceMs")
   }
 
+  test("vacuum, writers, and readers interleave without crashes or lost state") {
+    // The maintenance mode a 100 TB warehouse actually runs in: queries
+    // fold the log WHILE a vacuum truncates its history and writers keep
+    // committing. Truncated entries vanish between a reader's list and
+    // open — the re-list retry must serve every read from a consistent
+    // post-anchor view, and no committed file may ever drop from the
+    // latest state.
+    val w = wh("whVacRace")
+    val fs = localFs
+    (0 until 40).foreach { i =>
+      Snapshots.append(fs, w, s"v$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    val writerAppends = 20
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writerDone = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = Executors.newFixedThreadPool(4)
+    pool.submit(new Runnable {
+      override def run(): Unit = {
+        try (0 until writerAppends).foreach { i =>
+          try Snapshots.append(fs, w, s"w$i",
+            adds = Seq("t" -> s"$w/t/g$i.parquet"), removes = Nil)
+          catch { case e: Throwable => failures.add(e) }
+        } finally writerDone.countDown()
+      }
+    })
+    (0 until 2).foreach { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          while (!stop.get()) {
+            try assert(Snapshots.fileSet(fs, w, "t").exists(_.size >= 40))
+            catch { case e: Throwable => failures.add(e); stop.set(true) }
+          }
+      })
+    }
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        while (!stop.get()) {
+          // Aggressive retention: truncate everything but the last 8
+          // versions with no age shield — maximal entry-vanish pressure.
+          try Snapshots.vacuum(fs, w, keepVersions = 8, minAgeMs = 0L)
+          catch { case e: Throwable => failures.add(e); stop.set(true) }
+          Thread.sleep(5)
+        }
+    })
+    assert(writerDone.await(120, TimeUnit.SECONDS))
+    Thread.sleep(100) // let readers/vacuum race the final tail once more
+    stop.set(true)
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"race surfaced: ${failures.peek()}")
+    // Every commit's file survives truncation (vacuum reaps history, not
+    // live state), and the log tail still reconstructs.
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 40 + writerAppends)
+  }
+
   test("schemes without a proven conditional put are refused multi-writer") {
     // Emulated classic S3A: create(overwrite=false) is HEAD-then-PUT with
     // no cross-client arbitration. The engine must refuse to commit on it
