@@ -350,13 +350,21 @@ object Compaction {
     if (props.get("graft.autoCompact.async").contains("true")) {
       // in-flight + one queued PER TABLE, max — beyond that the trigger
       // drops.
-      val pending = maintenancePending.computeIfAbsent((warehouse, table),
+      val key = (warehouse, table)
+      val pending = maintenancePending.computeIfAbsent(key,
         _ => new java.util.concurrent.atomic.AtomicInteger(0))
       if (pending.incrementAndGet() <= 2)
         maintenanceThread.submit(new Runnable {
           override def run(): Unit =
             try autoCompactNow(spark, warehouse, table, touchedSpecs)
-            finally pending.decrementAndGet()
+            finally if (pending.decrementAndGet() == 0)
+              // Evict idle counters so short-lived warehouses/tables
+              // don't accrete map entries for the JVM's lifetime. The
+              // check-then-remove can race a fresh increment from the
+              // map; the loser just mints a new counter at 0 — at worst
+              // one extra queued run, which the level-based hook
+              // tolerates by design.
+              maintenancePending.remove(key, pending)
         })
       else pending.decrementAndGet()
     } else autoCompactNow(spark, warehouse, table, touchedSpecs)

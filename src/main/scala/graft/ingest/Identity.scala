@@ -125,37 +125,48 @@ object Identity {
                                   scanDone: () => Unit): Long = {
     require(identityColumns(fs, warehouse, table).contains(column),
       s"'$column' is not a declared identity column of '$table'")
-    val base = Snapshots.latestVersion(fs, warehouse)
-    val cur = highWaterMark(fs, warehouse, table, column).getOrElse(0L)
-    val acts = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
-    val maxes = acts.flatMap(a => FileStats.decode(a.stats))
-      .flatMap { st =>
-        // A live file that predates the column (or lacks its stats)
-        // cannot carry ids — only files that STORE the column count, and
-        // for those the [min,max] token must exist or the sync is
-        // unprovable.
-        if (!st.schema.exists(_._1 == column)) None
-        else Some(st.cols.get(column).map(_.max.toLong).getOrElse(
-          throw new IllegalStateException(
-            s"a live file of '$table' stores '$column' without a " +
-              "[min,max] stats token — SYNC IDENTITY cannot prove the " +
-              "max without reading data; OPTIMIZE the table first")))
+    // The no-advance answer must be as race-proof as the advancing one:
+    // with no commit to carry the OCC guard, a raw append landing between
+    // the stats scan and the return would go unreconciled — so a
+    // no-advance verdict is only returned when the log provably did not
+    // move during the scan; otherwise rescan against fresh stats.
+    while (true) {
+      val base = Snapshots.latestVersion(fs, warehouse)
+      val cur = highWaterMark(fs, warehouse, table, column).getOrElse(0L)
+      val acts = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
+      val maxes = acts.flatMap(a => FileStats.decode(a.stats))
+        .flatMap { st =>
+          // A live file that predates the column (or lacks its stats)
+          // cannot carry ids — only files that STORE the column count, and
+          // for those the [min,max] token must exist or the sync is
+          // unprovable.
+          if (!st.schema.exists(_._1 == column)) None
+          else Some(st.cols.get(column).map(_.max.toLong).getOrElse(
+            throw new IllegalStateException(
+              s"a live file of '$table' stores '$column' without a " +
+                "[min,max] stats token — SYNC IDENTITY cannot prove the " +
+                "max without reading data; OPTIMIZE the table first")))
+        }
+      scanDone()
+      val synced = (cur +: maxes).max
+      if (synced > cur) {
+        // The conflict scope includes the DATA TABLE (`occTables`), not
+        // just the high-water pseudo-key: a raw append carrying explicit
+        // ids that lands between the stats scan above and this commit —
+        // the exact out-of-band write SYNC IDENTITY exists to reconcile —
+        // emits no `#idhw#` line, so only conflicting on the table itself
+        // makes the sync abort and the caller retry against fresh stats.
+        Snapshots.append(fs, warehouse, "idsync" +
+            java.util.UUID.randomUUID().toString.replace("-", ""),
+          adds = Nil, removes = Nil, op = "syncIdentity", baseVersion = base,
+          occTables = Set(table),
+          metas = Seq(hwKey(table, column) -> synced.toString))
+        return synced
       }
-    scanDone()
-    val synced = (cur +: maxes).max
-    if (synced > cur)
-      // The conflict scope includes the DATA TABLE (`occTables`), not
-      // just the high-water pseudo-key: a raw append carrying explicit
-      // ids that lands between the stats scan above and this commit — the
-      // exact out-of-band write SYNC IDENTITY exists to reconcile — emits
-      // no `#idhw#` line, so only conflicting on the table itself makes
-      // the sync abort and the caller retry against fresh stats.
-      Snapshots.append(fs, warehouse, "idsync" +
-          java.util.UUID.randomUUID().toString.replace("-", ""),
-        adds = Nil, removes = Nil, op = "syncIdentity", baseVersion = base,
-        occTables = Set(table),
-        metas = Seq(hwKey(table, column) -> synced.toString))
-    synced
+      if (Snapshots.latestVersion(fs, warehouse) == base) return synced
+      // The log moved mid-scan: the mover may carry ids above the mark.
+    }
+    0L // unreachable
   }
 
   /** Append `df` minting the table's identity column(s). `df` must NOT

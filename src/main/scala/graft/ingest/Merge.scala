@@ -245,48 +245,42 @@ object Merge {
     bound(source.queryExecution.analyzed)
   }
 
-  /** Route the merge by source size. The log's row tokens answer first —
-    * zero jobs for a snapshot-table source ([[statsRowBound]]); otherwise
-    * ONE bounded probe job counts at most threshold+1 rows (the limit
-    * caps the scan — a 100 TB source answers "big" after the first
-    * partitions, never a full count; note the probe re-executes the
-    * source plan once, so expensive non-snapshot sources should be
-    * cached by the caller). */
-  private def sourceIsSmall(source: DataFrame): Boolean = {
-    val t = broadcastMaxRows(source.sparkSession)
-    t <= 0 || statsRowBound(source).map(_ <= t).getOrElse(
-      source.limit(math.min(t + 1, Int.MaxValue.toLong).toInt)
-        .count() <= t)
-  }
-
-  /** [[sourceIsSmall]] with probe-cost containment: when the answer must
-    * come from the bounded probe job (no log-token bound — a plain
-    * DataFrame source), the source is persisted FIRST, so the probe's
-    * partial execution lands in the cache and the merge body's own
-    * re-executions (bounds agg, key enumeration, the pairs join) hit it
-    * instead of re-running an arbitrarily expensive upstream plan. The
-    * cache is kept only on a SMALL verdict (≤ broadcast-threshold rows —
-    * bounded memory by construction); a fact-sized source unpersists
-    * immediately, since spilling a 100 TB plan to MEMORY_AND_DISK would
-    * cost more than the one probe re-execution it saves. Snapshot-backed
-    * sources answer from log tokens (zero jobs, nothing to cache); a
-    * source the CALLER already persisted is probed but never
-    * double-persisted or unpersisted here. Callers must invoke the
-    * returned release handle when the merge is done. */
+  /** Route the merge by source size, with probe-cost containment. The
+    * log's row tokens answer first — zero jobs for a snapshot-table
+    * source ([[statsRowBound]]); otherwise ONE bounded probe job counts
+    * at most threshold+1 rows (the limit caps the scan — a 100 TB source
+    * answers "big" after the first partitions, never a full count).
+    *
+    * When the probe must run (a plain DataFrame source), the source is
+    * persisted FIRST, so the probe's partial execution lands in the
+    * cache and the merge body's own re-executions (bounds agg, key
+    * enumeration, the pairs join) hit it instead of re-running an
+    * arbitrarily expensive upstream plan. The cache is kept only on a
+    * SMALL verdict (≤ broadcast-threshold rows — bounded memory by
+    * construction); a fact-sized source unpersists immediately, since
+    * spilling a 100 TB plan to MEMORY_AND_DISK would cost more than the
+    * one probe re-execution it saves — and a probe that THROWS also
+    * unpersists before propagating. A source the CALLER already
+    * persisted is probed but never double-persisted or unpersisted here.
+    * Callers must invoke the returned release handle when the merge is
+    * done. */
   private def sizeRouted(source: DataFrame): (Boolean, () => Unit) = {
     val noop: () => Unit = () => ()
     val t = broadcastMaxRows(source.sparkSession)
     if (t <= 0) return (true, noop)
+    def probeSmall(): Boolean =
+      source.limit(math.min(t + 1, Int.MaxValue.toLong).toInt).count() <= t
     statsRowBound(source) match {
       case Some(b) => (b <= t, noop)
       case None =>
-        val probeRows = math.min(t + 1, Int.MaxValue.toLong).toInt
         if (source.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-          (source.limit(probeRows).count() <= t, noop)
+          (probeSmall(), noop)
         else {
           source.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val small = source.limit(probeRows).count() <= t
+          val small =
+            try probeSmall()
+            catch { case e: Throwable => source.unpersist(false); throw e }
           if (small) (true, () => { source.unpersist(false); () })
           else { source.unpersist(false); (false, noop) }
         }

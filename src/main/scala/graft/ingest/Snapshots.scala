@@ -368,17 +368,21 @@ object Snapshots {
     * the path, never a silent partial fold. */
   private[ingest] val EndMarker = "#END"
 
-  /** Bound on how long a reader waits for a footer-less entry to finish
-    * (the write side needs milliseconds; a footer still missing after
-    * this is a dead writer's torn entry, not an in-flight one). */
-  private def tornGraceMs: Long = math.min(claimGraceMs, 5000L)
+  /** How long the optional-anchor read waits for an in-flight checkpoint:
+    * checkpoints are redundant state, so the fold skips to the previous
+    * anchor quickly instead of stalling a read behind a large checkpoint
+    * mid-write. (DELTA reads wait the full [[claimGraceMs]] — see
+    * [[readEntry]]: a delta has no substitute, and waiting out a live
+    * writer beats failing the read.) */
+  private def ckptSkipMs: Long = math.min(claimGraceMs, 2000L)
 
   /** Read a log entry's lines, validating the [[EndMarker]] footer. None
-    * after the grace window = torn (or still in-flight under a pathological
+    * after `maxWaitMs` = torn (or still in-flight under a pathological
     * stall — retrying later is always safe: complete entries are
     * immutable). Footer line stripped from the result. */
-  private def readEntryOpt(fs: FileSystem, p: Path): Option[Seq[String]] = {
-    val deadline = System.currentTimeMillis() + tornGraceMs
+  private def readEntryOpt(fs: FileSystem, p: Path,
+                           maxWaitMs: Long): Option[Seq[String]] = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
     var lines = readLines(fs, p)
     var backoff = 10L // exponential: each retry is a GET on object stores
     while (lines.lastOption.forall(_ != EndMarker) &&
@@ -400,9 +404,14 @@ object Snapshots {
 
   /** [[readEntryOpt]] that FAILS on a torn entry — the delta-entry read:
     * unlike a checkpoint (redundant state, skippable), a truncated delta
-    * has no safe interpretation — after attempting the self-heal below. */
+    * has no safe interpretation. The wait is the FULL claim grace: an
+    * alive writer finishes in milliseconds (and an actively-writing one
+    * keeps refreshing the file's mtime, so it is never mistaken for
+    * dead), a dead one's residue self-heals via [[sweepTorn]] at the
+    * grace boundary — so a reader only ever FAILS on the mid-log torn
+    * case, never on a merely-slow live writer. */
   private def readEntry(fs: FileSystem, p: Path): Seq[String] =
-    readEntryOpt(fs, p).getOrElse {
+    readEntryOpt(fs, p, claimGraceMs).getOrElse {
       if (sweepTorn(fs, p))
         // The torn entry is gone: surface it as a vanished entry, which
         // every read path already retries with a re-list.
@@ -410,9 +419,10 @@ object Snapshots {
           s"$p was torn (dead writer) and has been swept")
       throw new TornLogEntryException(
         s"log entry $p is torn or still in flight (no $EndMarker footer " +
-          s"after ${tornGraceMs}ms) — its writer may still be alive " +
-          "(within the claim grace); retry, or past the grace the next " +
-          "read self-heals by sweeping it")
+          s"after ${claimGraceMs}ms) — either its version claim is held " +
+          "by a live rival (whose own commit will sweep it) or it sits " +
+          "mid-log where sweeping would hole the version sequence; " +
+          "see Snapshots.migrateFooters for pre-footer-era logs")
     }
 
   /** Self-heal a torn entry whose writer is provably dead: an entry still
@@ -441,10 +451,12 @@ object Snapshots {
     * [[writeCheckpoint]]'s put-if-absent at that version forever.
     * Returns true when the entry was removed. */
   private def sweepTorn(fs: FileSystem, p: Path): Boolean = {
-    val version = p.getName match {
-      case SnapRe(v, _, _) => v.toLong
+    val (version, commitId) = p.getName match {
+      case SnapRe(v, cid, _) => (v.toLong, cid)
       case _ => return false
     }
+    // mtime is a liveness heartbeat: an actively-writing writer keeps
+    // refreshing it, so only a file UNTOUCHED for the full grace sweeps.
     val age =
       try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.IOException => return false }
@@ -453,7 +465,20 @@ object Snapshots {
       if (fs.globStatus(
           new Path(p.getParent, f"${version + 1}%020d-*.snap")).nonEmpty)
         return false // mid-log: never punch a hole
-      fs.delete(new Path(p.getParent, f"$version%020d.lock"), false)
+      // The version claim may belong to a LIVE RIVAL by now (the torn
+      // writer's stale claim was broken and re-taken): deleting it would
+      // zombify that rival — its post-write re-verify would self-delete
+      // a perfectly valid entry. Only the torn entry's OWN claim breaks;
+      // a rival claimant's eventual winner-sweep clears this residue
+      // instead.
+      val lock = new Path(p.getParent, f"$version%020d.lock")
+      val holder =
+        try {
+          if (!fs.exists(lock)) None
+          else readLines(fs, lock).headOption
+        } catch { case _: java.io.IOException => None }
+      if (holder.exists(_ != commitId)) return false
+      fs.delete(lock, false)
     }
     val stillTorn =
       try readLines(fs, p).lastOption.forall(_ != EndMarker)
@@ -576,6 +601,29 @@ object Snapshots {
     }
   }
 
+  /** One-time upgrade for PRE-FOOTER-era logs: stamp the [[EndMarker]]
+    * footer onto every entry that lacks one, so a warehouse written by an
+    * older build reads under the footer-validating protocol instead of
+    * every entry looking torn. MUST run with no concurrent writers or
+    * readers (the rewrite is a plain overwrite — the one place the
+    * format tolerates it, because the operator has declared quiescence);
+    * contents are byte-identical plus the footer, so parsed state is
+    * unchanged. Idempotent. Returns the number of entries stamped. */
+  def migrateFooters(fs: FileSystem, warehouse: String): Int = {
+    var stamped = 0
+    entries(fs, warehouse).foreach { e =>
+      val lines = readLines(fs, e.path)
+      if (lines.lastOption.forall(_ != EndMarker)) {
+        val out = fs.create(e.path, true)
+        try out.write(
+          (lines :+ EndMarker).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        stamped += 1
+      }
+    }
+    stamped
+  }
+
   private def lockPath(warehouse: String, version: Long): Path =
     new Path(snapDir(warehouse), f"$version%020d.lock")
 
@@ -682,6 +730,21 @@ object Snapshots {
       if (!fileGranularOcc) Set.empty
       else (removes.map { case (t, f) => (t, pathKey(f)) } ++
         dvs.map { case (t, f, _) => (t, pathKey(f)) }).toSet
+    // A vanished-entry retry can leave an earlier attempt's claim behind
+    // (claimed, then the fold aborted before the entry write): track it,
+    // and on ANY exit where no entry of ours stands at the claimed
+    // version, release the lock — otherwise the next committer to reach
+    // that version sits the full claim grace breaking an orphan.
+    var heldClaim = -1L
+    def releaseHeldClaim(): Unit =
+      if (heldClaim >= 0) {
+        if (ownsClaim(fs, warehouse, heldClaim, commitId) &&
+            fs.globStatus(new Path(snapDir(warehouse),
+              f"$heldClaim%020d-$commitId.snap")).isEmpty)
+          fs.delete(lockPath(warehouse, heldClaim), false)
+        heldClaim = -1L
+      }
+    try {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -750,6 +813,8 @@ object Snapshots {
         // claim), then re-list and try the next version.
         awaitClaimedVersion(fs, warehouse, version)
       } else {
+        if (heldClaim >= 0 && heldClaim != version) releaseHeldClaim()
+        heldClaim = version
         // Feature requirements land ATOMICALLY with the commit that first
         // exercises them: explicit tags from the caller (widening,
         // mapping, defaults) plus the implicit one a DV attach carries.
@@ -796,6 +861,7 @@ object Snapshots {
                 org.slf4j.LoggerFactory.getLogger(getClass).warn(
                   s"checkpoint at version $version deferred: ${e.getMessage}")
             }
+          heldClaim = -1L // committed: the claim now guards a live version
           return
         }
       }
@@ -808,6 +874,7 @@ object Snapshots {
         case _: java.io.FileNotFoundException => Thread.sleep(5)
       }
     }
+    } finally releaseHeldClaim()
   }
 
   /** Full table→(file→(partition, stats)) state folded up to `asOf`
@@ -883,7 +950,7 @@ object Snapshots {
       if (hit != null) return Some(hit)
       val anchorActs: Option[Seq[Action]] = anchor match {
         case None => Some(Nil)
-        case Some(c) => readEntryOpt(fs, c.path).map(parseActions)
+        case Some(c) => readEntryOpt(fs, c.path, ckptSkipMs).map(parseActions)
       }
       anchorActs match {
         case None =>
@@ -1230,13 +1297,19 @@ object Snapshots {
     if (victims.nonEmpty) {
       // Truncation safety rests on a VALID checkpoint at the cutoff: a
       // footer-less one (a writer died mid-checkpoint) must never be
-      // trusted as the anchor the victims' history collapses into —
-      // sweep it and write a complete one in its place.
+      // trusted as the anchor the victims' history collapses into.
+      // Vacuum writes its OWN complete checkpoint (distinct commitId —
+      // two checkpoints at one version are both valid anchors) and lets
+      // [[sweepTorn]] reap the aged residue under the usual grace rail —
+      // never a bare delete that could kill a LIVE committer's
+      // still-streaming checkpoint.
       if (!dryRun) {
         val atCutoff = all.filter(e => e.isCheckpoint && e.version == cutoff)
-        val torn = atCutoff.filter(c => readEntryOpt(fs, c.path).isEmpty)
-        torn.foreach(c => fs.delete(c.path, false))
-        if (atCutoff.size == torn.size)
+        val complete = atCutoff.filter(c =>
+          readEntryOpt(fs, c.path, ckptSkipMs).nonEmpty)
+        atCutoff.filterNot(complete.toSet)
+          .foreach(c => sweepTorn(fs, c.path))
+        if (complete.isEmpty)
           writeCheckpoint(fs, warehouse, cutoff,
             "vacuum" + java.util.UUID.randomUUID().toString.replace("-", ""))
       }
@@ -1298,7 +1371,8 @@ object Snapshots {
       // (the one written above, or a pre-existing valid one).
       if (victims.nonEmpty)
         require(entries(fs, warehouse).exists(e => e.isCheckpoint &&
-            e.version == cutoff && readEntryOpt(fs, e.path).nonEmpty),
+            e.version == cutoff &&
+            readEntryOpt(fs, e.path, ckptSkipMs).nonEmpty),
           s"vacuum aborted: no complete checkpoint at cutoff $cutoff — " +
             "refusing to truncate history it anchors")
       exec.delete(sized.map(_._1))

@@ -272,31 +272,52 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props.remove("graft.test.claimGraceMs")
   }
 
-  test("a torn delta: loud while its writer may live, swept once provably dead") {
-    val w = wh("whTornSnap")
+  private def tornDeltaAt(fs: FileSystem, w: String, version: Int,
+                          cid: String): Path = {
+    val torn = new Path(s"$w/_snapshots/${"%020d".format(version)}-$cid.snap")
+    val out = fs.create(torn, true)
+    out.write(s"#OP\tappend\nADD\tt\t$w/t/x$version.parquet\t\t"
+      .getBytes("UTF-8"))
+    out.close()
+    torn
+  }
+
+  test("a torn delta: readers wait out a live writer to its completed entry") {
+    val w = wh("whTornLive")
     val fs = localFs
     (0 until 3).foreach { i =>
       Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
         removes = Nil)
     }
-    def tearEntry(): Path = {
-      val torn = new Path(s"$w/_snapshots/${"%020d".format(3)}-torn.snap")
-      val out = fs.create(torn, true)
-      out.write(s"#OP\tappend\nADD\tt\t$w/t/f3.parquet\t\t".getBytes("UTF-8"))
-      out.close()
-      torn
-    }
-    // Writer may still be alive (inside the claim grace): never fold the
-    // truncated state — fail loudly after the bounded wait.
-    val torn = tearEntry()
-    sys.props("graft.test.claimGraceMs") = "8000" // read wait caps at 5s < grace
+    // A SLOW-but-alive writer: the reader WAITS (never fails, never folds
+    // the truncated state) and serves the completed entry the moment the
+    // footer lands.
+    val torn = tornDeltaAt(fs, w, 3, "slow")
+    sys.props("graft.test.claimGraceMs") = "5000"
     try {
-      val e = intercept[IllegalStateException](Snapshots.fileSet(fs, w, "t"))
-      assert(e.getMessage.contains("torn"), e.getMessage)
-      assert(fs.exists(torn), "must not sweep inside the writer's grace")
+      val finisher = new Thread(() => {
+        Thread.sleep(400)
+        val out = fs.create(torn, true)
+        out.write(
+          s"#OP\tappend\nADD\tt\t$w/t/x3.parquet\t\t\n#END".getBytes("UTF-8"))
+        out.close()
+      })
+      finisher.start()
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 4,
+        "reader must serve the state the completed entry defines")
+      finisher.join()
+      assert(fs.exists(torn), "a completed entry must never be swept")
     } finally sys.props.remove("graft.test.claimGraceMs")
-    // Past the grace the writer is provably dead: the read SELF-HEALS —
-    // sweeps the residue (top-of-log only) and serves the committed state.
+  }
+
+  test("a torn delta from a provably dead writer is swept; the version is reusable") {
+    val w = wh("whTornDead")
+    val fs = localFs
+    (0 until 3).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    val torn = tornDeltaAt(fs, w, 3, "dead")
     sys.props("graft.test.claimGraceMs") = "200"
     try {
       Thread.sleep(250)
@@ -309,6 +330,67 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
         .map(_.version) == Seq(0L, 1L, 2L, 3L))
     } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("a torn delta whose claim a LIVE RIVAL holds is left for the rival's sweep") {
+    val w = wh("whTornRival")
+    val fs = localFs
+    (0 until 2).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    // Dead writer w0's torn residue at v2 — but the claim was already
+    // broken and re-taken by live writer w1 (not yet committed).
+    val torn = new Path(s"$w/_snapshots/${"%020d".format(2)}-w0.snap")
+    val out = fs.create(torn, true)
+    out.write(s"#OP\tappend\nADD\tt\t$w/t/x.parquet\t\t".getBytes("UTF-8"))
+    out.close()
+    val lock = new Path(s"$w/_snapshots/${"%020d".format(2)}.lock")
+    val lo = fs.create(lock, true)
+    lo.write("w1".getBytes("UTF-8")); lo.close()
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      Thread.sleep(250)
+      // Sweeping would delete w1's claim and zombify its in-flight commit
+      // (its post-write re-verify would self-delete a valid entry): the
+      // read must fail loudly and leave BOTH files for w1's winner-sweep.
+      val e = intercept[Snapshots.TornLogEntryException](
+        Snapshots.fileSet(fs, w, "t"))
+      assert(e.getMessage.contains("torn"), e.getMessage)
+      assert(fs.exists(torn), "rival-claimed residue must not be swept")
+      assert(fs.exists(lock), "a live rival's claim must never be deleted")
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("migrateFooters upgrades a pre-footer-era log in place") {
+    val w = wh("whMigrate")
+    val fs = localFs
+    (0 until 20).foreach { i => // checkpoint lands at v16
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    // Simulate a pre-footer-era warehouse: strip the footer off every
+    // entry (contents otherwise identical).
+    val entries = Snapshots.entries(fs, w)
+    entries.foreach { e =>
+      val in = fs.open(e.path)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      val stripped = bytes.linesIterator.filterNot(_ == "#END").mkString("\n")
+      val out = fs.create(e.path, true)
+      out.write(stripped.getBytes("UTF-8")); out.close()
+    }
+    assert(Snapshots.migrateFooters(fs, w) == entries.size)
+    assert(Snapshots.migrateFooters(fs, w) == 0, "must be idempotent")
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 20)
+    Snapshots.append(fs, w, "post", adds = Seq("t" -> s"$w/t/g.parquet"),
+      removes = Nil)
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 21)
   }
 
   test("a torn delta BELOW committed versions is never swept (no log holes)") {

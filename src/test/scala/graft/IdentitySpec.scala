@@ -381,6 +381,17 @@ class IdentitySpec extends AnyFunSuite with BeforeAndAfterAll {
     Identity.appendWithIdentity(spark, w, "t", Seq("c").toDF("v"))
     val got = ids(w)
     assert(got.distinct.size == got.size && got.max > 500L, got.sorted)
+    // The NO-ADVANCE verdict must be just as race-proof: a racing append
+    // landing ABOVE the mark during the scan would otherwise return a
+    // stale "reconciled" mark with no OCC commit to catch it — the sync
+    // detects the log moved mid-scan and rescans to the true max.
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cur = Identity.highWaterMark(fs, w, "t", "row_id").get
+    val synced = Identity.syncIdentity(fs, w, "t", "row_id", () =>
+      if (once.compareAndSet(false, true)) rawAppend(Seq((5000L, "m3"))))
+    assert(synced == 5000L,
+      s"no-advance path missed the racing append (returned $synced, cur $cur)")
+    assert(Identity.highWaterMark(fs, w, "t", "row_id").contains(5000L))
   }
 
   test("identity mark advance requires per-file per-column stats coverage") {

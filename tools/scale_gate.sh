@@ -43,6 +43,11 @@ curq = cur.get("queries", {})
 prevq = prev.get("queries", {}) if isinstance(prev, dict) else {}
 
 rows, regressions = [], []
+# A baseline entry missing from the current run is a silent coverage
+# shrink (a query the harness stopped emitting) — exactly what the gate
+# exists to catch.
+for name in sorted(set(prevq) - set(curq)):
+    regressions.append((name, "MISSING from current run"))
 for name in sorted(curq):
     c = curq[name]
     p = prevq.get(name)
