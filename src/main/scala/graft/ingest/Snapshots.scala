@@ -405,11 +405,12 @@ object Snapshots {
   /** [[readEntryOpt]] that FAILS on a torn entry — the delta-entry read:
     * unlike a checkpoint (redundant state, skippable), a truncated delta
     * has no safe interpretation. The wait is the FULL claim grace: an
-    * alive writer finishes in milliseconds (and an actively-writing one
-    * keeps refreshing the file's mtime, so it is never mistaken for
-    * dead), a dead one's residue self-heals via [[sweepTorn]] at the
-    * grace boundary — so a reader only ever FAILS on the mid-log torn
-    * case, never on a merely-slow live writer. */
+    * alive writer finishes in milliseconds, a dead one's residue
+    * self-heals via [[sweepTorn]] at the grace boundary — so a reader
+    * only ever FAILS on the rival-claimed or mid-log torn cases, never
+    * on a merely-slow live writer (a pathological multi-minute straggler
+    * may be swept as dead, in which case its own claim re-verify makes
+    * it re-land — see [[sweepTorn]]). */
   private def readEntry(fs: FileSystem, p: Path): Seq[String] =
     readEntryOpt(fs, p, claimGraceMs).getOrElse {
       if (sweepTorn(fs, p))
@@ -455,8 +456,14 @@ object Snapshots {
       case SnapRe(v, cid, _) => (v.toLong, cid)
       case _ => return false
     }
-    // mtime is a liveness heartbeat: an actively-writing writer keeps
-    // refreshing it, so only a file UNTOUCHED for the full grace sweeps.
+    // Age gate: entry writes are ms-wide, so a footer-less file this old
+    // is near-certainly dead. On stores where writes refresh mtime
+    // (POSIX) this is also a liveness heartbeat; where they don't
+    // (HDFS sets mtime at close), a pathologically slow LIVE writer may
+    // be swept as dead — safe regardless: the lock-then-reread ordering
+    // below means any writer that completed before the re-read keeps its
+    // entry, and one swept mid-write fails its own post-write claim
+    // re-verify and simply re-lands the commit.
     val age =
       try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.IOException => return false }
