@@ -129,9 +129,20 @@ object Identity {
     // with no commit to carry the OCC guard, a raw append landing between
     // the stats scan and the return would go unreconciled — so a
     // no-advance verdict is only returned when the log provably did not
-    // move during the scan; otherwise rescan against fresh stats.
+    // move AGAINST THIS TABLE during the scan; otherwise rescan against
+    // fresh stats. Two precision points: the log's identity is the top
+    // entry's (version, commitId) PAIR — a zombie swap can re-land a
+    // different commit at the same version number — and movement is
+    // TABLE-scoped, so a busy warehouse committing to other tables can't
+    // livelock the sync. Bounded: genuine contention on this table
+    // surfaces as the same conflict the advancing path throws.
+    def topId(): Option[(Long, String)] =
+      Snapshots.entries(fs, warehouse).filterNot(_.isCheckpoint)
+        .lastOption.map(e => (e.version, e.commitId))
+    var spins = 0
     while (true) {
-      val base = Snapshots.latestVersion(fs, warehouse)
+      val top0 = topId()
+      val base = top0.map(_._1)
       val cur = highWaterMark(fs, warehouse, table, column).getOrElse(0L)
       val acts = Snapshots.fileMeta(fs, warehouse, table).getOrElse(Nil)
       val maxes = acts.flatMap(a => FileStats.decode(a.stats))
@@ -163,8 +174,23 @@ object Identity {
           metas = Seq(hwKey(table, column) -> synced.toString))
         return synced
       }
-      if (Snapshots.latestVersion(fs, warehouse) == base) return synced
-      // The log moved mid-scan: the mover may carry ids above the mark.
+      val top1 = topId()
+      if (top1 == top0) return synced // quiescent scan: verdict proven
+      val tableMoved = top1.exists { case (v1, _) =>
+        // Same version number with a different commitId = a zombie swap
+        // whose content is unknowable from the range read — conservative.
+        top0.forall { case (v0, _) => v1 == v0 } ||
+          Snapshots.addsInRange(fs, warehouse, table,
+            top0.map(_._1).getOrElse(-1L), v1).exists(_._3.nonEmpty)
+      }
+      if (!tableMoved) return synced // the movers were other tables
+      spins += 1
+      if (spins >= 64)
+        throw new Snapshots.ConcurrentCommitException(
+          s"SYNC IDENTITY on '$table.$column' could not get a quiescent " +
+            "stats view after 64 rescans — the table is under concurrent " +
+            "writes; retry when the writers drain")
+      // This table moved mid-scan: the mover may carry ids above the mark.
     }
     0L // unreachable
   }

@@ -382,8 +382,19 @@ object Snapshots {
     * immutable). Footer line stripped from the result. */
   private def readEntryOpt(fs: FileSystem, p: Path,
                            maxWaitMs: Long): Option[Seq[String]] = {
-    val deadline = System.currentTimeMillis() + maxWaitMs
     var lines = readLines(fs, p)
+    if (lines.lastOption.contains(EndMarker)) return Some(lines.init)
+    // The wait is anchored at the FILE's mtime, not at this call: a
+    // residue already older than the claim grace is provably dead — no
+    // reader should re-pay the full grace discovering what the mtime
+    // already proves. (The stat runs only on this slow path — the happy
+    // single-read path above costs no extra RPC.)
+    val deadline = {
+      val mtime =
+        try fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.IOException => 0L }
+      math.min(System.currentTimeMillis() + maxWaitMs, mtime + claimGraceMs)
+    }
     var backoff = 10L // exponential: each retry is a GET on object stores
     while (lines.lastOption.forall(_ != EndMarker) &&
         System.currentTimeMillis() < deadline) {
@@ -472,20 +483,39 @@ object Snapshots {
       if (fs.globStatus(
           new Path(p.getParent, f"${version + 1}%020d-*.snap")).nonEmpty)
         return false // mid-log: never punch a hole
-      // The version claim may belong to a LIVE RIVAL by now (the torn
-      // writer's stale claim was broken and re-taken): deleting it would
-      // zombify that rival — its post-write re-verify would self-delete
-      // a perfectly valid entry. Only the torn entry's OWN claim breaks;
-      // a rival claimant's eventual winner-sweep clears this residue
-      // instead.
+      // The version claim may belong to a RIVAL by now (the torn writer's
+      // stale claim was broken and re-taken): deleting it would zombify a
+      // LIVE rival — its post-write re-verify would self-delete a
+      // perfectly valid entry. A lock read that FAILS (vanished between
+      // exists and open — a break/retake racing this sweep) is treated
+      // the same conservative way: prove nothing, touch nothing, retry
+      // later.
       val lock = new Path(p.getParent, f"$version%020d.lock")
-      val holder =
+      val holder: Option[String] =
         try {
           if (!fs.exists(lock)) None
-          else readLines(fs, lock).headOption
-        } catch { case _: java.io.IOException => None }
-      if (holder.exists(_ != commitId)) return false
-      fs.delete(lock, false)
+          else Some(readLines(fs, lock).headOption.getOrElse(""))
+        } catch { case _: java.io.IOException => return false }
+      holder match {
+        case Some(h) if h != commitId =>
+          // Rival-held. If the rival's COMPLETE entry at this version is
+          // already visible, the rival COMMITTED — this residue is a
+          // zombie its (crashed) winner-sweep never cleared: sweep the
+          // residue alone, never the claim. If no complete rival entry
+          // exists, the rival is mid-commit — leave everything for its
+          // own winner-sweep.
+          val rivalDone =
+            try readLines(fs,
+                new Path(p.getParent, f"$version%020d-$h.snap"))
+              .lastOption.contains(EndMarker)
+            catch { case _: java.io.IOException => false }
+          if (!rivalDone) return false
+        case _ =>
+          // Our own (or unclaimed): break the dead writer's claim first —
+          // a writer that completed before this delete has, by
+          // read-after-write, a visible footer at the re-read below.
+          fs.delete(lock, false)
+      }
     }
     val stillTorn =
       try readLines(fs, p).lastOption.forall(_ != EndMarker)
@@ -612,21 +642,61 @@ object Snapshots {
     * footer onto every entry that lacks one, so a warehouse written by an
     * older build reads under the footer-validating protocol instead of
     * every entry looking torn. MUST run with no concurrent writers or
-    * readers (the rewrite is a plain overwrite — the one place the
-    * format tolerates it, because the operator has declared quiescence);
-    * contents are byte-identical plus the footer, so parsed state is
-    * unchanged. Idempotent. Returns the number of entries stamped. */
+    * readers (the operator has declared quiescence). Idempotent and
+    * crash-safe: each entry is backed up (`<name>.premigrate`) before
+    * its in-place rewrite and the backup is removed only after the
+    * rewrite verifies — a re-run first restores any entry whose backup
+    * survived a mid-rewrite crash. Every line is validated as a
+    * well-formed action BEFORE stamping: a pre-footer-era entry that was
+    * itself torn (a dead writer's truncated line) is REFUSED with its
+    * path, never certified complete. (Truncation that still parses — a
+    * path cut at a field boundary — is undetectable in the legacy
+    * format; that ambiguity is exactly why the footer exists.)
+    * Returns the number of entries stamped. */
   def migrateFooters(fs: FileSystem, warehouse: String): Int = {
+    def wellFormed(line: String): Boolean =
+      line.startsWith("#") || {
+        val kind = line.takeWhile(_ != '\t')
+        Set("ADD", "REMOVE", "CDF", "META", "DV")(kind) &&
+          line.split("\t", -1).length >= 3
+      }
+    def overwrite(p: Path, lines: Seq[String]): Unit = {
+      val out = fs.create(p, true)
+      try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     var stamped = 0
     entries(fs, warehouse).foreach { e =>
+      val bak = new Path(e.path.getParent, e.path.getName + ".premigrate")
+      // The backup IS the migrated content (original lines + footer), so
+      // its own footer doubles as its completeness proof. A complete
+      // surviving backup means the previous run crashed mid-rewrite of
+      // the original — restore from it; a footer-less backup means the
+      // crash hit the backup write itself, BEFORE the original was
+      // touched — discard it.
+      if (fs.exists(bak)) {
+        val bakLines = readLines(fs, bak)
+        if (bakLines.lastOption.contains(EndMarker))
+          overwrite(e.path, bakLines)
+        else fs.delete(bak, false)
+      }
       val lines = readLines(fs, e.path)
       if (lines.lastOption.forall(_ != EndMarker)) {
-        val out = fs.create(e.path, true)
-        try out.write(
-          (lines :+ EndMarker).mkString("\n").getBytes(StandardCharsets.UTF_8))
-        finally out.close()
+        val bad = lines.filterNot(wellFormed)
+        require(bad.isEmpty,
+          s"entry ${e.path} contains a malformed line (${bad.head.take(60)}" +
+            "…) — a pre-footer-era torn write; restore or remove the " +
+            "entry before migrating")
+        val migrated = lines :+ EndMarker
+        overwrite(bak, migrated)
+        require(readLines(fs, bak) == migrated,
+          s"backup write of ${e.path} did not verify — nothing touched")
+        overwrite(e.path, migrated)
+        require(readLines(fs, e.path) == migrated,
+          s"rewrite of ${e.path} did not verify — backup kept at $bak")
+        fs.delete(bak, false)
         stamped += 1
-      }
+      } else fs.delete(bak, false)
     }
     stamped
   }
@@ -745,10 +815,21 @@ object Snapshots {
     var heldClaim = -1L
     def releaseHeldClaim(): Unit =
       if (heldClaim >= 0) {
-        if (ownsClaim(fs, warehouse, heldClaim, commitId) &&
+        // Only a YOUNG claim releases: under the grace no rival may break
+        // and re-take it, so ownsClaim==true proves the lock is still
+        // ours and the delete cannot hit a re-taken claim. A claim that
+        // aged past the grace belongs to the break machinery — deleting
+        // it here could race a rival's fresh re-claim (the zombify class
+        // sweepTorn also guards against).
+        val lock = lockPath(warehouse, heldClaim)
+        val young =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime < claimGraceMs
+          catch { case _: java.io.IOException => false }
+        if (young && ownsClaim(fs, warehouse, heldClaim, commitId) &&
             fs.globStatus(new Path(snapDir(warehouse),
               f"$heldClaim%020d-$commitId.snap")).isEmpty)
-          fs.delete(lockPath(warehouse, heldClaim), false)
+          fs.delete(lock, false)
         heldClaim = -1L
       }
     try {

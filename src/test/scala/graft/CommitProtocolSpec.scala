@@ -362,6 +362,39 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props.remove("graft.test.claimGraceMs")
   }
 
+  test("a torn residue beside the rival's COMPLETED entry sweeps without touching the claim") {
+    // Dead writer w0's torn residue at v2; rival w1 broke the claim,
+    // re-took it, COMMITTED its entry at v2 — then crashed in the window
+    // before its winner-sweep. The residue must still self-heal (sweep
+    // w0's file alone, claim untouched) or every read wedges forever on
+    // a state nobody is left to clean.
+    val w = wh("whTornRivalDone")
+    val fs = localFs
+    (0 until 2).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    val torn = tornDeltaAt(fs, w, 2, "w0")
+    val done = new Path(s"$w/_snapshots/${"%020d".format(2)}-w1.snap")
+    val out = fs.create(done, true)
+    out.write(s"#OP\tappend\nADD\tt\t$w/t/win.parquet\t\t\n#END"
+      .getBytes("UTF-8"))
+    out.close()
+    val lock = new Path(s"$w/_snapshots/${"%020d".format(2)}.lock")
+    val lo = fs.create(lock, true)
+    lo.write("w1".getBytes("UTF-8")); lo.close()
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      Thread.sleep(250)
+      val files = Snapshots.fileSet(fs, w, "t").get
+      assert(files.size == 3 && files.exists(_.endsWith("win.parquet")),
+        files.toString)
+      assert(!fs.exists(torn), "committed-rival residue not swept")
+      assert(fs.exists(done), "the rival's committed entry must survive")
+      assert(fs.exists(lock), "the committed rival's claim must survive")
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
   test("migrateFooters upgrades a pre-footer-era log in place") {
     val w = wh("whMigrate")
     val fs = localFs
