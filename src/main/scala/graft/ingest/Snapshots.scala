@@ -498,18 +498,28 @@ object Snapshots {
         } catch { case _: java.io.IOException => return false }
       holder match {
         case Some(h) if h != commitId =>
-          // Rival-held. If the rival's COMPLETE entry at this version is
-          // already visible, the rival COMMITTED — this residue is a
-          // zombie its (crashed) winner-sweep never cleared: sweep the
-          // residue alone, never the claim. If no complete rival entry
-          // exists, the rival is mid-commit — leave everything for its
-          // own winner-sweep.
-          val rivalDone =
-            try readLines(fs,
-                new Path(p.getParent, f"$version%020d-$h.snap"))
-              .lastOption.contains(EndMarker)
-            catch { case _: java.io.IOException => false }
-          if (!rivalDone) return false
+          // Rival-held. Three sub-cases, decided from the rival's own
+          // entry at this version:
+          //  - COMPLETE: the rival COMMITTED and died pre-sweep — this
+          //    residue is a zombie its winner-sweep never cleared: sweep
+          //    the residue alone, never the claim.
+          //  - TORN too: both writers died mid-write at one version (the
+          //    second after breaking and re-taking the first's claim) —
+          //    recurse: sweeping the HOLDER's residue (age-gated like any
+          //    sweep) also breaks the shared claim, unblocking this one.
+          //    Without the recursion this state wedges forever, because
+          //    the fold always trips on the lower-sorted residue first.
+          //  - ABSENT: the rival is mid-commit (claimed, not yet written)
+          //    — leave everything for its own winner-sweep.
+          val rivalPath = new Path(p.getParent, f"$version%020d-$h.snap")
+          val rivalLines =
+            try Some(readLines(fs, rivalPath))
+            catch { case _: java.io.IOException => None }
+          rivalLines match {
+            case Some(ls) if ls.lastOption.contains(EndMarker) => ()
+            case Some(_) => if (!sweepTorn(fs, rivalPath)) return false
+            case None => return false
+          }
         case _ =>
           // Our own (or unclaimed): break the dead writer's claim first —
           // a writer that completed before this delete has, by

@@ -395,6 +395,38 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props.remove("graft.test.claimGraceMs")
   }
 
+  test("TWO dead writers torn at one version both sweep (holder recursion)") {
+    // w0 died mid-write; w1 broke the claim, re-took it, and died
+    // mid-write TOO. The fold always trips on the lower-sorted residue
+    // (w0) first, whose sweep sees a rival-held claim — it must recurse
+    // into the HOLDER's own torn residue (breaking the shared claim)
+    // instead of wedging forever on a state nobody is left to clean.
+    val w = wh("whTornDouble")
+    val fs = localFs
+    (0 until 2).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    val torn0 = tornDeltaAt(fs, w, 2, "w0")
+    val torn1 = tornDeltaAt(fs, w, 2, "w1")
+    val lock = new Path(s"$w/_snapshots/${"%020d".format(2)}.lock")
+    val lo = fs.create(lock, true)
+    lo.write("w1".getBytes("UTF-8")); lo.close()
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      Thread.sleep(250)
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 2)
+      assert(!fs.exists(torn0) && !fs.exists(torn1),
+        "double-dead residue not fully swept")
+      assert(!fs.exists(lock), "the dead holders' claim must break")
+      // The version is reusable.
+      Snapshots.append(fs, w, "c2", adds = Seq("t" -> s"$w/t/f2.parquet"),
+        removes = Nil)
+      assert(Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+        .map(_.version) == Seq(0L, 1L, 2L))
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
   test("migrateFooters upgrades a pre-footer-era log in place") {
     val w = wh("whMigrate")
     val fs = localFs
