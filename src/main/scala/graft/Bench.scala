@@ -7,7 +7,7 @@ object Bench {
     * queries (count() lets it drop every column expression). XOR-folded —
     * ANSI mode makes sum() throw on long overflow. */
   private def materialize(df: DataFrame): Unit =
-    df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+    df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
       .agg(expr("bit_xor(__h)")).collect()
 
   def main(args: Array[String]): Unit = {

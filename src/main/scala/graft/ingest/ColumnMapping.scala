@@ -54,7 +54,7 @@ case class ColumnMapping(cols: Seq[(String, String)],
     * physical column names, so rewritten files keep the table's one
     * physical schema. Non-mapped columns pass through unchanged. */
   def toPhysicalDf(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c =>
+    df.select(df.columns.toIndexedSeq.map(c =>
       toPhys.get(c).map(p => col(c).as(p)).getOrElse(col(c))): _*)
 
   /** Physical→logical key rename on a decoded stats token, so log-side

@@ -263,7 +263,7 @@ object Compaction {
     }
     val aggs = cols0.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val bounds = df.agg(aggs.head, aggs.tail: _*).head
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     require(!bounds.anyNull,
       s"zorder columns ${cols.mkString(",")} must be numeric and not all-null")
     // Per-column rank precision shrinks with column count so the interleaved

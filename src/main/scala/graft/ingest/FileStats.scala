@@ -855,8 +855,8 @@ object FileStats {
     import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, Or => CatOr, _}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     def nameOf(x: Expression): Option[String] = x match {
+      // UnresolvedAttribute IS an Attribute — one case serves both.
       case a: Attribute => Some(a.name)
-      case u: UnresolvedAttribute => Some(u.name)
       case c: Cast => nameOf(c.child)
       case _ => None
     }

@@ -385,7 +385,7 @@ object Merge {
     // semi-join.
     val (small, releaseProbe) = sizeRouted(keys)
     try {
-    val bounds = keys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
+    val bounds = keys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head()
     dvCore(spark, warehouse, table,
       candidatesOf = (meta, mapping) =>
         if (bounds.isNullAt(0)) Nil
@@ -561,7 +561,7 @@ object Merge {
       // must not leave a stale generated value on the merge-on-read path
       // either).
       val gen = Generated.materialize(fs, warehouse, table, upd)
-      gen.select(df.schema.fields.map(f =>
+      gen.select(df.schema.fields.toIndexedSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
     }
     val changes =
@@ -866,7 +866,7 @@ object Merge {
     // without stats (pre-stats commits, non-leading layouts) stay
     // candidates; the residual scan below still pushes the bounds to the
     // parquet reader for row-group skipping.
-    val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
+    val bounds = source.agg(min(col(keyCols.head)), max(col(keyCols.head))).head()
     val candidates: Seq[Snapshots.Action] =
       if (files.isEmpty || bounds.isNullAt(0)) Nil
       else {
@@ -1094,7 +1094,7 @@ object Merge {
     val srcAsTgtKeys = source.select(srcKeyCols.zip(keyCols).map {
       case (s, t) => col(s).as(t) }: _*)
     val bounds =
-      srcAsTgtKeys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head
+      srcAsTgtKeys.agg(min(col(keyCols.head)), max(col(keyCols.head))).head()
     val candidates: Seq[Snapshots.Action] =
       if (meta.isEmpty || bounds.isNullAt(0)) Nil
       else {

@@ -183,7 +183,7 @@ object SignatureStore {
     val corpusIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
       .join(fresh, Seq("doc_id"), "left_anti")
-    val bounds = corpusIds.agg(min("doc_id"), max("doc_id")).head
+    val bounds = corpusIds.agg(min("doc_id"), max("doc_id")).head()
     val corpusShingled =
       if (bounds.isNullAt(0)) // no corpus endpoints: new-vs-new pairs only
         MinHash.withShingles(freshDocs.limit(0), "doc_id", "text")

@@ -66,7 +66,7 @@ object DynamicFilePruning {
           head.map(v => FileStats.eq(factKey, v)).reduce(_ or _)
         else {
           val b = distinctKeys.agg(org.apache.spark.sql.functions.min(keyCol),
-            org.apache.spark.sql.functions.max(keyCol)).head
+            org.apache.spark.sql.functions.max(keyCol)).head()
           FileStats.between(factKey, b.get(0), b.get(1))
         }
       Snapshots.read(spark, warehouse, factTable, asOf, dataFilter = pred)

@@ -523,7 +523,7 @@ class SnapshotDataWriter(conf: Configuration, schema: StructType,
             EvalMode.LEGACY): Expression)
           .orElse(g.get(i))
           .getOrElse(BoundReference(i, f.dataType, f.nullable): Expression) }
-      val p = UnsafeProjection.create(exprs)
+      val p = UnsafeProjection.create(exprs.toIndexedSeq)
       p.initialize(initPartitionId)
       p.apply _
     }
@@ -541,7 +541,7 @@ class SnapshotDataWriter(conf: Configuration, schema: StructType,
     else {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
       val p = UnsafeProjection.create(dataFields.map { case (f, ri) =>
-        BoundReference(ri, f.dataType, f.nullable): Expression }.toArray)
+        BoundReference(ri, f.dataType, f.nullable): Expression }.toIndexedSeq)
       p.apply _
     }
 
