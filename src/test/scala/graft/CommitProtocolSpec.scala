@@ -210,16 +210,23 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
             try {
               // Plant a complete rival entry AT an existing version (a
               // zombie that wrote before noticing its broken claim), then
-              // sweep it — readers race both transitions.
+              // sweep it — readers race both transitions. The plant is
+              // ATOMIC (temp + hard link, the same promotion the real
+              // file:// writer uses): a real zombie's entry is complete —
+              // readers must only ever observe it whole or absent, and
+              // torn-visibility scenarios belong to the dedicated torn
+              // tests, not this vanish-race stress.
               Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
                 .lastOption.foreach { last =>
                   val p = new Path(
                     s"$w/_snapshots/${"%020d".format(last.version)}-zz$i.snap")
-                  val out = fs.create(p, true)
-                  out.write(
+                  val dest = java.nio.file.Paths.get(p.toUri.getPath)
+                  val tmp = dest.resolveSibling(dest.getFileName + ".tmp")
+                  java.nio.file.Files.write(tmp,
                     "#OP\tappend\nADD\tzz\t/tmp/zz.parquet\t\t\n#END"
                       .getBytes("UTF-8"))
-                  out.close()
+                  try java.nio.file.Files.createLink(dest, tmp)
+                  finally java.nio.file.Files.deleteIfExists(tmp)
                   Thread.sleep(2)
                   fs.delete(p, false)
                 }
