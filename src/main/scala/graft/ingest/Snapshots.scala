@@ -193,9 +193,15 @@ object Snapshots {
   /** How long a version claim may sit without its entry before other
     * writers break it (the claimant died between claim and entry). Must be
     * much longer than an entry write (milliseconds) — minutes in
-    * production; tests shrink it via the system property. */
+    * production. Operators tune it via `graft.commit.claimGraceMs` (a
+    * REAL deployment knob, not test-only: stores whose mtime is fixed at
+    * create use this same window as the dead-writer staleness rule, so a
+    * deployment with slow commit paths should raise it); tests shrink it
+    * via `graft.test.claimGraceMs`, which wins when both are set. */
   private def claimGraceMs: Long =
-    sys.props.get("graft.test.claimGraceMs").map(_.toLong).getOrElse(60000L)
+    sys.props.get("graft.test.claimGraceMs")
+      .orElse(sys.props.get("graft.commit.claimGraceMs"))
+      .map(_.toLong).getOrElse(60000L)
 
   /** THE load-bearing storage contract of the whole commit protocol:
     * version claims (and entry idempotence) serialize through an ATOMIC
@@ -220,55 +226,147 @@ object Snapshots {
     *    by deployment contract, so atomicity is not needed.
     *
     * Both keys are read from the FileSystem's Hadoop configuration
-    * (settable per-session via `spark.hadoop.graft.commit.…`). */
+    * (settable per-session via `spark.hadoop.graft.commit.…`).
+    *
+    * UPGRADE NOTE (breaking on purpose): builds before this gate existed
+    * committed on ANY scheme, silently unsafe multi-writer. Deployments
+    * on other object-store schemes must set one of the two keys above —
+    * or register a real [[ConditionalPut]] adapter — before commits
+    * proceed. `abfs`/`abfss` ship vouched built-in (ABFS
+    * create-no-overwrite is etag-conditional at the service). */
   private def requireConditionalPut(fs: FileSystem): Unit = {
     val scheme = fs.getUri.getScheme
-    if (scheme == "file" || scheme == "hdfs" || scheme == "viewfs") return
+    // Built-in safe schemes: local hard-link promotion, namenode-arbitrated
+    // create, and ABFS (whose create(overwrite=false) is an If-None-Match
+    // conditional operation at the service — a true conditional put).
+    if (scheme == "file" || scheme == "hdfs" || scheme == "viewfs" ||
+        scheme == "abfs" || scheme == "abfss") return
+    // A registered adapter IS the proof — the operator supplied the
+    // store's native conditional-create rather than vouching blind.
+    if (putAdapters.containsKey(scheme)) return
     val conf = fs.getConf
     if (conf != null &&
         (conf.getBoolean(s"graft.commit.atomicConditionalCreate.$scheme", false) ||
           conf.getBoolean("graft.commit.singleWriter", false))) return
     throw new UnsupportedOperationException(
       s"scheme '$scheme' offers no proven atomic create-iff-absent — the " +
-        "commit protocol's multi-writer safety rests on it. Either vouch " +
-        s"for the store (graft.commit.atomicConditionalCreate.$scheme=true " +
+        "commit protocol's multi-writer safety rests on it. Either " +
+        "register a ConditionalPut adapter for the store " +
+        s"(Snapshots.registerConditionalPut), vouch for it " +
+        s"(graft.commit.atomicConditionalCreate.$scheme=true " +
         "— only when its create-no-overwrite is a true conditional put, " +
         "e.g. S3 conditional writes / GCS preconditions) or declare " +
         "single-writer deployment (graft.commit.singleWriter=true)")
   }
 
-  /** Atomic create-iff-absent — the commit primitive, replacing any
-    * reliance on rename atomicity (object stores rename by copy+delete).
-    * On `file://` a fully-written temp file is promoted with a hard link
-    * (atomic, fails EEXIST, never exposes partial content). Elsewhere the
-    * file is created with overwrite=false — atomic on HDFS (namenode
-    * arbitration) and on stores with conditional PUT, a contract
-    * [[requireConditionalPut]] enforces per scheme; the brief window
-    * where a reader can observe a partially-written object matches what
-    * those stores' own commit services exhibit (and the [[EndMarker]]
-    * footer makes it detectable). Returns false when the name already
-    * exists (lost the race). */
-  private[ingest] def putIfAbsent(fs: FileSystem, dest: Path,
-                                  content: Array[Byte]): Boolean =
-    if (fs.getUri.getScheme == "file") {
+  /** The commit primitive as a pluggable seam: atomically create a file
+    * iff absent, never exposing partial content where the store allows it.
+    * One binding per scheme (see [[registerConditionalPut]]); the built-in
+    * bindings cover local disks (hard-link promotion), HDFS-semantics
+    * stores (temp + no-overwrite rename — the namenode arbitrates, and an
+    * in-flight file is NEVER visible under its final name, so a slow
+    * checkpoint can't be mistaken for a torn one), and conditional-PUT
+    * object stores (create(overwrite=false) where the connector maps it
+    * to If-None-Match / preconditions; the PUT materializes on close). */
+  trait ConditionalPut {
+    /** Create `dest` with exactly the poured bytes iff absent. Returns
+      * false when the name already exists (lost the race). */
+    def create(fs: FileSystem, dest: Path,
+               pour: java.io.OutputStream => Unit): Boolean
+  }
+
+  /** file:// — write a sibling temp, promote by hard link (atomic, fails
+    * EEXIST, never exposes partial content). */
+  private object LinkPut extends ConditionalPut {
+    def create(fs: FileSystem, dest: Path,
+               pour: java.io.OutputStream => Unit): Boolean = {
       val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
       java.nio.file.Files.createDirectories(destNio.getParent)
       val tmp = destNio.resolveSibling(
         dest.getName + "." + java.util.UUID.randomUUID() + ".tmp")
-      java.nio.file.Files.write(tmp, content)
-      try { java.nio.file.Files.createLink(destNio, tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      requireConditionalPut(fs)
+      try {
+        val os = java.nio.file.Files.newOutputStream(tmp)
+        try pour(os) finally os.close()
+        try { java.nio.file.Files.createLink(destNio, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** HDFS-semantics stores (atomic no-overwrite rename, mtime fixed at
+    * close): write a temp name, promote by rename. Content-atomic — a
+    * reader can never open a partially-written file under `dest`, so
+    * even a checkpoint whose write outlives the claim grace is invisible
+    * to the torn-entry sweep until it is COMPLETE. */
+  private object RenamePut extends ConditionalPut {
+    def create(fs: FileSystem, dest: Path,
+               pour: java.io.OutputStream => Unit): Boolean = {
+      fs.mkdirs(dest.getParent)
+      val tmp = new Path(dest.getParent,
+        dest.getName + "." + java.util.UUID.randomUUID() + ".tmp")
+      var renamed = false
+      try {
+        val out = fs.create(tmp, false)
+        try pour(out) finally out.close()
+        renamed = try fs.rename(tmp, dest)
+                  catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+        if (renamed) true
+        else if (fs.exists(dest)) false // lost the race
+        else throw new java.io.IOException(
+          s"rename($tmp, $dest) failed with no rival present")
+      } finally if (!renamed) fs.delete(tmp, false)
+    }
+  }
+
+  /** Conditional-PUT object stores: create(overwrite=false) + single
+    * close — the connector maps it to the store's conditional write and
+    * the object materializes atomically on close. */
+  private object CreatePut extends ConditionalPut {
+    def create(fs: FileSystem, dest: Path,
+               pour: java.io.OutputStream => Unit): Boolean =
       try {
         val out = fs.create(dest, false)
-        try out.write(content) finally out.close()
+        try pour(out) finally out.close()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       }
+  }
+
+  private val putAdapters =
+    new java.util.concurrent.ConcurrentHashMap[String, ConditionalPut]()
+
+  /** Register the store-native conditional-create adapter for a scheme —
+    * the per-store seam [[requireConditionalPut]]'s contract asks for.
+    * Registering counts as the vouch: commits on the scheme proceed and
+    * every log write serializes through the adapter. */
+  def registerConditionalPut(scheme: String, put: ConditionalPut): Unit =
+    putAdapters.put(scheme, put)
+
+  /** Remove a registered adapter (tests). */
+  private[graft] def unregisterConditionalPut(scheme: String): Unit =
+    putAdapters.remove(scheme)
+
+  private def putBinding(fs: FileSystem): ConditionalPut = {
+    val scheme = fs.getUri.getScheme
+    val registered = putAdapters.get(scheme)
+    if (registered != null) registered
+    else scheme match {
+      case "file" => LinkPut
+      case "hdfs" | "viewfs" => RenamePut
+      case _ => requireConditionalPut(fs); CreatePut
     }
+  }
+
+  /** Atomic create-iff-absent — the commit primitive, replacing any
+    * reliance on copy+delete rename. Dispatches to the scheme's
+    * [[ConditionalPut]] binding; returns false when the name already
+    * exists (lost the race). Where the binding cannot hide in-flight
+    * content (plain conditional PUT on a store that exposes partial
+    * objects), the [[EndMarker]] footer makes the window detectable. */
+  private[ingest] def putIfAbsent(fs: FileSystem, dest: Path,
+                                  content: Array[Byte]): Boolean =
+    putBinding(fs).create(fs, dest, _.write(content))
 
   /** Every `CheckpointInterval`-th version also writes a full-state
     * checkpoint so reconstruction never folds more than this many deltas. */
@@ -367,6 +465,26 @@ object Snapshots {
     * falls back to the previous anchor), a torn DELTA fails loudly with
     * the path, never a silent partial fold. */
   private[ingest] val EndMarker = "#END"
+
+  /** Era marker (`_footer_era` beside the log entries) certifying every
+    * entry in this log was written under the footer protocol — so a
+    * footer-LESS file here is provably a dead writer's torn residue, safe
+    * to self-heal. Written on a log's very first commit and by
+    * [[migrateFooters]]. Without it, [[sweepTorn]] refuses to delete
+    * ANYTHING: a pre-footer-era log's entries are all footer-less yet
+    * COMMITTED — sweeping them would silently destroy data (the
+    * unmigrated-legacy-warehouse trap). Reads of such a log fail loudly
+    * pointing at [[migrateFooters]] instead. */
+  private val FooterEraName = "_footer_era"
+
+  private[graft] def markFooterEra(fs: FileSystem, warehouse: String): Unit = {
+    putIfAbsent(fs, new Path(snapDir(warehouse), FooterEraName),
+      Array.emptyByteArray): Unit
+  }
+
+  private def footerEra(fs: FileSystem, logDir: Path): Boolean =
+    try fs.exists(new Path(logDir, FooterEraName))
+    catch { case _: java.io.IOException => false }
 
   /** How long the optional-anchor read waits for an in-flight checkpoint:
     * checkpoints are redundant state, so the fold skips to the previous
@@ -467,6 +585,11 @@ object Snapshots {
       case SnapRe(v, cid, _) => (v.toLong, cid)
       case _ => return false
     }
+    // PRE-FOOTER-ERA GUARD: without the era marker, footer absence proves
+    // nothing — every entry of a legacy log is footer-less and aged, yet
+    // committed. Never delete; the caller fails loudly pointing at
+    // migrateFooters (which stamps the log AND plants the marker).
+    if (!footerEra(fs, p.getParent)) return false
     // Age gate: entry writes are ms-wide, so a footer-less file this old
     // is near-certainly dead. On stores where writes refresh mtime
     // (POSIX) this is also a liveness heartbeat; where they don't
@@ -477,7 +600,13 @@ object Snapshots {
     // re-verify and simply re-lands the commit.
     val age =
       try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
-      catch { case _: java.io.IOException => return false }
+      catch {
+        // Vanished between the caller's read and this stat: a concurrent
+        // reader already swept the residue — report healed so retryVanished
+        // callers re-list instead of failing the whole read as torn.
+        case _: java.io.FileNotFoundException => return true
+        case _: java.io.IOException => return false
+      }
     if (age < claimGraceMs) return false
     if (!p.getName.endsWith(".ckpt")) {
       if (fs.globStatus(
@@ -615,7 +744,6 @@ object Snapshots {
       : Unit = {
     val dir = snapDir(warehouse)
     fs.mkdirs(dir)
-    val dest = new Path(dir, name)
     def pour(out: java.io.OutputStream): Unit = {
       val w = new java.io.BufferedOutputStream(out, 1 << 20)
       var first = true
@@ -626,26 +754,7 @@ object Snapshots {
       }
       w.flush()
     }
-    if (fs.getUri.getScheme == "file") {
-      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
-      java.nio.file.Files.createDirectories(destNio.getParent)
-      val tmp = destNio.resolveSibling(
-        dest.getName + "." + java.util.UUID.randomUUID() + ".tmp")
-      try {
-        val os = java.nio.file.Files.newOutputStream(tmp)
-        try pour(os) finally os.close()
-        try java.nio.file.Files.createLink(destNio, tmp)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      requireConditionalPut(fs)
-      try {
-        val out = fs.create(dest, false)
-        try pour(out) finally out.close()
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-      }
-    }
+    putBinding(fs).create(fs, new Path(dir, name), pour): Unit
   }
 
   /** One-time upgrade for PRE-FOOTER-era logs: stamp the [[EndMarker]]
@@ -708,6 +817,9 @@ object Snapshots {
         stamped += 1
       } else fs.delete(bak, false)
     }
+    // Every entry now carries its footer: certify the log as footer-era so
+    // the torn-residue self-heal ([[sweepTorn]]) is allowed to operate.
+    markFooterEra(fs, warehouse)
     stamped
   }
 
@@ -901,6 +1013,10 @@ object Snapshots {
       }
       val version = existing.lastOption.map(_.version + 1).getOrElse(0L)
       fs.mkdirs(snapDir(warehouse))
+      // A brand-new log is footer-era by construction: plant the marker
+      // BEFORE the first entry so no reader ever observes entries without
+      // it. Only the first-ever commit pays this put (idempotent on a race).
+      if (existing.isEmpty) markFooterEra(fs, warehouse)
       // An earlier attempt of THIS commit may already hold the claim (a
       // vanished-entry retry fired between claim and entry write):
       // ownership, not create success, decides who writes the entry.
@@ -1052,6 +1168,20 @@ object Snapshots {
       }
       anchorActs match {
         case None =>
+          // A footer-less checkpoint in a log with NO era marker is a
+          // pre-footer-era log's COMMITTED anchor, not a torn one: on a
+          // vacuumed legacy warehouse, skipping it would fail the read
+          // with a misleading "predates the vacuumed history" (and
+          // sweeping it would destroy the only anchor forever). Fail
+          // loudly at the real cause instead.
+          anchor.foreach { c =>
+            if (!footerEra(fs, c.path.getParent))
+              throw new TornLogEntryException(
+                s"checkpoint ${c.path} has no $EndMarker footer and the " +
+                  "log carries no footer-era marker — a pre-footer-era " +
+                  "log; run Snapshots.migrateFooters (quiesced) before " +
+                  "reading it under this build")
+          }
           // Torn/in-flight anchor: fold from the previous one. An AGED
           // torn checkpoint also sweeps — it is redundant state, and
           // leaving it would block a future writeCheckpoint's

@@ -75,6 +75,21 @@ class HeadThenPutFs extends RawLocalFileSystem {
   }
 }
 
+/** HDFS-semantics FileSystem double: `rename` REFUSES an existing
+  * destination atomically (namenode arbitration — the primitive the
+  * engine's temp+rename promotion rides), and like HDFS there is no
+  * cross-client conditional create beyond it. */
+class HdfsLikeFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("hdfs://local")
+
+  override def rename(src: Path, dst: Path): Boolean =
+    HdfsLikeFs.renameLock.synchronized {
+      if (exists(dst)) false else super.rename(src, dst)
+    }
+}
+
+object HdfsLikeFs { private[graft] val renameLock = new Object }
+
 class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -221,7 +236,7 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
                   val p = new Path(
                     s"$w/_snapshots/${"%020d".format(last.version)}-zz$i.snap")
                   val dest = java.nio.file.Paths.get(p.toUri.getPath)
-                  val tmp = dest.resolveSibling(dest.getFileName + ".tmp")
+                  val tmp = dest.resolveSibling(dest.getFileName.toString + ".tmp")
                   java.nio.file.Files.write(tmp,
                     "#OP\tappend\nADD\tzz\t/tmp/zz.parquet\t\t\n#END"
                       .getBytes("UTF-8"))
@@ -434,17 +449,10 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sys.props.remove("graft.test.claimGraceMs")
   }
 
-  test("migrateFooters upgrades a pre-footer-era log in place") {
-    val w = wh("whMigrate")
-    val fs = localFs
-    (0 until 20).foreach { i => // checkpoint lands at v16
-      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
-        removes = Nil)
-    }
-    // Simulate a pre-footer-era warehouse: strip the footer off every
-    // entry (contents otherwise identical).
-    val entries = Snapshots.entries(fs, w)
-    entries.foreach { e =>
+  /** Turn a footer-era warehouse into a faithful pre-footer-era one:
+    * strip the footer off every entry AND remove the era marker. */
+  private def stripToLegacy(fs: FileSystem, w: String): Unit = {
+    Snapshots.entries(fs, w).foreach { e =>
       val in = fs.open(e.path)
       val bytes = try {
         val buf = new java.io.ByteArrayOutputStream()
@@ -457,6 +465,48 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       val out = fs.create(e.path, true)
       out.write(stripped.getBytes("UTF-8")); out.close()
     }
+    fs.delete(new Path(s"$w/_snapshots/_footer_era"), false)
+  }
+
+  test("an unmigrated pre-footer-era log is NEVER swept: reads fail loudly at migrateFooters") {
+    // The legacy trap: every pre-footer-era entry is footer-less and aged
+    // far past the claim grace — indistinguishable, by footer alone, from
+    // a dead writer's torn residue. The self-heal must refuse to treat
+    // footer absence as proof without the era marker; a plain read of an
+    // unmigrated warehouse must fail LOUDLY with the migration pointer and
+    // delete NOTHING (sweeping here silently destroys committed data —
+    // including, after a vacuum, the only anchor checkpoint forever).
+    val w = wh("whLegacyTrap")
+    val fs = localFs
+    (0 until 20).foreach { i => // checkpoint lands at v16
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    stripToLegacy(fs, w)
+    val before = Snapshots.entries(fs, w).map(_.path.getName).toSet
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      Thread.sleep(250) // age every entry past the grace
+      val e = intercept[Snapshots.TornLogEntryException](
+        Snapshots.fileSet(fs, w, "t"))
+      assert(e.getMessage.contains("migrateFooters"), e.getMessage)
+      assert(Snapshots.entries(fs, w).map(_.path.getName).toSet == before,
+        "a read of an unmigrated legacy log must not delete any entry")
+      // The prescribed upgrade heals everything, including the sweep gate.
+      Snapshots.migrateFooters(fs, w)
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 20)
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("migrateFooters upgrades a pre-footer-era log in place") {
+    val w = wh("whMigrate")
+    val fs = localFs
+    (0 until 20).foreach { i => // checkpoint lands at v16
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    val entries = Snapshots.entries(fs, w)
+    stripToLegacy(fs, w)
     assert(Snapshots.migrateFooters(fs, w) == entries.size)
     assert(Snapshots.migrateFooters(fs, w) == 0, "must be idempotent")
     assert(Snapshots.fileSet(fs, w, "t").get.size == 20)
@@ -586,6 +636,135 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.fileSet(single, w, "t").get.size == 2)
   }
 
+  test("HDFS binding: racing committers serialize via temp+rename and in-flight entries are never visible") {
+    // The hdfs/viewfs ConditionalPut binding writes a temp name and
+    // promotes by no-overwrite rename: the namenode arbitrates the race,
+    // AND a reader can never open a partially-written entry under its
+    // final name — so a checkpoint whose write outlives the claim grace
+    // cannot be mistaken for torn residue (the mtime-fixed-at-close
+    // store class). The scanner thread enforces the visibility half: any
+    // readable .snap/.ckpt must already carry its #END footer.
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.hdfs.impl", classOf[HdfsLikeFs].getName)
+    conf.setBoolean("fs.hdfs.impl.disable.cache", true)
+    val fs = new Path("hdfs://local/").getFileSystem(conf)
+    val w = wh("whHdfsLike")
+    val writers = 4
+    val perWriter = 6
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = Executors.newFixedThreadPool(writers + 1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    pool.submit(new Runnable {
+      override def run(): Unit = while (!stop.get()) {
+        try {
+          fs.globStatus(new Path(s"$w/_snapshots/*.snap")).foreach { st =>
+            val in = try Some(fs.open(st.getPath))
+                     catch { case _: java.io.IOException => None }
+            in.foreach { s =>
+              val text = try {
+                val buf = new java.io.ByteArrayOutputStream()
+                val chunk = new Array[Byte](8192)
+                var n = s.read(chunk)
+                while (n >= 0) { buf.write(chunk, 0, n); n = s.read(chunk) }
+                buf.toString("UTF-8")
+              } finally s.close()
+              if (text.nonEmpty &&
+                  !text.split("\n").filter(_.nonEmpty).lastOption.contains("#END"))
+                failures.add(new AssertionError(
+                  s"in-flight content visible under ${st.getPath}"))
+            }
+          }
+        } catch { case _: java.io.IOException => () } // vanished mid-scan
+      }
+    })
+    (0 until writers).foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          (0 until perWriter).foreach { i =>
+            try Snapshots.append(fs, w, s"h$t-c$i-${UUID.randomUUID()}",
+              adds = Seq("t" -> s"$w/t/h$t-f$i.parquet"), removes = Nil)
+            catch { case e: Throwable => failures.add(e) }
+          }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    Thread.sleep(50)
+    stop.set(true)
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"hdfs-binding race surfaced: ${failures.peek()}")
+    val deltas = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+    assert(deltas.map(_.version) == (0L until (writers * perWriter)).toSeq,
+      s"versions: ${deltas.map(_.version)}")
+    assert(Snapshots.fileSet(fs, w, "t").get.size == writers * perWriter)
+    // No temp residue leaks into the log dir's entry namespace.
+    assert(fs.globStatus(new Path(s"$w/_snapshots/*.tmp")).isEmpty)
+  }
+
+  test("a registered ConditionalPut adapter makes a HEAD-then-PUT store commit-safe") {
+    // The per-store seam: the raw store's create(overwrite=false) is
+    // check-then-act (refused multi-writer, see the refusal test), but an
+    // operator who registers the store's NATIVE conditional-create (S3
+    // If-None-Match, GCS x-goog-if-generation-match) routes every log
+    // write through it — registration itself counts as the vouch, and
+    // racing committers serialize without any flag.
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.s3emu.impl", classOf[HeadThenPutFs].getName)
+    conf.setBoolean("fs.s3emu.impl.disable.cache", true)
+    val fs = new Path("s3emu:///").getFileSystem(conf)
+    val w = wh("whAdapter")
+    // Emulates the service-side conditional PUT: atomic arbitration the
+    // STORE provides (here a JVM lock standing in for If-None-Match).
+    val adapterLock = new Object
+    Snapshots.registerConditionalPut("s3emu", new Snapshots.ConditionalPut {
+      def create(fs: FileSystem, dest: Path,
+                 pour: java.io.OutputStream => Unit): Boolean =
+        adapterLock.synchronized {
+          if (fs.exists(dest)) false
+          else {
+            val out = fs.create(dest, true)
+            try pour(out) finally out.close()
+            true
+          }
+        }
+    })
+    try {
+      val writers = 4
+      val perWriter = 5
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(writers)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until writers).foreach { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            (0 until perWriter).foreach { i =>
+              try Snapshots.append(fs, w, s"a$t-c$i-${UUID.randomUUID()}",
+                adds = Seq("t" -> s"$w/t/a$t-f$i.parquet"), removes = Nil)
+              catch { case e: Throwable => failures.add(e) }
+            }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(failures.isEmpty, s"adapter race surfaced: ${failures.peek()}")
+      val deltas = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+      assert(deltas.map(_.version) == (0L until (writers * perWriter)).toSeq,
+        s"versions: ${deltas.map(_.version)}")
+      assert(Snapshots.fileSet(fs, w, "t").get.size == writers * perWriter)
+    } finally Snapshots.unregisterConditionalPut("s3emu")
+    // With the adapter gone the raw store is refused again — registration
+    // was the vouch, not a permanent whitelist.
+    intercept[UnsupportedOperationException](
+      Snapshots.append(fs, w, "post", adds = Seq("t" -> s"$w/t/z.parquet"),
+        removes = Nil))
+  }
+
   test("snapshot reconstruction reads O(CheckpointInterval) log files, not O(history)") {
     val w = wh("whAnchor")
     val fs = localFs
@@ -604,3 +783,4 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"reconstruction read $reads log files for $n commits")
   }
 }
+
