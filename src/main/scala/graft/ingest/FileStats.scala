@@ -300,7 +300,8 @@ object FileStats {
           b.getColumns.forEach { c =>
             if (c.getPath.size == 1) {
               val name = c.getPath.toDotString
-              val st = c.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
               val blockNulls: Option[Long] =
                 if (st == null || !st.isNumNullsSet) None else Some(st.getNumNulls)
               nullAcc(name) = nullAcc.getOrElse(name, Some(0L))
@@ -441,9 +442,8 @@ object FileStats {
       // compared in the wrong unit) or is rejected outright by the
       // vectorized reader (this Spark build ignores the conf and throws
       // [PARQUET_TYPE_ILLEGAL]), so no stats are the only sound choice
-      // either way. DECIMAL stats are unscaled ints vs
-      // scaled predicate values, and unsigned ints wrap as signed longs —
-      // no skipping value for either (absent = never skip, always sound).
+      // either way. Unsigned ints wrap as signed longs — no skipping
+      // value (absent = never skip, always sound).
       logical match {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
           t.getUnit match {
@@ -451,7 +451,17 @@ object FileStats {
             case LogicalTypeAnnotation.TimeUnit.MILLIS => longStats(st, 1000L)
             case _ => None // NANOS: unit ambiguous at read time
           }
-        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+        // DECIMAL over an int carrier: the stats are the UNSCALED ints —
+        // rescaling by 10^-scale is EXACT (BigDecimal.valueOf(long, scale)
+        // is the unscaled long reinterpreted), so the bounds land in the
+        // query's value domain with zero rounding. Same move Delta and
+        // Iceberg make; without it every decimal filter is a full scan.
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          val mn = st.genericGetMin.asInstanceOf[Number].longValue
+          val mx = st.genericGetMax.asInstanceOf[Number].longValue
+          Some(("dec",
+            java.math.BigDecimal.valueOf(mn, d.getScale).toPlainString,
+            java.math.BigDecimal.valueOf(mx, d.getScale).toPlainString))
         case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if !i.isSigned =>
           None
@@ -466,7 +476,24 @@ object FileStats {
       Some(("string",
         new String(st.getMinBytes, StandardCharsets.UTF_8),
         new String(st.getMaxBytes, StandardCharsets.UTF_8)))
-    case _ => None // BOOLEAN / INT96 / FIXED / nested — no skipping value
+    // DECIMAL over a byte-array carrier (precision > 18, or legacy-format
+    // writers): min/max are the big-endian two's-complement UNSCALED
+    // integer — parquet-mr only surfaces these stats at all under the
+    // logical type's signed comparator (TYPE_DEFINED order), which agrees
+    // with BigDecimal order at the column's fixed scale, and decimals are
+    // exempt from binary stats truncation. Exact, never rounded.
+    case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY | PrimitiveTypeName.BINARY =>
+      logical match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          def v(bytes: Array[Byte]): Option[String] =
+            if (bytes == null || bytes.isEmpty) None
+            else Some(new java.math.BigDecimal(
+              new java.math.BigInteger(bytes), d.getScale).toPlainString)
+          for (mn <- v(st.getMinBytes); mx <- v(st.getMaxBytes))
+            yield ("dec", mn, mx)
+        case _ => None
+      }
+    case _ => None // BOOLEAN / INT96 / nested — no skipping value
   }
 
   private def longStats(st: org.apache.parquet.column.statistics.Statistics[_],
@@ -487,6 +514,7 @@ object FileStats {
   private def cmp(t: String, a: String, b: String): Int = t match {
     case "long" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "dec" => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => utf8Cmp(a, b)
   }
 
@@ -577,12 +605,32 @@ object FileStats {
     // parquet writers keep NaN out of stats anyway). Keep the file.
     case ("double", n: Number) if !n.doubleValue.isNaN => Some(n.doubleValue)
     case ("string", s: String) => Some(s)
+    // Decimal stats compare EXACTLY in the decimal domain. Exact-domain
+    // predicate values only: Decimal/BigDecimal literals (the analyzer
+    // promotes int literals compared to a decimal column into these) and
+    // integral values. Float/double predicate values are REFUSED (keep
+    // the file): such a comparison means the QUERY casts the column to
+    // double, and a decimal row just below an exact bound can round UP
+    // across it — pruning on exact bounds would drop a matching row.
+    case ("dec", d: org.apache.spark.sql.types.Decimal) =>
+      Some(d.toJavaBigDecimal)
+    case ("dec", d: java.math.BigDecimal) => Some(d)
+    case ("dec", d: scala.math.BigDecimal) => Some(d.bigDecimal)
+    case ("dec", n: java.lang.Long) => Some(java.math.BigDecimal.valueOf(n))
+    case ("dec", n: java.lang.Integer) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue))
+    case ("dec", n: java.lang.Short) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue))
+    case ("dec", n: java.lang.Byte) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue))
     case _ => None
   }
 
   private def le(typ: String, a: Any, b: Any): Boolean = typ match {
     case "long" => a.asInstanceOf[Long] <= b.asInstanceOf[Long]
     case "double" => a.asInstanceOf[Double] <= b.asInstanceOf[Double]
+    case "dec" => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal]) <= 0
     case _ => utf8Cmp(a.asInstanceOf[String], b.asInstanceOf[String]) <= 0
   }
   private def ltStrict(typ: String, a: Any, b: Any): Boolean =
@@ -780,6 +828,7 @@ object FileStats {
   private def parse(typ: String, s: String): Any = typ match {
     case "long" => s.toLong
     case "double" => s.toDouble
+    case "dec" => new java.math.BigDecimal(s)
     case _ => s
   }
 
@@ -895,6 +944,12 @@ object FileStats {
         if (vs.exists(_.isEmpty)) None
         else nameOf(l).map(n =>
           vs.flatten.map(v => eq(n, v)).reduce((a, b) => a.or(b)))
+      // SQL `BETWEEN` parses to its own node since Spark 4 (a
+      // RuntimeReplaceable the optimizer later lowers to >= AND <=) —
+      // skipping runs on the analyzed tree, so it must convert here.
+      case b: Between => for {
+        n <- nameOf(b.input); lo <- litOf(b.lower); hi <- litOf(b.upper)
+      } yield between(n, lo, hi)
       case StartsWith(l, r) => for {
         n <- nameOf(l); v <- litOf(r); s <- Some(v).collect { case s: String => s }
       } yield startsWith(n, s)
@@ -925,6 +980,11 @@ object FileStats {
         if (vs.exists(_.isEmpty)) None
         else nameOf(l).map(n =>
           vs.flatten.map(v => notEq(n, v)).reduce((a, b) => a.and(b)))
+      // ¬(lo ≤ x ≤ hi) ⇒ x < lo ∨ x > hi (rows where x is NULL fail the
+      // filter either way, matching the leaves' null-free semantics).
+      case b: Between => for {
+        n <- nameOf(b.input); lo <- litOf(b.lower); hi <- litOf(b.upper)
+      } yield lt(n, lo).or(gt(n, hi))
       case IsNull(l) => nameOf(l).map(isNotNull)
       case IsNotNull(l) => nameOf(l).map(isNull)
       case _ => None
@@ -932,3 +992,4 @@ object FileStats {
     walk(e)
   }
 }
+

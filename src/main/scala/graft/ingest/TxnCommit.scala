@@ -330,7 +330,7 @@ object TxnCommit {
           throw new IllegalArgumentException(
             s"$who: $what '$s' is not an exact numeric — unverifiable")
         }
-      if (cs.typ != "long" && cs.typ != "double")
+      if (cs.typ != "long" && cs.typ != "double" && cs.typ != "dec")
         throw new IllegalArgumentException(
           s"$who: only numeric columns are exactly verifiable from " +
             s"stats (got ${cs.typ})")

@@ -507,6 +507,39 @@ object FormatQueries {
         col("amt").cast("decimal(14,2)").as("amt"))
     }),
 
+    // DECIMAL file skipping: per-file [min,max] on decimal columns are the
+    // parquet unscaled ints rescaled by 10^-scale — exact query-domain
+    // bounds on both the INT32 (decimal(10,2)) and the byte-array
+    // (decimal(20,2)) carrier. Three key-banded commits give disjoint amt
+    // ranges; the decimal-predicate read must plan EXACTLY the covering
+    // file (required inline — a skip regression fails the gate, not just a
+    // spec) and hash-match the same filter over the fixture.
+    "fmt_decimal_skip" -> ((s, d) => {
+      val wh = Fixtures.once("fmt_decimal_skip", d) {
+        val w = freshWh()
+        val base = nation(s, d).select(col("n_nationkey"),
+          (col("n_nationkey").cast("decimal(10,2)") + expr("0.25BD"))
+            .cast("decimal(10,2)").as("amt"),
+          (col("n_nationkey").cast("decimal(20,2)") +
+            expr("123456789000.25BD")).cast("decimal(20,2)").as("amt_big"))
+        publish(s, w, "nation_skip", base.filter(col("n_nationkey") < 10))
+        publish(s, w, "nation_skip",
+          base.filter(col("n_nationkey").between(10, 19)))
+        publish(s, w, "nation_skip", base.filter(col("n_nationkey") >= 20))
+        w
+      }
+      val q = Snapshots.readWhere(s, wh, "nation_skip",
+        expr("amt BETWEEN 10.25 AND 14.25"))
+      require(q.inputFiles.length == 1,
+        s"decimal-stats skip planned ${q.inputFiles.length} files, wanted 1")
+      val qb = Snapshots.readWhere(s, wh, "nation_skip",
+        expr("amt_big >= 123456789020.25"))
+      require(qb.inputFiles.length == 1,
+        s"byte-array-carrier skip planned ${qb.inputFiles.length} files")
+      q.select(col("n_nationkey"), col("amt"), col("amt_big"))
+        .unionByName(qb.select(col("n_nationkey"), col("amt"), col("amt_big")))
+    }),
+
     // The LARGE-source merge route (graft.merge.broadcastMaxRows exceeded):
     // the broadcast hint drops, the clause-evaluation joins plan as shuffle
     // joins, and driver-side point-key enumeration is skipped — the
@@ -1060,6 +1093,13 @@ object FormatQueries {
         |                 ELSE n_nationkey + 123456789000.25 END
         |            AS DECIMAL(14,2)) AS amt
         |FROM nation""".stripMargin,
+    "fmt_decimal_skip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |       CAST(n_nationkey + 0.25 AS DECIMAL(10,2)) AS amt,
+        |       CAST(n_nationkey + 123456789000.25 AS DECIMAL(20,2)) AS amt_big
+        |FROM nation
+        |WHERE n_nationkey + 0.25 BETWEEN 10.25 AND 14.25
+        |   OR n_nationkey + 123456789000.25 >= 123456789020.25""".stripMargin,
     "fmt_default" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CASE WHEN n_nationkey < 15 THEN 'legacy'

@@ -553,6 +553,7 @@ class SnapshotScanBuilder(tableSchema: StructType,
         case LongType | IntegerType | ShortType | ByteType | DateType |
              TimestampType => "long"
         case StringType => "string"
+        case _: DecimalType => "dec"
         case _ => return None // double/float: NaN breaks stats ordering
       }
       var best: Option[String] = None
@@ -566,6 +567,11 @@ class SnapshotScanBuilder(tableSchema: StructType,
               case Some(b) =>
                 if (expectTyp == "long")
                   if (isMin) v.toLong < b.toLong else v.toLong > b.toLong
+                else if (expectTyp == "dec") {
+                  val c = new java.math.BigDecimal(v)
+                    .compareTo(new java.math.BigDecimal(b))
+                  if (isMin) c < 0 else c > 0
+                }
                 else if (isMin) utf8Le(v, b) && v != b
                 else utf8Le(b, v) && v != b
             }
@@ -718,6 +724,8 @@ case class SnapshotAggReaderFactory() extends PartitionReaderFactory {
             case ShortType => v.toLong.toShort
             case ByteType => v.toLong.toByte
             case StringType => UTF8String.fromString(v)
+            case d: DecimalType => org.apache.spark.sql.types.Decimal(
+              scala.math.BigDecimal(v), d.precision, d.scale)
             case dt => throw new IllegalStateException(
               s"unexpected pushed-aggregate type $dt")
           }

@@ -366,7 +366,7 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
     assert(notIn.count() == 38)
   }
 
-  test("timestamp MILLIS stats land in micros; DECIMAL columns record no stats") {
+  test("timestamp MILLIS stats land in micros; DECIMAL stats skip in the exact value domain") {
     val w = wh("whUnits")
     val s0 = spark
     import s0.implicits._
@@ -389,10 +389,11 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
       val meta = Snapshots.fileMeta(fs, w, "t").get
       val stats = meta.map(a => FileStats.decode(a.stats).get)
       // MILLIS files carry micros-unit ts stats (predicates compare in
-      // micros); decimal stats are refused (unscaled ints ≠ scaled values).
+      // micros); decimal stats are the unscaled ints rescaled by
+      // 10^-scale — EXACT values in the query domain.
       assert(stats.forall(_.cols.contains("ts")))
-      assert(stats.forall(s => !s.cols.contains("amt")),
-        s"decimal column must record no stats: ${stats.map(_.cols.keySet)}")
+      assert(stats.forall(s => s.cols.get("amt").exists(_.typ == "dec")),
+        s"decimal column must record dec stats: ${stats.map(_.cols.get("amt"))}")
       val microsOf = (s: String) =>
         java.sql.Timestamp.valueOf(s).getTime * 1000L
       assert(stats.map(_.cols("ts").min.toLong).min ==
@@ -402,11 +403,85 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
       val q = Snapshots.readWhere(spark, w, "t",
         col("ts") >= expr("timestamp'2024-03-01 08:00:00'"))
       assert(q.inputFiles.length == 1 && q.count() == 4)
-      // Decimal predicates never skip (no stats) but stay correct.
+      // A decimal predicate skips to the covering file ([1.50,2.75]).
       val d = Snapshots.readWhere(spark, w, "t",
         col("amt") > BigDecimal(2.0))
-      assert(d.inputFiles.length == 2 && d.count() == 3)
+      assert(d.inputFiles.length == 1 && d.count() == 3)
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+  }
+
+  test("decimal [min,max] stats cover all three physical carriers and skip exactly") {
+    val w = wh("whDecCarriers")
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // Three files with disjoint ranges (one strictly negative — the
+    // byte-array carrier stores two's-complement unscaled ints, so sign
+    // handling matters). Columns pick their carrier by precision:
+    // d9 decimal(9,2) → INT32, d18 decimal(18,2) → INT64,
+    // d38 decimal(38,6) → FIXED_LEN_BYTE_ARRAY.
+    def pub(lo: Int): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      (lo until lo + 10).map(k => (k.toLong, BigDecimal(k) + BigDecimal("0.25")))
+        .toDF("id", "v")
+        .select(col("id"),
+          col("v").cast("decimal(9,2)").as("d9"),
+          col("v").cast("decimal(18,2)").as("d18"),
+          col("v").cast("decimal(38,6)").as("d38"))
+        .coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    pub(-10); pub(0); pub(10)
+    val meta = Snapshots.fileMeta(fs, w, "t").get
+    assert(meta.size == 3)
+    val stats = meta.map(a => FileStats.decode(a.stats).get)
+    // Prove each column rode the intended carrier, then that ALL carry
+    // exact dec stats.
+    val tags = stats.head.schema.toMap
+    assert(tags("d9").startsWith("INT32"), tags("d9"))
+    assert(tags("d18").startsWith("INT64"), tags("d18"))
+    assert(tags("d38").startsWith("FIXED_LEN_BYTE_ARRAY"), tags("d38"))
+    Seq("d9", "d18", "d38").foreach { c =>
+      assert(stats.forall(s => s.cols.get(c).exists(_.typ == "dec")),
+        s"$c: ${stats.map(_.cols.get(c))}")
+    }
+    // Exact bounds: the 0-file holds [0.25, 9.25].
+    val zeroFile = stats.find(_.cols("d9").min == "0.25").get
+    assert(zeroFile.cols("d9").max == "9.25")
+    assert(zeroFile.cols("d38").min == "0.250000" &&
+      zeroFile.cols("d38").max == "9.250000")
+    // Decimal predicates (SQL decimal literals) skip to the covering file
+    // on every carrier — including the negative range on the byte-array
+    // carrier.
+    def planned(c: org.apache.spark.sql.Column): Int =
+      Snapshots.readWhere(spark, w, "t", c).inputFiles.length
+    assert(planned(expr("d9 > 12.50")) == 1)
+    assert(Snapshots.readWhere(spark, w, "t", expr("d9 > 12.50"))
+      .count() == 7)
+    assert(planned(expr("d18 BETWEEN 0.25 AND 1.00")) == 1)
+    assert(planned(expr("d38 <= -5.5")) == 1)
+    assert(Snapshots.readWhere(spark, w, "t", expr("d38 <= -5.5"))
+      .count() == 5) // -9.75 … -5.75
+    // An int literal promotes into the decimal domain and skips too.
+    assert(planned(expr("d18 >= 10")) == 1)
+    // A predicate through CAST(col AS DOUBLE) must NOT prune (a decimal
+    // row just below the bound can round UP across it): all files
+    // planned, rows still correct.
+    val cd = Snapshots.readWhere(spark, w, "t",
+      col("d9").cast("double") > 12.5)
+    assert(cd.inputFiles.length == 3 && cd.count() == 7)
+    // Leaf-level soundness of the dec domain: exact BigDecimal compares,
+    // double probe values refused (keep).
+    val st = Some(FileStats.Stats(10L,
+      Map("a" -> FileStats.ColStats("dec", "1.50", "2.75"))))
+    assert(!FileStats.mayMatch(st, FileStats.gt("a", new java.math.BigDecimal("2.75"))))
+    assert(FileStats.mayMatch(st, FileStats.gtEq("a", new java.math.BigDecimal("2.75"))))
+    assert(!FileStats.mayMatch(st, FileStats.lt("a", BigDecimal("1.50"))))
+    assert(!FileStats.mayMatch(st, FileStats.eq("a", 3L)))
+    assert(FileStats.mayMatch(st, FileStats.eq("a", 2L)))
+    assert(FileStats.mayMatch(st, FileStats.gt("a", 99.9)), "double → keep")
   }
 
   test("readWhere skips on partition columns through the same predicate") {

@@ -1251,6 +1251,43 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 3)
   }
 
+  test("bounds constraints verify DECIMAL columns exactly from decimal stats") {
+    // Decimal columns used to be unverifiable from stats (no [min,max] —
+    // the documented CAST-AS-DOUBLE workaround); with exact dec stats the
+    // bounds gate now covers them directly, on both the int and the
+    // byte-array carrier.
+    val w = wh("constraintsDec")
+    val s0 = spark
+    import s0.implicits._
+    Snapshots.setProperties(fs, w, "t", Map(
+      "constraint.bounds.amt" -> "0,99.99", // decimal(9,2) → INT32 carrier
+      "constraint.bounds.big" -> "-1000,1000")) // decimal(20,4) → byte-array
+    def tryCommit(rows: Seq[(BigDecimal, BigDecimal)]): Unit = {
+      val cid = java.util.UUID.randomUUID().toString
+      import org.apache.spark.sql.functions.col
+      rows.toDF("a", "b")
+        .select(col("a").cast("decimal(9,2)").as("amt"),
+          col("b").cast("decimal(20,4)").as("big"))
+        .coalesce(1).write.parquet(s"${TxnCommit.stagingDir(w, cid)}/t")
+      val moves = TxnCommit.movesFor(fs, w, cid, "t")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    tryCommit(Seq((BigDecimal("10.50"), BigDecimal("-999.9999")),
+      (BigDecimal("99.99"), BigDecimal("1000"))))
+    assert(Snapshots.read(spark, w, "t").count() == 2)
+    // One cent over the bound aborts — exact decimal compare, no rounding.
+    val exHi = intercept[IllegalArgumentException](
+      tryCommit(Seq((BigDecimal("100.00"), BigDecimal("0")))))
+    assert(exHi.getMessage.contains("bounds") &&
+      exHi.getMessage.contains("100.00"), exHi.getMessage)
+    val exLo = intercept[IllegalArgumentException](
+      tryCommit(Seq((BigDecimal("1.00"), BigDecimal("-1000.0001")))))
+    assert(exLo.getMessage.contains("bounds") &&
+      exLo.getMessage.contains("-1000.0001"), exLo.getMessage)
+    assert(Snapshots.read(spark, w, "t").count() == 2, "aborts stayed invisible")
+  }
+
   test("reserved engine column names are rejected at the commit point") {
     val w = wh("reserved")
     val s0 = spark
