@@ -86,6 +86,15 @@ sealed trait IngestSpec {
   def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame]
   /** Release any Dataset cached by tables() (demux specs decode-once). */
   def cleanup(): Unit = ()
+  /** Output tables that land DATE-PARTITIONED (SURVEY §7.5): each listed
+    * table gains a derived `dt` partition column — the UTC day of the
+    * source FILE's embedded timestamp (ingest batches are time-bunched,
+    * so the file day is the natural prune axis) — and its staged batch is
+    * written Hive-partitioned by it. The commit path records the `dt=`
+    * tuple on every ADD line, so date-range reads prune partitions from
+    * the LOG and maintenance (OPTIMIZE/VACUUM) can scope to days — the
+    * only maintenance shape that works at 100 TB. Flat by default. */
+  def datePartitioned: Set[String] = Set.empty
 }
 
 object IngestSpecs {
@@ -103,6 +112,7 @@ object IngestSpecs {
 
   case object VerifiedSpeedtestSpec extends IngestSpec {
     val prefix = "verified_speedtest"
+    override def datePartitioned: Set[String] = Set("verified_speedtest_report")
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
       implicit val enc = Encoders.product[VerifiedSpeedtestReport]
       Map("verified_speedtest_report" ->
@@ -303,14 +313,28 @@ object IngestJob {
     val staging = TxnCommit.stagingDir(warehouse, commitId)
     // Counts are THIS run's ingested rows (cache once, count, write), not a
     // cumulative re-scan of the warehouse table. Writes go to staging only.
+    // Derived `dt` partition value: UTC day of the source file's embedded
+    // epoch-millis (the filename's metadata timestamp riding `file_source`
+    // lineage) — a per-row codegen'd expression, no join, no driver map.
+    // Emitted as the ISO STRING the Hive path segment carries, so log-side
+    // partition tuples prune lexically (ISO order = date order).
+    def dtCol = {
+      val ms = regexp_extract(col("file_source"), "\\.(\\d+)", 1).cast("long")
+      date_format(date_add(to_date(lit("1970-01-01")),
+        floor(ms / 86400000L).cast("int")), "yyyy-MM-dd")
+    }
     val counts = tables.map { case (name, df) =>
       val cached = df.cache()
       val n = cached.count()
       // Table-property bloom config (`bloom.columns`): ingested files
       // carry the same point-lookup blooms DML rewrites re-establish.
-      cached.write.mode(SaveMode.Overwrite)
+      val out =
+        if (spec.datePartitioned(name)) cached.withColumn("dt", dtCol)
+        else cached
+      val writer = out.write.mode(SaveMode.Overwrite)
         .options(Snapshots.bloomWriteOptionsFor(fs, warehouse, name,
           Snapshots.columnMapping(fs, warehouse, name)))
+      (if (spec.datePartitioned(name)) writer.partitionBy("dt") else writer)
         .parquet(s"$staging/$name")
       cached.unpersist()
       name -> n
