@@ -1051,10 +1051,83 @@ object Snapshots {
               changeFiles.map { case (t, f) => s"CDF\t$t\t$f\t\t" } ++
               (metas ++ featMetas).map { case (t, m) => s"META\t$t\t$m\t\t" } ++
               dvs.map { case (t, f, tok) => s"DV\t$t\t$f\t\t\t$tok" }))
-        if (!ownsClaim(fs, warehouse, version, commitId)) {
-          // Our claim was broken as stale while we wrote (we were the
-          // zombie): the version now belongs to someone else.
-          fs.delete(new Path(snapDir(warehouse), f"$version%020d-$commitId.snap"), false)
+        // Post-write claim re-verify. A lost claim does NOT immediately
+        // mean the entry must self-delete: between the stale break and any
+        // rival's re-claim, OUR entry may have become visible — a
+        // successor may already have listed it as the committed version
+        // and stacked version+1 on it, so an unconditional self-delete
+        // would punch a PERMANENT HOLE under committed versions (the
+        // exact state sweepTorn's mid-log rail exists to prevent),
+        // silently truncating the anchored listing and breaking the OCC
+        // density argument. Resolve by polling until the race settles:
+        //  - a RIVAL entry at this version → the rival won; delete our
+        //    entry and retry (the classic zombie path — the rival's
+        //    winner sweep also clears our residue);
+        //  - the claim is FREE → re-take it; owning it again makes us the
+        //    plain winner and our entry stays (any successor that already
+        //    built on it stays consistent);
+        //  - a rival HOLDS the claim → it is ms from writing its own
+        //    entry here (the append path never claims a version it saw an
+        //    entry for, and never lists between claim and write), so wait
+        //    for the first case — or break its lock once it ages stale
+        //    (the claimant died) and re-take.
+        // Decision table, polled until settled (every wait is bounded by a
+        // rival's liveness or the claim grace):
+        //  1. I own the claim (or re-take it)      → WIN (keep entry).
+        //  2. a rival holds the claim:
+        //     a. a rival entry exists              → LOSE (delete mine —
+        //        the version keeps ITS entry, density holds);
+        //     b. no rival entry yet                → wait (it is ms from
+        //        writing) / break its lock once stale.
+        //  3. the claim is FREE:
+        //     a. no rival entry                    → re-take → WIN.
+        //     b. rival entry too (mutual zombies — both claims broken
+        //        out-of-band): deterministic tiebreak on entry-name sort
+        //        (both sides compute the same verdict from the same
+        //        files): first-sorting entry's owner re-takes and WINS,
+        //        the other LOSES — never both delete, so no hole.
+        val resolvedWin: Boolean = {
+          var result: Option[Boolean] =
+            if (ownsClaim(fs, warehouse, version, commitId)) Some(true)
+            else None
+          val own = f"$version%020d-$commitId.snap"
+          val myLock = lockPath(warehouse, version)
+          while (result.isEmpty) {
+            val sameVer = fs.globStatus(new Path(snapDir(warehouse),
+                f"$version%020d-*.snap")).map(_.getPath.getName).sorted
+            val rivalEntry = sameVer.exists(_ != own)
+            val holder: Option[Option[String]] = // None=absent, Some(content)
+              try {
+                if (!fs.exists(myLock)) None
+                else Some(readLines(fs, myLock).headOption)
+              } catch { case _: java.io.IOException => Some(None) }
+            holder match {
+              case Some(h) if h.contains(commitId) =>
+                result = Some(true)
+              case Some(_) if rivalEntry =>
+                fs.delete(new Path(snapDir(warehouse), own), false)
+                result = Some(false)
+              case Some(_) =>
+                val stale =
+                  try System.currentTimeMillis() -
+                    fs.getFileStatus(myLock).getModificationTime > claimGraceMs
+                  catch { case _: java.io.IOException => false }
+                if (stale) fs.delete(myLock, false)
+                Thread.sleep(5)
+              case None if rivalEntry && !sameVer.headOption.contains(own) =>
+                fs.delete(new Path(snapDir(warehouse), own), false)
+                result = Some(false)
+              case None =>
+                if (putIfAbsent(fs, myLock,
+                    commitId.getBytes(StandardCharsets.UTF_8)))
+                  result = Some(true)
+                else Thread.sleep(5) // re-claim raced: re-resolve
+            }
+          }
+          result.get
+        }
+        if (!resolvedWin) {
+          () // entry deleted above; the outer loop retries at a fresh version
         } else {
           // Winner sweeps zombie entries that raced this version before
           // their own re-verify could delete them (targeted glob — not a

@@ -1,0 +1,307 @@
+package graft
+
+import java.util.UUID
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.Snapshots
+
+/** Property-based chaos soak for the commit protocol: random SCHEDULES of
+  * concurrent-append phases (writers × readers × vacuum × zombie
+  * plant/vanish × live-claim breaks) interleaved with quiesced torn-residue
+  * injections drawn from the full dead-writer matrix (own claim, absent
+  * claim, rival-held claim, double-dead) — the generalization of
+  * CommitProtocolSpec's hand-written interleavings. Every schedule must
+  * end with: zero operation failures, exactly one delta per version,
+  * contiguous versions, and every committed file live in the final state
+  * (no lost rows, no duplicate versions, no wedge).
+  *
+  * Torn residue is AGED via setTimes instead of sleeping out the claim
+  * grace, so a hundred schedules run in seconds. Injections happen only in
+  * states the protocol can reach (zombie entries are COMPLETE and planted
+  * at the top; torn residue is planted quiesced at top+1 — mid-log torn
+  * deltas are a documented operator-intervention state, not chaos). */
+class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
+    with GenChecks {
+
+  private var spark: SparkSession = _
+  private lazy val dir =
+    java.nio.file.Files.createTempDirectory("graft-chaosprop")
+  private val pool = Executors.newCachedThreadPool()
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    pool.shutdownNow()
+    if (spark != null) spark.stop()
+  }
+
+  private def sloppyFs(): FileSystem = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.sloppy.impl", classOf[SloppyRenameFs].getName)
+    conf.setBoolean("fs.sloppy.impl.disable.cache", true)
+    conf.setBoolean("graft.commit.atomicConditionalCreate.sloppy", true)
+    new Path("sloppy:///").getFileSystem(conf)
+  }
+
+  // ----------------------------------------------------------- generators
+
+  /** One concurrent phase: writers committing while optional readers fold,
+    * vacuum truncates, zombies plant/vanish, and live claims break. */
+  private case class Concurrent(writers: Int, perWriter: Int, readers: Int,
+                                vacuum: Boolean, zombies: Boolean,
+                                breakClaims: Boolean)
+  /** One quiesced torn injection at top+1. Claim state drawn from the
+    * dead-writer matrix: 0 = own stale claim, 1 = no claim at all,
+    * 2 = rival-held claim (rival absent → loud error, then the rival's
+    * death is simulated and the residue must heal), 3 = double-dead
+    * (two torn writers, claim held by the second). */
+  private case class Torn(claimState: Int)
+
+  private val genConcurrent: Gen[Concurrent] = for {
+    w <- Gen.choose(1, 3)
+    p <- Gen.choose(1, 3)
+    r <- Gen.choose(0, 2)
+    v <- Gen.oneOf(true, false)
+    z <- Gen.oneOf(true, false)
+    b <- Gen.oneOf(true, false)
+  } yield Concurrent(w, p, r, v, z, b)
+
+  private val genPhase: Gen[Either[Concurrent, Torn]] = Gen.frequency(
+    3 -> genConcurrent.map(Left(_)),
+    2 -> Gen.choose(0, 3).map(c => Right(Torn(c))))
+
+  private val genSchedule: Gen[List[Either[Concurrent, Torn]]] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genPhase))
+
+  // ------------------------------------------------------------ execution
+
+  private def age(fs: FileSystem, p: Path): Unit =
+    fs.setTimes(p, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+
+  private def plantTorn(fs: FileSystem, w: String, version: Long,
+                        cid: String): Path = {
+    val p = new Path(s"$w/_snapshots/${"%020d".format(version)}-$cid.snap")
+    val out = fs.create(p, true)
+    out.write(s"#OP\tappend\nADD\tt\t$w/t/torn-$cid.parquet\t\t"
+      .getBytes("UTF-8"))
+    out.close()
+    age(fs, p)
+    p
+  }
+
+  private def plantLock(fs: FileSystem, w: String, version: Long,
+                        cid: String): Path = {
+    val p = new Path(s"$w/_snapshots/${"%020d".format(version)}.lock")
+    val out = fs.create(p, true)
+    out.write(cid.getBytes("UTF-8"))
+    out.close()
+    age(fs, p)
+    p
+  }
+
+  private def runConcurrent(fs: FileSystem, w: String, c: Concurrent,
+                            appended: java.util.Set[String]): Unit = {
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writersDone = new CountDownLatch(c.writers)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val start = new CountDownLatch(1)
+    val tasks = scala.collection.mutable.ArrayBuffer
+      .empty[java.util.concurrent.Future[_]]
+    (0 until c.writers).foreach { t =>
+      tasks += pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try (0 until c.perWriter).foreach { i =>
+            val f = s"$w/t/w$t-$i-${UUID.randomUUID()}.parquet"
+            val cid = s"c-${UUID.randomUUID()}"
+            // RawLocalFileSystem's create shells out a chmod AFTER the
+            // create; chaos deleting the object in that window fails the
+            // whole create — an artifact real stores don't have (a PUT
+            // has no after-the-fact metadata op). Retrying the append is
+            // exactly what a client does on a transient store error, and
+            // append is idempotent by commitId.
+            var attempts = 0
+            var done = false
+            while (!done) {
+              attempts += 1
+              try {
+                Snapshots.append(fs, w, cid,
+                  adds = Seq("t" -> f), removes = Nil)
+                appended.add(f)
+                done = true
+              } catch {
+                case e: Throwable
+                    if attempts < 5 &&
+                      Option(e.getMessage).exists(_.contains("chmod")) =>
+                  Thread.sleep(2)
+                case e: Throwable => failures.add(e); done = true
+              }
+            }
+          } finally writersDone.countDown()
+        }
+      })
+    }
+    (0 until c.readers).foreach { _ =>
+      tasks += pool.submit(new Runnable {
+        override def run(): Unit = { start.await()
+          while (!stop.get()) {
+            try assert(Snapshots.fileSet(fs, w, "t").exists(_.nonEmpty))
+            catch { case e: Throwable => failures.add(e); stop.set(true) }
+            Thread.sleep(1) // don't starve writers mid-entry-pour
+          } }
+      })
+    }
+    if (c.vacuum) tasks += pool.submit(new Runnable {
+      override def run(): Unit = { start.await()
+        while (!stop.get()) {
+          try Snapshots.vacuum(fs, w, keepVersions = 8, minAgeMs = 0L)
+          catch { case e: Throwable => failures.add(e); stop.set(true) }
+          Thread.sleep(3)
+        } }
+    })
+    if (c.zombies || c.breakClaims) tasks += pool.submit(new Runnable {
+      override def run(): Unit = { start.await()
+        var i = 0
+        while (!stop.get()) {
+          try {
+            val top = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+              .lastOption
+            if (c.zombies) top.foreach { last =>
+              // A COMPLETE zombie entry (a rival that wrote before noticing
+              // its broken claim), vanished moments later — the lifecycle
+              // readers must survive via re-list.
+              val p = new Path(
+                s"$w/_snapshots/${"%020d".format(last.version)}-zz$i.snap")
+              val dest = java.nio.file.Paths.get(p.toUri.getPath)
+              val tmp = dest.resolveSibling(dest.getFileName.toString + ".t")
+              java.nio.file.Files.write(tmp,
+                "#OP\tappend\nADD\tzz\t/tmp/zz.parquet\t\t\n#END"
+                  .getBytes("UTF-8"))
+              try java.nio.file.Files.createLink(dest, tmp)
+              finally java.nio.file.Files.deleteIfExists(tmp)
+              Thread.sleep(2)
+              fs.delete(p, false)
+            }
+            // Throttled: a break every ~25ms leaves room for a writer to
+            // land between breaks — continuous breaking is a livelock by
+            // construction (every claim dies before its entry), not a
+            // reachable failure mode.
+            if (c.breakClaims && i % 8 == 3) top.foreach { last =>
+              // Break a LIVE claim: the affected writer self-heals (its
+              // post-write re-verify deletes its own entry and retries).
+              fs.delete(new Path(
+                s"$w/_snapshots/${"%020d".format(last.version + 1)}.lock"),
+                false)
+            }
+          } catch { case _: Throwable => () }
+          i += 1
+          Thread.sleep(3)
+        } }
+    })
+    start.countDown()
+    assert(writersDone.await(60, TimeUnit.SECONDS), "writers wedged")
+    stop.set(true)
+    // JOIN every phase thread: a stale reader/vacuum/chaos iteration
+    // bleeding into the next (possibly quiesced) phase would corrupt it.
+    tasks.foreach(t => t.get(60, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"concurrent phase failed: ${failures.peek()}")
+  }
+
+  private def dumpLog(fs: FileSystem, w: String): String =
+    try fs.listStatus(new Path(s"$w/_snapshots")).map(_.getPath.getName)
+      .sorted.mkString("[", ", ", "]")
+    catch { case e: Throwable => s"<unlistable: $e>" }
+
+  private def runTorn(fs: FileSystem, w: String, t: Torn): Unit = {
+    val top = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+      .lastOption.map(_.version).getOrElse(-1L)
+    val v = top + 1
+    val cid = s"dead-${UUID.randomUUID()}"
+    val torn = plantTorn(fs, w, v, cid)
+    t.claimState match {
+      case 0 => // own stale claim: sweep breaks it and heals
+        plantLock(fs, w, v, cid)
+        assert(Snapshots.fileSet(fs, w, "t").nonEmpty)
+        assert(!fs.exists(torn), "own-claim torn residue must self-heal")
+      case 1 => // no claim: heals directly
+        fs.delete(new Path(s"$w/_snapshots/${"%020d".format(v)}.lock"), false)
+        assert(Snapshots.fileSet(fs, w, "t").nonEmpty)
+        assert(!fs.exists(torn), "unclaimed torn residue must self-heal")
+      case 2 => // rival-held, rival absent: loud error, nothing deleted...
+        plantLock(fs, w, v, s"rival-${UUID.randomUUID()}")
+        intercept[Snapshots.TornLogEntryException](
+          Snapshots.fileSet(fs, w, "t"))
+        assert(fs.exists(torn), "rival-claimed residue must not be swept")
+        // ...until the rival dies (claim removed): then it heals.
+        fs.delete(new Path(s"$w/_snapshots/${"%020d".format(v)}.lock"), false)
+        assert(Snapshots.fileSet(fs, w, "t").nonEmpty)
+        assert(!fs.exists(torn))
+      case _ => // double-dead: holder recursion sweeps both
+        val cid2 = s"dead2-${UUID.randomUUID()}"
+        val torn2 = plantTorn(fs, w, v, cid2)
+        plantLock(fs, w, v, cid2)
+        assert(Snapshots.fileSet(fs, w, "t").nonEmpty)
+        assert(!fs.exists(torn) && !fs.exists(torn2),
+          "double-dead residue must fully self-heal")
+    }
+    // The freed version is claimable again — life goes on.
+    Snapshots.append(fs, w, s"post-${UUID.randomUUID()}",
+      adds = Seq("t" -> s"$w/t/post-$v.parquet"), removes = Nil)
+  }
+
+  test("100 random chaos schedules: no lost rows, no duplicate versions, no wedge") {
+    val fs = sloppyFs()
+    // Generous grace: aged-mtime planting means sweeps never WAIT it out,
+    // but a writer mid-entry-pour under 100-trial thread load must not be
+    // misread as torn by a racing reader.
+    sys.props("graft.test.claimGraceMs") = "1000"
+    try {
+      var trial = 0
+      forAll(genSchedule, trials = 100) { schedule =>
+        trial += 1
+        val w = dir.resolve(s"wh$trial").toString
+        val appended =
+          java.util.Collections.newSetFromMap(
+            new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+        // Seed commit so readers always have state to fold.
+        val seed = s"$w/t/seed.parquet"
+        Snapshots.append(fs, w, s"seed-${UUID.randomUUID()}",
+          adds = Seq("t" -> seed), removes = Nil)
+        appended.add(seed)
+        var torns = 0
+        schedule.foreach {
+          case Left(c) => runConcurrent(fs, w, c, appended)
+          case Right(t) => runTorn(fs, w, t); torns += 1
+        }
+        // Invariants. Chaos zombies caught mid-lifecycle are swept first
+        // (they are rival-complete entries, exactly what a winner sweeps).
+        fs.globStatus(new Path(s"$w/_snapshots/*-zz*.snap"))
+          .foreach(st => fs.delete(st.getPath, false))
+        val deltas = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+        val versions = deltas.map(_.version)
+        assert(versions.distinct.size == versions.size,
+          s"duplicate versions: $versions (schedule $schedule)")
+        assert(versions == (versions.min to versions.max),
+          s"version hole: $versions (schedule $schedule)")
+        val files = Snapshots.fileSet(fs, w, "t").get.toSet
+        val expected = appended.size + torns // each torn phase post-appends
+        assert(files.size == expected,
+          s"lost rows: ${files.size} of $expected files live " +
+            s"(missing: ${appended.toArray.filterNot(f => files(f.toString))
+              .mkString(",")}) (schedule $schedule) log=${dumpLog(fs, w)}")
+      }
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+}

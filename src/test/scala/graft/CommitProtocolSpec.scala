@@ -22,6 +22,15 @@ import graft.ingest.Snapshots
 class SloppyRenameFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("sloppy:///")
 
+  // RawLocalFileSystem's create() is create-then-chmod; a rival deleting
+  // the object in that window makes the chmod shell-out fail — an artifact
+  // real object stores don't have (no separate metadata op after a PUT).
+  // Swallow exactly that case so chaos tests exercise the PROTOCOL's
+  // races, not the local double's.
+  override def setPermission(p: Path, permission: FsPermission): Unit =
+    try super.setPermission(p, permission)
+    catch { case _: java.io.IOException if !exists(p) => () }
+
   override def rename(src: Path, dst: Path): Boolean = {
     val s = pathToFile(src)
     val d = pathToFile(dst)
