@@ -189,11 +189,23 @@ object TxnCommit {
     statsFor.groupBy { case (dest, _) => tableOf(dest) }.foreach {
       case (table, destStats) =>
         destStats.values.flatMap(FileStats.decode).foreach(
-          _.schema.foreach { case (n, _) =>
+          _.schema.foreach { case (n, tag) =>
             require(!ReservedCols(n),
               s"column name '$n' of table '$table' is reserved for the " +
                 "engine's internal row-identity/change-feed columns — " +
                 "rename it before committing")
+            // Fail NANOS at CREATE, not at read: a nanosecond-annotated
+            // column would land silently and only degrade later — this
+            // Spark build's vectorized reader throws on it, and no sound
+            // [min,max] unit exists (stats are refused, every filter
+            // full-scans). Same fail-closed posture as the storage
+            // contract: loud, at the first commit, with the workaround.
+            require(!tag.contains("TIMESTAMP(NANOS"),
+              s"column '$n' of table '$table' is TIMESTAMP(NANOS) — " +
+                "unreadable by the vectorized parquet reader and " +
+                "unit-ambiguous for stats. Write micros " +
+                "(spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS) " +
+                "or land the value as a raw INT64 nanos column instead")
           })
         val current: Map[String, String] =
           Snapshots.fileMeta(fs, warehouse, table).getOrElse(Seq.empty)

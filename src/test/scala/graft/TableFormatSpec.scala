@@ -1288,6 +1288,36 @@ class TableFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.read(spark, w, "t").count() == 2, "aborts stayed invisible")
   }
 
+  test("TIMESTAMP(NANOS) columns are rejected at the commit point, not at read") {
+    // A NANOS column used to land silently and only degrade later (the
+    // vectorized reader throws on it; stats are unit-ambiguous and
+    // refused). The commit gate now fails it loudly with the workaround.
+    // Spark cannot write NANOS itself — fabricate the staged file with
+    // parquet-mr directly.
+    val w = wh("nanosGate")
+    val cid = java.util.UUID.randomUUID().toString
+    val staged = new Path(
+      s"${TxnCommit.stagingDir(w, cid)}/t/part-00000.parquet")
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message t { required int64 ev_ns (TIMESTAMP(NANOS,true)); }")
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(staged, conf))
+      .withConf(conf).build()
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    try writer.write(factory.newGroup().append("ev_ns", 1700000000000000000L))
+    finally writer.close()
+    val moves = TxnCommit.movesFor(fs, w, cid, "t")
+    val ex = intercept[IllegalArgumentException](
+      TxnCommit.commit(fs, w, cid, moves))
+    assert(ex.getMessage.contains("TIMESTAMP(NANOS)") &&
+      ex.getMessage.contains("TIMESTAMP_MICROS"), ex.getMessage)
+    assert(Snapshots.fileMeta(fs, w, "t").isEmpty, "nothing became visible")
+  }
+
   test("reserved engine column names are rejected at the commit point") {
     val w = wh("reserved")
     val s0 = spark
