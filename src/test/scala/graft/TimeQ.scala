@@ -7,7 +7,8 @@ object TimeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.allowHashOnMapType", "true")
-    val d = "/root/testdata/sf0.1"
+    // Any absolute-path argument overrides the fixture dir (sf1 probes).
+    val d = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
     // Same checksum materializer as Bench — count() lets Catalyst prune
     // column work and under-times projection-shaped queries.
     def mat(name: String): Unit = {
@@ -16,7 +17,7 @@ object TimeQ {
           .xxhash64(df.columns.map(org.apache.spark.sql.functions.col): _*).as("__h"))
         .agg(org.apache.spark.sql.functions.expr("bit_xor(__h)")).collect()
     }
-    for (name <- args) {
+    for (name <- args.filterNot(_.startsWith("/"))) {
       val t0 = System.nanoTime()
       mat(name)
       val t1 = System.nanoTime()
