@@ -319,8 +319,7 @@ object FileStats {
                       (t0, minOf(t0, mn0, mn), maxOf(t0, mx0, mx))
                   }
               }
-              val tag = bloomTag(c.getPrimitiveType.getPrimitiveTypeName,
-                c.getPrimitiveType.getLogicalTypeAnnotation)
+              val tag = bloomTag(c.getPrimitiveType)
               val blockBloom =
                 if (tag.nonEmpty && c.getBloomFilterOffset >= 0)
                   Option(bloomReader.readBloomFilter(c))
@@ -345,8 +344,7 @@ object FileStats {
           b.getColumns.forEach { c =>
             if (c.getPath.size == 1) {
               val name = c.getPath.toDotString
-              val tag = bloomTag(c.getPrimitiveType.getPrimitiveTypeName,
-                c.getPrimitiveType.getLogicalTypeAnnotation)
+              val tag = bloomTag(c.getPrimitiveType)
               val es = c.getEncodingStats
               val blockDict: Option[Set[String]] =
                 if (tag.isEmpty || es == null ||
@@ -360,6 +358,13 @@ object FileStats {
                     val vals = (0 to dict.getMaxId).map(i => tag match {
                       case "s" => dict.decodeToBinary(i).toStringUsingUTF8
                       case "i64" => dict.decodeToLong(i).toString
+                      // Decimal dictionaries store UNSCALED ints — the
+                      // probe side rescales predicate values to match.
+                      case t if t.startsWith("d64:") =>
+                        dict.decodeToLong(i).toString
+                      case t if t.startsWith("dfb:") =>
+                        new java.math.BigInteger(
+                          dict.decodeToBinary(i).getBytes).toString
                       case _ => dict.decodeToInt(i).toString
                     }).toSet
                     Some(vals).filter(_.size <= MaxDictValues)
@@ -405,29 +410,85 @@ object FileStats {
     * exists. Strings hash their UTF-8 bytes; PLAIN ints hash their 4- or
     * 8-byte little-endian encoding — the physical width matters, so the
     * tag rides the log entry and a width-mixed column (safe type
-    * widening) probes each file at ITS width. Annotated ints (DATE,
-    * TIMESTAMP, DECIMAL, unsigned) are excluded: their query-side values
-    * live in a different domain than the written plain encoding, and a
-    * mis-domained hash would false-negative (= unsound pruning). Signed
-    * 8/16/32-bit annotations are plain int32 writes and stay probeable. */
-  private def bloomTag(ptype: PrimitiveTypeName,
-                       logical: LogicalTypeAnnotation): String = ptype match {
-    case PrimitiveTypeName.BINARY
-        if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-      "s"
-    case PrimitiveTypeName.INT32 => logical match {
-      case null => "i32"
-      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
-          if i.isSigned && i.getBitWidth <= 32 => "i32"
+    * widening) probes each file at ITS width. DECIMAL columns ARE
+    * probeable: the written plain value is the UNSCALED int (or its
+    * fixed-width big-endian two's complement), and the tag carries the
+    * scale (and byte width) so the probe side rescales the predicate
+    * value into exactly the bytes the writer hashed. Other annotated
+    * ints (DATE, TIMESTAMP, unsigned) stay excluded: their query-side
+    * values live in a different domain than the written plain encoding,
+    * and a mis-domained hash would false-negative (= unsound pruning).
+    * Signed 8/16/32-bit annotations are plain int32 writes and stay
+    * probeable. */
+  private def bloomTag(pt: org.apache.parquet.schema.PrimitiveType): String = {
+    val logical = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case PrimitiveTypeName.BINARY
+          if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        "s"
+      case PrimitiveTypeName.INT32 => logical match {
+        case null => "i32"
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned && i.getBitWidth <= 32 => "i32"
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          s"d32:${d.getScale}"
+        case _ => ""
+      }
+      case PrimitiveTypeName.INT64 => logical match {
+        case null => "i64"
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if i.isSigned && i.getBitWidth == 64 => "i64"
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          s"d64:${d.getScale}"
+        case _ => ""
+      }
+      case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY => logical match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          s"dfb:${d.getScale}:${pt.getTypeLength}"
+        case _ => ""
+      }
       case _ => ""
     }
-    case PrimitiveTypeName.INT64 => logical match {
-      case null => "i64"
-      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
-          if i.isSigned && i.getBitWidth == 64 => "i64"
-      case _ => ""
+  }
+
+  /** Exact decimal view of a probe value — the same domain rule as
+    * [[norm]]'s `dec` cases: Decimal/BigDecimal/integral values are
+    * exact; float/double are refused (their binary expansion is not the
+    * value the user wrote, and a rounded rescale could false-negative). */
+  private def decOf(v: Any): Option[java.math.BigDecimal] = v match {
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case d: java.math.BigDecimal => Some(d)
+    case d: scala.math.BigDecimal => Some(d.bigDecimal)
+    case n: java.lang.Long => Some(java.math.BigDecimal.valueOf(n))
+    case n: java.lang.Integer => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Short => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Byte => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case _ => None
+  }
+
+  /** The UNSCALED integer of `v` at the file's `scale` — what the writer
+    * physically stored and hashed. None when v is outside the exact
+    * decimal domain or not representable at that scale (a value with
+    * finer fraction digits could still be NOT-equal everywhere, but the
+    * conservative answer keeps the file and lets the range leaf decide). */
+  private def unscaledAt(v: Any, scale: Int): Option[java.math.BigInteger] =
+    decOf(v).flatMap { bd =>
+      try Some(bd.setScale(scale).unscaledValue)
+      catch { case _: ArithmeticException => None }
     }
-    case _ => ""
+
+  /** Fixed-width big-endian two's complement of `u` (the FLBA decimal
+    * plain encoding); None when it doesn't fit `len` bytes (cannot be in
+    * the file — but the range leaf already excludes it, so keep). */
+  private def fixedBytes(u: java.math.BigInteger, len: Int): Option[Array[Byte]] = {
+    val raw = u.toByteArray
+    if (raw.length > len) None
+    else {
+      val out = new Array[Byte](len)
+      if (u.signum < 0) java.util.Arrays.fill(out, 0, len - raw.length, -1: Byte)
+      System.arraycopy(raw, 0, out, len - raw.length, raw.length)
+      Some(out)
+    }
   }
 
   private def typedMinMax(ptype: PrimitiveTypeName, logical: LogicalTypeAnnotation,
@@ -606,23 +667,14 @@ object FileStats {
     case ("double", n: Number) if !n.doubleValue.isNaN => Some(n.doubleValue)
     case ("string", s: String) => Some(s)
     // Decimal stats compare EXACTLY in the decimal domain. Exact-domain
-    // predicate values only: Decimal/BigDecimal literals (the analyzer
-    // promotes int literals compared to a decimal column into these) and
-    // integral values. Float/double predicate values are REFUSED (keep
-    // the file): such a comparison means the QUERY casts the column to
-    // double, and a decimal row just below an exact bound can round UP
-    // across it — pruning on exact bounds would drop a matching row.
-    case ("dec", d: org.apache.spark.sql.types.Decimal) =>
-      Some(d.toJavaBigDecimal)
-    case ("dec", d: java.math.BigDecimal) => Some(d)
-    case ("dec", d: scala.math.BigDecimal) => Some(d.bigDecimal)
-    case ("dec", n: java.lang.Long) => Some(java.math.BigDecimal.valueOf(n))
-    case ("dec", n: java.lang.Integer) =>
-      Some(java.math.BigDecimal.valueOf(n.longValue))
-    case ("dec", n: java.lang.Short) =>
-      Some(java.math.BigDecimal.valueOf(n.longValue))
-    case ("dec", n: java.lang.Byte) =>
-      Some(java.math.BigDecimal.valueOf(n.longValue))
+    // predicate values only ([[decOf]]): Decimal/BigDecimal literals
+    // (the analyzer promotes int literals compared to a decimal column
+    // into these) and integral values. Float/double predicate values are
+    // REFUSED (keep the file): such a comparison means the QUERY casts
+    // the column to double, and a decimal row just below an exact bound
+    // can round UP across it — pruning on exact bounds would drop a
+    // matching row.
+    case ("dec", x) => decOf(x)
     case _ => None
   }
 
@@ -770,6 +822,21 @@ object FileStats {
             case ("i32", n: java.lang.Long)
                 if n >= Int.MinValue && n <= Int.MaxValue =>
               Some(bf.hash(n.intValue))
+            // Decimal carriers hash the UNSCALED int at the file's
+            // width; out-of-range / non-representable probe values keep
+            // the file (the range leaf already decided).
+            case (t, _) if t.startsWith("d32:") =>
+              unscaledAt(v, t.substring(4).toInt)
+                .filter(_.bitLength < 32).map(u => bf.hash(u.intValueExact))
+            case (t, _) if t.startsWith("d64:") =>
+              unscaledAt(v, t.substring(4).toInt)
+                .filter(_.bitLength < 64).map(u => bf.hash(u.longValueExact))
+            case (t, _) if t.startsWith("dfb:") =>
+              val parts = t.split(":")
+              unscaledAt(v, parts(1).toInt)
+                .flatMap(fixedBytes(_, parts(2).toInt))
+                .map(b => bf.hash(
+                  org.apache.parquet.io.api.Binary.fromConstantByteArray(b)))
             case _ => None
           }
           bc.bitsets.exists { bits =>
@@ -796,6 +863,10 @@ object FileStats {
             case ("i32", n: java.lang.Short) => Some(n.intValue.toString)
             case ("i32", n: java.lang.Byte) => Some(n.intValue.toString)
             case ("i32", n: java.lang.Long) => Some(n.toString) // set is int-strings
+            // Decimal dictionaries hold unscaled-int strings.
+            case (t, _) if t.startsWith("d32:") || t.startsWith("d64:") ||
+                t.startsWith("dfb:") =>
+              unscaledAt(v, t.split(":")(1).toInt).map(_.toString)
             case _ => None
           }
           canon.forall(dc.values.contains)

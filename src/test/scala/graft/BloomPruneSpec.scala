@@ -274,6 +274,67 @@ class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 100L)
   }
 
+  test("decimal keys bloom- and dictionary-prune on all carriers (unscaled-int probes)") {
+    // Interleaved decimal values: every file's [min,max] spans the whole
+    // range, so only the bloom/dictionary can tell files apart. Columns
+    // pick their carrier by precision: d9 decimal(9,2) → INT32 unscaled,
+    // d18 decimal(18,2) → INT64, d38 decimal(38,4) → FIXED_LEN_BYTE_ARRAY
+    // — the probe must rescale the predicate value and hash the exact
+    // bytes the writer stored (incl. the FLBA width and sign extension).
+    val w = wh("decBloom")
+    val s0 = spark
+    import s0.implicits._
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "d9,d18,d38", "bloom.ndv" -> "1000"))
+    val files = 4
+    (0 until files).foreach { f =>
+      val cid = java.util.UUID.randomUUID().toString
+      (0 until 400).filter(_ % files == f)
+        // Negative values exercise the two's-complement FLBA encoding.
+        .map(i => (i.toLong, BigDecimal(i) + BigDecimal("0.25") - 200))
+        .toDF("id", "v")
+        .select(col("id"),
+          col("v").cast("decimal(9,2)").as("d9"),
+          col("v").cast("decimal(18,2)").as("d18"),
+          col("v").cast("decimal(38,4)").as("d38"))
+        .coalesce(1).write
+        .options(Snapshots.bloomWriteOptionsFor(fs, w, "docs", None))
+        .parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+      val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    val acts = Snapshots.fileMeta(fs, w, "docs").get
+    assert(acts.size == files)
+    val stats = acts.map(a => FileStats.decode(a.stats).get)
+    Seq("d9", "d18", "d38").foreach { c =>
+      assert(stats.forall(st =>
+        st.blooms.contains(c) || st.dicts.contains(c) ||
+          st.bloomRefs.contains(c)),
+        s"$c carries no probe structure: ${stats.map(_.blooms.keySet)}")
+    }
+    // Point lookups plan exactly the one covering file per carrier —
+    // value -198.75 lives in file 1 (i=1): ranges can't separate, the
+    // probe must. (SQL decimal literals; readWhere derives the eq leaf.)
+    def planned(cond: org.apache.spark.sql.Column): Int =
+      Snapshots.readWhere(s0, w, "docs", cond).inputFiles.length
+    assert(planned(expr("d9 = -198.75")) == 1, "d9 int32-carrier probe")
+    assert(planned(expr("d18 = -198.75")) == 1, "d18 int64-carrier probe")
+    assert(planned(expr("d38 = -198.7500")) == 1, "d38 FLBA-carrier probe")
+    assert(Snapshots.readWhere(s0, w, "docs", expr("d38 = -198.75"))
+      .count() == 1)
+    // Soundness sweep: every present value is FOUND by its probe.
+    (0 until 400 by 37).foreach { i =>
+      val v = java.math.BigDecimal.valueOf(i * 100 + 25 - 20000, 2)
+      assert(acts.exists(a => FileStats.mayMatch(FileStats.decode(a.stats),
+        FileStats.eq("d18", v))), s"present value $v wrongly pruned")
+    }
+    // A value not representable at the column scale keeps files (the
+    // conservative answer — the range leaf owns impossibility).
+    assert(acts.exists(a => FileStats.mayMatch(FileStats.decode(a.stats),
+      FileStats.eq("d9", new java.math.BigDecimal("0.125")))))
+  }
+
   test("oversized blooms spill to sidecar files and still prune") {
     val w = wh("sidecar")
     // ndv 200k → ~256 KB bitset, past the 64 KB log cap: the payload must
