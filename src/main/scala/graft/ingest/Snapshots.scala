@@ -179,6 +179,12 @@ object Snapshots {
   private val SnapRe = raw"(\d{20})-(.+)\.(snap|ckpt)".r
   private val LockRe = raw"(\d{20})\.lock".r
 
+  /** Test hook: invoked after an entry write, before the claim re-verify
+    * (the zombie window) — lets the resolution decision table be driven
+    * deterministically instead of by thread timing. Production: None. */
+  @volatile private[graft] var testPostEntryWrite
+      : Option[(String, Long) => Unit] = None
+
   /** Test-visible count of log-file opens — the metric the checkpoint
     * anchoring exists to bound: reconstruction must read O(interval) entry
     * files, not O(commit history). */
@@ -1051,6 +1057,10 @@ object Snapshots {
               changeFiles.map { case (t, f) => s"CDF\t$t\t$f\t\t" } ++
               (metas ++ featMetas).map { case (t, m) => s"META\t$t\t$m\t\t" } ++
               dvs.map { case (t, f, tok) => s"DV\t$t\t$f\t\t\t$tok" }))
+        // Deterministic race injection for the resolution tests: fires
+        // between the entry write and the claim re-verify — exactly the
+        // zombie window.
+        testPostEntryWrite.foreach(_(commitId, version))
         // Post-write claim re-verify. A lost claim does NOT immediately
         // mean the entry must self-delete: between the stale break and any
         // rival's re-claim, OUR entry may have become visible — a

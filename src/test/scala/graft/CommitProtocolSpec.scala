@@ -774,6 +774,84 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
         removes = Nil))
   }
 
+  test("zombie resolution: a lost claim re-takes and keeps the entry — no version hole") {
+    // The decision table, driven deterministically through the
+    // post-entry-write hook (the exact window a stale break hits).
+    val w = wh("whResolve")
+    val fs = localFs
+    Snapshots.append(fs, w, "c0", adds = Seq("t" -> s"$w/t/a.parquet"),
+      removes = Nil)
+    def lockOf(v: Long) = new Path(s"$w/_snapshots/${"%020d".format(v)}.lock")
+    def entryAt(v: Long, cid: String, file: String): Unit = {
+      val p = new Path(s"$w/_snapshots/${"%020d".format(v)}-$cid.snap")
+      val out = fs.create(p, true)
+      out.write(s"#OP\tappend\nADD\tt\t$file\t\t\n#END".getBytes("UTF-8"))
+      out.close()
+    }
+    // Case 1 — claim broken, nobody re-took it, a SUCCESSOR already
+    // stacked on our late-visible entry: we must RE-TAKE and keep (the
+    // old unconditional self-delete punched a permanent hole here).
+    val fired1 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.testPostEntryWrite = Some { (cid, v) =>
+      if (cid == "A" && fired1.compareAndSet(false, true)) {
+        fs.delete(lockOf(v), false) // the out-of-band/stale break
+        entryAt(v + 1, "succ", s"$w/t/succ.parquet") // successor stacked
+      }
+    }
+    try Snapshots.append(fs, w, "A", adds = Seq("t" -> s"$w/t/A.parquet"),
+      removes = Nil)
+    finally Snapshots.testPostEntryWrite = None
+    val after1 = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+    assert(after1.map(_.version) == Seq(0L, 1L, 2L),
+      s"hole or duplicate: ${after1.map(e => (e.version, e.commitId))}")
+    assert(after1.exists(e => e.version == 1L && e.commitId == "A"),
+      "A must keep its entry at the contested version")
+    assert(Snapshots.fileSet(fs, w, "t").get.toSet ==
+      Set(s"$w/t/a.parquet", s"$w/t/A.parquet", s"$w/t/succ.parquet"))
+
+    // Case 2 — a rival re-took the claim AND committed at our version:
+    // we lose, delete our entry, and retry at a fresh version (dense).
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.testPostEntryWrite = Some { (cid, v) =>
+      if (cid == "B" && fired2.compareAndSet(false, true)) {
+        fs.delete(lockOf(v), false)
+        val out = fs.create(lockOf(v), true)
+        out.write("rival".getBytes("UTF-8")); out.close()
+        entryAt(v, "rival", s"$w/t/rival.parquet")
+      }
+    }
+    try Snapshots.append(fs, w, "B", adds = Seq("t" -> s"$w/t/B.parquet"),
+      removes = Nil)
+    finally Snapshots.testPostEntryWrite = None
+    val after2 = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+    assert(after2.map(_.version) == Seq(0L, 1L, 2L, 3L, 4L),
+      s"versions: ${after2.map(e => (e.version, e.commitId))}")
+    assert(after2.count(_.version == 3L) == 1 &&
+      after2.find(_.version == 3L).get.commitId == "rival")
+    assert(after2.find(_.version == 4L).get.commitId == "B",
+      "B must retry and land above the rival")
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 5)
+
+    // Case 3 — mutual zombies (both claims broken, rival entry present,
+    // claim free): deterministic name tiebreak — our "C" sorts before
+    // "zzz", so we re-take, win, and the winner sweep clears the rival.
+    val fired3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.testPostEntryWrite = Some { (cid, v) =>
+      if (cid == "C" && fired3.compareAndSet(false, true)) {
+        fs.delete(lockOf(v), false)
+        entryAt(v, "zzz", s"$w/t/zzz.parquet")
+      }
+    }
+    try Snapshots.append(fs, w, "C", adds = Seq("t" -> s"$w/t/C.parquet"),
+      removes = Nil)
+    finally Snapshots.testPostEntryWrite = None
+    val after3 = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+    assert(after3.count(_.version == 5L) == 1 &&
+      after3.find(_.version == 5L).get.commitId == "C",
+      s"tiebreak winner: ${after3.map(e => (e.version, e.commitId))}")
+    assert(Snapshots.fileSet(fs, w, "t").get.size == 6)
+  }
+
   test("snapshot reconstruction reads O(CheckpointInterval) log files, not O(history)") {
     val w = wh("whAnchor")
     val fs = localFs
