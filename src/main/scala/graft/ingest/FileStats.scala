@@ -1006,6 +1006,11 @@ object FileStats {
       case CatOr(l, r) => for (a <- walk(l); b <- walk(r)) yield a.or(b)
       case Not(c) => neg(c)
       case EqualTo(l, r) => cmp(l, r)(eq, eq)
+      // c <=> v: for a non-null literal, same rows as c = v (plus none —
+      // NULL rows fail both); a NULL literal is IS NULL.
+      case EqualNullSafe(l, Literal(null, _)) => nameOf(l).map(isNull)
+      case EqualNullSafe(Literal(null, _), r) => nameOf(r).map(isNull)
+      case EqualNullSafe(l, r) => cmp(l, r)(eq, eq)
       case GreaterThan(l, r) => cmp(l, r)(gt, lt)
       case GreaterThanOrEqual(l, r) => cmp(l, r)(gtEq, ltEq)
       case LessThan(l, r) => cmp(l, r)(lt, gt)
@@ -1042,6 +1047,13 @@ object FileStats {
         case (a, b) => a.orElse(b) // ¬(l∨r) ⊆ ¬l — dropping one widens
       }
       case EqualTo(l, r) => cmp(l, r)(notEq, notEq)
+      // ¬(c <=> v): NULL rows SATISFY it — widen with the nullability OR
+      // (same shape as the V1 path); ¬(c <=> NULL) is IS NOT NULL.
+      case EqualNullSafe(l, Literal(null, _)) => nameOf(l).map(isNotNull)
+      case EqualNullSafe(Literal(null, _), r) => nameOf(r).map(isNotNull)
+      case EqualNullSafe(l, r) =>
+        cmp(l, r)(notEq, notEq).flatMap(p =>
+          nameOf(l).orElse(nameOf(r)).map(n => p.or(isNull(n))))
       case GreaterThan(l, r) => cmp(l, r)(ltEq, gtEq)
       case GreaterThanOrEqual(l, r) => cmp(l, r)(lt, gt)
       case LessThan(l, r) => cmp(l, r)(gtEq, ltEq)

@@ -364,6 +364,13 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
     // NOT IN prunes files pinned to the excluded values and keeps the rest.
     val notIn = Snapshots.readWhere(spark, w, "t", !col("id").isin(0L, 1L))
     assert(notIn.count() == 38)
+    // Null-safe equality: <=> with a non-null literal prunes like =, and
+    // its negation widens with nullability (no null ids here — rows equal
+    // the plain ≠ count).
+    val nsEq = Snapshots.readWhere(spark, w, "t", col("id") <=> 15L)
+    assert(nsEq.inputFiles.length == 1 && nsEq.count() == 1)
+    assert(Snapshots.readWhere(spark, w, "t", !(col("id") <=> 15L))
+      .count() == 39)
   }
 
   test("timestamp MILLIS stats land in micros; DECIMAL stats skip in the exact value domain") {
