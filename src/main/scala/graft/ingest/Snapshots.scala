@@ -579,8 +579,9 @@ object Snapshots {
     *    (2) re-read — a writer that completed and verified its claim
     *    before (1) has, by read-after-write, a visible footer at (2), so
     *    a completed entry is never deleted; a writer still in flight
-    *    loses its claim, and its own post-write re-verify self-deletes
-    *    and retries (the standard zombie path).
+    *    loses its claim, and its own post-write re-verify resolves it
+    *    (re-take and keep, or lose to a rival and retry — the standard
+    *    zombie path).
     *
     * Checkpoints sweep on age alone — redundant state with no role in
     * version assignment, and the lingering torn file would block
@@ -885,9 +886,12 @@ object Snapshots {
     * died in the ms-wide window between claim and entry) is broken by
     * waiting writers after [[claimGraceMs]]. Against the zombie tail of
     * that break (claimant wakes up and writes its entry anyway), the
-    * entry write is followed by a claim re-verify: lost ownership ⇒ delete
-    * own entry and retry — and the winner sweeps any same-version zombie
-    * entry it observes. */
+    * entry write is followed by a claim re-verify: lost ownership runs a
+    * RESOLUTION (see the decision table at the re-verify site) — re-take
+    * the freed claim and keep the entry, or lose to a rival's entry and
+    * retry; never an unconditional self-delete, which could hole the
+    * version sequence under a successor that already built on the late
+    * entry. The winner sweeps any same-version zombie entry it observes. */
   def append(fs: FileSystem, warehouse: String, commitId: String,
              adds: Seq[(String, String)], removes: Seq[(String, String)],
              op: String = "append", baseVersion: Option[Long] = None,
