@@ -335,6 +335,43 @@ class BloomPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       FileStats.eq("d9", new java.math.BigDecimal("0.125")))))
   }
 
+  test("decimal-keyed MERGE prunes candidates through dec stats and blooms") {
+    // The DML side of decimal pruning: source key bounds collect as
+    // java.math.BigDecimal (Row.get on a DecimalType agg) and must reach
+    // the dec stats/bloom probes — a keyed delete on a decimal key plans
+    // only the covering file, and the rewrite preserves semantics.
+    val w = wh("decMergeKey")
+    val s0 = spark
+    import s0.implicits._
+    Snapshots.setProperties(fs, w, "docs",
+      Map("bloom.columns" -> "price", "bloom.ndv" -> "1000"))
+    val files = 4
+    (0 until files).foreach { f =>
+      val cid = java.util.UUID.randomUUID().toString
+      // Interleaved prices: every file's [min,max] spans the range.
+      (0 until 400).filter(_ % files == f)
+        .map(i => (i.toLong, BigDecimal(i) + BigDecimal("0.01")))
+        .toDF("id", "p")
+        .select(col("id"), col("p").cast("decimal(9,2)").as("price"))
+        .coalesce(1).write
+        .options(Snapshots.bloomWriteOptionsFor(fs, w, "docs", None))
+        .parquet(s"${TxnCommit.stagingDir(w, cid)}/docs")
+      val moves = TxnCommit.movesFor(fs, w, cid, "docs")
+      TxnCommit.commit(fs, w, cid, moves)
+      TxnCommit.publish(fs, w, cid, moves)
+    }
+    // price 5.01 (i=5) lives only in file 1 — range stats keep all 4.
+    val keys = Seq(BigDecimal("5.01")).toDF("price")
+      .select(col("price").cast("decimal(9,2)").as("price"))
+    val r = Merge.deleteKeys(s0, w, "docs", keys, Seq("price"))
+    assert(r.filesScanned == 1, s"decimal keyed delete should prune: $r")
+    assert(r.rowsMatched == 1)
+    assert(Snapshots.read(s0, w, "docs").count() == 399)
+    assert(Snapshots.read(s0, w, "docs")
+      .filter(col("price") === expr("CAST(5.01 AS DECIMAL(9,2))"))
+      .count() == 0)
+  }
+
   test("oversized blooms spill to sidecar files and still prune") {
     val w = wh("sidecar")
     // ndv 200k → ~256 KB bitset, past the 64 KB log cap: the payload must
