@@ -122,6 +122,15 @@ object IngestSpecs {
 
   case object MobileRewardsSpec extends IngestSpec {
     val prefix = "mobile_network_reward_shares_v1"
+    // The heaviest feed at 100 TB: every output table (parents AND
+    // exploded children) lands day-partitioned so maintenance and
+    // date-range reads scope to single days.
+    override def datePartitioned: Set[String] = Set(
+      "mobile_gateway_rewards", "mobile_subscriber_rewards",
+      "mobile_service_provider_rewards", "mobile_unallocated_rewards",
+      "mobile_promotion_rewards", "mobile_radio_rewards",
+      "mobile_reward_trust_scores", "mobile_reward_speedtests",
+      "mobile_reward_covered_hexes")
     private var cached: Option[DataFrame] = None
     override def cleanup(): Unit = { cached.foreach(_.unpersist()); cached = None }
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
@@ -166,6 +175,9 @@ object IngestSpecs {
 
   case object IotRewardsSpec extends IngestSpec {
     val prefix = "iot_network_reward_shares_v1"
+    override def datePartitioned: Set[String] = Set(
+      "iot_gateway_rewards", "iot_operational_rewards",
+      "iot_unallocated_rewards")
     private var cached: Option[DataFrame] = None
     override def cleanup(): Unit = { cached.foreach(_.unpersist()); cached = None }
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
@@ -184,6 +196,8 @@ object IngestSpecs {
 
   case object CoverageSpec extends IngestSpec {
     val prefix = "coverage_object"
+    override def datePartitioned: Set[String] =
+      Set("coverage_object", "coverage_location")
     private var cached: Option[DataFrame] = None
     override def cleanup(): Unit = { cached.foreach(_.unpersist()); cached = None }
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {

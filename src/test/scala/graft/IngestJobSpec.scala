@@ -267,6 +267,17 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hexes.filter(hexes("id") === id).count() == 3) // FK propagated (D4)
     val sub = spark.read.parquet(s"${wh("wh2")}/mobile_subscriber_rewards").collect().head
     assert(sub.getAs[String]("subscriber_id") == "00010203-0405-0607-0809-0a0b0c0d0e0f")
+    // Every demux output — parents and exploded children — lands
+    // day-partitioned (the source file's day: 2023-11-14 UTC).
+    val fsW = new org.apache.hadoop.fs.Path(wh("wh2"))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("mobile_radio_rewards", "mobile_reward_covered_hexes",
+      "mobile_gateway_rewards").foreach { t =>
+      val parts = graft.ingest.Snapshots.fileMeta(fsW, wh("wh2"), t)
+        .get.map(_.partition)
+      assert(parts.nonEmpty && parts.forall(_ == "dt=2023-11-14"),
+        s"$t partitions: $parts")
+    }
   }
 
   test("iot rewards: 3-way demux (D2)") {
