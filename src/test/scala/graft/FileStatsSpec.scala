@@ -141,6 +141,66 @@ class FileStatsSpec extends AnyFunSuite with BeforeAndAfterAll with GenChecks {
     }
   }
 
+  test("property: decimal predicates are sound, incl. mixed probe-value types") {
+    import org.scalacheck.Gen
+    // Same one-sided invariant as the long property, in the dec domain:
+    // rows are decimal(_,2) values; probe values arrive in every exact
+    // type the query side can produce (java/scala BigDecimal of varying
+    // scale, integral longs) — a satisfying row must keep its file.
+    sealed trait P
+    case class Leaf(op: Int, cents: Long, form: Int) extends P
+    case class Node(isAnd: Boolean, l: P, r: P) extends P
+    val leaf = for {
+      op <- Gen.choose(0, 5); v <- Gen.choose(-2000L, 2000L)
+      f <- Gen.choose(0, 3)
+    } yield Leaf(op, v, f)
+    def tree(depth: Int): Gen[P] =
+      if (depth == 0) leaf
+      else Gen.frequency(2 -> leaf, 3 -> (for {
+        a <- Gen.oneOf(true, false); l <- tree(depth - 1); r <- tree(depth - 1)
+      } yield Node(a, l, r)))
+    def bd(cents: Long): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(cents, 2)
+    // Probe-value forms: canonical scale-2, over-scaled (trailing zeros),
+    // scala BigDecimal, and — when whole — a plain Long.
+    def probeOf(cents: Long, form: Int): Any = form match {
+      case 0 => bd(cents)
+      case 1 => bd(cents).setScale(5)
+      case 2 => scala.math.BigDecimal(bd(cents))
+      case _ if cents % 100 == 0 => java.lang.Long.valueOf(cents / 100)
+      case _ => bd(cents)
+    }
+    def toPred(p: P): FileStats.Pred = p match {
+      case Leaf(0, v, f) => FileStats.eq("c", probeOf(v, f))
+      case Leaf(1, v, f) => FileStats.ltEq("c", probeOf(v, f))
+      case Leaf(2, v, f) => FileStats.gtEq("c", probeOf(v, f))
+      case Leaf(3, v, f) => FileStats.lt("c", probeOf(v, f))
+      case Leaf(4, v, f) => FileStats.gt("c", probeOf(v, f))
+      case Leaf(_, v, f) => FileStats.notEq("c", probeOf(v, f))
+      case Node(true, l, r) => toPred(l).and(toPred(r))
+      case Node(false, l, r) => toPred(l).or(toPred(r))
+    }
+    def sat(p: P, cents: Long): Boolean = p match {
+      case Leaf(0, v, _) => cents == v
+      case Leaf(1, v, _) => cents <= v
+      case Leaf(2, v, _) => cents >= v
+      case Leaf(3, v, _) => cents < v
+      case Leaf(4, v, _) => cents > v
+      case Leaf(_, v, _) => cents != v
+      case Node(true, l, r) => sat(l, cents) && sat(r, cents)
+      case Node(false, l, r) => sat(l, cents) || sat(r, cents)
+    }
+    val rows = Gen.nonEmptyListOf(Gen.choose(-2000L, 2000L))
+    forAll(Gen.zip(rows, tree(3)), trials = 300) { case (rs, p) =>
+      val stats = Some(FileStats.Stats(rs.size.toLong, Map(
+        "c" -> FileStats.ColStats("dec",
+          bd(rs.min).toPlainString, bd(rs.max).toPlainString))))
+      if (rs.exists(sat(p, _)))
+        assert(FileStats.mayMatch(stats, toPred(p)),
+          s"pruned a file with a satisfying row: rows=$rs pred=$p")
+    }
+  }
+
   test("property: string predicates (incl. not-eq, prefix) sound in UTF-8 order") {
     import org.scalacheck.Gen
     // Strings mixing ASCII, a U+E000-block char, and a supplementary-plane
