@@ -186,6 +186,41 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(s"$w/t/a.parquet", s"$w/t/b.parquet"))
   }
 
+  test("graft.commit.claimGraceMs is a real deployment knob (test knob wins)") {
+    // The grace was test-only; operators on mtime-fixed stores need to
+    // raise it for real. Prove the production key takes effect — a stale
+    // claim breaks in ~300ms, not the 60s default — and that the test
+    // key keeps precedence when both are set.
+    val w = wh("whGraceKnob")
+    val fs = localFs
+    Snapshots.append(fs, w, "g0", adds = Seq("t" -> s"$w/t/a.parquet"),
+      removes = Nil)
+    val lock = new Path(s"$w/_snapshots/${"%020d".format(1)}.lock")
+    val out = fs.create(lock, true)
+    out.write("dead".getBytes("UTF-8")); out.close()
+    sys.props("graft.commit.claimGraceMs") = "300"
+    try {
+      val t0 = System.nanoTime()
+      Snapshots.append(fs, w, "g1", adds = Seq("t" -> s"$w/t/b.parquet"),
+        removes = Nil)
+      val waitedMs = (System.nanoTime() - t0) / 1000000
+      assert(waitedMs < 10000, s"production grace ignored (waited ${waitedMs}ms)")
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 2)
+      // Precedence: the test knob overrides the production one.
+      val lock2 = new Path(s"$w/_snapshots/${"%020d".format(2)}.lock")
+      val o2 = fs.create(lock2, true)
+      o2.write("dead2".getBytes("UTF-8")); o2.close()
+      sys.props("graft.test.claimGraceMs") = "100"
+      try {
+        val t1 = System.nanoTime()
+        Snapshots.append(fs, w, "g2", adds = Seq("t" -> s"$w/t/c.parquet"),
+          removes = Nil)
+        assert((System.nanoTime() - t1) / 1000000 < 5000)
+        assert(Snapshots.fileSet(fs, w, "t").get.size == 3)
+      } finally sys.props.remove("graft.test.claimGraceMs")
+    } finally sys.props.remove("graft.commit.claimGraceMs")
+  }
+
   test("readers and writers tolerate entries vanishing mid-read (zombie sweeps)") {
     // The protocol legitimately DELETES visible .snap files (a loser's
     // self-delete on a broken claim, the winner's same-version sweep): a
