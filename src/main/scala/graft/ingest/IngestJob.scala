@@ -101,9 +101,16 @@ object IngestSpecs {
   import scala.reflect.runtime.universe.TypeTag
 
   /** Generic single-table spec for flat record types (17 of 20 reference
-    * types follow this shape — SURVEY §3.1). */
+    * types follow this shape — SURVEY §3.1). `partitioned = true` lands the
+    * table day-partitioned (`dt` from the source file's timestamp) — declared
+    * on the high-volume feeds where date-scoped reads and maintenance are
+    * the only shapes that work at 100 TB; low-volume feeds stay flat (daily
+    * slivers would just be a small-file factory). */
   final case class FlatSpec[T <: Product : TypeTag](
-      prefix: String, table: String, decodeFn: FrameSource.RawFrame => T) extends IngestSpec {
+      prefix: String, table: String, decodeFn: FrameSource.RawFrame => T,
+      partitioned: Boolean = false) extends IngestSpec {
+    override def datePartitioned: Set[String] =
+      if (partitioned) Set(table) else Set.empty
     def tables(frames: Dataset[FrameSource.RawFrame]): Map[String, DataFrame] = {
       implicit val enc = Encoders.product[T]
       Map(table -> FrameSource.decoded(frames, decodeFn).toDF())
@@ -222,21 +229,27 @@ object IngestSpecs {
     "iot-rewards" -> IotRewardsSpec,
     "coverage-objects" -> CoverageSpec,
     "data-transfer" -> FlatSpec("data_transfer_session_ingest_report",
-      "data_transfer_ingest_report", MoreFlatten.dataTransferIngest),
+      "data_transfer_ingest_report", MoreFlatten.dataTransferIngest,
+      partitioned = true),
     "verified-data-transfer" -> FlatSpec("verified_data_transfer_session",
-      "verified_data_transfer_ingest_report", MoreFlatten.verifiedDataTransfer),
+      "verified_data_transfer_ingest_report", MoreFlatten.verifiedDataTransfer,
+      partitioned = true),
     "data-transfer-burn" -> FlatSpec("valid_data_transfer_session",
-      "data_transfer_burn", MoreFlatten.dataTransferBurn),
+      "data_transfer_burn", MoreFlatten.dataTransferBurn, partitioned = true),
     "verified-wifi-heartbeat" -> FlatSpec("validated_heartbeat",
-      "verified_wifi_heartbeat", MoreFlatten.verifiedWifiHeartbeat),
+      "verified_wifi_heartbeat", MoreFlatten.verifiedWifiHeartbeat,
+      partitioned = true),
     "wifi-heartbeat-ingest" -> FlatSpec("wifi_heartbeat_report",
-      "wifi_heartbeat_ingest_report", MoreFlatten.wifiHeartbeatIngest),
+      "wifi_heartbeat_ingest_report", MoreFlatten.wifiHeartbeatIngest,
+      partitioned = true),
     "boosted-hex-update" -> FlatSpec("boosted_hex_update",
       "boosted_hex_update", MoreFlatten.boostedHexUpdate),
     "subscriber-activity-ingest" -> FlatSpec("subscriber_mapping_activity_ingest_report",
-      "subscriber_mapping_activity_ingest", MoreFlatten.subscriberActivityIngest),
+      "subscriber_mapping_activity_ingest", MoreFlatten.subscriberActivityIngest,
+      partitioned = true),
     "verified-subscriber-activity" -> FlatSpec("verified_subscriber_mapping_activity_report",
-      "verified_subscriber_mapping_activity", MoreFlatten.verifiedSubscriberActivity),
+      "verified_subscriber_mapping_activity", MoreFlatten.verifiedSubscriberActivity,
+      partitioned = true),
     "verified-radio-threshold" -> FlatSpec("verified_radio_threshold_report",
       "verified_radio_threshold", MoreFlatten.verifiedRadioThreshold),
     "verified-invalidated-radio-threshold" ->
@@ -250,9 +263,9 @@ object IngestSpecs {
     "enabled-carriers-info" -> FlatSpec("enabled_carriers_report",
       "enabled_carriers_info", MoreFlatten.enabledCarriersInfo),
     "radio-usage-stats" -> FlatSpec("radio_usage_stats_ingest_report",
-      "radio_usage_stats", MoreFlatten.radioUsageStats),
+      "radio_usage_stats", MoreFlatten.radioUsageStats, partitioned = true),
     "radio-usage-stats-v2" -> FlatSpec("radio_usage_stats_ingest_report_v2",
-      "radio_usage_stats_v2", MoreFlatten.radioUsageStatsV2),
+      "radio_usage_stats_v2", MoreFlatten.radioUsageStatsV2, partitioned = true),
     "mobile-reward-manifest" -> FlatSpec("network_reward_manifest_v1",
       "mobile_reward_manifest", MoreFlatten.rewardManifest))
 }
@@ -332,8 +345,12 @@ object IngestJob {
     // lineage) — a per-row codegen'd expression, no join, no driver map.
     // Emitted as the ISO STRING the Hive path segment carries, so log-side
     // partition tuples prune lexically (ISO order = date order).
+    // Anchored at the END of the URI: `file_source` is the fully-qualified
+    // path, and an unanchored first-match would grab dot-digits from a host
+    // (hdfs://10.0.0.1:8020/…) or a dotted bucket/dir (s3a://data.2023/…)
+    // instead of the filename's `{prefix}.{epoch_ms}[.gz]` timestamp.
     def dtCol = {
-      val ms = regexp_extract(col("file_source"), "\\.(\\d+)", 1).cast("long")
+      val ms = regexp_extract(col("file_source"), "\\.(\\d+)(\\.gz)?$", 1).cast("long")
       date_format(date_add(to_date(lit("1970-01-01")),
         floor(ms / 86400000L).cast("int")), "yyyy-MM-dd")
     }

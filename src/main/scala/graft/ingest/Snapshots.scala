@@ -492,6 +492,48 @@ object Snapshots {
     try fs.exists(new Path(logDir, FooterEraName))
     catch { case _: java.io.IOException => false }
 
+  /** Marker-present log dirs (qualified), memoized: once certified, the
+    * per-append exists() probe is skipped for the JVM's lifetime. */
+  private val certifiedEras =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook: forget memoized certifications (simulates a fresh JVM
+    * looking at a warehouse certified by an earlier process). */
+  private[graft] def resetEraMemo(): Unit = certifiedEras.clear()
+
+  /** Self-certify an already-footer-complete log. A warehouse written
+    * entirely under the footer protocol but BEFORE the era marker existed
+    * (or whose marker file was lost) has every entry footered yet no
+    * `_footer_era` — without this, the torn-residue self-heal stays
+    * disabled forever and the first dead writer wedges reads on
+    * [[migrateFooters]] (which demands a quiesce). Append calls this
+    * before writing anything: when the marker is absent it scans the FULL
+    * listing (anchored tails are not enough — below-anchor entries may be
+    * pre-footer) and plants the marker iff EVERY entry carries its
+    * [[EndMarker]]. A footer-less entry — legacy data, a live rival
+    * mid-write, or torn residue — refuses certification (conservative:
+    * retried on the next append; genuinely legacy logs keep failing
+    * loudly at migrateFooters). Advisory and racy-safe: the marker put is
+    * idempotent and certifying late never un-commits anything. */
+  private def certifyFooterEra(fs: FileSystem, warehouse: String): Unit = {
+    val dir = snapDir(warehouse)
+    val key =
+      try fs.makeQualified(dir).toString
+      catch { case _: IllegalArgumentException => dir.toString }
+    if (certifiedEras.contains(key)) return
+    try {
+      if (!fs.exists(dir)) return // brand-new: first commit plants it
+      if (footerEra(fs, dir)) { certifiedEras.add(key); return }
+      val all = entries(fs, warehouse)
+      if (all.isEmpty) return // empty log: first commit plants it
+      val complete = all.forall { e =>
+        try readLines(fs, e.path).lastOption.contains(EndMarker)
+        catch { case _: java.io.IOException => false }
+      }
+      if (complete) { markFooterEra(fs, warehouse); certifiedEras.add(key) }
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** How long the optional-anchor read waits for an in-flight checkpoint:
     * checkpoints are redundant state, so the fold skips to the previous
     * anchor quickly instead of stalling a read behind a large checkpoint
@@ -965,6 +1007,10 @@ object Snapshots {
         heldClaim = -1L
       }
     try {
+    // Re-arm the torn-residue self-heal on logs that predate (or lost) the
+    // era marker but are provably footer-complete — one exists() probe per
+    // append until certified, then memoized.
+    certifyFooterEra(fs, warehouse)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1106,7 +1152,28 @@ object Snapshots {
             else None
           val own = f"$version%020d-$commitId.snap"
           val myLock = lockPath(warehouse, version)
+          // Every legitimate wait below settles within the claim grace (a
+          // live rival writes in ms; a dead one's claim ages stale and is
+          // broken). Only a PERSISTENT store fault (lock reads erroring,
+          // staleness unprovable) can outlast 2× grace — then fail loudly
+          // with the outcome explicitly unknown instead of spinning
+          // forever: walking away here is crash-equivalent, and the
+          // protocol already resolves the residue (winner sweep / stale
+          // break) exactly as it would a died-right-here writer. The poll
+          // backs off 5→100 ms so a full grace wait is O(hundreds) of
+          // store requests, not tens of thousands.
+          val deadline =
+            System.currentTimeMillis() + 2 * claimGraceMs + 10000L
+          var napMs = 5L
           while (result.isEmpty) {
+            if (System.currentTimeMillis() > deadline)
+              throw new java.io.IOException(
+                s"commit $commitId could not resolve ownership of log " +
+                  s"version $version within ${2 * claimGraceMs + 10000L} ms " +
+                  "(persistent failure reading the version lock?); commit " +
+                  "outcome UNKNOWN — the entry is left for the protocol's " +
+                  "zombie resolution, do not blindly re-submit non-idempotent " +
+                  "work")
             val sameVer = fs.globStatus(new Path(snapDir(warehouse),
                 f"$version%020d-*.snap")).map(_.getPath.getName).sorted
             val rivalEntry = sameVer.exists(_ != own)
@@ -1127,7 +1194,8 @@ object Snapshots {
                     fs.getFileStatus(myLock).getModificationTime > claimGraceMs
                   catch { case _: java.io.IOException => false }
                 if (stale) fs.delete(myLock, false)
-                Thread.sleep(5)
+                Thread.sleep(napMs)
+                napMs = math.min(napMs * 2, 100L)
               case None if rivalEntry && !sameVer.headOption.contains(own) =>
                 fs.delete(new Path(snapDir(warehouse), own), false)
                 result = Some(false)
@@ -1135,7 +1203,10 @@ object Snapshots {
                 if (putIfAbsent(fs, myLock,
                     commitId.getBytes(StandardCharsets.UTF_8)))
                   result = Some(true)
-                else Thread.sleep(5) // re-claim raced: re-resolve
+                else { // re-claim raced: re-resolve
+                  Thread.sleep(napMs)
+                  napMs = math.min(napMs * 2, 100L)
+                }
             }
           }
           result.get

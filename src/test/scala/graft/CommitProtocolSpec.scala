@@ -559,6 +559,69 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Snapshots.fileSet(fs, w, "t").get.size == 21)
   }
 
+  test("an already-footer-complete log self-certifies on append (pre-marker or lost marker)") {
+    // The r19-built-warehouse shape: every entry carries its #END footer,
+    // but the log predates the `_footer_era` marker (or lost it). Without
+    // self-certification the torn-residue self-heal stays disabled forever
+    // and the FIRST dead writer wedges every read on a quiesced
+    // migrateFooters run. A plain append must re-certify automatically.
+    val w = wh("whSelfCertify")
+    val fs = localFs
+    (0 until 5).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    val marker = new Path(s"$w/_snapshots/_footer_era")
+    fs.delete(marker, false)
+    Snapshots.resetEraMemo() // fresh-JVM view of the certified warehouse
+    Snapshots.append(fs, w, "post", adds = Seq("t" -> s"$w/t/g.parquet"),
+      removes = Nil)
+    assert(fs.exists(marker),
+      "append must replant the era marker on a footer-complete log")
+    // ...and the self-heal is re-armed: a dead writer's unclaimed torn
+    // delta at top-of-log sweeps on read instead of failing at
+    // migrateFooters.
+    val top = Snapshots.entries(fs, w).map(_.version).max + 1
+    val torn = new Path(s"$w/_snapshots/${"%020d".format(top)}-zzdead.snap")
+    val out = fs.create(torn, true)
+    out.write(s"#OP\tappend\nADD\tt\t$w/t/never.parquet\t\t".getBytes("UTF-8"))
+    out.close()
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      Thread.sleep(250) // age the residue past the grace
+      assert(Snapshots.fileSet(fs, w, "t").get.size == 6)
+      assert(!fs.exists(torn), "aged torn residue must self-heal")
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
+  test("a footer-less (legacy) log never self-certifies on append") {
+    val w = wh("whNoSelfCertify")
+    val fs = localFs
+    (0 until 5).foreach { i =>
+      Snapshots.append(fs, w, s"c$i", adds = Seq("t" -> s"$w/t/f$i.parquet"),
+        removes = Nil)
+    }
+    stripToLegacy(fs, w)
+    Snapshots.resetEraMemo()
+    val marker = new Path(s"$w/_snapshots/_footer_era")
+    sys.props("graft.test.claimGraceMs") = "200"
+    try {
+      Thread.sleep(250)
+      // The append's certification pass runs first and must REFUSE (the
+      // entries are footer-less); the append itself then trips on the
+      // legacy entries during its fold and fails loudly — with the marker
+      // still absent (planting it would arm the sweep against committed
+      // legacy data on the next read).
+      val e = intercept[Snapshots.TornLogEntryException] {
+        Snapshots.append(fs, w, "post",
+          adds = Seq("t" -> s"$w/t/g.parquet"), removes = Nil)
+      }
+      assert(e.getMessage.contains("migrateFooters"), e.getMessage)
+      assert(!fs.exists(marker),
+        "a legacy log must never self-certify without migrateFooters")
+    } finally sys.props.remove("graft.test.claimGraceMs")
+  }
+
   test("a torn delta BELOW committed versions is never swept (no log holes)") {
     val w = wh("whTornMid")
     val fs = localFs

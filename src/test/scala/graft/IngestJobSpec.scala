@@ -221,6 +221,30 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.filter(col("dt") === "2023-11-14").count() == 5)
   }
 
+  test("dt derivation anchors on the FILENAME timestamp, not the first dot-digits in the URI") {
+    // file_source is the fully-qualified URI: a dotted directory (or an
+    // hdfs://host.with.digits authority) puts dot-digit spans BEFORE the
+    // filename's `{prefix}.{epoch_ms}.gz`. An unanchored first-match
+    // regex would extract those (ms=2023 → dt=1970-01-01) and silently
+    // land every row in a garbage partition.
+    val root = Files.createTempDirectory("graft-ingest-dotted")
+    val in = root.resolve("in.2023.5")
+    Files.createDirectories(in)
+    def st(i: Int) = Messages.VerifiedSpeedtest.encode(VerifiedSpeedtest(
+      Some(SpeedtestIngest(Some(SpeedtestReq(Array[Byte](1), s"p$i",
+        1700000000L, 1, 2, 3)), 1700000000L)), 1700000000L, 0))
+    val out = new FileOutputStream(
+      in.resolve("verified_speedtest.1700000001000.gz").toFile)
+    try Framing.writeGzipFrames(out, (0 until 3).map(st)) finally out.close()
+    val w = wh("whDottedIngest")
+    IngestJob.run(spark, in.toString, w, "verified-speedtest")
+    val fs = new org.apache.hadoop.fs.Path(w)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = graft.ingest.Snapshots.fileMeta(fs, w, "verified_speedtest_report").get
+    assert(meta.map(_.partition) == Seq("dt=2023-11-14"),
+      s"dotted input dir corrupted the dt derivation: ${meta.map(_.partition)}")
+  }
+
   test("mobile rewards: 6-way demux routing + child explode cardinalities (D1/D3/D4)") {
     val shares = Seq(
       MobileRewardShare(1700000000L, 1700003600L, GatewayArm(Array[Byte](1), 10, 20, 30)),
@@ -399,7 +423,7 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.types.Schemas.catalog.size >= 30)
     // every flat spec's table has a schema in the catalog
     graft.ingest.IngestSpecs.registry.values.foreach {
-      case graft.ingest.IngestSpecs.FlatSpec(_, table, _) =>
+      case graft.ingest.IngestSpecs.FlatSpec(_, table, _, _) =>
         assert(graft.types.Schemas.catalog.contains(table), table)
       case _ => ()
     }
