@@ -269,7 +269,10 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
     sys.props("graft.test.claimGraceMs") = "1000"
     try {
       var trial = 0
-      forAll(genSchedule, trials = 100) { schedule =>
+      // Default 100 schedules per run; soak runs scale it up via
+      //   sbt -batch 'set Test/javaOptions += "-Dgraft.test.chaosTrials=500"' …
+      val trials = sys.props.get("graft.test.chaosTrials").map(_.toInt).getOrElse(100)
+      forAll(genSchedule, trials = trials) { schedule =>
         trial += 1
         val w = dir.resolve(s"wh$trial").toString
         val appended =
