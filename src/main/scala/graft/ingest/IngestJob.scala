@@ -345,12 +345,16 @@ object IngestJob {
     // lineage) — a per-row codegen'd expression, no join, no driver map.
     // Emitted as the ISO STRING the Hive path segment carries, so log-side
     // partition tuples prune lexically (ISO order = date order).
-    // Anchored at the END of the URI: `file_source` is the fully-qualified
-    // path, and an unanchored first-match would grab dot-digits from a host
-    // (hdfs://10.0.0.1:8020/…) or a dotted bucket/dir (s3a://data.2023/…)
-    // instead of the filename's `{prefix}.{epoch_ms}[.gz]` timestamp.
+    // Derivation mirrors FileCatalog.parse EXACTLY — basename first (the
+    // full URI can carry dot-digit spans in a host `hdfs://10.0.0.1:8020`
+    // or a dotted bucket `s3a://data.2023`), then the same unanchored
+    // first-match `{name}.{digits}` search the catalog admits files by
+    // (comma-quirk class included) — so every listed file derives the SAME
+    // timestamp it was listed/checkpointed under, never a null or second-
+    // guessed dt.
     def dtCol = {
-      val ms = regexp_extract(col("file_source"), "\\.(\\d+)(\\.gz)?$", 1).cast("long")
+      val base = element_at(split(col("file_source"), "/"), -1)
+      val ms = regexp_extract(base, "[a-z\\d_,]+\\.(\\d+)", 1).cast("long")
       date_format(date_add(to_date(lit("1970-01-01")),
         floor(ms / 86400000L).cast("int")), "yyyy-MM-dd")
     }

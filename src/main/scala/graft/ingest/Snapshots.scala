@@ -514,8 +514,18 @@ object Snapshots {
     * mid-write, or torn residue — refuses certification (conservative:
     * retried on the next append; genuinely legacy logs keep failing
     * loudly at migrateFooters). Advisory and racy-safe: the marker put is
-    * idempotent and certifying late never un-commits anything. */
-  private def certifyFooterEra(fs: FileSystem, warehouse: String): Unit = {
+    * idempotent and certifying late never un-commits anything.
+    *
+    * UPGRADE CONTRACT (same as [[migrateFooters]], and as a marker
+    * planted at a log's first commit): once the marker exists, EVERY
+    * writer must be footer-aware — a pre-footer binary still committing
+    * to the warehouse would land footer-less entries the armed self-heal
+    * eventually sweeps as torn. Drain pre-footer writers before pointing
+    * footer-protocol binaries at a shared warehouse; certification only
+    * removes the quiesced-migration step for logs ALREADY written
+    * entirely under the footer protocol — it does not relax the
+    * no-mixed-fleet rule. */
+  private[graft] def certifyFooterEra(fs: FileSystem, warehouse: String): Unit = {
     val dir = snapDir(warehouse)
     val key =
       try fs.makeQualified(dir).toString
@@ -527,11 +537,40 @@ object Snapshots {
       val all = entries(fs, warehouse)
       if (all.isEmpty) return // empty log: first commit plants it
       val complete = all.forall { e =>
-        try readLines(fs, e.path).lastOption.contains(EndMarker)
+        try hasFooterTail(fs, e.path)
         catch { case _: java.io.IOException => false }
       }
       if (complete) { markFooterEra(fs, warehouse); certifiedEras.add(key) }
     } catch { case _: java.io.IOException => () }
+  }
+
+  /** O(1) footer probe: seeks to the entry's last bytes instead of pouring
+    * the whole file through the driver — certification scans EVERY entry
+    * including checkpoints, which enumerate one line per live file (hundreds
+    * of MB at 100 TB). Equivalent to `readLines(p).lastOption.contains
+    * (EndMarker)`: entries are written with the footer as the final line and
+    * no trailing newline; stray trailing newlines are trimmed anyway. */
+  private def hasFooterTail(fs: FileSystem, p: Path): Boolean = {
+    val len = fs.getFileStatus(p).getLen
+    if (len < EndMarker.length) return false
+    val in = fs.open(p)
+    try {
+      val start = math.max(0L, len - 16)
+      in.seek(start)
+      val buf = new Array[Byte]((len - start).toInt)
+      var off = 0
+      while (off < buf.length) {
+        val n = in.read(buf, off, buf.length - off)
+        if (n < 0) return false
+        off += n
+      }
+      val tail = new String(buf, StandardCharsets.UTF_8)
+        .reverse.dropWhile(_ == '\n').reverse
+      // The footer must be its own line: preceded by '\n', or the whole
+      // file. A window that trims to bare "#END" mid-file can't prove the
+      // preceding byte — refuse conservatively (no writer produces that).
+      tail.endsWith("\n" + EndMarker) || (start == 0 && tail == EndMarker)
+    } finally in.close()
   }
 
   /** How long the optional-anchor read waits for an in-flight checkpoint:
@@ -947,6 +986,12 @@ object Snapshots {
              metrics: Map[String, Long] = Map.empty,
              features: Seq[(String, String)] = Nil,
              occTables: Set[String] = Set.empty): Unit = {
+    // Re-arm the torn-residue self-heal on logs that predate (or lost) the
+    // era marker but are provably footer-complete — BEFORE anything folds
+    // the log (requireFeatures below reads entries), so certification is
+    // the first protocol decision an append makes. One exists() probe per
+    // append until certified, then memoized.
+    certifyFooterEra(fs, warehouse)
     // Writer-side protocol gate: refuse to mutate a table whose required
     // features this build doesn't know (recovery replays are exempt —
     // their commit passed the gate live; a replay must converge, not
@@ -1007,10 +1052,6 @@ object Snapshots {
         heldClaim = -1L
       }
     try {
-    // Re-arm the torn-residue self-heal on logs that predate (or lost) the
-    // era marker but are provably footer-complete — one exists() probe per
-    // append until certified, then memoized.
-    certifyFooterEra(fs, warehouse)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1155,25 +1196,30 @@ object Snapshots {
           // Every legitimate wait below settles within the claim grace (a
           // live rival writes in ms; a dead one's claim ages stale and is
           // broken). Only a PERSISTENT store fault (lock reads erroring,
-          // staleness unprovable) can outlast 2× grace — then fail loudly
-          // with the outcome explicitly unknown instead of spinning
-          // forever: walking away here is crash-equivalent, and the
-          // protocol already resolves the residue (winner sweep / stale
-          // break) exactly as it would a died-right-here writer. The poll
-          // backs off 5→100 ms so a full grace wait is O(hundreds) of
-          // store requests, not tens of thousands.
-          val deadline =
-            System.currentTimeMillis() + 2 * claimGraceMs + 10000L
+          // staleness unprovable) can outlast 2× grace WITHOUT PROGRESS —
+          // then fail loudly with the outcome explicitly unknown instead
+          // of spinning forever: walking away here is crash-equivalent,
+          // and the protocol already resolves the residue (winner sweep /
+          // stale break) exactly as it would a died-right-here writer.
+          // Progress (the claim changing hands, a stale break landing)
+          // RESETS the budget: a chain of dead rivals each waiting out its
+          // own grace is unlucky but healthy, and must not be misread as
+          // the store fault the error blames. The poll backs off 5→100 ms
+          // so a full grace wait is O(hundreds) of store requests, not
+          // tens of thousands.
+          def resolutionBudget = 2 * claimGraceMs + 10000L
+          var deadline = System.currentTimeMillis() + resolutionBudget
+          var lastHolder: Option[Option[String]] = null
           var napMs = 5L
           while (result.isEmpty) {
             if (System.currentTimeMillis() > deadline)
               throw new java.io.IOException(
                 s"commit $commitId could not resolve ownership of log " +
-                  s"version $version within ${2 * claimGraceMs + 10000L} ms " +
-                  "(persistent failure reading the version lock?); commit " +
-                  "outcome UNKNOWN — the entry is left for the protocol's " +
-                  "zombie resolution, do not blindly re-submit non-idempotent " +
-                  "work")
+                  s"version $version after $resolutionBudget ms without " +
+                  "progress (persistent failure reading the version lock?); " +
+                  "commit outcome UNKNOWN — the entry is left for the " +
+                  "protocol's zombie resolution, do not blindly re-submit " +
+                  "non-idempotent work")
             val sameVer = fs.globStatus(new Path(snapDir(warehouse),
                 f"$version%020d-*.snap")).map(_.getPath.getName).sorted
             val rivalEntry = sameVer.exists(_ != own)
@@ -1182,6 +1228,11 @@ object Snapshots {
                 if (!fs.exists(myLock)) None
                 else Some(readLines(fs, myLock).headOption)
               } catch { case _: java.io.IOException => Some(None) }
+            if (lastHolder != null && holder != lastHolder) {
+              deadline = System.currentTimeMillis() + resolutionBudget
+              napMs = 5L // a fresh state deserves a fresh fast poll
+            }
+            lastHolder = holder
             holder match {
               case Some(h) if h.contains(commitId) =>
                 result = Some(true)

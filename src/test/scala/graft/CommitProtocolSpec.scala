@@ -607,11 +607,25 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     sys.props("graft.test.claimGraceMs") = "200"
     try {
       Thread.sleep(250)
-      // The append's certification pass runs first and must REFUSE (the
-      // entries are footer-less); the append itself then trips on the
-      // legacy entries during its fold and fails loudly — with the marker
-      // still absent (planting it would arm the sweep against committed
-      // legacy data on the next read).
+      // The refusal branch itself, exercised directly (an append would
+      // fail in its fold regardless — that alone would leave this branch
+      // untested): footer-less entries must refuse certification.
+      Snapshots.certifyFooterEra(fs, w)
+      assert(!fs.exists(marker),
+        "a legacy log must never self-certify without migrateFooters")
+      // And a MIXED log (one footered entry atop legacy ones) must refuse
+      // too — certification is all-or-nothing over the FULL listing.
+      Snapshots.resetEraMemo()
+      val top = Snapshots.entries(fs, w).map(_.version).max + 1
+      val footered = new Path(s"$w/_snapshots/${"%020d".format(top)}-mixed.snap")
+      val out = fs.create(footered, true)
+      out.write(s"#OP\tappend\nADD\tt\t$w/t/m.parquet\t\t\n#END".getBytes("UTF-8"))
+      out.close()
+      Snapshots.certifyFooterEra(fs, w)
+      assert(!fs.exists(marker),
+        "a mixed legacy log must never self-certify")
+      // The append path composes the same way: certification refuses, the
+      // fold then trips on the legacy entries and fails loudly.
       val e = intercept[Snapshots.TornLogEntryException] {
         Snapshots.append(fs, w, "post",
           adds = Seq("t" -> s"$w/t/g.parquet"), removes = Nil)

@@ -236,12 +236,18 @@ class IngestJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = new FileOutputStream(
       in.resolve("verified_speedtest.1700000001000.gz").toFile)
     try Framing.writeGzipFrames(out, (0 until 3).map(st)) finally out.close()
+    // A suffix-less key the catalog ALSO admits (parse is an unanchored
+    // search): dt must derive the same timestamp the file was listed
+    // under, not null out on a missing .gz tail.
+    val out2 = new FileOutputStream(
+      in.resolve("verified_speedtest.1700100000000").toFile) // 2023-11-16
+    try Framing.writeFrames(out2, Seq(st(9))) finally out2.close()
     val w = wh("whDottedIngest")
     IngestJob.run(spark, in.toString, w, "verified-speedtest")
     val fs = new org.apache.hadoop.fs.Path(w)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = graft.ingest.Snapshots.fileMeta(fs, w, "verified_speedtest_report").get
-    assert(meta.map(_.partition) == Seq("dt=2023-11-14"),
+    assert(meta.map(_.partition).sorted == Seq("dt=2023-11-14", "dt=2023-11-16"),
       s"dotted input dir corrupted the dt derivation: ${meta.map(_.partition)}")
   }
 
