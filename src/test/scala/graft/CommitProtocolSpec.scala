@@ -99,6 +99,31 @@ class HdfsLikeFs extends RawLocalFileSystem {
 
 object HdfsLikeFs { private[graft] val renameLock = new Object }
 
+/** RawLocalFileSystem whose lock-file METADATA reads can be switched to
+  * fail persistently — the store-fault class the zombie-resolution
+  * deadline exists for (every lock probe erroring, staleness unprovable). */
+class FaultableLockFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("faultlock:///")
+  // Directory listings (glob expansion stats every child) stay healthy —
+  // the fault models DIRECT lock-object metadata probes erroring.
+  private val inList = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    inList.set(true)
+    try super.listStatus(f) finally inList.set(false)
+  }
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    if (!inList.get() && FaultableLockFs.armed.get() &&
+        f.getName.endsWith(".lock"))
+      throw new java.io.IOException("injected lock metadata fault")
+    super.getFileStatus(f)
+  }
+}
+object FaultableLockFs {
+  private[graft] val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
@@ -980,6 +1005,52 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-applied; far below the 40 entries a naive fold would read.
     assert(reads <= Snapshots.CheckpointInterval + 4,
       s"reconstruction read $reads log files for $n commits")
+  }
+
+  test("persistent lock-read faults fail the commit loudly (outcome UNKNOWN), never hang") {
+    // The store-fault class the zombie-resolution deadline exists for:
+    // every lock metadata probe erroring after the entry write, so
+    // ownership can never be proven NOR disproven. The loop must fail
+    // within its progress budget with the outcome explicitly unknown —
+    // not spin forever at 5 ms — and the protocol must resolve the
+    // residue once the store heals.
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.faultlock.impl", classOf[FaultableLockFs].getName)
+    conf.setBoolean("fs.faultlock.impl.disable.cache", true)
+    conf.setBoolean("graft.commit.atomicConditionalCreate.faultlock", true)
+    val fs = new Path("faultlock:///").getFileSystem(conf)
+    val w = wh("whLockFault")
+    Snapshots.append(fs, w, "c0", adds = Seq("t" -> s"$w/t/a.parquet"),
+      removes = Nil)
+    sys.props("graft.test.claimGraceMs") = "100"
+    Snapshots.testPostEntryWrite = Some { (cid, _) =>
+      if (cid == "F") FaultableLockFs.armed.set(true)
+    }
+    try {
+      val t0 = System.currentTimeMillis()
+      val e = intercept[java.io.IOException] {
+        Snapshots.append(fs, w, "F", adds = Seq("t" -> s"$w/t/f.parquet"),
+          removes = Nil)
+      }
+      assert(e.getMessage.contains("outcome UNKNOWN"), e.getMessage)
+      // Budget = 2×grace + 10 s floor, no progress to reset it: loud and
+      // bounded, with generous headroom against scheduler noise.
+      assert(System.currentTimeMillis() - t0 < 30000L, "deadline too slow")
+    } finally {
+      FaultableLockFs.armed.set(false)
+      Snapshots.testPostEntryWrite = None
+      sys.props.remove("graft.test.claimGraceMs")
+    }
+    // Store healed: the ambiguous commit in fact LANDED (entry complete,
+    // claim intact — exactly why the error says unknown, not failed); the
+    // next committer stacks above it and nothing wedges.
+    Snapshots.append(fs, w, "post", adds = Seq("t" -> s"$w/t/b.parquet"),
+      removes = Nil)
+    val deltas = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+    assert(deltas.map(_.version) == Seq(0L, 1L, 2L),
+      s"versions: ${deltas.map(e => (e.version, e.commitId))}")
+    assert(Snapshots.fileSet(fs, w, "t").get.toSet ==
+      Set(s"$w/t/a.parquet", s"$w/t/f.parquet", s"$w/t/b.parquet"))
   }
 }
 
