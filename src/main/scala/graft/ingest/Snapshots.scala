@@ -185,6 +185,13 @@ object Snapshots {
   @volatile private[graft] var testPostEntryWrite
       : Option[(String, Long) => Unit] = None
 
+  /** Test hook: invoked after a version claim is WON, before the pre-write
+    * guard globs the version (the stale-listing window an out-of-band
+    * claim break opens) — lets the committed-foreign back-off be driven
+    * deterministically. Production: None. */
+  @volatile private[graft] var testPostClaim
+      : Option[(String, Long) => Unit] = None
+
   /** Test-visible count of log-file opens — the metric the checkpoint
     * anchoring exists to bound: reconstruction must read O(interval) entry
     * files, not O(commit history). */
@@ -1126,6 +1133,37 @@ object Snapshots {
       } else {
         if (heldClaim >= 0 && heldClaim != version) releaseHeldClaim()
         heldClaim = version
+        // PRE-WRITE GUARD against claiming a version an earlier writer
+        // ALREADY COMMITTED: this claim may have been won only because an
+        // out-of-band break freed a lock its owner had verified ownership
+        // of and returned on (our listing predates its entry's
+        // visibility). Writing here would fork the version, and the
+        // claim-based winner sweep would then destroy a commit that
+        // already REPORTED SUCCESS — the one deletion the protocol may
+        // never make (found by the chaos soak at 2000 schedules). A
+        // COMPLETE foreign entry at the claimed version is, or will be,
+        // the committed one — its writer either returned, or is
+        // mid-resolution and (seeing no rival ENTRY, only our claim)
+        // never self-deletes, or died post-write (readers fold a complete
+        // entry as committed) — so release and stack above it. TORN
+        // foreign entries keep the existing write-and-winner-sweep path
+        // (dead mid-pour residue; provably never a returned commit).
+        // Cost on the overwhelmingly common path: ONE targeted glob.
+        testPostClaim.foreach(_(commitId, version))
+        val ownEntryName = f"$version%020d-$commitId.snap"
+        val committedForeign = fs.globStatus(new Path(snapDir(warehouse),
+            f"$version%020d-*.snap"))
+          .exists(st => st.getPath.getName != ownEntryName &&
+            (try hasFooterTail(fs, st.getPath)
+             catch { case _: java.io.IOException => false }))
+        if (committedForeign) {
+          // Release only a claim we still hold (deleting a re-taken rival
+          // claim would zombify the rival); the outer loop re-lists and
+          // stacks above the committed entry.
+          if (ownsClaim(fs, warehouse, version, commitId))
+            fs.delete(lockPath(warehouse, version), false)
+          heldClaim = -1L
+        } else {
         // Feature requirements land ATOMICALLY with the commit that first
         // exercises them: explicit tags from the caller (widening,
         // mapping, defaults) plus the implicit one a DV attach carries.
@@ -1236,7 +1274,19 @@ object Snapshots {
             holder match {
               case Some(h) if h.contains(commitId) =>
                 result = Some(true)
-              case Some(_) if rivalEntry =>
+              case Some(h) if h.exists(hc =>
+                  sameVer.contains(f"$version%020d-$hc.snap")) =>
+                // The claim holder's OWN complete entry is down: that
+                // rival is the version's winner — lose, delete ours,
+                // retry above. The holder-owns-entry requirement matters:
+                // losing to ANY (holder, entry) pair lets a TRANSIENT
+                // holder (a stale claimant backing off via the pre-write
+                // guard, writing nothing) plus a vanishing zombie entry
+                // talk a healthy writer into self-deleting — the version
+                // then ends up EMPTY and committed versions stack above
+                // the hole (found by the chaos soak). A holder without
+                // its entry is handled like any live rival below: wait
+                // for its entry or break it stale.
                 fs.delete(new Path(snapDir(warehouse), own), false)
                 result = Some(false)
               case Some(_) =>
@@ -1287,6 +1337,7 @@ object Snapshots {
           heldClaim = -1L // committed: the claim now guards a live version
           return
         }
+        } // end pre-write-guard else (version not already committed)
       }
       } catch {
         // A listed entry vanished between listStatus and open — by

@@ -1007,6 +1007,46 @@ class CommitProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"reconstruction read $reads log files for $n commits")
   }
 
+  test("a claim won on a stale listing never overwrites a committed version") {
+    // The lost-row shape the 2000-schedule chaos soak found: A commits at
+    // v and RETURNS (it owned the claim at return); the claim is then
+    // broken out-of-band; B — whose listing predates A's entry becoming
+    // visible — wins the freed claim for v. Without the pre-write guard B
+    // writes a second entry at v and its winner sweep DELETES A's
+    // returned commit. The guard must make B back off and stack above.
+    val w = wh("whStaleClaim")
+    val fs = localFs
+    Snapshots.append(fs, w, "c0", adds = Seq("t" -> s"$w/t/a.parquet"),
+      removes = Nil)
+    def lockOf(v: Long) = new Path(s"$w/_snapshots/${"%020d".format(v)}.lock")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.testPostClaim = Some { (cid, v) =>
+      if (cid == "B" && fired.compareAndSet(false, true)) {
+        // Simulate A's full lifecycle landing in B's stale-listing blind
+        // spot: complete entry at B's claimed version, claim broken after
+        // A's return (B now holds it).
+        val p = new Path(s"$w/_snapshots/${"%020d".format(v)}-A.snap")
+        val out = fs.create(p, true)
+        out.write(s"#OP\tappend\nADD\tt\t$w/t/A.parquet\t\t\n#END"
+          .getBytes("UTF-8"))
+        out.close()
+      }
+    }
+    try Snapshots.append(fs, w, "B", adds = Seq("t" -> s"$w/t/B.parquet"),
+      removes = Nil)
+    finally Snapshots.testPostClaim = None
+    val deltas = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+    assert(deltas.map(e => (e.version, e.commitId)) ==
+      Seq((0L, "c0"), (1L, "A"), (2L, "B")),
+      s"B must stack above A's committed version: " +
+        s"${deltas.map(e => (e.version, e.commitId))}")
+    assert(Snapshots.fileSet(fs, w, "t").get.toSet ==
+      Set(s"$w/t/a.parquet", s"$w/t/A.parquet", s"$w/t/B.parquet"),
+      "A's returned commit must survive B's stale claim")
+    assert(!fs.exists(lockOf(1L)),
+      "B must release the claim it won for the committed version")
+  }
+
   test("persistent lock-read faults fail the commit loudly (outcome UNKNOWN), never hang") {
     // The store-fault class the zombie-resolution deadline exists for:
     // every lock metadata probe erroring after the entry write, so
