@@ -580,6 +580,31 @@ object Snapshots {
     } finally in.close()
   }
 
+  /** Fault-SAFE completeness probe for the pre-write guard. FNF means the
+    * foreign entry is provably gone (a swept zombie, not a commit) — report
+    * incomplete. Any OTHER read fault leaves the verdict UNKNOWN, and the
+    * unsafe misread here is the one the guard exists to prevent: calling a
+    * committed entry "torn" lets the claimant write over it and its winner
+    * sweep delete a commit that already returned success. So transient
+    * faults retry briefly and a persistent fault reports COMPLETE: the
+    * claimant backs off and re-lists, routing the ambiguity through the
+    * read path's own rails (bounded waits, sweepTorn, loud failure) — a
+    * false "complete" on a genuinely torn entry costs one outer-loop
+    * retry, never data. */
+  private def completeUnlessProvablyGone(fs: FileSystem, p: Path): Boolean = {
+    var attempt = 0
+    while (attempt < 3) {
+      try return hasFooterTail(fs, p)
+      catch {
+        case _: java.io.FileNotFoundException => return false
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt < 3) Thread.sleep(10L * attempt)
+      }
+    }
+    true
+  }
+
   /** How long the optional-anchor read waits for an in-flight checkpoint:
     * checkpoints are redundant state, so the fold skips to the previous
     * anchor quickly instead of stalling a read behind a large checkpoint
@@ -1154,8 +1179,7 @@ object Snapshots {
         val committedForeign = fs.globStatus(new Path(snapDir(warehouse),
             f"$version%020d-*.snap"))
           .exists(st => st.getPath.getName != ownEntryName &&
-            (try hasFooterTail(fs, st.getPath)
-             catch { case _: java.io.IOException => false }))
+            completeUnlessProvablyGone(fs, st.getPath))
         if (committedForeign) {
           // Release only a claim we still hold (deleting a re-taken rival
           // claim would zombify the rival); the outer loop re-lists and
