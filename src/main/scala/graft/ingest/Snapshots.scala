@@ -504,9 +504,27 @@ object Snapshots {
   private val certifiedEras =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Negative memo: log dirs whose last certification attempt FAILED, with
+    * the earliest time a retry is worth paying for. Without it, a
+    * marker-less log that cannot certify right now — a legacy log that
+    * never will, or a busy log where some rival entry is mid-pour at every
+    * instant — pays a full listing plus O(entries) footer probes on EVERY
+    * append: O(N) store requests per commit, O(N²) cumulative. Certifying
+    * is advisory (reads stay loud, the marker can land on any later
+    * attempt), so deferring retries costs nothing but the sweep staying
+    * un-armed a few extra seconds. */
+  private val certifyRetryAt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def certifyRetryMs: Long =
+    sys.props.get("graft.test.certifyRetryMs").map(_.toLong).getOrElse(10000L)
+
   /** Test hook: forget memoized certifications (simulates a fresh JVM
     * looking at a warehouse certified by an earlier process). */
-  private[graft] def resetEraMemo(): Unit = certifiedEras.clear()
+  private[graft] def resetEraMemo(): Unit = {
+    certifiedEras.clear()
+    certifyRetryAt.clear()
+  }
 
   /** Self-certify an already-footer-complete log. A warehouse written
     * entirely under the footer protocol but BEFORE the era marker existed
@@ -538,17 +556,28 @@ object Snapshots {
       try fs.makeQualified(dir).toString
       catch { case _: IllegalArgumentException => dir.toString }
     if (certifiedEras.contains(key)) return
+    val now = System.currentTimeMillis()
+    val retryAt = certifyRetryAt.get(key)
+    if (retryAt != null && now < retryAt) return
     try {
       if (!fs.exists(dir)) return // brand-new: first commit plants it
-      if (footerEra(fs, dir)) { certifiedEras.add(key); return }
+      if (footerEra(fs, dir)) {
+        certifiedEras.add(key); certifyRetryAt.remove(key); return
+      }
       val all = entries(fs, warehouse)
       if (all.isEmpty) return // empty log: first commit plants it
       val complete = all.forall { e =>
         try hasFooterTail(fs, e.path)
         catch { case _: java.io.IOException => false }
       }
-      if (complete) { markFooterEra(fs, warehouse); certifiedEras.add(key) }
-    } catch { case _: java.io.IOException => () }
+      if (complete) {
+        markFooterEra(fs, warehouse)
+        certifiedEras.add(key); certifyRetryAt.remove(key)
+      } else certifyRetryAt.put(key, now + certifyRetryMs)
+    } catch {
+      case _: java.io.IOException =>
+        certifyRetryAt.put(key, now + certifyRetryMs)
+    }
   }
 
   /** O(1) footer probe: seeks to the entry's last bytes instead of pouring
@@ -1284,22 +1313,45 @@ object Snapshots {
                   "non-idempotent work")
             val sameVer = fs.globStatus(new Path(snapDir(warehouse),
                 f"$version%020d-*.snap")).map(_.getPath.getName).sorted
-            val rivalEntry = sameVer.exists(_ != own)
-            val holder: Option[Option[String]] = // None=absent, Some(content)
+            // The lose decisions below must only fire on a COMPLETE rival
+            // entry (same rule as the pre-write guard): a rival mid-pour
+            // on a non-content-atomic store is footer-less in the listing,
+            // and deleting our complete entry in its favor would leave the
+            // version holding only torn residue if the rival then dies —
+            // readers stall on it for the full grace. Torn rivals fall
+            // through to the wait/stale-break path instead; fault reads
+            // count as complete (losing is data-safe — we have not
+            // returned — and never forks the version).
+            def completeRival(name: String): Boolean =
+              name != own && completeUnlessProvablyGone(
+                fs, new Path(snapDir(warehouse), name))
+            val holderRead: Option[Option[Option[String]]] = // None = fault
               try {
-                if (!fs.exists(myLock)) None
-                else Some(readLines(fs, myLock).headOption)
-              } catch { case _: java.io.IOException => Some(None) }
-            if (lastHolder != null && holder != lastHolder) {
-              deadline = System.currentTimeMillis() + resolutionBudget
-              napMs = 5L // a fresh state deserves a fresh fast poll
+                if (!fs.exists(myLock)) Some(None) // absent
+                else Some(Some(readLines(fs, myLock).headOption))
+              } catch { case _: java.io.IOException => None }
+            // A FAULT is not progress: recording it in lastHolder (the old
+            // code mapped it to "held, content unreadable") let an
+            // INTERMITTENTLY failing store alternate fault/success holder
+            // states, each flip resetting the budget — the loop then never
+            // reached its deadline and the commit hung forever, the exact
+            // shape the budget exists to bound. Only a successfully READ
+            // state change is progress.
+            val holder: Option[Option[String]] =
+              holderRead.getOrElse(Some(None))
+            if (holderRead.isDefined) {
+              if (lastHolder != null && holder != lastHolder) {
+                deadline = System.currentTimeMillis() + resolutionBudget
+                napMs = 5L // a fresh state deserves a fresh fast poll
+              }
+              lastHolder = holder
             }
-            lastHolder = holder
             holder match {
               case Some(h) if h.contains(commitId) =>
                 result = Some(true)
               case Some(h) if h.exists(hc =>
-                  sameVer.contains(f"$version%020d-$hc.snap")) =>
+                  sameVer.contains(f"$version%020d-$hc.snap") &&
+                  completeRival(f"$version%020d-$hc.snap")) =>
                 // The claim holder's OWN complete entry is down: that
                 // rival is the version's winner — lose, delete ours,
                 // retry above. The holder-owns-entry requirement matters:
@@ -1309,8 +1361,9 @@ object Snapshots {
                 // talk a healthy writer into self-deleting — the version
                 // then ends up EMPTY and committed versions stack above
                 // the hole (found by the chaos soak). A holder without
-                // its entry is handled like any live rival below: wait
-                // for its entry or break it stale.
+                // its entry — or with only a mid-pour torn one — is
+                // handled like any live rival below: wait for its entry
+                // to complete or break it stale.
                 fs.delete(new Path(snapDir(warehouse), own), false)
                 result = Some(false)
               case Some(_) =>
@@ -1321,7 +1374,21 @@ object Snapshots {
                 if (stale) fs.delete(myLock, false)
                 Thread.sleep(napMs)
                 napMs = math.min(napMs * 2, 100L)
-              case None if rivalEntry && !sameVer.headOption.contains(own) =>
+              case None if {
+                  // Mutual-zombie tiebreak (both claims broken
+                  // out-of-band): the winner is the first-sorting
+                  // COMPLETE entry — every live rival computes the same
+                  // verdict from the same files, so exactly one side
+                  // keeps its entry. Torn entries are dead residue and
+                  // must not anchor the sort: ranking them would make
+                  // EVERY live zombie sort after the corpse, all lose,
+                  // all self-delete — and the version would hold only
+                  // the torn husk. (Own is complete by construction:
+                  // writeEntry returned before resolution began.)
+                  val firstComplete =
+                    sameVer.find(n => n == own || completeRival(n))
+                  firstComplete.isDefined && !firstComplete.contains(own)
+                } =>
                 fs.delete(new Path(snapDir(warehouse), own), false)
                 result = Some(false)
               case None =>
