@@ -1134,24 +1134,55 @@ object Snapshots {
             tail.headOption.exists(_.version > b + 1)))
           entries(fs, warehouse)
         else tail
+      val huskRedrive: Boolean =
       existing.find(e => !e.isCheckpoint && e.commitId == commitId) match {
         case Some(mine) =>
-          // Recovery replay: the entry landed. It is valid only if this
-          // commit provably owns its version — a same-version rival with
-          // the claim (or a pre-claim-era photo finish nobody owns) means
-          // the crash hit the unverified window: unpublish and throw
-          // rather than risk folding two rewrites in.
-          val rivals = existing.filter(e => !e.isCheckpoint &&
-            e.version == mine.version && e.commitId != commitId)
-          if (rivals.nonEmpty && !ownsClaim(fs, warehouse, mine.version, commitId)) {
-            fs.delete(mine.path, false)
-            throw new ConcurrentCommitException(
-              s"commit $commitId replayed into a version-${mine.version} " +
-                s"conflict with ${rivals.head.commitId}; aborted")
+          // Recovery replay: the entry is LISTED — but listed is not
+          // landed. A crash mid-entry-pour (non-content-atomic store)
+          // leaves a footer-less husk under our own commitId; concluding
+          // "it landed" from the listing would return success on residue
+          // the torn sweep later deletes — a silently lost batch. Only a
+          // footer-COMPLETE entry counts; a torn own husk is unpublished
+          // (provably ours: nobody else writes this commitId) and the
+          // commit re-drives fresh below. A read FAULT leaves completeness
+          // unknown — fail the replay loudly rather than claim success on
+          // a maybe-husk or delete a maybe-commit.
+          val whole =
+            try hasFooterTail(fs, mine.path)
+            catch {
+              case _: java.io.FileNotFoundException => false // swept: re-drive
+              case e: java.io.IOException =>
+                throw new java.io.IOException(
+                  s"replay of commit $commitId cannot verify its entry at " +
+                    s"version ${mine.version} (${e.getMessage}); outcome " +
+                    "UNKNOWN — re-drive when the store heals", e)
+            }
+          if (whole) {
+            // It is valid only if this commit provably owns its version —
+            // a same-version rival with the claim (or a pre-claim-era
+            // photo finish nobody owns) means the crash hit the
+            // unverified window: unpublish and throw rather than risk
+            // folding two rewrites in.
+            val rivals = existing.filter(e => !e.isCheckpoint &&
+              e.version == mine.version && e.commitId != commitId)
+            if (rivals.nonEmpty && !ownsClaim(fs, warehouse, mine.version, commitId)) {
+              fs.delete(mine.path, false)
+              throw new ConcurrentCommitException(
+                s"commit $commitId replayed into a version-${mine.version} " +
+                  s"conflict with ${rivals.head.commitId}; aborted")
+            }
+            return
+          } else {
+            // Unpublish the husk, then RE-LIST before assigning a
+            // version: the stale `existing` still ranks the husk, and
+            // committing above it would leave its freed version as a
+            // permanent hole.
+            if (fs.exists(mine.path)) fs.delete(mine.path, false)
+            true
           }
-          return
-        case None => ()
+        case None => false
       }
+      if (huskRedrive) Thread.sleep(1) else {
       baseVersion.foreach { base =>
         val intervening = existing.filterNot(_.isCheckpoint)
           .filter(_.version > base)
@@ -1430,6 +1461,7 @@ object Snapshots {
         }
         } // end pre-write-guard else (version not already committed)
       }
+      } // end huskRedrive else (no torn own husk unpublished this attempt)
       } catch {
         // A listed entry vanished between listStatus and open — by
         // construction a swept zombie (loser self-delete / winner sweep)

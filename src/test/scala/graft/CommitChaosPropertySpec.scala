@@ -1,5 +1,6 @@
 package graft
 
+import java.net.URI
 import java.util.UUID
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import org.apache.hadoop.conf.Configuration
@@ -12,7 +13,8 @@ import graft.ingest.Snapshots
 
 /** Property-based chaos soak for the commit protocol: random SCHEDULES of
   * concurrent-append phases (writers × readers × vacuum × zombie
-  * plant/vanish × live-claim breaks) interleaved with quiesced torn-residue
+  * plant/vanish × live-claim breaks × flaky-store read faults on the
+  * writers' lock/entry probes) interleaved with quiesced torn-residue
   * injections drawn from the full dead-writer matrix (own claim, absent
   * claim, rival-held claim, double-dead) — the generalization of
   * CommitProtocolSpec's hand-written interleavings. Every schedule must
@@ -25,6 +27,47 @@ import graft.ingest.Snapshots
   * states the protocol can reach (zombie entries are COMPLETE and planted
   * at the top; torn residue is planted quiesced at top+1 — mid-log torn
   * deltas are a documented operator-intervention state, not chaos). */
+/** [[SloppyRenameFs]] that additionally injects TRANSIENT read faults
+  * (open/stat erroring like a throttling object store) on lock and entry
+  * files, at a per-thread probability. Armed ONLY on chaos writer threads:
+  * the commit path carries an explicit fault-tolerance contract (fault-safe
+  * completeness probes, flap-proof resolution progress, bounded loud
+  * failure), while reader/vacuum folds answer a store error by failing the
+  * query — which the soak would miscount as a protocol failure. Listings
+  * stay healthy (the fault models direct object probes). */
+class FlakyStoreFs extends SloppyRenameFs {
+  override def getUri: URI = URI.create("flaky:///")
+  private val inList = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    inList.set(true)
+    try super.listStatus(f) finally inList.set(false)
+  }
+  private def maybeFault(f: Path, kind: String): Unit = {
+    val pct: Int = FlakyStoreFs.pct.get()
+    if (pct > 0 && !inList.get() &&
+        (f.getName.endsWith(".lock") || f.getName.endsWith(".snap")) &&
+        java.util.concurrent.ThreadLocalRandom.current().nextInt(100) < pct)
+      throw new java.io.IOException(s"injected flaky $kind fault: $f")
+  }
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    maybeFault(f, "read"); super.open(f, bufferSize)
+  }
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    maybeFault(f, "stat"); super.getFileStatus(f)
+  }
+}
+object FlakyStoreFs {
+  /** Per-THREAD fault probability in percent; 0 = healthy. The cached pool
+    * reuses threads across phases and trials, so every chaos runnable must
+    * set its own value defensively (writers arm, everyone else zeroes). */
+  private[graft] val pct = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+}
+
 class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
     with GenChecks {
 
@@ -47,12 +90,12 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
     if (spark != null) spark.stop()
   }
 
-  private def sloppyFs(): FileSystem = {
+  private def flakyFs(): FileSystem = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    conf.set("fs.sloppy.impl", classOf[SloppyRenameFs].getName)
-    conf.setBoolean("fs.sloppy.impl.disable.cache", true)
-    conf.setBoolean("graft.commit.atomicConditionalCreate.sloppy", true)
-    new Path("sloppy:///").getFileSystem(conf)
+    conf.set("fs.flaky.impl", classOf[FlakyStoreFs].getName)
+    conf.setBoolean("fs.flaky.impl.disable.cache", true)
+    conf.setBoolean("graft.commit.atomicConditionalCreate.flaky", true)
+    new Path("flaky:///").getFileSystem(conf)
   }
 
   // ----------------------------------------------------------- generators
@@ -61,7 +104,7 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
     * vacuum truncates, zombies plant/vanish, and live claims break. */
   private case class Concurrent(writers: Int, perWriter: Int, readers: Int,
                                 vacuum: Boolean, zombies: Boolean,
-                                breakClaims: Boolean)
+                                breakClaims: Boolean, flakyPct: Int)
   /** One quiesced torn injection at top+1. Claim state drawn from the
     * dead-writer matrix: 0 = own stale claim, 1 = no claim at all,
     * 2 = rival-held claim (rival absent → loud error, then the rival's
@@ -76,7 +119,10 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
     v <- Gen.oneOf(true, false)
     z <- Gen.oneOf(true, false)
     b <- Gen.oneOf(true, false)
-  } yield Concurrent(w, p, r, v, z, b)
+    // Transient store faults on the writers' lock/entry reads — half the
+    // phases run healthy, the rest throttle at 5-30%.
+    f <- Gen.frequency(2 -> Gen.const(0), 2 -> Gen.choose(5, 30))
+  } yield Concurrent(w, p, r, v, z, b, f)
 
   private val genPhase: Gen[Either[Concurrent, Torn]] = Gen.frequency(
     3 -> genConcurrent.map(Left(_)),
@@ -125,7 +171,7 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
           start.await()
           try (0 until c.perWriter).foreach { i =>
             val f = s"$w/t/w$t-$i-${UUID.randomUUID()}.parquet"
-            val cid = s"c-${UUID.randomUUID()}"
+            var cid = s"c-${UUID.randomUUID()}"
             // RawLocalFileSystem's create shells out a chmod AFTER the
             // create; chaos deleting the object in that window fails the
             // whole create — an artifact real stores don't have (a PUT
@@ -136,43 +182,82 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
             var done = false
             while (!done) {
               attempts += 1
+              // Flaky phases run the first attempts under injected
+              // lock/entry read faults; from the third attempt the store
+              // "heals" so every file reaches a DEFINITE outcome — a
+              // faulted append retried under the same commitId either
+              // replays its landed entry or commits fresh, and the strict
+              // no-lost-rows equality below keeps holding.
+              FlakyStoreFs.pct.set(if (attempts >= 3) 0 else c.flakyPct)
               try {
                 Snapshots.append(fs, w, cid,
                   adds = Seq("t" -> f), removes = Nil)
                 appended.add(f)
                 done = true
               } catch {
+                case _: Snapshots.ConcurrentCommitException if attempts < 10 =>
+                  // A replay that found a same-version rival aborts and
+                  // unpublishes (honest ambiguity) — re-submit as a fresh
+                  // commit, like a real client.
+                  cid = s"c-${UUID.randomUUID()}"
+                  Thread.sleep(2)
+                case _: Snapshots.TornLogEntryException if attempts < 10 =>
+                  // Documented TRANSIENT: this writer's log read caught a
+                  // rival mid-entry-pour past the shrunk grace — re-drive
+                  // under the same commitId (idempotent). The nap rides
+                  // out a descheduled rival, not just a scheduling blip.
+                  Thread.sleep(100)
                 case e: Throwable
-                    if attempts < 5 &&
-                      Option(e.getMessage).exists(_.contains("chmod")) =>
+                    if attempts < 10 &&
+                      Option(e.getMessage).exists(m =>
+                        m.contains("chmod") || m.contains("injected flaky") ||
+                          m.contains("outcome UNKNOWN")) =>
                   Thread.sleep(2)
                 case e: Throwable => failures.add(e); done = true
               }
             }
-          } finally writersDone.countDown()
+          } finally {
+            FlakyStoreFs.pct.set(0) // pooled thread: never leak the arming
+            writersDone.countDown()
+          }
         }
       })
     }
     (0 until c.readers).foreach { _ =>
       tasks += pool.submit(new Runnable {
         override def run(): Unit = { start.await()
+          FlakyStoreFs.pct.set(0) // pooled thread may have been a writer
           while (!stop.get()) {
             try assert(Snapshots.fileSet(fs, w, "t").exists(_.nonEmpty))
-            catch { case e: Throwable => failures.add(e); stop.set(true) }
+            catch {
+              // Documented TRANSIENT: a live writer mid-entry-pour past
+              // the (shrunk) grace — the contract says re-drive, so the
+              // reader does; the end-of-phase invariants catch any state
+              // that never heals.
+              case _: Snapshots.TornLogEntryException => ()
+              case e: Throwable => failures.add(e); stop.set(true)
+            }
             Thread.sleep(1) // don't starve writers mid-entry-pour
           } }
       })
     }
     if (c.vacuum) tasks += pool.submit(new Runnable {
       override def run(): Unit = { start.await()
+        FlakyStoreFs.pct.set(0) // pooled thread may have been a writer
         while (!stop.get()) {
           try Snapshots.vacuum(fs, w, keepVersions = 8, minAgeMs = 0L)
-          catch { case e: Throwable => failures.add(e); stop.set(true) }
+          catch {
+            // Same documented transient as the reader: maintenance
+            // re-runs after a torn in-flight entry heals.
+            case _: Snapshots.TornLogEntryException => ()
+            case e: Throwable => failures.add(e); stop.set(true)
+          }
           Thread.sleep(3)
         } }
     })
     if (c.zombies || c.breakClaims) tasks += pool.submit(new Runnable {
       override def run(): Unit = { start.await()
+        FlakyStoreFs.pct.set(0) // pooled thread may have been a writer
         var i = 0
         while (!stop.get()) {
           try {
@@ -262,7 +347,7 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
   }
 
   test("100 random chaos schedules: no lost rows, no duplicate versions, no wedge") {
-    val fs = sloppyFs()
+    val fs = flakyFs()
     // Generous grace: aged-mtime planting means sweeps never WAIT it out,
     // but a writer mid-entry-pour under 100-trial thread load must not be
     // misread as torn by a racing reader.
