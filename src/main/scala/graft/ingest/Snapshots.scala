@@ -573,10 +573,14 @@ object Snapshots {
       if (complete) {
         markFooterEra(fs, warehouse)
         certifiedEras.add(key); certifyRetryAt.remove(key)
-      } else certifyRetryAt.put(key, now + certifyRetryMs)
+      } else
+        // Stamp at FAILURE time, not scan start: a scan longer than the
+        // retry window would otherwise memoize an already-expired
+        // deadline and the next append re-pays the whole scan.
+        certifyRetryAt.put(key, System.currentTimeMillis() + certifyRetryMs)
     } catch {
       case _: java.io.IOException =>
-        certifyRetryAt.put(key, now + certifyRetryMs)
+        certifyRetryAt.put(key, System.currentTimeMillis() + certifyRetryMs)
     }
   }
 
@@ -1141,23 +1145,47 @@ object Snapshots {
           // landed. A crash mid-entry-pour (non-content-atomic store)
           // leaves a footer-less husk under our own commitId; concluding
           // "it landed" from the listing would return success on residue
-          // the torn sweep later deletes — a silently lost batch. Only a
-          // footer-COMPLETE entry counts; a torn own husk is unpublished
-          // (provably ours: nobody else writes this commitId) and the
-          // commit re-drives fresh below. A read FAULT leaves completeness
-          // unknown — fail the replay loudly rather than claim success on
-          // a maybe-husk or delete a maybe-commit.
-          val whole =
-            try hasFooterTail(fs, mine.path)
+          // the torn sweep later deletes — a silently lost batch. Resolve
+          // through [[readEntry]], which carries every rail this decision
+          // needs and a bare probe-and-delete would skip:
+          //  - a merely-SLOW live twin of this commit is waited out to
+          //    its footer (never a TOCTOU delete of an entry whose writer
+          //    is about to verify its claim and return success);
+          //  - a provably dead husk is swept only under sweepTorn's age
+          //    gate, break-claim-then-re-read ordering, and TOP-of-log
+          //    rail — surfacing as FNF, and the re-list below re-drives
+          //    at the freed version (a stale-listing version assignment
+          //    would hole it);
+          //  - a MID-LOG husk under committed successors keeps the loud
+          //    TornLogEntryException (transient: re-drive the replay
+          //    after the grace) — deleting it would silently truncate
+          //    every anchored listing at the hole.
+          val landed =
+            try { readEntry(fs, mine.path); true }
             catch {
-              case _: java.io.FileNotFoundException => false // swept: re-drive
-              case e: java.io.IOException =>
-                throw new java.io.IOException(
-                  s"replay of commit $commitId cannot verify its entry at " +
-                    s"version ${mine.version} (${e.getMessage}); outcome " +
-                    "UNKNOWN — re-drive when the store heals", e)
+              case _: java.io.FileNotFoundException =>
+                // Gone between listing and read: a swept husk or a lost
+                // zombie (batch never landed — re-drive), UNLESS a
+                // checkpoint now covers its version, where a commit
+                // vacuumed after folding is indistinguishable from a
+                // husk that lost to a since-vacuumed rival: refuse
+                // loudly rather than silently succeed (lost batch) or
+                // silently re-drive (double commit).
+                val fresh = entries(fs, warehouse)
+                if (!fresh.exists(e => !e.isCheckpoint &&
+                      e.commitId == commitId) &&
+                    fresh.exists(e => e.isCheckpoint &&
+                      e.version >= mine.version))
+                  throw new java.io.IOException(
+                    s"replay of commit $commitId raced vacuum at version " +
+                      s"${mine.version}: its listed entry vanished under " +
+                      "the checkpoint cutoff, so landed-then-vacuumed " +
+                      "cannot be told apart from lost-to-a-vacuumed-rival; " +
+                      "outcome UNKNOWN — verify downstream idempotence " +
+                      "before re-submitting")
+                false // re-list and re-resolve / re-drive
             }
-          if (whole) {
+          if (landed) {
             // It is valid only if this commit provably owns its version —
             // a same-version rival with the claim (or a pre-claim-era
             // photo finish nobody owns) means the crash hit the
@@ -1172,17 +1200,10 @@ object Snapshots {
                   s"conflict with ${rivals.head.commitId}; aborted")
             }
             return
-          } else {
-            // Unpublish the husk, then RE-LIST before assigning a
-            // version: the stale `existing` still ranks the husk, and
-            // committing above it would leave its freed version as a
-            // permanent hole.
-            if (fs.exists(mine.path)) fs.delete(mine.path, false)
-            true
-          }
+          } else true
         case None => false
       }
-      if (huskRedrive) Thread.sleep(1) else {
+      if (!huskRedrive) {
       baseVersion.foreach { base =>
         val intervening = existing.filterNot(_.isCheckpoint)
           .filter(_.version > base)

@@ -250,6 +250,12 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
             // Same documented transient as the reader: maintenance
             // re-runs after a torn in-flight entry heals.
             case _: Snapshots.TornLogEntryException => ()
+            // RawLocalFileSystem's create-then-chmod artifact (see the
+            // writer loop): vacuum also creates lock/checkpoint files,
+            // and chaos deleting one mid-create fails the shelled chmod —
+            // not a store-reachable state; re-run.
+            case e: Throwable
+                if Option(e.getMessage).exists(_.contains("chmod")) => ()
             case e: Throwable => failures.add(e); stop.set(true)
           }
           Thread.sleep(3)
