@@ -111,6 +111,13 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
     * death is simulated and the residue must heal), 3 = double-dead
     * (two torn writers, claim held by the second). */
   private case class Torn(claimState: Int)
+  /** One quiesced crash-recovery REPLAY at top+1: the same commitId is
+    * re-driven over what its "crashed" first attempt left behind.
+    * 0 = torn husk (died mid-entry-pour) — sweep and re-drive, exactly one
+    * entry lands; 1 = complete entry (died after the write, before
+    * returning) — the replay must ADOPT it, never double-commit;
+    * 2 = torn husk plus its own stale claim. */
+  private case class Replay(shape: Int)
 
   private val genConcurrent: Gen[Concurrent] = for {
     w <- Gen.choose(1, 3)
@@ -124,11 +131,13 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
     f <- Gen.frequency(2 -> Gen.const(0), 2 -> Gen.choose(5, 30))
   } yield Concurrent(w, p, r, v, z, b, f)
 
-  private val genPhase: Gen[Either[Concurrent, Torn]] = Gen.frequency(
-    3 -> genConcurrent.map(Left(_)),
-    2 -> Gen.choose(0, 3).map(c => Right(Torn(c))))
+  private val genPhase: Gen[Either[Concurrent, Either[Torn, Replay]]] =
+    Gen.frequency(
+      3 -> genConcurrent.map(Left(_)),
+      2 -> Gen.choose(0, 3).map(c => Right(Left(Torn(c)))),
+      2 -> Gen.choose(0, 2).map(s => Right(Right(Replay(s)))))
 
-  private val genSchedule: Gen[List[Either[Concurrent, Torn]]] =
+  private val genSchedule: Gen[List[Either[Concurrent, Either[Torn, Replay]]]] =
     Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genPhase))
 
   // ------------------------------------------------------------ execution
@@ -352,6 +361,49 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
       adds = Seq("t" -> s"$w/t/post-$v.parquet"), removes = Nil)
   }
 
+  private def runReplay(fs: FileSystem, w: String, r: Replay,
+                        appended: java.util.Set[String]): Unit = {
+    val top = Snapshots.entries(fs, w).filterNot(_.isCheckpoint)
+      .lastOption.map(_.version).getOrElse(-1L)
+    val v = top + 1
+    val cid = s"replay-${UUID.randomUUID()}"
+    val f = s"$w/t/replay-$v-${UUID.randomUUID()}.parquet"
+    r.shape match {
+      case 0 => plantTorn2(fs, w, v, cid, f)
+      case 1 =>
+        // Crashed AFTER the entry write, before returning: a complete
+        // entry already carries the batch.
+        val p = new Path(s"$w/_snapshots/${"%020d".format(v)}-$cid.snap")
+        val out = fs.create(p, true)
+        out.write(s"#OP\tappend\nADD\tt\t$f\t\t\n#END".getBytes("UTF-8"))
+        out.close()
+        age(fs, p)
+      case _ =>
+        plantTorn2(fs, w, v, cid, f)
+        plantLock(fs, w, v, cid)
+    }
+    Snapshots.append(fs, w, cid, adds = Seq("t" -> f), removes = Nil)
+    appended.add(f)
+    val minted = Snapshots.entries(fs, w)
+      .filterNot(_.isCheckpoint).count(_.commitId == cid)
+    assert(minted == 1,
+      s"replay shape ${r.shape} minted $minted entries for $cid " +
+        s"(log=${dumpLog(fs, w)})")
+  }
+
+  /** [[plantTorn]] with the husk carrying the file the replay re-drives —
+    * so adopting a swept husk vs re-driving fresh is indistinguishable in
+    * the final file set (exactly one landing either way). */
+  private def plantTorn2(fs: FileSystem, w: String, version: Long,
+                         cid: String, file: String): Path = {
+    val p = new Path(s"$w/_snapshots/${"%020d".format(version)}-$cid.snap")
+    val out = fs.create(p, true)
+    out.write(s"#OP\tappend\nADD\tt\t$file\t\t".getBytes("UTF-8"))
+    out.close()
+    age(fs, p)
+    p
+  }
+
   test("100 random chaos schedules: no lost rows, no duplicate versions, no wedge") {
     val fs = flakyFs()
     // Generous grace: aged-mtime planting means sweeps never WAIT it out,
@@ -377,7 +429,8 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
         var torns = 0
         schedule.foreach {
           case Left(c) => runConcurrent(fs, w, c, appended)
-          case Right(t) => runTorn(fs, w, t); torns += 1
+          case Right(Left(t)) => runTorn(fs, w, t); torns += 1
+          case Right(Right(r)) => runReplay(fs, w, r, appended)
         }
         // Invariants. Chaos zombies caught mid-lifecycle are swept first
         // (they are rival-complete entries, exactly what a winner sweeps).
