@@ -1184,20 +1184,35 @@ object Snapshots {
                       "outcome UNKNOWN — verify downstream idempotence " +
                       "before re-submitting")
                 false // re-list and re-resolve / re-drive
+              case e: java.io.IOException =>
+                // A transient read fault leaves landed-or-husk UNDECIDED:
+                // surface the re-drive contract instead of a bare store
+                // error — the same commitId is always safe to re-submit.
+                throw new java.io.IOException(
+                  s"replay of commit $commitId cannot verify its entry at " +
+                    s"version ${mine.version} (${e.getMessage}); outcome " +
+                    "UNKNOWN — re-drive when the store heals", e)
             }
           if (landed) {
             // It is valid only if this commit provably owns its version —
             // a same-version rival with the claim (or a pre-claim-era
             // photo finish nobody owns) means the crash hit the
             // unverified window: unpublish and throw rather than risk
-            // folding two rewrites in.
-            val rivals = existing.filter(e => !e.isCheckpoint &&
-              e.version == mine.version && e.commitId != commitId)
+            // folding two rewrites in. The rivals come from a FRESH glob,
+            // not the pre-read listing: readEntry may have waited out a
+            // slow live twin for the full grace, and a rival that took
+            // the version DURING that wait would be invisible to the
+            // stale listing — returning success on an entry the twin's
+            // own lose path then deletes.
+            val rivals = fs.globStatus(new Path(snapDir(warehouse),
+                f"${mine.version}%020d-*.snap")).map(_.getPath.getName)
+              .filter(_ != mine.path.getName)
             if (rivals.nonEmpty && !ownsClaim(fs, warehouse, mine.version, commitId)) {
               fs.delete(mine.path, false)
               throw new ConcurrentCommitException(
                 s"commit $commitId replayed into a version-${mine.version} " +
-                  s"conflict with ${rivals.head.commitId}; aborted")
+                  s"conflict with ${rivals.head.stripSuffix(".snap").drop(21)}; " +
+                  "aborted")
             }
             return
           } else true

@@ -382,7 +382,8 @@ class CommitChaosPropertySpec extends AnyFunSuite with BeforeAndAfterAll
         plantTorn2(fs, w, v, cid, f)
         plantLock(fs, w, v, cid)
     }
-    Snapshots.append(fs, w, cid, adds = Seq("t" -> f), removes = Nil)
+    Snapshots.append(fs, w, cid, adds = Seq("t" -> f), removes = Nil,
+      replay = true)
     appended.add(f)
     val minted = Snapshots.entries(fs, w)
       .filterNot(_.isCheckpoint).count(_.commitId == cid)
