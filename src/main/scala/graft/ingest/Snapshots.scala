@@ -3093,6 +3093,48 @@ object Snapshots {
     sys.props.get("graft.bloom.cacheMaxBytes").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
 
+  // Per-file parquet schema cache. Snapshot data files are WRITE-ONCE
+  // (commits add/remove whole files, never rewrite one in place), so a
+  // file's footer schema can never change under the cache — this is
+  // metadata caching (the sidecar-bloom stance), not result caching.
+  // Forced nullable, matching Spark's file-source read semantics. Payoff:
+  // spark.read.parquet() re-infers the schema with a footer-reading job on
+  // EVERY DataFrame construction; a steady-state reader (the fmt_* serving
+  // paths, the ANN store queries) was paying that job once per read call.
+  private val fileSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def allNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(allNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(allNullable(m.keyType),
+        allNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private[graft] def cachedFileSchema(spark: SparkSession, file: String)
+      : org.apache.spark.sql.types.StructType = {
+    if (fileSchemaCache.size > 65536) fileSchemaCache.clear()
+    fileSchemaCache.computeIfAbsent(file, f =>
+      allNullable(spark.read.parquet(f).schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** True when the log's per-file schema tags PROVE every file of the
+    * group carries the identical column/type signature — the case where a
+    * single cached footer schema is exact and inference is a pure tax.
+    * Files without stats (unknowable) or any signature mix return false. */
+  private def uniformStatsSchema(acts: Seq[Action]): Boolean = {
+    val sigs = acts.map(a => FileStats.schemaTags(a.stats))
+    sigs.forall(_.nonEmpty) && sigs.distinct.size == 1
+  }
+
   /** Loader for [[FileStats.mayMatch]]'s sidecar-resolution variant.
     * A missing/corrupt sidecar returns None — the caller keeps the file
     * (sound: absent bloom never skips). */
@@ -3136,7 +3178,14 @@ object Snapshots {
     val pairs = spark.createDataFrame(
         atts.map { case (f, p) => (pathKey(p), f) }.distinct)
       .toDF("_dv_src", "_dv_data_file")
-    spark.read.parquet(atts.map(_._2).distinct: _*)
+    val dvPaths = atts.map(_._2).distinct
+    // One live DV file (the steady state): its cached footer schema skips
+    // the per-read inference job (DV files are write-once like data files).
+    val dvReader =
+      if (dvPaths.size == 1)
+        spark.read.schema(cachedFileSchema(spark, dvPaths.head))
+      else spark.read
+    dvReader.parquet(dvPaths: _*)
       .withColumn("_dv_src", regexp_replace(input_file_name(), SchemeRe, ""))
       .join(broadcast(pairs), Seq("_dv_src", "_dv_data_file"), "left_semi")
       .select("_dv_data_file", "_dv_pos")
@@ -3387,8 +3436,18 @@ object Snapshots {
       val bp = if (group.head.partition.nonEmpty) Some(key._1) else None
       val reader0 = spark.read.option("mergeSchema", mergeSchema)
       val reader1 = bp.fold(reader0)(reader0.option("basePath", _))
-      val reader = widenedSchema(spark, allByGroup.getOrElse(key, group), bp)
-        .fold(reader1)(reader1.schema)
+      val allGroup = allByGroup.getOrElse(key, group)
+      val reader = widenedSchema(spark, allGroup, bp) match {
+        case Some(s) => reader1.schema(s)
+        // Uniform unpartitioned group: the log proves one signature, so
+        // the (cached) footer schema of any member is the exact table
+        // schema — skip the per-read inference job. Partitioned groups
+        // keep inference (an explicit schema would have to carry the
+        // partition columns, whose types derive from the path set).
+        case None if bp.isEmpty && !mergeSchema && uniformStatsSchema(allGroup) =>
+          reader1.schema(cachedFileSchema(spark, allGroup.head.file))
+        case None => reader1
+      }
       val frame =
         if (schemaOnly)
           // Every file provably excluded: an empty frame with the table

@@ -320,9 +320,11 @@ object IvfStore {
   }
 
   /** The committed PQ codebooks — m×ksub×dsub floats, model parameters. */
-  def loadPqModel(spark: SparkSession, warehouse: String): Pq.Model = {
-    val rows = Snapshots.read(spark, warehouse, PqCodebookTable)
-      .select("subspace", "code", "centroid").collect()
+  def loadPqModel(spark: SparkSession, warehouse: String): Pq.Model =
+    pqModelOf(Snapshots.read(spark, warehouse, PqCodebookTable)
+      .select("subspace", "code", "centroid").collect(), warehouse)
+
+  private def pqModelOf(rows: Array[Row], warehouse: String): Pq.Model = {
     require(rows.nonEmpty, s"no $PqCodebookTable committed under $warehouse")
     val m = rows.map(_.getInt(0)).max + 1
     val ksub = rows.map(_.getInt(1)).max + 1
@@ -335,6 +337,29 @@ object IvfStore {
       while (i < dsub) { flat(off + i) = c(i); i += 1 }
     }
     Pq.Model(m * dsub, m, ksub, flat)
+  }
+
+  /** Coarse + PQ models in ONE collect: both tables are a handful of
+    * model-parameter rows, and a serving query pays driver-job latency per
+    * action — two separate loads were two jobs for data that unions into
+    * one aligned projection. */
+  private def loadModels(spark: SparkSession,
+                         warehouse: String): (Ivf.Model, Pq.Model) = {
+    val cent = Snapshots.read(spark, warehouse, CentroidTable)
+      .select(lit(0).as("kind"), col("cell").as("i"), lit(0).as("j"),
+        col("centroid"))
+    val cbs = Snapshots.read(spark, warehouse, PqCodebookTable)
+      .select(lit(1).as("kind"), col("subspace").as("i"), col("code").as("j"),
+        col("centroid"))
+    val all = cent.unionByName(cbs).collect()
+    val centRows = all.filter(_.getInt(0) == 0)
+      .map(r => (r.getInt(1), r.getAs[scala.collection.Seq[Float]](3)))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, s"no $CentroidTable committed under $warehouse")
+    val coarse = Ivf.Model(centRows.map(_._2.toArray))
+    val cbRows = all.filter(_.getInt(0) == 1)
+      .map(r => Row(r.getInt(1), r.getInt(2), r.get(3)))
+    (coarse, pqModelOf(cbRows, warehouse))
   }
 
   /** Append a new batch to the PQ posting table under the persisted
@@ -436,14 +461,19 @@ object IvfStore {
              corpusTable: String = "embeddings",
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val coarse = loadModel(spark, warehouse)
-    val pq = loadPqModel(spark, warehouse)
+    val (coarse, pq) = loadModels(spark, warehouse)
     val np = math.min(nprobe, coarse.k)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val probed = q
-      .select(explode(VectorExprs.nearestCellsCol(
-        col("q_vec"), coarse.flat, coarse.dim, np)).as("cell"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    // Full probe (np = k, the exact configuration): every cell is each
+    // query's nearest-np set by definition — the probed set is all cells,
+    // no discovery job needed. (With an empty query batch the downstream
+    // join is empty either way.)
+    val probed =
+      if (np == coarse.k) Array.range(0, coarse.k)
+      else q
+        .select(explode(VectorExprs.nearestCellsCol(
+          col("q_vec"), coarse.flat, coarse.dim, np)).as("cell"))
+        .distinct().collect().map(_.getInt(0)).sorted
     if (probed.isEmpty)
       return q.limit(0).select(col("q_id"), col("q_id").as("vec_id"),
         lit(0.0).as("sim"), lit(0L).as("rnk"))
@@ -503,10 +533,14 @@ object IvfStore {
     val model = loadModel(spark, warehouse)
     val np = math.min(nprobe, model.k)
     val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val probed = q
-      .select(explode(VectorExprs.nearestCellsCol(
-        col("embedding"), model.flat, model.dim, np)).as("cell"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    // Full probe (np = k): the probed set is provably every cell — skip
+    // the discovery job (see [[pqTopK]]).
+    val probed =
+      if (np == model.k) Array.range(0, model.k)
+      else q
+        .select(explode(VectorExprs.nearestCellsCol(
+          col("embedding"), model.flat, model.dim, np)).as("cell"))
+        .distinct().collect().map(_.getInt(0)).sorted
     val indexed =
       if (probed.isEmpty) // empty query batch: nothing to probe
         Snapshots.read(spark, warehouse, CellTable).limit(0)

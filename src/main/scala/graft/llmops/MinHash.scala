@@ -33,6 +33,35 @@ object MinHash {
     shingled.select(col("doc_id"),
       graft.functions.VectorExprs.minhashSigCol(col("shingles"), numPerms).as("sig"))
 
+  /** Spread a CPU-heavy per-row pipeline beyond its input's split count:
+    * when the upstream has fewer partitions than the session's default
+    * parallelism (a single-file fixture, a handful of gzip objects), the
+    * expensive per-row hashing would otherwise run on that few cores no
+    * matter how many the cluster has. Hash-repartitioning by the id is
+    * deterministic and a NO-OP at scale, where input splits >= cores —
+    * only the starved case pays the (cheap, pre-shingle) exchange. */
+  private[llmops] def spread(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+
+  /** The shared shingle+signature pass behind [[nearDupPairs]] and
+    * [[incrementalNearDupPairs]]: (doc_id, shingles, sig) with the per-row
+    * O(shingles × perms) hashing spread across every core. Callers cache
+    * the result — BOTH the candidate pass (sig) and the verify pass
+    * (shingles) re-scan it, and without `sig` inside the cached projection
+    * every broadcast/join subtree of the candidate join re-ran the full
+    * signature computation (measured: the dominant cost of the dedup
+    * family at sf0.1, recomputed up to 6x per action at file-bound
+    * parallelism 2). */
+  def withSignatures(df: DataFrame, idCol: String, textCol: String,
+                     numPerms: Int): DataFrame =
+    withShingles(spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+        "doc_id"), "doc_id", textCol)
+      .withColumn("sig",
+        graft.functions.VectorExprs.minhashSigCol(col("shingles"), numPerms))
+
   /** LSH banding: numBands bands of (numPerms / numBands) rows; a band's
     * bucket key is the hash of its signature slice. Emits (doc_id, band, bh). */
   def bands(sigs: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
@@ -48,14 +77,31 @@ object MinHash {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Candidate pairs: self-join per bucket (doc_a < doc_b), deduped across
-    * bands. Buckets larger than maxBucket are dropped (skew guard). */
+  /** Candidate pairs (doc_a < doc_b), deduped across bands. ONE exchange:
+    * each bucket's members are grouped in a single map-side-combinable
+    * aggregate and the (a < b) pairs expanded in-row — replacing the
+    * previous size-aggregate + join-back + bucket self-join, which scanned
+    * the band stream three times and shuffled it twice for the same pair
+    * set. Buckets larger than maxBucket are dropped before the expansion
+    * (same skew guard, same accumulator accounting), so the in-row pair
+    * work stays O(maxBucket²) per bucket — exactly the bound the
+    * self-join had. */
   def candidates(bandDf: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val sized = Similarity.dropLargeBuckets(bandDf, Seq("band", "bh"), maxBucket)
-    val a = sized.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val b = sized.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val grouped = bandDf.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("doc_id")).as("ms"))
+      .filter(Similarity.bucketKeep(bandDf, maxBucket)(
+        size(col("ms")).cast("long")))
+      .filter(size(col("ms")) >= 2)
+    val ms = col("ms")
+    val pairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms)), y =>
+        struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))
+    // explode_outer, not explode: the array is provably non-empty
+    // (size >= 2 guard above), and plain explode would re-inline the whole
+    // pair-expansion expression into a pushed-down emptiness guard.
+    grouped.select(explode_outer(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard over given pairs: join shingle sets back and
@@ -75,9 +121,10 @@ object MinHash {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    numPerms: Int = 64, numBands: Int = 16,
                    threshold: Double = 0.6): DataFrame = {
-    val shingled = withShingles(df, idCol, textCol).cache()
-    val cand = candidates(bands(signatures(shingled, numPerms), numPerms, numBands))
-    jaccard(cand, shingled)
+    val sigd = withSignatures(df, idCol, textCol, numPerms).cache()
+    val cand = candidates(bands(sigd.select(col("doc_id"), col("sig")),
+      numPerms, numBands))
+    jaccard(cand, sigd.select(col("doc_id"), col("shingles")))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
   }
@@ -95,9 +142,9 @@ object MinHash {
                               numPerms: Int = 64, numBands: Int = 16,
                               threshold: Double = 0.6,
                               maxBucket: Int = 1000): DataFrame = {
-    val shingled = withShingles(corpus, idCol, textCol).cache()
+    val sigd = withSignatures(corpus, idCol, textCol, numPerms).cache()
     val banded = Similarity.dropLargeBuckets(
-      bands(signatures(shingled, numPerms), numPerms, numBands),
+      bands(sigd.select(col("doc_id"), col("sig")), numPerms, numBands),
       Seq("band", "bh"), maxBucket)
     val fresh = newIds.select(col(idCol).as("doc_id")).distinct()
     val newSide = banded.join(fresh, "doc_id")
@@ -108,7 +155,7 @@ object MinHash {
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
-    jaccard(cand, shingled)
+    jaccard(cand, sigd.select(col("doc_id"), col("shingles")))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
   }
@@ -138,21 +185,40 @@ object MinHash {
     * recall-most. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sigs = simhash(df, idCol, textCol)
+    // Spread the md5-per-token signature pass beyond the input's
+    // (file-bound) split count and cache the 8-byte/doc result: the skew
+    // guard and both self-join sides re-scan it, and uncached each
+    // re-ran the full O(tokens) hashing.
+    val sigs = simhash(
+      spread(df.select(col(idCol).as("doc_id"), col(textCol)), "doc_id"),
+      "doc_id", textCol).cache()
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("sig"), c * 14).bitwiseAND(lit(16383L)).as("bh"))
     }
-    val chunked = Similarity.dropLargeBuckets(
-      sigs
-        .select(col("doc_id"), col("sig"), explode(array(chunkStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh")),
-      Seq("band", "bh"), maxBucket)
-    val a = chunked.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+    val chunked = sigs
+      .select(col("doc_id"), col("sig"), explode(array(chunkStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Grouped-bucket pair expansion (see [[candidates]]): one exchange and
+    // one pass instead of size-aggregate + join-back + bucket self-join;
+    // hamming is computed in-row on the grouped (doc_id, sig) structs.
+    // bit_count(xor) is symmetric, so pair normalization can't change it.
+    val grouped = chunked.groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+      .filter(Similarity.bucketKeep(chunked, maxBucket)(
+        size(col("ms")).cast("long")))
+      .filter(size(col("ms")) >= 2)
+    val ms = col("ms")
+    val pairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms)), y =>
+        struct(
+          least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
+          greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
+            .cast("long").as("hamming")))))
+    grouped.select(explode_outer(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -54,15 +54,23 @@ object Similarity {
     * session's `graft.skew_guard.*` accumulators. */
   private[llmops] def dropLargeBuckets(df: DataFrame, keys: Seq[String],
                                        maxBucket: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz"))
+      .filter(bucketKeep(df, maxBucket)(col("__bsz"))).drop("__bsz")
+    df.join(small, keys)
+  }
+
+  /** The guard predicate alone, for callers that already hold the bucket
+    * GROUPED (one row per bucket with a size column) and so need neither
+    * the size aggregate nor the join back — same accumulator accounting. */
+  private[llmops] def bucketKeep(
+      df: DataFrame, maxBucket: Int): org.apache.spark.sql.expressions
+        .UserDefinedFunction = {
     val (dropB, dropR) = guards(df.sparkSession)
-    val keep = udf { bsz: Long =>
+    udf { bsz: Long =>
       val ok = bsz <= maxBucket
       if (!ok) { dropB.add(1L); dropR.add(bsz) }
       ok
     }
-    val small = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bsz"))
-      .filter(keep(col("__bsz"))).drop("__bsz")
-    df.join(small, keys)
   }
 
   /** Corpus-size-aware plane count: enough hyperplanes that the *expected*
@@ -161,13 +169,27 @@ object Similarity {
       lshBucket(col("embedding"), dim, numPlanes, planeOffset = t * numPlanes)): _*)
     val b = df.select(col("vec_id"), col("embedding"),
         posexplode(tableBuckets).as(Seq("tbl", "bucket")))
-    val guarded = dropLargeBuckets(b, Seq("tbl", "bucket"), maxBucket)
-    val l = guarded.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val r = guarded.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    l.join(r, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+    // Grouped-bucket pair expansion ([[graft.llmops.MinHash.candidates]]):
+    // one exchange and one scan instead of size-aggregate + join-back +
+    // bucket self-join. The grouped row is bounded by maxBucket vectors;
+    // cosine is evaluated in-row per pair — index-order accumulation is
+    // symmetric in its arguments, so pair normalization can't change the
+    // score.
+    val grouped = b.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
+      .filter(bucketKeep(b, maxBucket)(size(col("ms")).cast("long")))
+      .filter(size(col("ms")) >= 2)
+    val ms = col("ms")
+    val pairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms)), y =>
+        struct(
+          least(x.getField("vec_id"), y.getField("vec_id")).as("id_a"),
+          greatest(x.getField("vec_id"), y.getField("vec_id")).as("id_b"),
+          round(cosine(x.getField("embedding"), y.getField("embedding")), 4)
+            .as("sim")))))
+    grouped.select(explode_outer(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sim").as("sim"))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }

@@ -36,12 +36,15 @@ object ConnectedComponents {
     // Initial label = min(node, min(neighbor)) — the first propagation step
     // fused into initialization (one aggregate instead of a join pass).
     // Star-shaped graphs (dedup clusters) converge HERE; the loop's first
-    // iteration is then just the no-change certificate.
+    // iteration is then just the no-change certificate. NOT checkpointed
+    // (r21): its lineage is one aggregate over the already-checkpointed
+    // edge blocks, so iteration 1 re-derives it cheaply where it is used
+    // instead of paying a dedicated materialization job; from iteration 1
+    // on, `labels` is the loop's own checkpoint, keeping plan depth O(1).
     var labels = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("nbl"))
       .select(col("src").as("node"),
         least(col("src"), col("nbl")).as("component"))
-      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

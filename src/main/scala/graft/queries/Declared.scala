@@ -112,18 +112,24 @@ object Declared {
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
 
-    // Q10: range self-join on events — equi key (user_id) carries the
-    // shuffle, the ts-range predicate is evaluated post-match, so this stays
-    // a hash/merge join (never a cartesian) at any scale.
+    // Q10: per-user count of event pairs (a, b) with ts_b in
+    // [ts_a, ts_a + 1h]. r21: the user-keyed self-join (which materializes
+    // every pair — output grows with the SQUARE of per-user event density,
+    // the sf1 gate's one super-linear shape) is computed as ONE range-frame
+    // window + partial-agg sum: for each row, the frame counts the rows
+    // within the next hour (micros are exact, so the inclusive bounds are
+    // bit-identical to the join predicate), and Σ per-row counts ≡ the
+    // pair count. One shuffle, one scan, O(n) — no pair materialization.
+    // Oracle-equivalence re-proven at sf0.01/sf0.001 (counts of exact
+    // integer micros; no float reordering).
     "q10_range_join" -> ((s, d) => {
-      val e = events(s, d)
-      val a = e.select(col("user_id"), col("ts").as("ts_a"))
-      val b = e.select(col("user_id").as("user_b"), col("ts").as("ts_b"))
-      a.join(b, col("user_id") === col("user_b") &&
-          col("ts_b") >= col("ts_a") &&
-          col("ts_b") <= col("ts_a") + expr("interval 1 hour"))
+      val w = Window.partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(Window.currentRow, 3600L * 1000 * 1000)
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("__us"))
+        .withColumn("__cnt", count(lit(1)).over(w))
         .groupBy("user_id")
-        .agg(count(lit(1)).as("pair_cnt"))
+        .agg(sum("__cnt").as("pair_cnt"))
     }),
 
     // Q11: distinct + count distinct (+ approx variant, tolerance-checked

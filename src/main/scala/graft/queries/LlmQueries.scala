@@ -94,8 +94,12 @@ object LlmQueries {
       MinHash.nearDupPairs(docsWithDups(s, d), "doc_id", "text")),
 
     // Exact 3-gram Jaccard on the injected (original, mutated) pairs.
+    // The shingle pass is cached: both jaccard join sides re-scan it (it
+    // used to ride the minhash entries' shingle cache, which r21 moved to
+    // the shingle+signature projection — this entry needs no signatures).
     "llm_ngram_jaccard" -> ((s, d) => {
       val shingled = MinHash.withShingles(docsWithDups(s, d), "doc_id", "text")
+        .cache()
       val pairs = docs(s, d).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000).as("doc_b"))
       MinHash.jaccard(pairs, shingled).withColumn("jaccard", round(col("jaccard"), 4))

@@ -47,9 +47,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan("q06_join_shuffle").contains("SortMergeJoin"))
   }
 
-  test("q10: range join rides the user_id equi key — never a cartesian") {
+  test("q10: range pair-count is one window pass — no join, one exchange") {
+    // r21: the user-keyed range self-join (pair materialization — output
+    // quadratic in per-user density) became one range-frame window + a
+    // same-key aggregate that reuses the window's partitioning.
     val p = plan("q10_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
   test("q16: top-k plans as TakeOrderedAndProject (no global sort)") {
@@ -84,25 +89,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("llm_dedup_minhash: banded bucket self-join — never a cartesian") {
-    // MinHash+LSH: shingle → signature → band → EQUI-join on (band,
-    // bucket). The 100 TB shape is the bucket join; a cartesian or
-    // nested-loop fallback here is the regression this pin exists to
-    // catch. (Pinned after the r17 bench drift: driver tails showed the
+  test("llm_dedup_minhash: grouped-bucket candidates + equi verify joins") {
+    // MinHash+LSH: shingle → signature → band → ONE grouped aggregate per
+    // bucket with in-row (a < b) pair expansion (r21: replaced the bucket
+    // self-join — one exchange instead of size-agg + join-back + join),
+    // then equi-joins attach shingle sets for the exact-Jaccard verify. A
+    // cartesian or nested-loop fallback is the regression this pin exists
+    // to catch. (Pinned after the r17 bench drift: driver tails showed the
     // dedup family 1.5–1.7× slower on UNTOUCHED code, the same co-tenant
     // signature BENCH_NOTES.md root-caused for llm_repetition in r16 —
     // with the plan pinned, the next drift is provably environmental.)
     val p = plan("llm_dedup_minhash")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+    // the verify joins (pairs ⋈ shingles on doc_a / doc_b) stay equi
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("llm_dedup_simhash: banded 16-bit-chunk join — never a cartesian") {
+  test("llm_dedup_simhash: grouped-bucket pairs — no join at all") {
+    // r21: the banded 14-bit-chunk self-join became a grouped aggregate
+    // with in-row pair + hamming expansion — the whole entry is now
+    // join-free (hamming needs no verify join; the signature rides the
+    // grouped struct).
     val p = plan("llm_dedup_simhash")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("llm_repetition: pure per-row projection — no shuffle at all") {
