@@ -33,18 +33,11 @@ object MinHash {
     shingled.select(col("doc_id"),
       graft.functions.VectorExprs.minhashSigCol(col("shingles"), numPerms).as("sig"))
 
-  /** Spread a CPU-heavy per-row pipeline beyond its input's split count:
-    * when the upstream has fewer partitions than the session's default
-    * parallelism (a single-file fixture, a handful of gzip objects), the
-    * expensive per-row hashing would otherwise run on that few cores no
-    * matter how many the cluster has. Hash-repartitioning by the id is
-    * deterministic and a NO-OP at scale, where input splits >= cores —
-    * only the starved case pays the (cheap, pre-shingle) exchange. */
-  private[llmops] def spread(df: DataFrame, key: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, col(key))
-  }
+  /** Spread a CPU-heavy per-row pipeline beyond its input's split count —
+    * generalized to [[graft.operators.Spread.toCores]] (r21), kept here as
+    * the dedup family's local name. */
+  private[llmops] def spread(df: DataFrame, key: String): DataFrame =
+    graft.operators.Spread.toCores(df, key)
 
   /** The shared shingle+signature pass behind [[nearDupPairs]] and
     * [[incrementalNearDupPairs]]: (doc_id, shingles, sig) with the per-row

@@ -20,6 +20,16 @@ object TextOps {
 
   private def toks(textCol: Column): Column = split(lower(textCol), " ")
 
+  /** Narrow (id, text) projection spread to the session's cores
+    * ([[graft.operators.Spread.toCores]]) — r21, guide §2.5 "input skew":
+    * the fixtures (and any single-object ingest source) scan as ONE task,
+    * so every regex/shingle/JSON-heavy per-row operator here ran at
+    * parallelism 1 regardless of core count. A no-op at scale where
+    * splits ≥ cores; the starved case pays one narrow exchange before the
+    * expensive per-row work instead of computing it single-threaded. */
+  private def spreadIdText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Spread.toCores(df.select(col(idCol), col(textCol)), idCol)
+
   private def stopHits(textCol: Column, words: Seq[String]): Column = {
     val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
     size(expr(s"filter(split(lower(${textCol.toString}), ' '), x -> array_contains($arr, x))"))
@@ -30,7 +40,7 @@ object TextOps {
   def stats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val nTok = size(toks(t)).cast("long")
-    df.select(
+    spreadIdText(df, idCol, textCol).select(
       col(idCol),
       length(t).cast("long").as("n_chars_m"),
       nTok.as("n_tokens"),
@@ -44,7 +54,7 @@ object TextOps {
     val t = col(textCol)
     val (en, de, es, fr) =
       (stopHits(t, EnStop), stopHits(t, DeStop), stopHits(t, EsStop), stopHits(t, FrStop))
-    df.select(
+    spreadIdText(df, idCol, textCol).select(
       col(idCol),
       en.cast("long").as("en_hits"),
       de.cast("long").as("de_hits"),
@@ -57,7 +67,7 @@ object TextOps {
   /** BPE-ish token counting: word / number / single-symbol pieces via one
     * regex pass (≈ pre-tokenizer granularity, an upper bound on BPE tokens). */
   def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    spreadIdText(df, idCol, textCol).select(
       col(idCol),
       size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
       size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
@@ -66,7 +76,7 @@ object TextOps {
   /** Document fingerprints: content hash (md5 of raw text) + an
     * order-independent bag-of-words hash — both engine-portable. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    spreadIdText(df, idCol, textCol).select(
       col(idCol),
       md5(col(textCol).cast("binary")).as("content_hash"),
       md5(concat_ws(" ", array_sort(array_distinct(split(lower(col(textCol)), " "))))
@@ -75,6 +85,9 @@ object TextOps {
   /** Exact deduplication: hash-groupBy on full content. One shuffle on the
     * content hash (never on the full text), partial-aggregated map-side.
     * Returns one row per distinct text: survivor id + duplicate count. */
+  // NOT spread (r21, measured 0.19 s → 0.37 s): one md5 pass per row is
+  // cheap; the groupBy's own exchange ships 16-byte hashes, while a
+  // pre-spread would ship the full text first.
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -88,7 +101,7 @@ object TextOps {
     * the shape a 100 TB pre-training scrub needs. */
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(
+    spreadIdText(df, idCol, textCol).select(
       col(idCol),
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
@@ -117,6 +130,10 @@ object TextOps {
     * behind [[chunk]], [[spanDedup]], and [[dropDupSpans]], so chunk
     * hashes and span-dedup decisions can never silently diverge on
     * boundaries, tokenization, or the empty-doc convention. */
+  // NOT spread (r21, measured): the splitter's per-row work (split + slice
+  // + concat_ws + md5) is cheap, and pre-spreading only added an exchange —
+  // dedup_spans 0.32 s → 0.55 s, clean_spans 0.49 s → 0.77 s, chunking
+  // 0.18 s → 0.22 s at sf0.1.
   private def spanize(df: DataFrame, idCol: String, textCol: String,
                       windowTokens: Int, stride: Int): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("__toks"))
@@ -197,7 +214,9 @@ object TextOps {
     val evalSh = MinHash.withShingles(eval, idCol, textCol)
       .select(explode_outer(col("shingles")).as("shingle"))
       .select(xxhash64(col("shingle")).as("sh")).distinct()
-    val counts = MinHash.withShingles(train, idCol, textCol)
+    val counts = MinHash.withShingles(
+        graft.operators.Spread.toCores(
+          train.select(col(idCol), col(textCol)), idCol), idCol, textCol)
       .select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .join(broadcast(evalSh), "sh")
@@ -216,7 +235,7 @@ object TextOps {
     * is far cheaper at 100 TB than shuffling the exploded gram stream. */
   def repetition(df: DataFrame, idCol: String, textCol: String,
                  maxDupTokens: Double = 0.3, maxTopGram: Double = 0.2): DataFrame = {
-    val withGrams = df
+    val withGrams = spreadIdText(df, idCol, textCol)
       .select(col(idCol), split(lower(col(textCol)), " ").as("__toks"))
       .withColumn("__grams",
         when(size(col("__toks")) >= 2,
@@ -259,7 +278,7 @@ object TextOps {
     val digitRatio = regexp_count(t, lit("[0-9]")).cast("double") / nChars
     val score = round(greatest(lit(0.0),
       lit(1.0) - lit(2.0) * punctRatio - lit(3.0) * digitRatio), 4)
-    df.select(
+    spreadIdText(df, idCol, textCol).select(
       col(idCol),
       nTok.as("n_tokens"),
       score.as("quality_score"),

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 object Declared {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Fixtures.table(s, dir, name)
 
   /** Fixture-vintage-adaptive events read — see [[Fixtures.adaptEventsTs]]. */
   private def events(s: SparkSession, dir: String): DataFrame =
@@ -237,6 +237,10 @@ object Declared {
     // instead of round(x,2): products of 2-dp doubles land on exact half-cent
     // boundaries where Spark (shortest-decimal HALF_UP) and DuckDB (binary
     // round) disagree; floor+offset is bit-identical across engines.
+    // r21: a Spread.toCores before the per-row math was TRIED and REVERTED —
+    // the full-width exchange (600k rows × 6 cols) cost more than the
+    // single-split compute it parallelized (0.41 s → 0.58 s): the rlike
+    // guard fails fast on 1-char flags, so per-row work is cheap here.
     "q20_math" -> ((s, d) =>
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -265,10 +269,14 @@ object Declared {
           explode(col("arr")).as("tok"),
           element_at(col("arr"), 1).as("first_tok"),
           size(col("arr")).cast("long").as("n_tok"))),
+    // r21: the two JSON parses per row (get_json_object + from_json) ran on
+    // the events file's single split — spread to cores first (no-op at
+    // scale; one narrow exchange here).
     "q21_json" -> ((s, d) => {
       val kInt = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
         .getField("k").cast("long")
-      events(s, d).select(
+      graft.operators.Spread.toCores(
+        events(s, d).select("event_id", "props"), "event_id").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         kInt.as("k_int"),

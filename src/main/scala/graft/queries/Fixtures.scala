@@ -29,6 +29,19 @@ object Fixtures {
   def once[T <: AnyRef](key: String, sfDir: String)(build: => T): T =
     cache.computeIfAbsent((key, sfDir), _ => build).asInstanceOf[T]
 
+  /** Fixture-table read with the per-file footer-schema cache
+    * ([[graft.ingest.Snapshots.cachedFileSchema]] — nullable-forced,
+    * matching what inference produces for a file relation). Rationale
+    * (r21, guide §5): `spark.read.parquet(path)` runs a footer-reading
+    * driver JOB on every DataFrame construction; a query touching six
+    * fixture tables (q07) paid six ~30 ms jobs per invocation for schemas
+    * that cannot change (the fixtures are read-only). Metadata caching
+    * only — the scan itself still reads the file every run. */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    s.read.schema(graft.ingest.Snapshots.cachedFileSchema(s, path)).parquet(path)
+  }
+
   /** The ONE events-fixture `ts` adapter (used by Declared, StreamQueries,
     * and the specs). The column's physical type has varied across fixture
     * generations — adapt to what the file actually holds rather than pin
@@ -51,7 +64,9 @@ object Fixtures {
   def events(s: SparkSession, dir: String): DataFrame = {
     // Harmless where ignored (this Spark build reads MICROS natively);
     // required for builds/fixture vintages where ts is TIMESTAMP(NANOS).
+    // Set BEFORE the (cached) schema read so a NANOS-vintage first
+    // inference doesn't throw.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    adaptEventsTs(s.read.parquet(s"$dir/events.parquet"))
+    adaptEventsTs(table(s, dir, "events"))
   }
 }

@@ -19,7 +19,7 @@ import graft.ingest.{Compaction, Merge, Snapshots, TxnCommit}
 object FormatQueries {
 
   private def nation(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/nation.parquet")
+    Fixtures.table(s, dir, "nation")
       .select(col("n_nationkey").cast("long").as("n_nationkey"),
         col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
 

@@ -19,9 +19,9 @@ import graft.llmops.{MinHash, Multimodal, Similarity, TextOps}
 object LlmQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    Fixtures.table(s, d, "documents")
   private def embs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    Fixtures.table(s, d, "embeddings")
 
   /** Build-once PQ warehouse: embeddings committed, IVF-PQ index built
     * (coarse k=8, m=8 one-byte subspaces, ksub=16) — the timed region of

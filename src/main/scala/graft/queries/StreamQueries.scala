@@ -200,7 +200,7 @@ object StreamQueries {
         w
       }
       IvfStore.topK(s, wh,
-        s.read.parquet(s"$d/embeddings.parquet")
+        Fixtures.table(s, d, "embeddings")
           .select("vec_id", "embedding").filter(col("vec_id") < 5),
         k = 10, nprobe = 8)
     }),
