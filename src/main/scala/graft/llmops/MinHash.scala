@@ -136,21 +136,52 @@ object MinHash {
                               threshold: Double = 0.6,
                               maxBucket: Int = 1000): DataFrame = {
     val sigd = withSignatures(corpus, idCol, textCol, numPerms).cache()
-    val banded = Similarity.dropLargeBuckets(
-      bands(sigd.select(col("doc_id"), col("sig")), numPerms, numBands),
-      Seq("band", "bh"), maxBucket)
+    val banded = bands(sigd.select(col("doc_id"), col("sig")),
+      numPerms, numBands)
     val fresh = newIds.select(col(idCol).as("doc_id")).distinct()
-    val newSide = banded.join(fresh, "doc_id")
-      .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val allSide = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    val cand = newSide.join(allSide, Seq("band", "bh"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct()
-    jaccard(cand, sigd.select(col("doc_id"), col("shingles")))
+    jaccard(incrementalCandidates(banded, fresh, maxBucket),
+        sigd.select(col("doc_id"), col("shingles")))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
+  }
+
+  /** Candidate pairs involving ≥ 1 fresh doc — the incremental dual of
+    * [[candidates]], r21-restructured the same way: ONE exchange. The old
+    * topology (bucket size-aggregate + join-back + new-side join + new×all
+    * bucket join) shuffled the band stream three times; here each bucket is
+    * grouped once with an in-row freshness flag (the fresh-id set is an
+    * ingest batch — bounded by design, broadcast like every other new-side
+    * structure in the incremental path), buckets with no fresh member are
+    * discarded in-row, and (a < b) pairs with ≥ 1 fresh endpoint expand
+    * in-row. The skew guard is unchanged: size(ms) is the FULL bucket
+    * population, same maxBucket bound, same accumulator accounting. */
+  private[graft] def incrementalCandidates(banded: DataFrame,
+                                            fresh: DataFrame,
+                                            maxBucket: Int): DataFrame = {
+    val flagged = banded
+      .join(broadcast(fresh.withColumn("__new", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("band"), col("bh"),
+        struct(col("doc_id"),
+          coalesce(col("__new"), lit(false)).as("fr")).as("m"))
+    val grouped = flagged.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(Similarity.bucketKeep(flagged, maxBucket)(
+        size(col("ms")).cast("long")))
+      .filter(size(col("ms")) >= 2)
+      .filter(exists(col("ms"), m => m.getField("fr")))
+    val ms = col("ms")
+    val pairs = flatten(transform(ms, (x, i) =>
+      filter(
+        transform(slice(ms, i + lit(2), size(ms)), y =>
+          when(x.getField("fr") || y.getField("fr"),
+            struct(
+              least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
+              greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b")))),
+        p => p.isNotNull)))
+    grouped.select(explode_outer(pairs).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** 56-bit SimHash over token hashes: per bit, sum +1/-1 weighted by token

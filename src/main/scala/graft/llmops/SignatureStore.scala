@@ -153,8 +153,7 @@ object SignatureStore {
                               idCol: String, textCol: String,
                               threshold: Double = 0.6, maxBucket: Int = 1000,
                               sigTable: String = "doc_signatures"): DataFrame = {
-    val banded = Similarity.dropLargeBuckets(
-      Snapshots.read(spark, warehouse, sigTable), Seq("band", "bh"), maxBucket)
+    val banded = Snapshots.read(spark, warehouse, sigTable)
     // localCheckpoint(eager=false), not cache(): both frames are reused
     // several times below, but a long-running ingest loop calls this per
     // batch — cached plans would pin block-manager memory until an
@@ -168,14 +167,12 @@ object SignatureStore {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .localCheckpoint(false)
     val fresh = freshDocs.select("doc_id").distinct()
-    val newSide = banded.join(fresh, "doc_id")
-      .select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val allSide = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    val cand = newSide.join(allSide, Seq("band", "bh"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-      .distinct().localCheckpoint(false)
+    // r21: grouped single-exchange candidate generation with an in-row
+    // freshness flag ([[MinHash.incrementalCandidates]]) — replaces the
+    // bucket size-aggregate + join-back + new-side join + new×all bucket
+    // join, which shuffled the persisted band table three times per run.
+    val cand = MinHash.incrementalCandidates(banded, fresh, maxBucket)
+      .localCheckpoint(false)
 
     // Corpus endpoints of the candidate pairs: everything not in the new
     // batch. Their [min,max] drives log-side file skipping — two scalars to

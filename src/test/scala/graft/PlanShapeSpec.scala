@@ -117,9 +117,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
-  test("llm_repetition: pure per-row projection — no shuffle at all") {
+  test("llm_repetition: per-row projection — at most the starved-scan spread") {
+    // r21: the per-row gram/sort pipeline is spread to the session's cores
+    // when the input has fewer splits (Spread.toCores — a no-op at scale,
+    // where splits ≥ cores; measured 0.82 s → 0.41 s at sf0.1). The pin
+    // allows exactly that one pre-compute exchange and nothing else: a
+    // SECOND exchange (an accidental aggregation or join) is the
+    // regression this test exists to catch.
     val p = plan("llm_repetition")
-    assert(!p.contains("Exchange"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
   test("q26_pivot: hash-agg pivot lowering — two shuffles, no sort fallback") {
