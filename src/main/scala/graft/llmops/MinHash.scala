@@ -223,26 +223,24 @@ object MinHash {
     val chunked = sigs
       .select(col("doc_id"), col("sig"), explode(array(chunkStructs: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // Grouped-bucket pair expansion (see [[candidates]]): one exchange and
-    // one pass instead of size-aggregate + join-back + bucket self-join;
-    // hamming is computed in-row on the grouped (doc_id, sig) structs.
-    // bit_count(xor) is symmetric, so pair normalization can't change it.
-    val grouped = chunked.groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
-      .filter(Similarity.bucketKeep(chunked, maxBucket)(
-        size(col("ms")).cast("long")))
-      .filter(size(col("ms")) >= 2)
-    val ms = col("ms")
-    val pairs = flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + lit(2), size(ms)), y =>
-        struct(
-          least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
-          greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b"),
-          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
-            .cast("long").as("hamming")))))
-    grouped.select(explode_outer(pairs).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.hamming").as("hamming"))
+    // Join-based pair scoring, DELIBERATELY (r21 A/B, same cache+spread on
+    // both sides): a grouped in-row pair expansion was tried and measured
+    // NO better at sf0.1 (join 1.26 s vs grouped 1.32 s probe-median) and
+    // ~40% worse at the 10× sf1 gate (1.72 s vs 2.5–3.2 s) — with 14-bit
+    // buckets the population is mostly singletons, so collect_list's
+    // object aggregate plus per-bucket interpreted higher-order-function
+    // evaluation dominates, while the codegen'd self-join streams. (The
+    // grouped form DOES win for [[candidates]]' 64-bit minhash buckets —
+    // 0.80× at sf1 — where the three-fold band-stream shuffle it removes
+    // is the bigger term. Measured per family, not assumed.)
+    val guarded = Similarity.dropLargeBuckets(chunked, Seq("band", "bh"), maxBucket)
+    val a = guarded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = guarded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -169,27 +169,23 @@ object Similarity {
       lshBucket(col("embedding"), dim, numPlanes, planeOffset = t * numPlanes)): _*)
     val b = df.select(col("vec_id"), col("embedding"),
         posexplode(tableBuckets).as(Seq("tbl", "bucket")))
-    // Grouped-bucket pair expansion ([[graft.llmops.MinHash.candidates]]):
-    // one exchange and one scan instead of size-aggregate + join-back +
-    // bucket self-join. The grouped row is bounded by maxBucket vectors;
-    // cosine is evaluated in-row per pair — index-order accumulation is
-    // symmetric in its arguments, so pair normalization can't change the
-    // score.
-    val grouped = b.groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ms"))
-      .filter(bucketKeep(b, maxBucket)(size(col("ms")).cast("long")))
-      .filter(size(col("ms")) >= 2)
-    val ms = col("ms")
-    val pairs = flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + lit(2), size(ms)), y =>
-        struct(
-          least(x.getField("vec_id"), y.getField("vec_id")).as("id_a"),
-          greatest(x.getField("vec_id"), y.getField("vec_id")).as("id_b"),
-          round(cosine(x.getField("embedding"), y.getField("embedding")), 4)
-            .as("sim")))))
-    grouped.select(explode_outer(pairs).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sim").as("sim"))
+    // Join-based pair scoring, DELIBERATELY (r21): the grouped in-row pair
+    // expansion that won for MinHash/SimHash (ids and 8-byte sigs) was
+    // tried here and REVERTED — with embedding payloads the per-bucket
+    // pair array materializes O(bucket² · dim) floats through an
+    // interpreted higher-order function, losing whole-stage codegen
+    // exactly where the cosine work grows quadratically: fine at sf0.1
+    // (0.64 s → 0.45 s) but 1.34 s → 3.0 s at the 10× sf1 gate, inverting
+    // with scale. The self-join streams each pair's cosine inside codegen
+    // and spills gracefully; it shares the bucket exchange with the guard's
+    // size-aggregate join.
+    val guarded = dropLargeBuckets(b, Seq("tbl", "bucket"), maxBucket)
+    val l = guarded.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val r = guarded.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim").distinct()
   }

@@ -269,14 +269,10 @@ object Declared {
           explode(col("arr")).as("tok"),
           element_at(col("arr"), 1).as("first_tok"),
           size(col("arr")).cast("long").as("n_tok"))),
-    // r21: the two JSON parses per row (get_json_object + from_json) ran on
-    // the events file's single split — spread to cores first (no-op at
-    // scale; one narrow exchange here).
     "q21_json" -> ((s, d) => {
       val kInt = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
         .getField("k").cast("long")
-      graft.operators.Spread.toCores(
-        events(s, d).select("event_id", "props"), "event_id").select(
+      events(s, d).select("event_id", "props").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         kInt.as("k_int"),

@@ -106,15 +106,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("llm_dedup_simhash: grouped-bucket pairs — no join at all") {
-    // r21: the banded 14-bit-chunk self-join became a grouped aggregate
-    // with in-row pair + hamming expansion — the whole entry is now
-    // join-free (hamming needs no verify join; the signature rides the
-    // grouped struct).
+  test("llm_dedup_simhash: banded equi self-join, never a cartesian") {
+    // r21 (late): the grouped in-row expansion tried mid-round was
+    // reverted on sf1 evidence — 14-bit buckets are mostly singletons, so
+    // the codegen'd bucket self-join beats collect_list + interpreted
+    // higher-order expansion at every measured scale. The pin guards what
+    // actually matters: equi join on the bucket key, no cartesian /
+    // nested-loop fallback.
     val p = plan("llm_dedup_simhash")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("Join"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
   test("llm_repetition: per-row projection — at most the starved-scan spread") {
