@@ -82,6 +82,54 @@ object VectorExprs {
   def minhashSigCol(shingles: Column, numPerms: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numPerms))
 
+  /** MinHash signature over PRE-HASHED shingles ([[graft.functions
+    * .ShingleExprs.ShingleHashes]] output): per (shingle, perm) the value is
+    * a splitmix64-style integer mix of the 64-bit shingle hash at stream
+    * position `perm` — a universal-hash permutation family, ~10 ALU ops
+    * instead of re-hashing the shingle STRING once per perm (the r21 kernel
+    * paid O(shingles x perms x strlen); this is O(shingles x perms) with
+    * the string bytes touched exactly once, in [[graft.functions
+    * .ShingleExprs.shingleHashes]]). Signature values differ from the
+    * string kernel's — candidate recall is re-proven by the oracle gate
+    * (the final pair set is what is checked, and the exact-Jaccard verify
+    * is unchanged). */
+  case class MinHashSigFromHashes(child: Expression, numPerms: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      VectorExprs.minhashSigFromHashes(input.asInstanceOf[ArrayData], numPerms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExprs.minhashSigFromHashes($c, $numPerms);")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashes =
+      copy(child = newChild)
+  }
+
+  def minhashSigFromHashes(hashes: ArrayData, numPerms: Int): ArrayData = {
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var p = 0
+      while (p < numPerms) {
+        // splitmix64 finalizer over stream position p — public-domain mixer.
+        var z = h + (p + 1L) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if (z < mins(p)) mins(p) = z
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhashSigFromHashesCol(hashes: Column, numPerms: Int): Column =
+    ColumnBridge.column(MinHashSigFromHashes(ColumnBridge.expression(hashes), numPerms))
+
   /** Sign-of-dot-product LSH bucket id over fixed hyperplanes (one pass,
     * planes flattened row-major). */
   case class LshBucket(child: Expression, planes: Seq[Double], dim: Int)

@@ -480,6 +480,29 @@ object IvfStore {
     val postings = Snapshots.read(spark, warehouse, PqCellTable,
         dataFilter = probed.map(c => FileStats.eq("cell", c)).reduce(_ or _))
       .filter(col("cell").isInCollection(probed))
+    // Full-refine shortcut (r22): when the shortlist cap k·refine covers the
+    // whole valid row_number domain (rnk is IntegerType — a per-query
+    // candidate count past 2^31 is outside the operator's domain either
+    // way), the `prnk <= k·refine` filter provably passes every row, so the
+    // PQ scoring + per-query window sort + shortlist checkpoint + the
+    // point-prune id collect are all no-ops: the exact re-rank IS the
+    // query. Collapses the exact entries from 4 driver jobs to 2 (model
+    // load + answer) and drops the wasted O(candidates log candidates)
+    // sort. The windowed path below is byte-identical for any smaller cap
+    // and stays the serving configuration.
+    if (k.toLong * refine >= Int.MaxValue.toLong) {
+      val cand = postings.select(col("vec_id"))
+        .join(Snapshots.read(spark, warehouse, corpusTable)
+          .select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+          Seq("vec_id"))
+      val exact = broadcast(q).join(cand, col("q_id") =!= col("vec_id"))
+        .withColumn("sim",
+          round(VectorExprs.cosineSim(col("q_vec"), col("embedding")), 4))
+      val wx = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+      return exact.withColumn("rnk", row_number().over(wx).cast("long"))
+        .filter(col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", "rnk")
+    }
     // The ADC lookup table is computed ONCE per query row (O(ksub·dim),
     // query side, before the fan-out join); every candidate then scores
     // in O(m) lookups — at m=8, dim=64 that is 8 adds per candidate

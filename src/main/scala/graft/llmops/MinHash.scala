@@ -39,21 +39,37 @@ object MinHash {
   private[llmops] def spread(df: DataFrame, key: String): DataFrame =
     graft.operators.Spread.toCores(df, key)
 
+  /** Hashed shingle set: (doc_id, sh) where `sh` is the sorted-distinct
+    * xxhash64 array of the 3-token shingles — ONE native pass over the
+    * lowered text ([[graft.functions.ShingleExprs.ShingleHashes]]), r22.
+    * Replaces the string-array [[withShingles]] in every hot path: the
+    * string pipeline ran interpreted higher-order functions per row and
+    * carried ~25-byte strings through cache/shuffle where 8-byte longs
+    * suffice. Jaccard over the hashed sets ([[jaccard]]) is value-identical
+    * to the string-set Jaccard absent a same-pair 64-bit collision
+    * (P < 1e-12 per compared pair — see ShingleExprs). */
+  def withShingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.ShingleExprs.shingleHashesCol(col(textCol)).as("sh"))
+
   /** The shared shingle+signature pass behind [[nearDupPairs]] and
-    * [[incrementalNearDupPairs]]: (doc_id, shingles, sig) with the per-row
-    * O(shingles × perms) hashing spread across every core. Callers cache
-    * the result — BOTH the candidate pass (sig) and the verify pass
-    * (shingles) re-scan it, and without `sig` inside the cached projection
-    * every broadcast/join subtree of the candidate join re-ran the full
-    * signature computation (measured: the dominant cost of the dedup
-    * family at sf0.1, recomputed up to 6x per action at file-bound
-    * parallelism 2). */
+    * [[incrementalNearDupPairs]]: (doc_id, sh, sig) with the per-row
+    * O(shingles + perms·shingles) hashing spread across every core.
+    * Callers cache the result — BOTH the candidate pass (sig) and the
+    * verify pass (sh) re-scan it, and without `sig` inside the cached
+    * projection every broadcast/join subtree of the candidate join re-ran
+    * the full signature computation (measured: the dominant cost of the
+    * dedup family at sf0.1, recomputed up to 6x per action at file-bound
+    * parallelism 2). r22: shingles live as hashed longs (see
+    * [[withShingleHashes]]) and the per-perm values are integer mixes of
+    * the shingle hash ([[graft.functions.VectorExprs.MinHashSigFromHashes]])
+    * — the string bytes are hashed exactly once per shingle. */
   def withSignatures(df: DataFrame, idCol: String, textCol: String,
                      numPerms: Int): DataFrame =
-    withShingles(spread(df.select(col(idCol).as("doc_id"), col(textCol)),
+    withShingleHashes(spread(df.select(col(idCol).as("doc_id"), col(textCol)),
         "doc_id"), "doc_id", textCol)
       .withColumn("sig",
-        graft.functions.VectorExprs.minhashSigCol(col("shingles"), numPerms))
+        graft.functions.VectorExprs.minhashSigFromHashesCol(col("sh"), numPerms))
 
   /** LSH banding: numBands bands of (numPerms / numBands) rows; a band's
     * bucket key is the hash of its signature slice. Emits (doc_id, band, bh). */
@@ -97,15 +113,17 @@ object MinHash {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard over given pairs: join shingle sets back and
-    * compute |A∩B| / |A∪B|. */
+  /** Exact n-gram Jaccard over given pairs: join the hashed shingle sets
+    * (`sh` — the [[withShingleHashes]] sorted-distinct invariant) back and
+    * compute |A∩B| / |A∪B| by linear merge — the same exact-integer IEEE
+    * division the string-set `size(array_intersect)/size(array_union)`
+    * produced. */
   def jaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
-    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.ShingleExprs.jaccardSortedCol(col("sh_a"), col("sh_b")))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -117,7 +135,7 @@ object MinHash {
     val sigd = withSignatures(df, idCol, textCol, numPerms).cache()
     val cand = candidates(bands(sigd.select(col("doc_id"), col("sig")),
       numPerms, numBands))
-    jaccard(cand, sigd.select(col("doc_id"), col("shingles")))
+    jaccard(cand, sigd.select(col("doc_id"), col("sh")))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
   }
@@ -140,7 +158,7 @@ object MinHash {
       numPerms, numBands)
     val fresh = newIds.select(col(idCol).as("doc_id")).distinct()
     jaccard(incrementalCandidates(banded, fresh, maxBucket),
-        sigd.select(col("doc_id"), col("shingles")))
+        sigd.select(col("doc_id"), col("sh")))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
   }

@@ -28,11 +28,16 @@ import graft.ingest.{FileStats, Merge, Snapshots, TxnCommit}
   */
 object SignatureStore {
 
-  /** Band rows for one batch of documents: (doc_id, band, bh). */
+  /** Band rows for one batch of documents: (doc_id, band, bh). r22: the
+    * signature pass runs on hashed shingles ([[MinHash.withShingleHashes]])
+    * — string bytes hashed once per shingle, not once per permutation. */
   def bandRows(batch: DataFrame, idCol: String, textCol: String,
                numPerms: Int, numBands: Int): DataFrame =
     MinHash.bands(
-      MinHash.signatures(MinHash.withShingles(batch, idCol, textCol), numPerms),
+      MinHash.withShingleHashes(batch, idCol, textCol)
+        .select(col("doc_id"),
+          graft.functions.VectorExprs.minhashSigFromHashesCol(col("sh"), numPerms)
+            .as("sig")),
       numPerms, numBands)
 
   /** Shingle + sign + band `batch` and append its band rows to
@@ -183,15 +188,15 @@ object SignatureStore {
     val bounds = corpusIds.agg(min("doc_id"), max("doc_id")).head()
     val corpusShingled =
       if (bounds.isNullAt(0)) // no corpus endpoints: new-vs-new pairs only
-        MinHash.withShingles(freshDocs.limit(0), "doc_id", "text")
-      else MinHash.withShingles(
+        MinHash.withShingleHashes(freshDocs.limit(0), "doc_id", "text")
+      else MinHash.withShingleHashes(
         Snapshots.read(spark, warehouse, docTable,
             dataFilter = FileStats.between(idCol, bounds.get(0), bounds.get(1)))
           .select(col(idCol).as("doc_id"), col(textCol).as("text"))
           .join(corpusIds, "doc_id"),
         "doc_id", "text")
     val shingled = corpusShingled
-      .unionByName(MinHash.withShingles(freshDocs, "doc_id", "text"))
+      .unionByName(MinHash.withShingleHashes(freshDocs, "doc_id", "text"))
     MinHash.jaccard(cand, shingled)
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))

@@ -209,16 +209,20 @@ object TextOps {
     // `isnotnull AND size>0` guard below the shingle projection, inlining
     // the whole shingle expression 3× into the scan filter (a huge codegen
     // blowup measured at ~5s of fixed overhead per action at any data
-    // size). Shingle arrays are never empty (withShingles falls back to the
-    // whole text), so the outer variant is semantically identical.
-    val evalSh = MinHash.withShingles(eval, idCol, textCol)
-      .select(explode_outer(col("shingles")).as("shingle"))
-      .select(xxhash64(col("shingle")).as("sh")).distinct()
-    val counts = MinHash.withShingles(
+    // size). Shingle arrays are never empty (the whole-text fallback), so
+    // the outer variant is semantically identical.
+    // r22: shingle + hash fused into one native pass
+    // ([[graft.functions.ShingleExprs.ShingleHashes]]) — the values are
+    // the same xxhash64(shingle_string, seed 42) as before, so the join
+    // semantics and output are byte-identical; the interpreted
+    // higher-order-function shingling and per-shingle string
+    // materialization are gone.
+    val evalSh = MinHash.withShingleHashes(eval, idCol, textCol)
+      .select(explode_outer(col("sh")).as("sh")).distinct()
+    val counts = MinHash.withShingleHashes(
         graft.operators.Spread.toCores(
           train.select(col(idCol), col(textCol)), idCol), idCol, textCol)
-      .select(col("doc_id"), explode_outer(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("sh"))
       .join(broadcast(evalSh), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     train.select(col(idCol).as("doc_id")).join(counts, Seq("doc_id"), "left")

@@ -270,13 +270,18 @@ object Declared {
           element_at(col("arr"), 1).as("first_tok"),
           size(col("arr")).cast("long").as("n_tok"))),
     "q21_json" -> ((s, d) => {
+      // r22: from_json evaluated ONCE in an inner projection (the alias is
+      // referenced twice above, so CollapseProject keeps the boundary) —
+      // the old inline form parsed `props` twice (JsonToStructs is
+      // CodegenFallback, outside codegen subexpression elimination).
       val kInt = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
         .getField("k").cast("long")
-      events(s, d).select("event_id", "props").select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        kInt.as("k_int"),
-        to_json(struct(kInt.as("k_int"))).as("rebuilt"))
+      events(s, d).select(col("event_id"), col("props"), kInt.as("k_int"))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          col("k_int"),
+          to_json(struct(col("k_int").as("k_int"))).as("rebuilt"))
     }),
 
     // Q22: conditional / coalesce (≡ T7 key-type coalesce).

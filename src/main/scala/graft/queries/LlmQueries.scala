@@ -97,8 +97,9 @@ object LlmQueries {
     // The shingle pass is cached: both jaccard join sides re-scan it (it
     // used to ride the minhash entries' shingle cache, which r21 moved to
     // the shingle+signature projection — this entry needs no signatures).
+    // r22: hashed shingle sets (one native pass, longs in the cache).
     "llm_ngram_jaccard" -> ((s, d) => {
-      val shingled = MinHash.withShingles(docsWithDups(s, d), "doc_id", "text")
+      val shingled = MinHash.withShingleHashes(docsWithDups(s, d), "doc_id", "text")
         .cache()
       val pairs = docs(s, d).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000).as("doc_b"))
@@ -309,7 +310,7 @@ object LlmQueries {
       val wh = pqStore(s, d)
       graft.llmops.IvfStore.pqTopK(s, wh,
         embs(s, d).select("vec_id", "embedding").filter(col("vec_id") < 5),
-        k = 10, nprobe = 8, refine = Int.MaxValue / 16)
+        k = 10, nprobe = 8, refine = Int.MaxValue)
     }),
     // The serving configuration (nprobe=3, refine=4): approximate by
     // design → rows-only here; PqSpec holds the recall@10 ≥ 0.9 gate.
@@ -388,7 +389,7 @@ object LlmQueries {
       }
       IvfStore.pqTopK(s, wh, embs(s, d).select("vec_id", "embedding")
         .filter(col("vec_id") < 5), k = 10, nprobe = 8,
-        refine = Int.MaxValue / 16)
+        refine = Int.MaxValue)
     }),
 
     // Persisted LSH ANN (the IvfStore pattern for the hyperplane family):

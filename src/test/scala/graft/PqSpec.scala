@@ -161,6 +161,13 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = Similarity.bruteForceTopK(queries, corpus, k = 10)
       .orderBy("q_id", "rnk").collect().toSeq
     assert(pqExact == brute)
+    // r22 full-refine shortcut (k·refine covers the row_number domain →
+    // scoring/window/shortlist provably skipped): same answer, both vs the
+    // windowed path and vs brute force.
+    val shortcut = IvfStore.pqTopK(spark, w, queries, k = 10, nprobe = 4,
+      refine = Int.MaxValue)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(shortcut == pqExact)
   }
 
   test("corpus deletes propagate into the code postings") {
