@@ -2246,7 +2246,16 @@ object Snapshots {
         val r0 = bp.fold(reader)(reader.option("basePath", _))
         // A width-mixed range (safe type widening landed mid-range) reads
         // at the widest type — footer merging would throw on the mix.
-        val r = widenedSchema(spark, files.map(_._1), bp).fold(r0)(r0.schema)
+        // Uniform flat group (r22, the read()-path rule): the log proves
+        // one schema signature, so the cached footer schema of any member
+        // is exact — skip the per-call footer-merge inference job a
+        // steady-state change-feed consumer was paying on every read.
+        val r = widenedSchema(spark, files.map(_._1), bp) match {
+          case Some(s) => r0.schema(s)
+          case None if bp.isEmpty && uniformStatsSchema(files.map(_._1)) =>
+            r0.schema(cachedFileSchema(spark, files.head._1.file))
+          case None => r0
+        }
         // Restore re-ADDs can carry a deletion vector — the insert rows a
         // consumer sees must exclude the DV'd positions. Path captured
         // scan-side, then the (no-op when dv-free) anti-join.
@@ -2268,10 +2277,16 @@ object Snapshots {
     val cdf = {
       val files = cdfList
       if (files.isEmpty) None
-      else Some(withVersion(
-        spark.read.option("mergeSchema", true)
-          .parquet(files.map(_._1.file).distinct: _*),
-        files))
+      else {
+        // Same uniform-signature inference skip as the append read above;
+        // change files without stats tags keep the footer merge (sound).
+        val r0 = spark.read.option("mergeSchema", true)
+        val r = if (uniformStatsSchema(files.map(_._1)))
+          r0.schema(cachedFileSchema(spark, files.head._1.file)) else r0
+        Some(withVersion(
+          r.parquet(files.map(_._1.file).distinct: _*),
+          files))
+      }
     }
     val frames = appends ++ cdf.toSeq
     if (frames.isEmpty)

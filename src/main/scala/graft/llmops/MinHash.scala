@@ -176,7 +176,24 @@ object MinHash {
   private[graft] def incrementalCandidates(banded: DataFrame,
                                             fresh: DataFrame,
                                             maxBucket: Int): DataFrame = {
+    // Candidate-bucket pre-filter (r22): only buckets holding ≥ 1 fresh doc
+    // can emit a pair, so the grouped aggregate below need never see the
+    // rest. The fresh docs' bucket keys are bounded by the ingest batch
+    // (|fresh| × numBands — the same by-design bound that lets `fresh`
+    // itself broadcast), so this is one broadcast-hash semi-join ABOVE the
+    // band scan: the grouped exchange then carries candidate-bucket rows
+    // only, instead of shuffling the ENTIRE persisted band table through an
+    // object aggregate once per ingest batch — at corpus scale the
+    // difference between O(batch-touched buckets) and O(corpus) per run.
+    // The skew guard is unchanged: the pre-filter keeps whole buckets, so
+    // size(ms) still sees the full bucket population (only buckets that
+    // cannot contribute — and were previously discarded AFTER the shuffle
+    // by the exists(fr) filter — drop out of the guard's accumulator
+    // accounting).
+    val fkeys = banded.join(broadcast(fresh), Seq("doc_id"))
+      .select(col("band"), col("bh")).distinct()
     val flagged = banded
+      .join(broadcast(fkeys), Seq("band", "bh"), "left_semi")
       .join(broadcast(fresh.withColumn("__new", lit(true))),
         Seq("doc_id"), "left")
       .select(col("band"), col("bh"),

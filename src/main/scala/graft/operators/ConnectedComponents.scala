@@ -31,7 +31,17 @@ object ConnectedComponents {
     // Materialize the edge set once — it is re-joined every iteration, and
     // without this the upstream pipeline (e.g. the whole MinHash candidate
     // generation) would re-execute per iteration.
-    val sym = e.union(e.select(col("dst"), col("src"))).distinct()
+    // Both orientations come from ONE explode over one upstream execution
+    // (r22): `e.union(e.select(dst, src))` planned the upstream pipeline
+    // TWICE — each union branch re-ran the whole candidate+verify
+    // computation per call (measured as duplicated ~300/400 ms stage pairs
+    // in llm_dedup_clusters). explode_outer, not explode: the 2-element
+    // array is provably non-empty, and plain explode would re-inline the
+    // struct array into a pushed-down emptiness guard.
+    val sym = e.select(explode_outer(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
       .localCheckpoint(true)
     // Initial label = min(node, min(neighbor)) — the first propagation step
     // fused into initialization (one aggregate instead of a join pass).

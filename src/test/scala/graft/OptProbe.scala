@@ -40,8 +40,12 @@ object OptProbe {
           val si = e.stageInfo
           val ms = (for (s <- si.submissionTime; c <- si.completionTime)
             yield c - s).getOrElse(-1L)
+          // RDD scope names (operator attribution) — the stage name alone is
+          // an anonymous future callsite for every AQE-materialized stage.
+          val ops = si.rddInfos.flatMap(_.scope)
+            .map(_.name).distinct.mkString(",").take(90)
           println(f"STAGE ${si.stageId}%4d ${ms}%6dms tasks=${si.numTasks}%3d " +
-            si.name.linesIterator.next().take(110))
+            si.name.linesIterator.next().take(60) + " ops=" + ops)
         }
       })
     def mat(name: String): Unit = {
