@@ -192,27 +192,36 @@ object MinHash {
     // accounting).
     val fkeys = banded.join(broadcast(fresh), Seq("doc_id"))
       .select(col("band"), col("bh")).distinct()
+    // (doc_id, fresh) encoded as one long — doc_id·2 + fresh — so the
+    // collect_list aggregates a primitive array instead of per-element
+    // InternalRow structs (r22: the object aggregate was the candidate
+    // pass's dominant term). Monotone in doc_id, so least/greatest order
+    // is preserved; decoded with shifts in the expansion below.
     val flagged = banded
       .join(broadcast(fkeys), Seq("band", "bh"), "left_semi")
       .join(broadcast(fresh.withColumn("__new", lit(true))),
         Seq("doc_id"), "left")
       .select(col("band"), col("bh"),
-        struct(col("doc_id"),
-          coalesce(col("__new"), lit(false)).as("fr")).as("m"))
+        (col("doc_id") * 2 +
+          when(coalesce(col("__new"), lit(false)), 1L).otherwise(0L)).as("m"))
     val grouped = flagged.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("m")).as("ms"))
       .filter(Similarity.bucketKeep(flagged, maxBucket)(
         size(col("ms")).cast("long")))
       .filter(size(col("ms")) >= 2)
-      .filter(exists(col("ms"), m => m.getField("fr")))
+      .filter(exists(col("ms"), m => m.bitwiseAND(lit(1L)) === 1))
     val ms = col("ms")
+    // Bit tests, not %: Spark's % keeps the dividend's sign, which would
+    // mis-flag negative ids; & 1 and the arithmetic shift are sign-safe.
+    val fr = (x: Column) => x.bitwiseAND(lit(1L)) === 1
+    val id = (x: Column) => shiftright(x, 1)
     val pairs = flatten(transform(ms, (x, i) =>
       filter(
         transform(slice(ms, i + lit(2), size(ms)), y =>
-          when(x.getField("fr") || y.getField("fr"),
+          when(fr(x) || fr(y),
             struct(
-              least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
-              greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b")))),
+              least(id(x), id(y)).as("doc_a"),
+              greatest(id(x), id(y)).as("doc_b")))),
         p => p.isNotNull)))
     grouped.select(explode_outer(pairs).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
