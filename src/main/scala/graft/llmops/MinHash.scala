@@ -157,7 +157,14 @@ object MinHash {
     val banded = bands(sigd.select(col("doc_id"), col("sig")),
       numPerms, numBands)
     val fresh = newIds.select(col(idCol).as("doc_id")).distinct()
-    jaccard(incrementalCandidates(banded, fresh, maxBucket),
+    // Fresh band rows from the (cached) signature projection joined to the
+    // fresh ids — O(batch), instead of a second full derivation of
+    // `banded` inside the candidate pre-filter.
+    val freshBands = bands(
+      sigd.select(col("doc_id"), col("sig"))
+        .join(broadcast(fresh), Seq("doc_id")),
+      numPerms, numBands)
+    jaccard(incrementalCandidates(banded, fresh, maxBucket, Some(freshBands)),
         sigd.select(col("doc_id"), col("sh")))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
@@ -175,7 +182,9 @@ object MinHash {
     * population, same maxBucket bound, same accumulator accounting. */
   private[graft] def incrementalCandidates(banded: DataFrame,
                                             fresh: DataFrame,
-                                            maxBucket: Int): DataFrame = {
+                                            maxBucket: Int,
+                                            freshBands: Option[DataFrame] = None)
+      : DataFrame = {
     // Candidate-bucket pre-filter (r22): only buckets holding ≥ 1 fresh doc
     // can emit a pair, so the grouped aggregate below need never see the
     // rest. The fresh docs' bucket keys are bounded by the ingest batch
@@ -190,7 +199,15 @@ object MinHash {
     // cannot contribute — and were previously discarded AFTER the shuffle
     // by the exists(fr) filter — drop out of the guard's accumulator
     // accounting).
-    val fkeys = banded.join(broadcast(fresh), Seq("doc_id"))
+    //
+    // `freshBands`: the batch's own band rows, when the caller can supply
+    // them in O(batch) (recomputed from the batch text, or the batch's own
+    // commit) — deriving the bucket keys from them avoids a SECOND full
+    // scan of `banded` just to find the fresh docs' buckets. Must carry
+    // the same banding scheme as `banded` (the store contract). Defaults
+    // to deriving them from `banded` itself.
+    val fkeys = freshBands.getOrElse(
+        banded.join(broadcast(fresh), Seq("doc_id")))
       .select(col("band"), col("bh")).distinct()
     // (doc_id, fresh) encoded as one long — doc_id·2 + fresh — so the
     // collect_list aggregates a primitive array instead of per-element

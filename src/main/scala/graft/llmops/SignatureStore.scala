@@ -157,6 +157,7 @@ object SignatureStore {
                               docTable: String, newDocs: DataFrame,
                               idCol: String, textCol: String,
                               threshold: Double = 0.6, maxBucket: Int = 1000,
+                              numPerms: Int = 64, numBands: Int = 16,
                               sigTable: String = "doc_signatures"): DataFrame = {
     val banded = Snapshots.read(spark, warehouse, sigTable)
     // localCheckpoint(eager=false), not cache(): both frames are reused
@@ -176,7 +177,13 @@ object SignatureStore {
     // freshness flag ([[MinHash.incrementalCandidates]]) — replaces the
     // bucket size-aggregate + join-back + new-side join + new×all bucket
     // join, which shuffled the persisted band table three times per run.
-    val cand = MinHash.incrementalCandidates(banded, fresh, maxBucket)
+    // r22: the batch's band rows are recomputed from its text — O(batch),
+    // the same deterministic kernels that produced the persisted rows at
+    // ingest (numPerms/numBands must match the store's banding scheme,
+    // the existing appendBatch contract) — so the candidate pre-filter's
+    // bucket keys cost zero scans of the corpus band table.
+    val cand = MinHash.incrementalCandidates(banded, fresh, maxBucket,
+        Some(bandRows(freshDocs, "doc_id", "text", numPerms, numBands)))
       .localCheckpoint(false)
 
     // Corpus endpoints of the candidate pairs: everything not in the new
