@@ -156,6 +156,12 @@ object MinHash {
     val sigd = withSignatures(corpus, idCol, textCol, numPerms).cache()
     val banded = bands(sigd.select(col("doc_id"), col("sig")),
       numPerms, numBands)
+    // NOT checkpointed (r22, measured): pinning `fresh` to stop the
+    // broadcast builds re-executing the caller's change-feed read was
+    // tried and showed no win at sf0.1 (1.30 vs 1.37 s probe median —
+    // inside noise); the persisted/streaming path (SignatureStore)
+    // already pins its feed, and this in-memory variant is the
+    // small-fixture path by design.
     val fresh = newIds.select(col(idCol).as("doc_id")).distinct()
     // Fresh band rows from the (cached) signature projection joined to the
     // fresh ids — O(batch), instead of a second full derivation of
